@@ -1,0 +1,186 @@
+package graft.merge
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The merge dataflow, declared entirely in the public DataFrame API so
+  * Catalyst plans it (vectorized parquet scan → shuffle/broadcast join →
+  * whole-stage-codegen projection). Reproduces the SQL the reference
+  * generator emits (sp_SimpleMerge.sql:202-411):
+  *
+  *   targetFilter CTE (A3)  → `filter(expr)` on the target slice
+  *   badKey row_number (A5) → window over keys, arbitrary-but-stable order
+  *   MERGE join (A6,A7,A9)  → full-outer join on `<=>` (EqualNullSafe keeps
+  *                            the key hash-joinable, unlike the reference's
+  *                            OR-form which defeats hash joins)
+  *   change detection (A10) → `!(struct(src payload) <=> struct(tgt payload))`
+  *                            — struct `<=>` is exactly the reference's
+  *                            NOT EXISTS(... INTERSECT ...) null-safe row
+  *                            comparison, without a correlated subquery
+  *   actions (A11-A16,A19)  → per-column when/otherwise projection
+  *   audit OUTPUT (A17-A19) → sibling projection over the same join
+  *
+  * Scale notes (100 TB design): the full-outer join shuffles both sides
+  * hash-partitioned on the key — the minimum possible data movement for
+  * merge semantics; no driver-side collection anywhere; the filtered
+  * complement (`unmatchedSlice`) is a second scan with the negated
+  * predicate pushed down, so the union-back costs one extra pruned scan,
+  * not a shuffle. AQE handles skewed keys at runtime; `badKey` windows
+  * partition on the same keys the join shuffles on.
+  */
+final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: MergePlan) {
+  import MergeFrame._
+
+  private val opts = plan.options
+  private def s(name: String): Column = col(SrcPrefix + name)
+  private def t(name: String): Column = col(name)
+
+  private val keyNames = plan.keyCols.map(_.name)
+  private val payload = plan.payloadCols
+
+  /** Target slice participating in the merge (targetFilter CTE, A3). */
+  private[merge] def filteredTarget: DataFrame =
+    opts.targetFilter.map(f => target.filter(expr(f))).getOrElse(target)
+
+  /** Out-of-filter complement — invisible to the merge, unioned back
+    * untouched (SURVEY §7.4: rows where the predicate is false OR NULL).
+    */
+  private[merge] def unmatchedSlice: Option[DataFrame] =
+    opts.targetFilter.map(f => target.filter(!coalesce(expr(f), lit(false))))
+
+  /** The classified full-outer join with internal marker columns. */
+  private[merge] lazy val classified: DataFrame = {
+    var tSide = filteredTarget.withColumn(TPresent, lit(true))
+    // Rename every source column up front so the post-join projection is
+    // unambiguous without alias gymnastics.
+    var sSide = source
+      .select(plan.sourceCols.map(c => source(c.name).as(SrcPrefix + c.name)): _*)
+      .withColumn(SPresent, lit(true))
+
+    if (opts.badKey) {
+      // A5/A8: duplicate-key disambiguation — row_number within key groups,
+      // ordered by an arbitrary-but-stable-within-a-run id, the Spark analog
+      // of the reference's %%physloc%% ordering (sp_SimpleMerge.sql:209-242,
+      // README.md:22-23: order across duplicates is explicitly unspecified).
+      val tw = Window.partitionBy(keyNames.map(col): _*).orderBy(monotonically_increasing_id())
+      val sw = Window.partitionBy(keyNames.map(n => col(SrcPrefix + n)): _*)
+        .orderBy(monotonically_increasing_id())
+      tSide = tSide.withColumn(Rn, row_number().over(tw))
+      sSide = sSide.withColumn(SrcPrefix + Rn, row_number().over(sw))
+    }
+
+    // A6/A7: composite equi-join, null-safe per key column. `<=>` remains a
+    // hash-partitionable join key in Catalyst.
+    val keyCond = keyNames.map(k => t(k) <=> s(k))
+    val rnCond = if (opts.badKey) Seq(col(Rn) === col(SrcPrefix + Rn)) else Nil
+    val cond = (keyCond ++ rnCond).reduce(_ && _)
+
+    // A9: MERGE == full outer join by match disposition.
+    val joined = tSide.join(sSide, cond, "full_outer")
+
+    val tPresent = col(TPresent).isNotNull
+    val sPresent = col(SPresent).isNotNull
+    // A10: null-safe row-wise change detection over the non-key source columns.
+    val changed: Column =
+      if (payload.isEmpty) lit(false)
+      else !(struct(payload.map(c => s(c.name)): _*) <=> struct(payload.map(c => t(c.name)): _*))
+
+    // A19: $action pseudo-column. Soft delete reports UPDATE, like MERGE does.
+    val deleteAction: Column = opts.delete match {
+      case DeleteMode.Delete => lit("DELETE")
+      case DeleteMode.SoftDelete(_) => lit("UPDATE")
+      case DeleteMode.Ignore => lit(null).cast("string")
+    }
+    val action = when(!tPresent, lit("INSERT"))
+      .when(!sPresent, deleteAction)
+      .when(changed && lit(plan.hasMatchedClause), lit("UPDATE"))
+      .otherwise(lit(null).cast("string"))
+
+    // Merged projection, target column order. Key columns come from whichever
+    // side is present; payload takes the source value on insert/changed-update;
+    // target-only columns pass through (NULL on insert).
+    val mergedCols: Seq[Column] = plan.targetCols.map { c =>
+      val out =
+        if (c.inSource)
+          when(!tPresent, s(c.name))
+            .when(tPresent && sPresent && changed && lit(!c.isKey && plan.hasMatchedClause), s(c.name))
+            .otherwise(t(c.name))
+        else
+          when(!tPresent, lit(null).cast(c.dataType)).otherwise(t(c.name))
+      out.as(c.name)
+    }
+    // d_* images (deleted.*, A17): pre-merge target payload values.
+    val images: Seq[Column] = payload.map(c => t(c.name).as(DPrefix + c.name))
+
+    joined.select(
+      mergedCols ++ images ++ Seq(
+        action.as(ActionCol),
+        (tPresent && !sPresent).as(NmbsCol)): _*)
+  }
+
+  /** Rows with soft-delete assignments applied (evaluated against the target
+    * row image, which the merged projection preserves for NMBS rows).
+    */
+  private[merge] lazy val resolved: DataFrame = {
+    val typeOf = plan.targetCols.map(c => c.name.toLowerCase -> c.dataType).toMap
+    opts.delete match {
+      case DeleteMode.SoftDelete(assignments) =>
+        assignments.foldLeft(classified) { case (df, (c, e)) =>
+          val dt = typeOf.getOrElse(
+            c.toLowerCase,
+            throw new MergeValidationException(s"SET column [$c] missing from target"))
+          df.withColumn(c, when(col(NmbsCol), expr(e).cast(dt)).otherwise(col(c)))
+        }
+      case _ => classified
+    }
+  }
+
+  /** The merged target content (reference: post-MERGE table state). */
+  lazy val merged: DataFrame = {
+    val base = opts.delete match {
+      case DeleteMode.Delete => resolved.filter(!col(NmbsCol)) // A14
+      case _ => resolved // A15 soft-delete rows updated in place; A16 retained
+    }
+    val projected = base.select(plan.targetCols.map(c => col(c.name)): _*)
+    unmatchedSlice.map(projected.unionByName(_)).getOrElse(projected)
+  }
+
+  /** Audit OUTPUT frame (A17-A19): one row per affected target row —
+    * actionTime, action, key columns, before/after images (d_* / i_*).
+    * Images are emitted only when a matched clause exists
+    * (sp_SimpleMerge.sql:362,392) and are nullable regardless of the base
+    * column's nullability.
+    */
+  lazy val audit: DataFrame = {
+    val affected = resolved.filter(col(ActionCol).isNotNull)
+    val keyOut = plan.keyCols.map(c => col(c.name))
+    val imageCols: Seq[Column] =
+      if (!plan.hasMatchedClause) Nil
+      else payload.flatMap { c =>
+        Seq(
+          col(DPrefix + c.name).as("d_" + c.name),
+          when(col(ActionCol) === "DELETE", lit(null).cast(c.dataType))
+            .otherwise(col(c.name)).as("i_" + c.name))
+      }
+    affected.select(
+      Seq(current_timestamp().as("actionTime"), col(ActionCol).as("action")) ++
+        keyOut ++ imageCols: _*)
+  }
+
+  /** Affected-row count: rows inserted + updated + deleted — the reference's
+    * `@@ROWCOUNT` (A21). No-op matches are excluded because change detection
+    * suppresses them (keeps the variance honest, SURVEY §7.4).
+    */
+  def affectedCount(): Long = resolved.filter(col(ActionCol).isNotNull).count()
+}
+
+object MergeFrame {
+  private[merge] val SrcPrefix = "__graft_s_"
+  private[merge] val DPrefix = "__graft_d_"
+  private[merge] val TPresent = "__graft_t_present"
+  private[merge] val SPresent = "__graft_s_present"
+  private[merge] val Rn = "__graft_rn"
+  private[merge] val ActionCol = "__graft_action"
+  private[merge] val NmbsCol = "__graft_nmbs"
+}

@@ -1,0 +1,96 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** User-facing facade — the Spark-native equivalent of
+  * `exec sp_SimpleMerge @source, @target, @joinColumns, ...`
+  * (/root/reference/README.md:104-108):
+  *
+  * {{{
+  * val m = SimpleMerge.into(targetDf, "vendor_tgt")
+  *   .using(sourceDf, "vendor_src")
+  *   .keys("Vendor")
+  *   .delete("YES")            // or "set isDeleted = 1", or anything else = keep
+  *   .targetFilter("[Date] >= '2017-12-01'")
+  *   .badKey(true)
+  *   .threshold("15%")
+  * m.merged            // the post-merge target content (lazy DataFrame)
+  * m.audit             // the OUTPUT audit frame
+  * m.describe(spark)   // @debug=1 grid: rendered MERGE SQL + audit DDL
+  * m.applyToPath(spark, "/data/vendor")   // threshold-guarded atomic apply
+  * }}}
+  */
+final class SimpleMerge private (
+    target: DataFrame,
+    source: DataFrame,
+    targetName: String,
+    sourceName: String,
+    opts: MergeOptions) {
+
+  private def copy(o: MergeOptions) = new SimpleMerge(target, source, targetName, sourceName, o)
+
+  def keys(ks: String*): SimpleMerge = copy(opts.copy(keys = ks))
+
+  /** Comma-separated form, exactly the reference's `@joinColumns` (split is
+    * the Spark-side stand-in for the tally-table splitter at
+    * sp_SimpleMerge.sql:162-172).
+    */
+  def joinColumns(csv: String): SimpleMerge =
+    copy(opts.copy(keys = csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
+
+  def delete(mode: String): SimpleMerge = copy(opts.copy(delete = DeleteMode.parse(mode)))
+  def deleteMode(mode: DeleteMode): SimpleMerge = copy(opts.copy(delete = mode))
+  def targetFilter(predicate: String): SimpleMerge =
+    copy(opts.copy(targetFilter = Some(normalizeBrackets(predicate))))
+  def badKey(b: Boolean): SimpleMerge = copy(opts.copy(badKey = b))
+  def threshold(t: String): SimpleMerge = copy(opts.copy(threshold = Some(t)))
+
+  /** T-SQL `[bracket]` identifiers → Spark backticks, so reference-style
+    * filter strings work verbatim.
+    */
+  private def normalizeBrackets(e: String): String =
+    e.replaceAll("\\[([^\\]]+)\\]", "`$1`")
+
+  lazy val plan: MergePlan = MergePlan.build(target.schema, source.schema, opts)
+  private lazy val frame = new MergeFrame(target, source, plan)
+
+  /** Post-merge target content (lazy; nothing executes until an action). */
+  def merged: DataFrame = frame.merged
+
+  /** Audit OUTPUT frame (A17). */
+  def audit: DataFrame = frame.audit
+
+  /** Rows affected = inserted + updated + deleted (A21). */
+  def affectedCount(): Long = frame.affectedCount()
+
+  /** `@debug = 1`: the debug grid as a DataFrame — rendered statement,
+    * threshold, target rowcount, audit DDL (sp_SimpleMerge.sql:421-465).
+    */
+  def describe(spark: SparkSession): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      Row("sql", MergeDebug.renderSql(plan, targetName, sourceName)),
+      Row("threshold", opts.threshold.getOrElse("")),
+      Row("target rowcount", frame.filteredTarget.count().toString),
+      Row("output table DDL", MergeDebug.auditDdl(plan, targetName + "_SimpleMergeOutput")))
+    spark.createDataFrame(
+      rows.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("debug", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sql", org.apache.spark.sql.types.StringType))))
+  }
+
+  /** Threshold-guarded atomic apply against a parquet directory. */
+  def applyToPath(spark: SparkSession, path: String): MergeResult =
+    MergeApply.applyTo(spark, path, source, opts)
+}
+
+object SimpleMerge {
+  def into(target: DataFrame, targetName: String = "target"): Builder =
+    new Builder(target, targetName)
+
+  final class Builder private[SimpleMerge] (target: DataFrame, targetName: String) {
+    def using(source: DataFrame, sourceName: String = "source"): SimpleMerge =
+      new SimpleMerge(target, source, targetName, sourceName, MergeOptions(keys = Nil))
+  }
+}

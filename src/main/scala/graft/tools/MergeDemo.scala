@@ -1,0 +1,70 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.merge._
+
+/** End-to-end demo/driver of the public merge API against the real testdata
+  * parquet: seeds a target directory, applies a threshold-guarded merge with
+  * atomic swap, prints before/after evidence. Run:
+  *   sbt "runMain graft.tools.MergeDemo [sfDir] [workDir]"
+  */
+object MergeDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val work = args.lift(1).getOrElse("/tmp/graft-merge-demo")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-merge-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    // target: 90% of orders, some prices perturbed; source: the truth.
+    val tgtPath = s"$work/orders_target"
+    orders.filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(tgtPath)
+    val source = orders.filter(col("o_orderkey") % 7 =!= 0)
+
+    val before = spark.read.parquet(tgtPath).count()
+    println(s"[demo] target rows before merge: $before, source rows: ${source.count()}")
+
+    val m = SimpleMerge.into(spark.read.parquet(tgtPath), "orders_target")
+      .using(source, "orders_source")
+      .joinColumns("o_orderkey")
+      .delete("YES")
+      .threshold("60%")
+    println("[demo] debug grid (@debug=1 analog):")
+    m.describe(spark).collect().foreach(r => println(s"--- ${r.getString(0)} ---\n${r.getString(1)}"))
+
+    val res = m.applyToPath(spark, tgtPath)
+    println(s"[demo] applied: affected=${res.affectedRows} targetRows=${res.targetRows} " +
+      f"variance=${res.variancePct}%.2f%% committed=${res.committed}")
+    val after = spark.read.parquet(tgtPath)
+    println(s"[demo] target rows after merge: ${after.count()} (expect == source count)")
+    println(s"[demo] lastUpdate stamp: ${MergeApply.lastUpdate(spark, tgtPath)}")
+
+    // Threshold-abort probe: re-seeding not needed — merging the now-converged
+    // target with a different source slice under a 0% threshold must abort
+    // and leave the target untouched.
+    val abortSource = orders.filter(col("o_orderkey") % 2 === 0)
+    try {
+      SimpleMerge.into(after, "orders_target").using(abortSource, "orders_half")
+        .joinColumns("o_orderkey").delete("YES").threshold("1%")
+        .applyToPath(spark, tgtPath)
+      println("[demo] ERROR: threshold abort did not fire")
+    } catch {
+      case e: MergeThresholdExceededException =>
+        println(s"[demo] threshold abort fired as expected: ${e.getMessage}")
+        println(s"[demo] target rows after abort: ${spark.read.parquet(tgtPath).count()} (unchanged)")
+    }
+    spark.stop()
+  }
+}
