@@ -1,0 +1,84 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic (target, source) merge fixtures derived from the driver's
+  * parquet tables (TESTDATA.md) — the strategy FIXTURES.md §2 prescribes:
+  * carve overlapping slices of one table and perturb the target so the merge
+  * produces inserts, change-updates, no-op matches, and deletes. Every
+  * derivation here has a character-for-character SQL twin in
+  * [[MergeQueries]]' oracle CTEs.
+  */
+object Fixtures {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Target slice of orders: 90% of keys, a third of the prices perturbed. */
+  def ordersTarget(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderkey") % 10 =!= 0)
+      .withColumn(
+        "o_totalprice",
+        when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+
+  /** Source slice of orders: the truth, minus every 7th key. */
+  def ordersSource(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders").filter(col("o_orderkey") % 7 =!= 0)
+
+  /** SQL twins of the above (DuckDB dialect-compatible ANSI). */
+  val ordersCtes: String =
+    """WITH tgt AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 10 <> 0
+      |), src AS (
+      |  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
+      |)""".stripMargin
+
+  /** Lineitem badKey fixture: key l_orderkey is massively duplicated. */
+  def lineitemTarget(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_suppkey") % 3 =!= 0)
+      .withColumn(
+        "l_quantity",
+        when(col("l_linenumber") % 2 === 0, col("l_quantity") + lit(1.0))
+          .otherwise(col("l_quantity")))
+
+  def lineitemSource(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem").filter(col("l_partkey") % 5 =!= 0)
+
+  /** Customer fixture with a genuinely NULL key value on both sides. */
+  private def customerNullKey(df: DataFrame): DataFrame =
+    df.withColumn(
+      "c_custkey",
+      when(col("c_custkey") === 1, lit(null).cast("long")).otherwise(col("c_custkey")))
+
+  def customerTarget(spark: SparkSession, dir: String): DataFrame =
+    customerNullKey(
+      table(spark, dir, "customer")
+        .filter(col("c_custkey") % 5 =!= 2)
+        .withColumn(
+          "c_acctbal",
+          when(col("c_custkey") % 4 === 0, col("c_acctbal") + lit(1.0))
+            .otherwise(col("c_acctbal"))))
+
+  def customerSource(spark: SparkSession, dir: String): DataFrame =
+    customerNullKey(table(spark, dir, "customer").filter(col("c_custkey") % 4 =!= 3))
+
+  val customerCtes: String =
+    """WITH tgt AS (
+      |  SELECT CASE WHEN c_custkey = 1 THEN NULL ELSE c_custkey END AS c_custkey,
+      |         c_name, c_nationkey,
+      |         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 1.0 ELSE c_acctbal END AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey % 5 <> 2
+      |), src AS (
+      |  SELECT CASE WHEN c_custkey = 1 THEN NULL ELSE c_custkey END AS c_custkey,
+      |         c_name, c_nationkey, c_acctbal, c_mktsegment
+      |  FROM customer WHERE c_custkey % 4 <> 3
+      |)""".stripMargin
+}

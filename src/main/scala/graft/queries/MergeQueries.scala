@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.merge._
+
+/** Driver-contract queries for the merge-runtime operator layer (SURVEY §2
+  * layer A). Each entry pairs a DataFrame pipeline built on the engine with
+  * an independent ANSI-SQL oracle (full-outer-join + CASE disposition form)
+  * that DuckDB executes over the same parquet tables.
+  */
+object MergeQueries {
+  import Fixtures._
+
+  private val ordersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+  private val ordersPayload = ordersCols.drop(1)
+
+  /** SQL for the merged projection: source values on insert/match, target
+    * otherwise — per-column CASE, key via coalesce.
+    */
+  private def mergedSelect(cols: Seq[String], keys: Set[String], srcCols: Set[String]): String =
+    cols.map { c =>
+      if (keys.contains(c)) s"coalesce(s.$c, t.$c) AS $c"
+      else if (srcCols.contains(c)) s"CASE WHEN s.__s_p IS NOT NULL THEN s.$c ELSE t.$c END AS $c"
+      else s"t.$c AS $c"
+    }.mkString(",\n       ")
+
+  private def ordersJoin: String =
+    """FROM (SELECT *, 1 AS __t_p FROM tgt) t
+      |FULL OUTER JOIN (SELECT *, 1 AS __s_p FROM src) s
+      |  ON t.o_orderkey = s.o_orderkey""".stripMargin
+
+  private val ordersChangedPred = ordersPayload
+    .map(c => s"t.$c IS NOT DISTINCT FROM s.$c")
+    .mkString("(", " AND ", ")")
+
+  private def ordersMerge(spark: SparkSession, dir: String): SimpleMerge =
+    SimpleMerge.into(ordersTarget(spark, dir), "tgt")
+      .using(ordersSource(spark, dir), "src")
+      .keys("o_orderkey")
+
+  // ---- queries ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_merge_delete" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("YES").merged.orderBy("o_orderkey")),
+    "m2_merge_keep" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("NO").merged.orderBy("o_orderkey")),
+    "m3_merge_softdelete" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("set o_orderstatus = 'X'").merged.orderBy("o_orderkey")),
+    "m4_merge_filtered" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("YES")
+        .targetFilter("o_orderdate >= '1998-01-01'")
+        .merged.orderBy(ordersCols.map(col): _*)),
+    "m5_merge_audit" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("YES").audit.drop("actionTime").orderBy("o_orderkey")),
+    "m6_merge_badkey" -> ((s, dir) => {
+      val m = SimpleMerge.into(lineitemTarget(s, dir), "tgt")
+        .using(lineitemSource(s, dir), "src")
+        .keys("l_orderkey")
+        .badKey(true).delete("YES")
+      m.merged.orderBy(m.merged.columns.map(col): _*)
+    }),
+    "m7_merge_nullkey" -> ((s, dir) => {
+      val m = SimpleMerge.into(customerTarget(s, dir), "tgt")
+        .using(customerSource(s, dir), "src")
+        .keys("c_custkey").delete("NO")
+      m.merged.orderBy(col("c_custkey").asc_nulls_first)
+    }),
+    "m8_merge_actions" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("YES").audit
+        .groupBy("action").agg(count(lit(1)).as("n")).orderBy("action")),
+    "m9_merge_variance" -> ((s, dir) => {
+      val m = ordersMerge(s, dir).delete("YES")
+      val affected = m.audit.agg(count(lit(1)).as("affected_rows"))
+      val targetRows = ordersTarget(s, dir).agg(count(lit(1)).as("target_rows"))
+      affected.crossJoin(targetRows)
+        .withColumn("variance_pct", round(col("affected_rows") * lit(100.0) / col("target_rows"), 6))
+    }),
+    "m10_merge_subset_source" -> ((s, dir) => {
+      val m = SimpleMerge.into(ordersTarget(s, dir), "tgt")
+        .using(ordersSource(s, dir).drop("o_orderpriority"), "src")
+        .keys("o_orderkey").delete("NO")
+      m.merged.orderBy("o_orderkey")
+    }),
+    "g1_debug_render" -> ((s, dir) =>
+      ordersMerge(s, dir).delete("YES").threshold("15%").describe(s))
+  )
+
+  // ---- oracles ----
+
+  private val ordersMergedSelect =
+    mergedSelect(ordersCols, Set("o_orderkey"), ordersCols.toSet)
+
+  val oracleSql: Map[String, String] = Map(
+    "m1_merge_delete" ->
+      s"""$ordersCtes
+         |SELECT $ordersMergedSelect
+         |$ordersJoin
+         |WHERE s.__s_p IS NOT NULL
+         |ORDER BY o_orderkey""".stripMargin,
+    "m2_merge_keep" ->
+      s"""$ordersCtes
+         |SELECT $ordersMergedSelect
+         |$ordersJoin
+         |ORDER BY o_orderkey""".stripMargin,
+    "m3_merge_softdelete" ->
+      s"""$ordersCtes
+         |SELECT ${mergedSelect(ordersCols.filterNot(_ == "o_orderstatus"), Set("o_orderkey"), ordersCols.toSet)},
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.o_orderstatus ELSE 'X' END AS o_orderstatus
+         |$ordersJoin
+         |ORDER BY o_orderkey""".stripMargin,
+    "m4_merge_filtered" ->
+      s"""$ordersCtes
+         |SELECT * FROM src
+         |UNION ALL
+         |SELECT * FROM tgt WHERE NOT coalesce(o_orderdate >= '1998-01-01', FALSE)
+         |ORDER BY ${ordersCols.mkString(", ")}""".stripMargin,
+    "m5_merge_audit" ->
+      s"""$ordersCtes
+         |SELECT CASE WHEN t.__t_p IS NULL THEN 'INSERT'
+         |            WHEN s.__s_p IS NULL THEN 'DELETE'
+         |            ELSE 'UPDATE' END AS action,
+         |       coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+         |       ${ordersPayload.map(c =>
+                   s"t.$c AS d_$c,\n       CASE WHEN s.__s_p IS NULL THEN NULL ELSE s.$c END AS i_$c")
+                   .mkString(",\n       ")}
+         |$ordersJoin
+         |WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
+         |ORDER BY o_orderkey""".stripMargin,
+    "m6_merge_badkey" ->
+      """SELECT * FROM lineitem WHERE l_partkey % 5 <> 0
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+    "m7_merge_nullkey" ->
+      s"""$customerCtes
+         |SELECT CASE WHEN s.__s_p IS NOT NULL THEN s.c_custkey ELSE t.c_custkey END AS c_custkey,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.c_name ELSE t.c_name END AS c_name,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.c_nationkey ELSE t.c_nationkey END AS c_nationkey,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END AS c_mktsegment
+         |FROM (SELECT *, 1 AS __t_p FROM tgt) t
+         |FULL OUTER JOIN (SELECT *, 1 AS __s_p FROM src) s
+         |  ON t.c_custkey IS NOT DISTINCT FROM s.c_custkey
+         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+    "m8_merge_actions" ->
+      s"""$ordersCtes
+         |SELECT CASE WHEN t.__t_p IS NULL THEN 'INSERT'
+         |            WHEN s.__s_p IS NULL THEN 'DELETE'
+         |            ELSE 'UPDATE' END AS action,
+         |       count(*) AS n
+         |$ordersJoin
+         |WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
+         |GROUP BY 1
+         |ORDER BY action""".stripMargin,
+    "m9_merge_variance" ->
+      s"""$ordersCtes
+         |SELECT a.affected_rows, b.target_rows,
+         |       round(a.affected_rows * 100.0 / b.target_rows, 6) AS variance_pct
+         |FROM (
+         |  SELECT count(*) AS affected_rows
+         |  $ordersJoin
+         |  WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
+         |) a CROSS JOIN (SELECT count(*) AS target_rows FROM tgt) b""".stripMargin,
+    "m10_merge_subset_source" ->
+      s"""$ordersCtes
+         |, src5 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM src)
+         |SELECT coalesce(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.o_custkey ELSE t.o_custkey END AS o_custkey,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.o_orderdate ELSE t.o_orderdate END AS o_orderdate,
+         |       t.o_orderpriority AS o_orderpriority
+         |FROM (SELECT *, 1 AS __t_p FROM tgt) t
+         |FULL OUTER JOIN (SELECT *, 1 AS __s_p FROM src5) s
+         |  ON t.o_orderkey = s.o_orderkey
+         |ORDER BY o_orderkey""".stripMargin
+    // g1_debug_render intentionally has no oracle (rows-only check).
+  )
+}
