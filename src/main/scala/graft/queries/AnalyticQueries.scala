@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics surface: scans, filters, hash aggregations, multi-way
+  * joins (broadcast where one side is small), windows, semi/anti joins, set
+  * ops, rollup, time-bucketed and sessionized event analysis. These are the
+  * bench headliners — each is written so Catalyst produces the plan you'd
+  * want at 100 TB: filters/projections pushed to the parquet scan, small
+  * dimensions broadcast, partial aggregation before every shuffle, and no
+  * driver-side iteration anywhere.
+  *
+  * Floating-point note: every SUM/AVG of doubles is wrapped in round() in
+  * BOTH the Spark pipeline and the DuckDB oracle, because summation order
+  * differs across engines/partitions (~1e-9 relative); rounding makes the
+  * hash comparison stable without weakening the check.
+  */
+object AnalyticQueries {
+  import Fixtures.table
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Pricing summary: the classic full-scan aggregation (TPC-H Q1 shape).
+    "q1_agg" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("2000-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Top-k revenue join (TPC-H Q3 shape): small filtered dimension side is
+    // broadcast; aggregation is partial before the shuffle.
+    "q3_topk" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = table(s, dir, "orders").filter(col("o_orderdate") < lit("1998-01-01"))
+      val l = table(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-01-01"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(l("l_orderkey"), o("o_orderdate"), o("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Revenue by nation within a region (TPC-H Q5 shape): two broadcast dims.
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = table(s, dir, "nation")
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders")
+      val l = table(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // Window ranking: top-3 orders per customer, deterministic tiebreak.
+    "q7_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+        .orderBy("o_custkey", "rnk")
+    }),
+
+    // Anti join: customers with no large orders.
+    "q8_anti_join" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .join(
+          table(s, dir, "orders").filter(col("o_totalprice") > 250000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    // Semi join: suppliers with at least one late-shipped lineitem.
+    "q9_semi_join" -> ((s, dir) =>
+      table(s, dir, "supplier")
+        .join(
+          table(s, dir, "lineitem").filter(col("l_shipdate") > lit("2001-06-01")),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")),
+
+    // Set operations: buyers minus negative-balance customers, plus overlap.
+    "q10_setops" -> ((s, dir) => {
+      val buyers = table(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val negative = table(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      buyers.except(negative).orderBy("custkey")
+    }),
+
+    // Hierarchical aggregation: rollup over returnflag/linestatus.
+    "q11_rollup" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Time-bucketed event aggregation (streaming-shaped, batch executed).
+    "q12_events_hourly" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")),
+
+    // Sessionization: 30-minute-gap sessions per user via lag window.
+    "q13_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      Fixtures.events(s, dir)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn(
+          "new_session",
+          when(col("prev_ts").isNull
+            || col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1)
+            .otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Window-over-aggregate: top-3 part types by revenue within each brand.
+    "q14_brand_top_types" -> ((s, dir) => {
+      val l = table(s, dir, "lineitem")
+      val p = table(s, dir, "part")
+      val rev = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      val w = Window.partitionBy("p_brand").orderBy(col("revenue").desc, col("p_type"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .orderBy("p_brand", "rnk")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT l.l_orderkey,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue,
+        |       o.o_orderdate, o.o_orderpriority
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < '1998-01-01'
+        |  AND l.l_shipdate > '1998-01-01'
+        |GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n.n_name,
+        |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |GROUP BY n.n_name
+        |ORDER BY revenue DESC, n.n_name""".stripMargin,
+    "q7_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders
+        |) WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q8_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q9_semi_join" ->
+      """SELECT s_suppkey, s_name FROM supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey AND l.l_shipdate > '2001-06-01')
+        |ORDER BY s_suppkey""".stripMargin,
+    "q10_setops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+        |ORDER BY custkey""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q12_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin,
+    "q13_events_sessions" ->
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        |  SELECT user_id,
+        |         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts) + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |) GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q14_brand_top_types" ->
+      """SELECT p_brand, p_type, revenue, rnk FROM (
+        |  SELECT p_brand, p_type, revenue,
+        |         row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_type) AS rnk
+        |  FROM (
+        |    SELECT p.p_brand, p.p_type,
+        |           round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |    GROUP BY p.p_brand, p.p_type
+        |  )
+        |) WHERE rnk <= 3
+        |ORDER BY p_brand, rnk""".stripMargin)
+}

@@ -15,6 +15,17 @@ object Fixtures {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
+    * Spark's vectorized reader rejects. Read the nanos as long and convert
+    * to micros TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping
+    * oracle parity. (Session-conf toggle is value-neutral for other reads.)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+  }
+
   /** Target slice of orders: 90% of keys, a third of the prices perturbed. */
   def ordersTarget(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "orders")
