@@ -1,0 +1,176 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large document corpora — the core of a
+  * training-data pipeline. All three families are designed for the 100 TB
+  * shape first:
+  *
+  *   - exact dedup is one hash-partitioned window (a single shuffle on the
+  *     content hash — the same generalized A5 `row_number` pattern the merge
+  *     engine uses for badKey);
+  *   - near-dup via n-gram Jaccard joins documents through an INVERTED
+  *     SHINGLE INDEX (join key = shingle), never all-pairs: candidate
+  *     generation cost is bounded by the document-frequency cap, so the
+  *     plan survives a 1000-executor corpus where O(n²) cannot;
+  *   - MinHash/LSH compresses each document to a fixed-width signature and
+  *     joins on (band, signature-bucket) — candidate pairs only; exact
+  *     Jaccard then verifies just those candidates.
+  *
+  * No UDFs, no driver-side loops — everything is `functions._` so Catalyst
+  * keeps scans pruned and aggregation partial (map-side combine on every
+  * groupBy below).
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: keep the lowest-id row per distinct text,
+    * annotated with the number of copies collapsed.
+    *
+    * One shuffle, hash-partitioned on the md5 of the text; the window and
+    * the count share the same partitioning so Catalyst plans a single
+    * exchange.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val byHash = Window.partitionBy(h)
+    val w = byHash.orderBy(col(idCol))
+    docs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(byHash))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Distinct (id, shingle) pairs — the inverted-index rows. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+      .distinct()
+
+  /** Near-duplicate pairs by exact n-gram Jaccard similarity, generated via
+    * an inverted shingle index (bucketed join on the shingle), never a cross
+    * join.
+    *
+    * @param dfCap drop shingles appearing in more than this many documents
+    *              before pairing — bounds the per-bucket fan-out (a shingle
+    *              shared by d documents yields d·(d-1)/2 candidate pairs),
+    *              which is what keeps the join linear-ish at corpus scale.
+    *              Ubiquitous shingles carry no dedup signal anyway.
+    * @return (doc_a, doc_b, jaccard) with doc_a < doc_b and
+    *         jaccard >= threshold; jaccard rounded to 6 decimals.
+    */
+  def jaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfCap: Int = 50,
+      threshold: Double = 0.6): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    // Document frequency filter: rare shingles only. Both groupBys below
+    // shuffle on `sh`, so the semi join is co-partitioned with the index.
+    val rare = idx.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("sh")
+    val filtered = idx.join(rare, "sh")
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** MinHash signatures: `bands * rowsPerBand` independent min-hashes per
+    * document, computed as partial-aggregable `min()`s over the exploded
+    * shingle index (one shuffle on the document id).
+    */
+  private def minhashes(idx: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val k = bands * rowsPerBand
+    val mins = (0 until k).map(i => min(TextOps.portableHash(col("sh"), i)).as(s"h$i"))
+    idx.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded MinHash/LSH near-dup pairs: documents sharing any band
+    * signature become candidates; candidates are then verified with exact
+    * n-gram Jaccard (computed only for the candidate set).
+    *
+    * Scale shape: signature build is one shuffle on id; the candidate join
+    * keys on (band, signature) — a bucket join whose fan-out is the bucket
+    * occupancy, not the corpus size; verification touches candidate pairs
+    * only. This is the standard web-scale near-dup design (banding trades
+    * recall for a fixed probe cost).
+    *
+    * @return (doc_a, doc_b, jaccard) for candidates with verified
+    *         jaccard >= threshold.
+    */
+  def minhashLshPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      bands: Int = 4,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.6): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n).cache()
+    val mh = minhashes(idx, bands, rowsPerBand)
+
+    // One row per (doc, band): signature = the band's row hashes joined.
+    val bandStructs = (0 until bands).map { b =>
+      val sig = concat_ws("_", (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      struct(lit(b).as("band"), sig.as("sig"))
+    }
+    val banded = mh.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+
+    val candidates = banded.as("a")
+      .join(banded.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+
+    // Verify candidates with exact Jaccard over the same shingle index:
+    // expand candidate pairs by doc_a's shingles, then inner-join on
+    // (doc_b, shingle) — surviving rows are exactly the intersection.
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+    val idxA = idx.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val idxB = idx.select(col("id").as("doc_b"), col("sh").as("sh_a"))
+    val inter = candidates
+      .join(idxA, "doc_a")
+      .join(idxB, Seq("doc_b", "sh_a"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+
+    inter
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** 32-bit SimHash over distinct tokens: per bit position, majority vote of
+    * the token hashes' bits (+1/-1), reassembled into a single integer.
+    * Near-dups land on equal (or small-hamming-distance) values, making
+    * SimHash a groupBy-able dedup key at any scale — no pairing needed for
+    * the exact-bucket variant.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("id"), explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
+      .withColumn("h", TextOps.portableHash(col("tok"), 0))
+    val bits = toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+      .groupBy("id", "b")
+      .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("s"))
+    bits
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0, expr("cast(shiftleft(cast(1 as bigint), b) as bigint)")).otherwise(0L)).as("simhash"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks for the training-data-pipeline operators
+  * (dedup, similarity, text analysis). Everything here is a Catalyst
+  * expression tree over `org.apache.spark.sql.functions` — codegen'd,
+  * no UDFs — so filters/projections around these ops still push down and
+  * the whole pipeline stays inside whole-stage codegen.
+  *
+  * Portability contract: each primitive has an exact ANSI-SQL twin runnable
+  * by DuckDB (used by the oracle suite), so correctness is hash-verified
+  * end-to-end, not just rows-counted.
+  */
+object TextOps {
+
+  /** Whitespace tokens (the corpus is single-space separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Deterministic 60-bit hash usable identically from Spark and DuckDB:
+    * first 15 hex chars of md5("<seed>:<value>") parsed base-16. 60 bits
+    * keeps the value positive in a signed 64-bit long in both engines.
+    *
+    * DuckDB twin: `('0x' || substr(md5(<seed> || ':' || v), 1, 15))::BIGINT`.
+    */
+  def portableHash(v: Column, seed: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(seed.toString), v)), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a token array.
+    *
+    * DuckDB twin:
+    * `list_distinct(list_transform(range(1, len(w) - (n-2)), i -> w[i] || ' ' || ... || w[i+n-1]))`
+    * (Spark `sequence` would generate a DESCENDING range when the doc is
+    * shorter than n, hence the explicit size guard.)
+    */
+  def shingles(words: Column, n: Int): Column = {
+    require(n >= 1, s"shingle size must be >= 1, got $n")
+    val idx = sequence(lit(1), size(words) - (n - 1))
+    val gram = transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))
+    when(size(words) >= n, array_distinct(gram)).otherwise(array().cast("array<string>"))
+  }
+
+  /** Normalized-text fingerprint: md5 over lowercased, whitespace-collapsed
+    * text. Stable across reformatting; the cheap exact-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}

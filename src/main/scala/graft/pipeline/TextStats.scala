@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators: corpus statistics, per-document quality
+  * signals, heuristic language ID, token counting. All single-pass
+  * expression trees (one scan, partial aggregation before any shuffle) —
+  * the shapes that stay cheap when `documents` is 100 TB.
+  */
+object TextStats {
+
+  /** BPE-ish tokenizer regex: word runs or single non-space symbols — a
+    * deterministic stand-in for a real subword vocabulary, with the same
+    * plumbing shape (regex extraction, per-doc counts).
+    */
+  val TokenPattern = "[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]"
+
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
+
+  /** Corpus statistics grouped by a dimension column: document count,
+    * char/token totals and means.
+    */
+  def corpusStats(docs: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
+    val toks = size(TextOps.tokens(col(textCol)))
+    val chars = length(col(textCol))
+    docs
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(chars).as("total_chars"),
+        round(avg(chars), 4).as("avg_chars"),
+        sum(toks).as("total_tokens"),
+        round(avg(toks), 4).as("avg_tokens"))
+  }
+
+  /** Stopword list for quality scoring / language ID. Deliberately tiny and
+    * hardcoded: the point is the dataflow shape (array HOFs, no UDF), not
+    * lexicography.
+    */
+  val EnStopwords: Seq[String] = Seq("a", "the", "of", "and", "in", "to", "is")
+
+  /** Per-document quality signals: token counts, type/token ratio, mean
+    * word length, stopword ratio. One projection — no shuffle at all.
+    */
+  def qualitySignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.tokens(col(textCol))
+    val stop = array(EnStopwords.map(lit): _*)
+    val nTok = size(w).cast("double")
+    // Counts are cast to long for schema parity with the oracle suite
+    // (DuckDB len()/sum() are BIGINT).
+    docs.select(
+      col(idCol),
+      length(col(textCol)).cast("long").as("n_chars"),
+      size(w).cast("long").as("n_tokens"),
+      size(array_distinct(w)).cast("long").as("n_types"),
+      round(size(array_distinct(w)) / nTok, 6).as("type_token_ratio"),
+      round(aggregate(transform(w, t => length(t)), lit(0), (acc, v) => acc + v) / nTok, 6)
+        .as("avg_word_len"),
+      round(size(filter(w, t => array_contains(stop, t))) / nTok, 6).as("stopword_ratio"),
+      regexTokenCount(col(textCol)).cast("long").as("n_regex_tokens"))
+  }
+
+  /** Marker vocabularies for heuristic language ID. Any deterministic
+    * token→language evidence works; scoring is marker-hit counting.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "value", "table"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Heuristic language ID: count marker-token hits per language, predict
+    * the argmax (first language wins ties, "und" = undetermined when no
+    * marker hits at all). Pure projection — scales as a map-only stage.
+    */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = TextOps.tokens(col(textCol))
+    val scored = docs.select(
+      Seq(col(idCol)) ++ LangMarkers.map { case (lang, markers) =>
+        size(filter(w, t => array_contains(array(markers.map(lit): _*), t))).cast("long").as(s"score_$lang")
+      }: _*)
+    val best = LangMarkers.map { case (lang, _) => col(s"score_$lang") }
+    val maxScore = greatest(best: _*)
+    val pred = LangMarkers.foldLeft(when(maxScore === 0, lit("und"))) { case (acc, (lang, _)) =>
+      acc.when(col(s"score_$lang") === maxScore, lit(lang))
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+}

@@ -1,0 +1,296 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Driver-contract queries for the training-data-pipeline operator family
+  * (dedup, similarity search, text analysis, multimodal plumbing) over the
+  * `documents` / `embeddings` fixtures. Every query has an exact DuckDB
+  * oracle — including the banded MinHash/LSH path, whose hash function
+  * (md5-prefix, TextOps.portableHash) is chosen precisely because both
+  * engines compute it bit-identically.
+  *
+  * The corpus has no native duplicates (500/500 distinct texts at sf0.01),
+  * so the dedup fixtures synthesize them the same way the merge fixtures
+  * perturb orders: union a deterministic slice back in with shifted ids —
+  * exact copies for d1, +3-token near-copies for d2/d3/d4.
+  */
+object PipelineQueries {
+  import Fixtures.table
+
+  private val ShingleN = 3
+  private val DfCap = 50
+  private val JaccardThreshold = 0.6
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
+  private def docsDupAug(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents")
+    d.unionByName(
+      d.filter(col("doc_id") % 10 === 0).withColumn("doc_id", col("doc_id") + 100000))
+  }
+
+  /** documents ∪ near-copies of every 25th doc: 3 sentinel tokens appended
+    * (ids shifted +200000) → n-gram Jaccard ≈ 0.9 vs the original.
+    */
+  private def docsNearAug(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    d.unionByName(
+      d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zq zq zq")).as("text")))
+  }
+
+  // ---- queries ----
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(docsDupAug(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars", "n_copies")
+        .orderBy("doc_id")),
+    "d2_neardup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold)
+        .orderBy("doc_a", "doc_b")),
+    "d3_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, Bands, RowsPerBand, JaccardThreshold)
+        .orderBy("doc_a", "doc_b")),
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.simhash(docsNearAug(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+    "t1_text_stats" -> ((s, dir) =>
+      TextStats.corpusStats(table(s, dir, "documents"), Seq("lang"), "text")
+        .orderBy("lang")),
+    "t2_quality" -> ((s, dir) =>
+      TextStats.qualitySignals(
+        table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy("doc_id")),
+    "t3_langid" -> ((s, dir) =>
+      TextStats.langId(
+        table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+        .orderBy("doc_id")),
+    "t4_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+    "e1_topk_cosine" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      Similarity.cosineTopK(v, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("probe_id", "rnk")
+    }),
+    "e2_ann_ivf" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        v,
+        v.filter(col("vec_id") < 8),
+        v.filter(col("vec_id").between(100, 104)),
+        "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
+    "mm1_binary_meta" -> ((s, dir) =>
+      Multimodal.decodeStub(
+        Multimodal.ingestBinary(
+          table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text"))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"), col("meta.digest").as("digest"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("doc_id")))
+
+  // ---- oracles ----
+
+  /** DuckDB twin of TextOps.portableHash. */
+  private def sqlHash(seed: Int, v: String): String =
+    s"('0x' || substr(md5('$seed:' || $v), 1, 15))::BIGINT"
+
+  /** DuckDB twin of TextOps.shingles(tokens(text), 3) exploded to rows:
+    * expects a CTE `d(doc_id, text)` to exist.
+    */
+  private val shingleCtes: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+      |  FROM words WHERE len(w) >= 3
+      |)""".stripMargin
+
+  private val dupAugCte: String =
+    """d AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang, source, n_chars FROM documents WHERE doc_id % 10 = 0
+      |)""".stripMargin
+
+  private val nearAugCte: String =
+    """d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' zq zq zq' FROM documents WHERE doc_id % 25 = 0
+      |)""".stripMargin
+
+  /** Shared tail: sizes + jaccard verdict over an `interx(doc_a, doc_b,
+    * inter)` relation and the `sh` shingle rows.
+    */
+  private val jaccardTail: String =
+    s"""sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+       |SELECT doc_a, doc_b, jaccard FROM (
+       |  SELECT i.doc_a, i.doc_b,
+       |         round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |  FROM interx i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |) WHERE jaccard >= $JaccardThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val minhashSelects: String =
+    (0 until Bands * RowsPerBand)
+      .map(i => s"min(${sqlHash(i, "sh")}) AS h$i")
+      .mkString(",\n         ")
+
+  private val bandUnions: String =
+    (0 until Bands).map { b =>
+      val sig = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('_', $sig) AS sig FROM mh"
+    }.mkString("\n  UNION ALL ")
+
+  val oracleSql: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      s"""WITH $dupAugCte
+         |SELECT doc_id, lang, source, n_chars, n_copies FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+         |  FROM d
+         |) WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
+    "d2_neardup_jaccard" ->
+      s"""WITH $nearAugCte,
+         |$shingleCtes,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
+         |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |interx AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |$jaccardTail""".stripMargin,
+    "d3_minhash_lsh" ->
+      s"""WITH $nearAugCte,
+         |$shingleCtes,
+         |mh AS (
+         |  SELECT doc_id,
+         |         $minhashSelects
+         |  FROM sh GROUP BY doc_id
+         |),
+         |bands AS (
+         |  $bandUnions
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |),
+         |interx AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2
+         |),
+         |$jaccardTail""".stripMargin,
+    "d4_simhash" ->
+      s"""WITH $nearAugCte,
+         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+         |th AS (SELECT doc_id, ${sqlHash(0, "tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, g.b, CAST(sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t1_text_stats" ->
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       round(avg(length(text)), 4) AS avg_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t2_quality" ->
+      s"""SELECT doc_id,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST(len(w) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(w)) AS BIGINT) AS n_types,
+         |       round(len(list_distinct(w)) / (len(w) * 1.0), 6) AS type_token_ratio,
+         |       round(list_sum(list_transform(w, t -> length(t))) / (len(w) * 1.0), 6) AS avg_word_len,
+         |       round(len(list_filter(w, t -> t IN (${TextStats.EnStopwords.map("'" + _ + "'").mkString(", ")}))) / (len(w) * 1.0), 6) AS stopword_ratio,
+         |       CAST(len(regexp_extract_all(text, '${TextStats.TokenPattern}')) AS BIGINT) AS n_regex_tokens
+         |FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100)
+         |ORDER BY doc_id""".stripMargin,
+    "t3_langid" -> {
+      val scoreCols = TextStats.LangMarkers.map { case (lang, markers) =>
+        s"CAST(len(list_filter(w, t -> t IN (${markers.map("'" + _ + "'").mkString(", ")}))) AS BIGINT) AS score_$lang"
+      }.mkString(",\n       ")
+      val langs = TextStats.LangMarkers.map(_._1)
+      val maxExpr = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+      val caseArms = langs.map(l => s"WHEN score_$l = $maxExpr THEN '$l'").mkString("\n            ")
+      s"""SELECT doc_id, ${langs.map("score_" + _).mkString(", ")},
+         |       CASE WHEN $maxExpr = 0 THEN 'und'
+         |            $caseArms
+         |       END AS pred_lang
+         |FROM (
+         |  SELECT doc_id,
+         |       $scoreCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100)
+         |)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "e1_topk_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT p.probe_id, v.vec_id AS neighbor_id,
+        |         round(list_dot_product(pe, e)
+        |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))), 6) AS sim
+        |  FROM v CROSS JOIN p WHERE v.vec_id <> p.probe_id
+        |),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "e2_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |),
+        |pb AS (SELECT vid AS probe_id, bucket, e AS pe FROM b WHERE vid BETWEEN 100 AND 104),
+        |s AS (
+        |  SELECT pb.probe_id, b.vid AS neighbor_id,
+        |         round(list_dot_product(pe, b.e)
+        |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+        |  FROM b JOIN pb ON b.bucket = pb.bucket AND b.vid <> pb.probe_id
+        |),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+    "mm1_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       sha256(text) AS digest,
+        |       CAST(32 + octet_length(encode(text)) % 608 AS INTEGER) AS width,
+        |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
+        |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+}

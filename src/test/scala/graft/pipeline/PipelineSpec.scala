@@ -1,0 +1,104 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** Unit specs for the training-data-pipeline operators, on tiny inline
+  * corpora (assertions on planted duplicates, not just row counts).
+  */
+class PipelineSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog tonight"), // near dup of 1
+    (4L, "completely different text about spark and parquet files"),
+    (5L, "another unrelated document mentioning joins and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the lowest id and counts copies") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out.keySet === Set(1L, 3L, 4L, 5L))
+    assert(out(1L) === 2L) // doc 2 collapsed into doc 1
+    assert(out(4L) === 1L)
+  }
+
+  test("jaccard near-dup pairing finds the planted pair and nothing else") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // 1-2 exact (J=1), 1-3 and 2-3 near (7 shared of 8 shingles).
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("minhash LSH candidates verify to a subset of exact jaccard pairs") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L))) // identical docs always share every band
+  }
+
+  test("simhash is equal for identical docs and differs for unrelated ones") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    assert(sh(1L) === sh(2L))
+    assert(sh(1L) !== sh(4L))
+  }
+
+  test("cosine top-k ranks an identical vector first") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)), // identical to 1
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.filter($"vec_id" === 1), "vec_id", "embedding", k = 3)
+      .orderBy("rnk").select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top.head._1 === 2L && top.head._2 === 1.0)
+    assert(top(1)._1 === 3L)
+  }
+
+  test("IVF bucketing assigns probes to their nearest centroid's bucket") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // centroids
+      (10L, Array(0.99f, 0.01f)), (11L, Array(0.98f, 0.02f)),
+      (20L, Array(0.01f, 0.99f)), (21L, Array(0.02f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs, vecs.filter($"vec_id" < 2), vecs.filter($"vec_id" === 10), "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    // probe 10 lives in centroid-0's bucket: sees 0, 11 — never the 2x bucket.
+    assert(out === Set(0L, 11L))
+  }
+
+  test("language ID predicts from marker hits with deterministic tie rules") {
+    val d = Seq((1L, "the value of the table"), (2L, "der hund ist und das"), (3L, "xyz qqq")).toDF("doc_id", "text")
+    val out = TextStats.langId(d, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "und"))
+  }
+
+  test("quality signals compute ratios over whitespace tokens") {
+    val d = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val r = TextStats.qualitySignals(d, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_tokens") === 3L)
+    assert(r.getAs[Long]("n_types") === 2L)
+    assert(r.getAs[Double]("stopword_ratio") === (2.0 / 3 * 1e6).round / 1e6)
+  }
+
+  test("multimodal ingest + decode stub: expression and mapPartitions paths agree") {
+    val withBin = Multimodal.ingestBinary(docs, "doc_id", "text")
+    val metaType = withBin.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaType.fieldNames.toSeq === Multimodal.MetaSchema.fieldNames.toSeq)
+    val exprPath = Multimodal.decodeStub(withBin)
+      .select("doc_id", "width", "height", "n_frames").as[(Long, Int, Int, Int)].collect().toSet
+    val mapPath = Multimodal.batchDecode(spark, withBin)
+      .select("doc_id", "width", "height", "n_frames").as[(Long, Int, Int, Int)].collect().toSet
+    assert(exprPath === mapPath)
+    assert(exprPath.nonEmpty)
+  }
+}
