@@ -68,16 +68,19 @@ object MergeDebug {
   }
 
   /** Schema of the audit OUTPUT table (A17/B11): actionTime, action, keys,
-    * then nullable d_* / i_* images for every non-key source column — images
-    * omitted entirely when no matched clause exists (sp_SimpleMerge.sql:362,392).
+    * then nullable before-images (d_*) for every non-key TARGET column in
+    * target-ordinal order followed by the after-images (i_*) — the
+    * reference's OUTPUT layout (sp_SimpleMerge.sql:362-409: all deleted.*
+    * then all inserted.*, ordered by targetId). Images omitted entirely
+    * when no matched clause exists (:362,392).
     */
   def auditSchema(plan: MergePlan): StructType = {
     val keyFields = plan.keyCols.map(c => StructField(c.name, c.dataType, c.nullable))
+    val nonKey = plan.targetCols.filterNot(_.isKey)
     val images =
       if (!plan.hasMatchedClause) Nil
-      else plan.payloadCols.flatMap(c =>
-        Seq(StructField("d_" + c.name, c.dataType, nullable = true),
-          StructField("i_" + c.name, c.dataType, nullable = true)))
+      else nonKey.map(c => StructField("d_" + c.name, c.dataType, nullable = true)) ++
+        nonKey.map(c => StructField("i_" + c.name, c.dataType, nullable = true))
     StructType(
       Seq(StructField("actionTime", TimestampType, nullable = false),
         StructField("action", StringType, nullable = false)) ++ keyFields ++ images)

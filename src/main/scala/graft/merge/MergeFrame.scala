@@ -38,6 +38,7 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
 
   private val keyNames = plan.keyCols.map(_.name)
   private val payload = plan.payloadCols
+  private val nonKeyTargetCols = plan.targetCols.filterNot(_.isKey)
 
   /** Target slice participating in the merge (targetFilter CTE, A3). */
   private[merge] def filteredTarget: DataFrame =
@@ -110,8 +111,10 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
           when(!tPresent, lit(null).cast(c.dataType)).otherwise(t(c.name))
       out.as(c.name)
     }
-    // d_* images (deleted.*, A17): pre-merge target payload values.
-    val images: Seq[Column] = payload.map(c => t(c.name).as(DPrefix + c.name))
+    // d_* images (deleted.*, A17): pre-merge values of ALL non-key target
+    // columns (the reference's OUTPUT emits every non-key target column,
+    // not just the source payload — sp_SimpleMerge.sql:362-409).
+    val images: Seq[Column] = nonKeyTargetCols.map(c => t(c.name).as(DPrefix + c.name))
 
     joined.select(
       mergedCols ++ images ++ Seq(
@@ -136,37 +139,60 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     }
   }
 
-  /** The merged target content (reference: post-MERGE table state). */
-  lazy val merged: DataFrame = {
+  /** Post-merge target content derived from any resolved-shaped frame —
+    * parameterized so the apply path can derive it from a STAGED copy of
+    * `resolved` instead of re-running the join (MergeApply audit mode).
+    */
+  private[merge] def mergedFrom(resolvedDf: DataFrame): DataFrame = {
     val base = opts.delete match {
-      case DeleteMode.Delete => resolved.filter(!col(NmbsCol)) // A14
-      case _ => resolved // A15 soft-delete rows updated in place; A16 retained
+      case DeleteMode.Delete => resolvedDf.filter(!col(NmbsCol)) // A14
+      case _ => resolvedDf // A15 soft-delete rows updated in place; A16 retained
     }
     val projected = base.select(plan.targetCols.map(c => col(c.name)): _*)
     unmatchedSlice.map(projected.unionByName(_)).getOrElse(projected)
   }
 
-  /** Audit OUTPUT frame (A17-A19): one row per affected target row —
-    * actionTime, action, key columns, before/after images (d_* / i_*).
-    * Images are emitted only when a matched clause exists
-    * (sp_SimpleMerge.sql:362,392) and are nullable regardless of the base
-    * column's nullability.
+  /** The merged target content (reference: post-MERGE table state). */
+  lazy val merged: DataFrame = mergedFrom(resolved)
+
+  /** `merged` with per-row action metrics observed during execution —
+    * lets the apply path get affected/insert/total counts from the SAME
+    * job that writes the result, so the full-outer join runs exactly once
+    * (no separate count pass). Metric names: affected, inserted, total.
     */
-  lazy val audit: DataFrame = {
-    val affected = resolved.filter(col(ActionCol).isNotNull)
+  private[merge] def mergedObserved(obs: org.apache.spark.sql.Observation): DataFrame =
+    mergedFrom(resolved.observe(
+      obs,
+      count(when(col(ActionCol).isNotNull, 1)).as("affected"),
+      count(when(col(ActionCol) === "INSERT", 1)).as("inserted"),
+      count(lit(1)).as("total")))
+
+  /** Audit OUTPUT frame (A17-A19) from any resolved-shaped frame: one row
+    * per affected target row — actionTime, action, key columns, then
+    * before-images (d_*) for every non-key target column in target-ordinal
+    * order followed by after-images (i_*), matching the reference's OUTPUT
+    * column layout (sp_SimpleMerge.sql:362-409: all deleted.* then all
+    * inserted.*, ordered by targetId). Images are emitted only when a
+    * matched clause exists (:362,392) and are nullable regardless of the
+    * base column's nullability. i_* is the post-merge value — NULL on
+    * DELETE, and NULL for target-only columns on INSERT.
+    */
+  private[merge] def auditFrom(resolvedDf: DataFrame): DataFrame = {
+    val affected = resolvedDf.filter(col(ActionCol).isNotNull)
     val keyOut = plan.keyCols.map(c => col(c.name))
     val imageCols: Seq[Column] =
       if (!plan.hasMatchedClause) Nil
-      else payload.flatMap { c =>
-        Seq(
-          col(DPrefix + c.name).as("d_" + c.name),
+      else nonKeyTargetCols.map(c => col(DPrefix + c.name).as("d_" + c.name)) ++
+        nonKeyTargetCols.map(c =>
           when(col(ActionCol) === "DELETE", lit(null).cast(c.dataType))
             .otherwise(col(c.name)).as("i_" + c.name))
-      }
     affected.select(
       Seq(current_timestamp().as("actionTime"), col(ActionCol).as("action")) ++
         keyOut ++ imageCols: _*)
   }
+
+  /** Audit OUTPUT frame over the lazy pipeline. */
+  lazy val audit: DataFrame = auditFrom(resolved)
 
   /** Affected-row count: rows inserted + updated + deleted — the reference's
     * `@@ROWCOUNT` (A21). No-op matches are excluded because change detection

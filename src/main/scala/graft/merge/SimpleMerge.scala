@@ -45,6 +45,12 @@ final class SimpleMerge private (
   def badKey(b: Boolean): SimpleMerge = copy(opts.copy(badKey = b))
   def threshold(t: String): SimpleMerge = copy(opts.copy(threshold = Some(t)))
 
+  /** Request per-row audit OUTPUT persistence on apply (`@output`,
+    * sp_SimpleMerge.sql:350-410): `applyToPath` appends the audit frame to
+    * the audit table location before the swap.
+    */
+  def audit(b: Boolean): SimpleMerge = copy(opts.copy(audit = b))
+
   /** T-SQL `[bracket]` identifiers → Spark backticks, so reference-style
     * filter strings work verbatim.
     */
@@ -80,9 +86,13 @@ final class SimpleMerge private (
         org.apache.spark.sql.types.StructField("sql", org.apache.spark.sql.types.StringType))))
   }
 
-  /** Threshold-guarded atomic apply against a parquet directory. */
-  def applyToPath(spark: SparkSession, path: String): MergeResult =
-    MergeApply.applyTo(spark, path, source, opts)
+  /** Threshold-guarded atomic apply against a parquet directory. When the
+    * `audit` option is set, audit rows are appended to `auditPath`
+    * (default: `<path>_SimpleMergeOutput`, the reference's `@output`
+    * default name).
+    */
+  def applyToPath(spark: SparkSession, path: String, auditPath: Option[String] = None): MergeResult =
+    MergeApply.applyTo(spark, path, source, opts, auditPath)
 }
 
 object SimpleMerge {

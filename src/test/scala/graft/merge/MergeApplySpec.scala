@@ -1,0 +1,145 @@
+package graft.merge
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.GraftSuite
+
+/** Apply-path specs: threshold guard / abort (A22), percent parse (A23),
+  * lastUpdate stamp (A24), empty-target bypass (sp_SimpleMerge.sql:473-476),
+  * audit persistence (`@output`, :350-410), and the single-execution
+  * guarantee of the staged apply.
+  */
+class MergeApplySpec extends GraftSuite {
+  import spark.implicits._
+
+  private def freshDir(prefix: String): String =
+    Files.createTempDirectory(prefix).resolve("t").toString
+
+  private def writeTarget(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  private def target3: DataFrame =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+
+  private def opts(threshold: Option[String] = None, audit: Boolean = false) =
+    MergeOptions(keys = Seq("k"), threshold = threshold, audit = audit)
+
+  test("commit path: result replaces target, counts and stamp correct (A21, A24)") {
+    val path = freshDir("apply-commit")
+    writeTarget(target3, path)
+    // update k=2, insert k=4, delete k=3
+    val source = Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val r = MergeApply.applyTo(spark, path, source, opts())
+    assert(r.committed && r.affectedRows === 3L && r.targetRows === 3L)
+    assert(math.abs(r.variancePct - 100.0) < 1e-9)
+    val after = spark.read.parquet(path).as[(Long, String, Double)].collect().toSet
+    assert(after === Set((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0)))
+    assert(MergeApply.lastUpdate(spark, path).isDefined)
+  }
+
+  test("threshold abort: target untouched, no stamp, no staging leak (A22)") {
+    val path = freshDir("apply-abort")
+    writeTarget(target3, path)
+    val source = Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val before = spark.read.parquet(path).collect().toSet
+    val e = intercept[MergeThresholdExceededException] {
+      MergeApply.applyTo(spark, path, source, opts(threshold = Some("50%")))
+    }
+    assert(math.abs(e.variancePct - 100.0) < 1e-9 && e.thresholdPct === 50.0)
+    assert(spark.read.parquet(path).collect().toSet === before)
+    assert(MergeApply.lastUpdate(spark, path).isEmpty)
+    // No leftover staging/work/retired siblings.
+    val parent = Paths.get(path).getParent
+    val leaks = Files.list(parent).toArray.map(_.toString).filter(_.contains(".t."))
+    assert(leaks.isEmpty, s"leaked: ${leaks.mkString(",")}")
+  }
+
+  test("variance within threshold commits; exact boundary is inclusive (A22)") {
+    val path = freshDir("apply-within")
+    writeTarget(target3, path)
+    // one change out of three rows = 33.33% <= 34%
+    val source = Seq((1L, "a", 10.0), (2L, "B", 21.0), (3L, "c", 30.0)).toDF("k", "name", "v")
+    val r = MergeApply.applyTo(spark, path, source, opts(threshold = Some("34%")))
+    assert(r.committed && r.affectedRows === 1L)
+  }
+
+  test("empty-target bypass: threshold ignored when target has no rows (sql:473-476)") {
+    val path = freshDir("apply-empty")
+    writeTarget(target3.filter($"k" < 0), path)
+    val source = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val r = MergeApply.applyTo(spark, path, source, opts(threshold = Some("0.001%")))
+    assert(r.committed && r.targetRows === 0L && r.variancePct.isNaN)
+    assert(spark.read.parquet(path).count() === 1L)
+  }
+
+  test("invalid threshold string rejected before any data movement (A23)") {
+    val path = freshDir("apply-badthresh")
+    writeTarget(target3, path)
+    intercept[MergeValidationException] {
+      MergeApply.applyTo(spark, path, target3, opts(threshold = Some("lots%")))
+    }
+    assert(spark.read.parquet(path).count() === 3L)
+  }
+
+  test("audit persistence: affected rows appended with d_*/i_* blocks (@output)") {
+    val path = freshDir("apply-audit")
+    writeTarget(target3, path)
+    val source = Seq((1L, "a", 10.0), (2L, "B", 21.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val r = MergeApply.applyTo(spark, path, source, opts(audit = true))
+    assert(r.auditPath === Some(MergeApply.defaultAuditPath(path)))
+    val audit = spark.read.parquet(r.auditPath.get)
+    assert(audit.count() === r.affectedRows)
+    assert(audit.columns.toSeq === Seq("actionTime", "action", "k", "d_name", "d_v", "i_name", "i_v"))
+    val byAction = audit.collect().map(r => r.getAs[String]("action") -> r).toMap
+    assert(byAction("DELETE").getAs[String]("d_name") === "c")
+    assert(byAction("DELETE").getAs[String]("i_name") === null) // inserted.* NULL on delete
+    assert(byAction("INSERT").getAs[String]("d_name") === null) // deleted.* NULL on insert
+    assert(byAction("UPDATE").getAs[String]("d_name") === "b")
+    assert(byAction("UPDATE").getAs[String]("i_name") === "B")
+    // A no-op re-merge appends zero audit rows.
+    val r2 = MergeApply.applyTo(spark, path, source, opts(audit = true))
+    assert(r2.affectedRows === 0L)
+    assert(spark.read.parquet(r.auditPath.get).count() === r.affectedRows)
+  }
+
+  test("audit suppressed on threshold abort (OUTPUT rolls back with the txn)") {
+    val path = freshDir("apply-audit-abort")
+    writeTarget(target3, path)
+    val source = Seq((9L, "z", 90.0)).toDF("k", "name", "v")
+    intercept[MergeThresholdExceededException] {
+      MergeApply.applyTo(spark, path, source, opts(threshold = Some("1%"), audit = true))
+    }
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(MergeApply.defaultAuditPath(path))))
+  }
+
+  test("audit-off apply executes the join exactly once (scale guarantee)") {
+    val path = freshDir("apply-once")
+    writeTarget(target3, path)
+    val source = Seq((2L, "B", 21.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val joins = new AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        if (qe.executedPlan.toString.contains("Join")) joins.incrementAndGet()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      MergeApply.applyTo(spark, path, source, opts(threshold = Some("500%")))
+      // Listener delivery is async; wait for the first event, then settle.
+      val deadline = System.nanoTime() + 5.seconds.toNanos
+      while (joins.get() < 1 && System.nanoTime() < deadline) Thread.sleep(50)
+      Thread.sleep(500) // catch any late double-execution event
+      assert(joins.get() === 1, s"expected exactly one join-bearing execution, saw ${joins.get()}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  private implicit class IntSeconds(n: Int) {
+    def seconds: scala.concurrent.duration.FiniteDuration = scala.concurrent.duration.Duration(n, "s")
+  }
+}
