@@ -103,4 +103,37 @@ object SimpleMerge {
     def using(source: DataFrame, sourceName: String = "source"): SimpleMerge =
       new SimpleMerge(target, source, targetName, sourceName, MergeOptions(keys = Nil))
   }
+
+  /** Name-based entry point (B9) — the reference's calling convention:
+    * tables addressed by `database.schema.table` strings, `#temp` names
+    * routed to the temp store (sp_SimpleMerge.sql:96-119). Here `#name`
+    * resolves a temp view; a qualified name resolves through the session
+    * catalog. Validation mirrors the reference's gates and messages:
+    * not-found first, then the qualification requirement (a bare permanent
+    * name fails `parsename(...,3)` in the reference).
+    */
+  def intoTable(spark: SparkSession, targetName: String): NamedBuilder =
+    new NamedBuilder(spark, targetName)
+
+  final class NamedBuilder private[SimpleMerge] (spark: SparkSession, targetName: String) {
+    def usingTable(sourceName: String): SimpleMerge = {
+      val t = resolveTable(spark, targetName, "Target")
+      val s = resolveTable(spark, sourceName, "Source")
+      new SimpleMerge(t, s, targetName, sourceName, MergeOptions(keys = Nil))
+    }
+  }
+
+  /** Resolve a reference-style table name against the Spark catalog. */
+  private[merge] def resolveTable(spark: SparkSession, name: String, role: String): DataFrame = {
+    val trimmed = Option(name).getOrElse("").trim
+    if (trimmed.isEmpty)
+      throw new MergeValidationException(s"$role: ${Option(name).getOrElse("")} not found.")
+    val isTemp = trimmed.startsWith("#")
+    val resolved = if (isTemp) trimmed.drop(1) else trimmed
+    if (!spark.catalog.tableExists(resolved))
+      throw new MergeValidationException(s"$role: $trimmed not found.")
+    if (!isTemp && !trimmed.contains("."))
+      throw new MergeValidationException(s"$role: $trimmed is invalid. Database name is required.")
+    spark.table(resolved)
+  }
 }

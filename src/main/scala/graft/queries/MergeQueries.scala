@@ -85,8 +85,39 @@ object MergeQueries {
         .keys("o_orderkey").delete("NO")
       m.merged.orderBy("o_orderkey")
     }),
-    "g1_debug_render" -> ((s, dir) =>
-      ordersMerge(s, dir).delete("YES").threshold("15%").describe(s))
+    // Debug render pinned as DATA (VERDICT r1 #5): clause-presence facts of
+    // the rendered MERGE + audit DDL, hash-checked against constants the
+    // reference's worked example mandates (README.md:60-101).
+    "g1_debug_render" -> ((s, dir) => {
+      val m = ordersMerge(s, dir).delete("YES").threshold("15%")
+      val sql = MergeDebug.renderSql(m.plan, "tgt", "src")
+      val ddl = MergeDebug.auditDdl(m.plan, "tgt_SimpleMergeOutput")
+      import s.implicits._
+      Seq((
+        sql.contains("MERGE INTO tgt AS t"),
+        sql.contains("USING src AS s"),
+        sql.contains("ON t.`o_orderkey` <=> s.`o_orderkey`"),
+        sql.contains("WHEN MATCHED AND struct(s.`o_custkey`, s.`o_orderstatus`, s.`o_totalprice`, s.`o_orderdate`, s.`o_orderpriority`) IS DISTINCT FROM"),
+        "t\\.`o_\\w+` = s\\.`o_\\w+`".r.findAllIn(sql).size.toLong,
+        sql.contains("WHEN NOT MATCHED THEN INSERT (`o_orderkey`, `o_custkey`, `o_orderstatus`, `o_totalprice`, `o_orderdate`, `o_orderpriority`)"),
+        sql.contains("WHEN NOT MATCHED BY SOURCE THEN DELETE"),
+        ddl.startsWith("CREATE TABLE tgt_SimpleMergeOutput (actionTime TIMESTAMP NOT NULL,action STRING NOT NULL,o_orderkey BIGINT,d_o_custkey"),
+        ddl.indexOf("d_o_orderpriority") < ddl.indexOf("i_o_custkey"), // d_* block precedes i_* block
+        "15%"
+      )).toDF("has_merge_into", "has_using", "has_nullsafe_on", "has_matched_distinct",
+        "n_update_assignments", "has_insert_in_source_order", "has_nmbs_delete",
+        "audit_ddl_prefix_ok", "audit_d_block_first", "threshold")
+    }),
+    // Threshold verdict as data (A22/A23): the variance arithmetic and the
+    // commit/abort decision for a 1% threshold, oracle-checked.
+    "m11_threshold_verdict" -> ((s, dir) => {
+      val m = ordersMerge(s, dir).delete("YES")
+      val affected = m.audit.agg(count(lit(1)).as("affected_rows"))
+      val targetRows = ordersTarget(s, dir).agg(count(lit(1)).as("target_rows"))
+      affected.crossJoin(targetRows)
+        .withColumn("variance_pct", round(col("affected_rows") * lit(100.0) / col("target_rows"), 6))
+        .withColumn("would_commit", col("affected_rows") * lit(100.0) / col("target_rows") <= lit(1.0))
+    })
   )
 
   // ---- oracles ----
@@ -164,6 +195,22 @@ object MergeQueries {
          |  $ordersJoin
          |  WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
          |) a CROSS JOIN (SELECT count(*) AS target_rows FROM tgt) b""".stripMargin,
+    "g1_debug_render" ->
+      """SELECT TRUE AS has_merge_into, TRUE AS has_using, TRUE AS has_nullsafe_on,
+        |       TRUE AS has_matched_distinct, CAST(5 AS BIGINT) AS n_update_assignments,
+        |       TRUE AS has_insert_in_source_order, TRUE AS has_nmbs_delete,
+        |       TRUE AS audit_ddl_prefix_ok, TRUE AS audit_d_block_first,
+        |       '15%' AS threshold""".stripMargin,
+    "m11_threshold_verdict" ->
+      s"""$ordersCtes
+         |SELECT a.affected_rows, b.target_rows,
+         |       round(a.affected_rows * 100.0 / b.target_rows, 6) AS variance_pct,
+         |       a.affected_rows * 100.0 / b.target_rows <= 1.0 AS would_commit
+         |FROM (
+         |  SELECT count(*) AS affected_rows
+         |  $ordersJoin
+         |  WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
+         |) a CROSS JOIN (SELECT count(*) AS target_rows FROM tgt) b""".stripMargin,
     "m10_merge_subset_source" ->
       s"""$ordersCtes
          |, src5 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM src)
@@ -177,6 +224,5 @@ object MergeQueries {
          |FULL OUTER JOIN (SELECT *, 1 AS __s_p FROM src5) s
          |  ON t.o_orderkey = s.o_orderkey
          |ORDER BY o_orderkey""".stripMargin
-    // g1_debug_render intentionally has no oracle (rows-only check).
   )
 }
