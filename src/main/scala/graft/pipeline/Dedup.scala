@@ -43,11 +43,29 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Distinct (id, shingle) pairs — the inverted-index rows. */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs
-      .select(col(idCol).as("id"), explode(TextOps.shingles(TextOps.tokens(col(textCol)), n)).as("sh"))
+  /** Distinct (id, shingle) pairs — the inverted-index rows.
+    *
+    * Built as posexplode + lead windows rather than the array-HOF form
+    * (TextOps.shingles): Spark's higher-order lambdas (`transform`,
+    * `sequence`) evaluate interpreted, outside codegen — measured ~7×
+    * slower at sf0.1 than the window form, whose expressions all compile.
+    * The window shuffles on the doc id, which the downstream sizes
+    * aggregation reuses. The produced (id, shingle) SET is identical.
+    */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val exploded = docs
+      .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = (1 until n).foldLeft(exploded) { (df, o) =>
+      df.withColumn(s"__w$o", lead(col("w"), o).over(byDoc))
+    }
+    val gram = concat_ws(" ", col("w") +: (1 until n).map(o => col(s"__w$o")): _*)
+    val guard = if (n > 1) col(s"__w${n - 1}").isNotNull else col("w").isNotNull
+    withLeads
+      .filter(guard)
+      .select(col("id"), gram.as("sh"))
       .distinct()
+  }
 
   /** Near-duplicate pairs by exact n-gram Jaccard similarity, generated via
     * an inverted shingle index (bucketed join on the shingle), never a cross
@@ -68,11 +86,19 @@ object Dedup {
       n: Int = 3,
       dfCap: Int = 50,
       threshold: Double = 0.6): DataFrame = {
+    // The index feeds multiple consumers (df filter, both join sides,
+    // sizes) — persist it so tokenize/shingle/explode runs once, spilling
+    // to disk when the corpus outgrows executor memory.
     val idx = shingleIndex(docs, idCol, textCol, n)
-    // Document frequency filter: rare shingles only. Both groupBys below
-    // shuffle on `sh`, so the semi join is co-partitioned with the index.
-    val rare = idx.groupBy("sh").agg(count(lit(1)).as("df")).filter(col("df") <= dfCap).select("sh")
-    val filtered = idx.join(rare, "sh")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Document-frequency cap as a window over the same `sh` partitioning
+    // the self-join shuffles on — no extra join, one exchange, and the
+    // filtered index is persisted because the self-join consumes it twice.
+    val filtered = idx
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
 
     val inter = filtered.as("a")
@@ -119,7 +145,8 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       threshold: Double = 0.6): DataFrame = {
-    val idx = shingleIndex(docs, idCol, textCol, n).cache()
+    val idx = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = minhashes(idx, bands, rowsPerBand)
 
     // One row per (doc, band): signature = the band's row hashes joined.

@@ -18,10 +18,17 @@ object Fixtures {
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects. Read the nanos as long and convert
     * to micros TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping
-    * oracle parity. (Session-conf toggle is value-neutral for other reads.)
+    * oracle parity.
+    *
+    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session.
+    * The graft mains (Verify/Bench) and the test base set it at session
+    * construction; for any other session this sets it if (and only if)
+    * unset — an explicit, idempotent contract rather than a silent
+    * overwrite (ADVICE r1 #5: no hidden order-dependent conf mutation).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
     table(spark, dir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }

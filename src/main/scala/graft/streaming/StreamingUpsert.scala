@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.Row
+
+import graft.merge.{DeleteMode, MergeApply, MergeOptions}
+
+/** Structured-Streaming extensions over the merge engine (SURVEY §7.3
+  * step 7): continuous upsert of a stream into a parquet-backed target,
+  * plus watermarked window aggregation for the `events` shape.
+  *
+  * The upsert is `foreachBatch` + the batch merge engine — the standard
+  * Spark pattern for sinks without native MERGE support. Per micro-batch:
+  * dedupe the batch to one row per key (last-write-wins on an ordering
+  * column when given), then run the threshold-less merge with
+  * delete=Ignore (a micro-batch is a partial view of the world — absence
+  * from one batch must never delete target rows). Exactly-once comes from
+  * the checkpoint (replayed batches re-merge idempotently: a re-applied
+  * batch is all no-op thanks to change detection).
+  *
+  * Scale shape: each micro-batch costs one key-partitioned join of
+  * |batch| against |target| — the same single-execution apply path as
+  * batch merges; state never accumulates on the streaming side.
+  */
+object StreamingUpsert {
+
+  /** Reduce a batch to one row per key — the freshest by `orderCol`
+    * descending when given, else an arbitrary-but-deterministic-within-
+    * the-batch winner (the badKey row_number pattern, A5).
+    */
+  def dedupeLatest(batch: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
+    val ord: Column = orderCol.map(col(_).desc).getOrElse(monotonically_increasing_id().asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Start a continuous upsert of `stream` into the parquet target. */
+  def upsertTo(
+      stream: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      checkpoint: String,
+      orderCol: Option[String] = None): StreamingQuery =
+    writer(stream, targetPath, keys, orderCol)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The configured writer (exposed so tests can trigger/inspect). */
+  def writer(
+      stream: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      orderCol: Option[String]): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val deduped = dedupeLatest(batch, keys, orderCol)
+          MergeApply.applyTo(
+            batch.sparkSession, targetPath, deduped,
+            MergeOptions(keys = keys, delete = DeleteMode.Ignore))
+          ()
+        }
+      }
+
+  /** Watermarked hourly aggregation over an event stream — the streaming
+    * twin of the batch q12 query. Late data beyond the watermark is
+    * dropped; state per (window, type) is bounded by the watermark horizon.
+    */
+  def hourlyCounts(events: DataFrame, tsCol: String, typeCol: String, valueCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
+}

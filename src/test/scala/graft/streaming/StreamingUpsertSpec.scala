@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.GraftSuite
+
+/** Streaming-extension specs: micro-batch upsert convergence and the
+  * watermarked window aggregation.
+  */
+class StreamingUpsertSpec extends GraftSuite {
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  test("foreachBatch upsert converges to the batch-merge result across micro-batches") {
+    val dir = Files.createTempDirectory("stream-upsert")
+    val target = dir.resolve("t").toString
+    Seq((1L, "a", 1L), (2L, "b", 1L)).toDF("k", "v", "ver").write.parquet(target)
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("k", "v", "ver"), target, Seq("k"),
+      dir.resolve("cp").toString, orderCol = Some("ver"))
+    try {
+      mem.addData((2L, "B", 2L), (3L, "c", 2L))
+      q.processAllAvailable()
+      // mid-stream state: update + insert applied, nothing deleted
+      assert(spark.read.parquet(target).count() === 3)
+
+      // second batch: late duplicate for k=3 loses to ver=3 (last-write-wins)
+      mem.addData((3L, "C", 3L), (3L, "c-old", 1L), (4L, "d", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "a", 1L), (2L, "B", 2L), (3L, "C", 3L), (4L, "d", 3L)))
+  }
+
+  test("replayed batch is idempotent: re-merging the same rows is all no-op") {
+    val dir = Files.createTempDirectory("stream-replay")
+    val target = dir.resolve("t").toString
+    Seq((1L, "a", 1L)).toDF("k", "v", "ver").write.parquet(target)
+    val batch = Seq((1L, "a2", 2L), (2L, "b", 2L)).toDF("k", "v", "ver")
+    val r1 = graft.merge.MergeApply.applyTo(spark, target, batch,
+      graft.merge.MergeOptions(keys = Seq("k"), delete = graft.merge.DeleteMode.Ignore))
+    val r2 = graft.merge.MergeApply.applyTo(spark, target, batch,
+      graft.merge.MergeOptions(keys = Seq("k"), delete = graft.merge.DeleteMode.Ignore))
+    assert(r1.affectedRows === 2L && r2.affectedRows === 0L)
+  }
+
+  test("watermarked hourly aggregation emits per-window counts") {
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingUpsert.hourlyCounts(
+      mem.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+    val q = agg.writeStream.outputMode("update").format("memory").queryName("hc_test").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("hc_test")
+      .selectExpr("event_type", "n", "sum_value").as[(String, Long, Double)].collect().toSet
+    assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+}
