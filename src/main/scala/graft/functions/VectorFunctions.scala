@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native dot product over two `array<double>` columns.
+  *
+  * Why a custom Catalyst expression instead of the `aggregate(zip_with(...))`
+  * higher-order form: Spark evaluates HOF lambdas interpreted, outside
+  * whole-stage codegen — measured several times slower on the embedding
+  * fixtures. This expression generates a tight primitive loop straight over
+  * `ArrayData` (`doGenCode`), so similarity search stays inside codegen with
+  * zero boxing. Summation is sequential left-to-right, matching both the HOF
+  * fold and DuckDB's `list_dot_product` for oracle bit-parity.
+  *
+  * Null elements inside the arrays are read as 0.0 (embeddings are dense;
+  * the engine never produces null components).
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val allArrays = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (allArrays) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, " +
+        s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = GraftFunctions.DotProductName
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Session wiring for the graft native functions — the public
+  * `SparkSessionExtensions` path:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` (or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`). Registration
+  * makes the functions available to both the Column API
+  * (`functions.call_function`) and plain SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+}
+
+object GraftFunctions {
+  val DotProductName = "graft_dot_product"
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier(DotProductName),
+      new ExpressionInfo(classOf[DotProduct].getName, DotProductName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"$DotProductName expects 2 arguments, got ${children.size}")
+        DotProduct(children.head, children(1))
+      }))
+}

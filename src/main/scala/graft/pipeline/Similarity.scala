@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions
+
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`). Two tiers:
   *
@@ -16,23 +18,38 @@ import org.apache.spark.sql.functions._
   *     assignment is a broadcast join (centroid set is tiny by
   *     construction) followed by one shuffle on the bucket id.
   *
-  * All arithmetic is higher-order-function expression trees
-  * (`zip_with` + `aggregate`) over `array<double>` — codegen'd, no UDFs.
-  * Dot products fold left-to-right, matching DuckDB's `list_dot_product`
-  * for oracle parity; similarity is rounded to 6 decimals before ranking
-  * so cross-engine float noise (~1e-15) cannot flip the top-k order.
+  * The dot product is the native codegen'd [[graft.functions.DotProduct]]
+  * expression (requires a session built with
+  * [[graft.functions.GraftExtensions]]) — Spark's array HOFs evaluate
+  * interpreted, several times slower on the hot path. Vector norms are
+  * computed ONCE per corpus/probe row before the join, not per pair.
+  * Similarity is rounded to 6 decimals before ranking so cross-engine
+  * float noise (~1e-15) cannot flip the top-k order; DuckDB's
+  * `list_dot_product` sums in the same left-to-right order for exact
+  * oracle parity.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two `array<double>` columns. */
+  /** Native sequential-fold dot product of two `array<double>` columns. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    call_function(GraftFunctions.DotProductName, a, b)
 
-  /** Cosine similarity, rounded to 6 decimals. */
+  /** Cosine similarity, rounded to 6 decimals. Norms are recomputed per
+    * call — prefer pre-normalized frames (see [[withNorm]]) in joins.
+    */
   def cosine(a: Column, b: Column): Column =
     round(dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b))), 6)
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Project (id, vector, norm) — norm computed once per row, before any
+    * join multiplies the row out.
+    */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String, idAs: String, vecAs: String, normAs: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    df.select(col(idCol).as(idAs), v.as(vecAs))
+      .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs))))
+  }
 
   /** Brute-force cosine top-k for each probe vector.
     *
@@ -44,12 +61,12 @@ object Similarity {
     *         by rounded similarity desc, neighbor id asc as tiebreak.
     */
   def cosineTopK(vectors: DataFrame, probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val corpus = vectors.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__v"))
-    val probe = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__p"))
+    val corpus = withNorm(vectors, idCol, vecCol, "neighbor_id", "__v", "__vn")
+    val probe = withNorm(probes, idCol, vecCol, "probe_id", "__p", "__pn")
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     corpus
       .join(broadcast(probe), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", cosine(col("__p"), col("__v")))
+      .withColumn("sim", round(dot(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "sim", "rnk")
@@ -60,15 +77,15 @@ object Similarity {
     * broadcast.
     */
   def assignBuckets(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val vecs = vectors.select(col(idCol).as("vid"), asDouble(col(vecCol)).as("__v"))
-    val cents = centroids.select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("__c"))
+    val vecs = withNorm(vectors, idCol, vecCol, "vid", "__v", "__vn")
+    val cents = withNorm(centroids, idCol, vecCol, "centroid_id", "__c", "__cn")
     val w = Window.partitionBy("vid").orderBy(col("csim").desc, col("centroid_id"))
     vecs
       .crossJoin(broadcast(cents))
-      .withColumn("csim", cosine(col("__v"), col("__c")))
+      .withColumn("csim", round(dot(col("__v"), col("__c")) / (col("__vn") * col("__cn")), 6))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") === 1)
-      .select(col("vid"), col("centroid_id").as("bucket"), col("__v"))
+      .select(col("vid"), col("centroid_id").as("bucket"), col("__v"), col("__vn"))
   }
 
   /** IVF-bucketed cosine top-k: probes only scan the corpus partition that
@@ -89,13 +106,13 @@ object Similarity {
     val bucketed = assignBuckets(vectors, centroids, idCol, vecCol)
     val probeIds = probes.select(col(idCol).as("probe_id"))
     val probeBuckets = bucketed.join(broadcast(probeIds), col("vid") === col("probe_id"))
-      .select(col("probe_id"), col("bucket"), col("__v").as("__p"))
+      .select(col("probe_id"), col("bucket"), col("__v").as("__p"), col("__vn").as("__pn"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vid"))
     // Bucket-equi-join: each probe meets only its bucket's vectors.
     bucketed
       .join(broadcast(probeBuckets), Seq("bucket"))
       .filter(col("vid") =!= col("probe_id"))
-      .withColumn("sim", cosine(col("__p"), col("__v")))
+      .withColumn("sim", round(dot(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vid").as("neighbor_id"), col("sim"), col("rnk"))
