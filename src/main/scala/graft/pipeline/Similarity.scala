@@ -88,6 +88,30 @@ object Similarity {
       .select(col("vid"), col("centroid_id").as("bucket"), col("__v"), col("__vn"))
   }
 
+  /** Embedding-cosine near-duplicate pairs: all (a, b) with
+    * cosine >= threshold, found WITHIN centroid buckets — the IVF trick
+    * applied to dedup. Near-identical vectors point the same way, so they
+    * land in the same bucket; the pair join keys on the bucket id and its
+    * fan-out is bucket occupancy, never |corpus|² (the same scale shape as
+    * the banded-MinHash text dedup).
+    *
+    * @return (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded to 6.
+    */
+  def cosineNearDupPairs(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val b = assignBuckets(vectors, centroids, idCol, vecCol)
+    b.as("x").join(
+        b.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
+      .withColumn("sim", round(dot(col("x.__v"), col("y.__v")) / (col("x.__vn") * col("y.__vn")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"), col("sim"))
+  }
+
   /** IVF-bucketed cosine top-k: probes only scan the corpus partition that
     * shares their centroid bucket. Approximate (a true neighbor in another
     * bucket is missed) — the classic IVF recall/probe-cost trade.

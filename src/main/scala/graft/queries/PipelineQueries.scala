@@ -89,6 +89,20 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
         .orderBy("probe_id", "rnk")
     }),
+    // Embedding near-dup: every 20th vector gets a perturbed copy planted
+    // (scaled + shifted -> cosine just under 1); pairs are found within
+    // IVF centroid buckets, never corpus².
+    "e3_embedding_neardup" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val aug = v.unionByName(
+        v.filter(col("vec_id") % 20 === 0).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * lit(1.1) + lit(0.01))
+            .as("embedding")))
+      Similarity.cosineNearDupPairs(
+        aug, aug.filter(col("vec_id") < 8), "vec_id", "embedding", threshold = 0.8)
+        .orderBy("vec_a", "vec_b")
+    }),
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.decodeStub(
         Multimodal.ingestBinary(
@@ -285,6 +299,33 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
+    "e3_embedding_neardup" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01)
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |),
+        |p AS (
+        |  SELECT x.vid AS vec_a, y.vid AS vec_b,
+        |         round(list_dot_product(x.e, y.e)
+        |               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid
+        |)
+        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
+        |ORDER BY vec_a, vec_b""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.{GraftSuite, SparkTestBase}
+import graft.SparkEntry
+
+/** Physical-plan assertions for the scale-critical properties the queries
+  * claim (100 TB design intent, checked on every run — not just prose):
+  * filter/column pushdown into the parquet scan, no accidental cartesian
+  * products, map-only shapes staying shuffle-free, and merge's single
+  * full-outer join.
+  */
+class PlanSpec extends GraftSuite {
+
+  private val dir = SparkTestBase.sf0001
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def optimizedOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan.toString
+
+  test("q1_agg: filter and projection push into the parquet scan") {
+    val plan = planOf("q1_agg")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // Column pruning: the scan must not read all 11 lineitem columns.
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"))
+  }
+
+  test("q3_topk: limit becomes TakeOrdered, no cartesian join") {
+    val plan = planOf("q3_topk")
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("merge m1: exactly one full-outer join, keyed on the merge key") {
+    val plan = planOf("m1_merge_delete")
+    assert("FullOuter".r.findAllIn(plan).size === 1)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("d2 near-dup: inverted-index joins only — never an all-pairs product") {
+    val plan = planOf("d2_neardup_jaccard")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("d3 minhash LSH: bucket joins only — never an all-pairs product") {
+    val plan = planOf("d3_minhash_lsh")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("t2/t4/mm1 map-only queries plan no exchange beyond the output sort") {
+    for (name <- Seq("t2_quality", "t4_fingerprint", "mm1_binary_meta")) {
+      val plan = planOf(name)
+      // The trailing orderBy for oracle determinism is the only exchange.
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 1, s"$name plans $exchanges exchanges:\n$plan")
+      assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id"), name)
+    }
+  }
+
+  test("e1 brute-force top-k: corpus side streams, probe side broadcasts") {
+    val plan = planOf("e1_topk_cosine")
+    // Non-equi self-exclusion makes this a broadcast nested loop by design:
+    // the TINY probe set is the broadcast side; the corpus is never shuffled.
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("e2 IVF top-k: bucket join is an equi-join on the bucket id") {
+    val plan = optimizedOf("e2_ann_ivf")
+    assert(!plan.contains("CartesianProduct"))
+    // The probe-bucket join keys on `bucket` — present as a join condition.
+    assert(plan.contains("bucket"))
+  }
+
+  test("q14 without forced hint: AQE owns the join strategy at every scale") {
+    val plan = planOf("q14_brand_top_types")
+    assert(plan.contains("AdaptiveSparkPlan"))
+    assert(!plan.contains("ResolvedHint"))
+  }
+}
