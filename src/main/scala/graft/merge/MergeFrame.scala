@@ -199,6 +199,25 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     * suppresses them (keeps the variance honest, SURVEY §7.4).
     */
   def affectedCount(): Long = resolved.filter(col(ActionCol).isNotNull).count()
+
+  /** Duplicate-key guard for badKey=false (documented divergence from the
+    * reference, ADVICE r1: T-SQL MERGE fails at runtime with "cannot UPDATE
+    * the same row twice" when the join fans out, whereas a full-outer join
+    * silently multiplies rows). Opt-in because it costs one aggregation
+    * pass over both sides; raises with per-side counts when duplicates
+    * exist. With badKey=true duplicates are legal (A5 handles them).
+    */
+  def assertUniqueKeys(): Unit = {
+    if (opts.badKey) return
+    def dupCount(df: DataFrame, cols: Seq[Column]): Long =
+      df.groupBy(cols: _*).count().filter(col("count") > 1).count()
+    val tDups = dupCount(filteredTarget, keyNames.map(col))
+    val sDups = dupCount(source, keyNames.map(col))
+    if (tDups > 0 || sDups > 0)
+      throw new MergeValidationException(
+        s"Duplicate join keys with badKey=false: $tDups target / $sDups source key groups " +
+          "(the reference MERGE fails at runtime here; set badKey=true to dedup)")
+  }
 }
 
 object MergeFrame {

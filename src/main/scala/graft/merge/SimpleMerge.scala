@@ -69,6 +69,13 @@ final class SimpleMerge private (
   /** Rows affected = inserted + updated + deleted (A21). */
   def affectedCount(): Long = frame.affectedCount()
 
+  /** Opt-in duplicate-key check for badKey=false — the reference MERGE
+    * fails at runtime on duplicate-key fanout ("cannot UPDATE the same row
+    * twice"); the full-outer join would silently multiply rows instead.
+    * Call before `merged`/`applyToPath` to restore the fail-fast behavior.
+    */
+  def assertUniqueKeys(): SimpleMerge = { frame.assertUniqueKeys(); this }
+
   /** `@debug = 1`: the debug grid as a DataFrame — rendered statement,
     * threshold, target rowcount, audit DDL (sp_SimpleMerge.sql:421-465).
     */

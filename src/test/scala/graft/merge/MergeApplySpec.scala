@@ -118,6 +118,34 @@ class MergeApplySpec extends GraftSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(MergeApply.defaultAuditPath(path))))
   }
 
+  test("subset source: audit images cover target-only columns (ADVICE r1 #1)") {
+    val path = freshDir("apply-subset-audit")
+    writeTarget(target3, path)
+    // Source lacks the `v` column (m10 shape): images must still carry d_v/i_v.
+    val source = Seq((2L, "B"), (4L, "d")).toDF("k", "name")
+    val r = MergeApply.applyTo(spark, path, source,
+      MergeOptions(keys = Seq("k"), delete = DeleteMode.Ignore, audit = true))
+    val audit = spark.read.parquet(r.auditPath.get)
+    assert(audit.columns.toSeq === Seq("actionTime", "action", "k", "d_name", "d_v", "i_name", "i_v"))
+    val byAction = audit.collect().map(r => r.getAs[String]("action") -> r).toMap
+    // UPDATE: target-only column v preserved — post-image equals pre-image.
+    assert(byAction("UPDATE").getAs[Double]("d_v") === 20.0)
+    assert(byAction("UPDATE").getAs[Double]("i_v") === 20.0)
+    // INSERT: no pre-image; post-image of the target-only column is NULL.
+    assert(byAction("INSERT").isNullAt(byAction("INSERT").fieldIndex("d_v")))
+    assert(byAction("INSERT").isNullAt(byAction("INSERT").fieldIndex("i_v")))
+  }
+
+  test("duplicate-key guard restores the reference's fail-fast (opt-in)") {
+    val dupTarget = Seq((1L, "a", 1.0), (1L, "a2", 2.0), (2L, "b", 3.0)).toDF("k", "name", "v")
+    val source = Seq((1L, "a3", 4.0)).toDF("k", "name", "v")
+    val m = SimpleMerge.into(dupTarget).using(source).keys("k")
+    val e = intercept[MergeValidationException] { m.assertUniqueKeys() }
+    assert(e.getMessage.contains("1 target / 0 source"))
+    // badKey=true makes duplicates legal — guard is a no-op.
+    SimpleMerge.into(dupTarget).using(source).keys("k").badKey(true).assertUniqueKeys()
+  }
+
   test("audit-off apply executes the join exactly once (scale guarantee)") {
     val path = freshDir("apply-once")
     writeTarget(target3, path)

@@ -50,6 +50,36 @@ class StreamingUpsertSpec extends GraftSuite {
     assert(r1.affectedRows === 2L && r2.affectedRows === 0L)
   }
 
+  test("replaying the events table in 2 batches converges to the batch merge") {
+    val dir = Files.createTempDirectory("stream-events")
+    val target = dir.resolve("t").toString
+    // Key on event_id; value columns only (nanos ts column dropped — the
+    // replay exercises upsert convergence, not timestamp plumbing).
+    val ev = graft.queries.Fixtures.events(spark, graft.SparkTestBase.sf0001)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    // Seed the target with half the events, values perturbed (stale state).
+    ev.filter($"event_id" % 2 === 0).withColumn("value", $"value" + 1.0)
+      .write.parquet(target)
+
+    val rows = ev.as[(Long, Long, String, Double)].collect().toSeq
+    val (batch1, batch2) = rows.partition(_._1 < 500)
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
+      target, Seq("event_id"), dir.resolve("cp").toString)
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Converged state == the events table itself (every stale value
+    // overwritten, every missing event inserted).
+    val got = spark.read.parquet(target).as[(Long, Long, String, Double)].collect().toSet
+    assert(got === rows.toSet)
+  }
+
   test("watermarked hourly aggregation emits per-window counts") {
     val mem = MemoryStream[(Timestamp, String, Double)]
     val agg = StreamingUpsert.hourlyCounts(
