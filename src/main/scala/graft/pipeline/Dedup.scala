@@ -116,11 +116,13 @@ object Dedup {
 
   /** MinHash signatures: `bands * rowsPerBand` independent min-hashes per
     * document, computed as partial-aggregable `min()`s over the exploded
-    * shingle index (one shuffle on the document id).
+    * shingle index (one shuffle on the document id). Hash i reads half
+    * i%2 of md5 digest i/2, so k hash functions cost k/2 md5 calls —
+    * the md5s dominate this stage's CPU.
     */
   private def minhashes(idx: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val k = bands * rowsPerBand
-    val mins = (0 until k).map(i => min(TextOps.portableHash(col("sh"), i)).as(s"h$i"))
+    val mins = (0 until k).map(i => min(TextOps.portableHash(col("sh"), i / 2, i % 2)).as(s"h$i"))
     idx.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 

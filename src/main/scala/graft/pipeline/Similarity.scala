@@ -30,9 +30,20 @@ import graft.functions.GraftFunctions
   */
 object Similarity {
 
-  /** Native sequential-fold dot product of two `array<double>` columns. */
+  /** Native sequential-fold dot product of two `array<double>` columns.
+    * Requires [[graft.functions.GraftExtensions]] on the session.
+    */
   def dot(a: Column, b: Column): Column =
     call_function(GraftFunctions.DotProductName, a, b)
+
+  /** Session-aware dot product: the native codegen expression when the
+    * extension is registered, else the HOF fold (identical values — same
+    * left-to-right summation — just slower). Keeps the operators usable
+    * on sessions the caller doesn't control.
+    */
+  private def dotOn(spark: org.apache.spark.sql.SparkSession): (Column, Column) => Column =
+    if (spark.catalog.functionExists(GraftFunctions.DotProductName)) dot
+    else (a, b) => aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity, rounded to 6 decimals. Norms are recomputed per
     * call — prefer pre-normalized frames (see [[withNorm]]) in joins.
@@ -46,9 +57,10 @@ object Similarity {
     * join multiplies the row out.
     */
   private def withNorm(df: DataFrame, idCol: String, vecCol: String, idAs: String, vecAs: String, normAs: String): DataFrame = {
+    val dp = dotOn(df.sparkSession)
     val v = asDouble(col(vecCol))
     df.select(col(idCol).as(idAs), v.as(vecAs))
-      .withColumn(normAs, sqrt(dot(col(vecAs), col(vecAs))))
+      .withColumn(normAs, sqrt(dp(col(vecAs), col(vecAs))))
   }
 
   /** Brute-force cosine top-k for each probe vector.
@@ -61,12 +73,13 @@ object Similarity {
     *         by rounded similarity desc, neighbor id asc as tiebreak.
     */
   def cosineTopK(vectors: DataFrame, probes: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dp = dotOn(vectors.sparkSession)
     val corpus = withNorm(vectors, idCol, vecCol, "neighbor_id", "__v", "__vn")
     val probe = withNorm(probes, idCol, vecCol, "probe_id", "__p", "__pn")
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
     corpus
       .join(broadcast(probe), col("neighbor_id") =!= col("probe_id"))
-      .withColumn("sim", round(dot(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
+      .withColumn("sim", round(dp(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "sim", "rnk")
@@ -77,12 +90,13 @@ object Similarity {
     * broadcast.
     */
   def assignBuckets(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val dp = dotOn(vectors.sparkSession)
     val vecs = withNorm(vectors, idCol, vecCol, "vid", "__v", "__vn")
     val cents = withNorm(centroids, idCol, vecCol, "centroid_id", "__c", "__cn")
     val w = Window.partitionBy("vid").orderBy(col("csim").desc, col("centroid_id"))
     vecs
       .crossJoin(broadcast(cents))
-      .withColumn("csim", round(dot(col("__v"), col("__c")) / (col("__vn") * col("__cn")), 6))
+      .withColumn("csim", round(dp(col("__v"), col("__c")) / (col("__vn") * col("__cn")), 6))
       .withColumn("crnk", row_number().over(w))
       .filter(col("crnk") === 1)
       .select(col("vid"), col("centroid_id").as("bucket"), col("__v"), col("__vn"))
@@ -103,11 +117,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double): DataFrame = {
+    val dp = dotOn(vectors.sparkSession)
     val b = assignBuckets(vectors, centroids, idCol, vecCol)
     b.as("x").join(
         b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
-      .withColumn("sim", round(dot(col("x.__v"), col("y.__v")) / (col("x.__vn") * col("y.__vn")), 6))
+      .withColumn("sim", round(dp(col("x.__v"), col("y.__v")) / (col("x.__vn") * col("y.__vn")), 6))
       .filter(col("sim") >= threshold)
       .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"), col("sim"))
   }
@@ -133,10 +148,11 @@ object Similarity {
       .select(col("probe_id"), col("bucket"), col("__v").as("__p"), col("__vn").as("__pn"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vid"))
     // Bucket-equi-join: each probe meets only its bucket's vectors.
+    val dp = dotOn(vectors.sparkSession)
     bucketed
       .join(broadcast(probeBuckets), Seq("bucket"))
       .filter(col("vid") =!= col("probe_id"))
-      .withColumn("sim", round(dot(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
+      .withColumn("sim", round(dp(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("vid").as("neighbor_id"), col("sim"), col("rnk"))

@@ -19,13 +19,19 @@ object TextOps {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Deterministic 60-bit hash usable identically from Spark and DuckDB:
-    * first 15 hex chars of md5("<seed>:<value>") parsed base-16. 60 bits
-    * keeps the value positive in a signed 64-bit long in both engines.
+    * 15 hex chars of md5("<seed>:<value>") parsed base-16. 60 bits keeps
+    * the value positive in a signed 64-bit long in both engines. Each
+    * digest yields TWO independent 60-bit hashes (chars 1-15 and 17-31) —
+    * `part` selects which — so k hash functions cost k/2 md5 evaluations
+    * (md5 dominates the MinHash signature build).
     *
-    * DuckDB twin: `('0x' || substr(md5(<seed> || ':' || v), 1, 15))::BIGINT`.
+    * DuckDB twin:
+    * `('0x' || substr(md5(<seed> || ':' || v), 1 + part*16, 15))::BIGINT`.
     */
-  def portableHash(v: Column, seed: Int): Column =
-    conv(substring(md5(concat_ws(":", lit(seed.toString), v)), 1, 15), 16, 10).cast("long")
+  def portableHash(v: Column, seed: Int, part: Int = 0): Column = {
+    require(part == 0 || part == 1, s"part must be 0 or 1, got $part")
+    conv(substring(md5(concat_ws(":", lit(seed.toString), v)), 1 + part * 16, 15), 16, 10).cast("long")
+  }
 
   /** Distinct word n-gram shingles of a token array.
     *

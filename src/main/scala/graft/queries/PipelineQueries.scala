@@ -113,9 +113,9 @@ object PipelineQueries {
 
   // ---- oracles ----
 
-  /** DuckDB twin of TextOps.portableHash. */
-  private def sqlHash(seed: Int, v: String): String =
-    s"('0x' || substr(md5('$seed:' || $v), 1, 15))::BIGINT"
+  /** DuckDB twin of TextOps.portableHash(v, seed, part). */
+  private def sqlHash(seed: Int, v: String, part: Int = 0): String =
+    s"('0x' || substr(md5('$seed:' || $v), ${1 + part * 16}, 15))::BIGINT"
 
   /** DuckDB twin of TextOps.shingles(tokens(text), 3) exploded to rows:
     * expects a CTE `d(doc_id, text)` to exist.
@@ -158,7 +158,7 @@ object PipelineQueries {
 
   private val minhashSelects: String =
     (0 until Bands * RowsPerBand)
-      .map(i => s"min(${sqlHash(i, "sh")}) AS h$i")
+      .map(i => s"min(${sqlHash(i / 2, "sh", i % 2)}) AS h$i")
       .mkString(",\n         ")
 
   private val bandUnions: String =
