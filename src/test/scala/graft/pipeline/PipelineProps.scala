@@ -1,0 +1,66 @@
+package graft.pipeline
+
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Property families for the dedup operators over random small corpora:
+  * exact-dedup idempotence and survivor counting, Jaccard bounds and
+  * symmetry-by-construction, LSH soundness (candidates verify against
+  * exact Jaccard, so LSH pairs ⊆ exact pairs at the same threshold).
+  */
+object PipelineProps extends Properties("pipeline") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5).withWorkers(1)
+
+  private lazy val spark = graft.SparkTestBase.spark
+
+  private val word: Gen[String] = Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")
+  private val textGen: Gen[String] = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  private def corpusGen: Gen[Seq[(Long, String)]] =
+    Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, textGen)).map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  private def toDF(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  property("exact dedup: survivors == distinct texts, and re-dedup is identity") =
+    forAll(corpusGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val once = Dedup.exact(toDF(rows), "doc_id", "text")
+      val ids = once.select("doc_id").as[Long].collect().toSet
+      val again = Dedup.exact(once.drop("n_copies"), "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      ids.size == rows.map(_._2).distinct.size && again == ids
+    }
+
+  property("jaccard pairs: 0 < j <= 1, ordered ids, and identical docs score 1") =
+    forAll(corpusGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val withDup = rows :+ (999L, rows.head._2) // plant an exact copy of doc 0
+      val pairs = Dedup.jaccardPairs(toDF(withDup), "doc_id", "text", n = 2, dfCap = 1000, threshold = 0.0)
+        .as[(Long, Long, Double)].collect()
+      val wellFormed = pairs.forall { case (a, b, j) => a < b && j > 0.0 && j <= 1.0 }
+      val plantedScoresOne =
+        rows.head._2.split(" ").length < 2 || // too short for bigrams: no pair expected
+          pairs.exists { case (a, b, j) => a == rows.head._1 && b == 999L && j == 1.0 }
+      wellFormed && plantedScoresOne
+    }
+
+  property("LSH pairs are a subset of exact jaccard pairs at the same threshold") =
+    forAll(corpusGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = toDF(rows)
+      val exact = Dedup.jaccardPairs(df, "doc_id", "text", n = 2, dfCap = 1000, threshold = 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      val lsh = Dedup.minhashLshPairs(df, "doc_id", "text", n = 2, bands = 2, rowsPerBand = 2, threshold = 0.5)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+      lsh.subsetOf(exact)
+    }
+}
