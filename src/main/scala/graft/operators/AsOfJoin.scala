@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (temporal nearest) join — an operator Spark lacks natively,
+  * composed from existing primitives per the engine's preference order
+  * (compose > custom plan): tag both sides, union, and resolve each left
+  * row's match with a running `last(ignoreNulls)` window over the shared
+  * key+time ordering. ONE shuffle on the key — the same movement a native
+  * as-of join would need — with no range-explosion join, no per-key
+  * collect, and window state bounded to a single struct per row.
+  *
+  *   - [[backward]]: greatest right ts <= left ts (attribution joins)
+  *   - [[forward]]:  smallest right ts >= left ts
+  *
+  * Ties (right ts == left ts) are inclusive — the right row sorts before
+  * the left row at the same timestamp. NULL timestamps never match
+  * (NULLs sort to the unmatched end of each ordering). Duplicate right
+  * rows on the exact same (key, ts) resolve to the one last in window
+  * order — callers needing strict determinism there should pre-dedupe.
+  */
+object AsOfJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String], leftTs: String, rightTs: String): DataFrame =
+    joined(left, right, keys, leftTs, rightTs, forwardDir = false)
+
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String], leftTs: String, rightTs: String): DataFrame =
+    joined(left, right, keys, leftTs, rightTs, forwardDir = true)
+
+  private def joined(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      forwardDir: Boolean): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val rightPayload = right.columns.toSeq.filterNot(keys.contains)
+    val collisions = rightPayload.intersect(leftCols)
+    require(collisions.isEmpty, s"right payload columns collide with left: ${collisions.mkString(",")} — rename before joining")
+
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields.filterNot(f => keys.contains(f.name)))
+
+    val rTagged = right
+      .filter(col(rightTs).isNotNull) // a null-ts right row can never match
+      .select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ord"),
+          lit(0).as("__side"),
+          struct(rightPayload.map(col): _*).as("__r"),
+          lit(null).cast(lType).as("__l")): _*)
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ord"),
+        lit(1).as("__side"),
+        lit(null).cast(rType).as("__r"),
+        struct(leftCols.map(col): _*).as("__l")): _*)
+
+    // Backward: ascending time. Forward: descending time, so "preceding"
+    // rows are the later ones. Null LEFT timestamps sort first either way —
+    // at the window start they see no right rows, i.e. they never match.
+    val ord: Column = if (forwardDir) col("__ord").desc_nulls_first else col("__ord").asc_nulls_first
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ord, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    rTagged.unionByName(lTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(c => col("__l." + c).as(c)) ++
+        rightPayload.map(c => col("__m." + c).as(c)): _*)
+  }
+}

@@ -133,6 +133,23 @@ object AnalyticQueries {
         .orderBy("user_id")
     }),
 
+    // As-of join (attribution): each purchase matched to the same user's
+    // latest click at-or-before it — graft.operators.AsOfJoin, one shuffle
+    // on user_id. Timestamps exported as epoch micros for oracle parity.
+    "q15_asof_attribution" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.backward(p, c, Seq("user_id"), "ts", "click_ts")
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"),
+          unix_micros(col("click_ts").cast("timestamp")).as("click_ts_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // Window-over-aggregate: top-3 part types by revenue within each brand.
     // part grows linearly with SF — forcing its broadcast is a scale-killer
     // hint; unhinted, AQE broadcasts only while it fits (VERDICT r1 #q14).
@@ -229,6 +246,17 @@ object AnalyticQueries {
         |  FROM events
         |) GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q15_asof_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts AS click_ts, value AS click_value FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       epoch_us(c.click_ts) AS click_ts_us, c.click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
     "q14_brand_top_types" ->
       """SELECT p_brand, p_type, revenue, rnk FROM (
         |  SELECT p_brand, p_type, revenue,

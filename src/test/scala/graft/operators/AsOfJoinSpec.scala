@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.GraftSuite
+
+/** As-of join semantics on a hand-built timeline: inclusive ties, no-match
+  * nulls, per-key isolation, forward direction.
+  */
+class AsOfJoinSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val quotes = Seq(
+    (1L, 10L, "q10"), (1L, 20L, "q20"), (1L, 30L, "q30"),
+    (2L, 15L, "q15")
+  ).toDF("k", "qts", "quote")
+
+  private lazy val trades = Seq(
+    (1L, 5L, "early"), // before any quote
+    (1L, 20L, "tie"), // exactly at a quote
+    (1L, 25L, "mid"),
+    (2L, 99L, "other-key"),
+    (3L, 50L, "no-quotes")
+  ).toDF("k", "tts", "trade")
+
+  test("backward: greatest quote ts <= trade ts, inclusive ties, null when none") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("k"), "tts", "qts")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "early" -> None,
+      "tie" -> Some("q20"),
+      "mid" -> Some("q20"),
+      "other-key" -> Some("q15"),
+      "no-quotes" -> None))
+  }
+
+  test("forward: smallest quote ts >= trade ts") {
+    val out = AsOfJoin.forward(trades, quotes, Seq("k"), "tts", "qts")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "early" -> Some("q10"),
+      "tie" -> Some("q20"),
+      "mid" -> Some("q30"),
+      "other-key" -> None,
+      "no-quotes" -> None))
+  }
+
+  test("left rows are preserved exactly once (left-join cardinality)") {
+    val out = AsOfJoin.backward(trades, quotes, Seq("k"), "tts", "qts")
+    assert(out.count() === trades.count())
+    assert(out.columns.toSeq === Seq("k", "tts", "trade", "qts", "quote"))
+  }
+
+  test("colliding right payload names are rejected") {
+    val bad = quotes.withColumnRenamed("quote", "trade")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, bad, Seq("k"), "tts", "qts")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+}
