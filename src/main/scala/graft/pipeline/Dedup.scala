@@ -28,19 +28,21 @@ object Dedup {
   /** Exact dedup by content hash: keep the lowest-id row per distinct text,
     * annotated with the number of copies collapsed.
     *
-    * One shuffle, hash-partitioned on the md5 of the text; the window and
-    * the count share the same partitioning so Catalyst plans a single
-    * exchange.
+    * Implemented as a `min_by` AGGREGATION rather than a row_number window:
+    * aggregation gets map-side partial combine, so each executor reduces
+    * its local duplicates before the shuffle and only one candidate row
+    * per (partition, hash) moves — a window would sort-shuffle EVERY row
+    * and hot-spot on heavily duplicated content. Requires unique ids
+    * (true of the corpus) for a deterministic winner.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = md5(col(textCol))
-    val byHash = Window.partitionBy(h)
-    val w = byHash.orderBy(col(idCol))
+    val cols = docs.columns.toSeq
     docs
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("n_copies", count(lit(1)).over(byHash))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(md5(col(textCol)).as("__h"))
+      .agg(
+        min_by(struct(cols.map(col): _*), col(idCol)).as("__row"),
+        count(lit(1)).as("n_copies"))
+      .select(cols.map(c => col("__row." + c).as(c)) :+ col("n_copies"): _*)
   }
 
   /** Distinct (id, shingle) pairs — the inverted-index rows.
