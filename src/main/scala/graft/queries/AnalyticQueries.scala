@@ -150,6 +150,35 @@ object AnalyticQueries {
         .orderBy("event_id")
     }),
 
+    // Full grouping lattice: cube over returnflag/linestatus.
+    "q16_cube" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // JSON extraction from the events props column (semi-structured path).
+    "q17_json_props" -> ((s, dir) =>
+      Fixtures.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type")),
+
+    // Cardinality sketch: HLL approx vs exact. The two engines' sketches
+    // differ by design, so the oracle checks the CONTRACT (within 10% of
+    // exact — both engines are deterministic, ~2-5% rsd) plus the exact
+    // count itself.
+    "q18_sketch_distinct" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      o.agg(
+        countDistinct(col("o_custkey")).as("exact_custkeys"),
+        approx_count_distinct(col("o_custkey")).as("approx"))
+        .select(
+          col("exact_custkeys"),
+          (abs(col("approx") - col("exact_custkeys")) / col("exact_custkeys") <= 0.1).as("approx_ok"))
+    }),
+
     // Window-over-aggregate: top-3 part types by revenue within each brand.
     // part grows linearly with SF — forcing its broadcast is a scale-killer
     // hint; unhinted, AQE broadcasts only while it fits (VERDICT r1 #q14).
@@ -246,6 +275,27 @@ object AnalyticQueries {
         |  FROM events
         |) GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q16_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q17_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+        |       CAST(max(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "q18_sketch_distinct" ->
+      """SELECT exact_custkeys,
+        |       abs(approx - exact_custkeys) * 1.0 / exact_custkeys <= 0.1 AS approx_ok
+        |FROM (
+        |  SELECT count(DISTINCT o_custkey) AS exact_custkeys,
+        |         approx_count_distinct(o_custkey) AS approx
+        |  FROM orders
+        |)""".stripMargin,
     "q15_asof_attribution" ->
       """WITH p AS (
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
