@@ -64,11 +64,18 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
       // ordered by an arbitrary-but-stable-within-a-run id, the Spark analog
       // of the reference's %%physloc%% ordering (sp_SimpleMerge.sql:209-242,
       // README.md:22-23: order across duplicates is explicitly unspecified).
-      val tw = Window.partitionBy(keyNames.map(col): _*).orderBy(monotonically_increasing_id())
-      val sw = Window.partitionBy(keyNames.map(n => col(SrcPrefix + n)): _*)
-        .orderBy(monotonically_increasing_id())
-      tSide = tSide.withColumn(Rn, row_number().over(tw))
-      sSide = sSide.withColumn(SrcPrefix + Rn, row_number().over(sw))
+      // With badKeySalt > 1 the rank is computed two-phase over salt
+      // buckets so a hot key's sort spreads across badKeySalt tasks.
+      if (opts.badKeySalt > 1) {
+        tSide = withSaltedRn(tSide, keyNames, Rn, opts.badKeySalt)
+        sSide = withSaltedRn(sSide, keyNames.map(SrcPrefix + _), SrcPrefix + Rn, opts.badKeySalt)
+      } else {
+        val tw = Window.partitionBy(keyNames.map(col): _*).orderBy(monotonically_increasing_id())
+        val sw = Window.partitionBy(keyNames.map(n => col(SrcPrefix + n)): _*)
+          .orderBy(monotonically_increasing_id())
+        tSide = tSide.withColumn(Rn, row_number().over(tw))
+        sSide = sSide.withColumn(SrcPrefix + Rn, row_number().over(sw))
+      }
     }
 
     // A6/A7: composite equi-join, null-safe per key column. `<=>` remains a
@@ -199,6 +206,42 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     * suppresses them (keeps the variance honest, SURVEY §7.4).
     */
   def affectedCount(): Long = resolved.filter(col(ActionCol).isNotNull).count()
+
+  /** Two-phase salted row_number (skew-safe A5): rank within (keys, salt)
+    * buckets, then add each bucket's prefix-sum offset within its key, so
+    * every key still gets a 1..n permutation but no single task ever sorts
+    * a whole hot key. The offsets frame holds ≤ salt rows per distinct key
+    * and joins back null-safely (`<=>`, NULL keys are legal key values).
+    */
+  private def withSaltedRn(df: DataFrame, keys: Seq[String], rnName: String, salt: Int): DataFrame = {
+    val mid = "__graft_mid"
+    val sc = "__graft_salt"
+    val rn1 = "__graft_rn1"
+    val cnt = "__graft_cnt"
+    val off = "__graft_off"
+    val base = df
+      .withColumn(mid, monotonically_increasing_id())
+      .withColumn(sc, pmod(xxhash64(col(mid)), lit(salt)).cast("int"))
+    val bucketPart = (keys :+ sc).map(col)
+    val ranked = base
+      .withColumn(rn1, row_number().over(Window.partitionBy(bucketPart: _*).orderBy(col(mid))))
+      .withColumn(cnt, count(lit(1)).over(Window.partitionBy(bucketPart: _*)))
+    val offsets = ranked.filter(col(rn1) === 1)
+      .select((keys :+ sc :+ cnt).map(col): _*)
+      .withColumn(off, coalesce(
+        sum(col(cnt)).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(col(sc))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop(cnt)
+    val r = ranked.alias("r")
+    val o = offsets.alias("o")
+    val cond = keys.map(k => col(s"r.$k") <=> col(s"o.$k")).reduce(_ && _) &&
+      col(s"r.$sc") === col(s"o.$sc")
+    r.join(o, cond)
+      .select(Seq(col("r.*"), col(s"o.$off")): _*)
+      .withColumn(rnName, (col(rn1) + col(off)).cast("int"))
+      .drop(mid, sc, rn1, cnt, off)
+  }
 
   /** Duplicate-key guard for badKey=false (documented divergence from the
     * reference, ADVICE r1: T-SQL MERGE fails at runtime with "cannot UPDATE

@@ -77,6 +77,12 @@ object DeleteMode {
   *                     participate (`@targetFilter`, sp_SimpleMerge.sql:205-225)
   * @param badKey       duplicate keys allowed: window row_number dedup on
   *                     both sides (`@badKey`, sp_SimpleMerge.sql:209-242)
+  * @param badKeySalt   >1 = spread each key's row_number sort over this
+  *                     many salt buckets (two-phase rank) so a pathological
+  *                     hot key cannot pin one reducer; 0/1 = plain window.
+  *                     Row order within a key is arbitrary either way —
+  *                     exactly the reference's %%physloc%% contract
+  *                     (README.md:23) — so results are multiset-identical.
   * @param threshold    max changed-row percentage, e.g. "15%" (`@threshold`,
   *                     sp_SimpleMerge.sql:470-484)
   * @param audit        produce per-row audit output (`@output`,
@@ -87,6 +93,7 @@ final case class MergeOptions(
     delete: DeleteMode = DeleteMode.Delete,
     targetFilter: Option[String] = None,
     badKey: Boolean = false,
+    badKeySalt: Int = 0,
     threshold: Option[String] = None,
     audit: Boolean = false) {
 

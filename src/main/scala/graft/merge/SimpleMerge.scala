@@ -43,6 +43,13 @@ final class SimpleMerge private (
   def targetFilter(predicate: String): SimpleMerge =
     copy(opts.copy(targetFilter = Some(normalizeBrackets(predicate))))
   def badKey(b: Boolean): SimpleMerge = copy(opts.copy(badKey = b))
+
+  /** Skew-safe badKey: spread each key's dedup rank over `n` salt buckets
+    * (two-phase row_number) so a hot duplicate key cannot pin one reducer.
+    * Result is multiset-identical — row order within a key is arbitrary
+    * under the reference's %%physloc%% contract either way.
+    */
+  def badKeySalt(n: Int): SimpleMerge = copy(opts.copy(badKey = true, badKeySalt = n))
   def threshold(t: String): SimpleMerge = copy(opts.copy(threshold = Some(t)))
 
   /** Request per-row audit OUTPUT persistence on apply (`@output`,

@@ -63,6 +63,15 @@ object MergeQueries {
         .badKey(true).delete("YES")
       m.merged.orderBy(m.merged.columns.map(col): _*)
     }),
+    // Skew-safe badKey: same merge as m6 through the two-phase salted
+    // rank — multiset-identical result, hot keys spread over 8 buckets.
+    "m12_merge_badkey_salted" -> ((s, dir) => {
+      val m = SimpleMerge.into(lineitemTarget(s, dir), "tgt")
+        .using(lineitemSource(s, dir), "src")
+        .keys("l_orderkey")
+        .badKeySalt(8).delete("YES")
+      m.merged.orderBy(m.merged.columns.map(col): _*)
+    }),
     "m7_merge_nullkey" -> ((s, dir) => {
       val m = SimpleMerge.into(customerTarget(s, dir), "tgt")
         .using(customerSource(s, dir), "src")
@@ -162,6 +171,10 @@ object MergeQueries {
          |WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
          |ORDER BY o_orderkey""".stripMargin,
     "m6_merge_badkey" ->
+      """SELECT * FROM lineitem WHERE l_partkey % 5 <> 0
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+    "m12_merge_badkey_salted" ->
       """SELECT * FROM lineitem WHERE l_partkey % 5 <> 0
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         |         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,

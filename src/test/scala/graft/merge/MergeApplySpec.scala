@@ -136,6 +136,20 @@ class MergeApplySpec extends GraftSuite {
     assert(byAction("INSERT").isNullAt(byAction("INSERT").fieldIndex("i_v")))
   }
 
+  test("salted badKey rank: 1..n permutation per key, multiset == plain window") {
+    // Heavily skewed: one hot key with 40 rows, plus normal keys.
+    val hot = (1 to 40).map(i => (7L, s"h$i", i.toDouble))
+    val rest = Seq((1L, "a", 1.0), (2L, "b", 2.0), (2L, "b2", 3.0))
+    val target = (hot ++ rest).toDF("k", "name", "v")
+    val source = (hot.map { case (k, n, v) => (k, n + "'", v + 0.5) } ++ rest).toDF("k", "name", "v")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Double)].collect().sortBy(_.toString).toSeq
+    val plain = SimpleMerge.into(target).using(source).keys("k").badKey(true).delete("YES").merged
+    val salted = SimpleMerge.into(target).using(source).keys("k").badKeySalt(5).delete("YES").merged
+    assert(sorted(salted) === sorted(source.toDF()))
+    assert(sorted(salted) === sorted(plain))
+  }
+
   test("duplicate-key guard restores the reference's fail-fast (opt-in)") {
     val dupTarget = Seq((1L, "a", 1.0), (1L, "a2", 2.0), (2L, "b", 3.0)).toDF("k", "name", "v")
     val source = Seq((1L, "a3", 4.0)).toDF("k", "name", "v")
