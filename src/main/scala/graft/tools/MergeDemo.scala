@@ -26,6 +26,9 @@ object MergeDemo {
     val orders = spark.read.parquet(s"$sfDir/orders.parquet")
     // target: 90% of orders, some prices perturbed; source: the truth.
     val tgtPath = s"$work/orders_target"
+    // Fresh audit table per run (the engine appends by design).
+    val auditDir = new org.apache.hadoop.fs.Path(MergeApply.defaultAuditPath(tgtPath))
+    auditDir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(auditDir, true)
     orders.filter(col("o_orderkey") % 10 =!= 0)
       .withColumn("o_totalprice",
         when(col("o_orderkey") % 3 === 0, col("o_totalprice") + lit(1.0))
@@ -51,12 +54,23 @@ object MergeDemo {
     println(s"[demo] target rows after merge: ${after.count()} (expect == source count)")
     println(s"[demo] lastUpdate stamp: ${MergeApply.lastUpdate(spark, tgtPath)}")
 
-    // Threshold-abort probe: re-seeding not needed — merging the now-converged
-    // target with a different source slice under a 0% threshold must abort
-    // and leave the target untouched.
+    // Audit persistence (@output): a no-op-free re-merge with audit on
+    // writes one OUTPUT row per affected row next to the target.
+    val auditSource = source.withColumn("o_totalprice", col("o_totalprice") + lit(2.0))
+    val auditRes = SimpleMerge.into(spark.read.parquet(tgtPath), "orders_target")
+      .using(auditSource, "orders_source")
+      .joinColumns("o_orderkey").delete("NO").audit(true)
+      .applyToPath(spark, tgtPath)
+    val auditRows = spark.read.parquet(auditRes.auditPath.get).count()
+    println(s"[demo] audit persisted: ${auditRes.auditPath.get} rows=$auditRows " +
+      s"(expect == affected=${auditRes.affectedRows})")
+
+    // Threshold-abort probe: merging the now-converged target with a
+    // different source slice under a 1% threshold must abort and leave the
+    // target untouched.
     val abortSource = orders.filter(col("o_orderkey") % 2 === 0)
     try {
-      SimpleMerge.into(after, "orders_target").using(abortSource, "orders_half")
+      SimpleMerge.into(spark.read.parquet(tgtPath), "orders_target").using(abortSource, "orders_half")
         .joinColumns("o_orderkey").delete("YES").threshold("1%")
         .applyToPath(spark, tgtPath)
       println("[demo] ERROR: threshold abort did not fire")

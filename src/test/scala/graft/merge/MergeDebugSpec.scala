@@ -83,6 +83,16 @@ class MergeDebugSpec extends GraftSuite {
     assert(ddl.startsWith("CREATE TABLE VendorList_SimpleMergeOutput (actionTime TIMESTAMP NOT NULL,action STRING NOT NULL,"))
   }
 
+  test("joinColumns csv split (B1): trimmed, bracket-quoted, ordinal order") {
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      Seq.empty[Row].asJava, StructType(vendorSchema.fields.toSeq))
+    val m = SimpleMerge.into(df).using(df).joinColumns(" [Vendor] , Name ,")
+    assert(m.plan.keyCols.map(_.name) === Seq("Vendor", "Name"))
+    assert(m.plan.keyCols.map(_.joinOrdinal.get) === Seq(0, 1))
+  }
+
   test("all-key schema: no matched clause, no images (A12/A18)") {
     val keyOnly = StructType(vendorSchema.fields.take(1))
     val plan = MergePlan.build(keyOnly, keyOnly, MergeOptions(keys = Seq("Vendor")))
