@@ -12,6 +12,7 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events nanos ts
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse") // keep saveAsTable out of the repo
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
