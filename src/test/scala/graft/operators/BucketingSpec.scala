@@ -11,6 +11,13 @@ import graft.{GraftSuite, SparkTestBase}
 class BucketingSpec extends GraftSuite {
 
   test("join of co-bucketed tables plans no shuffle exchange") {
+    // The in-memory catalog forgets tables between JVMs but their managed
+    // locations persist — clear them so saveAsTable can recreate.
+    for (t <- Seq("orders_bkt", "lineitem_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(s"/tmp/graft-test-warehouse/$t")
+      loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
+    }
     val orders = spark.read.parquet(s"${SparkTestBase.sf0001}/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
     val lineitem = spark.read.parquet(s"${SparkTestBase.sf0001}/lineitem.parquet")
