@@ -21,9 +21,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Steady-state warmup (untimed): one trivial job so the first timed
     // query doesn't absorb executor startup + first-codegen costs that a
-    // long-lived cluster never pays per query.
-    spark.range(1000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // long-lived cluster never pays per query. Guarded — a broken sfDir
+    // must degrade to per-query failures, not kill the whole run.
+    try {
+      spark.range(1000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

@@ -147,9 +147,14 @@ object MergeApply {
       val targetRows = row.getLong(2) - row.getLong(1)
 
       val variance = verdictOrCleanup(affected, targetRows, thresholdPct, fs, work)
-      frame.auditFrom(staged).write.mode(SaveMode.Append).parquet(auditPath)
       writeOrCleanup(frame.mergedFrom(staged), staging, fs)
       swap(fs, tgt, staging, token)
+      // Audit appends AFTER the swap: the reference's OUTPUT rows exist iff
+      // the transaction commits, and an append cannot be rolled back — so a
+      // staging/swap failure must never leave phantom audit rows behind.
+      // (Residual window: a committed swap whose audit append then fails
+      // surfaces as an exception with the target already updated.)
+      frame.auditFrom(staged).write.mode(SaveMode.Append).parquet(auditPath)
       stampLastUpdate(fs, tgt)
       MergeResult(affected, targetRows, variance, committed = true, auditPath = Some(auditPath))
     } finally fs.delete(work, true)

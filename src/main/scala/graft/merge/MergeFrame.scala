@@ -212,6 +212,14 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     * every key still gets a 1..n permutation but no single task ever sorts
     * a whole hot key. The offsets frame holds ≤ salt rows per distinct key
     * and joins back null-safely (`<=>`, NULL keys are legal key values).
+    *
+    * The salt MUST derive from row CONTENT (xxhash64 over all columns),
+    * never from monotonically_increasing_id: the ranked side and the
+    * offsets side of the join below are independent recomputations of the
+    * input, and a partition-order-dependent salt could assign the same row
+    * different buckets on the two sides, silently corrupting the rank.
+    * Consequence: rows that are full-row identical share a bucket, so
+    * spreading a hot key requires payload diversity (documented trade).
     */
   private def withSaltedRn(df: DataFrame, keys: Seq[String], rnName: String, salt: Int): DataFrame = {
     val mid = "__graft_mid"
@@ -221,7 +229,7 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     val off = "__graft_off"
     val base = df
       .withColumn(mid, monotonically_increasing_id())
-      .withColumn(sc, pmod(xxhash64(col(mid)), lit(salt)).cast("int"))
+      .withColumn(sc, pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int"))
     val bucketPart = (keys :+ sc).map(col)
     val ranked = base
       .withColumn(rn1, row_number().over(Window.partitionBy(bucketPart: _*).orderBy(col(mid))))

@@ -45,8 +45,11 @@ object AsOfJoin {
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields.filterNot(f => keys.contains(f.name)))
 
+    // Null-ts right rows can never match; null-KEY right rows must not
+    // either (window partitioning would group NULL keys together, but SQL
+    // equi-join/ASOF semantics — and the DuckDB oracle — never match NULLs).
     val rTagged = right
-      .filter(col(rightTs).isNotNull) // a null-ts right row can never match
+      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).as("__ord"),

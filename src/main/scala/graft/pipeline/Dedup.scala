@@ -69,15 +69,42 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-duplicate pairs by exact n-gram Jaccard similarity, generated via
-    * an inverted shingle index (bucketed join on the shingle), never a cross
-    * join.
+  /** Verify candidate pairs with TRUE n-gram Jaccard over the full
+    * (uncapped) shingle index: expand each pair by doc_a's shingles, inner
+    * join on (doc_b, shingle) for the intersection, union via sizes.
+    */
+  private def verifiedPairs(idx: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+    val idxA = idx.select(col("id").as("doc_a"), col("sh").as("sh_a"))
+    val idxB = idx.select(col("id").as("doc_b"), col("sh").as("sh_a"))
+    candidates
+      .join(idxA, "doc_a")
+      .join(idxB, Seq("doc_b", "sh_a"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Near-duplicate pairs by n-gram Jaccard similarity: candidates come
+    * from an inverted shingle index (bucketed join on the shingle — never
+    * a cross join), and every candidate is verified with the TRUE Jaccard
+    * over the uncapped shingle sets.
+    *
+    * The persisted intermediates live until the session ends (or eviction)
+    * — Spark offers no safe unpersist hook for a lazily-consumed result.
     *
     * @param dfCap drop shingles appearing in more than this many documents
-    *              before pairing — bounds the per-bucket fan-out (a shingle
-    *              shared by d documents yields d·(d-1)/2 candidate pairs),
-    *              which is what keeps the join linear-ish at corpus scale.
-    *              Ubiquitous shingles carry no dedup signal anyway.
+    *              during CANDIDATE GENERATION only — bounds the per-bucket
+    *              fan-out (a shingle shared by d docs yields d·(d-1)/2
+    *              candidate pairs). Verification still uses all shingles,
+    *              so reported jaccard values are exact. Limitation: a pair
+    *              sharing ONLY above-cap shingles is never surfaced — for
+    *              massively-duplicated content run [[exact]] first (hash
+    *              dedup has no such cap).
     * @return (doc_a, doc_b, jaccard) with doc_a < doc_b and
     *         jaccard >= threshold; jaccard rounded to 6 decimals.
     */
@@ -101,19 +128,11 @@ object Dedup {
       .filter(col("__df") <= dfCap)
       .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
-
-    val inter = filtered.as("a")
+    val candidates = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+    verifiedPairs(idx, candidates, threshold)
   }
 
   /** MinHash signatures: `bands * rowsPerBand` independent min-hashes per
@@ -166,24 +185,7 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    // Verify candidates with exact Jaccard over the same shingle index:
-    // expand candidate pairs by doc_a's shingles, then inner-join on
-    // (doc_b, shingle) — surviving rows are exactly the intersection.
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
-    val idxA = idx.select(col("id").as("doc_a"), col("sh").as("sh_a"))
-    val idxB = idx.select(col("id").as("doc_b"), col("sh").as("sh_a"))
-    val inter = candidates
-      .join(idxA, "doc_a")
-      .join(idxB, Seq("doc_b", "sh_a"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-
-    inter
-      .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+    verifiedPairs(idx, candidates, threshold)
   }
 
   /** 32-bit SimHash over distinct tokens: per bit position, majority vote of

@@ -143,9 +143,11 @@ object Similarity {
       vecCol: String,
       k: Int): DataFrame = {
     val bucketed = assignBuckets(vectors, centroids, idCol, vecCol)
-    val probeIds = probes.select(col(idCol).as("probe_id"))
-    val probeBuckets = bucketed.join(broadcast(probeIds), col("vid") === col("probe_id"))
-      .select(col("probe_id"), col("bucket"), col("__v").as("__p"), col("__vn").as("__pn"))
+    // Probes are bucketed from their OWN vectors (not looked up in the
+    // corpus), so out-of-corpus query vectors — the normal ANN case — work;
+    // for in-corpus probes the assignment is identical either way.
+    val probeBuckets = assignBuckets(probes, centroids, idCol, vecCol)
+      .select(col("vid").as("probe_id"), col("bucket"), col("__v").as("__p"), col("__vn").as("__pn"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vid"))
     // Bucket-equi-join: each probe meets only its bucket's vectors.
     val dp = dotOn(vectors.sparkSession)

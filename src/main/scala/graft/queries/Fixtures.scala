@@ -28,7 +28,7 @@ object Fixtures {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (!spark.conf.getOption(key).contains("true")) spark.conf.set(key, "true")
+    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
     table(spark, dir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }

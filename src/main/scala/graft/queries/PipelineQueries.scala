@@ -182,9 +182,15 @@ object PipelineQueries {
          |$shingleCtes,
          |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
          |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-         |interx AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |),
+         |interx AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
          |  GROUP BY 1, 2
          |),
          |$jaccardTail""".stripMargin,

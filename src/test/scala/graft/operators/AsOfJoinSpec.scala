@@ -49,6 +49,14 @@ class AsOfJoinSpec extends GraftSuite {
     assert(out.columns.toSeq === Seq("k", "tts", "trade", "qts", "quote"))
   }
 
+  test("NULL join keys never match (equi-join semantics, unlike window grouping)") {
+    val l = Seq((Option.empty[Long], 10L, "null-key"), (Some(1L), 10L, "keyed")).toDF("k", "tts", "trade")
+    val r = Seq((Option.empty[Long], 5L, "null-quote"), (Some(1L), 5L, "q")).toDF("k", "qts", "quote")
+    val out = AsOfJoin.backward(l, r, Seq("k"), "tts", "qts")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out === Map("null-key" -> None, "keyed" -> Some("q")))
+  }
+
   test("colliding right payload names are rejected") {
     val bad = quotes.withColumnRenamed("quote", "trade")
     val e = intercept[IllegalArgumentException] {

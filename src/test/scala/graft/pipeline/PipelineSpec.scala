@@ -75,6 +75,19 @@ class PipelineSpec extends GraftSuite {
     assert(out === Set(0L, 11L))
   }
 
+  test("IVF top-k accepts out-of-corpus probe vectors") {
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // centroids
+      (10L, Array(0.9f, 0.1f)), (20L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    // Probe id 99 does not exist in the corpus — it must still be bucketed
+    // from its own vector and searched.
+    val probe = Seq((99L, Array(0.95f, 0.05f))).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" < 2), probe, "vec_id", "embedding", k = 5)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(out === Set(0L, 10L)) // centroid-0's bucket only
+  }
+
   test("language ID predicts from marker hits with deterministic tie rules") {
     val d = Seq((1L, "the value of the table"), (2L, "der hund ist und das"), (3L, "xyz qqq")).toDF("doc_id", "text")
     val out = TextStats.langId(d, "doc_id", "text")
