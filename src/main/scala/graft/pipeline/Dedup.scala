@@ -128,10 +128,25 @@ object Dedup {
       .filter(col("__df") <= dfCap)
       .drop("__df")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = filtered.as("a")
+    // Candidate pruning before the (expensive) full verification: the true
+    // intersection is at most the capped intersection plus min(above-cap
+    // shingle counts of the two docs), and jaccard i/(sa+sb-i) is monotone
+    // in i — so pairs whose UPPER BOUND misses the threshold are discarded
+    // without ever expanding their shingle sets. On random corpora this
+    // prunes nearly every coincidental 1-shared-shingle pair.
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+    val cappedSizes = filtered.groupBy("id").agg(count(lit(1)).as("csz"))
+    val cappedInter = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("cinter"))
+    val docStats = sizes.join(cappedSizes, "id")
+    val candidates = cappedInter
+      .join(docStats.select(col("id").as("doc_a"), col("sz").as("sz_a"), col("csz").as("csz_a")), "doc_a")
+      .join(docStats.select(col("id").as("doc_b"), col("sz").as("sz_b"), col("csz").as("csz_b")), "doc_b")
+      .withColumn("ub_inter", col("cinter") + least(col("sz_a") - col("csz_a"), col("sz_b") - col("csz_b")))
+      .filter(col("ub_inter") / (col("sz_a") + col("sz_b") - col("ub_inter")) >= threshold)
+      .select("doc_a", "doc_b")
     verifiedPairs(idx, candidates, threshold)
   }
 

@@ -182,9 +182,25 @@ object PipelineQueries {
          |$shingleCtes,
          |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
          |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |stats AS (
+         |  SELECT z.doc_id, z.sz, coalesce(fc.csz, 0) AS csz FROM
+         |    (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id) z
+         |    LEFT JOIN (SELECT doc_id, count(*) AS csz FROM f GROUP BY doc_id) fc USING (doc_id)
+         |),
+         |cinterx AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cinter
          |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT ci.doc_a, ci.doc_b,
+         |           ci.cinter + least(sa.sz - sa.csz, sb.sz - sb.csz) AS ub_inter,
+         |           sa.sz AS sz_a, sb.sz AS sz_b
+         |    FROM cinterx ci
+         |    JOIN stats sa ON sa.doc_id = ci.doc_a
+         |    JOIN stats sb ON sb.doc_id = ci.doc_b
+         |  ) WHERE ub_inter / (sz_a + sz_b - ub_inter) >= $JaccardThreshold
          |),
          |interx AS (
          |  SELECT c.doc_a, c.doc_b, count(*) AS inter
