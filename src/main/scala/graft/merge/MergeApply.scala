@@ -1,7 +1,7 @@
 package graft.merge
 
 import java.time.format.DateTimeFormatter
-import java.time.{Instant, ZoneOffset}
+import java.time.Instant
 import java.util.UUID
 
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -213,7 +213,7 @@ object MergeApply {
     */
   private def stampLastUpdate(fs: FileSystem, tgt: Path): Unit = {
     val ts = DateTimeFormatter.ISO_INSTANT
-      .format(Instant.now().atZone(ZoneOffset.UTC).toInstant.truncatedTo(java.time.temporal.ChronoUnit.MILLIS))
+      .format(Instant.now().truncatedTo(java.time.temporal.ChronoUnit.MILLIS))
     val out = fs.create(new Path(tgt, MetaFile), true)
     try out.write(s"""{"lastUpdate": "$ts"}""".getBytes("UTF-8"))
     finally out.close()

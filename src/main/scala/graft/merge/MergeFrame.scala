@@ -54,9 +54,13 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
   private[merge] lazy val classified: DataFrame = {
     var tSide = filteredTarget.withColumn(TPresent, lit(true))
     // Rename every source column up front so the post-join projection is
-    // unambiguous without alias gymnastics.
+    // unambiguous without alias gymnastics. Reads use the SOURCE-cased
+    // name (works under spark.sql.caseSensitive=true) and cast to the
+    // target type (validated up-castable by MergePlan) so the merged
+    // output schema can never drift from the target's.
     var sSide = source
-      .select(plan.sourceCols.map(c => source(c.name).as(SrcPrefix + c.name)): _*)
+      .select(plan.sourceCols.map(c =>
+        source(c.sourceName.get).cast(c.dataType).as(SrcPrefix + c.name)): _*)
       .withColumn(SPresent, lit(true))
 
     if (opts.badKey) {
@@ -129,19 +133,28 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
         (tPresent && !sPresent).as(NmbsCol)): _*)
   }
 
-  /** Rows with soft-delete assignments applied (evaluated against the target
-    * row image, which the merged projection preserves for NMBS rows).
+  /** Rows with soft-delete assignments applied. All assignment right-hand
+    * sides evaluate against the PRE-update row image in one simultaneous
+    * projection — T-SQL UPDATE SET semantics, where `set a = b, b = a`
+    * swaps — never sequentially (a foldLeft would let later assignments
+    * observe earlier ones' results).
     */
   private[merge] lazy val resolved: DataFrame = {
     val typeOf = plan.targetCols.map(c => c.name.toLowerCase -> c.dataType).toMap
     opts.delete match {
       case DeleteMode.SoftDelete(assignments) =>
-        assignments.foldLeft(classified) { case (df, (c, e)) =>
+        val dups = assignments.map(_._1.toLowerCase).diff(assignments.map(_._1.toLowerCase).distinct)
+        if (dups.nonEmpty)
+          throw new MergeValidationException(s"Column assigned twice in SET: ${dups.distinct.mkString(",")}")
+        val assignFor: Map[String, Column] = assignments.map { case (c, e) =>
           val dt = typeOf.getOrElse(
             c.toLowerCase,
             throw new MergeValidationException(s"SET column [$c] missing from target"))
-          df.withColumn(c, when(col(NmbsCol), expr(e).cast(dt)).otherwise(col(c)))
-        }
+          c.toLowerCase -> when(col(NmbsCol), expr(e).cast(dt)).otherwise(col(c))
+        }.toMap
+        classified.select(classified.columns.map { cn =>
+          assignFor.get(cn.toLowerCase).map(_.as(cn)).getOrElse(col(cn))
+        }: _*)
       case _ => classified
     }
   }
@@ -275,7 +288,12 @@ object MergeFrame {
   private[merge] val SrcPrefix = "__graft_s_"
   private[merge] val DPrefix = "__graft_d_"
   private[merge] val TPresent = "__graft_t_present"
-  private[merge] val SPresent = "__graft_s_present"
+  // NOT under SrcPrefix: a source column named "present" renames to
+  // "__graft_s_present", and a marker with that exact name would silently
+  // overwrite the user's data (MergePlan's reserved-prefix gate cannot
+  // catch plain user names — the marker must live outside the rename
+  // namespace instead).
+  private[merge] val SPresent = "__graft_present_of_s"
   private[merge] val Rn = "__graft_rn"
   private[merge] val ActionCol = "__graft_action"
   private[merge] val NmbsCol = "__graft_nmbs"

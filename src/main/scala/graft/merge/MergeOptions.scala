@@ -58,7 +58,7 @@ object DeleteMode {
     parts.toSeq.map { a =>
       val i = a.indexOf('=')
       if (i < 0) throw new MergeValidationException(s"Malformed SET assignment: '$a'")
-      val col = a.take(i).trim.stripPrefix("[").stripSuffix("]").stripPrefix("`").stripSuffix("`")
+      val col = MergePlan.stripQuotes(a.take(i).trim)
       val e = a.drop(i + 1).trim
       if (col.isEmpty || e.isEmpty)
         throw new MergeValidationException(s"Malformed SET assignment: '$a'")

@@ -7,12 +7,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * schema × target schema × key list.
   *
   * @param name        target-cased column name
+  * @param sourceName  source-cased spelling of the same column, if present
+  *                    there — source reads must use THIS name so the engine
+  *                    works under spark.sql.caseSensitive=true even though
+  *                    alignment is case-insensitive
   * @param sourceIdx   ordinal in source schema, if present there
   * @param targetIdx   ordinal in target schema, if present there
   * @param joinOrdinal position in the key list, if a key column
   */
 final case class ColumnSpec(
     name: String,
+    sourceName: Option[String],
     sourceIdx: Option[Int],
     targetIdx: Option[Int],
     joinOrdinal: Option[Int],
@@ -83,11 +88,31 @@ object MergePlan {
       if (!tByName.contains(f.name.toLowerCase))
         throw new MergeValidationException(s"Specified source column [${f.name}] missing from target")
     }
+    // gate: internal marker namespace must stay free (MergeFrame prefixes
+    // source columns and adds marker columns under __graft_*; a user column
+    // there would silently collide with engine state).
+    (targetSchema.fields ++ sourceSchema.fields).foreach { f =>
+      if (f.name.toLowerCase.startsWith("__graft_"))
+        throw new MergeValidationException(
+          s"Column [${f.name}] uses the reserved __graft_ prefix")
+    }
+    // gate: aligned columns must be type-identical or safely up-castable —
+    // otherwise the staged rewrite would silently drift the target schema
+    // (the reference's MERGE fails on incompatible types instead).
+    sourceSchema.fields.foreach { f =>
+      val (tf, _) = tByName(f.name.toLowerCase)
+      if (f.dataType != tf.dataType &&
+        !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, tf.dataType))
+        throw new MergeValidationException(
+          s"Source column [${f.name}] type ${f.dataType.simpleString} is not compatible " +
+            s"with target type ${tf.dataType.simpleString}")
+    }
 
     val specs = targetSchema.fields.zipWithIndex.map { case (f, ti) =>
       val lower = f.name.toLowerCase
       ColumnSpec(
         name = f.name,
+        sourceName = sByName.get(lower).map(_._1.name),
         sourceIdx = sByName.get(lower).map(_._2),
         targetIdx = Some(ti),
         joinOrdinal = keyOrd.get(lower),
@@ -97,6 +122,6 @@ object MergePlan {
     MergePlan(specs.toIndexedSeq, options)
   }
 
-  private def stripQuotes(s: String): String =
+  private[merge] def stripQuotes(s: String): String =
     s.stripPrefix("[").stripSuffix("]").stripPrefix("`").stripSuffix("`")
 }

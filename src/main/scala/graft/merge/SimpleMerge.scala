@@ -38,7 +38,11 @@ final class SimpleMerge private (
   def joinColumns(csv: String): SimpleMerge =
     copy(opts.copy(keys = csv.split(',').map(_.trim).filter(_.nonEmpty).toSeq))
 
-  def delete(mode: String): SimpleMerge = copy(opts.copy(delete = DeleteMode.parse(mode)))
+  /** `@delete` string; `[bracket]` identifiers in soft-delete SET
+    * expressions normalize to backticks, same as targetFilter.
+    */
+  def delete(mode: String): SimpleMerge =
+    copy(opts.copy(delete = DeleteMode.parse(normalizeBrackets(mode))))
   def deleteMode(mode: DeleteMode): SimpleMerge = copy(opts.copy(delete = mode))
   def targetFilter(predicate: String): SimpleMerge =
     copy(opts.copy(targetFilter = Some(normalizeBrackets(predicate))))
@@ -54,7 +58,8 @@ final class SimpleMerge private (
 
   /** Request per-row audit OUTPUT persistence on apply (`@output`,
     * sp_SimpleMerge.sql:350-410): `applyToPath` appends the audit frame to
-    * the audit table location before the swap.
+    * the audit table location after a successful swap (appends cannot roll
+    * back, so audit rows exist only for committed merges).
     */
   def audit(b: Boolean): SimpleMerge = copy(opts.copy(audit = b))
 

@@ -28,12 +28,16 @@ import graft.merge.{DeleteMode, MergeApply, MergeOptions}
 object StreamingUpsert {
 
   /** Reduce a batch to one row per key — the freshest by `orderCol`
-    * descending when given, else an arbitrary-but-deterministic-within-
-    * the-batch winner (the badKey row_number pattern, A5).
+    * descending when given. The tiebreak (and the whole ordering when no
+    * orderCol is given) is a content hash, so a REPLAYED batch always
+    * picks the same winner — required for the idempotent-replay guarantee
+    * (monotonically_increasing_id would be partition-order dependent and
+    * could flip winners across replays).
     */
   def dedupeLatest(batch: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
-    val ord: Column = orderCol.map(col(_).desc).getOrElse(monotonically_increasing_id().asc)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord)
+    val contentTiebreak = xxhash64(batch.columns.map(col): _*).asc
+    val ord: Seq[Column] = orderCol.map(col(_).desc).toSeq :+ contentTiebreak
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -48,7 +52,16 @@ object StreamingUpsert {
       .option("checkpointLocation", checkpoint)
       .start()
 
-  /** The configured writer (exposed so tests can trigger/inspect). */
+  /** The configured writer (exposed so tests can trigger/inspect).
+    *
+    * Recency contract: with an `orderCol`, last-write-wins holds ACROSS
+    * batches, not just within one — the batch is unioned with the current
+    * target state (tagged lower priority) and the freshest row per key
+    * wins, so an out-of-order event arriving in a later micro-batch can
+    * never overwrite fresher target data with stale values. Requires the
+    * target schema to match the stream's columns. Without an orderCol
+    * there is no recency notion and each batch simply overwrites.
+    */
   def writer(
       stream: DataFrame,
       targetPath: String,
@@ -58,9 +71,23 @@ object StreamingUpsert {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val deduped = dedupeLatest(batch, keys, orderCol)
+          val source = orderCol match {
+            case Some(oc) =>
+              val pri = "__graft_pri"
+              val current = batch.sparkSession.read.parquet(targetPath)
+                .select(batch.columns.map(col): _*)
+              val combined = batch.withColumn(pri, lit(1))
+                .unionByName(current.withColumn(pri, lit(0)))
+              // Freshest per key; the batch row wins an exact ts tie.
+              val w = Window.partitionBy(keys.map(col): _*)
+                .orderBy(col(oc).desc, col(pri).desc,
+                  xxhash64(batch.columns.map(col): _*).asc)
+              combined.withColumn("__rn", row_number().over(w))
+                .filter(col("__rn") === 1).drop("__rn", pri)
+            case None => dedupeLatest(batch, keys, None)
+          }
           MergeApply.applyTo(
-            batch.sparkSession, targetPath, deduped,
+            batch.sparkSession, targetPath, source,
             MergeOptions(keys = keys, delete = DeleteMode.Ignore))
           ()
         }

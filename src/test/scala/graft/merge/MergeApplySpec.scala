@@ -150,6 +150,54 @@ class MergeApplySpec extends GraftSuite {
     assert(sorted(salted) === sorted(plain))
   }
 
+  test("a source column named 'present' survives the merge (marker collision)") {
+    val t = Seq((1L, "old", "x")).toDF("k", "present", "other")
+    val s = Seq((1L, "new", "x"), (2L, "p2", "y")).toDF("k", "present", "other")
+    val got = SimpleMerge.into(t).using(s).keys("k").delete("YES")
+      .merged.as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "new", "x"), (2L, "p2", "y")))
+  }
+
+  test("soft-delete SET evaluates all RHS against the pre-update image (a=b,b=a swaps)") {
+    val t = Seq((1L, "A", "B"), (2L, "keep", "keep2")).toDF("k", "a", "b")
+    val s = Seq((2L, "keep", "keep2")).toDF("k", "a", "b")
+    val got = SimpleMerge.into(t).using(s).keys("k")
+      .delete("set a = b, b = a")
+      .merged.as[(Long, String, String)].collect().toSet
+    assert(got === Set((1L, "B", "A"), (2L, "keep", "keep2"))) // swapped, not b,b
+  }
+
+  test("SET with bracket identifiers parses like targetFilter does") {
+    val t = Seq((1L, "live"), (2L, "live")).toDF("k", "status")
+    val s = Seq((1L, "live")).toDF("k", "status")
+    val got = SimpleMerge.into(t).using(s).keys("k")
+      .delete("set [status] = concat('was-', [status])")
+      .merged.as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "live"), (2L, "was-live")))
+  }
+
+  test("type gates: safe upcast allowed and target type preserved; narrowing rejected") {
+    val t = Seq((1L, 10L)).toDF("k", "v") // v: bigint
+    val sInt = Seq((1L, 11), (2L, 12)).toDF("k", "v") // v: int — upcasts
+    val merged = SimpleMerge.into(t).using(sInt).keys("k").delete("NO").merged
+    assert(merged.schema("v").dataType === org.apache.spark.sql.types.LongType)
+    assert(merged.as[(Long, Long)].collect().toSet === Set((1L, 11L), (2L, 12L)))
+
+    val tInt = Seq((1, 10)).toDF("k", "v")
+    val sStr = Seq((1, "x")).toDF("k", "v") // string -> int: rejected
+    val e = intercept[MergeValidationException] {
+      SimpleMerge.into(tInt).using(sStr).keys("k").merged
+    }
+    assert(e.getMessage.contains("not compatible"))
+  }
+
+  test("reserved __graft_ column prefix is rejected") {
+    val bad = Seq((1L, "x")).toDF("k", "__graft_action")
+    intercept[MergeValidationException] {
+      SimpleMerge.into(bad).using(bad).keys("k").merged
+    }
+  }
+
   test("duplicate-key guard restores the reference's fail-fast (opt-in)") {
     val dupTarget = Seq((1L, "a", 1.0), (1L, "a2", 2.0), (2L, "b", 3.0)).toDF("k", "name", "v")
     val source = Seq((1L, "a3", 4.0)).toDF("k", "name", "v")

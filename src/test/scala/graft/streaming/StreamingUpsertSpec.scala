@@ -80,6 +80,25 @@ class StreamingUpsertSpec extends GraftSuite {
     assert(got === rows.toSet)
   }
 
+  test("stale event in a LATER batch never overwrites fresher target data") {
+    val dir = Files.createTempDirectory("stream-stale")
+    val target = dir.resolve("t").toString
+    Seq((1L, "seed", 0L)).toDF("k", "v", "ver").write.parquet(target)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("k", "v", "ver"), target, Seq("k"),
+      dir.resolve("cp").toString, orderCol = Some("ver"))
+    try {
+      mem.addData((1L, "fresh", 5L))
+      q.processAllAvailable()
+      // Late out-of-order event for the same key with an OLDER version.
+      mem.addData((1L, "stale", 3L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "fresh", 5L))) // stale batch was a no-op
+  }
+
   test("watermarked hourly aggregation emits per-window counts") {
     val mem = MemoryStream[(Timestamp, String, Double)]
     val agg = StreamingUpsert.hourlyCounts(
