@@ -47,9 +47,12 @@ object AsOfJoin {
 
     // Null-ts right rows can never match; null-KEY right rows must not
     // either (window partitioning would group NULL keys together, but SQL
-    // equi-join/ASOF semantics — and the DuckDB oracle — never match NULLs).
+    // equi-join/ASOF semantics — and the DuckDB oracle — never match
+    // NULLs). An empty key list is the keyless single-timeline as-of join:
+    // the window below becomes global.
+    val keysNotNull = keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
     val rTagged = right
-      .filter(keys.map(col(_).isNotNull).reduce(_ && _) && col(rightTs).isNotNull)
+      .filter(keysNotNull && col(rightTs).isNotNull)
       .select(
         keys.map(col) ++ Seq(
           col(rightTs).as("__ord"),

@@ -12,10 +12,13 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
 object Bucketing {
 
   /** Write `df` as a bucketed, per-bucket-sorted catalog table. */
-  def writeBucketed(df: DataFrame, table: String, numBuckets: Int, cols: Seq[String]): Unit =
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writeBucketed needs at least one bucket column")
+    require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .saveAsTable(table)
+  }
 }

@@ -72,9 +72,15 @@ object Dedup {
   /** Verify candidate pairs with TRUE n-gram Jaccard over the full
     * (uncapped) shingle index: expand each pair by doc_a's shingles, inner
     * join on (doc_b, shingle) for the intersection, union via sizes.
+    * Callers that already aggregated per-doc sizes pass them in to avoid a
+    * second pass over the index.
     */
-  private def verifiedPairs(idx: DataFrame, candidates: DataFrame, threshold: Double): DataFrame = {
-    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+  private def verifiedPairs(
+      idx: DataFrame,
+      candidates: DataFrame,
+      threshold: Double,
+      precomputedSizes: Option[DataFrame] = None): DataFrame = {
+    val sizes = precomputedSizes.getOrElse(idx.groupBy("id").agg(count(lit(1)).as("sz")))
     val idxA = idx.select(col("id").as("doc_a"), col("sh").as("sh_a"))
     val idxB = idx.select(col("id").as("doc_b"), col("sh").as("sh_a"))
     candidates
@@ -147,7 +153,7 @@ object Dedup {
       .withColumn("ub_inter", col("cinter") + least(col("sz_a") - col("csz_a"), col("sz_b") - col("csz_b")))
       .filter(col("ub_inter") / (col("sz_a") + col("sz_b") - col("ub_inter")) >= threshold)
       .select("doc_a", "doc_b")
-    verifiedPairs(idx, candidates, threshold)
+    verifiedPairs(idx, candidates, threshold, precomputedSizes = Some(sizes))
   }
 
   /** MinHash signatures: `bands * rowsPerBand` independent min-hashes per
@@ -172,6 +178,13 @@ object Dedup {
     * only. This is the standard web-scale near-dup design (banding trades
     * recall for a fixed probe cost).
     *
+    * @param bucketCap drop band buckets holding more than this many
+    *                  documents before pairing — mass-duplicated content
+    *                  (every copy sharing every band) would otherwise fan
+    *                  out quadratically. Like jaccardPairs' dfCap: run
+    *                  [[exact]] first for exact-duplicate floods; a capped
+    *                  bucket's members can still pair through their other
+    *                  bands.
     * @return (doc_a, doc_b, jaccard) for candidates with verified
     *         jaccard >= threshold.
     */
@@ -182,7 +195,8 @@ object Dedup {
       n: Int = 3,
       bands: Int = 4,
       rowsPerBand: Int = 4,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6,
+      bucketCap: Int = 200): DataFrame = {
     val idx = shingleIndex(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mh = minhashes(idx, bands, rowsPerBand)
@@ -194,6 +208,9 @@ object Dedup {
     }
     val banded = mh.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "sig")))
+      .filter(col("__occ") <= bucketCap)
+      .drop("__occ")
 
     val candidates = banded.as("a")
       .join(banded.as("b"), col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))

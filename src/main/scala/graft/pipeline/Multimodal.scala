@@ -58,7 +58,7 @@ object Multimodal {
     * per partition, not per row — the shape that matters at scale. The
     * decode itself is the same deterministic stub.
     */
-  def batchDecode(spark: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame = {
+  def batchDecode(df: DataFrame): DataFrame = {
     val schema = StructType(df.schema.fields ++ Array(
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("n_frames", IntegerType)))
@@ -71,6 +71,6 @@ object Multimodal {
           (32 + nBytes % 608).toInt, (32 + (nBytes * 7) % 608).toInt, (1 + nBytes % 16).toInt))
       }
     }
-    spark.createDataFrame(rdd, schema)
+    df.sparkSession.createDataFrame(rdd, schema)
   }
 }

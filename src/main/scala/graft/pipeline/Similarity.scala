@@ -37,13 +37,17 @@ object Similarity {
     call_function(GraftFunctions.DotProductName, a, b)
 
   /** Session-aware dot product: the native codegen expression when the
-    * extension is registered, else the HOF fold (identical values — same
-    * left-to-right summation — just slower). Keeps the operators usable
-    * on sessions the caller doesn't control.
+    * extension is registered, else a HOF fold with IDENTICAL semantics —
+    * same left-to-right summation, and null products coalesced to 0.0 so
+    * ragged lengths / null elements behave like the native expression's
+    * min-length truncation (zip_with pads the short side with nulls, which
+    * would otherwise poison the whole sum to NULL). Keeps the operators
+    * usable, with the same values, on sessions the caller doesn't control.
     */
   private def dotOn(spark: org.apache.spark.sql.SparkSession): (Column, Column) => Column =
     if (spark.catalog.functionExists(GraftFunctions.DotProductName)) dot
-    else (a, b) => aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    else (a, b) =>
+      aggregate(zip_with(a, b, (x, y) => coalesce(x * y, lit(0.0))), lit(0.0), (acc, v) => acc + v)
 
   /** Cosine similarity, rounded to 6 decimals. Norms are recomputed per
     * call — prefer pre-normalized frames (see [[withNorm]]) in joins.

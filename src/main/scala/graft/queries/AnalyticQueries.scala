@@ -96,7 +96,7 @@ object AnalyticQueries {
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")),
 
-    // Set operations: buyers minus negative-balance customers, plus overlap.
+    // Set operations: buyers minus negative-balance customers (EXCEPT).
     "q10_setops" -> ((s, dir) => {
       val buyers = table(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
       val negative = table(s, dir, "customer").filter(col("c_acctbal") < 0)

@@ -81,13 +81,7 @@ object MergeQueries {
     "m8_merge_actions" -> ((s, dir) =>
       ordersMerge(s, dir).delete("YES").audit
         .groupBy("action").agg(count(lit(1)).as("n")).orderBy("action")),
-    "m9_merge_variance" -> ((s, dir) => {
-      val m = ordersMerge(s, dir).delete("YES")
-      val affected = m.audit.agg(count(lit(1)).as("affected_rows"))
-      val targetRows = ordersTarget(s, dir).agg(count(lit(1)).as("target_rows"))
-      affected.crossJoin(targetRows)
-        .withColumn("variance_pct", round(col("affected_rows") * lit(100.0) / col("target_rows"), 6))
-    }),
+    "m9_merge_variance" -> ((s, dir) => varianceFrame(s, dir)),
     "m10_merge_subset_source" -> ((s, dir) => {
       val m = SimpleMerge.into(ordersTarget(s, dir), "tgt")
         .using(ordersSource(s, dir).drop("o_orderpriority"), "src")
@@ -119,15 +113,19 @@ object MergeQueries {
     }),
     // Threshold verdict as data (A22/A23): the variance arithmetic and the
     // commit/abort decision for a 1% threshold, oracle-checked.
-    "m11_threshold_verdict" -> ((s, dir) => {
-      val m = ordersMerge(s, dir).delete("YES")
-      val affected = m.audit.agg(count(lit(1)).as("affected_rows"))
-      val targetRows = ordersTarget(s, dir).agg(count(lit(1)).as("target_rows"))
-      affected.crossJoin(targetRows)
-        .withColumn("variance_pct", round(col("affected_rows") * lit(100.0) / col("target_rows"), 6))
-        .withColumn("would_commit", col("affected_rows") * lit(100.0) / col("target_rows") <= lit(1.0))
-    })
+    "m11_threshold_verdict" -> ((s, dir) =>
+      varianceFrame(s, dir)
+        .withColumn("would_commit", col("affected_rows") * lit(100.0) / col("target_rows") <= lit(1.0)))
   )
+
+  /** Shared affected/target/variance computation (m9 and m11). */
+  private def varianceFrame(s: SparkSession, dir: String): DataFrame = {
+    val m = ordersMerge(s, dir).delete("YES")
+    val affected = m.audit.agg(count(lit(1)).as("affected_rows"))
+    val targetRows = ordersTarget(s, dir).agg(count(lit(1)).as("target_rows"))
+    affected.crossJoin(targetRows)
+      .withColumn("variance_pct", round(col("affected_rows") * lit(100.0) / col("target_rows"), 6))
+  }
 
   // ---- oracles ----
 

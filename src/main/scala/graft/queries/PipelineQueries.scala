@@ -25,6 +25,7 @@ object PipelineQueries {
   private val JaccardThreshold = 0.6
   private val Bands = 4
   private val RowsPerBand = 4
+  private val BucketCap = 200
 
   /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
   private def docsDupAug(s: SparkSession, dir: String): DataFrame = {
@@ -54,7 +55,8 @@ object PipelineQueries {
       Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold)
         .orderBy("doc_a", "doc_b")),
     "d3_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, Bands, RowsPerBand, JaccardThreshold)
+      Dedup.minhashLshPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, Bands, RowsPerBand,
+        JaccardThreshold, BucketCap)
         .orderBy("doc_a", "doc_b")),
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(docsNearAug(s, dir), "doc_id", "text")
@@ -221,9 +223,14 @@ object PipelineQueries {
          |bands AS (
          |  $bandUnions
          |),
+         |bands_c AS (
+         |  SELECT doc_id, band, sig FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, sig) AS occ FROM bands
+         |  ) WHERE occ <= $BucketCap
+         |),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
+         |  FROM bands_c a JOIN bands_c b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
          |),
          |interx AS (

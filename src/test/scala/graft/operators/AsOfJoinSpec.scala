@@ -49,6 +49,14 @@ class AsOfJoinSpec extends GraftSuite {
     assert(out.columns.toSeq === Seq("k", "tts", "trade", "qts", "quote"))
   }
 
+  test("keyless as-of join: one global timeline") {
+    val out = AsOfJoin.backward(
+      trades.filter($"k" === 1).drop("k"), quotes.filter($"k" === 1).drop("k"),
+      Seq.empty, "tts", "qts")
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out === Map("early" -> None, "tie" -> Some("q20"), "mid" -> Some("q20")))
+  }
+
   test("NULL join keys never match (equi-join semantics, unlike window grouping)") {
     val l = Seq((Option.empty[Long], 10L, "null-key"), (Some(1L), 10L, "keyed")).toDF("k", "tts", "trade")
     val r = Seq((Option.empty[Long], 5L, "null-quote"), (Some(1L), 5L, "q")).toDF("k", "qts", "quote")

@@ -109,7 +109,7 @@ class PipelineSpec extends GraftSuite {
     assert(metaType.fieldNames.toSeq === Multimodal.MetaSchema.fieldNames.toSeq)
     val exprPath = Multimodal.decodeStub(withBin)
       .select("doc_id", "width", "height", "n_frames").as[(Long, Int, Int, Int)].collect().toSet
-    val mapPath = Multimodal.batchDecode(spark, withBin)
+    val mapPath = Multimodal.batchDecode(withBin)
       .select("doc_id", "width", "height", "n_frames").as[(Long, Int, Int, Int)].collect().toSet
     assert(exprPath === mapPath)
     assert(exprPath.nonEmpty)
