@@ -150,6 +150,26 @@ object AnalyticQueries {
         .orderBy("event_id")
     }),
 
+    // Range join (point-in-interval) over overlapping time windows — no
+    // equi key, so the bin-bucketed graft.operators.RangeJoin is what keeps
+    // this off a nested-loop plan. Windows: 40 × 12h every 18h from
+    // 2024-01-01, epoch micros.
+    "q19_range_windows" -> ((s, dir) => {
+      val hourUs = 3600L * 1000000
+      val base = 1704067200000000L // 2024-01-01T00:00:00Z
+      val ev = Fixtures.events(s, dir)
+        .select(unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      val wins = s.range(0, 40).select(
+        col("id").as("w_id"),
+        (lit(base) + col("id") * lit(18 * hourUs)).as("w_start"),
+        (lit(base) + col("id") * lit(18 * hourUs) + lit(12 * hourUs)).as("w_end"))
+      graft.operators.RangeJoin
+        .pointInInterval(ev, wins, "ts_us", "w_start", "w_end", binWidth = 6 * hourUs)
+        .groupBy("w_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .orderBy("w_id")
+    }),
+
     // Full grouping lattice: cube over returnflag/linestatus.
     "q16_cube" -> ((s, dir) =>
       table(s, dir, "lineitem")
@@ -275,6 +295,18 @@ object AnalyticQueries {
         |  FROM events
         |) GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+    "q19_range_windows" ->
+      """WITH w AS (
+        |  SELECT i AS w_id,
+        |         1704067200000000 + i * 64800000000 AS w_start,
+        |         1704067200000000 + i * 64800000000 + 43200000000 AS w_end
+        |  FROM generate_series(0, 39) g(i)
+        |),
+        |e AS (SELECT epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT w.w_id, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM e JOIN w ON e.ts_us >= w.w_start AND e.ts_us < w.w_end
+        |GROUP BY w.w_id
+        |ORDER BY w.w_id""".stripMargin,
     "q16_cube" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

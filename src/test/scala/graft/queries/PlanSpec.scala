@@ -74,6 +74,14 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("bucket"))
   }
 
+  test("q19 range join: bin equi-join, not a nested-loop/cartesian plan") {
+    val plan = planOf("q19_range_windows")
+    assert(!plan.contains("CartesianProduct"))
+    // The containment predicate rides an equi-join on the bin id; a
+    // broadcast hash join on __graft_bin is fine, a BNLJ is not.
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q14 without forced hint: AQE owns the join strategy at every scale") {
     val plan = planOf("q14_brand_top_types")
     assert(plan.contains("AdaptiveSparkPlan"))
