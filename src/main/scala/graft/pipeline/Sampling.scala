@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling and dataset splitting for training-data
+  * curation. Decisions hash the row's ID through [[TextOps.portableHash]]
+  * (uniform in [0, 2^60)), so they are:
+  *
+  *   - reproducible: same id + seed → same verdict on every run, engine,
+  *     and cluster size (unlike `df.sample`, which is rng-and-partition
+  *     dependent);
+  *   - stable under corpus growth: adding documents never flips existing
+  *     rows between splits (the property that keeps eval sets clean);
+  *   - map-only: a pure filter/projection, no shuffle, pushdown-friendly.
+  */
+object Sampling {
+
+  private val HashSpace: Double = (1L << 60).toDouble
+
+  /** Threshold in hash space for a [0,1] rate (public so oracle SQL can
+    * inline the identical integer constant).
+    */
+  def thresholdFor(rate: Double): Long = {
+    require(rate >= 0 && rate <= 1, s"rate must be in [0,1], got $rate")
+    (rate * HashSpace).toLong
+  }
+
+  /** Keep-decision column: true for ~rate of ids, deterministically. */
+  def hashFilter(id: Column, rate: Double, seed: Int): Column =
+    TextOps.portableHash(id.cast("string"), seed) < lit(thresholdFor(rate))
+
+  /** Reproducible sample of ~rate of the rows. */
+  def sample(df: DataFrame, idCol: String, rate: Double, seed: Int): DataFrame =
+    df.filter(hashFilter(col(idCol), rate, seed))
+
+  /** Assign every row to a named split with the given proportions
+    * (normalized). Splits are disjoint and exhaustive: cumulative hash
+    * ranges, last split takes the remainder.
+    */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)], seed: Int): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(weights.forall(_._2 > 0), s"split weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val cumulative = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val h = TextOps.portableHash(col(idCol).cast("string"), seed)
+    val assigned = weights.init.zip(cumulative.init).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cum)) => acc.when(h < lit(thresholdFor(cum)), lit(name))
+    }.otherwise(lit(weights.last._1))
+    df.withColumn("split", assigned)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextStats}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -104,6 +104,20 @@ object PipelineQueries {
       Similarity.cosineNearDupPairs(
         aug, aug.filter(col("vec_id") < 8), "vec_id", "embedding", threshold = 0.8)
         .orderBy("vec_a", "vec_b")
+    }),
+    // Reproducible sampling + train/val/test split by portable hash:
+    // per-language counts of a 20% sample and an 80/10/10 split.
+    "s1_hash_sampling" -> ((s, dir) => {
+      val d = Sampling.split(
+        table(s, dir, "documents"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+      d.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(Sampling.hashFilter(col("doc_id"), 0.2, seed = 7), 1)).as("n_sample"),
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"),
+        count(when(col("split") === "test", 1)).as("n_test"))
+        .orderBy("lang")
     }),
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.decodeStub(
@@ -355,6 +369,23 @@ object PipelineQueries {
         |)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "s1_hash_sampling" -> {
+      val t20 = Sampling.thresholdFor(0.2)
+      val t80 = Sampling.thresholdFor(0.8)
+      val t90 = Sampling.thresholdFor(0.9)
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN h7 < $t20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
+         |       CAST(sum(CASE WHEN h11 < $t80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+         |       CAST(sum(CASE WHEN h11 >= $t80 AND h11 < $t90 THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+         |       CAST(sum(CASE WHEN h11 >= $t90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+         |FROM (
+         |  SELECT lang,
+         |         ${sqlHash(7, "doc_id::VARCHAR")} AS h7,
+         |         ${sqlHash(11, "doc_id::VARCHAR")} AS h11
+         |  FROM documents
+         |)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "mm1_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

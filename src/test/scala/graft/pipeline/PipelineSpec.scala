@@ -103,6 +103,33 @@ class PipelineSpec extends GraftSuite {
     assert(r.getAs[Double]("stopword_ratio") === (2.0 / 3 * 1e6).round / 1e6)
   }
 
+  test("hash sampling: deterministic, splits disjoint+exhaustive, growth-stable") {
+    val base = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+    val s1 = Sampling.split(base, "doc_id", weights, seed = 11)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.split(base, "doc_id", weights, seed = 11)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2) // deterministic
+    assert(s1.size === 400 && s1.values.toSet.subsetOf(Set("train", "val", "test")))
+    // Rough proportions (hash-uniform, 400 draws).
+    val train = s1.values.count(_ == "train")
+    assert(train > 270 && train < 370, s"train=$train of 400")
+
+    // Growth stability: a bigger corpus never reassigns existing rows.
+    val grown = base.unionByName((400L until 800L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+    val s3 = Sampling.split(grown, "doc_id", weights, seed = 11)
+      .filter($"doc_id" < 400).select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s3 === s1)
+
+    // Sampling at different seeds picks different subsets.
+    val a = Sampling.sample(base, "doc_id", 0.2, seed = 7).select("doc_id").as[Long].collect().toSet
+    val b = Sampling.sample(base, "doc_id", 0.2, seed = 8).select("doc_id").as[Long].collect().toSet
+    assert(a !== b)
+    assert(a.nonEmpty)
+  }
+
   test("multimodal ingest + decode stub: expression and mapPartitions paths agree") {
     val withBin = Multimodal.ingestBinary(docs, "doc_id", "text")
     val metaType = withBin.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
