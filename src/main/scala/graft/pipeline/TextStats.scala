@@ -62,6 +62,30 @@ object TextStats {
       regexTokenCount(col(textCol)).cast("long").as("n_regex_tokens"))
   }
 
+  /** Rule-based quality filter — the curation verdict built from the
+    * quality signals: per-document booleans for each rejection rule plus
+    * the final keep decision. Kept as separate flag columns (not a reasons
+    * array) so downstream per-rule rejection stats are one aggregation.
+    * Map-only, like the signals themselves.
+    */
+  def qualityFilter(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 10,
+      maxTokens: Int = 5000,
+      minTypeTokenRatio: Double = 0.2): DataFrame = {
+    val w = TextOps.tokens(col(textCol))
+    val nTok = size(w)
+    val ttr = size(array_distinct(w)) / nTok.cast("double")
+    docs.select(
+      col(idCol),
+      (nTok < minTokens).as("too_short"),
+      (nTok > maxTokens).as("too_long"),
+      (ttr < minTypeTokenRatio).as("low_diversity"))
+      .withColumn("keep", !col("too_short") && !col("too_long") && !col("low_diversity"))
+  }
+
   /** Marker vocabularies for heuristic language ID. Any deterministic
     * token→language evidence works; scoring is marker-hit counting.
     */

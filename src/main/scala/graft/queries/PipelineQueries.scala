@@ -119,6 +119,21 @@ object PipelineQueries {
         count(when(col("split") === "test", 1)).as("n_test"))
         .orderBy("lang")
     }),
+    // Quality-filter verdicts: per-rule rejection flags + keep decision.
+    "t5_quality_filter" -> ((s, dir) =>
+      TextStats.qualityFilter(
+        table(s, dir, "documents"), "doc_id", "text",
+        minTokens = 30, maxTokens = 60, minTypeTokenRatio = 0.25)
+        .orderBy("doc_id")),
+    // Session-level rollup via the generalized sessionize operator.
+    "t6_event_sessions" -> ((s, dir) =>
+      graft.operators.Sessionize.byGap(Fixtures.events(s, dir), Seq("user_id"), "ts", "30 minutes")
+        .groupBy("user_id", "session_idx")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
+          max(unix_micros(col("ts").cast("timestamp"))).as("end_us"))
+        .orderBy("user_id", "session_idx")),
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.decodeStub(
         Multimodal.ingestBinary(
@@ -369,6 +384,31 @@ object PipelineQueries {
         |)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "t5_quality_filter" ->
+      """SELECT doc_id,
+        |       len(w) < 30 AS too_short,
+        |       len(w) > 60 AS too_long,
+        |       len(list_distinct(w)) / (len(w) * 1.0) < 0.25 AS low_diversity,
+        |       NOT (len(w) < 30 OR len(w) > 60 OR len(list_distinct(w)) / (len(w) * 1.0) < 0.25) AS keep
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "t6_event_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |y AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "s1_hash_sampling" -> {
       val t20 = Sampling.thresholdFor(0.2)
       val t80 = Sampling.thresholdFor(0.8)

@@ -130,6 +130,40 @@ class PipelineSpec extends GraftSuite {
     assert(a.nonEmpty)
   }
 
+  test("quality filter: per-rule flags and keep verdict") {
+    val d = Seq(
+      (1L, "a b c"), // too short
+      (2L, "w w w w w w w w w w"), // 10 tokens but 1 type: low diversity
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val out = TextStats.qualityFilter(d, "doc_id", "text", minTokens = 5, maxTokens = 100, minTypeTokenRatio = 0.3)
+      .select("doc_id", "too_short", "low_diversity", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(out(1L) === ((true, false, false)))
+    assert(out(2L) === ((false, true, false)))
+    assert(out(3L) === ((false, false, true)))
+  }
+
+  test("sessionize: gap starts a new session, index is per-key cumulative") {
+    import java.sql.Timestamp
+    val e = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 10:10:00")), // same session
+      (1L, Timestamp.valueOf("2024-01-01 11:00:00")), // 50min gap: new session
+      (2L, Timestamp.valueOf("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.operators.Sessionize.byGap(e, Seq("user_id"), "ts", "30 minutes")
+      .select("user_id", "ts", "session_idx")
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .map { case (u, t, s) => (u, t.toString, s) }.toSet
+    assert(out === Set(
+      (1L, "2024-01-01 10:00:00.0", 1L),
+      (1L, "2024-01-01 10:10:00.0", 1L),
+      (1L, "2024-01-01 11:00:00.0", 2L),
+      (2L, "2024-01-01 10:00:00.0", 1L)))
+  }
+
   test("multimodal ingest + decode stub: expression and mapPartitions paths agree") {
     val withBin = Multimodal.ingestBinary(docs, "doc_id", "text")
     val metaType = withBin.schema("meta").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
