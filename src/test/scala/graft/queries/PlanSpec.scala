@@ -82,6 +82,23 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q17 json extraction: props is the only wide column read") {
+    val plan = planOf("q17_json_props")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("props") && !readSchema.contains("user_id"))
+  }
+
+  test("q15 as-of: single shuffle key, no cartesian") {
+    val plan = planOf("q15_asof_attribution")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("s1 sampling: map-only except the final aggregation") {
+    val plan = planOf("s1_hash_sampling")
+    // one exchange for the groupBy(lang), one for the orderBy — no joins.
+    assert(!plan.contains("Join"))
+  }
+
   test("q14 without forced hint: AQE owns the join strategy at every scale") {
     val plan = planOf("q14_brand_top_types")
     assert(plan.contains("AdaptiveSparkPlan"))
