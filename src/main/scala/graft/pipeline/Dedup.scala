@@ -220,6 +220,44 @@ object Dedup {
     verifiedPairs(idx, candidates, threshold)
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    * — the MOSS algorithm): hash every token k-gram in sequence, then keep
+    * the MINIMUM hash of each sliding window of `window` consecutive
+    * k-grams. Guarantees any shared run of window+k-1 tokens between two
+    * documents shares a fingerprint, at ~2/(window+1) the density of full
+    * k-gram hashing — the rolling-hash fingerprint set that powers
+    * plagiarism/overlap detection at corpus scale. One shuffle on the doc
+    * id; the k-gram build and the sliding min share the same window sort.
+    *
+    * @return distinct (id, fp) rows — join on fp for overlap candidates.
+    */
+  def winnowingFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      window: Int = 4): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val byDoc = Window.partitionBy("id").orderBy("pos")
+    val exploded = docs
+      .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = (1 until k).foldLeft(exploded) { (df, o) =>
+      df.withColumn(s"__w$o", lead(col("w"), o).over(byDoc))
+    }
+    val gram = concat_ws(" ", col("w") +: (1 until k).map(o => col(s"__w$o")): _*)
+    val guard = if (k > 1) col(s"__w${k - 1}").isNotNull else col("w").isNotNull
+    withLeads
+      .filter(guard)
+      .select(col("id"), col("pos"), TextOps.portableHash(gram, 0).as("h"))
+      .withColumn(
+        "fp",
+        min(col("h")).over(byDoc.rowsBetween(-(window - 1), Window.currentRow)))
+      .withColumn("__n", row_number().over(byDoc))
+      .filter(col("__n") >= window) // only full windows fingerprint
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
+
   /** 32-bit SimHash over distinct tokens: per bit position, majority vote of
     * the token hashes' bits (+1/-1), reassembled into a single integer.
     * Near-dups land on equal (or small-hamming-distance) values, making

@@ -119,6 +119,13 @@ object PipelineQueries {
         count(when(col("split") === "test", 1)).as("n_test"))
         .orderBy("lang")
     }),
+    // Winnowing fingerprints (rolling k-gram hash, sliding-window minima)
+    // over the near-dup corpus: near-copies share most fingerprints.
+    "d5_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(docsNearAug(s, dir), "doc_id", "text", k = 5, window = 4)
+        .withColumnRenamed("id", "doc_id")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_fp"), min("fp").as("min_fp"), max("fp").as("max_fp"))
+        .orderBy("doc_id")),
     // Quality-filter verdicts: per-rule rejection flags + keep decision.
     "t5_quality_filter" -> ((s, dir) =>
       TextStats.qualityFilter(
@@ -384,6 +391,24 @@ object PipelineQueries {
         |)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    "d5_winnowing" ->
+      s"""WITH $nearAugCte,
+         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+         |grams AS (
+         |  SELECT doc_id, i AS pos,
+         |         ${sqlHash(0, "w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]")} AS h
+         |  FROM words, unnest(range(1, len(w) - 3)) AS g(i)
+         |  WHERE len(w) >= 5
+         |),
+         |mins AS (
+         |  SELECT doc_id,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+         |  FROM grams
+         |),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM mins WHERE rn >= 4)
+         |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+         |FROM fps GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t5_quality_filter" ->
       """SELECT doc_id,
         |       len(w) < 30 AS too_short,

@@ -42,6 +42,19 @@ class PipelineSpec extends GraftSuite {
     assert(lsh.contains((1L, 2L))) // identical docs always share every band
   }
 
+  test("winnowing: shared token runs share fingerprints; disjoint texts share none") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "PREFIX alpha beta gamma delta epsilon zeta eta theta iota kappa"), // shares the run
+      (3L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val fps = Dedup.winnowingFingerprints(d, "doc_id", "text", k = 3, window = 2)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Winnowing guarantee: a shared run of window+k-1 tokens shares >= 1 fingerprint.
+    assert((fps(1L) & fps(2L)).nonEmpty)
+    assert((fps(1L) & fps(3L)).isEmpty)
+  }
+
   test("simhash is equal for identical docs and differs for unrelated ones") {
     val sh = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
     assert(sh(1L) === sh(2L))
