@@ -41,6 +41,13 @@ object AsOfJoin {
     val rightPayload = right.columns.toSeq.filterNot(keys.contains)
     val collisions = rightPayload.intersect(leftCols)
     require(collisions.isEmpty, s"right payload columns collide with left: ${collisions.mkString(",")} — rename before joining")
+    // Internal working names live under the engine-wide reserved __graft_
+    // prefix; reject inputs that collide, mirroring MergePlan's gate, so a
+    // user column named like an internal produces a clear error instead of
+    // an opaque duplicate-column AnalysisException (ADVICE r2 #4).
+    val reserved = (leftCols ++ right.columns).filter(_.toLowerCase.startsWith("__graft_"))
+    require(reserved.isEmpty,
+      s"Column [${reserved.head}] uses the reserved __graft_ prefix — rename before joining")
 
     val lType = StructType(left.schema.fields)
     val rType = StructType(right.schema.fields.filterNot(f => keys.contains(f.name)))
@@ -55,29 +62,29 @@ object AsOfJoin {
       .filter(keysNotNull && col(rightTs).isNotNull)
       .select(
         keys.map(col) ++ Seq(
-          col(rightTs).as("__ord"),
-          lit(0).as("__side"),
-          struct(rightPayload.map(col): _*).as("__r"),
-          lit(null).cast(lType).as("__l")): _*)
+          col(rightTs).as("__graft_asof_ord"),
+          lit(0).as("__graft_asof_side"),
+          struct(rightPayload.map(col): _*).as("__graft_asof_r"),
+          lit(null).cast(lType).as("__graft_asof_l")): _*)
     val lTagged = left.select(
       keys.map(col) ++ Seq(
-        col(leftTs).as("__ord"),
-        lit(1).as("__side"),
-        lit(null).cast(rType).as("__r"),
-        struct(leftCols.map(col): _*).as("__l")): _*)
+        col(leftTs).as("__graft_asof_ord"),
+        lit(1).as("__graft_asof_side"),
+        lit(null).cast(rType).as("__graft_asof_r"),
+        struct(leftCols.map(col): _*).as("__graft_asof_l")): _*)
 
     // Backward: ascending time. Forward: descending time, so "preceding"
     // rows are the later ones. Null LEFT timestamps sort first either way —
     // at the window start they see no right rows, i.e. they never match.
-    val ord: Column = if (forwardDir) col("__ord").desc_nulls_first else col("__ord").asc_nulls_first
+    val ord: Column = if (forwardDir) col("__graft_asof_ord").desc_nulls_first else col("__graft_asof_ord").asc_nulls_first
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(ord, col("__side").asc)
+      .orderBy(ord, col("__graft_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     rTagged.unionByName(lTagged)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .select(leftCols.map(c => col("__l." + c).as(c)) ++
-        rightPayload.map(c => col("__m." + c).as(c)): _*)
+      .withColumn("__graft_asof_m", last(col("__graft_asof_r"), ignoreNulls = true).over(w))
+      .filter(col("__graft_asof_side") === 1)
+      .select(leftCols.map(c => col("__graft_asof_l." + c).as(c)) ++
+        rightPayload.map(c => col("__graft_asof_m." + c).as(c)): _*)
   }
 }

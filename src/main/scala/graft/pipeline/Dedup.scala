@@ -34,11 +34,16 @@ object Dedup {
     * per (partition, hash) moves — a window would sort-shuffle EVERY row
     * and hot-spot on heavily duplicated content. Requires unique ids
     * (true of the corpus) for a deterministic winner.
+    *
+    * Hashes with sha2-256, not md5: md5 collisions are practically
+    * constructible, and in a training-data pipeline a crafted collision
+    * silently DROPS a legitimate document (ADVICE r2 #3 — a data-poisoning
+    * vector this layer must resist).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val cols = docs.columns.toSeq
     docs
-      .groupBy(md5(col(textCol)).as("__h"))
+      .groupBy(sha2(col(textCol), 256).as("__h"))
       .agg(
         min_by(struct(cols.map(col): _*), col(idCol)).as("__row"),
         count(lit(1)).as("n_copies"))

@@ -34,18 +34,31 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, rate: Double, seed: Int): DataFrame =
     df.filter(hashFilter(col(idCol), rate, seed))
 
-  /** Assign every row to a named split with the given proportions
-    * (normalized). Splits are disjoint and exhaustive: cumulative hash
-    * ranges, last split takes the remainder.
+  /** Per-boundary hash thresholds for a split spec: one upper bound per
+    * split EXCEPT the last (which takes the remainder). Cumulative weights
+    * are rounded to 12 decimals before conversion so a floating-point
+    * running sum (0.8 + 0.1 = 0.9000000000000001) lands on the SAME integer
+    * constant as `thresholdFor(0.9)` — callers inlining thresholds into
+    * oracle/portable SQL get bit-identical assignment (ADVICE r2 #2).
     */
-  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)], seed: Int): DataFrame = {
+  def splitThresholds(weights: Seq[(String, Double)]): Seq[Long] = {
     require(weights.nonEmpty, "at least one split required")
     require(weights.forall(_._2 > 0), s"split weights must be positive: $weights")
     val total = weights.map(_._2).sum
-    val cumulative = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+      .map(c => thresholdFor(
+        BigDecimal(c).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble))
+  }
+
+  /** Assign every row to a named split with the given proportions
+    * (normalized). Splits are disjoint and exhaustive: cumulative hash
+    * ranges via [[splitThresholds]], last split takes the remainder.
+    */
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)], seed: Int): DataFrame = {
+    val bounds = splitThresholds(weights)
     val h = TextOps.portableHash(col(idCol).cast("string"), seed)
-    val assigned = weights.init.zip(cumulative.init).foldLeft(when(lit(false), lit(""))) {
-      case (acc, ((name, _), cum)) => acc.when(h < lit(thresholdFor(cum)), lit(name))
+    val assigned = weights.init.zip(bounds).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), bound)) => acc.when(h < lit(bound), lit(name))
     }.otherwise(lit(weights.last._1))
     df.withColumn("split", assigned)
   }

@@ -22,13 +22,14 @@ object Fixtures {
     *
     * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session.
     * The graft mains (Verify/Bench) and the test base set it at session
-    * construction; for any other session this sets it if (and only if)
-    * unset — an explicit, idempotent contract rather than a silent
-    * overwrite (ADVICE r1 #5: no hidden order-dependent conf mutation).
+    * construction; for any other session this sets it when its EFFECTIVE
+    * value is not already "true" (ADVICE r2 #1: `getOption` on a registered
+    * SQLConf falls back to the entry default and never returns None, so an
+    * is-unset guard is dead code — the guard must compare values).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
-    if (spark.conf.getOption(key).isEmpty) spark.conf.set(key, "true")
+    if (spark.conf.get(key, "false") != "true") spark.conf.set(key, "true")
     table(spark, dir, "events")
       .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
   }

@@ -210,8 +210,8 @@ object PipelineQueries {
       s"""WITH $dupAugCte
          |SELECT doc_id, lang, source, n_chars, n_copies FROM (
          |  SELECT doc_id, lang, source, n_chars,
-         |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
-         |         count(*) OVER (PARTITION BY md5(text)) AS n_copies
+         |         row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY sha256(text)) AS n_copies
          |  FROM d
          |) WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
@@ -436,8 +436,10 @@ object PipelineQueries {
         |ORDER BY user_id, session_idx""".stripMargin,
     "s1_hash_sampling" -> {
       val t20 = Sampling.thresholdFor(0.2)
-      val t80 = Sampling.thresholdFor(0.8)
-      val t90 = Sampling.thresholdFor(0.9)
+      // The SAME per-boundary constants split() evaluates — never re-derived
+      // with independent float arithmetic (ADVICE r2 #2).
+      val Seq(t80, t90) = Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(CASE WHEN h7 < $t20 THEN 1 ELSE 0 END) AS BIGINT) AS n_sample,
          |       CAST(sum(CASE WHEN h11 < $t80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,

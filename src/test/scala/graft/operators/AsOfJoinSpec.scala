@@ -72,4 +72,17 @@ class AsOfJoinSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("collide"))
   }
+
+  test("reserved __graft_ prefixed input columns are rejected with a clear error") {
+    val badLeft = trades.withColumnRenamed("trade", "__graft_asof_ord")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(badLeft, quotes, Seq("k"), "tts", "qts")
+    }
+    assert(e.getMessage.contains("reserved __graft_ prefix"))
+    val badRight = quotes.withColumnRenamed("quote", "__GRAFT_x") // case-insensitive
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, badRight, Seq("k"), "tts", "qts")
+    }
+    assert(e2.getMessage.contains("reserved __graft_ prefix"))
+  }
 }

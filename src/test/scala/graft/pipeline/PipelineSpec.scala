@@ -143,6 +143,16 @@ class PipelineSpec extends GraftSuite {
     assert(a.nonEmpty)
   }
 
+  test("split boundaries equal the directly-computed thresholds (no fp drift)") {
+    // 0.8 + 0.1 sums to 0.9000000000000001 in doubles; the boundary must
+    // still be the SAME integer an oracle inlining thresholdFor(0.9) uses.
+    val bounds = Sampling.splitThresholds(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(bounds === Seq(Sampling.thresholdFor(0.8), Sampling.thresholdFor(0.9)))
+    // Unnormalized weights land on identical constants too.
+    val scaled = Sampling.splitThresholds(Seq("train" -> 8.0, "val" -> 1.0, "test" -> 1.0))
+    assert(scaled === bounds)
+  }
+
   test("quality filter: per-rule flags and keep verdict") {
     val d = Seq(
       (1L, "a b c"), // too short
