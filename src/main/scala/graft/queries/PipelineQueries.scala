@@ -26,6 +26,10 @@ object PipelineQueries {
   private val Bands = 4
   private val RowsPerBand = 4
   private val BucketCap = 200
+  // e3's centroid buckets hold |corpus|/8 vectors (~70 at sf0.01, ~650 at
+  // sf0.1) — the cap must sit above normal occupancy at every bench SF and
+  // still bound a duplicate flood. The oracle inlines the same constant.
+  private val EmbBucketCap = 2000
 
   /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
   private def docsDupAug(s: SparkSession, dir: String): DataFrame = {
@@ -102,7 +106,8 @@ object PipelineQueries {
           transform(col("embedding").cast("array<double>"), x => x * lit(1.1) + lit(0.01))
             .as("embedding")))
       Similarity.cosineNearDupPairs(
-        aug, aug.filter(col("vec_id") < 8), "vec_id", "embedding", threshold = 0.8)
+        aug, aug.filter(col("vec_id") < 8), "vec_id", "embedding", threshold = 0.8,
+        bucketCap = EmbBucketCap)
         .orderBy("vec_a", "vec_b")
     }),
     // Reproducible sampling + train/val/test split by portable hash:
@@ -365,7 +370,7 @@ object PipelineQueries {
         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
     "e3_embedding_neardup" ->
-      """WITH v AS (
+      s"""WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
         |  UNION ALL
         |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01)
@@ -383,11 +388,16 @@ object PipelineQueries {
         |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
         |  ) WHERE crnk = 1
         |),
+        |bc AS (
+        |  SELECT vid, bucket, e FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY bucket) AS occ FROM b
+        |  ) WHERE occ <= $EmbBucketCap
+        |),
         |p AS (
         |  SELECT x.vid AS vec_a, y.vid AS vec_b,
         |         round(list_dot_product(x.e, y.e)
         |               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
-        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vid < y.vid
+        |  FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.vid < y.vid
         |)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,

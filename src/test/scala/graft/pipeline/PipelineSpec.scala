@@ -101,6 +101,54 @@ class PipelineSpec extends GraftSuite {
     assert(out === Set(0L, 10L)) // centroid-0's bucket only
   }
 
+  test("dedup handles release their persisted indexes (no leaked cache blocks)") {
+    // A corpus unique to this test — Spark's CacheManager dedupes cached
+    // plans, so reusing `docs` would silently share (and then unpersist)
+    // entries leaked by other tests instead of exercising fresh ones.
+    val own = Seq(
+      (1L, "release test corpus alpha beta gamma delta"),
+      (2L, "release test corpus alpha beta gamma delta epsilon"),
+      (3L, "wholly unrelated release-lifecycle document body")
+    ).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+
+    val jh = Dedup.jaccardPairsHandle(own, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)
+    assert(jh.pairs.count() >= 1)
+    val mh = Dedup.minhashLshPairsHandle(own, "doc_id", "text", threshold = 0.5)
+    mh.pairs.count()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+
+    jh.release(); mh.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+
+    // Scoped form releases on exit, including the result value.
+    val n = Dedup.withJaccardPairs(own, "doc_id", "text", threshold = 0.5)(_.count())
+    assert(n >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+
+  test("embedding near-dup pair join is bounded by bucketCap (duplicate flood)") {
+    // 40 near-identical vectors — all land in centroid-0's bucket by
+    // construction; a handful of ordinary vectors live in the other bucket.
+    val flood = (0L until 40L).map(i => (i, Array(1.0f, i.toFloat * 1e-6f)))
+    val rest = Seq((100L, Array(0.0f, 1.0f)), (101L, Array(0.01f, 0.99f)))
+    val vecs = (flood ++ rest).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+    // Cap below the flood's occupancy: the flooded bucket is dropped whole,
+    // the healthy bucket still pairs — the join stays bounded.
+    val capped = Similarity.cosineNearDupPairs(vecs, centroids, "vec_id", "embedding",
+      threshold = 0.9, bucketCap = 10)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(capped === Set((100L, 101L)))
+
+    // Cap above occupancy: the flood pairs quadratically (40*39/2), proving
+    // the cap was what bounded it.
+    val uncapped = Similarity.cosineNearDupPairs(vecs, centroids, "vec_id", "embedding",
+      threshold = 0.9, bucketCap = 1000)
+    assert(uncapped.count() === (40L * 39 / 2) + 1)
+  }
+
   test("language ID predicts from marker hits with deterministic tie rules") {
     val d = Seq((1L, "the value of the table"), (2L, "der hund ist und das"), (3L, "xyz qqq")).toDF("doc_id", "text")
     val out = TextStats.langId(d, "doc_id", "text")
