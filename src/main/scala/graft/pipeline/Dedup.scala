@@ -55,8 +55,9 @@ object Dedup {
   def withMinhashLshPairs[T](
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
-      threshold: Double = 0.6, bucketCap: Int = 200)(f: DataFrame => T): T = {
-    val h = minhashLshPairsHandle(docs, idCol, textCol, n, bands, rowsPerBand, threshold, bucketCap)
+      threshold: Double = 0.6, bucketCap: Int = 200,
+      hashMode: HashMode = HashMode.Md5Portable)(f: DataFrame => T): T = {
+    val h = minhashLshPairsHandle(docs, idCol, textCol, n, bands, rowsPerBand, threshold, bucketCap, hashMode)
     try f(h.pairs) finally h.release()
   }
 
@@ -216,9 +217,9 @@ object Dedup {
     * i%2 of md5 digest i/2, so k hash functions cost k/2 md5 calls —
     * the md5s dominate this stage's CPU.
     */
-  private def minhashes(idx: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+  private def minhashes(idx: DataFrame, bands: Int, rowsPerBand: Int, hashMode: HashMode): DataFrame = {
     val k = bands * rowsPerBand
-    val mins = (0 until k).map(i => min(TextOps.portableHash(col("sh"), i / 2, i % 2)).as(s"h$i"))
+    val mins = (0 until k).map(i => min(hashMode.hash(col("sh"), i / 2, i % 2)).as(s"h$i"))
     idx.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
@@ -250,8 +251,9 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       threshold: Double = 0.6,
-      bucketCap: Int = 200): DataFrame =
-    minhashLshPairsHandle(docs, idCol, textCol, n, bands, rowsPerBand, threshold, bucketCap).pairs
+      bucketCap: Int = 200,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    minhashLshPairsHandle(docs, idCol, textCol, n, bands, rowsPerBand, threshold, bucketCap, hashMode).pairs
 
   /** [[minhashLshPairs]] returning a [[PairsHandle]] so the persisted
     * shingle index can be released once the result is consumed.
@@ -264,10 +266,11 @@ object Dedup {
       bands: Int = 4,
       rowsPerBand: Int = 4,
       threshold: Double = 0.6,
-      bucketCap: Int = 200): PairsHandle = {
+      bucketCap: Int = 200,
+      hashMode: HashMode = HashMode.Md5Portable): PairsHandle = {
     val idx = shingleIndex(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mh = minhashes(idx, bands, rowsPerBand)
+    val mh = minhashes(idx, bands, rowsPerBand, hashMode)
 
     // One row per (doc, band): signature = the band's row hashes joined.
     val bandStructs = (0 until bands).map { b =>
@@ -304,7 +307,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       k: Int = 5,
-      window: Int = 4): DataFrame = {
+      window: Int = 4,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val exploded = docs
@@ -316,7 +320,7 @@ object Dedup {
     val guard = if (k > 1) col(s"__w${k - 1}").isNotNull else col("w").isNotNull
     withLeads
       .filter(guard)
-      .select(col("id"), col("pos"), TextOps.portableHash(gram, 0).as("h"))
+      .select(col("id"), col("pos"), hashMode.hash(gram, 0).as("h"))
       .withColumn(
         "fp",
         min(col("h")).over(byDoc.rowsBetween(-(window - 1), Window.currentRow)))
@@ -332,10 +336,11 @@ object Dedup {
     * SimHash a groupBy-able dedup key at any scale — no pairing needed for
     * the exact-bucket variant.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
     val toks = docs
       .select(col(idCol).as("id"), explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", TextOps.portableHash(col("tok"), 0))
+      .withColumn("h", hashMode.hash(col("tok"), 0))
     val bits = toks
       .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
       .groupBy("id", "b")

@@ -27,12 +27,14 @@ object Sampling {
   }
 
   /** Keep-decision column: true for ~rate of ids, deterministically. */
-  def hashFilter(id: Column, rate: Double, seed: Int): Column =
-    TextOps.portableHash(id.cast("string"), seed) < lit(thresholdFor(rate))
+  def hashFilter(id: Column, rate: Double, seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): Column =
+    hashMode.hash(id.cast("string"), seed) < lit(thresholdFor(rate))
 
   /** Reproducible sample of ~rate of the rows. */
-  def sample(df: DataFrame, idCol: String, rate: Double, seed: Int): DataFrame =
-    df.filter(hashFilter(col(idCol), rate, seed))
+  def sample(df: DataFrame, idCol: String, rate: Double, seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    df.filter(hashFilter(col(idCol), rate, seed, hashMode))
 
   /** Per-boundary hash thresholds for a split spec: one upper bound per
     * split EXCEPT the last (which takes the remainder). Cumulative weights
@@ -54,9 +56,10 @@ object Sampling {
     * (normalized). Splits are disjoint and exhaustive: cumulative hash
     * ranges via [[splitThresholds]], last split takes the remainder.
     */
-  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)], seed: Int): DataFrame = {
+  def split(df: DataFrame, idCol: String, weights: Seq[(String, Double)], seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
     val bounds = splitThresholds(weights)
-    val h = TextOps.portableHash(col(idCol).cast("string"), seed)
+    val h = hashMode.hash(col(idCol).cast("string"), seed)
     val assigned = weights.init.zip(bounds).foldLeft(when(lit(false), lit(""))) {
       case (acc, ((name, _), bound)) => acc.when(h < lit(bound), lit(name))
     }.otherwise(lit(weights.last._1))

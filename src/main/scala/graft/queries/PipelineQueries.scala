@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextStats}
+import graft.pipeline.{Dedup, HashMode, Multimodal, Sampling, Similarity, TextStats}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -61,6 +61,15 @@ object PipelineQueries {
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, Bands, RowsPerBand,
         JaccardThreshold, BucketCap)
+        .orderBy("doc_a", "doc_b")),
+    // Production-hash twin of d3: the identical LSH pipeline through
+    // xxhash64 (codegen'd — no per-shingle md5 digests, the cost that makes
+    // d3 a bench outlier). xxhash64 has no DuckDB twin, so the driver
+    // records the weaker rows-only check here; d3 keeps the exact oracle.
+    // The bench line quantifies the md5→xxhash64 saving at the same SF.
+    "d6_minhash_lsh_fast" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, Bands, RowsPerBand,
+        JaccardThreshold, BucketCap, HashMode.Xxhash64)
         .orderBy("doc_a", "doc_b")),
     "d4_simhash" -> ((s, dir) =>
       Dedup.simhash(docsNearAug(s, dir), "doc_id", "text")

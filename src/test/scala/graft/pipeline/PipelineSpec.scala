@@ -101,6 +101,44 @@ class PipelineSpec extends GraftSuite {
     assert(out === Set(0L, 10L)) // centroid-0's bucket only
   }
 
+  test("xxhash64 hash mode: 60-bit range, independent seeds, LSH still verifies exactly") {
+    // Range + seed independence of the production hash.
+    val hs = docs.select(
+      HashMode.Xxhash64.hash(col("text"), 0).as("h0"),
+      HashMode.Xxhash64.hash(col("text"), 0, 1).as("h0b"),
+      HashMode.Xxhash64.hash(col("text"), 1).as("h1"))
+      .as[(Long, Long, Long)].collect()
+    assert(hs.forall { case (a, b, c) => Seq(a, b, c).forall(h => h >= 0 && h < (1L << 60)) })
+    assert(hs.exists { case (a, b, c) => a != b && a != c })
+
+    // The exact-duplicate pair shares every band under ANY hash function,
+    // and verification is true Jaccard — so the planted pair must survive
+    // the mode switch, and all pairs remain a subset of exact Jaccard's.
+    val fast = Dedup.minhashLshPairs(docs, "doc_id", "text", n = 3, bands = 4, rowsPerBand = 4,
+      threshold = 0.5, bucketCap = 200, hashMode = HashMode.Xxhash64)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(fast.contains((1L, 2L)))
+    assert(fast.subsetOf(exact))
+
+    // Sampling under xxhash64: deterministic, disjoint+exhaustive split.
+    val base = (0L until 400L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = Sampling.split(base, "doc_id", w, seed = 11, HashMode.Xxhash64)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val s2 = Sampling.split(base, "doc_id", w, seed = 11, HashMode.Xxhash64)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(s1 === s2 && s1.size === 400)
+    val train = s1.values.count(_ == "train")
+    assert(train > 270 && train < 370, s"train=$train of 400")
+    // Different mode ⇒ different (but valid) assignment — modes are not
+    // interchangeable mid-dataset, by design.
+    val md5 = Sampling.split(base, "doc_id", w, seed = 11)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(md5 !== s1)
+  }
+
   test("dedup handles release their persisted indexes (no leaked cache blocks)") {
     // A corpus unique to this test — Spark's CacheManager dedupes cached
     // plans, so reusing `docs` would silently share (and then unpersist)
