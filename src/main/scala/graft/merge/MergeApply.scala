@@ -98,6 +98,20 @@ object MergeApply {
       applyDirect(frame, thresholdPct, fs, tgt, staging, token)
   }
 
+  /** Partition-scoped apply against a [[PartitionedTarget]] directory:
+    * reads, rewrites, and swaps ONLY the bucket directories the source's
+    * keys hash into — apply cost scales with the delta, not the target.
+    * See [[PartitionedApply]] for the semantics contract (equivalent to an
+    * implicit targetFilter on the touched buckets).
+    */
+  def applyToPartitioned(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      opts: MergeOptions,
+      auditPath: Option[String] = None): MergeResult =
+    PartitionedApply.applyTo(spark, targetPath, source, opts, auditPath)
+
   /** Audit-off path: one job writes the merged result to staging while the
     * Observation collects counts from the classified frame inside it.
     */
@@ -163,14 +177,14 @@ object MergeApply {
   /** Write a frame to a staging dir, deleting the partial output if the
     * write itself fails (no leaked staging dirs).
     */
-  private def writeOrCleanup(df: DataFrame, dir: Path, fs: FileSystem): Unit =
+  private[merge] def writeOrCleanup(df: DataFrame, dir: Path, fs: FileSystem): Unit =
     try df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
     catch { case e: Throwable => fs.delete(dir, true); throw e }
 
   /** Threshold verdict (A22): returns the variance, or cleans up the given
     * staging/work dir and raises when the threshold is breached.
     */
-  private def verdictOrCleanup(
+  private[merge] def verdictOrCleanup(
       affected: Long,
       targetRows: Long,
       thresholdPct: Option[Double],
@@ -189,29 +203,121 @@ object MergeApply {
     variance
   }
 
-  /** Atomic two-rename swap. If the promote rename fails, the retire is
-    * rolled back; on any failure the staging dir is cleaned up, so the
-    * worst crash-window outcome is a target left under the retired name
-    * (single-writer, rename-atomic filesystem assumed — documented above).
+  /** Atomic two-rename swap under a crash-recovery intent marker
+    * (VERDICT r2 next #8). If the promote rename fails, the retire is
+    * rolled back; on any failure the staging dir is cleaned up. A process
+    * CRASH between the two renames previously left the target missing
+    * under its retired name with nothing recording why — the marker makes
+    * that state detectable and [[recover]] restores it (single-writer,
+    * rename-atomic filesystem assumed — documented above).
     */
   private def swap(fs: FileSystem, tgt: Path, staging: Path, token: String): Unit = {
     val retired = new Path(tgt.getParent, s".${tgt.getName}.retired-$token")
+    writeSwapMarker(fs, tgt, token, staging, retired, buckets = Nil)
     if (!fs.rename(tgt, retired)) {
       fs.delete(staging, true)
+      removeSwapMarker(fs, tgt, token)
       throw new IllegalStateException(s"Atomic swap failed: could not retire $tgt")
     }
     if (!fs.rename(staging, tgt)) {
       fs.rename(retired, tgt) // roll back
       fs.delete(staging, true)
+      removeSwapMarker(fs, tgt, token)
       throw new IllegalStateException(s"Atomic swap failed: could not promote $staging")
     }
     fs.delete(retired, true)
+    removeSwapMarker(fs, tgt, token)
+  }
+
+  private def markerPath(tgt: Path, token: String): Path =
+    new Path(tgt.getParent, s".${tgt.getName}.swap-$token.json")
+
+  /** Persist the swap intent BEFORE the first rename: which staging dir is
+    * being promoted, where the previous content retires to, and (for a
+    * partitioned apply) which bucket directories participate. Removed as
+    * the final step of a successful swap — so a marker on disk always means
+    * "a swap was interrupted" and carries everything [[recover]] needs.
+    */
+  private[merge] def writeSwapMarker(
+      fs: FileSystem,
+      tgt: Path,
+      token: String,
+      staging: Path,
+      retired: Path,
+      buckets: Seq[Int]): Unit = {
+    val json =
+      s"""{"staging": "$staging", "retired": "$retired", "buckets": [${buckets.mkString(", ")}]}"""
+    val out = fs.create(markerPath(tgt, token), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private[merge] def removeSwapMarker(fs: FileSystem, tgt: Path, token: String): Unit =
+    fs.delete(markerPath(tgt, token), false)
+
+  /** Recover a target whose swap was interrupted (process crash between
+    * renames): scans for leftover intent markers and restores a consistent
+    * state, returning true when anything was repaired.
+    *
+    * Policy — the commit point of a whole-directory swap is the promote
+    * rename, so: target present with staging consumed → the swap committed,
+    * roll FORWARD (drop retired leftovers); target missing → roll BACK
+    * (restore the retired content, drop staging). A partitioned swap has
+    * no single atomic commit point (it renames one bucket at a time), so an
+    * interrupted one always rolls BACK from the per-bucket retired dirs —
+    * the transactional contract: an interrupted merge never happened.
+    */
+  def recover(spark: SparkSession, targetPath: String): Boolean = {
+    val tgt = new Path(targetPath)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parent = tgt.getParent
+    if (parent == null || !fs.exists(parent)) return false
+    val prefix = s".${tgt.getName}.swap-"
+    val markers = fs.listStatus(parent).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".json"))
+    markers.foreach { m =>
+      val in = fs.open(m)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      def field(k: String): String =
+        ("\"" + k + "\"\\s*:\\s*\"([^\"]+)\"").r.findFirstMatchIn(txt).map(_.group(1))
+          .getOrElse(throw new IllegalStateException(s"Malformed swap marker $m"))
+      val staging = new Path(field("staging"))
+      val retired = new Path(field("retired"))
+      val buckets = "\"buckets\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
+        .getOrElse(throw new IllegalStateException(s"Malformed swap marker $m"))
+
+      if (buckets.isEmpty) {
+        val promoted = fs.exists(tgt) && !fs.exists(staging)
+        if (!promoted) {
+          if (!fs.exists(tgt) && fs.exists(retired)) fs.rename(retired, tgt)
+          fs.delete(staging, true)
+        }
+        fs.delete(retired, true)
+      } else {
+        buckets.foreach { b =>
+          val name = s"${PartitionedTarget.BucketCol}=$b"
+          val cur = new Path(tgt, name)
+          val ret = new Path(retired, name)
+          val stg = new Path(staging, name)
+          if (fs.exists(ret)) { // bucket existed pre-merge: restore it
+            fs.delete(cur, true)
+            fs.rename(ret, cur)
+          } else if (!fs.exists(stg)) { // new bucket already promoted: undo
+            fs.delete(cur, true)
+          }
+        }
+        fs.delete(staging, true)
+        fs.delete(retired, true)
+      }
+      fs.delete(m, false)
+    }
+    markers.nonEmpty
   }
 
   /** Write the lastUpdate sidecar (datetime2(3)-style millisecond precision,
     * sp_SimpleMerge.sql:488).
     */
-  private def stampLastUpdate(fs: FileSystem, tgt: Path): Unit = {
+  private[merge] def stampLastUpdate(fs: FileSystem, tgt: Path): Unit = {
     val ts = DateTimeFormatter.ISO_INSTANT
       .format(Instant.now().truncatedTo(java.time.temporal.ChronoUnit.MILLIS))
     val out = fs.create(new Path(tgt, MetaFile), true)

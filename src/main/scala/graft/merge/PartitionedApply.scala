@@ -1,0 +1,171 @@
+package graft.merge
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Partition-scoped incremental merge apply — the reference's "MERGE
+  * touches only affected rows" property (sp_SimpleMerge.sql:466-472)
+  * recovered on parquet directories. [[MergeApply.applyTo]] stages a full
+  * rewrite of the target for ANY delta; at 100 TB that rewrite is the
+  * dominant cost of the whole engine. Here the target is bucket-partitioned
+  * by a pure function of the merge key ([[PartitionSpec]]), so:
+  *
+  *   - the source's distinct buckets are a tiny, bounded set (≤ nBuckets
+  *     integers — metadata, collected to the driver);
+  *   - the target READ prunes to those directories (Catalyst partition
+  *     pruning on the bucket column);
+  *   - the staged WRITE contains only those buckets (every output row's
+  *     key hashes into a touched bucket by construction);
+  *   - the swap renames only those bucket directories. Untouched buckets
+  *     are never opened, never rewritten — apply cost scales with the
+  *     DELTA, not the target.
+  *
+  * Semantics: identical to a merge with the implicit target filter
+  * "bucket(key) ∈ touched(source)" — the same scoping contract as the
+  * reference's `@targetFilter` CTE (A3): rows outside the slice are
+  * invisible and pass through untouched. For matched UPDATEs and INSERTs
+  * this equals the full merge exactly (a target row matching a source key
+  * is always in a touched bucket). The one divergence is unmatched-row
+  * actions: `delete`/soft-delete apply only to unmatched rows INSIDE
+  * touched buckets — a full-table "delete everything absent from source"
+  * needs [[MergeApply.applyTo]], which sees every row. Threshold variance
+  * uses the touched-slice rowcount as its denominator, exactly as a
+  * targetFilter'd merge does.
+  *
+  * Crash safety: the multi-directory swap is not collectively atomic, so a
+  * `_simplemerge_swap-<token>.json` intent marker is written first and
+  * removed last; [[MergeApply.recover]] rolls a half-swapped target BACK to
+  * its pre-merge state from the retired directories (the transactional
+  * contract: an interrupted merge never happened).
+  */
+object PartitionedApply {
+  import PartitionedTarget.BucketCol
+
+  /** See [[MergeApply.applyToPartitioned]] (the public entry point). */
+  private[merge] def applyTo(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      opts: MergeOptions,
+      auditPath: Option[String]): MergeResult = {
+    val thresholdPct = opts.thresholdPct // fail fast on malformed (A23)
+    val spec = PartitionedTarget.readSpec(spark, targetPath)
+    if (spec.keys.map(_.toLowerCase) != opts.keys.map(_.toLowerCase))
+      throw new MergeValidationException(
+        s"Partition spec keys [${spec.keys.mkString(",")}] do not match merge keys [${opts.keys.mkString(",")}]")
+
+    // The touched-bucket set: bounded by nBuckets, so this collect is
+    // metadata-sized no matter how large the delta is.
+    val srcKeyCols = opts.keys.map(k =>
+      source(source.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new MergeValidationException(s"Key column [$k] missing from source"))))
+    val touched = source.select(spec.bucket(srcKeyCols).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+
+    val tgt = new Path(targetPath)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = UUID.randomUUID().toString.take(8)
+    val staging = new Path(tgt.getParent, s".${tgt.getName}.staging-$token")
+
+    if (touched.isEmpty)
+      return MergeResult(0L, 0L, Double.NaN, committed = true)
+
+    // Pruned read: the filter is on the partition column, so untouched
+    // directories are eliminated at planning time, not scanned.
+    val slice = spark.read.parquet(targetPath)
+      .filter(col(BucketCol).isin(touched: _*))
+      .drop(BucketCol)
+    val plan = MergePlan.build(slice.schema, source.schema, opts)
+    val frame = new MergeFrame(slice, source, plan)
+
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn(BucketCol, spec.bucket(opts.keys.map(df(_))))
+
+    if (opts.audit) {
+      // Two-phase like MergeApply.applyWithAudit: stage the classified
+      // frame once; counts, final content, and audit rows derive from it.
+      val work = new Path(tgt.getParent, s".${tgt.getName}.work-$token")
+      try {
+        MergeApply.writeOrCleanup(frame.resolved, work, fs)
+        val staged = spark.read.parquet(work.toString)
+        val row = staged.agg(
+          count(when(col(MergeFrame.ActionCol).isNotNull, 1)).as("affected"),
+          count(when(col(MergeFrame.ActionCol) === "INSERT", 1)).as("inserted"),
+          count(lit(1)).as("total")).head()
+        val affected = row.getLong(0)
+        val targetRows = row.getLong(2) - row.getLong(1)
+        val variance = MergeApply.verdictOrCleanup(affected, targetRows, thresholdPct, fs, work)
+        writePartitionedOrCleanup(withBucket(frame.mergedFrom(staged)), staging, fs)
+        swapBuckets(spark, fs, tgt, staging, touched, token)
+        val ap = auditPath.getOrElse(MergeApply.defaultAuditPath(targetPath))
+        frame.auditFrom(staged).write.mode(SaveMode.Append).parquet(ap)
+        MergeApply.stampLastUpdate(fs, tgt)
+        MergeResult(affected, targetRows, variance, committed = true, auditPath = Some(ap))
+      } finally fs.delete(work, true)
+    } else {
+      val obs = Observation(s"pmerge-$token")
+      writePartitionedOrCleanup(withBucket(frame.mergedObserved(obs)), staging, fs)
+      val metrics = obs.get
+      val affected = metrics("affected").asInstanceOf[Long]
+      val inserted = metrics("inserted").asInstanceOf[Long]
+      val targetRows = metrics("total").asInstanceOf[Long] - inserted
+      val variance = MergeApply.verdictOrCleanup(affected, targetRows, thresholdPct, fs, staging)
+      swapBuckets(spark, fs, tgt, staging, touched, token)
+      MergeApply.stampLastUpdate(fs, tgt)
+      MergeResult(affected, targetRows, variance, committed = true)
+    }
+  }
+
+  /** Staged write, one-file-per-bucket (repartition on the bucket — the
+    * same small-files guard as [[PartitionedTarget.write]]; the shuffle is
+    * on the delta-sized output only, and the Observation upstream of it
+    * still collects counts in this same job).
+    */
+  private def writePartitionedOrCleanup(df: DataFrame, dir: Path, fs: FileSystem): Unit =
+    try df.repartition(col(BucketCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(dir.toString)
+    catch { case e: Throwable => fs.delete(dir, true); throw e }
+
+  private def bucketDir(root: Path, b: Int): Path = new Path(root, s"$BucketCol=$b")
+
+  /** Swap ONLY the touched bucket directories, under an intent marker.
+    * Per-bucket cases: staged + existing → replace; staged + new bucket →
+    * promote; no staged output (every row of the bucket deleted) → retire
+    * the existing directory. Retired directories are kept until the marker
+    * is removed so [[MergeApply.recover]] can roll back a crash at ANY
+    * point in this sequence.
+    */
+  private def swapBuckets(
+      spark: SparkSession,
+      fs: FileSystem,
+      tgt: Path,
+      staging: Path,
+      touched: Seq[Int],
+      token: String): Unit = {
+    val retiredRoot = new Path(tgt.getParent, s".${tgt.getName}.retired-$token")
+    fs.mkdirs(retiredRoot)
+    MergeApply.writeSwapMarker(fs, tgt, token, staging, retiredRoot, touched)
+    try {
+      touched.foreach { b =>
+        val cur = bucketDir(tgt, b)
+        val staged = bucketDir(staging, b)
+        if (fs.exists(cur) && !fs.rename(cur, bucketDir(retiredRoot, b)))
+          throw new IllegalStateException(s"Partitioned swap failed: could not retire $cur")
+        if (fs.exists(staged) && !fs.rename(staged, cur))
+          throw new IllegalStateException(s"Partitioned swap failed: could not promote $staged")
+      }
+    } catch {
+      case e: Throwable =>
+        // In-process failure: roll back immediately (rename-level failures
+        // only; a process crash instead leaves the marker for recover()).
+        MergeApply.recover(spark, tgt.toString)
+        throw e
+    }
+    fs.delete(staging, true)
+    fs.delete(retiredRoot, true)
+    MergeApply.removeSwapMarker(fs, tgt, token)
+  }
+}

@@ -112,6 +112,14 @@ final class SimpleMerge private (
     */
   def applyToPath(spark: SparkSession, path: String, auditPath: Option[String] = None): MergeResult =
     MergeApply.applyTo(spark, path, source, opts, auditPath)
+
+  /** Partition-scoped apply against a [[PartitionedTarget]] directory:
+    * only the bucket directories the source keys hash into are read,
+    * rewritten, and swapped — the incremental path for large targets with
+    * small deltas (see [[PartitionedApply]] for the semantics contract).
+    */
+  def applyToPartitionedPath(spark: SparkSession, path: String, auditPath: Option[String] = None): MergeResult =
+    MergeApply.applyToPartitioned(spark, path, source, opts, auditPath)
 }
 
 object SimpleMerge {

@@ -58,6 +58,23 @@ object Fixtures {
       |  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
       |)""".stripMargin
 
+  /** Contiguous-keyrange delta — the "recent keys" incremental batch: every
+    * order with key <= 12000, prices bumped so matched rows always differ.
+    * Against a range-bucketed target (shift 12 → width 4096) this touches
+    * ~3 buckets regardless of SF — the partition-scoped apply fixture.
+    */
+  def ordersDelta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "orders")
+      .filter(col("o_orderkey") <= 12000)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(2.0))
+
+  val ordersDeltaCte: String =
+    """delta AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2.0 AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey <= 12000
+      |)""".stripMargin
+
   /** Lineitem badKey fixture: key l_orderkey is massively duplicated. */
   def lineitemTarget(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")

@@ -115,8 +115,37 @@ object MergeQueries {
     // commit/abort decision for a 1% threshold, oracle-checked.
     "m11_threshold_verdict" -> ((s, dir) =>
       varianceFrame(s, dir)
-        .withColumn("would_commit", col("affected_rows") * lit(100.0) / col("target_rows") <= lit(1.0)))
+        .withColumn("would_commit", col("affected_rows") * lit(100.0) / col("target_rows") <= lit(1.0))),
+    // Partition-scoped incremental apply (VERDICT r2 next #1): range-
+    // bucketed target, contiguous-keyrange delta → only ~3 of 64 bucket
+    // dirs are read/rewritten/swapped. Output keeps the bucket column so
+    // the oracle recomputes the bucket function cross-engine for EVERY
+    // row. m14 is the same logical merge through the full-rewrite path —
+    // identical oracle, and the m13-vs-m14 bench gap is the pruning win.
+    "m13_merge_partitioned" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-m13").resolve("t").toString
+      PartitionedTarget.write(Fixtures.ordersTarget(s, dir), path, m13Spec)
+      MergeApply.applyToPartitioned(s, path, Fixtures.ordersDelta(s, dir),
+        MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+      s.read.parquet(path)
+        .withColumn("bucket", col(PartitionedTarget.BucketCol).cast("long"))
+        .drop(PartitionedTarget.BucketCol)
+        .orderBy("o_orderkey")
+    }),
+    "m14_merge_full_rewrite" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft-m14").resolve("t").toString
+      Fixtures.ordersTarget(s, dir).write.mode("overwrite").parquet(path)
+      MergeApply.applyTo(s, path, Fixtures.ordersDelta(s, dir),
+        MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+      val out = s.read.parquet(path)
+      out.withColumn("bucket", m13Spec.bucket(Seq(out("o_orderkey"))).cast("long"))
+        .orderBy("o_orderkey")
+    })
   )
+
+  /** m13/m14 partition spec: 64 range buckets of width 4096 on the key. */
+  private val m13Spec = PartitionSpec(
+    Seq("o_orderkey"), 64, graft.pipeline.HashMode.Md5Portable, rangeShift = Some(12))
 
   /** Shared affected/target/variance computation (m9 and m11). */
   private def varianceFrame(s: SparkSession, dir: String): DataFrame = {
@@ -131,6 +160,19 @@ object MergeQueries {
 
   private val ordersMergedSelect =
     mergedSelect(ordersCols, Set("o_orderkey"), ordersCols.toSet)
+
+  /** Shared by m13 (partition-pruned) and m14 (full rewrite): one logical
+    * keep-merge of the contiguous delta, bucket recomputed per row with
+    * the range twin `(k >> 12) % 64`.
+    */
+  private val partitionedMergeOracle: String =
+    s"""$ordersCtes, $ordersDeltaCte
+       |SELECT $ordersMergedSelect,
+       |       (coalesce(s.o_orderkey, t.o_orderkey) >> 12) % 64 AS bucket
+       |FROM (SELECT *, 1 AS __t_p FROM tgt) t
+       |FULL OUTER JOIN (SELECT *, 1 AS __s_p FROM delta) s
+       |  ON t.o_orderkey = s.o_orderkey
+       |ORDER BY o_orderkey""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "m1_merge_delete" ->
@@ -222,6 +264,8 @@ object MergeQueries {
          |  $ordersJoin
          |  WHERE t.__t_p IS NULL OR s.__s_p IS NULL OR NOT $ordersChangedPred
          |) a CROSS JOIN (SELECT count(*) AS target_rows FROM tgt) b""".stripMargin,
+    "m13_merge_partitioned" -> partitionedMergeOracle,
+    "m14_merge_full_rewrite" -> partitionedMergeOracle,
     "m10_merge_subset_source" ->
       s"""$ordersCtes
          |, src5 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate FROM src)
