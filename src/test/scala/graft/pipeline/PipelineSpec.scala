@@ -187,6 +187,36 @@ class PipelineSpec extends GraftSuite {
     assert(uncapped.count() === (40L * 39 / 2) + 1)
   }
 
+  test("k-means centroid training recovers planted clusters, deterministically") {
+    // Three tight clusters on orthogonal axes with slight within-cluster spread.
+    val pts = (0 until 30).map { i =>
+      val c = i % 3
+      val v = Array.fill(3)(0.0f)
+      v(c) = 1.0f
+      v((c + 1) % 3) = 0.01f * (i / 3)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+
+    val cents = Similarity.trainCentroids(pts, "vec_id", "embedding", k = 3, iters = 4, seed = 7)
+    assert(cents.count() === 3)
+
+    // Every point's nearest trained centroid groups it with its own cluster.
+    val assigned = Similarity.assignBuckets(pts, cents, "vec_id", "embedding")
+      .select("vid", "bucket").as[(Long, Long)].collect()
+    val byCluster = assigned.groupBy(_._1 % 3).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byCluster.values.forall(_.size === 1), s"cluster split across buckets: $byCluster")
+    assert(byCluster.values.flatten.toSet.size === 3, "clusters collapsed into one bucket")
+
+    // Same seed → identical model; different seed may differ but is valid.
+    val again = Similarity.trainCentroids(pts, "vec_id", "embedding", k = 3, iters = 4, seed = 7)
+    assert(cents.collect().map(_.toString).sorted.toSeq === again.collect().map(_.toString).sorted.toSeq)
+
+    // Trained centroids drive IVF search end-to-end.
+    val nn = Similarity.ivfTopK(pts, cents, pts.filter($"vec_id" === 0), "vec_id", "embedding", k = 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(nn.nonEmpty && nn.forall(_ % 3 === 0)) // probe 0's bucket = cluster 0
+  }
+
   test("language ID predicts from marker hits with deterministic tie rules") {
     val d = Seq((1L, "the value of the table"), (2L, "der hund ist und das"), (3L, "xyz qqq")).toDF("doc_id", "text")
     val out = TextStats.langId(d, "doc_id", "text")
