@@ -213,17 +213,22 @@ object MergeApply {
     */
   private def swap(fs: FileSystem, tgt: Path, staging: Path, token: String): Unit = {
     val retired = new Path(tgt.getParent, s".${tgt.getName}.retired-$token")
-    writeSwapMarker(fs, tgt, token, staging, retired, buckets = Nil)
+    writeSwapMarker(fs, tgt, token, staging, retired, buckets = Nil, preExisting = Nil)
     if (!fs.rename(tgt, retired)) {
       fs.delete(staging, true)
       removeSwapMarker(fs, tgt, token)
       throw new IllegalStateException(s"Atomic swap failed: could not retire $tgt")
     }
     if (!fs.rename(staging, tgt)) {
-      fs.rename(retired, tgt) // roll back
+      // Roll back the retire. If THAT rename also fails, the target exists
+      // only under its retired name — keep the marker (it is the breadcrumb
+      // recover() needs to restore the target); removing it here would
+      // destroy the only record of where the content went (ADVICE r3 #2).
+      val rolledBack = fs.rename(retired, tgt)
       fs.delete(staging, true)
-      removeSwapMarker(fs, tgt, token)
-      throw new IllegalStateException(s"Atomic swap failed: could not promote $staging")
+      if (rolledBack) removeSwapMarker(fs, tgt, token)
+      throw new IllegalStateException(s"Atomic swap failed: could not promote $staging" +
+        (if (rolledBack) "" else s"; rollback also failed — run MergeApply.recover on $tgt"))
     }
     fs.delete(retired, true)
     removeSwapMarker(fs, tgt, token)
@@ -232,11 +237,42 @@ object MergeApply {
   private def markerPath(tgt: Path, token: String): Path =
     new Path(tgt.getParent, s".${tgt.getName}.swap-$token.json")
 
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'u' if i + 5 < s.length =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Persist the swap intent BEFORE the first rename: which staging dir is
     * being promoted, where the previous content retires to, and (for a
-    * partitioned apply) which bucket directories participate. Removed as
-    * the final step of a successful swap — so a marker on disk always means
-    * "a swap was interrupted" and carries everything [[recover]] needs.
+    * partitioned apply) which bucket directories participate and which of
+    * them EXISTED before the swap. The existed-set lets [[recover]] tell "a
+    * brand-new bucket was promoted" apart from "a pre-existing bucket whose
+    * swap had not started" — inferring that from directory presence is
+    * ambiguous exactly when a pre-existing bucket has no staged output
+    * (retire-only delete), and guessing wrong deletes pre-merge data
+    * (ADVICE r3 #1). Removed as the final step of a successful swap — so a
+    * marker on disk always means "a swap was interrupted" and carries
+    * everything [[recover]] needs. Path strings are JSON-escaped so quotes
+    * or backslashes in a target path cannot corrupt the marker.
     */
   private[merge] def writeSwapMarker(
       fs: FileSystem,
@@ -244,9 +280,11 @@ object MergeApply {
       token: String,
       staging: Path,
       retired: Path,
-      buckets: Seq[Int]): Unit = {
+      buckets: Seq[Int],
+      preExisting: Seq[Int]): Unit = {
     val json =
-      s"""{"staging": "$staging", "retired": "$retired", "buckets": [${buckets.mkString(", ")}]}"""
+      s"""{"staging": "${jsonEscape(staging.toString)}", "retired": "${jsonEscape(retired.toString)}", """ +
+        s""""buckets": [${buckets.mkString(", ")}], "preExisting": [${preExisting.mkString(", ")}]}"""
     val out = fs.create(markerPath(tgt, token), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -258,13 +296,21 @@ object MergeApply {
     * renames): scans for leftover intent markers and restores a consistent
     * state, returning true when anything was repaired.
     *
-    * Policy — the commit point of a whole-directory swap is the promote
-    * rename, so: target present with staging consumed → the swap committed,
-    * roll FORWARD (drop retired leftovers); target missing → roll BACK
-    * (restore the retired content, drop staging). A partitioned swap has
-    * no single atomic commit point (it renames one bucket at a time), so an
-    * interrupted one always rolls BACK from the per-bucket retired dirs —
-    * the transactional contract: an interrupted merge never happened.
+    * Policy — whole-directory swap: the commit point is the promote rename,
+    * so target present with staging consumed → the swap committed, roll
+    * FORWARD (drop retired leftovers); target missing → roll BACK (restore
+    * the retired content, drop staging). Partitioned swap: the commit point
+    * is the staging-root delete (the first cleanup step after every bucket
+    * rename succeeded) — staging still present → roll BACK per bucket
+    * (restore pre-existing buckets from their retired dirs, remove promoted
+    * new-bucket dirs); staging gone → every rename completed, roll FORWARD.
+    * Which buckets were pre-existing comes from the marker itself, never
+    * inferred from directory presence — a pre-existing bucket with no
+    * retired dir is one whose swap had not started, and its current
+    * directory is the pre-merge data that must be kept (ADVICE r3 #1).
+    *
+    * A malformed marker is skipped with a warning (left in place for manual
+    * inspection) rather than aborting recovery of the remaining markers.
     */
   def recover(spark: SparkSession, targetPath: String): Boolean = {
     val tgt = new Path(targetPath)
@@ -274,44 +320,66 @@ object MergeApply {
     val prefix = s".${tgt.getName}.swap-"
     val markers = fs.listStatus(parent).map(_.getPath)
       .filter(p => p.getName.startsWith(prefix) && p.getName.endsWith(".json"))
+    var repaired = false
     markers.foreach { m =>
       val in = fs.open(m)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      def field(k: String): String =
-        ("\"" + k + "\"\\s*:\\s*\"([^\"]+)\"").r.findFirstMatchIn(txt).map(_.group(1))
-          .getOrElse(throw new IllegalStateException(s"Malformed swap marker $m"))
-      val staging = new Path(field("staging"))
-      val retired = new Path(field("retired"))
-      val buckets = "\"buckets\"\\s*:\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
-        .getOrElse(throw new IllegalStateException(s"Malformed swap marker $m"))
+      def strField(k: String): Option[String] =
+        ("\"" + k + "\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(txt)
+          .map(mm => jsonUnescape(mm.group(1)))
+      def intsField(k: String): Option[Seq[Int]] =
+        ("\"" + k + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
+          .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
 
-      if (buckets.isEmpty) {
-        val promoted = fs.exists(tgt) && !fs.exists(staging)
-        if (!promoted) {
-          if (!fs.exists(tgt) && fs.exists(retired)) fs.rename(retired, tgt)
-          fs.delete(staging, true)
-        }
-        fs.delete(retired, true)
-      } else {
-        buckets.foreach { b =>
-          val name = s"${PartitionedTarget.BucketCol}=$b"
-          val cur = new Path(tgt, name)
-          val ret = new Path(retired, name)
-          val stg = new Path(staging, name)
-          if (fs.exists(ret)) { // bucket existed pre-merge: restore it
+      (strField("staging"), strField("retired"), intsField("buckets"), intsField("preExisting")) match {
+        case (Some(stg), Some(ret), Some(buckets), Some(preExisting)) =>
+          recoverOne(fs, tgt, new Path(stg), new Path(ret), buckets, preExisting.toSet)
+          fs.delete(m, false)
+          repaired = true
+        case _ =>
+          System.err.println(s"[merge] skipping malformed swap marker $m — inspect and remove manually")
+      }
+    }
+    repaired
+  }
+
+  private def recoverOne(
+      fs: FileSystem,
+      tgt: Path,
+      staging: Path,
+      retired: Path,
+      buckets: Seq[Int],
+      preExisting: Set[Int]): Unit = {
+    if (buckets.isEmpty) {
+      val promoted = fs.exists(tgt) && !fs.exists(staging)
+      if (!promoted) {
+        if (!fs.exists(tgt) && fs.exists(retired)) fs.rename(retired, tgt)
+        fs.delete(staging, true)
+      }
+      fs.delete(retired, true)
+    } else if (!fs.exists(staging)) {
+      // Every bucket rename completed and the staging root was removed —
+      // the partitioned swap committed; roll forward by dropping leftovers.
+      fs.delete(retired, true)
+    } else {
+      buckets.foreach { b =>
+        val name = s"${PartitionedTarget.BucketCol}=$b"
+        val cur = new Path(tgt, name)
+        val ret = new Path(retired, name)
+        if (preExisting.contains(b)) {
+          if (fs.exists(ret)) { // retire ran (promote may have): restore
             fs.delete(cur, true)
             fs.rename(ret, cur)
-          } else if (!fs.exists(stg)) { // new bucket already promoted: undo
-            fs.delete(cur, true)
           }
+          // else: this bucket's swap had not started — cur still holds the
+          // pre-merge data; leave it alone.
+        } else {
+          fs.delete(cur, true) // brand-new bucket: undo any promote
         }
-        fs.delete(staging, true)
-        fs.delete(retired, true)
       }
-      fs.delete(m, false)
+      fs.delete(staging, true)
+      fs.delete(retired, true)
     }
-    markers.nonEmpty
   }
 
   /** Write the lastUpdate sidecar (datetime2(3)-style millisecond precision,

@@ -50,12 +50,20 @@ final case class PartitionSpec(
     * value buckets identically from any engine or column type, and NULL
     * keys (legal merge keys, A7) bucket deterministically.
     *
-    * Range mode shifts the (integral) key instead; NULL keys land in
-    * bucket `nBuckets - 1`.
+    * Range mode shifts the (integral) key instead; the final reduction is
+    * Spark's `pmod`, which is non-negative for NEGATIVE keys too — the
+    * whole long domain buckets deterministically. NULL keys take the
+    * sentinel shifted value -1 and land in bucket `nBuckets - 1`, shared
+    * with keys whose shifted value ≡ -1 (mod nBuckets) — a permitted
+    * collision (buckets are many-to-one by construction; only determinism
+    * matters), worth knowing when sizing buckets for NULL-heavy keys.
     *
     * DuckDB twins — hash (Md5Portable, single key k, seed 0):
-    * `('0x' || substr(md5('0:' || coalesce(k::VARCHAR, chr(0))), 1, 15))::BIGINT % nBuckets`;
-    * range: `(k >> shift) % nBuckets` (arithmetic shift in both engines).
+    * `('0x' || substr(md5('0:' || coalesce(k::VARCHAR, chr(0))), 1, 15))::BIGINT % nBuckets`
+    * (md5-prefix values are non-negative, so plain `%` matches pmod);
+    * range: `((coalesce(k >> shift, -1) % nBuckets) + nBuckets) % nBuckets`
+    * — the double-% form, because DuckDB's `%` is a SIGNED remainder and
+    * diverges from pmod for negative shifted keys (ADVICE r3 #3).
     */
   def bucket(keyCols: Seq[Column]): Column = {
     require(keyCols.length == keys.length, s"expected ${keys.length} key columns, got ${keyCols.length}")

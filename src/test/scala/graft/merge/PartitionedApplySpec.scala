@@ -217,7 +217,7 @@ class PartitionedApplySpec extends GraftSuite {
       .write.parquet(new HPath(staging, s"${PartitionedTarget.BucketCol}=$bA").toString)
     Seq((998L, "junk", 0.0)).toDF("k", "name", "v")
       .write.parquet(new HPath(staging, s"${PartitionedTarget.BucketCol}=$bB").toString)
-    MergeApply.writeSwapMarker(fs, tgt, "deadbeef", staging, retired, Seq(bA, bB))
+    MergeApply.writeSwapMarker(fs, tgt, "deadbeef", staging, retired, Seq(bA, bB), Seq(bA, bB))
     // Crash point: bucket A retired, promote never ran.
     assert(fs.rename(
       new HPath(tgt, s"${PartitionedTarget.BucketCol}=$bA"),
@@ -245,7 +245,7 @@ class PartitionedApplySpec extends GraftSuite {
     val staging = new HPath(tgt.getParent, s".t.staging-cafe0001")
     val retired = new HPath(tgt.getParent, s".t.retired-cafe0001")
     Seq((999L, "junk", 0.0)).toDF("k", "name", "v").write.parquet(staging.toString)
-    MergeApply.writeSwapMarker(fs, tgt, "cafe0001", staging, retired, Nil)
+    MergeApply.writeSwapMarker(fs, tgt, "cafe0001", staging, retired, Nil, Nil)
     assert(fs.rename(tgt, retired)) // crash: target gone, promote never ran
 
     assert(MergeApply.recover(spark, dir))
@@ -261,10 +261,109 @@ class PartitionedApplySpec extends GraftSuite {
     val retired = new HPath(tgt.getParent, s".t.retired-cafe0002")
     Seq((1L, "old", 0.0)).toDF("k", "name", "v").write.parquet(retired.toString)
     val staging = new HPath(tgt.getParent, s".t.staging-cafe0002") // already consumed
-    MergeApply.writeSwapMarker(fs, tgt, "cafe0002", staging, retired, Nil)
+    MergeApply.writeSwapMarker(fs, tgt, "cafe0002", staging, retired, Nil, Nil)
 
     assert(MergeApply.recover(spark, dir))
     assert(spark.read.parquet(dir).select("name").as[String].collect().toSeq === Seq("new"))
     assert(!fs.exists(retired))
+  }
+
+  test("recover keeps a pre-existing bucket whose swap had not started (empty staged output)") {
+    // ADVICE r3 #1: delete-everything merges produce NO staged output for a
+    // bucket; if the crash hits before that bucket's retire rename, the
+    // current directory IS the pre-merge data. The old directory-presence
+    // inference deleted it; the marker's preExisting set must protect it.
+    val path = freshDir("papply-preexist")
+    PartitionedTarget.write(target60, path, spec)
+    val original = PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new HPath(path)
+    val dirs = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.contains(PartitionedTarget.BucketCol + "="))
+    val bA = dirs(0).split('=').last.toInt
+    val staging = new HPath(tgt.getParent, s".t.staging-feed0001")
+    val retired = new HPath(tgt.getParent, s".t.retired-feed0001")
+    fs.mkdirs(staging); fs.mkdirs(retired) // staging root exists but holds NO dir for bA
+    MergeApply.writeSwapMarker(fs, tgt, "feed0001", staging, retired, Seq(bA), Seq(bA))
+    // Crash point: marker written, bucket A's retire never ran.
+
+    assert(MergeApply.recover(spark, path))
+    assert(PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet === original)
+  }
+
+  test("recover rolls a partitioned swap FORWARD once staging is consumed") {
+    // Commit point of the partitioned swap = the staging-root delete: if
+    // staging is gone, every bucket rename succeeded and the promoted
+    // content must be KEPT (crash between cleanup deletes).
+    val path = freshDir("papply-fwd")
+    PartitionedTarget.write(target60, path, spec)
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new HPath(path)
+    val dirs = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.contains(PartitionedTarget.BucketCol + "="))
+    val bA = dirs(0).split('=').last.toInt
+    val afterSwap = PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet
+    val staging = new HPath(tgt.getParent, s".t.staging-feed0002") // consumed — does not exist
+    val retired = new HPath(tgt.getParent, s".t.retired-feed0002")
+    Seq((9999L, "retired-old", 0.0)).toDF("k", "name", "v")
+      .write.parquet(new HPath(retired, s"${PartitionedTarget.BucketCol}=$bA").toString)
+    MergeApply.writeSwapMarker(fs, tgt, "feed0002", staging, retired, Seq(bA), Seq(bA))
+
+    assert(MergeApply.recover(spark, path))
+    assert(PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet === afterSwap)
+    assert(!fs.exists(retired))
+  }
+
+  test("recover skips a malformed marker without aborting, and survives quoted paths") {
+    val path = freshDir("papply-marker")
+    PartitionedTarget.write(target60, path, spec)
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new HPath(path)
+    // Malformed marker: missing fields entirely.
+    val bad = new HPath(tgt.getParent, s".t.swap-badbadba.json")
+    val out = fs.create(bad, true)
+    out.write("""{"oops": true}""".getBytes("UTF-8")); out.close()
+    assert(!MergeApply.recover(spark, path)) // skipped, nothing repaired, no throw
+    assert(fs.exists(bad)) // left for inspection
+    fs.delete(bad, false)
+
+    // Paths containing a double quote round-trip through the marker JSON.
+    val qdir = Files.createTempDirectory("papply-quote").resolve("""has"quote""")
+    val qtgt = new HPath(qdir.toString)
+    val qfs = qtgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "old", 0.0)).toDF("k", "name", "v").write.parquet(qdir.toString)
+    val original = spark.read.parquet(qdir.toString).as[(Long, String, Double)].collect().toSet
+    val qstaging = new HPath(qtgt.getParent, s""".has"quote.staging-feed0003""")
+    val qretired = new HPath(qtgt.getParent, s""".has"quote.retired-feed0003""")
+    Seq((2L, "junk", 1.0)).toDF("k", "name", "v").write.parquet(qstaging.toString)
+    MergeApply.writeSwapMarker(qfs, qtgt, "feed0003", qstaging, qretired, Nil, Nil)
+    assert(qfs.rename(qtgt, qretired)) // crash before promote
+    assert(MergeApply.recover(spark, qdir.toString))
+    assert(spark.read.parquet(qdir.toString).as[(Long, String, Double)].collect().toSet === original)
+  }
+
+  test("empty delta commits with variance 0 and stamps lastUpdate (full-path contract)") {
+    val path = freshDir("papply-empty")
+    PartitionedTarget.write(target60, path, spec)
+    val r = MergeApply.applyToPartitioned(
+      spark, path, target60.filter(lit(false)),
+      MergeOptions(keys = Seq("k"), delete = DeleteMode.Ignore))
+    assert(r.committed && r.affectedRows === 0L && r.variancePct === 0.0)
+    assert(MergeApply.lastUpdate(spark, path).isDefined)
+  }
+
+  test("range bucket pmod matches the documented double-% DuckDB twin on negative keys and NULL") {
+    val rspec = PartitionSpec(Seq("k"), 16, HashMode.Xxhash64, rangeShift = Some(3))
+    val keys = Seq(-100L, -17L, -1L, 0L, 5L, 127L, Long.MinValue, Long.MaxValue)
+    val got = keys.toDF("k").select($"k", rspec.bucket(Seq(col("k"))).as("b"))
+      .as[(Long, Int)].collect().toMap
+    keys.foreach { k =>
+      val twin = ((((k >> 3) % 16) + 16) % 16).toInt // the scaladoc's DuckDB form
+      assert(got(k) === twin, s"key $k")
+    }
+    // NULL key → sentinel shifted value -1 → bucket nBuckets-1.
+    val nullBucket = Seq[java.lang.Long](null).toDF("k")
+      .select(rspec.bucket(Seq(col("k"))).as("b")).as[Int].head()
+    assert(nullBucket === 15)
   }
 }
