@@ -81,10 +81,17 @@ object PartitionedApply {
     }
 
     // Pruned read: the filter is on the partition column, so untouched
-    // directories are eliminated at planning time, not scanned.
-    val slice = spark.read.parquet(targetPath)
-      .filter(col(BucketCol).isin(touched: _*))
-      .drop(BucketCol)
+    // directories are eliminated at planning time, not scanned. An EMPTY
+    // target (zero bucket dirs — a pipeline bootstrapping into a fresh
+    // table) has nothing for schema inference; every source row is an
+    // insert against an empty slice shaped like the source.
+    val slice =
+      if (PartitionedTarget.hasBuckets(spark, targetPath))
+        spark.read.parquet(targetPath)
+          .filter(col(BucketCol).isin(touched: _*))
+          .drop(BucketCol)
+      else
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
     val plan = MergePlan.build(slice.schema, source.schema, opts)
     val frame = new MergeFrame(slice, source, plan)
 

@@ -132,6 +132,28 @@ object PartitionedTarget {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop(BucketCol)
 
+  /** Whether `path` is a partitioned merge target (spec sidecar present).
+    * Lets generic writers — [[graft.streaming.StreamingUpsert]] — route to
+    * the partition-scoped apply automatically.
+    */
+  def isPartitioned(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path, SpecFile)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Whether the target holds at least one bucket directory. A freshly
+    * written EMPTY target (a streaming pipeline bootstrapping into a new
+    * table) has only its spec sidecar — parquet schema inference has
+    * nothing to read, so callers must branch on this before
+    * `spark.read.parquet`.
+    */
+  def hasBuckets(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+  }
+
   private[merge] def writeSpec(spark: SparkSession, path: String, spec: PartitionSpec): Unit = {
     val p = new Path(path, SpecFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

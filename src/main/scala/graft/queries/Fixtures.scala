@@ -15,6 +15,29 @@ object Fixtures {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val scratchRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val scratchHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => () }
+      }))
+
+  /** A fresh scratch directory, recursively deleted at JVM exit — for
+    * queries that must materialize a target on disk (m13/m14/st1).
+    * `Files.createTempDirectory` alone leaks full table copies across
+    * repeated verify/bench runs (ADVICE r3 #5: deleteOnExit cannot remove
+    * non-empty directories).
+    */
+  def scratchDir(prefix: String): String = {
+    scratchHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchRoots.add(p)
+    p.toString
+  }
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects. Read the nanos as long and convert
     * to micros TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping

@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.merge.{PartitionSpec, PartitionedTarget}
+import graft.pipeline.HashMode
+import graft.streaming.StreamingUpsert
+
+/** Driver-contract query for the streaming layer: an N-batch replay of the
+  * events table through the continuous upsert into a PARTITIONED target
+  * (VERDICT r3 next #1 "st1 bench line"). The bench time is the end-to-end
+  * cost of N micro-batches, each routed through the partition-scoped apply
+  * — per-batch cost scales with the batch, not the target.
+  *
+  * Unlike most streaming state, the CONVERGED result here is
+  * SQL-expressible: the target seeds with stale values for half the events,
+  * the stream replays every event in key order, so the final state is
+  * exactly the events table (stale rows overwritten, missing rows
+  * inserted) — giving the streaming path a real cross-engine oracle rather
+  * than a rows-only check.
+  */
+object StreamingQueries {
+
+  private val NBatches = 4
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      implicit val ctx: SQLContext = s.sqlContext
+      val scratch = Fixtures.scratchDir("graft-st1")
+      val target = s"$scratch/t"
+
+      val ev = Fixtures.events(s, dir).select("event_id", "user_id", "event_type", "value")
+      // Range-bucketed target (width 1024): each contiguous replay batch
+      // touches only its own key range's buckets — the pruning the
+      // partition-scoped apply exists for.
+      val spec = PartitionSpec(Seq("event_id"), 64, HashMode.Xxhash64, rangeShift = Some(10))
+      PartitionedTarget.write(
+        ev.filter($"event_id" % 2 === 0).withColumn("value", $"value" + 1.0),
+        target, spec)
+
+      // Replay every event in NBatches contiguous-key micro-batches. The
+      // driver-side collect is bench harness, not operator: a real
+      // deployment reads from Kafka/files — the engine cost being measured
+      // is the per-batch partition-scoped merge.
+      val rows = ev.as[(Long, Long, String, Double)].collect().sortBy(_._1)
+      val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+      val mem = MemoryStream[(Long, Long, String, Double)]
+      val q = StreamingUpsert.upsertTo(
+        mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
+        target, Seq("event_id"), s"$scratch/cp")
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+
+      PartitionedTarget.read(s, target).orderBy("event_id")
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+    // Converged state == the events table itself.
+    "st1_stream_upsert" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin)
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 import org.apache.spark.sql.Row
 
-import graft.merge.{DeleteMode, MergeApply, MergeOptions}
+import graft.merge.{DeleteMode, MergeApply, MergeOptions, PartitionedTarget}
 
 /** Structured-Streaming extensions over the merge engine (SURVEY §7.3
   * step 7): continuous upsert of a stream into a parquet-backed target,
@@ -21,9 +21,15 @@ import graft.merge.{DeleteMode, MergeApply, MergeOptions}
   * the checkpoint (replayed batches re-merge idempotently: a re-applied
   * batch is all no-op thanks to change detection).
   *
-  * Scale shape: each micro-batch costs one key-partitioned join of
-  * |batch| against |target| — the same single-execution apply path as
-  * batch merges; state never accumulates on the streaming side.
+  * Scale shape (VERDICT r3 next #1): when the target is a
+  * [[PartitionedTarget]] (spec sidecar present), each micro-batch routes
+  * through [[MergeApply.applyToPartitioned]] — the target read, rewrite,
+  * and swap all prune to the buckets the batch's keys hash into, so a
+  * micro-batch costs O(|batch|), not O(|target|). Continuous upsert is
+  * exactly the workload where a full-target rewrite per batch is fatal at
+  * 100 TB: bucket the target once with [[PartitionedTarget.write]] and
+  * every subsequent batch is delta-priced. A plain parquet directory still
+  * works and takes the full-rewrite path.
   */
 object StreamingUpsert {
 
@@ -61,6 +67,12 @@ object StreamingUpsert {
     * never overwrite fresher target data with stale values. Requires the
     * target schema to match the stream's columns. Without an orderCol
     * there is no recency notion and each batch simply overwrites.
+    *
+    * On a partitioned target the current-state read for that union is
+    * PRUNED to the batch's touched buckets (rows elsewhere cannot share a
+    * key with any batch row — the bucket is a pure key function), and the
+    * apply routes through [[MergeApply.applyToPartitioned]]: the whole
+    * micro-batch costs O(|batch|).
     */
   def writer(
       stream: DataFrame,
@@ -71,11 +83,12 @@ object StreamingUpsert {
       .outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val partitioned = PartitionedTarget.isPartitioned(spark, targetPath)
           val source = orderCol match {
             case Some(oc) =>
               val pri = "__graft_pri"
-              val current = batch.sparkSession.read.parquet(targetPath)
-                .select(batch.columns.map(col): _*)
+              val current = currentStateFor(batch, targetPath, keys, partitioned)
               val combined = batch.withColumn(pri, lit(1))
                 .unionByName(current.withColumn(pri, lit(0)))
               // Freshest per key; the batch row wins an exact ts tie.
@@ -86,12 +99,41 @@ object StreamingUpsert {
                 .filter(col("__rn") === 1).drop("__rn", pri)
             case None => dedupeLatest(batch, keys, None)
           }
-          MergeApply.applyTo(
-            batch.sparkSession, targetPath, source,
-            MergeOptions(keys = keys, delete = DeleteMode.Ignore))
+          val opts = MergeOptions(keys = keys, delete = DeleteMode.Ignore)
+          if (partitioned) MergeApply.applyToPartitioned(spark, targetPath, source, opts)
+          else MergeApply.applyTo(spark, targetPath, source, opts)
           ()
         }
       }
+
+  /** Target state relevant to this batch, selected to the batch's columns.
+    * Partitioned targets prune to the batch's touched buckets — the
+    * touched set is ≤ nBuckets integers (metadata-sized collect), and the
+    * filter sits on the partition column so untouched directories are
+    * eliminated at planning time, exactly as in the apply itself.
+    */
+  private def currentStateFor(
+      batch: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      partitioned: Boolean): DataFrame = {
+    val spark = batch.sparkSession
+    if (!partitioned)
+      spark.read.parquet(targetPath).select(batch.columns.map(col): _*)
+    else if (!PartitionedTarget.hasBuckets(spark, targetPath))
+      batch.filter(lit(false)) // empty bootstrap target: no current state
+    else {
+      val spec = PartitionedTarget.readSpec(spark, targetPath)
+      val keyCols = spec.keys.map(k =>
+        batch(batch.columns.find(_.equalsIgnoreCase(k)).getOrElse(
+          throw new IllegalArgumentException(s"Key column [$k] missing from stream"))))
+      val touched = batch.select(spec.bucket(keyCols).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      spark.read.parquet(targetPath)
+        .filter(col(PartitionedTarget.BucketCol).isin(touched: _*))
+        .select(batch.columns.map(col): _*)
+    }
+  }
 
   /** Watermarked hourly aggregation over an event stream — the streaming
     * twin of the batch q12 query. Late data beyond the watermark is

@@ -1,18 +1,38 @@
 package graft.streaming
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 import java.sql.Timestamp
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 import graft.GraftSuite
+import graft.merge.{PartitionSpec, PartitionedTarget}
+import graft.pipeline.HashMode
 
 /** Streaming-extension specs: micro-batch upsert convergence and the
-  * watermarked window aggregation.
+  * watermarked window aggregation — on both plain-parquet and
+  * partition-scoped targets (the latter pins the O(delta) per-batch
+  * contract: untouched bucket files stay byte-identical).
   */
 class StreamingUpsertSpec extends GraftSuite {
   import spark.implicits._
   private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** (relative path → (mtime, length)) for data files under bucket dirs. */
+  private def snapshotBuckets(root: String): Map[String, (Long, Long)] = {
+    val base = Paths.get(root)
+    Files.walk(base).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .filter(p => base.relativize(p).toString.contains(PartitionedTarget.BucketCol + "="))
+      .map(p => base.relativize(p).toString -> (Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+      .toMap
+  }
+
+  private def bucketOfPath(rel: String): Int =
+    rel.split('/').find(_.startsWith(PartitionedTarget.BucketCol + "="))
+      .map(_.split('=')(1).toInt).getOrElse(sys.error(s"no bucket in $rel"))
 
   test("foreachBatch upsert converges to the batch-merge result across micro-batches") {
     val dir = Files.createTempDirectory("stream-upsert")
@@ -97,6 +117,98 @@ class StreamingUpsertSpec extends GraftSuite {
     } finally q.stop()
     val got = spark.read.parquet(target).as[(Long, String, Long)].collect().toSet
     assert(got === Set((1L, "fresh", 5L))) // stale batch was a no-op
+  }
+
+  test("partitioned target: micro-batches converge AND untouched bucket files are byte-identical") {
+    val dir = Files.createTempDirectory("stream-part")
+    val target = dir.resolve("t").toString
+    val spec = PartitionSpec(Seq("k"), 16, HashMode.Xxhash64)
+    val seed = (0L until 60L).map(i => (i, s"n$i", 0L)).toDF("k", "v", "ver")
+    PartitionedTarget.write(seed, target, spec)
+    val before = snapshotBuckets(target)
+    val touched = Seq(5L, 7L, 1000L).toDF("k")
+      .select(spec.bucket(Seq(col("k"))).as("b")).as[Int].collect().toSet
+
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("k", "v", "ver"), target, Seq("k"),
+      dir.resolve("cp").toString, orderCol = Some("ver"))
+    try {
+      mem.addData((5L, "N5", 2L), (7L, "N7", 2L), (1000L, "new", 2L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Logical: update + insert applied, everything else retained.
+    val got = PartitionedTarget.read(spark, target).as[(Long, String, Long)].collect().toSet
+    val expected = (0L until 60L).map {
+      case 5L => (5L, "N5", 2L)
+      case 7L => (7L, "N7", 2L)
+      case i => (i, s"n$i", 0L)
+    }.toSet + ((1000L, "new", 2L))
+    assert(got === expected)
+
+    // Physical O(delta) contract: only the touched buckets were rewritten.
+    val after = snapshotBuckets(target)
+    val beforeUntouched = before.filter { case (p, _) => !touched.contains(bucketOfPath(p)) }
+    val afterUntouched = after.filter { case (p, _) => !touched.contains(bucketOfPath(p)) }
+    assert(beforeUntouched === afterUntouched, "untouched bucket files must stay byte-identical")
+  }
+
+  test("partitioned target: stale event in a later batch loses to fresher bucket-pruned state") {
+    val dir = Files.createTempDirectory("stream-part-stale")
+    val target = dir.resolve("t").toString
+    val spec = PartitionSpec(Seq("k"), 8, HashMode.Xxhash64)
+    PartitionedTarget.write(Seq((1L, "seed", 0L)).toDF("k", "v", "ver"), target, spec)
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("k", "v", "ver"), target, Seq("k"),
+      dir.resolve("cp").toString, orderCol = Some("ver"))
+    try {
+      mem.addData((1L, "fresh", 5L))
+      q.processAllAvailable()
+      mem.addData((1L, "stale", 3L)) // out-of-order: must lose to ver=5
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = PartitionedTarget.read(spark, target).as[(Long, String, Long)].collect().toSet
+    assert(got === Set((1L, "fresh", 5L)))
+  }
+
+  test("composition: watermarked hourly aggregate upserts into a partitioned target per batch") {
+    // The realistic continuous pipeline (VERDICT r3 next #7): events →
+    // windowed agg → partitioned upsert keyed on (window start, type).
+    // Aggregates for ALREADY-CLOSED windows re-emit updated rows in later
+    // batches; the merge overwrites just those keys' buckets.
+    val dir = Files.createTempDirectory("stream-compose")
+    val target = dir.resolve("t").toString
+    val spec = PartitionSpec(Seq("ws", "event_type"), 8, HashMode.Xxhash64)
+    PartitionedTarget.write(
+      Seq.empty[(Timestamp, String, Long, Double)].toDF("ws", "event_type", "n", "sum_value"),
+      target, spec)
+
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingUpsert.hourlyCounts(
+        mem.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_value"))
+    val q = StreamingUpsert.upsertTo(agg, target, Seq("ws", "event_type"), dir.resolve("cp").toString)
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      // Second batch updates the 10:00 click window and adds a new pairing.
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:30:00"), "click", 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = PartitionedTarget.read(spark, target)
+      .select(col("ws").cast("string"), col("event_type"), col("n"), col("sum_value"))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "view", 1L, 5.0),
+      ("2024-01-01 11:00:00", "click", 1L, 7.0)))
   }
 
   test("watermarked hourly aggregation emits per-window counts") {
