@@ -121,22 +121,21 @@ object MergeQueries {
     // dirs are read/rewritten/swapped. Output keeps the bucket column so
     // the oracle recomputes the bucket function cross-engine for EVERY
     // row. m14 is the same logical merge through the full-rewrite path —
-    // identical oracle, and the m13-vs-m14 bench gap is the pruning win.
+    // identical oracle. Setup (target fixture build) and the apply are
+    // SEPARATE methods so the bench can time the apply alone
+    // (BenchPhases; VERDICT r3 "what's wrong" #1 — timing setup+apply
+    // made the partitioned path look slower than the full rewrite).
     "m13_merge_partitioned" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-m13").resolve("t").toString
-      PartitionedTarget.write(Fixtures.ordersTarget(s, dir), path, m13Spec)
-      MergeApply.applyToPartitioned(s, path, Fixtures.ordersDelta(s, dir),
-        MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+      val path = m13Setup(s, dir)
+      m13Apply(s, dir, path)
       s.read.parquet(path)
         .withColumn("bucket", col(PartitionedTarget.BucketCol).cast("long"))
         .drop(PartitionedTarget.BucketCol)
         .orderBy("o_orderkey")
     }),
     "m14_merge_full_rewrite" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft-m14").resolve("t").toString
-      Fixtures.ordersTarget(s, dir).write.mode("overwrite").parquet(path)
-      MergeApply.applyTo(s, path, Fixtures.ordersDelta(s, dir),
-        MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+      val path = m14Setup(s, dir)
+      m14Apply(s, dir, path)
       val out = s.read.parquet(path)
       out.withColumn("bucket", m13Spec.bucket(Seq(out("o_orderkey"))).cast("long"))
         .orderBy("o_orderkey")
@@ -146,6 +145,43 @@ object MergeQueries {
   /** m13/m14 partition spec: 64 range buckets of width 4096 on the key. */
   private val m13Spec = PartitionSpec(
     Seq("o_orderkey"), 64, graft.pipeline.HashMode.Md5Portable, rangeShift = Some(12))
+
+  /** Untimed fixture build for m13: range-bucketed target from the orders
+    * target slice. Returns the target path (fresh scratch per call — the
+    * apply mutates it, so every bench iteration sets up anew).
+    */
+  private[graft] def m13Setup(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-m13") + "/t"
+    PartitionedTarget.write(Fixtures.ordersTarget(s, dir), path, m13Spec)
+    path
+  }
+
+  /** The operation m13 measures: one partition-scoped apply of the
+    * contiguous delta (touches ~3 of 64 buckets).
+    */
+  private[graft] def m13Apply(s: SparkSession, dir: String, path: String): Unit = {
+    MergeApply.applyToPartitioned(s, path, Fixtures.ordersDelta(s, dir),
+      MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+    ()
+  }
+
+  /** Untimed fixture build for m14: the same target content as m13, plain
+    * parquet (the full-rewrite path's shape).
+    */
+  private[graft] def m14Setup(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-m14") + "/t"
+    Fixtures.ordersTarget(s, dir).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  /** The operation m14 measures: the identical logical merge through the
+    * full-rewrite apply (reads and rewrites the whole target).
+    */
+  private[graft] def m14Apply(s: SparkSession, dir: String, path: String): Unit = {
+    MergeApply.applyTo(s, path, Fixtures.ordersDelta(s, dir),
+      MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+    ()
+  }
 
   /** Shared affected/target/variance computation (m9 and m11). */
   private def varianceFrame(s: SparkSession, dir: String): DataFrame = {

@@ -25,35 +25,45 @@ object StreamingQueries {
 
   private val NBatches = 4
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "st1_stream_upsert" -> ((s, dir) => {
-      import s.implicits._
-      implicit val ctx: SQLContext = s.sqlContext
-      val scratch = Fixtures.scratchDir("graft-st1")
-      val target = s"$scratch/t"
+  /** Untimed setup: build the stale-seeded range-bucketed target, collect
+    * the replay rows, start the continuous upsert. Returns (replay thunk —
+    * the measured operation: N micro-batches through the partition-scoped
+    * apply — and the target path for reading the converged state).
+    */
+  private[graft] def st1Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st1")
+    val target = s"$scratch/t"
 
-      val ev = Fixtures.events(s, dir).select("event_id", "user_id", "event_type", "value")
-      // Range-bucketed target (width 1024): each contiguous replay batch
-      // touches only its own key range's buckets — the pruning the
-      // partition-scoped apply exists for.
-      val spec = PartitionSpec(Seq("event_id"), 64, HashMode.Xxhash64, rangeShift = Some(10))
-      PartitionedTarget.write(
-        ev.filter($"event_id" % 2 === 0).withColumn("value", $"value" + 1.0),
-        target, spec)
+    val ev = Fixtures.events(s, dir).select("event_id", "user_id", "event_type", "value")
+    // Range-bucketed target (width 1024): each contiguous replay batch
+    // touches only its own key range's buckets — the pruning the
+    // partition-scoped apply exists for.
+    val spec = PartitionSpec(Seq("event_id"), 64, HashMode.Xxhash64, rangeShift = Some(10))
+    PartitionedTarget.write(
+      ev.filter($"event_id" % 2 === 0).withColumn("value", $"value" + 1.0),
+      target, spec)
 
-      // Replay every event in NBatches contiguous-key micro-batches. The
-      // driver-side collect is bench harness, not operator: a real
-      // deployment reads from Kafka/files — the engine cost being measured
-      // is the per-batch partition-scoped merge.
-      val rows = ev.as[(Long, Long, String, Double)].collect().sortBy(_._1)
-      val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
-      val mem = MemoryStream[(Long, Long, String, Double)]
-      val q = StreamingUpsert.upsertTo(
-        mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
-        target, Seq("event_id"), s"$scratch/cp")
+    // Replay rows staged on the driver — bench harness, not operator: a
+    // real deployment reads from Kafka/files; the engine cost measured is
+    // the per-batch partition-scoped merge.
+    val rows = ev.as[(Long, Long, String, Double)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
+      target, Seq("event_id"), s"$scratch/cp")
+    val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
+    (replay, target)
+  }
 
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_upsert" -> ((s, dir) => {
+      val (replay, target) = st1Setup(s, dir)
+      replay()
       PartitionedTarget.read(s, target).orderBy("event_id")
     }))
 
