@@ -56,7 +56,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/region.parquet").count()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup skipped: ${e.getMessage}") }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_BENCH_ONLY=m13_merge_partitioned,m14_... runs a
+    // subset. The driver never sets it, so round benches stay complete.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to iters).flatMap { i =>
         spark.catalog.clearCache() // no cross-iteration / cross-query cache carryover
         try {

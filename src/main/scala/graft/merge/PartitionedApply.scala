@@ -48,7 +48,7 @@ object PartitionedApply {
   private[merge] def applyTo(
       spark: SparkSession,
       targetPath: String,
-      source: DataFrame,
+      rawSource: DataFrame,
       opts: MergeOptions,
       auditPath: Option[String]): MergeResult = {
     val thresholdPct = opts.thresholdPct // fail fast on malformed (A23)
@@ -57,6 +57,25 @@ object PartitionedApply {
       throw new MergeValidationException(
         s"Partition spec keys [${spec.keys.mkString(",")}] do not match merge keys [${opts.keys.mkString(",")}]")
 
+    // The delta has two consumers — the touched-bucket collect and the
+    // merge join itself — and without a persist each would recompute the
+    // full source lineage (for a table-scan-derived delta, two scans of
+    // the underlying table). The delta is the SMALL side by this
+    // operator's contract (apply cost ∝ delta), so pinning it is cheap at
+    // any scale; released when the apply returns.
+    val source = rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try applyPinned(spark, targetPath, source, opts, auditPath, thresholdPct, spec)
+    finally source.unpersist()
+  }
+
+  private def applyPinned(
+      spark: SparkSession,
+      targetPath: String,
+      source: DataFrame,
+      opts: MergeOptions,
+      auditPath: Option[String],
+      thresholdPct: Option[Double],
+      spec: PartitionSpec): MergeResult = {
     // The touched-bucket set: bounded by nBuckets, so this collect is
     // metadata-sized no matter how large the delta is.
     val srcKeyCols = opts.keys.map(k =>
@@ -80,15 +99,22 @@ object PartitionedApply {
       return MergeResult(0L, 0L, 0.0, committed = true)
     }
 
-    // Pruned read: the filter is on the partition column, so untouched
-    // directories are eliminated at planning time, not scanned. An EMPTY
-    // target (zero bucket dirs — a pipeline bootstrapping into a fresh
-    // table) has nothing for schema inference; every source row is an
-    // insert against an empty slice shaped like the source.
+    // Pruned read: list ONLY the touched bucket directories (basePath
+    // keeps partition-column parsing) instead of discovering the whole
+    // target and filtering — on a wide target, full partition discovery
+    // is a file-listing pass over every bucket (measured ~0.3 s on 64
+    // local dirs; on object storage over thousands of buckets it is the
+    // apply's dominant metadata cost). Planning I/O now scales with the
+    // TOUCHED set, like everything else here. Buckets the delta would
+    // create for the first time don't exist yet — they contribute no
+    // target rows. An EMPTY target (zero touched dirs — a pipeline
+    // bootstrapping into a fresh table) has nothing for schema
+    // inference; every source row is an insert against an empty slice
+    // shaped like the source.
+    val touchedDirs = touched.map(b => bucketDir(tgt, b)).filter(fs.exists).map(_.toString)
     val slice =
-      if (PartitionedTarget.hasBuckets(spark, targetPath))
-        spark.read.parquet(targetPath)
-          .filter(col(BucketCol).isin(touched: _*))
+      if (touchedDirs.nonEmpty)
+        spark.read.option("basePath", targetPath).parquet(touchedDirs: _*)
           .drop(BucketCol)
       else
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)

@@ -17,12 +17,12 @@ object BenchPhases {
 
   val timedSections: Map[String, (SparkSession, String) => () => Unit] = Map(
     "m13_merge_partitioned" -> ((s, dir) => {
-      val path = MergeQueries.m13Setup(s, dir)
-      () => MergeQueries.m13Apply(s, dir, path)
+      val root = MergeQueries.m13Setup(s, dir)
+      () => MergeQueries.m13Apply(s, root)
     }),
     "m14_merge_full_rewrite" -> ((s, dir) => {
-      val path = MergeQueries.m14Setup(s, dir)
-      () => MergeQueries.m14Apply(s, dir, path)
+      val root = MergeQueries.m14Setup(s, dir)
+      () => MergeQueries.m14Apply(s, root)
     }),
     "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1))
 }

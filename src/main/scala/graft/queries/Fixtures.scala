@@ -81,21 +81,57 @@ object Fixtures {
       |  SELECT * FROM orders WHERE o_orderkey % 7 <> 0
       |)""".stripMargin
 
-  /** Contiguous-keyrange delta — the "recent keys" incremental batch: every
-    * order with key <= 12000, prices bumped so matched rows always differ.
-    * Against a range-bucketed target (shift 12 → width 4096) this touches
-    * ~3 buckets regardless of SF — the partition-scoped apply fixture.
+  /** Partition-scoped apply fixture (m13/m14): a target big enough that
+    * the pruning win is MEASURABLE — ~2.2M rows at sf0.1 while the delta
+    * stays ~0.3% (VERDICT r4 next #1: against the ~135k-row orders
+    * target, the partitioned path's fixed overhead exceeded the whole
+    * full-rewrite cost and the headline scale claim had no number).
+    *
+    * The merge key `li_key = l_orderkey * 8 + l_linenumber + rep << 21`
+    * is unique: l_linenumber ∈ 1..7 makes the low 3 bits injective per
+    * order, base keys stay below 2^21 at sf0.1 (max orderkey 149 999 →
+    * li_key ≤ 1.2M), and each of the 4 replicas shifts into its own
+    * 2^21-wide band. Replication multiplies the TARGET (what the full
+    * rewrite must pay for) without touching the delta — exactly the
+    * asymmetry the partition-scoped apply exists for.
+    *
+    * Target: 4 replicas of 90% of orders. Delta: every row of orders
+    * 1..1500 in replica 0 (~6k rows at sf0.1), quantity bumped so matched
+    * rows always differ; the 10% of delta keys absent from the target
+    * become inserts.
     */
-  def ordersDelta(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "orders")
-      .filter(col("o_orderkey") <= 12000)
-      .withColumn("o_totalprice", col("o_totalprice") + lit(2.0))
+  def lineitemKeyed(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 =!= 0)
+      .crossJoin(broadcast(spark.range(4).select(col("id").as("__rep"))))
+      .select(
+        (col("l_orderkey") * 8 + col("l_linenumber") + col("__rep") * lit(1L << 21)).as("li_key"),
+        col("l_quantity"), col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
 
-  val ordersDeltaCte: String =
-    """delta AS (
-      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2.0 AS o_totalprice,
-      |         o_orderdate, o_orderpriority
-      |  FROM orders WHERE o_orderkey <= 12000
+  /** Contiguous-keyrange delta — the "recent keys" incremental batch.
+    * li_key <= 12007, so against range buckets of width 4096 (shift 12,
+    * 64 buckets) it touches buckets {0,1,2} at EVERY scale factor. (The
+    * replica bands shift buckets by (2^21/2^12) * rep = 512·rep ≡ 0
+    * (mod 64), so replicas of the low-key rows share those buckets —
+    * the touched slice holds all 4 replicas, only replica 0 matches.)
+    */
+  def lineitemKeyedDelta(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "lineitem")
+      .filter(col("l_orderkey") <= 1500)
+      .select((col("l_orderkey") * 8 + col("l_linenumber")).as("li_key"),
+        (col("l_quantity") + lit(1.0)).as("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"), col("l_shipdate"))
+
+  /** SQL twins of the two frames above. */
+  val lineitemKeyedCtes: String =
+    """WITH tgt AS (
+      |  SELECT l_orderkey * 8 + l_linenumber + r * 2097152 AS li_key,
+      |         l_quantity, l_extendedprice, l_returnflag, l_shipdate
+      |  FROM lineitem CROSS JOIN range(4) tr(r) WHERE l_orderkey % 10 <> 0
+      |), delta AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS li_key,
+      |         l_quantity + 1.0 AS l_quantity, l_extendedprice, l_returnflag, l_shipdate
+      |  FROM lineitem WHERE l_orderkey <= 1500
       |)""".stripMargin
 
   /** Lineitem badKey fixture: key l_orderkey is massively duplicated. */

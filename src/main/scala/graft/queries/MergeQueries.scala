@@ -117,69 +117,80 @@ object MergeQueries {
       varianceFrame(s, dir)
         .withColumn("would_commit", col("affected_rows") * lit(100.0) / col("target_rows") <= lit(1.0))),
     // Partition-scoped incremental apply (VERDICT r2 next #1): range-
-    // bucketed target, contiguous-keyrange delta → only ~3 of 64 bucket
+    // bucketed target, contiguous-keyrange delta → only 3 of 64 bucket
     // dirs are read/rewritten/swapped. Output keeps the bucket column so
     // the oracle recomputes the bucket function cross-engine for EVERY
     // row. m14 is the same logical merge through the full-rewrite path —
     // identical oracle. Setup (target fixture build) and the apply are
     // SEPARATE methods so the bench can time the apply alone
     // (BenchPhases; VERDICT r3 "what's wrong" #1 — timing setup+apply
-    // made the partitioned path look slower than the full rewrite).
+    // made the partitioned path look slower than the full rewrite). The
+    // fixture is the lineitem-derived li_key frame (~540k target rows vs
+    // ~6k delta rows at sf0.1) so the apply-time comparison measures
+    // pruning, not fixed overhead (VERDICT r4 next #1).
     "m13_merge_partitioned" -> ((s, dir) => {
-      val path = m13Setup(s, dir)
-      m13Apply(s, dir, path)
-      s.read.parquet(path)
+      val root = m13Setup(s, dir)
+      m13Apply(s, root)
+      s.read.parquet(s"$root/t")
         .withColumn("bucket", col(PartitionedTarget.BucketCol).cast("long"))
         .drop(PartitionedTarget.BucketCol)
-        .orderBy("o_orderkey")
+        .orderBy("li_key")
     }),
     "m14_merge_full_rewrite" -> ((s, dir) => {
-      val path = m14Setup(s, dir)
-      m14Apply(s, dir, path)
-      val out = s.read.parquet(path)
-      out.withColumn("bucket", m13Spec.bucket(Seq(out("o_orderkey"))).cast("long"))
-        .orderBy("o_orderkey")
+      val root = m14Setup(s, dir)
+      m14Apply(s, root)
+      val out = s.read.parquet(s"$root/t")
+      out.withColumn("bucket", m13Spec.bucket(Seq(out("li_key"))).cast("long"))
+        .orderBy("li_key")
     })
   )
 
   /** m13/m14 partition spec: 64 range buckets of width 4096 on the key. */
   private val m13Spec = PartitionSpec(
-    Seq("o_orderkey"), 64, graft.pipeline.HashMode.Md5Portable, rangeShift = Some(12))
+    Seq("li_key"), 64, graft.pipeline.HashMode.Md5Portable, rangeShift = Some(12))
 
-  /** Untimed fixture build for m13: range-bucketed target from the orders
-    * target slice. Returns the target path (fresh scratch per call — the
-    * apply mutates it, so every bench iteration sets up anew).
+  private def m13Opts = MergeOptions(keys = Seq("li_key"), delete = DeleteMode.Ignore)
+
+  /** Untimed fixture build for m13: range-bucketed target from the keyed
+    * lineitem frame, plus the delta MATERIALIZED as its own small parquet
+    * table — a real incremental batch arrives that way (CDC feed, landing
+    * zone), whereas carving it from the 600k-row source table inside the
+    * timed apply would bill a full lineitem scan to BOTH apply paths and
+    * drown the pruning signal in shared fixture cost. Fresh scratch per
+    * call — the apply mutates the target, so every bench iteration sets
+    * up anew.
     */
   private[graft] def m13Setup(s: SparkSession, dir: String): String = {
-    val path = Fixtures.scratchDir("graft-m13") + "/t"
-    PartitionedTarget.write(Fixtures.ordersTarget(s, dir), path, m13Spec)
-    path
+    val root = Fixtures.scratchDir("graft-m13")
+    PartitionedTarget.write(Fixtures.lineitemKeyed(s, dir), s"$root/t", m13Spec)
+    Fixtures.lineitemKeyedDelta(s, dir).write.parquet(s"$root/delta")
+    root
   }
 
   /** The operation m13 measures: one partition-scoped apply of the
-    * contiguous delta (touches ~3 of 64 buckets).
+    * materialized delta (touches 3 of 64 buckets).
     */
-  private[graft] def m13Apply(s: SparkSession, dir: String, path: String): Unit = {
-    MergeApply.applyToPartitioned(s, path, Fixtures.ordersDelta(s, dir),
-      MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+  private[graft] def m13Apply(s: SparkSession, root: String): Unit = {
+    MergeApply.applyToPartitioned(s, s"$root/t", s.read.parquet(s"$root/delta"), m13Opts)
     ()
   }
 
-  /** Untimed fixture build for m14: the same target content as m13, plain
-    * parquet (the full-rewrite path's shape).
+  /** Untimed fixture build for m14: the same target content and
+    * materialized delta as m13, target as plain parquet (the full-rewrite
+    * path's shape).
     */
   private[graft] def m14Setup(s: SparkSession, dir: String): String = {
-    val path = Fixtures.scratchDir("graft-m14") + "/t"
-    Fixtures.ordersTarget(s, dir).write.mode("overwrite").parquet(path)
-    path
+    val root = Fixtures.scratchDir("graft-m14")
+    Fixtures.lineitemKeyed(s, dir).write.mode("overwrite").parquet(s"$root/t")
+    Fixtures.lineitemKeyedDelta(s, dir).write.parquet(s"$root/delta")
+    root
   }
 
   /** The operation m14 measures: the identical logical merge through the
     * full-rewrite apply (reads and rewrites the whole target).
     */
-  private[graft] def m14Apply(s: SparkSession, dir: String, path: String): Unit = {
-    MergeApply.applyTo(s, path, Fixtures.ordersDelta(s, dir),
-      MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+  private[graft] def m14Apply(s: SparkSession, root: String): Unit = {
+    MergeApply.applyTo(s, s"$root/t", s.read.parquet(s"$root/delta"), m13Opts)
     ()
   }
 
@@ -199,16 +210,19 @@ object MergeQueries {
 
   /** Shared by m13 (partition-pruned) and m14 (full rewrite): one logical
     * keep-merge of the contiguous delta, bucket recomputed per row with
-    * the range twin `(k >> 12) % 64`.
+    * the range twin `(k >> 12) % 64` (keys are positive, so DuckDB's
+    * signed `%` equals Spark's pmod here).
     */
+  private val liCols = Seq("li_key", "l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+
   private val partitionedMergeOracle: String =
-    s"""$ordersCtes, $ordersDeltaCte
-       |SELECT $ordersMergedSelect,
-       |       (coalesce(s.o_orderkey, t.o_orderkey) >> 12) % 64 AS bucket
+    s"""${Fixtures.lineitemKeyedCtes}
+       |SELECT ${mergedSelect(liCols, Set("li_key"), liCols.toSet)},
+       |       (coalesce(s.li_key, t.li_key) >> 12) % 64 AS bucket
        |FROM (SELECT *, 1 AS __t_p FROM tgt) t
        |FULL OUTER JOIN (SELECT *, 1 AS __s_p FROM delta) s
-       |  ON t.o_orderkey = s.o_orderkey
-       |ORDER BY o_orderkey""".stripMargin
+       |  ON t.li_key = s.li_key
+       |ORDER BY li_key""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "m1_merge_delete" ->
