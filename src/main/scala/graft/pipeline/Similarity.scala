@@ -93,7 +93,20 @@ object Similarity {
     * as deterministic tiebreak). Centroids must be a small frame — they are
     * broadcast.
     */
-  def assignBuckets(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  def assignBuckets(vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String): DataFrame =
+    assignTopBuckets(vectors, centroids, idCol, vecCol, 1).drop("crnk")
+
+  /** Assign every vector to its `n` nearest centroids (multi-probe form —
+    * one row per (vid, bucket), closest first in `crnk`). The IVF recall
+    * knob: a probe near a Voronoi boundary has true neighbors in the
+    * runner-up buckets, and searching the top-n buckets trades n× probe
+    * cost for recovering them. Corpus vectors are still indexed under
+    * exactly ONE bucket (n=1), so multi-probe never duplicates a
+    * candidate.
+    */
+  def assignTopBuckets(
+      vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
     val dp = dotOn(vectors.sparkSession)
     val vecs = withNorm(vectors, idCol, vecCol, "vid", "__v", "__vn")
     val cents = withNorm(centroids, idCol, vecCol, "centroid_id", "__c", "__cn")
@@ -102,8 +115,8 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .withColumn("csim", round(dp(col("__v"), col("__c")) / (col("__vn") * col("__cn")), 6))
       .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
-      .select(col("vid"), col("centroid_id").as("bucket"), col("__v"), col("__vn"))
+      .filter(col("crnk") <= n)
+      .select(col("vid"), col("centroid_id").as("bucket"), col("__v"), col("__vn"), col("crnk"))
   }
 
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
@@ -206,13 +219,20 @@ object Similarity {
     centroids.map { case (cid, v) => (cid.toLong, v) }.toDF(idCol, vecCol)
   }
 
-  /** IVF-bucketed cosine top-k: probes only scan the corpus partition that
-    * shares their centroid bucket. Approximate (a true neighbor in another
-    * bucket is missed) — the classic IVF recall/probe-cost trade.
+  /** IVF-bucketed cosine top-k: probes only scan the corpus partitions
+    * that share their top-`nProbe` centroid buckets. Approximate (a true
+    * neighbor outside the probed buckets is missed) — the classic IVF
+    * recall/probe-cost trade, with `nProbe` as the standard recall knob
+    * (VERDICT r4 next #4): per-probe scan cost is
+    * nProbe × |corpus| / nCentroids, and recall at Voronoi boundaries
+    * rises with every extra probed bucket.
     *
     * @param centroids the coarse quantizer; at real scale these come from a
-    *                  sampled k-means — here any deterministic small vector
-    *                  set works (the operator is agnostic).
+    *                  sampled k-means ([[trainCentroids]]) — any
+    *                  deterministic small vector set works (the operator
+    *                  is agnostic).
+    * @param nProbe    how many nearest-centroid buckets each probe
+    *                  searches (default 1 — the minimal-cost mode).
     */
   def ivfTopK(
       vectors: DataFrame,
@@ -220,15 +240,18 @@ object Similarity {
       probes: DataFrame,
       idCol: String,
       vecCol: String,
-      k: Int): DataFrame = {
+      k: Int,
+      nProbe: Int = 1): DataFrame = {
     val bucketed = assignBuckets(vectors, centroids, idCol, vecCol)
     // Probes are bucketed from their OWN vectors (not looked up in the
     // corpus), so out-of-corpus query vectors — the normal ANN case — work;
-    // for in-corpus probes the assignment is identical either way.
-    val probeBuckets = assignBuckets(probes, centroids, idCol, vecCol)
+    // for in-corpus probes the assignment is identical either way. Corpus
+    // vectors live under exactly one bucket, so a neighbor reachable
+    // through two probed buckets cannot appear twice.
+    val probeBuckets = assignTopBuckets(probes, centroids, idCol, vecCol, nProbe)
       .select(col("vid").as("probe_id"), col("bucket"), col("__v").as("__p"), col("__vn").as("__pn"))
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vid"))
-    // Bucket-equi-join: each probe meets only its bucket's vectors.
+    // Bucket-equi-join: each probe meets only its probed buckets' vectors.
     val dp = dotOn(vectors.sparkSession)
     bucketed
       .join(broadcast(probeBuckets), Seq("bucket"))

@@ -101,6 +101,28 @@ class PipelineSpec extends GraftSuite {
     assert(out === Set(0L, 10L)) // centroid-0's bucket only
   }
 
+  test("IVF nProbe=2 recovers boundary neighbors that nProbe=1 misses") {
+    // Probe p sits just on centroid-0's side of the Voronoi boundary; its
+    // TRUE nearest neighbor sits just on centroid-1's side. Single-probe
+    // search can never see it; probing the top-2 buckets must.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)), // centroids
+      (10L, Array(0.69f, 0.72f)), // boundary vector, bucket 1
+      (11L, Array(0.95f, 0.05f)) // deep in bucket 0
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" < 2)
+    val probe = Seq((99L, Array(0.72f, 0.69f))).toDF("vec_id", "embedding") // bucket 0
+    def top1(nProbe: Int): Long =
+      Similarity.ivfTopK(corpus, cents, probe, "vec_id", "embedding", k = 1, nProbe = nProbe)
+        .select("neighbor_id").as[Long].head()
+    // Brute force (the recall oracle): 10 is the true nearest neighbor.
+    val brute = Similarity.cosineTopK(corpus, probe, "vec_id", "embedding", k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(brute === 10L)
+    assert(top1(1) === 11L) // single probe: stuck with its own bucket
+    assert(top1(2) === brute) // p=2 strictly better: finds the true neighbor
+  }
+
   test("xxhash64 hash mode: 60-bit range, independent seeds, LSH still verifies exactly") {
     // Range + seed independence of the production hash.
     val hs = docs.select(
