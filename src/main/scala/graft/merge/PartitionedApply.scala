@@ -176,9 +176,10 @@ object PartitionedApply {
     * promote; no staged output (every row of the bucket deleted) → retire
     * the existing directory. Retired directories are kept until the marker
     * is removed so [[MergeApply.recover]] can roll back a crash at ANY
-    * point in this sequence.
+    * point in this sequence. Shared with [[PartitionedTarget.compact]],
+    * which stages rewritten bucket content through the same protocol.
     */
-  private def swapBuckets(
+  private[merge] def swapBuckets(
       spark: SparkSession,
       fs: FileSystem,
       tgt: Path,

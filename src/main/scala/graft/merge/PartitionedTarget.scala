@@ -154,6 +154,78 @@ object PartitionedTarget {
       st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
   }
 
+  /** Rewrite bucket directories whose physical layout has degraded, under
+    * the same staged-write + intent-marker + per-bucket swap protocol as
+    * the apply — an interrupted compaction recovers exactly like an
+    * interrupted merge ([[MergeApply.recover]]), and untouched buckets are
+    * never opened.
+    *
+    * A bucket is rewritten when it holds `minFiles`-or-more data files
+    * (fragmentation: external writers, append-style loaders — the apply
+    * itself always swaps in exactly one file per touched bucket) OR when
+    * its on-disk bytes exceed `targetFileBytes` (a grown bucket written as
+    * one multi-GB file throttles downstream scan parallelism — the
+    * [[graft.operators.Layout]] small/huge-files hazard on the bucket
+    * level). Rewritten buckets come out as ~targetFileBytes-sized files —
+    * sized from the REAL on-disk bytes, not the in-memory estimate.
+    *
+    * Row content per bucket is preserved exactly (the bucket column is a
+    * pure key function, so rows cannot move between buckets); only file
+    * layout changes. Single-writer assumed, like the apply.
+    *
+    * @return the bucket ids rewritten (empty when nothing qualified)
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 2): Seq[Int] = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    require(minFiles >= 2, s"minFiles must be >= 2 (1 would rewrite every bucket), got $minFiles")
+    readSpec(spark, path) // validates this IS a partitioned target
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val flagged = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+      .flatMap { st =>
+        val files = fs.listStatus(st.getPath).filter(f =>
+          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        val bytes = files.map(_.getLen).sum
+        if (files.length >= minFiles || bytes > targetFileBytes)
+          Some(st.getPath.getName.drop(BucketCol.length + 1).toInt -> bytes)
+        else None
+      }
+    if (flagged.isEmpty) return Nil
+
+    val buckets = flagged.map(_._1).sorted
+    // One salt column spreads each bucket over ceil(bytes/target) files;
+    // sized for the largest flagged bucket (smaller ones just come out
+    // with fewer, larger-than-average files — still bounded). Capped at
+    // 256 files per bucket: needing more means the bucket outgrew its
+    // spec and the real fix is a bigger nBuckets, not finer shards.
+    val filesPerBucket = math.min(256L, math.max(1L,
+      (flagged.map(_._2).max + targetFileBytes - 1) / targetFileBytes)).toInt
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val staging = new Path(root.getParent, s".${root.getName}.staging-$token")
+    val dirs = buckets.map(b => new Path(root, s"$BucketCol=$b").toString)
+    val df = spark.read.option("basePath", path).parquet(dirs: _*)
+    val dataCols = df.columns.filterNot(_ == BucketCol).map(col)
+    // Explicit partition count: an expression-only repartition lets AQE
+    // coalesce the (deliberately small) shuffle back into one task per
+    // bucket — exactly the layout compact exists to undo.
+    val nParts = math.min(buckets.size.toLong * filesPerBucket, 4096L).toInt
+    val parts: Seq[Column] =
+      if (filesPerBucket > 1) Seq(col(BucketCol), pmod(xxhash64(dataCols: _*), lit(filesPerBucket)))
+      else Seq(col(BucketCol))
+    try df.repartition(nParts, parts: _*)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(staging.toString)
+    catch { case e: Throwable => fs.delete(staging, true); throw e }
+    PartitionedApply.swapBuckets(spark, fs, root, staging, buckets, token)
+    buckets
+  }
+
   private[merge] def writeSpec(spark: SparkSession, path: String, spec: PartitionSpec): Unit = {
     val p = new Path(path, SpecFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -53,8 +53,9 @@ object StreamingUpsert {
       targetPath: String,
       keys: Seq[String],
       checkpoint: String,
-      orderCol: Option[String] = None): StreamingQuery =
-    writer(stream, targetPath, keys, orderCol)
+      orderCol: Option[String] = None,
+      compactEvery: Int = 0): StreamingQuery =
+    writer(stream, targetPath, keys, orderCol, compactEvery)
       .option("checkpointLocation", checkpoint)
       .start()
 
@@ -73,15 +74,26 @@ object StreamingUpsert {
     * key with any batch row — the bucket is a pure key function), and the
     * apply routes through [[MergeApply.applyToPartitioned]]: the whole
     * micro-batch costs O(|batch|).
+    *
+    * @param compactEvery with a positive value and a partitioned target,
+    *                     run [[PartitionedTarget.compact]] after every
+    *                     `compactEvery`-th batch — the long-running-stream
+    *                     layout guard. The apply itself swaps in one file
+    *                     per touched bucket, so this exists for bucket
+    *                     GROWTH (a hot bucket accreting rows until its
+    *                     single file is scan-hostile) and for targets that
+    *                     external append-writers also feed. 0 (default)
+    *                     disables.
     */
   def writer(
       stream: DataFrame,
       targetPath: String,
       keys: Seq[String],
-      orderCol: Option[String]): DataStreamWriter[Row] =
+      orderCol: Option[String],
+      compactEvery: Int = 0): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val partitioned = PartitionedTarget.isPartitioned(spark, targetPath)
@@ -102,6 +114,9 @@ object StreamingUpsert {
           val opts = MergeOptions(keys = keys, delete = DeleteMode.Ignore)
           if (partitioned) MergeApply.applyToPartitioned(spark, targetPath, source, opts)
           else MergeApply.applyTo(spark, targetPath, source, opts)
+          // Replayed batches re-compact at worst (idempotent — layout-only).
+          if (partitioned && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            PartitionedTarget.compact(spark, targetPath)
           ()
         }
       }

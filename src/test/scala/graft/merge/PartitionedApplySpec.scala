@@ -352,6 +352,88 @@ class PartitionedApplySpec extends GraftSuite {
     assert(MergeApply.lastUpdate(spark, path).isDefined)
   }
 
+  test("compact consolidates fragmented buckets; content and untouched buckets preserved; idempotent") {
+    val path = freshDir("papply-compact")
+    PartitionedTarget.write(target60, path, spec)
+    // Fragment ONE bucket the way an external append-writer would: extra
+    // parquet part files dropped into the bucket directory, rows keyed
+    // into that same bucket.
+    val fragBucket = bucketsOf(Seq(5L))(5L)
+    val extraKeys = bucketsOf(100L until 400L).collect {
+      case (k, b) if b == fragBucket => k
+    }.take(2).toSeq
+    assert(extraKeys.length === 2)
+    val fragDir = s"$path/${PartitionedTarget.BucketCol}=$fragBucket"
+    extraKeys.foreach { k =>
+      Seq((k, s"x$k", k * 2.0)).toDF("k", "name", "v").write.mode("append").parquet(fragDir)
+    }
+    def dataFiles(dir: String): Seq[String] =
+      Files.list(Paths.get(dir)).toArray.map(_.toString)
+        .filter(f => !f.split('/').last.startsWith("_") && !f.split('/').last.startsWith("."))
+        .toSeq
+    assert(dataFiles(fragDir).length === 3)
+    val contentBefore = PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet
+    val before = snapshotBuckets(path)
+
+    val compacted = PartitionedTarget.compact(spark, path)
+    assert(compacted === Seq(fragBucket))
+    assert(dataFiles(fragDir).length === 1)
+    assert(PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet === contentBefore)
+    // Untouched buckets byte-identical; spec sidecar intact.
+    val after = snapshotBuckets(path)
+    assert(before.filter { case (p, _) => bucketOfPath(p) != fragBucket } ===
+      after.filter { case (p, _) => bucketOfPath(p) != fragBucket })
+    assert(PartitionedTarget.readSpec(spark, path) === spec)
+    // Nothing interrupted, nothing to repair; second compact is a no-op.
+    assert(!MergeApply.recover(spark, path))
+    assert(PartitionedTarget.compact(spark, path) === Nil)
+  }
+
+  test("compact splits an oversized single-file bucket into sized files") {
+    val path = freshDir("papply-split")
+    PartitionedTarget.write(target60, path, spec)
+    val contentBefore = PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet
+    // Every bucket file is well over 300 bytes → all flagged by the size
+    // trigger and rewritten as multiple (tiny) files.
+    val compacted = PartitionedTarget.compact(spark, path, targetFileBytes = 300L)
+    assert(compacted.nonEmpty)
+    val fileCounts = compacted.map { b =>
+      Files.list(Paths.get(s"$path/${PartitionedTarget.BucketCol}=$b")).toArray.map(_.toString)
+        .count(f => !f.split('/').last.startsWith("_") && !f.split('/').last.startsWith("."))
+    }
+    assert(fileCounts.exists(_ > 1), s"expected some bucket split into multiple files, got $fileCounts")
+    assert(PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet === contentBefore)
+  }
+
+  test("interrupted compaction recovers to the pre-compaction state") {
+    val path = freshDir("papply-compact-crash")
+    PartitionedTarget.write(target60, path, spec)
+    val original = PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet
+    val fs = new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tgt = new HPath(path)
+    val dirs = Files.list(Paths.get(path)).toArray.map(_.toString)
+      .filter(_.contains(PartitionedTarget.BucketCol + "="))
+    val bA = dirs(0).split('=').last.toInt
+    // Crash-sim mid-compaction-swap: staged rewrite of bucket A exists, the
+    // marker is down, bucket A was retired but not yet promoted — exactly
+    // the state compact's swapBuckets protocol can be killed in.
+    val staging = new HPath(tgt.getParent, s".t.staging-c0mpac7a")
+    val retired = new HPath(tgt.getParent, s".t.retired-c0mpac7a")
+    fs.mkdirs(retired)
+    spark.read.parquet(dirs(0)).write
+      .parquet(new HPath(staging, s"${PartitionedTarget.BucketCol}=$bA").toString)
+    MergeApply.writeSwapMarker(fs, tgt, "c0mpac7a", staging, retired, Seq(bA), Seq(bA))
+    assert(fs.rename(
+      new HPath(tgt, s"${PartitionedTarget.BucketCol}=$bA"),
+      new HPath(retired, s"${PartitionedTarget.BucketCol}=$bA")))
+
+    assert(MergeApply.recover(spark, path))
+    assert(PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet === original)
+    assert(!fs.exists(staging) && !fs.exists(retired))
+    // And compaction runs cleanly after recovery.
+    assert(PartitionedTarget.compact(spark, path) === Nil)
+  }
+
   test("range bucket pmod matches the documented double-% DuckDB twin on negative keys and NULL") {
     val rspec = PartitionSpec(Seq("k"), 16, HashMode.Xxhash64, rangeShift = Some(3))
     val keys = Seq(-100L, -17L, -1L, 0L, 5L, 127L, Long.MinValue, Long.MaxValue)

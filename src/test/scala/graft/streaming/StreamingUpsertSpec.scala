@@ -211,6 +211,48 @@ class StreamingUpsertSpec extends GraftSuite {
       ("2024-01-01 11:00:00", "click", 1L, 7.0)))
   }
 
+  test("compactEvery: the streaming layout guard restores fragmented buckets mid-stream") {
+    val dir = Files.createTempDirectory("stream-compact")
+    val target = dir.resolve("t").toString
+    val spec = PartitionSpec(Seq("k"), 8, HashMode.Xxhash64)
+    val seed = (0L until 40L).map(i => (i, s"n$i", 0L)).toDF("k", "v", "ver")
+    PartitionedTarget.write(seed, target, spec)
+    // Fragment the bucket of k=5 the way an external append-writer would.
+    val fragBucket = Seq(5L).toDF("k").select(spec.bucket(Seq(col("k"))).as("b")).as[Int].head()
+    val fragDir = s"$target/${PartitionedTarget.BucketCol}=$fragBucket"
+    Seq((1005L, "x", 0L)).toDF("k", "v", "ver").write.mode("append").parquet(fragDir)
+    def fragFiles(): Int =
+      Files.list(Paths.get(fragDir)).toArray.map(_.toString)
+        .count(f => !f.split('/').last.startsWith("_") && !f.split('/').last.startsWith("."))
+    assert(fragFiles() === 2)
+
+    // Batches must land in OTHER buckets (else the apply itself would
+    // rewrite the fragmented one and mask the compaction hook).
+    val Seq(k1, k2) = (0L until 40L)
+      .map(k => k -> Seq(k).toDF("k").select(spec.bucket(Seq(col("k"))).as("b")).as[Int].head())
+      .collect { case (k, b) if b != fragBucket => k }.take(2).toSeq
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = StreamingUpsert.upsertTo(
+      mem.toDF().toDF("k", "v", "ver"), target, Seq("k"),
+      dir.resolve("cp").toString, orderCol = Some("ver"), compactEvery = 2)
+    try {
+      mem.addData((k1, "U1", 2L))
+      q.processAllAvailable()
+      assert(fragFiles() === 2) // batch 0: no compaction yet
+      mem.addData((k2, "U2", 2L))
+      q.processAllAvailable() // batch 1 → (batchId+1) % 2 == 0 → compact
+      assert(fragFiles() === 1)
+    } finally q.stop()
+
+    val got = PartitionedTarget.read(spark, target).as[(Long, String, Long)].collect().toSet
+    val expected = (0L until 40L).map {
+      case `k1` => (k1, "U1", 2L)
+      case `k2` => (k2, "U2", 2L)
+      case i => (i, s"n$i", 0L)
+    }.toSet + ((1005L, "x", 0L))
+    assert(got === expected)
+  }
+
   test("watermarked hourly aggregation emits per-window counts") {
     val mem = MemoryStream[(Timestamp, String, Double)]
     val agg = StreamingUpsert.hourlyCounts(
