@@ -62,10 +62,15 @@ object PartitionedApply {
     // full source lineage (for a table-scan-derived delta, two scans of
     // the underlying table). The delta is the SMALL side by this
     // operator's contract (apply cost ∝ delta), so pinning it is cheap at
-    // any scale; released when the apply returns.
-    val source = rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // any scale; released when the apply returns. A source the CALLER
+    // already persisted is left alone — unpersisting it here would drop
+    // the caller's cache entry out from under its later reuse.
+    val callerPinned = rawSource.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val source =
+      if (callerPinned) rawSource
+      else rawSource.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try applyPinned(spark, targetPath, source, opts, auditPath, thresholdPct, spec)
-    finally source.unpersist()
+    finally if (!callerPinned) source.unpersist()
   }
 
   private def applyPinned(
@@ -99,25 +104,29 @@ object PartitionedApply {
       return MergeResult(0L, 0L, 0.0, committed = true)
     }
 
-    // Pruned read: list ONLY the touched bucket directories (basePath
-    // keeps partition-column parsing) instead of discovering the whole
+    // Pruned read: list ONLY the touched bucket directories
+    // (PartitionedTarget.readBuckets) instead of discovering the whole
     // target and filtering — on a wide target, full partition discovery
     // is a file-listing pass over every bucket (measured ~0.3 s on 64
     // local dirs; on object storage over thousands of buckets it is the
     // apply's dominant metadata cost). Planning I/O now scales with the
     // TOUCHED set, like everything else here. Buckets the delta would
     // create for the first time don't exist yet — they contribute no
-    // target rows. An EMPTY target (zero touched dirs — a pipeline
-    // bootstrapping into a fresh table) has nothing for schema
-    // inference; every source row is an insert against an empty slice
-    // shaped like the source.
-    val touchedDirs = touched.map(b => bucketDir(tgt, b)).filter(fs.exists).map(_.toString)
-    val slice =
-      if (touchedDirs.nonEmpty)
-        spark.read.option("basePath", targetPath).parquet(touchedDirs: _*)
-          .drop(BucketCol)
-      else
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema)
+    // target rows, but an existing target's SCHEMA must still anchor the
+    // plan (a subset-source merge against an all-new-bucket delta would
+    // otherwise write source-shaped buckets and silently drop the
+    // target-only columns). Only a genuinely EMPTY target (a pipeline
+    // bootstrapping into a fresh table) shapes the slice like the source.
+    val slice = PartitionedTarget.readBuckets(spark, targetPath, touched)
+      .orElse {
+        if (PartitionedTarget.hasBuckets(spark, targetPath))
+          // Rare: every delta key lands in a brand-new bucket. Pay one
+          // full discovery for the true target schema; zero rows.
+          Some(spark.read.parquet(targetPath).drop(BucketCol).filter(lit(false)))
+        else None
+      }
+      .getOrElse(
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.schema))
     val plan = MergePlan.build(slice.schema, source.schema, opts)
     val frame = new MergeFrame(slice, source, plan)
 

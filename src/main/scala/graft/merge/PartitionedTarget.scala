@@ -160,14 +160,18 @@ object PartitionedTarget {
     * interrupted merge ([[MergeApply.recover]]), and untouched buckets are
     * never opened.
     *
-    * A bucket is rewritten when it holds `minFiles`-or-more data files
-    * (fragmentation: external writers, append-style loaders — the apply
-    * itself always swaps in exactly one file per touched bucket) OR when
-    * its on-disk bytes exceed `targetFileBytes` (a grown bucket written as
-    * one multi-GB file throttles downstream scan parallelism — the
-    * [[graft.operators.Layout]] small/huge-files hazard on the bucket
-    * level). Rewritten buckets come out as ~targetFileBytes-sized files —
-    * sized from the REAL on-disk bytes, not the in-memory estimate.
+    * Per bucket, the desired file count is `ceil(onDiskBytes /
+    * targetFileBytes)` (capped at 256 — needing more means the bucket
+    * outgrew its spec and the real fix is a bigger nBuckets). A bucket is
+    * rewritten when it is FRAGMENTED — at least `minFiles` data files AND
+    * more files than desired (external writers, append-style loaders; the
+    * apply itself always swaps in exactly one file per touched bucket) —
+    * or OVERSIZED — average file size beyond 2× targetFileBytes (a grown
+    * bucket written as one multi-GB file throttles downstream scan
+    * parallelism: the [[graft.operators.Layout]] hazard at the bucket
+    * level). A bucket already at its desired layout is NOT re-flagged, so
+    * repeated compaction (the streaming `compactEvery` hook) converges
+    * instead of rewriting split buckets forever.
     *
     * Row content per bucket is preserved exactly (the bucket column is a
     * pure key function, so rows cannot move between buckets); only file
@@ -186,44 +190,63 @@ object PartitionedTarget {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    def desiredFiles(bytes: Long): Int =
+      math.min(256L, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    // (bucket, desired file count) for every degraded bucket.
     val flagged = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
       .flatMap { st =>
         val files = fs.listStatus(st.getPath).filter(f =>
           f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
         val bytes = files.map(_.getLen).sum
-        if (files.length >= minFiles || bytes > targetFileBytes)
-          Some(st.getPath.getName.drop(BucketCol.length + 1).toInt -> bytes)
+        val desired = desiredFiles(bytes)
+        val fragmented = files.length >= minFiles && files.length > desired
+        val oversized = files.nonEmpty && bytes / files.length > 2L * targetFileBytes
+        if (fragmented || oversized)
+          Some(st.getPath.getName.drop(BucketCol.length + 1).toInt -> desired)
         else None
       }
     if (flagged.isEmpty) return Nil
 
     val buckets = flagged.map(_._1).sorted
-    // One salt column spreads each bucket over ceil(bytes/target) files;
-    // sized for the largest flagged bucket (smaller ones just come out
-    // with fewer, larger-than-average files — still bounded). Capped at
-    // 256 files per bucket: needing more means the bucket outgrew its
-    // spec and the real fix is a bigger nBuckets, not finer shards.
-    val filesPerBucket = math.min(256L, math.max(1L,
-      (flagged.map(_._2).max + targetFileBytes - 1) / targetFileBytes)).toInt
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(root.getParent, s".${root.getName}.staging-$token")
     val dirs = buckets.map(b => new Path(root, s"$BucketCol=$b").toString)
     val df = spark.read.option("basePath", path).parquet(dirs: _*)
     val dataCols = df.columns.filterNot(_ == BucketCol).map(col)
+    // Per-bucket file-count salt (a broadcast lookup of ≤ nBuckets rows):
+    // a uniform global modulus sized for the largest bucket would shatter
+    // small fragmented buckets into that many tiny files.
+    import spark.implicits._
+    val nf = "__graft_nf"
+    val desiredDf = flagged.toDF(BucketCol, nf)
+    val salt = pmod(xxhash64(dataCols: _*), col(nf))
     // Explicit partition count: an expression-only repartition lets AQE
     // coalesce the (deliberately small) shuffle back into one task per
     // bucket — exactly the layout compact exists to undo.
-    val nParts = math.min(buckets.size.toLong * filesPerBucket, 4096L).toInt
-    val parts: Seq[Column] =
-      if (filesPerBucket > 1) Seq(col(BucketCol), pmod(xxhash64(dataCols: _*), lit(filesPerBucket)))
-      else Seq(col(BucketCol))
-    try df.repartition(nParts, parts: _*)
+    val nParts = math.min(flagged.map(_._2.toLong).sum, 4096L).toInt
+    try df.join(broadcast(desiredDf), BucketCol)
+      .repartition(nParts, col(BucketCol), salt)
+      .drop(nf)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .partitionBy(BucketCol).parquet(staging.toString)
     catch { case e: Throwable => fs.delete(staging, true); throw e }
     PartitionedApply.swapBuckets(spark, fs, root, staging, buckets, token)
     buckets
+  }
+
+  /** Pruned read of the given buckets: lists ONLY their directories
+    * (planning metadata I/O ∝ the bucket set, not the target's fan-out),
+    * skipping buckets with no directory yet. None when none exist. The
+    * bucket column is dropped — callers get logical table content. Shared
+    * by the partition-scoped apply and the streaming current-state read.
+    */
+  private[graft] def readBuckets(spark: SparkSession, path: String, buckets: Seq[Int]): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = buckets.map(b => new Path(root, s"$BucketCol=$b")).filter(fs.exists).map(_.toString)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", path).parquet(dirs: _*).drop(BucketCol))
   }
 
   private[merge] def writeSpec(spark: SparkSession, path: String, spec: PartitionSpec): Unit = {

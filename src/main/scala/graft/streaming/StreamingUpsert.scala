@@ -144,17 +144,11 @@ object StreamingUpsert {
           throw new IllegalArgumentException(s"Key column [$k] missing from stream"))))
       val touched = batch.select(spec.bucket(keyCols).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
-      // List only the touched bucket dirs (the apply's own pruned-read
-      // pattern): planning metadata I/O scales with the batch's bucket
-      // set, not the target's directory fan-out.
-      val root = new org.apache.hadoop.fs.Path(targetPath)
-      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val dirs = touched
-        .map(b => new org.apache.hadoop.fs.Path(root, s"${PartitionedTarget.BucketCol}=$b"))
-        .filter(fs.exists).map(_.toString)
-      if (dirs.isEmpty) batch.filter(lit(false))
-      else spark.read.option("basePath", targetPath).parquet(dirs: _*)
-        .select(batch.columns.map(col): _*)
+      // Pruned listing of just the touched bucket dirs — the apply's own
+      // read pattern, shared via readBuckets.
+      PartitionedTarget.readBuckets(spark, targetPath, touched)
+        .map(_.select(batch.columns.map(col): _*))
+        .getOrElse(batch.filter(lit(false)))
     }
   }
 

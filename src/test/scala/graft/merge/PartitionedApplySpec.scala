@@ -352,6 +352,42 @@ class PartitionedApplySpec extends GraftSuite {
     assert(MergeApply.lastUpdate(spark, path).isDefined)
   }
 
+  test("all-new-bucket delta keeps the target schema (subset source cannot drop target-only columns)") {
+    // Review r5 #3: when every delta key lands in a brand-new bucket, the
+    // plan must still anchor on the EXISTING target's schema — shaping the
+    // slice like the source would write source-shaped buckets and silently
+    // drop target-only columns from part of the table.
+    val wide = PartitionSpec(Seq("k"), 64, HashMode.Xxhash64)
+    val path = freshDir("papply-newschema")
+    val small = (0L until 6L).map(i => (i, s"n$i", i * 1.0)).toDF("k", "name", "v")
+    PartitionedTarget.write(small, path, wide)
+    val used = bucketsOf(0L until 6L, wide).values.toSet
+    val (newKey, _) = bucketsOf(100L until 200L, wide).find { case (_, b) => !used.contains(b) }
+      .getOrElse(sys.error("no unused bucket among candidates"))
+    val source = Seq((newKey, "fresh")).toDF("k", "name") // subset source: no "v"
+    val r = MergeApply.applyToPartitioned(
+      spark, path, source, MergeOptions(keys = Seq("k"), delete = DeleteMode.Ignore))
+    assert(r.committed && r.affectedRows === 1L)
+    val out = PartitionedTarget.read(spark, path)
+    assert(out.columns.sorted.toSeq === Seq("k", "name", "v"))
+    assert(out.filter(col("k") === newKey).select("name").as[String].head() === "fresh")
+    assert(out.filter(col("k") === newKey).filter(col("v").isNull).count() === 1L)
+  }
+
+  test("apply leaves a caller-persisted source cached (no clobbered cache)") {
+    // Review r5 #4: the apply pins an unpersisted source for its two
+    // consumers but must not unpersist a frame the CALLER cached.
+    val path = freshDir("papply-callerpin")
+    PartitionedTarget.write(target60, path, spec)
+    val src = Seq((5L, "N5", 500.0)).toDF("k", "name", "v").persist()
+    try {
+      src.count()
+      MergeApply.applyToPartitioned(
+        spark, path, src, MergeOptions(keys = Seq("k"), delete = DeleteMode.Ignore))
+      assert(src.storageLevel !== org.apache.spark.storage.StorageLevel.NONE)
+    } finally src.unpersist()
+  }
+
   test("compact consolidates fragmented buckets; content and untouched buckets preserved; idempotent") {
     val path = freshDir("papply-compact")
     PartitionedTarget.write(target60, path, spec)
