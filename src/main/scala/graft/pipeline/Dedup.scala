@@ -326,6 +326,61 @@ object Dedup {
       Seq(idx, sizes))
   }
 
+  /** Benchmark decontamination: for every (corpus doc, benchmark doc) pair
+    * sharing at least one token n-gram, the fraction of the BENCHMARK
+    * doc's distinct n-grams that also occur in the corpus doc. A training
+    * document whose overlap with any eval/benchmark document reaches
+    * `threshold` is contaminated and must be dropped before training —
+    * the standard n-gram decontamination check run before every serious
+    * pretraining job.
+    *
+    * Scale shape: both sides become inverted (id, hashed n-gram) indexes;
+    * the pair join keys on the int64 n-gram hash (never all-pairs, same
+    * as [[jaccardPairs]]) and its fan-out is each n-gram's document
+    * frequency — naturally tiny at decontamination n-gram lengths (8-13
+    * tokens), where almost every n-gram is unique. The benchmark side is
+    * usually small (eval sets), but nothing here requires it. Asymmetric
+    * on purpose: overlap is measured against the BENCHMARK n-gram count,
+    * so a giant training doc that swallows a whole benchmark doc scores
+    * 1.0, not a diluted Jaccard.
+    *
+    * @param dfCap drop n-grams occurring in more than this many CORPUS
+    *              docs before pairing (boilerplate floods). Default
+    *              uncapped: a dropped n-gram UNDERCOUNTS overlap, and a
+    *              false negative here leaks benchmark data into training —
+    *              cap only when a profiled boilerplate flood demands it.
+    * @return (corpus_id, bench_id, shared, overlap) with
+    *         overlap = shared/|benchmark n-grams| >= threshold, rounded
+    *         to 6 decimals.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.5,
+      dfCap: Int = Int.MaxValue,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val cIdxRaw = shingleIndex(corpus, idCol, textCol, n, hashWith = Some(hashMode))
+    val cIdx =
+      if (dfCap == Int.MaxValue) cIdxRaw
+      else cIdxRaw
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+        .filter(col("__df") <= dfCap)
+        .drop("__df")
+    val bIdx = shingleIndex(benchmark, idCol, textCol, n, hashWith = Some(hashMode))
+    val bSizes = bIdx.groupBy("id").agg(count(lit(1)).as("bsz"))
+    cIdx.withColumnRenamed("id", "corpus_id")
+      .join(bIdx.withColumnRenamed("id", "bench_id"), "sh")
+      .groupBy("corpus_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .join(bSizes.withColumnRenamed("id", "bench_id"), "bench_id")
+      .withColumn("overlap", round(col("shared") / col("bsz"), 6))
+      .filter(col("overlap") >= threshold)
+      .select("corpus_id", "bench_id", "shared", "overlap")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm): hash every token k-gram in sequence, then keep
     * the MINIMUM hash of each sliding window of `window` consecutive

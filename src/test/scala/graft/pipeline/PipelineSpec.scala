@@ -42,6 +42,26 @@ class PipelineSpec extends GraftSuite {
     assert(lsh.contains((1L, 2L))) // identical docs always share every band
   }
 
+  test("decontamination flags corpus docs covering a benchmark doc's n-grams") {
+    // Benchmark doc 100 == docs 1/2 verbatim; doc 3 is a superset (extra
+    // trailing token), so ALL of the benchmark's 3-grams appear in it too.
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = Dedup.contaminationPairs(docs, bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("corpus_id", "bench_id", "overlap").as[(Long, Long, Double)].collect().toSet
+    assert(pairs === Set((1L, 100L, 1.0), (2L, 100L, 1.0), (3L, 100L, 1.0)))
+
+    // A benchmark doc only PARTIALLY covered scores its true fraction and
+    // falls away once the threshold exceeds it.
+    val half = Seq((200L, "the quick brown fox jumps xx yy zz aa bb cc dd")).toDF("doc_id", "text")
+    // 12 tokens → 10 3-grams; corpus docs 1/2 share exactly 3 of them.
+    val partial = Dedup.contaminationPairs(docs, half, "doc_id", "text", n = 3, threshold = 0.2)
+      .select("corpus_id", "overlap").as[(Long, Double)].collect().toMap
+    assert(partial.keySet === Set(1L, 2L, 3L))
+    assert(partial(1L) === 0.3) // round(3/10, 6)
+    assert(Dedup.contaminationPairs(docs, half, "doc_id", "text", n = 3, threshold = 0.5)
+      .count() === 0L)
+  }
+
   test("winnowing: shared token runs share fingerprints; disjoint texts share none") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
