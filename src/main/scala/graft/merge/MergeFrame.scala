@@ -152,7 +152,7 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
             throw new MergeValidationException(s"SET column [$c] missing from target"))
           c.toLowerCase -> when(col(NmbsCol), expr(e).cast(dt)).otherwise(col(c))
         }.toMap
-        classified.select(classified.columns.map { cn =>
+        classified.select(classified.columns.toIndexedSeq.map { cn =>
           assignFor.get(cn.toLowerCase).map(_.as(cn)).getOrElse(col(cn))
         }: _*)
       case _ => classified
@@ -249,7 +249,7 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     val off = "__graft_off"
     val base = df
       .withColumn(mid, monotonically_increasing_id())
-      .withColumn(sc, pmod(xxhash64(df.columns.map(col): _*), lit(salt)).cast("int"))
+      .withColumn(sc, pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(salt)).cast("int"))
     val bucketPart = (keys :+ sc).map(col)
     val ranked = base
       .withColumn(rn1, row_number().over(Window.partitionBy(bucketPart: _*).orderBy(col(mid))))

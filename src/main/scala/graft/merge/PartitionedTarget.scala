@@ -220,7 +220,7 @@ object PartitionedTarget {
     import spark.implicits._
     val nf = "__graft_nf"
     val desiredDf = flagged.toDF(BucketCol, nf)
-    val salt = pmod(xxhash64(dataCols: _*), col(nf))
+    val salt = pmod(xxhash64(dataCols.toIndexedSeq: _*), col(nf))
     // Explicit partition count: an expression-only repartition lets AQE
     // coalesce the (deliberately small) shuffle back into one task per
     // bucket — exactly the layout compact exists to undo.

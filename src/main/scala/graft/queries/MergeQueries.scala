@@ -61,7 +61,7 @@ object MergeQueries {
         .using(lineitemSource(s, dir), "src")
         .keys("l_orderkey")
         .badKey(true).delete("YES")
-      m.merged.orderBy(m.merged.columns.map(col): _*)
+      m.merged.orderBy(m.merged.columns.toIndexedSeq.map(col): _*)
     }),
     // Skew-safe badKey: same merge as m6 through the two-phase salted
     // rank — multiset-identical result, hot keys spread over 8 buckets.
@@ -70,7 +70,7 @@ object MergeQueries {
         .using(lineitemSource(s, dir), "src")
         .keys("l_orderkey")
         .badKeySalt(8).delete("YES")
-      m.merged.orderBy(m.merged.columns.map(col): _*)
+      m.merged.orderBy(m.merged.columns.toIndexedSeq.map(col): _*)
     }),
     "m7_merge_nullkey" -> ((s, dir) => {
       val m = SimpleMerge.into(customerTarget(s, dir), "tgt")

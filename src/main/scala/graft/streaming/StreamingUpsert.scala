@@ -41,7 +41,7 @@ object StreamingUpsert {
     * could flip winners across replays).
     */
   def dedupeLatest(batch: DataFrame, keys: Seq[String], orderCol: Option[String]): DataFrame = {
-    val contentTiebreak = xxhash64(batch.columns.map(col): _*).asc
+    val contentTiebreak = xxhash64(batch.columns.toIndexedSeq.map(col): _*).asc
     val ord: Seq[Column] = orderCol.map(col(_).desc).toSeq :+ contentTiebreak
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     batch.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
@@ -106,7 +106,7 @@ object StreamingUpsert {
               // Freshest per key; the batch row wins an exact ts tie.
               val w = Window.partitionBy(keys.map(col): _*)
                 .orderBy(col(oc).desc, col(pri).desc,
-                  xxhash64(batch.columns.map(col): _*).asc)
+                  xxhash64(batch.columns.toIndexedSeq.map(col): _*).asc)
               combined.withColumn("__rn", row_number().over(w))
                 .filter(col("__rn") === 1).drop("__rn", pri)
             case None => dedupeLatest(batch, keys, None)
@@ -134,7 +134,7 @@ object StreamingUpsert {
       partitioned: Boolean): DataFrame = {
     val spark = batch.sparkSession
     if (!partitioned)
-      spark.read.parquet(targetPath).select(batch.columns.map(col): _*)
+      spark.read.parquet(targetPath).select(batch.columns.toIndexedSeq.map(col): _*)
     else if (!PartitionedTarget.hasBuckets(spark, targetPath))
       batch.filter(lit(false)) // empty bootstrap target: no current state
     else {
@@ -147,7 +147,7 @@ object StreamingUpsert {
       // Pruned listing of just the touched bucket dirs — the apply's own
       // read pattern, shared via readBuckets.
       PartitionedTarget.readBuckets(spark, targetPath, touched)
-        .map(_.select(batch.columns.map(col): _*))
+        .map(_.select(batch.columns.toIndexedSeq.map(col): _*))
         .getOrElse(batch.filter(lit(false)))
     }
   }
