@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: group documents into fixed-token-budget packs — the
+  * step that turns a curated corpus into context-window-sized training
+  * examples. Exact first-fit packing is inherently sequential; the
+  * distributed-standard approximation used here keeps documents ATOMIC and
+  * assigns each to pack `floor(tokensBefore / budget)` within its group's
+  * deterministic id order:
+  *
+  *   - pack boundaries fall wherever the running token count crosses a
+  *     budget multiple, so a pack overflows by at most one document (the
+  *     straddler) and is never fragmented;
+  *   - one window sort per group partition — the same shuffle shape as
+  *     every per-key operator here, no sequential driver loop, scales to
+  *     any corpus;
+  *   - deterministic: same corpus + group + budget → the same packs on any
+  *     cluster, which training-data reproducibility requires.
+  */
+object Packing {
+
+  /** Assign each document a `pack_id` within its group, plus its
+    * `n_tokens` (whitespace tokens — swap the tokenizer for a BPE count
+    * upstream by pre-computing a token-count column and using
+    * [[packGreedyByCount]]).
+    *
+    * @param groupCols pack within these partitions (e.g. language) —
+    *                  empty packs globally (single partition: fine for
+    *                  modest corpora, use groups at scale)
+    */
+  def packGreedy(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int,
+      groupCols: Seq[String] = Nil): DataFrame =
+    packGreedyByCount(
+      docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long")),
+      idCol, "n_tokens", budget, groupCols)
+
+  /** [[packGreedy]] over a pre-computed token-count column (the real
+    * pipeline counts BPE tokens once, upstream).
+    */
+  def packGreedyByCount(
+      docs: DataFrame,
+      idCol: String,
+      countCol: String,
+      budget: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(idCol))
+    docs
+      .withColumn("__cum", coalesce(
+        sum(col(countCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", floor(col("__cum") / budget).cast("long"))
+      .drop("__cum")
+  }
+}

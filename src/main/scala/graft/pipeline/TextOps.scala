@@ -52,4 +52,35 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** PII patterns redacted by [[redactPii]], applied in order. Both
+    * patterns evaluate identically under Java regex (Spark) and RE2
+    * (DuckDB) — plain character classes and bounded quantifiers only, no
+    * backrefs/lookaround — so the redaction has an exact oracle twin.
+    * Email first: an address contains digit runs an IP-ish rule could
+    * otherwise chew on.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b" -> "<IP>")
+
+  /** Scrub PII spans (emails, IPv4 addresses) to placeholder tokens —
+    * map-only, codegen'd, the standard pre-training scrub pass. Redaction
+    * must run BEFORE dedup/packing: two docs differing only in the PII
+    * span become identical after scrubbing, which is exactly when you
+    * want the dedup to collapse them.
+    *
+    * DuckDB twin: `regexp_replace(regexp_replace(text, email, '<EMAIL>',
+    * 'g'), ip, '<IP>', 'g')` (Spark's regexp_replace is global by
+    * default; DuckDB needs the 'g' flag).
+    */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, repl)) => regexp_replace(c, pat, repl) }
+
+  /** How many PII spans [[redactPii]] would scrub — the audit metric a
+    * curation report wants next to the scrubbed text.
+    */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
+      .reduce(_ + _).cast("long")
 }

@@ -180,6 +180,30 @@ object PipelineQueries {
           min(unix_micros(col("ts").cast("timestamp"))).as("start_us"),
           max(unix_micros(col("ts").cast("timestamp"))).as("end_us"))
         .orderBy("user_id", "session_idx")),
+    // PII scrub (C28): deterministic synthetic PII appended to each doc
+    // (the corpus itself is PII-free), then redaction + span count — the
+    // pre-training scrub pass, map-only.
+    "t7_pii_redaction" -> ((s, dir) => {
+      val d = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".99")).as("text"))
+      d.select(col("doc_id"),
+          graft.pipeline.TextOps.piiCount(col("text")).as("n_pii"),
+          graft.pipeline.TextOps.redactPii(col("text")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    // Sequence packing (C29): per-language packs under a 2048-token
+    // budget, rolled up to (lang, pack) shape.
+    "t8_sequence_packing" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "lang", "text")
+      graft.pipeline.Packing.packGreedy(d, "doc_id", "text", budget = 2048, groupCols = Seq("lang"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
     "mm1_binary_meta" -> ((s, dir) =>
       Multimodal.decodeStub(
         Multimodal.ingestBinary(
@@ -525,6 +549,33 @@ object PipelineQueries {
          |)
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    "t7_pii_redaction" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         text || ' contact user' || doc_id || '@example.com from 10.0.' || (doc_id % 256) || '.99' AS text
+         |  FROM documents WHERE doc_id < 200
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '$email')) + len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_pii,
+         |       regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g') AS redacted
+         |FROM d ORDER BY doc_id""".stripMargin
+    },
+    "t8_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents
+        |),
+        |c AS (
+        |  SELECT lang, n_tokens,
+        |         coalesce(sum(n_tokens) OVER (
+        |           PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM t
+        |)
+        |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

@@ -62,6 +62,37 @@ class PipelineSpec extends GraftSuite {
       .count() === 0L)
   }
 
+  test("PII redaction scrubs emails and IPs, counts spans, leaves clean text alone") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@corp-mail.example.org or 192.168.1.77 today"),
+      (2L, "no pii in this perfectly ordinary sentence"),
+      (3L, "two mails a@b.io c@d.net one ip 10.0.0.1")
+    ).toDF("doc_id", "text")
+    val out = d.select($"doc_id",
+        TextOps.piiCount($"text").as("n"), TextOps.redactPii($"text").as("r"))
+      .as[(Long, Long, String)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(out(1L) === ((2L, "reach me at <EMAIL> or <IP> today")))
+    assert(out(2L) === ((0L, "no pii in this perfectly ordinary sentence")))
+    assert(out(3L) === ((3L, "two mails <EMAIL> <EMAIL> one ip <IP>")))
+  }
+
+  test("sequence packing: atomic docs, budget-crossing boundaries, per-group resets") {
+    val d = Seq(
+      (1L, "en", 5L), (2L, "en", 5L), (3L, "en", 5L), (4L, "en", 12L), (5L, "en", 1L),
+      (10L, "fr", 9L), (11L, "fr", 2L)
+    ).toDF("doc_id", "lang", "n_tokens")
+    val packs = Packing.packGreedyByCount(d, "doc_id", "n_tokens", budget = 10, groupCols = Seq("lang"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // en cum-before: 0,5,10,15,27 → packs 0,0,1,1,2 (doc 4 straddles: atomic, overflows pack 1)
+    assert(packs === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L,
+      10L -> 0L, 11L -> 0L)) // fr restarts at 0 — groups pack independently
+    // Token-count form and text form agree.
+    val txt = Seq((1L, "en", "a b c"), (2L, "en", "d e")).toDF("doc_id", "lang", "text")
+    val viaText = Packing.packGreedy(txt, "doc_id", "text", budget = 4, groupCols = Seq("lang"))
+      .select("doc_id", "n_tokens", "pack_id").as[(Long, Long, Long)].collect().toSet
+    assert(viaText === Set((1L, 3L, 0L), (2L, 2L, 0L)))
+  }
+
   test("winnowing: shared token runs share fingerprints; disjoint texts share none") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),

@@ -49,6 +49,11 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("d8 decontamination: hashed inverted-index joins only — never an all-pairs product") {
+    val plan = planOf("d8_decontamination")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("t2/t4/mm1 map-only queries plan no exchange beyond the output sort") {
     for (name <- Seq("t2_quality", "t4_fingerprint", "mm1_binary_meta")) {
       val plan = planOf(name)
