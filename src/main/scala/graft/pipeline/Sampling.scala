@@ -65,4 +65,28 @@ object Sampling {
     }.otherwise(lit(weights.last._1))
     df.withColumn("split", assigned)
   }
+
+  /** Corpus rebalancing: keep a DIFFERENT deterministic fraction per
+    * stratum — the data-mixing step that up/down-weights sources or
+    * languages before training ("keep 100% of code, 30% of web crawl").
+    * Strata absent from `rates` keep `defaultRate`. Still map-only and
+    * growth-stable per stratum: the keep decision is the same hash filter
+    * as [[sample]], just with a per-stratum threshold chosen by a
+    * CASE over the stratum column — no join, no shuffle, pushdown intact.
+    */
+  def rebalance(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      seed: Int,
+      defaultRate: Double = 1.0,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(rates.nonEmpty, "at least one stratum rate required")
+    val bound = rates.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0L))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(strataCol) === lit(stratum), lit(thresholdFor(rate)))
+    }.otherwise(lit(thresholdFor(defaultRate)))
+    df.filter(hashMode.hash(col(idCol).cast("string"), seed) < bound)
+  }
 }

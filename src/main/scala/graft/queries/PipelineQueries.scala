@@ -158,6 +158,15 @@ object PipelineQueries {
         count(when(col("split") === "test", 1)).as("n_test"))
         .orderBy("lang")
     }),
+    // Corpus rebalancing (C30): per-language keep-rates — down-weight the
+    // dominant language, keep the rest at the default — rolled up to
+    // kept-counts per language.
+    "s2_rebalance" -> ((s, dir) =>
+      Sampling.rebalance(
+        table(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), seed = 13, defaultRate = 0.9)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
     // Winnowing fingerprints (rolling k-gram hash, sliding-window minima)
     // over the near-dup corpus: near-copies share most fingerprints.
     "d5_winnowing" -> ((s, dir) =>
@@ -547,6 +556,18 @@ object PipelineQueries {
          |         ${sqlHash(11, "doc_id::VARCHAR")} AS h11
          |  FROM documents
          |)
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
+    "s2_rebalance" -> {
+      // The SAME threshold constants rebalance() evaluates (ADVICE r2 #2:
+      // never re-derive with independent float arithmetic).
+      val (t25, t50, t90) =
+        (Sampling.thresholdFor(0.25), Sampling.thresholdFor(0.5), Sampling.thresholdFor(0.9))
+      s"""SELECT lang, count(*) AS n_kept
+         |FROM (SELECT lang, ${sqlHash(13, "doc_id::VARCHAR")} AS h FROM documents)
+         |WHERE h < CASE WHEN lang = 'de' THEN $t25
+         |               WHEN lang = 'en' THEN $t50
+         |               ELSE $t90 END
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
     "t7_pii_redaction" -> {

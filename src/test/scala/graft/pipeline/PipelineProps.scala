@@ -63,4 +63,40 @@ object PipelineProps extends Properties("pipeline") {
         .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
       lsh.subsetOf(exact)
     }
+
+  property("contamination: self-overlap is 1.0 and every overlap is in (0, 1]") =
+    forAll(corpusGen) { rows =>
+      val s = spark
+      import s.implicits._
+      // Benchmark = the corpus itself (ids shifted): every doc long enough
+      // to shingle must hit its own twin at overlap exactly 1.0.
+      val bench = toDF(rows.map { case (i, t) => (i + 1000L, t) })
+      val pairs = Dedup.contaminationPairs(toDF(rows), bench, "doc_id", "text", n = 2, threshold = 0.0)
+        .select("corpus_id", "bench_id", "overlap").as[(Long, Long, Double)].collect()
+      val wellFormed = pairs.forall { case (_, _, o) => o > 0.0 && o <= 1.0 }
+      val selfHits = rows.filter(_._2.split(" ").length >= 2).forall { case (i, _) =>
+        pairs.exists { case (c, b, o) => c == i && b == i + 1000L && o == 1.0 }
+      }
+      wellFormed && selfHits
+    }
+
+  private val countsGen: Gen[Seq[(Long, Long)]] =
+    Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n, Gen.chooseNum(1L, 30L)))
+      .map(_.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+
+  property("packing matches the sequential first-fit spec exactly (any counts, any budget)") =
+    forAll(countsGen, Gen.chooseNum(5, 40)) { (rows, budget) =>
+      val s = spark
+      import s.implicits._
+      val out = Packing.packGreedyByCount(
+        rows.toDF("doc_id", "n_tokens"), "doc_id", "n_tokens", budget)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+      // The distributed window computation must equal the sequential
+      // definition: doc → floor(tokensBefore / budget) in id order.
+      var cum = 0L
+      val expected = rows.sortBy(_._1).map { case (i, c) =>
+        val p = cum / budget; cum += c; (i, p)
+      }.toMap
+      out == expected
+    }
 }

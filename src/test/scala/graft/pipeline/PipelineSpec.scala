@@ -62,6 +62,22 @@ class PipelineSpec extends GraftSuite {
       .count() === 0L)
   }
 
+  test("rebalance keeps per-stratum fractions, exactly the single-rate sample per stratum") {
+    val d = (0L until 600L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.rebalance(d, "doc_id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1), seed = 7, defaultRate = 1.0)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("zh") === 200) // defaultRate keeps everything
+    assert(byLang("en") > 60 && byLang("en") < 140) // ~100 of 200
+    assert(byLang("de") < 45) // ~20 of 200
+    // Per stratum, rebalance IS sample at that stratum's rate (same seed):
+    val enOnly = Sampling.sample(d.filter($"lang" === "en"), "doc_id", 0.5, seed = 7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.collect { case (id, "en") => id }.toSet === enOnly)
+  }
+
   test("PII redaction scrubs emails and IPs, counts spans, leaves clean text alone") {
     val d = Seq(
       (1L, "reach me at jane.doe+spam@corp-mail.example.org or 192.168.1.77 today"),
