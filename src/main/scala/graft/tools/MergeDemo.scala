@@ -79,6 +79,34 @@ object MergeDemo {
         println(s"[demo] threshold abort fired as expected: ${e.getMessage}")
         println(s"[demo] target rows after abort: ${spark.read.parquet(tgtPath).count()} (unchanged)")
     }
+
+    // Partition-scoped apply (the 100 TB path): bucket the target once,
+    // then a contiguous-keyrange delta rewrites only the buckets it
+    // touches; untouched bucket files stay byte-identical; compact is a
+    // no-op on a healthy layout.
+    val ptPath = s"$work/orders_partitioned"
+    val spec = PartitionSpec(Seq("o_orderkey"), 16, graft.pipeline.HashMode.Xxhash64,
+      rangeShift = Some(8)) // buckets of 256 contiguous keys
+    PartitionedTarget.write(spark.read.parquet(tgtPath), ptPath, spec)
+    def snapshot(): Map[String, Long] = {
+      val root = new org.apache.hadoop.fs.Path(ptPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(root).filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).filter(_.isFile)
+          .map(f => f.getPath.toString -> f.getModificationTime)).toMap
+    }
+    val filesBefore = snapshot()
+    val delta = orders.filter(col("o_orderkey") <= 300)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(5.0))
+    val pres = MergeApply.applyToPartitioned(spark, ptPath, delta,
+      MergeOptions(keys = Seq("o_orderkey"), delete = DeleteMode.Ignore))
+    val filesAfter = snapshot()
+    val untouched = filesBefore.filter { case (p, t) => filesAfter.get(p).contains(t) }
+    println(s"[demo] partitioned apply: affected=${pres.affectedRows} " +
+      s"touched-slice rows=${pres.targetRows}; " +
+      s"${untouched.size}/${filesBefore.size} pre-existing bucket files physically untouched")
+    println(s"[demo] compact on healthy layout: ${PartitionedTarget.compact(spark, ptPath)} " +
+      "(expect empty), recover: " + MergeApply.recover(spark, ptPath) + " (expect false)")
     spark.stop()
   }
 }
