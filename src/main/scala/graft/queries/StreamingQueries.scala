@@ -14,6 +14,12 @@ import graft.streaming.StreamingUpsert
   * cost of N micro-batches, each routed through the partition-scoped apply
   * — per-batch cost scales with the batch, not the target.
   *
+  * Reading the number: the FIRST batch carries the stream's one-time
+  * planning/codegen cost (profiled at sf0.1: batch 0 ≈ 4.3 s, batches
+  * 1..3 ≈ 1.6 s each), and the bench restarts the stream every iteration
+  * — so ~a third of the st1 line is per-STREAM setup that a long-running
+  * deployment amortizes to zero, not per-batch steady state.
+  *
   * Unlike most streaming state, the CONVERGED result here is
   * SQL-expressible: the target seeds with stale values for half the events,
   * the stream replays every event in key order, so the final state is
