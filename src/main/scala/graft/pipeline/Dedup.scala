@@ -326,6 +326,65 @@ object Dedup {
       Seq(idx, sizes))
   }
 
+  /** Duplicate-cluster resolution: connected components over a near-dup
+    * pair frame — every document that appears in a pair gets the MINIMUM
+    * doc id reachable through the pair graph as its `cluster_id` (the
+    * canonical representative). This is the step after any pair generator
+    * ([[jaccardPairs]], [[minhashLshPairs]], [[Similarity.cosineNearDupPairs]]):
+    * pairs are not deduplication decisions until transitive duplicates
+    * (a~b, b~c) collapse into one cluster with one survivor.
+    *
+    * Min-label propagation: labels flow along shortest paths, so the
+    * round count is the largest cluster DIAMETER — near-dup clusters are
+    * shallow (a hub duplicate pairs with every copy), so this converges
+    * in a handful of rounds. Each round is two pair-frame-sized joins;
+    * the driver holds only the loop counter and a changed-row count
+    * (bounded control flow, the same shape as
+    * [[Similarity.trainCentroids]] — never row data).
+    *
+    * @param maxIters convergence guard; raises rather than return a
+    *                 half-propagated (WRONG) labeling if a pathological
+    *                 graph exceeds it.
+    * @return (doc_id, cluster_id) for every doc appearing in `pairs`;
+    *         keep-one-per-cluster = `filter(doc_id === cluster_id)` plus
+    *         every unpaired doc.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .persist(lvl)
+    try {
+      var cur = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("nmin"))
+        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster_id"))
+        .persist(lvl)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val nbr = edges.join(cur.withColumnRenamed("doc_id", "b"), "b")
+          .groupBy(col("a").as("doc_id")).agg(min(col("cluster_id")).as("nlbl"))
+        val next = cur.join(nbr, Seq("doc_id"))
+          .select(col("doc_id"), least(col("cluster_id"), col("nlbl")).as("cluster_id"))
+          .persist(lvl)
+        converged = next.join(
+            cur.select(col("doc_id"), col("cluster_id").as("old")), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("old")).isEmpty
+        cur.unpersist()
+        cur = next
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"Cluster propagation did not converge within $maxIters rounds — " +
+            "raise maxIters (cluster diameter exceeds it)")
+      // Materialize before releasing the lineage's persisted inputs.
+      val out = cur.orderBy("doc_id").localCheckpoint(true)
+      cur.unpersist()
+      out
+    } finally edges.unpersist()
+  }
+
   /** Benchmark decontamination: for every (corpus doc, benchmark doc) pair
     * sharing at least one token n-gram, the fraction of the BENCHMARK
     * doc's distinct n-grams that also occur in the corpus doc. A training

@@ -158,6 +158,13 @@ object PipelineQueries {
         count(when(col("split") === "test", 1)).as("n_test"))
         .orderBy("lang")
     }),
+    // Duplicate-cluster resolution (C31): connected components over the
+    // d2 near-dup pairs — transitive duplicates (a~b, b~c) collapse into
+    // one cluster keyed by its minimum doc id.
+    "d9_dup_clusters" -> ((s, dir) =>
+      Dedup.clusters(
+        Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold))
+        .orderBy("doc_id")),
     // Corpus rebalancing (C30): per-language keep-rates — down-weight the
     // dominant language, keep the rest at the default — rolled up to
     // kept-counts per language.
@@ -277,6 +284,51 @@ object PipelineQueries {
       s"SELECT doc_id, $b AS band, concat_ws('_', $sig) AS sig FROM mh"
     }.mkString("\n  UNION ALL ")
 
+  /** The d2 candidate+verify chain as reusable CTEs ending in
+    * `vp(doc_a, doc_b, jaccard)` — shared by the d2 pair oracle and d9's
+    * recursive connected-components oracle.
+    */
+  private val jaccardPairsCtes: String =
+    s"""rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
+       |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+       |stats AS (
+       |  SELECT z.doc_id, z.sz, coalesce(fc.csz, 0) AS csz FROM
+       |    (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id) z
+       |    LEFT JOIN (SELECT doc_id, count(*) AS csz FROM f GROUP BY doc_id) fc USING (doc_id)
+       |),
+       |cinterx AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cinter
+       |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT ci.doc_a, ci.doc_b,
+       |           ci.cinter + least(sa.sz - sa.csz, sb.sz - sb.csz) AS ub_inter,
+       |           sa.sz AS sz_a, sb.sz AS sz_b
+       |    FROM cinterx ci
+       |    JOIN stats sa ON sa.doc_id = ci.doc_a
+       |    JOIN stats sb ON sb.doc_id = ci.doc_b
+       |  ) WHERE ub_inter / (sz_a + sz_b - ub_inter) >= $JaccardThreshold
+       |),
+       |interx AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY 1, 2
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+       |vp AS (
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT i.doc_a, i.doc_b,
+       |           round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
+       |    FROM interx i
+       |    JOIN sizes sa ON sa.doc_id = i.doc_a
+       |    JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  ) WHERE jaccard >= $JaccardThreshold
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""WITH $dupAugCte
@@ -290,36 +342,25 @@ object PipelineQueries {
     "d2_neardup_jaccard" ->
       s"""WITH $nearAugCte,
          |$shingleCtes,
-         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
-         |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-         |stats AS (
-         |  SELECT z.doc_id, z.sz, coalesce(fc.csz, 0) AS csz FROM
-         |    (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id) z
-         |    LEFT JOIN (SELECT doc_id, count(*) AS csz FROM f GROUP BY doc_id) fc USING (doc_id)
+         |$jaccardPairsCtes
+         |SELECT doc_a, doc_b, jaccard FROM vp
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d9_dup_clusters" ->
+      s"""WITH RECURSIVE $nearAugCte,
+         |$shingleCtes,
+         |$jaccardPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM vp
          |),
-         |cinterx AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cinter
-         |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2
-         |),
-         |cand AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT ci.doc_a, ci.doc_b,
-         |           ci.cinter + least(sa.sz - sa.csz, sb.sz - sb.csz) AS ub_inter,
-         |           sa.sz AS sz_a, sb.sz AS sz_b
-         |    FROM cinterx ci
-         |    JOIN stats sa ON sa.doc_id = ci.doc_a
-         |    JOIN stats sb ON sb.doc_id = ci.doc_b
-         |  ) WHERE ub_inter / (sz_a + sz_b - ub_inter) >= $JaccardThreshold
-         |),
-         |interx AS (
-         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-         |  GROUP BY 1, 2
-         |),
-         |$jaccardTail""".stripMargin,
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $nearAugCte,
          |$shingleCtes,

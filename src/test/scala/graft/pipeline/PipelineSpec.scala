@@ -42,6 +42,18 @@ class PipelineSpec extends GraftSuite {
     assert(lsh.contains((1L, 2L))) // identical docs always share every band
   }
 
+  test("cluster resolution collapses transitive duplicate chains to the min id") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.99)).toDF("doc_a", "doc_b", "jaccard")
+    val c = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // A long chain needs multiple propagation rounds (diameter 8).
+    val chain = (1L until 9L).map(i => (i, i + 1, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val cc = Dedup.clusters(chain).as[(Long, Long)].collect().toMap
+    assert(cc === (1L to 9L).map(_ -> 1L).toMap)
+    // The convergence guard raises rather than return a mislabeled graph.
+    intercept[IllegalStateException] { Dedup.clusters(chain, maxIters = 1) }
+  }
+
   test("decontamination flags corpus docs covering a benchmark doc's n-grams") {
     // Benchmark doc 100 == docs 1/2 verbatim; doc 3 is a superset (extra
     // trailing token), so ALL of the benchmark's 3-grams appear in it too.
