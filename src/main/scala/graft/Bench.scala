@@ -62,9 +62,22 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Full isolation between timed runs (VERDICT r5 next #3 — unchanged
+    // queries swung 2-20×, and run-order interference, not code, was the
+    // suspect): clearCache covers catalog-cached frames, but NOT
+    // localCheckpoint blocks (d9, cluster outputs) — those live in
+    // getPersistentRDDs until the ContextCleaner happens to GC their
+    // references. Unpersist them explicitly, and delete the scratch
+    // targets (m13/m14/st1 write a full copy per iteration) instead of
+    // parking them on disk until JVM exit.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      queries.Fixtures.purgeScratch()
+    }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to iters).flatMap { i =>
-        spark.catalog.clearCache() // no cross-iteration / cross-query cache carryover
+      def runOnce(i: Int): Option[Double] = {
+        isolate()
         try {
           val body: () => Unit = BenchPhases.timedSections.get(name) match {
             case Some(split) => split(spark, sfDir) // untimed fixture setup
@@ -79,8 +92,18 @@ object Bench {
             None
         }
       }
+      System.gc() // settle accumulated garbage before the first timed run
+      val base = (1 to iters).flatMap(runOnce)
+      // Sub-second queries are the ones that swung relative-most between
+      // rounds — a single stray GC or compile stall IS their whole number.
+      // Give them extra samples so the median has room to shed outliers.
+      val extra = 2
+      val times =
+        if (base.length == iters && median(base) < 1.0) base ++ (1 to extra).flatMap(i => runOnce(iters + i))
+        else base
+      val wanted = if (base.length == iters && median(base) < 1.0) iters + extra else iters
       // Every iteration must succeed for a trustworthy median.
-      if (times.length == iters) (name, median(times), true)
+      if (times.length == wanted) (name, median(times), true)
       else (name, -1.0, false)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

@@ -262,7 +262,15 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop(cnt)
     val r = ranked.alias("r")
-    val o = offsets.alias("o")
+    // Broadcast the offsets side (VERDICT r5 next #4): it holds ≤ salt
+    // rows per distinct key, and the salted path exists for HOT-KEY
+    // workloads where distinct keys ≪ rows by premise — so the frame is
+    // metadata-sized while the ranked side is the full input. Without the
+    // hint Catalyst sort-merge-joins, re-shuffling (and re-sorting) every
+    // ranked row just to pick up a per-bucket offset. A corpus whose keys
+    // are high-cardinality AND salted is outside the operator's contract
+    // (salting it buys nothing); use badKey without badKeySalt there.
+    val o = broadcast(offsets).alias("o")
     val cond = keys.map(k => col(s"r.$k") <=> col(s"o.$k")).reduce(_ && _) &&
       col(s"r.$sc") === col(s"o.$sc")
     r.join(o, cond)

@@ -145,18 +145,48 @@ object Similarity {
       idCol: String,
       vecCol: String,
       threshold: Double,
-      bucketCap: Int = 10000): DataFrame = {
+      bucketCap: Int = 10000): DataFrame =
+    cosineNearDupPairsHandle(vectors, centroids, idCol, vecCol, threshold, bucketCap).pairs
+
+  /** [[cosineNearDupPairs]] returning a [[Dedup.PairsHandle]] so the
+    * persisted bucket assignment can be released once the result is
+    * consumed. The assignment frame (broadcast-centroid crossJoin + rank
+    * window + occupancy window) feeds BOTH sides of the pair self-join;
+    * without the persist Catalyst recomputes that whole lineage twice
+    * (VERDICT r5 "what's wrong" #3 — e3's bench double-compute). Same
+    * persist-and-release discipline as [[Dedup.jaccardPairsHandle]].
+    */
+  def cosineNearDupPairsHandle(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bucketCap: Int = 10000): Dedup.PairsHandle = {
     val dp = dotOn(vectors.sparkSession)
     val b = assignBuckets(vectors, centroids, idCol, vecCol)
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy("bucket")))
       .filter(col("__occ") <= bucketCap)
       .drop("__occ")
-    b.as("x").join(
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = b.as("x").join(
         b.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vid") < col("y.vid"))
       .withColumn("sim", round(dp(col("x.__v"), col("y.__v")) / (col("x.__vn") * col("y.__vn")), 6))
       .filter(col("sim") >= threshold)
       .select(col("x.vid").as("vec_a"), col("y.vid").as("vec_b"), col("sim"))
+    new Dedup.PairsHandle(pairs, Seq(b))
+  }
+
+  /** Run `f` over the cosine near-dup pair frame, releasing the persisted
+    * bucket assignment when it returns — `f` must CONSUME the frame
+    * (count/collect/write), not return it lazily.
+    */
+  def withCosineNearDupPairs[T](
+      vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bucketCap: Int = 10000)(f: DataFrame => T): T = {
+    val h = cosineNearDupPairsHandle(vectors, centroids, idCol, vecCol, threshold, bucketCap)
+    try f(h.pairs) finally h.release()
   }
 
   /** Train IVF centroids with spherical k-means (VERDICT r2 next #5):

@@ -38,6 +38,24 @@ object Fixtures {
     p.toString
   }
 
+  /** Eagerly delete every scratch dir created so far. The bench calls this
+    * between iterations (VERDICT r5 next #3): m13/m14/st1 each materialize
+    * a full scratch target PER ITERATION, and parking those copies until
+    * JVM exit let disk/page-cache pressure from early queries bleed into
+    * later ones' timings. Safe whenever no in-flight query holds a scratch
+    * target open — true between bench iterations by construction.
+    */
+  def purgeScratch(): Unit = {
+    var root = scratchRoots.poll()
+    while (root != null) {
+      try {
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+      root = scratchRoots.poll()
+    }
+  }
+
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
     * Spark's vectorized reader rejects. Read the nanos as long and convert
     * to micros TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping

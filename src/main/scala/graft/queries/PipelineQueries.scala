@@ -165,6 +165,16 @@ object PipelineQueries {
       Dedup.clusters(
         Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold))
         .orderBy("doc_id")),
+    // Keep-one-per-cluster pruning (C32 / d10): the end-to-end composition
+    // a pipeline user actually runs — d2's pair generator, d9's cluster
+    // resolution, then the corpus LEFT ANTI the non-canonical members.
+    "d10_prune_duplicates" -> ((s, dir) =>
+      Dedup.pruneDuplicates(
+        docsNearAug(s, dir),
+        Dedup.jaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold),
+        "doc_id")
+        .select("doc_id")
+        .orderBy("doc_id")),
     // Corpus rebalancing (C30): per-language keep-rates — down-weight the
     // dominant language, keep the rest at the default — rolled up to
     // kept-counts per language.
@@ -361,6 +371,24 @@ object PipelineQueries {
          |)
          |SELECT src AS doc_id, min(dst) AS cluster_id
          |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    "d10_prune_duplicates" ->
+      s"""WITH RECURSIVE $nearAugCte,
+         |$shingleCtes,
+         |$jaccardPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM vp
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT doc_id FROM d
+         |WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+         |ORDER BY doc_id""".stripMargin,
     "d3_minhash_lsh" ->
       s"""WITH $nearAugCte,
          |$shingleCtes,
@@ -636,7 +664,7 @@ object PipelineQueries {
         |  FROM t
         |)
         |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS pack_id,
-        |       count(*) AS n_docs, sum(n_tokens) AS sum_tokens
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT doc_id,

@@ -61,8 +61,15 @@ object StreamingQueries {
       mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
       target, Seq("event_id"), s"$scratch/cp")
     val replay = () =>
-      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-      finally q.stop()
+      try {
+        rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        // Opt-in cost attribution (VERDICT r5 next #8): durationMs splits a
+        // batch into addBatch (the partition-scoped merge apply itself),
+        // walCommit+commitOffsets (checkpoint I/O), and planning overheads.
+        if (sys.env.contains("SPARK_GRAFT_ST1_PROFILE"))
+          q.recentProgress.foreach(p =>
+            System.err.println(s"[st1-profile] batch=${p.batchId} durationMs=${p.durationMs}"))
+      } finally q.stop()
     (replay, target)
   }
 

@@ -54,6 +54,18 @@ class PipelineSpec extends GraftSuite {
     intercept[IllegalStateException] { Dedup.clusters(chain, maxIters = 1) }
   }
 
+  test("pruneDuplicates keeps one doc per cluster plus every unpaired doc, columns intact") {
+    val corpus = Seq(
+      (1L, "a", 10), (2L, "a", 20), (3L, "a", 30), // cluster {1,2,3} via chain
+      (5L, "b", 50), (6L, "b", 60),                // cluster {5,6}
+      (9L, "c", 90)                                 // unpaired — must survive
+    ).toDF("doc_id", "lang", "n")
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.99)).toDF("doc_a", "doc_b", "jaccard")
+    val kept = Dedup.pruneDuplicates(corpus, pairs, "doc_id")
+    assert(kept.columns.toSeq === Seq("doc_id", "lang", "n")) // pass-through schema
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 5L, 9L))
+  }
+
   test("decontamination flags corpus docs covering a benchmark doc's n-grams") {
     // Benchmark doc 100 == docs 1/2 verbatim; doc 3 is a superset (extra
     // trailing token), so ALL of the benchmark's 3-grams appear in it too.
@@ -119,6 +131,33 @@ class PipelineSpec extends GraftSuite {
     val viaText = Packing.packGreedy(txt, "doc_id", "text", budget = 4, groupCols = Seq("lang"))
       .select("doc_id", "n_tokens", "pack_id").as[(Long, Long, Long)].collect().toSet
     assert(viaText === Set((1L, 3L, 0L), (2L, 2L, 0L)))
+  }
+
+  test("packGreedyByCount reads ONLY the count column — the upstream-BPE contract") {
+    // BPE-like counts that deliberately DISAGREE with whitespace counts:
+    // every text is the same 2 words, the count column varies.
+    val d = Seq(
+      (1L, "en", "hello world", 7L),
+      (2L, "en", "hello world", 2L),
+      (3L, "en", "hello world", 3L),
+      (4L, "en", "hello world", 9L)
+    ).toDF("doc_id", "lang", "text", "bpe_tokens")
+    val byCount = Packing.packGreedyByCount(d, "doc_id", "bpe_tokens", budget = 8, groupCols = Seq("lang"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    // cum-before: 0, 7, 9, 12 → packs 0, 0, 1, 1
+    assert(byCount === Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L))
+    // Rewriting the text (counts unchanged) must not move any document.
+    val retextedByCount = Packing.packGreedyByCount(
+      d.withColumn("text", concat(lit("totally different "), $"doc_id".cast("string"))),
+      "doc_id", "bpe_tokens", budget = 8, groupCols = Seq("lang"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(retextedByCount === byCount)
+    // The whitespace entry point on the SAME frame packs differently
+    // (2 tokens per doc, everything fits in pack 0) — the two entry
+    // points genuinely read different counts.
+    val byText = Packing.packGreedy(d, "doc_id", "text", budget = 8, groupCols = Seq("lang"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(byText === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
   test("winnowing: shared token runs share fingerprints; disjoint texts share none") {
