@@ -476,6 +476,32 @@ object Dedup {
       .select("corpus_id", "bench_id", "shared", "overlap")
   }
 
+  /** End-to-end decontamination: drop every corpus document whose n-gram
+    * overlap with ANY benchmark/eval document reaches `threshold` — the
+    * composition of [[contaminationPairs]] a pretraining pipeline actually
+    * runs before training (same end-to-end shape as [[pruneDuplicates]]
+    * over [[clusters]]).
+    *
+    * Scale shape: the contaminated-id frame is distinct corpus ids from
+    * the pair join — bounded by the benchmark fan-out, tiny next to the
+    * corpus — and the corpus LEFT ANTI joins against it on the id: one
+    * hash shuffle, no window, all corpus columns pass through.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      threshold: Double = 0.5,
+      dfCap: Int = Int.MaxValue,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val contaminated =
+      contaminationPairs(corpus, benchmark, idCol, textCol, n, threshold, dfCap, hashMode)
+        .select(col("corpus_id").as("__graft_contaminated")).distinct()
+    corpus.join(contaminated, corpus(idCol) === col("__graft_contaminated"), "left_anti")
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     * — the MOSS algorithm): hash every token k-gram in sequence, then keep
     * the MINIMUM hash of each sliding window of `window` consecutive

@@ -100,6 +100,20 @@ object PipelineQueries {
       Dedup.contaminationPairs(d, bench, "doc_id", "text", n = 8, threshold = 0.5)
         .orderBy("corpus_id", "bench_id")
     }),
+    // End-to-end decontamination (C33 / d11): the d8 fixture's corpus with
+    // every contaminated training doc dropped — what actually feeds the
+    // tokenizer after the d8 report is reviewed.
+    "d11_decontaminate" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val bench = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 40 === 25)
+          .select((col("doc_id") + 400000).as("doc_id"),
+            concat(col("text"), lit(" zq zq zq")).as("text")))
+      Dedup.decontaminate(d, bench, "doc_id", "text", n = 8, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    }),
     "t1_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(table(s, dir, "documents"), Seq("lang"), "text")
         .orderBy("lang")),
@@ -456,6 +470,38 @@ object PipelineQueries {
          |FROM shared s JOIN bsz z ON z.doc_id = s.bench_id
          |WHERE round(s.shared / z.bsz, 6) >= 0.5
          |ORDER BY corpus_id, bench_id""".stripMargin
+    },
+    "d11_decontaminate" -> {
+      val gram8 = (1 to 7).foldLeft("w[i]")((acc, o) => s"$acc || ' ' || w[i+$o]")
+      s"""WITH bench AS (
+         |  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 40 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000, text || ' zq zq zq' FROM documents WHERE doc_id % 40 = 25
+         |),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM bench),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6), i -> $gram8))) AS sh
+         |  FROM cw WHERE len(w) >= 8
+         |),
+         |bsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6), i -> $gram8))) AS sh
+         |  FROM bw WHERE len(w) >= 8
+         |),
+         |bsz AS (SELECT doc_id, count(*) AS bsz FROM bsh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS shared
+         |  FROM csh c JOIN bsh b ON c.sh = b.sh
+         |  GROUP BY 1, 2
+         |),
+         |bad AS (
+         |  SELECT DISTINCT s.corpus_id
+         |  FROM shared s JOIN bsz z ON z.doc_id = s.bench_id
+         |  WHERE round(s.shared / z.bsz, 6) >= 0.5
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT corpus_id FROM bad)
+         |ORDER BY doc_id""".stripMargin
     },
     "t1_text_stats" ->
       """SELECT lang,

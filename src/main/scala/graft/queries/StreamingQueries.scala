@@ -15,10 +15,16 @@ import graft.streaming.StreamingUpsert
   * — per-batch cost scales with the batch, not the target.
   *
   * Reading the number: the FIRST batch carries the stream's one-time
-  * planning/codegen cost (profiled at sf0.1: batch 0 ≈ 4.3 s, batches
-  * 1..3 ≈ 1.6 s each), and the bench restarts the stream every iteration
-  * — so ~a third of the st1 line is per-STREAM setup that a long-running
-  * deployment amortizes to zero, not per-batch steady state.
+  * planning/codegen cost, and the bench restarts the stream every
+  * iteration — per-STREAM setup a long-running deployment amortizes to
+  * zero. Cost attribution (SPARK_GRAFT_ST1_PROFILE=1, sf0.1 local[32],
+  * durationMs medians): addBatch — the partition-scoped merge apply
+  * itself — is ~95% of every batch (~1.5 s; batch 0 ~2.0 s with
+  * first-codegen), checkpoint I/O (walCommit+commitOffsets) ~70 ms (~5%),
+  * query planning ~5 ms. The bench line prices the APPLY, not harness
+  * checkpointing; the ~1.5 s is the per-batch floor of the pruned
+  * read/rewrite/swap cycle, which scales with the batch's touched
+  * buckets, not the target.
   *
   * Unlike most streaming state, the CONVERGED result here is
   * SQL-expressible: the target seeds with stale values for half the events,

@@ -66,6 +66,18 @@ class PipelineSpec extends GraftSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 5L, 9L))
   }
 
+  test("decontaminate drops exactly the corpus docs that hit a benchmark doc") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),    // == bench verbatim
+      (2L, "totally unrelated text about nothing in particular x y"),
+      (3L, "the quick brown fox jumps over the lazy dog plus trailing tokens")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench, "doc_id", "text", n = 3, threshold = 0.5)
+    assert(kept.columns.toSeq === Seq("doc_id", "text")) // pass-through schema
+    assert(kept.select("doc_id").as[Long].collect().toSet === Set(2L))
+  }
+
   test("decontamination flags corpus docs covering a benchmark doc's n-grams") {
     // Benchmark doc 100 == docs 1/2 verbatim; doc 3 is a superset (extra
     // trailing token), so ALL of the benchmark's 3-grams appear in it too.

@@ -39,6 +39,17 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
 
+  test("m12 salted rank: the offsets join-back is a broadcast, not a shuffle of the ranked side") {
+    val plan = planOf("m12_merge_badkey_salted")
+    // Two salted-rank computations (target + source side), each joining its
+    // per-(key, salt) offsets frame back in. The offsets frame is
+    // metadata-sized (≤ salt rows per distinct key), so both join-backs
+    // must plan as BroadcastHashJoin — a sort-merge join here re-shuffles
+    // and re-sorts the full ranked input per side, the m12-vs-m6 premium
+    // VERDICT r4/r5 flagged.
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(4000))
+  }
+
   test("d2 near-dup: inverted-index joins only — never an all-pairs product") {
     val plan = planOf("d2_neardup_jaccard")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
