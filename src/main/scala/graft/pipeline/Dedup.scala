@@ -476,6 +476,81 @@ object Dedup {
       .select("corpus_id", "bench_id", "shared", "overlap")
   }
 
+  /** Incremental near-dup: n-gram Jaccard pairs between a NEW batch of
+    * documents and an existing corpus — never corpus × corpus. The shape a
+    * daily-increment pipeline runs: yesterday's 100 TB corpus is already
+    * deduplicated, so today's crawl only needs checking AGAINST it (plus
+    * [[jaccardPairs]] within itself); re-pairing the full corpus per
+    * increment would price every day at the full corpus's candidate cost.
+    *
+    * Scale shape: both sides become inverted (id, int64-hashed shingle)
+    * indexes; candidates come from the shingle equi-join of the NEW side
+    * against the df-capped corpus side, so fan-out is bounded by the
+    * corpus document frequency per shingle times the (small) new batch —
+    * the corpus index is scanned once, joined on a fixed-width key, and
+    * never self-joined. Verification computes the TRUE Jaccard over both
+    * uncapped shingle sets, exactly like [[jaccardPairs]].
+    *
+    * @param dfCap drop shingles occurring in more than this many CORPUS
+    *              docs during candidate generation (boilerplate floods);
+    *              verification still uses all shingles, so reported
+    *              jaccard values are exact. Same false-negative trade as
+    *              [[jaccardPairs]]' cap: a pair sharing ONLY above-cap
+    *              shingles is never surfaced — run [[exact]] on the
+    *              union first for mass-duplicate floods.
+    * @return (new_id, corpus_id, jaccard) with jaccard >= threshold,
+    *         rounded to 6 decimals.
+    */
+  def incrementalJaccardPairs(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfCap: Int = 50,
+      threshold: Double = 0.6,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    incrementalJaccardPairsHandle(newDocs, corpus, idCol, textCol, n, dfCap, threshold, hashMode).pairs
+
+  /** [[incrementalJaccardPairs]] returning a [[PairsHandle]] so the two
+    * persisted shingle indexes can be released once the result is consumed.
+    */
+  def incrementalJaccardPairsHandle(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfCap: Int = 50,
+      threshold: Double = 0.6,
+      hashMode: HashMode = HashMode.Md5Portable): PairsHandle = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Both indexes feed candidate generation AND verification — persist
+    // so tokenize/shingle/explode runs once per side.
+    val nIdx = shingleIndex(newDocs, idCol, textCol, n, hashWith = Some(hashMode)).persist(lvl)
+    val cIdx = shingleIndex(corpus, idCol, textCol, n, hashWith = Some(hashMode)).persist(lvl)
+    val cCapped = cIdx
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+    val candidates = nIdx.withColumnRenamed("id", "new_id")
+      .join(cCapped.withColumnRenamed("id", "corpus_id"), "sh")
+      .select("new_id", "corpus_id").distinct()
+    val nSizes = nIdx.groupBy("id").agg(count(lit(1)).as("nsz"))
+    val cSizes = cIdx.groupBy("id").agg(count(lit(1)).as("csz"))
+    val pairs = candidates
+      .join(nIdx.select(col("id").as("new_id"), col("sh")), "new_id")
+      .join(cIdx.select(col("id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
+      .groupBy("new_id", "corpus_id")
+      .agg(count(lit(1)).as("inter"))
+      .join(nSizes.withColumnRenamed("id", "new_id"), "new_id")
+      .join(cSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .withColumn("jaccard", round(col("inter") / (col("nsz") + col("csz") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+    new PairsHandle(pairs, Seq(nIdx, cIdx))
+  }
+
   /** End-to-end decontamination: drop every corpus document whose n-gram
     * overlap with ANY benchmark/eval document reaches `threshold` — the
     * composition of [[contaminationPairs]] a pretraining pipeline actually

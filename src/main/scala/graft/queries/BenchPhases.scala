@@ -24,5 +24,6 @@ object BenchPhases {
       val root = MergeQueries.m14Setup(s, dir)
       () => MergeQueries.m14Apply(s, root)
     }),
-    "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1))
+    "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1),
+    "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1))
 }

@@ -100,6 +100,18 @@ object PipelineQueries {
       Dedup.contaminationPairs(d, bench, "doc_id", "text", n = 8, threshold = 0.5)
         .orderBy("corpus_id", "bench_id")
     }),
+    // Incremental near-dup (C34 / d12): today's "crawl increment" (the
+    // near-copy slice) checked AGAINST the existing corpus — cross pairs
+    // only, the corpus is never self-joined. Same pairs d2 finds across
+    // the aug boundary, reached at increment cost.
+    "d12_incremental_neardup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val newDocs = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq zq zq")).as("text"))
+      Dedup.incrementalJaccardPairs(newDocs, d, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)
+        .orderBy("new_id", "corpus_id")
+    }),
     // End-to-end decontamination (C33 / d11): the d8 fixture's corpus with
     // every contaminated training doc dropped — what actually feeds the
     // tokenizer after the d8 report is reviewed.
@@ -471,6 +483,49 @@ object PipelineQueries {
          |WHERE round(s.shared / z.bsz, 6) >= 0.5
          |ORDER BY corpus_id, bench_id""".stripMargin
     },
+    "d12_incremental_neardup" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id + 200000 AS doc_id, text || ' zq zq zq' AS text
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |nw AS (SELECT doc_id, string_split(text, ' ') AS w FROM nd),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |nsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+         |  FROM nw WHERE len(w) >= 3
+         |),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+         |  FROM cw WHERE len(w) >= 3
+         |),
+         |csh_c AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM csh
+         |  ) WHERE df <= $DfCap
+         |),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM nsh n JOIN csh_c c ON n.sh = c.sh
+         |),
+         |interx AS (
+         |  SELECT cd.new_id, cd.corpus_id, count(*) AS inter
+         |  FROM cand cd
+         |  JOIN nsh a ON a.doc_id = cd.new_id
+         |  JOIN csh b ON b.doc_id = cd.corpus_id AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |),
+         |nsz AS (SELECT doc_id, count(*) AS nsz FROM nsh GROUP BY doc_id),
+         |csz AS (SELECT doc_id, count(*) AS csz FROM csh GROUP BY doc_id)
+         |SELECT new_id, corpus_id, jaccard FROM (
+         |  SELECT i.new_id, i.corpus_id,
+         |         round(i.inter / (a.nsz + b.csz - i.inter), 6) AS jaccard
+         |  FROM interx i
+         |  JOIN nsz a ON a.doc_id = i.new_id
+         |  JOIN csz b ON b.doc_id = i.corpus_id
+         |) WHERE jaccard >= $JaccardThreshold
+         |ORDER BY new_id, corpus_id""".stripMargin,
     "d11_decontaminate" -> {
       val gram8 = (1 to 7).foldLeft("w[i]")((acc, o) => s"$acc || ' ' || w[i+$o]")
       s"""WITH bench AS (

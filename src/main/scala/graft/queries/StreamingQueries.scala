@@ -79,16 +79,58 @@ object StreamingQueries {
     (replay, target)
   }
 
+  /** Untimed setup for st2 (streaming dedup-on-ingest): replay the events
+    * table in batches where each batch RE-SENDS the second half of the
+    * previous one — the overlapping-crawl / at-least-once shape — through
+    * [[StreamingUpsert.dedupedAppendTo]]. Converged state: every event
+    * exactly once == the events table (cross-engine oracle, st1's
+    * convention). Duplicate copies are full-row identical, so the
+    * appended values are deterministic.
+    */
+  private[graft] def st2Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st2")
+    val target = s"$scratch/t"
+    val ev = Fixtures.events(s, dir).select("event_id", "user_id", "event_type", "value")
+    val rows = ev.as[(Long, Long, String, Double)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = StreamingUpsert.dedupedAppendTo(
+      mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
+      target, Seq("event_id"), s"$scratch/cp")
+    val replay = () =>
+      try {
+        var carry: Seq[(Long, Long, String, Double)] = Nil
+        rows.grouped(per).foreach { b =>
+          mem.addData((carry ++ b).toIndexedSeq: _*)
+          q.processAllAvailable()
+          carry = b.takeRight(per / 2) // re-sent next batch — must dedup
+        }
+      } finally q.stop()
+    (replay, target)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_upsert" -> ((s, dir) => {
       val (replay, target) = st1Setup(s, dir)
       replay()
       PartitionedTarget.read(s, target).orderBy("event_id")
+    }),
+    "st2_stream_dedup" -> ((s, dir) => {
+      val (replay, target) = st2Setup(s, dir)
+      replay()
+      s.read.parquet(target).orderBy("event_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
     // Converged state == the events table itself.
     "st1_stream_upsert" ->
+      """SELECT event_id, user_id, event_type, value
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Dedup-on-ingest converged state: every event exactly once, despite
+    // the overlapping replay — again the events table itself.
+    "st2_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin)
 }

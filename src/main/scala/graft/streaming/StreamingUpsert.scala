@@ -152,6 +152,44 @@ object StreamingUpsert {
     }
   }
 
+  /** Continuous exact-dedup ingest: append only the FIRST occurrence of
+    * each key to the parquet target, suppressing duplicates ACROSS
+    * micro-batches through the state store — dedup-at-the-door for an
+    * event/document firehose, so downstream batch dedup never re-pays for
+    * at-least-once delivery or overlapping crawl windows.
+    *
+    * State shape: one state-store entry per distinct key ever seen —
+    * unbounded on an unbounded key space. Pass `watermark` (event-time
+    * column + delay) to bound it: duplicates are then only suppressed
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`), the
+    * standard state/recall trade for at-least-once sources whose replays
+    * arrive close together. Without it this uses `dropDuplicates`, exact
+    * forever — right when the key space is bounded (ids of a finite
+    * corpus) or the stream is a backfill replay.
+    *
+    * Exactly-once: the parquet sink + checkpoint make replayed batches
+    * idempotent; duplicate rows are full-row identical in the intended
+    * use, so whichever copy wins, the appended values are the same.
+    */
+  def dedupedAppendTo(
+      stream: DataFrame,
+      targetPath: String,
+      keys: Seq[String],
+      checkpoint: String,
+      watermark: Option[(String, String)] = None): StreamingQuery = {
+    val deduped = watermark match {
+      case Some((tsCol, delay)) =>
+        stream.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keys)
+      case None => stream.dropDuplicates(keys)
+    }
+    deduped.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", targetPath)
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Watermarked hourly aggregation over an event stream — the streaming
     * twin of the batch q12 query. Late data beyond the watermark is
     * dropped; state per (window, type) is bounded by the watermark horizon.

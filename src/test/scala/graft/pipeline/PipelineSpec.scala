@@ -66,6 +66,31 @@ class PipelineSpec extends GraftSuite {
     assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 5L, 9L))
   }
 
+  test("incremental jaccard pairs the new batch against the corpus, never corpus x corpus") {
+    // Corpus holds two near-identical docs (1, 2) — an INTERNAL corpus
+    // pair that must NOT surface; new doc 10 is a near-copy of doc 1.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (11L, "completely fresh content with no corpus overlap at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalJaccardPairs(newDocs, corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(got.contains((10L, 1L)))           // cross pair found
+    assert(!got.exists(_._1 == 11L))          // fresh doc pairs with nothing
+    assert(got.forall { case (n2, c) => n2 >= 10L && c <= 3L }) // strictly new × corpus
+    // Agreement pin: the cross-boundary pairs equal what jaccardPairs
+    // finds on the union (restricted to new×corpus pairs).
+    val viaUnion = Dedup.jaccardPairs(corpus.unionByName(newDocs), "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect()
+      .collect { case (a, b, _) if b >= 10L && a <= 3L => (b, a) }.toSet
+    assert(got === viaUnion)
+  }
+
   test("decontaminate drops exactly the corpus docs that hit a benchmark doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),    // == bench verbatim

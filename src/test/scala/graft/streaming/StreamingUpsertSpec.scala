@@ -34,6 +34,25 @@ class StreamingUpsertSpec extends GraftSuite {
     rel.split('/').find(_.startsWith(PartitionedTarget.BucketCol + "="))
       .map(_.split('=')(1).toInt).getOrElse(sys.error(s"no bucket in $rel"))
 
+  test("dedupedAppendTo suppresses duplicate keys within and across micro-batches") {
+    val dir = Files.createTempDirectory("stream-dedup")
+    val target = dir.resolve("t").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingUpsert.dedupedAppendTo(
+      mem.toDF().toDF("k", "v"), target, Seq("k"), dir.resolve("cp").toString)
+    try {
+      mem.addData((1L, "a"), (2L, "b"), (1L, "a")) // in-batch duplicate
+      q.processAllAvailable()
+      mem.addData((2L, "b"), (3L, "c"))            // cross-batch duplicate
+      q.processAllAvailable()
+      mem.addData((1L, "a"), (4L, "d"))            // duplicate two batches later
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(target).as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(spark.read.parquet(target).count() === 4) // exactly once each
+  }
+
   test("foreachBatch upsert converges to the batch-merge result across micro-batches") {
     val dir = Files.createTempDirectory("stream-upsert")
     val target = dir.resolve("t").toString
