@@ -352,8 +352,13 @@ object Dedup {
   def clusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // Pin the input before the symmetrize union: both union branches read
+    // `pairs`, and when it's an unmaterialized pair-generator lineage
+    // (jaccardPairs etc.) the whole candidate+verify pipeline would
+    // otherwise run TWICE just to build the edge list.
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist(lvl)
+    val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist(lvl)
     try {
       var cur = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("nmin"))
@@ -392,7 +397,7 @@ object Dedup {
       val out = cur.select("doc_id", "cluster_id").localCheckpoint(true)
       cur.unpersist()
       out
-    } finally edges.unpersist()
+    } finally { edges.unpersist(); p.unpersist() }
   }
 
   /** End-to-end duplicate pruning (the operation a pipeline user actually
