@@ -1,0 +1,87 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline._
+
+/** End-to-end demo/driver of the training-data curation pipeline over the
+  * real `documents` testdata — the stage sequence a pretraining corpus
+  * actually goes through, each stage one library operator, with per-stage
+  * row counts printed as evidence:
+  *
+  *   raw → quality filter → exact dedup → near-dup prune (cluster-resolved)
+  *       → decontaminate (vs a synthetic eval set) → rebalance
+  *       → train/val/test split → sequence packing
+  *
+  * Every stage consumes the previous stage's frame — one lazy plan per
+  * stage boundary, no driver-side row data. Run:
+  *   sbt "runMain graft.tools.PipelineDemo [sfDir]"
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pipeline-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+    println(s"[demo] raw corpus: ${raw.count()} docs")
+
+    // 1. Quality gate: keep docs passing all curation rules (the filter
+    //    returns per-rule verdicts; semi-join the keepers back).
+    val keepIds = TextStats.qualityFilter(raw, "doc_id", "text",
+        minTokens = 10, maxTokens = 100000, minTypeTokenRatio = 0.1)
+      .filter(col("keep")).select("doc_id")
+    val quality = raw.join(keepIds, Seq("doc_id"), "left_semi")
+    println(s"[demo] after quality filter: ${quality.count()}")
+
+    // 2. Exact dedup (content hash) — collapses byte-identical copies.
+    val exact = Dedup.exact(quality, "doc_id", "text").drop("n_copies")
+    println(s"[demo] after exact dedup: ${exact.count()}")
+
+    // 3. Near-dup prune: jaccard pairs → cluster resolution → keep one per
+    //    cluster. Scoped handle releases the shingle indexes when done.
+    val pruned = Dedup.withJaccardPairs(exact, "doc_id", "text", threshold = 0.8) { pairs =>
+      Dedup.pruneDuplicates(exact, pairs, "doc_id").localCheckpoint(true)
+    }
+    println(s"[demo] after near-dup prune: ${pruned.count()}")
+
+    // 4. Decontaminate against a synthetic "eval set" (every 40th doc).
+    val bench = raw.filter(col("doc_id") % 40 === 0)
+      .select((col("doc_id") + 900000).as("doc_id"), col("text"))
+    val clean = Dedup.decontaminate(pruned, bench, "doc_id", "text", n = 8, threshold = 0.5)
+    println(s"[demo] after decontamination: ${clean.count()}")
+
+    // 5. Rebalance: down-weight the dominant language.
+    val mixed = Sampling.rebalance(clean, "doc_id", "lang",
+      Map("en" -> 0.6), seed = 13, defaultRate = 1.0)
+    println(s"[demo] after rebalancing: ${mixed.count()}")
+
+    // 6. Reproducible train/val/test split.
+    val split = Sampling.split(mixed, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 11)
+    val bySplit = split.groupBy("split").count().orderBy("split")
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")
+    println(s"[demo] split sizes: $bySplit")
+
+    // 7. Sequence packing: context-window batches per (split, lang).
+    val packed = Packing.packGreedy(split, "doc_id", "text",
+      budget = 2048, groupCols = Seq("split", "lang"))
+    val packStats = packed.groupBy("split").agg(
+        countDistinct(col("lang"), col("pack_id")).as("n_packs"),
+        sum("n_tokens").as("n_tokens"))
+      .orderBy("split")
+      .collect().map(r => s"${r.getString(0)}: ${r.getLong(1)} packs / ${r.getLong(2)} tokens")
+      .mkString("; ")
+    println(s"[demo] packed: $packStats")
+
+    spark.stop()
+  }
+}

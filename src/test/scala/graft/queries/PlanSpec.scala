@@ -65,6 +65,13 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("d11/d12 composed dedup ops: index/anti joins only — never an all-pairs product") {
+    for (name <- Seq("d11_decontaminate", "d12_incremental_neardup")) {
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"), name)
+    }
+  }
+
   test("t2/t4/mm1 map-only queries plan no exchange beyond the output sort") {
     for (name <- Seq("t2_quality", "t4_fingerprint", "mm1_binary_meta")) {
       val plan = planOf(name)
