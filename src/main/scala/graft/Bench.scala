@@ -97,13 +97,14 @@ object Bench {
       // Sub-second queries are the ones that swung relative-most between
       // rounds — a single stray GC or compile stall IS their whole number.
       // Give them extra samples so the median has room to shed outliers.
-      val extra = 2
+      // Extras are opportunistic: every successful sample sharpens the
+      // median, but a transient failure among them must never demote a
+      // query whose REQUIRED iterations all succeeded.
       val times =
-        if (base.length == iters && median(base) < 1.0) base ++ (1 to extra).flatMap(i => runOnce(iters + i))
+        if (base.length == iters && median(base) < 1.0) base ++ (1 to 2).flatMap(i => runOnce(iters + i))
         else base
-      val wanted = if (base.length == iters && median(base) < 1.0) iters + extra else iters
-      // Every iteration must succeed for a trustworthy median.
-      if (times.length == wanted) (name, median(times), true)
+      // Every required iteration must succeed for a trustworthy median.
+      if (base.length == iters) (name, median(times), true)
       else (name, -1.0, false)
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }

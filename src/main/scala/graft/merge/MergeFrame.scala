@@ -269,8 +269,14 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     // hint Catalyst sort-merge-joins, re-shuffling (and re-sorting) every
     // ranked row just to pick up a per-bucket offset. A corpus whose keys
     // are high-cardinality AND salted is outside the operator's contract
-    // (salting it buys nothing); use badKey without badKeySalt there.
-    val o = broadcast(offsets).alias("o")
+    // (salting it buys nothing) — and since a forced broadcast there would
+    // DIE (driver OOM / 8 GB broadcast cap) instead of merely running
+    // slow, the hint is conf-gated: set
+    // spark.graft.merge.broadcastSaltedOffsets=false to fall back to the
+    // shuffle join when salting a high-cardinality key set anyway.
+    val useBroadcast = df.sparkSession.conf
+      .get("spark.graft.merge.broadcastSaltedOffsets", "true").toBoolean
+    val o = (if (useBroadcast) broadcast(offsets) else offsets).alias("o")
     val cond = keys.map(k => col(s"r.$k") <=> col(s"o.$k")).reduce(_ && _) &&
       col(s"r.$sc") === col(s"o.$sc")
     r.join(o, cond)

@@ -345,18 +345,23 @@ object Dedup {
     * @param maxIters convergence guard; raises rather than return a
     *                 half-propagated (WRONG) labeling if a pathological
     *                 graph exceeds it.
+    * @param aCol/bCol the pair frame's endpoint columns — the defaults fit
+    *                  the text pair generators; pass `"vec_a"`/`"vec_b"`
+    *                  for [[Similarity.cosineNearDupPairs]] output.
     * @return (doc_id, cluster_id) for every doc appearing in `pairs`;
     *         [[pruneDuplicates]] composes this with the corpus for the
     *         end-to-end keep-one-per-cluster pruning a pipeline runs.
     */
-  def clusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def clusters(
+      pairs: DataFrame, maxIters: Int = 30,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Pin the input before the symmetrize union: both union branches read
     // `pairs`, and when it's an unmaterialized pair-generator lineage
     // (jaccardPairs etc.) the whole candidate+verify pipeline would
     // otherwise run TWICE just to build the edge list.
-    val p = pairs.select(col("doc_a"), col("doc_b")).persist(lvl)
+    val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).persist(lvl)
     val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .persist(lvl)
@@ -414,13 +419,15 @@ object Dedup {
     * side streams through unsorted. Every column of `docs` passes through
     * untouched.
     *
-    * @param pairs (doc_a, doc_b, …) near-dup pair frame; ids must be the
-    *              same type as `docs(idCol)`.
+    * @param pairs near-dup pair frame; endpoint ids (in `aCol`/`bCol` —
+    *              pass `"vec_a"`/`"vec_b"` for the cosine generator) must
+    *              be the same type as `docs(idCol)`.
     * @return `docs` minus non-canonical duplicate-cluster members.
     */
   def pruneDuplicates(
-      docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 30): DataFrame = {
-    val losers = clusters(pairs, maxIters)
+      docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 30,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val losers = clusters(pairs, maxIters, aCol, bCol)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__graft_loser"))
     docs.join(losers, docs(idCol) === col("__graft_loser"), "left_anti")
@@ -538,11 +545,26 @@ object Dedup {
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("__df") <= dfCap)
       .drop("__df")
-    val candidates = nIdx.withColumnRenamed("id", "new_id")
-      .join(cCapped.withColumnRenamed("id", "corpus_id"), "sh")
-      .select("new_id", "corpus_id").distinct()
     val nSizes = nIdx.groupBy("id").agg(count(lit(1)).as("nsz"))
     val cSizes = cIdx.groupBy("id").agg(count(lit(1)).as("csz"))
+    val cCappedSizes = cCapped.groupBy("id").agg(count(lit(1)).as("ccsz"))
+    // Upper-bound pruning before the expensive verification (the
+    // jaccardPairsHandle optimization, mirrored): candidate intersections
+    // count only corpus-capped shingles, so the TRUE intersection is at
+    // most cinter + (csz - ccsz) — the corpus doc's above-cap shingles
+    // are the only shared shingles the candidate join can have missed
+    // (the new side is uncapped). Jaccard is monotone in the
+    // intersection, so pairs whose bound misses the threshold are
+    // discarded without expanding their shingle sets.
+    val candidates = nIdx.withColumnRenamed("id", "new_id")
+      .join(cCapped.withColumnRenamed("id", "corpus_id"), "sh")
+      .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("cinter"))
+      .join(nSizes.withColumnRenamed("id", "new_id"), "new_id")
+      .join(cSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .join(cCappedSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .withColumn("__ub", col("cinter") + (col("csz") - col("ccsz")))
+      .filter(col("__ub") / (col("nsz") + col("csz") - col("__ub")) >= threshold)
+      .select("new_id", "corpus_id")
     val pairs = candidates
       .join(nIdx.select(col("id").as("new_id"), col("sh")), "new_id")
       .join(cIdx.select(col("id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))

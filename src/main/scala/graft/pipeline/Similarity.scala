@@ -138,6 +138,10 @@ object Similarity {
     *                  so run [[Dedup.exact]] first for duplicate floods,
     *                  or raise the cap knowing cost grows with cap².
     * @return (vec_a, vec_b, sim) with vec_a < vec_b, sim rounded to 6.
+    *         The persisted bucket assignment lives until the session ends
+    *         (or eviction) — use [[cosineNearDupPairsHandle]] /
+    *         [[withCosineNearDupPairs]] to release it, exactly like the
+    *         [[Dedup.jaccardPairs]] family.
     */
   def cosineNearDupPairs(
       vectors: DataFrame,

@@ -16,14 +16,22 @@ object Fixtures {
     spark.read.parquet(s"$dir/$name.parquet")
 
   private val scratchRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  /** Best-effort recursive delete; false when anything was left behind.
+    * The walk stream is closed (it holds an open directory fd).
+    */
+  private def deleteTree(root: java.nio.file.Path): Boolean =
+    try {
+      val s = java.nio.file.Files.walk(root)
+      try s.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally s.close()
+      true
+    } catch { case _: Throwable => !java.nio.file.Files.exists(root) }
+
   private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      scratchRoots.forEach { root =>
-        try {
-          java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Throwable => () }
-      }))
+      scratchRoots.forEach(root => { deleteTree(root); () })))
 
   /** A fresh scratch directory, recursively deleted at JVM exit — for
     * queries that must materialize a target on disk (m13/m14/st1).
@@ -46,14 +54,16 @@ object Fixtures {
     * target open — true between bench iterations by construction.
     */
   def purgeScratch(): Unit = {
+    // A root whose delete fails (e.g. a file still being flushed) is
+    // RE-QUEUED so the JVM-exit hook still owns it — poll-and-drop would
+    // leak the very copies this mechanism exists to remove.
+    val failed = scala.collection.mutable.ListBuffer.empty[java.nio.file.Path]
     var root = scratchRoots.poll()
     while (root != null) {
-      try {
-        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Throwable => () }
+      if (!deleteTree(root)) failed += root
       root = scratchRoots.poll()
     }
+    failed.foreach(scratchRoots.add)
   }
 
   /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which

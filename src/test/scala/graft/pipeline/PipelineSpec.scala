@@ -64,6 +64,11 @@ class PipelineSpec extends GraftSuite {
     val kept = Dedup.pruneDuplicates(corpus, pairs, "doc_id")
     assert(kept.columns.toSeq === Seq("doc_id", "lang", "n")) // pass-through schema
     assert(kept.select("doc_id").as[Long].collect().toSet === Set(1L, 5L, 9L))
+    // The documented cosine composition: pair frames with vec_a/vec_b
+    // endpoint columns cluster and prune through the aCol/bCol knobs.
+    val vecPairs = Seq((1L, 2L, 0.97), (5L, 6L, 0.99)).toDF("vec_a", "vec_b", "sim")
+    val keptVec = Dedup.pruneDuplicates(corpus, vecPairs, "doc_id", aCol = "vec_a", bCol = "vec_b")
+    assert(keptVec.select("doc_id").as[Long].collect().toSet === Set(1L, 3L, 5L, 9L))
   }
 
   test("incremental jaccard pairs the new batch against the corpus, never corpus x corpus") {
