@@ -193,6 +193,61 @@ object Similarity {
     try f(h.pairs) finally h.release()
   }
 
+  /** Persist an IVF index to disk: vectors bucket-assigned once and
+    * written PARTITIONED BY bucket, centroids as a sidecar — so the
+    * expensive assignment pass is paid at build time, and every later
+    * probe batch reads ONLY its probed buckets' directories (partition
+    * pruning at the file listing, before any row is scanned). The at-rest
+    * ANN shape for a corpus probed many times: at 100 TB a probe batch
+    * touching 5 of 1024 buckets scans ~0.5% of the files.
+    *
+    * Layout: `path/centroids` (centroid_id, cvec), `path/vectors`
+    * partitioned by `bucket` with (vid, v: array<double>, vn: precomputed
+    * norm — probes never recompute corpus norms).
+    */
+  def writeIndex(
+      vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    assignBuckets(vectors, centroids, idCol, vecCol)
+      .select(col("vid"), col("__v").as("v"), col("__vn").as("vn"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/vectors")
+    centroids
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** [[ivfTopK]] against a [[writeIndex]]-persisted index: probes are
+    * bucketed with the stored centroids, the touched-bucket set (≤
+    * nProbe × |probes| integers — metadata-sized collect) becomes a
+    * partition filter, and only those bucket directories are listed and
+    * scanned. Same semantics as [[ivfTopK]] over the live frames.
+    */
+  def indexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      probes: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 1): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as(idCol), col("cvec").as(vecCol))
+    val probeBuckets = assignTopBuckets(probes, cents, idCol, vecCol, nProbe)
+      .select(col("vid").as("probe_id"), col("bucket"), col("__v").as("__p"), col("__vn").as("__pn"))
+    val touched = probeBuckets.select("bucket").distinct().collect().map(_.get(0)).toIndexedSeq
+    val bucketed = spark.read.parquet(s"$path/vectors")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned listing
+      .withColumn("bucket", col("bucket").cast("long"))
+    val dp = dotOn(spark)
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("vid"))
+    bucketed
+      .join(broadcast(probeBuckets.withColumn("bucket", col("bucket").cast("long"))), Seq("bucket"))
+      .filter(col("vid") =!= col("probe_id"))
+      .withColumn("sim", round(dp(col("__p"), col("v")) / (col("__pn") * col("vn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vid").as("neighbor_id"), col("sim"), col("rnk"))
+  }
+
   /** Train IVF centroids with spherical k-means (VERDICT r2 next #5):
     * deterministic hash-ordered initialization, then `iters` Lloyd rounds
     * where assignment is the broadcast [[assignBuckets]] join and the new

@@ -155,6 +155,18 @@ object PipelineQueries {
         "vec_id", "embedding", k = 5)
         .orderBy("probe_id", "rnk")
     }),
+    // ANN against a PERSISTED index (C36 / e4): same semantics as e2, but
+    // the bucket assignment is written to disk once (partitioned by
+    // bucket) and the probe reads only its touched bucket directories —
+    // the at-rest index shape a corpus probed many times pays for.
+    "e4_ann_index" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val idx = Fixtures.scratchDir("graft-e4") + "/idx"
+      Similarity.writeIndex(v, v.filter(col("vec_id") < 8), "vec_id", "embedding", idx)
+      Similarity.indexTopK(s, idx, v.filter(col("vec_id").between(100, 104)),
+          "vec_id", "embedding", k = 5)
+        .orderBy("probe_id", "rnk")
+    }),
     // Embedding near-dup: every 20th vector gets a perturbed copy planted
     // (scaled + shifted -> cosine just under 1); pairs are found within
     // IVF centroid buckets, never corpus².
@@ -611,6 +623,32 @@ object PipelineQueries {
         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
     "e2_ann_ivf" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |),
+        |pb AS (SELECT vid AS probe_id, bucket, e AS pe FROM b WHERE vid BETWEEN 100 AND 104),
+        |s AS (
+        |  SELECT pb.probe_id, b.vid AS neighbor_id,
+        |         round(list_dot_product(pe, b.e)
+        |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+        |  FROM b JOIN pb ON b.bucket = pb.bucket AND b.vid <> pb.probe_id
+        |),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
+    // Identical semantics to e2 — the index is a materialization, not a
+    // different algorithm, so the oracle is e2's SQL verbatim.
+    "e4_ann_index" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
         |a AS (

@@ -412,6 +412,33 @@ class PipelineSpec extends GraftSuite {
     assert(nn.nonEmpty && nn.forall(_ % 3 === 0)) // probe 0's bucket = cluster 0
   }
 
+  test("persisted IVF index: probe equals live ivfTopK, scan prunes to probed bucket dirs") {
+    val pts = (0 until 30).map { i =>
+      val v = Array.fill(3)(0.0f)
+      v(i % 3) = 1.0f
+      v((i % 3 + 1) % 3) = 0.01f * (i / 3)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.writeIndex(pts, cents, "vec_id", "embedding", dir)
+    val probes = pts.filter($"vec_id" < 2) // buckets 0 and 1 — bucket 2 untouched
+    val fromIndex = Similarity.indexTopK(spark, dir, probes, "vec_id", "embedding", k = 3)
+    val live = Similarity.ivfTopK(pts, cents, probes, "vec_id", "embedding", k = 3)
+    assert(fromIndex.collect().map(_.toString).sorted.toSeq ===
+      live.collect().map(_.toString).sorted.toSeq)
+    // The scan must touch only the probed buckets' directories: the
+    // partition filter survives to the file source.
+    val scan = fromIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"), scan.take(2000))
+    // On-disk layout is one directory per bucket.
+    val bucketDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(bucketDirs.toSeq === Seq("bucket=0", "bucket=1", "bucket=2"))
+  }
+
   test("language ID predicts from marker hits with deterministic tie rules") {
     val d = Seq((1L, "the value of the table"), (2L, "der hund ist und das"), (3L, "xyz qqq")).toDF("doc_id", "text")
     val out = TextStats.langId(d, "doc_id", "text")
