@@ -215,6 +215,28 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Append new vectors into a [[writeIndex]]-persisted index without a
+    * rebuild: the increment is bucket-assigned with the STORED centroids
+    * (so placement is consistent with every existing row) and appended
+    * under its bucket directories — only the touched buckets gain files,
+    * untouched directories are never opened. The index twin of
+    * [[Dedup.incrementalJaccardPairs]]'s delta-vs-corpus shape: a daily
+    * embedding increment costs the increment, not the corpus.
+    *
+    * Caller contract: ids disjoint from the existing index (append is
+    * not upsert); centroids are fixed at build time — re-train and
+    * rebuild when drift accumulates (the standard IVF maintenance trade).
+    */
+  def appendToIndex(
+      newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as(idCol), col("cvec").as(vecCol))
+    assignBuckets(newVectors, cents, idCol, vecCol)
+      .select(col("vid"), col("__v").as("v"), col("__vn").as("vn"), col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/vectors")
+  }
+
   /** [[ivfTopK]] against a [[writeIndex]]-persisted index: probes are
     * bucketed with the stored centroids, the touched-bucket set (≤
     * nProbe × |probes| integers — metadata-sized collect) becomes a

@@ -437,6 +437,15 @@ class PipelineSpec extends GraftSuite {
     val bucketDirs = new java.io.File(s"$dir/vectors").listFiles()
       .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket=")).sorted
     assert(bucketDirs.toSeq === Seq("bucket=0", "bucket=1", "bucket=2"))
+
+    // Incremental maintenance: an appended vector lands in its bucket
+    // (placed by the STORED centroids) and is immediately probeable.
+    val extra = Seq((100L, Array(0.99f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    Similarity.appendToIndex(extra, "vec_id", "embedding", dir)
+    val after = Similarity.indexTopK(spark, dir, probes, "vec_id", "embedding", k = 31)
+      .filter($"probe_id" === 0L).select("neighbor_id").as[Long].collect().toSet
+    assert(after.contains(100L)) // new vector visible to bucket-0 probes
+    assert(after.forall(n => n == 100L || n % 3 == 0)) // still only bucket 0
   }
 
   test("language ID predicts from marker hits with deterministic tie rules") {
