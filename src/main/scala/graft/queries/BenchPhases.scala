@@ -26,6 +26,7 @@ object BenchPhases {
     }),
     "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1),
     "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1),
+    "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),
     // e4's claim is PROBE cost against an at-rest index; the one-time
     // index build is setup, not the operation under measurement.
     "e4_ann_index" -> ((s, dir) => {

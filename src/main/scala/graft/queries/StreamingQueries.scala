@@ -111,7 +111,69 @@ object StreamingQueries {
     (replay, target)
   }
 
+  /** Untimed setup for st3 (streaming windowed aggregation): replay the
+    * events table time-ordered through the watermarked
+    * [[StreamingUpsert.hourlyCounts]] into an append parquet sink. Two
+    * SENTINEL batches (max ts + 3h, + 6h) finish the run: the watermark
+    * visible to batch N derives from batch N-1's max event time, so the
+    * first sentinel raises the max and the second runs with the watermark
+    * past every real window's end — flushing them all to the sink. The
+    * sentinel's own window stays open forever and is excluded by type in
+    * the query read. Converged state is then exactly the batch q12
+    * aggregation — a real cross-engine oracle for the watermarked
+    * streaming path.
+    *
+    * Reading the bench number: 6 micro-batches (4 data + 2 sentinel) at
+    * the ~1.5 s per-batch floor profiled for st1 — streaming-harness
+    * cost, not aggregation cost (the same aggregation is q12's 0.2 s).
+    */
+  private[graft] def st3Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st3")
+    val out = s"$scratch/out"
+    // Watermarks require a true TIMESTAMP (not NTZ) event-time column —
+    // stage epoch micros, rebuild the instant inside the stream, and
+    // convert the window bound back to NTZ at the sink (the two casts use
+    // the same session TZ and cancel, so the emitted wall time equals the
+    // NTZ source at any TZ).
+    //
+    // Time-ordered replay: an out-of-order replay could push the
+    // watermark past genuinely-pending rows and DROP them, diverging from
+    // the batch oracle — order is the harness's contract here, lateness
+    // tolerance is the operator's (1h watermark).
+    val rows = Fixtures.events(s, dir)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("event_type"), col("value"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    val maxUs = rows.last._1
+    val hourUs = 3600L * 1000000L
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("us", "event_type", "value")
+      .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
+    val agg = StreamingUpsert.hourlyCounts(stream, "ts", "event_type", "value")
+    val q = agg
+      .select(col("window.start").cast("timestamp_ntz").as("hour"), col("event_type"),
+        col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start()
+    val replay = () =>
+      try {
+        rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        mem.addData((maxUs + 3 * hourUs, "zzz_sentinel", 0.0)); q.processAllAvailable()
+        mem.addData((maxUs + 6 * hourUs, "zzz_sentinel", 0.0)); q.processAllAvailable()
+      } finally q.stop()
+    (replay, out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st3_stream_hourly" -> ((s, dir) => {
+      val (replay, out) = st3Setup(s, dir)
+      replay()
+      s.read.parquet(out).filter(col("event_type") =!= "zzz_sentinel")
+        .orderBy("hour", "event_type")
+    }),
     "st1_stream_upsert" -> ((s, dir) => {
       val (replay, target) = st1Setup(s, dir)
       replay()
@@ -132,5 +194,13 @@ object StreamingQueries {
     // the overlapping replay — again the events table itself.
     "st2_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    // Watermark-flushed windowed aggregation converges to the batch q12
+    // aggregation — same SQL, same aliases.
+    "st3_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY hour, event_type""".stripMargin)
 }
