@@ -11,10 +11,23 @@ import org.apache.spark.sql.{DataFrame, SaveMode}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted catalog table. */
+  /** Write `df` as a bucketed, per-bucket-sorted catalog table.
+    *
+    * Overwrite-safe even when the managed LOCATION survives without its
+    * catalog entry (a crashed previous run, or a fresh session over an old
+    * warehouse dir): `SaveMode.Overwrite` refuses to claim an orphaned
+    * location, so any stale table AND directory are removed first.
+    */
   def writeBucketed(df: DataFrame, table: String, numBuckets: Int, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "writeBucketed needs at least one bucket column")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, cols.head, cols.tail: _*)

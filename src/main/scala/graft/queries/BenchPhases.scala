@@ -27,6 +27,12 @@ object BenchPhases {
     "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1),
     "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1),
     "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),
+    // q20's claim is the exchange-free JOIN; the one-time bucketed layout
+    // write is the trade's build cost, not the operation under test.
+    "q20_bucketed_join" -> ((s, dir) => {
+      AnalyticQueries.q20Setup(s, dir)
+      () => { AnalyticQueries.q20Join(s).count(); () }
+    }),
     // e4's claim is PROBE cost against an at-rest index; the one-time
     // index build is setup, not the operation under measurement.
     "e4_ann_index" -> ((s, dir) => {

@@ -105,6 +105,20 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q20 bucketed join: no exchange below the join — bucketing carries the shuffle") {
+    AnalyticQueries.q20Setup(spark, dir)
+    val plan = AnalyticQueries.q20Join(spark).queryExecution.executedPlan.toString
+    // Allowed SHUFFLES: aggregation re-shuffle on o_orderpriority and the
+    // final orderBy range exchange. The JOIN itself must ride the bucketed
+    // layout — a third shuffle would mean a side got re-partitioned. A
+    // BroadcastExchange is fine: at tiny SF Catalyst broadcasts the small
+    // side, which is the right call (BucketingSpec pins the SMJ-no-shuffle
+    // case with broadcast disabled; here we pin "never re-shuffled").
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"bucketed join re-shuffled ($shuffles shuffles):\n${plan.take(3000)}")
+    assert(plan.contains("Bucketed: true"), plan.take(2000))
+  }
+
   test("q17 json extraction: props is the only wide column read") {
     val plan = planOf("q17_json_props")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
