@@ -105,7 +105,7 @@ object StreamingQueries {
         rows.grouped(per).foreach { b =>
           mem.addData((carry ++ b).toIndexedSeq: _*)
           q.processAllAvailable()
-          carry = b.takeRight(per / 2) // re-sent next batch — must dedup
+          carry = b.takeRight(per / 2).toIndexedSeq // re-sent next batch — must dedup
         }
       } finally q.stop()
     (replay, target)
@@ -167,7 +167,56 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st4 (streaming sessionization via
+    * flatMapGroupsWithState): replay (user_id, ts) time-ordered through
+    * [[graft.streaming.StreamingSessionize.byGap]]. The same two-sentinel
+    * close as st3 (under a sentinel user id) pushes the watermark past
+    * every real session's gap horizon, firing the event-time timeouts
+    * that flush the open sessions — converged output equals the batch t6
+    * sessionization exactly.
+    *
+    * Bench note: 6 micro-batches at the ~1.5 s per-batch floor (st1's
+    * profile) — harness cost; the batch twin (t6) prices the same
+    * aggregation at ~0.3 s.
+    */
+  private[graft] def st4Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st4")
+    val out = s"$scratch/out"
+    val rows = Fixtures.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val maxUs = rows.last._2
+    val hourUs = 3600L * 1000000L
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("user_id", "us")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "1 hour")
+    val q = graft.streaming.StreamingSessionize.byGap(stream, "user_id", "ts", gapMinutes = 30)
+      .toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start()
+    val replay = () =>
+      try {
+        rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        mem.addData((-1L, maxUs + 3 * hourUs)); q.processAllAvailable()
+        mem.addData((-1L, maxUs + 6 * hourUs)); q.processAllAvailable()
+      } finally q.stop()
+    (replay, out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st4_stream_sessions" -> ((s, dir) => {
+      val (replay, out) = st4Setup(s, dir)
+      replay()
+      s.read.parquet(out).filter(col("key") =!= "-1")
+        .select(col("key").cast("long").as("user_id"), col("session_idx"),
+          col("n_events"), col("start_us"), col("end_us"))
+        .orderBy("user_id", "session_idx")
+    }),
     "st3_stream_hourly" -> ((s, dir) => {
       val (replay, out) = st3Setup(s, dir)
       replay()
@@ -195,6 +244,25 @@ object StreamingQueries {
     "st2_stream_dedup" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // Timeout-flushed custom-state sessionization converges to the batch
+    // t6 sessionization — same SQL, same aliases.
+    "st4_stream_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |),
+        |y AS (
+        |  SELECT user_id, ts_us,
+        |         CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |  FROM x
+        |)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM y GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     // Watermark-flushed windowed aggregation converges to the batch q12
     // aggregation — same SQL, same aliases.
     "st3_stream_hourly" ->

@@ -34,6 +34,51 @@ class StreamingUpsertSpec extends GraftSuite {
     rel.split('/').find(_.startsWith(PartitionedTarget.BucketCol + "="))
       .map(_.split('=')(1).toInt).getOrElse(sys.error(s"no bucket in $rel"))
 
+  test("streaming sessionize: gap splits, cross-batch continuation, timeout flush, lifetime idx") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val dir = Files.createTempDirectory("stream-sess")
+    val out = dir.resolve("out").toString
+    // Offset from epoch 0: an event at exactly ts=0 ties the INITIAL
+    // watermark and is dropped as late — a degenerate boundary no real
+    // stream sits on.
+    def us(min: Long): Long = (min + 1000) * 60L * 1000000L
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("k", "us")
+      .select(col("k"), timestamp_micros(col("us")).as("ts"))
+      .withWatermark("ts", "10 minutes")
+    val q = StreamingSessionize.byGap(stream, "k", "ts", gapMinutes = 30).toDF()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      // Batch 1: user 1 opens a session; user 2 opens one.
+      mem.addData((1L, us(0)), (1L, us(10)), (2L, us(5)))
+      q.processAllAvailable()
+      // Batch 2: user 1 CONTINUES (within gap of us(10)); then a >gap
+      // event closes session 1 and opens session 2 in the same batch.
+      mem.addData((1L, us(30)), (1L, us(90)))
+      q.processAllAvailable()
+      // Sentinel far ahead: watermark passes every gap horizon; the
+      // event-time timeout flushes user 1's session 2 and user 2's
+      // session 1.
+      mem.addData((99L, us(1000))); q.processAllAvailable()
+      mem.addData((99L, us(2000))); q.processAllAvailable()
+      // A new event for user 1 AFTER its state timed out: lifetime
+      // numbering must continue at 3, not restart at 1.
+      mem.addData((1L, us(2100))); q.processAllAvailable()
+      mem.addData((99L, us(4000))); q.processAllAvailable()
+      mem.addData((99L, us(6000))); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).filter(col("key") =!= "99")
+      .select(col("key"), col("session_idx"), col("n_events"), col("start_us"), col("end_us"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("1", 1L, 3L, us(0), us(30)),   // closed by the in-batch gap
+      ("1", 2L, 1L, us(90), us(90)),  // flushed by timeout
+      ("1", 3L, 1L, us(2100), us(2100)), // lifetime idx survives timeout
+      ("2", 1L, 1L, us(5), us(5))))   // flushed by timeout
+  }
+
   test("dedupedAppendTo suppresses duplicate keys within and across micro-batches") {
     val dir = Files.createTempDirectory("stream-dedup")
     val target = dir.resolve("t").toString
