@@ -36,13 +36,17 @@ object Dedup {
     * just recomputes from the source. For a scoped form see
     * [[Dedup.withJaccardPairs]] / [[Dedup.withMinhashLshPairs]].
     */
-  final class PairsHandle private[pipeline] (val pairs: DataFrame, cached: Seq[DataFrame]) {
+  final class PairsHandle private[pipeline] (val pairs: DataFrame, private[pipeline] val cached: Seq[DataFrame]) {
     def release(): Unit = cached.foreach(_.unpersist())
   }
 
   /** Run `f` over the Jaccard pair frame, releasing the persisted indexes
     * when it returns — `f` must CONSUME the frame (count/collect/write),
-    * not return it lazily.
+    * not return it lazily. Returning a frame whose lineage was SEVERED from
+    * `pairs` is fine: [[clusters]] checkpoints its output, so
+    * `withJaccardPairs(...)(pairs => clusters(pairs))` (and
+    * [[pruneDuplicates]], whose loser side is that checkpoint) stays
+    * evaluable after release — the pattern the d9/d10 queries use.
     */
   def withJaccardPairs[T](
       docs: DataFrame, idCol: String, textCol: String,

@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.GraftSuite
@@ -358,6 +359,39 @@ class PipelineSpec extends GraftSuite {
     val n = Dedup.withJaccardPairs(own, "doc_id", "text", threshold = 0.5)(_.count())
     assert(n >= 1)
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+
+  test("composed d9/d10 path releases the pair indexes but stays evaluable") {
+    // The d9/d10 query shape (VERDICT r7 "what's wrong" #3): clusters /
+    // pruneDuplicates inside withJaccardPairs. clusters consumes the pairs
+    // eagerly and checkpoints, so the handle's indexes must be released by
+    // the time the query frame is returned — and the frame must still
+    // evaluate correctly afterwards.
+    val own = Seq(
+      (1L, "composed release corpus alpha beta gamma delta epsilon"),
+      (2L, "composed release corpus alpha beta gamma delta epsilon zeta"),
+      (3L, "entirely different composed-lifecycle document body here")
+    ).toDF("doc_id", "text")
+
+    var handleFrames: Seq[DataFrame] = Nil
+    val pruned = {
+      val h = Dedup.jaccardPairsHandle(own, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)
+      handleFrames = h.cached
+      try Dedup.pruneDuplicates(own, h.pairs, "doc_id") finally h.release()
+    }
+    // Handle frames are unpersisted (storageLevel NONE) after release...
+    assert(handleFrames.nonEmpty)
+    assert(handleFrames.forall(_.storageLevel == org.apache.spark.storage.StorageLevel.NONE))
+    // ...and the returned frame still evaluates: docs 1/2 are near-dups
+    // (one survivor, min id), doc 3 untouched.
+    val kept = pruned.select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L))
+
+    // The exact query composition (scoped form) agrees.
+    val viaScoped = Dedup.withJaccardPairs(own, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)(
+      pairs => Dedup.pruneDuplicates(own, pairs, "doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaScoped === kept)
   }
 
   test("embedding near-dup pair join is bounded by bucketCap (duplicate flood)") {
