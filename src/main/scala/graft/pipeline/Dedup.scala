@@ -666,4 +666,90 @@ object Dedup {
       .groupBy("id")
       .agg(sum(when(col("s") > 0, expr("cast(shiftleft(cast(1 as bigint), b) as bigint)")).otherwise(0L)).as("simhash"))
   }
+
+  /** Hamming-ball SimHash pairing (the C4 gap exact-bucket grouping leaves
+    * open): near-dup pairs whose 32-bit [[simhash]] fingerprints differ in
+    * at most `maxHamming` bits. A single flipped bit defeats the d4
+    * groupBy-fingerprint variant; this recovers such pairs with the
+    * pigeonhole banding of Manku/Jain/Sarma (WWW'07): split the
+    * fingerprint into `maxHamming + 1` disjoint bit segments — two
+    * fingerprints within hamming distance d cannot differ in all d+1
+    * segments, so they agree EXACTLY on at least one — equi-join on
+    * (band id, segment value), then verify the TRUE hamming distance on
+    * candidates only. Detection within the ball is exact (a guarantee, not
+    * a probability — unlike MinHash banding); cost is a bucket join whose
+    * fan-out is band-bucket occupancy, never corpus².
+    *
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b and
+    *         hamming <= maxHamming.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bucketCap: Int = 200,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, hashMode), "id", "simhash", maxHamming,
+      bits = 32, bucketCap = bucketCap)
+
+  /** Banded hamming-ball pairing over ANY integer fingerprint frame — the
+    * candidate+verify core of [[simhashPairs]], exposed so alternative
+    * fingerprint generators (wider simhashes, perceptual image hashes on
+    * the multimodal path) reuse it.
+    *
+    * Banding: `bits` fingerprint bits are split into `maxHamming + 1`
+    * contiguous segments, widths as even as integer division allows (the
+    * low-order segments take the remainder bit). Each document emits one
+    * (band, segment-value) row per band; candidates share a band value,
+    * and `bit_count(xor)` verifies the exact distance. Everything is
+    * codegen'd `functions._` — no UDFs.
+    *
+    * Scale note: segment width is bits/(maxHamming+1), so a band has
+    * 2^width distinct buckets and expected occupancy n/2^width — at 32
+    * bits and d=3 that is n/256 per bucket, the quadratic pressure point
+    * `bucketCap` bounds. Production corpora at 100 TB want a wider
+    * fingerprint (64-bit simhash, d+1 of 16-bit segments) before a higher
+    * cap; the operator is width-agnostic via `bits`.
+    *
+    * @param bucketCap drop (band, segment) buckets holding more than this
+    *                  many docs before pairing — mass-identical
+    *                  fingerprints (exact-duplicate floods) share EVERY
+    *                  band, so run [[exact]] first, exactly like the
+    *                  [[minhashLshPairs]] cap contract.
+    */
+  def hammingPairs(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      bits: Int = 32,
+      bucketCap: Int = 200): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
+    require(maxHamming < bits, s"maxHamming ($maxHamming) must be < bits ($bits)")
+    val bands = maxHamming + 1
+    val widths = (0 until bands).map(b => bits / bands + (if (b < bits % bands) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val f = fps.select(col(idCol).as("id"), col(fpCol).cast("long").as("__fp"))
+    val segStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        shiftright(col("__fp"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)).as("seg"))
+    }
+    val banded = f
+      .select(col("id"), col("__fp"), explode(array(segStructs: _*)).as("bs"))
+      .select(col("id"), col("__fp"), col("bs.band").as("band"), col("bs.seg").as("seg"))
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "seg")))
+      .filter(col("__occ") <= bucketCap)
+      .drop("__occ")
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.seg") === col("b.seg") && col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.__fp").bitwiseXOR(col("b.__fp"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair within the ball can agree on several bands
+  }
 }

@@ -85,6 +85,17 @@ object PipelineQueries {
       Dedup.simhash(docsNearAug(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Hamming-ball SimHash pairing (C4 completion / d13): the near-dup
+    // pairs d4's exact-bucket grouping misses — fingerprints within
+    // hamming distance 3, found via pigeonhole banding (4 disjoint 8-bit
+    // segments; a pair within the ball must agree exactly on one) and
+    // verified with bit_count(xor). Both engines derive bit-identical
+    // fingerprints (d4's oracle pins that), so the pair set matches
+    // exactly.
+    "d13_simhash_hamming" -> ((s, dir) =>
+      Dedup.simhashPairs(docsNearAug(s, dir), "doc_id", "text",
+        maxHamming = 3, bucketCap = BucketCap)
+        .orderBy("doc_a", "doc_b")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -212,11 +223,18 @@ object PipelineQueries {
     // resolution, then the corpus LEFT ANTI the non-canonical members. The
     // returned join's loser side is `clusters`' checkpoint, so it stays
     // evaluable after the handle releases the pair indexes.
-    "d10_prune_duplicates" -> ((s, dir) =>
-      Dedup.withJaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
-        pairs => Dedup.pruneDuplicates(docsNearAug(s, dir), pairs, "doc_id"))
+    // One hoisted corpus frame feeds BOTH the pair generator and the
+    // LEFT ANTI passthrough side (ADVICE r8 #2). Two SCANS remain by
+    // design: the index build and the passthrough each read the corpus
+    // once, and at 100 TB two pruned columnar scans beat pinning a
+    // corpus-sized cache between them.
+    "d10_prune_duplicates" -> ((s, dir) => {
+      val corpus = docsNearAug(s, dir)
+      Dedup.withJaccardPairs(corpus, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
+        pairs => Dedup.pruneDuplicates(corpus, pairs, "doc_id"))
         .select("doc_id")
-        .orderBy("doc_id")),
+        .orderBy("doc_id")
+    }),
     // Corpus rebalancing (C30): per-language keep-rates — down-weight the
     // dominant language, keep the rest at the default — rolled up to
     // kept-counts per language.
