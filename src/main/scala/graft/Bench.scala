@@ -99,9 +99,14 @@ object Bench {
       // Give them extra samples so the median has room to shed outliers.
       // Extras are opportunistic: every successful sample sharpens the
       // median, but a transient failure among them must never demote a
-      // query whose REQUIRED iterations all succeeded.
+      // query whose REQUIRED iterations all succeeded. Gated on iters > 1:
+      // ITERS=1 is the one-sample-per-JVM contract of
+      // tools/bench_isolated.py, and folding 2 same-JVM extras back in
+      // would reintroduce exactly the within-JVM confound that tool
+      // exists to remove.
       val times =
-        if (base.length == iters && median(base) < 1.0) base ++ (1 to 2).flatMap(i => runOnce(iters + i))
+        if (iters > 1 && base.length == iters && median(base) < 1.0)
+          base ++ (1 to 2).flatMap(i => runOnce(iters + i))
         else base
       // Every required iteration must succeed for a trustworthy median.
       if (base.length == iters) (name, median(times), true)

@@ -724,7 +724,29 @@ object Dedup {
       fpCol: String,
       maxHamming: Int,
       bits: Int = 32,
-      bucketCap: Int = 200): DataFrame = {
+      bucketCap: Int = 200): DataFrame =
+    hammingPairsDiag(fps, idCol, fpCol, maxHamming, bits, bucketCap).pairs
+
+  /** [[hammingPairs]] result plus the cap's shadow: the (band, seg)
+    * buckets the `bucketCap` guard silently dropped, one row per bucket
+    * with its occupancy. True pairs whose ONLY agreeing band lands in a
+    * dropped bucket are lost, so a capacity-planning pipeline should
+    * watch `droppedBuckets` — occupancies near the cap mean the
+    * fingerprint is too narrow for the corpus (go to a wider `bits`
+    * before a higher cap; width divides occupancy by 2^extra-bits, a
+    * higher cap grows join fan-out quadratically). Both frames are lazy:
+    * an unused diagnostic costs nothing (ADVICE r9 #3).
+    */
+  final case class HammingDiag(pairs: DataFrame, droppedBuckets: DataFrame)
+
+  /** Diagnostic variant of [[hammingPairs]] — see [[HammingDiag]]. */
+  def hammingPairsDiag(
+      fps: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxHamming: Int,
+      bits: Int = 32,
+      bucketCap: Int = 200): HammingDiag = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(bits >= 1 && bits <= 63, s"bits must be in [1, 63], got $bits")
     require(maxHamming < bits, s"maxHamming ($maxHamming) must be < bits ($bits)")
@@ -737,13 +759,14 @@ object Dedup {
         lit(b).as("band"),
         shiftright(col("__fp"), offsets(b)).bitwiseAND(lit((1L << widths(b)) - 1)).as("seg"))
     }
-    val banded = f
+    val bandedAll = f
       .select(col("id"), col("__fp"), explode(array(segStructs: _*)).as("bs"))
       .select(col("id"), col("__fp"), col("bs.band").as("band"), col("bs.seg").as("seg"))
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "seg")))
+    val banded = bandedAll
       .filter(col("__occ") <= bucketCap)
       .drop("__occ")
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.seg") === col("b.seg") && col("a.id") < col("b.id"))
       .select(
@@ -751,5 +774,10 @@ object Dedup {
         bit_count(col("a.__fp").bitwiseXOR(col("b.__fp"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair within the ball can agree on several bands
+    val dropped = bandedAll
+      .filter(col("__occ") > bucketCap)
+      .select(col("band"), col("seg"), col("__occ").as("occupancy"))
+      .distinct()
+    HammingDiag(pairs, dropped)
   }
 }

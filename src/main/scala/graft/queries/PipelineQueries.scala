@@ -89,9 +89,9 @@ object PipelineQueries {
     // pairs d4's exact-bucket grouping misses — fingerprints within
     // hamming distance 3, found via pigeonhole banding (4 disjoint 8-bit
     // segments; a pair within the ball must agree exactly on one) and
-    // verified with bit_count(xor). Both engines derive bit-identical
-    // fingerprints (d4's oracle pins that), so the pair set matches
-    // exactly.
+    // verified with bit_count(xor). Md5Portable fingerprints are
+    // bit-identical across engines, so the d13 oracle below checks the
+    // pair set exactly (band + cap + verify all mirrored in DuckDB).
     "d13_simhash_hamming" -> ((s, dir) =>
       Dedup.simhashPairs(docsNearAug(s, dir), "doc_id", "text",
         maxHamming = 3, bucketCap = BucketCap)
@@ -489,6 +489,39 @@ object PipelineQueries {
          |)
          |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // d13: d4's fingerprint CTE, banded into 4 disjoint 8-bit segments
+    // (Dedup.hammingPairs widths for bits=32, maxHamming=3), the same
+    // occ <= BucketCap guard as d3's bands_c, then exact verification
+    // with bit_count(xor). hamming cast to INTEGER to match Spark's
+    // bit_count return type.
+    "d13_simhash_hamming" ->
+      s"""WITH $nearAugCte,
+         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+         |th AS (SELECT doc_id, ${sqlHash(0, "tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, g.b, CAST(sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) g
+         |  GROUP BY 1, 2
+         |),
+         |fp AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+         |  FROM bits GROUP BY doc_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, fp, g.band, (fp >> (g.band * 8)) & 255 AS seg
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+         |),
+         |banded_c AS (
+         |  SELECT doc_id, fp, band, seg FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, seg) AS occ FROM banded
+         |  ) WHERE occ <= $BucketCap
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM banded_c a JOIN banded_c b
+         |  ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d8_decontamination" -> {
       val gram8 = (1 to 7).foldLeft("w[i]")((acc, o) => s"$acc || ' ' || w[i+$o]")
       s"""WITH bench AS (

@@ -579,4 +579,50 @@ class PipelineSpec extends GraftSuite {
     assert(exprPath === mapPath)
     assert(exprPath.nonEmpty)
   }
+
+  test("hamming-ball simhash pairing recovers a planted one-bit flip d4 misses") {
+    // Fingerprints, not text: plant exact distances so the assertion is on
+    // the banding guarantee itself (within-ball detection is exact).
+    val fps = Seq(
+      (1L, 0x0F0F0F0FL),        // base
+      (2L, 0x0F0F0F0FL),        // hamming 0
+      (3L, 0x0F0F0F0EL),        // hamming 1 — the flip exact-bucket grouping misses
+      (4L, 0x0F0F0F0FL ^ 0x1E0L) // hamming 4 from 1/2, 5 from 3 — outside the ball
+    ).toDF("id", "fp")
+    val out = Dedup.hammingPairs(fps, "id", "fp", maxHamming = 3)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+    // d4's exact-bucket view of the same frame: only the 0-distance pair's
+    // bucket collapses; doc 3 is stranded — the gap d13 closes.
+    val buckets = fps.groupBy("fp").count().as[(Long, Long)].collect().toMap
+    assert(buckets(0x0F0F0F0FL) === 2L && buckets(0x0F0F0F0EL) === 1L)
+  }
+
+  test("hammingPairsDiag reports cap-dropped buckets; capped docs pair via other bands") {
+    // 5 identical fingerprints flood every (band, seg) bucket past cap=4;
+    // the diagnostic must surface all 4 dropped buckets and the pair
+    // frame must come back empty rather than fan out quadratically.
+    val flood = (1L to 5L).map(i => (i, 0x12345678L)).toDF("id", "fp")
+    val d = Dedup.hammingPairsDiag(flood, "id", "fp", maxHamming = 3, bucketCap = 4)
+    assert(d.pairs.count() === 0L)
+    val dropped = d.droppedBuckets.select("band", "occupancy").as[(Int, Long)].collect()
+    assert(dropped.length === 4 && dropped.forall(_._2 === 5L))
+    // The cap is PER BUCKET: an under-cap pair elsewhere in the frame
+    // still pairs while the flood's buckets are dropped — and a
+    // distance-1 neighbour of the flood is collateral damage (it pushes
+    // the three segments it shares with the flood over cap and sits
+    // alone in its fourth), which is exactly the silent-loss mode the
+    // diagnostic exists to surface.
+    val mixed = flood
+      .union(Seq((6L, 0x12345679L), (10L, 0x7A7A7A7AL), (11L, 0x7A7A7A7BL)).toDF("id", "fp"))
+    val d2 = Dedup.hammingPairsDiag(mixed, "id", "fp", maxHamming = 3, bucketCap = 4)
+    val pairs = d2.pairs.select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((10L, 11L)))
+    assert(d2.droppedBuckets.count() === 4L) // flood+neighbour segments
+    // Under an unconstrained cap nothing is dropped: the flood clique,
+    // its neighbour, and the distant pair all appear — C(6,2) + 1.
+    val d3 = Dedup.hammingPairsDiag(mixed, "id", "fp", maxHamming = 3, bucketCap = 200)
+    assert(d3.droppedBuckets.count() === 0L)
+    assert(d3.pairs.count() === 16L)
+  }
 }
