@@ -446,6 +446,41 @@ class PipelineSpec extends GraftSuite {
     assert(nn.nonEmpty && nn.forall(_ % 3 === 0)) // probe 0's bucket = cluster 0
   }
 
+  test("recallAt: nProbe=1 misses the boundary probe, nProbe=2 recovers it") {
+    // v2 sits in centroid-0's bucket but is the true nearest neighbour of
+    // a probe assigned to centroid 1 — the Voronoi-boundary miss that IS
+    // the IVF recall trade. nProbe=1 must miss it, nProbe=2 must not.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),  // bucket 0
+      (2L, Array(0.8f, 0.6f)),  // bucket 0 (cos .8 vs .6) — boundary doc
+      (3L, Array(0.0f, 1.0f))   // bucket 1
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val probes = Seq(
+      (100L, Array(0.6f, 0.8f)), // bucket 1, but exact top-1 is v2 (sim .96)
+      (101L, Array(0.0f, 1.0f))  // bucket 1, exact top-1 is v3 (sim 1.0)
+    ).toDF("vec_id", "embedding")
+
+    def recall(nProbe: Int): (Long, Double, Double) =
+      Similarity.recallAt(corpus, cents, probes, "vec_id", "embedding", k = 1, nProbe = nProbe)
+        .select("n_probes", "macro_recall", "micro_recall")
+        .as[(Long, Double, Double)].collect().head
+
+    val (n1, macro1, micro1) = recall(1)
+    val (n2, macro2, micro2) = recall(2)
+    assert(n1 === 2L && n2 === 2L)
+    assert(macro1 === 0.5 && micro1 === 0.5) // probe 100 missed, 101 hit
+    assert(macro2 === 1.0 && micro2 === 1.0) // extra probed bucket recovers v2
+    assert(macro2 > macro1) // the monotone knob the operator tunes
+
+    // The sampled path is deterministic: same seed, same verdict.
+    val s1 = Similarity.recallAt(corpus, cents, probes, "vec_id", "embedding",
+      k = 1, nProbe = 1, sampleRate = 0.9, seed = 3).collect().head
+    val s2 = Similarity.recallAt(corpus, cents, probes, "vec_id", "embedding",
+      k = 1, nProbe = 1, sampleRate = 0.9, seed = 3).collect().head
+    assert(s1 === s2)
+  }
+
   test("persisted IVF index: probe equals live ivfTopK, scan prunes to probed bucket dirs") {
     val pts = (0 until 30).map { i =>
       val v = Array.fill(3)(0.0f)
