@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Deliberately no -Xms/-XX:+AlwaysPreTouch: this host demand-faults
+  // guest memory through a slow, monotonically-degrading path (measured
+  // 2026-08-13: first-touch cost grew 1us -> 550us/page over a few
+  // hours; pre-touching an 8 GiB heap then takes minutes of sys time).
+  // Touch pages only as the workload actually needs them.
 )

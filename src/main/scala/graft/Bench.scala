@@ -109,14 +109,22 @@ object Bench {
           base ++ (1 to 2).flatMap(i => runOnce(iters + i))
         else base
       // Every required iteration must succeed for a trustworthy median.
-      if (base.length == iters) (name, median(times), true)
-      else (name, -1.0, false)
+      if (base.length == iters) (name, median(times), true, times)
+      else (name, -1.0, false, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","iterations":$iters}""")
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    // SPARK_GRAFT_BENCH_RAW=1 appends every per-iteration sample (not just
+    // the median) — the isolated A/B protocol wants the spread, and extra
+    // JSON fields are invisible to the driver's parser.
+    val raw =
+      if (sys.env.get("SPARK_GRAFT_BENCH_RAW").contains("1"))
+        results.map { case (k, _, _, ts) => s"\"" + k + "\":[" + ts.mkString(",") + "]" }
+          .mkString(""","raw":{""", ",", "}")
+      else ""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","iterations":$iters$raw}""")
     spark.stop()
   }
 }

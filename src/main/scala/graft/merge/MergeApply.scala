@@ -281,10 +281,12 @@ object MergeApply {
       staging: Path,
       retired: Path,
       buckets: Seq[Int],
-      preExisting: Seq[Int]): Unit = {
+      preExisting: Seq[Int],
+      partCol: String = PartitionedTarget.BucketCol): Unit = {
     val json =
       s"""{"staging": "${jsonEscape(staging.toString)}", "retired": "${jsonEscape(retired.toString)}", """ +
-        s""""buckets": [${buckets.mkString(", ")}], "preExisting": [${preExisting.mkString(", ")}]}"""
+        s""""buckets": [${buckets.mkString(", ")}], "preExisting": [${preExisting.mkString(", ")}], """ +
+        s""""partCol": "${jsonEscape(partCol)}"}"""
     val out = fs.create(markerPath(tgt, token), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -331,9 +333,11 @@ object MergeApply {
         ("\"" + k + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(txt)
           .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSeq)
 
+      // partCol absent in pre-r10 markers → the merge-target default.
+      val partCol = strField("partCol").getOrElse(PartitionedTarget.BucketCol)
       (strField("staging"), strField("retired"), intsField("buckets"), intsField("preExisting")) match {
         case (Some(stg), Some(ret), Some(buckets), Some(preExisting)) =>
-          recoverOne(fs, tgt, new Path(stg), new Path(ret), buckets, preExisting.toSet)
+          recoverOne(fs, tgt, new Path(stg), new Path(ret), buckets, preExisting.toSet, partCol)
           fs.delete(m, false)
           repaired = true
         case _ =>
@@ -349,7 +353,8 @@ object MergeApply {
       staging: Path,
       retired: Path,
       buckets: Seq[Int],
-      preExisting: Set[Int]): Unit = {
+      preExisting: Set[Int],
+      partCol: String): Unit = {
     if (buckets.isEmpty) {
       val promoted = fs.exists(tgt) && !fs.exists(staging)
       if (!promoted) {
@@ -363,7 +368,7 @@ object MergeApply {
       fs.delete(retired, true)
     } else {
       buckets.foreach { b =>
-        val name = s"${PartitionedTarget.BucketCol}=$b"
+        val name = s"$partCol=$b"
         val cur = new Path(tgt, name)
         val ret = new Path(retired, name)
         if (preExisting.contains(b)) {

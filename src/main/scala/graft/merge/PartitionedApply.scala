@@ -188,13 +188,15 @@ object PartitionedApply {
     * point in this sequence. Shared with [[PartitionedTarget.compact]],
     * which stages rewritten bucket content through the same protocol.
     */
-  private[merge] def swapBuckets(
+  private[graft] def swapBuckets(
       spark: SparkSession,
       fs: FileSystem,
       tgt: Path,
       staging: Path,
       touched: Seq[Int],
-      token: String): Unit = {
+      token: String,
+      partCol: String = BucketCol): Unit = {
+    def dirOf(root: Path, b: Int): Path = new Path(root, s"$partCol=$b")
     val retiredRoot = new Path(tgt.getParent, s".${tgt.getName}.retired-$token")
     fs.mkdirs(retiredRoot)
     // Record which touched buckets exist BEFORE any rename: recover() must
@@ -202,12 +204,12 @@ object PartitionedApply {
     // pre-existing bucket with empty staged output and an unstarted swap
     // would be indistinguishable from an already-promoted new bucket, and
     // deleting it loses pre-merge data).
-    val preExisting = touched.filter(b => fs.exists(bucketDir(tgt, b)))
-    MergeApply.writeSwapMarker(fs, tgt, token, staging, retiredRoot, touched, preExisting)
+    val preExisting = touched.filter(b => fs.exists(dirOf(tgt, b)))
+    MergeApply.writeSwapMarker(fs, tgt, token, staging, retiredRoot, touched, preExisting, partCol)
     try {
       touched.foreach { b =>
-        val cur = bucketDir(tgt, b)
-        val staged = bucketDir(staging, b)
+        val cur = dirOf(tgt, b)
+        val staged = dirOf(staging, b)
         if (fs.exists(cur) && !fs.rename(cur, bucketDir(retiredRoot, b)))
           throw new IllegalStateException(s"Partitioned swap failed: could not retire $cur")
         if (fs.exists(staged) && !fs.rename(staged, cur))

@@ -184,9 +184,24 @@ object PartitionedTarget {
       path: String,
       targetFileBytes: Long = 128L << 20,
       minFiles: Int = 2): Seq[Int] = {
+    readSpec(spark, path) // validates this IS a partitioned target
+    compactDirs(spark, path, BucketCol, targetFileBytes, minFiles)
+  }
+
+  /** [[compact]]'s engine, generalized over the partition column name so
+    * other bucket-partitioned layouts — the persisted IVF index's
+    * `bucket=` directories ([[graft.pipeline.Similarity.compactIndex]]) —
+    * reuse the same flagging criteria and staged-write + intent-marker +
+    * per-bucket swap protocol without carrying a merge partition spec.
+    */
+  private[graft] def compactDirs(
+      spark: SparkSession,
+      path: String,
+      partCol: String,
+      targetFileBytes: Long,
+      minFiles: Int): Seq[Int] = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     require(minFiles >= 2, s"minFiles must be >= 2 (1 would rewrite every bucket), got $minFiles")
-    readSpec(spark, path) // validates this IS a partitioned target
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
@@ -194,7 +209,7 @@ object PartitionedTarget {
       math.min(256L, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
     // (bucket, desired file count) for every degraded bucket.
     val flagged = fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
       .flatMap { st =>
         val files = fs.listStatus(st.getPath).filter(f =>
           f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
@@ -203,7 +218,7 @@ object PartitionedTarget {
         val fragmented = files.length >= minFiles && files.length > desired
         val oversized = files.nonEmpty && bytes / files.length > 2L * targetFileBytes
         if (fragmented || oversized)
-          Some(st.getPath.getName.drop(BucketCol.length + 1).toInt -> desired)
+          Some(st.getPath.getName.drop(partCol.length + 1).toInt -> desired)
         else None
       }
     if (flagged.isEmpty) return Nil
@@ -211,27 +226,27 @@ object PartitionedTarget {
     val buckets = flagged.map(_._1).sorted
     val token = java.util.UUID.randomUUID().toString.take(8)
     val staging = new Path(root.getParent, s".${root.getName}.staging-$token")
-    val dirs = buckets.map(b => new Path(root, s"$BucketCol=$b").toString)
+    val dirs = buckets.map(b => new Path(root, s"$partCol=$b").toString)
     val df = spark.read.option("basePath", path).parquet(dirs: _*)
-    val dataCols = df.columns.filterNot(_ == BucketCol).map(col)
+    val dataCols = df.columns.filterNot(_ == partCol).map(col)
     // Per-bucket file-count salt (a broadcast lookup of ≤ nBuckets rows):
     // a uniform global modulus sized for the largest bucket would shatter
     // small fragmented buckets into that many tiny files.
     import spark.implicits._
     val nf = "__graft_nf"
-    val desiredDf = flagged.toDF(BucketCol, nf)
+    val desiredDf = flagged.toDF(partCol, nf)
     val salt = pmod(xxhash64(dataCols.toIndexedSeq: _*), col(nf))
     // Explicit partition count: an expression-only repartition lets AQE
     // coalesce the (deliberately small) shuffle back into one task per
     // bucket — exactly the layout compact exists to undo.
     val nParts = math.min(flagged.map(_._2.toLong).sum, 4096L).toInt
-    try df.join(broadcast(desiredDf), BucketCol)
-      .repartition(nParts, col(BucketCol), salt)
+    try df.join(broadcast(desiredDf), partCol)
+      .repartition(nParts, col(partCol), salt)
       .drop(nf)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-      .partitionBy(BucketCol).parquet(staging.toString)
+      .partitionBy(partCol).parquet(staging.toString)
     catch { case e: Throwable => fs.delete(staging, true); throw e }
-    PartitionedApply.swapBuckets(spark, fs, root, staging, buckets, token)
+    PartitionedApply.swapBuckets(spark, fs, root, staging, buckets, token, partCol)
     buckets
   }
 

@@ -237,6 +237,41 @@ object Similarity {
       .write.mode("append").partitionBy("bucket").parquet(s"$path/vectors")
   }
 
+  /** Restore [[appendToIndex]]-accreted bucket directories to a healthy
+    * file layout (VERDICT r7 next #6): each append adds one file set per
+    * touched bucket, so a daily increment turns every hot bucket into
+    * hundreds of small files and probe scan cost grows with appends, not
+    * data. Delegates to [[graft.merge.PartitionedTarget.compactDirs]] —
+    * the same fragmentation/oversize flagging as the merge target's
+    * compaction, and the same staged-write + intent-marker + per-bucket
+    * swap protocol, so an interrupted index compaction recovers exactly
+    * like an interrupted merge (run [[recoverIndex]] after a crash).
+    * Untouched bucket directories are never opened; probe results and the
+    * PartitionFilters pruning shape are unchanged — only file layout.
+    *
+    * @return the bucket ids rewritten (empty when nothing qualified)
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 2): Seq[Int] = {
+    val cents = new org.apache.hadoop.fs.Path(s"$path/centroids")
+    val fs = cents.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cents))
+      throw new IllegalArgumentException(
+        s"$path is not a persisted IVF index (no centroids sidecar) — build it with writeIndex")
+    graft.merge.PartitionedTarget.compactDirs(
+      spark, s"$path/vectors", "bucket", targetFileBytes, minFiles)
+  }
+
+  /** Roll an interrupted [[compactIndex]] swap forward or back (same
+    * marker protocol as [[graft.merge.MergeApply.recover]], which this
+    * delegates to against the index's vectors root).
+    */
+  def recoverIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    graft.merge.MergeApply.recover(spark, s"$path/vectors")
+
   /** [[ivfTopK]] against a [[writeIndex]]-persisted index: probes are
     * bucketed with the stored centroids, the touched-bucket set (≤
     * nProbe × |probes| integers — metadata-sized collect) becomes a

@@ -517,6 +517,68 @@ class PipelineSpec extends GraftSuite {
     assert(after.forall(n => n == 100L || n % 3 == 0)) // still only bucket 0
   }
 
+  test("compactIndex: N appends -> fewer files, identical probe results, pruning pin unchanged") {
+    val pts = (0 until 30).map { i =>
+      val v = Array.fill(3)(0.0f)
+      v(i % 3) = 1.0f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val cents = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)), (2L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf-compact").toString
+    Similarity.writeIndex(pts, cents, "vec_id", "embedding", dir)
+    // Four daily-increment appends, all landing in bucket 0: the accretion
+    // pattern compactIndex exists to undo.
+    (0 until 4).foreach { day =>
+      Similarity.appendToIndex(
+        Seq((1000L + day, Array(0.9f, 0.01f * day, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", dir)
+    }
+    def dataFiles(b: Int): Int =
+      new java.io.File(s"$dir/vectors/bucket=$b").listFiles()
+        .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    val probes = pts.filter($"vec_id" < 2)
+    def results(): Seq[String] =
+      Similarity.indexTopK(spark, dir, probes, "vec_id", "embedding", k = 5)
+        .collect().map(_.toString).sorted.toSeq
+
+    val filesBefore = dataFiles(0)
+    assert(filesBefore >= 5) // initial + 4 appends
+    val before = results()
+
+    val rewritten = Similarity.compactIndex(spark, dir)
+    assert(rewritten === Seq(0)) // only the accreted bucket qualified
+    assert(dataFiles(0) === 1 && dataFiles(0) < filesBefore)
+    assert(results() === before) // row content preserved exactly
+
+    // Pruning shape unchanged: the partition filter still reaches the scan.
+    val scan = Similarity.indexTopK(spark, dir, probes, "vec_id", "embedding", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"), scan.take(2000))
+
+    // Compaction converges: a healthy layout is not re-flagged.
+    assert(Similarity.compactIndex(spark, dir) === Seq.empty)
+
+    // Crash recovery honours the index's partition column: plant an
+    // interrupted swap (staging still present -> roll BACK) whose marker
+    // names partCol=bucket, with bucket 0 already retired.
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vroot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val retired = new org.apache.hadoop.fs.Path(dir, ".vectors.retired-zz")
+    val staging = new org.apache.hadoop.fs.Path(dir, ".vectors.staging-zz")
+    fs.mkdirs(retired); fs.mkdirs(staging)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(vroot, "bucket=0"),
+      new org.apache.hadoop.fs.Path(retired, "bucket=0")))
+    val marker = fs.create(new org.apache.hadoop.fs.Path(dir, ".vectors.swap-zz.json"), true)
+    marker.write(
+      (s"""{"staging": "$staging", "retired": "$retired", """ +
+        """"buckets": [0], "preExisting": [0], "partCol": "bucket"}""").getBytes("UTF-8"))
+    marker.close()
+    assert(Similarity.recoverIndex(spark, dir)) // rolls bucket 0 back into place
+    assert(results() === before)
+  }
+
   test("language ID predicts from marker hits with deterministic tie rules") {
     val d = Seq((1L, "the value of the table"), (2L, "der hund ist und das"), (3L, "xyz qqq")).toDF("doc_id", "text")
     val out = TextStats.langId(d, "doc_id", "text")

@@ -1,28 +1,36 @@
 #!/usr/bin/env python3
-"""Fresh-JVM-per-sample isolated benchmark (VERDICT r8 next #1).
+"""Isolated A/B benchmark: one fresh JVM per (variant x query) cell.
 
-The in-process driver bench (graft.Bench, median-of-3 in ONE shared JVM)
-demonstrably cannot resolve sub-2x perf claims on the shuffle-heavy
+The in-process driver bench (graft.Bench, all 62 queries in ONE shared
+JVM) demonstrably cannot resolve sub-2x perf claims on the shuffle-heavy
 d-suite: round-over-round swings of +/-60% on untouched code (r7->r8:
-d7 -46%, d3 +60%, d12 +63%). This runner removes the shared-JVM
-confound entirely: every SAMPLE is its own java process running
-graft.Bench restricted to a single query via SPARK_GRAFT_BENCH_ONLY,
-with SPARK_GRAFT_BENCH_ITERS=1 so the reported number is the one timed
-execution of that query in a cold-started, warmed-up (Bench's untimed
-warmup job still runs) JVM.
+d7 -46%, d3 +60%, d12 +63%). This runner removes the cross-QUERY JVM
+confound: each cell gets its own cold-started JVM running graft.Bench
+restricted to that one query (SPARK_GRAFT_BENCH_ONLY), with
+SPARK_GRAFT_BENCH_ITERS=N in-JVM iterations and SPARK_GRAFT_BENCH_RAW=1
+so every per-iteration sample lands in the report.
 
-Samples are taken ROUND-ROBIN across all requested cells (variant x
-query), not per-cell blocks, so slow machine-wide drift (thermal, page
-cache) lands evenly on every cell instead of biasing whichever cell ran
-last. Reported per cell: n, median, p25/p75, IQR, and raw samples.
+Why N iterations in ONE JVM per cell, not one JVM per SAMPLE (the r8
+design): measured 2026-08-13, this host's guest-memory first-touch path
+degrades monotonically (1us -> 550us/page over hours, superlinear under
+concurrent faulting), so every fresh JVM pays minutes of sys-time
+faulting its heap in — a per-sample JVM would measure the host's fault
+path, not the query, and accelerate the degradation for every later
+sample. One JVM per cell pays the fault tax once (untimed: Bench's
+warmup + iteration 1 absorb heap growth; the median over N shrugs off
+iteration 1), and the per-iteration raw samples still expose the spread.
+Between cells the runner best-effort compacts kernel memory to slow the
+machine-wide drift.
+
+Reported per cell: n, median, p25/p75, IQR, and raw samples.
 
 Usage:
-  tools/bench_isolated.py --out BENCH_ISOLATED.json --n 10 \
+  tools/bench_isolated.py --out BENCH_ISOLATED.json --iters 9 \
       label=CLASSES_DIR:QUERY ...
 
 e.g. an A/B of d9 across two builds plus twin-query comparisons:
-  tools/bench_isolated.py --out BENCH_ISOLATED_r09.json --n 10 \
-      d9@pre=/tmp/graft-pre/target/scala-2.13/classes:d9_dup_clusters \
+  tools/bench_isolated.py --out BENCH_ISOLATED_r10.json --iters 9 \
+      d9@pre=/root/repo/.ab-pre/target/scala-2.13/classes:d9_dup_clusters \
       d9@post=/root/repo/target/scala-2.13/classes:d9_dup_clusters \
       m6=/root/repo/target/scala-2.13/classes:m6_merge_badkey \
       m12=/root/repo/target/scala-2.13/classes:m12_merge_badkey_salted
@@ -48,7 +56,20 @@ ADD_OPENS = [
 ]
 
 
-def run_sample(classes, query, sf_dir, cpus, mem):
+def compact_memory():
+    """Best-effort: ask the kernel to compact free memory between cells.
+
+    On the affected host the fault path partially recovers after
+    compaction; elsewhere this silently does nothing.
+    """
+    try:
+        with open("/proc/sys/vm/compact_memory", "w") as f:
+            f.write("1")
+    except OSError:
+        pass
+
+
+def run_cell(classes, query, iters, sf_dir, cpus, mem, timeout):
     cmd = ["java"]
     for p in ADD_OPENS:
         cmd += ["--add-opens", f"{p}=ALL-UNNAMED"]
@@ -63,29 +84,32 @@ def run_sample(classes, query, sf_dir, cpus, mem):
     env.update({
         "SPARK_GRAFT_SF_DIR": sf_dir,
         "SPARK_GRAFT_CPUS": str(cpus),
-        "SPARK_GRAFT_BENCH_ITERS": "1",
+        "SPARK_GRAFT_BENCH_ITERS": str(iters),
         "SPARK_GRAFT_BENCH_ONLY": query,
+        "SPARK_GRAFT_BENCH_RAW": "1",
     })
-    r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=900)
+    r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=timeout)
     line = next((l for l in reversed(r.stdout.splitlines())
                  if l.startswith('{"metric"')), None)
     if r.returncode != 0 or line is None:
         raise RuntimeError(
-            f"sample failed rc={r.returncode}: {r.stderr.strip()[-500:]}")
+            f"cell failed rc={r.returncode}: {r.stderr.strip()[-500:]}")
     obj = json.loads(line)
     t = obj["queries"].get(query)
     if t is None or t < 0:
         raise RuntimeError(f"query {query} failed in-bench: {obj.get('failed')}")
-    return t
+    return t, obj.get("raw", {}).get(query, [t])
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", required=True)
-    ap.add_argument("--n", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=9,
+                    help="in-JVM iterations per cell (median reported)")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--mem", default="8g")
+    ap.add_argument("--timeout", type=int, default=3600)
     ap.add_argument("cells", nargs="+", help="label=CLASSES_DIR:QUERY")
     args = ap.parse_args()
 
@@ -93,49 +117,40 @@ def main():
     for c in args.cells:
         label, rest = c.split("=", 1)
         classes, query = rest.rsplit(":", 1)
-        cells.append({"label": label, "classes": classes, "query": query,
-                      "samples": [], "errors": 0})
-
-    t0 = time.time()
-    for rnd in range(args.n):
-        for cell in cells:
-            try:
-                t = run_sample(cell["classes"], cell["query"],
-                               args.sf_dir, args.cpus, args.mem)
-                cell["samples"].append(t)
-                print(f"[{time.time()-t0:7.1f}s] round {rnd+1}/{args.n} "
-                      f"{cell['label']}: {t:.3f}s", file=sys.stderr, flush=True)
-            except Exception as e:
-                cell["errors"] += 1
-                print(f"[{time.time()-t0:7.1f}s] round {rnd+1}/{args.n} "
-                      f"{cell['label']}: ERROR {e}", file=sys.stderr, flush=True)
+        cells.append({"label": label, "classes": classes, "query": query})
 
     out = {
         "protocol": {
-            "mode": "fresh JVM per sample (SPARK_GRAFT_BENCH_ONLY, ITERS=1)",
-            "order": "round-robin across cells",
-            "n_rounds": args.n, "sf_dir": args.sf_dir,
+            "mode": "fresh JVM per cell; N in-JVM iterations "
+                    "(SPARK_GRAFT_BENCH_ONLY + ITERS + RAW)",
+            "iters": args.iters, "sf_dir": args.sf_dir,
             "cpus": args.cpus, "mem": args.mem,
         },
         "cells": {},
     }
+    t0 = time.time()
     for cell in cells:
-        s = sorted(cell["samples"])
-        if s:
+        compact_memory()
+        try:
+            med, samples = run_cell(cell["classes"], cell["query"], args.iters,
+                                    args.sf_dir, args.cpus, args.mem, args.timeout)
+            s = sorted(samples)
             qs = statistics.quantiles(s, n=4, method="inclusive") if len(s) >= 2 else [s[0]] * 3
             stats = {"n": len(s), "median": round(statistics.median(s), 3),
                      "p25": round(qs[0], 3), "p75": round(qs[2], 3),
                      "iqr": round(qs[2] - qs[0], 3),
-                     "min": round(s[0], 3), "max": round(s[-1], 3)}
-        else:
-            stats = {"n": 0}
+                     "min": round(s[0], 3), "max": round(s[-1], 3),
+                     "samples": [round(x, 3) for x in samples]}
+            print(f"[{time.time()-t0:7.1f}s] {cell['label']}: median={med:.3f}s "
+                  f"({len(samples)} samples)", file=sys.stderr, flush=True)
+        except Exception as e:
+            stats = {"n": 0, "error": str(e)}
+            print(f"[{time.time()-t0:7.1f}s] {cell['label']}: ERROR {e}",
+                  file=sys.stderr, flush=True)
         out["cells"][cell["label"]] = {
-            "query": cell["query"], "classes": cell["classes"],
-            **stats, "errors": cell["errors"],
-            "samples": [round(x, 3) for x in cell["samples"]],
-        }
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=2)
+            "query": cell["query"], "classes": cell["classes"], **stats}
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
     print(json.dumps({k: {kk: v[kk] for kk in ("median", "p25", "p75", "n")
                           if kk in v}
                       for k, v in out["cells"].items()}, indent=2))
