@@ -233,6 +233,14 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     * ~9× the unsalted rank; the aggregate restores the ~2× premium the
     * skew-safety actually costs).
     *
+    * Measured premium vs the unsalted single-window rank (m12/m6 at
+    * sf0.1, shared-JVM driver bench where both twins amortize one heap):
+    * 2.56× (r7), 2.23× (r8), 1.38× (r9) — real, host-noise-bounded at
+    * roughly 1.4–2.6×, and structural (the offsets aggregation + its
+    * broadcast join-back are the skew insurance). Opt-in for hot-key
+    * workloads where the unsalted window cannot finish at all; see
+    * README "Measurement" for the round-10 isolated-bench adjudication.
+    *
     * The salt MUST derive from row CONTENT (xxhash64 over all columns),
     * never from monotonically_increasing_id: the ranked side and the
     * offsets side of the join below are independent recomputations of the
