@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// One suite at a time: the suites share one SparkSession, and parallel
+// suites mean parallel heap growth — on hosts where concurrent
+// first-touch faulting contends superlinearly (see javaOptions note)
+// that turns a 3-minute suite into an hour. Serial is modestly slower
+// on healthy hosts and strictly safer everywhere.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

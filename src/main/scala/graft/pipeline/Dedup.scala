@@ -341,9 +341,12 @@ object Dedup {
     * Min-label propagation: labels flow along shortest paths, so the
     * round count is the largest cluster DIAMETER — near-dup clusters are
     * shallow (a hub duplicate pairs with every copy), so this converges
-    * in a handful of rounds. Each round is two pair-frame-sized joins;
-    * the driver holds only the loop counter and a changed-row count
-    * (bounded control flow, the same shape as
+    * in a handful of rounds. Each round is ONE pair-frame-sized join
+    * (self-loop edges carry a vertex's own label through the neighbor-min
+    * aggregation) whose materializing job also yields the convergence
+    * signal — the label sum, strictly monotone decreasing until the
+    * fixpoint. The driver holds only the loop counter and that one
+    * decimal (bounded control flow, the same shape as
     * [[Similarity.trainCentroids]] — never row data).
     *
     * @param maxIters convergence guard; raises rather than return a
@@ -366,32 +369,42 @@ object Dedup {
     // (jaccardPairs etc.) the whole candidate+verify pipeline would
     // otherwise run TWICE just to build the edge list.
     val p = pairs.select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).persist(lvl)
+    // Symmetrized edges PLUS one self-loop per vertex: the self-loop makes
+    // a vertex's own label flow through the same neighbor-min aggregation,
+    // so each round references the previous label frame exactly ONCE.
+    // (The earlier formulation joined `cur` twice per round — neighbor min
+    // + changed-flag compare — and since a cached relation's plan string
+    // embeds its child plan, every SQL-execution description doubled per
+    // round: O(2^rounds) plan-description work per round on long chains,
+    // dominating the whole loop. One reference per round keeps the
+    // descriptions linear in round number.)
     val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .unionByName(p.select(col("doc_a").as("a"), col("doc_a").as("b")))
+      .unionByName(p.select(col("doc_b").as("a"), col("doc_b").as("b")))
       .persist(lvl)
     try {
-      var cur = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("nmin"))
-        .select(col("doc_id"), least(col("doc_id"), col("nmin")).as("cluster_id"))
+      var cur = edges.groupBy(col("a").as("doc_id")).agg(min(col("b")).as("cluster_id"))
         .persist(lvl)
+      // Convergence is read off the SAME job that materializes the round's
+      // persisted labels (one job per round, VERDICT r5 next #6): labels
+      // only ever decrease, so the label sum is strictly monotone until
+      // the fixpoint — equal sums mean an identical labelling. Decimal
+      // accumulator: no overflow for any long id domain.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
+          .getDecimal(0)
+      var prevSum = labelSum(cur)
       var converged = false
       var i = 0
       while (!converged && i < maxIters) {
-        val nbr = edges.join(cur.withColumnRenamed("doc_id", "b"), "b")
-          .groupBy(col("a").as("doc_id")).agg(min(col("cluster_id")).as("nlbl"))
-        // Carry a per-row changed flag so convergence is read off the SAME
-        // job that materializes the persisted labels — one job per round,
-        // not a label job plus a compare-join probe (VERDICT r5 next #6).
-        val next = cur.join(nbr, Seq("doc_id"))
-          .select(
-            col("doc_id"),
-            least(col("cluster_id"), col("nlbl")).as("cluster_id"),
-            (col("nlbl") < col("cluster_id")).cast("long").as("__chg"))
+        val next = edges.join(cur.withColumnRenamed("doc_id", "b"), "b")
+          .groupBy(col("a").as("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
           .persist(lvl)
-        converged = next.agg(coalesce(sum(col("__chg")), lit(0L))).first().getLong(0) == 0L
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         cur.unpersist()
-        // `next` stays the persisted plan (unpersist must see the same
-        // Dataset); the stray __chg column is projected away by the next
-        // round's select, and at the end below.
         cur = next
         i += 1
       }
