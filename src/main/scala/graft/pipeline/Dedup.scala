@@ -660,29 +660,47 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over distinct tokens: per bit position, majority vote of
+  /** SimHash over distinct tokens: per bit position, majority vote of
     * the token hashes' bits (+1/-1), reassembled into a single integer.
     * Near-dups land on equal (or small-hamming-distance) values, making
     * SimHash a groupBy-able dedup key at any scale — no pairing needed for
     * the exact-bucket variant.
+    *
+    * @param bits fingerprint width, 1–60 (the [[HashMode]] hash space).
+    *             32 is the oracle-fixture default; production corpora
+    *             want the extra width — [[hammingPairs]]' buckets per
+    *             band grow 2^(width/bands), dividing expected occupancy
+    *             (and the `bucketCap` drop rate) as the corpus grows.
+    *             Measured on the sf0.1 fixture (5200 docs, d=3,
+    *             cap=200, `HammingCapProbe`): 32-bit drops 13 buckets,
+    *             occupancies to 3981; 60-bit still drops 12, but max
+    *             occupancy halves to 1971 — the fixture's templated
+    *             text clusters fingerprints far above the uniform
+    *             n/2^width expectation, so width buys headroom
+    *             linearly-ish here, not exponentially. When the probe
+    *             shows that shape (drops persisting across widths), the
+    *             corpus needs a smaller ball (lower `maxHamming` →
+    *             more, narrower bands) or an [[exact]] pre-pass to
+    *             strip the identical-fingerprint mass, not more cap.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+      hashMode: HashMode = HashMode.Md5Portable, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"bits must be in [1, 60], got $bits")
     val toks = docs
       .select(col(idCol).as("id"), explode(array_distinct(TextOps.tokens(col(textCol)))).as("tok"))
       .withColumn("h", hashMode.hash(col("tok"), 0))
-    val bits = toks
-      .select(col("id"), col("h"), explode(sequence(lit(0), lit(31))).as("b"))
+    val bitrows = toks
+      .select(col("id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("b"))
       .groupBy("id", "b")
       .agg(sum(when(expr("shiftright(h, b) & 1") === 1, 1).otherwise(-1)).as("s"))
-    bits
+    bitrows
       .groupBy("id")
       .agg(sum(when(col("s") > 0, expr("cast(shiftleft(cast(1 as bigint), b) as bigint)")).otherwise(0L)).as("simhash"))
   }
 
   /** Hamming-ball SimHash pairing (the C4 gap exact-bucket grouping leaves
-    * open): near-dup pairs whose 32-bit [[simhash]] fingerprints differ in
-    * at most `maxHamming` bits. A single flipped bit defeats the d4
+    * open): near-dup pairs whose `bits`-wide [[simhash]] fingerprints
+    * differ in at most `maxHamming` bits. A single flipped bit defeats the d4
     * groupBy-fingerprint variant; this recovers such pairs with the
     * pigeonhole banding of Manku/Jain/Sarma (WWW'07): split the
     * fingerprint into `maxHamming + 1` disjoint bit segments — two
@@ -702,9 +720,10 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       bucketCap: Int = 200,
-      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
-    hammingPairs(simhash(docs, idCol, textCol, hashMode), "id", "simhash", maxHamming,
-      bits = 32, bucketCap = bucketCap)
+      hashMode: HashMode = HashMode.Md5Portable,
+      bits: Int = 32): DataFrame =
+    hammingPairs(simhash(docs, idCol, textCol, hashMode, bits), "id", "simhash", maxHamming,
+      bits = bits, bucketCap = bucketCap)
 
   /** Banded hamming-ball pairing over ANY integer fingerprint frame — the
     * candidate+verify core of [[simhashPairs]], exposed so alternative

@@ -14,13 +14,14 @@ import graft.pipeline.Dedup
   * occupancy (headroom to the cap), and the pair count — the numbers
   * that tell an operator whether to widen `bits` before raising the cap.
   * Run:
-  *   sbt "runMain graft.tools.HammingCapProbe [sfDir] [maxHamming] [cap]"
+  *   sbt "runMain graft.tools.HammingCapProbe [sfDir] [maxHamming] [cap] [bits]"
   */
 object HammingCapProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val maxHamming = args.lift(1).map(_.toInt).getOrElse(3)
     val cap = args.lift(2).map(_.toInt).getOrElse(200)
+    val bits = args.lift(3).map(_.toInt).getOrElse(32)
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-hamming-cap-probe")
@@ -39,8 +40,8 @@ object HammingCapProbe {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zq zq zq")).as("text")))
 
-    val fps = Dedup.simhash(docs, "doc_id", "text")
-    val diag = Dedup.hammingPairsDiag(fps, "id", "simhash", maxHamming, bits = 32, bucketCap = cap)
+    val fps = Dedup.simhash(docs, "doc_id", "text", bits = bits)
+    val diag = Dedup.hammingPairsDiag(fps, "id", "simhash", maxHamming, bits = bits, bucketCap = cap)
     val nDocs = docs.count()
     val dropped = diag.droppedBuckets
       .agg(count(lit(1)).as("n"), max(col("occupancy")).as("maxOcc"),
@@ -48,7 +49,7 @@ object HammingCapProbe {
       .collect().head
     val nPairs = diag.pairs.count()
     println(s"[hamming] corpus=$nDocs docs, maxHamming=$maxHamming, bucketCap=$cap, " +
-      s"bands=${maxHamming + 1} x ${32 / (maxHamming + 1)}-bit segments")
+      s"bands=${maxHamming + 1} x ~${bits / (maxHamming + 1)}-bit segments of a $bits-bit fingerprint")
     println(s"[hamming] dropped buckets: n=${dropped.getLong(0)}" +
       (if (dropped.getLong(0) > 0)
         s" occupancy=[${dropped.get(2)}, ${dropped.get(1)}]" else "") +

@@ -695,6 +695,33 @@ class PipelineSpec extends GraftSuite {
     assert(buckets(0x0F0F0F0FL) === 2L && buckets(0x0F0F0F0EL) === 1L)
   }
 
+  test("simhash width is parametric: low bits agree across widths, wide banding finds high-bit flips") {
+    // Per-bit majority votes are independent, so a 60-bit fingerprint's
+    // low 32 bits must equal the 32-bit fingerprint exactly — widening
+    // for scale (smaller band buckets) never changes what the narrow
+    // fingerprint said.
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta iota")).toDF("doc_id", "text")
+    val fp32 = Dedup.simhash(docs, "doc_id", "text").as[(Long, Long)].collect().toMap
+    val fp60 = Dedup.simhash(docs, "doc_id", "text", bits = 60).as[(Long, Long)].collect().toMap
+    assert(fp32.keySet === fp60.keySet)
+    fp32.foreach { case (id, f32) => assert((fp60(id) & 0xFFFFFFFFL) === f32) }
+    assert(fp60.values.exists(f => (f >>> 32) != 0L)) // the extra width is real
+    // Wide-fingerprint banding honors the pigeonhole guarantee at high bit
+    // positions: a single flip at bit 55 is within the ball and found.
+    val fps = Seq((1L, 0x0FF00FF00FF00FFL), (2L, 0x0FF00FF00FF00FFL ^ (1L << 55))).toDF("id", "fp")
+    val out = Dedup.hammingPairs(fps, "id", "fp", maxHamming = 3, bits = 60)
+      .select("doc_a", "doc_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(out === Set((1L, 2L, 1)))
+    // And width changes occupancy, not membership: the 32-bit run on the
+    // same (low-bits) fingerprints reports the same pair.
+    val narrow = Dedup.hammingPairs(
+      fps.select(col("id"), col("fp").bitwiseAND(lit(0xFFFFFFFFL)).as("fp")),
+      "id", "fp", maxHamming = 3, bits = 32)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(narrow === Set((1L, 2L)))
+  }
+
   test("hammingPairsDiag reports cap-dropped buckets; capped docs pair via other bands") {
     // 5 identical fingerprints flood every (band, seg) bucket past cap=4;
     // the diagnostic must surface all 4 dropped buckets and the pair
