@@ -244,8 +244,10 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     * The salt MUST derive from row CONTENT (xxhash64 over all columns),
     * never from monotonically_increasing_id: the ranked side and the
     * offsets side of the join below are independent recomputations of the
-    * input, and a partition-order-dependent salt could assign the same row
-    * different buckets on the two sides, silently corrupting the rank.
+    * input (column pruning gives them different projections, so no
+    * exchange is ever reused between them), and a partition-order-
+    * dependent salt could assign the same row different buckets on the
+    * two sides, silently corrupting the rank.
     * Consequence: rows that are full-row identical share a bucket, so
     * spreading a hot key requires payload diversity (documented trade).
     */
@@ -261,6 +263,16 @@ final class MergeFrame(val target: DataFrame, val source: DataFrame, val plan: M
     val bucketPart = (keys :+ sc).map(col)
     val ranked = base
       .withColumn(rn1, row_number().over(Window.partitionBy(bucketPart: _*).orderBy(col(mid))))
+    // Offsets aggregate `base` directly, NOT `ranked`: deriving the count
+    // from max(row_number) over the windowed frame looks like it should
+    // share the window's exchange, but column pruning narrows the offsets
+    // branch to (keys, salt) so the exchanges never canonicalize equal
+    // (verified on the executed adaptive plan: zero ReusedExchange), and
+    // the "shared" shape re-sorts and re-windows full rows where this one
+    // map-side-combines to ≤ keys×salt partial counts before its shuffle.
+    // The duplicated work is one extra SCAN (+ salt hash), which stays
+    // embarrassingly parallel at any scale; the extra SHUFFLE is
+    // metadata-sized.
     val offsets = base
       .groupBy(bucketPart: _*)
       .agg(count(lit(1)).as(cnt))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and dataset splitting for training-data
@@ -88,5 +89,40 @@ object Sampling {
         acc.when(col(strataCol) === lit(stratum), lit(thresholdFor(rate)))
     }.otherwise(lit(thresholdFor(defaultRate)))
     df.filter(hashMode.hash(col(idCol).cast("string"), seed) < bound)
+  }
+
+  /** Hard per-stratum frequency cap: keep at most `maxPerStratum` rows of
+    * each stratum (domain, source, language…), the data-mixing guard
+    * [[rebalance]]'s RATE cannot express — a rate shrinks a dominant
+    * stratum proportionally, a cap bounds it absolutely no matter how
+    * much one crawl balloons.
+    *
+    * Selection ranks each stratum by the portable hash of the id (id as
+    * final tiebreak), so the kept set is deterministic across runs,
+    * engines, and cluster sizes — effectively a uniform random
+    * `maxPerStratum`-subset frozen by the seed. Unlike [[sample]], growth
+    * is NOT append-stable at the cap: a new row can hash below an
+    * existing one and displace it (inherent to any exact cap; use
+    * [[rebalance]] when append-stability matters more than the bound).
+    *
+    * Scale shape: one shuffle on the stratum, rank within partition. A
+    * single stratum's rows land in one task (the usual top-N skew); for
+    * strata that dwarf a task, pre-thin with [[rebalance]] to ~cap size
+    * first — cap-then-rank stays exact on the survivors.
+    */
+  def capPerStratum(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      maxPerStratum: Int,
+      seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(maxPerStratum >= 1, s"maxPerStratum must be >= 1, got $maxPerStratum")
+    val rn = "__graft_cap_rn"
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashMode.hash(col(idCol).cast("string"), seed), col(idCol))
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= maxPerStratum)
+      .drop(rn)
   }
 }

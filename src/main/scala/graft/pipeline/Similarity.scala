@@ -458,4 +458,65 @@ object Similarity {
       round(avg(col("__hits") / col("__base")), 6).as("macro_recall"),
       round(sum(col("__hits")) / sum(col("__base")), 6).as("micro_recall"))
   }
+
+  /** Symmetric int8 scalar quantization — the storage path for embedding
+    * columns at corpus scale (4 bytes/dim float → 1 byte/dim + one scale,
+    * a 4× shrink of what is usually the widest column in the lake).
+    * Per vector: `scale = max|v|/127`, `q_i = clamp(⌊v_i/scale + 0.5⌋,
+    * −127, 127)`. The all-zero vector gets scale 0 and all-zero codes.
+    *
+    * Map-only projection (no shuffle, pushdown intact); every step is an
+    * IEEE-exact double op with a DuckDB twin, so quantized codes are
+    * bit-identical cross-engine and oracle-checkable — `floor(x + 0.5)`
+    * instead of `round(x)` precisely because the engines' round-half
+    * conventions differ.
+    *
+    * @return input columns + (`scale`: double, `qvec`: array<tinyint>).
+    */
+  def quantizeInt8(vectors: DataFrame, vecCol: String): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val scale = array_max(transform(v, x => abs(x))) / lit(127.0)
+    vectors
+      .withColumn("scale", scale)
+      .withColumn("qvec",
+        transform(v, x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(least(lit(127L), greatest(lit(-127L), floor(x / col("scale") + lit(0.5)))))
+            .cast("byte")))
+  }
+
+  /** Reconstruction of a [[quantizeInt8]] vector: `q_i × scale`, as
+    * `array<double>` — feed straight back into [[cosineTopK]]/[[ivfTopK]]
+    * for quantized-corpus search.
+    */
+  def dequantize(qvec: Column, scale: Column): Column =
+    transform(qvec, q => q.cast("double") * scale)
+
+  /** Per-vector quantization quality report: the scale, code-range
+    * sanity bounds, and the L2 reconstruction error — the readout that
+    * says whether int8 is safe for a given embedding family before a
+    * corpus-wide rewrite. Map-only.
+    *
+    * @return (idCol, scale, q_min, q_max, q_sum, recon_err)
+    */
+  def quantizationReport(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = quantizeInt8(vectors, vecCol)
+    val v = asDouble(col(vecCol))
+    val err2 = aggregate(
+      zip_with(v, dequantize(col("qvec"), col("scale")), (x, d) => (x - d) * (x - d)),
+      lit(0.0), (acc, e) => acc + e)
+    // NOTE the rounded scale is applied in a SEPARATE projection: aliasing
+    // `round(scale, 6) AS scale` in the same select would shadow the
+    // child's raw `scale` for the sibling recon_err expression via lateral
+    // column alias resolution (observed on Spark 4.1 — the error came back
+    // computed against the rounded scale).
+    q.select(
+      col(idCol),
+      col("scale"),
+      array_min(col("qvec")).cast("long").as("q_min"),
+      array_max(col("qvec")).cast("long").as("q_max"),
+      aggregate(col("qvec"), lit(0L), (acc, x) => acc + x.cast("long")).as("q_sum"),
+      round(sqrt(err2), 6).as("recon_err"))
+      .withColumn("scale", round(col("scale"), 6))
+  }
 }

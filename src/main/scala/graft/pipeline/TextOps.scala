@@ -40,11 +40,21 @@ object TextOps {
     * (Spark `sequence` would generate a DESCENDING range when the doc is
     * shorter than n, hence the explicit size guard.)
     */
-  def shingles(words: Column, n: Int): Column = {
+  def shingles(words: Column, n: Int): Column =
+    array_distinct(allShingles(words, n))
+
+  /** Every word n-gram occurrence of a token array, in position order —
+    * the multiset [[shingles]] distincts. Repetition analysis needs the
+    * occurrence counts, so this variant keeps duplicates.
+    *
+    * DuckDB twin: `list_transform(range(1, len(w) - (n-2)), i -> w[i] ||
+    * ' ' || ... || w[i+n-1])` guarded by `len(w) >= n`.
+    */
+  def allShingles(words: Column, n: Int): Column = {
     require(n >= 1, s"shingle size must be >= 1, got $n")
     val idx = sequence(lit(1), size(words) - (n - 1))
     val gram = transform(idx, i => concat_ws(" ", (0 until n).map(o => element_at(words, i + lit(o))): _*))
-    when(size(words) >= n, array_distinct(gram)).otherwise(array().cast("array<string>"))
+    when(size(words) >= n, gram).otherwise(array().cast("array<string>"))
   }
 
   /** Normalized-text fingerprint: md5 over lowercased, whitespace-collapsed

@@ -111,4 +111,67 @@ object TextStats {
     }
     scored.withColumn("pred_lang", pred)
   }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to a
+    * line-less corpus): per document,
+    *
+    *   - `dup_token_frac` — 1 − distinct/total tokens (map-only);
+    *   - `top{n}_char_frac` for n ∈ `topNs` — characters covered by the
+    *     single most frequent word n-gram (count × n-gram length /
+    *     document chars), ties broken toward the lexicographically
+    *     largest n-gram so the winner is engine-independent;
+    *   - `dup{n}_char_frac` for n ∈ `dupNs` — characters across ALL
+    *     occurrences of n-grams that occur more than once, / document
+    *     chars. Overlapping occurrences each count (a repetition RATIO
+    *     that can exceed 1.0 for degenerate loops — deliberately, since
+    *     saturating at 1 would hide exactly the pathological repetition
+    *     this signal exists to catch).
+    *
+    * Scale shape: ONE scan — every requested n-gram family is built in a
+    * single projection (tagged `(n, gram)` structs, flattened, exploded),
+    * then two partial-aggregated shuffles: (id, n, gram) counts, then the
+    * per-id conditional rollup. No joins; docs too short for every n
+    * still emit via a sentinel row. At 100 TB the count shuffle moves
+    * one row per distinct (doc, n, gram) — bounded by corpus token mass.
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3),
+      dupNs: Seq[Int] = Seq(5)): DataFrame = {
+    require(topNs.nonEmpty || dupNs.nonEmpty, "at least one n-gram family required")
+    val allNs = (topNs ++ dupNs).distinct.sorted
+    require(allNs.forall(_ >= 1), s"n-gram sizes must be >= 1, got $allNs")
+    val w = TextOps.tokens(col(textCol))
+    val nTok = size(w).cast("double")
+    // Sentinel (n=0) keeps short docs in the frame; conditional aggs skip it.
+    val tagged = (allNs.map(n =>
+      transform(TextOps.allShingles(w, n), g => struct(lit(n).as("n"), g.as("g")))) :+
+      array(struct(lit(0).as("n"), lit("").as("g"))))
+    val exploded = docs.select(
+      col(idCol).as("id"),
+      length(col(textCol)).cast("double").as("n_chars"),
+      round(lit(1.0) - size(array_distinct(w)) / nTok, 6).as("dup_token_frac"),
+      explode(concat(tagged: _*)).as("ng"))
+    val counts = exploded
+      .groupBy(col("id"), col("n_chars"), col("dup_token_frac"),
+        col("ng.n").as("n"), col("ng.g").as("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val topCols = topNs.map { n =>
+      // max(struct) = highest count, then lexicographically largest gram —
+      // the deterministic winner whose chars the fraction counts.
+      val top = max(when(col("n") === n, struct(col("cnt"), col("g"))))
+      round(coalesce(top.getField("cnt") * length(top.getField("g")), lit(0)) / col("n_chars"), 6)
+        .as(s"top${n}_char_frac")
+    }
+    val dupCols = dupNs.map { n =>
+      val dupChars = sum(when(col("n") === n && col("cnt") >= 2, col("cnt") * length(col("g"))))
+      round(coalesce(dupChars, lit(0)) / col("n_chars"), 6).as(s"dup${n}_char_frac")
+    }
+    counts
+      .groupBy(col("id").as(idCol), col("n_chars"), col("dup_token_frac"))
+      .agg((topCols ++ dupCols).head, (topCols ++ dupCols).tail: _*)
+      .drop("n_chars")
+  }
 }

@@ -244,6 +244,25 @@ object PipelineQueries {
         Map("en" -> 0.5, "de" -> 0.25), seed = 13, defaultRate = 0.9)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
+    // Per-source frequency cap (C40 / s3): at most 15 docs per source,
+    // hash-ranked — the absolute data-mixing bound a rate cannot give.
+    "s3_source_cap" -> ((s, dir) =>
+      Sampling.capPerStratum(table(s, dir, "documents"), "doc_id", "source",
+        maxPerStratum = 15, seed = 7)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+    // Gopher-style repetition signals (C38 / t9): duplicate-token
+    // fraction, most-frequent-{2,3}-gram char coverage, duplicated-5-gram
+    // char ratio — the repetition family of quality filters.
+    "t9_repetition" -> ((s, dir) =>
+      TextStats.repetitionSignals(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Int8 quantization report (C39 / e5): per-embedding scale, code
+    // bounds, and L2 reconstruction error — the go/no-go readout before
+    // a corpus-wide 4x storage rewrite.
+    "e5_quantize" -> ((s, dir) =>
+      Similarity.quantizationReport(table(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy("vec_id")),
     // Winnowing fingerprints (rolling k-gram hash, sliding-window minima)
     // over the near-dup corpus: near-copies share most fingerprints.
     "d5_winnowing" -> ((s, dir) =>
@@ -833,6 +852,77 @@ object PipelineQueries {
          |               ELSE $t90 END
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // s3: the same hash-then-id ranking capPerStratum windows on.
+    "s3_source_cap" ->
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |         row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY ${sqlHash(7, "doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= 15
+         |ORDER BY doc_id""".stripMargin,
+    // t9: repetitionSignals' two-stage rollup as CTEs — the n-gram
+    // families, per-(doc, n, gram) counts, the deterministic top gram
+    // (count desc, gram desc — DuckDB's row_number twin of Spark's
+    // max(struct)), and the duplicated-5-gram char mass.
+    "t9_repetition" ->
+      """WITH w AS (SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS w FROM documents),
+        |base AS (
+        |  SELECT doc_id, n_chars,
+        |         round(1 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 6) AS dup_token_frac
+        |  FROM w
+        |),
+        |g AS (
+        |  SELECT doc_id, 2 AS n,
+        |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g
+        |  FROM w WHERE len(w) >= 2
+        |  UNION ALL
+        |  SELECT doc_id, 3,
+        |         unnest(list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |  FROM w WHERE len(w) >= 3
+        |  UNION ALL
+        |  SELECT doc_id, 5,
+        |         unnest(list_transform(range(1, len(w) - 3),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))
+        |  FROM w WHERE len(w) >= 5
+        |),
+        |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |top AS (
+        |  SELECT doc_id, n, cnt * length(g) AS chars FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id, n ORDER BY cnt DESC, g DESC) AS rn
+        |    FROM c WHERE n IN (2, 3)
+        |  ) WHERE rn = 1
+        |),
+        |dup AS (SELECT doc_id, sum(cnt * length(g)) AS chars FROM c WHERE n = 5 AND cnt >= 2 GROUP BY doc_id)
+        |SELECT b.doc_id, b.dup_token_frac,
+        |       round(coalesce(t2.chars, 0) / CAST(b.n_chars AS DOUBLE), 6) AS top2_char_frac,
+        |       round(coalesce(t3.chars, 0) / CAST(b.n_chars AS DOUBLE), 6) AS top3_char_frac,
+        |       round(coalesce(d5.chars, 0) / CAST(b.n_chars AS DOUBLE), 6) AS dup5_char_frac
+        |FROM base b
+        |LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+        |LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+        |LEFT JOIN dup d5 ON d5.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // e5: identical IEEE double steps — abs/max/127 scale, floor(x/s+0.5)
+    // clamped codes, list_reduce for the SAME left-to-right error fold
+    // Spark's aggregate() performs.
+    "e5_quantize" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |         list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |           ELSE CAST(least(127, greatest(-127, floor(x / scale + 0.5))) AS BIGINT) END) AS qv
+        |  FROM s
+        |)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       list_min(qv) AS q_min, list_max(qv) AS q_max,
+        |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        |       round(sqrt(list_reduce(
+        |         list_transform(range(1, len(e) + 1), i -> (e[i] - qv[i] * scale) * (e[i] - qv[i] * scale)),
+        |         (acc, x) -> acc + x)), 6) AS recon_err
+        |FROM q ORDER BY vec_id""".stripMargin,
     "t7_pii_redaction" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"

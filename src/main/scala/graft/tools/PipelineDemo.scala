@@ -10,9 +10,10 @@ import graft.pipeline._
   * actually goes through, each stage one library operator, with per-stage
   * row counts printed as evidence:
   *
-  *   raw → quality filter → exact dedup → near-dup prune (cluster-resolved)
+  *   raw → quality filter → repetition filter → exact dedup
+  *       → near-dup prune (cluster-resolved)
   *       → decontaminate (vs a synthetic eval set) → rebalance
-  *       → train/val/test split → sequence packing
+  *       → per-source cap → train/val/test split → sequence packing
   *
   * Every stage consumes the previous stage's frame — one lazy plan per
   * stage boundary, no driver-side row data. Run:
@@ -42,8 +43,16 @@ object PipelineDemo {
     val quality = raw.join(keepIds, Seq("doc_id"), "left_semi")
     println(s"[demo] after quality filter: ${quality.count()}")
 
+    // 1b. Repetition gate (Gopher-style): drop docs whose duplicated-token
+    //     or top-bigram char mass marks them as degenerate loops.
+    val repOk = TextStats.repetitionSignals(quality, "doc_id", "text")
+      .filter(col("dup_token_frac") <= 0.9 && col("top2_char_frac") <= 0.5)
+      .select("doc_id")
+    val unrepeated = quality.join(repOk, Seq("doc_id"), "left_semi")
+    println(s"[demo] after repetition filter: ${unrepeated.count()}")
+
     // 2. Exact dedup (content hash) — collapses byte-identical copies.
-    val exact = Dedup.exact(quality, "doc_id", "text").drop("n_copies")
+    val exact = Dedup.exact(unrepeated, "doc_id", "text").drop("n_copies")
     println(s"[demo] after exact dedup: ${exact.count()}")
 
     // 3. Near-dup prune: jaccard pairs → cluster resolution → keep one per
@@ -64,8 +73,15 @@ object PipelineDemo {
       Map("en" -> 0.6), seed = 13, defaultRate = 1.0)
     println(s"[demo] after rebalancing: ${mixed.count()}")
 
+    // 5b. Hard per-source cap: no source may exceed its absolute budget no
+    //     matter how large its crawl was. (The fixture spreads ~uniformly
+    //     over 20 sources, so the cap is set low enough to visibly bite.)
+    val capped = Sampling.capPerStratum(mixed, "doc_id", "source",
+      maxPerStratum = 18, seed = 7)
+    println(s"[demo] after per-source cap: ${capped.count()}")
+
     // 6. Reproducible train/val/test split.
-    val split = Sampling.split(mixed, "doc_id",
+    val split = Sampling.split(capped, "doc_id",
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05), seed = 11)
     val bySplit = split.groupBy("split").count().orderBy("split")
       .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(", ")

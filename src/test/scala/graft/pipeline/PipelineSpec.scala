@@ -695,6 +695,80 @@ class PipelineSpec extends GraftSuite {
     assert(buckets(0x0F0F0F0FL) === 2L && buckets(0x0F0F0F0EL) === 1L)
   }
 
+  test("repetition signals: planted loops score, clean docs zero, short docs survive") {
+    val d = Seq(
+      (1L, "go stop go stop go stop"),            // 6 tokens, 23 chars: heavy 2-gram loop
+      (2L, "alpha beta gamma delta epsilon zeta"),// no repetition at all
+      (3L, "hi ho")                               // too short for n=5 (sentinel path)
+    ).toDF("doc_id", "text")
+    val out = TextStats.repetitionSignals(d, "doc_id", "text")
+      .select("doc_id", "dup_token_frac", "top2_char_frac", "top3_char_frac", "dup5_char_frac")
+      .as[(Long, Double, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L)) // every doc present, even the short one
+    // doc 1: 6 tokens, 2 types -> dup_token_frac = 1 - 2/6.
+    assert(out(1L)._2 === math.rint((1.0 - 2.0 / 6.0) * 1e6) / 1e6)
+    // top 2-gram: "go stop" x3 (vs "stop go" x2), len 7 -> 21/23.
+    assert(out(1L)._3 === math.rint(21.0 / 23.0 * 1e6) / 1e6)
+    // top 3-gram: "go stop go" and "stop go stop" tie at 2 — the
+    // lexicographically larger wins (len 12) -> 24/23: the ratio exceeding
+    // 1.0 is the documented overlap-counting behavior, not a bug.
+    assert(out(1L)._4 === math.rint(24.0 / 23.0 * 1e6) / 1e6)
+    // 5-grams: "go stop go stop go" x1, "stop go stop go stop" x1 -> no dup.
+    assert(out(1L)._5 === 0.0)
+    // doc 2 is repetition-free everywhere.
+    assert(out(2L)._2 === 0.0 && out(2L)._5 === 0.0)
+    assert(out(2L)._3 > 0.0) // a top 2-gram always exists (count 1)
+    // doc 3: no 3-grams or 5-grams -> zeros, not missing rows.
+    assert(out(3L)._4 === 0.0 && out(3L)._5 === 0.0)
+  }
+
+  test("int8 quantization: codes bounded, max element hits ±127, reconstruction within half-step") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.0f)),  // max |v| = 1.0
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))     // zero vector: scale 0, codes 0
+    ).toDF("vec_id", "embedding")
+    val qdf = Similarity.quantizeInt8(vecs, "embedding")
+    assert(qdf.schema("qvec").dataType.simpleString === "array<tinyint>") // truly 1 byte/dim
+    val q = qdf
+      .select(col("vec_id"), col("scale"), col("qvec").cast("array<int>"))
+      .as[(Long, Double, Array[Int])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(q(1L)._1 === 1.0 / 127.0)
+    assert(q(1L)._2.toSeq === Seq(64, -127, 32, 0)) // 0.5/scale = 63.5 -> floor(+0.5) = 64
+    assert(q(2L)._1 === 0.0 && q(2L)._2.forall(_ === 0))
+    // Reconstruction error per element is bounded by scale/2.
+    val rep = Similarity.quantizationReport(vecs, "vec_id", "embedding")
+      .select("vec_id", "recon_err").as[(Long, Double)].collect().toMap
+    val maxErr = math.sqrt(4 * math.pow(1.0 / 127.0 / 2, 2))
+    assert(rep(1L) <= maxErr + 1e-9)
+    assert(rep(2L) === 0.0)
+    // Regression pin (Spark 4.1 lateral-column-alias shadowing): the error
+    // must be computed against the RAW scale, not the rounded display one.
+    val s = 1.0 / 127.0
+    val expected = math.sqrt(Seq(0.5, -1.0, 0.25, 0.0).map { x =>
+      val d = math.floor(x / s + 0.5) * s; (x - d) * (x - d)
+    }.sum)
+    assert(rep(1L) === math.rint(expected * 1e6) / 1e6)
+  }
+
+  test("per-stratum cap: bound enforced, deterministic, no-op when under cap") {
+    val d = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small", s"t$i"))
+      .toDF("doc_id", "source", "text")
+    val capped = Sampling.capPerStratum(d, "doc_id", "source", maxPerStratum = 10, seed = 7)
+    val bySrc = capped.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("big") === 10L)    // cap bites
+    assert(bySrc("small") === 10L)  // 10 rows <= cap: all kept
+    // Deterministic: a rerun keeps the identical id set.
+    val again = Sampling.capPerStratum(d, "doc_id", "source", maxPerStratum = 10, seed = 7)
+    assert(capped.select("doc_id").as[Long].collect().toSet ===
+      again.select("doc_id").as[Long].collect().toSet)
+    // A different seed selects a different (but equally sized) subset.
+    val other = Sampling.capPerStratum(d, "doc_id", "source", maxPerStratum = 10, seed = 8)
+      .filter(col("source") === "big").select("doc_id").as[Long].collect().toSet
+    assert(other.size === 10)
+    assert(other !== capped.filter(col("source") === "big").select("doc_id").as[Long].collect().toSet)
+  }
+
   test("simhash width is parametric: low bits agree across widths, wide banding finds high-bit flips") {
     // Per-bit majority votes are independent, so a 60-bit fingerprint's
     // low 32 bits must equal the 32-bit fingerprint exactly — widening

@@ -50,6 +50,24 @@ class PlanSpec extends GraftSuite {
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(4000))
   }
 
+  test("t9 repetition: ONE scan feeds every n-gram family — no joins, no second pass") {
+    val plan = planOf("t9_repetition")
+    assert("Scan parquet".r.findAllIn(plan).size === 1, plan.take(2000))
+    assert(!plan.contains("Join"))
+  }
+
+  test("e5 quantization report: map-only — no join, no aggregation shuffle") {
+    val plan = planOf("e5_quantize")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"))
+    assert("Scan parquet".r.findAllIn(plan).size === 1)
+  }
+
+  test("s3 stratum cap: one hash shuffle on the stratum, no join") {
+    val plan = planOf("s3_source_cap")
+    assert(!plan.contains("Join"))
+    assert("Exchange hashpartitioning\\(source".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
+
   test("d2 near-dup: inverted-index joins only — never an all-pairs product") {
     val plan = planOf("d2_neardup_jaccard")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
