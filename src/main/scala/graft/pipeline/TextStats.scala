@@ -143,16 +143,32 @@ object TextStats {
     require(topNs.nonEmpty || dupNs.nonEmpty, "at least one n-gram family required")
     val allNs = (topNs ++ dupNs).distinct.sorted
     require(allNs.forall(_ >= 1), s"n-gram sizes must be >= 1, got $allNs")
-    val w = TextOps.tokens(col(textCol))
+    // Tokenize ONCE into a materialized column before shingling: the gram
+    // lambdas reference the token array per element_at, and an inlined
+    // split() would be re-evaluated for every access — measured 18 s vs
+    // 1.5 s on the sf0.1 corpus. CollapseProject keeps the two
+    // projections apart because the alias is non-cheap and multiply
+    // referenced.
+    val w = col("__graft_w")
     val nTok = size(w).cast("double")
+    // dup_token_frac is computed HERE, over the materialized token array
+    // and before the explode — referenced above the Generate it would be
+    // re-evaluated (array_distinct over the full array) once per gram row
+    // instead of once per document.
+    val tokenized = docs
+      .select(
+        col(idCol).as("id"),
+        length(col(textCol)).cast("double").as("n_chars"),
+        TextOps.tokens(col(textCol)).as("__graft_w"))
+      .withColumn("dup_token_frac", round(lit(1.0) - size(array_distinct(w)) / nTok, 6))
     // Sentinel (n=0) keeps short docs in the frame; conditional aggs skip it.
     val tagged = (allNs.map(n =>
       transform(TextOps.allShingles(w, n), g => struct(lit(n).as("n"), g.as("g")))) :+
       array(struct(lit(0).as("n"), lit("").as("g"))))
-    val exploded = docs.select(
-      col(idCol).as("id"),
-      length(col(textCol)).cast("double").as("n_chars"),
-      round(lit(1.0) - size(array_distinct(w)) / nTok, 6).as("dup_token_frac"),
+    val exploded = tokenized.select(
+      col("id"),
+      col("n_chars"),
+      col("dup_token_frac"),
       explode(concat(tagged: _*)).as("ng"))
     val counts = exploded
       .groupBy(col("id"), col("n_chars"), col("dup_token_frac"),
