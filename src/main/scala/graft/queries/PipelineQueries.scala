@@ -96,6 +96,15 @@ object PipelineQueries {
       Dedup.simhashPairs(docsNearAug(s, dir), "doc_id", "text",
         maxHamming = 3, bucketCap = BucketCap)
         .orderBy("doc_a", "doc_b")),
+    // The 60-bit production-width twin of d13 (d14): same hamming-ball
+    // pairing through 4 x 15-bit bands — the configuration a corpus at
+    // scale runs (wider fingerprint -> 2^15 buckets per band, occupancy
+    // divided by 128 vs d13's 8-bit segments). Md5Portable supplies all
+    // 60 bits, so the wide path is oracle-checked exactly too.
+    "d14_simhash_hamming_wide" -> ((s, dir) =>
+      Dedup.simhashPairs(docsNearAug(s, dir), "doc_id", "text",
+        maxHamming = 3, bucketCap = BucketCap, bits = 60)
+        .orderBy("doc_a", "doc_b")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -904,6 +913,36 @@ object PipelineQueries {
         |LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
         |LEFT JOIN dup d5 ON d5.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // d14: d13's oracle at the 60-bit production width — range(0, 60)
+    // fingerprint bits, 4 disjoint 15-bit segments.
+    "d14_simhash_hamming_wide" ->
+      s"""WITH $nearAugCte,
+         |toks AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM d),
+         |th AS (SELECT doc_id, ${sqlHash(0, "tok")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, g.b, CAST(sum(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) g
+         |  GROUP BY 1, 2
+         |),
+         |fp AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS fp
+         |  FROM bits GROUP BY doc_id
+         |),
+         |banded AS (
+         |  SELECT doc_id, fp, g.band, (fp >> (g.band * 15)) & 32767 AS seg
+         |  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) g
+         |),
+         |banded_c AS (
+         |  SELECT doc_id, fp, band, seg FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, seg) AS occ FROM banded
+         |  ) WHERE occ <= $BucketCap
+         |)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+         |FROM banded_c a JOIN banded_c b
+         |  ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // e5: identical IEEE double steps — abs/max/127 scale, floor(x/s+0.5)
     // clamped codes, list_reduce for the SAME left-to-right error fold
     // Spark's aggregate() performs.

@@ -751,6 +751,32 @@ class PipelineSpec extends GraftSuite {
     assert(rep(1L) === math.rint(expected * 1e6) / 1e6)
   }
 
+  test("quantized search: top-k over dequantized vectors agrees with exact cosine") {
+    // 40 deterministic pseudo-random 16-dim vectors; int8 reconstruction
+    // perturbs each coordinate by < scale/2, so the cosine ranking over
+    // dequantized vectors must agree with the exact ranking except where
+    // similarities were already within quantization noise — on this
+    // fixture the top-5 sets match probe-for-probe, which is the
+    // integration contract (C39 feeds C5/C6 search directly).
+    val vecs = (1L to 40L).map { i =>
+      val xs = Array.tabulate(16)(j => (math.sin(i * 31 + j * 7) * 0.9).toFloat)
+      (i, xs)
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.filter(col("vec_id") <= 3)
+    val exact = Similarity.cosineTopK(vecs, probes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val deq = Similarity.quantizeInt8(vecs, "embedding")
+      .select(col("vec_id"),
+        Similarity.dequantize(col("qvec"), col("scale")).cast("array<float>").as("embedding"))
+    val qProbes = deq.filter(col("vec_id") <= 3)
+    val approx = Similarity.cosineTopK(deq, qProbes, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (p, ids) => assert(approx(p) === ids, s"probe $p") }
+  }
+
   test("per-stratum cap: bound enforced, deterministic, no-op when under cap") {
     val d = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small", s"t$i"))
       .toDF("doc_id", "source", "text")
