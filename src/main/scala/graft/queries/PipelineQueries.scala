@@ -260,6 +260,21 @@ object PipelineQueries {
         maxPerStratum = 15, seed = 7)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+    // Cross-split leakage audit (C41 / s4): the eval-safety check a real
+    // pipeline runs AFTER splitting — duplicated documents whose copies
+    // straddle the train/test boundary leak evaluation data into
+    // training. Composition: hash split over the dup-augmented corpus,
+    // then C27's contamination pairing BETWEEN the slices (train docs as
+    // corpus, test docs as benchmark). Non-empty by construction here:
+    // exact copies split independently of their originals.
+    "s4_split_leakage" -> ((s, dir) => {
+      val split = Sampling.split(docsDupAug(s, dir).select("doc_id", "text"),
+        "doc_id", Seq("train" -> 0.9, "test" -> 0.1), seed = 11)
+      val train = split.filter(col("split") === "train").select("doc_id", "text")
+      val test = split.filter(col("split") === "test").select("doc_id", "text")
+      Dedup.contaminationPairs(train, test, "doc_id", "text", n = 8, threshold = 0.5)
+        .orderBy("corpus_id", "bench_id")
+    }),
     // Gopher-style repetition signals (C38 / t9): duplicate-token
     // fraction, most-frequent-{2,3}-gram char coverage, duplicated-5-gram
     // char ratio — the repetition family of quality filters.
@@ -913,6 +928,34 @@ object PipelineQueries {
         |LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
         |LEFT JOIN dup d5 ON d5.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // s4: the split boundary constant is Sampling.splitThresholds' own
+    // (never re-derived float arithmetic), the 8-gram CTEs are d8's.
+    "s4_split_leakage" -> {
+      val Seq(t90) = Sampling.splitThresholds(Seq("train" -> 0.9, "test" -> 0.1))
+      val gram8 = (1 to 7).foldLeft("w[i]")((acc, o) => s"$acc || ' ' || w[i+$o]")
+      s"""WITH $dupAugCte,
+         |sp AS (SELECT doc_id, text, ${sqlHash(11, "doc_id::VARCHAR")} AS h FROM d),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE h < $t90),
+         |bw AS (SELECT doc_id, string_split(text, ' ') AS w FROM sp WHERE h >= $t90),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6), i -> $gram8))) AS sh
+         |  FROM cw WHERE len(w) >= 8
+         |),
+         |bsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 6), i -> $gram8))) AS sh
+         |  FROM bw WHERE len(w) >= 8
+         |),
+         |bsz AS (SELECT doc_id, count(*) AS bsz FROM bsh GROUP BY doc_id),
+         |shared AS (
+         |  SELECT c.doc_id AS corpus_id, b.doc_id AS bench_id, count(*) AS shared
+         |  FROM csh c JOIN bsh b ON c.sh = b.sh
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.corpus_id, s.bench_id, s.shared, round(s.shared / z.bsz, 6) AS overlap
+         |FROM shared s JOIN bsz z ON z.doc_id = s.bench_id
+         |WHERE round(s.shared / z.bsz, 6) >= 0.5
+         |ORDER BY corpus_id, bench_id""".stripMargin
+    },
     // d14: d13's oracle at the 60-bit production width — range(0, 60)
     // fingerprint bits, 4 disjoint 15-bit segments.
     "d14_simhash_hamming_wide" ->
