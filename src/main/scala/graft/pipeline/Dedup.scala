@@ -812,4 +812,112 @@ object Dedup {
       .distinct()
     HammingDiag(pairs, dropped)
   }
+
+  /** (id, block_idx, block, h) rows: each document cut into non-overlapping
+    * `blockTokens`-token blocks (the tail block may be shorter), hashed.
+    * Blocks are rebuilt from the exploded tokens via an order-carrying
+    * struct sort (the Similarity.scala:360 pattern) — the token array is
+    * materialized in its own projection first so no expression re-evaluates
+    * inside the HOF lambda.
+    */
+  private def tokenBlocks(
+      docs: DataFrame, idCol: String, textCol: String, blockTokens: Int,
+      hashMode: HashMode, seed: Int): DataFrame = {
+    require(blockTokens >= 1, s"blockTokens must be >= 1, got $blockTokens")
+    docs
+      .select(col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+      .groupBy(col("id"), (col("pos") / blockTokens).cast("int").as("block_idx"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))), e => e.getField("w")),
+        " ").as("block"))
+      .withColumn("h", hashMode.hash(col("block"), seed))
+  }
+
+  /** Duplicated-passage report for [[stripDuplicateBlocks]]'s block
+    * partitioning: every block content (by hash) occurring more than once
+    * in the corpus, with how many documents and occurrences carry it.
+    * The boilerplate detector: corpus-wide repeated passages (license
+    * headers, navigation chrome, templated paragraphs) surface here long
+    * before any pairwise near-dup step would price them.
+    *
+    * Scale shape: fan-out = tokens/blockTokens rows per doc, then ONE
+    * shuffle on the block hash with map-side partial aggregation — a
+    * million-fold duplicated block collapses to one row per map task
+    * before the exchange, so hash skew never concentrates raw rows.
+    */
+  def duplicatedBlocks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 16,
+      hashMode: HashMode = HashMode.Md5Portable,
+      seed: Int = 21): DataFrame =
+    tokenBlocks(docs, idCol, textCol, blockTokens, hashMode, seed)
+      .groupBy(col("h").as("block_hash"))
+      .agg(countDistinct(col("id")).as("n_docs"), count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+
+  /** Block-level exact substring dedup — the scalable approximation of
+    * suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): cut each document into
+    * non-overlapping `blockTokens`-token blocks, and keep only the
+    * globally-FIRST occurrence (min (id, block_idx)) of every distinct
+    * block content; later occurrences are removed and each document's
+    * surviving blocks are re-joined in order. Unlike the pairwise Jaccard
+    * family this removes repeated PASSAGES (boilerplate, quoted chunks,
+    * templated sections) even when the containing documents are globally
+    * dissimilar — and costs no pairwise join at all.
+    *
+    * Approximation contract: a duplicated passage is only caught when the
+    * copies align on the same block partitioning — a copy shifted by one
+    * token hashes into different blocks and survives (the spec pins this).
+    * Suffix arrays close that gap but don't distribute; at 100 TB this
+    * block-hash pass is the one you can actually run, and shingle-level
+    * near-dup (d2/d3) covers the misaligned remainder.
+    *
+    * Scale shape: linear in corpus tokens. Shuffle 1 groups exploded
+    * tokens into blocks on (id, block_idx); shuffle 2 is the per-hash
+    * canonical pick — a groupBy-min whose map-side partial aggregation
+    * collapses mega-duplicated hashes before the exchange (no skew
+    * concentration, unlike a row_number window over the hash). The keep
+    * decision rejoins on (id, block_idx) — uniformly distributed keys, and
+    * the same partitioning shuffle 1 produced, so the exchange is
+    * reusable. Shuffle 3 reassembles per doc. No pairwise joins anywhere.
+    *
+    * @return one row per input document:
+    *         (idCol, n_blocks, n_removed, text_clean) — text_clean is ""
+    *         for a fully-duplicated document.
+    */
+  def stripDuplicateBlocks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 16,
+      hashMode: HashMode = HashMode.Md5Portable,
+      seed: Int = 21): DataFrame = {
+    val blocks = tokenBlocks(docs, idCol, textCol, blockTokens, hashMode, seed)
+    val canonical = blocks
+      .groupBy("h")
+      .agg(min(struct(col("id"), col("block_idx"))).as("keep"))
+      .select(col("keep.id").as("id"), col("keep.block_idx").as("block_idx"))
+    val kept = blocks.join(canonical, Seq("id", "block_idx"))
+    val reassembled = kept
+      .groupBy("id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("block_idx"), col("block")))),
+            e => e.getField("block")),
+          " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+    docs
+      .select(col(idCol).as("id"),
+        ((size(TextOps.tokens(col(textCol))) + (blockTokens - 1)) / blockTokens)
+          .cast("long").as("n_blocks"))
+      .join(reassembled, Seq("id"), "left")
+      .select(
+        col("id").as(idCol),
+        col("n_blocks"),
+        (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

@@ -30,6 +30,8 @@ object PipelineQueries {
   // sf0.1) — the cap must sit above normal occupancy at every bench SF and
   // still bound a duplicate flood. The oracle inlines the same constant.
   private val EmbBucketCap = 2000
+  private val BlockTokens = 16
+  private val BlockSeed = 21
 
   /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
   private def docsDupAug(s: SparkSession, dir: String): DataFrame = {
@@ -105,6 +107,18 @@ object PipelineQueries {
       Dedup.simhashPairs(docsNearAug(s, dir), "doc_id", "text",
         maxHamming = 3, bucketCap = BucketCap, bits = 60)
         .orderBy("doc_a", "doc_b")),
+    // Block-level substring dedup (C42): duplicated-passage report over
+    // the exact-copy fixture — every block of every copied doc shows up
+    // with n_docs >= 2. BlockTokens=16 gives 2-6 blocks per fixture doc.
+    "d15_dup_blocks" -> ((s, dir) =>
+      Dedup.duplicatedBlocks(docsDupAug(s, dir), "doc_id", "text", BlockTokens)
+        .orderBy("block_hash")),
+    // The strip itself, over the near-copy fixture: copies lose every
+    // FULL block to the lower-id original and keep only the modified tail
+    // block ('... zq zq zq' misaligns the final 16-token boundary).
+    "d16_strip_dup_blocks" -> ((s, dir) =>
+      Dedup.stripDuplicateBlocks(docsNearAug(s, dir), "doc_id", "text", BlockTokens)
+        .orderBy("doc_id")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -371,6 +385,23 @@ object PipelineQueries {
       |  UNION ALL
       |  SELECT doc_id + 200000, text || ' zq zq zq' FROM documents WHERE doc_id % 25 = 0
       |)""".stripMargin
+
+  /** DuckDB twin of Dedup.tokenBlocks(d, BlockTokens, Md5Portable,
+    * BlockSeed): expects a CTE `d(doc_id, text)` to exist. Yields
+    * `bh(doc_id, block_idx, block, h)`.
+    */
+  private val blockCtes: String =
+    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+       |bl AS (
+       |  SELECT doc_id, unnest(range(0, (len(w) + ${BlockTokens - 1}) // $BlockTokens)) AS block_idx, w
+       |  FROM words
+       |),
+       |blk AS (
+       |  SELECT doc_id, block_idx,
+       |         array_to_string(list_slice(w, block_idx * $BlockTokens + 1, block_idx * $BlockTokens + $BlockTokens), ' ') AS block
+       |  FROM bl
+       |),
+       |bh AS (SELECT doc_id, block_idx, block, ${sqlHash(BlockSeed, "block")} AS h FROM blk)""".stripMargin
 
   /** Shared tail: sizes + jaccard verdict over an `interx(doc_a, doc_b,
     * inter)` relation and the `sh` shingle rows.
@@ -986,6 +1017,41 @@ object PipelineQueries {
          |  ON a.band = b.band AND a.seg = b.seg AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.fp, b.fp)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // d15/d16: the block partitioning is pure arithmetic on the token
+    // list — 1-based list_slice windows of BlockTokens, hash via the
+    // shared md5-prefix twin. d16's canonical pick (min (doc_id,
+    // block_idx) per hash) is a row_number window here; Spark uses the
+    // skew-safe groupBy-min form — same rows.
+    "d15_dup_blocks" ->
+      s"""WITH $dupAugCte,
+         |$blockCtes
+         |SELECT h AS block_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         |FROM bh GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY block_hash""".stripMargin,
+    "d16_strip_dup_blocks" ->
+      s"""WITH $nearAugCte,
+         |$blockCtes,
+         |kept AS (
+         |  SELECT doc_id, block_idx, block FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, block_idx) AS rn
+         |    FROM bh
+         |  ) WHERE rn = 1
+         |),
+         |agg AS (
+         |  SELECT doc_id, string_agg(block, ' ' ORDER BY block_idx) AS text_clean,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id
+         |),
+         |base AS (
+         |  SELECT doc_id,
+         |         (len(string_split(text, ' ')) + ${BlockTokens - 1}) // $BlockTokens AS n_blocks
+         |  FROM d
+         |)
+         |SELECT b.doc_id, b.n_blocks,
+         |       b.n_blocks - coalesce(a.n_kept, 0) AS n_removed,
+         |       coalesce(a.text_clean, '') AS text_clean
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     // e5: identical IEEE double steps — abs/max/127 scale, floor(x/s+0.5)
     // clamped codes, list_reduce for the SAME left-to-right error fold
     // Spark's aggregate() performs.

@@ -849,4 +849,32 @@ class PipelineSpec extends GraftSuite {
     assert(d3.droppedBuckets.count() === 0L)
     assert(d3.pairs.count() === 16L)
   }
+
+  test("block dedup strips aligned duplicate blocks, keeps the global-first occurrence") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"), // canonical: both blocks first occurrences
+      (2L, "a b c d x y z w"), // block 0 duplicates doc 1's block 0
+      (3L, "a b c d e f g h"), // full duplicate of doc 1
+      (4L, "p q r s p q r s"), // within-doc repetition
+      (5L, "z a b c d e f g"), // doc 1's tokens shifted by one: misaligned
+      (6L, "t u v w x") // 5 tokens -> full block + short tail block
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicateBlocks(corpus, "doc_id", "text", blockTokens = 4)
+      .select("doc_id", "n_blocks", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 0L, "a b c d e f g h"))) // first occurrence keeps all
+    assert(out(2L) === ((2L, 1L, "x y z w"))) // shared block stripped
+    assert(out(3L) === ((2L, 2L, ""))) // fully duplicated -> empty
+    assert(out(4L) === ((2L, 1L, "p q r s"))) // self-repetition stripped
+    // The approximation contract: a copy shifted off the block grid is
+    // NOT caught (suffix arrays would; the shingle family covers it).
+    assert(out(5L) === ((2L, 0L, "z a b c d e f g")))
+    assert(out(6L) === ((2L, 0L, "t u v w x"))) // short tail block kept
+
+    val rep = Dedup.duplicatedBlocks(corpus, "doc_id", "text", blockTokens = 4)
+      .select("n_docs", "n_occ").as[(Long, Long)].collect().toSeq
+    // "a b c d" in docs 1,2,3; "e f g h" in docs 1,3; "p q r s" twice in doc 4.
+    assert(rep.sorted === Seq((1L, 2L), (2L, 2L), (3L, 3L)))
+  }
 }

@@ -159,4 +159,24 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("AdaptiveSparkPlan"))
     assert(!plan.contains("ResolvedHint"))
   }
+
+  test("d15 block report: pure aggregation — no joins, skew-safe partial agg") {
+    val plan = planOf("d15_dup_blocks")
+    // Linear scan → block grouping → per-hash count. Any join here would
+    // mean the operator went pairwise, which is exactly what C42 avoids.
+    assert(!plan.contains("Join"), plan.take(2000))
+    // The per-hash count must partially aggregate map-side so a
+    // mega-duplicated block collapses before the exchange.
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("d16 block strip: equi-joins only, canonical pick is an agg not a window") {
+    val plan = planOf("d16_strip_dup_blocks")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // The global-first pick is the skew-safe groupBy-min — a Window over
+    // the block hash would concentrate every occurrence of a duplicated
+    // hash in one task before ranking.
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("partial_min"), plan.take(2000))
+  }
 }
