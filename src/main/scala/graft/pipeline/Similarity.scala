@@ -193,6 +193,123 @@ object Similarity {
     try f(h.pairs) finally h.release()
   }
 
+  /** Deterministic Rademacher (±1) hyperplanes for [[hyperplaneLshPairs]]:
+    * `nBits` planes of `dim` components each, derived from
+    * `java.util.Random` seeded per plane (the LCG is pinned by its Javadoc
+    * spec, so the matrix is identical on every JVM). For random-projection
+    * sign hashing, ±1 entries are as good as Gaussian ones
+    * (Achlioptas 2001) and keep the dot products exactly representable.
+    * k×dim driver-side constants only — data-INdependent, so unlike the
+    * [[trainCentroids]]/IVF family there is no training pass, no model to
+    * version, and streaming ingest can signature rows one batch at a time
+    * against the same planes forever.
+    */
+  def hyperplanes(nBits: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(nBits) { p =>
+      val rnd = new java.util.Random(seed.toLong * 1000003L + p)
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** Random-hyperplane LSH near-duplicate pairs (Charikar 2002 — SimHash
+    * for embeddings): each vector gets an `nBits` sign signature
+    * (bit p = [v · plane_p >= 0]); the signature is banded into
+    * `nBits / bandBits` bands and vectors sharing any band's bit pattern
+    * become candidates, verified with exact cosine >= threshold. Two
+    * vectors at angle θ agree on one bit with probability 1 − θ/π, so
+    * near-identical vectors (θ ≈ 0) collide in every band while unrelated
+    * ones are scattered across 2^bandBits buckets per band.
+    *
+    * The data-independent complement of [[cosineNearDupPairs]]: IVF
+    * buckets adapt to the data's density (better candidate quality) but
+    * need a centroid model; hyperplane LSH needs none — the right tool
+    * when no training pass has run, for streaming ingest against stable
+    * planes, or as a cross-check detector family (same role SimHash plays
+    * beside MinHash in the text suite).
+    *
+    * Scale shape: signature build is map-only (nBits codegen'd dots per
+    * row, no shuffle); the candidate join keys on (band, bucket) with
+    * fan-out = bucket occupancy, never corpus²; `bucketCap` drops
+    * degenerate buckets (mass-duplicated vectors collide in EVERY band by
+    * construction) exactly like [[Dedup.minhashLshPairs]]' cap, and a
+    * capped bucket's members can still pair through their other bands.
+    * Verification touches the distinct candidate set only.
+    *
+    * @param dim vector dimensionality (the plane matrix is driver-side
+    *            literal constants, so it cannot be inferred lazily)
+    * @return [[Dedup.PairsHandle]] over (vec_a, vec_b, sim), vec_a < vec_b,
+    *         sim rounded to 6 — release it once the result is consumed.
+    */
+  def hyperplaneLshPairsHandle(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 16,
+      bandBits: Int = 8,
+      seed: Int = 7,
+      bucketCap: Int = 10000): Dedup.PairsHandle = {
+    require(nBits >= 1 && bandBits >= 1 && nBits % bandBits == 0,
+      s"nBits ($nBits) must be a positive multiple of bandBits ($bandBits)")
+    require(bandBits <= 62, s"bandBits must fit a long, got $bandBits")
+    val dp = dotOn(vectors.sparkSession)
+    val planes = hyperplanes(nBits, dim, seed)
+    val base = withNorm(vectors, idCol, vecCol, "vid", "__v", "__vn")
+
+    val bits: IndexedSeq[Column] =
+      planes.toIndexedSeq.map(p => (dp(col("__v"), array(p.map(lit).toSeq: _*)) >= 0).cast("long"))
+    val nBands = nBits / bandBits
+    val bandStructs = (0 until nBands).map { b =>
+      val bucket = (0 until bandBits)
+        .map(j => bits(b * bandBits + j) * lit(1L << j)).reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+
+    // Slim persisted frames: sig feeds BOTH sides of the candidate join,
+    // vecs feeds both verification joins — without the persists Catalyst
+    // recomputes the signature/norm lineage per use (the e3/d3 lesson).
+    val vecs = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = vecs
+      .select(col("vid"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vid"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__occ") <= bucketCap)
+      .drop("__occ")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val candidates = sig.as("a")
+      .join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("vec_a"), col("b.vid").as("vec_b"))
+      .distinct()
+
+    val pairs = candidates
+      .join(vecs.as("va"), col("vec_a") === col("va.vid"))
+      .join(vecs.as("vb"), col("vec_b") === col("vb.vid"))
+      .withColumn("sim",
+        round(dp(col("va.__v"), col("vb.__v")) / (col("va.__vn") * col("vb.__vn")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("sim"))
+    new Dedup.PairsHandle(pairs, Seq(vecs, sig))
+  }
+
+  /** [[hyperplaneLshPairsHandle]] without the release plumbing — the
+    * persisted signature frames live until session end or eviction.
+    */
+  def hyperplaneLshPairs(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 16,
+      bandBits: Int = 8,
+      seed: Int = 7,
+      bucketCap: Int = 10000): DataFrame =
+    hyperplaneLshPairsHandle(
+      vectors, idCol, vecCol, dim, threshold, nBits, bandBits, seed, bucketCap).pairs
+
   /** Persist an IVF index to disk: vectors bucket-assigned once and
     * written PARTITIONED BY bucket, centroids as a sidecar — so the
     * expensive assignment pass is paid at build time, and every later

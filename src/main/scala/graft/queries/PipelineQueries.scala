@@ -32,6 +32,24 @@ object PipelineQueries {
   private val EmbBucketCap = 2000
   private val BlockTokens = 16
   private val BlockSeed = 21
+  // e6 hyperplane-LSH constants — the oracle inlines the identical plane
+  // matrix, so these are shared between the Spark query and the SQL twin.
+  private val HpDim = 64
+  private val HpBits = 16
+  private val HpBandBits = 8
+  private val HpSeed = 7
+
+  /** e3/e6 shared fixture: embeddings ∪ perturbed copies of every 20th
+    * vector (ids +10000, scaled + shifted → cosine just under 1).
+    */
+  private def embNearAug(s: SparkSession, dir: String): DataFrame = {
+    val v = table(s, dir, "embeddings").select("vec_id", "embedding")
+    v.unionByName(
+      v.filter(col("vec_id") % 20 === 0).select(
+        (col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * lit(1.1) + lit(0.01))
+          .as("embedding")))
+  }
 
   /** documents ∪ exact copies of every 10th doc (ids shifted +100000). */
   private def docsDupAug(s: SparkSession, dir: String): DataFrame = {
@@ -204,18 +222,22 @@ object PipelineQueries {
     // Embedding near-dup: every 20th vector gets a perturbed copy planted
     // (scaled + shifted -> cosine just under 1); pairs are found within
     // IVF centroid buckets, never corpus².
-    "e3_embedding_neardup" -> ((s, dir) => {
-      val v = table(s, dir, "embeddings").select("vec_id", "embedding")
-      val aug = v.unionByName(
-        v.filter(col("vec_id") % 20 === 0).select(
-          (col("vec_id") + 10000).as("vec_id"),
-          transform(col("embedding").cast("array<double>"), x => x * lit(1.1) + lit(0.01))
-            .as("embedding")))
+    "e3_embedding_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
-        aug, aug.filter(col("vec_id") < 8), "vec_id", "embedding", threshold = 0.8,
-        bucketCap = EmbBucketCap)
-        .orderBy("vec_a", "vec_b")
-    }),
+        embNearAug(s, dir), embNearAug(s, dir).filter(col("vec_id") < 8),
+        "vec_id", "embedding", threshold = 0.8, bucketCap = EmbBucketCap)
+        .orderBy("vec_a", "vec_b")),
+    // Random-hyperplane LSH near-dup (C43 / e6): e3's planted fixture
+    // through the data-INdependent detector — sign signatures against
+    // deterministic ±1 planes, banded buckets, exact-cosine verify. No
+    // centroid model, so this is the no-training-pass / streaming-ingest
+    // path; the oracle replays the identical plane matrix (inlined
+    // constants) with the same left-to-right dot fold.
+    "e6_hyperplane_lsh" -> ((s, dir) =>
+      Similarity.hyperplaneLshPairs(
+        embNearAug(s, dir), "vec_id", "embedding", dim = HpDim, threshold = 0.8,
+        nBits = HpBits, bandBits = HpBandBits, seed = HpSeed, bucketCap = EmbBucketCap)
+        .orderBy("vec_a", "vec_b")),
     // Reproducible sampling + train/val/test split by portable hash:
     // per-language counts of a 20% sample and an 80/10/10 split.
     "s1_hash_sampling" -> ((s, dir) => {
@@ -833,6 +855,56 @@ object PipelineQueries {
         |)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // e6: the IDENTICAL ±1 plane matrix (Similarity.hyperplanes is
+    // deterministic, so the generator inlines it as list literals), sign
+    // bits via the same left-to-right double fold Spark's native dot
+    // performs (list_reduce — the e5 pattern; exact, no rounding, and the
+    // ±1 entries keep every product exactly representable), band buckets
+    // as bit-weighted sums, then e3's occupancy window / distinct
+    // candidates / verified-cosine tail.
+    "e6_hyperplane_lsh" -> {
+      val planes = Similarity.hyperplanes(HpBits, HpDim, HpSeed)
+      val nBands = HpBits / HpBandBits
+      val bitCols = planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+        s"    CASE WHEN list_reduce(list_transform(range(1, ${HpDim + 1}), i -> e[i] * ($arr)[i]), (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END AS b$i"
+      }.mkString(",\n")
+      val bandSelects = (0 until nBands).map { b =>
+        val bucket = (0 until HpBandBits).map(j => s"b${b * HpBandBits + j} * ${1L << j}").mkString(" + ")
+        s"  SELECT vec_id, $b AS band, $bucket AS bucket FROM bits"
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01)
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |),
+         |bits AS (
+         |  SELECT vec_id, e,
+         |${bitCols}
+         |  FROM v
+         |),
+         |sig AS (
+         |${bandSelects}
+         |),
+         |occ AS (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS occ FROM sig
+         |  ) WHERE occ <= $EmbBucketCap
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM occ a JOIN occ b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |),
+         |p AS (
+         |  SELECT vec_a, vec_b,
+         |         round(list_dot_product(x.e, y.e)
+         |               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
+         |  FROM cand JOIN v x ON vec_a = x.vec_id JOIN v y ON vec_b = y.vec_id
+         |)
+         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
     "d5_winnowing" ->
       s"""WITH $nearAugCte,
          |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),

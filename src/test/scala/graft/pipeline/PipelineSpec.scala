@@ -416,6 +416,41 @@ class PipelineSpec extends GraftSuite {
     assert(uncapped.count() === (40L * 39 / 2) + 1)
   }
 
+  test("hyperplane LSH finds planted duplicates without any centroid model") {
+    // Deterministic plane matrix: same seed → same ±1 entries; different
+    // seed → a different matrix.
+    val p1 = Similarity.hyperplanes(nBits = 8, dim = 4, seed = 7)
+    val p2 = Similarity.hyperplanes(nBits = 8, dim = 4, seed = 7)
+    assert(p1.map(_.toSeq).toSeq === p2.map(_.toSeq).toSeq)
+    assert(p1.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(p1.map(_.toSeq).toSeq !== Similarity.hyperplanes(8, 4, seed = 8).map(_.toSeq).toSeq)
+
+    // 20 well-spread base vectors + exact copies of 0 and 7: an exact copy
+    // has the identical signature, so it collides in EVERY band and is
+    // always found — no training pass, no centroids.
+    val base = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13.0 + d * 5.0).toFloat))
+    }
+    val copies = Seq(100L -> base(0)._2, 107L -> base(7)._2)
+    val vecs = (base ++ copies).toDF("vec_id", "embedding")
+    val pairs = Similarity.hyperplaneLshPairs(
+      vecs, "vec_id", "embedding", dim = 8, threshold = 0.999, nBits = 16, bandBits = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)) && pairs.contains((7L, 107L)))
+
+    // bucketCap = 1 drops every shared bucket → no candidates at all.
+    val capped = Similarity.hyperplaneLshPairs(
+      vecs, "vec_id", "embedding", dim = 8, threshold = 0.999, nBits = 16, bandBits = 4,
+      bucketCap = 1)
+    assert(capped.count() === 0L)
+
+    // nBits must band evenly.
+    intercept[IllegalArgumentException] {
+      Similarity.hyperplaneLshPairs(vecs, "vec_id", "embedding", dim = 8,
+        threshold = 0.9, nBits = 10, bandBits = 4)
+    }
+  }
+
   test("k-means centroid training recovers planted clusters, deterministically") {
     // Three tight clusters on orthogonal axes with slight within-cluster spread.
     val pts = (0 until 30).map { i =>

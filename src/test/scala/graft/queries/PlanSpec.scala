@@ -170,6 +170,11 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("partial_count"), plan.take(2000))
   }
 
+  test("e6 hyperplane LSH: bucket equi-joins only — never an all-pairs product") {
+    val plan = planOf("e6_hyperplane_lsh")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("d16 block strip: equi-joins only, canonical pick is an agg not a window") {
     val plan = planOf("d16_strip_dup_blocks")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
