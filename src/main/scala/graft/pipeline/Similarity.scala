@@ -249,29 +249,13 @@ object Similarity {
       bandBits: Int = 8,
       seed: Int = 7,
       bucketCap: Int = 10000): Dedup.PairsHandle = {
-    require(nBits >= 1 && bandBits >= 1 && nBits % bandBits == 0,
-      s"nBits ($nBits) must be a positive multiple of bandBits ($bandBits)")
-    require(bandBits <= 62, s"bandBits must fit a long, got $bandBits")
-    val dp = dotOn(vectors.sparkSession)
-    val planes = hyperplanes(nBits, dim, seed)
-    val base = withNorm(vectors, idCol, vecCol, "vid", "__v", "__vn")
-
-    val bits: IndexedSeq[Column] =
-      planes.toIndexedSeq.map(p => (dp(col("__v"), array(p.map(lit).toSeq: _*)) >= 0).cast("long"))
-    val nBands = nBits / bandBits
-    val bandStructs = (0 until nBands).map { b =>
-      val bucket = (0 until bandBits)
-        .map(j => bits(b * bandBits + j) * lit(1L << j)).reduce(_ + _)
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-
     // Slim persisted frames: sig feeds BOTH sides of the candidate join,
     // vecs feeds both verification joins — without the persists Catalyst
     // recomputes the signature/norm lineage per use (the e3/d3 lesson).
-    val vecs = base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sig = vecs
-      .select(col("vid"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("vid"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+    val dp = dotOn(vectors.sparkSession)
+    val vecs = withNorm(vectors, idCol, vecCol, "vid", "__v", "__vn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signatureOf(vecs, dim, nBits, bandBits, seed)
       .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("__occ") <= bucketCap)
       .drop("__occ")
@@ -309,6 +293,118 @@ object Similarity {
       bucketCap: Int = 10000): DataFrame =
     hyperplaneLshPairsHandle(
       vectors, idCol, vecCol, dim, threshold, nBits, bandBits, seed, bucketCap).pairs
+
+  /** (id, vector, norm) projection with the operator-internal column names
+    * the hyperplane family uses — the entry point for callers (streaming
+    * ingest) that stage the corpus side themselves.
+    */
+  private[graft] def hyperplaneNorms(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    withNorm(df, idCol, vecCol, "vid", "__v", "__vn")
+
+  /** Exploded (vid, band, bucket) sign signatures of a [[hyperplaneNorms]]
+    * frame — map-only: nBits codegen'd dots per row, no shuffle.
+    */
+  private[graft] def signatureOf(
+      vecs: DataFrame, dim: Int, nBits: Int, bandBits: Int, seed: Int): DataFrame = {
+    require(nBits >= 1 && bandBits >= 1 && nBits % bandBits == 0,
+      s"nBits ($nBits) must be a positive multiple of bandBits ($bandBits)")
+    require(bandBits <= 62, s"bandBits must fit a long, got $bandBits")
+    val dp = dotOn(vecs.sparkSession)
+    val planes = hyperplanes(nBits, dim, seed)
+    val bits: IndexedSeq[Column] =
+      planes.toIndexedSeq.map(p => (dp(col("__v"), array(p.map(lit).toSeq: _*)) >= 0).cast("long"))
+    val bandStructs = (0 until nBits / bandBits).map { b =>
+      val bucket = (0 until bandBits)
+        .map(j => bits(b * bandBits + j) * lit(1L << j)).reduce(_ + _)
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    vecs
+      .select(col("vid"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("vid"), col("bs.band").as("band"), col("bs.bucket").as("bucket"))
+  }
+
+  /** Incremental hyperplane-LSH near-dup: every (new, corpus) pair with
+    * cosine >= threshold among candidates sharing a band bucket — the
+    * delta-ingest twin of [[hyperplaneLshPairs]] (the role
+    * [[Dedup.incrementalJaccardPairs]] plays for the shingle family).
+    * Candidates are delta × corpus only — the corpus never self-pairs, so
+    * a daily delta against a 100 TB corpus costs |delta| signatures plus
+    * bucket-local joins, never a corpus re-pairing.
+    *
+    * The corpus-side occupancy cap bounds degenerate buckets; the delta
+    * side is uncapped (a batch is small by construction). Because the
+    * planes are data-independent constants, corpus signatures never go
+    * stale — unlike IVF centroids, there is no drift to re-train away.
+    *
+    * @return (new_id, corpus_id, sim), sim rounded to 6.
+    */
+  def hyperplaneIncrementalPairsHandle(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 16,
+      bandBits: Int = 8,
+      seed: Int = 7,
+      bucketCap: Int = 10000): Dedup.PairsHandle = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cVecs = hyperplaneNorms(corpus, idCol, vecCol).persist(lvl)
+    val cSig = signatureOf(cVecs, dim, nBits, bandBits, seed)
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("__occ") <= bucketCap)
+      .drop("__occ")
+      .persist(lvl)
+    val nVecs = hyperplaneNorms(newVecs, idCol, vecCol).persist(lvl)
+    val pairs = incrementalPairsAgainst(nVecs, cSig, cVecs, dim, threshold, nBits, bandBits, seed)
+    new Dedup.PairsHandle(pairs, Seq(cVecs, cSig, nVecs))
+  }
+
+  /** [[hyperplaneIncrementalPairsHandle]] without the release plumbing. */
+  def hyperplaneIncrementalPairs(
+      newVecs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double,
+      nBits: Int = 16,
+      bandBits: Int = 8,
+      seed: Int = 7,
+      bucketCap: Int = 10000): DataFrame =
+    hyperplaneIncrementalPairsHandle(
+      newVecs, corpus, idCol, vecCol, dim, threshold, nBits, bandBits, seed, bucketCap).pairs
+
+  /** Delta-side pairing against PRE-STAGED corpus frames (capped
+    * signatures + norm payloads) — the per-micro-batch core shared by
+    * [[hyperplaneIncrementalPairsHandle]] and the streaming ingest path,
+    * which prepares the corpus once and calls this per batch.
+    */
+  private[graft] def incrementalPairsAgainst(
+      nVecs: DataFrame,
+      corpusSig: DataFrame,
+      corpusVecs: DataFrame,
+      dim: Int,
+      threshold: Double,
+      nBits: Int,
+      bandBits: Int,
+      seed: Int): DataFrame = {
+    val dp = dotOn(nVecs.sparkSession)
+    val nSig = signatureOf(nVecs, dim, nBits, bandBits, seed)
+    val candidates = nSig.as("n")
+      .join(corpusSig.as("c"),
+        col("n.band") === col("c.band") && col("n.bucket") === col("c.bucket"))
+      .select(col("n.vid").as("new_id"), col("c.vid").as("corpus_id"))
+      .distinct()
+    candidates
+      .join(nVecs.as("nv"), col("new_id") === col("nv.vid"))
+      .join(corpusVecs.as("cv"), col("corpus_id") === col("cv.vid"))
+      .withColumn("sim",
+        round(dp(col("nv.__v"), col("cv.__v")) / (col("nv.__vn") * col("cv.__vn")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("sim"))
+  }
 
   /** Persist an IVF index to disk: vectors bucket-assigned once and
     * written PARTITIONED BY bucket, centroids as a sidecar — so the

@@ -28,6 +28,7 @@ object BenchPhases {
     "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1),
     "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),
     "st4_stream_sessions" -> ((s, dir) => StreamingQueries.st4Setup(s, dir)._1),
+    "st5_stream_neardup" -> ((s, dir) => StreamingQueries.st5Setup(s, dir)._1),
     // q20's claim is the exchange-free JOIN; the one-time bucketed layout
     // write is the trade's build cost, not the operation under test.
     "q20_bucketed_join" -> ((s, dir) => {

@@ -29,15 +29,44 @@ object PipelineQueries {
   // e3's centroid buckets hold |corpus|/8 vectors (~70 at sf0.01, ~650 at
   // sf0.1) — the cap must sit above normal occupancy at every bench SF and
   // still bound a duplicate flood. The oracle inlines the same constant.
-  private val EmbBucketCap = 2000
+  private[queries] val EmbBucketCap = 2000
   private val BlockTokens = 16
   private val BlockSeed = 21
-  // e6 hyperplane-LSH constants — the oracle inlines the identical plane
-  // matrix, so these are shared between the Spark query and the SQL twin.
-  private val HpDim = 64
-  private val HpBits = 16
-  private val HpBandBits = 8
-  private val HpSeed = 7
+  // e6/st5 hyperplane-LSH constants — the oracles inline the identical
+  // plane matrix, so these are shared between the Spark queries and the
+  // SQL twins (StreamingQueries reuses them for st5).
+  private[queries] val HpDim = 64
+  private[queries] val HpBits = 16
+  private[queries] val HpBandBits = 8
+  private[queries] val HpSeed = 7
+
+  /** DuckDB twin of the hyperplane sign-signature build: emits CTEs
+    * `${prefix}bits` (vec_id, e, b0..b{nBits-1}) and `${prefix}sig`
+    * (vec_id, band, bucket) over a source CTE `srcCte(vec_id, e)`. The ±1
+    * plane matrix is inlined from [[Similarity.hyperplanes]] (same seed →
+    * same entries), and each sign uses the identical left-to-right double
+    * fold Spark's native dot performs (list_reduce — the e5 pattern;
+    * exact, no rounding, ±1 entries keep every product representable).
+    */
+  private[queries] def hpSignatureSql(srcCte: String, prefix: String): String = {
+    val planes = Similarity.hyperplanes(HpBits, HpDim, HpSeed)
+    val bitCols = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"    CASE WHEN list_reduce(list_transform(range(1, ${HpDim + 1}), i -> e[i] * ($arr)[i]), (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END AS b$i"
+    }.mkString(",\n")
+    val bandSelects = (0 until HpBits / HpBandBits).map { b =>
+      val bucket = (0 until HpBandBits).map(j => s"b${b * HpBandBits + j} * ${1L << j}").mkString(" + ")
+      s"  SELECT vec_id, $b AS band, $bucket AS bucket FROM ${prefix}bits"
+    }.mkString("\n  UNION ALL\n")
+    s"""${prefix}bits AS (
+  SELECT vec_id, e,
+$bitCols
+  FROM $srcCte
+),
+${prefix}sig AS (
+$bandSelects
+)"""
+  }
 
   /** e3/e6 shared fixture: embeddings ∪ perturbed copies of every 20th
     * vector (ids +10000, scaled + shifted → cosine just under 1).
@@ -862,31 +891,14 @@ object PipelineQueries {
     // ±1 entries keep every product exactly representable), band buckets
     // as bit-weighted sums, then e3's occupancy window / distinct
     // candidates / verified-cosine tail.
-    "e6_hyperplane_lsh" -> {
-      val planes = Similarity.hyperplanes(HpBits, HpDim, HpSeed)
-      val nBands = HpBits / HpBandBits
-      val bitCols = planes.zipWithIndex.map { case (p, i) =>
-        val arr = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-        s"    CASE WHEN list_reduce(list_transform(range(1, ${HpDim + 1}), i -> e[i] * ($arr)[i]), (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END AS b$i"
-      }.mkString(",\n")
-      val bandSelects = (0 until nBands).map { b =>
-        val bucket = (0 until HpBandBits).map(j => s"b${b * HpBandBits + j} * ${1L << j}").mkString(" + ")
-        s"  SELECT vec_id, $b AS band, $bucket AS bucket FROM bits"
-      }.mkString("\n  UNION ALL\n")
+    "e6_hyperplane_lsh" ->
       s"""WITH v AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
          |  UNION ALL
          |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01)
          |  FROM embeddings WHERE vec_id % 20 = 0
          |),
-         |bits AS (
-         |  SELECT vec_id, e,
-         |${bitCols}
-         |  FROM v
-         |),
-         |sig AS (
-         |${bandSelects}
-         |),
+         |${hpSignatureSql("v", "")},
          |occ AS (
          |  SELECT vec_id, band, bucket FROM (
          |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS occ FROM sig
@@ -903,8 +915,7 @@ object PipelineQueries {
          |  FROM cand JOIN v x ON vec_a = x.vec_id JOIN v y ON vec_b = y.vec_id
          |)
          |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
+         |ORDER BY vec_a, vec_b""".stripMargin,
     "d5_winnowing" ->
       s"""WITH $nearAugCte,
          |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),

@@ -208,7 +208,55 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st5 (streaming embedding near-dup-on-ingest): the
+    * e6 fixture's perturbed copies (vec_id+10000, scaled + shifted →
+    * cosine just under 1) replayed as the INCOMING stream against the
+    * embeddings table staged once as a hyperplane-LSH corpus index. Each
+    * micro-batch is a stateless signature map + stream-static bucket join
+    * + exact-cosine verify — zero streaming state. Converged sink: every
+    * (new, corpus) pair with a shared band bucket and sim >= 0.8, which is
+    * exactly the batch [[graft.pipeline.Similarity.hyperplaneIncrementalPairs]]
+    * result — SQL-expressible, so the streaming path gets a real
+    * cross-engine oracle (st1's convention).
+    */
+  private[graft] def st5Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st5")
+    val out = s"$scratch/pairs"
+    val corpus = Fixtures.table(s, dir, "embeddings").select("vec_id", "embedding")
+    val idx = graft.streaming.StreamingNearDup.indexCorpus(
+      corpus, "vec_id", "embedding", dim = PipelineQueries.HpDim,
+      nBits = PipelineQueries.HpBits, bandBits = PipelineQueries.HpBandBits,
+      seed = PipelineQueries.HpSeed, bucketCap = PipelineQueries.EmbBucketCap)
+    // Replay rows staged on the driver — bench harness, not operator (a
+    // real deployment reads Kafka/files); the engine cost measured is the
+    // per-batch signature + bucket join + verify.
+    val rows = corpus.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding").cast("array<double>"), x => x * lit(1.1) + lit(0.01))
+          .as("embedding"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = graft.streaming.StreamingNearDup.ingestTo(
+      mem.toDF().toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+      threshold = 0.8, out, s"$scratch/cp")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally {
+        q.stop()
+        idx.release()
+      }
+    (replay, out)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st5_stream_neardup" -> ((s, dir) => {
+      val (replay, out) = st5Setup(s, dir)
+      replay()
+      s.read.parquet(out).orderBy("new_id", "corpus_id")
+    }),
     "st4_stream_sessions" -> ((s, dir) => {
       val (replay, out) = st4Setup(s, dir)
       replay()
@@ -235,6 +283,36 @@ object StreamingQueries {
     }))
 
   val oracleSql: Map[String, String] = Map(
+    // Streaming near-dup-on-ingest converged state == the batch
+    // delta×corpus hyperplane-LSH pairing: identical inlined plane
+    // matrix and sign folds (PipelineQueries.hpSignatureSql — e6's twin),
+    // corpus-side occupancy cap, distinct shared-bucket candidates,
+    // exact-cosine verify.
+    "st5_stream_neardup" ->
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |n AS (
+         |  SELECT vec_id + 10000 AS vec_id, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01) AS e
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |),
+         |${PipelineQueries.hpSignatureSql("c", "c")},
+         |${PipelineQueries.hpSignatureSql("n", "n")},
+         |cocc AS (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY band, bucket) AS occ FROM csig
+         |  ) WHERE occ <= ${PipelineQueries.EmbBucketCap}
+         |),
+         |cand AS (
+         |  SELECT DISTINCT ns.vec_id AS new_id, cs.vec_id AS corpus_id
+         |  FROM nsig ns JOIN cocc cs ON ns.band = cs.band AND ns.bucket = cs.bucket
+         |),
+         |p AS (
+         |  SELECT new_id, corpus_id,
+         |         round(list_dot_product(x.e, y.e)
+         |               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
+         |  FROM cand JOIN n x ON new_id = x.vec_id JOIN c y ON corpus_id = y.vec_id
+         |)
+         |SELECT new_id, corpus_id, sim FROM p WHERE sim >= 0.8
+         |ORDER BY new_id, corpus_id""".stripMargin,
     // Converged state == the events table itself.
     "st1_stream_upsert" ->
       """SELECT event_id, user_id, event_type, value

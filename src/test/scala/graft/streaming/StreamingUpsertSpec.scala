@@ -20,6 +20,47 @@ class StreamingUpsertSpec extends GraftSuite {
   import spark.implicits._
   private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
+  test("streaming near-dup ingest converges to the batch incremental pairing, zero state") {
+    import graft.pipeline.Similarity
+    // 20 well-spread corpus vectors; the incoming stream carries exact
+    // copies of 0 and 7 plus one vector unrelated to everything.
+    val corpusRows = (0L until 20L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 13.0 + d * 5.0)))
+    }
+    val deltaRows = Seq(
+      100L -> corpusRows(0)._2, 107L -> corpusRows(7)._2,
+      200L -> Array.tabulate(8)(d => if (d % 2 == 0) 1.0 else -1.0))
+    val corpus = corpusRows.toDF("vec_id", "embedding")
+    val delta = deltaRows.toDF("vec_id", "embedding")
+
+    val expected = Similarity.hyperplaneIncrementalPairs(
+      delta, corpus, "vec_id", "embedding", dim = 8, threshold = 0.999,
+      nBits = 16, bandBits = 4)
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(expected.contains((100L, 0L)) && expected.contains((107L, 7L)))
+    // Delta×corpus only: the corpus' own near-identical rows never pair.
+    assert(expected.forall(_._1 >= 100L))
+
+    val scratch = Files.createTempDirectory("graft-stream-neardup").toString
+    val idx = StreamingNearDup.indexCorpus(corpus, "vec_id", "embedding", dim = 8,
+      nBits = 16, bandBits = 4)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = StreamingNearDup.ingestTo(
+      mem.toDF().toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
+      threshold = 0.999, s"$scratch/pairs", s"$scratch/cp")
+    try {
+      deltaRows.grouped(2).foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // Stateless contract: no state-store rows accrete across batches.
+      assert(q.lastProgress.stateOperators.forall(_.numRowsTotal == 0))
+    } finally {
+      q.stop()
+      idx.release()
+    }
+    val streamed = StreamingNearDup.readPairs(spark, s"$scratch/pairs")
+      .select("new_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(streamed === expected)
+  }
+
   /** (relative path → (mtime, length)) for data files under bucket dirs. */
   private def snapshotBuckets(root: String): Map[String, (Long, Long)] = {
     val base = Paths.get(root)
