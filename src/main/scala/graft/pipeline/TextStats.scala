@@ -35,6 +35,42 @@ object TextStats {
         round(avg(toks), 4).as("avg_tokens"))
   }
 
+  /** Top-k distinctive terms per group by TF-IDF — the corpus-profiling
+    * op behind source/domain characterization and keyword reports:
+    * tf(group, term) weighted by ln(N / df) with doc-level document
+    * frequency, ranked within each group (score desc, term asc tiebreak).
+    *
+    * Scale shape: one token explode feeds BOTH frequency aggregations,
+    * each with map-side partial aggregation (tf keyed on (group, term),
+    * df on term via a distinct over (doc, term) — never raw token rows
+    * past their first combine); the tf⋈df join is term-keyed; the corpus
+    * size N is a 1-row broadcast; the rank window runs over
+    * groups × vocabulary AGGREGATED rows only, never token rows. Nothing
+    * in the plan scales with corpus size except the linear scan.
+    *
+    * @return (groupCol, term, tf, df, score, rnk), rnk <= k;
+    *         score = round(tf * ln(N / df), 6).
+    */
+  def tfIdfTopTerms(
+      docs: DataFrame, idCol: String, textCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tok = docs.select(
+      col(groupCol), col(idCol).as("__id"),
+      explode(TextOps.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(groupCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tok.select(col("__id"), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", round(col("tf") * log(col("__n") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(groupCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Stopword list for quality scoring / language ID. Deliberately tiny and
     * hardcoded: the point is the dataflow shape (array HOFs, no UDF), not
     * lexicography.

@@ -210,6 +210,12 @@ $bandSelects
     "t1_text_stats" -> ((s, dir) =>
       TextStats.corpusStats(table(s, dir, "documents"), Seq("lang"), "text")
         .orderBy("lang")),
+    // TF-IDF source profiling (C45): top-10 distinctive terms per source
+    // — tf keyed on (source, term), doc-level df, 1-row broadcast N,
+    // rank window over aggregated rows only.
+    "t10_tfidf" -> ((s, dir) =>
+      TextStats.tfIdfTopTerms(table(s, dir, "documents"), "doc_id", "text", "source", k = 10)
+        .orderBy("source", "rnk")),
     "t2_quality" -> ((s, dir) =>
       TextStats.qualitySignals(
         table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
@@ -758,6 +764,31 @@ $bandSelects
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t10: identical tf/df/ln(N/df) arithmetic — the division is cast to
+    // DOUBLE explicitly (DuckDB's BIGINT/BIGINT is integer division,
+    // Spark's is double), and the rank orders by the ROUNDED score in
+    // both engines so tie-breaking (term asc) resolves identically.
+    "t10_tfidf" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |tf AS (SELECT source, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM tok) GROUP BY 1
+        |),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (
+        |  SELECT source, term, tf, df,
+        |         round(tf * ln(CAST(n AS DOUBLE) / df), 6) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, term) AS rnk
+        |  FROM sc
+        |)
+        |SELECT source, term, tf, df, score, rnk FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
     "t2_quality" ->
       s"""SELECT doc_id,
          |       CAST(length(text) AS BIGINT) AS n_chars,

@@ -416,6 +416,22 @@ class PipelineSpec extends GraftSuite {
     assert(uncapped.count() === (40L * 39 / 2) + 1)
   }
 
+  test("tf-idf top terms: hand-computed scores, rank order, k cap") {
+    val docs = Seq(
+      (1L, "g1", "a a b"),
+      (2L, "g1", "a c"),
+      (3L, "g2", "b b b")
+    ).toDF("doc_id", "source", "text")
+    // N=3; df: a=2, b=2, c=1; ln(3/2)=0.405465, ln(3)=1.098612.
+    val out = TextStats.tfIdfTopTerms(docs, "doc_id", "text", "source", k = 2)
+      .select("source", "term", "tf", "df", "score", "rnk")
+      .as[(String, String, Long, Long, Double, Int)].collect().toSet
+    assert(out === Set(
+      ("g1", "a", 3L, 2L, 1.216395, 1), // 3 * ln(3/2)
+      ("g1", "c", 1L, 1L, 1.098612, 2), // 1 * ln(3) beats b's 0.405465
+      ("g2", "b", 3L, 2L, 1.216395, 1)))
+  }
+
   test("hyperplane LSH finds planted duplicates without any centroid model") {
     // Deterministic plane matrix: same seed → same ±1 entries; different
     // seed → a different matrix.
