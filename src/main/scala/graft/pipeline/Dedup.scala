@@ -896,11 +896,28 @@ object Dedup {
       hashMode: HashMode = HashMode.Md5Portable,
       seed: Int = 21): DataFrame = {
     val blocks = tokenBlocks(docs, idCol, textCol, blockTokens, hashMode, seed)
+    reassembleKept(docs, firstOccurrenceOf(blocks), idCol, textCol, blockTokens)
+  }
+
+  /** Keep only each hash's globally-first (id, block_idx) occurrence —
+    * the skew-safe groupBy-min canonical pick (map-side combine collapses
+    * mega-duplicated hashes before the exchange; a row_number window over
+    * the hash would concentrate them in one task).
+    */
+  private def firstOccurrenceOf(blocks: DataFrame): DataFrame = {
     val canonical = blocks
       .groupBy("h")
       .agg(min(struct(col("id"), col("block_idx"))).as("keep"))
       .select(col("keep.id").as("id"), col("keep.block_idx").as("block_idx"))
-    val kept = blocks.join(canonical, Seq("id", "block_idx"))
+    blocks.join(canonical, Seq("id", "block_idx"))
+  }
+
+  /** Rebuild (idCol, n_blocks, n_removed, text_clean) from the surviving
+    * block rows — shared by the full and incremental strip paths.
+    */
+  private def reassembleKept(
+      docs: DataFrame, kept: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
     val reassembled = kept
       .groupBy("id")
       .agg(
@@ -919,5 +936,44 @@ object Dedup {
         col("n_blocks"),
         (col("n_blocks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The corpus side of incremental block dedup: the DISTINCT block-hash
+    * inventory — one aggregation with map-side combine, one column. At
+    * 100 TB this is the frame you persist (or write once, parquet) and
+    * join every daily delta against; it grows with distinct CONTENT, not
+    * corpus size.
+    */
+  def blockInventory(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 16,
+      hashMode: HashMode = HashMode.Md5Portable,
+      seed: Int = 21): DataFrame =
+    tokenBlocks(corpus, idCol, textCol, blockTokens, hashMode, seed)
+      .select("h").distinct()
+
+  /** Incremental [[stripDuplicateBlocks]]: strip a DELTA batch against an
+    * existing corpus block inventory — a delta block survives iff its
+    * hash is absent from the corpus inventory AND it is the delta's own
+    * first occurrence. With every corpus id ordering before every delta
+    * id this equals running the full strip over corpus ∪ delta and
+    * keeping the delta rows (pinned in the spec) — but costs
+    * |delta| blocks + one hash-keyed anti-join against the inventory,
+    * never a corpus re-scan: the C34/C44 ingest discipline applied to
+    * the block family.
+    */
+  def stripBlocksAgainst(
+      newDocs: DataFrame,
+      corpusBlocks: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockTokens: Int = 16,
+      hashMode: HashMode = HashMode.Md5Portable,
+      seed: Int = 21): DataFrame = {
+    val blocks = tokenBlocks(newDocs, idCol, textCol, blockTokens, hashMode, seed)
+    val fresh = blocks.join(corpusBlocks.select("h"), Seq("h"), "left_anti")
+    reassembleKept(newDocs, firstOccurrenceOf(fresh), idCol, textCol, blockTokens)
   }
 }

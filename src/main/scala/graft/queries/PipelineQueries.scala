@@ -166,6 +166,21 @@ $bandSelects
     "d16_strip_dup_blocks" -> ((s, dir) =>
       Dedup.stripDuplicateBlocks(docsNearAug(s, dir), "doc_id", "text", BlockTokens)
         .orderBy("doc_id")),
+    // Incremental block strip (C46 / d17): the modified-copy delta
+    // (every 25th doc + ' zq zq zq', ids +200000) stripped against the
+    // corpus block INVENTORY — copies lose every full block to the
+    // corpus and keep only their misaligned tail block; no corpus
+    // re-scan, just a hash-keyed anti-join.
+    "d17_strip_blocks_incr" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 25 === 0).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text"))
+      Dedup.stripBlocksAgainst(
+        delta, Dedup.blockInventory(d, "doc_id", "text", BlockTokens),
+        "doc_id", "text", BlockTokens)
+        .orderBy("doc_id")
+    }),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -443,22 +458,25 @@ $bandSelects
       |  SELECT doc_id + 200000, text || ' zq zq zq' FROM documents WHERE doc_id % 25 = 0
       |)""".stripMargin
 
-  /** DuckDB twin of Dedup.tokenBlocks(d, BlockTokens, Md5Portable,
-    * BlockSeed): expects a CTE `d(doc_id, text)` to exist. Yields
-    * `bh(doc_id, block_idx, block, h)`.
+  /** DuckDB twin of Dedup.tokenBlocks(src, BlockTokens, Md5Portable,
+    * BlockSeed): expects a CTE `src(doc_id, text)` to exist. Yields
+    * `${p}bh(doc_id, block_idx, block, h)` — the prefix lets one query
+    * instantiate it for both a corpus and a delta side (d17).
     */
-  private val blockCtes: String =
-    s"""words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-       |bl AS (
+  private def blockCtesFor(src: String, p: String): String =
+    s"""${p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${p}bl AS (
        |  SELECT doc_id, unnest(range(0, (len(w) + ${BlockTokens - 1}) // $BlockTokens)) AS block_idx, w
-       |  FROM words
+       |  FROM ${p}words
        |),
-       |blk AS (
+       |${p}blk AS (
        |  SELECT doc_id, block_idx,
        |         array_to_string(list_slice(w, block_idx * $BlockTokens + 1, block_idx * $BlockTokens + $BlockTokens), ' ') AS block
-       |  FROM bl
+       |  FROM ${p}bl
        |),
-       |bh AS (SELECT doc_id, block_idx, block, ${sqlHash(BlockSeed, "block")} AS h FROM blk)""".stripMargin
+       |${p}bh AS (SELECT doc_id, block_idx, block, ${sqlHash(BlockSeed, "block")} AS h FROM ${p}blk)""".stripMargin
+
+  private val blockCtes: String = blockCtesFor("d", "")
 
   /** Shared tail: sizes + jaccard verdict over an `interx(doc_a, doc_b,
     * inter)` relation and the `sh` shingle rows.
@@ -1142,6 +1160,40 @@ $bandSelects
          |SELECT h AS block_hash, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
          |FROM bh GROUP BY 1 HAVING count(*) >= 2
          |ORDER BY block_hash""".stripMargin,
+    // d17: delta blocks anti-joined against the corpus block inventory,
+    // then d16's within-delta canonical pick + reassembly.
+    "d17_strip_blocks_incr" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |nd AS (
+         |  SELECT doc_id + 200000 AS doc_id, text || ' zq zq zq' AS text
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |${blockCtesFor("d", "")},
+         |${blockCtesFor("nd", "n")},
+         |fresh AS (
+         |  SELECT nbh.* FROM nbh ANTI JOIN (SELECT DISTINCT h FROM bh) inv USING (h)
+         |),
+         |kept AS (
+         |  SELECT doc_id, block_idx, block FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, block_idx) AS rn
+         |    FROM fresh
+         |  ) WHERE rn = 1
+         |),
+         |agg AS (
+         |  SELECT doc_id, string_agg(block, ' ' ORDER BY block_idx) AS text_clean,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id
+         |),
+         |base AS (
+         |  SELECT doc_id,
+         |         (len(string_split(text, ' ')) + ${BlockTokens - 1}) // $BlockTokens AS n_blocks
+         |  FROM nd
+         |)
+         |SELECT b.doc_id, b.n_blocks,
+         |       b.n_blocks - coalesce(a.n_kept, 0) AS n_removed,
+         |       coalesce(a.text_clean, '') AS text_clean
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "d16_strip_dup_blocks" ->
       s"""WITH $nearAugCte,
          |$blockCtes,

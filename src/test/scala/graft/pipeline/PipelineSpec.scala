@@ -928,4 +928,35 @@ class PipelineSpec extends GraftSuite {
     // "a b c d" in docs 1,2,3; "e f g h" in docs 1,3; "p q r s" twice in doc 4.
     assert(rep.sorted === Seq((1L, 2L), (2L, 2L), (3L, 3L)))
   }
+
+  test("incremental block strip equals the full strip restricted to the delta") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "p q r s t u v w")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "a b c d e f g h"), // full duplicate of corpus doc 1 -> empty
+      (11L, "e f g h m m m m"), // corpus-known block + fresh block
+      (12L, "m m m m k k k k"), // "m m m m" repeats within the delta: doc 11 keeps it
+      (13L, "z z z z")          // entirely fresh
+    ).toDF("doc_id", "text")
+
+    val incr = Dedup.stripBlocksAgainst(
+      delta, Dedup.blockInventory(corpus, "doc_id", "text", blockTokens = 4),
+      "doc_id", "text", blockTokens = 4)
+      .select("doc_id", "n_blocks", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // With every corpus id below every delta id, the incremental result
+    // must equal the full strip over corpus ∪ delta, delta rows only.
+    val full = Dedup.stripDuplicateBlocks(
+      corpus.unionByName(delta), "doc_id", "text", blockTokens = 4)
+      .filter($"doc_id" >= 10L)
+      .select("doc_id", "n_blocks", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(incr === full)
+    assert(incr(10L) === ((2L, 2L, "")))
+    assert(incr(11L) === ((2L, 1L, "m m m m")))
+    assert(incr(12L) === ((2L, 1L, "k k k k")))
+    assert(incr(13L) === ((1L, 0L, "z z z z")))
+  }
 }
