@@ -71,6 +71,38 @@ object TextStats {
       .select(col(groupCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Per-group token-length distribution: count/min/max/mean plus
+    * p25/p50/p75 quantiles — the corpus-health report behind length-filter
+    * threshold tuning (t5's 30/60 bounds come from a report like this one,
+    * re-run per crawl snapshot to catch drift).
+    *
+    * `exact = true` uses the exact `percentile` aggregate (linear
+    * interpolation, DuckDB `quantile_cont` parity) — it buffers each
+    * group's values, which is fine for group-level reporting but is the
+    * knob to flip at extreme cardinality: `exact = false` switches to
+    * `percentile_approx` (bounded-memory sketch, Greenwald-Khanna), the
+    * 100 TB path when groups are huge — same schema, approximate values
+    * (unit-pinned near the exact ones).
+    */
+  def lengthDistribution(
+      docs: DataFrame, groupCol: String, textCol: String, exact: Boolean = true): DataFrame = {
+    val probs = "array(0.25D, 0.5D, 0.75D)"
+    val q =
+      if (exact) expr(s"percentile(__n, $probs)")
+      else expr(s"percentile_approx(__n, $probs, 10000)").cast("array<double>")
+    docs
+      .select(col(groupCol), size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("__n")).as("min_tokens"),
+        max(col("__n")).as("max_tokens"),
+        round(avg(col("__n")), 6).as("avg_tokens"),
+        round(element_at(q, 1), 6).as("p25"),
+        round(element_at(q, 2), 6).as("p50"),
+        round(element_at(q, 3), 6).as("p75"))
+  }
+
   /** Stopword list for quality scoring / language ID. Deliberately tiny and
     * hardcoded: the point is the dataflow shape (array HOFs, no UDF), not
     * lexicography.

@@ -231,6 +231,12 @@ $bandSelects
     "t10_tfidf" -> ((s, dir) =>
       TextStats.tfIdfTopTerms(table(s, dir, "documents"), "doc_id", "text", "source", k = 10)
         .orderBy("source", "rnk")),
+    // Length-distribution report (C47): exact p25/p50/p75 per lang — the
+    // threshold-tuning twin of t5's fixed bounds. Linear interpolation
+    // matches DuckDB's quantile_cont.
+    "t11_length_dist" -> ((s, dir) =>
+      TextStats.lengthDistribution(table(s, dir, "documents"), "lang", "text")
+        .orderBy("lang")),
     "t2_quality" -> ((s, dir) =>
       TextStats.qualitySignals(
         table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
@@ -782,6 +788,19 @@ $bandSelects
         |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |       round(avg(len(string_split(text, ' '))), 4) AS avg_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t11: DuckDB quantile_cont uses the same linear interpolation as
+    // Spark's exact percentile aggregate; round(…, 6) absorbs fp noise.
+    "t11_length_dist" ->
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       CAST(min(n) AS BIGINT) AS min_tokens,
+        |       CAST(max(n) AS BIGINT) AS max_tokens,
+        |       round(avg(n), 6) AS avg_tokens,
+        |       round(quantile_cont(n, 0.25), 6) AS p25,
+        |       round(quantile_cont(n, 0.5), 6) AS p50,
+        |       round(quantile_cont(n, 0.75), 6) AS p75
+        |FROM (SELECT lang, len(string_split(text, ' ')) AS n FROM documents)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     // t10: identical tf/df/ln(N/df) arithmetic — the division is cast to
     // DOUBLE explicitly (DuckDB's BIGINT/BIGINT is integer division,
     // Spark's is double), and the rank orders by the ROUNDED score in

@@ -416,6 +416,27 @@ class PipelineSpec extends GraftSuite {
     assert(uncapped.count() === (40L * 39 / 2) + 1)
   }
 
+  test("length distribution: hand-computed quantiles, approx path tracks exact") {
+    def toks(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
+    val docs = ((1 to 5).map(k => (k.toLong, "a", toks(k))) ++
+      Seq((10L, "b", toks(10)), (11L, "b", toks(20)))).toDF("doc_id", "lang", "text")
+    val out = TextStats.lengthDistribution(docs, "lang", "text")
+      .select("lang", "n_docs", "min_tokens", "max_tokens", "avg_tokens", "p25", "p50", "p75")
+      .as[(String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    // lang a: [1,2,3,4,5] → linear-interp quartiles land on 2/3/4.
+    assert(out("a") === (("a", 5L, 1L, 5L, 3.0, 2.0, 3.0, 4.0)))
+    // lang b: [10,20] → interpolated 12.5/15/17.5.
+    assert(out("b") === (("b", 2L, 10L, 20L, 15.0, 12.5, 15.0, 17.5)))
+
+    // The 100 TB path: percentile_approx at this size is exact too.
+    val approx = TextStats.lengthDistribution(docs, "lang", "text", exact = false)
+      .select("lang", "p25", "p50", "p75").as[(String, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(math.abs(approx("a")._3 - 3.0) <= 1.0)
+    assert(math.abs(approx("b")._3 - 15.0) <= 5.0)
+  }
+
   test("tf-idf top terms: hand-computed scores, rank order, k cap") {
     val docs = Seq(
       (1L, "g1", "a a b"),
