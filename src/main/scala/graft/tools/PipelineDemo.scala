@@ -11,6 +11,7 @@ import graft.pipeline._
   * row counts printed as evidence:
   *
   *   raw → quality filter → repetition filter → exact dedup
+  *       → block strip (repeated-passage removal)
   *       → near-dup prune (cluster-resolved)
   *       → decontaminate (vs a synthetic eval set) → rebalance
   *       → per-source cap → train/val/test split → sequence packing
@@ -55,10 +56,20 @@ object PipelineDemo {
     val exact = Dedup.exact(unrepeated, "doc_id", "text").drop("n_copies")
     println(s"[demo] after exact dedup: ${exact.count()}")
 
+    // 2b. Block-level substring dedup: strip repeated PASSAGES (boilerplate,
+    //     quoted chunks) that survive whole-doc dedup; docs stripped to
+    //     nothing (pure boilerplate) drop out entirely.
+    val stripRep = Dedup.stripDuplicateBlocks(exact, "doc_id", "text")
+    val stripped = exact.drop("text")
+      .join(stripRep.filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text")), "doc_id")
+    val blocksRemoved = stripRep.agg(sum(col("n_removed"))).first().getLong(0)
+    println(s"[demo] after block strip: ${stripped.count()} ($blocksRemoved duplicate blocks removed)")
+
     // 3. Near-dup prune: jaccard pairs → cluster resolution → keep one per
     //    cluster. Scoped handle releases the shingle indexes when done.
-    val pruned = Dedup.withJaccardPairs(exact, "doc_id", "text", threshold = 0.8) { pairs =>
-      Dedup.pruneDuplicates(exact, pairs, "doc_id").localCheckpoint(true)
+    val pruned = Dedup.withJaccardPairs(stripped, "doc_id", "text", threshold = 0.8) { pairs =>
+      Dedup.pruneDuplicates(stripped, pairs, "doc_id").localCheckpoint(true)
     }
     println(s"[demo] after near-dup prune: ${pruned.count()}")
 
