@@ -160,6 +160,23 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("ResolvedHint"))
   }
 
+  test("t10 tf-idf: term-keyed joins with partial aggregation, 1-row N broadcasts") {
+    val plan = planOf("t10_tfidf")
+    // The only nested-loop is the 1-row corpus-size crossJoin, which must
+    // broadcast; tf/df fold map-side before their exchanges.
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("t11 length distribution: one aggregation, no joins") {
+    val plan = planOf("t11_length_dist")
+    assert(!plan.contains("Join"), plan.take(2000))
+    // groupBy(lang) exchange + the output orderBy — nothing else.
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"t11 plans $shuffles shuffles:\n${plan.take(2000)}")
+  }
+
   test("d15 block report: pure aggregation — no joins, skew-safe partial agg") {
     val plan = planOf("d15_dup_blocks")
     // Linear scan → block grouping → per-hash count. Any join here would
