@@ -125,4 +125,45 @@ object Sampling {
       .filter(col(rn) <= maxPerStratum)
       .drop(rn)
   }
+
+  /** EXACT-proportion stratified split: within each stratum, rank rows by
+    * the portable hash (id tiebreak — [[capPerStratum]]'s frozen-uniform
+    * ordering) and cut at `floor(cumWeight × n)` boundaries, so every
+    * stratum lands within one row of its target proportions and the last
+    * split takes the remainder. The contrast with [[split]]: hash
+    * thresholds are only proportional IN EXPECTATION and stratum-blind (a
+    * small language can land 70/30 when the corpus-wide target is 80/10/10
+    * — exactly the eval-set skew this exists to prevent), but they are
+    * append-stable; exact ranking is not (a new row shifts ranks), so use
+    * [[split]] for growing corpora and this for FROZEN snapshot cuts
+    * where per-stratum balance matters.
+    *
+    * Scale shape: one shuffle on the stratum + the rank window and a
+    * per-stratum count — the same top-N skew note as [[capPerStratum]]
+    * (a stratum's rows rank in one task; pre-thin gigantic strata).
+    */
+  def stratifiedSplit(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weights: Seq[(String, Double)],
+      seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(weights.nonEmpty, "at least one split required")
+    require(weights.forall(_._2 > 0), s"split weights must be positive: $weights")
+    val total = weights.map(_._2).sum
+    val cums = weights.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+      .map(c => BigDecimal(c).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashMode.hash(col(idCol).cast("string"), seed), col(idCol))
+    val rn = "__graft_split_rn"
+    val nc = "__graft_split_n"
+    val assigned = weights.init.zip(cums).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), c)) => acc.when(col(rn) <= floor(lit(c) * col(nc)), lit(name))
+    }.otherwise(lit(weights.last._1))
+    df.withColumn(rn, row_number().over(w))
+      .withColumn(nc, count(lit(1)).over(Window.partitionBy(col(strataCol))))
+      .withColumn("split", assigned)
+      .drop(rn, nc)
+  }
 }

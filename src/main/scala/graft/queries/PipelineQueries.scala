@@ -308,6 +308,15 @@ $bandSelects
         count(when(col("split") === "test", 1)).as("n_test"))
         .orderBy("lang")
     }),
+    // Exact-proportion stratified split (C48 / s5): per-lang hash rank
+    // cut at floor(cum × n) boundaries — every lang within one row of
+    // 80/10/10, the per-stratum balance the growth-stable s1 split can't
+    // promise.
+    "s5_stratified_split" -> ((s, dir) =>
+      Sampling.stratifiedSplit(table(s, dir, "documents"), "doc_id", "lang",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+        .groupBy("lang", "split").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")),
     // Duplicate-cluster resolution (C31): connected components over the
     // d2 near-dup pairs — transitive duplicates (a~b, b~c) collapse into
     // one cluster keyed by its minimum doc id.
@@ -1068,6 +1077,27 @@ $bandSelects
          |  FROM documents
          |) WHERE rn <= 15
          |ORDER BY doc_id""".stripMargin,
+    // s5: identical hash-then-id rank window and floor(cum × n) cuts —
+    // the cumulative boundaries (0.8, 0.9) inline as the same double
+    // literals the Scala side computes.
+    "s5_stratified_split" ->
+      s"""WITH r AS (
+         |  SELECT lang, doc_id,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${sqlHash(11, "doc_id::VARCHAR")}, doc_id) AS rn,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |  FROM documents
+         |),
+         |a AS (
+         |  SELECT lang,
+         |         CASE WHEN rn <= floor(0.8 * n) THEN 'train'
+         |              WHEN rn <= floor(0.9 * n) THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM r
+         |)
+         |SELECT lang, split, count(*) AS n FROM a
+         |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
     // t9: repetitionSignals' two-stage rollup as CTEs — the n-gram
     // families, per-(doc, n, gram) counts, the deterministic top gram
     // (count desc, gram desc — DuckDB's row_number twin of Spark's

@@ -99,4 +99,32 @@ object PipelineProps extends Properties("pipeline") {
       }.toMap
       out == expected
     }
+
+  /** Block partitioning + reassembly is lossless: with per-doc-unique
+    * tokens no block can duplicate, so the strip must return every doc's
+    * text verbatim — across random lengths, block widths, and (the risky
+    * part) short tail blocks. And on ANY corpus the removal accounting
+    * must balance: n_removed + kept blocks == n_blocks per doc.
+    */
+  property("block strip: identity on unique-token corpora, removal accounting balances") =
+    forAll(Gen.chooseNum(1, 8), Gen.chooseNum(1, 6)) { (nDocs, blockTokens) =>
+      val s = spark
+      import s.implicits._
+      val rows = (0 until nDocs).map { d =>
+        val len = d * 7 % 19 + 1 // lengths 1..19, deterministic variety
+        (d.toLong, (0 until len).map(j => s"d${d}w$j").mkString(" "))
+      }
+      val out = Dedup.stripDuplicateBlocks(rows.toDF("doc_id", "text"), "doc_id", "text",
+          blockTokens = blockTokens)
+        .select("doc_id", "n_blocks", "n_removed", "text_clean")
+        .as[(Long, Long, Long, String)].collect()
+      val identity = out.forall { case (id, _, rem, clean) =>
+        rem == 0L && clean == rows(id.toInt)._2
+      }
+      val accounting = out.forall { case (id, nb, rem, _) =>
+        val tokens = rows(id.toInt)._2.split(" ").length
+        nb == (tokens + blockTokens - 1) / blockTokens && rem >= 0 && rem <= nb
+      }
+      identity && accounting
+    }
 }

@@ -416,6 +416,26 @@ class PipelineSpec extends GraftSuite {
     assert(uncapped.count() === (40L * 39 / 2) + 1)
   }
 
+  test("stratified split hits exact per-stratum proportions, deterministically") {
+    val d = ((0L until 100L).map(i => (i, "en")) ++ (1000L until 1010L).map(i => (i, "de")))
+      .toDF("doc_id", "lang")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val out = Sampling.stratifiedSplit(d, "doc_id", "lang", w, seed = 11)
+    val counts = out.groupBy("lang", "split").count()
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // Exact: en 80/10/10, de 8/1/1 — no stratum drifts from target.
+    assert(counts === Map(
+      ("en", "train") -> 80L, ("en", "val") -> 10L, ("en", "test") -> 10L,
+      ("de", "train") -> 8L, ("de", "val") -> 1L, ("de", "test") -> 1L))
+    // Deterministic: same seed → identical assignment; the seed matters.
+    val again = Sampling.stratifiedSplit(d, "doc_id", "lang", w, seed = 11)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(again === out.select("doc_id", "split").as[(Long, String)].collect().toSet)
+    val other = Sampling.stratifiedSplit(d, "doc_id", "lang", w, seed = 12)
+      .select("doc_id", "split").as[(Long, String)].collect().toSet
+    assert(other !== again)
+  }
+
   test("length distribution: hand-computed quantiles, approx path tracks exact") {
     def toks(k: Int) = (1 to k).map(i => s"w$i").mkString(" ")
     val docs = ((1 to 5).map(k => (k.toLong, "a", toks(k))) ++
