@@ -119,6 +119,38 @@ object Similarity {
       .select(col("vid"), col("centroid_id").as("bucket"), col("__v"), col("__vn"), col("crnk"))
   }
 
+  /** The k vectors FURTHEST from their own nearest centroid — the
+    * embedding-space quality report: a vector dissimilar to every cluster
+    * center is out-of-distribution for the corpus (garbage decode, wrong
+    * language, adversarial content), and this surfaces the worst k for
+    * inspection or filtering before they pollute training.
+    *
+    * Scale shape: centroids broadcast (k×dim), per-vector scoring is
+    * map-side; the nearest-centroid pick shuffles (vid, c) scored rows
+    * once, and the global bottom-k plans as TakeOrdered — no full sort,
+    * no driver-side data beyond the k-row result.
+    *
+    * @return (vec_id, bucket, csim) — the assigned centroid and its
+    *         rounded cosine, ascending (worst first), vec_id tiebreak.
+    */
+  def centroidOutliers(
+      vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val dp = dotOn(vectors.sparkSession)
+    val vecs = withNorm(vectors, idCol, vecCol, "vec_id", "__v", "__vn")
+    val cents = withNorm(centroids, idCol, vecCol, "centroid_id", "__c", "__cn")
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("centroid_id"))
+    vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(dp(col("__v"), col("__c")) / (col("__vn") * col("__cn")), 6))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("centroid_id").as("bucket"), col("csim"))
+      .orderBy(col("csim").asc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= threshold, found WITHIN centroid buckets — the IVF trick
     * applied to dedup. Near-identical vectors point the same way, so they

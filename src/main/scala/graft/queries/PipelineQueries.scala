@@ -283,6 +283,13 @@ $bandSelects
         embNearAug(s, dir), embNearAug(s, dir).filter(col("vec_id") < 8),
         "vec_id", "embedding", threshold = 0.8, bucketCap = EmbBucketCap)
         .orderBy("vec_a", "vec_b")),
+    // Centroid-distance outlier report (C49 / e7): the 25 vectors least
+    // similar to their own nearest centroid — the embedding-space OOD /
+    // garbage surfacing step; e2's assignment, global bottom-k.
+    "e7_centroid_outliers" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      Similarity.centroidOutliers(v, v.filter(col("vec_id") < 8), "vec_id", "embedding", k = 25)
+    }),
     // Random-hyperplane LSH near-dup (C43 / e6): e3's planted fixture
     // through the data-INdependent detector — sign signatures against
     // deterministic ±1 planes, banded buckets, exact-cosine verify. No
@@ -961,6 +968,24 @@ $bandSelects
         |)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.8
         |ORDER BY vec_a, vec_b""".stripMargin,
+    // e7: e2's assignment CTEs, then ascending csim with vec_id tiebreak,
+    // LIMIT 25 — same rounded doubles, same total order.
+    "e7_centroid_outliers" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, csim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |)
+        |SELECT vid AS vec_id, bucket, csim FROM b
+        |ORDER BY csim, vec_id LIMIT 25""".stripMargin,
     // e6: the IDENTICAL ±1 plane matrix (Similarity.hyperplanes is
     // deterministic, so the generator inlines it as list literals), sign
     // bits via the same left-to-right double fold Spark's native dot

@@ -473,6 +473,21 @@ class PipelineSpec extends GraftSuite {
       ("g2", "b", 3L, 2L, 1.216395, 1)))
   }
 
+  test("centroid outliers surface the planted OOD vector first") {
+    // Two axis clusters; vec 50 points into the corner away from both —
+    // its nearest-centroid similarity is the corpus minimum.
+    val vecs = ((0L until 5L).map(i => (i, Array(1.0f, 0.02f * i, 0.0f))) ++
+      (10L until 15L).map(i => (i, Array(0.0f, 1.0f, 0.02f * (i - 10)))) ++
+      Seq((50L, Array(-1.0f, -1.0f, 5.0f)))).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.centroidOutliers(vecs, cents, "vec_id", "embedding", k = 3)
+      .select("vec_id", "csim").as[(Long, Double)].collect()
+    assert(out.length === 3) // k cap respected
+    assert(out.head._1 === 50L) // worst first
+    assert(out.head._2 < out(1)._2 || (out.head._2 == out(1)._2 && out.head._1 < out(1)._1))
+  }
+
   test("hyperplane LSH finds planted duplicates without any centroid model") {
     // Deterministic plane matrix: same seed → same ±1 entries; different
     // seed → a different matrix.
