@@ -899,6 +899,51 @@ object Dedup {
     reassembleKept(docs, firstOccurrenceOf(blocks), idCol, textCol, blockTokens)
   }
 
+  /** Boilerplate-block removal — the document-frequency POLICY over the
+    * same block partitioning as [[stripDuplicateBlocks]]: a block whose
+    * content occurs in at least `minDocs` DISTINCT documents is
+    * boilerplate (license headers, navigation chrome, templated
+    * paragraphs) and is dropped from EVERY document — first occurrence
+    * included. That is the line-dedup policy of CCNet / RefinedWeb made
+    * block-granular, and the contrast with [[stripDuplicateBlocks]] is
+    * the point: dedup keeps the globally-first copy (the content is
+    * worth one appearance), boilerplate removal keeps none (chrome is
+    * worth zero). A block repeated only WITHIN one document is NOT
+    * boilerplate under this criterion (that is C38's repetition signal)
+    * — the df count is per distinct document, so it survives here.
+    *
+    * Scale shape: identical to the strip — linear in corpus tokens, no
+    * pairwise joins. The common-block frame is the df aggregation's
+    * output filtered to df ≥ minDocs (boilerplate is by definition a
+    * tiny fraction of distinct block contents), and the keep decision is
+    * one hash-keyed LEFT ANTI join against it; map-side partial
+    * aggregation collapses mega-duplicated hashes before the df
+    * exchange, so a block pasted into a billion pages costs one row per
+    * map task, not a skewed reduce.
+    *
+    * @return one row per input document:
+    *         (idCol, n_blocks, n_removed, text_clean) — text_clean is ""
+    *         for a document that was pure boilerplate.
+    */
+  def stripCommonBlocks(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Int = 2,
+      blockTokens: Int = 16,
+      hashMode: HashMode = HashMode.Md5Portable,
+      seed: Int = 21): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val blocks = tokenBlocks(docs, idCol, textCol, blockTokens, hashMode, seed)
+    val common = blocks
+      .groupBy("h")
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") >= minDocs)
+      .select("h")
+    reassembleKept(docs, blocks.join(common, Seq("h"), "left_anti"),
+      idCol, textCol, blockTokens)
+  }
+
   /** Keep only each hash's globally-first (id, block_idx) occurrence —
     * the skew-safe groupBy-min canonical pick (map-side combine collapses
     * mega-duplicated hashes before the exchange; a row_number window over

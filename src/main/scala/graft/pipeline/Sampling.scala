@@ -166,4 +166,36 @@ object Sampling {
       .withColumn("split", assigned)
       .drop(rn, nc)
   }
+
+  /** Deterministic epoch shuffle: assign every row a (shard, ord) pair —
+    * `shard` = portable hash mod `numShards`, `ord` = rank within the
+    * shard by (hash, id) — so that writing shard-partitioned, ord-sorted
+    * files yields a reproducible GLOBAL random visit order for training
+    * (read shards in order, rows in ord order). A new `epochSeed` is a
+    * fresh independent permutation; the same seed replays the epoch
+    * exactly on any run, engine, or cluster size — the property
+    * `df.orderBy(rand())` cannot give you, and the reason shuffling
+    * belongs in the curation layer instead of the trainer's RAM.
+    *
+    * Scale shape: NO global sort — one shuffle on the shard id plus a
+    * per-shard window sort, each shard a task-sized slice (pick
+    * numShards ≈ corpus / target file size; hash sharding makes them
+    * uniform). Like [[capPerStratum]]'s ranking, the assignment is not
+    * append-stable — an exact permutation cannot be — so shuffle a
+    * frozen snapshot, once per epoch.
+    */
+  def epochShuffle(
+      df: DataFrame,
+      idCol: String,
+      numShards: Int,
+      epochSeed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    val h = hashMode.hash(col(idCol).cast("string"), epochSeed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.withColumn("__h", h)
+      .withColumn("shard", (col("__h") % numShards).cast("int"))
+      .withColumn("ord", row_number().over(w).cast("long"))
+      .drop("__h")
+  }
 }

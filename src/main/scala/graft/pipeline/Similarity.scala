@@ -764,4 +764,53 @@ object Similarity {
       round(sqrt(err2), 6).as("recon_err"))
       .withColumn("scale", round(col("scale"), 6))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): deduplicate the corpus in
+    * EMBEDDING space — find within-centroid-bucket vector pairs with
+    * cosine ≥ `threshold`, resolve them into duplicate groups, and keep
+    * exactly one representative (minimum id) per group plus every
+    * unpaired vector. This catches paraphrases, re-renders, and
+    * translations-of-boilerplate that the lexical d-family (shingle /
+    * minhash / simhash) cannot see — different words, same meaning — for
+    * the cost of the embedding pass the corpus already paid.
+    *
+    * Composition, not new machinery: [[cosineNearDupPairsHandle]]
+    * generates the pair frame (centroid-bucketed self-join under an
+    * occupancy cap — never corpus²), [[Dedup.pruneDuplicates]] resolves
+    * transitive duplicate groups (BSP min-label propagation, one job per
+    * round) and LEFT ANTI joins the corpus against the non-canonical
+    * members — the embedding-space instance of the d10 keep-one pipeline.
+    *
+    * Scale shape inherits both parents: centroids broadcast, one shuffle
+    * on the bucket id, pair fan-out bounded by `bucketCap`; the cluster
+    * frame holds only PAIRED vectors (≪ corpus) and is checkpointed, so
+    * the persisted bucket assignment is released on return while the
+    * result stays evaluable; the final prune is one id-keyed anti-join
+    * the corpus streams through. Every column of `vectors` passes
+    * through untouched.
+    *
+    * @param centroids cluster model — [[trainCentroids]] output or any
+    *                  frame of (idCol, vecCol) rows; granularity knob:
+    *                  more centroids → smaller buckets → cheaper pairs
+    *                  but near-dups straddling a boundary escape (the
+    *                  standard SemDeDup recall trade).
+    * @return `vectors` minus non-canonical duplicate-group members.
+    */
+  def semDedup(
+      vectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      bucketCap: Int = 10000,
+      maxIters: Int = 30): DataFrame = {
+    val h = cosineNearDupPairsHandle(vectors, centroids, idCol, vecCol, threshold, bucketCap)
+    // pruneDuplicates checkpoints the cluster frame inside the call, so
+    // releasing the handle's persisted bucket assignment afterwards leaves
+    // the returned (lazy) anti-join evaluable — the withJaccardPairs
+    // contract the d10 query relies on.
+    try Dedup.pruneDuplicates(vectors, h.pairs, idCol, maxIters, "vec_a", "vec_b")
+    finally h.release()
+  }
 }

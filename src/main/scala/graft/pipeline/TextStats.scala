@@ -258,4 +258,75 @@ object TextStats {
       .agg((topCols ++ dupCols).head, (topCols ++ dupCols).tail: _*)
       .drop("n_chars")
   }
+
+  /** Unigram language-model term counts over a reference corpus — the
+    * "model" side of [[unigramNllAgainst]]. One aggregation with
+    * map-side combine; the output is vocabulary-sized (grows with
+    * distinct terms, not corpus size), the frame you persist or write
+    * once and score every crawl snapshot against.
+    *
+    * @return (term, cw) — raw term occurrence counts.
+    */
+  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cw"))
+
+  /** Per-document negative log-likelihood under an add-k-smoothed
+    * unigram language model — the scalable stand-in for the KenLM
+    * perplexity filter of CCNet (Wenzek et al. 2020): documents scoring
+    * far from the reference distribution (wrong language, gibberish,
+    * boilerplate soup) surface with high `avg_nll`, and a percentile
+    * cut over this column is the classic head/middle/tail quality
+    * split. Smoothing keeps out-of-vocabulary tokens finite:
+    * p(w) = (c(w) + k) / (N + k·V) with c = 0 for unseen terms.
+    *
+    * Determinism contract: the per-document sum of ln p(w) folds the
+    * token scores in POSITION order (sorted collect + left fold, the
+    * e5 pattern) — a distributed float `sum()` would be
+    * partition-order-dependent and break run-to-run and cross-engine
+    * reproducibility at the 1e-15 level that rounding cannot always
+    * absorb at document lengths.
+    *
+    * Scale shape: one token explode feeds the score join; the model is
+    * vocabulary-sized and joined on the term key (equi-join with
+    * partial-aggregated fan-in; broadcast it when the vocabulary fits),
+    * totals are a 1-row broadcast (the t10 N pattern); the per-doc fold
+    * buffers one document's scores — bounded by document length, never
+    * corpus size.
+    *
+    * @param model (term, cw) counts from [[unigramCounts]] — typically a
+    *              trusted reference corpus, not `docs` itself.
+    * @return (idCol, n_tokens, avg_nll) — avg_nll rounded to 6; lower is
+    *         more reference-like; exp(avg_nll) is the perplexity.
+    */
+  def unigramNllAgainst(
+      docs: DataFrame, model: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"addK must be > 0 (smoothing keeps OOV finite), got $addK")
+    val totals = model.agg(
+      sum(col("cw")).as("__n"), count(lit(1)).as("__v"))
+    val tok = docs.select(
+      col(idCol).as("id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    tok
+      .join(model.select(col("term").as("w"), col("cw")), Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lnp",
+        log((coalesce(col("cw"), lit(0L)) + lit(addK)) / (col("__n") + lit(addK) * col("__v"))))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** [[unigramNllAgainst]] with the model trained on `docs` itself —
+    * self-perplexity, the no-reference-corpus bootstrap: outliers against
+    * the corpus's own distribution are still the junk you inspect first.
+    */
+  def unigramNll(
+      docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0): DataFrame =
+    unigramNllAgainst(docs, unigramCounts(docs, textCol), idCol, textCol, addK)
 }

@@ -97,6 +97,19 @@ $bandSelects
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zq zq zq")).as("text")))
   }
 
+  /** d18 fixture: a 16-token boilerplate header (exactly one block, so
+    * the document's own blocks keep their partition alignment) prepended
+    * to every 5th document — ~20% of the corpus shares one chrome block
+    * while every content block stays unique. The oracle inlines the same
+    * literal.
+    */
+  private val BoilHeader: String = Seq.fill(BlockTokens)("bp").mkString(" ")
+
+  private def docsBoilAug(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(lit(BoilHeader + " "), col("text")))
+        .otherwise(col("text")).as("text"))
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,6 +194,42 @@ $bandSelects
         "doc_id", "text", BlockTokens)
         .orderBy("doc_id")
     }),
+    // Boilerplate-block removal (C51 / d18): the df-threshold POLICY over
+    // the block partitioning — the chrome header planted in every 5th doc
+    // (df ≈ 100) is dropped from ALL carriers, first occurrence included,
+    // while every unique content block survives. Contrast d16: dedup
+    // keeps the first copy; boilerplate removal keeps none.
+    "d18_strip_common_blocks" -> ((s, dir) =>
+      Dedup.stripCommonBlocks(docsBoilAug(s, dir), "doc_id", "text",
+        minDocs = 3, blockTokens = BlockTokens)
+        .orderBy("doc_id")),
+    // SemDeDup (C50 / e8): semantic keep-one-per-duplicate-group over the
+    // planted near-dup embedding fixture — e3's bucketed pair generation
+    // composed with d10's cluster-resolution + LEFT ANTI prune. Every
+    // planted perturbed copy (+10000) loses to its lower-id original.
+    "e8_semdedup" -> ((s, dir) => {
+      val v = embNearAug(s, dir)
+      Similarity.semDedup(v, v.filter(col("vec_id") < 8), "vec_id", "embedding",
+        threshold = 0.8, bucketCap = EmbBucketCap)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+    // Unigram-LM perplexity scoring (C52 / t12): per-doc avg negative
+    // log-likelihood under the corpus's own add-1-smoothed unigram model
+    // — the CCNet-style quality score whose percentile cut makes the
+    // head/middle/tail split. Position-ordered fold keeps the float sum
+    // deterministic cross-engine.
+    "t12_unigram_nll" -> ((s, dir) =>
+      TextStats.unigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // Deterministic epoch shuffle (C53 / s6): (shard, ord) assignment
+    // whose shard-ordered read-back is a reproducible global random visit
+    // order — seed = epoch. No global sort: hash sharding + per-shard
+    // rank windows.
+    "s6_epoch_shuffle" -> ((s, dir) =>
+      Sampling.epochShuffle(table(s, dir, "documents").select("doc_id"),
+        "doc_id", numShards = 8, epochSeed = 17)
+        .orderBy("shard", "ord")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -1268,6 +1317,112 @@ $bandSelects
          |       coalesce(a.text_clean, '') AS text_clean
          |FROM base b LEFT JOIN agg a USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    // d18: same block CTEs over the boilerplate fixture; the policy is a
+    // df-threshold HAVING + ANTI JOIN (drop every occurrence) instead of
+    // d16's row_number canonical pick (keep the first).
+    "d18_strip_common_blocks" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 5 = 0 THEN '$BoilHeader ' || text ELSE text END AS text
+         |  FROM documents
+         |),
+         |$blockCtes,
+         |common AS (SELECT h FROM bh GROUP BY h HAVING count(DISTINCT doc_id) >= 3),
+         |kept AS (SELECT bh.* FROM bh ANTI JOIN common USING (h)),
+         |agg AS (
+         |  SELECT doc_id, string_agg(block, ' ' ORDER BY block_idx) AS text_clean,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id
+         |),
+         |base AS (
+         |  SELECT doc_id,
+         |         (len(string_split(text, ' ')) + ${BlockTokens - 1}) // $BlockTokens AS n_blocks
+         |  FROM d
+         |)
+         |SELECT b.doc_id, b.n_blocks,
+         |       b.n_blocks - coalesce(a.n_kept, 0) AS n_removed,
+         |       coalesce(a.text_clean, '') AS text_clean
+         |FROM base b LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+    // e8: e3's pair CTEs (same fixture, same rounded sims), then d10's
+    // recursive min-label reachability + NOT IN keep — the semantic
+    // instance of the keep-one-per-cluster tail.
+    "e8_semdedup" ->
+      s"""WITH RECURSIVE v AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01)
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |),
+         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+         |a AS (
+         |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+         |         round(list_dot_product(e, ce)
+         |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+         |  FROM v CROSS JOIN c
+         |),
+         |b AS (
+         |  SELECT vid, centroid_id AS bucket, e FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+         |  ) WHERE crnk = 1
+         |),
+         |bc AS (
+         |  SELECT vid, bucket, e FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY bucket) AS occ FROM b
+         |  ) WHERE occ <= $EmbBucketCap
+         |),
+         |vp AS (
+         |  SELECT vec_a, vec_b FROM (
+         |    SELECT x.vid AS vec_a, y.vid AS vec_b,
+         |           round(list_dot_product(x.e, y.e)
+         |                 / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
+         |    FROM bc x JOIN bc y ON x.bucket = y.bucket AND x.vid < y.vid
+         |  ) WHERE sim >= 0.8
+         |),
+         |edges AS (
+         |  SELECT vec_a AS a, vec_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT vec_b, vec_a FROM vp
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |),
+         |clus AS (SELECT src AS vid, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT vec_id FROM v
+         |WHERE vec_id NOT IN (SELECT vid FROM clus WHERE vid <> cluster_id)
+         |ORDER BY vec_id""".stripMargin,
+    // t12: identical add-1 unigram arithmetic (DOUBLE division, ln), and
+    // the SAME position-ordered left fold for the per-doc sum — list()
+    // with ORDER BY + list_reduce mirrors Spark's sorted-collect +
+    // aggregate(0.0, +). 0.0 + x0 == x0 exactly, so the no-init
+    // list_reduce fold is bit-identical.
+    "t12_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+        |),
+        |counts AS (SELECT w, count(*) AS cw FROM ex GROUP BY w),
+        |totals AS (SELECT sum(cw) AS n, count(*) AS v FROM counts),
+        |scored AS (
+        |  SELECT ex.doc_id, ex.pos,
+        |         ln((counts.cw + 1.0) / (totals.n + 1.0 * totals.v)) AS lnp
+        |  FROM ex JOIN counts USING (w) CROSS JOIN totals
+        |),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // s6: identical portable hash, mod-shard, and per-shard rank window.
+    "s6_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, ${sqlHash(17, "doc_id::VARCHAR")} AS hv FROM documents)
+         |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
+         |       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS ord
+         |FROM h ORDER BY shard, ord""".stripMargin,
     "d16_strip_dup_blocks" ->
       s"""WITH $nearAugCte,
          |$blockCtes,

@@ -10,14 +10,21 @@ import graft.pipeline._
   * actually goes through, each stage one library operator, with per-stage
   * row counts printed as evidence:
   *
-  *   raw → quality filter → repetition filter → exact dedup
+  *   raw → quality filter → repetition filter → perplexity gate
+  *       → exact dedup → boilerplate strip (common-block removal)
   *       → block strip (repeated-passage removal)
   *       → near-dup prune (cluster-resolved)
   *       → decontaminate (vs a synthetic eval set) → rebalance
   *       → per-source cap → train/val/test split → sequence packing
+  *       → epoch shuffle (reproducible training order)
   *
-  * Every stage consumes the previous stage's frame — one lazy plan per
-  * stage boundary, no driver-side row data. Run:
+  * Every stage consumes the previous stage's frame; stages that
+  * reference their input more than once (model-vs-corpus joins, block
+  * reassembly, pair self-joins) are materialized at the boundary
+  * (`localCheckpoint`) — the demo-scale analog of the intermediate
+  * parquet a production pipeline writes between stages, and without it
+  * the chained multi-reference plans grow geometrically. No driver-side
+  * row data. Run:
   *   sbt "runMain graft.tools.PipelineDemo [sfDir]"
   */
 object PipelineDemo {
@@ -52,17 +59,42 @@ object PipelineDemo {
     val unrepeated = quality.join(repOk, Seq("doc_id"), "left_semi")
     println(s"[demo] after repetition filter: ${unrepeated.count()}")
 
+    // 1c. Perplexity gate (CCNet-style): score every doc against the
+    //     corpus's own unigram model and drop the worst 1% tail — the
+    //     distribution outliers (gibberish, wrong-language) whose fixed
+    //     thresholds the quality filter can't know in advance.
+    val nll = TextStats.unigramNll(unrepeated, "doc_id", "text")
+    val cut = nll.agg(expr("percentile(avg_nll, 0.99)").as("__cut"))
+    val fluent = unrepeated.join(
+      nll.crossJoin(broadcast(cut)).filter(col("avg_nll") <= col("__cut")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // gate references `unrepeated` 3× (corpus + self-trained model)
+    println(s"[demo] after perplexity gate: ${fluent.count()}")
+
     // 2. Exact dedup (content hash) — collapses byte-identical copies.
-    val exact = Dedup.exact(unrepeated, "doc_id", "text").drop("n_copies")
+    val exact = Dedup.exact(fluent, "doc_id", "text").drop("n_copies")
     println(s"[demo] after exact dedup: ${exact.count()}")
+
+    // 2a. Boilerplate strip: blocks carried by >= 3 DISTINCT docs are
+    //     chrome and every occurrence goes (must run BEFORE the dedup
+    //     strip — that keeps first occurrences, which would hide the
+    //     df signal this policy keys on).
+    val boilRep = Dedup.stripCommonBlocks(exact, "doc_id", "text", minDocs = 3)
+    val deboiled = exact.drop("text")
+      .join(boilRep.filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text")), "doc_id")
+      .localCheckpoint(true) // strip references `exact` 3× (blocks + reassembly + join-back)
+    val boilRemoved = boilRep.agg(sum(col("n_removed"))).first().getLong(0)
+    println(s"[demo] after boilerplate strip: ${deboiled.count()} ($boilRemoved boilerplate blocks removed)")
 
     // 2b. Block-level substring dedup: strip repeated PASSAGES (boilerplate,
     //     quoted chunks) that survive whole-doc dedup; docs stripped to
     //     nothing (pure boilerplate) drop out entirely.
-    val stripRep = Dedup.stripDuplicateBlocks(exact, "doc_id", "text")
-    val stripped = exact.drop("text")
+    val stripRep = Dedup.stripDuplicateBlocks(deboiled, "doc_id", "text")
+    val stripped = deboiled.drop("text")
       .join(stripRep.filter(col("text_clean") =!= "")
         .select(col("doc_id"), col("text_clean").as("text")), "doc_id")
+      .localCheckpoint(true) // same 3× shape; the near-dup pair self-join doubles it again
     val blocksRemoved = stripRep.agg(sum(col("n_removed"))).first().getLong(0)
     println(s"[demo] after block strip: ${stripped.count()} ($blocksRemoved duplicate blocks removed)")
 
@@ -108,6 +140,19 @@ object PipelineDemo {
       .collect().map(r => s"${r.getString(0)}: ${r.getLong(1)} packs / ${r.getLong(2)} tokens")
       .mkString("; ")
     println(s"[demo] packed: $packStats")
+
+    // 8. Epoch shuffle: freeze a reproducible random visit order for the
+    //    train slice — shard-partitioned, rank-ordered; a new epoch seed
+    //    is a fresh permutation of the same rows.
+    val train = split.filter(col("split") === "train")
+    val epoch1 = Sampling.epochShuffle(train, "doc_id", numShards = 4, epochSeed = 1)
+    val shardSizes = epoch1.groupBy("shard").count().orderBy("shard")
+      .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(", ")
+    val firstDoc = (e: Int) =>
+      Sampling.epochShuffle(train, "doc_id", numShards = 4, epochSeed = e)
+        .filter(col("shard") === 0 && col("ord") === 1).select("doc_id").first().getLong(0)
+    println(s"[demo] epoch shuffle: shard sizes {$shardSizes}; " +
+      s"epoch1 leads with doc ${firstDoc(1)}, epoch2 with doc ${firstDoc(2)}")
 
     spark.stop()
   }

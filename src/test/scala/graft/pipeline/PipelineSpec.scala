@@ -1015,4 +1015,97 @@ class PipelineSpec extends GraftSuite {
     assert(incr(12L) === ((2L, 1L, "k k k k")))
     assert(incr(13L) === ((1L, 0L, "z z z z")))
   }
+
+  test("common-block strip drops boilerplate from EVERY carrier, keeps sub-threshold blocks") {
+    val corpus = Seq(
+      (1L, "h h h h a a a a"), // header + own content
+      (2L, "h h h h b b b b"), // header + own content
+      (3L, "h h h h c c c c"), // header + own content
+      (4L, "d d d d e e e e"), // no header
+      (5L, "d d d d f f f f"), // shares "d d d d" with doc 4 only (df=2 < 3)
+      (6L, "g g g g g g g g")  // within-doc repeat, single doc (df=1)
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripCommonBlocks(corpus, "doc_id", "text", minDocs = 3, blockTokens = 4)
+      .select("doc_id", "n_blocks", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // The header block (df=3) is dropped from ALL THREE carriers — the
+    // first occurrence too, the policy difference vs stripDuplicateBlocks.
+    assert(out(1L) === ((2L, 1L, "a a a a")))
+    assert(out(2L) === ((2L, 1L, "b b b b")))
+    assert(out(3L) === ((2L, 1L, "c c c c")))
+    // df=2 < minDocs=3: both carriers keep it.
+    assert(out(4L) === ((2L, 0L, "d d d d e e e e")))
+    assert(out(5L) === ((2L, 0L, "d d d d f f f f")))
+    // Within-doc repetition is ONE distinct document: not boilerplate here.
+    assert(out(6L) === ((2L, 0L, "g g g g g g g g")))
+    // Same corpus under the dedup policy: doc 1 would KEEP the header.
+    val dedup = Dedup.stripDuplicateBlocks(corpus, "doc_id", "text", blockTokens = 4)
+      .filter($"doc_id" === 1L).select("text_clean").as[String].head()
+    assert(dedup === "h h h h a a a a")
+  }
+
+  test("semDedup keeps one representative per semantic group, passes unpaired columns through") {
+    // 2-D toy embedding space: an exact-duplicate trio along +x, a
+    // near-duplicate pair along +y (cos > 0.95), and a lone diagonal.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(2.0f, 0.0f), "b"),   // same direction as 1
+      (3L, Array(3.0f, 0.001f), "c"), // cos ~1 with 1,2
+      (10L, Array(0.0f, 1.0f), "d"),
+      (11L, Array(0.02f, 1.0f), "e"), // cos ~0.9998 with 10
+      (20L, Array(1.0f, 1.0f), "f")   // cos ~0.707 to both groups: unpaired
+    ).toDF("vec_id", "embedding", "tag")
+    val cents = Seq(
+      (100L, Array(1.0f, 0.1f)), (101L, Array(0.1f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.semDedup(vecs, cents, "vec_id", "embedding", threshold = 0.95)
+      .select("vec_id", "tag").as[(Long, String)].collect().toMap
+    // min-id representative per group + the unpaired vector; every input
+    // column survives the prune.
+    assert(kept === Map(1L -> "a", 10L -> "d", 20L -> "f"))
+  }
+
+  test("unigram NLL: hand-computed add-1 scores, OOV scored finite against a reference model") {
+    // Model corpus: 4 tokens total, 2 distinct (x:3, y:1). V=2, N=4.
+    val ref = Seq((1L, "x x x y")).toDF("doc_id", "text")
+    val model = TextStats.unigramCounts(ref, "text")
+    assert(model.as[(String, Long)].collect().toMap === Map("x" -> 3L, "y" -> 1L))
+    // p(x) = (3+1)/(4+2) = 2/3; p(y) = (1+1)/6 = 1/3; p(oov) = 1/6.
+    val scored = TextStats.unigramNllAgainst(
+      Seq((10L, "x y"), (11L, "z z")).toDF("doc_id", "text"),
+      model, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val nll = (p: Seq[Double]) =>
+      BigDecimal(-p.map(math.log).sum / p.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(scored(10L) === ((2L, nll(Seq(2.0 / 3, 1.0 / 3)))))
+    assert(scored(11L) === ((2L, nll(Seq(1.0 / 6, 1.0 / 6))))) // OOV: finite, high
+    assert(scored(11L)._2 > scored(10L)._2) // junk scores worse
+    // Self-trained convenience form agrees with the explicit composition.
+    val self = TextStats.unigramNll(ref, "doc_id", "text").as[(Long, Long, Double)].head()
+    assert(self === ((1L, 4L, nll(Seq(2.0 / 3, 2.0 / 3, 2.0 / 3, 1.0 / 3)))))
+    intercept[IllegalArgumentException] {
+      TextStats.unigramNllAgainst(ref, model, "doc_id", "text", addK = 0.0)
+    }
+  }
+
+  test("epoch shuffle: exact permutation per shard, deterministic, fresh order per seed") {
+    val d = (1L to 200L).toDF("doc_id")
+    val a = Sampling.epochShuffle(d, "doc_id", numShards = 4, epochSeed = 1)
+      .select("doc_id", "shard", "ord").as[(Long, Int, Long)].collect()
+    // Every row exactly once; shards in range; ord contiguous 1..n per shard.
+    assert(a.map(_._1).sorted === (1L to 200L).toArray)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 4))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.length).toArray)
+    }
+    // Deterministic replay; a new seed is a different permutation.
+    val b = Sampling.epochShuffle(d, "doc_id", numShards = 4, epochSeed = 1)
+      .select("doc_id", "shard", "ord").as[(Long, Int, Long)].collect()
+    assert(a.sorted === b.sorted)
+    val c = Sampling.epochShuffle(d, "doc_id", numShards = 4, epochSeed = 2)
+      .select("doc_id", "shard", "ord").as[(Long, Int, Long)].collect()
+    assert(c.sorted !== a.sorted)
+  }
 }
