@@ -201,4 +201,42 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("Window"), plan.take(2000))
     assert(plan.contains("partial_min"), plan.take(2000))
   }
+
+  test("d18 boilerplate strip: hash-keyed joins only, df agg folds map-side") {
+    val plan = planOf("d18_strip_common_blocks")
+    // The policy is a df aggregation + one anti join per carrier block —
+    // a pairwise plan here would mean the linear scale shape was lost.
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // countDistinct(doc_id) must partially aggregate below its exchange so
+    // a block pasted into every page collapses map-side, not on one reducer.
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("e8 semdedup: bucketed pair generation + anti-join prune, never all-pairs") {
+    val plan = planOf("e8_semdedup")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // The keep-one prune is the id-keyed LEFT ANTI the corpus streams through.
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("t12 unigram NLL: term-keyed equi-join, 1-row totals broadcast, no all-pairs") {
+    val plan = planOf("t12_unigram_nll")
+    // The only permitted nested-loop is the 1-row (N, V) totals crossJoin,
+    // and it must BROADCAST — anything else would shuffle the token stream.
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("BroadcastExchange"), plan.take(2000))
+    // The model side folds term counts map-side before its exchange.
+    assert(plan.contains("partial_count"), plan.take(2000))
+  }
+
+  test("s6 epoch shuffle: one shard exchange + per-shard local sorts — no global sort, no join") {
+    val plan = planOf("s6_epoch_shuffle")
+    assert(!plan.contains("Join"), plan.take(2000))
+    // One hash exchange on the shard id for the rank window; the trailing
+    // oracle orderBy adds the only range exchange. A third shuffle (or a
+    // single-partition exchange) would mean the permutation went global.
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).size
+    assert(shuffles <= 2, s"s6 plans $shuffles shuffles:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+  }
 }
