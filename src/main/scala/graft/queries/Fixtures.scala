@@ -66,23 +66,31 @@ object Fixtures {
     failed.foreach(scratchRoots.add)
   }
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark's vectorized reader rejects. Read the nanos as long and convert
-    * to micros TIMESTAMP_NTZ — the same truncation DuckDB applies, keeping
-    * oracle parity.
+  /** The events table's `ts` parquet type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark's vectorized reader only
+    * accepts as a raw long under `nanosAsLong`) vs TIMESTAMP(MICROS)
+    * (read natively as TIMESTAMP_NTZ). Normalize either to micros
+    * TIMESTAMP_NTZ — the same granularity DuckDB's `epoch_us(ts)` oracle
+    * side uses, keeping oracle parity.
     *
-    * REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true` on the session.
-    * The graft mains (Verify/Bench) and the test base set it at session
-    * construction; for any other session this sets it when its EFFECTIVE
-    * value is not already "true" (ADVICE r2 #1: `getOption` on a registered
-    * SQLConf falls back to the entry default and never returns None, so an
-    * is-unset guard is dead code — the guard must compare values).
+    * The nanos branch REQUIRES `spark.sql.legacy.parquet.nanosAsLong=true`
+    * on the session. The graft mains (Verify/Bench) and the test base set
+    * it at session construction; for any other session this sets it when
+    * its EFFECTIVE value is not already "true" (ADVICE r2 #1: `getOption`
+    * on a registered SQLConf falls back to the entry default and never
+    * returns None, so an is-unset guard is dead code — the guard must
+    * compare values).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     if (spark.conf.get(key, "false") != "true") spark.conf.set(key, "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 
   /** Target slice of orders: 90% of keys, a third of the prices perturbed. */
