@@ -52,6 +52,32 @@ object Multimodal {
       .withColumn("n_frames", (lit(1) + pmod(n, lit(16))).cast("int"))
   }
 
+  /** Uniform frame sampling over decoded video metadata: emit at most
+    * `maxSamples` evenly-strided frame indices per asset, each with the
+    * byte offset a raw-RGB frame store would seek to (offset arithmetic is
+    * part of the stub contract; a real container format replaces it with
+    * its own index lookup). The step is `ceil(n_frames / maxSamples)`
+    * computed in integer arithmetic, so every engine derives the identical
+    * sample set.
+    *
+    * Scale shape: map-only `sequence` + `explode`, fan-out ≤ maxSamples
+    * per asset — no shuffle; the downstream per-frame decode inherits the
+    * corpus partitioning.
+    */
+  def sampleFrames(decoded: DataFrame, idCol: String, maxSamples: Int): DataFrame = {
+    require(maxSamples >= 1, s"maxSamples must be >= 1, got $maxSamples")
+    val step = floor((col("n_frames") + (maxSamples - 1)) / maxSamples).cast("int")
+    decoded
+      .select(col(idCol), col("width"), col("height"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, step)).as("frame_idx"))
+      .select(
+        col(idCol),
+        col("n_frames"),
+        col("frame_idx"),
+        (col("frame_idx").cast("long") * col("width") * col("height") * 3L)
+          .as("byte_offset"))
+  }
+
   /** Batch feature extraction via `mapPartitions` — the escape hatch for
     * per-row imperative decode logic that cannot be an expression (e.g. a
     * native codec handle reused across a partition). Opens one "decoder"

@@ -58,4 +58,43 @@ object Packing {
       .withColumn("pack_id", floor(col("__cum") / budget).cast("long"))
       .drop("__cum")
   }
+
+  /** Sliding token-window chunking: split each document into
+    * `chunkTokens`-token windows whose starts advance by `stride` tokens
+    * (overlap = chunkTokens − stride when stride < chunkTokens) — the
+    * context-window prep that turns long documents into model-sized
+    * pieces while overlapping enough to avoid cutting facts at hard
+    * boundaries. The final window is partial (`n_tokens < chunkTokens`)
+    * rather than padded; padding policy belongs to the trainer.
+    *
+    * Scale shape: map-only — tokenize, `sequence` over window starts,
+    * `posexplode` — no shuffle, no window sort; fan-out per document is
+    * ceil(n/stride), bounded by document length.
+    *
+    * @return one row per (document, window): `(id, chunk_idx,
+    *         chunk_start, n_tokens, chunk_text)` with `chunk_idx` dense
+    *         from 0 and `chunk_start = chunk_idx * stride`.
+    */
+  def chunk(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      stride: Int): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1, got $chunkTokens")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val toks = TextOps.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("__toks"), size(toks).as("__n"))
+      .select(col(idCol), col("__toks"), col("__n"),
+        posexplode(sequence(lit(0), greatest(col("__n") - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_idx", "chunk_start")))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        col("chunk_start"),
+        least(lit(chunkTokens), col("__n") - col("chunk_start")).as("n_tokens"),
+        array_join(slice(col("__toks"), col("chunk_start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

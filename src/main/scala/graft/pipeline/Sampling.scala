@@ -198,4 +198,40 @@ object Sampling {
       .withColumn("ord", row_number().over(w).cast("long"))
       .drop("__h")
   }
+
+  /** Temperature-based mixture resampling: keep a per-stratum fraction
+    * that reshapes source proportions from nₛ toward nₛ^α (the multilingual
+    * / multi-source mixing rule — α < 1 flattens the mixture so dominant
+    * crawls stop drowning small sources; α = 1 keeps everything). The
+    * acceptance rate is rₛ = (nₛ / n_min)^(α−1), so the smallest stratum
+    * keeps 100% and larger strata are thinned toward the tempered
+    * proportions; the keep decision reuses [[sample]]'s hash filter, so it
+    * is deterministic and engine-portable.
+    *
+    * Rates are rounded to 6 decimals before the threshold conversion so a
+    * last-ulp `pow` divergence between engines cannot flip a verdict
+    * (same trick as [[splitThresholds]]'s 12-decimal rounding).
+    *
+    * Scale shape: one metadata-sized aggregation (stratum → count, then a
+    * 1-row global min) broadcast-joined back onto the corpus; the corpus
+    * itself sees a single map-side filter — no corpus shuffle.
+    */
+  def temperatureSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      alpha: Double,
+      seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__nmin"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .withColumn("__rate",
+        round(pow(col("__n").cast("double") / col("__nmin"), alpha - 1.0), 6))
+      .select(col(strataCol), (col("__rate") * lit(HashSpace)).cast("long").as("__bound"))
+    df.join(broadcast(rates), strataCol)
+      .filter(hashMode.hash(col(idCol).cast("string"), seed) < col("__bound"))
+      .drop("__bound")
+  }
 }

@@ -93,4 +93,35 @@ object TextOps {
   def piiCount(text: Column): Column =
     PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
       .reduce(_ + _).cast("long")
+
+  private val SchemeHostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
+
+  /** Canonicalize a URL for crawl bookkeeping and URL-level dedup:
+    * drop the fragment, drop the query string, lowercase the
+    * scheme+authority (path case is significant per RFC 3986 and is kept),
+    * and strip one trailing slash. Map-only, codegen'd regex chain; every
+    * pattern is plain-character-class only, so it evaluates identically
+    * under Java regex and RE2 — exact oracle twin, like [[PiiPatterns]].
+    */
+  def normalizeUrl(url: Column): Column = {
+    val stripped = regexp_replace(regexp_replace(url, "#.*$", ""), "\\?.*$", "")
+    val head = regexp_extract(stripped, s"($SchemeHostRe)", 1)
+    val tail = regexp_replace(stripped, SchemeHostRe, "")
+    regexp_replace(concat(lower(head), tail), "/$", "")
+  }
+
+  /** Lowercased host (authority without port/userinfo is not modeled —
+    * the synthetic corpus carries bare hosts) of a URL.
+    */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
+
+  /** Registered domain as the last two dot-labels of a host — the
+    * per-site key crawl pipelines cap and blocklist on. A production
+    * system substitutes a public-suffix-list lookup (broadcast map) for
+    * the two-label heuristic; the aggregation shape downstream is
+    * unchanged.
+    */
+  def registeredDomain(host: Column): Column =
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
 }

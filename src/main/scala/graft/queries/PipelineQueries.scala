@@ -230,6 +230,49 @@ $bandSelects
       Sampling.epochShuffle(table(s, dir, "documents").select("doc_id"),
         "doc_id", numShards = 8, epochSeed = 17)
         .orderBy("shard", "ord")),
+    // Temperature mixture resampling (C54 / s7): reshape the skewed
+    // language mix (en 218 … fr 64 at sf0.01) toward n^0.5 — acceptance
+    // rate (n/n_min)^(α−1) per lang, hash-filtered. Rolled up to kept
+    // counts so the readout is the mixture itself.
+    "s7_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureSample(table(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, seed = 29)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+        .orderBy("lang")),
+    // Sliding token-window chunking (C55 / t13): 32-token windows every
+    // 24 tokens (8-token overlap), final window partial — map-only
+    // posexplode, no shuffle.
+    "t13_chunking" -> ((s, dir) =>
+      graft.pipeline.Packing.chunk(table(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 32, stride = 24)
+        .orderBy("doc_id", "chunk_idx")),
+    // URL normalization + per-domain cap (C56 / t14): synthetic crawl
+    // URLs (mixed-case scheme/host, query, fragment) are canonicalized,
+    // reduced to their registered domain, and the corpus is capped at 8
+    // docs per domain — the crawl-side over-representation guard.
+    "t14_domain_cap" -> ((s, dir) => {
+      import graft.pipeline.TextOps
+      val withUrl = table(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(lit("HTTPS://WWW."), col("source"), lit("-"), (col("doc_id") % 2).cast("string"),
+          lit(".CoM/p/"), col("doc_id").cast("string"), lit("/?utm=x#s"),
+          (col("doc_id") % 3).cast("string")).as("url"))
+      val domained = withUrl.select(col("doc_id"),
+        TextOps.normalizeUrl(col("url")).as("norm_url"),
+        TextOps.registeredDomain(TextOps.urlHost(col("url"))).as("domain"))
+      Sampling.capPerStratum(domained, "doc_id", "domain", maxPerStratum = 8, seed = 31)
+        .select("doc_id", "domain", "norm_url")
+        .orderBy("doc_id")
+    }),
+    // Frame-sampling plumbing (C57 / mm2): uniform ≤4-frame sample per
+    // decoded asset with raw-RGB byte offsets — the per-frame fan-out a
+    // video featurizer consumes; map-only sequence+explode.
+    "mm2_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeStub(
+          Multimodal.ingestBinary(
+            table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")),
+        "doc_id", maxSamples = 4)
+        .orderBy("doc_id", "frame_idx")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -1423,6 +1466,82 @@ $bandSelects
          |SELECT doc_id, CAST(hv % 8 AS INTEGER) AS shard,
          |       row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS ord
          |FROM h ORDER BY shard, ord""".stripMargin,
+    // s7: same count/min aggregation, the same round-to-6-decimals pow
+    // rate, and the same truncating double→int64 threshold conversion
+    // (floor, since rates are positive — DuckDB CAST rounds, Spark's
+    // truncates), then the shared portable-hash filter.
+    "s7_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT lang,
+         |             CAST(floor(round(pow(n::DOUBLE / nmin, -0.5), 6)
+         |                        * 1152921504606846976.0) AS BIGINT) AS bound
+         |      FROM c, m)
+         |SELECT d.lang, count(*) AS n_kept
+         |FROM documents d JOIN r USING (lang)
+         |WHERE ${sqlHash(29, "d.doc_id::VARCHAR")} < bound
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // t13: identical window starts (generate_series == Spark sequence,
+    // both inclusive-end with step), clamped list_slice, and the partial
+    // final window.
+    "t13_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |e AS (SELECT doc_id, toks, len(toks) AS n,
+        |             unnest(generate_series(0, len(toks) - 1, 24)) AS chunk_start
+        |      FROM d)
+        |SELECT doc_id,
+        |       CAST(chunk_start // 24 AS INTEGER) AS chunk_idx,
+        |       CAST(chunk_start AS INTEGER) AS chunk_start,
+        |       CAST(least(32, n - chunk_start) AS INTEGER) AS n_tokens,
+        |       array_to_string(list_slice(toks, chunk_start + 1, least(chunk_start + 32, n)), ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // t14: the same synthetic URL literal, the same anchor-only regex
+    // chain (Java regex and RE2 agree on plain character classes), and
+    // s3's hash-rank cap window keyed by domain.
+    "t14_domain_cap" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'HTTPS://WWW.' || source || '-' || (doc_id % 2)::VARCHAR || '.CoM/p/'
+         |           || doc_id::VARCHAR || '/?utm=x#s' || (doc_id % 3)::VARCHAR AS url
+         |  FROM documents),
+         |st AS (SELECT doc_id, url,
+         |              regexp_replace(regexp_replace(url, '#.*$$', ''), '\\?.*$$', '') AS x
+         |       FROM u),
+         |n AS (SELECT doc_id,
+         |             regexp_replace(
+         |               lower(regexp_extract(x, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1))
+         |                 || regexp_replace(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+         |               '/$$', '') AS norm_url,
+         |             regexp_extract(
+         |               lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)),
+         |               '([^.]+\\.[^.]+)$$', 1) AS domain
+         |      FROM st)
+         |SELECT doc_id, domain, norm_url FROM (
+         |  SELECT doc_id, domain, norm_url,
+         |         row_number() OVER (
+         |           PARTITION BY domain
+         |           ORDER BY ${sqlHash(31, "doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM n
+         |) WHERE rn <= 8
+         |ORDER BY doc_id""".stripMargin,
+    // mm2: mm1's decode-stub arithmetic, then the same integer-ceil
+    // stride and inclusive generate_series fan-out.
+    "mm2_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id < 100),
+        |d AS (
+        |  SELECT doc_id,
+        |         CAST(32 + nb % 608 AS INTEGER) AS width,
+        |         CAST(32 + (nb * 7) % 608 AS INTEGER) AS height,
+        |         CAST(1 + nb % 16 AS INTEGER) AS n_frames
+        |  FROM b),
+        |e AS (SELECT doc_id, width, height, n_frames,
+        |             unnest(generate_series(0, n_frames - 1, (n_frames + 3) // 4)) AS frame_idx
+        |      FROM d)
+        |SELECT doc_id, n_frames, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(frame_idx * width * height * 3 AS BIGINT) AS byte_offset
+        |FROM e ORDER BY doc_id, frame_idx""".stripMargin,
     "d16_strip_dup_blocks" ->
       s"""WITH $nearAugCte,
          |$blockCtes,

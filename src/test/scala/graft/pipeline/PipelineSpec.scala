@@ -1108,4 +1108,75 @@ class PipelineSpec extends GraftSuite {
       .select("doc_id", "shard", "ord").as[(Long, Int, Long)].collect()
     assert(c.sorted !== a.sorted)
   }
+
+  test("chunking: strided windows cover the doc, overlap correct, final window partial") {
+    val d = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.chunk(d, "doc_id", "text", chunkTokens = 4, stride = 3)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "chunk_start", "n_tokens", "chunk_text")
+      .as[(Int, Int, Int, String)].collect()
+    assert(out.map(_._2).toSeq === Seq(0, 3, 6, 9))
+    assert(out.map(_._3).toSeq === Seq(4, 4, 4, 1)) // last window partial, not padded
+    assert(out(0)._4 === "t0 t1 t2 t3")
+    assert(out(1)._4 === "t3 t4 t5 t6") // 1-token overlap with the previous window
+    assert(out(3)._4 === "t9")
+    // Stitching the first `stride` tokens of each window reconstructs the doc.
+    val stitched = out.map(c => c._4.split(" ").take(3)).flatten.distinct
+    assert(stitched.toSeq === (0 until 10).map(i => s"t$i"))
+  }
+
+  test("frame sampling: at most maxSamples evenly-strided indices, stub byte offsets") {
+    val d = Multimodal.decodeStub(Multimodal.ingestBinary(docs, "doc_id", "text"))
+    val out = Multimodal.sampleFrames(d, "doc_id", maxSamples = 4)
+      .select("doc_id", "n_frames", "frame_idx", "byte_offset")
+      .as[(Long, Int, Int, Long)].collect()
+    val meta = d.select("doc_id", "n_frames", "width", "height")
+      .as[(Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> r).toMap
+    out.groupBy(_._1).foreach { case (id, rows) =>
+      val (_, nf, w, h) = meta(id)
+      val idxs = rows.map(_._3).sorted
+      assert(idxs.length <= 4 && idxs.head === 0)
+      val step = (nf + 3) / 4
+      assert(idxs.toSeq === (0 until nf by step).toSeq)
+      rows.foreach(r => assert(r._4 === r._3.toLong * w * h * 3))
+    }
+  }
+
+  test("URL normalization: query/fragment stripped, scheme+host lowercased, path case kept") {
+    val d = Seq(
+      (1L, "HTTPS://WWW.Example.COM/Path/Sub/?q=1&r=2#frag"),
+      (2L, "http://a.b.example.org/x"),
+      (3L, "https://example.com/")
+    ).toDF("id", "url")
+    val out = d.select(col("id"),
+        TextOps.normalizeUrl(col("url")).as("n"),
+        TextOps.urlHost(col("url")).as("h"),
+        TextOps.registeredDomain(TextOps.urlHost(col("url"))).as("d"))
+      .as[(Long, String, String, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 === "https://www.example.com/Path/Sub")
+    assert(out(1L)._3 === "www.example.com")
+    assert(out(1L)._4 === "example.com")
+    assert(out(2L)._2 === "http://a.b.example.org/x")
+    assert(out(2L)._4 === "example.org")
+    assert(out(3L)._2 === "https://example.com") // bare trailing slash dropped
+  }
+
+  test("temperature sampling: smallest stratum kept whole, α=1 is identity, deterministic") {
+    val d = ((1L to 40L).map(i => (i, "big")) ++ (41L to 45L).map(i => (i, "small")))
+      .toDF("doc_id", "stratum")
+    val kept = Sampling.temperatureSample(d, "doc_id", "stratum", alpha = 0.5, seed = 3)
+      .select("doc_id", "stratum").as[(Long, String)].collect()
+    // rate_small = (5/5)^-0.5 = 1 → all 5 kept; rate_big = (40/5)^-0.5 ≈ 0.354.
+    assert(kept.filter(_._2 == "small").map(_._1).sorted === (41L to 45L).toArray)
+    val nBig = kept.count(_._2 == "big")
+    assert(nBig > 0 && nBig < 40, s"big stratum should be thinned, kept $nBig/40")
+    // Deterministic replay.
+    val again = Sampling.temperatureSample(d, "doc_id", "stratum", alpha = 0.5, seed = 3)
+      .select("doc_id", "stratum").as[(Long, String)].collect()
+    assert(kept.sorted === again.sorted)
+    // α = 1: every rate is 1, nothing dropped.
+    val all = Sampling.temperatureSample(d, "doc_id", "stratum", alpha = 1.0, seed = 3)
+    assert(all.count() === 45)
+  }
 }
