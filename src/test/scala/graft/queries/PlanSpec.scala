@@ -239,4 +239,33 @@ class PlanSpec extends GraftSuite {
     assert(shuffles <= 2, s"s6 plans $shuffles shuffles:\n${plan.take(2000)}")
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
   }
+
+  test("t13 chunking / mm2 frame sampling: map-only fan-out — no join, no aggregation") {
+    Seq("t13_chunking", "mm2_frame_sample").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Join") && !plan.contains("HashAggregate"), s"$q:\n${plan.take(2000)}")
+      assert("Scan parquet".r.findAllIn(plan).size === 1, s"$q:\n${plan.take(2000)}")
+      // The only exchange is the trailing oracle orderBy's range partition:
+      // the explode fan-out itself must stay in the scan's partitioning.
+      assert(!plan.contains("Exchange hashpartitioning"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("s7 temperature mix: rates broadcast back onto the corpus — no corpus-sized shuffle join") {
+    val plan = planOf("s7_temperature_mix")
+    // The stratum-rate frame (5 langs) must come back as a broadcast join;
+    // a SortMergeJoin here shuffles the whole corpus on the stratum.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The one allowed nested-loop is the deliberate 1-row global-min
+    // broadcast cross (counts × n_min) — metadata-sized by construction.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan.take(3000))
+  }
+
+  test("t14 domain cap: one stratum exchange for the cap window, no join") {
+    val plan = planOf("t14_domain_cap")
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert("Exchange hashpartitioning\\(domain".r.findAllIn(plan).size === 1, plan.take(2000))
+  }
 }
