@@ -151,6 +151,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-cluster label purity: assign every vector to its nearest
+    * centroid, then report each bucket's size, majority label (smallest
+    * label on count ties), and purity = majority fraction — the clustering
+    * quality readout that tells an index operator whether the centroid set
+    * actually separates the corpus (low purity ⇒ retrain with more
+    * centroids before trusting IVF buckets or SemDeDup groups).
+    *
+    * Scale shape: [[assignBuckets]]'s broadcast-centroid map-side scoring
+    * with the label CARRIED THROUGH the assignment (no corpus-sized join
+    * back for it), one (bucket, label) aggregation with map-side combine,
+    * then windows over the AGGREGATED frame only (≤ buckets × labels rows
+    * — metadata, not corpus).
+    *
+    * @return (bucket, n, top_label, n_top, purity), purity rounded to 6.
+    */
+  def clusterPurity(
+      vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val dp = dotOn(vectors.sparkSession)
+    val vecs = vectors.select(
+      col(idCol).as("vid"), asDouble(col(vecCol)).as("__v"), col(labelCol).as("__lbl"))
+      .withColumn("__vn", sqrt(dp(col("__v"), col("__v"))))
+    val cents = withNorm(centroids, idCol, vecCol, "centroid_id", "__c", "__cn")
+    val w0 = Window.partitionBy("vid").orderBy(col("csim").desc, col("centroid_id"))
+    val assigned = vecs
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(dp(col("__v"), col("__c")) / (col("__vn") * col("__cn")), 6))
+      .withColumn("crnk", row_number().over(w0))
+      .filter(col("crnk") === 1)
+      .select(col("centroid_id").as("bucket"), col("__lbl"))
+    val counts = assigned.groupBy("bucket", "__lbl").agg(count(lit(1)).as("n_lbl"))
+    val w = Window.partitionBy("bucket").orderBy(col("n_lbl").desc, col("__lbl"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", sum("n_lbl").over(Window.partitionBy("bucket")))
+      .filter(col("rn") === 1)
+      .select(col("bucket"), col("n"), col("__lbl").as("top_label"), col("n_lbl").as("n_top"),
+        round(col("n_lbl") / col("n"), 6).as("purity"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all (a, b) with
     * cosine >= threshold, found WITHIN centroid buckets — the IVF trick
     * applied to dedup. Near-identical vectors point the same way, so they

@@ -222,7 +222,19 @@ object AnalyticQueries {
     "q20_bucketed_join" -> ((s, dir) => {
       q20Setup(s, dir)
       q20Join(s)
-    }))
+    }),
+
+    // Explicit GROUPING SETS: two NON-hierarchical one-dimension
+    // aggregations in a single pass over the scan — the report shape
+    // rollup (q11) and cube (q16) cannot express. Spark expands the sets
+    // into one Expand + one aggregation, so the fact table is read once.
+    "q21_grouping_sets" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)))
 
   private[graft] def q20Setup(s: SparkSession, dir: String): Unit = {
     graft.operators.Bucketing.writeBucketed(
@@ -242,6 +254,12 @@ object AnalyticQueries {
       .orderBy("o_orderpriority")
 
   val oracleSql: Map[String, String] = Map(
+    "q21_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q20_bucketed_join" ->
       """SELECT o.o_orderpriority, count(*) AS n,
         |       round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue

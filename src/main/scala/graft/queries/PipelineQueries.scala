@@ -214,6 +214,15 @@ $bandSelects
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    // Cluster-purity report (C58 / e9): per-bucket majority-label
+    // fraction under the fixed e2 centroid set — the clustering-quality
+    // readout behind IVF/SemDeDup trust. Labels ride the assignment;
+    // windows touch only the (bucket, label) aggregate.
+    "e9_cluster_purity" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      Similarity.clusterPurity(v, v.filter(col("vec_id") < 8), "vec_id", "embedding", "label")
+        .orderBy("bucket")
+    }),
     // Unigram-LM perplexity scoring (C52 / t12): per-doc avg negative
     // log-likelihood under the corpus's own add-1-smoothed unigram model
     // — the CCNet-style quality score whose percentile cut makes the
@@ -1390,6 +1399,34 @@ $bandSelects
     // e8: e3's pair CTEs (same fixture, same rounded sims), then d10's
     // recursive min-label reachability + NOT IN keep — the semantic
     // instance of the keep-one-per-cluster tail.
+    // e9: e2's assignment CTEs (same rounded csim, same centroid-id
+    // tiebreak) + majority pick over the (bucket, label) counts —
+    // count-desc, label-asc, matching the Spark window exactly.
+    "e9_cluster_purity" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, v.label, c.centroid_id,
+        |         round(list_dot_product(v.e, c.ce)
+        |               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.ce, c.ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, label, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS rn
+        |    FROM a
+        |  ) WHERE rn = 1
+        |),
+        |cnt AS (SELECT bucket, label, count(*) AS n_lbl FROM b GROUP BY bucket, label)
+        |SELECT bucket, n, top_label, n_top, purity FROM (
+        |  SELECT bucket,
+        |         CAST(sum(n_lbl) OVER (PARTITION BY bucket) AS BIGINT) AS n,
+        |         label AS top_label, n_lbl AS n_top,
+        |         round(n_lbl::DOUBLE / CAST(sum(n_lbl) OVER (PARTITION BY bucket) AS BIGINT), 6) AS purity,
+        |         row_number() OVER (PARTITION BY bucket ORDER BY n_lbl DESC, label) AS rn
+        |  FROM cnt
+        |) WHERE rn = 1
+        |ORDER BY bucket""".stripMargin,
     "e8_semdedup" ->
       s"""WITH RECURSIVE v AS (
          |  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings

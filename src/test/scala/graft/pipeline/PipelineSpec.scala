@@ -1179,4 +1179,24 @@ class PipelineSpec extends GraftSuite {
     val all = Sampling.temperatureSample(d, "doc_id", "stratum", alpha = 1.0, seed = 3)
     assert(all.count() === 45)
   }
+
+  test("cluster purity: planted mixed bucket scores fractionally, pure bucket scores 1, min-label tie") {
+    // Two well-separated axes as centroids; vectors hug one axis each.
+    val cents = Seq(
+      (0L, Array(1f, 0f, 0f), 0),
+      (1L, Array(0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val vecs = Seq(
+      // bucket 0: three label-7, one label-3 → purity 0.75
+      (10L, Array(0.9f, 0.1f, 0f), 7), (11L, Array(0.95f, 0f, 0.1f), 7),
+      (12L, Array(1f, 0.05f, 0f), 7), (13L, Array(0.8f, 0.2f, 0f), 3),
+      // bucket 1: two docs, one of each label → tie broken to the SMALLER label
+      (20L, Array(0.1f, 0.9f, 0f), 5), (21L, Array(0f, 1f, 0.1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.clusterPurity(vecs, cents, "vec_id", "embedding", "label")
+      .select("bucket", "n", "top_label", "n_top", "purity")
+      .as[(Long, Long, Int, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L) === ((0L, 4L, 7, 3L, 0.75)))
+    assert(out(1L) === ((1L, 2L, 2, 1L, 0.5))) // count tie → label 2 < 5 wins
+  }
 }
