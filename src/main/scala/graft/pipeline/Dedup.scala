@@ -91,6 +91,38 @@ object Dedup {
       .select(cols.map(c => col("__row." + c).as(c)) :+ col("n_copies"): _*)
   }
 
+  /** Per-document n-gram novelty: the fraction of a document's distinct
+    * n-gram shingles that appear NOWHERE else in the corpus — the
+    * diversity readout dual to the dedup family (a near-copy scores ≈ 0,
+    * fresh content ≈ 1), used to prioritize novel data when a token
+    * budget forces dropping something. Documents shorter than n tokens
+    * have no shingles and are absent from the output (score them by the
+    * quality family instead).
+    *
+    * Scale shape: the shared int64-hashed shingle index, one
+    * shingle-keyed shuffle for document frequency (count window over the
+    * `sh` partitioning — same exchange the dedup family uses), one
+    * doc-keyed aggregation. Never pairwise.
+    *
+    * @return (id, n_shingles, n_novel, novelty) with novelty = n_novel /
+    *         n_shingles rounded to 6 decimals.
+    */
+  def noveltyScores(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n, hashWith = Some(hashMode))
+    idx
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
+  }
+
   /** Distinct (id, shingle) pairs — the inverted-index rows.
     *
     * Built as posexplode + lead windows rather than the array-HOF form

@@ -214,6 +214,13 @@ $bandSelects
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    // N-gram novelty scoring (C59 / t15): fraction of a doc's distinct
+    // 3-gram shingles unseen anywhere else — the diversity dual of the
+    // dedup family, over the near-dup fixture so planted copies score ≈ 0.
+    "t15_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(docsNearAug(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
     // Cluster-purity report (C58 / e9): per-bucket majority-label
     // fraction under the fixed e2 centroid set — the clustering-quality
     // readout behind IVF/SemDeDup trust. Labels ride the assignment;
@@ -1399,6 +1406,19 @@ $bandSelects
     // e8: e3's pair CTEs (same fixture, same rounded sims), then d10's
     // recursive min-label reachability + NOT IN keep — the semantic
     // instance of the keep-one-per-cluster tail.
+    // t15: same shingle rows (raw strings — hashing is 1:1, the d2
+    // equivalence), df by shingle, novel = df = 1.
+    "t15_novelty" ->
+      s"""WITH $nearAugCte,
+         |$shingleCtes,
+         |dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         |SELECT s.doc_id,
+         |       count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       round(CAST(sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+         |             / count(*), 6) AS novelty
+         |FROM sh s JOIN dfreq f USING (sh)
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     // e9: e2's assignment CTEs (same rounded csim, same centroid-id
     // tiebreak) + majority pick over the (bucket, label) counts —
     // count-desc, label-asc, matching the Spark window exactly.

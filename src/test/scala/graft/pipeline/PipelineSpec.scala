@@ -1180,6 +1180,15 @@ class PipelineSpec extends GraftSuite {
     assert(all.count() === 45)
   }
 
+  test("novelty: exact copies score 0, fresh docs score 1, near-dup scores only its new gram") {
+    val out = Dedup.noveltyScores(docs, "doc_id", "text")
+      .select("id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 === 0.0 && out(2L)._4 === 0.0) // every shingle shared with the twin
+    assert(out(4L)._4 === 1.0 && out(5L)._4 === 1.0) // nothing shared
+    assert(out(3L) === ((3L, 8L, 1L, 0.125))) // 7 grams shared with 1/2, one fresh tail gram
+  }
+
   test("cluster purity: planted mixed bucket scores fractionally, pure bucket scores 1, min-label tie") {
     // Two well-separated axes as centroids; vectors hug one axis each.
     val cents = Seq(
