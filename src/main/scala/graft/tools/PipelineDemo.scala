@@ -15,7 +15,8 @@ import graft.pipeline._
   *       → block strip (repeated-passage removal)
   *       → near-dup prune (cluster-resolved)
   *       → decontaminate (vs a synthetic eval set) → rebalance
-  *       → per-source cap → train/val/test split → sequence packing
+  *       → temperature mix → per-source cap → train/val/test split
+  *       → sequence packing → sliding-window chunking
   *       → epoch shuffle (reproducible training order)
   *
   * Every stage consumes the previous stage's frame; stages that
@@ -116,10 +117,17 @@ object PipelineDemo {
       Map("en" -> 0.6), seed = 13, defaultRate = 1.0)
     println(s"[demo] after rebalancing: ${mixed.count()}")
 
+    // 5a. Temperature mix: reshape the residual language mixture toward
+    //     n^0.7 — the smallest language keeps 100%, the dominant ones are
+    //     thinned toward the tempered proportions.
+    val tempered = Sampling.temperatureSample(mixed, "doc_id", "lang",
+      alpha = 0.7, seed = 23)
+    println(s"[demo] after temperature mix: ${tempered.count()}")
+
     // 5b. Hard per-source cap: no source may exceed its absolute budget no
     //     matter how large its crawl was. (The fixture spreads ~uniformly
     //     over 20 sources, so the cap is set low enough to visibly bite.)
-    val capped = Sampling.capPerStratum(mixed, "doc_id", "source",
+    val capped = Sampling.capPerStratum(tempered, "doc_id", "source",
       maxPerStratum = 18, seed = 7)
     println(s"[demo] after per-source cap: ${capped.count()}")
 
@@ -141,10 +149,19 @@ object PipelineDemo {
       .mkString("; ")
     println(s"[demo] packed: $packStats")
 
+    // 7b. Sliding-window chunking: the overlapping-window alternative to
+    //     atomic-doc packing for long documents — 64-token windows every
+    //     48 tokens over the train slice.
+    val trainSlice = split.filter(col("split") === "train")
+    val chunks = Packing.chunk(trainSlice, "doc_id", "text",
+      chunkTokens = 64, stride = 48)
+    println(s"[demo] chunked train split: ${chunks.count()} windows " +
+      s"from ${trainSlice.count()} docs")
+
     // 8. Epoch shuffle: freeze a reproducible random visit order for the
     //    train slice — shard-partitioned, rank-ordered; a new epoch seed
     //    is a fresh permutation of the same rows.
-    val train = split.filter(col("split") === "train")
+    val train = trainSlice
     val epoch1 = Sampling.epochShuffle(train, "doc_id", numShards = 4, epochSeed = 1)
     val shardSizes = epoch1.groupBy("shard").count().orderBy("shard")
       .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(", ")
