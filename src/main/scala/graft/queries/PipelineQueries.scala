@@ -214,6 +214,35 @@ $bandSelects
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    // URL-level dedup (C60 / d19): canonicalize crawl URLs (session query
+    // params and fragments dropped, host case-folded), then C1's exact
+    // dedup keyed on the normalized URL — the recrawl collapse that runs
+    // before any content fetch. Fixture: 5 docs share each (source, path)
+    // modulo session noise.
+    "d19_url_dedup" -> ((s, dir) => {
+      import graft.pipeline.TextOps
+      val withUrl = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("HTTP://Site."), col("source"), lit(".COM/Doc/"),
+          (col("doc_id") % 100).cast("string"),
+          lit("?session="), col("doc_id").cast("string"), lit("#top")).as("url"))
+      Dedup.exact(
+        withUrl.withColumn("url_norm", TextOps.normalizeUrl(col("url"))),
+        "doc_id", "url_norm")
+        .select("doc_id", "url_norm", "n_copies")
+        .orderBy("doc_id")
+    }),
+    // Quantized-corpus search (C61 / e10): e1's brute-force top-k over the
+    // int8-reconstructed corpus against float probes — the end-to-end
+    // check that the 4x-smaller storage tier still ranks usefully, and
+    // the query path a quantized lake actually serves.
+    "e10_quantized_topk" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val deq = Similarity.quantizeInt8(v, "embedding")
+        .select(col("vec_id"),
+          Similarity.dequantize(col("qvec"), col("scale")).as("embedding"))
+      Similarity.cosineTopK(deq, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy("probe_id", "rnk")
+    }),
     // N-gram novelty scoring (C59 / t15): fraction of a doc's distinct
     // 3-gram shingles unseen anywhere else — the diversity dual of the
     // dedup family, over the near-dup fixture so planted copies score ≈ 0.
@@ -1406,6 +1435,47 @@ $bandSelects
     // e8: e3's pair CTEs (same fixture, same rounded sims), then d10's
     // recursive min-label reachability + NOT IN keep — the semantic
     // instance of the keep-one-per-cluster tail.
+    // d19: same URL literal + t14's normalization chain, min/count per
+    // normalized URL (Dedup.exact's min_by winner == group min on unique
+    // ids).
+    "d19_url_dedup" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |         'HTTP://Site.' || source || '.COM/Doc/' || (doc_id % 100)::VARCHAR
+         |           || '?session=' || doc_id::VARCHAR || '#top' AS url
+         |  FROM documents),
+         |st AS (SELECT doc_id,
+         |              regexp_replace(regexp_replace(url, '#.*$$', ''), '\\?.*$$', '') AS x
+         |       FROM u),
+         |n AS (SELECT doc_id,
+         |             regexp_replace(
+         |               lower(regexp_extract(x, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1))
+         |                 || regexp_replace(x, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', ''),
+         |               '/$$', '') AS url_norm
+         |      FROM st)
+         |SELECT min(doc_id) AS doc_id, url_norm, count(*) AS n_copies
+         |FROM n GROUP BY url_norm ORDER BY doc_id""".stripMargin,
+    // e10: e5's exact quantization arithmetic reconstructed in-line, then
+    // e1's top-k tail over the dequantized corpus.
+    "e10_quantized_topk" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |sc AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) / 127 AS scale FROM v),
+        |dq AS (
+        |  SELECT vec_id,
+        |         CASE WHEN scale = 0 THEN list_transform(e, x -> 0.0)
+        |              ELSE list_transform(e, x ->
+        |                least(127, greatest(-127, floor(x / scale + 0.5))) * scale) END AS e
+        |  FROM sc),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT p.probe_id, d.vec_id AS neighbor_id,
+        |         round(list_dot_product(pe, d.e)
+        |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(d.e, d.e))), 6) AS sim
+        |  FROM dq d CROSS JOIN p WHERE d.vec_id <> p.probe_id
+        |),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
+        |ORDER BY probe_id, rnk""".stripMargin,
     // t15: same shingle rows (raw strings — hashing is 1:1, the d2
     // equivalence), df by shingle, novel = df = 1.
     "t15_novelty" ->
