@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.merge.{PartitionSpec, PartitionedTarget}
 import graft.pipeline.HashMode
-import graft.streaming.StreamingUpsert
+import graft.streaming.{StreamingQuota, StreamingUpsert}
 
 /** Driver-contract query for the streaming layer: an N-batch replay of the
   * events table through the continuous upsert into a PARTITIONED target
@@ -280,9 +280,54 @@ object StreamingQueries {
       val (replay, target) = st2Setup(s, dir)
       replay()
       s.read.parquet(target).orderBy("event_id")
+    }),
+    "st6_stream_quota" -> ((s, dir) => {
+      val (replay, out) = st6Setup(s, dir)
+      replay()
+      s.read.parquet(out).select(col("doc_id"), col("source")).orderBy("doc_id")
     }))
 
+  /** Untimed setup for st6 (streaming per-source admission quota): the
+    * documents table replayed doc_id-ordered through
+    * [[graft.streaming.StreamingQuota.admit]] (quota 15/source) into an
+    * append parquet sink. The operator sorts each micro-batch's group
+    * slice by id, and batches are cut in doc_id order, so the converged
+    * sink is EXACTLY the first 15 docs per source by doc_id — the
+    * row_number SQL twin, a real cross-engine oracle for the stateful
+    * admission path (st1's convention). Contrast with s3: the batch cap
+    * is a frozen-uniform hash sample; the quota is arrival-order
+    * admission control.
+    */
+  private[graft] def st6Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st6")
+    val out = s"$scratch/out"
+    val rows = Fixtures.table(s, dir, "documents").select(col("source"), col("doc_id"))
+      .as[(String, Long)].collect().sortBy(_._2)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingQuota.admit(mem.toDS(), quota = 15)
+      .toDF("source", "doc_id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start()
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // Arrival-order admission quota: batches replay in doc_id order and
+    // the operator sorts each group slice by id, so the admitted set is
+    // the first 15 docs per source by doc_id.
+    "st6_stream_quota" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     // Streaming near-dup-on-ingest converged state == the batch
     // delta×corpus hyperplane-LSH pairing: identical inlined plane
     // matrix and sign folds (PipelineQueries.hpSignatureSql — e6's twin),

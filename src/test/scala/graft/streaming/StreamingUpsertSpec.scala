@@ -167,6 +167,32 @@ class StreamingUpsertSpec extends GraftSuite {
     assert(got.sorted === Seq(1L, 1L, 2L, 99L)) // the ts(1) replay was suppressed
   }
 
+  test("streaming quota: lifetime cap across batches, arrival order, one counter per key") {
+    val dir = Files.createTempDirectory("stream-quota")
+    val out = dir.resolve("out").toString
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingQuota.admit(mem.toDS(), quota = 3)
+      .toDF("src", "id")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", dir.resolve("cp").toString)
+      .start()
+    try {
+      // Batch 1: a fills 2 of 3; b fills 1.
+      mem.addData(("a", 2L), ("a", 1L), ("b", 10L))
+      q.processAllAvailable()
+      // Batch 2: a sends 3 more — only ONE admitted (the smallest id in
+      // the batch slice), b unaffected.
+      mem.addData(("a", 5L), ("a", 3L), ("a", 4L), ("b", 11L))
+      q.processAllAvailable()
+      // Batch 3: a is saturated — nothing admitted ever again.
+      mem.addData(("a", 99L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(out).select(col("src"), col("id"))
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 11L)))
+  }
+
   test("foreachBatch upsert converges to the batch-merge result across micro-batches") {
     val dir = Files.createTempDirectory("stream-upsert")
     val target = dir.resolve("t").toString
