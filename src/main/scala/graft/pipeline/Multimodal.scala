@@ -78,6 +78,29 @@ object Multimodal {
           .as("byte_offset"))
   }
 
+  /** Resize planning over decoded dimensions: fit each asset inside
+    * `maxSide` × `maxSide` preserving aspect ratio, never upscaling —
+    * the deterministic geometry a vision-model preprocessor needs
+    * computed corpus-side so the (expensive, stubbed) pixel resample can
+    * be batched by output shape. Integer arithmetic only
+    * (`out = max(1, dim * maxSide / longest)`, truncating division), so
+    * every engine plans the identical geometry. Map-only projection.
+    *
+    * @return input columns + (`out_w`, `out_h`, `resized`: whether the
+    *         plan shrinks the asset).
+    */
+  def resizePlan(decoded: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    val longest = greatest(col("width"), col("height"))
+    val shrink = longest > maxSide
+    def scaled(dim: org.apache.spark.sql.Column) =
+      greatest(lit(1), floor(dim.cast("long") * maxSide / longest).cast("int"))
+    decoded
+      .withColumn("out_w", when(shrink, scaled(col("width"))).otherwise(col("width")))
+      .withColumn("out_h", when(shrink, scaled(col("height"))).otherwise(col("height")))
+      .withColumn("resized", shrink)
+  }
+
   /** Batch feature extraction via `mapPartitions` — the escape hatch for
     * per-row imperative decode logic that cannot be an expression (e.g. a
     * native codec handle reused across a partition). Opens one "decoder"

@@ -318,6 +318,17 @@ $bandSelects
             table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")),
         "doc_id", maxSamples = 4)
         .orderBy("doc_id", "frame_idx")),
+    // Resize planning (C63 / mm3): fit decoded assets inside 224×224
+    // preserving aspect, never upscaling — integer-exact geometry so the
+    // stubbed pixel resample can batch by output shape. Map-only.
+    "mm3_resize_plan" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodeStub(
+          Multimodal.ingestBinary(
+            table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")),
+        maxSide = 224)
+        .select("doc_id", "width", "height", "out_w", "out_h", "resized")
+        .orderBy("doc_id")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -1651,6 +1662,28 @@ $bandSelects
          |  FROM n
          |) WHERE rn <= 8
          |ORDER BY doc_id""".stripMargin,
+    // mm3: mm1's decode arithmetic + the same double-exact scale
+    // (products < 2^53, so width*224.0/longest is the identical IEEE
+    // quotient in both engines).
+    "mm3_resize_plan" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id < 100),
+        |d AS (
+        |  SELECT doc_id,
+        |         CAST(32 + nb % 608 AS INTEGER) AS width,
+        |         CAST(32 + (nb * 7) % 608 AS INTEGER) AS height
+        |  FROM b),
+        |g AS (SELECT doc_id, width, height, greatest(width, height) AS longest FROM d)
+        |SELECT doc_id, width, height,
+        |       CASE WHEN longest > 224
+        |            THEN greatest(1, CAST(floor(width * 224.0 / longest) AS INTEGER))
+        |            ELSE width END AS out_w,
+        |       CASE WHEN longest > 224
+        |            THEN greatest(1, CAST(floor(height * 224.0 / longest) AS INTEGER))
+        |            ELSE height END AS out_h,
+        |       longest > 224 AS resized
+        |FROM g ORDER BY doc_id""".stripMargin,
     // mm2: mm1's decode-stub arithmetic, then the same integer-ceil
     // stride and inclusive generate_series fan-out.
     "mm2_frame_sample" ->

@@ -1143,6 +1143,22 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("resize plan: aspect preserved, no upscale, degenerate strip floors at 1px") {
+    val d = Seq(
+      (1L, 640, 480),  // shrink: longest 640 → 224, short side 168
+      (2L, 100, 50),   // under the box: untouched
+      (3L, 224, 224),  // exactly at the box: untouched
+      (4L, 10000, 2)   // extreme strip: height would round to 0 → floor 1
+    ).toDF("id", "width", "height")
+    val out = Multimodal.resizePlan(d, maxSide = 224)
+      .select("id", "out_w", "out_h", "resized")
+      .as[(Long, Int, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 224, 168, true)))
+    assert(out(2L) === ((2L, 100, 50, false)))
+    assert(out(3L) === ((3L, 224, 224, false)))
+    assert(out(4L) === ((4L, 224, 1, true)))
+  }
+
   test("URL normalization: query/fragment stripped, scheme+host lowercased, path case kept") {
     val d = Seq(
       (1L, "HTTPS://WWW.Example.COM/Path/Sub/?q=1&r=2#frag"),
