@@ -127,4 +127,50 @@ object PipelineProps extends Properties("pipeline") {
       }
       identity && accounting
     }
+
+  property("chunking: windows cover every token, starts stride exactly, stitch reconstructs") =
+    forAll(Gen.chooseNum(1, 40), Gen.chooseNum(1, 10), Gen.chooseNum(1, 10)) {
+      (nTokens, chunkTokens, stride) =>
+        val s = spark
+        import s.implicits._
+        val text = (0 until nTokens).map(i => s"t$i").mkString(" ")
+        val out = Packing.chunk(Seq((1L, text)).toDF("doc_id", "text"),
+            "doc_id", "text", chunkTokens, stride)
+          .select("chunk_idx", "chunk_start", "n_tokens", "chunk_text")
+          .as[(Int, Int, Int, String)].collect().sortBy(_._1)
+        val starts = out.map(_._2).toSeq
+        val expectStarts = 0 until nTokens by stride
+        val strided = starts == expectStarts
+        val sized = out.forall { case (_, st, n, txt) =>
+          n == math.min(chunkTokens, nTokens - st) && txt.split(" ").length == n
+        }
+        // Position i is covered iff its nearest preceding start reaches it:
+        // i mod stride < chunkTokens. (stride > chunkTokens gaps by design —
+        // that's sampling, not chunking, but the algebra must still hold.)
+        val stitched = out.flatMap { case (_, st, _, txt) =>
+          txt.split(" ").zipWithIndex.map { case (w, j) => (st + j, w) }
+        }.toMap
+        val expectCovered = (0 until nTokens).filter(i => i % stride < chunkTokens).toSet
+        val covered = stitched.keySet == expectCovered &&
+          expectCovered.forall(i => stitched(i) == s"t$i")
+        strided && sized && covered
+    }
+
+  property("temperature sampling: kept set shrinks monotonically as alpha decreases") =
+    forAll(Gen.chooseNum(2, 6), Gen.chooseNum(10, 40)) { (nSmall, nBig) =>
+      val s = spark
+      import s.implicits._
+      val rows = (1 to nBig).map(i => (i.toLong, "big")) ++
+        (101 to 100 + nSmall).map(i => (i.toLong, "small"))
+      val df = rows.toDF("doc_id", "stratum")
+      def keptAt(alpha: Double): Set[Long] =
+        Sampling.temperatureSample(df, "doc_id", "stratum", alpha, seed = 5)
+          .select("doc_id").as[Long].collect().toSet
+      val k1 = keptAt(1.0); val k05 = keptAt(0.5); val k02 = keptAt(0.2)
+      // alpha=1 keeps everything; lower alpha keeps a subset (same seed →
+      // nested hash thresholds), and the smallest stratum is never thinned.
+      k1 == rows.map(_._1).toSet &&
+        k05.subsetOf(k1) && k02.subsetOf(k05) &&
+        (101 to 100 + nSmall).forall(i => k02.contains(i.toLong))
+    }
 }
