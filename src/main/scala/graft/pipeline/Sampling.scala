@@ -234,4 +234,61 @@ object Sampling {
       .filter(hashMode.hash(col(idCol).cast("string"), seed) < col("__bound"))
       .drop("__bound")
   }
+
+  /** Quality-weighted selection under a global token budget: keep the
+    * highest-scoring documents until their tokens spend the budget — the
+    * data-selection step when compute, not data, is the binding
+    * constraint. NOT a global sort: scores in [0, 1] are histogrammed
+    * into `bins` fixed buckets (map-side), the bins-sized token totals
+    * are cumulated best-bin-first, whole bins above the boundary keep
+    * everything, and ONLY the single boundary bin's rows are rank-cut
+    * (portable-hash order, id tiebreak) against the budget remainder —
+    * so the sort the operator pays is one bin, not the corpus.
+    *
+    * Granularity trade, stated: every doc in a kept bin is kept even if
+    * the bin straddles the budget by < one bin's tokens; `bins` controls
+    * that slack (corpus_tokens / bins expected overshoot bound within
+    * the boundary bin, zero outside it). Documents are atomic — the
+    * boundary prefix keeps a doc only if its INCLUSIVE running token sum
+    * fits the remainder.
+    *
+    * @param scoreCol quality score in [0, 1], higher = better (round it
+    *                 to a fixed number of decimals upstream if an engine
+    *                 twin must bin identically).
+    * @return the kept rows (all input columns).
+    */
+  def selectUnderBudget(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      tokenCol: String,
+      budget: Long,
+      bins: Int = 1000,
+      seed: Int = 17,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val binned = df.withColumn("__bin",
+      least(lit(bins - 1), floor(col(scoreCol) * bins)).cast("int"))
+    val binTok = binned.groupBy("__bin").agg(sum(col(tokenCol)).as("__btok"))
+    // bins-sized frame: the single-partition cumsum window is metadata,
+    // not corpus (the same license as the k×dim centroid frames).
+    val wb = Window.orderBy(col("__bin").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binPlan = binTok
+      .withColumn("__cum", sum(col("__btok")).over(wb))
+      .withColumn("__rem", lit(budget) - (col("__cum") - col("__btok")))
+      .select(col("__bin"), col("__cum"), col("__rem"))
+    val joined = binned.join(broadcast(binPlan), "__bin")
+    val outCols = df.columns.toSeq.map(col)
+    val fullKeep = joined.filter(col("__cum") <= budget)
+    val wd = Window.partitionBy(col("__bin"))
+      .orderBy(hashMode.hash(col(idCol).cast("string"), seed), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = joined
+      .filter(col("__cum") > budget && col("__rem") > 0)
+      .withColumn("__dcum", sum(col(tokenCol)).over(wd))
+      .filter(col("__dcum") <= col("__rem"))
+    fullKeep.select(outCols: _*).unionByName(boundary.select(outCols: _*))
+  }
 }

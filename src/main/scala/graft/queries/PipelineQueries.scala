@@ -214,6 +214,19 @@ $bandSelects
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    // Budget-bounded quality selection (C64 / s8): keep the
+    // highest-type-token-ratio docs until 8k tokens are spent —
+    // histogram cut (64 bins), only the boundary bin rank-cut.
+    "s8_budget_select" -> ((s, dir) => {
+      import graft.pipeline.TextOps
+      val toks = TextOps.tokens(col("text"))
+      val scored = table(s, dir, "documents").select(col("doc_id"),
+        round(size(array_distinct(toks)) / size(toks), 6).as("score"),
+        size(toks).cast("long").as("n_tokens"))
+      Sampling.selectUnderBudget(scored, "doc_id", "score", "n_tokens",
+        budget = 8000L, bins = 64, seed = 17)
+        .orderBy("doc_id")
+    }),
     // URL-level dedup (C60 / d19): canonicalize crawl URLs (session query
     // params and fragments dropped, host case-folded), then C1's exact
     // dedup keyed on the normalized URL — the recrawl collapse that runs
@@ -1446,6 +1459,37 @@ $bandSelects
     // e8: e3's pair CTEs (same fixture, same rounded sims), then d10's
     // recursive min-label reachability + NOT IN keep — the semantic
     // instance of the keep-one-per-cluster tail.
+    // s8: identical TTR score (rounded to 6 before binning — both
+    // engines bin the same double), identical 64-bin histogram cumsum
+    // best-bin-first, whole kept bins + hash-rank prefix of the single
+    // boundary bin against the remainder.
+    "s8_budget_select" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sc AS (SELECT doc_id,
+         |              round(len(list_distinct(w))::DOUBLE / len(w), 6) AS score,
+         |              len(w) AS n_tokens
+         |       FROM t),
+         |b AS (SELECT doc_id, score, n_tokens,
+         |             least(63, CAST(floor(score * 64) AS INTEGER)) AS bin
+         |      FROM sc),
+         |bt AS (SELECT bin, sum(n_tokens) AS btok FROM b GROUP BY bin),
+         |bp AS (SELECT bin, btok,
+         |              sum(btok) OVER (ORDER BY bin DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |       FROM bt),
+         |bp2 AS (SELECT bin, cum, 8000 - (cum - btok) AS rem FROM bp),
+         |j AS (SELECT b.doc_id, b.score, b.n_tokens, b.bin, bp2.cum, bp2.rem
+         |      FROM b JOIN bp2 USING (bin)),
+         |part AS (
+         |  SELECT doc_id, score, n_tokens, rem,
+         |         sum(n_tokens) OVER (
+         |           PARTITION BY bin
+         |           ORDER BY ${sqlHash(17, "doc_id::VARCHAR")}, doc_id
+         |           ROWS UNBOUNDED PRECEDING) AS dcum
+         |  FROM j WHERE cum > 8000 AND rem > 0)
+         |SELECT doc_id, score, n_tokens FROM j WHERE cum <= 8000
+         |UNION ALL
+         |SELECT doc_id, score, n_tokens FROM part WHERE dcum <= rem
+         |ORDER BY doc_id""".stripMargin,
     // d19: same URL literal + t14's normalization chain, min/count per
     // normalized URL (Dedup.exact's min_by winner == group min on unique
     // ids).

@@ -1205,6 +1205,27 @@ class PipelineSpec extends GraftSuite {
     assert(out(3L) === ((3L, 8L, 1L, 0.125))) // 7 grams shared with 1/2, one fresh tail gram
   }
 
+  test("budget select: whole bins above the cut, hash-rank prefix at the boundary, edge budgets") {
+    // 10 bins over [0,1]: three docs in bin 9 (score .95), three in bin 5
+    // (score .55), each doc 10 tokens.
+    val d = ((1L to 3L).map(i => (i, 0.95, 10L)) ++ (11L to 13L).map(i => (i, 0.55, 10L)))
+      .toDF("doc_id", "score", "n_tokens")
+    def kept(budget: Long): Set[Long] =
+      Sampling.selectUnderBudget(d, "doc_id", "score", "n_tokens", budget, bins = 10, seed = 17)
+        .select("doc_id").as[Long].collect().toSet
+    assert(kept(60L) === (1L to 3L).toSet ++ (11L to 13L).toSet) // budget == total: all
+    assert(kept(0L) === Set.empty) // nothing fits
+    assert(kept(30L) === (1L to 3L).toSet) // top bin exactly spends it
+    // 40 tokens: top bin (30) + ONE doc of the boundary bin — the one
+    // ranking first by (hash, id), regardless of id order.
+    val atBoundary = kept(40L)
+    assert(((1L to 3L).toSet.subsetOf(atBoundary)) && atBoundary.size === 4)
+    assert((atBoundary -- (1L to 3L).toSet).head >= 11L)
+    // A doc that cannot fully fit is NOT kept partially (atomicity): 35
+    // tokens leaves room for half a doc — boundary admits nothing.
+    assert(kept(35L) === (1L to 3L).toSet)
+  }
+
   test("cluster purity: planted mixed bucket scores fractionally, pure bucket scores 1, min-label tie") {
     // Two well-separated axes as centroids; vectors hug one axis each.
     val cents = Seq(
