@@ -268,4 +268,33 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("Join"), plan.take(2000))
     assert("Exchange hashpartitioning\\(domain".r.findAllIn(plan).size === 1, plan.take(2000))
   }
+
+  test("d19 URL dedup / t15 novelty: aggregation-and-window only — no joins at all") {
+    Seq("d19_url_dedup", "t15_novelty").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("Join"), s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("e9 purity / e10 quantized top-k: the only nested loop is the broadcast probe/centroid cross") {
+    Seq("e9_cluster_purity", "e10_quantized_topk").foreach { q =>
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q:\n${plan.take(2000)}")
+      assert("BroadcastNestedLoopJoin BuildRight".r.findAllIn(plan).size === 1,
+        s"$q:\n${plan.take(2000)}")
+    }
+  }
+
+  test("s8 budget select: corpus never globally sorts — single-partition work is the bins frame only") {
+    val plan = planOf("s8_budget_select")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan.take(3000))
+    // Single-partition exchanges belong ONLY to the bins-sized cumsum
+    // frame (the keep/boundary union re-derives it, so it may appear
+    // twice — both metadata-sized); the bin plan must come back to the
+    // corpus as broadcast joins.
+    val sp = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(sp <= 2, s"s8 plans $sp single-partition exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
