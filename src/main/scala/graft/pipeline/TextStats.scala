@@ -166,10 +166,11 @@ object TextStats {
     * the argmax (first language wins ties, "und" = undetermined when no
     * marker hits at all). Pure projection — scales as a map-only stage.
     */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def langId(docs: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val w = TextOps.tokens(col(textCol))
     val scored = docs.select(
-      Seq(col(idCol)) ++ LangMarkers.map { case (lang, markers) =>
+      Seq(col(idCol)) ++ keep.map(col) ++ LangMarkers.map { case (lang, markers) =>
         size(filter(w, t => array_contains(array(markers.map(lit): _*), t))).cast("long").as(s"score_$lang")
       }: _*)
     val best = LangMarkers.map { case (lang, _) => col(s"score_$lang") }

@@ -410,6 +410,15 @@ $bandSelects
       table(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Language-mismatch audit (C65 / t16): docs whose detected language
+    // disagrees with their metadata label — the metadata-QC pass that
+    // catches mislabeled crawl shards before per-language mixing trusts
+    // the label. The label rides the scoring projection (no join-back).
+    "t16_lang_mismatch" -> ((s, dir) =>
+      TextStats.langId(table(s, dir, "documents"), "doc_id", "text", keep = Seq("lang"))
+        .filter(col("pred_lang") =!= col("lang"))
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy("doc_id")),
     "e1_topk_cosine" -> ((s, dir) => {
       val v = table(s, dir, "embeddings")
       Similarity.cosineTopK(v, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
@@ -1030,6 +1039,28 @@ $bandSelects
          |       $scoreCols
          |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100)
          |)
+         |ORDER BY doc_id""".stripMargin
+    },
+    // t16: t3's scoring/argmax over the full corpus, label carried
+    // through, mismatches only.
+    "t16_lang_mismatch" -> {
+      val scoreCols = TextStats.LangMarkers.map { case (lang, markers) =>
+        s"len(list_filter(w, t -> t IN (${markers.map("'" + _ + "'").mkString(", ")}))) AS score_$lang"
+      }.mkString(",\n       ")
+      val langs = TextStats.LangMarkers.map(_._1)
+      val maxExpr = s"greatest(${langs.map("score_" + _).mkString(", ")})"
+      val caseArms = langs.map(l => s"WHEN score_$l = $maxExpr THEN '$l'").mkString("\n            ")
+      s"""SELECT doc_id, lang, pred_lang FROM (
+         |  SELECT doc_id, lang,
+         |         CASE WHEN $maxExpr = 0 THEN 'und'
+         |              $caseArms
+         |         END AS pred_lang
+         |  FROM (
+         |    SELECT doc_id, lang,
+         |         $scoreCols
+         |    FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents)
+         |  )
+         |) WHERE pred_lang <> lang
          |ORDER BY doc_id""".stripMargin
     },
     "t4_fingerprint" ->
