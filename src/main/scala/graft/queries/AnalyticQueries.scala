@@ -234,7 +234,17 @@ object AnalyticQueries {
           Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
           col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    // Column profiling report: rows/nulls/exact-distinct/min/max per
+    // column, one pruned scan per column — the snapshot-health pass.
+    // Integral + string columns only here: float min/max stringification
+    // differs across engines (documented in Profile).
+    "q22_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        table(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("col_name")))
 
   private[graft] def q20Setup(s: SparkSession, dir: String): Unit = {
     graft.operators.Bucketing.writeBucketed(
@@ -254,6 +264,16 @@ object AnalyticQueries {
       .orderBy("o_orderpriority")
 
   val oracleSql: Map[String, String] = Map(
+    "q22_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM orders""".stripMargin
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q21_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n

@@ -286,6 +286,14 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("q22 profile: each per-column aggregation scans ONLY its column") {
+    val plan = planOf("q22_profile")
+    val schemas = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.size === 4, plan.take(2000))
+    assert(schemas.forall(l => l.split("struct<").last.count(_ == ':') === 1),
+      schemas.mkString("\n"))
+  }
+
   test("s8 budget select: corpus never globally sorts — single-partition work is the bins frame only") {
     val plan = planOf("s8_budget_select")
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"), plan.take(3000))
