@@ -123,6 +123,52 @@ object Dedup {
       .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
   }
 
+  /** The corpus's published shingle inventory with document frequencies —
+    * the reusable artifact behind [[noveltyAgainst]] (the
+    * [[blockInventory]] discipline for the shingle family): grows with
+    * DISTINCT content, not corpus size, is written once per snapshot, and
+    * prices delta scoring at |delta| + matched-inventory rows instead of
+    * a corpus re-scan.
+    *
+    * @return (sh, df) — one row per distinct shingle with its corpus
+    *         document frequency.
+    */
+  def shingleInventory(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    shingleIndex(corpus, idCol, textCol, n, hashWith = Some(hashMode))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+
+  /** [[noveltyScores]] for a DELTA against an existing corpus inventory:
+    * a delta doc's shingle is novel iff it appears in NO corpus doc and
+    * no OTHER delta doc — exactly [[noveltyScores]] over corpus ∪ delta
+    * restricted to the delta's rows (spec-pinned equivalence), computed
+    * incrementally: delta-internal df window + one sh-keyed left join
+    * onto the inventory. The ingest-time scoring pass: rank today's
+    * crawl by how much of it is actually new.
+    */
+  def noveltyAgainst(
+      delta: DataFrame,
+      inventory: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val dIdx = shingleIndex(delta, idCol, textCol, n, hashWith = Some(hashMode))
+      .withColumn("__ddf", count(lit(1)).over(Window.partitionBy("sh")))
+    dIdx
+      .join(inventory.select(col("sh"), col("df").as("__cdf")), Seq("sh"), "left")
+      .withColumn("__tdf", coalesce(col("__cdf"), lit(0L)) + col("__ddf"))
+      .groupBy("id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("__tdf") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", round(col("n_novel") / col("n_shingles"), 6))
+  }
+
   /** Distinct (id, shingle) pairs — the inverted-index rows.
     *
     * Built as posexplode + lead windows rather than the array-HOF form

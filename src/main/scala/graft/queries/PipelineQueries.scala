@@ -214,6 +214,20 @@ $bandSelects
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    // Incremental novelty (C66 / d20): today's delta (near-copies of
+    // every 25th doc) scored against the corpus's published shingle
+    // inventory — near-copies score ≈ 0, only their sentinel grams are
+    // new. |delta| work + one inventory join, no corpus re-scan.
+    "d20_novelty_incr" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val delta = d.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zq zq zq")).as("text"))
+      val inv = Dedup.shingleInventory(d, "doc_id", "text")
+      Dedup.noveltyAgainst(delta, inv, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     // Budget-bounded quality selection (C64 / s8): keep the
     // highest-type-token-ratio docs until 8k tokens are spent —
     // histogram cut (64 bins), only the boundary bin rank-cut.
@@ -1562,6 +1576,35 @@ $bandSelects
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
+    // d20: corpus and delta shingle chains instantiated separately,
+    // delta-internal df + left join onto the corpus inventory, novel =
+    // total df 1 (raw-string shingles — hashing 1:1, the d2 equivalence).
+    "d20_novelty_incr" ->
+      """WITH cd AS (SELECT doc_id, text FROM documents),
+        |dl AS (
+        |  SELECT doc_id + 200000 AS doc_id, text || ' zq zq zq' AS text
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM cd),
+        |csh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM cw WHERE len(w) >= 3),
+        |dw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dl),
+        |dsh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+        |  FROM dw WHERE len(w) >= 3),
+        |inv AS (SELECT sh, count(*) AS cdf FROM csh GROUP BY sh),
+        |ddfr AS (SELECT sh, count(*) AS ddf FROM dsh GROUP BY sh),
+        |j AS (
+        |  SELECT s.doc_id, coalesce(i.cdf, 0) + f.ddf AS tdf
+        |  FROM dsh s JOIN ddfr f USING (sh) LEFT JOIN inv i USING (sh))
+        |SELECT doc_id,
+        |       count(*) AS n_shingles,
+        |       CAST(sum(CASE WHEN tdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |       round(CAST(sum(CASE WHEN tdf = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
+        |             / count(*), 6) AS novelty
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // t15: same shingle rows (raw strings — hashing is 1:1, the d2
     // equivalence), df by shingle, novel = df = 1.
     "t15_novelty" ->

@@ -1205,6 +1205,28 @@ class PipelineSpec extends GraftSuite {
     assert(out(3L) === ((3L, 8L, 1L, 0.125))) // 7 grams shared with 1/2, one fresh tail gram
   }
 
+  test("incremental novelty equals the full score over corpus ∪ delta restricted to the delta") {
+    val corpus = docs // ids 1-5
+    val delta = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog"), // corpus copy → 0
+      (102L, "an entirely fresh piece of text nobody wrote"), // fresh, but duplicated within the delta → 0
+      (103L, "an entirely fresh piece of text nobody wrote"), // delta-internal dup of 102 → 0
+      (104L, "completely different text about spark and parquet files tonight") // 1 new tail gram
+    ).toDF("doc_id", "text")
+    val inv = Dedup.shingleInventory(corpus, "doc_id", "text")
+    val incr = Dedup.noveltyAgainst(delta, inv, "doc_id", "text")
+      .select("id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val full = Dedup.noveltyScores(corpus.unionByName(delta), "doc_id", "text")
+      .filter(col("id") >= 100L)
+      .select("id", "n_shingles", "n_novel", "novelty")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(incr.toSeq === full.toSeq)
+    val byId = incr.map(r => r._1 -> r._4).toMap
+    assert(byId(101L) === 0.0 && byId(102L) === 0.0 && byId(103L) === 0.0)
+    assert(byId(104L) > 0.0 && byId(104L) < 1.0) // only the shifted tail grams are new
+  }
+
   test("budget select: whole bins above the cut, hash-rank prefix at the boundary, edge budgets") {
     // 10 bins over [0,1]: three docs in bin 9 (score .95), three in bin 5
     // (score .55), each doc 10 tokens.
