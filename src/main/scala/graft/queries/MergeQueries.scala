@@ -111,6 +111,33 @@ object MergeQueries {
         "n_update_assignments", "has_insert_in_source_order", "has_nmbs_delete",
         "audit_ddl_prefix_ok", "audit_d_block_first", "threshold")
     }),
+    // Hard-mode debug render (FIXTURES §1.2 shape): composite key +
+    // badKey rn-dedup CTEs + target filter + soft-delete SET + threshold
+    // — the renderer paths g1's simple config never reaches.
+    "g2_debug_render_hard" -> ((s, dir) => {
+      val m = ordersMerge(s, dir)
+        .keys("o_orderkey", "o_custkey")
+        .badKey(true)
+        .targetFilter("o_totalprice >= 1000")
+        .delete("set o_orderstatus = 'X'")
+        .threshold("15%")
+      val sql = MergeDebug.renderSql(m.plan, "tgt", "src")
+      val ddl = MergeDebug.auditDdl(m.plan, "tgt_SimpleMergeOutput")
+      import s.implicits._
+      Seq((
+        sql.contains("WITH target AS (SELECT *, row_number() OVER (PARTITION BY `o_orderkey`, `o_custkey` ORDER BY monotonically_increasing_id()) AS _SimpleMerge_rn FROM (SELECT * FROM tgt WHERE o_totalprice >= 1000))"),
+        sql.contains("source AS (SELECT *, row_number() OVER (PARTITION BY `o_orderkey`, `o_custkey` ORDER BY monotonically_increasing_id()) AS _SimpleMerge_rn FROM (SELECT * FROM src))"),
+        sql.contains("ON t.`o_orderkey` <=> s.`o_orderkey`") &&
+          sql.contains("t.`o_custkey` <=> s.`o_custkey`"),
+        sql.contains("t._SimpleMerge_rn = s._SimpleMerge_rn"),
+        "t\\.`o_\\w+` = s\\.`o_\\w+`".r.findAllIn(sql).size.toLong,
+        sql.contains("WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.`o_orderstatus` = 'X'"),
+        ddl.startsWith("CREATE TABLE tgt_SimpleMergeOutput (actionTime TIMESTAMP NOT NULL,action STRING NOT NULL,o_orderkey BIGINT,o_custkey BIGINT,d_o_orderstatus"),
+        "15%"
+      )).toDF("has_badkey_target_cte", "has_badkey_source_cte", "on_composite_nullsafe",
+        "has_rn_tiebreak", "n_update_assignments", "has_soft_delete_set",
+        "audit_ddl_composite_keys", "threshold")
+    }),
     // Threshold verdict as data (A22/A23): the variance arithmetic and the
     // commit/abort decision for a 1% threshold, oracle-checked.
     "m11_threshold_verdict" -> ((s, dir) =>
@@ -304,6 +331,12 @@ object MergeQueries {
         |       TRUE AS has_matched_distinct, CAST(5 AS BIGINT) AS n_update_assignments,
         |       TRUE AS has_insert_in_source_order, TRUE AS has_nmbs_delete,
         |       TRUE AS audit_ddl_prefix_ok, TRUE AS audit_d_block_first,
+        |       '15%' AS threshold""".stripMargin,
+    "g2_debug_render_hard" ->
+      """SELECT TRUE AS has_badkey_target_cte, TRUE AS has_badkey_source_cte,
+        |       TRUE AS on_composite_nullsafe, TRUE AS has_rn_tiebreak,
+        |       CAST(4 AS BIGINT) AS n_update_assignments,
+        |       TRUE AS has_soft_delete_set, TRUE AS audit_ddl_composite_keys,
         |       '15%' AS threshold""".stripMargin,
     "m11_threshold_verdict" ->
       s"""$ordersCtes
