@@ -156,6 +156,50 @@ object PipelineProps extends Properties("pipeline") {
         strided && sized && covered
     }
 
+  property("budget select equals the sequential best-bin-first reference algorithm") =
+    forAll(
+      Gen.chooseNum(1, 20).flatMap(n => Gen.listOfN(n,
+        for { s <- Gen.chooseNum(0, 10); t <- Gen.chooseNum(1L, 20L) } yield (s / 10.0, t))),
+      Gen.chooseNum(1, 8),
+      Gen.chooseNum(0L, 150L)) { (rows, bins, budget) =>
+      val s = spark
+      import s.implicits._
+      val docs = rows.zipWithIndex.map { case ((sc, tk), i) => (i.toLong, sc, tk) }
+      val got = Sampling.selectUnderBudget(
+          docs.toDF("doc_id", "score", "n_tokens"),
+          "doc_id", "score", "n_tokens", budget, bins, seed = 17)
+        .select("doc_id").as[Long].collect().toSet
+      // Sequential reference: bins best-first; whole bin if it fits what's
+      // left of the budget so far consumed by better bins, else hash-rank
+      // prefix with inclusive sums, then stop admitting from lower bins.
+      def h(id: Long): Long = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"17:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(md.substring(0, 15), 16)
+      }
+      val byBin = docs.groupBy { case (_, sc, _) => math.min(bins - 1, math.floor(sc * bins).toInt) }
+      var spent = 0L
+      val expect = scala.collection.mutable.Set[Long]()
+      for (b <- byBin.keys.toSeq.sorted.reverse) {
+        val members = byBin(b)
+        val btok = members.map(_._3).sum
+        if (spent + btok <= budget) { members.foreach(m => expect += m._1); spent += btok }
+        else {
+          // Prefix semantics, not greedy-skip: admit while the INCLUSIVE
+          // running sum fits; the first overflow ends admission (running
+          // sum only grows, matching the operator's dcum <= rem filter).
+          val rem = budget - spent
+          var cum = 0L
+          for ((id, _, tk) <- members.sortBy(m => (h(m._1), m._1))) {
+            cum += tk
+            if (cum <= rem) expect += id
+          }
+          spent = budget // lower bins admit nothing
+        }
+      }
+      got == expect.toSet
+    }
+
   property("temperature sampling: kept set shrinks monotonically as alpha decreases") =
     forAll(Gen.chooseNum(2, 6), Gen.chooseNum(10, 40)) { (nSmall, nBig) =>
       val s = spark
