@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Isolated A/B benchmark: one fresh JVM per (variant x query) cell.
 
-The in-process driver bench (graft.Bench, all 62 queries in ONE shared
+The in-process driver bench (graft.Bench, all ~98 queries in ONE shared
 JVM) demonstrably cannot resolve sub-2x perf claims on the shuffle-heavy
 d-suite: round-over-round swings of +/-60% on untouched code (r7->r8:
 d7 -46%, d3 +60%, d12 +63%). This runner removes the cross-QUERY JVM
