@@ -285,7 +285,52 @@ object StreamingQueries {
       val (replay, out) = st6Setup(s, dir)
       replay()
       s.read.parquet(out).select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+    "st7_stream_unique" -> ((s, dir) => {
+      val (replay, out) = st7Setup(s, dir)
+      replay()
+      // Sentinel windows land past every real hour; cut at the batch max.
+      val maxHour = Fixtures.events(s, dir)
+        .agg(max(date_trunc("hour", col("ts")))).first().get(0)
+      s.read.parquet(out).filter(col("hour") <= lit(maxHour)).orderBy("hour")
     }))
+
+  /** Untimed setup for st7 (streaming exact distinct-per-window via
+    * CHAINED stateful operators — watermark-evicted dedup feeding a
+    * watermarked windowed count): (us, user_id) replayed time-ordered,
+    * st3's two-sentinel close (sentinel user −1 at max+3 h/+6 h) flushes
+    * every real window. Converged sink == the batch
+    * count(DISTINCT user_id) per hour — SQL-expressible, the st-family
+    * oracle discipline.
+    */
+  private[graft] def st7Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st7")
+    val out = s"$scratch/out"
+    val rows = Fixtures.events(s, dir)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("user_id"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val maxUs = rows.last._1
+    val hourUs = 3600L * 1000000L
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long)]
+    val stream = mem.toDF().toDF("us", "user_id")
+      .select(timestamp_micros(col("us")).as("ts"), col("user_id"))
+    val agg = graft.streaming.StreamingUpsert.hourlyUniqueUsers(stream, "ts", "user_id")
+    val q = agg
+      .select(col("window.start").cast("timestamp_ntz").as("hour"), col("n_users"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start()
+    val replay = () =>
+      try {
+        rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        mem.addData((maxUs + 3 * hourUs, -1L)); q.processAllAvailable()
+        mem.addData((maxUs + 6 * hourUs, -1L)); q.processAllAvailable()
+      } finally q.stop()
+    (replay, out)
+  }
 
   /** Untimed setup for st6 (streaming per-source admission quota): the
     * documents table replayed doc_id-ordered through
@@ -319,6 +364,11 @@ object StreamingQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Chained-stateful exact distinct per window converges to the batch
+    // COUNT(DISTINCT) — the events table itself.
+    "st7_stream_unique" ->
+      """SELECT date_trunc('hour', ts) AS hour, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Arrival-order admission quota: batches replay in doc_id order and
     // the operator sorts each group slice by id, so the admitted set is
     // the first 15 docs per source by doc_id.

@@ -200,4 +200,24 @@ object StreamingUpsert {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
       .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
+
+  /** EXACT distinct users per hour over a stream — CHAINED stateful
+    * operators (Spark 3.4+): a watermark-evicted streaming dedup on
+    * (user, hour window) feeds a watermarked windowed count. State is one
+    * row per distinct (user, hour) inside the watermark horizon plus the
+    * open windows' counters — both bounded by the horizon, NOT by stream
+    * length. The exact counterpart of a per-window HLL sketch
+    * (`approx_count_distinct`): same plan shape, one word of state per
+    * distinct key instead of a register array, chosen when the report
+    * must reconcile exactly against batch (the st-family's oracle
+    * discipline).
+    */
+  def hourlyUniqueUsers(events: DataFrame, tsCol: String, userCol: String,
+      watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(userCol), window(col(tsCol), "1 hour").as("window"))
+      .dropDuplicates(userCol, "window")
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_users"))
 }
