@@ -289,8 +289,10 @@ object StreamingQueries {
     "st7_stream_unique" -> ((s, dir) => {
       val (replay, out) = st7Setup(s, dir)
       replay()
-      // Sentinel windows land past every real hour; cut at the batch max.
-      val maxHour = Fixtures.events(s, dir)
+      // Sentinel windows land past every real hour; cut at the batch max
+      // OF THE SAME SLICE the harness replays (the sentinel sits 3 h past
+      // the slice's max, not the corpus's).
+      val maxHour = Fixtures.events(s, dir).filter(col("user_id") % 10 === 0)
         .agg(max(date_trunc("hour", col("ts")))).first().get(0)
       s.read.parquet(out).filter(col("hour") <= lit(maxHour)).orderBy("hour")
     }))
@@ -308,21 +310,37 @@ object StreamingQueries {
     implicit val ctx: SQLContext = s.sqlContext
     val scratch = Fixtures.scratchDir("graft-st7")
     val out = s"$scratch/out"
+    // Deterministic 1-in-10 user slice: the chained-stateful plan is the
+    // thing under test; replaying every event only scales the harness
+    // cost (the full-corpus twin is the batch q18/t6 family).
     val rows = Fixtures.events(s, dir)
+      .filter(col("user_id") % 10 === 0)
       .select(unix_micros(col("ts").cast("timestamp")).as("us"), col("user_id"))
       .as[(Long, Long)].collect().sortBy(_._1)
     val maxUs = rows.last._1
     val hourUs = 3600L * 1000000L
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
     val mem = MemoryStream[(Long, Long)]
+    // The dominant cost of this harness is the per-(operator × partition
+    // × batch) state-store commit — with TWO chained stateful operators
+    // it doubles. The state partition count is frozen into the fresh
+    // checkpoint at stream start, so pin it low for this stream and
+    // restore the session's setting afterwards (a real deployment sizes
+    // state partitions to key cardinality, which is hours × users/10
+    // here — tiny).
+    val partKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partKey)
+    s.conf.set(partKey, "8")
     val stream = mem.toDF().toDF("us", "user_id")
       .select(timestamp_micros(col("us")).as("ts"), col("user_id"))
     val agg = graft.streaming.StreamingUpsert.hourlyUniqueUsers(stream, "ts", "user_id")
-    val q = agg
-      .select(col("window.start").cast("timestamp_ntz").as("hour"), col("n_users"))
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", out).option("checkpointLocation", s"$scratch/cp")
-      .start()
+    val q =
+      try agg
+        .select(col("window.start").cast("timestamp_ntz").as("hour"), col("n_users"))
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", s"$scratch/cp")
+        .start()
+      finally s.conf.set(partKey, prevParts)
     val replay = () =>
       try {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
@@ -368,7 +386,7 @@ object StreamingQueries {
     // COUNT(DISTINCT) — the events table itself.
     "st7_stream_unique" ->
       """SELECT date_trunc('hour', ts) AS hour, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM events WHERE user_id % 10 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // Arrival-order admission quota: batches replay in doc_id order and
     // the operator sorts each group slice by id, so the admitted set is
     // the first 15 docs per source by doc_id.
