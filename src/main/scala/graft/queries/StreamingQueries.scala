@@ -42,6 +42,23 @@ object StreamingQueries {
     * the measured operation: N micro-batches through the partition-scoped
     * apply — and the target path for reading the converged state).
     */
+  /** Run `body` (which must CREATE AND START a streaming query) with the
+    * session's shuffle-partition count pinned to `n`, restoring the
+    * previous value afterwards. The stateful operators' partitioning is
+    * frozen into the stream's fresh checkpoint at start, so this sizes
+    * the state stores without touching any other query. Rationale: the
+    * dominant harness cost of every stateful st-query is the
+    * per-(operator × partition × batch) state-store commit, NOT data —
+    * a real deployment sizes state partitions to key cardinality, which
+    * is tiny for these fixtures.
+    */
+  private def pinnedStateParts[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   private[graft] def st1Setup(s: SparkSession, dir: String): (() => Unit, String) = {
     import s.implicits._
     implicit val ctx: SQLContext = s.sqlContext
@@ -96,9 +113,9 @@ object StreamingQueries {
     val rows = ev.as[(Long, Long, String, Double)].collect().sortBy(_._1)
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
     val mem = MemoryStream[(Long, Long, String, Double)]
-    val q = StreamingUpsert.dedupedAppendTo(
+    val q = pinnedStateParts(s, 8)(StreamingUpsert.dedupedAppendTo(
       mem.toDF().toDF("event_id", "user_id", "event_type", "value"),
-      target, Seq("event_id"), s"$scratch/cp")
+      target, Seq("event_id"), s"$scratch/cp"))
     val replay = () =>
       try {
         var carry: Seq[(Long, Long, String, Double)] = Nil
@@ -152,12 +169,12 @@ object StreamingQueries {
     val stream = mem.toDF().toDF("us", "event_type", "value")
       .select(timestamp_micros(col("us")).as("ts"), col("event_type"), col("value"))
     val agg = StreamingUpsert.hourlyCounts(stream, "ts", "event_type", "value")
-    val q = agg
+    val q = pinnedStateParts(s, 8)(agg
       .select(col("window.start").cast("timestamp_ntz").as("hour"), col("event_type"),
         col("n"), round(col("sum_value"), 2).as("sum_value"))
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", s"$scratch/cp")
-      .start()
+      .start())
     val replay = () =>
       try {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
@@ -194,11 +211,12 @@ object StreamingQueries {
     val stream = mem.toDF().toDF("user_id", "us")
       .select(col("user_id"), timestamp_micros(col("us")).as("ts"))
       .withWatermark("ts", "1 hour")
-    val q = graft.streaming.StreamingSessionize.byGap(stream, "user_id", "ts", gapMinutes = 30)
-      .toDF()
-      .writeStream.outputMode("append").format("parquet")
-      .option("path", out).option("checkpointLocation", s"$scratch/cp")
-      .start()
+    val q = pinnedStateParts(s, 8)(
+      graft.streaming.StreamingSessionize.byGap(stream, "user_id", "ts", gapMinutes = 30)
+        .toDF()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", s"$scratch/cp")
+        .start())
     val replay = () =>
       try {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
@@ -321,26 +339,16 @@ object StreamingQueries {
     val hourUs = 3600L * 1000000L
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
     val mem = MemoryStream[(Long, Long)]
-    // The dominant cost of this harness is the per-(operator × partition
-    // × batch) state-store commit — with TWO chained stateful operators
-    // it doubles. The state partition count is frozen into the fresh
-    // checkpoint at stream start, so pin it low for this stream and
-    // restore the session's setting afterwards (a real deployment sizes
-    // state partitions to key cardinality, which is hours × users/10
-    // here — tiny).
-    val partKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(partKey)
-    s.conf.set(partKey, "8")
     val stream = mem.toDF().toDF("us", "user_id")
       .select(timestamp_micros(col("us")).as("ts"), col("user_id"))
     val agg = graft.streaming.StreamingUpsert.hourlyUniqueUsers(stream, "ts", "user_id")
-    val q =
-      try agg
-        .select(col("window.start").cast("timestamp_ntz").as("hour"), col("n_users"))
-        .writeStream.outputMode("append").format("parquet")
-        .option("path", out).option("checkpointLocation", s"$scratch/cp")
-        .start()
-      finally s.conf.set(partKey, prevParts)
+    // Two chained stateful operators double the per-partition commit
+    // cost — see pinnedStateParts.
+    val q = pinnedStateParts(s, 8)(agg
+      .select(col("window.start").cast("timestamp_ntz").as("hour"), col("n_users"))
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start())
     val replay = () =>
       try {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
@@ -370,11 +378,11 @@ object StreamingQueries {
       .as[(String, Long)].collect().sortBy(_._2)
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
     val mem = MemoryStream[(String, Long)]
-    val q = StreamingQuota.admit(mem.toDS(), quota = 15)
+    val q = pinnedStateParts(s, 8)(StreamingQuota.admit(mem.toDS(), quota = 15)
       .toDF("source", "doc_id")
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", s"$scratch/cp")
-      .start()
+      .start())
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
