@@ -215,6 +215,20 @@ object Dedup {
       idx: DataFrame,
       candidates: DataFrame,
       threshold: Double,
+      precomputedSizes: Option[DataFrame] = None): DataFrame =
+    verifiedPairsBy(idx, candidates, threshold, "jaccard",
+      (inter, szA, szB) => inter / (szA + szB - inter), precomputedSizes)
+
+  /** [[verifiedPairs]] generalized over the similarity metric: any
+    * `(inter, sz_a, sz_b) => score` (jaccard, containment, overlap
+    * coefficient…) computed over the TRUE uncapped intersection.
+    */
+  private def verifiedPairsBy(
+      idx: DataFrame,
+      candidates: DataFrame,
+      threshold: Double,
+      metricName: String,
+      metric: (Column, Column, Column) => Column,
       precomputedSizes: Option[DataFrame] = None): DataFrame = {
     val sizes = precomputedSizes.getOrElse(idx.groupBy("id").agg(count(lit(1)).as("sz")))
     val idxA = idx.select(col("id").as("doc_a"), col("sh").as("sh_a"))
@@ -226,9 +240,9 @@ object Dedup {
       .agg(count(lit(1)).as("inter"))
       .join(sizes.withColumnRenamed("id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
       .join(sizes.withColumnRenamed("id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .withColumn(metricName, round(metric(col("inter"), col("sz_a"), col("sz_b")), 6))
+      .filter(col(metricName) >= threshold)
+      .select(col("doc_a"), col("doc_b"), col(metricName))
   }
 
   /** Near-duplicate pairs by n-gram Jaccard similarity: candidates come
@@ -317,6 +331,68 @@ object Dedup {
       .select("doc_a", "doc_b")
     new PairsHandle(
       verifiedPairs(idx, candidates, threshold, precomputedSizes = Some(sizes)),
+      Seq(idx, filtered, sizes))
+  }
+
+  /** Containment near-dup pairs: (a, b) with |A ∩ B| / min(|A|, |B|) ≥
+    * threshold over n-gram shingle sets — the asymmetric metric that
+    * catches a document CONTAINED in another (quotes, excerpts, a doc
+    * plus appended chrome), which symmetric Jaccard dilutes: a 50-gram
+    * doc embedded verbatim in a 500-gram doc scores containment 1.0 but
+    * jaccard 0.1. Same inverted-index scale shape and dfCap pruning as
+    * [[jaccardPairs]] (containment i/min(sa,sb) is monotone in i, so the
+    * capped upper bound prunes identically); verification uses the TRUE
+    * uncapped intersection.
+    *
+    * @return (doc_a, doc_b, containment) with doc_a < doc_b — order says
+    *         nothing about WHICH side is contained (min takes care of
+    *         it); join sizes back in when direction matters.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfCap: Int = 50,
+      threshold: Double = 0.8,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    containmentPairsHandle(docs, idCol, textCol, n, dfCap, threshold, hashMode).pairs
+
+  /** [[containmentPairs]] with the releasable [[PairsHandle]] (the
+    * [[jaccardPairsHandle]] contract).
+    */
+  def containmentPairsHandle(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      dfCap: Int = 50,
+      threshold: Double = 0.8,
+      hashMode: HashMode = HashMode.Md5Portable): PairsHandle = {
+    val idx = shingleIndex(docs, idCol, textCol, n, hashWith = Some(hashMode))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val filtered = idx
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("__df") <= dfCap)
+      .drop("__df")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cappedSizes = filtered.groupBy("id").agg(count(lit(1)).as("csz"))
+    val cappedInter = filtered.as("a")
+      .join(filtered.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("cinter"))
+    val docStats = sizes.join(cappedSizes, "id")
+    val candidates = cappedInter
+      .join(docStats.select(col("id").as("doc_a"), col("sz").as("sz_a"), col("csz").as("csz_a")), "doc_a")
+      .join(docStats.select(col("id").as("doc_b"), col("sz").as("sz_b"), col("csz").as("csz_b")), "doc_b")
+      .withColumn("ub_inter", col("cinter") + least(col("sz_a") - col("csz_a"), col("sz_b") - col("csz_b")))
+      .filter(col("ub_inter") / least(col("sz_a"), col("sz_b")) >= threshold)
+      .select("doc_a", "doc_b")
+    new PairsHandle(
+      verifiedPairsBy(idx, candidates, threshold, "containment",
+        (inter, szA, szB) => inter / least(szA, szB), precomputedSizes = Some(sizes)),
       Seq(idx, filtered, sizes))
   }
 

@@ -110,6 +110,18 @@ $bandSelects
       when(col("doc_id") % 5 === 0, concat(lit(BoilHeader + " "), col("text")))
         .otherwise(col("text")).as("text"))
 
+  /** d21 fixture: every 50th doc gets a 12-token EXCERPT twin (+500000) —
+    * the quote/excerpt shape whose containment is 1.0 while its jaccard
+    * (~10/52) sits far below any useful symmetric threshold. The oracle
+    * inlines the same slice.
+    */
+  private def docsQuoteAug(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), 1, 12), " ").as("text")))
+  }
+
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -214,6 +226,14 @@ $bandSelects
         .select("vec_id")
         .orderBy("vec_id")
     }),
+    // Containment near-dup (C68 / d21): |A∩B| / min(|A|,|B|) over the
+    // quote fixture — every planted 12-token excerpt scores 1.0 against
+    // its source while its jaccard (~0.19) is invisible to d2's
+    // symmetric threshold. Same inverted-index + dfCap shape as d2.
+    "d21_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docsQuoteAug(s, dir), "doc_id", "text",
+        ShingleN, DfCap, threshold = 0.8)
+        .orderBy("doc_a", "doc_b")),
     // Incremental novelty (C66 / d20): today's delta (near-copies of
     // every 25th doc) scored against the corpus's published shingle
     // inventory — near-copies score ≈ 0, only their sentinel grams are
@@ -1576,6 +1596,56 @@ $bandSelects
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
+    // d21: d2's capped candidate CTEs with the containment bound/tail
+    // (i/min monotone in i — same upper-bound pruning), quote fixture
+    // inlined.
+    "d21_containment" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 500000,
+         |         array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ')
+         |  FROM documents WHERE doc_id % 50 = 0
+         |),
+         |$shingleCtes,
+         |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
+         |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+         |stats AS (
+         |  SELECT z.doc_id, z.sz, coalesce(fc.csz, 0) AS csz FROM
+         |    (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id) z
+         |    LEFT JOIN (SELECT doc_id, count(*) AS csz FROM f GROUP BY doc_id) fc USING (doc_id)
+         |),
+         |cinterx AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cinter
+         |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |cand AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT ci.doc_a, ci.doc_b,
+         |           ci.cinter + least(sa.sz - sa.csz, sb.sz - sb.csz) AS ub_inter,
+         |           sa.sz AS sz_a, sb.sz AS sz_b
+         |    FROM cinterx ci
+         |    JOIN stats sa ON sa.doc_id = ci.doc_a
+         |    JOIN stats sb ON sb.doc_id = ci.doc_b
+         |  ) WHERE ub_inter / least(sz_a, sz_b) >= 0.8
+         |),
+         |interx AS (
+         |  SELECT c.doc_a, c.doc_b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY 1, 2
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id)
+         |SELECT doc_a, doc_b, containment FROM (
+         |  SELECT i.doc_a, i.doc_b,
+         |         round(i.inter / least(sa.sz, sb.sz), 6) AS containment
+         |  FROM interx i
+         |  JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  JOIN sizes sb ON sb.doc_id = i.doc_b
+         |) WHERE containment >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // d20: corpus and delta shingle chains instantiated separately,
     // delta-internal df + left join onto the corpus inventory, novel =
     // total df 1 (raw-string shingles — hashing 1:1, the d2 equivalence).

@@ -1205,6 +1205,19 @@ class PipelineSpec extends GraftSuite {
     assert(out(3L) === ((3L, 8L, 1L, 0.125))) // 7 grams shared with 1/2, one fresh tail gram
   }
 
+  test("containment pairs: excerpt scores 1.0 where symmetric jaccard misses it") {
+    // 5-token excerpt of doc 4: 3 shingles, all inside doc 4's 6 → containment
+    // 1.0, jaccard 0.5 — invisible to the 0.6 jaccard threshold.
+    val corpus = docs.unionByName(
+      Seq((99L, "completely different text about spark")).toDF("doc_id", "text"))
+    val cont = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(cont === Set((1L, 2L, 1.0), (1L, 3L, 1.0), (2L, 3L, 1.0), (4L, 99L, 1.0)))
+    val jac = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.6)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((4L, 99L)), s"jaccard should miss the excerpt pair: $jac")
+  }
+
   test("incremental novelty equals the full score over corpus ∪ delta restricted to the delta") {
     val corpus = docs // ids 1-5
     val delta = Seq(
