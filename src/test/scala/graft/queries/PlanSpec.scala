@@ -269,6 +269,11 @@ class PlanSpec extends GraftSuite {
     assert("Exchange hashpartitioning\\(domain".r.findAllIn(plan).size === 1, plan.take(2000))
   }
 
+  test("d21 containment: inverted-index joins only — never an all-pairs product") {
+    val plan = planOf("d21_containment")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
   test("d19 URL dedup / t15 novelty: aggregation-and-window only — no joins at all") {
     Seq("d19_url_dedup", "t15_novelty").foreach { q =>
       val plan = planOf(q)
