@@ -151,6 +151,37 @@ object Similarity {
       .limit(k)
   }
 
+  /** Corpus-level embedding health report — the gate before ANY
+    * embedding operator is trusted: vector count, dimension bounds (a
+    * mixed-dim corpus breaks every dot product), zero-vector and
+    * non-finite counts (dead rows that NaN-poison cosine math), and the
+    * L2-norm range/median. Every statistic is engine-deterministic: the
+    * norm folds left-to-right (the e5 discipline), min/max/counts are
+    * order-free, and the median interpolates over pre-rounded norms —
+    * no floating-point sum over row order anywhere.
+    *
+    * Scale shape: one map-side projection + one aggregation; the exact
+    * median buffers norms per group (fine for a 1-row report; swap
+    * `percentile_approx` at extreme scale — same schema).
+    */
+  def embeddingQc(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val e = asDouble(col(vecCol))
+    val norm = round(
+      sqrt(aggregate(transform(e, x => x * x), lit(0.0), (a, b) => a + b)), 6)
+    vectors
+      .select(size(e).as("__dim"), norm.as("__nrm"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("__dim")).as("dim_min"),
+        max(col("__dim")).as("dim_max"),
+        sum(when(col("__nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(isnan(col("__nrm")) || col("__nrm") === Double.PositiveInfinity, 1L)
+          .otherwise(0L)).as("n_nonfinite"),
+        min(col("__nrm")).as("norm_min"),
+        max(col("__nrm")).as("norm_max"),
+        expr("percentile(__nrm, 0.5)").as("norm_p50"))
+  }
+
   /** Per-cluster label purity: assign every vector to its nearest
     * centroid, then report each bucket's size, majority label (smallest
     * label on count ties), and purity = majority fraction — the clustering

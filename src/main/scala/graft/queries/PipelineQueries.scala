@@ -297,6 +297,11 @@ $bandSelects
       Dedup.noveltyScores(docsNearAug(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")),
+    // Embedding QC report (C69 / e11): dimensions, zero/non-finite
+    // counts, norm range/median — the health gate before any embedding
+    // operator; every stat engine-deterministic (no row-order FP sums).
+    "e11_embedding_qc" -> ((s, dir) =>
+      Similarity.embeddingQc(table(s, dir, "embeddings"), "vec_id", "embedding")),
     // Cluster-purity report (C58 / e9): per-bucket majority-label
     // fraction under the fixed e2 centroid set — the clustering-quality
     // readout behind IVF/SemDeDup trust. Labels ride the assignment;
@@ -1688,6 +1693,23 @@ $bandSelects
          |             / count(*), 6) AS novelty
          |FROM sh s JOIN dfreq f USING (sh)
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // e11: identical left-to-right norm fold (0.0 seed == first-element
+    // fold exactly in IEEE), pre-rounded norms, quantile_cont == Spark's
+    // exact percentile interpolation (the t11 equivalence).
+    "e11_embedding_qc" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |n AS (
+        |  SELECT len(e) AS dim,
+        |         round(sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)), 6) AS nrm
+        |  FROM v)
+        |SELECT count(*) AS n_vecs,
+        |       CAST(min(dim) AS INTEGER) AS dim_min,
+        |       CAST(max(dim) AS INTEGER) AS dim_max,
+        |       CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(sum(CASE WHEN isnan(nrm) OR isinf(nrm) THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+        |       min(nrm) AS norm_min, max(nrm) AS norm_max,
+        |       quantile_cont(nrm, 0.5) AS norm_p50
+        |FROM n""".stripMargin,
     // e9: e2's assignment CTEs (same rounded csim, same centroid-id
     // tiebreak) + majority pick over the (bucket, label) counts —
     // count-desc, label-asc, matching the Spark window exactly.

@@ -1261,6 +1261,19 @@ class PipelineSpec extends GraftSuite {
     assert(kept(35L) === (1L to 3L).toSet)
   }
 
+  test("embedding QC: counts zero vectors, catches dim drift and the norm spread") {
+    val d = Seq(
+      (1L, Array(3f, 4f)),     // norm 5
+      (2L, Array(0f, 0f)),     // dead row
+      (3L, Array(1f, 0f, 0f))  // dimension drift
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.embeddingQc(d, "vec_id", "embedding").first()
+    assert(r.getLong(0) === 3L)
+    assert(r.getInt(1) === 2 && r.getInt(2) === 3) // dim_min / dim_max expose the drift
+    assert(r.getLong(3) === 1L && r.getLong(4) === 0L) // one zero vector, nothing non-finite
+    assert(r.getDouble(5) === 0.0 && r.getDouble(6) === 5.0 && r.getDouble(7) === 1.0)
+  }
+
   test("cluster purity: planted mixed bucket scores fractionally, pure bucket scores 1, min-label tie") {
     // Two well-separated axes as centroids; vectors hug one axis each.
     val cents = Seq(
