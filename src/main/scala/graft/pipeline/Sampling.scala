@@ -235,6 +235,47 @@ object Sampling {
       .drop("__bound")
   }
 
+  /** Deterministic weighted interleave of strata — the training-order
+    * companion to [[temperatureSample]]: stride scheduling assigns each
+    * row `pos = rank / weight` within its stratum (rank = the
+    * [[epochShuffle]]-style (hash, id) order), so a trainer reading
+    * rows ordered by `(pos, stratum, id)` sees every prefix mixed in
+    * proportion to the weights — source A at weight 1.0 appears twice
+    * as often as B at 0.5 from the very first batch, not just in
+    * aggregate (what a concatenate-then-shuffle cannot promise for
+    * small prefixes).
+    *
+    * No global sort HERE: the operator emits the schedule key; writing
+    * ordered output is the sink's layout choice (e.g. range-partition
+    * by pos), exactly like [[epochShuffle]]'s (shard, ord) contract.
+    * One stratum shuffle + rank window.
+    *
+    * @param weights per-stratum relative read frequency (> 0); strata
+    *                absent from the map use `defaultWeight`. Use exact
+    *                binary fractions (1.0, 0.5, 0.25…) when an engine
+    *                twin must reproduce positions bit-exactly.
+    * @return input columns + (`rnk`: within-stratum rank, `pos`: the
+    *         global schedule key, rounded to 6).
+    */
+  def mixtureSchedule(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weights: Map[String, Double],
+      seed: Int,
+      defaultWeight: Double = 1.0,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(weights.values.forall(_ > 0) && defaultWeight > 0,
+      s"weights must be positive: $weights / $defaultWeight")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashMode.hash(col(idCol).cast("string"), seed), col(idCol))
+    val weightExpr = weights.toSeq.sortBy(_._1).foldLeft(when(lit(false), lit(0.0))) {
+      case (acc, (stratum, wt)) => acc.when(col(strataCol) === lit(stratum), lit(wt))
+    }.otherwise(lit(defaultWeight))
+    df.withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("pos", round(col("rnk") / weightExpr, 6))
+  }
+
   /** Quality-weighted selection under a global token budget: keep the
     * highest-scoring documents until their tokens spend the budget — the
     * data-selection step when compute, not data, is the binding

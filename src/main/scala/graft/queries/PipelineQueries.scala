@@ -336,6 +336,13 @@ $bandSelects
         alpha = 0.5, seed = 29)
         .groupBy("lang").agg(count(lit(1)).as("n_kept"))
         .orderBy("lang")),
+    // Weighted mixture schedule (C70 / s9): stride-scheduled training
+    // order — en reads at weight 1.0, de at 0.5, the rest at 0.25, so
+    // every prefix of the pos-ordered corpus mixes proportionally.
+    "s9_mixture_schedule" -> ((s, dir) =>
+      Sampling.mixtureSchedule(table(s, dir, "documents").select("doc_id", "lang"),
+        "doc_id", "lang", Map("en" -> 1.0, "de" -> 0.5), seed = 37, defaultWeight = 0.25)
+        .orderBy("pos", "lang", "doc_id")),
     // Sliding token-window chunking (C55 / t13): 32-token windows every
     // 24 tokens (8-token overlap), final window partial — map-only
     // posexplode, no shuffle.
@@ -1829,6 +1836,18 @@ $bandSelects
          |FROM documents d JOIN r USING (lang)
          |WHERE ${sqlHash(29, "d.doc_id::VARCHAR")} < bound
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // s9: identical hash-rank window + exact-binary weight CASE (1.0 /
+    // 0.5 / 0.25 — the divisions are IEEE-exact in both engines).
+    "s9_mixture_schedule" ->
+      s"""WITH r AS (
+         |  SELECT doc_id, lang,
+         |         row_number() OVER (
+         |           PARTITION BY lang
+         |           ORDER BY ${sqlHash(37, "doc_id::VARCHAR")}, doc_id) AS rnk
+         |  FROM documents)
+         |SELECT doc_id, lang, rnk,
+         |       round(rnk / CASE lang WHEN 'en' THEN 1.0 WHEN 'de' THEN 0.5 ELSE 0.25 END, 6) AS pos
+         |FROM r ORDER BY pos, lang, doc_id""".stripMargin,
     // t13: identical window starts (generate_series == Spark sequence,
     // both inclusive-end with step), clamped list_slice, and the partial
     // final window.

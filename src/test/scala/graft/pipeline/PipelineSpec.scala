@@ -1261,6 +1261,22 @@ class PipelineSpec extends GraftSuite {
     assert(kept(35L) === (1L to 3L).toSet)
   }
 
+  test("mixture schedule: every prefix mixes by weight, ties break by stratum") {
+    val d = ((1L to 20L).map(i => (i, "A")) ++ (21L to 40L).map(i => (i, "B")))
+      .toDF("doc_id", "stratum")
+    val out = Sampling.mixtureSchedule(d, "doc_id", "stratum",
+        Map("A" -> 1.0, "B" -> 0.5), seed = 5)
+      .orderBy("pos", "stratum", "doc_id")
+      .select("stratum").as[String].collect()
+    // A strides at 1, B at 2 → every prefix of length 3k holds exactly
+    // 2k A's and k B's (the prefix-proportionality a global shuffle
+    // cannot promise), until A runs dry.
+    for (k <- 1 to 10) {
+      val p = out.take(3 * k)
+      assert(p.count(_ == "A") === 2 * k && p.count(_ == "B") === k, s"prefix ${3 * k}")
+    }
+  }
+
   test("embedding QC: counts zero vectors, catches dim drift and the norm spread") {
     val d = Seq(
       (1L, Array(3f, 4f)),     // norm 5
