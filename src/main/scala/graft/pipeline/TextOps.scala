@@ -94,6 +94,36 @@ object TextOps {
     PiiPatterns.map { case (pat, _) => regexp_count(text, lit(pat)) }
       .reduce(_ + _).cast("long")
 
+  /** Entity decodes applied by [[stripMarkup]] IN ORDER — `&amp;` last,
+    * so `&amp;lt;` decodes to the literal `&lt;` and not to `<` (the
+    * standard one-pass rule). Plain literals, identical under Java regex
+    * and RE2.
+    */
+  val MarkupEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+
+  /** Strip HTML/XML-ish markup from crawled text: drop tags, decode the
+    * five core entities, collapse whitespace — the normalization pass
+    * between raw crawl HTML and every downstream text operator (dedup
+    * keys, quality stats, tokenization all change meaning if half the
+    * corpus still carries `<div>` chrome). Map-only regex chain; a real
+    * boilerplate-DOM extractor (trafilatura-class) slots in upstream,
+    * this is the cheap always-on floor.
+    */
+  def stripMarkup(text: Column): Column = {
+    val untagged = regexp_replace(text, "<[^>]*>", " ")
+    val decoded = MarkupEntities.foldLeft(untagged) {
+      case (c, (ent, repl)) => regexp_replace(c, ent, repl)
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** How many tags [[stripMarkup]] removes — the markup-density signal
+    * (a doc that is mostly tags is navigation chrome, not content).
+    */
+  def tagCount(text: Column): Column =
+    regexp_count(text, lit("<[^>]*>")).cast("long")
+
   private val SchemeHostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
 
   /** Canonicalize a URL for crawl bookkeeping and URL-level dedup:

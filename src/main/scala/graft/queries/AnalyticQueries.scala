@@ -244,7 +244,19 @@ object AnalyticQueries {
       graft.operators.Profile.profile(
         table(s, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
-        .orderBy("col_name")))
+        .orderBy("col_name")),
+
+    // Pivot with an EXPLICIT value list (the scale-safe form — inferring
+    // values needs an extra distinct pass): one aggregation, columns per
+    // status. Equivalent to conditional aggregation, which is the oracle.
+    "q23_pivot" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum("l_quantity"), 2))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+        .orderBy("l_returnflag")))
 
   private[graft] def q20Setup(s: SparkSession, dir: String): Unit = {
     graft.operators.Bucketing.writeBucketed(
@@ -264,6 +276,11 @@ object AnalyticQueries {
       .orderBy("o_orderpriority")
 
   val oracleSql: Map[String, String] = Map(
+    "q23_pivot" ->
+      """SELECT l_returnflag,
+        |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,
+        |       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q22_profile" -> {
       def one(c: String) =
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,

@@ -456,6 +456,20 @@ $bandSelects
       table(s, dir, "documents").filter(col("doc_id") < 100)
         .select(col("doc_id"), graft.pipeline.TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    // Markup strip (C71 / t17): synthetic crawl chrome (tags + entities)
+    // wrapped around each doc, then stripped — tags out, entities
+    // decoded, whitespace collapsed — with the tag-density signal.
+    "t17_markup_strip" -> ((s, dir) => {
+      import graft.pipeline.TextOps
+      val html = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("<html><body class=\"c\"><p>"), col("text"),
+            lit("</p><br/>&amp; <a href=\"#\">more &gt; here</a></body></html>")).as("raw"))
+      html.select(col("doc_id"),
+          TextOps.tagCount(col("raw")).as("n_tags"),
+          TextOps.stripMarkup(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    }),
     // Language-mismatch audit (C65 / t16): docs whose detected language
     // disagrees with their metadata label — the metadata-QC pass that
     // catches mislabeled crawl shards before per-language mixing trusts
@@ -1687,6 +1701,23 @@ $bandSelects
         |       round(CAST(sum(CASE WHEN tdf = 1 THEN 1 ELSE 0 END) AS BIGINT)::DOUBLE
         |             / count(*), 6) AS novelty
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // t17: same literal wrap, same tag regex + ordered entity decodes
+    // (amp last) + whitespace collapse — 'g' flags (DuckDB replaces
+    // first-match by default; Spark is global).
+    "t17_markup_strip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         '<html><body class="c"><p>' || text ||
+        |         '</p><br/>&amp; <a href="#">more &gt; here</a></body></html>' AS raw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(raw, '<[^>]*>')) AS BIGINT) AS n_tags,
+        |       trim(regexp_replace(
+        |         replace(replace(replace(replace(replace(
+        |           regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+        |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |         '\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
     // t15: same shingle rows (raw strings — hashing is 1:1, the d2
     // equivalence), df by shingle, novel = df = 1.
     "t15_novelty" ->

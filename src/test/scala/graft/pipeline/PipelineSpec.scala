@@ -1159,6 +1159,17 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) === ((4L, 224, 1, true)))
   }
 
+  test("markup strip: tags out, entities decoded once with amp-last ordering") {
+    val d = Seq((1L, "<p>a &amp;lt; b</p> <br/> &quot;x&quot; &#39;y&#39; &gt;"))
+      .toDF("id", "text")
+    val r = d.select(TextOps.stripMarkup(col("text")).as("c"),
+        TextOps.tagCount(col("text")).as("n"))
+      .as[(String, Long)].first()
+    // &amp;lt; decodes to the literal "&lt;" (one pass), not to "<".
+    assert(r._1 === "a &lt; b \"x\" 'y' >")
+    assert(r._2 === 3L)
+  }
+
   test("URL normalization: query/fragment stripped, scheme+host lowercased, path case kept") {
     val d = Seq(
       (1L, "HTTPS://WWW.Example.COM/Path/Sub/?q=1&r=2#frag"),
