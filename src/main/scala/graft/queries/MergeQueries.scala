@@ -111,6 +111,22 @@ object MergeQueries {
         "n_update_assignments", "has_insert_in_source_order", "has_nmbs_delete",
         "audit_ddl_prefix_ok", "audit_d_block_first", "threshold")
     }),
+    // CDC change-feed apply (A-family extension / m15): the log-shaped
+    // merge — op codes trusted, no snapshot diff. Feed: D for target
+    // keys %13=0, U for source∩target keys, I for source-only keys.
+    "m15_cdc_apply" -> ((s, dir) => {
+      val t = Fixtures.ordersTarget(s, dir)
+      val src = Fixtures.ordersSource(s, dir)
+      val tKeys = t.select("o_orderkey")
+      val dels = t.filter(col("o_orderkey") % 13 === 0).withColumn("op", lit("D"))
+      val updates = src.join(tKeys, Seq("o_orderkey"), "left_semi")
+        .filter(col("o_orderkey") % 13 =!= 0).withColumn("op", lit("U"))
+      val inserts = src.join(tKeys, Seq("o_orderkey"), "left_anti")
+        .withColumn("op", lit("I"))
+      ChangeFeed.apply(t, dels.unionByName(updates).unionByName(inserts),
+        Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
     // Hard-mode debug render (FIXTURES §1.2 shape): composite key +
     // badKey rn-dedup CTEs + target filter + soft-delete SET + threshold
     // — the renderer paths g1's simple config never reaches.
@@ -332,6 +348,26 @@ object MergeQueries {
         |       TRUE AS has_insert_in_source_order, TRUE AS has_nmbs_delete,
         |       TRUE AS audit_ddl_prefix_ok, TRUE AS audit_d_block_first,
         |       '15%' AS threshold""".stripMargin,
+    // m15: the feed reconstructed in SQL — D keys leave, U/I rows take
+    // the source truth, untouched target rows (perturbed prices intact)
+    // pass through.
+    "m15_cdc_apply" ->
+      s"""$ordersCtes,
+         |feed_keys AS (
+         |  SELECT o_orderkey FROM tgt WHERE o_orderkey % 13 = 0
+         |  UNION
+         |  SELECT s.o_orderkey FROM src s JOIN tgt t USING (o_orderkey)
+         |  WHERE s.o_orderkey % 13 <> 0
+         |  UNION
+         |  SELECT s.o_orderkey FROM src s
+         |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+         |)
+         |SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM feed_keys)
+         |UNION ALL
+         |SELECT s.* FROM src s JOIN tgt t USING (o_orderkey) WHERE s.o_orderkey % 13 <> 0
+         |UNION ALL
+         |SELECT s.* FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+         |ORDER BY o_orderkey""".stripMargin,
     "g2_debug_render_hard" ->
       """SELECT TRUE AS has_badkey_target_cte, TRUE AS has_badkey_source_cte,
         |       TRUE AS on_composite_nullsafe, TRUE AS has_rn_tiebreak,

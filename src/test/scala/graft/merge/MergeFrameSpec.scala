@@ -140,4 +140,20 @@ class MergeFrameSpec extends GraftSuite {
     assert(m2.affectedCount() == 0L)
     once.unpersist()
   }
+
+  test("change-feed apply: D removes, U replaces, I inserts, absent keys untouched, null-safe") {
+    val target = Seq(
+      (Option(1L), "keep-me"), (Option(2L), "update-me"),
+      (Option(3L), "delete-me"), (Option.empty[Long], "null-key-delete")
+    ).toDF("k", "v")
+    val feed = Seq(
+      (Option(2L), "updated", "U"), (Option(3L), "", "D"),
+      (Option(4L), "inserted", "I"), (Option.empty[Long], "", "D")
+    ).toDF("k", "v", "op")
+    val out = ChangeFeed.apply(target, feed, Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    // Null-safe delete removes the null-key row; key 1 untouched.
+    assert(out === Set(
+      (Option(1L), "keep-me"), (Option(2L), "updated"), (Option(4L), "inserted")))
+  }
 }
