@@ -127,6 +127,27 @@ object MergeQueries {
         Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    // SCD Type-2 history merge (A-family extension / m16): the snapshot
+    // apply that never loses information — matched-and-changed rows are
+    // CLOSED (valid_to = version) and re-opened from the source; keys
+    // that left the snapshot close; already-closed history (here: a
+    // prior-price version for every %7 key) passes through untouched.
+    // One null-safe full-outer join + a map-side 1-or-2-row explode.
+    "m16_scd2_history" -> ((s, dir) => {
+      val hist = Fixtures.ordersTarget(s, dir)
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") - lit(5.0))
+        .withColumn("valid_from", lit(-1L))
+        .withColumn("valid_to", lit(0L))
+        .withColumn("is_current", lit(false))
+      val cur = Fixtures.ordersTarget(s, dir)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+        .withColumn("is_current", lit(true))
+      Scd2.apply(hist.unionByName(cur), Fixtures.ordersSource(s, dir),
+          Seq("o_orderkey"), version = 1L)
+        .orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
+    }),
     // Hard-mode debug render (FIXTURES §1.2 shape): composite key +
     // badKey rn-dedup CTEs + target filter + soft-delete SET + threshold
     // — the renderer paths g1's simple config never reaches.
@@ -368,6 +389,39 @@ object MergeQueries {
          |UNION ALL
          |SELECT s.* FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
          |ORDER BY o_orderkey""".stripMargin,
+    // m16: the five SCD2 dispositions spelled out as UNION ALL branches —
+    // history pass-through, unchanged current, changed key closed+reopened,
+    // departed key closed, new key opened. Same change predicate as the
+    // A10 struct comparison.
+    "m16_scd2_history" ->
+      s"""$ordersCtes,
+         |hist AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         o_totalprice - 5.0 AS o_totalprice, o_orderdate, o_orderpriority,
+         |         CAST(-1 AS BIGINT) AS valid_from, CAST(0 AS BIGINT) AS valid_to,
+         |         FALSE AS is_current
+         |  FROM tgt WHERE o_orderkey % 7 = 0
+         |)
+         |SELECT * FROM hist
+         |UNION ALL
+         |SELECT t.*, CAST(0 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+         |WHERE $ordersChangedPred
+         |UNION ALL
+         |SELECT t.*, CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE
+         |FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+         |WHERE NOT $ordersChangedPred
+         |UNION ALL
+         |SELECT s.*, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM tgt t JOIN src s ON t.o_orderkey = s.o_orderkey
+         |WHERE NOT $ordersChangedPred
+         |UNION ALL
+         |SELECT t.*, CAST(0 AS BIGINT), CAST(1 AS BIGINT), FALSE
+         |FROM tgt t WHERE t.o_orderkey NOT IN (SELECT o_orderkey FROM src)
+         |UNION ALL
+         |SELECT s.*, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+         |FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+         |ORDER BY o_orderkey, valid_from, is_current""".stripMargin,
     "g2_debug_render_hard" ->
       """SELECT TRUE AS has_badkey_target_cte, TRUE AS has_badkey_source_cte,
         |       TRUE AS on_composite_nullsafe, TRUE AS has_rn_tiebreak,

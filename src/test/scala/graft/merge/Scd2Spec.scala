@@ -1,0 +1,99 @@
+package graft.merge
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** SCD Type-2 specs: the five dispositions, history pass-through,
+  * idempotence of re-applying an identical snapshot, and version chaining
+  * across successive applies (closed.valid_to == successor.valid_from).
+  */
+class Scd2Spec extends GraftSuite {
+  import spark.implicits._
+
+  private def cur(rows: (Long, String, Double)*): DataFrame =
+    rows.toDF("k", "name", "v")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+      .withColumn("is_current", lit(true))
+
+  private def collectRows(df: DataFrame) =
+    df.select("k", "name", "v", "valid_from", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getLong(3), if (r.isNullAt(4)) -99L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+
+  test("dispositions: unchanged / changed / departed / new, one pass") {
+    val target = cur((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 21.0), (4L, "d", 40.0)).toDF("k", "name", "v")
+    val out = Scd2.apply(target, snap, Seq("k"), version = 7L)
+    assert(collectRows(out) === Set(
+      (1L, "a", 10.0, 0L, -99L, true),   // unchanged
+      (2L, "b", 20.0, 0L, 7L, false),    // changed: closed
+      (2L, "b", 21.0, 7L, -99L, true),   // changed: reopened
+      (3L, "c", 30.0, 0L, 7L, false),    // departed: closed
+      (4L, "d", 40.0, 7L, -99L, true)))  // new
+  }
+
+  test("closeMissing=false keeps departed keys current (delete-NO twin)") {
+    val target = cur((1L, "a", 10.0), (3L, "c", 30.0))
+    val snap = Seq((1L, "a", 10.0)).toDF("k", "name", "v")
+    val out = Scd2.apply(target, snap, Seq("k"), version = 2L, closeMissing = false)
+    assert(collectRows(out) === Set(
+      (1L, "a", 10.0, 0L, -99L, true),
+      (3L, "c", 30.0, 0L, -99L, true)))
+  }
+
+  test("closed history passes through untouched and never re-matches") {
+    val history = Seq((1L, "old", 9.0)).toDF("k", "name", "v")
+      .withColumn("valid_from", lit(-1L))
+      .withColumn("valid_to", lit(0L))
+      .withColumn("is_current", lit(false))
+    val target = history.unionByName(cur((1L, "a", 10.0)))
+    // snapshot matches the HISTORICAL payload — must still read as a
+    // change against the CURRENT row, not a match against history
+    val snap = Seq((1L, "old", 9.0)).toDF("k", "name", "v")
+    val out = Scd2.apply(target, snap, Seq("k"), version = 5L)
+    assert(collectRows(out) === Set(
+      (1L, "old", 9.0, -1L, 0L, false),  // history untouched
+      (1L, "a", 10.0, 0L, 5L, false),    // current closed
+      (1L, "old", 9.0, 5L, -99L, true))) // snapshot reopened
+  }
+
+  test("re-applying the identical snapshot is a no-op (idempotence)") {
+    val target = cur((1L, "a", 10.0), (2L, "b", 20.0))
+    val snap = Seq((1L, "a", 10.0), (2L, "b", 21.0)).toDF("k", "name", "v")
+    val v1 = Scd2.apply(target, snap, Seq("k"), version = 1L)
+    val v2 = Scd2.apply(v1, snap, Seq("k"), version = 2L)
+    assert(collectRows(v2) === collectRows(v1))
+  }
+
+  test("version chaining: each closed row's valid_to is its successor's valid_from") {
+    val target = cur((1L, "a", 10.0))
+    val s1 = Seq((1L, "a", 11.0)).toDF("k", "name", "v")
+    val s2 = Seq((1L, "a", 12.0)).toDF("k", "name", "v")
+    val out = Scd2.apply(Scd2.apply(target, s1, Seq("k"), 1L), s2, Seq("k"), 2L)
+    val rows = collectRows(out)
+    assert(rows === Set(
+      (1L, "a", 10.0, 0L, 1L, false),
+      (1L, "a", 11.0, 1L, 2L, false),
+      (1L, "a", 12.0, 2L, -99L, true)))
+    // exactly one current row per key, intervals contiguous
+    assert(rows.count(_._6) === 1)
+  }
+
+  test("null business key is null-safe matched, not treated as absent") {
+    val target = Seq((Option.empty[Long], "n", 1.0)).toDF("k", "name", "v")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+      .withColumn("is_current", lit(true))
+    val snap = Seq((Option.empty[Long], "n", 2.0)).toDF("k", "name", "v")
+    val out = Scd2.apply(target, snap, Seq("k"), version = 3L)
+    val got = out.select("name", "v", "valid_to", "is_current").collect()
+      .map(r => (r.getString(0), r.getDouble(1), if (r.isNullAt(2)) -99L else r.getLong(2), r.getBoolean(3)))
+      .toSet
+    assert(got === Set(("n", 1.0, 3L, false), ("n", 2.0, -99L, true)))
+  }
+}

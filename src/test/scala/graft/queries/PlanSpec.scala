@@ -310,4 +310,14 @@ class PlanSpec extends GraftSuite {
     assert(sp <= 2, s"s8 plans $sp single-partition exchanges:\n${plan.take(3000)}")
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("m16 SCD2: one full-outer join; the 1-or-2-row fan-out is a map-side explode, not a second join") {
+    val plan = planOf("m16_scd2_history")
+    assert("FullOuter".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(plan.contains("Generate explode"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // History pass-through unions in without any extra exchange of its own:
+    // total joins in the whole query = the single full-outer.
+    assert("Join ".r.findAllIn(optimizedOf("m16_scd2_history")).size === 1)
+  }
 }
