@@ -256,7 +256,19 @@ object AnalyticQueries {
         .agg(round(sum("l_quantity"), 2))
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
-        .orderBy("l_returnflag")))
+        .orderBy("l_returnflag")),
+
+    // Z-order (Morton) key (C74): the multi-dimensional layout key —
+    // engine-exact bit arithmetic, so the oracle recomputes the full
+    // interleave per row. The layout WRITE (range exchange + local sort)
+    // and the both-dims file-skipping claim are pinned in ZOrderSpec; the
+    // query verifies the key function itself on a lineitem slice.
+    "q24_zorder_key" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          graft.operators.ZOrder.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
+        .orderBy("l_orderkey", "l_linenumber")))
 
   private[graft] def q20Setup(s: SparkSession, dir: String): Unit = {
     graft.operators.Bucketing.writeBucketed(
@@ -275,7 +287,24 @@ object AnalyticQueries {
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
       .orderBy("o_orderpriority")
 
+  /** The q24 interleave, spelled out term by term: bit i of column j at
+    * position i*2 + j (j=0 partkey, j=1 suppkey), values masked to 16
+    * bits — character-for-character the [[graft.operators.ZOrder.zkey]]
+    * contract.
+    */
+  private val zkeySqlTerms: String =
+    (0 until 16).flatMap { i =>
+      Seq(
+        s"((((l_partkey & 65535) >> $i) & 1)::BIGINT << ${i * 2})",
+        s"((((l_suppkey & 65535) >> $i) & 1)::BIGINT << ${i * 2 + 1})")
+    }.mkString(" + ")
+
   val oracleSql: Map[String, String] = Map(
+    "q24_zorder_key" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |       $zkeySqlTerms AS zkey
+         |FROM lineitem WHERE l_orderkey % 50 = 0
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q23_pivot" ->
       """SELECT l_returnflag,
         |       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_f,

@@ -311,6 +311,15 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
 
+  test("q24 z-order key: map-only shift/mask expression — no exchange before the output sort, no join") {
+    val plan = planOf("q24_zorder_key")
+    assert(!plan.contains("Join"), plan.take(2000))
+    // The only exchange is the final presentation orderBy's range
+    // exchange; the key computation itself adds none.
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(2000))
+    assert(plan.contains("PushedFilters"), plan.take(2000))
+  }
+
   test("m16 SCD2: one full-outer join; the 1-or-2-row fan-out is a map-side explode, not a second join") {
     val plan = planOf("m16_scd2_history")
     assert("FullOuter".r.findAllIn(plan).size === 1, plan.take(3000))
