@@ -78,8 +78,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftFunctions {
   val DotProductName = "graft_dot_product"
+  val NfcNormalizeName = "graft_nfc_normalize"
 
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier(DotProductName),
       new ExpressionInfo(classOf[DotProduct].getName, DotProductName),
@@ -87,4 +88,12 @@ object GraftFunctions {
         require(children.size == 2, s"$DotProductName expects 2 arguments, got ${children.size}")
         DotProduct(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier(NfcNormalizeName),
+      new ExpressionInfo(classOf[NfcNormalize].getName, NfcNormalizeName),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"$NfcNormalizeName expects 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
+      }))
+  }
 }

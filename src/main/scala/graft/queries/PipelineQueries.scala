@@ -470,6 +470,23 @@ $bandSelects
           TextOps.stripMarkup(col("raw")).as("clean"))
         .orderBy("doc_id")
     }),
+    // Unicode NFC normalization (C75 / t18): the native-expression text
+    // floor — decomposed sequences (e + U+0301, A + U+030A) compose, so
+    // exact-dedup hashes and shingles see one spelling. The suffix is
+    // planted (documents text is ASCII); raw_len/nfc_len pin the
+    // composition (2 chars -> 1) cross-engine.
+    "t18_nfc_normalize" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      val raw = concat(substring(col("text"), 1, 24), lit(" e\u0301A\u030A"))
+      table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          length(col("raw")).cast("long").as("raw_len"),
+          call_function(GraftFunctions.NfcNormalizeName, col("raw")).as("nfc"),
+          length(call_function(GraftFunctions.NfcNormalizeName, col("raw")))
+            .cast("long").as("nfc_len"))
+        .orderBy("doc_id")
+    }),
     // Language-mismatch audit (C65 / t16): docs whose detected language
     // disagrees with their metadata label — the metadata-QC pass that
     // catches mislabeled crawl shards before per-language mixing trusts
@@ -1717,6 +1734,16 @@ $bandSelects
         |           regexp_replace(raw, '<[^>]*>', ' ', 'g'),
         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |         '\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // t18: same planted decomposed suffix via chr() codepoints; DuckDB's
+    // nfc_normalize implements the same UAX #15 NFC as java.text.Normalizer.
+    "t18_nfc_normalize" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         substr(text, 1, 24) || ' e' || chr(769) || 'A' || chr(778) AS raw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id, length(raw) AS raw_len, nfc_normalize(raw) AS nfc,
+        |       length(nfc_normalize(raw)) AS nfc_len
         |FROM h ORDER BY doc_id""".stripMargin,
     // t15: same shingle rows (raw strings — hashing is 1:1, the d2
     // equivalence), df by shingle, novel = df = 1.

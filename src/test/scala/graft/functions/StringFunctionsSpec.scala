@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** Specs for the native NfcNormalize expression: composition semantics,
+  * identity fast path, both evaluation modes, SQL availability.
+  */
+class StringFunctionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val decomposedE = "e\u0301"      // e + combining acute
+  private val composedE = "\u00e9"         // é
+  private val decomposedA = "A\u030A"      // A + combining ring
+  private val composedA = "\u00c5"         // Å
+
+  private def nfc = (c: org.apache.spark.sql.Column) =>
+    call_function(GraftFunctions.NfcNormalizeName, c)
+
+  test("decomposed sequences compose; composed and ASCII are identity") {
+    val df = Seq(
+      (1L, decomposedE + decomposedA),
+      (2L, composedE + composedA),
+      (3L, "plain ascii"),
+      (4L, "")
+    ).toDF("id", "s")
+    val m = df.select($"id", nfc($"s"), length(nfc($"s")))
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    assert(m(1L) === ((composedE + composedA, 2)))
+    assert(m(2L) === ((composedE + composedA, 2)))
+    assert(m(3L) === (("plain ascii", 11)))
+    assert(m(4L) === (("", 0)))
+  }
+
+  test("null propagates") {
+    val df = Seq(Option.empty[String]).toDF("s")
+    assert(df.select(nfc($"s")).collect().head.isNullAt(0))
+  }
+
+  test("codegen and interpreted evaluation agree") {
+    val df = Seq(decomposedE, composedE, "x" + decomposedA, "").toDF("s")
+    val withCodegen = df.select(nfc($"s")).as[String].collect().toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interpreted = df.select(nfc($"s")).as[String].collect().toSeq
+      assert(withCodegen === interpreted)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("registered for SQL via GraftExtensions") {
+    Seq(decomposedE).toDF("s").createOrReplaceTempView("sf_strs")
+    val r = spark.sql("SELECT graft_nfc_normalize(s) AS n FROM sf_strs")
+      .as[String].head()
+    assert(r === composedE)
+  }
+
+  test("normalized exact-dedup: two spellings of one text hash together") {
+    val docs = Seq((1L, "caf" + composedE), (2L, "caf" + decomposedE))
+      .toDF("doc_id", "text")
+    val distinctRaw = docs.select("text").distinct().count()
+    val distinctNfc = docs.select(nfc($"text").as("text")).distinct().count()
+    assert(distinctRaw === 2L && distinctNfc === 1L)
+  }
+}
