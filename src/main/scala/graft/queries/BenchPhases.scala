@@ -29,6 +29,8 @@ object BenchPhases {
     "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),
     "st4_stream_sessions" -> ((s, dir) => StreamingQueries.st4Setup(s, dir)._1),
     "st5_stream_neardup" -> ((s, dir) => StreamingQueries.st5Setup(s, dir)._1),
+    "st8_stream_enrich" -> ((s, dir) => StreamingQueries.st8Setup(s, dir)._1),
+    "st9_stream_attribution" -> ((s, dir) => StreamingQueries.st9Setup(s, dir)._1),
     // q20's claim is the exchange-free JOIN; the one-time bucketed layout
     // write is the trade's build cost, not the operation under test.
     "q20_bucketed_join" -> ((s, dir) => {

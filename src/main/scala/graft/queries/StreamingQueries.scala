@@ -310,6 +310,16 @@ object StreamingQueries {
       replay()
       s.read.parquet(out).select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
+    "st8_stream_enrich" -> ((s, dir) => {
+      val (replay, out) = st8Setup(s, dir)
+      replay()
+      s.read.parquet(out).orderBy("event_id")
+    }),
+    "st9_stream_attribution" -> ((s, dir) => {
+      val (replay, out) = st9Setup(s, dir)
+      replay()
+      s.read.parquet(out).orderBy("click_id", "view_id")
+    }),
     "st7_stream_unique" -> ((s, dir) => {
       val (replay, out) = st7Setup(s, dir)
       replay()
@@ -395,7 +405,106 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st8 (stream-static enrichment): events replayed in
+    * N batches, each micro-batch inner-joined to the broadcast
+    * customer×nation dimension — a hash probe per batch, no shuffle of
+    * the stream side, ZERO streaming state. Stateless, so the converged
+    * sink is exactly the batch join — a real cross-engine oracle.
+    */
+  private[graft] def st8Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st8")
+    val out = s"$scratch/out"
+    val dim = Fixtures.table(s, dir, "customer")
+      .join(Fixtures.table(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+    val rows = Fixtures.events(s, dir)
+      .select("event_id", "user_id", "value")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val enriched = graft.streaming.StreamingJoin.enrich(
+      mem.toDF().toDF("event_id", "user_id", "value"),
+      dim, Seq("user_id" -> "c_custkey"))
+      .select("event_id", "user_id", "value", "c_mktsegment", "n_name")
+    val q = pinnedStateParts(s, 8)(enriched
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start())
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
+  }
+
+  /** Untimed setup for st9 (watermarked stream-stream interval join —
+    * attribution): click and view branches of one replayed event stream,
+    * both watermarked 5 h, joined on user within
+    * `[view_ts, view_ts + 240 min]`. Buffered-state eviction follows the
+    * watermark, so state ∝ window × arrival rate, not stream history;
+    * delay (5 h) > window (4 h) and the replay is time-ordered, so no
+    * in-window pair is ever late — the converged sink equals the batch
+    * interval join exactly (inner append: pairs emit on match, no
+    * sentinel close needed).
+    */
+  private[graft] def st9Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st9")
+    val out = s"$scratch/out"
+    val rows = Fixtures.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._2)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val ev = mem.toDF().toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "5 hours")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("view_user"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "5 hours")
+    val joined = graft.streaming.StreamingJoin.intervalJoin(
+      clicks, views, "click_user", "view_user", "click_ts", "view_ts",
+      windowMinutes = 240)
+      .select(col("click_id"), col("view_id"), col("click_user").as("user_id"),
+        unix_micros(col("click_ts")).as("click_us"),
+        unix_micros(col("view_ts")).as("view_us"))
+    val q = pinnedStateParts(s, 8)(joined
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$scratch/cp")
+      .start())
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // st8: stateless stream-static enrichment == the batch join.
+    "st8_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment, n.n_name
+        |FROM events e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY event_id""".stripMargin,
+    // st9: the interval join replayed to convergence == the batch
+    // event-time interval join.
+    "st9_stream_attribution" ->
+      """WITH e AS (SELECT event_id, ts, user_id, event_type FROM events)
+        |SELECT c.event_id AS click_id, v.event_id AS view_id, c.user_id,
+        |       epoch_us(c.ts) AS click_us, epoch_us(v.ts) AS view_us
+        |FROM e c JOIN e v ON c.user_id = v.user_id
+        | AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+        |ORDER BY click_id, view_id""".stripMargin,
     // Chained-stateful exact distinct per window converges to the batch
     // COUNT(DISTINCT) — the events table itself.
     "st7_stream_unique" ->
