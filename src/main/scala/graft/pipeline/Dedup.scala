@@ -576,6 +576,109 @@ object Dedup {
     } finally { edges.unpersist(); p.unpersist() }
   }
 
+  /** Connected components by ALTERNATING large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round twin of [[clusters]] for graphs whose
+    * components are NOT shallow. Min-label propagation pays one round per
+    * unit of cluster DIAMETER; a chain-shaped component (A~B~C~…, the
+    * shape containment/block overlaps produce when every doc shares a
+    * passage only with its neighbors) of length 10^4 needs 10^4 rounds.
+    * The star operations instead HALVE path lengths: large-star hangs
+    * every uphill neighbor directly under the neighborhood minimum,
+    * small-star contracts the downhill fringe, and the edge set converges
+    * to one star per component in O(log n) alternations regardless of
+    * diameter. Same output contract as [[clusters]] — use that one for
+    * near-dup cliques (fewer, cheaper rounds there), this one when
+    * component shape is unknown or adversarial.
+    *
+    * Scale shape: the edge frame only ever SHRINKS (both stars map each
+    * edge to one edge, then dedup); each alternation is one
+    * materializing pass over it plus a metadata-sized stats job. The
+    * driver holds a (count, endpoint sum) pair per round — never row
+    * data. Convergence test soundness:
+    * within one alternation each star maps every edge (u,v) to an edge
+    * with endpoint sum reduced by a non-negative amount (large-star:
+    * u−min(Γ⁺) per uphill edge; small-star: (|Γ≤|−1)·(u−m) per group),
+    * and dedup only removes rows — so BOTH count and sum are monotone
+    * non-increasing through the round, and round-boundary equality of the
+    * pair forces per-edge identity throughout: a genuine fixpoint, not a
+    * hash collision.
+    *
+    * @return (doc_id, cluster_id) for every doc appearing in `pairs`,
+    *         multiset-identical to [[clusters]] on the same input
+    *         (property-pinned in `PipelineSpec`).
+    */
+  def clustersAlternating(
+      pairs: DataFrame, maxIters: Int = 25,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val p = pairs.select(col(aCol).as("a"), col(bCol).as("b")).persist(lvl)
+    // Vertex inventory up front: at the fixpoint the star edges name every
+    // vertex EXCEPT isolated self-pair docs and the component roots, so
+    // labels are re-attached to the full vertex set at the end.
+    val vertices = p.select(col("a").as("doc_id"))
+      .unionByName(p.select(col("b").as("doc_id"))).distinct().persist(lvl)
+    try {
+      // Canonical downhill edges (u > v), self-loops dropped: both star
+      // steps preserve this invariant (they emit (x, m) with m strictly
+      // below x), so it is established once. Each round's edge frame is
+      // localCheckpoint'd — a LEAF LogicalRDD — because one star round
+      // references its input ~12× (symmetrize ×2, neighborhood min, two
+      // join branches); over a persisted-but-lineaged frame the plan TREE
+      // would multiply ~12× per round and the plan STRING (rendered per
+      // cached query) goes exponential long before the data does — the
+      // same failure [[clusters]]' one-reference-per-round shape avoids.
+      // Superseded checkpoint blocks are freed by the ContextCleaner as
+      // each round's reference is dropped.
+      var e = p.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(
+          count(lit(1)),
+          sum((col("u").cast("decimal(38,0)")) + col("v").cast("decimal(38,0)"))).first()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      var (prevN, prevSum) = stats(e)
+      var converged = prevN == 0L
+      var i = 0
+      while (!converged && i < maxIters) {
+        // Large-star, grouped at each edge's SMALLER endpoint u over the
+        // symmetrized neighborhood: every neighbor v > u re-hangs onto
+        // m = min(Γ(u) ∪ {u}). Output (v, m) is downhill since m <= u < v.
+        val sym = e.select(col("u"), col("v"))
+          .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val mins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+        val large = sym.join(mins, "u").where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v")).distinct()
+        // Small-star over the downhill edges only: group at the LARGER
+        // endpoint u, m = min of its downhill fringe; the fringe re-hangs
+        // onto m and u itself keeps one edge (u, m) to stay connected.
+        // Both branches share the `large` subtree over the leaf input —
+        // identical subplans, so the exchange is planned once and reused.
+        val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+        val next = large.join(smins, "u").where(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(smins.select(col("u"), col("m").as("v")))
+          .distinct().localCheckpoint(true)
+        val (n, s) = stats(next)
+        converged = n == prevN && s.compareTo(prevSum) == 0
+        prevN = n; prevSum = s
+        e = next
+        i += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"Alternating-star contraction did not converge within $maxIters rounds — " +
+            "raise maxIters")
+      // Fixpoint edges are stars: (member, component-min). Re-attach the
+      // full vertex set — roots and isolated docs label themselves.
+      vertices.join(e.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
+        .localCheckpoint(true)
+    } finally { vertices.unpersist(); p.unpersist() }
+  }
+
   /** End-to-end duplicate pruning (the operation a pipeline user actually
     * runs, VERDICT r5 "what's missing" #1): resolve [[clusters]] over the
     * pair frame, then keep exactly ONE document per duplicate cluster —

@@ -582,6 +582,14 @@ $bandSelects
       Dedup.withJaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
         pairs => Dedup.clusters(pairs))
         .orderBy("doc_id")),
+    // Alternating large-star/small-star resolution (C78 / d22): the SAME
+    // connected-components answer as d9 — identical oracle — via the
+    // O(log n)-round contraction that survives chain-shaped components
+    // where min-label propagation pays a round per hop of diameter.
+    "d22_dup_clusters_star" -> ((s, dir) =>
+      Dedup.withJaccardPairs(docsNearAug(s, dir), "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
+        pairs => Dedup.clustersAlternating(pairs))
+        .orderBy("doc_id")),
     // Keep-one-per-cluster pruning (C32 / d10): the end-to-end composition
     // a pipeline user actually runs — d2's pair generator, d9's cluster
     // resolution, then the corpus LEFT ANTI the non-canonical members. The
@@ -834,6 +842,24 @@ $bandSelects
          |SELECT doc_a, doc_b, jaccard FROM vp
          |ORDER BY doc_a, doc_b""".stripMargin,
     "d9_dup_clusters" ->
+      s"""WITH RECURSIVE $nearAugCte,
+         |$shingleCtes,
+         |$jaccardPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM vp
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |)
+         |SELECT src AS doc_id, min(dst) AS cluster_id
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // d22 computes the identical labeling by a different distributed
+    // algorithm — one ground truth, so one oracle, shared verbatim.
+    "d22_dup_clusters_star" ->
       s"""WITH RECURSIVE $nearAugCte,
          |$shingleCtes,
          |$jaccardPairsCtes,

@@ -217,4 +217,18 @@ object PipelineProps extends Properties("pipeline") {
         k05.subsetOf(k1) && k02.subsetOf(k05) &&
         (101 to 100 + nSmall).forall(i => k02.contains(i.toLong))
     }
+
+  property("alternating-star clustering == min-label clustering on random graphs") =
+    forAll(Gen.chooseNum(0, 25).flatMap(m =>
+      Gen.listOfN(m, Gen.zip(Gen.chooseNum(1L, 15L), Gen.chooseNum(1L, 15L))))) { edges =>
+      val s = spark
+      import s.implicits._
+      // Random multigraphs over 15 vertices: self-loops, duplicates, and
+      // disconnected fragments all land in the generator's range. Both
+      // algorithms must produce the identical (doc_id -> component-min) map.
+      val df = (edges :+ ((1L, 1L))).toDF("doc_a", "doc_b")
+      val a = Dedup.clusters(df).as[(Long, Long)].collect().toMap
+      val b = Dedup.clustersAlternating(df).as[(Long, Long)].collect().toMap
+      a == b
+    }
 }

@@ -55,6 +55,23 @@ class PipelineSpec extends GraftSuite {
     intercept[IllegalStateException] { Dedup.clusters(chain, maxIters = 1) }
   }
 
+  test("alternating-star clustering matches min-label on cliques, chains, self-pairs") {
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.99), (9L, 9L, 1.0))
+      .toDF("doc_a", "doc_b", "jaccard")
+    val c = Dedup.clustersAlternating(pairs).as[(Long, Long)].collect().toMap
+    assert(c === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
+  test("alternating-star converges in O(log n) rounds where min-label needs the diameter") {
+    // A 200-hop path: min-label propagation would need ~200 rounds (its
+    // per-hop guard behavior is pinned on the chain-9 above), while star
+    // contraction halves path lengths each alternation and must land
+    // inside 12 — the scale claim, pinned as a hard iteration bound.
+    val chain = (1L until 201L).map(i => (i, i + 1, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val cc = Dedup.clustersAlternating(chain, maxIters = 12).as[(Long, Long)].collect().toMap
+    assert(cc === (1L to 201L).map(_ -> 1L).toMap)
+  }
+
   test("pruneDuplicates keeps one doc per cluster plus every unpaired doc, columns intact") {
     val corpus = Seq(
       (1L, "a", 10), (2L, "a", 20), (3L, "a", 30), // cluster {1,2,3} via chain
