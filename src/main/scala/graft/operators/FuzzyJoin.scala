@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance fuzzy self-join — the entity-resolution operator (vendor
+  * names, author strings, product codes: one real-world entity spelled
+  * several nearly-identical ways). Spark has `levenshtein` but no way to
+  * JOIN on it short of a cartesian product; this gives the scalable
+  * candidate-generation + exact-verify shape the rest of the dedup family
+  * uses (reference scope: SQLFox merges key on exact equality only,
+  * `sp_SimpleMerge.sql:254-268` — fuzzy keying is the pipeline extension).
+  *
+  * Candidate generation is the DELETION NEIGHBORHOOD (FastSS, Bocek et
+  * al. 2007 — public): two strings within edit distance d always share a
+  * variant obtainable by deleting ≤ d characters from each (take any
+  * optimal alignment; drop substituted/deleted positions from one side
+  * and substituted/inserted from the other — at most d drops each side,
+  * remainders equal). So an equi-join on the variant has PERFECT recall,
+  * and `levenshtein` verification on each candidate makes precision
+  * exact: the result is identical to the cartesian filter, never a
+  * heuristic (the sf0.01 oracle checks exactly that).
+  *
+  * Scale shape: one map-side variant expansion (1 + L + L(L-1)/2 variants
+  * per string at d=2 — built for SHORT keys: names, titles, codes), one
+  * hash shuffle on the variant, per-bucket pair fan-out bounded by
+  * `bucketCap` (the dfCap discipline: a variant shared by n strings
+  * yields n(n-1)/2 candidates — generic hubs like a bare first name
+  * would otherwise explode; capped buckets are skipped during candidate
+  * generation only, and [[editDistancePairsDiag]] reports what the cap
+  * dropped), then a map-only verify. No cartesian product at any size.
+  */
+object FuzzyJoin {
+
+  /** All strings with one character deleted; empty input has no variants. */
+  private def del1(c: Column): Column =
+    when(length(c) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(c)),
+        i => concat(c.substr(lit(1), i - 1), c.substr(i + 1, length(c)))))
+
+  /** Distinct deletion variants with at most `maxDist` deletions,
+    * including the string itself. */
+  private def variants(c: Column, maxDist: Int): Column = {
+    val base = concat(array(c), del1(c))
+    val all = if (maxDist == 1) base else concat(base, flatten(transform(del1(c), t => del1(t))))
+    array_distinct(all)
+  }
+
+  /** Pairs of rows whose `strCol` values are within `maxDist` edits
+    * (Levenshtein), as `(id_a, id_b, dist)` with `id_a < id_b`.
+    * Null ids/strings never pair. Result equals the brute-force
+    * `levenshtein(a, b) <= maxDist` filter whenever no bucket crosses
+    * `bucketCap` (exact recall of the deletion neighborhood); pairs
+    * sharing ONLY above-cap variants are not surfaced — raise the cap or
+    * pre-collapse exact duplicates for hub-heavy key domains.
+    *
+    * @param maxDist 1 or 2 — the useful entity-resolution range; the
+    *                variant count grows O(L^maxDist) per string.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, bucketCap: Int = 1000): DataFrame =
+    capped(df, idCol, strCol, maxDist, bucketCap)._1
+
+  /** [[editDistancePairs]] plus the cap's shadow: a second frame of
+    * `(variant, occ)` buckets the cap skipped — empty means the pair set
+    * is provably the exact brute-force answer. */
+  def editDistancePairsDiag(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, bucketCap: Int = 1000): (DataFrame, DataFrame) =
+    capped(df, idCol, strCol, maxDist, bucketCap)
+
+  private def capped(
+      df: DataFrame, idCol: String, strCol: String,
+      maxDist: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    val base = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("id").isNotNull && col("s").isNotNull)
+    val idx = base
+      .select(col("id"), col("s"), explode(variants(col("s"), maxDist)).as("v"))
+      // One (id, variant) row even when several deletion orders reach the
+      // same variant — array_distinct already dedups within a row.
+      .select(col("v"), col("id"), col("s"))
+    val occ = idx.groupBy("v").agg(count(lit(1)).as("occ"))
+    val hot = occ.where(col("occ") > bucketCap)
+    val cool = idx.join(broadcast(hot.select("v")), Seq("v"), "left_anti")
+    val a = cool.select(col("v"), col("id").as("id_a"), col("s").as("s_a"))
+    val b = cool.select(col("v"), col("id").as("id_b"), col("s").as("s_b"))
+    val pairs = a.join(b, Seq("v")).where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "s_a", "s_b").distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+    (pairs, hot)
+  }
+}

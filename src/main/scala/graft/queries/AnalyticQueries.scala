@@ -268,7 +268,17 @@ object AnalyticQueries {
         .filter(col("l_orderkey") % 50 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
           graft.operators.ZOrder.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
-        .orderBy("l_orderkey", "l_linenumber")))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Edit-distance fuzzy self-join (C79): entity resolution over supplier
+    // names — deletion-neighborhood candidates, exact levenshtein verify.
+    // The oracle is the BRUTE-FORCE cartesian filter: equality proves the
+    // deletion neighborhood's perfect recall, not just plausibility. The
+    // cap is set above the fixture's hub buckets so exactness holds.
+    "q25_fuzzy_join" -> ((s, dir) =>
+      graft.operators.FuzzyJoin.editDistancePairs(
+        table(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1, bucketCap = 2000)
+        .orderBy("id_a", "id_b")))
 
   private[graft] def q20Setup(s: SparkSession, dir: String): Unit = {
     graft.operators.Bucketing.writeBucketed(
@@ -300,6 +310,12 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q25_fuzzy_join" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "q24_zorder_key" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
          |       $zkeySqlTerms AS zkey

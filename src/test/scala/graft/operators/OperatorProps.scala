@@ -61,4 +61,35 @@ object OperatorProps extends Properties("operators") {
       } yield (pid, iid)
       got.sorted.toSeq == expected.sorted
     }
+
+  // ---- fuzzy join ----
+
+  private val fuzzyGen: Gen[(Seq[(Long, String)], Int)] = for {
+    n <- Gen.chooseNum(2, 12)
+    strs <- Gen.listOfN(n, Gen.chooseNum(0, 5).flatMap(l =>
+      Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    d <- Gen.oneOf(1, 2)
+  } yield (strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, d)
+
+  property("edit-distance fuzzy join == brute-force levenshtein filter, d in {1,2}") =
+    forAll(fuzzyGen) { case (rows, d) =>
+      val s = spark
+      import s.implicits._
+      val got = FuzzyJoin.editDistancePairs(rows.toDF("id", "t"), "id", "t", maxDist = d)
+        .as[(Long, Long, Long)].collect().toSet
+      def lev(a: String, b: String): Int = {
+        val dp = Array.tabulate(a.length + 1)(i => Array.tabulate(b.length + 1)(j => i.max(j)))
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j), dp(i)(j - 1)) + 1,
+            dp(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        dp(a.length)(b.length)
+      }
+      val expected = (for {
+        (ia, ta) <- rows; (ib, tb) <- rows
+        if ia < ib
+        dist = lev(ta, tb)
+        if dist <= d
+      } yield (ia, ib, dist.toLong)).toSet
+      got == expected
+    }
 }

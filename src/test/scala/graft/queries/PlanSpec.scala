@@ -329,4 +329,12 @@ class PlanSpec extends GraftSuite {
     // total joins in the whole query = the single full-outer.
     assert("Join ".r.findAllIn(optimizedOf("m16_scd2_history")).size === 1)
   }
+
+  test("q25 fuzzy join: variant equi-join + broadcast hub filter — never a cartesian levenshtein") {
+    val plan = planOf("q25_fuzzy_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(3000))
+    // The hot-bucket anti-join must broadcast the (tiny, aggregated) hub
+    // list, not shuffle the exploded variant index against it.
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(3000))
+  }
 }
