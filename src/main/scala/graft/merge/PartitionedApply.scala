@@ -173,7 +173,7 @@ object PartitionedApply {
     * on the delta-sized output only, and the Observation upstream of it
     * still collects counts in this same job).
     */
-  private def writePartitionedOrCleanup(df: DataFrame, dir: Path, fs: FileSystem): Unit =
+  private[merge] def writePartitionedOrCleanup(df: DataFrame, dir: Path, fs: FileSystem): Unit =
     try df.repartition(col(BucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol).parquet(dir.toString)
     catch { case e: Throwable => fs.delete(dir, true); throw e }

@@ -320,6 +320,11 @@ object StreamingQueries {
       replay()
       s.read.parquet(out).orderBy("click_id", "view_id")
     }),
+    "st10_stream_cdc" -> ((s, dir) => {
+      val (replay, target) = st10Setup(s, dir)
+      replay()
+      PartitionedTarget.read(s, target).orderBy("o_orderkey")
+    }),
     "st7_stream_unique" -> ((s, dir) => {
       val (replay, out) = st7Setup(s, dir)
       replay()
@@ -487,7 +492,66 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st10 (streaming CDC apply): m15's I/U/D feed split
+    * into file-source micro-batches (one parquet file per batch via
+    * maxFilesPerTrigger=1 under an AvailableNow trigger) applied
+    * continuously to a PARTITIONED orders target through
+    * [[graft.streaming.StreamingCdc]] — each batch's read/rewrite/swap
+    * prunes to its keys' buckets. Ops are one-per-key and commute across
+    * keys, so the converged target state is independent of batch order
+    * and equals the one-shot batch apply: m15's oracle, verbatim.
+    */
+  private[graft] def st10Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    val scratch = Fixtures.scratchDir("graft-st10")
+    val target = s"$scratch/t"
+    val feedDir = s"$scratch/feed"
+
+    val t = Fixtures.ordersTarget(s, dir)
+    PartitionedTarget.write(t, target,
+      PartitionSpec(Seq("o_orderkey"), 32, HashMode.Xxhash64))
+
+    val src = Fixtures.ordersSource(s, dir)
+    val tKeys = t.select("o_orderkey")
+    val dels = t.filter(col("o_orderkey") % 13 === 0).withColumn("op", lit("D"))
+    val updates = src.join(tKeys, Seq("o_orderkey"), "left_semi")
+      .filter(col("o_orderkey") % 13 =!= 0).withColumn("op", lit("U"))
+    val inserts = src.join(tKeys, Seq("o_orderkey"), "left_anti")
+      .withColumn("op", lit("I"))
+    val feed = dels.unionByName(updates).unionByName(inserts)
+    feed.repartition(NBatches, col("o_orderkey")).write.parquet(feedDir)
+
+    val stream = s.readStream.schema(feed.schema)
+      .option("maxFilesPerTrigger", 1).parquet(feedDir)
+    val w = graft.streaming.StreamingCdc.writer(stream, target, Seq("o_orderkey"))
+      .option("checkpointLocation", s"$scratch/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val replay = () => pinnedStateParts(s, 8) {
+      val q = w.start()
+      try q.awaitTermination() finally q.stop()
+    }
+    (replay, target)
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // st10: CDC ops are one-per-key and commute across keys, so the
+    // converged streamed state == the one-shot batch apply (m15's SQL).
+    "st10_stream_cdc" ->
+      s"""${Fixtures.ordersCtes},
+         |feed_keys AS (
+         |  SELECT o_orderkey FROM tgt WHERE o_orderkey % 13 = 0
+         |  UNION
+         |  SELECT s.o_orderkey FROM src s JOIN tgt t USING (o_orderkey)
+         |  WHERE s.o_orderkey % 13 <> 0
+         |  UNION
+         |  SELECT s.o_orderkey FROM src s
+         |  WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+         |)
+         |SELECT * FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM feed_keys)
+         |UNION ALL
+         |SELECT s.* FROM src s JOIN tgt t USING (o_orderkey) WHERE s.o_orderkey % 13 <> 0
+         |UNION ALL
+         |SELECT s.* FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
+         |ORDER BY o_orderkey""".stripMargin) ++ Map(
     // st8: stateless stream-static enrichment == the batch join.
     "st8_stream_enrich" ->
       """SELECT e.event_id, e.user_id, e.value, c.c_mktsegment, n.n_name
