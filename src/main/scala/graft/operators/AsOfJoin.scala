@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of (temporal nearest) join — an operator Spark lacks natively,
   * composed from existing primitives per the engine's preference order
@@ -25,10 +25,27 @@ import org.apache.spark.sql.types.StructType
 object AsOfJoin {
 
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String], leftTs: String, rightTs: String): DataFrame =
-    joined(left, right, keys, leftTs, rightTs, forwardDir = false)
+    joined(left, right, keys, leftTs, rightTs, forwardDir = false, tolerance = None)
 
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String], leftTs: String, rightTs: String): DataFrame =
-    joined(left, right, keys, leftTs, rightTs, forwardDir = true)
+    joined(left, right, keys, leftTs, rightTs, forwardDir = true, tolerance = None)
+
+  /** [[backward]] with a maximum allowed gap (pandas `merge_asof`
+    * tolerance): the nearest-at-or-before match is kept only when
+    * `leftTs - rightTs <= tolerance`; a farther match nulls the payload
+    * but the left row survives (left-join contract). `tolerance` is
+    * compared against the timestamp difference, so pass an interval
+    * (`expr("INTERVAL 30 MINUTES")`) for timestamp columns or a numeric
+    * literal for numeric ones. Attribution windows are the canonical use:
+    * a click six days before a purchase should not claim it. */
+  def backwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tolerance: Column): DataFrame =
+    joined(left, right, keys, leftTs, rightTs, forwardDir = false, Some(tolerance))
+
+  /** [[forward]] bounded by `rightTs - leftTs <= tolerance`. */
+  def forwardWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, tolerance: Column): DataFrame =
+    joined(left, right, keys, leftTs, rightTs, forwardDir = true, Some(tolerance))
 
   private def joined(
       left: DataFrame,
@@ -36,7 +53,8 @@ object AsOfJoin {
       keys: Seq[String],
       leftTs: String,
       rightTs: String,
-      forwardDir: Boolean): DataFrame = {
+      forwardDir: Boolean,
+      tolerance: Option[Column]): DataFrame = {
     val leftCols = left.columns.toSeq
     val rightPayload = right.columns.toSeq.filterNot(keys.contains)
     val collisions = rightPayload.intersect(leftCols)
@@ -50,7 +68,14 @@ object AsOfJoin {
       s"Column [${reserved.head}] uses the reserved __graft_ prefix — rename before joining")
 
     val lType = StructType(left.schema.fields)
-    val rType = StructType(right.schema.fields.filterNot(f => keys.contains(f.name)))
+    // The carried match is (right ts, payload struct): the ts rides along
+    // so a tolerance can price the gap AFTER window resolution — nearest
+    // match first, then "was it close enough", exactly merge_asof's order
+    // of operations (a tolerance must never fall back to a farther row).
+    val rType = StructType(Seq(
+      StructField("__graft_asof_rts", right.schema(rightTs).dataType),
+      StructField("__graft_asof_p",
+        StructType(right.schema.fields.filterNot(f => keys.contains(f.name))))))
 
     // Null-ts right rows can never match; null-KEY right rows must not
     // either (window partitioning would group NULL keys together, but SQL
@@ -64,7 +89,9 @@ object AsOfJoin {
         keys.map(col) ++ Seq(
           col(rightTs).as("__graft_asof_ord"),
           lit(0).as("__graft_asof_side"),
-          struct(rightPayload.map(col): _*).as("__graft_asof_r"),
+          struct(
+            col(rightTs).as("__graft_asof_rts"),
+            struct(rightPayload.map(col): _*).as("__graft_asof_p")).as("__graft_asof_r"),
           lit(null).cast(lType).as("__graft_asof_l")): _*)
     val lTagged = left.select(
       keys.map(col) ++ Seq(
@@ -81,10 +108,19 @@ object AsOfJoin {
       .orderBy(ord, col("__graft_asof_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val m = col("__graft_asof_m")
+    val withinTol = tolerance match {
+      case None => lit(true)
+      case Some(tol) =>
+        val gap =
+          if (forwardDir) m("__graft_asof_rts") - col("__graft_asof_ord")
+          else col("__graft_asof_ord") - m("__graft_asof_rts")
+        gap <= tol // null match → null gap → false: payload stays null
+    }
     rTagged.unionByName(lTagged)
       .withColumn("__graft_asof_m", last(col("__graft_asof_r"), ignoreNulls = true).over(w))
       .filter(col("__graft_asof_side") === 1)
       .select(leftCols.map(c => col("__graft_asof_l." + c).as(c)) ++
-        rightPayload.map(c => col("__graft_asof_m." + c).as(c)): _*)
+        rightPayload.map(c => when(withinTol, m("__graft_asof_p")(c)).as(c)): _*)
   }
 }

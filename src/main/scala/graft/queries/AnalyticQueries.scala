@@ -270,6 +270,27 @@ object AnalyticQueries {
           graft.operators.ZOrder.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Tolerance-bounded as-of join (C18 extension): q15's attribution with
+    // a 4-hour claim window — the nearest-at-or-before click keeps the
+    // purchase only within the gap; farther matches null out, the purchase
+    // row survives, and no farther click is substituted (merge_asof's
+    // nearest-then-price order, which a plain range-join filter cannot
+    // express).
+    "q26_asof_tolerance" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+      graft.operators.AsOfJoin.backwardWithin(p, c, Seq("user_id"), "ts", "click_ts",
+        expr("INTERVAL 4 HOURS"))
+        .select(
+          col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"),
+          unix_micros(col("click_ts").cast("timestamp")).as("click_ts_us"), col("click_value"))
+        .orderBy("event_id")
+    }),
+
     // Edit-distance fuzzy self-join (C79): entity resolution over supplier
     // names — deletion-neighborhood candidates, exact levenshtein verify.
     // The oracle is the BRUTE-FORCE cartesian filter: equality proves the
@@ -310,6 +331,21 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // q26: ASOF resolves the nearest-at-or-before match FIRST, then the
+    // tolerance prices the gap — a WHERE on the join would instead fall
+    // back to farther clicks, which is the wrong semantics.
+    "q26_asof_tolerance" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, ts AS click_ts, value AS click_value FROM events WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value,
+        |       CASE WHEN p.ts - c.click_ts <= INTERVAL 4 HOUR THEN epoch_us(c.click_ts) END AS click_ts_us,
+        |       CASE WHEN p.ts - c.click_ts <= INTERVAL 4 HOUR THEN c.click_value END AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.click_ts <= p.ts
+        |ORDER BY event_id""".stripMargin,
     "q25_fuzzy_join" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
         |       levenshtein(a.s_name, b.s_name) AS dist

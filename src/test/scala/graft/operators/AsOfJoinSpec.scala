@@ -65,6 +65,30 @@ class AsOfJoinSpec extends GraftSuite {
     assert(out === Map("null-key" -> None, "keyed" -> Some("q")))
   }
 
+  test("tolerance: nearest match kept within the gap, nulled beyond it — never a farther fallback") {
+    import org.apache.spark.sql.functions.lit
+    // trade "mid" (25) matches q20 at gap 5; "other-key" (99) matches q15
+    // at gap 84. tolerance 10: mid keeps its match, other-key's is nulled
+    // (the row survives), and crucially other-key does NOT fall back to a
+    // different quote — merge_asof's nearest-then-price order.
+    val out = AsOfJoin.backwardWithin(trades, quotes, Seq("k"), "tts", "qts", lit(10L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(out === Map(
+      "early" -> None,
+      "tie" -> Some("q20"),   // gap 0
+      "mid" -> Some("q20"),   // gap 5 <= 10
+      "other-key" -> None,    // gap 84 > 10, row retained
+      "no-quotes" -> None))
+    val fwd = AsOfJoin.forwardWithin(trades, quotes, Seq("k"), "tts", "qts", lit(5L))
+      .select("trade", "quote").as[(String, Option[String])].collect().toMap
+    assert(fwd === Map(
+      "early" -> Some("q10"), // next quote at 10, gap 5 <= 5 (inclusive)
+      "tie" -> Some("q20"),   // gap 0
+      "mid" -> Some("q30"),   // gap 5 <= 5
+      "other-key" -> None,    // no quote at or after 99
+      "no-quotes" -> None))
+  }
+
   test("colliding right payload names are rejected") {
     val bad = quotes.withColumnRenamed("quote", "trade")
     val e = intercept[IllegalArgumentException] {
