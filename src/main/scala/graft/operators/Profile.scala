@@ -37,4 +37,50 @@ object Profile {
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
     cols.map(one(df, _)).reduce(_ unionByName _)
   }
+
+  /** The N heaviest join-key groups with their corpus share — the
+    * pre-flight a join strategy decision reads at 100 TB: a top key
+    * holding 5% of rows means the unsalted window/join stalls on one
+    * task (the `badKeySalt`/AQE-skew-join signal); a flat top-N means
+    * plain hash partitioning is fine.
+    *
+    * Scale shape: one map-side-combined groupBy on the keys, then
+    * TakeOrdered for the top-N (no global sort, no single-partition
+    * window over the full key census) and a 1-row broadcast total for the
+    * share; the rank window runs over the N collected rows only.
+    * Deterministic under count ties (key-ascending tiebreak).
+    */
+  def heavyKeys(df: DataFrame, keys: Seq[String], topN: Int = 20): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum("n_rows").cast("double").as("__graft_total"))
+    val ord = col("n_rows").desc +: keys.map(col(_).asc)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(ord: _*)
+    counts.orderBy(ord: _*).limit(topN)
+      .crossJoin(broadcast(total))
+      .withColumn("share", round(col("n_rows") / col("__graft_total"), 6))
+      .withColumn("rnk", row_number().over(w))
+      .drop("__graft_total")
+  }
+
+  /** Log2 histogram of key-group sizes — the distribution the heavy-key
+    * head belongs to: for each bucket `b`, the number of distinct keys
+    * whose group size lands in [2^b, 2^(b+1)) and the rows they hold.
+    * The bucket index is derived from the BINARY STRING length of the
+    * count (exact integer logic — `floor(log2(n))` in doubles misbuckets
+    * exact powers of two on some engines). Aggregation-only: one key
+    * shuffle + one metadata-sized bucket rollup.
+    */
+  def keySizeHistogram(df: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column required")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("bucket", (length(conv(col("n"), 10, 2)) - 1).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"))
+      .withColumn("min_group_size", expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .select("bucket", "min_group_size", "n_keys", "n_rows")
+      .orderBy("bucket")
+  }
 }

@@ -270,6 +270,20 @@ object AnalyticQueries {
           graft.operators.ZOrder.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Key-skew diagnostics (C81): the pre-flight read before choosing a
+    // join strategy — q27 names the heavy hitters (TakeOrdered top-N +
+    // 1-row broadcast total, rank window over the N collected rows only),
+    // q28 shows the distribution they head (binary-string-length log2
+    // buckets: exact integer logic, no double log misbucketing).
+    "q27_heavy_keys" -> ((s, dir) =>
+      graft.operators.Profile.heavyKeys(
+        table(s, dir, "lineitem"), Seq("l_suppkey"), topN = 25)
+        .orderBy("rnk")),
+    "q28_key_histogram" -> ((s, dir) =>
+      graft.operators.Profile.keySizeHistogram(
+        table(s, dir, "lineitem"), Seq("l_orderkey"))
+        .orderBy("bucket")),
+
     // Tolerance-bounded as-of join (C18 extension): q15's attribution with
     // a 4-hour claim window — the nearest-at-or-before click keeps the
     // purchase only within the gap; farther matches null out, the purchase
@@ -331,6 +345,18 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q27_heavy_keys" ->
+      """WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot FROM c)
+        |SELECT l_suppkey, n_rows, round(n_rows / tot, 6) AS share,
+        |       row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rnk
+        |FROM c, t ORDER BY rnk LIMIT 25""".stripMargin,
+    "q28_key_histogram" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT CAST(length(bin(n)) - 1 AS INTEGER) AS bucket,
+        |       (CAST(1 AS BIGINT) << (length(bin(n)) - 1)) AS min_group_size,
+        |       count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
     // q26: ASOF resolves the nearest-at-or-before match FIRST, then the
     // tolerance prices the gap — a WHERE on the join would instead fall
     // back to farther clicks, which is the wrong semantics.

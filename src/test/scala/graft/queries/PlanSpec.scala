@@ -330,6 +330,14 @@ class PlanSpec extends GraftSuite {
     assert("Join ".r.findAllIn(optimizedOf("m16_scd2_history")).size === 1)
   }
 
+  test("q27 heavy keys: TakeOrdered top-N — the key census never globally sorts or windows") {
+    val plan = planOf("q27_heavy_keys")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    // The only nested loop is the 1-row broadcast total; the rank window
+    // runs over the N collected rows, after the TakeOrdered.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("q25 fuzzy join: variant equi-join + broadcast hub filter — never a cartesian levenshtein") {
     val plan = planOf("q25_fuzzy_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(3000))
