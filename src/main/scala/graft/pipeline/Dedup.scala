@@ -187,6 +187,15 @@ object Dedup {
     * merge two shingles — vanishingly unlikely and symmetric across both
     * join sides, the standard trade every shingle-hashing dedup makes.
     */
+  // Formulation note (measured round 10, sf0.1, fresh JVM per variant,
+  // iters=5): building shingles with array higher-order functions
+  // (transform/slice over the tokens array) instead of this lead() window
+  // REMOVES the token shuffle but runs 1.7× SLOWER end-to-end on d2
+  // (1.90 → 3.30 s) — HOFs are CodegenFallback (interpreted per element)
+  // and CollapseProject substitutes the split() array into every
+  // reference. The same trade measured 7× against on the block builder
+  // and 15× on winnowing. Window+codegen wins; don't re-try HOFs here
+  // without measuring through tools/bench_isolated.py.
   private def shingleIndex(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       hashWith: Option[HashMode] = None): DataFrame = {
