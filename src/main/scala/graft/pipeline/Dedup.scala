@@ -861,6 +861,149 @@ object Dedup {
     new PairsHandle(pairs, Seq(nIdx, cIdx))
   }
 
+  /** Filename of the shingle-index sidecar recording (n, hashMode). */
+  private val ShingleSpecFile = "_graft_shingle_spec.json"
+
+  /** Build and persist the corpus's inverted shingle index ON DISK — the
+    * operational form of the incremental near-dup discipline at 100 TB:
+    * the corpus TEXT is scanned and shingled ONCE EVER; every later delta
+    * probes the at-rest `(sh, id)` index ([[jaccardPairsAgainstIndex]])
+    * and appends itself ([[appendToShingleIndex]]) without re-reading a
+    * byte of corpus text. Layout:
+    *
+    *   - `path/index`  — `(sh, id)` rows, append-only
+    *   - `path/sizes`  — `(id, sz)` per-doc shingle counts, append-only
+    *   - `path/df`     — `(sh, df)` document frequencies, a DERIVED cache
+    *     rewritten per append; if lost mid-swap it is rebuilt from
+    *     `index` on next read (self-healing, never authoritative)
+    *   - sidecar JSON pinning (n, hashMode) so probes can't mix shingle
+    *     configurations
+    */
+  def writeShingleIndex(
+      docs: DataFrame, idCol: String, textCol: String, path: String,
+      n: Int = 3, hashMode: HashMode = HashMode.Md5Portable): Unit = {
+    val spark = docs.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idx = shingleIndex(docs, idCol, textCol, n, hashWith = Some(hashMode)).persist(lvl)
+    try {
+      idx.write.mode("overwrite").parquet(s"$path/index")
+      idx.groupBy("id").agg(count(lit(1)).as("sz"))
+        .write.mode("overwrite").parquet(s"$path/sizes")
+      idx.groupBy("sh").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$path/df")
+    } finally idx.unpersist()
+    val p = new org.apache.hadoop.fs.Path(path, ShingleSpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mode = hashMode match { case HashMode.Md5Portable => "md5"; case HashMode.Xxhash64 => "xxhash64" }
+    val out = fs.create(p, true)
+    try out.write(s"""{"n": $n, "hashMode": "$mode"}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readShingleSpec(
+      spark: org.apache.spark.sql.SparkSession, path: String): (Int, HashMode) = {
+    val p = new org.apache.hadoop.fs.Path(path, ShingleSpecFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$path is not a shingle index (no $ShingleSpecFile) — build it with writeShingleIndex")
+    val in = fs.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val n = "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalArgumentException(s"Malformed $ShingleSpecFile at $path"))
+    val hm = "\"hashMode\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(txt).map(_.group(1)) match {
+      case Some("md5") => HashMode.Md5Portable
+      case Some("xxhash64") => HashMode.Xxhash64
+      case other => throw new IllegalArgumentException(s"Unknown hashMode $other in $ShingleSpecFile at $path")
+    }
+    (n, hm)
+  }
+
+  /** The df cache, rebuilt from the authoritative index if a crashed
+    * append swap lost it. */
+  private def indexDf(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val dfDir = new org.apache.hadoop.fs.Path(s"$path/df")
+    val fs = dfDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dfDir)) spark.read.parquet(s"$path/df")
+    else spark.read.parquet(s"$path/index").groupBy("sh").agg(count(lit(1)).as("df"))
+  }
+
+  /** Append a delta's shingles to the at-rest index: `(sh, id)` rows and
+    * per-doc sizes append; the df cache is recomputed as old-df ⊎
+    * delta-df (one aggregation over the df TABLE + delta — never a
+    * corpus text re-scan) and swapped in via stage-delete-rename. A crash
+    * between delete and rename only loses the derived cache, which
+    * [[indexDf]] rebuilds. Callers must have checked the delta against
+    * the index FIRST ([[jaccardPairsAgainstIndex]]) — append is the
+    * accept step of check-then-accept ingest.
+    */
+  def appendToShingleIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val (n, hm) = readShingleSpec(spark, path)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val idx = shingleIndex(newDocs, idCol, textCol, n, hashWith = Some(hm)).persist(lvl)
+    try {
+      idx.write.mode("append").parquet(s"$path/index")
+      idx.groupBy("id").agg(count(lit(1)).as("sz"))
+        .write.mode("append").parquet(s"$path/sizes")
+      val merged = indexDf(spark, path)
+        .unionByName(idx.groupBy("sh").agg(count(lit(1)).as("df")))
+        .groupBy("sh").agg(sum("df").as("df"))
+      merged.write.mode("overwrite").parquet(s"$path/df.staging")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.staging"),
+        new org.apache.hadoop.fs.Path(s"$path/df")))
+        throw new IllegalStateException(s"Could not promote df cache at $path")
+    } finally idx.unpersist()
+  }
+
+  /** [[incrementalJaccardPairs]] against the AT-REST index: the delta is
+    * shingled in memory, the corpus side reads `(sh, id)` rows from disk,
+    * and the df cap is an ANTI-JOIN against the (tiny, broadcast) set of
+    * above-cap hub shingles read off the df cache — cheaper than the
+    * in-memory path's count window over the whole corpus index, and no
+    * corpus text is touched. Result contract identical to
+    * [[incrementalJaccardPairs]] over the same corpus.
+    */
+  def jaccardPairsAgainstIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      dfCap: Int = 50, threshold: Double = 0.6): DataFrame = {
+    val (n, hm) = readShingleSpec(spark, path)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nIdx = shingleIndex(newDocs, idCol, textCol, n, hashWith = Some(hm)).persist(lvl)
+    try {
+      val cIdx = spark.read.parquet(s"$path/index")
+      val hot = indexDf(spark, path).where(col("df") > dfCap).select("sh")
+      val cCapped = cIdx.join(broadcast(hot), Seq("sh"), "left_anti")
+      val cSizes = spark.read.parquet(s"$path/sizes")
+        .groupBy("id").agg(sum("sz").as("csz")) // append-only: one row per append, summed
+      val nSizes = nIdx.groupBy("id").agg(count(lit(1)).as("nsz"))
+      val cCappedSizes = cCapped.groupBy("id").agg(count(lit(1)).as("ccsz"))
+      val candidates = nIdx.withColumnRenamed("id", "new_id")
+        .join(cCapped.withColumnRenamed("id", "corpus_id"), "sh")
+        .groupBy("new_id", "corpus_id").agg(count(lit(1)).as("cinter"))
+        .join(nSizes.withColumnRenamed("id", "new_id"), "new_id")
+        .join(cSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .join(cCappedSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .withColumn("__ub", col("cinter") + (col("csz") - col("ccsz")))
+        .filter(col("__ub") / (col("nsz") + col("csz") - col("__ub")) >= threshold)
+        .select("new_id", "corpus_id")
+      val pairs = candidates
+        .join(nIdx.select(col("id").as("new_id"), col("sh")), "new_id")
+        .join(cIdx.select(col("id").as("corpus_id"), col("sh")), Seq("corpus_id", "sh"))
+        .groupBy("new_id", "corpus_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(nSizes.withColumnRenamed("id", "new_id"), "new_id")
+        .join(cSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .withColumn("jaccard", round(col("inter") / (col("nsz") + col("csz") - col("inter")), 6))
+        .filter(col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", "jaccard")
+      // Materialize before releasing the delta index the lineage reads.
+      pairs.localCheckpoint(true)
+    } finally nIdx.unpersist()
+  }
+
   /** End-to-end decontamination: drop every corpus document whose n-gram
     * overlap with ANY benchmark/eval document reaches `threshold` — the
     * composition of [[contaminationPairs]] a pretraining pipeline actually

@@ -37,6 +37,17 @@ object BenchPhases {
       AnalyticQueries.q20Setup(s, dir)
       () => { AnalyticQueries.q20Join(s).count(); () }
     }),
+    // d23's claim is PROBE cost against the at-rest shingle index; the
+    // one-time index build is setup (the cost it exists to amortize).
+    "d23_index_neardup" -> ((s, dir) => {
+      val (idxPath, newDocs) = PipelineQueries.d23Setup(s, dir)
+      () => {
+        graft.pipeline.Dedup.jaccardPairsAgainstIndex(
+          s, idxPath, newDocs, "doc_id", "text",
+          PipelineQueries.DfCap, PipelineQueries.JaccardThreshold).count()
+        ()
+      }
+    }),
     // e4's claim is PROBE cost against an at-rest index; the one-time
     // index build is setup, not the operation under measurement.
     "e4_ann_index" -> ((s, dir) => {

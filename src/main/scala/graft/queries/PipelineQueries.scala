@@ -20,9 +20,9 @@ import graft.pipeline.{Dedup, HashMode, Multimodal, Sampling, Similarity, TextSt
 object PipelineQueries {
   import Fixtures.table
 
-  private val ShingleN = 3
-  private val DfCap = 50
-  private val JaccardThreshold = 0.6
+  private[graft] val ShingleN = 3
+  private[graft] val DfCap = 50
+  private[graft] val JaccardThreshold = 0.6
   private val Bands = 4
   private val RowsPerBand = 4
   private val BucketCap = 200
@@ -95,6 +95,21 @@ $bandSelects
     d.unionByName(
       d.filter(col("doc_id") % 25 === 0)
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zq zq zq")).as("text")))
+  }
+
+  /** d23 untimed setup (BenchPhases contract): build the at-rest shingle
+    * index over the documents corpus once, return (index path, the d12
+    * delta frame). The timed section is the disk probe only — the build
+    * is the one-time cost the persisted index exists to amortize.
+    */
+  private[graft] def d23Setup(s: SparkSession, dir: String): (String, DataFrame) = {
+    val d = table(s, dir, "documents").select("doc_id", "text")
+    val idxPath = Fixtures.scratchDir("graft-d23") + "/shidx"
+    Dedup.writeShingleIndex(d, "doc_id", "text", idxPath, ShingleN, HashMode.Md5Portable)
+    val newDocs = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" zq zq zq")).as("text"))
+    (idxPath, newDocs)
   }
 
   /** d18 fixture: a 16-token boilerplate header (exactly one block, so
@@ -413,6 +428,16 @@ $bandSelects
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zq zq zq")).as("text"))
       Dedup.incrementalJaccardPairs(newDocs, d, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)
+        .orderBy("new_id", "corpus_id")
+    }),
+    // Persisted shingle index (C82 / d23): d12's check against the AT-REST
+    // index — corpus text shingled once into path/{index,sizes,df}, the
+    // delta probes disk. Same ground truth, so d12's oracle verbatim. The
+    // bench times the PROBE via the BenchPhases split (index build =
+    // setup, like e4's IVF index).
+    "d23_index_neardup" -> ((s, dir) => {
+      val (idxPath, newDocs) = d23Setup(s, dir)
+      Dedup.jaccardPairsAgainstIndex(s, idxPath, newDocs, "doc_id", "text", DfCap, JaccardThreshold)
         .orderBy("new_id", "corpus_id")
     }),
     // End-to-end decontamination (C33 / d11): the d8 fixture's corpus with
@@ -995,6 +1020,50 @@ $bandSelects
          |ORDER BY corpus_id, bench_id""".stripMargin
     },
     "d12_incremental_neardup" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id + 200000 AS doc_id, text || ' zq zq zq' AS text
+         |  FROM documents WHERE doc_id % 25 = 0
+         |),
+         |nw AS (SELECT doc_id, string_split(text, ' ') AS w FROM nd),
+         |cw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |nsh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+         |  FROM nw WHERE len(w) >= 3
+         |),
+         |csh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+         |  FROM cw WHERE len(w) >= 3
+         |),
+         |csh_c AS (
+         |  SELECT doc_id, sh FROM (
+         |    SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM csh
+         |  ) WHERE df <= $DfCap
+         |),
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+         |  FROM nsh n JOIN csh_c c ON n.sh = c.sh
+         |),
+         |interx AS (
+         |  SELECT cd.new_id, cd.corpus_id, count(*) AS inter
+         |  FROM cand cd
+         |  JOIN nsh a ON a.doc_id = cd.new_id
+         |  JOIN csh b ON b.doc_id = cd.corpus_id AND b.sh = a.sh
+         |  GROUP BY 1, 2
+         |),
+         |nsz AS (SELECT doc_id, count(*) AS nsz FROM nsh GROUP BY doc_id),
+         |csz AS (SELECT doc_id, count(*) AS csz FROM csh GROUP BY doc_id)
+         |SELECT new_id, corpus_id, jaccard FROM (
+         |  SELECT i.new_id, i.corpus_id,
+         |         round(i.inter / (a.nsz + b.csz - i.inter), 6) AS jaccard
+         |  FROM interx i
+         |  JOIN nsz a ON a.doc_id = i.new_id
+         |  JOIN csz b ON b.doc_id = i.corpus_id
+         |) WHERE jaccard >= $JaccardThreshold
+         |ORDER BY new_id, corpus_id""".stripMargin,
+    // d23: identical ground truth through the at-rest index — d12's SQL verbatim.
+    "d23_index_neardup" ->
       s"""WITH nd AS (
          |  SELECT doc_id + 200000 AS doc_id, text || ' zq zq zq' AS text
          |  FROM documents WHERE doc_id % 25 = 0

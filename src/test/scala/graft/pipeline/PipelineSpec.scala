@@ -114,6 +114,48 @@ class PipelineSpec extends GraftSuite {
     assert(got === viaUnion)
   }
 
+  test("persisted shingle index: disk probe == in-memory incremental; append extends it; df cache self-heals") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (3L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val delta1 = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (11L, "completely fresh content with no corpus overlap at all")
+    ).toDF("doc_id", "text")
+    val delta2 = Seq(
+      // near-copy of delta1's doc 11 — only findable if the append landed.
+      (20L, "completely fresh content with no corpus overlap at all indeed")
+    ).toDF("doc_id", "text")
+
+    val path = java.nio.file.Files.createTempDirectory("graft-shidx").resolve("i").toString
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", path, n = 3)
+
+    def probe(delta: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      Dedup.jaccardPairsAgainstIndex(spark, path, delta, "doc_id", "text", dfCap = 50, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+
+    val mem = Dedup.incrementalJaccardPairs(delta1, corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(probe(delta1) === mem)
+
+    // Accept delta1, then delta2 must pair with 11 through the index.
+    Dedup.appendToShingleIndex(spark, path, delta1, "doc_id", "text")
+    val p2 = probe(delta2)
+    assert(p2.map(t => (t._1, t._2)) === Set((20L, 11L)))
+
+    // The df cache is derived: deleting it must not change any result.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+    assert(probe(delta2) === p2)
+
+    // Mixed-config probes are rejected at the spec sidecar.
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_graft_shingle_spec.json"), false)
+    intercept[IllegalArgumentException] { probe(delta2) }
+  }
+
   test("decontaminate drops exactly the corpus docs that hit a benchmark doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),    // == bench verbatim
