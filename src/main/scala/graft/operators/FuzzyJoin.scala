@@ -70,6 +70,49 @@ object FuzzyJoin {
       maxDist: Int = 1, bucketCap: Int = 1000): (DataFrame, DataFrame) =
     capped(df, idCol, strCol, maxDist, bucketCap)
 
+  /** The delta-ingest form (the same discipline as the incremental
+    * near-dup family): pairs between `delta` rows and `corpus` rows only —
+    * corpus-internal pairs are assumed already resolved, delta-internal
+    * pairs are included (a batch can contain its own near-collisions).
+    * Equals [[editDistancePairs]] over corpus ∪ delta restricted to pairs
+    * touching the delta (spec-pinned). Work ∝ |delta| variants joined
+    * against the variant index; the corpus is never self-joined.
+    */
+  def incrementalPairs(
+      corpus: DataFrame, delta: DataFrame, idCol: String, strCol: String,
+      maxDist: Int = 1, bucketCap: Int = 1000): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    def indexOf(df: DataFrame) = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("id").isNotNull && col("s").isNotNull)
+      .select(col("id"), col("s"), explode(variants(col("s"), maxDist)).as("v"))
+    val dIdx = indexOf(delta)
+    val cIdx = indexOf(corpus)
+    // Occupancy counts the UNION index — capping must see the combined
+    // bucket, or a hub split across the boundary slips the cap.
+    val occ = dIdx.select("v").unionByName(cIdx.select("v"))
+      .groupBy("v").agg(count(lit(1)).as("occ"))
+    val hot = occ.where(col("occ") > bucketCap).select("v")
+    val dCool = dIdx.join(broadcast(hot), Seq("v"), "left_anti")
+    val cCool = cIdx.join(broadcast(hot), Seq("v"), "left_anti")
+    val a = dCool.select(col("v"), col("id").as("id_a"), col("s").as("s_a"))
+    // Delta×corpus plus delta-internal: the right side is corpus ∪ delta,
+    // with the delta-internal half deduped by id_a < id_b.
+    val b = cCool.unionByName(dCool)
+      .select(col("v"), col("id").as("id_b"), col("s").as("s_b"))
+    a.join(b, Seq("v")).where(col("id_a") =!= col("id_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        when(col("id_a") < col("id_b"), col("s_a")).otherwise(col("s_b")).as("s_a"),
+        when(col("id_a") < col("id_b"), col("s_b")).otherwise(col("s_a")).as("s_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   private def capped(
       df: DataFrame, idCol: String, strCol: String,
       maxDist: Int, bucketCap: Int): (DataFrame, DataFrame) = {

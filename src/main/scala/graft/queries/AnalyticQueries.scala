@@ -313,7 +313,19 @@ object AnalyticQueries {
     "q25_fuzzy_join" -> ((s, dir) =>
       graft.operators.FuzzyJoin.editDistancePairs(
         table(s, dir, "supplier"), "s_suppkey", "s_name", maxDist = 1, bucketCap = 2000)
-        .orderBy("id_a", "id_b")))
+        .orderBy("id_a", "id_b")),
+
+    // Incremental fuzzy join (C79's delta-ingest form): new supplier names
+    // fuzzy-checked against the accepted corpus plus themselves — the
+    // corpus never self-joins. Oracle: brute force restricted to
+    // delta-touching pairs.
+    "q29_fuzzy_incr" -> ((s, dir) => {
+      val sup = table(s, dir, "supplier")
+      graft.operators.FuzzyJoin.incrementalPairs(
+        sup.filter(col("s_suppkey") % 5 =!= 0), sup.filter(col("s_suppkey") % 5 === 0),
+        "s_suppkey", "s_name", maxDist = 1, bucketCap = 2000)
+        .orderBy("id_a", "id_b")
+    }))
 
   private[graft] def q20Setup(s: SparkSession, dir: String): Unit = {
     graft.operators.Bucketing.writeBucketed(
@@ -345,6 +357,13 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q29_fuzzy_incr" ->
+      """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+        |       levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1
+        |  AND (a.s_suppkey % 5 = 0 OR b.s_suppkey % 5 = 0)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q27_heavy_keys" ->
       """WITH c AS (SELECT l_suppkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
         |t AS (SELECT CAST(sum(n_rows) AS DOUBLE) AS tot FROM c)

@@ -41,6 +41,22 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(got.contains((1L, 4L, 2L)))  // kitten ~ kitchen: sub + insert
   }
 
+  test("incrementalPairs == full join restricted to delta-touching pairs, corpus never self-pairs") {
+    val corpus = names.where(col("id") <= 5L)
+    val delta = names.where(col("id") > 5L)
+    val got = FuzzyJoin.incrementalPairs(corpus, delta, "id", "name", maxDist = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val deltaIds = Set(6L, 7L, 8L)
+    val expected = brute(2).filter { case (a, b, _) => deltaIds(a) || deltaIds(b) }
+    assert(got === expected)
+    // kitten(1) ~ kitten(6) crosses the boundary at distance 0; the
+    // corpus-internal kitten~sitten pair must NOT surface.
+    assert(got.contains((1L, 6L, 0L)))
+    assert(!got.contains((1L, 2L, 1L)))
+    // delta-internal pair: "a"(7) ~ ""(8) at distance 1.
+    assert(got.contains((7L, 8L, 1L)))
+  }
+
   test("bucketCap skips hub variants and the diag frame reports exactly those") {
     // 5 strings sharing the hub variant "xx" (each is "xx" + one distinct
     // char, so deleting that char lands every one of them in the same
