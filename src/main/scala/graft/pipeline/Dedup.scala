@@ -743,6 +743,54 @@ object Dedup {
     *         overlap = shared/|benchmark n-grams| >= threshold, rounded
     *         to 6 decimals.
     */
+  /** Cross-source content-overlap matrix — the corpus-level diagnostic
+    * behind the doc-level dedup family: for every pair of sources, the
+    * distinct-shingle intersection with Jaccard and containment
+    * (inter / smaller side). High containment between two crawl sources
+    * means one republishes the other — drop or down-weight BEFORE paying
+    * doc-level pair generation over their union.
+    *
+    * Scale shape: the shingle sets collapse to (source, shingle) DISTINCT
+    * first — the join fan-out per shingle is bounded by the number of
+    * SOURCES sharing it (sources are few; no dfCap needed), never by doc
+    * counts. One aggregation per side + one shingle-keyed join.
+    */
+  def sourceOverlap(
+      docs: DataFrame, idCol: String, srcCol: String, textCol: String,
+      n: Int = 3, hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Shingling stays PER DOCUMENT (the lead window orders one doc's
+    // tokens); the source label rides the projection and the distinct
+    // collapses to (source, shingle) after. Shingling per source would
+    // interleave tokens across its documents and invent grams no
+    // document contains.
+    val byDoc = Window.partitionBy("did").orderBy("pos")
+    val exploded = docs.select(
+      col(idCol).as("did"), col(srcCol).as("src"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "w")))
+    val withLeads = (1 until n).foldLeft(exploded) { (df, o) =>
+      df.withColumn(s"__w$o", lead(col("w"), o).over(byDoc))
+    }
+    val gram = concat_ws(" ", col("w") +: (1 until n).map(o => col(s"__w$o")): _*)
+    val guard = if (n > 1) col(s"__w${n - 1}").isNotNull else col("w").isNotNull
+    val idx = withLeads.filter(guard)
+      .select(col("src").as("id"), hashMode.hash(gram, 0).as("sh"))
+      .distinct().persist(lvl)
+    try {
+      val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
+      val a = idx.select(col("id").as("src_a"), col("sh"))
+      val b = idx.select(col("id").as("src_b"), col("sh"))
+      a.join(b, "sh").where(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+        .join(sizes.withColumnRenamed("id", "src_a").withColumnRenamed("sz", "sz_a"), "src_a")
+        .join(sizes.withColumnRenamed("id", "src_b").withColumnRenamed("sz", "sz_b"), "src_b")
+        .withColumn("jaccard", round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        .withColumn("containment", round(col("inter") / least(col("sz_a"), col("sz_b")), 6))
+        .select("src_a", "src_b", "inter", "sz_a", "sz_b", "jaccard", "containment")
+        .localCheckpoint(true)
+    } finally idx.unpersist()
+  }
+
   def contaminationPairs(
       corpus: DataFrame,
       benchmark: DataFrame,

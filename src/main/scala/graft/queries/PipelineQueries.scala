@@ -440,6 +440,17 @@ $bandSelects
       Dedup.jaccardPairsAgainstIndex(s, idxPath, newDocs, "doc_id", "text", DfCap, JaccardThreshold)
         .orderBy("new_id", "corpus_id")
     }),
+    // Cross-source overlap matrix (C83 / d24): corpus-level republication
+    // detection — a planted mirror source (srcM = src0's docs verbatim)
+    // must surface at containment 1.0 while organic source pairs stay low.
+    "d24_source_overlap" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "source", "text")
+      val mirrored = d.unionByName(
+        d.filter(col("source") === "src0").select((col("doc_id") + 500000).as("doc_id"),
+          lit("srcM").as("source"), col("text")))
+      Dedup.sourceOverlap(mirrored, "doc_id", "source", "text", ShingleN)
+        .orderBy("src_a", "src_b")
+    }),
     // End-to-end decontamination (C33 / d11): the d8 fixture's corpus with
     // every contaminated training doc dropped — what actually feeds the
     // tokenizer after the d8 report is reviewed.
@@ -1106,6 +1117,31 @@ $bandSelects
          |  JOIN csz b ON b.doc_id = i.corpus_id
          |) WHERE jaccard >= $JaccardThreshold
          |ORDER BY new_id, corpus_id""".stripMargin,
+    "d24_source_overlap" ->
+      """WITH d AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL
+        |  SELECT 'srcM', text FROM documents WHERE source = 'src0'
+        |),
+        |wt AS (SELECT source, string_split(text, ' ') AS w FROM d),
+        |sh AS (
+        |  SELECT DISTINCT source, sh FROM (
+        |    SELECT source, unnest(list_transform(
+        |             range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |    FROM wt WHERE len(w) >= 3
+        |  )
+        |),
+        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |ix AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT src_a, src_b, inter, x.sz AS sz_a, y.sz AS sz_b,
+        |       round(inter / (x.sz + y.sz - inter), 6) AS jaccard,
+        |       round(inter / least(x.sz, y.sz), 6) AS containment
+        |FROM ix JOIN sz x ON x.source = ix.src_a JOIN sz y ON y.source = ix.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "d11_decontaminate" -> {
       val gram8 = (1 to 7).foldLeft("w[i]")((acc, o) => s"$acc || ' ' || w[i+$o]")
       s"""WITH bench AS (

@@ -114,6 +114,27 @@ class PipelineSpec extends GraftSuite {
     assert(got === viaUnion)
   }
 
+  test("source overlap: mirror source scores containment 1.0; shingles never cross documents") {
+    val docs = Seq(
+      (1L, "A", "one two three four"),
+      (2L, "A", "five six seven eight"),     // same source, different doc
+      (3L, "M", "one two three four"),       // mirror of doc 1
+      (4L, "M", "five six seven eight"),     // mirror of doc 2 — M ≡ A exactly
+      (5L, "B", "totally different words here")
+    ).toDF("doc_id", "source", "text")
+    val out = Dedup.sourceOverlap(docs, "doc_id", "source", "text", n = 3)
+      .select("src_a", "src_b", "inter", "sz_a", "sz_b", "containment")
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // Each doc has 2 trigrams; per-source distinct = 4. A≡M → inter 4,
+    // containment 1.0. CRUCIALLY inter is 4, not 5+: a cross-document
+    // gram like "three four five" must not exist (per-doc windows).
+    assert(out(("A", "M"))._3 === 4L)
+    assert(out(("A", "M"))._4 === 4L && out(("A", "M"))._5 === 4L)
+    assert(out(("A", "M"))._6 === 1.0)
+    assert(!out.contains(("A", "B")) && !out.contains(("B", "M"))) // zero overlap → no row
+  }
+
   test("persisted shingle index: disk probe == in-memory incremental; append extends it; df cache self-heals") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
