@@ -270,6 +270,57 @@ object AnalyticQueries {
           graft.operators.ZOrder.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Cohort retention (C84 / q30): users bucketed by first-seen day,
+    // distinct active users per (cohort, day-offset) — the standard
+    // product-analytics report. Two map-side-combined aggregations + one
+    // user-keyed join; never a row-level window.
+    "q30_cohort_retention" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      val firstDay = ev.groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("cohort_day"))
+      val act = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      act.join(firstDay, "user_id")
+        .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    }),
+
+    // Ordered event funnel (C84 / q31): view → click-within-24h →
+    // purchase-within-24h, each stage anchored at the previous stage's
+    // FIRST qualifying event (min-ts semantics, not any-pair). Three
+    // conditional aggregations chained by user-keyed joins; the final
+    // 1-row×1-row crossJoins are broadcast literals.
+    "q31_funnel" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+      val day = expr("INTERVAL 24 HOURS")
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("vts"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .where(col("ts") > col("vts") && col("ts") <= col("vts") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("cts"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .where(col("ts") > col("cts") && col("ts") <= col("cts") + day)
+        .groupBy("user_id").agg(min(col("ts")).as("pts"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase")))
+    }),
+
+    // Rolling 7-day revenue (C84 / q32): the moving-average report — the
+    // window runs over the DAILY aggregate (≤ days rows), never the raw
+    // events; single-partition work is metadata-sized by construction.
+    "q32_rolling_revenue" -> ((s, dir) => {
+      val daily = Fixtures.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("rev"))
+      daily
+        .withColumn("rev_7d",
+          round(avg(col("rev")).over(
+            Window.orderBy("day").rowsBetween(-6, Window.currentRow)), 2))
+        .orderBy("day")
+    }),
+
     // Key-skew diagnostics (C81): the pre-flight read before choosing a
     // join strategy — q27 names the heavy hitters (TakeOrdered top-N +
     // 1-row broadcast total, rank window over the N collected rows only),
@@ -357,6 +408,40 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    "q30_cohort_retention" ->
+      """WITH first_day AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT f.cohort_day,
+        |       CAST(datediff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+        |       count(DISTINCT a.user_id) AS n_users
+        |FROM act a JOIN first_day f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+    "q31_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS vts FROM events WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS cts FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.vts AND e.ts <= v.vts + INTERVAL 24 HOUR
+        |  GROUP BY 1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ts) AS pts FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.cts AND e.ts <= c.cts + INTERVAL 24 HOUR
+        |  GROUP BY 1
+        |)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_click,
+        |       (SELECT count(*) FROM p) AS n_purchase""".stripMargin,
+    "q32_rolling_revenue" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, round(sum(value), 2) AS rev
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT day, rev,
+        |       round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM daily ORDER BY day""".stripMargin,
     "q29_fuzzy_incr" ->
       """SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
         |       levenshtein(a.s_name, b.s_name) AS dist
