@@ -97,4 +97,27 @@ object Scd2 {
     joined.select(explode(fanOut).as("__r")).select(col("__r.*"))
       .unionByName(history)
   }
+
+  /** Point-in-time reconstruction — the read side SCD2 exists for:
+    * the business snapshot as it stood AT `version`. A row is visible
+    * when its validity interval covers the version: `valid_from <=
+    * version < valid_to` (open rows have null `valid_to` = ∞). Returns
+    * payload columns only — the caller asked for a snapshot, not
+    * history bookkeeping. Map-only filter + projection: at most one row
+    * per key qualifies by the non-overlapping-intervals invariant
+    * [[apply]] maintains, so no window or dedup is needed — and on the
+    * normal `is_current`-partitioned layout, `snapshotAt(latest)`
+    * prunes to the current partition alone.
+    */
+  def snapshotAt(
+      target: DataFrame,
+      version: Long,
+      fromCol: String = "valid_from",
+      toCol: String = "valid_to",
+      curCol: String = "is_current"): DataFrame = {
+    val payload = target.columns.filterNot(Set(fromCol, toCol, curCol).contains)
+    target
+      .filter(col(fromCol) <= version && (col(toCol).isNull || col(toCol) > version))
+      .select(payload.map(col): _*)
+  }
 }

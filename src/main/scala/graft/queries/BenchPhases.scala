@@ -31,6 +31,7 @@ object BenchPhases {
     "st5_stream_neardup" -> ((s, dir) => StreamingQueries.st5Setup(s, dir)._1),
     "st8_stream_enrich" -> ((s, dir) => StreamingQueries.st8Setup(s, dir)._1),
     "st9_stream_attribution" -> ((s, dir) => StreamingQueries.st9Setup(s, dir)._1),
+    "st10_stream_cdc" -> ((s, dir) => StreamingQueries.st10Setup(s, dir)._1),
     // q20's claim is the exchange-free JOIN; the one-time bucketed layout
     // write is the trade's build cost, not the operation under test.
     "q20_bucketed_join" -> ((s, dir) => {

@@ -148,6 +148,22 @@ object MergeQueries {
           Seq("o_orderkey"), version = 1L)
         .orderBy(col("o_orderkey"), col("valid_from"), col("is_current"))
     }),
+    // SCD2 point-in-time read (m17): the round-trip law that makes the
+    // history merge trustworthy — after applying the snapshot at
+    // version 1, snapshotAt(0) must reproduce the pre-merge current
+    // state EXACTLY and snapshotAt(1) the applied snapshot, both straight
+    // off the history frame with a map-only interval filter.
+    "m17_scd2_snapshot" -> ((s, dir) => {
+      val cur = Fixtures.ordersTarget(s, dir)
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("bigint"))
+        .withColumn("is_current", lit(true))
+      val merged = Scd2.apply(cur, Fixtures.ordersSource(s, dir),
+        Seq("o_orderkey"), version = 1L)
+      Scd2.snapshotAt(merged, 0L).withColumn("as_of_v", lit(0L))
+        .unionByName(Scd2.snapshotAt(merged, 1L).withColumn("as_of_v", lit(1L)))
+        .orderBy("as_of_v", "o_orderkey")
+    }),
     // Hard-mode debug render (FIXTURES §1.2 shape): composite key +
     // badKey rn-dedup CTEs + target filter + soft-delete SET + threshold
     // — the renderer paths g1's simple config never reaches.
@@ -389,6 +405,16 @@ object MergeQueries {
          |UNION ALL
          |SELECT s.* FROM src s WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM tgt)
          |ORDER BY o_orderkey""".stripMargin,
+    // m17: the SCD2 round-trip law — snapshotAt(0) == the pre-merge
+    // target, snapshotAt(1) == the applied source snapshot, verbatim.
+    "m17_scd2_snapshot" ->
+      s"""$ordersCtes
+         |SELECT * FROM (
+         |  SELECT *, CAST(0 AS BIGINT) AS as_of_v FROM tgt
+         |  UNION ALL
+         |  SELECT *, CAST(1 AS BIGINT) AS as_of_v FROM src
+         |)
+         |ORDER BY as_of_v, o_orderkey""".stripMargin,
     // m16: the five SCD2 dispositions spelled out as UNION ALL branches —
     // history pass-through, unchanged current, changed key closed+reopened,
     // departed key closed, new key opened. Same change predicate as the

@@ -84,6 +84,25 @@ class Scd2Spec extends GraftSuite {
     assert(rows.count(_._6) === 1)
   }
 
+  test("snapshotAt reconstructs every version boundary of a 3-version history") {
+    val v0 = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "v")
+      .withColumn("valid_from", lit(0L))
+      .withColumn("valid_to", lit(null).cast("bigint"))
+      .withColumn("is_current", lit(true))
+    // v1: key 1 changes, key 3 arrives; v2: key 2 departs.
+    val h1 = Scd2.apply(v0, Seq((1L, "a", 11.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "name", "v"), Seq("k"), 1L)
+    val h2 = Scd2.apply(h1, Seq((1L, "a", 11.0), (3L, "c", 30.0)).toDF("k", "name", "v"), Seq("k"), 2L)
+    def snap(ver: Long): Set[(Long, Double)] =
+      Scd2.snapshotAt(h2, ver).select("k", "v").as[(Long, Double)].collect().toSet
+    assert(snap(0L) === Set((1L, 10.0), (2L, 20.0)))
+    assert(snap(1L) === Set((1L, 11.0), (2L, 20.0), (3L, 30.0)))
+    assert(snap(2L) === Set((1L, 11.0), (3L, 30.0)))
+    // Beyond the last version: identical to the latest snapshot.
+    assert(snap(99L) === snap(2L))
+    // Before history began: empty, not an error.
+    assert(snap(-1L) === Set.empty)
+  }
+
   test("null business key is null-safe matched, not treated as absent") {
     val target = Seq((Option.empty[Long], "n", 1.0)).toDF("k", "name", "v")
       .withColumn("valid_from", lit(0L))
