@@ -1005,6 +1005,79 @@ object Dedup {
     } finally idx.unpersist()
   }
 
+  /** Restore a healthy file layout to an append-accreted shingle index:
+    * every [[appendToShingleIndex]] lands one file set per subdir, and a
+    * year of daily deltas is 365 file sets per probe scan — the same
+    * degradation [[Similarity.compactIndex]] guards the IVF index
+    * against. `index` files coalesce (content already distinct); `sizes`
+    * rows also AGGREGATE to one row per doc (the probe sums them, so the
+    * pre-aggregated form is semantically identical); the df cache is
+    * untouched (content didn't change). Each subdir swaps through
+    * stage → retire → promote, and [[recoverShingleIndex]] rolls an
+    * interrupted swap deterministically.
+    *
+    * @return the subdirs actually rewritten (empty = nothing degraded).
+    */
+  def compactShingleIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Seq[String] = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    require(minFiles >= 2, s"minFiles must be >= 2, got $minFiles")
+    readShingleSpec(spark, path) // gate: only operate on a real index
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("index", "sizes").flatMap { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val files = fs.listStatus(dir).filter(f =>
+        f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      val desired = math.min(256L, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+      if (files.length < minFiles || files.length <= desired) None
+      else {
+        val staging = new org.apache.hadoop.fs.Path(s"$path/$sub.staging")
+        val retired = new org.apache.hadoop.fs.Path(s"$path/$sub.retired")
+        val content = spark.read.parquet(dir.toString)
+        val rewritten =
+          if (sub == "sizes") content.groupBy("id").agg(sum("sz").as("sz"))
+          else content
+        rewritten.repartition(desired).write
+          .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(staging.toString)
+        if (!fs.rename(dir, retired))
+          throw new IllegalStateException(s"compact: could not retire $dir")
+        if (!fs.rename(staging, dir))
+          throw new IllegalStateException(s"compact: could not promote $staging")
+        fs.delete(retired, true)
+        Some(sub)
+      }
+    }
+  }
+
+  /** Roll an interrupted [[compactShingleIndex]] swap to a consistent
+    * state. Per subdir (the swap order makes each state unambiguous):
+    * live dir missing but a `.retired` backup present → roll BACK
+    * (restore the backup, drop staging); live dir present with leftover
+    * `.retired` → the swap completed, drop the backup; orphan `.staging`
+    * → drop it. @return true when anything was repaired. */
+  def recoverShingleIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("index", "sizes").map { sub =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val staging = new org.apache.hadoop.fs.Path(s"$path/$sub.staging")
+      val retired = new org.apache.hadoop.fs.Path(s"$path/$sub.retired")
+      var acted = false
+      if (!fs.exists(dir) && fs.exists(retired)) {
+        if (!fs.rename(retired, dir))
+          throw new IllegalStateException(s"recover: could not restore $retired")
+        acted = true
+      }
+      if (fs.exists(dir) && fs.exists(retired)) { fs.delete(retired, true); acted = true }
+      if (fs.exists(staging)) { fs.delete(staging, true); acted = true }
+      acted
+    }.exists(identity)
+  }
+
   /** [[incrementalJaccardPairs]] against the AT-REST index: the delta is
     * shingled in memory, the corpus side reads `(sh, id)` rows from disk,
     * and the df cap is an ANTI-JOIN against the (tiny, broadcast) set of

@@ -177,6 +177,55 @@ class PipelineSpec extends GraftSuite {
     intercept[IllegalArgumentException] { probe(delta2) }
   }
 
+  test("shingle index compaction: fewer files, identical probes, crash states recover") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files.createTempDirectory("graft-shidx-c").resolve("i").toString
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", path, n = 3)
+    // Three appends → accreted file sets in index/ and sizes/.
+    (10L to 12L).foreach { i =>
+      Dedup.appendToShingleIndex(spark, path,
+        Seq((i, s"alpha beta gamma delta epsilon zeta eta theta v$i")).toDF("doc_id", "text"),
+        "doc_id", "text")
+    }
+    val probeDocs = Seq((20L, "alpha beta gamma delta epsilon zeta eta theta kappa")).toDF("doc_id", "text")
+    def probe(): Set[(Long, Long, Double)] =
+      Dedup.jaccardPairsAgainstIndex(spark, path, probeDocs, "doc_id", "text", dfCap = 50, threshold = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def nFiles(sub: String): Int =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$path/$sub"))
+        .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    val before = probe()
+    val filesBefore = nFiles("index")
+    // Tiny target forces "desired=1"; 4 file sets must collapse.
+    val compacted = Dedup.compactShingleIndex(spark, path, targetFileBytes = 1L << 30)
+    assert(compacted.toSet === Set("index", "sizes"))
+    assert(nFiles("index") < filesBefore)
+    assert(probe() === before)
+    // Re-compacting a healthy index is a no-op.
+    assert(Dedup.compactShingleIndex(spark, path, targetFileBytes = 1L << 30) === Seq.empty)
+
+    // Crash before promote: live dir retired, staging in place → recover
+    // rolls BACK and the probe still answers identically.
+    val idx = new org.apache.hadoop.fs.Path(s"$path/index")
+    val retired = new org.apache.hadoop.fs.Path(s"$path/index.retired")
+    val staging = new org.apache.hadoop.fs.Path(s"$path/index.staging")
+    assert(fs.rename(idx, retired))
+    fs.mkdirs(staging)
+    assert(Dedup.recoverShingleIndex(spark, path))
+    assert(fs.exists(idx) && !fs.exists(retired) && !fs.exists(staging))
+    assert(probe() === before)
+    // Crash after promote (leftover backup): recover just drops it.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/sizes.retired"))
+    assert(Dedup.recoverShingleIndex(spark, path))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/sizes.retired")))
+    assert(!Dedup.recoverShingleIndex(spark, path)) // healthy → no-op
+  }
+
   test("decontaminate drops exactly the corpus docs that hit a benchmark doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),    // == bench verbatim
