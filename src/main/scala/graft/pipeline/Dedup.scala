@@ -638,8 +638,15 @@ object Dedup {
       // would multiply ~12× per round and the plan STRING (rendered per
       // cached query) goes exponential long before the data does — the
       // same failure [[clusters]]' one-reference-per-round shape avoids.
-      // Superseded checkpoint blocks are freed by the ContextCleaner as
-      // each round's reference is dropped.
+      // Superseded checkpoint blocks are unpersisted EXPLICITLY as each
+      // round retires its predecessor: waiting for the ContextCleaner
+      // (GC-driven) measurably leaks — an isolated rerun of d22 degraded
+      // 12 → 63 s across 7 same-JVM iterations as edge-frame-sized
+      // checkpoint blocks accumulated in the block manager.
+      def leafRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+        df.queryExecution.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
       var e = p.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
       def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -673,7 +680,9 @@ object Dedup {
         val (n, s) = stats(next)
         converged = n == prevN && s.compareTo(prevSum) == 0
         prevN = n; prevSum = s
+        val old = e
         e = next
+        leafRdd(old).foreach(_.unpersist(false))
         i += 1
       }
       if (!converged)
@@ -682,9 +691,11 @@ object Dedup {
             "raise maxIters")
       // Fixpoint edges are stars: (member, component-min). Re-attach the
       // full vertex set — roots and isolated docs label themselves.
-      vertices.join(e.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+      val out = vertices.join(e.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
         .localCheckpoint(true)
+      leafRdd(e).foreach(_.unpersist(false))
+      out
     } finally { vertices.unpersist(); p.unpersist() }
   }
 
