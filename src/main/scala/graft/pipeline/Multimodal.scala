@@ -101,6 +101,42 @@ object Multimodal {
       .withColumn("resized", shrink)
   }
 
+  /** Deterministic fake audio "decode": sample rate off a 3-value table,
+    * duration proportional to payload size (200 ms – 60 s). STUB with the
+    * same contract as [[decodeStub]] — a real pipeline swaps in a codec
+    * probe; schema, determinism, and the map-only shape are the design.
+    */
+  def decodeAudioStub(df: DataFrame): DataFrame = {
+    val n = col("meta.n_bytes")
+    df
+      .withColumn("sample_rate",
+        element_at(array(lit(16000), lit(22050), lit(44100)), (pmod(n, lit(3)) + 1).cast("int")))
+      .withColumn("duration_ms", (lit(200) + pmod(n * 31, lit(59801))).cast("long"))
+  }
+
+  /** Audio segment planning — the temporal half of feature extraction
+    * computed corpus-side (the [[resizePlan]] discipline applied to time):
+    * fixed `windowMs` windows every `hopMs` per asset, the final window
+    * truncated at the asset's end, plus the sample offsets a PCM featurizer
+    * seeks to ((ms × rate) / 1000 in truncating integer arithmetic, so
+    * every engine plans the identical segment set). Map-only `sequence` +
+    * `explode`; fan-out = ceil(duration / hop) per asset; the stubbed
+    * feature computation batches by (sample_rate, window) shape.
+    */
+  def segmentPlan(decoded: DataFrame, windowMs: Int, hopMs: Int): DataFrame = {
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    require(hopMs >= 1, s"hopMs must be >= 1, got $hopMs")
+    val nSegs = ((col("duration_ms") - 1) / hopMs).cast("long") + 1
+    def toSamples(ms: org.apache.spark.sql.Column) =
+      (ms * col("sample_rate") / 1000).cast("long")
+    decoded
+      .withColumn("seg_idx", explode(sequence(lit(0L), nSegs - 1)))
+      .withColumn("start_ms", col("seg_idx") * hopMs)
+      .withColumn("end_ms", least(col("start_ms") + windowMs, col("duration_ms")))
+      .withColumn("start_sample", toSamples(col("start_ms")))
+      .withColumn("end_sample", toSamples(col("end_ms")))
+  }
+
   /** Batch feature extraction via `mapPartitions` — the escape hatch for
     * per-row imperative decode logic that cannot be an expression (e.g. a
     * native codec handle reused across a partition). Opens one "decoder"

@@ -392,6 +392,18 @@ $bandSelects
             table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")),
         "doc_id", maxSamples = 4)
         .orderBy("doc_id", "frame_idx")),
+    // Audio segment planning (C85 / mm4): fixed 2 s windows every 1.5 s
+    // per asset, final window truncated, sample offsets in truncating
+    // integer arithmetic — the temporal twin of mm3's geometry.
+    "mm4_segment_plan" -> ((s, dir) =>
+      Multimodal.segmentPlan(
+        Multimodal.decodeAudioStub(
+          Multimodal.ingestBinary(
+            table(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")),
+        windowMs = 2000, hopMs = 1500)
+        .select("doc_id", "sample_rate", "duration_ms", "seg_idx",
+          "start_ms", "end_ms", "start_sample", "end_sample")
+        .orderBy("doc_id", "seg_idx")),
     // Resize planning (C63 / mm3): fit decoded assets inside 224×224
     // preserving aspect, never upscaling — integer-exact geometry so the
     // stubbed pixel resample can batch by output shape. Map-only.
@@ -2104,6 +2116,24 @@ $bandSelects
         |FROM g ORDER BY doc_id""".stripMargin,
     // mm2: mm1's decode-stub arithmetic, then the same integer-ceil
     // stride and inclusive generate_series fan-out.
+    "mm4_segment_plan" ->
+      """WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS nb
+        |  FROM documents WHERE doc_id < 100),
+        |d AS (
+        |  SELECT doc_id,
+        |         CASE nb % 3 WHEN 0 THEN 16000 WHEN 1 THEN 22050 ELSE 44100 END AS sample_rate,
+        |         CAST(200 + (nb * 31) % 59801 AS BIGINT) AS duration_ms
+        |  FROM b),
+        |e AS (SELECT doc_id, sample_rate, duration_ms,
+        |             unnest(generate_series(0, (duration_ms - 1) // 1500)) AS seg_idx
+        |      FROM d)
+        |SELECT doc_id, sample_rate, duration_ms, seg_idx,
+        |       seg_idx * 1500 AS start_ms,
+        |       least(seg_idx * 1500 + 2000, duration_ms) AS end_ms,
+        |       (seg_idx * 1500 * sample_rate) // 1000 AS start_sample,
+        |       (least(seg_idx * 1500 + 2000, duration_ms) * sample_rate) // 1000 AS end_sample
+        |FROM e ORDER BY doc_id, seg_idx""".stripMargin,
     "mm2_frame_sample" ->
       """WITH b AS (
         |  SELECT doc_id, octet_length(encode(text)) AS nb

@@ -1288,6 +1288,22 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) === ((4L, 224, 1, true)))
   }
 
+  test("segment plan: hop stride, truncated final window, exact sample offsets") {
+    val d = Seq(
+      (1L, 16000, 3200L), // 3 segs at hop 1500: [0,2000) [1500,3200) [3000,3200)
+      (2L, 44100, 900L)   // shorter than one window: a single truncated seg
+    ).toDF("id", "sample_rate", "duration_ms")
+    val out = Multimodal.segmentPlan(d, windowMs = 2000, hopMs = 1500)
+      .select("id", "seg_idx", "start_ms", "end_ms", "start_sample", "end_sample")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 0L, 2000L, 0L, 32000L),
+      (1L, 1L, 1500L, 3200L, 24000L, 51200L),
+      (1L, 2L, 3000L, 3200L, 48000L, 51200L),
+      // 44100 Hz: 900 ms → 39690 samples, truncating arithmetic.
+      (2L, 0L, 0L, 900L, 0L, 39690L)))
+  }
+
   test("markup strip: tags out, entities decoded once with amp-last ordering") {
     val d = Seq((1L, "<p>a &amp;lt; b</p> <br/> &quot;x&quot; &#39;y&#39; &gt;"))
       .toDF("id", "text")
