@@ -97,4 +97,41 @@ object Packing {
         array_join(slice(col("__toks"), col("chunk_start") + 1, lit(chunkTokens)), " ")
           .as("chunk_text"))
   }
+
+  /** Sentence-aligned chunking — [[chunk]]'s boundary-respecting twin:
+    * sentences ([[TextOps.sentences]]) pack greedily into `budget`-token
+    * chunks and are NEVER split mid-sentence (an embedding or training
+    * window that cuts a sentence in half degrades both). Same prefix-sum
+    * discipline as [[packGreedyByCount]]: chunk = floor(exclusive running
+    * token sum / budget) within the doc, so a sentence straddling a
+    * boundary lands in the earlier chunk (chunks can overfill by at most
+    * one sentence; an oversized single sentence becomes its own chunk —
+    * atomicity wins over the budget, exactly the packing contract).
+    *
+    * Scale shape: sentence explode (map-only), one per-doc window for the
+    * running sum, one (doc, chunk) aggregation reassembling in position
+    * order — the tokenBlocks shape at sentence granularity.
+    */
+  def chunkBySentences(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val w = Window.partitionBy("__id").orderBy("pos")
+    docs
+      .select(col(idCol).as("__id"),
+        posexplode(graft.pipeline.TextOps.sentences(col(textCol))).as(Seq("pos", "s")))
+      .withColumn("nt", size(split(col("s"), " ")).cast("long"))
+      .withColumn("__cum", coalesce(
+        sum(col("nt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("chunk_idx", floor(col("__cum") / budget).cast("long"))
+      .groupBy(col("__id").as(idCol), col("chunk_idx"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("s")))), e => e.getField("s")),
+          " ").as("chunk_text"),
+        sum(col("nt")).as("n_tokens"),
+        count(lit(1)).as("n_sentences"))
+  }
 }

@@ -63,6 +63,18 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Sentence segmentation: split after terminal punctuation
+    * (`[.!?]` + whitespace). Deliberately lookbehind-free — the sentinel
+    * rewrite `([.!?])\s+` → `$1` then split keeps the rule inside
+    * RE2's subset, so the DuckDB oracle applies the IDENTICAL regex (RE2
+    * has no lookbehind; a `(?<=[.!?])\s+` rule could never be
+    * cross-checked). Terminal punctuation stays attached to its
+    * sentence; abbreviation handling ("Dr.") is a model problem, not a
+    * segmentation-rule problem — out of scope by design.
+    */
+  def sentences(text: Column): Column =
+    split(regexp_replace(text, "([.!?])\\s+", "$1\u0001"), "\u0001")
+
   /** PII patterns redacted by [[redactPii]], applied in order. Both
     * patterns evaluate identically under Java regex (Spark) and RE2
     * (DuckDB) — plain character classes and bounded quantifiers only, no

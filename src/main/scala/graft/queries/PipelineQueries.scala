@@ -365,6 +365,17 @@ $bandSelects
       graft.pipeline.Packing.chunk(table(s, dir, "documents"), "doc_id", "text",
         chunkTokens = 32, stride = 24)
         .orderBy("doc_id", "chunk_idx")),
+    // Sentence-aligned chunking (C86 / t19): periods planted after every
+    // "table" make real sentence boundaries; sentences pack greedily into
+    // 40-token chunks and never split — the boundary-respecting twin of
+    // t13's fixed windows.
+    "t19_sentence_chunks" -> ((s, dir) =>
+      graft.pipeline.Packing.chunkBySentences(
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "table ", "table. ").as("text")),
+        "doc_id", "text", budget = 40)
+        .orderBy("doc_id", "chunk_idx")),
     // URL normalization + per-domain cap (C56 / t14): synthetic crawl
     // URLs (mixed-case scheme/host, query, fragment) are canonicalized,
     // reduced to their registered domain, and the corpus is capped at 8
@@ -2063,6 +2074,32 @@ $bandSelects
         |       CAST(least(32, n - chunk_start) AS INTEGER) AS n_tokens,
         |       array_to_string(list_slice(toks, chunk_start + 1, least(chunk_start + 32, n)), ' ') AS chunk_text
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    // t19: identical sentinel-split sentence rule (RE2-safe, no
+    // lookbehind), identical prefix-sum/floor chunk assignment.
+    "t19_sentence_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(text, 'table ', 'table. ', 'g') AS text
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS sents
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(sents) + 1),
+        |                               i -> {'pos': i, 's': sents[i]})) AS r
+        |  FROM sp),
+        |f AS (SELECT doc_id, r.pos AS pos, r.s AS s,
+        |             CAST(len(string_split(r.s, ' ')) AS BIGINT) AS nt FROM e),
+        |g AS (SELECT doc_id, pos, s, nt,
+        |             coalesce(sum(nt) OVER (
+        |               PARTITION BY doc_id ORDER BY pos
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |      FROM f)
+        |SELECT doc_id, CAST(cum // 40 AS BIGINT) AS chunk_idx,
+        |       string_agg(s, ' ' ORDER BY pos) AS chunk_text,
+        |       CAST(sum(nt) AS BIGINT) AS n_tokens, count(*) AS n_sentences
+        |FROM g GROUP BY 1, 2 ORDER BY doc_id, chunk_idx""".stripMargin,
     // t14: the same synthetic URL literal, the same anchor-only regex
     // chain (Java regex and RE2 agree on plain character classes), and
     // s3's hash-rank cap window keyed by domain.

@@ -1288,6 +1288,30 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) === ((4L, 224, 1, true)))
   }
 
+  test("sentence chunking: boundaries respected, straddler lands early, oversize atomic") {
+    val docs = Seq(
+      // 4 sentences of 3/3/3/2 tokens; budget 5: exclusive cums 0,3,6,9 →
+      // chunks 0,0,1,1 — the second sentence STRADDLES (chunk 0 holds 6
+      // tokens) and is never split.
+      (1L, "a b one. c d two. e f three! g four?"),
+      // one giant unpunctuated doc: a single atomic chunk over budget
+      (2L, (1 to 12).map(i => s"w$i").mkString(" ")),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkBySentences(docs, "doc_id", "text", budget = 5)
+      .select("doc_id", "chunk_idx", "chunk_text", "n_tokens", "n_sentences")
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out((1L, 0L)) === ((1L, 0L, "a b one. c d two.", 6L, 2L)))
+    assert(out((1L, 1L)) === ((1L, 1L, "e f three! g four?", 5L, 2L)))
+    assert(out((2L, 0L))._4 === 12L) // atomic despite 12 > 5
+    assert(out((2L, 0L))._5 === 1L)
+    assert(out.contains((3L, 0L))) // empty text: one empty sentence row
+    // Reconstruction: chunks joined in order give back the text.
+    val rejoined = out.toSeq.filter(_._1._1 == 1L).sortBy(_._1._2).map(_._2._3).mkString(" ")
+    assert(rejoined === "a b one. c d two. e f three! g four?")
+  }
+
   test("segment plan: hop stride, truncated final window, exact sample offsets") {
     val d = Seq(
       (1L, 16000, 3200L), // 3 segs at hop 1500: [0,2000) [1500,3200) [3000,3200)
