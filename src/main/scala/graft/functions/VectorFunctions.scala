@@ -79,8 +79,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
   val DotProductName = "graft_dot_product"
   val NfcNormalizeName = "graft_nfc_normalize"
+  val TokenCountName = "graft_token_count"
 
   def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(TokenCountName),
+      new ExpressionInfo(classOf[TokenCount].getName, TokenCountName),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"$TokenCountName expects 1 argument, got ${children.size}")
+        TokenCount(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier(DotProductName),
       new ExpressionInfo(classOf[DotProduct].getName, DotProductName),

@@ -38,7 +38,7 @@ object Packing {
       budget: Int,
       groupCols: Seq[String] = Nil): DataFrame =
     packGreedyByCount(
-      docs.withColumn("n_tokens", size(TextOps.tokens(col(textCol))).cast("long")),
+      docs.withColumn("n_tokens", TextOps.tokenCount(col(textCol)).cast("long")),
       idCol, "n_tokens", budget, groupCols)
 
   /** [[packGreedy]] over a pre-computed token-count column (the real
@@ -122,7 +122,7 @@ object Packing {
     docs
       .select(col(idCol).as("__id"),
         posexplode(graft.pipeline.TextOps.sentences(col(textCol))).as(Seq("pos", "s")))
-      .withColumn("nt", size(split(col("s"), " ")).cast("long"))
+      .withColumn("nt", graft.pipeline.TextOps.tokenCount(col("s")).cast("long"))
       .withColumn("__cum", coalesce(
         sum(col("nt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("chunk_idx", floor(col("__cum") / budget).cast("long"))

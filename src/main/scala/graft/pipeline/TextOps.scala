@@ -18,6 +18,15 @@ object TextOps {
   /** Whitespace tokens (the corpus is single-space separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Token COUNT without materializing the token array — the native
+    * [[graft.functions.TokenCount]] expression (spaces + 1, exactly
+    * `size(tokens(text))`; parity spec-pinned). Requires the session to
+    * register [[graft.functions.GraftExtensions]], the engine's standard
+    * session contract (same dependency as the e-queries' dot product).
+    */
+  def tokenCount(text: Column): Column =
+    call_function(graft.functions.GraftFunctions.TokenCountName, text)
+
   /** Deterministic 60-bit hash usable identically from Spark and DuckDB:
     * 15 hex chars of md5("<seed>:<value>") parsed base-16. 60 bits keeps
     * the value positive in a signed 64-bit long in both engines. Each

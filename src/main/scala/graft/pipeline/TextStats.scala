@@ -23,7 +23,7 @@ object TextStats {
     * char/token totals and means.
     */
   def corpusStats(docs: DataFrame, groupCols: Seq[String], textCol: String): DataFrame = {
-    val toks = size(TextOps.tokens(col(textCol)))
+    val toks = TextOps.tokenCount(col(textCol))
     val chars = length(col(textCol))
     docs
       .groupBy(groupCols.map(col): _*)
@@ -91,7 +91,7 @@ object TextStats {
       if (exact) expr(s"percentile(__n, $probs)")
       else expr(s"percentile_approx(__n, $probs, 10000)").cast("array<double>")
     docs
-      .select(col(groupCol), size(TextOps.tokens(col(textCol))).cast("long").as("__n"))
+      .select(col(groupCol), TextOps.tokenCount(col(textCol)).cast("long").as("__n"))
       .groupBy(groupCol)
       .agg(
         count(lit(1)).as("n_docs"),

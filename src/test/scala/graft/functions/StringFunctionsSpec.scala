@@ -67,4 +67,37 @@ class StringFunctionsSpec extends GraftSuite {
     val distinctNfc = docs.select(nfc($"text").as("text")).distinct().count()
     assert(distinctRaw === 2L && distinctNfc === 1L)
   }
+
+  private def tc = (c: org.apache.spark.sql.Column) =>
+    call_function(GraftFunctions.TokenCountName, c)
+
+  test("token count == size(split) on every edge: empties, runs of spaces, multi-byte, null") {
+    val df = Seq(
+      Some("a b c"), Some(""), Some(" "), Some("a  b"), Some("trailing "),
+      Some(" leading"), Some("caf" + composedE + " " + decomposedE + "x"), None
+    ).toDF("s")
+    val native = df.select(tc($"s")).as[Option[Int]].collect().toSeq
+    val viaSplit = df.select(size(split($"s", " "))).as[Option[Int]].collect().toSeq
+    // size() returns -1 for null under legacy conf; compare via Option rows.
+    assert(native === Seq(Some(3), Some(1), Some(2), Some(3), Some(2), Some(2), Some(2), None))
+    assert(native.zip(viaSplit).forall {
+      case (Some(a), Some(b)) => a == b
+      case (None, _) => true // split-of-null conventions differ; native is null
+      case _ => false
+    })
+  }
+
+  test("token count: codegen and interpreted evaluation agree") {
+    val df = Seq("a b", "", "x  y z ").toDF("s")
+    val withCodegen = df.select(tc($"s")).as[Int].collect().toSeq
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(df.select(tc($"s")).as[Int].collect().toSeq === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
