@@ -330,6 +330,28 @@ class PlanSpec extends GraftSuite {
     assert("Join ".r.findAllIn(optimizedOf("m16_scd2_history")).size === 1)
   }
 
+  // d23/d24 are not plan-pinnable from the query surface: their operators
+  // materialize through localCheckpoint (handle-release hygiene), so the
+  // visible plan is a Scan ExistingRDD — the join shapes are exercised and
+  // asserted semantically by their specs/oracles instead.
+
+  test("q30 cohort: aggregations + one user-keyed join — never a row-level window") {
+    val plan = planOf("q30_cohort_retention")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t19 sentence chunks: one per-doc window, no joins at all") {
+    val opt = optimizedOf("t19_sentence_chunks")
+    assert(!opt.contains("Join"), opt.take(2000))
+    assert("Window".r.findAllIn(optimizedOf("t19_sentence_chunks")).size === 1, opt.take(2000))
+  }
+
+  test("mm4 segment plan: map-only fan-out — no join, no aggregation before the output sort") {
+    val opt = optimizedOf("mm4_segment_plan")
+    assert(!opt.contains("Join") && !opt.contains("Aggregate"), opt.take(2000))
+  }
+
   test("q27 heavy keys: TakeOrdered top-N — the key census never globally sorts or windows") {
     val plan = planOf("q27_heavy_keys")
     assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
