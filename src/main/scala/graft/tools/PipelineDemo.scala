@@ -44,6 +44,15 @@ object PipelineDemo {
     val raw = spark.read.parquet(s"$sfDir/documents.parquet")
     println(s"[demo] raw corpus: ${raw.count()} docs")
 
+    // 0. Source-level triage BEFORE any doc-level work: a source pair at
+    //    high containment is a republisher — drop or down-weight it here
+    //    and the doc-level dedup never pays for the union.
+    val overlap = Dedup.sourceOverlap(raw, "doc_id", "source", "text")
+    val worst = overlap.orderBy(col("containment").desc, col("src_a"), col("src_b"))
+      .select("src_a", "src_b", "containment").limit(1)
+      .collect().headOption.map(r => s"${r.getString(0)}~${r.getString(1)} @ ${r.getDouble(2)}")
+    println(s"[demo] source overlap: ${overlap.count()} overlapping pairs; worst containment ${worst.getOrElse("n/a")}")
+
     // 1. Quality gate: keep docs passing all curation rules (the filter
     //    returns per-rule verdicts; semi-join the keepers back).
     val keepIds = TextStats.qualityFilter(raw, "doc_id", "text",
@@ -155,6 +164,9 @@ object PipelineDemo {
     val trainSlice = split.filter(col("split") === "train")
     val chunks = Packing.chunk(trainSlice, "doc_id", "text",
       chunkTokens = 64, stride = 48)
+    val sentChunks = Packing.chunkBySentences(trainSlice, "doc_id", "text", budget = 64)
+    println(s"[demo] sentence-aligned chunks: ${sentChunks.count()} " +
+      s"(boundary-respecting twin of the sliding windows)")
     println(s"[demo] chunked train split: ${chunks.count()} windows " +
       s"from ${trainSlice.count()} docs")
 
