@@ -270,6 +270,22 @@ object AnalyticQueries {
           graft.operators.ZOrder.zkey(Seq(col("l_partkey"), col("l_suppkey")), 16).as("zkey"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // Argmin-per-group via struct-min aggregation (q33): each customer's
+    // cheapest order — top-1-per-group WITHOUT a window: min over a
+    // (price, orderkey) struct aggregates with map-side partial combine,
+    // where q7's row_number pays a full per-group sort. At 100 TB the
+    // aggregation form is the right default for k=1; the deterministic
+    // tiebreak is the struct's lexicographic order (orderkey breaks
+    // price ties).
+    "q33_argmin_order" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(min(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+        .select(col("o_custkey"),
+          col("m.o_orderkey").as("cheapest_order"),
+          col("m.o_totalprice").as("cheapest_price"))
+        .orderBy("o_custkey")),
+
     // Cohort retention (C84 / q30): users bucketed by first-seen day,
     // distinct active users per (cohort, day-offset) — the standard
     // product-analytics report. Two map-side-combined aggregations + one
@@ -408,6 +424,16 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // q33: the same answer via the rank formulation — one ground truth
+    // for the aggregation idiom the Spark side uses.
+    "q33_argmin_order" ->
+      """SELECT o_custkey, o_orderkey AS cheapest_order, o_totalprice AS cheapest_price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice, o_orderkey) AS rn
+        |  FROM orders
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
     "q30_cohort_retention" ->
       """WITH first_day AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day FROM events GROUP BY 1

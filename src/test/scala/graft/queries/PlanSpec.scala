@@ -335,6 +335,13 @@ class PlanSpec extends GraftSuite {
   // visible plan is a Scan ExistingRDD — the join shapes are exercised and
   // asserted semantically by their specs/oracles instead.
 
+  test("q33 argmin: partial-aggregated struct-min — no window sort anywhere") {
+    val plan = planOf("q33_argmin_order")
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan.take(3000))
+    // Map-side combine: a partial_min over the struct before the exchange.
+    assert(plan.contains("partial_min"), plan.take(3000))
+  }
+
   test("q30 cohort: aggregations + one user-keyed join — never a row-level window") {
     val plan = planOf("q30_cohort_retention")
     assert(!plan.contains("WindowExec") && !plan.contains("Window "), plan.take(3000))
