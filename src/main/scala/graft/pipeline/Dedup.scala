@@ -920,6 +920,43 @@ object Dedup {
     new PairsHandle(pairs, Seq(nIdx, cIdx))
   }
 
+  /** Measured LSH recall against the exact inverted-index baseline — the
+    * number an operator tunes (bands, rowsPerBand) with, mirroring
+    * [[Similarity.recallAt]] for the text near-dup tier: what fraction of
+    * the TRUE >= threshold pairs ([[jaccardPairs]], hash-sampled by
+    * endpoint to bound cost) does the banded MinHash path surface? LSH
+    * verification is exact, so precision is 1 by construction — recall is
+    * the only tunable loss, and the band-count knob is monotone
+    * (spec-pinned: more bands ⇒ recall can only grow on a fixed corpus).
+    *
+    * @param sampleRate hash-sample DOCS (both pair endpoints must
+    *                   survive) — at corpus scale the probe runs on a
+    *                   slice, like the ANN recall probe.
+    * @return one row: (n_true_pairs, bands, rows_per_band, recall);
+    *         lazy frame, nothing collected.
+    */
+  def lshRecall(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      dfCap: Int = 50, sampleRate: Double = 1.0, seed: Int = 7): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val sampled =
+      if (sampleRate >= 1.0) docs
+      else docs.filter(Sampling.hashFilter(col(idCol), sampleRate, seed))
+    val exact = jaccardPairs(sampled, idCol, textCol, n, dfCap, threshold)
+      .select("doc_a", "doc_b")
+    val lsh = minhashLshPairs(sampled, idCol, textCol, n, bands, rowsPerBand, threshold)
+      .select("doc_a", "doc_b")
+    exact
+      .join(lsh.withColumn("__hit", lit(1)), Seq("doc_a", "doc_b"), "left")
+      .agg(
+        count(lit(1)).as("n_true_pairs"),
+        lit(bands).as("bands"),
+        lit(rowsPerBand).as("rows_per_band"),
+        round(sum(coalesce(col("__hit"), lit(0))) / count(lit(1)), 6).as("recall"))
+  }
+
   /** Filename of the shingle-index sidecar recording (n, hashMode). */
   private val ShingleSpecFile = "_graft_shingle_spec.json"
 

@@ -43,6 +43,24 @@ class PipelineSpec extends GraftSuite {
     assert(lsh.contains((1L, 2L))) // identical docs always share every band
   }
 
+  test("LSH recall: more bands never lose pairs, tight banding reports its true loss") {
+    // 60 base docs + a near-copy of each: 60 true pairs at threshold 0.5.
+    val base = (1L to 60L).map(i =>
+      (i, (1 to 12).map(j => s"w${i}_$j").mkString(" ")))
+    val near = base.map { case (i, t) => (i + 1000L, t + " zz") }
+    val corpus = (base ++ near).toDF("doc_id", "text")
+    def recallOf(bands: Int, rpb: Int): (Long, Double) = {
+      val r = Dedup.lshRecall(corpus, "doc_id", "text",
+        n = 3, bands = bands, rowsPerBand = rpb, threshold = 0.5).collect().head
+      (r.getLong(0), r.getDouble(3))
+    }
+    val (n1, tight) = recallOf(2, 8)   // 2 bands of 8 rows: hard to collide
+    val (n2, wide) = recallOf(8, 2)    // 8 bands of 2 rows: easy to collide
+    assert(n1 === 60L && n2 === 60L)
+    assert(tight >= 0.0 && wide <= 1.0)
+    assert(wide >= tight, s"more bands must not lose pairs: $wide < $tight")
+  }
+
   test("cluster resolution collapses transitive duplicate chains to the min id") {
     val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.99)).toDF("doc_a", "doc_b", "jaccard")
     val c = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
