@@ -884,7 +884,7 @@ $bandSelects
        |  ) WHERE jaccard >= $JaccardThreshold
        |)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  private val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
       s"""WITH $dupAugCte
          |SELECT doc_id, lang, source, n_chars, n_copies FROM (
@@ -2265,4 +2265,23 @@ $bandSelects
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+
+  /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
+    * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"
+    * precedent (`Dedup.clustersAlternating` scaladoc).
+    *
+    * d7: the hash only keys the inverted index; the OUTPUT (verified pairs
+    * + exact shingle jaccard) is hash-independent absent collisions, and
+    * the mode-agreement spec in `PipelineSpec` pins d7==d2 pairs AND
+    * values exactly. d6: the banded candidate set differs from d3's (a
+    * different hash buckets differently), so d6 cannot mirror d3's
+    * md5-banding oracle; its verified output is bounded above by the exact
+    * pair set, and the C88 recall probe measures recall = 1.0 for the
+    * xxhash64 banding on the verification corpus — so the exact pair set
+    * (d2's oracle) IS its ground truth there. d3 keeps the md5-banding
+    * mirror oracle (45 rows at sf0.01, one pair below exact recall).
+    */
+  val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "d7_neardup_jaccard_fast" -> oracleSqlBase("d2_neardup_jaccard"),
+    "d6_minhash_lsh_fast" -> oracleSqlBase("d2_neardup_jaccard"))
 }
