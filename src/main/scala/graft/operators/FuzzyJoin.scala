@@ -32,6 +32,28 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Above-cap hub variants to ship as a broadcast local relation; a hub
+    * set beyond this (degenerate key domains where most variants are
+    * shared hubs) falls back to a shuffle anti-join instead of an
+    * unbounded driver broadcast. ~100k short strings ≈ single-digit MB. */
+  val DefaultHubBroadcastLimit = 100000
+
+  /** `idx` minus rows whose `v` is in `hot` (single column `v`). Probes
+    * the hub set with a LIMIT-bounded collect: within the limit, the
+    * already-computed rows become a broadcast LocalRelation (no second
+    * evaluation of the occupancy aggregate on the probe side); above it,
+    * a plain shuffle anti-join — correct at any hub cardinality, just not
+    * broadcast. The collect is metadata-sized by construction (bounded by
+    * the limit, same discipline as PartitionedApply's touched-bucket
+    * ids). */
+  private def hubSide(hot: DataFrame, limit: Int): DataFrame = {
+    val spark = hot.sparkSession
+    import spark.implicits._
+    val probed = hot.select("v").limit(limit + 1).collect()
+    if (probed.length <= limit) broadcast(probed.map(_.getString(0)).toSeq.toDF("v"))
+    else hot.select("v")
+  }
+
   /** All strings with one character deleted; empty input has no variants. */
   private def del1(c: Column): Column =
     when(length(c) <= 0, array().cast("array<string>"))
@@ -59,16 +81,18 @@ object FuzzyJoin {
     */
   def editDistancePairs(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1, bucketCap: Int = 1000): DataFrame =
-    capped(df, idCol, strCol, maxDist, bucketCap)._1
+      maxDist: Int = 1, bucketCap: Int = 1000,
+      hubBroadcastLimit: Int = DefaultHubBroadcastLimit): DataFrame =
+    capped(df, idCol, strCol, maxDist, bucketCap, hubBroadcastLimit)._1
 
   /** [[editDistancePairs]] plus the cap's shadow: a second frame of
     * `(variant, occ)` buckets the cap skipped — empty means the pair set
     * is provably the exact brute-force answer. */
   def editDistancePairsDiag(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1, bucketCap: Int = 1000): (DataFrame, DataFrame) =
-    capped(df, idCol, strCol, maxDist, bucketCap)
+      maxDist: Int = 1, bucketCap: Int = 1000,
+      hubBroadcastLimit: Int = DefaultHubBroadcastLimit): (DataFrame, DataFrame) =
+    capped(df, idCol, strCol, maxDist, bucketCap, hubBroadcastLimit)
 
   /** The delta-ingest form (the same discipline as the incremental
     * near-dup family): pairs between `delta` rows and `corpus` rows only —
@@ -77,10 +101,19 @@ object FuzzyJoin {
     * Equals [[editDistancePairs]] over corpus ∪ delta restricted to pairs
     * touching the delta (spec-pinned). Work ∝ |delta| variants joined
     * against the variant index; the corpus is never self-joined.
+    *
+    * Id contract: `idCol` is the ENTITY identity, and rows are never
+    * paired with themselves (`id_a =!= id_b`). A delta row that reuses an
+    * id already present in the corpus is therefore treated as the same
+    * entity and is NOT compared against the corpus version — the
+    * equivalence to [[editDistancePairs]] over corpus ∪ delta holds for
+    * id-disjoint inputs. To re-key an existing entity's string, drop the
+    * corpus row first or ingest under a fresh id.
     */
   def incrementalPairs(
       corpus: DataFrame, delta: DataFrame, idCol: String, strCol: String,
-      maxDist: Int = 1, bucketCap: Int = 1000): DataFrame = {
+      maxDist: Int = 1, bucketCap: Int = 1000,
+      hubBroadcastLimit: Int = DefaultHubBroadcastLimit): DataFrame = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     def indexOf(df: DataFrame) = df
@@ -93,9 +126,9 @@ object FuzzyJoin {
     // bucket, or a hub split across the boundary slips the cap.
     val occ = dIdx.select("v").unionByName(cIdx.select("v"))
       .groupBy("v").agg(count(lit(1)).as("occ"))
-    val hot = occ.where(col("occ") > bucketCap).select("v")
-    val dCool = dIdx.join(broadcast(hot), Seq("v"), "left_anti")
-    val cCool = cIdx.join(broadcast(hot), Seq("v"), "left_anti")
+    val hot = hubSide(occ.where(col("occ") > bucketCap), hubBroadcastLimit)
+    val dCool = dIdx.join(hot, Seq("v"), "left_anti")
+    val cCool = cIdx.join(hot, Seq("v"), "left_anti")
     val a = dCool.select(col("v"), col("id").as("id_a"), col("s").as("s_a"))
     // Delta×corpus plus delta-internal: the right side is corpus ∪ delta,
     // with the delta-internal half deduped by id_a < id_b.
@@ -115,7 +148,7 @@ object FuzzyJoin {
 
   private def capped(
       df: DataFrame, idCol: String, strCol: String,
-      maxDist: Int, bucketCap: Int): (DataFrame, DataFrame) = {
+      maxDist: Int, bucketCap: Int, hubBroadcastLimit: Int): (DataFrame, DataFrame) = {
     require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
     require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
     val base = df
@@ -128,7 +161,7 @@ object FuzzyJoin {
       .select(col("v"), col("id"), col("s"))
     val occ = idx.groupBy("v").agg(count(lit(1)).as("occ"))
     val hot = occ.where(col("occ") > bucketCap)
-    val cool = idx.join(broadcast(hot.select("v")), Seq("v"), "left_anti")
+    val cool = idx.join(hubSide(hot, hubBroadcastLimit), Seq("v"), "left_anti")
     val a = cool.select(col("v"), col("id").as("id_a"), col("s").as("s_a"))
     val b = cool.select(col("v"), col("id").as("id_b"), col("s").as("s_b"))
     val pairs = a.join(b, Seq("v")).where(col("id_a") < col("id_b"))

@@ -32,13 +32,33 @@ object Dedup {
     * until eviction).
     *
     * `release()` is safe at any point after the result has been fully
-    * consumed (count/collect/write); consuming `pairs` again afterwards
-    * just recomputes from the source. For a scoped form see
-    * [[Dedup.withJaccardPairs]] / [[Dedup.withMinhashLshPairs]].
+    * consumed (count/collect/write). For handles over persisted-but-
+    * lineaged indexes, consuming `pairs` again afterwards just recomputes
+    * from the source; for handles whose RESULT is a checkpoint leaf
+    * ([[Dedup.sourceOverlapHandle]], [[Dedup.jaccardPairsAgainstIndexHandle]])
+    * the frame has no lineage to recompute from — consume fully first.
+    * For a scoped form see [[Dedup.withJaccardPairs]] /
+    * [[Dedup.withMinhashLshPairs]].
     */
-  final class PairsHandle private[pipeline] (val pairs: DataFrame, private[pipeline] val cached: Seq[DataFrame]) {
-    def release(): Unit = cached.foreach(_.unpersist())
+  final class PairsHandle private[pipeline] (
+      val pairs: DataFrame,
+      private[pipeline] val cached: Seq[DataFrame],
+      private[pipeline] val checkpointed: Seq[DataFrame] = Nil) {
+    def release(): Unit = {
+      cached.foreach(_.unpersist())
+      // Checkpointed results are LEAF LogicalRDDs whose blocks the
+      // ContextCleaner frees only on GC — measurably too late in a
+      // long-lived session (the d22 12 → 63 s leak); drop them eagerly.
+      checkpointed.foreach(leafCheckpointRdd(_).foreach(_.unpersist(false)))
+    }
   }
+
+  /** The checkpoint RDD behind a `localCheckpoint`ed frame, if the frame
+    * is one (a leaf LogicalRDD). */
+  private[pipeline] def leafCheckpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed.collectFirst {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }
 
   /** Run `f` over the Jaccard pair frame, releasing the persisted indexes
     * when it returns — `f` must CONSUME the frame (count/collect/write),
@@ -643,10 +663,7 @@ object Dedup {
       // (GC-driven) measurably leaks — an isolated rerun of d22 degraded
       // 12 → 63 s across 7 same-JVM iterations as edge-frame-sized
       // checkpoint blocks accumulated in the block manager.
-      def leafRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
-        df.queryExecution.analyzed.collectFirst {
-          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-        }
+      def leafRdd(df: DataFrame) = leafCheckpointRdd(df)
       var e = p.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
         .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
       def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
@@ -768,7 +785,15 @@ object Dedup {
     */
   def sourceOverlap(
       docs: DataFrame, idCol: String, srcCol: String, textCol: String,
-      n: Int = 3, hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+      n: Int = 3, hashMode: HashMode = HashMode.Md5Portable): DataFrame =
+    sourceOverlapHandle(docs, idCol, srcCol, textCol, n, hashMode).pairs
+
+  /** [[sourceOverlap]] with an explicit lifetime — see
+    * [[jaccardPairsAgainstIndexHandle]] for why repeated probes in one
+    * session should release the checkpoint leaf. */
+  def sourceOverlapHandle(
+      docs: DataFrame, idCol: String, srcCol: String, textCol: String,
+      n: Int = 3, hashMode: HashMode = HashMode.Md5Portable): PairsHandle = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Shingling stays PER DOCUMENT (the lead window orders one doc's
     // tokens); the source label rides the projection and the distinct
@@ -787,7 +812,7 @@ object Dedup {
     val idx = withLeads.filter(guard)
       .select(col("src").as("id"), hashMode.hash(gram, 0).as("sh"))
       .distinct().persist(lvl)
-    try {
+    val out = try {
       val sizes = idx.groupBy("id").agg(count(lit(1)).as("sz"))
       val a = idx.select(col("id").as("src_a"), col("sh"))
       val b = idx.select(col("id").as("src_b"), col("sh"))
@@ -800,6 +825,7 @@ object Dedup {
         .select("src_a", "src_b", "inter", "sz_a", "sz_b", "jaccard", "containment")
         .localCheckpoint(true)
     } finally idx.unpersist()
+    new PairsHandle(out, Nil, checkpointed = Seq(out))
   }
 
   def contaminationPairs(
@@ -954,7 +980,12 @@ object Dedup {
         count(lit(1)).as("n_true_pairs"),
         lit(bands).as("bands"),
         lit(rowsPerBand).as("rows_per_band"),
-        round(sum(coalesce(col("__hit"), lit(0))) / count(lit(1)), 6).as("recall"))
+        // 0 true pairs (tiny corpus or aggressive sampling) ⇒ nothing to
+        // miss: recall is vacuously 1.0, never a 0/0 null that NPEs a
+        // getDouble downstream.
+        when(count(lit(1)) > 0,
+          round(sum(coalesce(col("__hit"), lit(0))) / count(lit(1)), 6))
+          .otherwise(lit(1.0)).as("recall"))
   }
 
   /** Filename of the shingle-index sidecar recording (n, hashMode). */
@@ -1137,7 +1168,19 @@ object Dedup {
   def jaccardPairsAgainstIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      dfCap: Int = 50, threshold: Double = 0.6): DataFrame = {
+      dfCap: Int = 50, threshold: Double = 0.6): DataFrame =
+    jaccardPairsAgainstIndexHandle(spark, path, newDocs, idCol, textCol, dfCap, threshold).pairs
+
+  /** [[jaccardPairsAgainstIndex]] with an explicit lifetime: the result is
+    * a localCheckpoint leaf whose blocks the ContextCleaner frees only on
+    * GC, so a long-lived session probing the index repeatedly (the at-rest
+    * ingest loop this operator exists for) should `release()` each probe's
+    * handle once the pairs are consumed — the same leak mode that degraded
+    * the d22 bench 12 → 63 s across same-JVM iterations. */
+  def jaccardPairsAgainstIndexHandle(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      dfCap: Int = 50, threshold: Double = 0.6): PairsHandle = {
     val (n, hm) = readShingleSpec(spark, path)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nIdx = shingleIndex(newDocs, idCol, textCol, n, hashWith = Some(hm)).persist(lvl)
@@ -1169,7 +1212,8 @@ object Dedup {
         .filter(col("jaccard") >= threshold)
         .select("new_id", "corpus_id", "jaccard")
       // Materialize before releasing the delta index the lineage reads.
-      pairs.localCheckpoint(true)
+      val out = pairs.localCheckpoint(true)
+      new PairsHandle(out, Nil, checkpointed = Seq(out))
     } finally nIdx.unpersist()
   }
 

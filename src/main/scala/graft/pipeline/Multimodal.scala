@@ -127,14 +127,18 @@ object Multimodal {
     require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
     require(hopMs >= 1, s"hopMs must be >= 1, got $hopMs")
     val nSegs = ((col("duration_ms") - 1) / hopMs).cast("long") + 1
-    def toSamples(ms: org.apache.spark.sql.Column) =
-      (ms * col("sample_rate") / 1000).cast("long")
+    // `div` (IntegralDivide), not `/`: Spark's / on integral operands is
+    // DOUBLE division, whose floor only coincides with the truncating
+    // integer arithmetic the contract (and the DuckDB // oracle) promises
+    // while ms × rate stays within double precision. div holds for any
+    // duration/rate.
+    def toSamples(ms: String) = expr(s"($ms * sample_rate) div 1000").cast("long")
     decoded
       .withColumn("seg_idx", explode(sequence(lit(0L), nSegs - 1)))
       .withColumn("start_ms", col("seg_idx") * hopMs)
       .withColumn("end_ms", least(col("start_ms") + windowMs, col("duration_ms")))
-      .withColumn("start_sample", toSamples(col("start_ms")))
-      .withColumn("end_sample", toSamples(col("end_ms")))
+      .withColumn("start_sample", toSamples("start_ms"))
+      .withColumn("end_sample", toSamples("end_ms"))
   }
 
   /** Batch feature extraction via `mapPartitions` — the escape hatch for

@@ -74,4 +74,34 @@ class FuzzyJoinSpec extends GraftSuite {
     val full = FuzzyJoin.editDistancePairs(hub, "id", "name", maxDist = 1, bucketCap = 100)
     assert(full.count() === 10L)
   }
+
+  test("hub-set fallback: above hubBroadcastLimit the anti-join degrades to shuffle, same answer") {
+    // Degenerate all-hub corpus: every variant bucket of the shared-stem
+    // strings is over the cap, so the hot set itself is large relative to
+    // a tiny hubBroadcastLimit — the fallback must keep the result
+    // identical to the broadcast path, never OOM-by-broadcast.
+    val hub = (1L to 6L).map(i => (i, s"xx${('a' + i.toInt).toChar}")).toDF("id", "name")
+    def run(limit: Int) =
+      FuzzyJoin.editDistancePairs(hub, "id", "name", maxDist = 1, bucketCap = 2,
+        hubBroadcastLimit = limit).as[(Long, Long, Long)].collect().toSet
+    val viaBroadcast = run(FuzzyJoin.DefaultHubBroadcastLimit)
+    val viaShuffle = run(0)
+    assert(viaBroadcast === viaShuffle)
+    // And with no cap pressure both limits give the brute answer.
+    def runFull(limit: Int) =
+      FuzzyJoin.editDistancePairs(hub, "id", "name", maxDist = 1, bucketCap = 100,
+        hubBroadcastLimit = limit).as[(Long, Long, Long)].collect().toSet
+    assert(runFull(0) === runFull(FuzzyJoin.DefaultHubBroadcastLimit))
+    assert(runFull(0).size === 15) // C(6,2) last-char substitution pairs
+    // Incremental form honors the limit too.
+    val inc0 = FuzzyJoin.incrementalPairs(
+      hub.where(col("id") <= 3L), hub.where(col("id") > 3L), "id", "name",
+      maxDist = 1, bucketCap = 100, hubBroadcastLimit = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    val incBig = FuzzyJoin.incrementalPairs(
+      hub.where(col("id") <= 3L), hub.where(col("id") > 3L), "id", "name",
+      maxDist = 1, bucketCap = 100)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(inc0 === incBig)
+  }
 }

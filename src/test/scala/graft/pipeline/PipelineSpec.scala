@@ -508,6 +508,24 @@ class PipelineSpec extends GraftSuite {
     assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
   }
 
+  test("checkpoint-leaf handles release their blocks (sourceOverlap probe loop)") {
+    // sourceOverlap returns a localCheckpoint LEAF whose blocks the
+    // ContextCleaner frees only on GC — the d22 leak mode. The handle form
+    // must free them eagerly; consume the pairs BEFORE release (a leaf has
+    // no lineage to recompute from).
+    val own = Seq(
+      (1L, "srcA", "checkpoint release corpus alpha beta gamma"),
+      (2L, "srcB", "checkpoint release corpus alpha beta gamma delta"),
+      (3L, "srcB", "unrelated checkpoint-lifecycle document body")
+    ).toDF("doc_id", "source", "text")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val h = Dedup.sourceOverlapHandle(own, "doc_id", "source", "text", n = 3)
+    assert(h.pairs.count() >= 1)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).nonEmpty)
+    h.release()
+    assert(spark.sparkContext.getPersistentRDDs.keySet.diff(before).isEmpty)
+  }
+
   test("composed d9/d10 path releases the pair indexes but stays evaluable") {
     // The d9/d10 query shape (VERDICT r7 "what's wrong" #3): clusters /
     // pruneDuplicates inside withJaccardPairs. clusters consumes the pairs

@@ -367,11 +367,14 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
-  test("q25 fuzzy join: variant equi-join + broadcast hub filter — never a cartesian levenshtein") {
+  test("q25 fuzzy join: variant equi-join, hub anti-join broadcast-or-eliminated — never cartesian") {
     val plan = planOf("q25_fuzzy_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(3000))
-    // The hot-bucket anti-join must broadcast the (tiny, aggregated) hub
-    // list, not shuffle the exploded variant index against it.
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan.take(3000))
+    // The probed hub set becomes a broadcast LocalRelation within
+    // hubBroadcastLimit; when it probes EMPTY (this fixture) Catalyst's
+    // PropagateEmptyRelation removes the anti-join outright. Either way
+    // the exploded variant index is never shuffled against the hub list.
+    assert(!plan.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("LeftAnti")),
+      plan.take(3000))
   }
 }
