@@ -1031,6 +1031,11 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(path, ShingleSpecFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$path is not a shingle index (no $ShingleSpecFile) — build it with writeShingleIndex")
+    // A pending intent marker means a staged append is mid-promotion:
+    // the live index/sizes dirs may be mutually inconsistent, and a probe
+    // would silently drop pairs (sizes inner-join). Fail loudly instead.
+    require(!fs.exists(new org.apache.hadoop.fs.Path(path, AppendIntentFile)),
+      s"$path has an interrupted append — run recoverShingleIndex to roll it forward")
     val in = fs.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val n = "\"n\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(txt).map(_.group(1).toInt)
@@ -1052,36 +1057,88 @@ object Dedup {
     else spark.read.parquet(s"$path/index").groupBy("sh").agg(count(lit(1)).as("df"))
   }
 
-  /** Append a delta's shingles to the at-rest index: `(sh, id)` rows and
-    * per-doc sizes append; the df cache is recomputed as old-df ⊎
-    * delta-df (one aggregation over the df TABLE + delta — never a
-    * corpus text re-scan) and swapped in via stage-delete-rename. A crash
-    * between delete and rename only loses the derived cache, which
-    * [[indexDf]] rebuilds. Callers must have checked the delta against
-    * the index FIRST ([[jaccardPairsAgainstIndex]]) — append is the
-    * accept step of check-then-accept ingest.
+  /** Filename of the append intent marker: present ⇔ a fully-staged
+    * append is mid-promotion, which [[recoverShingleIndex]] rolls
+    * FORWARD. Probes and appends refuse to run while it exists. */
+  private val AppendIntentFile = "_graft_append_intent"
+
+  /** Append a delta's shingles to the at-rest index, crash-atomically
+    * (ADVICE r10: the previous three-commit append could crash between
+    * the index and sizes appends, leaving docs in `index` with no
+    * `sizes` row — and since probes inner-join sizes, their pairs
+    * silently vanished). Protocol:
+    *
+    *   1. the delta's `(sh, id)` rows, per-doc sizes, AND the merged df
+    *      cache (old-df ⊎ delta-df — one aggregation over the df table
+    *      + delta, never a corpus text re-scan) are written COMPLETELY
+    *      under `append.staging/`;
+    *   2. an intent marker declares the append committed;
+    *   3. staged files are promoted into the live `index`/`sizes` dirs
+    *      by per-file rename, the df cache by stage-delete-rename, and
+    *      the marker is removed.
+    *
+    * Every crash point is unambiguous: no marker → the live index is
+    * untouched and the orphan staging dir is garbage (the append did
+    * not happen); marker present → the staged data is complete and
+    * [[recoverShingleIndex]] re-runs the promotion (renames are
+    * idempotent — already-promoted files are no longer in staging)
+    * while probes/appends FAIL LOUDLY via the [[readShingleSpec]]
+    * gate rather than read a half-promoted index; marker gone → the
+    * append is fully visible. Callers must have checked the delta
+    * against the index FIRST ([[jaccardPairsAgainstIndex]]) — append
+    * is the accept step of check-then-accept ingest.
     */
   def appendToShingleIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String): Unit = {
-    val (n, hm) = readShingleSpec(spark, path)
+    val (n, hm) = readShingleSpec(spark, path) // gates on a pending marker
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Unmarked staging leftovers are garbage from an append that never
+    // reached its intent point.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/append.staging"), true)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val idx = shingleIndex(newDocs, idCol, textCol, n, hashWith = Some(hm)).persist(lvl)
     try {
-      idx.write.mode("append").parquet(s"$path/index")
+      idx.write.mode("overwrite").parquet(s"$path/append.staging/index")
       idx.groupBy("id").agg(count(lit(1)).as("sz"))
-        .write.mode("append").parquet(s"$path/sizes")
-      val merged = indexDf(spark, path)
+        .write.mode("overwrite").parquet(s"$path/append.staging/sizes")
+      indexDf(spark, path)
         .unionByName(idx.groupBy("sh").agg(count(lit(1)).as("df")))
         .groupBy("sh").agg(sum("df").as("df"))
-      merged.write.mode("overwrite").parquet(s"$path/df.staging")
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
-      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$path/df.staging"),
-        new org.apache.hadoop.fs.Path(s"$path/df")))
-        throw new IllegalStateException(s"Could not promote df cache at $path")
+        .write.mode("overwrite").parquet(s"$path/append.staging/df")
+      val marker = fs.create(new org.apache.hadoop.fs.Path(path, AppendIntentFile), true)
+      try marker.write("pending".getBytes("UTF-8")) finally marker.close()
+      promoteAppend(fs, path)
     } finally idx.unpersist()
+  }
+
+  /** Promote a fully-staged append (intent marker present). Idempotent:
+    * every step checks what remains to be done, so an interrupted
+    * promotion re-runs to completion. */
+  private def promoteAppend(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    for (sub <- Seq("index", "sizes")) {
+      val from = new org.apache.hadoop.fs.Path(s"$path/append.staging/$sub")
+      if (fs.exists(from)) {
+        fs.listStatus(from)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+            !f.getPath.getName.startsWith("."))
+          .foreach { f =>
+            val dest = new org.apache.hadoop.fs.Path(s"$path/$sub/${f.getPath.getName}")
+            if (!fs.rename(f.getPath, dest))
+              throw new IllegalStateException(s"append: could not promote ${f.getPath} to $dest")
+          }
+      }
+    }
+    val dfStaged = new org.apache.hadoop.fs.Path(s"$path/append.staging/df")
+    if (fs.exists(dfStaged)) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/df"), true)
+      if (!fs.rename(dfStaged, new org.apache.hadoop.fs.Path(s"$path/df")))
+        throw new IllegalStateException(s"append: could not promote df cache at $path")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/append.staging"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path, AppendIntentFile), false)
   }
 
   /** Restore a healthy file layout to an append-accreted shingle index:
@@ -1141,7 +1198,18 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("index", "sizes").map { sub =>
+    // Interrupted APPEND states first (see [[appendToShingleIndex]]):
+    // marker present → the staged data is complete, roll the promotion
+    // forward; unmarked staging → the append never reached its intent
+    // point, the leftovers are garbage.
+    val appendActed = {
+      val marker = new org.apache.hadoop.fs.Path(path, AppendIntentFile)
+      val staging = new org.apache.hadoop.fs.Path(s"$path/append.staging")
+      if (fs.exists(marker)) { promoteAppend(fs, path); true }
+      else if (fs.exists(staging)) { fs.delete(staging, true); true }
+      else false
+    }
+    appendActed | Seq("index", "sizes").map { sub =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val staging = new org.apache.hadoop.fs.Path(s"$path/$sub.staging")
       val retired = new org.apache.hadoop.fs.Path(s"$path/$sub.retired")

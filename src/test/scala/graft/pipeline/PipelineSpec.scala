@@ -244,6 +244,61 @@ class PipelineSpec extends GraftSuite {
     assert(!Dedup.recoverShingleIndex(spark, path)) // healthy → no-op
   }
 
+  test("interrupted append: probes fail loudly, recovery rolls the staged append forward") {
+    // The ADVICE r10 window: an append that crashed between its commits
+    // used to leave docs in index/ with no sizes row, and probes (which
+    // inner-join sizes) silently dropped their pairs. The staged protocol
+    // makes the state unambiguous: marker present ⇒ staged data complete,
+    // probes refuse, recovery completes the promotion.
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (11L, "completely fresh content with no corpus overlap at all")
+    ).toDF("doc_id", "text")
+    val probeDocs = Seq(
+      (20L, "completely fresh content with no corpus overlap at all indeed")
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft-shidx-a")
+    val path = base.resolve("i").toString
+    val side = base.resolve("side").toString
+    Dedup.writeShingleIndex(corpus, "doc_id", "text", path, n = 3)
+    // The delta's index/sizes parquet, produced by the same writer, stands
+    // in for a fully-staged append (the state after step 2's marker).
+    Dedup.writeShingleIndex(delta, "doc_id", "text", side, n = 3)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (sub <- Seq("index", "sizes")) {
+      val dst = new org.apache.hadoop.fs.Path(s"$path/append.staging/$sub")
+      fs.mkdirs(dst)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$side/$sub"))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .foreach { f =>
+          assert(fs.rename(f.getPath,
+            new org.apache.hadoop.fs.Path(s"$dst/${f.getPath.getName}")))
+        }
+    }
+    val marker = new org.apache.hadoop.fs.Path(path, "_graft_append_intent")
+    fs.create(marker, true).close()
+
+    def probe(): Set[(Long, Long, Double)] =
+      Dedup.jaccardPairsAgainstIndex(spark, path, probeDocs, "doc_id", "text",
+        dfCap = 50, threshold = 0.5).as[(Long, Long, Double)].collect().toSet
+    // Mid-promotion: loud failure, never a silently-pairless answer.
+    intercept[IllegalArgumentException] { probe() }
+    assert(Dedup.recoverShingleIndex(spark, path))
+    assert(!fs.exists(marker))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/append.staging")))
+    // Both index AND sizes landed: the delta doc pairs through the index.
+    assert(probe().map(t => (t._1, t._2)) === Set((20L, 11L)))
+    // Unmarked staging leftovers are garbage from a pre-intent crash.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$path/append.staging/index"))
+    assert(Dedup.recoverShingleIndex(spark, path))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/append.staging")))
+    assert(!Dedup.recoverShingleIndex(spark, path)) // healthy → no-op
+  }
+
   test("decontaminate drops exactly the corpus docs that hit a benchmark doc") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),    // == bench verbatim
