@@ -426,6 +426,19 @@ $bandSelects
         maxSide = 224)
         .select("doc_id", "width", "height", "out_w", "out_h", "resized")
         .orderBy("doc_id")),
+    // REAL PNG decode (C14 retired as a stub / mm5): synthetic PNGs with
+    // oracle-predicted pixels, decoded by the JDK's javax.imageio codec
+    // through the decoder-per-partition mapPartitions shape; pixel_sum
+    // requires reading the full raster, and the resize geometry runs over
+    // the REAL decoded dimensions.
+    "mm5_decode_png" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.decodePng(
+          Multimodal.synthesizePngs(
+            table(s, dir, "documents").filter(col("doc_id") < 50), "doc_id")),
+        maxSide = 16)
+        .select("doc_id", "width", "height", "pixel_sum", "out_w", "out_h", "resized")
+        .orderBy("doc_id")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -2264,7 +2277,37 @@ $bandSelects
         |       CAST(32 + octet_length(encode(text)) % 608 AS INTEGER) AS width,
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
-        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin)
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // mm5: the decoder's output is fully predicted by the synthesis
+    // formulas (geometry + per-pixel channels closed-form in doc_id), so
+    // the oracle recomputes what a CORRECT lossless decode must read back
+    // — pixel_sum covers the whole raster, out_w/out_h the resize
+    // geometry over the real decoded dimensions.
+    "mm5_decode_png" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (SELECT doc_id, 8 + doc_id % 24 AS width, 8 + (doc_id*3) % 24 AS height FROM d),
+        |px AS (
+        |  SELECT doc_id, width, height, tx.x AS x, ty.y AS y
+        |  FROM dims, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+        |             LATERAL (SELECT unnest(range(0, height)) AS y) ty
+        |),
+        |agg AS (
+        |  SELECT doc_id, width, height,
+        |    CAST(sum((3*x + doc_id % 200) % 256
+        |           + (5*x + 7*y + doc_id) % 256
+        |           + (x + 11*y + 13*doc_id) % 256) AS BIGINT) AS pixel_sum
+        |  FROM px GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height, pixel_sum,
+        |  CAST(CASE WHEN greatest(width, height) > 16
+        |            THEN greatest(1, (width*16) // greatest(width, height))
+        |            ELSE width END AS INTEGER) AS out_w,
+        |  CAST(CASE WHEN greatest(width, height) > 16
+        |            THEN greatest(1, (height*16) // greatest(width, height))
+        |            ELSE height END AS INTEGER) AS out_h,
+        |  greatest(width, height) > 16 AS resized
+        |FROM agg ORDER BY doc_id""".stripMargin)
 
   /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
     * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"

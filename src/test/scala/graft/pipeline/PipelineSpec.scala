@@ -1004,6 +1004,42 @@ class PipelineSpec extends GraftSuite {
     assert(exprPath.nonEmpty)
   }
 
+  test("real PNG decode: synthesized rasters round-trip bit-exactly through javax.imageio") {
+    // The decode is no longer a stub: actual PNGs, actual pixels. The
+    // expected values are the synthesis formulas computed independently
+    // here — pixel_sum can only match if the codec read the full raster.
+    val ids = Seq(0L, 3L, 17L, 41L).toDF("doc_id")
+    val decoded = Multimodal.decodePng(Multimodal.synthesizePngs(ids, "doc_id"))
+      .select("doc_id", "width", "height", "pixel_sum")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- Seq(0L, 3L, 17L, 41L)) {
+      val w = (8 + id % 24).toInt
+      val h = (8 + (id * 3) % 24).toInt
+      var expect = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        expect += (3L * x + id % 200) % 256 + (5L * x + 7L * y + id) % 256 +
+          (x + 11L * y + 13L * id) % 256
+      assert(decoded(id) === ((id, w, h, expect)))
+    }
+    // Resize geometry runs over the REAL decoded dimensions.
+    val planned = Multimodal.resizePlan(
+      Multimodal.decodePng(Multimodal.synthesizePngs(ids, "doc_id")), maxSide = 16)
+      .select("doc_id", "width", "height", "out_w", "out_h", "resized")
+      .as[(Long, Int, Int, Int, Int, Boolean)].collect()
+    planned.foreach { case (_, w, h, ow, oh, resized) =>
+      assert(resized === (math.max(w, h) > 16))
+      if (resized) {
+        assert(math.max(ow, oh) === 16)
+        assert(ow === math.max(1, w * 16 / math.max(w, h)))
+        assert(oh === math.max(1, h * 16 / math.max(w, h)))
+      } else assert(ow === w && oh === h)
+    }
+    // The payload is a real PNG container, not arbitrary bytes.
+    val magic = Multimodal.synthesizePngs(ids, "doc_id")
+      .select("payload").as[Array[Byte]].head()
+    assert(magic.take(8).toSeq === Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+  }
+
   test("hamming-ball simhash pairing recovers a planted one-bit flip d4 misses") {
     // Fingerprints, not text: plant exact distances so the assertion is on
     // the banding guarantee itself (within-ball detection is exact).
