@@ -1,0 +1,146 @@
+package graft.merge
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, Not}
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** The reference's dynamic-SQL execute boundary (B10): `sp_SimpleMerge`
+  * renders MERGE text and `exec(@sql)`s it (sp_SimpleMerge.sql:471).
+  * Spark parses MERGE INTO natively but — in this environment — has no
+  * lakehouse table format to execute it against, so this closes the loop
+  * the Spark-first way: the statement goes through Spark's OWN SQL parser
+  * into its `MergeIntoTable` logical plan, the clause structure is
+  * translated into [[MergeOptions]], and the same engine the DataFrame
+  * API uses runs it. Round trip: [[MergeDebug.renderSql]] output parses
+  * back into exactly the semantics that rendered it (the g3 query pins
+  * this against m1's oracle).
+  *
+  * Scope: the no-CTE clause structure the reference generates — named
+  * target/source relations, conjunctive same-column equi / null-safe ON
+  * keys, full-column UPDATE (plain or change-detected) on match, full
+  * INSERT on not-matched, and DELETE / UPDATE SET / clause-absent on
+  * not-matched-by-source. The targetFilter/badKey variants render as
+  * CTEs whose semantics live in the CTE body, not in MERGE clauses —
+  * those route through the API, where the options are explicit.
+  */
+object MergeSql {
+
+  /** Parse + execute, returning the post-merge target content (lazy). */
+  def mergedFrame(spark: SparkSession, sqlText: String): DataFrame =
+    toSimpleMerge(spark, sqlText).merged
+
+  /** Parse a MERGE INTO statement into a configured [[SimpleMerge]] whose
+    * relations resolve through the session catalog (temp views included).
+    */
+  def toSimpleMerge(spark: SparkSession, sqlText: String): SimpleMerge = {
+    val m = spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable => m
+      case other => throw new MergeValidationException(
+        s"Not an executable MERGE INTO statement (parsed ${other.nodeName}); " +
+          "CTE-wrapped renders (targetFilter/badKey) carry their semantics " +
+          "in the CTE body — use the SimpleMerge API form for those")
+    }
+    val tName = relationName(m.targetTable, "target")
+    val sName = relationName(m.sourceTable, "source")
+    val keys = keyColumns(m.mergeCondition)
+
+    validateMatched(m.matchedActions)
+    validateNotMatched(m.notMatchedActions)
+    val deleteMode = m.notMatchedBySourceActions match {
+      case Seq() => DeleteMode.Ignore
+      case Seq(DeleteAction(None)) => DeleteMode.Delete
+      case Seq(UpdateAction(None, assignments, _)) =>
+        DeleteMode.SoftDelete(assignments.map(a => (attrName(a.key, "SET target"), a.value.sql)))
+      case other => unsupported(s"WHEN NOT MATCHED BY SOURCE actions $other")
+    }
+
+    SimpleMerge.into(spark.table(tName), tName)
+      .using(spark.table(sName), sName)
+      .keys(keys: _*)
+      .deleteMode(deleteMode)
+  }
+
+  private def unsupported(what: String): Nothing =
+    throw new MergeValidationException(
+      s"Unsupported MERGE clause for the SimpleMerge engine: $what")
+
+  private def relationName(p: LogicalPlan, role: String): String = p match {
+    case SubqueryAlias(_, r: UnresolvedRelation) => r.multipartIdentifier.mkString(".")
+    case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    case other => unsupported(s"$role relation ${other.nodeName} (expected a named table/view)")
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  private def attrName(e: Expression, role: String): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => unsupported(s"$role expression ${other.sql} (expected a column reference)")
+  }
+
+  /** ON must be a conjunction of same-column `t.k = s.k` / `t.k <=> s.k`
+    * terms — the only join shape the engine (and the reference) keys on.
+    * `<=>` vs `=` carries no information here: [[MergePlan]] derives
+    * null-safety from the target schema, exactly as the renderer did.
+    */
+  private def keyColumns(cond: Expression): Seq[String] =
+    conjuncts(cond).map {
+      case EqualTo(a, b) => sameColumn(a, b)
+      case EqualNullSafe(a, b) => sameColumn(a, b)
+      case other => unsupported(s"ON term ${other.sql} (expected t.k = s.k or t.k <=> s.k)")
+    }
+
+  private def sameColumn(a: Expression, b: Expression): String = {
+    val (an, bn) = (attrName(a, "ON left"), attrName(b, "ON right"))
+    if (!an.equalsIgnoreCase(bn))
+      unsupported(s"ON term joining different columns $an / $bn (merge keys are same-named)")
+    an
+  }
+
+  /** WHEN MATCHED must be the engine's update shape: one UPDATE whose
+    * assignments are identity `t.c = s.c` pairs (or `UPDATE SET *`),
+    * optionally guarded by the change-detect idiom
+    * (`struct(s.*) IS DISTINCT FROM struct(t.*)`, which parses to
+    * `Not(EqualNullSafe(...))`). The engine change-detects regardless
+    * (A10 suppresses no-op updates), so both the guarded and unguarded
+    * spellings execute identically — what must be rejected is a PARTIAL
+    * or renaming SET, whose semantics the engine does not implement.
+    */
+  private def validateMatched(actions: Seq[MergeAction]): Unit = actions match {
+    case Seq() =>
+      unsupported("absence of a WHEN MATCHED clause (the engine always " +
+        "updates changed matches; matched suppression is schema-driven, not clause-driven)")
+    case Seq(UpdateStarAction(cond)) =>
+      validateMatchedCondition(cond)
+    case Seq(UpdateAction(cond, assignments, _)) =>
+      validateMatchedCondition(cond)
+      assignments.foreach { a =>
+        val (k, v) = (attrName(a.key, "SET target"), attrName(a.value, "SET value"))
+        if (!k.equalsIgnoreCase(v))
+          unsupported(s"renaming/partial SET $k = $v (the engine updates columns in place)")
+      }
+    case other => unsupported(s"WHEN MATCHED actions $other")
+  }
+
+  private def validateMatchedCondition(cond: Option[Expression]): Unit = cond match {
+    case None | Some(Not(EqualNullSafe(_, _))) => ()
+    case Some(other) => unsupported(s"WHEN MATCHED condition ${other.sql}")
+  }
+
+  /** WHEN NOT MATCHED must be the full same-named INSERT (or INSERT *). */
+  private def validateNotMatched(actions: Seq[MergeAction]): Unit = actions match {
+    case Seq() =>
+      unsupported("absence of a WHEN NOT MATCHED clause (the engine always inserts new keys)")
+    case Seq(InsertStarAction(None)) => ()
+    case Seq(InsertAction(None, assignments)) =>
+      assignments.foreach { a =>
+        val (k, v) = (attrName(a.key, "INSERT target"), attrName(a.value, "INSERT value"))
+        if (!k.equalsIgnoreCase(v))
+          unsupported(s"reordering/renaming INSERT $k = $v")
+      }
+    case other => unsupported(s"WHEN NOT MATCHED actions $other")
+  }
+}

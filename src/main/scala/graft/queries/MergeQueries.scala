@@ -191,6 +191,18 @@ object MergeQueries {
         "has_rn_tiebreak", "n_update_assignments", "has_soft_delete_set",
         "audit_ddl_composite_keys", "threshold")
     }),
+    // B10 execute boundary closed (g3 / VERDICT r10 next #4): the merge is
+    // driven ENTIRELY by MERGE INTO SQL text — rendered by MergeDebug,
+    // parsed by Spark's own parser into MergeIntoTable, translated back
+    // into the engine by MergeSql — and must hash-match m1's oracle, which
+    // pins the round trip render → parse → execute ≡ API.
+    "g3_merge_sql" -> ((s, dir) => {
+      ordersTarget(s, dir).createOrReplaceTempView("g3_tgt")
+      ordersSource(s, dir).createOrReplaceTempView("g3_src")
+      val sql = MergeDebug.renderSql(
+        ordersMerge(s, dir).delete("YES").plan, "g3_tgt", "g3_src")
+      MergeSql.mergedFrame(s, sql).orderBy("o_orderkey")
+    }),
     // Threshold verdict as data (A22/A23): the variance arithmetic and the
     // commit/abort decision for a 1% threshold, oracle-checked.
     "m11_threshold_verdict" -> ((s, dir) =>
@@ -305,7 +317,13 @@ object MergeQueries {
        |  ON t.li_key = s.li_key
        |ORDER BY li_key""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** g3 executes m1's exact semantics from SQL text, so it shares m1's
+    * oracle verbatim (the d9/d22 one-ground-truth precedent). Lazy:
+    * `oracleSqlBase` is declared below. */
+  lazy val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
+    "g3_merge_sql" -> oracleSqlBase("m1_merge_delete"))
+
+  private val oracleSqlBase: Map[String, String] = Map(
     "m1_merge_delete" ->
       s"""$ordersCtes
          |SELECT $ordersMergedSelect

@@ -1,0 +1,103 @@
+package graft.merge
+
+import org.apache.spark.sql.functions._
+import graft.GraftSuite
+
+/** MergeSql: MERGE INTO text → parsed plan → SimpleMerge round trip (the
+  * B10 execute boundary). Every mode must execute to the same frame the
+  * API form produces, and off-contract statements must be rejected with
+  * the engine's validation channel, never silently reinterpreted.
+  */
+class MergeSqlSpec extends GraftSuite {
+  import spark.implicits._
+
+  private lazy val tgt = Seq(
+    (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)
+  ).toDF("k", "name", "amt")
+  private lazy val src = Seq(
+    (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)
+  ).toDF("k", "name", "amt")
+
+  private def viewed[T](f: => T): T = {
+    tgt.createOrReplaceTempView("ms_tgt")
+    src.createOrReplaceTempView("ms_src")
+    f
+  }
+
+  private def collectMerged(sql: String): Set[(Long, String, Double)] =
+    viewed(MergeSql.mergedFrame(spark, sql).as[(Long, String, Double)].collect().toSet)
+
+  test("rendered MERGE text round-trips: parse + execute == API merged frame, all delete modes") {
+    for (mode <- Seq("YES", "NO", "set name = 'GONE'")) {
+      val api = viewed {
+        SimpleMerge.into(tgt, "ms_tgt").using(src, "ms_src").keys("k").delete(mode)
+      }
+      val sql = MergeDebug.renderSql(api.plan, "ms_tgt", "ms_src")
+      val viaSql = collectMerged(sql)
+      val viaApi = api.merged.as[(Long, String, Double)].collect().toSet
+      assert(viaSql === viaApi, s"mode=$mode\n$sql")
+    }
+  }
+
+  test("hand-written MERGE dialects parse: UPDATE SET *, INSERT *, unguarded update, plain =") {
+    val got = collectMerged(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(got === Set((2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("soft delete from SQL text applies the SET to unmatched target rows") {
+    val got = collectMerged(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k <=> s.k
+        |WHEN MATCHED THEN UPDATE SET t.name = s.name, t.amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT (k, name, amt) VALUES (s.k, s.name, s.amt)
+        |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET t.name = 'GONE'""".stripMargin)
+    assert(got === Set((1L, "GONE", 10.0), (2L, "b2", 21.0), (3L, "c", 30.0), (4L, "d", 40.0)))
+  }
+
+  test("off-contract statements are rejected, not reinterpreted") {
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[MergeValidationException](viewed(MergeSql.toSimpleMerge(spark, sql)))
+      assert(e.getMessage.contains(needle), s"$sql\n→ ${e.getMessage}")
+    }
+    // Partial SET changes semantics the engine doesn't implement.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.name = s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "SET")
+    // Cross-column ON is not a merge key.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.amt
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "different columns")
+    // Non-equi ON term.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k < s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "ON term")
+    // Conditional matched guard that is not the change-detect idiom.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED AND t.amt > 5 THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "WHEN MATCHED condition")
+    // Not a MERGE at all.
+    rejected("SELECT 1", "Not an executable MERGE INTO")
+  }
+
+  test("composite null-safe keys from SQL text match the API form") {
+    val t2 = Seq((Some(1L), "x", 1.0), (None, "n", 2.0)).toDF("k", "name", "amt")
+    val s2 = Seq((Some(1L), "x2", 1.5), (None, "n2", 2.5)).toDF("k", "name", "amt")
+    t2.createOrReplaceTempView("ms_tgt2")
+    s2.createOrReplaceTempView("ms_src2")
+    val got = MergeSql.mergedFrame(spark,
+      """MERGE INTO ms_tgt2 t USING ms_src2 s ON t.k <=> s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+      .as[(Option[Long], String, Double)].collect().toSet
+    // The NULL key matches null-safely: updated, not delete+insert.
+    assert(got === Set((Some(1L), "x2", 1.5), (None, "n2", 2.5)))
+  }
+}
