@@ -110,14 +110,23 @@ def main():
     ap.add_argument("--cpus", type=int, default=32)
     ap.add_argument("--mem", default="8g")
     ap.add_argument("--timeout", type=int, default=3600)
-    ap.add_argument("cells", nargs="+", help="label=CLASSES_DIR:QUERY")
+    ap.add_argument("cells", nargs="+",
+                    help="label=CLASSES_DIR:QUERY[:SF_DIR] "
+                         "(per-cell SF_DIR overrides --sf-dir; used by the "
+                         "scale-stress protocol to interleave scale factors)")
     args = ap.parse_args()
 
     cells = []
     for c in args.cells:
         label, rest = c.split("=", 1)
-        classes, query = rest.rsplit(":", 1)
-        cells.append({"label": label, "classes": classes, "query": query})
+        parts = rest.split(":")
+        if len(parts) >= 3 and parts[-1].startswith("/"):
+            classes, query, sf = ":".join(parts[:-2]), parts[-2], parts[-1]
+        else:
+            classes, query = rest.rsplit(":", 1)
+            sf = args.sf_dir
+        cells.append({"label": label, "classes": classes, "query": query,
+                      "sf_dir": sf})
 
     out = {
         "protocol": {
@@ -133,7 +142,7 @@ def main():
         compact_memory()
         try:
             med, samples = run_cell(cell["classes"], cell["query"], args.iters,
-                                    args.sf_dir, args.cpus, args.mem, args.timeout)
+                                    cell["sf_dir"], args.cpus, args.mem, args.timeout)
             s = sorted(samples)
             qs = statistics.quantiles(s, n=4, method="inclusive") if len(s) >= 2 else [s[0]] * 3
             stats = {"n": len(s), "median": round(statistics.median(s), 3),
@@ -148,7 +157,8 @@ def main():
             print(f"[{time.time()-t0:7.1f}s] {cell['label']}: ERROR {e}",
                   file=sys.stderr, flush=True)
         out["cells"][cell["label"]] = {
-            "query": cell["query"], "classes": cell["classes"], **stats}
+            "query": cell["query"], "classes": cell["classes"],
+            "sf_dir": cell["sf_dir"], **stats}
         with open(args.out, "w") as f:
             json.dump(out, f, indent=2)
     print(json.dumps({k: {kk: v[kk] for kk in ("median", "p25", "p75", "n")
