@@ -81,7 +81,39 @@ object GraftFunctions {
   val NfcNormalizeName = "graft_nfc_normalize"
   val TokenCountName = "graft_token_count"
 
+  /** Spark's OWN codegen'd bloom expressions (`BloomFilterAggregate`,
+    * `BloomFilterMightContain` — the machinery behind runtime row-level
+    * filtering) are internal-only: the registry exposes no SQL names for
+    * them. These aliases surface them to the Column API / SQL so the
+    * ingest prefilter ([[graft.pipeline.Dedup.bloomFreshDocs]]) composes
+    * native expressions instead of reimplementing a sketch.
+    */
+  val BloomAggName = "graft_bloom_agg"
+  val BloomMightContainName = "graft_bloom_might_contain"
+
   def inject(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(BloomAggName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        BloomAggName),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"$BloomAggName expects (value, estimatedItems, numBits), got ${children.size} args")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(BloomMightContainName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        BloomMightContainName),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"$BloomMightContainName expects (bloomFilter, value), got ${children.size} args")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier(TokenCountName),
       new ExpressionInfo(classOf[TokenCount].getName, TokenCountName),

@@ -60,6 +60,74 @@ object Dedup {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Bloom-prefiltered exact-dedup ingest (C89): return the delta rows
+    * whose `textCol` content does NOT already appear in the corpus —
+    * [[exact]]'s check-then-accept question, answered WITHOUT ever
+    * shuffling the corpus. Shape:
+    *
+    *   1. one map-scan of the corpus builds a Bloom filter over content
+    *      hashes (Spark's native `BloomFilterAggregate` via
+    *      [[graft.functions.GraftFunctions.BloomAggName]] — map-side
+    *      partial sketches, one merged filter row, never a hash-set on
+    *      the driver);
+    *   2. the 1-row filter broadcasts and the delta prefilters with the
+    *      codegen'd `might_contain`: no false negatives, so
+    *      definitely-absent rows (the dominant fraction of a typical
+    *      ingest batch) are accepted with ZERO corpus contact;
+    *   3. the surviving maybe-members (true dups + ~fpp false
+    *      positives, tiny) broadcast into a LEFT SEMI probe of a second
+    *      corpus map-scan, and an anti-join against the (tiny,
+    *      broadcast) confirmed-dup hash set restores EXACTNESS.
+    *
+    * Output equals the plain `sha256 NOT IN corpus` answer (the d25
+    * oracle) at any fpp — the bloom only decides how much work step 3
+    * sees. Verification hashes with sha2-256 for the same
+    * poisoning-resistance reason as [[exact]]; the bloom keys on
+    * xxhash64 (the sketch wants fixed-width longs, and a bloom FP is
+    * harmless by construction). At 100 TB the two corpus scans are
+    * map-only columnar reads of one column; nothing corpus-sized is
+    * ever shuffled, collected, or broadcast.
+    *
+    * @param expectedItems corpus cardinality estimate for sizing
+    * @param fpp           target false-positive rate; only affects the
+    *                      size of the exact-verify remainder
+    */
+  def bloomFreshDocs(
+      corpus: DataFrame, delta: DataFrame, textCol: String,
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
+    val spark = corpus.sparkSession
+    require(spark.catalog.functionExists(graft.functions.GraftFunctions.BloomAggName),
+      "graft bloom functions not registered — build the session with GraftExtensions")
+    val numBits = math.max(64L,
+      math.ceil(-expectedItems.toDouble * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // might_contain requires its filter side CONSTANT (or a scalar
+    // subquery) — so the one merged sketch row is collected and embedded
+    // as a literal. The driver holds one SKETCH (numBits/8 bytes),
+    // never a hash set; the same metadata-sized-collect discipline as
+    // the fuzzy-join hub probe.
+    val bfBytes = corpus.agg(call_function(graft.functions.GraftFunctions.BloomAggName,
+      xxhash64(col(textCol)), lit(expectedItems), lit(numBits)).as("__bf"))
+      .head().getAs[Array[Byte]]("__bf")
+    // An EMPTY corpus aggregates to a null sketch: everything is fresh.
+    if (bfBytes == null) return delta
+    val flagged = delta
+      .withColumn("__maybe",
+        call_function(graft.functions.GraftFunctions.BloomMightContainName,
+          lit(bfBytes), xxhash64(col(textCol))))
+    val fresh = flagged.filter(!col("__maybe")).drop("__maybe")
+    val candidates = flagged.filter(col("__maybe")).drop("__maybe")
+    val candHashes = candidates.select(sha2(col(textCol), 256).as("__h")).distinct()
+    // Corpus streams through a broadcast SEMI probe — the confirmed-dup
+    // set comes out candidate-sized, never corpus-sized.
+    val dupHashes = corpus.select(sha2(col(textCol), 256).as("__h"))
+      .join(broadcast(candHashes), Seq("__h"), "left_semi").distinct()
+    val verified = candidates.join(broadcast(dupHashes),
+      sha2(col(textCol), 256) === col("__h"), "left_anti")
+    fresh.unionByName(verified)
+  }
+
   /** Run `f` over the Jaccard pair frame, releasing the persisted indexes
     * when it returns — `f` must CONSUME the frame (count/collect/write),
     * not return it lazily. Returning a frame whose lineage was SEVERED from

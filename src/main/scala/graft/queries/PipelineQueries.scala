@@ -426,6 +426,23 @@ $bandSelects
         maxSide = 224)
         .select("doc_id", "width", "height", "out_w", "out_h", "resized")
         .orderBy("doc_id")),
+    // Bloom-prefiltered ingest (C89 / d25): accept the delta rows whose
+    // content is new to the corpus — native BloomFilterAggregate +
+    // might_contain prefilter, exact sha-256 verify of the maybe-set;
+    // the corpus is map-scanned twice and never shuffled. Delta: every
+    // 10th doc verbatim (must be dropped) + every (10th+5) doc with a
+    // novel suffix (must be accepted).
+    "d25_bloom_ingest" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val delta = d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000).as("doc_id"), col("text"))
+        .unionByName(d.filter(col("doc_id") % 10 === 5)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            concat(col("text"), lit(" wholly novel suffix")).as("text")))
+      Dedup.bloomFreshDocs(d, delta, "text", expectedItems = 100000, fpp = 0.01)
+        .select(col("doc_id"), sha2(col("text"), 256).as("content_sha"))
+        .orderBy("doc_id")
+    }),
     // REAL PNG decode (C14 retired as a stub / mm5): synthetic PNGs with
     // oracle-predicted pixels, decoded by the JDK's javax.imageio codec
     // through the decoder-per-partition mapPartitions shape; pixel_sum
@@ -2278,6 +2295,19 @@ $bandSelects
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // d25: the bloom is an optimization, not a semantic — the oracle is
+    // the plain NOT-IN answer the operator must equal at any fpp.
+    "d25_bloom_ingest" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |delta AS (
+        |  SELECT doc_id + 500000 AS doc_id, text FROM d WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, text || ' wholly novel suffix' AS text
+        |  FROM d WHERE doc_id % 10 = 5
+        |)
+        |SELECT doc_id, sha256(text) AS content_sha FROM delta
+        |WHERE sha256(text) NOT IN (SELECT sha256(text) FROM d)
+        |ORDER BY doc_id""".stripMargin,
     // mm5: the decoder's output is fully predicted by the synthesis
     // formulas (geometry + per-pixel channels closed-form in doc_id), so
     // the oracle recomputes what a CORRECT lossless decode must read back

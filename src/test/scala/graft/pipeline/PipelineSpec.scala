@@ -1004,6 +1004,34 @@ class PipelineSpec extends GraftSuite {
     assert(exprPath.nonEmpty)
   }
 
+  test("bloom-prefiltered ingest: exact NOT-IN answer at any fpp, empty corpus accepts all") {
+    val corpus = Seq(
+      (1L, "alpha corpus document body one"),
+      (2L, "beta corpus document body two"),
+      (3L, "gamma corpus document body three")
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha corpus document body one"),   // dup of 1 → dropped
+      (11L, "fresh delta content never seen"),   // new → kept
+      (12L, "beta corpus document body two"),    // dup of 2 → dropped
+      (13L, "another unseen delta document")     // new → kept
+    ).toDF("doc_id", "text")
+    def ids(df: DataFrame): Set[Long] = df.select("doc_id").as[Long].collect().toSet
+
+    assert(ids(Dedup.bloomFreshDocs(corpus, delta, "text")) === Set(11L, 13L))
+    // A deliberately saturated filter (64 bits for 3 docs at fpp→1) makes
+    // ~every delta row a maybe-member: the exact verify must still
+    // produce the same answer — the bloom is an optimization, never a
+    // semantic.
+    assert(ids(Dedup.bloomFreshDocs(corpus, delta, "text",
+      expectedItems = 1, fpp = 0.9)) === Set(11L, 13L))
+    // Empty corpus: the filter aggregates to null, which must read
+    // "definitely absent" — everything is fresh.
+    assert(ids(Dedup.bloomFreshDocs(corpus.limit(0), delta, "text")) === Set(10L, 11L, 12L, 13L))
+    // Pass-through schema.
+    assert(Dedup.bloomFreshDocs(corpus, delta, "text").columns.toSeq === Seq("doc_id", "text"))
+  }
+
   test("real PNG decode: synthesized rasters round-trip bit-exactly through javax.imageio") {
     // The decode is no longer a stub: actual PNGs, actual pixels. The
     // expected values are the synthesis formulas computed independently
