@@ -90,7 +90,17 @@ object ScaleFixture {
       (col("l_orderkey") + col("__copy") * 10000000L).as("l_orderkey") +:
         li.columns.filter(_ != "l_orderkey").map(col).toIndexedSeq: _*))
 
-    for (t <- Seq("region", "nation", "customer", "part", "orders", "events"))
+    // Events scale too (keys + users shifted per copy; timestamps kept,
+    // so per-copy session/window structure reproduces) — the file-source
+    // streaming harness (st11) replays this at any K with zero driver
+    // staging.
+    val evr = spark.read.parquet(s"$src/events.parquet")
+    write("events", copies(evr).select(
+      (col("event_id") + col("__copy") * 10000000L).as("event_id") +:
+        (col("user_id") + col("__copy") * 1000000L).as("user_id") +:
+        evr.columns.filterNot(c => c == "event_id" || c == "user_id").map(col).toIndexedSeq: _*))
+
+    for (t <- Seq("region", "nation", "customer", "part", "orders"))
       write(t, spark.read.parquet(s"$src/$t.parquet"))
 
     spark.stop()
