@@ -71,6 +71,38 @@ object TextStats {
       .select(col(groupCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Vocabulary-coverage / OOV-rate report (C90): build the top-V corpus
+    * vocabulary by token OCCURRENCE count (deterministic tie-break:
+    * count desc, token asc — both engines rank identically) and score
+    * every document's fraction of token occurrences that fall outside
+    * it — the tokenizer-coverage diagnostic run before committing a
+    * vocabulary size: the per-doc OOV tail tells you which documents a
+    * V-entry tokenizer will shred into bytes/unks.
+    *
+    * Scale shape: one token explode feeds a (token) count aggregation
+    * with map-side partial combine; the top-V cut runs on the
+    * AGGREGATED vocabulary rows (vocabulary-sized, never corpus-sized)
+    * and BROADCASTS into the second, per-doc pass — a left join + flag
+    * sum per doc, no corpus-sized shuffle keyed on anything but the doc
+    * id. V is a broadcastable list by definition (a tokenizer vocab is
+    * 10⁴–10⁶ entries).
+    */
+  def vocabOovReport(
+      docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    val tok = docs.select(col(idCol).as("__id"), explode(TextOps.tokens(col(textCol))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term").asc)
+      .limit(vocabSize)
+      .select(col("term"), lit(1).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac", round(col("n_oov") / col("n_tokens"), 6))
+  }
+
   /** Per-group token-length distribution: count/min/max/mean plus
     * p25/p50/p75 quantiles — the corpus-health report behind length-filter
     * threshold tuning (t5's 30/60 bounds come from a report like this one,

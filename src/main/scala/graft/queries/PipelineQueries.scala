@@ -527,6 +527,13 @@ $bandSelects
     "t10_tfidf" -> ((s, dir) =>
       TextStats.tfIdfTopTerms(table(s, dir, "documents"), "doc_id", "text", "source", k = 10)
         .orderBy("source", "rnk")),
+    // Vocabulary coverage / OOV rate (C90 / t20): top-500 corpus vocab by
+    // occurrence count (count desc, token asc tie-break — both engines
+    // rank identically), per-doc fraction of occurrences outside it. The
+    // vocab cut runs on aggregated rows and broadcasts into the doc pass.
+    "t20_vocab_oov" -> ((s, dir) =>
+      TextStats.vocabOovReport(table(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
+        .orderBy("doc_id")),
     // Length-distribution report (C47): exact p25/p50/p75 per lang — the
     // threshold-tuning twin of t5's fixed bounds. Linear interpolation
     // matches DuckDB's quantile_cont.
@@ -2295,6 +2302,20 @@ $bandSelects
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t20_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |vocab AS (
+        |  SELECT term FROM (SELECT term, count(*) AS cnt FROM tok GROUP BY term)
+        |  ORDER BY cnt DESC, term ASC LIMIT 500
+        |)
+        |SELECT doc_id,
+        |       count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab) THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(CASE WHEN term NOT IN (SELECT term FROM vocab) THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / count(*), 6) AS oov_frac
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // d25: the bloom is an optimization, not a semantic — the oracle is
     // the plain NOT-IN answer the operator must equal at any fpp.
     "d25_bloom_ingest" ->

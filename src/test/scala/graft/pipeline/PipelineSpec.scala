@@ -1004,6 +1004,25 @@ class PipelineSpec extends GraftSuite {
     assert(exprPath.nonEmpty)
   }
 
+  test("vocab/OOV report: top-V by count with asc tie-break, per-doc occurrence fractions") {
+    val d = Seq(
+      (1L, "a a b c"),   // all 4 occurrences in vocab {a,b,c}
+      (2L, "a b b d"),   // d is OOV → 1/4
+      (3L, "e f")        // fully OOV → 2/2
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=3, c=d=e=f=1 → V=3 keeps a, b and (tie, asc) c.
+    val got = TextStats.vocabOovReport(d, "doc_id", "text", vocabSize = 3)
+      .select("doc_id", "n_tokens", "n_oov", "oov_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 4L, 1L, 0.25)))
+    assert(got(3L) === ((3L, 2L, 2L, 1.0)))
+    // A vocab covering everything zeroes the OOV column.
+    val full = TextStats.vocabOovReport(d, "doc_id", "text", vocabSize = 100)
+      .agg(sum("n_oov")).as[Long].head()
+    assert(full === 0L)
+  }
+
   test("bloom-prefiltered ingest: exact NOT-IN answer at any fpp, empty corpus accepts all") {
     val corpus = Seq(
       (1L, "alpha corpus document body one"),
