@@ -103,6 +103,51 @@ object TextStats {
       .withColumn("oov_frac", round(col("n_oov") / col("n_tokens"), 6))
   }
 
+  /** Cross-snapshot content-drift report (C91): per source, the cosine
+    * similarity between two crawl snapshots' term-occurrence vectors —
+    * the drift check run between snapshots before retraining decides
+    * whether a source's content distribution moved (template change,
+    * spam flood, language shift). Relative-frequency normalization
+    * cancels inside cosine, so raw occurrence counts are exact.
+    *
+    * Scale shape: one (source, term) count aggregation per side with
+    * map-side partial combine (each side corpus-scanned once), an inner
+    * join on (source, term) for the dot product — fan-out bounded by
+    * shared-vocabulary size per source, never doc counts — and
+    * vocabulary-sized per-source norm aggregations. Sums cast to double
+    * before the divide so DuckDB's HUGEINT sums and Spark's longs take
+    * the identical IEEE path (exact while Σcnt² < 2⁵³ — beyond that,
+    * pre-scale counts; the REPORT is a per-source scalar either way).
+    * A source present in only one snapshot reports cosine 0 (maximal
+    * drift), not null.
+    */
+  def sourceDrift(
+      snapshotA: DataFrame, snapshotB: DataFrame,
+      srcCol: String, textCol: String): DataFrame = {
+    def counts(df: DataFrame, cnt: String) = df
+      .select(col(srcCol).as("src"), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as(cnt))
+    val ca = counts(snapshotA, "ca")
+    val cb = counts(snapshotB, "cb")
+    val dot = ca.join(cb, Seq("src", "term"))
+      .groupBy("src").agg(sum(col("ca") * col("cb")).as("dot"))
+    val na = ca.groupBy("src").agg(
+      sum(col("ca") * col("ca")).as("na2"), count(lit(1)).as("n_terms_a"))
+    val nb = cb.groupBy("src").agg(
+      sum(col("cb") * col("cb")).as("nb2"), count(lit(1)).as("n_terms_b"))
+    na.join(nb, Seq("src"), "full")
+      .join(dot, Seq("src"), "left")
+      .select(
+        col("src").as(srcCol),
+        coalesce(col("n_terms_a"), lit(0L)).as("n_terms_a"),
+        coalesce(col("n_terms_b"), lit(0L)).as("n_terms_b"),
+        when(col("na2").isNull || col("nb2").isNull, lit(0.0))
+          .otherwise(round(
+            coalesce(col("dot"), lit(0L)).cast("double") /
+              (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6))
+          .as("cosine"))
+  }
+
   /** Per-group token-length distribution: count/min/max/mean plus
     * p25/p50/p75 quantiles — the corpus-health report behind length-filter
     * threshold tuning (t5's 30/60 bounds come from a report like this one,

@@ -534,6 +534,16 @@ $bandSelects
     "t20_vocab_oov" -> ((s, dir) =>
       TextStats.vocabOovReport(table(s, dir, "documents"), "doc_id", "text", vocabSize = 500)
         .orderBy("doc_id")),
+    // Cross-snapshot drift (C91 / t22): per-source cosine between the
+    // even-id and odd-id halves of the corpus standing in for two crawl
+    // snapshots — exact count vectors, double math identical cross-engine.
+    "t22_source_drift" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextStats.sourceDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "source", "text")
+        .orderBy("source")
+    }),
     // Length-distribution report (C47): exact p25/p50/p75 per lang — the
     // threshold-tuning twin of t5's fixed bounds. Linear interpolation
     // matches DuckDB's quantile_cont.
@@ -2302,6 +2312,34 @@ $bandSelects
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    "t22_source_drift" ->
+      """WITH a AS (
+        |  SELECT source AS src, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0
+        |),
+        |b AS (
+        |  SELECT source AS src, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE doc_id % 2 = 1
+        |),
+        |ca AS (SELECT src, term, count(*) AS ca FROM a GROUP BY 1, 2),
+        |cb AS (SELECT src, term, count(*) AS cb FROM b GROUP BY 1, 2),
+        |dt AS (
+        |  SELECT ca.src, sum(ca.ca * cb.cb) AS dot
+        |  FROM ca JOIN cb ON ca.src = cb.src AND ca.term = cb.term
+        |  GROUP BY 1
+        |),
+        |na AS (SELECT src, sum(ca*ca) AS na2, count(*) AS n_terms_a FROM ca GROUP BY 1),
+        |nb AS (SELECT src, sum(cb*cb) AS nb2, count(*) AS n_terms_b FROM cb GROUP BY 1)
+        |SELECT coalesce(na.src, nb.src) AS source,
+        |       CAST(coalesce(n_terms_a, 0) AS BIGINT) AS n_terms_a,
+        |       CAST(coalesce(n_terms_b, 0) AS BIGINT) AS n_terms_b,
+        |       CASE WHEN na2 IS NULL OR nb2 IS NULL THEN 0.0
+        |            ELSE round(CAST(coalesce(dot, 0) AS DOUBLE)
+        |                       / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE))), 6)
+        |       END AS cosine
+        |FROM na FULL OUTER JOIN nb ON na.src = nb.src
+        |LEFT JOIN dt ON dt.src = coalesce(na.src, nb.src)
+        |ORDER BY source""".stripMargin,
     "t20_vocab_oov" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents

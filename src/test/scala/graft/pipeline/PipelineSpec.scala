@@ -1023,6 +1023,28 @@ class PipelineSpec extends GraftSuite {
     assert(full === 0L)
   }
 
+  test("source drift: identical snapshots cosine 1, disjoint 0, one-sided sources report 0") {
+    val a = Seq(
+      (1L, "s1", "x y z"), (2L, "s2", "p q"), (3L, "s3", "only in a")
+    ).toDF("doc_id", "source", "text")
+    val bSame = Seq((10L, "s1", "x y z"), (11L, "s2", "p q")).toDF("doc_id", "source", "text")
+    val got = TextStats.sourceDrift(a, bSame, "source", "text")
+      .select("source", "cosine").as[(String, Double)].collect().toMap
+    assert(got("s1") === 1.0 && got("s2") === 1.0)
+    assert(got("s3") === 0.0) // present only in snapshot A → maximal drift
+    // Disjoint vocabularies → cosine 0 (no shared terms, dot coalesces).
+    val bDisjoint = Seq((10L, "s1", "totally different words")).toDF("doc_id", "source", "text")
+    val d2 = TextStats.sourceDrift(a, bDisjoint, "source", "text")
+      .select("source", "cosine").as[(String, Double)].collect().toMap
+    assert(d2("s1") === 0.0)
+    // Hand-computed partial overlap: A(s1): x y z (1 each); B: "x x y" →
+    // ca·cb = 1·2 + 1·1 = 3; |A| = sqrt(3), |B| = sqrt(5) → 3/sqrt(15).
+    val bPart = Seq((10L, "s1", "x x y")).toDF("doc_id", "source", "text")
+    val d3 = TextStats.sourceDrift(a, bPart, "source", "text")
+      .select("source", "cosine").as[(String, Double)].collect().toMap
+    assert(math.abs(d3("s1") - 3.0 / math.sqrt(15.0)) < 1e-6)
+  }
+
   test("bloom-prefiltered ingest: exact NOT-IN answer at any fpp, empty corpus accepts all") {
     val corpus = Seq(
       (1L, "alpha corpus document body one"),
