@@ -628,6 +628,21 @@ $bandSelects
           "vec_id", "embedding", k = 5)
         .orderBy("probe_id", "rnk")
     }),
+    // Product quantization ADC search (C92 / e12): 64-dim embeddings
+    // compressed to 8 one-byte codes against closed-form grid codebooks
+    // (the arithmetic codebook that gives PQ an exact oracle; trained
+    // codebooks are spec-covered, the C26 convention), scored by the
+    // m-term lookup-table sum — the scan never touches a float vector.
+    "e12_pq_topk" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val q = v.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.pqSearchTopK(
+        Similarity.pqEncode(v, "embedding", cb).select("vec_id", "codes"),
+        "vec_id", cb, q, k = 50)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
     // Embedding near-dup: every 20th vector gets a perturbed copy planted
     // (scaled + shifted -> cosine just under 1); pairs are found within
     // IVF centroid buckets, never corpus².
@@ -2312,6 +2327,31 @@ $bandSelects
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // e12: the grid codebooks are pure arithmetic, so encode (argmin of
+    // the identical per-component squared-L2 sums, lowest-j ties) and the
+    // ADC lookup sum replay exactly in SQL.
+    "e12_pq_topk" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT embedding AS qv FROM e WHERE vec_id = 0),
+        |codes AS (
+        |  SELECT e.vec_id, b.b,
+        |         (SELECT g.j FROM generate_series(0, 15) g(j)
+        |          ORDER BY list_sum(list_transform(e.embedding[b.b*8+1 : b.b*8+8],
+        |                    v -> (CAST(v AS DOUBLE) - (-0.75 + g.j*0.1))^2)), g.j
+        |          LIMIT 1) AS code
+        |  FROM e, generate_series(0, 7) b(b)
+        |),
+        |qsums AS (
+        |  SELECT b.b, list_sum(list_transform(q.qv[b.b*8+1 : b.b*8+8], v -> CAST(v AS DOUBLE))) AS qs
+        |  FROM q, generate_series(0, 7) b(b)
+        |),
+        |scores AS (
+        |  SELECT c.vec_id, sum((-0.75 + c.code*0.1) * qs.qs) AS score
+        |  FROM codes c JOIN qsums qs ON qs.b = c.b
+        |  GROUP BY 1
+        |)
+        |SELECT vec_id, round(score, 6) AS score FROM scores
+        |ORDER BY score DESC, vec_id LIMIT 50""".stripMargin,
     "t22_source_drift" ->
       """WITH a AS (
         |  SELECT source AS src, unnest(string_split(text, ' ')) AS term

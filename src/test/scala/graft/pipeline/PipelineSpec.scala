@@ -1183,6 +1183,65 @@ class PipelineSpec extends GraftSuite {
     assert(rep(1L) === math.rint(expected * 1e6) / 1e6)
   }
 
+  test("product quantization: grid encode is the block argmin, ADC ranks like reconstructed dot") {
+    // dim 4, m 2, k 3, grid x_j in {-0.1, 0.0, 0.1}: block means decide
+    // the codes (constant-component centroids), hand-checkable.
+    val cb = Similarity.pqGridCodebooks(dim = 4, m = 2, k = 3, lo = -0.1, step = 0.1)
+    val vs = Seq(
+      (1L, Seq(0.09f, 0.11f, -0.09f, -0.11f)), // blocks ≈ (+0.1, -0.1) → codes (2, 0)
+      (2L, Seq(0.0f, 0.01f, 0.02f, -0.02f)),   // ≈ (0, 0) → codes (1, 1)
+      (3L, Seq(-0.2f, -0.2f, 0.2f, 0.2f))      // → codes (0, 2)
+    ).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(vs, "embedding", cb)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(enc(1L) === Seq(2, 0))
+    assert(enc(2L) === Seq(1, 1))
+    assert(enc(3L) === Seq(0, 2))
+
+    // ADC score == dot(query, RECONSTRUCTED vector); with a query of all
+    // ones, that's just the sum of each block's centroid components.
+    val q = Seq(1.0, 1.0, 1.0, 1.0)
+    val got = Similarity.pqSearchTopK(
+      Similarity.pqEncode(vs, "embedding", cb), "vec_id", cb, q, k = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) === 0.0)   // (+0.1)*2 + (-0.1)*2
+    assert(got(2L) === 0.0)
+    assert(got(3L) === 0.0)   // symmetric blocks cancel
+    val q2 = Seq(1.0, 1.0, 0.0, 0.0) // first block only: 0.2, 0.0, -0.2
+    val got2 = Similarity.pqSearchTopK(
+      Similarity.pqEncode(vs, "embedding", cb), "vec_id", cb, q2, k = 3)
+      .as[(Long, Double)].collect()
+    assert(got2.head === ((1L, 0.2)))
+    assert(got2.last === ((3L, -0.2)))
+  }
+
+  test("product quantization: trained codebooks reconstruct planted block clusters, ADC finds the near-copy") {
+    // Two planted clusters per block, 40 vectors of dim 8, m=4 blocks of
+    // 2: block values near +1 or -1 by vector parity. k=2 per block must
+    // recover ±1 centroids, so encode separates parities exactly.
+    val vs = (0L until 40L).map { i =>
+      val s = if (i % 2 == 0) 1.0f else -1.0f
+      val eps = (i % 5).toFloat * 0.01f
+      (i, Seq.fill(8)(s + eps).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrainCodebooks(vs, "vec_id", "embedding", m = 4, k = 2, iters = 4)
+    assert(cb.length === 4 && cb.forall(_.length === 2) && cb.forall(_.forall(_.length === 2)))
+    // Each block's two centroids sit near +1 and -1.
+    cb.foreach { book =>
+      val sorted = book.map(_.sum / 2).sorted
+      assert(math.abs(sorted.head - (-1.0)) < 0.1, sorted.toString)
+      assert(math.abs(sorted.last - 1.0) < 0.1, sorted.toString)
+    }
+    val enc = Similarity.pqEncode(vs, "embedding", cb)
+    // All-positive query: every even (positive) vector must outrank every
+    // odd one under ADC, exactly as under the true dot product.
+    val ranked = Similarity.pqSearchTopK(enc.select("vec_id", "codes"), "vec_id", cb,
+      Seq.fill(8)(1.0), k = 40).as[(Long, Double)].collect()
+    val (top, bottom) = ranked.splitAt(20)
+    assert(top.forall(_._1 % 2 == 0), top.map(_._1).mkString(","))
+    assert(bottom.forall(_._1 % 2 == 1), bottom.map(_._1).mkString(","))
+  }
+
   test("quantized search: top-k over dequantized vectors agrees with exact cosine") {
     // 40 deterministic pseudo-random 16-dim vectors; int8 reconstruction
     // perturbs each coordinate by < scale/2, so the cosine ranking over
