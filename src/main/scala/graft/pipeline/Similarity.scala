@@ -945,6 +945,48 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** IVF + PQ — the canonical billion-scale ANN composition (the FAISS
+    * IVFADC layout, Jégou et al. 2011): the corpus is bucketed once
+    * under the coarse quantizer ([[assignBuckets]]) and stored as PQ
+    * CODES; a query picks its `nProbe` nearest centroid buckets and
+    * ADC-scans only those buckets' codes. Per query, the scanned bytes
+    * are `nProbe/|centroids| × corpus × m` — neither the float vectors
+    * nor the unprobed buckets are ever read. Single-query form: the
+    * query vector, its bucket choice (cosine against the driver-sized
+    * centroid set, round-6 + id tie-break — bit-matching the
+    * distributed [[assignTopBuckets]] arithmetic), and the m×k ADC
+    * table are all driver-sized.
+    *
+    * @return (idCol, score) — top `k` by ADC score desc, id asc.
+    */
+  def ivfPqTopK(
+      vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]],
+      query: Seq[Double], k: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bucketed = assignBuckets(vectors, centroids, idCol, vecCol)
+    val encoded = pqEncode(
+      bucketed.select(col("vid"), col("bucket"), col("__v")), "__v", codebooks)
+      .select(col("vid"), col("bucket"), col("codes"))
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val qn = math.sqrt(dot(query, query))
+    val chosen = centroids
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (cid, cv) => (cid, round6(dot(cv, query) / (math.sqrt(dot(cv, cv)) * qn))) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(x => Long.box(x._1)).toSeq
+    pqSearchTopK(
+      encoded.filter(col("bucket").isin(chosen: _*)).withColumnRenamed("vid", idCol),
+      idCol, codebooks, query, k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): deduplicate the corpus in
     * EMBEDDING space — find within-centroid-bucket vector pairs with

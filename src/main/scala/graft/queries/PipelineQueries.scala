@@ -643,6 +643,20 @@ $bandSelects
         "vec_id", cb, q, k = 50)
         .orderBy(col("score").desc, col("vec_id"))
     }),
+    // IVF + PQ (C93 / e13): the FAISS-IVFADC composition — corpus bucketed
+    // under the e2 coarse quantizer (vec_id < 8) and stored as 8 codes;
+    // the query (vec 100's embedding) probes its top-2 buckets and
+    // ADC-scans only their codes. Oracle replays bucket assignment (e2's
+    // CTE), grid encode (e12's CTE), and the lookup sum exactly.
+    "e13_ivfpq_topk" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val q = v.filter(col("vec_id") === 100).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.ivfPqTopK(v, v.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cb, q, k = 25, nProbe = 2)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
     // Embedding near-dup: every 20th vector gets a perturbed copy planted
     // (scaled + shifted -> cosine just under 1); pairs are found within
     // IVF centroid buckets, never corpus².
@@ -2327,6 +2341,48 @@ $bandSelects
         |       CAST(32 + (octet_length(encode(text)) * 7) % 608 AS INTEGER) AS height,
         |       CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // e13: e2's bucket-assignment CTE + e12's grid-encode CTE + the ADC
+    // lookup sum, composed — every stage replayed exactly.
+    "e13_ivfpq_topk" ->
+      """WITH v AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |),
+        |qb AS (
+        |  SELECT centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (ORDER BY csim DESC, centroid_id) AS crnk
+        |    FROM a WHERE vid = 100
+        |  ) WHERE crnk <= 2
+        |),
+        |scan AS (SELECT b.* FROM b JOIN qb ON b.bucket = qb.bucket),
+        |qv AS (SELECT e AS qe FROM v WHERE vec_id = 100),
+        |codes AS (
+        |  SELECT s.vid, g2.b,
+        |         (SELECT g.j FROM generate_series(0, 15) g(j)
+        |          ORDER BY list_sum(list_transform(s.e[g2.b*8+1 : g2.b*8+8],
+        |                    x -> (x - (-0.75 + g.j*0.1))^2)), g.j
+        |          LIMIT 1) AS code
+        |  FROM scan s, generate_series(0, 7) g2(b)
+        |),
+        |qsums AS (
+        |  SELECT g2.b, list_sum(qv.qe[g2.b*8+1 : g2.b*8+8]) AS qs
+        |  FROM qv, generate_series(0, 7) g2(b)
+        |),
+        |scores AS (
+        |  SELECT c.vid AS vec_id, sum((-0.75 + c.code*0.1) * qs.qs) AS score
+        |  FROM codes c JOIN qsums qs ON qs.b = c.b GROUP BY 1
+        |)
+        |SELECT vec_id, round(score, 6) AS score FROM scores
+        |ORDER BY score DESC, vec_id LIMIT 25""".stripMargin,
     // e12: the grid codebooks are pure arithmetic, so encode (argmin of
     // the identical per-component squared-L2 sums, lowest-j ties) and the
     // ADC lookup sum replay exactly in SQL.

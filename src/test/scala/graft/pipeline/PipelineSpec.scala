@@ -1242,6 +1242,31 @@ class PipelineSpec extends GraftSuite {
     assert(bottom.forall(_._1 % 2 == 1), bottom.map(_._1).mkString(","))
   }
 
+  test("ivf+pq: only the probed buckets' codes are scanned") {
+    // Two well-separated centroid directions; the corpus vector aligned
+    // with the UNPROBED centroid never surfaces, even though its ADC
+    // score against the query would top the list — the probe boundary is
+    // the recall trade, exactly as in plain IVF.
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // bucket 0
+      (11L, Seq(0.8f, 0.0f, 0.1f, 0.0f)),  // bucket 0
+      (20L, Seq(0.0f, 0.1f, 0.0f, 0.9f))   // bucket 1 — unprobed below
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqGridCodebooks(dim = 4, m = 2, k = 16, lo = -0.75, step = 0.1)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val got = Similarity.ivfPqTopK(corpus, cents, "vec_id", "embedding", cb, q, k = 3, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got === Set(10L, 11L))
+    // nProbe=2 widens the scan to both buckets.
+    val wide = Similarity.ivfPqTopK(corpus, cents, "vec_id", "embedding", cb, q, k = 3, nProbe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(wide === Set(10L, 11L, 20L))
+  }
+
   test("quantized search: top-k over dequantized vectors agrees with exact cosine") {
     // 40 deterministic pseudo-random 16-dim vectors; int8 reconstruction
     // perturbs each coordinate by < scale/2, so the cosine ranking over
