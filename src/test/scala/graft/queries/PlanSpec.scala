@@ -367,6 +367,31 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("d25 bloom ingest: no corpus shuffle — every join is a broadcast probe") {
+    val plan = planOf("d25_bloom_ingest")
+    // The corpus appears only under map-scans (bloom aggregate + the
+    // broadcast-probed semi join); nothing corpus-sized is sort-merge
+    // joined or shuffled for a join.
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("e12/e13 PQ search: top-k is TakeOrdered, never a global sort") {
+    for (q <- Seq("e12_pq_topk", "e13_ivfpq_topk")) {
+      val plan = planOf(q)
+      assert(plan.contains("TakeOrderedAndProject"), s"$q\n" + plan.take(3000))
+      assert(!plan.contains("CartesianProduct"), s"$q\n" + plan.take(3000))
+    }
+  }
+
+  test("t20 vocab/OOV: the vocabulary joins back as a broadcast, the rank cut is a TakeOrdered") {
+    val plan = planOf("t20_vocab_oov")
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000)) // top-V cut
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))    // vocab probe
+    assert(!plan.linesIterator.exists(l => l.contains("SortMergeJoin")), plan.take(3000))
+  }
+
   test("q25 fuzzy join: variant equi-join, hub anti-join broadcast-or-eliminated — never cartesian") {
     val plan = planOf("q25_fuzzy_join")
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan.take(3000))
