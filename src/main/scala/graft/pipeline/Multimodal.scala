@@ -144,6 +144,77 @@ object Multimodal {
       .withColumn("end_sample", toSamples("end_ms"))
   }
 
+  /** Perceptual difference-hash over REAL decoded pixels (C94): decode
+    * each PNG (one `javax.imageio` reader per partition, as
+    * [[decodePng]]), pool luminance into an 8×8 block grid, and set bit
+    * `by·7+bx` when block (bx, by) is brighter than its right neighbor —
+    * a 56-bit dHash (Krawetz's difference hash, public). Every step is
+    * EXACT integer arithmetic: luminance is the raw r+g+b sum (no /3
+    * rounding), block assignment is `(x·8) div w`, and the brightness
+    * comparison cross-multiplies the two blocks' (sum, count) rationals
+    * instead of dividing — so the hash is bit-identical in any engine
+    * and the mm6 oracle recomputes it from the synthesis formulas.
+    *
+    * Properties (spec-pinned): invariant under uniform brightness shift
+    * (all block means move together) and resolution (grid pooling);
+    * flipped by content changes. Feed the output to
+    * [[Dedup.hammingPairs]] — the lexical hamming-ball machinery reused
+    * unchanged for image near-dup pairing.
+    */
+  def decodePngDHash(df: DataFrame): DataFrame = {
+    val gw = 8
+    val gh = 8
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("dhash", LongType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val out = rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(in, true, true)
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          require(w >= gw && h >= gh, s"dHash needs >= ${gw}x$gh pixels, got ${w}x$h")
+          val sums = Array.ofDim[Long](gh, gw)
+          val counts = Array.ofDim[Long](gh, gw)
+          var y = 0
+          while (y < h) {
+            val by = y * gh / h
+            var x = 0
+            while (x < w) {
+              val bx = x * gw / w
+              val rgb = img.getRGB(x, y)
+              sums(by)(bx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              counts(by)(bx) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var dhash = 0L
+          var by = 0
+          while (by < gh) {
+            var bx = 0
+            while (bx < gw - 1) {
+              // mean(bx) > mean(bx+1) by exact cross-multiplication.
+              if (sums(by)(bx) * counts(by)(bx + 1) > sums(by)(bx + 1) * counts(by)(bx))
+                dhash |= 1L << (by * (gw - 1) + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, dhash))
+        } finally in.close()
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Batch feature extraction via `mapPartitions` — the escape hatch for
     * per-row imperative decode logic that cannot be an expression (e.g. a
     * native codec handle reused across a partition). Opens one "decoder"

@@ -456,6 +456,16 @@ $bandSelects
         maxSide = 16)
         .select("doc_id", "width", "height", "pixel_sum", "out_w", "out_h", "resized")
         .orderBy("doc_id")),
+    // Perceptual image hash (C94 / mm6): dHash over REAL decoded pixels —
+    // 8x8 block-luminance grid, exact integer cross-multiplied
+    // comparisons, so the oracle recomputes the hash from the synthesis
+    // formulas. Output feeds Dedup.hammingPairs for image near-dup.
+    "mm6_image_dhash" -> ((s, dir) =>
+      Multimodal.decodePngDHash(
+        Multimodal.synthesizePngs(
+          table(s, dir, "documents").filter(col("doc_id") < 50), "doc_id"))
+        .select("doc_id", "width", "height", "dhash")
+        .orderBy("doc_id")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
