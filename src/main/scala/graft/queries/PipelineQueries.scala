@@ -2502,7 +2502,42 @@ $bandSelects
         |            THEN greatest(1, (height*16) // greatest(width, height))
         |            ELSE height END AS INTEGER) AS out_h,
         |  greatest(width, height) > 16 AS resized
-        |FROM agg ORDER BY doc_id""".stripMargin)
+        |FROM agg ORDER BY doc_id""".stripMargin,
+    // mm6: the dHash is exact integer arithmetic end-to-end (raw r+g+b
+    // luminance, `(x*8) div w` block assignment, cross-multiplied mean
+    // comparison), so the oracle replays the full pipeline from the
+    // synthesis formulas: per-pixel luminance -> 8x8 block (sum, count)
+    // -> neighbor comparison bits -> 56-bit fold. Disjoint bit positions
+    // make SUM equal to the bitwise OR the decoder computes.
+    "mm6_image_dhash" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (SELECT doc_id, 8 + doc_id % 24 AS width, 8 + (doc_id*3) % 24 AS height FROM d),
+        |px AS (
+        |  SELECT doc_id, width, height, tx.x AS x, ty.y AS y
+        |  FROM dims, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+        |             LATERAL (SELECT unnest(range(0, height)) AS y) ty
+        |),
+        |lum AS (
+        |  SELECT doc_id, width, height, (x*8)//width AS bx, (y*8)//height AS by,
+        |    (3*x + doc_id % 200) % 256 + (5*x + 7*y + doc_id) % 256
+        |      + (x + 11*y + 13*doc_id) % 256 AS l
+        |  FROM px
+        |),
+        |blocks AS (
+        |  SELECT doc_id, width, height, by, bx,
+        |    CAST(sum(l) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt
+        |  FROM lum GROUP BY 1, 2, 3, 4, 5
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.width, a.height,
+        |    CASE WHEN a.bsum * b.bcnt > b.bsum * a.bcnt
+        |         THEN CAST(1 AS BIGINT) << (a.by*7 + a.bx) ELSE 0 END AS bit
+        |  FROM blocks a JOIN blocks b
+        |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+        |)
+        |SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height, CAST(sum(bit) AS BIGINT) AS dhash
+        |FROM bits GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin)
 
   /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
     * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"

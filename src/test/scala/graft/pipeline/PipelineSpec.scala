@@ -1109,6 +1109,50 @@ class PipelineSpec extends GraftSuite {
     assert(magic.take(8).toSeq === Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
   }
 
+  /** Encode an arbitrary pixel function as a real PNG payload row, so the
+    * dHash specs can plant exact perceptual structure (not doc_id-derived
+    * synthesis) and assert on the hash bits directly.
+    */
+  private def pngRow(id: Long, w: Int, h: Int)(px: (Int, Int) => (Int, Int, Int)): (Long, Array[Byte]) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    (id, bos.toByteArray)
+  }
+
+  private def dhashOf(rows: (Long, Array[Byte])*): Map[Long, Long] =
+    Multimodal.decodePngDHash(rows.toDF("doc_id", "payload"))
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+
+  test("dHash: invariant under uniform brightness shift, resolution, sensitive to content") {
+    // A non-trivial gradient whose channel values stay <= 205, leaving
+    // +50 headroom so the brightness shift never clamps at 255.
+    def base(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 7) % 200, (x * 3 + y * 5) % 200, (x + y * 9) % 200)
+    val d = dhashOf(
+      pngRow(1L, 24, 16)(base),
+      // Uniform +50 on every channel: all block means move together, so
+      // every neighbor comparison (a strict inequality on means) is
+      // unchanged.
+      pngRow(2L, 24, 16)((x, y) => { val (r, g, b) = base(x, y); (r + 50, g + 50, b + 50) }),
+      // 2x nearest-neighbor upscale: each 8x8-grid block's (sum, count)
+      // both scale by 4, so the cross-multiplied comparisons are
+      // identical - the resolution-invariance the grid pooling buys.
+      pngRow(3L, 48, 32)((x, y) => base(x / 2, y / 2)),
+      // Content change: blank out the right half - the horizontal
+      // gradient collapses there, flipping right-edge comparisons.
+      pngRow(4L, 24, 16)((x, y) => if (x >= 12) (0, 0, 0) else base(x, y)))
+    assert(d(2L) === d(1L), "uniform brightness shift must not change the dHash")
+    assert(d(3L) === d(1L), "2x upscale must not change the dHash")
+    assert(d(4L) !== d(1L), "halving the content must change the dHash")
+    // The hash is 56-bit: bits 56..63 are never set.
+    d.values.foreach(v => assert((v >>> 56) === 0L))
+  }
+
   test("hamming-ball simhash pairing recovers a planted one-bit flip d4 misses") {
     // Fingerprints, not text: plant exact distances so the assertion is on
     // the banding guarantee itself (within-ball detection is exact).
