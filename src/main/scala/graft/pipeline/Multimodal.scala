@@ -287,6 +287,66 @@ object Multimodal {
     docs.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Near-duplicate PNG fixture for the image-dedup composition (mm7):
+    * 20 base images, each in three variants keyed by `id div 20`:
+    *
+    *   - v0 (`id < 20`): the base — geometry `width = 16 + base % 16`,
+    *     `height = 16 + (base·3) % 16` (per BASE, so variants share
+    *     dimensions), pixels `r = (3x + 7·base) % 180`,
+    *     `g = (5x + 7y + base) % 180`, `b = (x + 11y + 13·base) % 180`.
+    *   - v1: uniform +40 per channel (≤ 219, never clamps) — a pure
+    *     brightness shift, perceptually identical: dHash hamming 0.
+    *   - v2: +90 per channel on block (0, 0) only (`x·8 < w ∧ y·8 < h`)
+    *     — a one-block content tweak that can flip at most the single
+    *     (0,0)-vs-(1,0) comparison: dHash hamming ≤ 1.
+    *
+    * Every term is closed-form in `doc_id`, so the mm7 oracle replays
+    * hash AND pairing exactly. Same [[ingestBinary]] schema as
+    * [[synthesizePngs]].
+    */
+  def synthesizePngsNear(docs: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val rdd = docs.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val base = id % 20
+        val variant = id / 20
+        val w = (16 + base % 16).toInt
+        val h = (16 + (base * 3) % 16).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val bump =
+              if (variant == 1) 40
+              else if (variant == 2 && x * 8 < w && y * 8 < h) 90
+              else 0
+            val pr = ((3L * x + 7L * base) % 180).toInt + bump
+            val pg = ((5L * x + 7L * y + base) % 180).toInt + bump
+            val pb = ((x + 11L * y + 13L * base) % 180).toInt + bump
+            img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        val bytes = bos.toByteArray
+        digest.reset()
+        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("image/png", bytes.length.toLong, hex))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** REAL image decode through the [[batchDecode]] shape (VERDICT r10
     * next #5 — the decode step itself is no longer a stub): one
     * `javax.imageio` PNG reader instantiated PER PARTITION (reader

@@ -466,6 +466,20 @@ $bandSelects
           table(s, dir, "documents").filter(col("doc_id") < 50), "doc_id"))
         .select("doc_id", "width", "height", "dhash")
         .orderBy("doc_id")),
+    // Image near-dup (mm7): the composition mm6 exists for — dHash over
+    // real decoded pixels fed to the C4 hamming-ball machinery unchanged.
+    // Planted variants: uniform brightness shift (hamming 0) and a
+    // one-block content tweak (hamming <= 1) against 20 base images.
+    // bucketCap (100) exceeds the 60-image corpus, so banding within the
+    // ball is EXACT (pigeonhole) and the oracle is the brute-force
+    // hamming self-join over formula-replayed hashes.
+    "mm7_image_neardup" -> ((s, dir) =>
+      Dedup.hammingPairs(
+        Multimodal.decodePngDHash(
+          Multimodal.synthesizePngsNear(
+            table(s, dir, "documents").filter(col("doc_id") < 60), "doc_id")),
+        "doc_id", "dhash", maxHamming = 4, bits = 56, bucketCap = 100)
+        .orderBy("doc_a", "doc_b")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -2537,7 +2551,48 @@ $bandSelects
         |)
         |SELECT doc_id, CAST(width AS INTEGER) AS width,
         |  CAST(height AS INTEGER) AS height, CAST(sum(bit) AS BIGINT) AS dhash
-        |FROM bits GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin)
+        |FROM bits GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // mm7: replay the near-dup fixture's per-variant pixel formulas into
+    // dHashes (mm6's arithmetic with the variant bump), then pair by
+    // brute-force hamming <= 4 — exactly what the banded join computes
+    // when every bucket is under cap (cap 100 > 60 docs).
+    "mm7_image_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |v AS (SELECT doc_id, doc_id % 20 AS base, doc_id // 20 AS var FROM d),
+        |dims AS (SELECT doc_id, base, var,
+        |         16 + base % 16 AS width, 16 + (base*3) % 16 AS height FROM v),
+        |px AS (
+        |  SELECT doc_id, base, var, width, height, tx.x AS x, ty.y AS y
+        |  FROM dims, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+        |             LATERAL (SELECT unnest(range(0, height)) AS y) ty
+        |),
+        |lum AS (
+        |  SELECT doc_id, (x*8)//width AS bx, (y*8)//height AS by,
+        |    (3*x + 7*base) % 180 + (5*x + 7*y + base) % 180
+        |      + (x + 11*y + 13*base) % 180
+        |      + CASE WHEN var = 1 THEN 120
+        |             WHEN var = 2 AND x*8 < width AND y*8 < height THEN 270
+        |             ELSE 0 END AS l
+        |  FROM px
+        |),
+        |blocks AS (
+        |  SELECT doc_id, by, bx,
+        |    CAST(sum(l) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt
+        |  FROM lum GROUP BY 1, 2, 3
+        |),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    CASE WHEN a.bsum * b.bcnt > b.bsum * a.bcnt
+        |         THEN CAST(1 AS BIGINT) << (a.by*7 + a.bx) ELSE 0 END AS bit
+        |  FROM blocks a JOIN blocks b
+        |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+        |),
+        |fp AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+        |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
     * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"

@@ -1153,6 +1153,29 @@ class PipelineSpec extends GraftSuite {
     d.values.foreach(v => assert((v >>> 56) === 0L))
   }
 
+  test("image near-dup: dHash + hammingPairs recovers every planted variant pair") {
+    // The mm7 composition on its own fixture: 20 base images, a uniform
+    // +40 brightness twin (ids +20) and a one-block content tweak
+    // (ids +40), through REAL PNG encode + decode.
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val fps = Multimodal.decodePngDHash(Multimodal.synthesizePngsNear(ids, "doc_id"))
+    val hashes = fps.select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    for (base <- 0L until 20L) {
+      assert(hashes(base + 20) === hashes(base),
+        s"brightness twin of base $base must hash identically")
+      assert(java.lang.Long.bitCount(hashes(base) ^ hashes(base + 40)) <= 1,
+        s"one-block tweak of base $base must stay within hamming 1")
+    }
+    // The tweak is visible somewhere: at least one base's v2 actually
+    // flips the (0,0)-vs-(1,0) comparison (content sensitivity end-to-end).
+    assert((0L until 20L).exists(b => hashes(b) !== hashes(b + 40)))
+    val pairs = Dedup.hammingPairs(fps, "doc_id", "dhash",
+      maxHamming = 4, bits = 56, bucketCap = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    for (base <- 0L until 20L; (a, b) <- Seq((base, base + 20), (base, base + 40), (base + 20, base + 40)))
+      assert(pairs.contains((a, b)), s"planted pair ($a, $b) missing")
+  }
+
   test("hamming-ball simhash pairing recovers a planted one-bit flip d4 misses") {
     // Fingerprints, not text: plant exact distances so the assertion is on
     // the banding guarantee itself (within-ball detection is exact).
