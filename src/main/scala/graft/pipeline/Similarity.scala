@@ -946,16 +946,19 @@ object Similarity {
   }
 
   /** IVF + PQ — the canonical billion-scale ANN composition (the FAISS
-    * IVFADC layout, Jégou et al. 2011): the corpus is bucketed once
-    * under the coarse quantizer ([[assignBuckets]]) and stored as PQ
-    * CODES; a query picks its `nProbe` nearest centroid buckets and
-    * ADC-scans only those buckets' codes. Per query, the scanned bytes
-    * are `nProbe/|centroids| × corpus × m` — neither the float vectors
-    * nor the unprobed buckets are ever read. Single-query form: the
-    * query vector, its bucket choice (cosine against the driver-sized
-    * centroid set, round-6 + id tie-break — bit-matching the
-    * distributed [[assignTopBuckets]] arithmetic), and the m×k ADC
-    * table are all driver-sized.
+    * IVFADC layout, Jégou et al. 2011): bucket the corpus under the
+    * coarse quantizer ([[assignBuckets]]), PQ-encode, then ADC-scan only
+    * the query's `nProbe` nearest centroid buckets' codes. This LIVE
+    * form recomputes assignment + encode over the float frame per call —
+    * right for a one-shot or ad-hoc query against frames already in
+    * memory, but at corpus scale the encode pass dominates. The
+    * production path is [[writePqIndex]] + [[pqIndexTopK]], where
+    * assignment and encode are paid once at build time and a probe scans
+    * `nProbe/|centroids| × corpus × m` bytes of CODES with no float
+    * reads at all (C93's cost claim — made true by the index, parity
+    * spec-pinned). Query-side state (bucket choice by round-6 cosine +
+    * id tie-break, bit-matching the distributed [[assignTopBuckets]]
+    * arithmetic, and the m×k ADC table) is driver-sized in both forms.
     *
     * @return (idCol, score) — top `k` by ADC score desc, id asc.
     */
@@ -971,21 +974,147 @@ object Similarity {
     val encoded = pqEncode(
       bucketed.select(col("vid"), col("bucket"), col("__v")), "__v", codebooks)
       .select(col("vid"), col("bucket"), col("codes"))
+    val cents = centroids
+      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val chosen = chooseProbeBuckets(cents, query, nProbe)
+    pqSearchTopK(
+      encoded.filter(col("bucket").isin(chosen: _*)).withColumnRenamed("vid", idCol),
+      idCol, codebooks, query, k)
+  }
+
+  /** The query-side coarse quantization shared by [[ivfPqTopK]] and
+    * [[pqIndexTopK]]: the query's top-`nProbe` centroid buckets by
+    * round-6 cosine, centroid-id tie-break — bit-matching the
+    * distributed [[assignTopBuckets]] arithmetic, over the driver-sized
+    * centroid model.
+    */
+  private def chooseProbeBuckets(
+      cents: Seq[(Long, Seq[Double])], query: Seq[Double], nProbe: Int): Seq[java.lang.Long] = {
     def dot(a: Seq[Double], b: Seq[Double]): Double =
       a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val qn = math.sqrt(dot(query, query))
-    val chosen = centroids
-      .select(col(idCol).cast("long").as("cid"), asDouble(col(vecCol)).as("cv"))
-      .as[(Long, Seq[Double])].collect()
+    cents
       .map { case (cid, cv) => (cid, round6(dot(cv, query) / (math.sqrt(dot(cv, cv)) * qn))) }
       .sortBy { case (cid, s) => (-s, cid) }
-      .take(nProbe).map(x => Long.box(x._1)).toSeq
-    pqSearchTopK(
-      encoded.filter(col("bucket").isin(chosen: _*)).withColumnRenamed("vid", idCol),
-      idCol, codebooks, query, k)
+      .take(nProbe).map(x => Long.box(x._1))
   }
+
+  /** Persist an IVFADC index — the at-rest form of [[ivfPqTopK]] that
+    * makes C93's cost claim true at QUERY time: bucket assignment and PQ
+    * encode are paid ONCE here, the codes land `PARTITIONED BY bucket`
+    * (m ints per vector — the float vectors never appear in the index at
+    * all), and centroids + codebooks ride along as model-sized sidecars.
+    * A probe then reads only its probed buckets' code directories:
+    * partition pruning at the file listing, scanned bytes =
+    * nProbe/|centroids| × corpus × m, no assignment scan, no floats.
+    * The [[writeIndex]] precedent with codes in place of vectors.
+    *
+    * Layout: `path/codes` (vid, codes: array<int>) partitioned by
+    * `bucket`; `path/centroids` (centroid_id, cvec) — same shape as
+    * [[writeIndex]]'s sidecar; `path/codebooks` (block, code, cvec).
+    */
+  def writePqIndex(
+      vectors: DataFrame, centroids: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    pqEncode(
+      assignBuckets(vectors, centroids, idCol, vecCol)
+        .select(col("vid"), col("bucket"), col("__v")), "__v", codebooks)
+      .select(col("vid"), col("codes"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/codes")
+    centroids
+      .select(col(idCol).as("centroid_id"), asDouble(col(vecCol)).as("cvec"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    codebooks.zipWithIndex.flatMap { case (book, b) =>
+      book.zipWithIndex.map { case (cent, j) => (b, j, cent) }
+    }.toDF("block", "code", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Read back the [[writePqIndex]] codebook sidecar as the in-memory
+    * model shape the encode/search functions take.
+    */
+  private def readCodebooks(
+      spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Seq[Double]]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codebooks")
+      .select(col("block"), col("code"), col("cvec"))
+      .as[(Int, Int, Seq[Double])].collect().toSeq
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+  }
+
+  /** Append new vectors into a [[writePqIndex]]-persisted IVFADC index:
+    * the increment is bucket-assigned with the STORED centroids and
+    * encoded with the STORED codebooks (placement and codes consistent
+    * with every existing row), then appended under its touched bucket
+    * directories only — the [[appendToIndex]] contract (ids disjoint,
+    * model fixed at build time; re-train and rebuild on drift).
+    */
+  def appendToPqIndex(
+      newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as(idCol), col("cvec").as(vecCol))
+    pqEncode(
+      assignBuckets(newVectors, cents, idCol, vecCol)
+        .select(col("vid"), col("bucket"), col("__v")), "__v", readCodebooks(spark, path))
+      .select(col("vid"), col("codes"), col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+  }
+
+  /** [[ivfPqTopK]] against a [[writePqIndex]]-persisted index — the
+    * search path C93 advertises: centroids and codebooks load driver-side
+    * (model-sized), the query picks its `nProbe` buckets, and the ONLY
+    * distributed work is the partition-filtered ADC scan over those
+    * buckets' codes. No assignment pass, no float reads, no shuffle —
+    * TakeOrdered on the lookup-sum score. Same semantics as the live
+    * composition (parity spec-pinned).
+    */
+  def pqIndexTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String,
+      query: Seq[Double], k: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").cast("long"), col("cvec"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val chosen = chooseProbeBuckets(cents, query, nProbe)
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("bucket").isin(chosen: _*)) // partition-pruned listing
+      .withColumnRenamed("vid", idCol)
+    pqSearchTopK(codes, idCol, readCodebooks(spark, path), query, k)
+  }
+
+  /** [[compactIndex]] for the IVFADC layout: appends accrete one file set
+    * per touched code bucket, so hot buckets fragment; delegate to the
+    * same staged-swap compaction against `path/codes`. Run
+    * [[recoverPqIndex]] after a crash.
+    */
+  def compactPqIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 2): Seq[Int] = {
+    val books = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val fs = books.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(books))
+      throw new IllegalArgumentException(
+        s"$path is not a persisted IVFADC index (no codebooks sidecar) — build it with writePqIndex")
+    graft.merge.PartitionedTarget.compactDirs(
+      spark, s"$path/codes", "bucket", targetFileBytes, minFiles)
+  }
+
+  /** Roll an interrupted [[compactPqIndex]] swap forward or back (same
+    * marker protocol as [[recoverIndex]], against the codes root).
+    */
+  def recoverPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    graft.merge.MergeApply.recover(spark, s"$path/codes")
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): deduplicate the corpus in

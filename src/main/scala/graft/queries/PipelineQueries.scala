@@ -681,6 +681,21 @@ $bandSelects
         cb, q, k = 25, nProbe = 2)
         .orderBy(col("score").desc, col("vec_id"))
     }),
+    // Persisted IVFADC (C96 / e14): e13 materialized — assignment + PQ
+    // encode paid once at writePqIndex, codes partitioned by bucket with
+    // centroid/codebook sidecars; the probe is a partition-filtered ADC
+    // scan that never reads a float vector or runs an assignment pass.
+    // Same semantics as e13, so it shares e13's oracle verbatim.
+    "e14_ivfpq_index" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val q = v.filter(col("vec_id") === 100).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val idx = Fixtures.scratchDir("graft-e14") + "/idx"
+      Similarity.writePqIndex(v, v.filter(col("vec_id") < 8), "vec_id", "embedding", cb, idx)
+      Similarity.pqIndexTopK(s, idx, "vec_id", q, k = 25, nProbe = 2)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
     // Embedding near-dup: every 20th vector gets a perturbed copy planted
     // (scaled + shifted -> cosine just under 1); pairs are found within
     // IVF centroid buckets, never corpus².
@@ -2611,5 +2626,8 @@ $bandSelects
     */
   val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "d7_neardup_jaccard_fast" -> oracleSqlBase("d2_neardup_jaccard"),
-    "d6_minhash_lsh_fast" -> oracleSqlBase("d2_neardup_jaccard"))
+    "d6_minhash_lsh_fast" -> oracleSqlBase("d2_neardup_jaccard"),
+    // e14 is e13 materialized (identical semantics, index-resident codes),
+    // so it shares e13's composed replay oracle verbatim.
+    "e14_ivfpq_index" -> oracleSqlBase("e13_ivfpq_topk"))
 }

@@ -1334,6 +1334,74 @@ class PipelineSpec extends GraftSuite {
     assert(wide === Set(10L, 11L, 20L))
   }
 
+  test("persisted IVFADC index: probe equals live ivfPqTopK, scans only probed code dirs") {
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // bucket 0
+      (11L, Seq(0.8f, 0.0f, 0.1f, 0.0f)),  // bucket 0
+      (20L, Seq(0.0f, 0.1f, 0.0f, 0.9f))   // bucket 1
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqGridCodebooks(dim = 4, m = 2, k = 16, lo = -0.75, step = 0.1)
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    Similarity.writePqIndex(corpus, cents, "vec_id", "embedding", cb, dir)
+
+    // Index == live, at both probe widths (the parity contract).
+    for (np <- Seq(1, 2)) {
+      val live = Similarity.ivfPqTopK(corpus, cents, "vec_id", "embedding", cb, q, k = 3, nProbe = np)
+        .as[(Long, Double)].collect().sorted.toSeq
+      val idx = Similarity.pqIndexTopK(spark, dir, "vec_id", q, k = 3, nProbe = np)
+        .as[(Long, Double)].collect().sorted.toSeq
+      assert(idx === live, s"nProbe=$np")
+    }
+
+    // The probe's scan is partition-pruned to the chosen bucket dirs, and
+    // the on-disk layout holds CODES, not float vectors.
+    val probe = Similarity.pqIndexTopK(spark, dir, "vec_id", q, k = 3, nProbe = 1)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"), scan.take(2000))
+    val codeDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("bucket=")).sorted
+    assert(codeDirs.toSeq === Seq("bucket=0", "bucket=1"))
+    val codeSchema = spark.read.parquet(s"$dir/codes").schema.fieldNames.toSet
+    assert(codeSchema === Set("vid", "codes", "bucket")) // no float column at rest
+
+    // Append: placed by STORED centroids, encoded by STORED codebooks,
+    // immediately probeable; the unprobed bucket stays invisible.
+    Similarity.appendToPqIndex(
+      Seq((100L, Seq(0.95f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir)
+    val after = Similarity.pqIndexTopK(spark, dir, "vec_id", q, k = 4, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after === Set(10L, 11L, 100L))
+    // Appended codes match a fresh encode against the same codebooks.
+    val appendedCodes = spark.read.parquet(s"$dir/codes")
+      .filter($"vid" === 100L).select("codes").as[Seq[Int]].head()
+    val freshCodes = Similarity.pqEncode(
+      Seq((100L, Seq(0.95f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"), "embedding", cb)
+      .select("codes").as[Seq[Int]].head()
+    assert(appendedCodes === freshCodes)
+
+    // Compaction: the accreted bucket is rewritten, results unchanged,
+    // healthy layout converges; guard rejects a non-index path.
+    val filesBefore = new java.io.File(s"$dir/codes/bucket=0").listFiles()
+      .count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(filesBefore >= 2) // initial + append
+    val before = Similarity.pqIndexTopK(spark, dir, "vec_id", q, k = 4, nProbe = 1)
+      .as[(Long, Double)].collect().sorted.toSeq
+    assert(Similarity.compactPqIndex(spark, dir, minFiles = 2) === Seq(0))
+    assert(Similarity.pqIndexTopK(spark, dir, "vec_id", q, k = 4, nProbe = 1)
+      .as[(Long, Double)].collect().sorted.toSeq === before)
+    assert(Similarity.compactPqIndex(spark, dir, minFiles = 2) === Seq.empty)
+    assert(Similarity.recoverPqIndex(spark, dir) === false) // healthy: no-op
+    intercept[IllegalArgumentException] {
+      Similarity.compactPqIndex(spark, java.nio.file.Files.createTempDirectory("notidx").toString)
+    }
+  }
+
   test("quantized search: top-k over dequantized vectors agrees with exact cosine") {
     // 40 deterministic pseudo-random 16-dim vectors; int8 reconstruction
     // perturbs each coordinate by < scale/2, so the cosine ranking over
