@@ -1,8 +1,8 @@
 package graft.merge
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualNullSafe, EqualTo, Expression, Not}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, CreateNamedStruct, EqualNullSafe, EqualTo, Expression, Not}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** The reference's dynamic-SQL execute boundary (B10): `sp_SimpleMerge`
@@ -45,8 +45,15 @@ object MergeSql {
     val sName = relationName(m.sourceTable, "source")
     val keys = keyColumns(m.mergeCondition)
 
-    validateMatched(m.matchedActions)
-    validateNotMatched(m.notMatchedActions)
+    // The engine's clause semantics are schema-derived (MergePlan): the
+    // UPDATE set is ALL shared non-key columns, the INSERT list ALL
+    // source columns. A statement naming a smaller set would execute
+    // with the engine's full-column semantics — so completeness is part
+    // of the validation contract, not just per-assignment identity.
+    val insertSet = spark.table(sName).schema.fieldNames.map(_.toLowerCase).toSet
+    val updateSet = insertSet -- keys.map(_.toLowerCase)
+    validateMatched(m.matchedActions, updateSet)
+    validateNotMatched(m.notMatchedActions, insertSet)
     val deleteMode = m.notMatchedBySourceActions match {
       case Seq() => DeleteMode.Ignore
       case Seq(DeleteAction(None)) => DeleteMode.Delete
@@ -101,46 +108,96 @@ object MergeSql {
   }
 
   /** WHEN MATCHED must be the engine's update shape: one UPDATE whose
-    * assignments are identity `t.c = s.c` pairs (or `UPDATE SET *`),
-    * optionally guarded by the change-detect idiom
-    * (`struct(s.*) IS DISTINCT FROM struct(t.*)`, which parses to
-    * `Not(EqualNullSafe(...))`). The engine change-detects regardless
-    * (A10 suppresses no-op updates), so both the guarded and unguarded
-    * spellings execute identically — what must be rejected is a PARTIAL
-    * or renaming SET, whose semantics the engine does not implement.
+    * assignments are identity `t.c = s.c` pairs covering EVERY shared
+    * non-key column (or `UPDATE SET *`), optionally guarded by the
+    * change-detect idiom (`struct(s.*) IS DISTINCT FROM struct(t.*)`,
+    * which parses to `Not(EqualNullSafe(...))` over full-row structs).
+    * The engine change-detects regardless (A10 suppresses no-op
+    * updates), so the guarded and unguarded spellings execute
+    * identically — what must be rejected is a PARTIAL or renaming SET,
+    * and a column-level guard, whose SQL semantics (update only that
+    * column / only when that column changed) the engine does not
+    * implement. A MERGE with no WHEN MATCHED is accepted only when the
+    * update set is empty (all-key source — the render the engine itself
+    * produces there, A12).
     */
-  private def validateMatched(actions: Seq[MergeAction]): Unit = actions match {
-    case Seq() =>
-      unsupported("absence of a WHEN MATCHED clause (the engine always " +
-        "updates changed matches; matched suppression is schema-driven, not clause-driven)")
-    case Seq(UpdateStarAction(cond)) =>
-      validateMatchedCondition(cond)
-    case Seq(UpdateAction(cond, assignments, _)) =>
-      validateMatchedCondition(cond)
-      assignments.foreach { a =>
-        val (k, v) = (attrName(a.key, "SET target"), attrName(a.value, "SET value"))
-        if (!k.equalsIgnoreCase(v))
-          unsupported(s"renaming/partial SET $k = $v (the engine updates columns in place)")
-      }
-    case other => unsupported(s"WHEN MATCHED actions $other")
+  private def validateMatched(actions: Seq[MergeAction], expected: Set[String]): Unit =
+    actions match {
+      case Seq() if expected.isEmpty => () // all-key source: clause suppressed
+      case Seq() =>
+        unsupported("absence of a WHEN MATCHED clause (the engine always " +
+          "updates changed matches; matched suppression is schema-driven, not clause-driven)")
+      case Seq(UpdateStarAction(cond)) =>
+        validateMatchedCondition(cond, expected)
+      case Seq(UpdateAction(cond, assignments, _)) =>
+        validateMatchedCondition(cond, expected)
+        val setCols = assignments.map { a =>
+          val (k, v) = (attrName(a.key, "SET target"), attrName(a.value, "SET value"))
+          if (!k.equalsIgnoreCase(v))
+            unsupported(s"renaming SET $k = $v (the engine updates columns in place)")
+          k.toLowerCase
+        }
+        if (setCols.toSet != expected)
+          unsupported(s"partial SET over [${setCols.sorted.mkString(", ")}] — the engine " +
+            s"updates ALL shared non-key columns [${expected.toSeq.sorted.mkString(", ")}]; " +
+            "executing a narrower SET with full-column semantics would be a silent reinterpretation")
+      case other => unsupported(s"WHEN MATCHED actions $other")
+    }
+
+  /** The change-detect guard must be the FULL-ROW idiom: both operands
+    * struct(...) over exactly the update column set. A single-column
+    * `t.c IS DISTINCT FROM s.c` guard means "update only when THAT
+    * column changed" — different semantics from the engine's all-column
+    * change detection, so it is rejected, not reinterpreted.
+    */
+  private def validateMatchedCondition(cond: Option[Expression], expected: Set[String]): Unit =
+    cond match {
+      case None => ()
+      case Some(Not(EqualNullSafe(l, r))) =>
+        val (ln, rn) = (structCols(l).map(_.toLowerCase), structCols(r).map(_.toLowerCase))
+        if (ln.toSet != expected || rn.toSet != expected)
+          unsupported(s"WHEN MATCHED change guard over [${(ln ++ rn).distinct.sorted.mkString(", ")}] " +
+            s"(the engine change-detects over ALL shared non-key columns " +
+            s"[${expected.toSeq.sorted.mkString(", ")}])")
+      case Some(other) => unsupported(s"WHEN MATCHED condition ${other.sql}")
+    }
+
+  /** Field names of a `struct(...)` operand in the unresolved parse tree
+    * (`UnresolvedFunction("struct", ...)`; `CreateNamedStruct` accepted
+    * for programmatically-built plans). Anything else — in particular a
+    * bare column reference — is not the change-detect idiom.
+    */
+  private def structCols(e: Expression): Seq[String] = e match {
+    case f: UnresolvedFunction
+        if f.nameParts.map(_.toLowerCase) == Seq("struct") && f.arguments.nonEmpty =>
+      f.arguments.map(attrName(_, "change-guard struct field"))
+    case s: CreateNamedStruct => s.names.map(_.toString)
+    case other =>
+      unsupported(s"WHEN MATCHED change-guard operand ${other.sql} " +
+        "(expected struct(...) over the update columns)")
   }
 
-  private def validateMatchedCondition(cond: Option[Expression]): Unit = cond match {
-    case None | Some(Not(EqualNullSafe(_, _))) => ()
-    case Some(other) => unsupported(s"WHEN MATCHED condition ${other.sql}")
-  }
-
-  /** WHEN NOT MATCHED must be the full same-named INSERT (or INSERT *). */
-  private def validateNotMatched(actions: Seq[MergeAction]): Unit = actions match {
-    case Seq() =>
-      unsupported("absence of a WHEN NOT MATCHED clause (the engine always inserts new keys)")
-    case Seq(InsertStarAction(None)) => ()
-    case Seq(InsertAction(None, assignments)) =>
-      assignments.foreach { a =>
-        val (k, v) = (attrName(a.key, "INSERT target"), attrName(a.value, "INSERT value"))
-        if (!k.equalsIgnoreCase(v))
-          unsupported(s"reordering/renaming INSERT $k = $v")
-      }
-    case other => unsupported(s"WHEN NOT MATCHED actions $other")
-  }
+  /** WHEN NOT MATCHED must be the full same-named INSERT (or INSERT *):
+    * every source column named, none renamed — a partial INSERT would
+    * execute as the engine's full-column insert (NULLs the SQL semantics
+    * would leave are not what the engine does).
+    */
+  private def validateNotMatched(actions: Seq[MergeAction], expected: Set[String]): Unit =
+    actions match {
+      case Seq() =>
+        unsupported("absence of a WHEN NOT MATCHED clause (the engine always inserts new keys)")
+      case Seq(InsertStarAction(None)) => ()
+      case Seq(InsertAction(None, assignments)) =>
+        val insCols = assignments.map { a =>
+          val (k, v) = (attrName(a.key, "INSERT target"), attrName(a.value, "INSERT value"))
+          if (!k.equalsIgnoreCase(v))
+            unsupported(s"reordering/renaming INSERT $k = $v")
+          k.toLowerCase
+        }
+        if (insCols.toSet != expected)
+          unsupported(s"partial INSERT over [${insCols.sorted.mkString(", ")}] — the engine " +
+            s"inserts ALL source columns [${expected.toSeq.sorted.mkString(", ")}]; " +
+            "executing a narrower list with full-column semantics would be a silent reinterpretation")
+      case other => unsupported(s"WHEN NOT MATCHED actions $other")
+    }
 }

@@ -67,6 +67,31 @@ class MergeSqlSpec extends GraftSuite {
       """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
         |WHEN MATCHED THEN UPDATE SET t.name = s.amt
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "SET")
+    // A LEGAL partial SET (identity assignment, but not the full update
+    // set): SQL semantics would leave name untouched; the engine would
+    // update all shared non-key columns. Rejected, not reinterpreted.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "partial SET")
+    // A legal partial INSERT: SQL semantics would insert NULL name; the
+    // engine inserts every source column.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.k, s.amt)""".stripMargin, "partial INSERT")
+    // A single-column change guard: "update only when amt changed" is not
+    // the engine's all-column change detection.
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED AND t.amt IS DISTINCT FROM s.amt THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "change-guard")
+    // A full-row struct guard over the WRONG column set (keys included).
+    rejected(
+      """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED AND struct(s.k, s.name, s.amt) IS DISTINCT FROM struct(t.k, t.name, t.amt)
+        |THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin, "change guard")
     // Cross-column ON is not a merge key.
     rejected(
       """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.amt
