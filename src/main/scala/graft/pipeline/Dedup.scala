@@ -75,9 +75,17 @@ object Dedup {
     *      definitely-absent rows (the dominant fraction of a typical
     *      ingest batch) are accepted with ZERO corpus contact;
     *   3. the surviving maybe-members (true dups + ~fpp false
-    *      positives, tiny) broadcast into a LEFT SEMI probe of a second
-    *      corpus map-scan, and an anti-join against the (tiny,
-    *      broadcast) confirmed-dup hash set restores EXACTNESS.
+    *      positives) probe a second corpus map-scan via LEFT SEMI, and
+    *      an anti-join against the confirmed-dup hash set restores
+    *      EXACTNESS. The maybe-member set is SMALL only for
+    *      mostly-fresh deltas; a mostly-duplicate delta (re-crawl /
+    *      replay ingest) makes it delta-sized, so the hash set is
+    *      probed with a LIMIT-bounded collect — within
+    *      `candBroadcastLimit` the already-collected rows broadcast as
+    *      a LocalRelation, above it both verify joins fall back to
+    *      plain shuffles (correct at any delta cardinality, just not
+    *      broadcast — the [[graft.operators.FuzzyJoin]] hubSide
+    *      discipline).
     *
     * Output equals the plain `sha256 NOT IN corpus` answer (the d25
     * oracle) at any fpp — the bloom only decides how much work step 3
@@ -86,15 +94,20 @@ object Dedup {
     * xxhash64 (the sketch wants fixed-width longs, and a bloom FP is
     * harmless by construction). At 100 TB the two corpus scans are
     * map-only columnar reads of one column; nothing corpus-sized is
-    * ever shuffled, collected, or broadcast.
+    * ever shuffled, collected, or broadcast on the fresh-dominant path,
+    * and the driver never holds more than the sketch plus at most
+    * `candBroadcastLimit` hashes.
     *
     * @param expectedItems corpus cardinality estimate for sizing
     * @param fpp           target false-positive rate; only affects the
     *                      size of the exact-verify remainder
+    * @param candBroadcastLimit broadcast the maybe-member hash set only
+    *                      up to this cardinality; above it, shuffle
     */
   def bloomFreshDocs(
       corpus: DataFrame, delta: DataFrame, textCol: String,
-      expectedItems: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+      expectedItems: Long = 1L << 20, fpp: Double = 0.01,
+      candBroadcastLimit: Int = graft.operators.FuzzyJoin.DefaultHubBroadcastLimit): DataFrame = {
     require(expectedItems > 0, s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     val spark = corpus.sparkSession
@@ -119,13 +132,30 @@ object Dedup {
     val fresh = flagged.filter(!col("__maybe")).drop("__maybe")
     val candidates = flagged.filter(col("__maybe")).drop("__maybe")
     val candHashes = candidates.select(sha2(col(textCol), 256).as("__h")).distinct()
-    // Corpus streams through a broadcast SEMI probe — the confirmed-dup
-    // set comes out candidate-sized, never corpus-sized.
-    val dupHashes = corpus.select(sha2(col(textCol), 256).as("__h"))
-      .join(broadcast(candHashes), Seq("__h"), "left_semi").distinct()
-    val verified = candidates.join(broadcast(dupHashes),
-      sha2(col(textCol), 256) === col("__h"), "left_anti")
-    fresh.unionByName(verified)
+    // LIMIT-bounded probe of the maybe-member set (delta-sized when the
+    // delta is mostly duplicates): broadcast only below the cap.
+    val spark2 = delta.sparkSession
+    import spark2.implicits._
+    val probed = candHashes.limit(candBroadcastLimit + 1).collect()
+    if (probed.length <= candBroadcastLimit) {
+      // Corpus streams through a broadcast SEMI probe — the confirmed-dup
+      // set comes out candidate-sized (⊆ the probed set), so both sides
+      // of the verify stay broadcast.
+      val local = broadcast(probed.map(_.getString(0)).toSeq.toDF("__h"))
+      val dupHashes = corpus.select(sha2(col(textCol), 256).as("__h"))
+        .join(local, Seq("__h"), "left_semi").distinct()
+      val verified = candidates.join(broadcast(dupHashes),
+        sha2(col(textCol), 256) === col("__h"), "left_anti")
+      fresh.unionByName(verified)
+    } else {
+      // Above the cap: same joins, shuffled — feasibility over an
+      // unbounded driver broadcast, exactly the FuzzyJoin hub fallback.
+      val dupHashes = corpus.select(sha2(col(textCol), 256).as("__h"))
+        .join(candHashes, Seq("__h"), "left_semi").distinct()
+      val verified = candidates.join(dupHashes,
+        sha2(col(textCol), 256) === col("__h"), "left_anti")
+      fresh.unionByName(verified)
+    }
   }
 
   /** Run `f` over the Jaccard pair frame, releasing the persisted indexes

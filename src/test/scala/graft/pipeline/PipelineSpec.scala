@@ -1071,6 +1071,11 @@ class PipelineSpec extends GraftSuite {
     assert(ids(Dedup.bloomFreshDocs(corpus.limit(0), delta, "text")) === Set(10L, 11L, 12L, 13L))
     // Pass-through schema.
     assert(Dedup.bloomFreshDocs(corpus, delta, "text").columns.toSeq === Seq("doc_id", "text"))
+    // A mostly-duplicate delta over the broadcast cap takes the shuffle
+    // fallback — same answer, no driver-side hash set (combined with the
+    // saturated filter so EVERY delta row is a maybe-member).
+    assert(ids(Dedup.bloomFreshDocs(corpus, delta, "text",
+      expectedItems = 1, fpp = 0.9, candBroadcastLimit = 1)) === Set(11L, 13L))
   }
 
   test("real PNG decode: synthesized rasters round-trip bit-exactly through javax.imageio") {
