@@ -648,7 +648,8 @@ object Similarity {
       k: Int,
       iters: Int = 5,
       seed: Int = 42,
-      sampleRate: Double = 1.0): DataFrame = {
+      sampleRate: Double = 1.0,
+      hashMode: HashMode = HashMode.Xxhash64): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = vectors.sparkSession
@@ -656,13 +657,15 @@ object Similarity {
     val all = vectors.select(col(idCol).cast("string").as("vid"), asDouble(col(vecCol)).as("v"))
     val base =
       if (sampleRate >= 1.0) all
-      else all.filter(HashMode.Xxhash64.hash(col("vid"), seed) <
+      else all.filter(hashMode.hash(col("vid"), seed) <
         lit(Sampling.thresholdFor(sampleRate)))
 
     // Init: the k corpus vectors that sort first by a seeded hash of their
     // id — a deterministic uniform sample, immune to partition order.
+    // `hashMode` = Md5Portable makes the init (and so the whole fit, when
+    // the arithmetic is exact — see the e12t oracle) replayable in SQL.
     var centroids: Seq[(String, Seq[Double])] = base
-      .orderBy(HashMode.Xxhash64.hash(col("vid"), seed), col("vid"))
+      .orderBy(hashMode.hash(col("vid"), seed), col("vid"))
       .limit(k)
       .as[(String, Seq[Double])].collect()
       .zipWithIndex.map { case ((_, v), i) => (i.toString, v) }.toSeq
@@ -861,7 +864,8 @@ object Similarity {
   def pqTrainCodebooks(
       vectors: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, iters: Int = 5, seed: Int = 42,
-      sampleRate: Double = 1.0): Seq[Seq[Seq[Double]]] = {
+      sampleRate: Double = 1.0,
+      hashMode: HashMode = HashMode.Xxhash64): Seq[Seq[Seq[Double]]] = {
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim must divide into $m blocks")
     val sub = dim / m
@@ -870,7 +874,7 @@ object Similarity {
     (0 until m).map { b =>
       trainCentroids(
         vectors.select(col(idCol), slice(asDouble(col(vecCol)), b * sub + 1, sub).as(vecCol)),
-        idCol, vecCol, k, iters, seed + b, sampleRate)
+        idCol, vecCol, k, iters, seed + b, sampleRate, hashMode)
         .orderBy(idCol).as[(Long, Seq[Double])].collect().map(_._2).toSeq
     }
   }

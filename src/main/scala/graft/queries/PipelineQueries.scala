@@ -667,6 +667,25 @@ $bandSelects
         "vec_id", cb, q, k = 50)
         .orderBy(col("score").desc, col("vec_id"))
     }),
+    // Trained-codebook PQ (e12t): pqTrainCodebooks END-TO-END under an
+    // oracle — the C26 "trained path is spec-only" convention upgraded.
+    // Possible because the fixture is dyadic-rational (multiples of 1/16,
+    // so every training sum is EXACT: partition-order-proof in Spark and
+    // bit-replayable in DuckDB) and the init hash is Md5Portable. iters=1
+    // runs the real trainer: portable-hash init + one full Lloyd round
+    // (round-6 cosine assignment + per-bucket means).
+    "e12t_pq_trained" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings").select("vec_id").filter(col("vec_id") < 64)
+        .withColumn("vec", transform(sequence(lit(0), lit(7)),
+          j => ((col("vec_id") * 7 + j * 13) % 29 - 14) / lit(16.0)))
+      val cb = Similarity.pqTrainCodebooks(v, "vec_id", "vec", m = 2, k = 4,
+        iters = 1, seed = 42, hashMode = HashMode.Md5Portable)
+      val q = (0 until 8).map(j => ((j * 13) % 29 - 14) / 16.0)
+      Similarity.pqSearchTopK(
+        Similarity.pqEncode(v, "vec", cb).select("vec_id", "codes"),
+        "vec_id", cb, q, k = 20)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
     // IVF + PQ (C93 / e13): the FAISS-IVFADC composition — corpus bucketed
     // under the e2 coarse quantizer (vec_id < 8) and stored as 8 codes;
     // the query (vec 100's embedding) probes its top-2 buckets and
@@ -883,6 +902,78 @@ $bandSelects
   /** DuckDB twin of TextOps.portableHash(v, seed, part). */
   private def sqlHash(seed: Int, v: String, part: Int = 0): String =
     s"('0x' || substr(md5('$seed:' || $v), ${1 + part * 16}, 15))::BIGINT"
+
+  /** DuckDB replay of the FULL trained-PQ path (e12t): fixture synthesis
+    * → per-block portable-hash init → one Lloyd round (round-6 cosine
+    * assignment, per-bucket means with empty-bucket fallback) → argmin
+    * encode → ADC lookup-sum scores. Exactness argument: the fixture is
+    * dyadic (multiples of 1/16), so dot products and bucket sums are
+    * EXACT (order-independent) and every remaining op (sqrt, divide,
+    * subtract, multiply) is correctly rounded over identical operands —
+    * the two engines compute bit-identical doubles at every stage.
+    */
+  private def pqTrainedOracleSql: String = {
+    val blocks = (0 to 1).map { b =>
+      val off = b * 4
+      val h = sqlHash(42 + b, "CAST(vec_id AS VARCHAR)")
+      s"""sl$b AS (SELECT vec_id, e[${off + 1}:${off + 4}] AS sb FROM fv),
+         |init$b AS (
+         |  SELECT cid, cv FROM (
+         |    SELECT row_number() OVER (ORDER BY $h, CAST(vec_id AS VARCHAR)) - 1 AS cid,
+         |           sb AS cv
+         |    FROM sl$b
+         |  ) WHERE cid < 4
+         |),
+         |asg$b AS (
+         |  SELECT vec_id, cid, sb FROM (
+         |    SELECT s.vec_id, i.cid, s.sb,
+         |      row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |        round(list_dot_product(s.sb, i.cv)
+         |              / (sqrt(list_dot_product(s.sb, s.sb)) * sqrt(list_dot_product(i.cv, i.cv))), 6) DESC,
+         |        CAST(i.cid AS VARCHAR)) AS crnk
+         |    FROM sl$b s CROSS JOIN init$b i
+         |  ) WHERE crnk = 1
+         |),
+         |mexp$b AS (
+         |  SELECT cid, p.p AS pos, sum(sb[p.p]) / count(*) AS mcomp
+         |  FROM asg$b, generate_series(1, 4) p(p)
+         |  GROUP BY 1, 2
+         |),
+         |cb$b AS (
+         |  SELECT i.cid, coalesce(mv.mv, i.cv) AS cv
+         |  FROM init$b i LEFT JOIN (
+         |    SELECT cid, list(mcomp ORDER BY pos) AS mv FROM mexp$b GROUP BY cid
+         |  ) mv ON mv.cid = i.cid
+         |),
+         |code$b AS (
+         |  SELECT s.vec_id,
+         |    (SELECT c.cid FROM cb$b c
+         |     ORDER BY ${(1 to 4).map(p => s"(s.sb[$p] - c.cv[$p]) * (s.sb[$p] - c.cv[$p])")
+                  .mkString(" + ")}, c.cid
+         |     LIMIT 1) AS code
+         |  FROM sl$b s
+         |),
+         |lut$b AS (
+         |  SELECT c.cid, list_sum(list_transform(range(1, 5), p -> c.cv[p] * q.e[$off + p])) AS ip
+         |  FROM cb$b c, q
+         |)""".stripMargin
+    }
+    s"""WITH fv AS (
+       |  SELECT vec_id, list_transform(range(0, 8),
+       |           j -> (CAST((vec_id*7 + j*13) % 29 AS DOUBLE) - 14) / 16.0) AS e
+       |  FROM embeddings WHERE vec_id < 64
+       |),
+       |q AS (SELECT e FROM fv WHERE vec_id = 0),
+       |${blocks.mkString(",\n")},
+       |sc AS (
+       |  SELECT c0.vec_id, l0.ip + l1.ip AS score
+       |  FROM code0 c0 JOIN code1 c1 USING (vec_id)
+       |  JOIN lut0 l0 ON l0.cid = c0.code
+       |  JOIN lut1 l1 ON l1.cid = c1.code
+       |)
+       |SELECT vec_id, round(score, 6) AS score FROM sc
+       |ORDER BY round(score, 6) DESC, vec_id LIMIT 20""".stripMargin
+  }
 
   /** DuckDB twin of TextOps.shingles(tokens(text), 3) exploded to rows:
     * expects a CTE `d(doc_id, text)` to exist.
@@ -2629,5 +2720,8 @@ $bandSelects
     "d6_minhash_lsh_fast" -> oracleSqlBase("d2_neardup_jaccard"),
     // e14 is e13 materialized (identical semantics, index-resident codes),
     // so it shares e13's composed replay oracle verbatim.
-    "e14_ivfpq_index" -> oracleSqlBase("e13_ivfpq_topk"))
+    "e14_ivfpq_index" -> oracleSqlBase("e13_ivfpq_topk"),
+    // e12t's oracle is generated (two unrolled blocks of the same CTE
+    // template) — see pqTrainedOracleSql for the exactness argument.
+    "e12t_pq_trained" -> pqTrainedOracleSql)
 }

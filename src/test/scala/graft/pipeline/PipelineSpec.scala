@@ -1255,6 +1255,31 @@ class PipelineSpec extends GraftSuite {
     assert(rep(1L) === math.rint(expected * 1e6) / 1e6)
   }
 
+  test("trained PQ on a dyadic fixture is bit-identical across partitionings") {
+    // The e12t oracle's exactness argument, pinned: with dyadic-rational
+    // inputs (multiples of 1/16) every training sum is exact, so the
+    // trained codebooks are the same DOUBLES regardless of how the corpus
+    // is partitioned — the property that lets a static SQL string replay
+    // the fit. (With generic floats this would NOT hold: partial-sum
+    // order varies with partitioning.)
+    def fixture(parts: Int) = spark.range(0, 64).toDF("vec_id")
+      .repartition(parts)
+      .withColumn("vec", transform(sequence(lit(0), lit(7)),
+        j => ((col("vec_id") * 7 + j * 13) % 29 - 14) / lit(16.0)))
+    val cbs = Seq(1, 7, 32).map { parts =>
+      Similarity.pqTrainCodebooks(fixture(parts), "vec_id", "vec", m = 2, k = 4,
+        iters = 1, seed = 42, hashMode = HashMode.Md5Portable)
+    }
+    assert(cbs(0) === cbs(1))
+    assert(cbs(0) === cbs(2))
+    // And the fit actually trained: codebooks differ from raw init slices
+    // only via the Lloyd round — at minimum they are 2 blocks x 4
+    // centroids x 4 components of finite doubles.
+    assert(cbs(0).length === 2)
+    assert(cbs(0).forall(book => book.length === 4 && book.forall(c =>
+      c.length === 4 && c.forall(x => !x.isNaN && !x.isInfinite))))
+  }
+
   test("product quantization: grid encode is the block argmin, ADC ranks like reconstructed dot") {
     // dim 4, m 2, k 3, grid x_j in {-0.1, 0.0, 0.1}: block means decide
     // the codes (constant-component centroids), hand-checkable.
