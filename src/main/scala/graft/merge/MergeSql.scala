@@ -1,8 +1,8 @@
 package graft.merge
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, CreateNamedStruct, EqualNullSafe, EqualTo, Expression, Not}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Ascending, CreateNamedStruct, EqualNullSafe, EqualTo, Expression, Not, SortOrder, WindowExpression, WindowSpecDefinition}
 import org.apache.spark.sql.catalyst.plans.logical._
 
 /** The reference's dynamic-SQL execute boundary (B10): `sp_SimpleMerge`
@@ -16,13 +16,16 @@ import org.apache.spark.sql.catalyst.plans.logical._
   * back into exactly the semantics that rendered it (the g3 query pins
   * this against m1's oracle).
   *
-  * Scope: the no-CTE clause structure the reference generates — named
+  * Scope: the clause structure the reference generates — named
   * target/source relations, conjunctive same-column equi / null-safe ON
   * keys, full-column UPDATE (plain or change-detected) on match, full
   * INSERT on not-matched, and DELETE / UPDATE SET / clause-absent on
   * not-matched-by-source. The targetFilter/badKey variants render as
-  * CTEs whose semantics live in the CTE body, not in MERGE clauses —
-  * those route through the API, where the options are explicit.
+  * CTEs; those CTE bodies are recognized structurally (a `SELECT * …
+  * WHERE` slice, the `_SimpleMerge_rn` row_number window) and folded
+  * BACK into the [[MergeOptions]] they rendered from, so every
+  * [[MergeDebug.renderSql]] output round-trips — a CTE shape outside
+  * that grammar is rejected, never reinterpreted.
   */
 object MergeSql {
 
@@ -34,16 +37,44 @@ object MergeSql {
     * relations resolve through the session catalog (temp views included).
     */
   def toSimpleMerge(spark: SparkSession, sqlText: String): SimpleMerge = {
-    val m = spark.sessionState.sqlParser.parsePlan(sqlText) match {
-      case m: MergeIntoTable => m
-      case other => throw new MergeValidationException(
-        s"Not an executable MERGE INTO statement (parsed ${other.nodeName}); " +
-          "CTE-wrapped renders (targetFilter/badKey) carry their semantics " +
-          "in the CTE body — use the SimpleMerge API form for those")
+    val (m, ctes) = spark.sessionState.sqlParser.parsePlan(sqlText) match {
+      case m: MergeIntoTable => (m, Map.empty[String, LogicalPlan])
+      case w: UnresolvedWith => w.child match {
+        case m: MergeIntoTable =>
+          (m, w.cteRelations.map(r => r._1.toLowerCase -> (r._2: LogicalPlan)).toMap)
+        case other => notMerge(other)
+      }
+      case other => notMerge(other)
     }
-    val tName = relationName(m.targetTable, "target")
-    val sName = relationName(m.sourceTable, "source")
-    val keys = keyColumns(m.mergeCondition)
+    val tRef = relationName(m.targetTable, "target")
+    val sRef = relationName(m.sourceTable, "source")
+    val tSide = ctes.get(tRef.toLowerCase).map(parseCteSide("target", _))
+      .getOrElse(SideSpec(tRef, None, None))
+    val sSide = ctes.get(sRef.toLowerCase).map(parseCteSide("source", _))
+      .getOrElse(SideSpec(sRef, None, None))
+    if (ctes.size > Seq(tRef, sRef).count(r => ctes.contains(r.toLowerCase)))
+      unsupported(s"CTEs not referenced by the MERGE (${ctes.keys.mkString(", ")})")
+    if (sSide.filter.isDefined)
+      unsupported("a filtered SOURCE CTE (the engine filters the target slice only)")
+    val tName = tSide.name
+    val sName = sSide.name
+
+    val rawKeys = keyColumns(m.mergeCondition)
+    val keys = rawKeys.filterNot(_.equalsIgnoreCase(RnCol))
+    val rnOn = rawKeys.length > keys.length
+    val badKey = tSide.rnKeys.isDefined
+    // badKey is all-or-nothing: both CTE windows, partitioned by the ON
+    // keys, plus the rn tiebreak term — anything partial is off-contract.
+    if (badKey != sSide.rnKeys.isDefined || badKey != rnOn)
+      unsupported(s"inconsistent $RnCol dedup shape (both CTEs must window " +
+        "and the ON must carry the rn tiebreak — the @badKey render)")
+    if (badKey) {
+      val keySet = keys.map(_.toLowerCase).toSet
+      for (side <- Seq(tSide, sSide); rk <- side.rnKeys)
+        if (rk.map(_.toLowerCase).toSet != keySet)
+          unsupported(s"$RnCol window partitioned by [${rk.mkString(", ")}] " +
+            s"!= merge keys [${keys.mkString(", ")}]")
+    }
 
     // The engine's clause semantics are schema-derived (MergePlan): the
     // UPDATE set is ALL shared non-key columns, the INSERT list ALL
@@ -62,11 +93,73 @@ object MergeSql {
       case other => unsupported(s"WHEN NOT MATCHED BY SOURCE actions $other")
     }
 
-    SimpleMerge.into(spark.table(tName), tName)
+    val base = SimpleMerge.into(spark.table(tName), tName)
       .using(spark.table(sName), sName)
       .keys(keys: _*)
       .deleteMode(deleteMode)
+      .badKey(badKey)
+    tSide.filter.fold(base)(base.targetFilter)
   }
+
+  private val RnCol = "_SimpleMerge_rn"
+
+  /** One merge side after CTE resolution: the REAL relation name, the
+    * `WHERE` slice (targetFilter), and — when the badKey window is
+    * present — its partition keys.
+    */
+  private final case class SideSpec(
+      name: String, filter: Option[String], rnKeys: Option[Seq[String]])
+
+  /** Structural parse of a render-grammar CTE body:
+    * `SELECT * FROM t [WHERE f]`, optionally wrapped in the badKey
+    * `row_number() OVER (PARTITION BY keys ORDER BY
+    * monotonically_increasing_id()) AS _SimpleMerge_rn` projection.
+    * Anything else is rejected — a CTE carrying other semantics must not
+    * silently degrade to a plain scan.
+    */
+  private def parseCteSide(role: String, plan: LogicalPlan): SideSpec = plan match {
+    case SubqueryAlias(_, child) => parseCteSide(role, child)
+    case Project(Seq(_: UnresolvedStar), inner) => baseSlice(role, inner)
+    case Project(Seq(_: UnresolvedStar, Alias(we: WindowExpression, RnCol)), inner) =>
+      val base = parseCteSide(role, inner)
+      if (base.rnKeys.isDefined) unsupported(s"nested $RnCol windows in the $role CTE")
+      base.copy(rnKeys = Some(windowKeys(role, we)))
+    case other =>
+      unsupported(s"$role CTE shape ${other.nodeName} (expected SELECT * " +
+        s"[+ the $RnCol window] FROM <table> [WHERE <filter>])")
+  }
+
+  private def baseSlice(role: String, inner: LogicalPlan): SideSpec = inner match {
+    case Filter(cond, r: UnresolvedRelation) =>
+      SideSpec(r.multipartIdentifier.mkString("."), Some(cond.sql), None)
+    case r: UnresolvedRelation =>
+      SideSpec(r.multipartIdentifier.mkString("."), None, None)
+    case other =>
+      unsupported(s"$role CTE base ${other.nodeName} (expected <table> [WHERE <filter>])")
+  }
+
+  /** Validate the badKey window is EXACTLY the render's dedup shape and
+    * return its partition key names.
+    */
+  private def windowKeys(role: String, we: WindowExpression): Seq[String] = {
+    we.windowFunction match {
+      case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("row_number")
+        && f.arguments.isEmpty => ()
+      case other => unsupported(s"$role $RnCol window function ${other.sql} (expected row_number())")
+    }
+    we.windowSpec match {
+      case WindowSpecDefinition(partitionSpec, Seq(SortOrder(of: UnresolvedFunction, Ascending, _, _)), _)
+          if of.nameParts.map(_.toLowerCase) == Seq("monotonically_increasing_id") =>
+        partitionSpec.map(attrName(_, s"$role $RnCol partition key"))
+      case other =>
+        unsupported(s"$role $RnCol window spec ${other.sql} " +
+          "(expected PARTITION BY <keys> ORDER BY monotonically_increasing_id())")
+    }
+  }
+
+  private def notMerge(other: LogicalPlan): Nothing =
+    throw new MergeValidationException(
+      s"Not an executable MERGE INTO statement (parsed ${other.nodeName})")
 
   private def unsupported(what: String): Nothing =
     throw new MergeValidationException(

@@ -203,6 +203,19 @@ object MergeQueries {
         ordersMerge(s, dir).delete("YES").plan, "g3_tgt", "g3_src")
       MergeSql.mergedFrame(s, sql).orderBy("o_orderkey")
     }),
+    // The CTE-wrapped render round trip (g4): m6's badKey merge rendered
+    // to WITH-prefixed MERGE text, parsed back (the _SimpleMerge_rn
+    // window folded into the badKey option), executed — shares m6's
+    // oracle, the g3/m1 precedent.
+    "g4_merge_sql_cte" -> ((s, dir) => {
+      lineitemTarget(s, dir).createOrReplaceTempView("g4_tgt")
+      lineitemSource(s, dir).createOrReplaceTempView("g4_src")
+      val m = SimpleMerge.into(lineitemTarget(s, dir), "g4_tgt")
+        .using(lineitemSource(s, dir), "g4_src")
+        .keys("l_orderkey").badKey(true).delete("YES")
+      val out = MergeSql.mergedFrame(s, MergeDebug.renderSql(m.plan, "g4_tgt", "g4_src"))
+      out.orderBy(out.columns.toIndexedSeq.map(col): _*)
+    }),
     // Threshold verdict as data (A22/A23): the variance arithmetic and the
     // commit/abort decision for a 1% threshold, oracle-checked.
     "m11_threshold_verdict" -> ((s, dir) =>
@@ -321,7 +334,8 @@ object MergeQueries {
     * oracle verbatim (the d9/d22 one-ground-truth precedent). Lazy:
     * `oracleSqlBase` is declared below. */
   lazy val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
-    "g3_merge_sql" -> oracleSqlBase("m1_merge_delete"))
+    "g3_merge_sql" -> oracleSqlBase("m1_merge_delete"),
+    "g4_merge_sql_cte" -> oracleSqlBase("m6_merge_badkey"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     "m1_merge_delete" ->

@@ -39,6 +39,63 @@ class MergeSqlSpec extends GraftSuite {
     }
   }
 
+  test("CTE-wrapped renders round-trip: targetFilter, badKey, and both together") {
+    val dupSrc = Seq(
+      (2L, "b2", 21.0), (2L, "b3", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)
+    ).toDF("k", "name", "amt")
+    val variants: Seq[SimpleMerge => SimpleMerge] = Seq(
+      _.targetFilter("amt > 15"),
+      _.badKey(true),
+      m => m.targetFilter("amt > 15").badKey(true))
+    for ((tweak, i) <- variants.zipWithIndex) {
+      tgt.createOrReplaceTempView("ms_tgt")
+      dupSrc.createOrReplaceTempView("ms_src")
+      val api = tweak(SimpleMerge.into(tgt, "ms_tgt").using(dupSrc, "ms_src").keys("k").delete("YES"))
+      val sql = MergeDebug.renderSql(api.plan, "ms_tgt", "ms_src")
+      assert(sql.startsWith("WITH"), s"variant $i should render a CTE\n$sql")
+      val viaSql = MergeSql.mergedFrame(spark, sql).as[(Long, String, Double)].collect().toSet
+      val viaApi = api.merged.as[(Long, String, Double)].collect().toSet
+      assert(viaSql === viaApi, s"variant $i\n$sql")
+    }
+  }
+
+  test("off-grammar CTE shapes are rejected, not silently degraded") {
+    def rejected(sql: String, needle: String): Unit = {
+      val e = intercept[MergeValidationException](viewed(MergeSql.toSimpleMerge(spark, sql)))
+      assert(e.getMessage.contains(needle), s"$sql\n→ ${e.getMessage}")
+    }
+    // A CTE carrying semantics outside the render grammar (aggregation).
+    rejected(
+      """WITH target AS (SELECT k, name, max(amt) AS amt FROM ms_tgt GROUP BY k, name)
+        |MERGE INTO target t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin, "CTE")
+    // A filtered SOURCE is not a render the engine produces.
+    rejected(
+      """WITH source AS (SELECT * FROM ms_src WHERE amt > 30)
+        |MERGE INTO ms_tgt t USING source s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "SOURCE CTE")
+    // The rn tiebreak without the windows (or vice versa) is inconsistent.
+    rejected(
+      """WITH target AS (SELECT * FROM ms_tgt WHERE amt > 5)
+        |MERGE INTO target t USING ms_src s ON t.k = s.k AND t._SimpleMerge_rn = s._SimpleMerge_rn
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "dedup shape")
+    // A window partitioned by something other than the merge keys.
+    rejected(
+      """WITH target AS (SELECT *, row_number() OVER (PARTITION BY name ORDER BY monotonically_increasing_id()) AS _SimpleMerge_rn FROM (SELECT * FROM ms_tgt)),
+        |     source AS (SELECT *, row_number() OVER (PARTITION BY name ORDER BY monotonically_increasing_id()) AS _SimpleMerge_rn FROM (SELECT * FROM ms_src))
+        |MERGE INTO target t USING source s ON t.k = s.k AND t._SimpleMerge_rn = s._SimpleMerge_rn
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "partitioned by")
+    // An unreferenced CTE.
+    rejected(
+      """WITH extra AS (SELECT * FROM ms_tgt)
+        |MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      "not referenced")
+  }
+
   test("hand-written MERGE dialects parse: UPDATE SET *, INSERT *, unguarded update, plain =") {
     val got = collectMerged(
       """MERGE INTO ms_tgt t USING ms_src s ON t.k = s.k
