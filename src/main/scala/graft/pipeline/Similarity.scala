@@ -1095,6 +1095,104 @@ object Similarity {
     pqSearchTopK(codes, idCol, readCodebooks(spark, path), query, k)
   }
 
+  /** Batch IVFADC search — [[ivfPqTopK]] for a probe FRAME, fully
+    * distributed: probes pick their `nProbe` buckets through the
+    * broadcast [[assignTopBuckets]] join, each probe's m×k ADC lookup
+    * table is computed as a nested-HOF column (same left-to-right block
+    * sums as the single-query form — parity spec-pinned), and the
+    * encoded corpus joins the broadcast (probe, bucket, lut) frame on
+    * the bucket id — per probe, only its probed buckets' codes are
+    * scored, and nothing probe-side is ever collected to the driver.
+    * Follows the [[indexTopK]] convention: a corpus row sharing the
+    * probe's id is excluded (probes drawn from the corpus don't match
+    * themselves).
+    *
+    * @param encoded (vid, bucket, codes) — [[pqEncode]] output over the
+    *                bucket-assigned corpus, or the codes of a
+    *                [[writePqIndex]] index read back
+    * @return (probe_id, neighbor_id, score, rnk) — k rows per probe by
+    *         ADC score desc, id asc.
+    */
+  def pqSearchTopKBatch(
+      encoded: DataFrame, centroids: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 1): DataFrame = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
+    val cbLit = typedLit(codebooks)
+    val probeBuckets = assignTopBuckets(probes, centroids, idCol, vecCol, nProbe)
+      .select(col("vid").as("probe_id"), col("bucket").cast("long").as("bucket"), col("__v"))
+      .withColumn("__lut", transform(sequence(lit(0), lit(m - 1)), b =>
+        transform(element_at(cbLit, b + 1), cent =>
+          aggregate(sequence(lit(1), lit(sub)), lit(0.0),
+            (acc, p) => acc + element_at(cent, p) * element_at(col("__v"), b * sub + p)))))
+      .select("probe_id", "bucket", "__lut")
+    val score = aggregate(
+      zip_with(col("codes"), col("__lut"), (c, lrow) => element_at(lrow, c + 1)),
+      lit(0.0), (a, x) => a + x)
+    val w = Window.partitionBy("probe_id").orderBy(col("score").desc, col("vid"))
+    encoded
+      .withColumn("bucket", col("bucket").cast("long"))
+      .join(broadcast(probeBuckets), Seq("bucket"))
+      .filter(col("vid") =!= col("probe_id"))
+      .withColumn("score", round(score, 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("vid").as("neighbor_id"), col("score"), col("rnk"))
+  }
+
+  /** [[pqSearchTopKBatch]] over the LIVE frames (assign + encode per
+    * call — the [[ivfPqTopK]] cost shape; prefer the index form against
+    * [[writePqIndex]] output for repeated query loads).
+    */
+  def ivfPqTopKBatch(
+      vectors: DataFrame, centroids: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 1): DataFrame = {
+    val encoded = pqEncode(
+      assignBuckets(vectors, centroids, idCol, vecCol)
+        .select(col("vid"), col("bucket"), col("__v")), "__v", codebooks)
+      .select(col("vid"), col("bucket"), col("codes"))
+    pqSearchTopKBatch(encoded, centroids, probes, idCol, vecCol, codebooks, k, nProbe)
+  }
+
+  /** Measured recall@k of the IVFADC path against the exact
+    * [[cosineTopK]] baseline — [[recallAt]] for the PQ family (the C88
+    * convention): ADC approximates scores twice over (coarse bucket
+    * pruning + code quantization), so a PQ deployment without a recall
+    * readout cannot see degradation as the corpus drifts from its
+    * centroids OR its codebooks. Same sampled-probe contract and output
+    * schema as [[recallAt]]; the baseline full scan is what
+    * `sampleRate` bounds at 100 TB.
+    *
+    * @return one row: (n_probes, k, n_probe, macro_recall, micro_recall)
+    */
+  def pqRecallAt(
+      vectors: DataFrame, centroids: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 1,
+      sampleRate: Double = 1.0, seed: Int = 7): DataFrame = {
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"sampleRate must be in (0, 1], got $sampleRate")
+    val sampled =
+      if (sampleRate >= 1.0) probes
+      else probes.filter(Sampling.hashFilter(col(idCol), sampleRate, seed))
+    val exact = cosineTopK(vectors, sampled, idCol, vecCol, k)
+      .select("probe_id", "neighbor_id")
+    val approx = ivfPqTopKBatch(vectors, centroids, sampled, idCol, vecCol, codebooks, k, nProbe)
+      .select("probe_id", "neighbor_id")
+    val perProbe = exact
+      .join(approx.withColumn("__hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("__base"), sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    perProbe.agg(
+      count(lit(1)).as("n_probes"),
+      lit(k).as("k"),
+      lit(nProbe).as("n_probe"),
+      round(avg(col("__hits") / col("__base")), 6).as("macro_recall"),
+      round(sum(col("__hits")) / sum(col("__base")), 6).as("micro_recall"))
+  }
+
   /** [[compactIndex]] for the IVFADC layout: appends accrete one file set
     * per touched code bucket, so hot buckets fragment; delegate to the
     * same staged-swap compaction against `path/codes`. Run

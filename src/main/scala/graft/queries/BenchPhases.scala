@@ -63,5 +63,23 @@ object BenchPhases {
           .count()
         ()
       }
+    }),
+    // e14: same contract as e4 for the IVFADC index — the one-time
+    // assign+encode+write is the cost the index amortizes; the measured
+    // operation is the partition-filtered ADC probe.
+    "e14_ivfpq_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val v = Fixtures.table(s, dir, "embeddings")
+      val cb = graft.pipeline.Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val q = v.filter(col("vec_id") === 100).select("embedding")
+        .head().getSeq[Float](0).map(_.toDouble).toSeq
+      val idx = Fixtures.scratchDir("graft-e14-bench") + "/idx"
+      graft.pipeline.Similarity.writePqIndex(
+        v, v.filter(col("vec_id") < 8), "vec_id", "embedding", cb, idx)
+      () => {
+        graft.pipeline.Similarity.pqIndexTopK(s, idx, "vec_id", q, k = 25, nProbe = 2)
+          .count()
+        ()
+      }
     }))
 }

@@ -1432,6 +1432,45 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("batch IVFADC: single-query parity, and PQ recall@k responds to nProbe") {
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // bucket 0 — the probe
+      (11L, Seq(0.8f, 0.0f, 0.1f, 0.0f)),  // bucket 0
+      (20L, Seq(0.0f, 0.1f, 0.0f, 0.9f))   // bucket 1
+    ).toDF("vec_id", "embedding")
+    val probes = corpus.filter($"vec_id" === 10L)
+    val cb = Similarity.pqGridCodebooks(dim = 4, m = 2, k = 16, lo = -0.75, step = 0.1)
+
+    // Batch == single-query (minus the self row the batch form excludes),
+    // scores included — the nested-HOF lookup table must reproduce the
+    // driver-computed one exactly.
+    for (np <- Seq(1, 2)) {
+      val single = Similarity.ivfPqTopK(corpus, cents, "vec_id", "embedding", cb,
+        Seq(0.9f.toDouble, 0.1f.toDouble, 0.0, 0.0), k = 3, nProbe = np)
+        .filter($"vec_id" =!= 10L).as[(Long, Double)].collect().toSet
+      val batch = Similarity.ivfPqTopKBatch(corpus, cents, probes, "vec_id", "embedding",
+        cb, k = 3, nProbe = np)
+        .select("neighbor_id", "score").as[(Long, Double)].collect().toSet
+      assert(batch === single, s"nProbe=$np")
+    }
+
+    // Recall@2: the exact baseline for probe 10 is {11, 20}; one probed
+    // bucket sees only 11 (recall 0.5), widening to 2 recovers 20 — the
+    // same monotone nProbe knob recallAt pins for plain IVF, now measured
+    // through the ADC scoring path.
+    def recall(np: Int): (Long, Double, Double) =
+      Similarity.pqRecallAt(corpus, cents, probes, "vec_id", "embedding", cb,
+        k = 2, nProbe = np)
+        .select("n_probes", "macro_recall", "micro_recall")
+        .as[(Long, Double, Double)].collect().head
+    assert(recall(1) === ((1L, 0.5, 0.5)))
+    assert(recall(2) === ((1L, 1.0, 1.0)))
+  }
+
   test("quantized search: top-k over dequantized vectors agrees with exact cosine") {
     // 40 deterministic pseudo-random 16-dim vectors; int8 reconstruction
     // perturbs each coordinate by < scale/2, so the cosine ranking over
