@@ -480,6 +480,19 @@ $bandSelects
             table(s, dir, "documents").filter(col("doc_id") < 60), "doc_id")),
         "doc_id", "dhash", maxHamming = 4, bits = 56, bucketCap = 100)
         .orderBy("doc_a", "doc_b")),
+    // Image keep-one-per-cluster (mm8): mm7's pairs resolved by the SAME
+    // BSP min-label machinery the lexical d10 pipeline uses — transitive
+    // perceptual-dup groups collapse to their min-id canonical, unpaired
+    // images pass through. No image-specific dedup code anywhere.
+    "mm8_image_dedup" -> ((s, dir) => {
+      val fps = Multimodal.decodePngDHash(
+        Multimodal.synthesizePngsNear(
+          table(s, dir, "documents").filter(col("doc_id") < 60), "doc_id"))
+        .select("doc_id", "dhash")
+      val pairs = Dedup.hammingPairs(fps, "doc_id", "dhash",
+        maxHamming = 4, bits = 56, bucketCap = 100)
+      Dedup.pruneDuplicates(fps, pairs, "doc_id").orderBy("doc_id")
+    }),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -902,6 +915,44 @@ $bandSelects
   /** DuckDB twin of TextOps.portableHash(v, seed, part). */
   private def sqlHash(seed: Int, v: String, part: Int = 0): String =
     s"('0x' || substr(md5('$seed:' || $v), ${1 + part * 16}, 15))::BIGINT"
+
+  /** Shared replay of the mm7/mm8 image fixture's dHashes: per-variant
+    * pixel formulas (`synthesizePngsNear`) → 8×8 block (sum, count) →
+    * cross-multiplied comparison bits → 56-bit fold, ending in a CTE
+    * `fp(doc_id, dhash)`.
+    */
+  private val dhashNearFpCtes: String =
+    """d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+      |v AS (SELECT doc_id, doc_id % 20 AS base, doc_id // 20 AS var FROM d),
+      |dims AS (SELECT doc_id, base, var,
+      |         16 + base % 16 AS width, 16 + (base*3) % 16 AS height FROM v),
+      |px AS (
+      |  SELECT doc_id, base, var, width, height, tx.x AS x, ty.y AS y
+      |  FROM dims, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+      |             LATERAL (SELECT unnest(range(0, height)) AS y) ty
+      |),
+      |lum AS (
+      |  SELECT doc_id, (x*8)//width AS bx, (y*8)//height AS by,
+      |    (3*x + 7*base) % 180 + (5*x + 7*y + base) % 180
+      |      + (x + 11*y + 13*base) % 180
+      |      + CASE WHEN var = 1 THEN 120
+      |             WHEN var = 2 AND x*8 < width AND y*8 < height THEN 270
+      |             ELSE 0 END AS l
+      |  FROM px
+      |),
+      |blocks AS (
+      |  SELECT doc_id, by, bx,
+      |    CAST(sum(l) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt
+      |  FROM lum GROUP BY 1, 2, 3
+      |),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |    CASE WHEN a.bsum * b.bcnt > b.bsum * a.bcnt
+      |         THEN CAST(1 AS BIGINT) << (a.by*7 + a.bx) ELSE 0 END AS bit
+      |  FROM blocks a JOIN blocks b
+      |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+      |),
+      |fp AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id)""".stripMargin
 
   /** DuckDB replay of the FULL trained-PQ path (e12t): fixture synthesis
     * → per-block portable-hash init → one Lloyd round (round-6 cosine
@@ -2663,42 +2714,36 @@ $bandSelects
     // brute-force hamming <= 4 — exactly what the banded join computes
     // when every bucket is under cap (cap 100 > 60 docs).
     "mm7_image_neardup" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
-        |v AS (SELECT doc_id, doc_id % 20 AS base, doc_id // 20 AS var FROM d),
-        |dims AS (SELECT doc_id, base, var,
-        |         16 + base % 16 AS width, 16 + (base*3) % 16 AS height FROM v),
-        |px AS (
-        |  SELECT doc_id, base, var, width, height, tx.x AS x, ty.y AS y
-        |  FROM dims, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
-        |             LATERAL (SELECT unnest(range(0, height)) AS y) ty
-        |),
-        |lum AS (
-        |  SELECT doc_id, (x*8)//width AS bx, (y*8)//height AS by,
-        |    (3*x + 7*base) % 180 + (5*x + 7*y + base) % 180
-        |      + (x + 11*y + 13*base) % 180
-        |      + CASE WHEN var = 1 THEN 120
-        |             WHEN var = 2 AND x*8 < width AND y*8 < height THEN 270
-        |             ELSE 0 END AS l
-        |  FROM px
-        |),
-        |blocks AS (
-        |  SELECT doc_id, by, bx,
-        |    CAST(sum(l) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt
-        |  FROM lum GROUP BY 1, 2, 3
-        |),
-        |bits AS (
-        |  SELECT a.doc_id,
-        |    CASE WHEN a.bsum * b.bcnt > b.bsum * a.bcnt
-        |         THEN CAST(1 AS BIGINT) << (a.by*7 + a.bx) ELSE 0 END AS bit
-        |  FROM blocks a JOIN blocks b
-        |    ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
-        |),
-        |fp AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS dhash FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
-        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
-        |ORDER BY doc_a, doc_b""".stripMargin)
+      s"""WITH $dhashNearFpCtes
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // mm8: mm7's pairs resolved into transitive clusters (recursive
+    // reachability, min-label canonical — the d10 replay) and the corpus
+    // pruned to canonicals: the image instance of keep-one-per-cluster.
+    "mm8_image_dedup" ->
+      s"""WITH RECURSIVE $dhashNearFpCtes,
+         |prs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+         |),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM prs
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM prs
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
+         |SELECT f.doc_id, f.dhash FROM fp f
+         |WHERE f.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+         |ORDER BY f.doc_id""".stripMargin)
 
   /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
     * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"

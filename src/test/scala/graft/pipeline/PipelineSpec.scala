@@ -1181,6 +1181,30 @@ class PipelineSpec extends GraftSuite {
       assert(pairs.contains((a, b)), s"planted pair ($a, $b) missing")
   }
 
+  test("image keep-one-per-cluster prunes to the min-id canonical of each dup group") {
+    val ids = spark.range(0, 60).toDF("doc_id")
+    val fps = Multimodal.decodePngDHash(Multimodal.synthesizePngsNear(ids, "doc_id"))
+      .select("doc_id", "dhash")
+    val pairFrame = Dedup.hammingPairs(fps, "doc_id", "dhash",
+      maxHamming = 4, bits = 56, bucketCap = 100)
+    val pairList = pairFrame.select("doc_a", "doc_b").as[(Long, Long)].collect()
+    // Reference: union-find over the pair set; keep each component's min.
+    val parent = scala.collection.mutable.Map((0L until 60L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairList.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = (0L until 60L).filter { i =>
+      val root = find(i)
+      (0L until 60L).filter(find(_) == root).min == i
+    }.toSet
+    val kept = Dedup.pruneDuplicates(fps, pairFrame, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === expected)
+    // Every planted variant triple collapsed: no base survives alongside
+    // its brightness twin or tweak.
+    for (base <- 0L until 20L)
+      assert(Seq(base, base + 20, base + 40).count(kept) <= 1, s"base $base")
+  }
+
   test("hamming-ball simhash pairing recovers a planted one-bit flip d4 misses") {
     // Fingerprints, not text: plant exact distances so the assertion is on
     // the banding guarantee itself (within-ball detection is exact).
