@@ -8,13 +8,18 @@ import org.apache.spark.sql.types._
   * `binary` columns plus a typed metadata struct, exactly as a 100 TB
   * training-data lake stores them. The Spark-side plumbing — schema,
   * partition-parallel batch decode, deterministic feature extraction — is
-  * real and tested. IMAGE decode is real too: [[decodePng]] runs the
+  * real and tested. IMAGE decode is real: [[decodePng]] runs the
   * JDK's `javax.imageio` PNG codec through the decoder-per-partition
   * shape against [[synthesizePngs]] fixtures with oracle-predicted
-  * pixels. Audio/video decode remain STUBBED behind [[decodeStub]] /
-  * [[decodeAudioStub]] (no such codecs in this container), deterministic
-  * fakes any real decoder (JNI, subprocess, vectorized UDF) would replace
-  * with the same signature.
+  * pixels. AUDIO decode is real too: [[decodeWav]] runs the JDK's
+  * `javax.sound.sampled` WAV reader against [[synthesizeWavs]] fixtures
+  * with oracle-predicted PCM samples. Multi-frame (video-shaped) decode
+  * is real for GIF: [[decodeGifFrames]]/[[sampleGifFrames]] run the
+  * JDK's animated-GIF codec frame-by-frame against [[synthesizeGifs]]
+  * fixtures. Modern video codecs (H.264 etc.) have no JDK decoder, so
+  * [[decodeStub]] remains as the deterministic fake any real decoder
+  * (JNI, subprocess, vectorized UDF) would replace with the same
+  * signature.
   */
 object Multimodal {
 
@@ -208,6 +213,300 @@ object Multimodal {
             by += 1
           }
           Row.fromSeq(r.toSeq ++ Seq[Any](w, h, dhash))
+        } finally in.close()
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic synthetic WAV fixture — the audio twin of
+    * [[synthesizePngs]]: one real RIFF/WAVE container (16-bit mono
+    * little-endian PCM, encoded by the JDK's `javax.sound.sampled` WAV
+    * writer) per input row, format and samples closed-form functions of
+    * the id so a SQL oracle can predict exactly what a correct decoder
+    * must read back:
+    *
+    *   - `sample_rate = [8000, 16000, 22050][id % 3]`
+    *   - `n_samples   = 400 + (id·37) % 1200`
+    *   - `sample(i)   = ((i² + 7·i·id + 13·id) % 4096) − 2048`
+    *
+    * Every term is nonnegative before the final shift, so the modulo is
+    * engine-agnostic. Payload + typed metadata land in the
+    * [[ingestBinary]] schema (`media_type = audio/wav`).
+    */
+  def synthesizeWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val rdd = docs.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val rate = Array(8000, 16000, 22050)((id % 3).toInt)
+        val n = (400 + (id * 37) % 1200).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val s = (((i.toLong * i + 7L * i * id + 13L * id) % 4096) - 2048).toInt
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(
+          ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        val bytes = bos.toByteArray
+        digest.reset()
+        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("audio/wav", bytes.length.toLong, hex))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL audio decode ([[decodeAudioStub]] retired for WAV the way
+    * [[decodePng]] retired [[decodeStub]] for PNG): each payload parsed
+    * by the JDK's `javax.sound.sampled` WAV reader through the
+    * decoder-per-partition shape, PCM16LE frames unpacked to integer
+    * samples. Emits the decoded `sample_rate`, `n_samples`,
+    * `duration_ms` (= n·1000 div rate, truncating), `sample_sum`,
+    * `energy` (= Σ s², only obtainable by reading every frame — the
+    * audio analogue of mm5's `pixel_sum`), and the raw `samples` array
+    * for downstream per-segment featurization ([[segmentEnergy]]).
+    * WAV PCM is lossless: every value is bit-exact against the
+    * synthesis formulas.
+    */
+  def decodeWav(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+      StructField("duration_ms", LongType), StructField("sample_sum", LongType),
+      StructField("energy", LongType),
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = ais.getFormat
+          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+            s"decodeWav expects 16-bit mono little-endian PCM, got $fmt")
+          val rate = fmt.getSampleRate.toInt
+          val pcm = ais.readAllBytes()
+          val n = pcm.length / 2
+          val samples = new Array[Int](n)
+          var sum = 0L
+          var energy = 0L
+          var i = 0
+          while (i < n) {
+            val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+            samples(i) = s
+            sum += s
+            energy += s.toLong * s
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++
+            Seq[Any](rate, n.toLong, n.toLong * 1000L / rate, sum, energy, samples.toSeq))
+        } finally ais.close()
+      }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Per-segment energy featurization — [[segmentPlan]] made REAL: the
+    * plan's sample offsets drive an actual per-window Σ s² over the
+    * decoded `samples` array ([[decodeWav]] output), the exact-integer
+    * quantity a VAD / loudness-normalization stage thresholds on. The
+    * window slice + fold run as `slice` + `aggregate` HOFs over the
+    * already-decoded array — segmentation itself stays map-only with
+    * fan-out ceil(duration/hop) per asset, no shuffle, and the decode
+    * cost is paid once per asset, not per segment.
+    */
+  def segmentEnergy(decoded: DataFrame, windowMs: Int, hopMs: Int): DataFrame =
+    segmentPlan(decoded, windowMs, hopMs)
+      .withColumn("seg_energy", expr(
+        """aggregate(
+          |  slice(samples, cast(start_sample + 1 as int),
+          |        cast(end_sample - start_sample as int)),
+          |  0L, (acc, x) -> acc + cast(x as bigint) * x)""".stripMargin))
+      .drop("samples")
+
+  /** Deterministic synthetic animated-GIF fixture — the video twin of
+    * [[synthesizePngs]]/[[synthesizeWavs]]: one real multi-frame GIF89a
+    * container per input row (JDK `javax.imageio` GIF sequence writer),
+    * geometry, frame count, and per-frame pixels closed-form functions
+    * of the id:
+    *
+    *   - `width = 16 + id % 8`, `height = 16 + (id·3) % 8`,
+    *     `n_frames = 2 + id % 5`
+    *   - frame f, pixel (x, y): gray value
+    *     `v = (3x + 5y + 11f + id) % 256` (so luminance r+g+b = 3v)
+    *
+    * Grayscale with an explicit 256-entry palette keeps the encode
+    * LOSSLESS (no quantization), so a SQL oracle predicts the decoded
+    * rasters exactly. Payload + typed metadata land in the
+    * [[ingestBinary]] schema (`media_type = image/gif`).
+    */
+  def synthesizeGifs(docs: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val rdd = docs.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val gray = Array.tabulate[Byte](256)(_.toByte)
+      val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val out = rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (16 + id % 8).toInt
+        val h = (16 + (id * 3) % 8).toInt
+        val nFrames = (2 + id % 5).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames) {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+          val raster = img.getRaster
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              raster.setSample(x, y, 0, ((3L * x + 5L * y + 11L * f + id) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          val p = writer.getDefaultWriteParam
+          val md = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), p)
+          val fmt = md.getNativeMetadataFormatName
+          val root = md.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val gce = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          gce.setAttribute("disposalMethod", "none")
+          gce.setAttribute("userInputFlag", "FALSE")
+          gce.setAttribute("transparentColorFlag", "FALSE")
+          gce.setAttribute("delayTime", "10")
+          gce.setAttribute("transparentColorIndex", "0")
+          root.appendChild(gce)
+          md.setFromTree(fmt, root)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, md), p)
+          f += 1
+        }
+        writer.endWriteSequence()
+        ios.close()
+        val bytes = bos.toByteArray
+        digest.reset()
+        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("image/gif", bytes.length.toLong, hex))
+      }
+      out ++ { writer.dispose(); Iterator.empty }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL multi-frame (video-shaped) decode — [[decodeStub]] retired for
+    * GIF: each payload's frame count read from the actual container
+    * (`getNumImages`), every frame decoded to pixels, one output row per
+    * frame with `frame_sum` = Σ(r+g+b) over the frame's raster — only
+    * obtainable by decoding that frame. Decoder-per-partition as
+    * [[decodePng]]; fan-out = n_frames per asset, map-only.
+    */
+  def decodeGifFrames(df: DataFrame): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_frames", IntegerType), StructField("frame_idx", IntegerType),
+      StructField("frame_sum", LongType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val out = rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          // seekForwardOnly = false: getNumImages needs random access.
+          reader.setInput(in, false, true)
+          val n = reader.getNumImages(true)
+          (0 until n).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq[Any](w, h, n, f, sum))
+          }
+        } finally in.close()
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** REAL strided frame sampling — [[sampleFrames]]' plan arithmetic
+    * driving an actual decoder: read the container's true frame count,
+    * pick `ceil(n_frames / maxSamples)`-strided indices (the same
+    * integer stride the planner emits), and decode ONLY those frames
+    * (`ImageReader.read(idx)` random access — GIF frames are
+    * independently LZW-coded). Decode cost scales with `maxSamples`,
+    * not container length — the property that matters when the corpus
+    * holds hour-long assets and the featurizer wants 8 frames.
+    */
+  def sampleGifFrames(df: DataFrame, maxSamples: Int): DataFrame = {
+    require(maxSamples >= 1, s"maxSamples must be >= 1, got $maxSamples")
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("n_frames", IntegerType), StructField("frame_idx", IntegerType),
+      StructField("frame_sum", LongType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val out = rows.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(in, false, true)
+          val n = reader.getNumImages(true)
+          val step = (n + maxSamples - 1) / maxSamples
+          (0 until n by step).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth
+            val h = img.getHeight
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Row.fromSeq(r.toSeq ++ Seq[Any](w, h, n, f, sum))
+          }
         } finally in.close()
       }
       out ++ { reader.dispose(); Iterator.empty }

@@ -493,6 +493,53 @@ $bandSelects
         maxHamming = 4, bits = 56, bucketCap = 100)
       Dedup.pruneDuplicates(fps, pairs, "doc_id").orderBy("doc_id")
     }),
+    // REAL WAV decode (mm9): synthetic RIFF/WAVE PCM16 payloads with
+    // oracle-predicted samples, decoded by the JDK's javax.sound.sampled
+    // codec through the decoder-per-partition shape; energy = sum(s^2)
+    // requires reading every frame, so the oracle proves real decoding,
+    // not header sniffing. The audio twin of mm5.
+    "mm9_decode_wav" -> ((s, dir) =>
+      Multimodal.decodeWav(
+        Multimodal.synthesizeWavs(
+          table(s, dir, "documents").filter(col("doc_id") < 50), "doc_id"))
+        .select("doc_id", "sample_rate", "n_samples", "duration_ms",
+          "sample_sum", "energy")
+        .orderBy("doc_id")),
+    // Per-segment energy (mm10): mm4's segment plan made real — the
+    // plan's sample offsets slice the REAL decoded PCM and fold sum(s^2)
+    // per window, the quantity a VAD / loudness stage thresholds on.
+    // 50 ms windows every 30 ms; exact integer arithmetic end-to-end.
+    "mm10_wav_segments" -> ((s, dir) =>
+      Multimodal.segmentEnergy(
+        Multimodal.decodeWav(
+          Multimodal.synthesizeWavs(
+            table(s, dir, "documents").filter(col("doc_id") < 50), "doc_id")),
+        windowMs = 50, hopMs = 30)
+        .select("doc_id", "sample_rate", "duration_ms", "seg_idx",
+          "start_ms", "end_ms", "start_sample", "end_sample", "seg_energy")
+        .orderBy("doc_id", "seg_idx")),
+    // REAL multi-frame decode (mm11): synthetic animated GIFs (lossless
+    // grayscale palette) decoded frame-by-frame by the JDK's GIF codec —
+    // n_frames from the actual container, frame_sum from each frame's
+    // raster. The video twin of mm5/mm9.
+    "mm11_decode_gif" -> ((s, dir) =>
+      Multimodal.decodeGifFrames(
+        Multimodal.synthesizeGifs(
+          table(s, dir, "documents").filter(col("doc_id") < 40), "doc_id"))
+        .select("doc_id", "width", "height", "n_frames", "frame_idx", "frame_sum")
+        .orderBy("doc_id", "frame_idx")),
+    // Strided frame sampling made REAL (mm12): mm2's plan arithmetic
+    // driving the actual decoder — read the true frame count, decode
+    // ONLY the ceil(n/maxSamples)-strided frames (random access into
+    // independently LZW-coded frames), so decode cost scales with the
+    // sample budget, not container length.
+    "mm12_gif_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleGifFrames(
+        Multimodal.synthesizeGifs(
+          table(s, dir, "documents").filter(col("doc_id") < 40), "doc_id"),
+        maxSamples = 2)
+        .select("doc_id", "n_frames", "frame_idx", "frame_sum")
+        .orderBy("doc_id", "frame_idx")),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -2743,7 +2790,96 @@ $bandSelects
          |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src)
          |SELECT f.doc_id, f.dhash FROM fp f
          |WHERE f.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
-         |ORDER BY f.doc_id""".stripMargin)
+         |ORDER BY f.doc_id""".stripMargin,
+    // mm9: the WAV decoder's output is fully predicted by the synthesis
+    // formulas (rate/length/per-sample value closed-form in doc_id) —
+    // WAV PCM is lossless, so sample_sum and energy are bit-exact
+    // against what a correct decode must read back.
+    "mm9_decode_wav" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS rate,
+        |  400 + (doc_id*37) % 1200 AS n FROM d),
+        |smp AS (
+        |  SELECT doc_id, rate, n, (t.i*t.i + 7*t.i*doc_id + 13*doc_id) % 4096 - 2048 AS s
+        |  FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) t
+        |)
+        |SELECT doc_id, CAST(rate AS INTEGER) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST((n*1000)//rate AS BIGINT) AS duration_ms,
+        |  CAST(sum(s) AS BIGINT) AS sample_sum,
+        |  CAST(sum(s*s) AS BIGINT) AS energy
+        |FROM smp GROUP BY 1, 2, 3, 4 ORDER BY doc_id""".stripMargin,
+    // mm10: the segment plan (50 ms windows / 30 ms hop, truncating
+    // integer sample offsets) replayed over the per-sample synthesis
+    // formula — each window's sum(s^2) folded independently. A window
+    // always holds >= 8 samples (>= 1 ms at >= 8 kHz), so the LATERAL
+    // range is never empty.
+    "mm10_wav_segments" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END AS rate,
+        |  400 + (doc_id*37) % 1200 AS n FROM d),
+        |base AS (SELECT doc_id, rate, n, (n*1000)//rate AS dur FROM dims),
+        |segs AS (
+        |  SELECT doc_id, rate, dur, t.seg_idx, t.seg_idx*30 AS start_ms,
+        |    least(t.seg_idx*30 + 50, dur) AS end_ms
+        |  FROM base, LATERAL (SELECT unnest(range(0, ((dur-1)//30)+1)) AS seg_idx) t
+        |),
+        |sam AS (
+        |  SELECT doc_id, rate, dur, seg_idx, start_ms, end_ms,
+        |    (start_ms*rate)//1000 AS start_sample, (end_ms*rate)//1000 AS end_sample
+        |  FROM segs
+        |)
+        |SELECT s.doc_id, CAST(s.rate AS INTEGER) AS sample_rate,
+        |  CAST(s.dur AS BIGINT) AS duration_ms, CAST(s.seg_idx AS BIGINT) AS seg_idx,
+        |  CAST(s.start_ms AS BIGINT) AS start_ms, CAST(s.end_ms AS BIGINT) AS end_ms,
+        |  CAST(s.start_sample AS BIGINT) AS start_sample,
+        |  CAST(s.end_sample AS BIGINT) AS end_sample,
+        |  CAST(sum(((t.i*t.i + 7*t.i*s.doc_id + 13*s.doc_id) % 4096 - 2048)
+        |         * ((t.i*t.i + 7*t.i*s.doc_id + 13*s.doc_id) % 4096 - 2048)) AS BIGINT)
+        |    AS seg_energy
+        |FROM sam s, LATERAL (SELECT unnest(range(s.start_sample, s.end_sample)) AS i) t
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
+        |ORDER BY doc_id, seg_idx""".stripMargin,
+    // mm11: the multi-frame decoder's output is fully predicted by the
+    // synthesis formulas (geometry, frame count, per-frame gray value
+    // closed-form in doc_id) — the grayscale palette keeps the GIF
+    // encode lossless, so frame_sum = sum(3v) is bit-exact.
+    "mm11_decode_gif" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |dims AS (SELECT doc_id, 16 + doc_id % 8 AS width,
+        |  16 + (doc_id*3) % 8 AS height, 2 + doc_id % 5 AS nf FROM d),
+        |fr AS (SELECT doc_id, width, height, nf, t.f
+        |  FROM dims, LATERAL (SELECT unnest(range(0, nf)) AS f) t),
+        |px AS (
+        |  SELECT doc_id, width, height, nf, f, tx.x AS x, ty.y AS y
+        |  FROM fr, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+        |           LATERAL (SELECT unnest(range(0, height)) AS y) ty
+        |)
+        |SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(sum(3 * ((3*x + 5*y + 11*f + doc_id) % 256)) AS BIGINT) AS frame_sum
+        |FROM px GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id, frame_idx""".stripMargin,
+    // mm12: mm11's per-frame replay restricted to the planner's stride —
+    // indices 0, step, 2·step, … with step = ceil(nf / 2), exactly the
+    // frames the sampling decoder touches.
+    "mm12_gif_frame_sample" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+        |dims AS (SELECT doc_id, 16 + doc_id % 8 AS width,
+        |  16 + (doc_id*3) % 8 AS height, 2 + doc_id % 5 AS nf FROM d),
+        |fr AS (SELECT doc_id, width, height, nf, t.f
+        |  FROM dims, LATERAL (SELECT unnest(range(0, nf, (nf + 1)//2)) AS f) t),
+        |px AS (
+        |  SELECT doc_id, width, height, nf, f, tx.x AS x, ty.y AS y
+        |  FROM fr, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+        |           LATERAL (SELECT unnest(range(0, height)) AS y) ty
+        |)
+        |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
+        |  CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(sum(3 * ((3*x + 5*y + 11*f + doc_id) % 256)) AS BIGINT) AS frame_sum
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, frame_idx""".stripMargin)
 
   /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
     * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"

@@ -1205,6 +1205,108 @@ class PipelineSpec extends GraftSuite {
       assert(Seq(base, base + 20, base + 40).count(kept) <= 1, s"base $base")
   }
 
+  test("real WAV decode: synthesized PCM round-trips bit-exactly through javax.sound.sampled") {
+    // The audio decode is no longer a stub: actual RIFF/WAVE containers,
+    // actual PCM frames. Expected values are the synthesis formulas
+    // computed independently here — energy can only match if the codec
+    // read every frame.
+    val idSeq = Seq(0L, 1L, 2L, 17L, 41L)
+    val ids = idSeq.toDF("doc_id")
+    val decoded = Multimodal.decodeWav(Multimodal.synthesizeWavs(ids, "doc_id"))
+      .select("doc_id", "sample_rate", "n_samples", "duration_ms", "sample_sum", "energy")
+      .as[(Long, Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    for (id <- idSeq) {
+      val rate = Array(8000, 16000, 22050)((id % 3).toInt)
+      val n = (400 + (id * 37) % 1200).toInt
+      var sum = 0L
+      var energy = 0L
+      for (i <- 0 until n) {
+        val s = ((i.toLong * i + 7L * i * id + 13L * id) % 4096) - 2048
+        sum += s
+        energy += s * s
+      }
+      assert(decoded(id) === ((id, rate, n.toLong, n.toLong * 1000L / rate, sum, energy)))
+    }
+    // The payload is a real RIFF/WAVE container, not arbitrary bytes.
+    val magic = Multimodal.synthesizeWavs(ids, "doc_id")
+      .select("payload").as[Array[Byte]].head()
+    assert(new String(magic.take(4), "US-ASCII") === "RIFF")
+    assert(new String(magic.slice(8, 12), "US-ASCII") === "WAVE")
+  }
+
+  test("segment energy: window folds match per-sample formula; non-overlapping windows tile") {
+    val ids = Seq(0L, 1L, 2L, 5L).toDF("doc_id")
+    val decoded = Multimodal.decodeWav(Multimodal.synthesizeWavs(ids, "doc_id"))
+    val segs = Multimodal.segmentEnergy(decoded, windowMs = 50, hopMs = 30)
+      .select("doc_id", "seg_idx", "start_sample", "end_sample", "seg_energy")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(segs.nonEmpty)
+    def sample(id: Long, i: Long): Long = ((i * i + 7L * i * id + 13L * id) % 4096) - 2048
+    segs.foreach { case (id, _, lo, hi, got) =>
+      val expect = (lo until hi).map(i => { val s = sample(id, i); s * s }).sum
+      assert(got === expect, s"doc $id window [$lo, $hi)")
+    }
+    // hop == window: windows tile the planned span [0, dur*rate div 1000)
+    // without overlap, so segment energies sum to the span's total energy.
+    val tiled = Multimodal.segmentEnergy(decoded, windowMs = 50, hopMs = 50)
+      .groupBy("doc_id")
+      .agg(sum("seg_energy").as("total"), max("end_sample").as("span"))
+      .as[(Long, Long, Long)].collect()
+    tiled.foreach { case (id, total, span) =>
+      val expect = (0L until span).map(i => { val s = sample(id, i); s * s }).sum
+      assert(total === expect, s"doc $id tiling")
+    }
+  }
+
+  test("real GIF decode: every synthesized frame round-trips bit-exactly through javax.imageio") {
+    // Multi-frame decode is no longer a stub: real animated GIF89a
+    // containers, a lossless grayscale palette, actual per-frame rasters.
+    val idSeq = Seq(0L, 1L, 4L, 23L)
+    val ids = idSeq.toDF("doc_id")
+    val frames = Multimodal.decodeGifFrames(Multimodal.synthesizeGifs(ids, "doc_id"))
+      .select("doc_id", "width", "height", "n_frames", "frame_idx", "frame_sum")
+      .as[(Long, Int, Int, Int, Int, Long)].collect()
+    def expectSum(id: Long, w: Int, h: Int, f: Int): Long =
+      (for (y <- 0 until h; x <- 0 until w)
+        yield 3L * ((3L * x + 5L * y + 11L * f + id) % 256)).sum
+    for (id <- idSeq) {
+      val w = (16 + id % 8).toInt
+      val h = (16 + (id * 3) % 8).toInt
+      val nf = (2 + id % 5).toInt
+      val mine = frames.filter(_._1 == id).sortBy(_._5)
+      assert(mine.length === nf, s"doc $id frame count")
+      mine.foreach { case (_, gw, gh, gn, f, sum) =>
+        assert((gw, gh, gn) === ((w, h, nf)))
+        assert(sum === expectSum(id, w, h, f), s"doc $id frame $f")
+      }
+    }
+    // The payload is a real GIF89a container.
+    val magic = Multimodal.synthesizeGifs(ids, "doc_id")
+      .select("payload").as[Array[Byte]].head()
+    assert(new String(magic.take(6), "US-ASCII") === "GIF89a")
+  }
+
+  test("strided frame sampling decodes exactly the planner's indices, nothing else") {
+    val ids = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id") // n_frames 2..6 covers every stride
+    val sampled = Multimodal.sampleGifFrames(Multimodal.synthesizeGifs(ids, "doc_id"),
+        maxSamples = 2)
+      .select("doc_id", "n_frames", "frame_idx", "frame_sum")
+      .as[(Long, Int, Int, Long)].collect()
+    // Full-decode ground truth for the sampled indices' sums.
+    val full = Multimodal.decodeGifFrames(Multimodal.synthesizeGifs(ids, "doc_id"))
+      .select("doc_id", "frame_idx", "frame_sum")
+      .as[(Long, Int, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    for (id <- 0L until 5L) {
+      val nf = (2 + id % 5).toInt
+      val step = (nf + 1) / 2
+      val want = (0 until nf by step).toSeq
+      val mine = sampled.filter(_._1 == id).sortBy(_._3)
+      assert(mine.map(_._3).toSeq === want, s"doc $id sampled indices")
+      assert(mine.forall(_._2 == nf))
+      mine.foreach { case (i, _, f, sum) => assert(sum === full((i, f)), s"doc $i frame $f") }
+    }
+  }
+
   test("hamming-ball simhash pairing recovers a planted one-bit flip d4 misses") {
     // Fingerprints, not text: plant exact distances so the assertion is on
     // the banding guarantee itself (within-ball detection is exact).
