@@ -97,6 +97,22 @@ $bandSelects
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zq zq zq")).as("text")))
   }
 
+  /** documents ∪ exact copies of every 10th (+100000) ∪ near copies of
+    * every 25th (+200000, 3 sentinel tokens appended), lang/source carried
+    * through — the p1 pipeline corpus, where the exact-dedup stage and the
+    * near-dup-prune stage each have planted work to do.
+    */
+  private def docsPipeAug(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select("doc_id", "text", "lang", "source")
+    d.unionByName(
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000))
+      .unionByName(
+        d.filter(col("doc_id") % 25 === 0)
+          .withColumn("doc_id", col("doc_id") + 200000)
+          .withColumn("text", concat(col("text"), lit(" zq zq zq"))))
+  }
+
   /** d23 untimed setup (BenchPhases contract): build the at-rest shingle
     * index over the documents corpus once, return (index path, the d12
     * delta frame). The timed section is the disk probe only — the build
@@ -540,6 +556,33 @@ $bandSelects
         maxSamples = 2)
         .select("doc_id", "n_frames", "frame_idx", "frame_sum")
         .orderBy("doc_id", "frame_idx")),
+    // End-to-end curation pipeline (p1): the COMPOSITION a pretraining
+    // corpus actually runs — quality gate → exact dedup → near-dup prune →
+    // per-source cap → train/val/test split — every stage an
+    // already-oracled operator, chained over a corpus augmented with BOTH
+    // exact copies (+100000, every 10th) and near copies (+200000, every
+    // 25th) so each stage visibly bites, and the whole chain verified by
+    // ONE oracle that replays it from the same SQL fragments the stage
+    // oracles use. Composition is where stage-boundary bugs live (a
+    // column renamed, a filter applied to the wrong side), which no
+    // per-stage oracle can see.
+    "p1_curation_pipeline" -> ((s, dir) => {
+      val corpus = docsPipeAug(s, dir)
+      val keepIds = TextStats.qualityFilter(corpus, "doc_id", "text",
+          minTokens = 15, maxTokens = 90, minTypeTokenRatio = 0.25)
+        .filter(col("keep")).select("doc_id")
+      val quality = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+      val deduped = Dedup.exact(quality, "doc_id", "text").drop("n_copies")
+      val pruned = Dedup.withJaccardPairs(
+          deduped, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
+        pairs => Dedup.pruneDuplicates(deduped, pairs, "doc_id"))
+      val capped = Sampling.capPerStratum(pruned, "doc_id", "source",
+        maxPerStratum = 20, seed = 7)
+      Sampling.split(capped, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+        .select("doc_id", "lang", "source", "split")
+        .orderBy("doc_id")
+    }),
     // Benchmark decontamination: the corpus checked against a synthetic
     // "eval set" (every 40th doc verbatim, ids +300000; every 40th+25 doc
     // with 3 sentinel tokens appended, ids +400000 — overlap just under
@@ -2879,7 +2922,68 @@ $bandSelects
         |SELECT doc_id, CAST(nf AS INTEGER) AS n_frames,
         |  CAST(f AS INTEGER) AS frame_idx,
         |  CAST(sum(3 * ((3*x + 5*y + 11*f + doc_id) % 256)) AS BIGINT) AS frame_sum
-        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, frame_idx""".stripMargin)
+        |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, frame_idx""".stripMargin,
+    // p1: the whole curation chain replayed from the SAME fragments the
+    // stage oracles use — t5's quality predicate, d1's sha256 dedup
+    // window, d2/d10's shingle→candidate→verify→recursive-reachability
+    // pipeline (over the POST-dedup corpus, exactly as the Spark side
+    // chains them), s3's cap window, s1's split thresholds. Stage
+    // boundaries are where composition bugs live; this oracle sees them.
+    "p1_curation_pipeline" -> {
+      val Seq(t80, t90) = Sampling.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, text, lang, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' zq zq zq', lang, source FROM documents WHERE doc_id % 25 = 0
+         |),
+         |q AS (
+         |  SELECT doc_id, text, lang, source FROM (
+         |    SELECT raw.*, string_split(text, ' ') AS w FROM raw
+         |  ) WHERE NOT (len(w) < 15 OR len(w) > 90
+         |               OR len(list_distinct(w)) / (len(w) * 1.0) < 0.25)
+         |),
+         |x AS (
+         |  SELECT doc_id, text, lang, source FROM (
+         |    SELECT q.*, row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM q
+         |  ) WHERE rn = 1
+         |),
+         |d AS (SELECT doc_id, text FROM x),
+         |$shingleCtes,
+         |$jaccardPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM vp
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |),
+         |clus AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |kept AS (
+         |  SELECT doc_id FROM d
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
+         |),
+         |capped AS (
+         |  SELECT doc_id, lang, source FROM (
+         |    SELECT x.doc_id, x.lang, x.source,
+         |           row_number() OVER (
+         |             PARTITION BY x.source
+         |             ORDER BY ${sqlHash(7, "x.doc_id::VARCHAR")}, x.doc_id) AS rn
+         |    FROM x JOIN kept USING (doc_id)
+         |  ) WHERE rn <= 20
+         |)
+         |SELECT doc_id, lang, source,
+         |       CASE WHEN h11 < $t80 THEN 'train'
+         |            WHEN h11 < $t90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM (SELECT capped.*, ${sqlHash(11, "doc_id::VARCHAR")} AS h11 FROM capped)
+         |ORDER BY doc_id""".stripMargin
+    })
 
   /** The xxhash64 fast twins (d6/d7) share d2's exact-jaccard oracle
     * verbatim — the d9/d22 "two algorithms, one ground truth, one oracle"

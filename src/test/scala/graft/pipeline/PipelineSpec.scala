@@ -2099,4 +2099,57 @@ class PipelineSpec extends GraftSuite {
     assert(out(0L) === ((0L, 4L, 7, 3L, 0.75)))
     assert(out(1L) === ((1L, 2L, 2, 1L, 0.5))) // count tie → label 2 < 5 wins
   }
+
+  test("curation pipeline composition: every stage's contract holds on the end-to-end output") {
+    // p1 chains five independently-oracled stages; this spec pins the
+    // STAGE-BOUNDARY contracts on the composed output (the oracle pins
+    // exact row equality; this explains WHY the output is right).
+    val dir = graft.SparkTestBase.sf0001
+    val out = graft.SparkEntry.queries("p1_curation_pipeline")(spark, dir)
+      .select("doc_id", "lang", "source", "split")
+      .as[(Long, String, String, String)].collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_._1)
+    assert(ids.distinct.length === ids.length, "output ids unique")
+
+    // Stage 1 (quality): every survivor passes the gate, recomputed here.
+    val raw = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "lang", "source")
+    val aug = raw
+      .unionByName(raw.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 100000))
+      .unionByName(raw.filter(col("doc_id") % 25 === 0)
+        .withColumn("doc_id", col("doc_id") + 200000)
+        .withColumn("text", concat(col("text"), lit(" zq zq zq"))))
+    val pass = TextStats.qualityFilter(aug, "doc_id", "text",
+        minTokens = 15, maxTokens = 90, minTypeTokenRatio = 0.25)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    assert(ids.forall(pass), "every output doc passes the quality gate")
+
+    // Stage 2 (exact dedup): a planted exact copy whose original also
+    // survived quality never reaches the output — the min-id original does.
+    val copies = ids.filter(id => id >= 100000 && id < 200000)
+    assert(copies.isEmpty, s"exact copies must collapse, got ${copies.toSeq}")
+
+    // Stage 3 (near-dup prune): a planted near copy whose original also
+    // passed quality is pruned (jaccard (T-2)/(T+1) >= 0.6 at T >= 15).
+    val nearSurvivors = ids.filter(_ >= 200000)
+      .filter(id => pass(id - 200000))
+    assert(nearSurvivors.isEmpty,
+      s"near copies with surviving originals must prune, got ${nearSurvivors.toSeq}")
+
+    // Stage 4 (cap): no source exceeds its budget.
+    val bySource = out.groupBy(_._3).map { case (_, g) => g.length }
+    assert(bySource.forall(_ <= 20), "per-source cap respected")
+
+    // Stage 5 (split): the assignment is exactly Sampling.split's hash
+    // decision for the id — recomputed per row, disjoint and exhaustive.
+    val expectSplit = Sampling.split(
+        out.map(_._1).toSeq.toDF("doc_id"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 11)
+      .as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, _, split) =>
+      assert(split === expectSplit(id), s"doc $id split")
+    }
+  }
 }
