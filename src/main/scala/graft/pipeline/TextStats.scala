@@ -71,6 +71,66 @@ object TextStats {
       .select(col(groupCol), col("term"), col("tf"), col("df"), col("score"), col("rnk"))
   }
 
+  /** Okapi BM25 ad-hoc retrieval (Robertson–Spärck Jones, with Lucene's
+    * `+1` idf floor so scores stay nonnegative at any df): score every
+    * document against a fixed bag of query terms and return the top k —
+    * the "find me training docs about X" query a curation team runs
+    * against the corpus (targeted eval-set construction, contamination
+    * triage, domain spot checks).
+    *
+    *   score(d) = Σ_t ln(1 + (N − df_t + 0.5)/(df_t + 0.5))
+    *              · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: per-term tf and dl are HOF projections over the token
+    * array — the token rows NEVER explode and nothing shuffles on tokens;
+    * the corpus stats (N, Σdl, per-term df) partial-aggregate to ONE row
+    * broadcast back; the top-k is TakeOrdered (no global sort). Two
+    * pruned columnar scans by design (stats pass + score pass), the
+    * classic two-pass ad-hoc BM25 — for repeated query workloads build a
+    * posting-list index instead (the C82 persisted-index pattern).
+    *
+    * Determinism across engines (the t12 discipline): Σdl and df are
+    * exact integer sums, avgdl one double division, the per-term
+    * contributions summed left-to-right in query-term order, and the
+    * final score rounded to 6 decimals — the ranking sorts on the
+    * ROUNDED score with the id as tiebreak, so the top-k cut is
+    * deterministic on both sides.
+    *
+    * @return (id, dl, tf0..tf{q-1} — one per query term in order, score),
+    *         top k by (score desc, id asc).
+    */
+  def bm25TopK(
+      docs: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term required")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__w"))
+      .withColumn("__dl", size(col("__w")).cast("long"))
+    val withTf = queryTerms.zipWithIndex.foldLeft(base) { case (d, (t, i)) =>
+      d.withColumn(s"tf$i", size(filter(col("__w"), x => x === lit(t))).cast("long"))
+    }.drop("__w")
+    val statAggs = Seq(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl")) ++
+      queryTerms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val contribs = queryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(
+        (col("__n").cast("double") - col(s"__df$i").cast("double") + lit(0.5)) /
+          (col(s"__df$i").cast("double") + lit(0.5)) + lit(1.0))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("score", round(contribs.reduceLeft(_ + _), 6))
+      .select(Seq(col(idCol), col("__dl").as("dl")) ++
+        queryTerms.indices.map(i => col(s"tf$i")) :+ col("score"): _*)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Vocabulary-coverage / OOV-rate report (C90): build the top-V corpus
     * vocabulary by token OCCURRENCE count (deterministic tie-break:
     * count desc, token asc — both engines rank identically) and score

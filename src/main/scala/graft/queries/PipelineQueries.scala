@@ -97,6 +97,9 @@ $bandSelects
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zq zq zq")).as("text")))
   }
 
+  /** t23's query bag: one discriminating rare term + two common ones. */
+  private val Bm25Terms = Seq("dup", "merge", "hash")
+
   /** documents ∪ exact copies of every 10th (+100000) ∪ near copies of
     * every 25th (+200000, 3 sentinel tokens appended), lang/source carried
     * through — the p1 pipeline corpus, where the exact-dedup stage and the
@@ -556,6 +559,15 @@ $bandSelects
         maxSamples = 2)
         .select("doc_id", "n_frames", "frame_idx", "frame_sum")
         .orderBy("doc_id", "frame_idx")),
+    // BM25 ad-hoc retrieval (t23): top-25 docs for a 3-term query mixing
+    // one rare term (dup, df=25) with two common ones — the "find me
+    // training docs about X" query a curation team runs for targeted
+    // eval construction or contamination triage. HOF tf (tokens never
+    // explode), one broadcast stats row, TakeOrdered — and the t12 float
+    // discipline (fixed fold order, round 6) for the cross-engine hash.
+    "t23_bm25" -> ((s, dir) =>
+      TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+        Bm25Terms, k = 25)),
     // End-to-end curation pipeline (p1): the COMPOSITION a pretraining
     // corpus actually runs — quality gate → exact dedup → near-dup prune →
     // per-source cap → train/val/test split — every stage an
@@ -2923,6 +2935,36 @@ $bandSelects
         |  CAST(f AS INTEGER) AS frame_idx,
         |  CAST(sum(3 * ((3*x + 5*y + 11*f + doc_id) % 256)) AS BIGINT) AS frame_sum
         |FROM px GROUP BY 1, 2, 3 ORDER BY doc_id, frame_idx""".stripMargin,
+    // t23: the BM25 formula replayed term-by-term with the SAME left-to-
+    // right contribution order and the SAME double constants (k1+1, k1,
+    // 1−b, b interpolated from the Scala values, so both engines parse
+    // the identical literals); tf/dl via list HOFs, df/N/Σdl in one
+    // stats CTE, score rounded to 6 — the t12 float discipline.
+    "t23_bm25" -> {
+      val k1 = 1.2
+      val b = 0.75
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(w, x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val contribs = Bm25Terms.indices.map { i =>
+        s"ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)" +
+          s" * (CAST(tf$i AS DOUBLE) * ${k1 + 1.0})" +
+          s" / (CAST(tf$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE)" +
+          s" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM base)
+         |SELECT doc_id, dl,
+         |       ${Bm25Terms.indices.map(i => s"CAST(tf$i AS BIGINT) AS tf$i").mkString(", ")},
+         |       round($contribs, 6) AS score
+         |FROM base CROSS JOIN stats
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+    },
     // p1: the whole curation chain replayed from the SAME fragments the
     // stage oracles use — t5's quality predicate, d1's sha256 dedup
     // window, d2/d10's shingle→candidate→verify→recursive-reachability

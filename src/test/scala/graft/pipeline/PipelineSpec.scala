@@ -2100,6 +2100,42 @@ class PipelineSpec extends GraftSuite {
     assert(out(1L) === ((1L, 2L, 2, 1L, 0.5))) // count tie → label 2 < 5 wins
   }
 
+  test("bm25: hand-computed scores on a planted corpus, rare term dominates, map-only plan") {
+    // N=4, Σdl=18, avgdl=4.5; df(dup)=df(merge)=2 → idf = ln(2.5/2.5 + 1)
+    // = ln 2 for both terms. Expected scores derived from the formula
+    // with these hand-checked constants, NOT by calling the operator.
+    val docs = Seq(
+      (1L, "dup dup alpha beta"),
+      (2L, "merge alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "dup merge alpha")
+    ).toDF("doc_id", "text")
+    val out = TextStats.bm25TopK(docs, "doc_id", "text", Seq("dup", "merge"), k = 4)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    def term(tf: Double, dl: Double): Double =
+      math.log(2.0) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 4.5))
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = Map(
+      1L -> r6(term(2, 4) + term(0, 4)),
+      2L -> r6(term(0, 5) + term(1, 5)),
+      3L -> 0.0,
+      4L -> r6(term(1, 3) + term(1, 3)))
+    out.foreach { case (id, _, _, _, score) => assert(score === expect(id), s"doc $id") }
+    // Both-term doc 4 outranks single-term docs; the no-hit doc is last at 0.
+    assert(out.map(_._1).toSeq === Seq(4L, 1L, 2L, 3L))
+    // tf/dl evidence columns surface what the score used.
+    val byId = out.map(o => o._1 -> o).toMap
+    assert(byId(1L)._2 === 4L && byId(1L)._3 === 2L && byId(1L)._4 === 0L)
+    // Scale pin: tokens never explode (no Generate) and the top-k is
+    // TakeOrdered, not a global sort. k strictly below the corpus size —
+    // at k >= maxRows Catalyst ELIMINATES the limit and a plain sort is
+    // the right plan anyway.
+    val plan = TextStats.bm25TopK(docs, "doc_id", "text", Seq("dup", "merge"), k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "tf must be a HOF projection, not an explode")
+    assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
+  }
+
   test("curation pipeline composition: every stage's contract holds on the end-to-end output") {
     // p1 chains five independently-oracled stages; this spec pins the
     // STAGE-BOUNDARY contracts on the composed output (the oracle pins
