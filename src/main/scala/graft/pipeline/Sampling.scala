@@ -332,4 +332,69 @@ object Sampling {
       .filter(col("__dcum") <= col("__rem"))
     fullKeep.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-unigram distribution looks like a
+    * TARGET corpus rather than the raw corpus itself —
+    *
+    *   score(d) = (1/|d|) · Σ_tokens ln( p̂_target(b(w)) / p̂_raw(b(w)) )
+    *
+    * with b(w) a portable-hash bucket in [0, buckets) and both
+    * distributions add-k smoothed. The standard cheap proxy for "give me
+    * more data like THIS slice" (a trusted domain, a high-quality
+    * source): rank by score and feed [[selectUnderBudget]] /
+    * [[capPerStratum]] to take the cut.
+    *
+    * Scale shape: both n-gram histograms partial-aggregate to `buckets`
+    * rows (≪ corpus) and broadcast; the scoring pass is one token
+    * explode joined to those broadcasts, folded per doc — the t12 NLL
+    * shape, one shuffle keyed on the id. Nothing scales with corpus size
+    * except the linear scans.
+    *
+    * Determinism: the per-token ln terms fold position-ordered
+    * (left-to-right, both engines), the smoothing denominators are
+    * single interpolatable constants, and the final score rounds to 6
+    * decimals.
+    *
+    * @return (id, n_tokens, avg_lir) — avg log importance ratio, one row
+    *         per `raw` document; positive = more target-like than the
+    *         raw average.
+    */
+  def dsirScores(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 1024, seed: Int = 31, addK: Double = 1.0,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    require(addK > 0, s"addK must be > 0 (smoothing keeps empty buckets finite), got $addK")
+    def hist(docs: DataFrame, cnt: String, tot: String): (DataFrame, DataFrame) = {
+      val h = docs
+        .select(explode(TextOps.tokens(col(textCol))).as("__w"))
+        .select(pmod(hashMode.hash(col("__w"), seed), lit(buckets.toLong)).as("__b"))
+        .groupBy("__b").agg(count(lit(1)).as(cnt))
+      (h, h.agg(sum(col(cnt)).as(tot)))
+    }
+    val (tb, tn) = hist(target, "__ct", "__nt")
+    val (rb, rn) = hist(raw, "__cr", "__nr")
+    val denom = lit(addK * buckets)
+    val tok = raw.select(
+      col(idCol).as("__id"), posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .select(col("__id"), col("__pos"),
+        pmod(hashMode.hash(col("__w"), seed), lit(buckets.toLong)).as("__b"))
+    tok
+      .join(broadcast(tb), Seq("__b"), "left")
+      .join(broadcast(rb), Seq("__b"))
+      .crossJoin(broadcast(tn)).crossJoin(broadcast(rn))
+      .withColumn("__lnw", log(
+        ((coalesce(col("__ct"), lit(0L)) + lit(addK)) / (col("__nt") + denom)) /
+          ((col("__cr") + lit(addK)) / (col("__nr") + denom))))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("__pos"), col("__lnw"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("__lnw")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__sum") / col("n_tokens"), 6).as("avg_lir"))
+  }
 }

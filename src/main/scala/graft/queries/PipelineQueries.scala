@@ -568,6 +568,18 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // DSIR importance scores (s10): every document scored by how much
+    // its hashed-unigram distribution looks like the German slice rather
+    // than the corpus average — the "give me more like THIS" ranking
+    // that feeds selectUnderBudget/capPerStratum for the actual cut.
+    // Both histograms collapse to 256 broadcast rows; the scoring pass
+    // is the t12 position-ordered fold.
+    "s10_dsir" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      Sampling.dsirScores(d, d.filter(col("lang") === "de"), "doc_id", "text",
+        buckets = 256, seed = 31)
+        .orderBy("doc_id")
+    }),
     // End-to-end curation pipeline (p1): the COMPOSITION a pretraining
     // corpus actually runs — quality gate → exact dedup → near-dup prune →
     // per-source cap → train/val/test split — every stage an
@@ -2964,6 +2976,36 @@ $bandSelects
          |       round($contribs, 6) AS score
          |FROM base CROSS JOIN stats
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+    },
+    // s10: both hashed histograms, the smoothed ratio (denominators
+    // interpolated as single constants), and t12's position-ordered
+    // list_reduce fold — per-token ln terms summed left-to-right exactly
+    // as Spark's aggregate HOF does.
+    "s10_dsir" -> {
+      val b = 256
+      val denom = 1.0 * b // addK * buckets, as ONE interpolated constant
+      s"""WITH ttok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'de'),
+         |tb AS (SELECT ${sqlHash(31, "w")} % $b AS b, count(*) AS ct FROM ttok GROUP BY 1),
+         |tn AS (SELECT sum(ct) AS nt FROM tb),
+         |rws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |rtok AS (SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM rws),
+         |rbk AS (SELECT doc_id, pos, ${sqlHash(31, "w")} % $b AS b FROM rtok),
+         |rb AS (SELECT b, count(*) AS cr FROM rbk GROUP BY b),
+         |rn AS (SELECT sum(cr) AS nr FROM rb),
+         |scored AS (
+         |  SELECT rbk.doc_id, rbk.pos,
+         |         ln(((coalesce(tb.ct, 0) + 1.0) / (tn.nt + $denom)) /
+         |            ((rb.cr + 1.0) / (rn.nr + $denom))) AS lnw
+         |  FROM rbk LEFT JOIN tb USING (b) JOIN rb USING (b)
+         |  CROSS JOIN tn CROSS JOIN rn
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         list_reduce(list(lnw ORDER BY pos), (acc, x) -> acc + x) AS s
+         |  FROM scored GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_lir
+         |FROM perdoc ORDER BY doc_id""".stripMargin
     },
     // p1: the whole curation chain replayed from the SAME fragments the
     // stage oracles use — t5's quality predicate, d1's sha256 dedup

@@ -2136,6 +2136,48 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("dsir: target-vocab docs outrank off-target, signs split, independent replay matches") {
+    // Target slice speaks {aa, bb}; raw adds {zz, yy} docs. addK small so
+    // the smoothing mass doesn't swamp the 16-token corpus.
+    val raw = Seq(
+      (1L, "aa bb aa bb", "t"),
+      (2L, "aa bb zz yy", "m"),
+      (3L, "zz yy zz yy", "o"),
+      (4L, "aa aa aa aa", "t")
+    ).toDF("doc_id", "text", "grp")
+    val target = raw.filter(col("grp") === "t").select("doc_id", "text")
+    val buckets = 64
+    val addK = 0.01
+    val out = Sampling.dsirScores(raw, target, "doc_id", "text",
+        buckets = buckets, seed = 5, addK = addK)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(1L) > out(2L) && out(2L) > out(3L), s"ranking: $out")
+    assert(out(1L) > 0 && out(4L) > 0, "pure target vocab scores positive")
+    assert(out(3L) < 0, "pure off-target vocab scores negative")
+    // Independent replay: bucket assignment read off the hash expression
+    // standalone, then plain-Scala histograms + the published formula,
+    // summed in position order — must match to the rounded digit.
+    val bucketOf = Seq("aa", "bb", "zz", "yy").toDF("w")
+      .select(col("w"), pmod(HashMode.Md5Portable.hash(col("w"), 5), lit(buckets.toLong)).as("b"))
+      .as[(String, Long)].collect().toMap
+    val docs = Map(
+      1L -> "aa bb aa bb", 2L -> "aa bb zz yy", 3L -> "zz yy zz yy", 4L -> "aa aa aa aa")
+    val tTok = Seq(1L, 4L).flatMap(id => docs(id).split(" ")).map(bucketOf)
+    val rTok = docs.values.flatMap(_.split(" ")).map(bucketOf).toSeq
+    val (ct, cr) = (tTok.groupBy(identity).map { case (b, g) => b -> g.size },
+      rTok.groupBy(identity).map { case (b, g) => b -> g.size })
+    val denom = addK * buckets
+    def r6(x: Double): Double = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    docs.foreach { case (id, text) =>
+      val lnws = text.split(" ").map { w =>
+        val b = bucketOf(w)
+        math.log(((ct.getOrElse(b, 0) + addK) / (tTok.size + denom)) /
+          ((cr(b) + addK) / (rTok.size + denom)))
+      }
+      assert(out(id) === r6(lnws.sum / lnws.length), s"doc $id replay")
+    }
+  }
+
   test("curation pipeline composition: every stage's contract holds on the end-to-end output") {
     // p1 chains five independently-oracled stages; this spec pins the
     // STAGE-BOUNDARY contracts on the composed output (the oracle pins
