@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column-level building blocks for the training-data-pipeline operators
@@ -83,6 +83,34 @@ object TextOps {
     */
   def sentences(text: Column): Column =
     split(regexp_replace(text, "([.!?])\\s+", "$1\u0001"), "\u0001")
+
+  /** Intra-document repeated-sentence removal — the self-repetition
+    * cleanup (CCNet/RefinedWeb-style) that complements the CROSS-doc
+    * dedup family: chat transcripts, scraped boilerplate, and generation
+    * loops repeat whole sentences inside ONE document, which no
+    * doc-level or cross-doc block dedup touches. Keeps the FIRST
+    * occurrence of each distinct sentence (segmentation per
+    * [[sentences]]), preserving order, and reports the drop count.
+    *
+    * Rejoin normalizes inter-sentence whitespace to a single space (the
+    * split consumed it) — the same canonicalization the chunkers apply.
+    *
+    * Scale shape: map-only — one projection, no shuffle, no explode; the
+    * first-occurrence fold is an `aggregate` HOF over the per-doc
+    * sentence array (quadratic in SENTENCES PER DOC, which is bounded
+    * and tiny — never in corpus size).
+    *
+    * @return (id, text_clean, n_dropped).
+    */
+  def dropRepeatedSentences(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = sentences(col(textCol))
+    val kept = aggregate(sents, array().cast("array<string>"),
+      (acc, x) => when(array_contains(acc, x), acc).otherwise(concat(acc, array(x))))
+    docs.select(
+      col(idCol),
+      array_join(kept, " ").as("text_clean"),
+      (size(sents) - size(kept)).cast("long").as("n_dropped"))
+  }
 
   /** PII patterns redacted by [[redactPii]], applied in order. Both
     * patterns evaluate identically under Java regex (Spark) and RE2

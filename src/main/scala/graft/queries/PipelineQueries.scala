@@ -568,6 +568,22 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // Intra-doc repeated-sentence removal (t24): the corpus has no
+    // native sentence repeats, so each doc gets its own FIRST sentence
+    // re-appended (the t19 period-planting trick supplies sentence
+    // boundaries) — the cleanup then drops exactly that plant while
+    // single-sentence docs (no "table ", hence no boundary) pass
+    // through with n_dropped = 0. Map-only: no shuffle, no explode.
+    "t24_sentence_dedup" -> ((s, dir) => {
+      import graft.pipeline.TextOps
+      val d = table(s, dir, "documents").select(col("doc_id"),
+        regexp_replace(col("text"), "table ", "table. ").as("t0"))
+      val planted = d.select(col("doc_id"),
+        concat(col("t0"), lit(". "),
+          element_at(TextOps.sentences(col("t0")), 1)).as("text"))
+      TextOps.dropRepeatedSentences(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // DSIR importance scores (s10): every document scored by how much
     // its hashed-unigram distribution looks like the German slice rather
     // than the corpus average — the "give me more like THIS" ranking
@@ -2977,6 +2993,37 @@ $bandSelects
          |FROM base CROSS JOIN stats
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
     },
+    // t24: the identical planting (periods, then first sentence
+    // re-appended) and the first-occurrence semantics as min(pos) per
+    // distinct sentence, re-joined in first-seen order — exact string
+    // output, no floats.
+    "t24_sentence_dedup" ->
+      """WITH d0 AS (
+        |  SELECT doc_id, regexp_replace(text, 'table ', 'table. ', 'g') AS t0
+        |  FROM documents),
+        |sp0 AS (
+        |  SELECT doc_id, t0,
+        |         string_split(regexp_replace(t0, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS s0
+        |  FROM d0),
+        |d AS (SELECT doc_id, t0 || '. ' || s0[1] AS text FROM sp0),
+        |sp AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS sents
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(sents) + 1),
+        |                               i -> {'pos': i, 's': sents[i]})) AS r
+        |  FROM sp),
+        |f AS (SELECT doc_id, r.pos AS pos, r.s AS s FROM e),
+        |k AS (SELECT doc_id, s, min(pos) AS fpos FROM f GROUP BY doc_id, s),
+        |agg AS (
+        |  SELECT doc_id, string_agg(s, ' ' ORDER BY fpos) AS text_clean,
+        |         count(*) AS n_kept
+        |  FROM k GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id)
+        |SELECT a.doc_id, a.text_clean, CAST(t.n - a.n_kept AS BIGINT) AS n_dropped
+        |FROM agg a JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin,
     // s10: both hashed histograms, the smoothed ratio (denominators
     // interpolated as single constants), and t12's position-ordered
     // list_reduce fold — per-token ln terms summed left-to-right exactly

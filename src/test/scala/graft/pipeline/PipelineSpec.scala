@@ -2136,6 +2136,27 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("repeated-sentence removal: first occurrence kept in order, whitespace normalized, map-only") {
+    val docs = Seq(
+      (1L, "a b. c d. a b. e"),      // planted repeat mid-doc
+      (2L, "x y. z w."),             // no repeats — unchanged
+      (3L, "q r.  s t. q r. q r."),  // double space + two repeats
+      (4L, "solo sentence no punct")
+    ).toDF("doc_id", "text")
+    val out = TextOps.dropRepeatedSentences(docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (("a b. c d. e", 1L)))
+    assert(out(2L) === (("x y. z w.", 0L)))
+    // the split consumes inter-sentence whitespace runs, so the rejoin
+    // canonicalizes the double space; both "q r." repeats drop.
+    assert(out(3L) === (("q r. s t.", 2L)))
+    assert(out(4L) === (("solo sentence no punct", 0L)))
+    // Map-only: no shuffle, no explode.
+    val plan = TextOps.dropRepeatedSentences(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Generate"))
+  }
+
   test("dsir: target-vocab docs outrank off-target, signs split, independent replay matches") {
     // Target slice speaks {aa, bb}; raw adds {zz, yy} docs. addK small so
     // the smoothing mass doesn't swamp the 16-token corpus.
