@@ -1809,4 +1809,60 @@ object Dedup {
     val fresh = blocks.join(corpusBlocks.select("h"), Seq("h"), "left_anti")
     reassembleKept(newDocs, firstOccurrenceOf(fresh), idCol, textCol, blockTokens)
   }
+
+  /** Repeated-span detection at token-gram granularity — the sliding
+    * (every-position) refinement of the FIXED-boundary block family
+    * (C42), after Lee et al. 2022's exact-substring dedup: an n-token
+    * gram occurring more than once ANYWHERE in the corpus (another doc
+    * or the same one) marks every position it covers as repeated, and
+    * per document the hit positions merge into maximal spans —
+    * [start_tok, end_tok) intervals a removal/masking pass consumes.
+    * Fixed blocks miss a duplicated passage that straddles a boundary;
+    * sliding grams cannot.
+    *
+    * Occurrence-based (df counts occurrences, not documents) so
+    * intra-doc repetition is flagged too — consistent with the suffix
+    * array the technique approximates.
+    *
+    * Scale shape: positioned gram hashes are corpus-token-sized but
+    * NEVER joined pairwise — one count window keyed on the gram hash
+    * (the d2 inverted-index exchange), a filter to the (tiny at real n)
+    * repeated subset, then one doc-keyed window to merge hits into
+    * spans. Two shuffles total, both on natural keys; no dfCap is
+    * needed because fan-out is positions, not pairs.
+    *
+    * @param n gram width in tokens (Lee et al. use ~50; choose ≥ the
+    *          shortest span worth removing).
+    * @return (id, span_idx, start_tok, end_tok, n_grams) — token
+    *         offsets, end exclusive; span_idx 1-based in position order.
+    */
+  def repeatedSpans(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 50,
+      hashMode: HashMode = HashMode.Md5Portable, seed: Int = 43): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val grams = docs
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"), explode(expr(
+        s"transform(sequence(0, size(__w) - $n), " +
+          s"p -> struct(p AS pos, array_join(slice(__w, p + 1, $n), ' ') AS gram))")).as("__g"))
+      .select(col("__id"), col("__g.pos").as("__pos"),
+        hashMode.hash(col("__g.gram"), seed).as("__h"))
+    val hits = grams
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__df") >= 2)
+      .select("__id", "__pos")
+    val wo = Window.partitionBy("__id").orderBy("__pos")
+    hits
+      .withColumn("__prev", lag("__pos", 1).over(wo))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("__pos") - col("__prev") > n, 1).otherwise(0))
+      .withColumn("__grp", sum(col("__new")).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__id").as(idCol), col("__grp").as("span_idx"))
+      .agg(
+        min(col("__pos")).cast("long").as("start_tok"),
+        (max(col("__pos")) + lit(n)).cast("long").as("end_tok"),
+        count(lit(1)).as("n_grams"))
+  }
 }

@@ -568,6 +568,19 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // Repeated-span detection (d26): the dup-augmented corpus (whole-doc
+    // copies become full-width spans) plus a shared 10-token sentinel
+    // tail on every 7th doc (a PARTIAL cross-doc span the fixed-block
+    // family would straddle) — gram-granular, every position slides.
+    "d26_repeated_spans" -> ((s, dir) => {
+      val d = docsDupAug(s, dir).select("doc_id", "text")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")))
+          .otherwise(col("text")))
+      Dedup.repeatedSpans(planted, "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_idx")
+    }),
     // Intra-doc repeated-sentence removal (t24): the corpus has no
     // native sentence repeats, so each doc gets its own FIRST sentence
     // re-appended (the t19 period-planting trick supplies sentence
@@ -612,7 +625,13 @@ $bandSelects
           minTokens = 15, maxTokens = 90, minTypeTokenRatio = 0.25)
         .filter(col("keep")).select("doc_id")
       val quality = corpus.join(keepIds, Seq("doc_id"), "left_semi")
+      // Stage boundary materialized (the PipelineDemo discipline): the
+      // deduped frame feeds the shingle-index build AND the prune
+      // passthrough — without this the quality semi-join + dedup agg
+      // recompute once per consumer (the demo-scale analog of the
+      // intermediate parquet a production pipeline writes here).
       val deduped = Dedup.exact(quality, "doc_id", "text").drop("n_copies")
+        .localCheckpoint(true)
       val pruned = Dedup.withJaccardPairs(
           deduped, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
         pairs => Dedup.pruneDuplicates(deduped, pairs, "doc_id"))
@@ -2992,6 +3011,40 @@ $bandSelects
          |       round($contribs, 6) AS score
          |FROM base CROSS JOIN stats
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
+    },
+    // d26: identical planting, positioned gram hashes via the same
+    // portable hash over the space-joined token slice, occurrence df as
+    // a count window on the hash, and the same lag/flag/running-sum
+    // interval merge — exact integers end to end.
+    "d26_repeated_spans" -> {
+      val n = 8
+      s"""WITH $dupAugCte,
+         |pl AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' q0 q1 q2 q3 q4 q5 q6 q7 q8 q9' ELSE text END AS text
+         |  FROM d),
+         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM pl),
+         |g AS (
+         |  SELECT doc_id, t.p AS pos,
+         |         ${sqlHash(43, s"array_to_string(list_slice(w, t.p + 1, t.p + $n), ' ')")} AS h
+         |  FROM words, LATERAL (SELECT unnest(range(0, len(w) - $n + 1)) AS p) t
+         |  WHERE len(w) >= $n
+         |),
+         |rep AS (SELECT doc_id, pos FROM (
+         |  SELECT g.*, count(*) OVER (PARTITION BY h) AS df FROM g) WHERE df >= 2),
+         |m AS (
+         |  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM rep),
+         |mk AS (SELECT doc_id, pos,
+         |  CASE WHEN prev IS NULL OR pos - prev > $n THEN 1 ELSE 0 END AS nw FROM m),
+         |sp AS (SELECT doc_id, pos,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM mk)
+         |SELECT doc_id, CAST(grp AS BIGINT) AS span_idx,
+         |       CAST(min(pos) AS BIGINT) AS start_tok,
+         |       CAST(max(pos) + $n AS BIGINT) AS end_tok,
+         |       count(*) AS n_grams
+         |FROM sp GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_idx""".stripMargin
     },
     // t24: the identical planting (periods, then first sentence
     // re-appended) and the first-occurrence semantics as min(pos) per

@@ -2136,6 +2136,32 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("repeated spans: cross-doc and intra-doc grams merge into maximal intervals") {
+    // n = 3. d1/d2 share "p q r s" (two overlapping grams -> one merged
+    // span each); d3 repeats its own opening 3-gram (intra-doc, gap 6 > n
+    // -> two spans); d4/d5 share two passages at gap == n (merge) and
+    // gap n+1 (stay separate) -- the adjacency boundary both ways.
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x x p q r s y z"),
+      (3L, "m n o k k k m n o"),
+      (4L, "a1 a2 a3 b1 b2 b3 c"),
+      (5L, "a1 a2 a3 z b1 b2 b3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      (1L, 1L, 0L, 4L, 2L),
+      (2L, 1L, 2L, 6L, 2L),
+      (3L, 1L, 0L, 3L, 1L), (3L, 2L, 6L, 9L, 1L),
+      (4L, 1L, 0L, 6L, 2L),
+      (5L, 1L, 0L, 3L, 1L), (5L, 2L, 4L, 7L, 1L)))
+    // Docs shorter than n produce no grams and are absent, not errors.
+    val short = Dedup.repeatedSpans(Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", n = 3)
+    assert(short.count() === 0)
+  }
+
   test("repeated-sentence removal: first occurrence kept in order, whitespace normalized, map-only") {
     val docs = Seq(
       (1L, "a b. c d. a b. e"),      // planted repeat mid-doc
