@@ -46,6 +46,30 @@ object Multimodal {
         sha2(bin, 256).as("digest")).as("meta"))
   }
 
+  /** Container sniffing from payload magic bytes — crawl metadata LIES
+    * (mislabeled uploads, extension-renamed files, content-type headers
+    * copied from the wrong asset), so an ingest gate must type assets
+    * from the BYTES before routing them to a decoder. Pure expression:
+    * hex of the leading bytes compared against the published magics
+    * (PNG `89504E470D0A1A0A`, GIF87a/GIF89a, RIFF....WAVE), codegen'd
+    * and map-only — no decoder, no mapPartitions, pushdown intact.
+    * Unknown containers fall through to `application/octet-stream`;
+    * `meta_agrees` flags rows whose declared media_type contradicts the
+    * bytes — the triage column the quarantine filter keys on.
+    */
+  def sniffMediaType(df: DataFrame): DataFrame = {
+    val head8 = hex(substring(col("payload"), 1, 8))
+    val head6 = hex(substring(col("payload"), 1, 6))
+    val riff = hex(substring(col("payload"), 1, 4))
+    val wave = hex(substring(col("payload"), 9, 4))
+    df.withColumn("sniffed_type",
+      when(head8 === lit("89504E470D0A1A0A"), lit("image/png"))
+        .when(head6 === lit("474946383961") || head6 === lit("474946383761"), lit("image/gif"))
+        .when(riff === lit("52494646") && wave === lit("57415645"), lit("audio/wav"))
+        .otherwise(lit("application/octet-stream")))
+      .withColumn("meta_agrees", col("sniffed_type") === col("meta.media_type"))
+  }
+
   /** Deterministic fake "decode" of a binary payload into media features
     * (dimensions, frame count). STUB: a real pipeline swaps the arithmetic
     * for an actual codec call; everything around it — the schema, the

@@ -568,6 +568,27 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // Media-type sniffing (mm13): a mixed corpus from all four real
+    // synthesizers (PNG / GIF / WAV containers + text ingested as
+    // binary), typed from the BYTES by the pure magic-number expression.
+    // The oracle predicts each slice's container from the planting — a
+    // sniffer that misread the bytes could not reproduce it. text rows
+    // sniff as octet-stream against a text/plain declaration:
+    // meta_agrees=false is the quarantine triage working.
+    "mm13_sniff" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val mixed = Multimodal.synthesizePngs(d.filter(col("doc_id") < 25), "doc_id")
+        .unionByName(Multimodal.synthesizeGifs(
+          d.filter(col("doc_id") >= 25 && col("doc_id") < 50), "doc_id"))
+        .unionByName(Multimodal.synthesizeWavs(
+          d.filter(col("doc_id") >= 50 && col("doc_id") < 75), "doc_id"))
+        .unionByName(Multimodal.ingestBinary(
+          d.filter(col("doc_id") >= 75 && col("doc_id") < 100), "doc_id", "text"))
+      Multimodal.sniffMediaType(mixed)
+        .select(col("doc_id"), col("sniffed_type"),
+          col("meta.media_type").as("declared"), col("meta_agrees"))
+        .orderBy("doc_id")
+    }),
     // Repeated-span detection (d26): the dup-augmented corpus (whole-doc
     // copies become full-width spans) plus a shared 10-token sentinel
     // tail on every 7th doc (a PARTIAL cross-doc span the fixed-block
@@ -3012,6 +3033,23 @@ $bandSelects
          |FROM base CROSS JOIN stats
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
     },
+    // mm13: the planting replayed — each id slice's true container type
+    // (and the text slice's declared/sniffed mismatch) is closed-form in
+    // doc_id; only a sniffer that actually read the magic bytes of every
+    // real container reproduces it.
+    "mm13_sniff" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id < 25 THEN 'image/png'
+        |       WHEN doc_id < 50 THEN 'image/gif'
+        |       WHEN doc_id < 75 THEN 'audio/wav'
+        |       ELSE 'application/octet-stream' END AS sniffed_type,
+        |  CASE WHEN doc_id < 25 THEN 'image/png'
+        |       WHEN doc_id < 50 THEN 'image/gif'
+        |       WHEN doc_id < 75 THEN 'audio/wav'
+        |       ELSE 'text/plain' END AS declared,
+        |  doc_id < 75 AS meta_agrees
+        |FROM d ORDER BY doc_id""".stripMargin,
     // d26: identical planting, positioned gram hashes via the same
     // portable hash over the space-joined token slice, occurrence df as
     // a count window on the hash, and the same lag/flag/running-sum

@@ -2136,6 +2136,32 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("media sniffing: every real container types from its bytes; liars and stubs quarantine") {
+    val ids = Seq(0L, 1L, 7L).toDF("doc_id")
+    def sniffOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Boolean)] =
+      Multimodal.sniffMediaType(df).select("sniffed_type", "meta_agrees")
+        .as[(String, Boolean)].collect().toSeq.distinct
+    assert(sniffOf(Multimodal.synthesizePngs(ids, "doc_id")) === Seq(("image/png", true)))
+    assert(sniffOf(Multimodal.synthesizeGifs(ids, "doc_id")) === Seq(("image/gif", true)))
+    assert(sniffOf(Multimodal.synthesizeWavs(ids, "doc_id")) === Seq(("audio/wav", true)))
+    // text bytes carry no container magic: octet-stream, declaration disagrees.
+    assert(sniffOf(Multimodal.ingestBinary(Seq((1L, "some text")).toDF("doc_id", "text"),
+      "doc_id", "text")) === Seq(("application/octet-stream", false)))
+    // Corrupt cases: a truncated payload and a RIFF container that is NOT
+    // WAVE (an AVI) both fall through instead of misclassifying.
+    val weird = Seq(
+      (1L, "GIF".getBytes("US-ASCII")),                  // truncated magic
+      (2L, "RIFF0000AVI LIST".getBytes("US-ASCII"))      // RIFF but not WAVE
+    ).toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("video/avi").as("media_type"),
+        lit(0L).as("n_bytes"), lit("x").as("digest")))
+    assert(sniffOf(weird) === Seq(("application/octet-stream", false)))
+    // Pure expression: map-only, no exchange, no decoder escape hatch.
+    val plan = Multimodal.sniffMediaType(Multimodal.synthesizePngs(ids, "doc_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("repeated spans: cross-doc and intra-doc grams merge into maximal intervals") {
     // n = 3. d1/d2 share "p q r s" (two overlapping grams -> one merged
     // span each); d3 repeats its own opening 3-gram (intra-doc, gap 6 > n
