@@ -89,6 +89,51 @@ object Similarity {
       .select("probe_id", "neighbor_id", "sim", "rnk")
   }
 
+  /** Contrastive-pair mining over a RANKED neighbor frame — the
+    * (anchor, positive, hard negatives) triplets an embedding trainer
+    * consumes (DPR/SimCSE-style): per probe, the rank-1 neighbor is the
+    * positive, and the next neighbors become hard negatives ONLY if
+    * their similarity sits at least `margin` below the positive's —
+    * near-ties are likely unlabeled positives and mining them as
+    * negatives poisons the loss, which is exactly why the margin guard
+    * exists in published mining recipes.
+    *
+    * Takes the `(probe_id, neighbor_id, sim, rnk)` shape every search
+    * path here emits — [[cosineTopK]] (exact), [[ivfTopK]]/[[indexTopK]]
+    * (ANN), [[pqSearchTopKBatch]] (ADC) — so the miner composes with
+    * whichever generator the corpus size dictates; `searchK` upstream
+    * bounds the candidate pool. Map-only over the ranked frame plus two
+    * probe-keyed windows (probe-sized, never corpus-sized).
+    *
+    * @return (probe_id, role ∈ {positive, hard_negative}, role_rnk,
+    *         neighbor_id, sim); positives have role_rnk = 1, negatives
+    *         keep their mined order, at most `kNeg` per probe.
+    */
+  def hardNegativesFrom(ranked: DataFrame, kNeg: Int, margin: Double): DataFrame = {
+    require(kNeg >= 1, s"kNeg must be >= 1, got $kNeg")
+    require(margin >= 0, s"margin must be >= 0, got $margin")
+    val wp = Window.partitionBy("probe_id")
+    ranked
+      .withColumn("__pos_sim", max(when(col("rnk") === 1, col("sim"))).over(wp))
+      .withColumn("role",
+        when(col("rnk") === 1, lit("positive"))
+          .when(col("sim") <= col("__pos_sim") - lit(margin), lit("hard_negative")))
+      .filter(col("role").isNotNull)
+      .withColumn("role_rnk", row_number().over(
+        Window.partitionBy("probe_id", "role").orderBy("rnk")))
+      .filter(col("role") === "positive" || col("role_rnk") <= kNeg)
+      .select("probe_id", "role", "role_rnk", "neighbor_id", "sim")
+  }
+
+  /** [[hardNegativesFrom]] over the exact [[cosineTopK]] generator — the
+    * oracle-able composition; swap the generator for IVF/PQ at corpus
+    * sizes where exact search is off the table.
+    */
+  def hardNegatives(
+      vectors: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      searchK: Int, kNeg: Int, margin: Double): DataFrame =
+    hardNegativesFrom(cosineTopK(vectors, probes, idCol, vecCol, searchK), kNeg, margin)
+
   /** Assign every vector to its nearest centroid (max cosine, centroid id
     * as deterministic tiebreak). Centroids must be a small frame — they are
     * broadcast.

@@ -814,6 +814,17 @@ $bandSelects
       Similarity.cosineTopK(v, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("probe_id", "rnk")
     }),
+    // Hard-negative mining (e15): (anchor, positive, hard negatives)
+    // triplets for contrastive training — rank-1 is the positive, later
+    // ranks become negatives only when sim <= pos_sim - margin (the
+    // near-tie guard against unlabeled positives). Composed over the
+    // exact top-k generator here; the miner takes ANY ranked frame.
+    "e15_hard_negatives" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      Similarity.hardNegatives(v, v.filter(col("vec_id") < 5), "vec_id", "embedding",
+        searchK = 20, kNeg = 5, margin = 0.05)
+        .orderBy("probe_id", "role", "role_rnk")
+    }),
     "e2_ann_ivf" -> ((s, dir) => {
       val v = table(s, dir, "embeddings")
       Similarity.ivfTopK(
@@ -1736,6 +1747,36 @@ $bandSelects
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
         |ORDER BY probe_id, rnk""".stripMargin,
+    // e15: e1's exact top-k CTEs capped at searchK, then the same
+    // positive/margin/renumber windows — pos_sim via the rnk=1 row, the
+    // margin literal parsed identically by both engines, negatives
+    // renumbered in rank order and capped.
+    "e15_hard_negatives" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),
+        |s AS (
+        |  SELECT p.probe_id, v.vec_id AS neighbor_id,
+        |         round(list_dot_product(pe, e)
+        |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))), 6) AS sim
+        |  FROM v CROSS JOIN p WHERE v.vec_id <> p.probe_id
+        |),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s),
+        |t AS (SELECT * FROM r WHERE rnk <= 20),
+        |ps AS (SELECT probe_id, sim AS pos_sim FROM t WHERE rnk = 1),
+        |rl AS (
+        |  SELECT t.probe_id, t.neighbor_id, t.sim, t.rnk,
+        |         CASE WHEN t.rnk = 1 THEN 'positive'
+        |              WHEN t.sim <= ps.pos_sim - 0.05 THEN 'hard_negative' END AS role
+        |  FROM t JOIN ps USING (probe_id)
+        |),
+        |rr AS (
+        |  SELECT probe_id, role, neighbor_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id, role ORDER BY rnk) AS role_rnk
+        |  FROM rl WHERE role IS NOT NULL
+        |)
+        |SELECT probe_id, role, role_rnk, neighbor_id, sim
+        |FROM rr WHERE role = 'positive' OR role_rnk <= 5
+        |ORDER BY probe_id, role, role_rnk""".stripMargin,
     "e2_ann_ivf" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),

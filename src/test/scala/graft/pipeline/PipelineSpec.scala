@@ -2136,6 +2136,33 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("hard-negative mining: rank-1 positive, near-ties skipped, margin negatives capped in order") {
+    // Probe (1,0). id 10 is an exact match (positive, sim 1.0); id 11
+    // sits INSIDE the 0.05 margin (sim ~0.995 — an unlabeled positive,
+    // must be skipped); 12..14 are genuine negatives in descending sim;
+    // kNeg = 2 keeps only the two hardest.
+    val corpus = Seq(
+      (10L, Array(1f, 0f)), (11L, Array(0.99f, 0.1f)),
+      (12L, Array(0.9f, 0.5f)), (13L, Array(0.5f, 0.9f)), (14L, Array(0.1f, 0.99f))
+    ).toDF("vec_id", "embedding")
+    val probe = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(corpus, probe, "vec_id", "embedding",
+        searchK = 10, kNeg = 2, margin = 0.05)
+      .orderBy("role", "role_rnk")
+      .as[(Long, String, Int, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._2, r._3, r._4)) === Seq(
+      ("hard_negative", 1, 12L), ("hard_negative", 2, 13L), ("positive", 1, 10L)))
+    assert(out.find(_._2 == "positive").get._5 === 1.0)
+    assert(!out.exists(_._4 == 11L), "near-tie inside the margin must not be mined")
+    // The miner composes with ANY ranked frame: feeding the ranked
+    // top-k directly gives the identical result.
+    val viaFrom = Similarity.hardNegativesFrom(
+        Similarity.cosineTopK(corpus, probe, "vec_id", "embedding", 10), kNeg = 2, margin = 0.05)
+      .orderBy("role", "role_rnk")
+      .as[(Long, String, Int, Long, Double)].collect().toSeq
+    assert(viaFrom === out)
+  }
+
   test("media sniffing: every real container types from its bytes; liars and stubs quarantine") {
     val ids = Seq(0L, 1L, 7L).toDF("doc_id")
     def sniffOf(df: org.apache.spark.sql.DataFrame): Seq[(String, Boolean)] =
