@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators: corpus statistics, per-document quality
@@ -99,6 +99,23 @@ object TextStats {
     * @return (id, dl, tf0..tf{q-1} — one per query term in order, score),
     *         top k by (score desc, id asc).
     */
+  /** One query term's BM25 contribution — shared VERBATIM by the live
+    * scorer ([[bm25TopK]]) and the index probe ([[bm25IndexTopK]]), so
+    * the two paths evaluate bit-identical doubles (same tree shape,
+    * same left-to-right operation order) and the index can share the
+    * live query's oracle.
+    */
+  private def bm25Contribution(tf: Column, dl: Column, n: Column, sumdl: Column,
+      df: Column, k1: Double, b: Double): Column = {
+    val tfd = tf.cast("double")
+    val idf = log(
+      (n.cast("double") - df.cast("double") + lit(0.5)) /
+        (df.cast("double") + lit(0.5)) + lit(1.0))
+    idf * (tfd * lit(k1 + 1.0)) /
+      (tfd + lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") /
+        (sumdl.cast("double") / n.cast("double"))))
+  }
+
   def bm25TopK(
       docs: DataFrame, idCol: String, textCol: String, queryTerms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -114,20 +131,102 @@ object TextStats {
       queryTerms.indices.map(i =>
         sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
     val stats = withTf.agg(statAggs.head, statAggs.tail: _*)
-    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
     val contribs = queryTerms.indices.map { i =>
-      val tf = col(s"tf$i").cast("double")
-      val idf = log(
-        (col("__n").cast("double") - col(s"__df$i").cast("double") + lit(0.5)) /
-          (col(s"__df$i").cast("double") + lit(0.5)) + lit(1.0))
-      idf * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+      bm25Contribution(col(s"tf$i"), col("__dl"),
+        col("__n"), col("__sumdl"), col(s"__df$i"), k1, b)
     }
     withTf.crossJoin(broadcast(stats))
       .withColumn("score", round(contribs.reduceLeft(_ + _), 6))
       .select(Seq(col(idCol), col("__dl").as("dl")) ++
         queryTerms.indices.map(i => col(s"tf$i")) :+ col("score"): _*)
       .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Build the persisted posting-list BM25 index — the at-rest form the
+    * [[bm25TopK]] scaladoc promises for REPEATED query workloads (the
+    * C36/C82 persisted-index discipline applied to text): tokenize the
+    * corpus ONCE, write `(term, doc_id, dl, tf)` postings partitioned by
+    * a bounded term-hash bucket (a real vocabulary is millions of terms
+    * — one directory per term would melt the filesystem; `nBuckets`
+    * bounds the layout and the probe's partition filter stays exact),
+    * plus a per-term df sidecar and a one-row corpus sidecar (N, Σdl,
+    * n_buckets). After the build, a query never scans the corpus.
+    */
+  def writeBm25Index(docs: DataFrame, idCol: String, textCol: String, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val base = docs.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("long"))
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).cast("long").as("tf"))
+      .withColumn("pbucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    postings.write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/postings")
+    // df per term = postings rows per term (postings are unique per
+    // (term, doc)); derived from the WRITTEN files so it cannot drift.
+    postings.sparkSession.read.parquet(s"$path/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    base.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .withColumn("n_buckets", lit(nBuckets))
+      .write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** BM25 top-k against the persisted index: the probe reads ONLY the
+    * partitions its query terms hash to (driver-side bucket choice, the
+    * C36 pattern — `PartitionFilters` prunes the listing), joins the
+    * query-term df rows and the one-row corpus sidecar as broadcasts,
+    * and TakeOrdereds the per-doc scores. No corpus scan, no tokenize —
+    * query cost scales with the query terms' posting lists, not the
+    * corpus.
+    *
+    * Bit-parity with [[bm25TopK]]: per-row contributions use the SAME
+    * [[bm25Contribution]] tree over the same integers, each term's
+    * contribution lands in its own column (a `sum` over one row — never
+    * a float reduction whose order could drift), and the final score
+    * adds the term columns left-to-right in query order with absent
+    * terms coalesced to the same 0.0 the live path computes. Contract:
+    * returns the top k of the docs matching ≥ 1 query term (zero-match
+    * docs score 0 and are not indexed) — identical to [[bm25TopK]]
+    * whenever the k-th live score is positive.
+    */
+  def bm25IndexTopK(spark: SparkSession, path: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "at least one query term required")
+    require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val nBuckets = corpus.select("n_buckets").head().getInt(0)
+    // Driver-side bucket choice through the SAME hash the build used —
+    // query-terms-sized, the e4 "touched buckets" license.
+    import spark.implicits._
+    val wanted = queryTerms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .as[Long].collect().distinct.toSeq
+    val posts = spark.read.parquet(s"$path/postings")
+      .filter(col("pbucket").isin(wanted: _*) && col("term").isin(queryTerms: _*))
+    val stats = spark.read.parquet(s"$path/terms")
+      .filter(col("term").isin(queryTerms: _*))
+    val scored = posts.join(broadcast(stats), Seq("term"))
+      .crossJoin(broadcast(corpus))
+      .withColumn("__c",
+        bm25Contribution(col("tf"), col("dl"), col("n"), col("sumdl"), col("df"), k1, b))
+    val aggs = queryTerms.zipWithIndex.flatMap { case (t, i) =>
+      Seq(sum(when(col("term") === t, col("tf"))).as(s"__tf$i"),
+        sum(when(col("term") === t, col("__c"))).as(s"__c$i"))
+    }
+    val allAggs = max(col("dl")).as("dl") +: aggs
+    val perDoc = scored.groupBy("doc_id")
+      .agg(allAggs.head, allAggs.tail: _*)
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"__c$i"), lit(0.0))).reduceLeft(_ + _)
+    perDoc
+      .withColumn("score", round(score, 6))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        queryTerms.indices.map(i => coalesce(col(s"__tf$i"), lit(0L)).as(s"tf$i")) :+
+        col("score"): _*)
+      .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -618,6 +618,17 @@ $bandSelects
       TextOps.dropRepeatedSentences(planted, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // BM25 against the PERSISTED posting index (t25): t23's semantics,
+    // materialized — build once (postings partitioned by term-hash
+    // bucket + df/corpus sidecars), probe by partition-filtered posting
+    // scan; no corpus scan or tokenize at query time. Shares t23's
+    // oracle verbatim (the e14 materialization precedent); the
+    // contribution tree is shared code, so the doubles are bit-equal.
+    "t25_bm25_index" -> ((s, dir) => {
+      val idx = Fixtures.scratchDir("graft-t25") + "/idx"
+      TextStats.writeBm25Index(table(s, dir, "documents"), "doc_id", "text", idx)
+      TextStats.bm25IndexTopK(s, idx, Bm25Terms, k = 25)
+    }),
     // DSIR importance scores (s10): every document scored by how much
     // its hashed-unigram distribution looks like the German slice rather
     // than the corpus average — the "give me more like THIS" ranking
@@ -3269,6 +3280,9 @@ $bandSelects
     // e14 is e13 materialized (identical semantics, index-resident codes),
     // so it shares e13's composed replay oracle verbatim.
     "e14_ivfpq_index" -> oracleSqlBase("e13_ivfpq_topk"),
+    // t25 is t23 materialized (posting index, shared contribution tree,
+    // bit-equal doubles) — same oracle verbatim.
+    "t25_bm25_index" -> oracleSqlBase("t23_bm25"),
     // e12t's oracle is generated (two unrolled blocks of the same CTE
     // template) — see pqTrainedOracleSql for the exactness argument.
     "e12t_pq_trained" -> pqTrainedOracleSql)

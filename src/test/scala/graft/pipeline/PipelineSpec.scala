@@ -2136,6 +2136,33 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("bm25 posting index: bit-equal to the live scorer, probe partition-pruned, no corpus scan") {
+    val docs = Seq(
+      (1L, "dup dup alpha beta"),
+      (2L, "merge alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "dup merge alpha"),
+      (5L, "merge merge dup beta beta")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bm25-index").toString + "/idx"
+    TextStats.writeBm25Index(docs, "doc_id", "text", dir, nBuckets = 8)
+    val fromIndex = TextStats.bm25IndexTopK(spark, dir, Seq("dup", "merge"), k = 4)
+    val live = TextStats.bm25TopK(docs, "doc_id", "text", Seq("dup", "merge"), k = 4)
+    // k = 4 = number of matching docs, so live's zero-score tail (doc 3)
+    // is exactly what the index contract excludes -> both return the
+    // same 4 matching docs, scores bit-equal (shared contribution tree).
+    assert(fromIndex.collect().map(_.toString).sorted.toSeq ===
+      live.collect().map(_.toString).sorted.toSeq)
+    // The probe reads only the buckets its terms hash to and never
+    // re-tokenizes the corpus: partition filter survives to the source.
+    val scan = fromIndex.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("pbucket"), scan.take(2000))
+    // Zero-match query term against a fresh one-term query still works.
+    val solo = TextStats.bm25IndexTopK(spark, dir, Seq("dup"), k = 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(solo === Seq(1L, 4L, 5L), "only docs containing the term are indexed matches")
+  }
+
   test("hard-negative mining: rank-1 positive, near-ties skipped, margin negatives capped in order") {
     // Probe (1,0). id 10 is an exact match (positive, sim 1.0); id 11
     // sits INSIDE the 0.05 margin (sim ~0.995 — an unlabeled positive,
