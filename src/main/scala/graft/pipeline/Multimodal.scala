@@ -716,4 +716,60 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** REAL pixel resample — [[resizePlan]]'s geometry driving an actual
+    * raster pass: decode the PNG, compute the SAME fit-in-box plan
+    * (truncating `dim·maxSide/longest`, never upscaling), and resample
+    * nearest-neighbor with explicit integer source mapping
+    * (`src = out·in_dim div out_dim` — implemented by hand, not AWT's
+    * interpolating scaler, precisely so the arithmetic has an exact
+    * cross-engine replay). Emits the plan, and `resized_sum` = Σ(r+g+b)
+    * over the RESAMPLED raster — only obtainable by decoding and
+    * resampling for real. Decoder-per-partition, map-only; an identity
+    * plan (asset already fits) reproduces [[decodePng]]'s `pixel_sum`.
+    */
+  def resizePixels(df: DataFrame, maxSide: Int): DataFrame = {
+    require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("out_w", IntegerType), StructField("out_h", IntegerType),
+      StructField("resized_sum", LongType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val out = rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(in, true, true)
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          val longest = math.max(w, h)
+          val (ow, oh) =
+            if (longest > maxSide)
+              (math.max(1, (w.toLong * maxSide / longest).toInt),
+                math.max(1, (h.toLong * maxSide / longest).toInt))
+            else (w, h)
+          var sum = 0L
+          var yo = 0
+          while (yo < oh) {
+            val ys = (yo.toLong * h / oh).toInt
+            var xo = 0
+            while (xo < ow) {
+              val xs = (xo.toLong * w / ow).toInt
+              val rgb = img.getRGB(xs, ys)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              xo += 1
+            }
+            yo += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, ow, oh, sum))
+        } finally in.close()
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

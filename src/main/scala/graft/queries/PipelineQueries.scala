@@ -568,6 +568,18 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // Real pixel resample (mm14): mm3's fit-in-box plan driving an
+    // actual nearest-neighbor raster pass over decoded PNGs — explicit
+    // integer source mapping so the resampled pixel sum is closed-form
+    // in doc_id. maxSide 16 shrinks most fixtures (dims 8..31) and
+    // leaves the small ones as identity plans.
+    "mm14_resize_real" -> ((s, dir) =>
+      Multimodal.resizePixels(
+        Multimodal.synthesizePngs(
+          table(s, dir, "documents").filter(col("doc_id") < 60), "doc_id"),
+        maxSide = 16)
+        .select("doc_id", "width", "height", "out_w", "out_h", "resized_sum")
+        .orderBy("doc_id")),
     // Media-type sniffing (mm13): a mixed corpus from all four real
     // synthesizers (PNG / GIF / WAV containers + text ingested as
     // binary), typed from the BYTES by the pure magic-number expression.
@@ -3085,6 +3097,33 @@ $bandSelects
          |FROM base CROSS JOIN stats
          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
     },
+    // mm14: the synthesis formulas sampled at the SAME truncating
+    // nearest-neighbor source coordinates ((out·in) // out_dim) over the
+    // SAME truncating fit-in-box plan — every term nonneg, PNG lossless,
+    // so the resampled sum is bit-exact.
+    "mm14_resize_real" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60),
+        |dims AS (SELECT doc_id, 8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h FROM d),
+        |plan AS (
+        |  SELECT doc_id, w, h,
+        |    CASE WHEN greatest(w, h) > 16
+        |         THEN greatest(1, (w * 16) // greatest(w, h)) ELSE w END AS ow,
+        |    CASE WHEN greatest(w, h) > 16
+        |         THEN greatest(1, (h * 16) // greatest(w, h)) ELSE h END AS oh
+        |  FROM dims),
+        |px AS (
+        |  SELECT doc_id, w, h, ow, oh, tx.xo AS xo, ty.yo AS yo
+        |  FROM plan, LATERAL (SELECT unnest(range(0, ow)) AS xo) tx,
+        |             LATERAL (SELECT unnest(range(0, oh)) AS yo) ty),
+        |src AS (
+        |  SELECT doc_id, w, h, ow, oh, (xo * w) // ow AS xs, (yo * h) // oh AS ys
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(ow AS INTEGER) AS out_w, CAST(oh AS INTEGER) AS out_h,
+        |  CAST(sum((3*xs + doc_id % 200) % 256
+        |         + (5*xs + 7*ys + doc_id) % 256
+        |         + (xs + 11*ys + 13*doc_id) % 256) AS BIGINT) AS resized_sum
+        |FROM src GROUP BY 1, 2, 3, 4, 5 ORDER BY doc_id""".stripMargin,
     // mm13: the planting replayed — each id slice's true container type
     // (and the text slice's declared/sniffed mismatch) is closed-form in
     // doc_id; only a sniffer that actually read the magic bytes of every

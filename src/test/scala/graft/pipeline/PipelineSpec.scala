@@ -2136,6 +2136,45 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("real resize: NN resample matches formulas, plan parity with resizePlan, identity preserves sum") {
+    val idSeq = Seq(0L, 5L, 17L, 23L) // dims 8..31: a mix of shrink and identity at maxSide 16
+    val ids = idSeq.toDF("doc_id")
+    val synth = Multimodal.synthesizePngs(ids, "doc_id")
+    val real = Multimodal.resizePixels(synth, maxSide = 16)
+      .select("doc_id", "width", "height", "out_w", "out_h", "resized_sum")
+      .as[(Long, Int, Int, Int, Int, Long)].collect().map(r => r._1 -> r).toMap
+    // 1. The resampled sum matches the synthesis formula sampled at the
+    //    truncating NN source coordinates — computed independently here.
+    for (id <- idSeq) {
+      val w = (8 + id % 24).toInt
+      val h = (8 + (id * 3) % 24).toInt
+      val longest = math.max(w, h)
+      val (ow, oh) = if (longest > 16)
+        (math.max(1, w * 16 / longest), math.max(1, h * 16 / longest)) else (w, h)
+      var expect = 0L
+      for (yo <- 0 until oh; xo <- 0 until ow) {
+        val xs = xo * w / ow
+        val ys = yo * h / oh
+        expect += (3L * xs + id % 200) % 256 + (5L * xs + 7L * ys + id) % 256 +
+          (xs + 11L * ys + 13L * id) % 256
+      }
+      assert(real(id) === ((id, w, h, ow, oh, expect)), s"doc $id")
+    }
+    // 2. Plan parity: the real resampler's geometry IS resizePlan's.
+    val planned = Multimodal.resizePlan(Multimodal.decodePng(synth), maxSide = 16)
+      .select("doc_id", "out_w", "out_h").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    idSeq.foreach(id => assert((real(id)._4, real(id)._5) === planned(id), s"doc $id plan"))
+    // 3. Identity plans reproduce the full decode's pixel_sum exactly.
+    val fullSums = Multimodal.decodePng(synth).select("doc_id", "pixel_sum")
+      .as[(Long, Long)].collect().toMap
+    val identity = idSeq.filter { id =>
+      math.max((8 + id % 24).toInt, (8 + (id * 3) % 24).toInt) <= 16
+    }
+    assert(identity.nonEmpty, "fixture must include an identity-plan image")
+    identity.foreach(id => assert(real(id)._6 === fullSums(id), s"doc $id identity"))
+  }
+
   test("bm25 posting index: bit-equal to the live scorer, probe partition-pruned, no corpus scan") {
     val docs = Seq(
       (1L, "dup dup alpha beta"),
