@@ -614,6 +614,20 @@ $bandSelects
       Dedup.repeatedSpans(planted, "doc_id", "text", n = 8)
         .orderBy("doc_id", "span_idx")
     }),
+    // Production-hash twin of d26 (the d7 pattern): identical sliding
+    // sweep with grams keyed by codegen'd xxhash64 — no per-gram md5
+    // digest in the hot path. Span output is hash-independent absent
+    // collisions (the hash only keys the df index), so it shares d26's
+    // oracle verbatim; the mode-agreement spec pins d27 == d26 exactly.
+    "d27_repeated_spans_fast" -> ((s, dir) => {
+      val d = docsDupAug(s, dir).select("doc_id", "text")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")))
+          .otherwise(col("text")))
+      Dedup.repeatedSpans(planted, "doc_id", "text", n = 8, HashMode.Xxhash64)
+        .orderBy("doc_id", "span_idx")
+    }),
     // Intra-doc repeated-sentence removal (t24): the corpus has no
     // native sentence repeats, so each doc gets its own FIRST sentence
     // re-appended (the t19 period-planting trick supplies sentence
@@ -3322,6 +3336,10 @@ $bandSelects
     // t25 is t23 materialized (posting index, shared contribution tree,
     // bit-equal doubles) — same oracle verbatim.
     "t25_bm25_index" -> oracleSqlBase("t23_bm25"),
+    // d27's spans are hash-independent absent collisions (the hash only
+    // keys the gram-df index) — d26's oracle verbatim, the d7 precedent;
+    // the mode-agreement spec pins d27 == d26 row-for-row.
+    "d27_repeated_spans_fast" -> oracleSqlBase("d26_repeated_spans"),
     // e12t's oracle is generated (two unrolled blocks of the same CTE
     // template) — see pqTrainedOracleSql for the exactness argument.
     "e12t_pq_trained" -> pqTrainedOracleSql)

@@ -2279,6 +2279,12 @@ class PipelineSpec extends GraftSuite {
     // Docs shorter than n produce no grams and are absent, not errors.
     val short = Dedup.repeatedSpans(Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", n = 3)
     assert(short.count() === 0)
+    // Mode agreement (the d7 discipline): the xxhash64 production twin
+    // computes identical spans — the hash only keys the df index.
+    val fast = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3, HashMode.Xxhash64)
+      .orderBy("doc_id", "span_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(fast === out)
   }
 
   test("repeated-sentence removal: first occurrence kept in order, whitespace normalized, map-only") {
