@@ -5,8 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.merge.{PartitionSpec, PartitionedTarget}
-import graft.pipeline.HashMode
-import graft.streaming.{StreamingQuota, StreamingUpsert}
+import graft.pipeline.{HashMode, Multimodal}
+import graft.streaming.{StreamingMultimodal, StreamingQuota, StreamingUpsert}
 
 /** Driver-contract query for the streaming layer: an N-batch replay of the
   * events table through the continuous upsert into a PARTITIONED target
@@ -367,6 +367,12 @@ object StreamingQueries {
       replay()
       s.read.parquet(out).select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
+    "st12_stream_sniff" -> ((s, dir) => {
+      val (replay, out) = st12Setup(s, dir)
+      replay()
+      s.read.parquet(out).select("doc_id", "sniffed_type", "declared", "routed")
+        .orderBy("doc_id")
+    }),
     "st8_stream_enrich" -> ((s, dir) => {
       val (replay, out) = st8Setup(s, dir)
       replay()
@@ -461,6 +467,44 @@ object StreamingQueries {
       .writeStream.outputMode("append").format("parquet")
       .option("path", out).option("checkpointLocation", s"$scratch/cp")
       .start())
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
+  }
+
+  /** Untimed setup for st12 (streaming sniff-quarantine gate): the mm13
+    * mixed corpus — real PNG/GIF/WAV containers plus text-as-binary
+    * liars — replayed in N batches through the STATELESS magic-byte
+    * gate into the verdict-partitioned exactly-once file sink.
+    * Stateless, so the converged sink is exactly the batch sniff, and
+    * the planted container types are closed-form in doc_id — a real
+    * cross-engine oracle. Driver staging is ~100 small containers
+    * (harness, not operator; the st11 file-source shape applies
+    * unchanged if the corpus outgrows the driver).
+    */
+  private[graft] def st12Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st12")
+    val out = s"$scratch/out"
+    val d = Fixtures.table(s, dir, "documents")
+    val mixed = Multimodal.synthesizePngs(d.filter(col("doc_id") < 25), "doc_id")
+      .unionByName(Multimodal.synthesizeGifs(
+        d.filter(col("doc_id") >= 25 && col("doc_id") < 50), "doc_id"))
+      .unionByName(Multimodal.synthesizeWavs(
+        d.filter(col("doc_id") >= 50 && col("doc_id") < 75), "doc_id"))
+      .unionByName(Multimodal.ingestBinary(
+        d.filter(col("doc_id") >= 75 && col("doc_id") < 100), "doc_id", "text"))
+    val rows = mixed.select(col("doc_id"), col("payload"),
+        col("meta.media_type"), col("meta.n_bytes"), col("meta.digest"))
+      .as[(Long, Array[Byte], String, Long, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Array[Byte], String, Long, String)]
+    val stream = mem.toDS().toDF("doc_id", "payload", "media_type", "n_bytes", "digest")
+      .select(col("doc_id"), col("payload"),
+        struct(col("media_type"), col("n_bytes"), col("digest")).as("meta"))
+    val q = StreamingMultimodal.gateTo(stream, out, s"$scratch/cp")
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
@@ -631,6 +675,22 @@ object StreamingQueries {
     "st7_stream_unique" ->
       """SELECT date_trunc('hour', ts) AS hour, count(DISTINCT user_id) AS n_users
         |FROM events WHERE user_id % 10 = 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Stateless sniff gate: the converged sink is the batch sniff of the
+    // planted mixed corpus — container types closed-form in doc_id, the
+    // text slice quarantined for lying about its bytes.
+    "st12_stream_sniff" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id < 25 THEN 'image/png'
+        |       WHEN doc_id < 50 THEN 'image/gif'
+        |       WHEN doc_id < 75 THEN 'audio/wav'
+        |       ELSE 'application/octet-stream' END AS sniffed_type,
+        |  CASE WHEN doc_id < 25 THEN 'image/png'
+        |       WHEN doc_id < 50 THEN 'image/gif'
+        |       WHEN doc_id < 75 THEN 'audio/wav'
+        |       ELSE 'text/plain' END AS declared,
+        |  CASE WHEN doc_id < 75 THEN 'accepted' ELSE 'quarantine' END AS routed
+        |FROM d ORDER BY doc_id""".stripMargin,
     // Arrival-order admission quota: batches replay in doc_id order and
     // the operator sorts each group slice by id, so the admitted set is
     // the first 15 docs per source by doc_id.
