@@ -568,6 +568,33 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // Multimodal curation pipeline (p2): the image twin of p1 — a mixed
+    // ingest (near-dup PNG variants, correctly-declared WAVs, and text
+    // payloads LYING about being PNGs) through the sniff gate, the
+    // accepted-PNG slice decoded to dHashes, hamming-ball paired, and
+    // pruned to canonicals. The gate is LOAD-BEARING: without it the
+    // liar payloads reach the PNG decoder and the pipeline crashes
+    // (pinned in the spec). Output == mm8's (gate provably excludes
+    // everything that is not a genuine PNG), so p2 shares mm8's oracle.
+    "p2_multimodal_pipeline" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val liars = Multimodal.ingestBinary(
+          d.filter(col("doc_id") >= 200 && col("doc_id") < 220), "doc_id", "text")
+        .withColumn("meta", struct(lit("image/png").as("media_type"),
+          col("meta.n_bytes"), col("meta.digest")))
+      val mixed = Multimodal.synthesizePngsNear(
+          d.filter(col("doc_id") < 60), "doc_id")
+        .unionByName(Multimodal.synthesizeWavs(
+          d.filter(col("doc_id") >= 100 && col("doc_id") < 120), "doc_id"))
+        .unionByName(liars)
+      val pngs = graft.streaming.StreamingMultimodal.sniffGate(mixed)
+        .filter(col("routed") === "accepted" && col("sniffed_type") === "image/png")
+        .select("doc_id", "payload", "meta")
+      val fps = Multimodal.decodePngDHash(pngs).select("doc_id", "dhash")
+      val pairs = Dedup.hammingPairs(fps, "doc_id", "dhash",
+        maxHamming = 4, bits = 56, bucketCap = 100)
+      Dedup.pruneDuplicates(fps, pairs, "doc_id").orderBy("doc_id")
+    }),
     // Real pixel resample (mm14): mm3's fit-in-box plan driving an
     // actual nearest-neighbor raster pass over decoded PNGs — explicit
     // integer source mapping so the resampled pixel sum is closed-form
@@ -3340,6 +3367,11 @@ $bandSelects
     // keys the gram-df index) — d26's oracle verbatim, the d7 precedent;
     // the mode-agreement spec pins d27 == d26 row-for-row.
     "d27_repeated_spans_fast" -> oracleSqlBase("d26_repeated_spans"),
+    // p2's gate provably excludes the planted WAVs and declared-PNG
+    // liars, leaving exactly mm8's PNG slice — identical output, mm8's
+    // oracle verbatim; the spec pins that WITHOUT the gate the liar
+    // payloads crash the decoder.
+    "p2_multimodal_pipeline" -> oracleSqlBase("mm8_image_dedup"),
     // e12t's oracle is generated (two unrolled blocks of the same CTE
     // template) — see pqTrainedOracleSql for the exactness argument.
     "e12t_pq_trained" -> pqTrainedOracleSql)

@@ -2136,6 +2136,28 @@ class PipelineSpec extends GraftSuite {
     assert(plan.contains("TakeOrdered"), "top-k must be TakeOrdered")
   }
 
+  test("multimodal pipeline: the sniff gate is load-bearing — ungated liars crash the decoder") {
+    // A text payload declaring itself image/png. Gated: quarantined
+    // before the decoder. Ungated: ImageIO rejects the bytes and the
+    // pipeline dies — the gate is not decoration.
+    val liar = Multimodal.ingestBinary(
+        Seq((9L, "not a png at all")).toDF("doc_id", "text"), "doc_id", "text")
+      .withColumn("meta", struct(lit("image/png").as("media_type"),
+        col("meta.n_bytes"), col("meta.digest")))
+    val real = Multimodal.synthesizePngsNear(Seq(1L, 2L).toDF("doc_id"), "doc_id")
+    val mixed = real.unionByName(liar)
+    val gated = graft.streaming.StreamingMultimodal.sniffGate(mixed)
+      .filter(col("routed") === "accepted" && col("sniffed_type") === "image/png")
+      .select("doc_id", "payload", "meta")
+    val hashes = Multimodal.decodePngDHash(gated).select("doc_id", "dhash")
+      .as[(Long, Long)].collect().map(_._1).sorted.toSeq
+    assert(hashes === Seq(1L, 2L), "gate admits exactly the genuine PNGs")
+    val boom = intercept[Exception] {
+      Multimodal.decodePngDHash(mixed).select("doc_id").collect()
+    }
+    assert(boom != null)
+  }
+
   test("real resize: NN resample matches formulas, plan parity with resizePlan, identity preserves sum") {
     val idSeq = Seq(0L, 5L, 17L, 23L) // dims 8..31: a mix of shrink and identity at maxSide 16
     val ids = idSeq.toDF("doc_id")
