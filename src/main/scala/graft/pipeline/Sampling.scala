@@ -333,6 +333,80 @@ object Sampling {
     fullKeep.select(outCols: _*).unionByName(boundary.select(outCols: _*))
   }
 
+  /** UniMax-style budget allocation (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling"): split a total token budget
+    * across strata by CAPPED WATER-FILLING — process strata in
+    * ascending capacity order (cap = `maxEpochs × n_tokens`, the
+    * repeat-ceiling that stops a tiny language from being epoched into
+    * memorization); a stratum whose cap fits under the current equal
+    * share keeps its whole cap, everyone past the breakpoint splits the
+    * remainder equally. The fairness fix over temperature sampling
+    * (C54): no head-language ever starves the tail, and no tail
+    * language is over-epoched.
+    *
+    * The entire derivation runs as EXPRESSIONS over the strata-sized
+    * aggregate (window ranks on an L-row frame — metadata, not corpus),
+    * exactly so an engine twin can replay it: the breakpoint test and
+    * allocations are pure integer arithmetic, the final keep-rate is
+    * one rounded double division, and the hash threshold uses the same
+    * truncating double→int64 conversion as every sampler here.
+    *
+    * @return (strataCol, n_tokens, cap_tokens, alloc_tokens, rate) —
+    *         one row per stratum; rate = min(1, alloc/n_tokens) rounded
+    *         to 6 (an over-allocated stratum — alloc beyond one epoch —
+    *         keeps everything; actual up-sampling is the trainer's job).
+    */
+  def unimaxAllocations(
+      df: DataFrame, strataCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Double = 1.0): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochs > 0, s"maxEpochs must be > 0, got $maxEpochs")
+    val lt = df.groupBy(col(strataCol))
+      .agg(sum(TextOps.tokenCount(col(textCol))).as("n_tokens"))
+      .withColumn("cap_tokens",
+        floor(col("n_tokens").cast("double") * lit(maxEpochs)).cast("long"))
+    val byCap = Window.orderBy(col("cap_tokens"), col(strataCol))
+    val whole = Window.partitionBy()
+    lt
+      .withColumn("__i", row_number().over(byCap))
+      .withColumn("__l", count(lit(1)).over(whole))
+      .withColumn("__cum", sum(col("cap_tokens")).over(
+        byCap.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__full",
+        col("cap_tokens") * (col("__l") - col("__i") + 1) +
+          (col("__cum") - col("cap_tokens")) <= lit(budgetTokens))
+      .withColumn("__k", sum(when(col("__full"), 1L).otherwise(0L)).over(whole))
+      .withColumn("__fullcap",
+        coalesce(sum(when(col("__full"), col("cap_tokens"))).over(whole), lit(0L)))
+      .withColumn("alloc_tokens",
+        when(col("__full"), col("cap_tokens"))
+          .when(col("__l") > col("__k"),
+            least(col("cap_tokens"),
+              expr(s"($budgetTokens - __fullcap) div (__l - __k)")))
+          .otherwise(lit(0L)))
+      .withColumn("rate", round(
+        least(lit(1.0), col("alloc_tokens").cast("double") / col("n_tokens").cast("double")), 6))
+      .select(col(strataCol), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"), col("rate"))
+  }
+
+  /** Keep ~`rate` of each stratum's docs per [[unimaxAllocations]] —
+    * the same growth-stable hash decision as [[rebalance]], with the
+    * rate frame (strata-sized) broadcast back. The doc-level proxy for
+    * the token allocation: expected kept-token mass per stratum equals
+    * its allocation.
+    */
+  def unimaxSample(
+      df: DataFrame, idCol: String, strataCol: String, textCol: String,
+      budgetTokens: Long, maxEpochs: Double = 1.0, seed: Int = 41,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val bounds = unimaxAllocations(df, strataCol, textCol, budgetTokens, maxEpochs)
+      .select(col(strataCol), (col("rate") * lit(HashSpace)).cast("long").as("__bound"))
+    df.join(broadcast(bounds), strataCol)
+      .filter(hashMode.hash(col(idCol).cast("string"), seed) < col("__bound"))
+      .drop("__bound")
+  }
+
   /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much its hashed-unigram distribution looks like a

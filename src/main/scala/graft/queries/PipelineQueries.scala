@@ -682,6 +682,21 @@ $bandSelects
       TextStats.writeBm25Index(table(s, dir, "documents"), "doc_id", "text", idx)
       TextStats.bm25IndexTopK(s, idx, Bm25Terms, k = 25)
     }),
+    // UniMax budget allocation (s11): a 15k-token budget water-filled
+    // across languages with a one-epoch cap — the small languages keep
+    // everything (their caps fit under the fair share), the head
+    // language splits the remainder; report = per-lang allocation +
+    // the hash-sampled kept count that realizes it.
+    "s11_unimax" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val alloc = Sampling.unimaxAllocations(d, "lang", "text", budgetTokens = 15000)
+      val kept = Sampling.unimaxSample(d, "doc_id", "lang", "text",
+          budgetTokens = 15000, seed = 41)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+      alloc.join(kept, Seq("lang"), "left")
+        .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+        .orderBy("lang")
+    }),
     // DSIR importance scores (s10): every document scored by how much
     // its hashed-unigram distribution looks like the German slice rather
     // than the corpus average — the "give me more like THIS" ranking
@@ -3247,6 +3262,46 @@ $bandSelects
         |tot AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id)
         |SELECT a.doc_id, a.text_clean, CAST(t.n - a.n_kept AS BIGINT) AS n_dropped
         |FROM agg a JOIN tot t USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // s11: the whole water-filling derivation replayed — ascending-cap
+    // rank, the integer breakpoint test, equal-share integer division,
+    // the rounded rate, and the same floor()'d double→int64 threshold
+    // (the s7 conversion-parity convention).
+    "s11_unimax" -> {
+      val b = 15000L
+      s"""WITH tok AS (SELECT lang, doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+         |lt AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS n_tokens FROM tok GROUP BY lang),
+         |caps AS (SELECT lang, n_tokens,
+         |         CAST(floor(n_tokens::DOUBLE * 1.0) AS BIGINT) AS cap_tokens FROM lt),
+         |ord AS (
+         |  SELECT *, row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+         |         count(*) OVER () AS l,
+         |         sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+         |                               ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM caps),
+         |fl AS (SELECT *, CASE WHEN cap_tokens * (l - i + 1) + (cum - cap_tokens) <= $b
+         |                      THEN 1 ELSE 0 END AS is_full FROM ord),
+         |agg AS (
+         |  SELECT *, sum(is_full) OVER () AS k,
+         |         coalesce(sum(CASE WHEN is_full = 1 THEN cap_tokens END) OVER (), 0) AS fullcap
+         |  FROM fl),
+         |al AS (
+         |  SELECT *, CASE WHEN is_full = 1 THEN cap_tokens
+         |                 WHEN l > k THEN least(cap_tokens, ($b - fullcap) // (l - k))
+         |                 ELSE 0 END AS alloc_tokens
+         |  FROM agg),
+         |rt AS (
+         |  SELECT lang, n_tokens, cap_tokens, alloc_tokens,
+         |         round(least(1.0, alloc_tokens::DOUBLE / n_tokens::DOUBLE), 6) AS rate
+         |  FROM al),
+         |bd AS (SELECT *, CAST(floor(rate * 1152921504606846976.0) AS BIGINT) AS bound FROM rt)
+         |SELECT b.lang, b.n_tokens, b.cap_tokens, CAST(b.alloc_tokens AS BIGINT) AS alloc_tokens,
+         |       b.rate,
+         |       CAST(sum(CASE WHEN ${sqlHash(41, "d.doc_id::VARCHAR")} < b.bound
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN bd b USING (lang)
+         |GROUP BY b.lang, b.n_tokens, b.cap_tokens, b.alloc_tokens, b.rate
+         |ORDER BY b.lang""".stripMargin
+    },
     // s10: both hashed histograms, the smoothed ratio (denominators
     // interpolated as single constants), and t12's position-ordered
     // list_reduce fold — per-token ln terms summed left-to-right exactly

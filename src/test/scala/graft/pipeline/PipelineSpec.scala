@@ -2330,6 +2330,37 @@ class PipelineSpec extends GraftSuite {
     assert(!plan.contains("Exchange") && !plan.contains("Generate"))
   }
 
+  test("unimax: water-filling allocations match hand computation across budgets and epoch caps") {
+    def doc(id: Long, lang: String, n: Int) = (id, lang, Seq.fill(n)("w").mkString(" "))
+    val docs = ((1 to 2).map(i => doc(i, "a", 50)) ++
+      (3 to 5).map(i => doc(i + 2, "b", 100)) ++
+      (6 to 10).map(i => doc(i + 4, "c", 200))).toDF("doc_id", "lang", "text")
+    // Budget 600 over caps {a:100, b:300, c:1000}: a fits under its fair
+    // share (100*3 <= 600, full); b and c split (600-100)/2 = 250 each.
+    val al = Sampling.unimaxAllocations(docs, "lang", "text", budgetTokens = 600)
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(al("a") === (("a", 100L, 100L, 100L, 1.0)))
+    assert(al("b") === (("b", 300L, 300L, 250L, 0.833333)))
+    assert(al("c") === (("c", 1000L, 1000L, 250L, 0.25)))
+    // Budget >= total capacity: everyone keeps everything.
+    val rich = Sampling.unimaxAllocations(docs, "lang", "text", budgetTokens = 2000)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(rich.forall(r => r._4 === r._3 && r._5 === 1.0))
+    // A 2-epoch cap doubles capacities: a's 200 fills exactly at its
+    // turn (200*3 = 600), b/c split the remaining 400 -> 200 each; a's
+    // over-one-epoch allocation clamps the keep-rate at 1.0.
+    val ep = Sampling.unimaxAllocations(docs, "lang", "text",
+        budgetTokens = 600, maxEpochs = 2.0)
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(ep("a") === (("a", 100L, 200L, 200L, 1.0)))
+    assert(ep("b") === (("b", 300L, 600L, 200L, 0.666667)))
+    assert(ep("c") === (("c", 1000L, 2000L, 200L, 0.2)))
+    // The sampler realizes the rates: a rate-1.0 stratum keeps every doc.
+    val kept = Sampling.unimaxSample(docs, "doc_id", "lang", "text", budgetTokens = 600)
+    assert(kept.filter(col("lang") === "a").count() === 2L)
+    assert(kept.count() <= 10L)
+  }
+
   test("dsir: target-vocab docs outrank off-target, signs split, independent replay matches") {
     // Target slice speaks {aa, bb}; raw adds {zz, yy} docs. addK small so
     // the smoothing mass doesn't swamp the 16-token corpus.
