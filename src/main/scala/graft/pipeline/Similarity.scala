@@ -1186,6 +1186,46 @@ object Similarity {
       .select(col("probe_id"), col("vid").as("neighbor_id"), col("score"), col("rnk"))
   }
 
+  /** Two-stage refined search — the standard ADC + exact-re-rank
+    * composition (FAISS's refine stage; Jégou et al.'s "asymmetric
+    * distance is an estimator, verify the shortlist"): the quantized
+    * scan proposes `refineK` candidates per probe (recall), then ONLY
+    * those candidates' float vectors are fetched and re-ranked by exact
+    * cosine (precision) — quantization artifacts (two close vectors
+    * collapsed onto one code, an ADC tie broken by id) cannot survive
+    * into the final top-k.
+    *
+    * Scale shape: stage 1 is [[pqSearchTopKBatch]] (codes-only scan,
+    * never floats); stage 2's float read is CANDIDATE-sized
+    * (probes × refineK rows joined by id against the vector store —
+    * Spark broadcasts the tiny candidate side), so the full-precision
+    * corpus is never scanned. `refineK` is the recall/cost knob:
+    * [[pqRecallAt]] measures what a given width buys.
+    *
+    * @return (probe_id, neighbor_id, sim, rnk) — exact cosine, k rows
+    *         per probe.
+    */
+  def pqRefinedTopKBatch(
+      encoded: DataFrame, centroids: DataFrame, vectors: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
+      k: Int, refineK: Int, nProbe: Int = 1): DataFrame = {
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    val dp = dotOn(vectors.sparkSession)
+    val cands = pqSearchTopKBatch(
+      encoded, centroids, probes, idCol, vecCol, codebooks, refineK, nProbe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val corpus = withNorm(vectors, idCol, vecCol, "neighbor_id", "__v", "__vn")
+    val probe = withNorm(probes, idCol, vecCol, "probe_id", "__p", "__pn")
+    val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
+    cands
+      .join(corpus, Seq("neighbor_id"))
+      .join(broadcast(probe), Seq("probe_id"))
+      .withColumn("sim", round(dp(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("probe_id", "neighbor_id", "sim", "rnk")
+  }
+
   /** [[pqSearchTopKBatch]] over the LIVE frames (assign + encode per
     * call — the [[ivfPqTopK]] cost shape; prefer the index form against
     * [[writePqIndex]] output for repeated query loads).

@@ -978,6 +978,23 @@ $bandSelects
     // centroid/codebook sidecars; the probe is a partition-filtered ADC
     // scan that never reads a float vector or runs an assignment pass.
     // Same semantics as e13, so it shares e13's oracle verbatim.
+    // Refined ADC search (e16): the FAISS two-stage composition — the
+    // codes-only ADC scan proposes top-10 candidates per probe, then
+    // only those candidates' floats are fetched and re-ranked by exact
+    // cosine. Quantization artifacts cannot survive into the top-5.
+    "e16_refined_search" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val cents = v.filter(col("vec_id") < 8)
+      val probes = v.filter(col("vec_id").between(100, 104))
+      val enc = Similarity.pqEncode(
+        Similarity.assignBuckets(v, cents, "vec_id", "embedding")
+          .select(col("vid"), col("bucket"), col("__v")), "__v", cb)
+        .select(col("vid"), col("bucket"), col("codes"))
+      Similarity.pqRefinedTopKBatch(enc, cents, v, probes, "vec_id", "embedding",
+        cb, k = 5, refineK = 10, nProbe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
     "e14_ivfpq_index" -> ((s, dir) => {
       val v = table(s, dir, "embeddings")
       val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
@@ -2814,6 +2831,72 @@ $bandSelects
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
     // e13: e2's bucket-assignment CTE + e12's grid-encode CTE + the ADC
     // lookup sum, composed — every stage replayed exactly.
+    // e16: the ADC candidate stage per probe (e13's bucket + grid-encode
+    // + lookup machinery, batched over the probe frame) capped at
+    // refineK, then the exact-cosine re-rank (e1's sim formula) over
+    // just those candidates.
+    "e16_refined_search" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |),
+        |pq AS (
+        |  SELECT vid AS probe_id, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk
+        |    FROM a WHERE vid BETWEEN 100 AND 104
+        |  ) WHERE crnk <= 2
+        |),
+        |scan AS (
+        |  SELECT pq.probe_id, b.vid, b.e FROM b JOIN pq USING (bucket)
+        |  WHERE b.vid <> pq.probe_id
+        |),
+        |codes AS (
+        |  SELECT s.vid, g2.b,
+        |         (SELECT g.j FROM generate_series(0, 15) g(j)
+        |          ORDER BY list_sum(list_transform(s.e[g2.b*8+1 : g2.b*8+8],
+        |                    x -> (x - (-0.75 + g.j*0.1))^2)), g.j
+        |          LIMIT 1) AS code
+        |  FROM (SELECT DISTINCT vid, e FROM scan) s, generate_series(0, 7) g2(b)
+        |),
+        |qsums AS (
+        |  SELECT p.vec_id AS probe_id, g2.b, list_sum(p.e[g2.b*8+1 : g2.b*8+8]) AS qs
+        |  FROM (SELECT vec_id, e FROM v WHERE vec_id BETWEEN 100 AND 104) p,
+        |       generate_series(0, 7) g2(b)
+        |),
+        |adc AS (
+        |  SELECT sc.probe_id, sc.vid, round(sum((-0.75 + cd.code*0.1) * q.qs), 6) AS score
+        |  FROM scan sc JOIN codes cd ON cd.vid = sc.vid
+        |  JOIN qsums q ON q.probe_id = sc.probe_id AND q.b = cd.b
+        |  GROUP BY 1, 2
+        |),
+        |cand AS (
+        |  SELECT probe_id, vid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vid) AS rnk
+        |    FROM adc
+        |  ) WHERE rnk <= 10
+        |),
+        |ref AS (
+        |  SELECT cd.probe_id, cd.vid AS neighbor_id,
+        |         round(list_dot_product(pv.e, cv.e)
+        |               / (sqrt(list_dot_product(pv.e, pv.e)) * sqrt(list_dot_product(cv.e, cv.e))), 6) AS sim
+        |  FROM cand cd
+        |  JOIN v cv ON cv.vec_id = cd.vid
+        |  JOIN v pv ON pv.vec_id = cd.probe_id
+        |)
+        |SELECT probe_id, neighbor_id, sim, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk
+        |  FROM ref
+        |) WHERE rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     "e13_ivfpq_topk" ->
       """WITH v AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM embeddings),
         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),

@@ -2224,6 +2224,35 @@ class PipelineSpec extends GraftSuite {
     assert(solo === Seq(1L, 4L, 5L), "only docs containing the term are indexed matches")
   }
 
+  test("refined ADC search: exact re-rank overturns a quantization tie; equals exact at full width") {
+    // Both corpus vectors quantize onto the SAME grid code (0.25 per
+    // dim), so the ADC stage ties and the id tiebreak ranks vid 1 first
+    // — but vid 2 is exactly parallel to the probe (true cosine 1.0).
+    // The refine stage must overturn it.
+    val cb = Similarity.pqGridCodebooks(dim = 2, m = 1, k = 16)
+    val corpus = Seq((1L, Array(0.31f, 0.18f)), (2L, Array(0.26f, 0.26f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Array(0.3f, 0.3f))).toDF("vec_id", "embedding")
+    val probes = Seq((99L, Array(0.3f, 0.3f))).toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(
+      Similarity.assignBuckets(corpus, cents, "vec_id", "embedding")
+        .select(col("vid"), col("bucket"), col("__v")), "__v", cb)
+      .select(col("vid"), col("bucket"), col("codes"))
+    val raw = Similarity.pqSearchTopKBatch(enc, cents, probes, "vec_id", "embedding", cb, k = 2)
+      .orderBy("rnk").as[(Long, Long, Double, Int)].collect()
+    assert(raw(0)._3 === raw(1)._3, "quantization collapses both vectors onto one code")
+    assert(raw(0)._2 === 1L, "the ADC tie falls to the lower id — the wrong vector")
+    val refined = Similarity.pqRefinedTopKBatch(enc, cents, corpus, probes,
+        "vec_id", "embedding", cb, k = 2, refineK = 2)
+      .orderBy("rnk").as[(Long, Long, Double, Int)].collect()
+    assert(refined(0)._2 === 2L, "exact re-rank restores the true nearest")
+    assert(refined(0)._3 === 1.0)
+    // Candidate stage covered the whole bucket, so refined == exact.
+    val exact = Similarity.cosineTopK(corpus, probes, "vec_id", "embedding", k = 2)
+      .orderBy("rnk").as[(Long, Long, Double, Int)].collect()
+    assert(refined.toSeq === exact.toSeq)
+  }
+
   test("hard-negative mining: rank-1 positive, near-ties skipped, margin negatives capped in order") {
     // Probe (1,0). id 10 is an exact match (positive, sim 1.0); id 11
     // sits INSIDE the 0.05 margin (sim ~0.995 — an unlabeled positive,
