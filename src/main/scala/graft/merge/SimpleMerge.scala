@@ -134,6 +134,25 @@ object SimpleMerge {
   def into(target: DataFrame, targetName: String = "target"): Builder =
     new Builder(target, targetName)
 
+  /** Schema-evolution pre-pass (the lakehouse `mergeSchema` idiom,
+    * deliberately OPT-IN): align the TARGET to the source by appending
+    * every source-only column as a typed NULL, so the standard
+    * alignment validation (source ⊆ target — the reference's B6 gate)
+    * passes and history rows carry NULL for the new columns. Without
+    * this pre-pass a widened source is REJECTED, never silently
+    * reinterpreted — evolution must be an explicit decision because it
+    * rewrites the target's contract. Change detection then sees the
+    * evolved NULL column differ from the source value, so matched rows
+    * pick up the new column on the same merge that introduces it.
+    * Pure projection — map-only, no shuffle.
+    */
+  def evolveTarget(target: DataFrame, source: DataFrame): DataFrame = {
+    val have = target.columns.toSet
+    source.schema.fields.filterNot(f => have.contains(f.name))
+      .foldLeft(target)((df, f) =>
+        df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
+  }
+
   final class Builder private[SimpleMerge] (target: DataFrame, targetName: String) {
     def using(source: DataFrame, sourceName: String = "source"): SimpleMerge =
       new SimpleMerge(target, source, targetName, sourceName, MergeOptions(keys = Nil))

@@ -44,6 +44,20 @@ object MergeQueries {
   // ---- queries ----
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Schema evolution (m18): the source arrives with a NEW column; the
+    // opt-in evolveTarget pre-pass appends it to the target as typed
+    // NULL, the standard merge then flows it — matched rows pick the
+    // value up on the same merge, keep-mode target-only rows carry NULL
+    // history. Without the pre-pass the widened source is rejected
+    // (spec-pinned), never silently reinterpreted.
+    "m18_merge_evolve" -> ((s, dir) => {
+      val src = ordersSource(s, dir)
+        .withColumn("o_channel", concat(lit("ch"), (col("o_orderkey") % 4).cast("string")))
+      val tgt = SimpleMerge.evolveTarget(ordersTarget(s, dir), src)
+      SimpleMerge.into(tgt, "tgt").using(src, "src")
+        .keys("o_orderkey").delete("NO")
+        .merged.orderBy("o_orderkey")
+    }),
     "m1_merge_delete" -> ((s, dir) =>
       ordersMerge(s, dir).delete("YES").merged.orderBy("o_orderkey")),
     "m2_merge_keep" -> ((s, dir) =>
@@ -338,6 +352,23 @@ object MergeQueries {
     "g4_merge_sql_cte" -> oracleSqlBase("m6_merge_badkey"))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // m18: m2's keep-merge with the evolved column — source rows carry
+    // the synthesized channel, target-only rows NULL (the evolved
+    // target's typed-NULL history).
+    "m18_merge_evolve" ->
+      s"""WITH tgt AS (
+         |  SELECT o_orderkey, o_custkey, o_orderstatus,
+         |         CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+         |         o_orderdate, o_orderpriority
+         |  FROM orders WHERE o_orderkey % 10 <> 0
+         |), src AS (
+         |  SELECT *, 'ch' || CAST(o_orderkey % 4 AS VARCHAR) AS o_channel
+         |  FROM orders WHERE o_orderkey % 7 <> 0
+         |)
+         |SELECT $ordersMergedSelect,
+         |       CASE WHEN s.__s_p IS NOT NULL THEN s.o_channel ELSE NULL END AS o_channel
+         |$ordersJoin
+         |ORDER BY o_orderkey""".stripMargin,
     "m1_merge_delete" ->
       s"""$ordersCtes
          |SELECT $ordersMergedSelect

@@ -156,4 +156,25 @@ class MergeFrameSpec extends GraftSuite {
     assert(out === Set(
       (Option(1L), "keep-me"), (Option(2L), "updated"), (Option(4L), "inserted")))
   }
+
+  test("schema evolution: opt-in pre-pass flows the new column; without it the merge rejects") {
+    import org.apache.spark.sql.functions._
+    val widened = vendorSource.withColumn("Tier", concat(lit("T"), col("Vendor").cast("string")))
+    // Without the pre-pass: a widened source is REJECTED, never silently
+    // reinterpreted (the reference's alignment gate).
+    intercept[MergeValidationException] {
+      MergePlan.build(vendorTarget.schema, widened.schema, MergeOptions(keys = Seq("Vendor")))
+    }
+    // With it: the target grows a typed NULL column, matched rows pick
+    // the value up on the same merge, keep-mode target-only rows carry
+    // NULL history.
+    val evolved = SimpleMerge.evolveTarget(vendorTarget, widened)
+    assert(evolved.schema("Tier").dataType === org.apache.spark.sql.types.StringType)
+    assert(evolved.select("Tier").collect().forall(_.isNullAt(0)))
+    val m = merge(MergeOptions(keys = Seq("Vendor"), delete = DeleteMode.Ignore),
+      t = evolved, s = widened)
+    val tiers = m.merged.select("Vendor", "Tier").as[(Int, Option[String])]
+      .collect().toMap
+    assert(tiers === Map(1 -> Some("T1"), 2 -> Some("T2"), 3 -> None, 4 -> Some("T4")))
+  }
 }
