@@ -98,31 +98,37 @@ object Similarity {
     * negatives poisons the loss, which is exactly why the margin guard
     * exists in published mining recipes.
     *
-    * Takes the `(probe_id, neighbor_id, sim, rnk)` shape every search
+    * Takes the `(probe_id, neighbor_id, <sim>, rnk)` shape every search
     * path here emits — [[cosineTopK]] (exact), [[ivfTopK]]/[[indexTopK]]
-    * (ANN), [[pqSearchTopKBatch]] (ADC) — so the miner composes with
-    * whichever generator the corpus size dictates; `searchK` upstream
-    * bounds the candidate pool. Map-only over the ranked frame plus two
-    * probe-keyed windows (probe-sized, never corpus-sized).
+    * (ANN, similarity column `sim`), [[pqSearchTopKBatch]] (ADC, whose
+    * similarity column is named `score` — pass `simCol = "score"`) — so
+    * the miner composes with whichever generator the corpus size
+    * dictates; `searchK` upstream bounds the candidate pool. Map-only
+    * over the ranked frame plus two probe-keyed windows (probe-sized,
+    * never corpus-sized).
     *
+    * @param simCol name of the ranked frame's similarity column (`sim`
+    *               for the cosine generators, `score` for the ADC ones);
+    *               the output carries it under the same name.
     * @return (probe_id, role ∈ {positive, hard_negative}, role_rnk,
-    *         neighbor_id, sim); positives have role_rnk = 1, negatives
+    *         neighbor_id, simCol); positives have role_rnk = 1, negatives
     *         keep their mined order, at most `kNeg` per probe.
     */
-  def hardNegativesFrom(ranked: DataFrame, kNeg: Int, margin: Double): DataFrame = {
+  def hardNegativesFrom(
+      ranked: DataFrame, kNeg: Int, margin: Double, simCol: String = "sim"): DataFrame = {
     require(kNeg >= 1, s"kNeg must be >= 1, got $kNeg")
     require(margin >= 0, s"margin must be >= 0, got $margin")
     val wp = Window.partitionBy("probe_id")
     ranked
-      .withColumn("__pos_sim", max(when(col("rnk") === 1, col("sim"))).over(wp))
+      .withColumn("__pos_sim", max(when(col("rnk") === 1, col(simCol))).over(wp))
       .withColumn("role",
         when(col("rnk") === 1, lit("positive"))
-          .when(col("sim") <= col("__pos_sim") - lit(margin), lit("hard_negative")))
+          .when(col(simCol) <= col("__pos_sim") - lit(margin), lit("hard_negative")))
       .filter(col("role").isNotNull)
       .withColumn("role_rnk", row_number().over(
         Window.partitionBy("probe_id", "role").orderBy("rnk")))
       .filter(col("role") === "positive" || col("role_rnk") <= kNeg)
-      .select("probe_id", "role", "role_rnk", "neighbor_id", "sim")
+      .select("probe_id", "role", "role_rnk", "neighbor_id", simCol)
   }
 
   /** [[hardNegativesFrom]] over the exact [[cosineTopK]] generator — the
@@ -1210,20 +1216,107 @@ object Similarity {
       idCol: String, vecCol: String, codebooks: Seq[Seq[Seq[Double]]],
       k: Int, refineK: Int, nProbe: Int = 1): DataFrame = {
     require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
-    val dp = dotOn(vectors.sparkSession)
     val cands = pqSearchTopKBatch(
       encoded, centroids, probes, idCol, vecCol, codebooks, refineK, nProbe)
       .select(col("probe_id"), col("neighbor_id"))
+    rerankExact(cands, vectors, probes, idCol, vecCol, k)
+  }
+
+  /** The exact-cosine re-rank stage shared by [[pqRefinedTopKBatch]] and
+    * [[pqIndexRefinedTopKBatch]]: the (probe_id, neighbor_id) candidate
+    * frame — probes × refineK rows, tiny by construction — BROADCASTS
+    * into the float-corpus join, so the corpus side streams through a
+    * broadcast hash join without a shuffle and only candidate rows
+    * survive into the window.
+    */
+  private def rerankExact(
+      cands: DataFrame, vectors: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val dp = dotOn(vectors.sparkSession)
     val corpus = withNorm(vectors, idCol, vecCol, "neighbor_id", "__v", "__vn")
     val probe = withNorm(probes, idCol, vecCol, "probe_id", "__p", "__pn")
     val w = Window.partitionBy("probe_id").orderBy(col("sim").desc, col("neighbor_id"))
-    cands
+    broadcast(cands)
       .join(corpus, Seq("neighbor_id"))
       .join(broadcast(probe), Seq("probe_id"))
       .withColumn("sim", round(dp(col("__p"), col("__v")) / (col("__pn") * col("__vn")), 6))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("probe_id", "neighbor_id", "sim", "rnk")
+  }
+
+  /** [[pqSearchTopKBatch]] against a [[writePqIndex]]-persisted index —
+    * the production retrieval workload's shape (VERDICT r12 next #1): a
+    * probe FRAME against the at-rest codes. Probes pick their `nProbe`
+    * buckets through the broadcast [[assignTopBuckets]] join against the
+    * centroid sidecar; the UNION of probed buckets (≤ |centroids| values
+    * — metadata-sized, the e4/t25 touched-buckets license) becomes ONE
+    * `isin` partition filter on `path/codes`, so the file listing itself
+    * prunes to the probed bucket directories; then the existing
+    * broadcast (probe, bucket, LUT) join scores only those buckets'
+    * codes. Per probe the join still restricts to the probe's OWN
+    * buckets — the union filter is a superset cut, never a semantic
+    * change (parity with [[pqIndexTopK]] spec-pinned). No assignment
+    * pass over the corpus, no float reads, scanned bytes =
+    * |touched buckets|/|centroids| × corpus × m.
+    *
+    * @return (probe_id, neighbor_id, score, rnk) — k rows per probe by
+    *         ADC score desc, id asc; a corpus row sharing the probe's id
+    *         is excluded (the [[pqSearchTopKBatch]] convention).
+    */
+  def pqIndexTopKBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as(idCol), col("cvec").as(vecCol))
+    val touched = assignTopBuckets(probes, cents, idCol, vecCol, nProbe)
+      .select(col("bucket").cast("long")).distinct()
+      .as[Long].collect().sorted.map(Long.box).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("bucket").isin(touched: _*)) // partition-pruned listing
+    pqSearchTopKBatch(codes, cents, probes, idCol, vecCol,
+      readCodebooks(spark, path), k, nProbe)
+  }
+
+  /** Two-stage refined search against the AT-REST index — [[
+    * pqRefinedTopKBatch]]'s composition with [[writePqIndex]] output
+    * (VERDICT r12 next #4): the index's codes propose `refineK`
+    * candidates per probe through [[pqIndexTopKBatch]] (partition-pruned,
+    * codes-only — the index stores no floats by design), then ONLY those
+    * candidates' float vectors are fetched from `vectors` (the original
+    * corpus, or an e4 float index read back) for the exact-cosine
+    * re-rank.
+    *
+    * The candidate set is collected driver-side — ≤ |probes| × refineK
+    * (id, id) rows, query-sized by contract (a probe frame is a query
+    * workload, not a corpus; at corpus-scale probe counts use the live
+    * [[pqRefinedTopKBatch]], whose stage 2 joins distributively) — so
+    * the candidate ids push into the float scan as an `isin` predicate:
+    * `PushedFilters` prunes parquet row groups and the full-precision
+    * corpus is never scanned (plan spec-pinned).
+    *
+    * @return (probe_id, neighbor_id, sim, rnk) — exact cosine, k rows
+    *         per probe.
+    */
+  def pqIndexRefinedTopKBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, vectors: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String,
+      k: Int, refineK: Int, nProbe: Int = 1): DataFrame = {
+    require(refineK >= k, s"refineK ($refineK) must be >= k ($k)")
+    val cands = pqIndexTopKBatch(spark, path, probes, idCol, vecCol, refineK, nProbe)
+      .select(col("probe_id"), col("neighbor_id"))
+    val candRows = cands.collect() // ≤ |probes| × refineK — bounded by contract
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cands.schema)
+    val ids = candRows.map(_.get(1)).distinct.toSeq
+    val pruned =
+      if (ids.isEmpty) vectors.filter(lit(false))
+      else vectors.filter(col(idCol).isin(ids: _*))
+    rerankExact(candDf, pruned, probes, idCol, vecCol, k)
   }
 
   /** [[pqSearchTopKBatch]] over the LIVE frames (assign + encode per

@@ -1005,6 +1005,36 @@ $bandSelects
       Similarity.pqIndexTopK(s, idx, "vec_id", q, k = 25, nProbe = 2)
         .orderBy(col("score").desc, col("vec_id"))
     }),
+    // Batch probe against the persisted IVFADC index (e17): a probe FRAME
+    // against the at-rest codes — the production retrieval workload. The
+    // union of the probes' top-2 buckets becomes one isin partition
+    // filter on the codes; scoring is the broadcast (probe, bucket, LUT)
+    // join. Oracle = e16's batched ADC stage (bucket assignment +
+    // grid encode + per-probe lookup sums) ranked per probe.
+    "e17_ivfpq_index_batch" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val idx = Fixtures.scratchDir("graft-e17") + "/idx"
+      Similarity.writePqIndex(v, v.filter(col("vec_id") < 8), "vec_id", "embedding", cb, idx)
+      Similarity.pqIndexTopKBatch(s, idx, v.filter(col("vec_id").between(100, 104)),
+        "vec_id", "embedding", k = 10, nProbe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
+    // Index-backed refined search (e18): e16's two-stage shape with the
+    // candidate stage served by the AT-REST index — codes propose
+    // refineK=10 per probe (partition-pruned scan), then a candidate-
+    // sized isin-pushed float fetch re-ranks by exact cosine. Identical
+    // semantics to the live e16 composition, so it shares e16's oracle
+    // verbatim (the e14/e13 precedent).
+    "e18_index_refined" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val cb = Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val idx = Fixtures.scratchDir("graft-e18") + "/idx"
+      Similarity.writePqIndex(v, v.filter(col("vec_id") < 8), "vec_id", "embedding", cb, idx)
+      Similarity.pqIndexRefinedTopKBatch(s, idx, v, v.filter(col("vec_id").between(100, 104)),
+        "vec_id", "embedding", k = 5, refineK = 10, nProbe = 2)
+        .orderBy("probe_id", "rnk")
+    }),
     // Embedding near-dup: every 20th vector gets a perturbed copy planted
     // (scaled + shifted -> cosine just under 1); pairs are found within
     // IVF centroid buckets, never corpus².
@@ -2897,6 +2927,57 @@ $bandSelects
         |  FROM ref
         |) WHERE rnk <= 5
         |ORDER BY probe_id, rnk""".stripMargin,
+    // e17: e16's batched ADC stage (bucket assignment + grid encode +
+    // per-probe lookup sums over the probed buckets' codes), ranked per
+    // probe — the candidate stage IS the result here, no refine.
+    "e17_ivfpq_index_batch" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
+        |a AS (
+        |  SELECT v.vec_id AS vid, c.centroid_id, v.e,
+        |         round(list_dot_product(e, ce)
+        |               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce, ce))), 6) AS csim
+        |  FROM v CROSS JOIN c
+        |),
+        |b AS (
+        |  SELECT vid, centroid_id AS bucket, e FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk FROM a
+        |  ) WHERE crnk = 1
+        |),
+        |pq AS (
+        |  SELECT vid AS probe_id, centroid_id AS bucket FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vid ORDER BY csim DESC, centroid_id) AS crnk
+        |    FROM a WHERE vid BETWEEN 100 AND 104
+        |  ) WHERE crnk <= 2
+        |),
+        |scan AS (
+        |  SELECT pq.probe_id, b.vid, b.e FROM b JOIN pq USING (bucket)
+        |  WHERE b.vid <> pq.probe_id
+        |),
+        |codes AS (
+        |  SELECT s.vid, g2.b,
+        |         (SELECT g.j FROM generate_series(0, 15) g(j)
+        |          ORDER BY list_sum(list_transform(s.e[g2.b*8+1 : g2.b*8+8],
+        |                    x -> (x - (-0.75 + g.j*0.1))^2)), g.j
+        |          LIMIT 1) AS code
+        |  FROM (SELECT DISTINCT vid, e FROM scan) s, generate_series(0, 7) g2(b)
+        |),
+        |qsums AS (
+        |  SELECT p.vec_id AS probe_id, g2.b, list_sum(p.e[g2.b*8+1 : g2.b*8+8]) AS qs
+        |  FROM (SELECT vec_id, e FROM v WHERE vec_id BETWEEN 100 AND 104) p,
+        |       generate_series(0, 7) g2(b)
+        |),
+        |adc AS (
+        |  SELECT sc.probe_id, sc.vid, round(sum((-0.75 + cd.code*0.1) * q.qs), 6) AS score
+        |  FROM scan sc JOIN codes cd ON cd.vid = sc.vid
+        |  JOIN qsums q ON q.probe_id = sc.probe_id AND q.b = cd.b
+        |  GROUP BY 1, 2
+        |)
+        |SELECT probe_id, vid AS neighbor_id, score, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vid) AS rnk
+        |  FROM adc
+        |) WHERE rnk <= 10
+        |ORDER BY probe_id, rnk""".stripMargin,
     "e13_ivfpq_topk" ->
       """WITH v AS (SELECT vec_id, embedding, embedding::DOUBLE[] AS e FROM embeddings),
         |c AS (SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < 8),
@@ -3498,6 +3579,10 @@ $bandSelects
     // e14 is e13 materialized (identical semantics, index-resident codes),
     // so it shares e13's composed replay oracle verbatim.
     "e14_ivfpq_index" -> oracleSqlBase("e13_ivfpq_topk"),
+    // e18 is e16 with the candidate stage served from the at-rest index —
+    // identical two-stage semantics, so e16's oracle verbatim (the e14
+    // precedent; index==live parity is additionally spec-pinned).
+    "e18_index_refined" -> oracleSqlBase("e16_refined_search"),
     // t25 is t23 materialized (posting index, shared contribution tree,
     // bit-equal doubles) — same oracle verbatim.
     "t25_bm25_index" -> oracleSqlBase("t23_bm25"),

@@ -1597,6 +1597,87 @@ class PipelineSpec extends GraftSuite {
     assert(recall(2) === ((1L, 1.0, 1.0)))
   }
 
+  test("persisted-index batch probe: batch == single per probe, partition filter prunes to the touched union") {
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),  // bucket 0
+      (11L, Seq(0.8f, 0.0f, 0.1f, 0.0f)),  // bucket 0
+      (20L, Seq(0.0f, 0.1f, 0.0f, 0.9f)),  // bucket 1
+      (21L, Seq(0.0f, 0.0f, 0.1f, 0.8f))   // bucket 1
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqGridCodebooks(dim = 4, m = 2, k = 16, lo = -0.75, step = 0.1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-batch").toString
+    Similarity.writePqIndex(corpus, cents, "vec_id", "embedding", cb, dir)
+
+    // Per probe, the batch result equals the single-query index probe on
+    // that probe's own vector (minus the self row the batch form
+    // excludes) — scores included.
+    val probes = corpus.filter($"vec_id".isin(10L, 20L))
+    val batch = Similarity.pqIndexTopKBatch(spark, dir, probes, "vec_id", "embedding",
+      k = 3, nProbe = 1)
+    val byProbe = batch.select("probe_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+      .view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for ((pid, vec) <- Seq(
+        10L -> Seq(0.9f.toDouble, 0.1f.toDouble, 0.0, 0.0),
+        20L -> Seq(0.0, 0.1f.toDouble, 0.0, 0.9f.toDouble))) {
+      val single = Similarity.pqIndexTopK(spark, dir, "vec_id", vec, k = 3, nProbe = 1)
+        .filter($"vec_id" =!= pid).as[(Long, Double)].collect().toSet
+      assert(byProbe(pid) === single, s"probe=$pid")
+    }
+
+    // The codes scan is ONE partition-filtered read over the union of the
+    // probed buckets; a single-bucket probe frame leaves the other
+    // bucket's directory unread and its vectors unseen.
+    val b0 = Similarity.pqIndexTopKBatch(spark, dir,
+      corpus.filter($"vec_id" === 10L), "vec_id", "embedding", k = 4, nProbe = 1)
+    assert(b0.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(b0.select("neighbor_id").as[Long].collect().toSet === Set(11L))
+    val planFiles = b0.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(!planFiles.contains("bucket=1"), planFiles.take(2000))
+  }
+
+  test("index-backed refined search: equals live refined search, float fetch is candidate-sized and pushed down") {
+    // Deterministic 8-dim corpus with enough spread that ADC and exact
+    // rankings differ at the margin — the refine stage must repair it
+    // identically in both forms.
+    val corpus = (0L until 48L).map { i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 13 + j * 5) * 0.7).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" < 4)
+    val probes = corpus.filter($"vec_id".between(40, 42))
+    val cb = Similarity.pqGridCodebooks(dim = 8, m = 2, k = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-refine").toString
+    Similarity.writePqIndex(corpus, cents, "vec_id", "embedding", cb, dir)
+    // Float corpus at rest — the realistic source the candidate fetch
+    // must prune instead of scanning.
+    corpus.write.parquet(s"$dir/floats")
+    val floats = spark.read.parquet(s"$dir/floats")
+
+    val live = {
+      val enc = Similarity.pqEncode(
+        Similarity.assignBuckets(corpus, cents, "vec_id", "embedding")
+          .select(col("vid"), col("bucket"), col("__v")), "__v", cb)
+        .select(col("vid"), col("bucket"), col("codes"))
+      Similarity.pqRefinedTopKBatch(enc, cents, corpus, probes, "vec_id", "embedding",
+        cb, k = 3, refineK = 8, nProbe = 2)
+        .as[(Long, Long, Double, Int)].collect().sorted.toSeq
+    }
+    val viaIndex = Similarity.pqIndexRefinedTopKBatch(spark, dir, floats, probes,
+      "vec_id", "embedding", k = 3, refineK = 8, nProbe = 2)
+    assert(viaIndex.as[(Long, Long, Double, Int)].collect().sorted.toSeq === live)
+
+    // The float read carries the candidate-id In predicate down into the
+    // parquet scan — row groups outside the shortlist never decode.
+    val floatScan = viaIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(s => s.contains("floats"))
+    assert(floatScan.exists(s => s.contains("PushedFilters") && s.contains("In(vec_id")),
+      floatScan.getOrElse("no floats scan in plan").take(2000))
+  }
+
   test("quantized search: top-k over dequantized vectors agrees with exact cosine") {
     // 40 deterministic pseudo-random 16-dim vectors; int8 reconstruction
     // perturbs each coordinate by < scale/2, so the cosine ranking over
