@@ -196,7 +196,7 @@ object TextStats {
     require(queryTerms.nonEmpty, "at least one query term required")
     require(queryTerms.distinct == queryTerms, s"duplicate query terms: $queryTerms")
     require(k >= 1, s"k must be >= 1, got $k")
-    val corpus = spark.read.parquet(s"$path/corpus")
+    val corpus = bm25Corpus(spark, path)
     val nBuckets = corpus.select("n_buckets").head().getInt(0)
     // Driver-side bucket choice through the SAME hash the build used —
     // query-terms-sized, the e4 "touched buckets" license.
@@ -206,7 +206,7 @@ object TextStats {
       .as[Long].collect().distinct.toSeq
     val posts = spark.read.parquet(s"$path/postings")
       .filter(col("pbucket").isin(wanted: _*) && col("term").isin(queryTerms: _*))
-    val stats = spark.read.parquet(s"$path/terms")
+    val stats = bm25Terms(spark, path)
       .filter(col("term").isin(queryTerms: _*))
     val scored = posts.join(broadcast(stats), Seq("term"))
       .crossJoin(broadcast(corpus))
@@ -228,6 +228,181 @@ object TextStats {
         col("score"): _*)
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Filename of the BM25 append intent marker: present ⇔ a fully-staged
+    * append is mid-promotion, which [[recoverBm25Index]] rolls FORWARD.
+    * Probes, appends, and compactions refuse to run while it exists —
+    * the postings/terms/corpus trio may be mutually inconsistent
+    * mid-swap, and a probe would score with a stale df or N silently.
+    */
+  private val Bm25AppendIntent = "_graft_append_intent"
+
+  /** The corpus sidecar, behind the index/consistency gate: `path` must
+    * be a [[writeBm25Index]] layout and must not have a pending append.
+    */
+  private def bm25Corpus(spark: SparkSession, path: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/corpus")))
+      throw new IllegalArgumentException(
+        s"$path is not a persisted BM25 index (no corpus sidecar) — build it with writeBm25Index")
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, Bm25AppendIntent)))
+      throw new IllegalStateException(
+        s"$path has an interrupted append — run recoverBm25Index to roll it forward")
+    spark.read.parquet(s"$path/corpus")
+  }
+
+  /** The per-term df cache — a DERIVED cache in the d23 discipline:
+    * rebuilt from the authoritative postings (one row per (term, doc) ⇒
+    * df = rows per term) if an interrupted maintenance step lost it.
+    * The corpus sidecar, by contrast, is authoritative: zero-token docs
+    * count toward N and Σdl but leave no posting to rebuild from, so it
+    * only ever moves under the append intent marker.
+    */
+  private def bm25Terms(spark: SparkSession, path: String): DataFrame = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/terms")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) spark.read.parquet(s"$path/terms")
+    else spark.read.parquet(s"$path/postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+  }
+
+  /** Append an ingest delta to the at-rest BM25 index, crash-atomically
+    * (VERDICT r12 next #3 — every other persisted index already had the
+    * append/compact/recover discipline; an ingest-growing corpus forced
+    * a full rebuild here). The [[appendToShingleIndex]] protocol:
+    *
+    *   1. the delta's postings (tokenized once, bucketed by the SAME
+    *      term hash the build used), the merged df cache (old ⊎ delta —
+    *      one aggregation over the terms cache + the STAGED files, never
+    *      a corpus re-scan), and the advanced corpus sidecar
+    *      (N + |delta|, Σdl + Σdl_delta) are written COMPLETELY under
+    *      `append.staging/`;
+    *   2. an intent marker declares the append committed;
+    *   3. staged posting files promote by per-file rename into their
+    *      `pbucket=` directories, the df/corpus sidecars by
+    *      stage-delete-rename, and the marker is removed.
+    *
+    * Crash points are unambiguous: no marker → live index untouched,
+    * staging is garbage; marker → staged data complete,
+    * [[recoverBm25Index]] re-runs the (idempotent) promotion while
+    * probes fail loudly through the [[bm25Corpus]] gate; marker gone →
+    * fully visible. Contract (the [[appendToPqIndex]] convention): delta
+    * doc ids are disjoint from indexed ones — re-ingesting a doc would
+    * double its postings, not replace them.
+    */
+  def appendToBm25Index(spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+    val corpus = bm25Corpus(spark, path).head()
+    val (oldN, oldSumdl) = (corpus.getLong(corpus.fieldIndex("n")),
+      corpus.getLong(corpus.fieldIndex("sumdl")))
+    val nBuckets = corpus.getInt(corpus.fieldIndex("n_buckets"))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Unmarked staging leftovers are garbage from an append that never
+    // reached its intent point.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/append.staging"), true)
+    val base = newDocs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__w"))
+      .withColumn("dl", size(col("__w")).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.select(col("doc_id"), col("dl"), explode(col("__w")).as("term"))
+        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).cast("long").as("tf"))
+        .withColumn("pbucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("pbucket")
+        .parquet(s"$path/append.staging/postings")
+      // Delta df from the WRITTEN staging files, so the cache cannot
+      // drift from what actually landed.
+      val stagedDf = spark.read.parquet(s"$path/append.staging/postings")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      bm25Terms(spark, path).unionByName(stagedDf)
+        .groupBy("term").agg(sum("df").as("df"))
+        .write.mode("overwrite").parquet(s"$path/append.staging/terms")
+      val d = base.agg(count(lit(1)).as("dn"), coalesce(sum("dl"), lit(0L)).as("dsumdl")).head()
+      spark.range(1).select(
+        lit(oldN + d.getLong(0)).as("n"),
+        lit(oldSumdl + d.getLong(1)).as("sumdl"),
+        lit(nBuckets).as("n_buckets"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/append.staging/corpus")
+      val marker = fs.create(new org.apache.hadoop.fs.Path(path, Bm25AppendIntent), true)
+      try marker.write("pending".getBytes("UTF-8")) finally marker.close()
+      promoteBm25Append(fs, path)
+    } finally base.unpersist()
+  }
+
+  /** Promote a fully-staged BM25 append (intent marker present).
+    * Idempotent: already-promoted files are no longer in staging, so an
+    * interrupted promotion re-runs to completion.
+    */
+  private def promoteBm25Append(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val stagedPosts = new org.apache.hadoop.fs.Path(s"$path/append.staging/postings")
+    if (fs.exists(stagedPosts)) {
+      fs.listStatus(stagedPosts)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("pbucket="))
+        .foreach { d =>
+          val dest = new org.apache.hadoop.fs.Path(s"$path/postings/${d.getPath.getName}")
+          if (!fs.exists(dest)) fs.mkdirs(dest)
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val to = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+              if (!fs.rename(f.getPath, to))
+                throw new IllegalStateException(s"append: could not promote ${f.getPath} to $to")
+            }
+        }
+    }
+    for (sub <- Seq("terms", "corpus")) {
+      val staged = new org.apache.hadoop.fs.Path(s"$path/append.staging/$sub")
+      if (fs.exists(staged)) {
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)
+        if (!fs.rename(staged, new org.apache.hadoop.fs.Path(s"$path/$sub")))
+          throw new IllegalStateException(s"append: could not promote $sub sidecar at $path")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/append.staging"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path, Bm25AppendIntent), false)
+  }
+
+  /** Restore a healthy file layout to an append-accreted BM25 index:
+    * every [[appendToBm25Index]] lands one file set per touched
+    * `pbucket=` directory, so a year of daily deltas is 365 file sets
+    * per probed bucket — the same degradation every other persisted
+    * index guards against. Delegates to the shared staged-swap bucket
+    * compaction ([[graft.merge.PartitionedTarget]]'s engine, the
+    * [[Similarity.compactPqIndex]] precedent); postings content is
+    * already one row per (term, doc), so only file layout changes.
+    * Run [[recoverBm25Index]] after a crash.
+    *
+    * @return the pbucket ids rewritten (empty = nothing degraded).
+    */
+  def compactBm25Index(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20, minFiles: Int = 2): Seq[Int] = {
+    bm25Corpus(spark, path) // gate: real index, no pending append
+    graft.merge.PartitionedTarget.compactDirs(
+      spark, s"$path/postings", "pbucket", targetFileBytes, minFiles)
+  }
+
+  /** Roll an interrupted BM25 maintenance step to a consistent state:
+    * a marked append promotes FORWARD (staged data is complete by the
+    * marker's contract), unmarked staging leftovers are dropped, and an
+    * interrupted compaction swap rolls through the shared marker
+    * protocol against the postings root. @return true when anything was
+    * repaired.
+    */
+  def recoverBm25Index(spark: SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, Bm25AppendIntent)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/append.staging")
+    val appendActed =
+      if (fs.exists(marker)) { promoteBm25Append(fs, path); true }
+      else if (fs.exists(staging)) { fs.delete(staging, true); true }
+      else false
+    appendActed | graft.merge.MergeApply.recover(spark, s"$path/postings")
   }
 
   /** Vocabulary-coverage / OOV-rate report (C90): build the top-V corpus

@@ -2305,6 +2305,102 @@ class PipelineSpec extends GraftSuite {
     assert(solo === Seq(1L, 4L, 5L), "only docs containing the term are indexed matches")
   }
 
+  test("bm25 index maintenance: append == full rebuild bit-for-bit, compact round-trips, recovery rolls forward") {
+    val slabA = Seq(
+      (1L, "dup dup alpha beta"),
+      (2L, "merge alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon zeta")
+    ).toDF("doc_id", "text")
+    val slabB = Seq(
+      (4L, "dup merge alpha"),
+      (5L, "merge merge dup beta beta"),
+      (6L, "")                                 // zero-token doc: counts toward N/avgdl only
+    ).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("bm25-maint")
+    val dir = base.resolve("idx").toString
+    val fresh = base.resolve("fresh").toString
+    TextStats.writeBm25Index(slabA, "doc_id", "text", dir, nBuckets = 8)
+    TextStats.appendToBm25Index(spark, dir, slabB, "doc_id", "text")
+    // Append-visible, and bit-equal to rebuilding over the union: df, N,
+    // and Σdl all advanced (doc 6 moves avgdl through N with no posting).
+    TextStats.writeBm25Index(slabA.unionByName(slabB), "doc_id", "text", fresh, nBuckets = 8)
+    def probeStrings(p: String): Seq[String] =
+      TextStats.bm25IndexTopK(spark, p, Seq("dup", "merge"), k = 5)
+        .collect().map(_.toString).sorted.toSeq
+    assert(probeStrings(dir) === probeStrings(fresh))
+
+    // Compaction: appends accrete file sets per touched bucket; the
+    // shared staged-swap rewrite restores the layout, results unchanged,
+    // healthy layout converges.
+    TextStats.appendToBm25Index(spark, dir,
+      Seq((7L, "dup gamma")).toDF("doc_id", "text"), "doc_id", "text")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def bucketFiles(): Map[String, Int] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/postings"))
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("pbucket="))
+        .map(d => d.getPath.getName ->
+          fs.listStatus(d.getPath).count(f => f.isFile && !f.getPath.getName.startsWith("_")))
+        .toMap
+    assert(bucketFiles().values.exists(_ >= 2), "appends must have fragmented a bucket")
+    val before = probeStrings(dir)
+    val compacted = TextStats.compactBm25Index(spark, dir, targetFileBytes = 1L << 30)
+    assert(compacted.nonEmpty)
+    assert(bucketFiles().values.forall(_ === 1))
+    assert(probeStrings(dir) === before)
+    assert(TextStats.compactBm25Index(spark, dir, targetFileBytes = 1L << 30) === Seq.empty)
+
+    // Interrupted append (marker present, staging complete): probes fail
+    // loudly, recovery promotes forward, the delta becomes visible.
+    val sideDocs = Seq((8L, "zeta dup")).toDF("doc_id", "text")
+    val expectAfter = {
+      val all = slabA.unionByName(slabB)
+        .unionByName(Seq((7L, "dup gamma")).toDF("doc_id", "text"))
+        .unionByName(sideDocs)
+      val p = base.resolve("expect").toString
+      TextStats.writeBm25Index(all, "doc_id", "text", p, nBuckets = 8)
+      probeStrings(p)
+    }
+    // Stage the append for real, then "crash" mid-promotion by restoring
+    // the marker + re-staging a copy of the sidecars: simulate by doing
+    // the staging work with the real writer against a scratch index and
+    // moving its postings under append.staging.
+    val scratch = base.resolve("scratch").toString
+    TextStats.writeBm25Index(sideDocs, "doc_id", "text", scratch, nBuckets = 8)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/append.staging"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/postings"),
+      new org.apache.hadoop.fs.Path(s"$dir/append.staging/postings")))
+    // Staged sidecars = merged caches (what step 1 writes): build them
+    // through the public API against a throwaway copy is overkill here —
+    // recompute directly with the same aggregations.
+    spark.read.parquet(s"$dir/terms")
+      .unionByName(spark.read.parquet(s"$dir/append.staging/postings")
+        .groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+      .write.parquet(s"$dir/append.staging/terms")
+    val c0 = spark.read.parquet(s"$dir/corpus").head()
+    spark.range(1).select(
+      lit(c0.getLong(c0.fieldIndex("n")) + 1L).as("n"),
+      lit(c0.getLong(c0.fieldIndex("sumdl")) + 2L).as("sumdl"),
+      lit(c0.getInt(c0.fieldIndex("n_buckets"))).as("n_buckets"))
+      .coalesce(1).write.parquet(s"$dir/append.staging/corpus")
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_append_intent"), true).close()
+    intercept[IllegalStateException] { probeStrings(dir) }
+    intercept[IllegalStateException] {
+      TextStats.appendToBm25Index(spark, dir, sideDocs, "doc_id", "text")
+    }
+    assert(TextStats.recoverBm25Index(spark, dir))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_append_intent")))
+    assert(probeStrings(dir) === expectAfter)
+    // Unmarked staging leftovers are pre-intent garbage; healthy → no-op.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/append.staging/postings"))
+    assert(TextStats.recoverBm25Index(spark, dir))
+    assert(!TextStats.recoverBm25Index(spark, dir))
+    // Self-healing df cache: losing terms/ does not change answers.
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/terms"), true)
+    assert(probeStrings(dir) === expectAfter)
+  }
+
   test("refined ADC search: exact re-rank overturns a quantization tie; equals exact at full width") {
     // Both corpus vectors quantize onto the SAME grid code (0.25 per
     // dim), so the ADC stage ties and the id tiebreak ranks vid 1 first
