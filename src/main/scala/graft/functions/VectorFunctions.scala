@@ -80,6 +80,7 @@ object GraftFunctions {
   val DotProductName = "graft_dot_product"
   val NfcNormalizeName = "graft_nfc_normalize"
   val TokenCountName = "graft_token_count"
+  val GramRollingHashName = "graft_gram_rolling_hash"
 
   /** Spark's OWN codegen'd bloom expressions (`BloomFilterAggregate`,
     * `BloomFilterMightContain` — the machinery behind runtime row-level
@@ -113,6 +114,19 @@ object GraftFunctions {
           s"$BloomMightContainName expects (bloomFilter, value), got ${children.size} args")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(GramRollingHashName),
+      new ExpressionInfo(classOf[GramRollingHash].getName, GramRollingHashName),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"$GramRollingHashName expects (tokens, n, seed), got ${children.size} args")
+        val Seq(_, nE, seedE) = children
+        require(nE.foldable && seedE.foldable,
+          s"$GramRollingHashName: n and seed must be literals")
+        GramRollingHash(children.head,
+          nE.eval().asInstanceOf[Number].intValue(),
+          seedE.eval().asInstanceOf[Number].longValue())
       }))
     ext.injectFunction((
       FunctionIdentifier(TokenCountName),

@@ -1848,6 +1848,15 @@ object Dedup {
           s"p -> struct(p AS pos, array_join(slice(__w, p + 1, $n), ' ') AS gram))")).as("__g"))
       .select(col("__id"), col("__g.pos").as("__pos"),
         hashMode.hash(col("__g.gram"), seed).as("__h"))
+    spansFromGrams(grams, idCol, n)
+  }
+
+  /** The shared back half of the repeated-span family: a positioned gram
+    * hash frame (__id, __pos, __h) → repeated-hit filter (one count
+    * window on the gram hash — the d2 inverted-index exchange) → per-doc
+    * maximal-span merge (one doc-keyed window).
+    */
+  private def spansFromGrams(grams: DataFrame, idCol: String, n: Int): DataFrame = {
     val hits = grams
       .withColumn("__df", count(lit(1)).over(Window.partitionBy("__h")))
       .filter(col("__df") >= 2)
@@ -1864,5 +1873,36 @@ object Dedup {
         min(col("__pos")).cast("long").as("start_tok"),
         (max(col("__pos")) + lit(n)).cast("long").as("end_tok"),
         count(lit(1)).as("n_grams"))
+  }
+
+  /** [[repeatedSpans]] through the native rolling-hash gram sweep — the
+    * production twin that retires the per-position string build
+    * (VERDICT r12 "what's wrong" #2 / next #5): [[repeatedSpans]] (and
+    * its xxhash64 variant d27) materializes the n-token gram STRING at
+    * every position inside the explode (`array_join(slice(__w, p+1, n))`
+    * with n=50 default — ~n× byte amplification) just to feed a hash;
+    * here [[graft.functions.GramRollingHash]] hashes each token once and
+    * rolls the gram hash in O(len) longs per document, so the explode
+    * carries (pos, int64) rows only. Span output is hash-independent
+    * absent collisions — identical to [[repeatedSpans]] row-for-row
+    * (mode-agreement spec-pinned; d28 shares d26's oracle, the d7/d27
+    * precedent).
+    *
+    * Requires the session to register
+    * [[graft.functions.GraftExtensions]] — the engine's standard session
+    * contract (same dependency as [[TextOps.tokenCount]]).
+    */
+  def repeatedSpansRolling(
+      docs: DataFrame, idCol: String, textCol: String, n: Int = 50,
+      seed: Int = 43): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val grams = docs
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("__id"), posexplode(call_function(
+        graft.functions.GraftFunctions.GramRollingHashName,
+        col("__w"), lit(n), lit(seed.toLong))))
+      .select(col("__id"), col("pos").as("__pos"), col("col").as("__h"))
+    spansFromGrams(grams, idCol, n)
   }
 }

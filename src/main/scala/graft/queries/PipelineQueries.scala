@@ -655,6 +655,21 @@ $bandSelects
       Dedup.repeatedSpans(planted, "doc_id", "text", n = 8, HashMode.Xxhash64)
         .orderBy("doc_id", "span_idx")
     }),
+    // Rolling-hash twin of d26/d27 (VERDICT r12 next #5): same sliding
+    // sweep, but the positioned gram hashes come from the native
+    // GramRollingHash expression — tokens hashed once, gram hashes
+    // chained in O(len) longs, no per-position n-token string build.
+    // Spans are hash-independent absent collisions: d26's oracle
+    // verbatim; the mode-agreement spec pins d28 == d26 == d27 exactly.
+    "d28_repeated_spans_rolling" -> ((s, dir) => {
+      val d = docsDupAug(s, dir).select("doc_id", "text")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")))
+          .otherwise(col("text")))
+      Dedup.repeatedSpansRolling(planted, "doc_id", "text", n = 8)
+        .orderBy("doc_id", "span_idx")
+    }),
     // Intra-doc repeated-sentence removal (t24): the corpus has no
     // native sentence repeats, so each doc gets its own FIRST sentence
     // re-appended (the t19 period-planting trick supplies sentence
@@ -3590,6 +3605,9 @@ $bandSelects
     // keys the gram-df index) — d26's oracle verbatim, the d7 precedent;
     // the mode-agreement spec pins d27 == d26 row-for-row.
     "d27_repeated_spans_fast" -> oracleSqlBase("d26_repeated_spans"),
+    // d28's rolling-hash grams key the same df index — span output is
+    // hash-independent absent collisions, d26's oracle verbatim.
+    "d28_repeated_spans_rolling" -> oracleSqlBase("d26_repeated_spans"),
     // p2's gate provably excludes the planted WAVs and declared-PNG
     // liars, leaving exactly mm8's PNG slice — identical output, mm8's
     // oracle verbatim; the spec pins that WITHOUT the gate the liar

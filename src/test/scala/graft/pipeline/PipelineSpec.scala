@@ -2513,6 +2513,40 @@ class PipelineSpec extends GraftSuite {
       .orderBy("doc_id", "span_idx")
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
     assert(fast === out)
+    // ...and so does the rolling-hash sweep (d28) — including the
+    // short-doc guard and the maximal-merge boundaries.
+    val rolling = Dedup.repeatedSpansRolling(docs, "doc_id", "text", n = 3)
+      .orderBy("doc_id", "span_idx")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rolling === out)
+    assert(Dedup.repeatedSpansRolling(
+      Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", n = 3).count() === 0)
+  }
+
+  test("rolling gram hash: equals the direct polynomial per position, equal grams collide, distinct grams don't") {
+    // The rolling recurrence must reproduce the direct O(n)-per-position
+    // polynomial over xxhash64 token hashes at EVERY offset — any drift
+    // in the subtract-shift-add step shows up as a mismatch somewhere in
+    // a long-enough sweep.
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.types.StringType
+    val words = (0 until 40).map(i => s"w${i % 11}")
+    val n = 5
+    val seed = 43L
+    val got = Seq(Tuple1(words.mkString(" "))).toDF("text")
+      .select(call_function(graft.functions.GraftFunctions.GramRollingHashName,
+        split(col("text"), " "), lit(n), lit(seed)))
+      .as[Seq[Long]].head()
+    val th = words.map(w => XxHash64Function.hash(UTF8String.fromString(w), StringType, seed))
+    val direct = (0 to words.length - n).map { p =>
+      (0 until n).foldLeft(0L)((h, i) => h * graft.functions.GramRollingHash.Base + th(p + i))
+    }
+    assert(got === direct)
+    // Equal token windows hash equal (w0..w10 repeats with period 11).
+    assert(got(0) === got(11))
+    // And the 36 distinct windows produce 36 distinct hashes.
+    assert(got.distinct.size === (0 to words.length - n).map(p => words.slice(p, p + n)).distinct.size)
   }
 
   test("repeated-sentence removal: first occurrence kept in order, whitespace normalized, map-only") {
