@@ -33,6 +33,28 @@ object MergeSql {
   def mergedFrame(spark: SparkSession, sqlText: String): DataFrame =
     toSimpleMerge(spark, sqlText).merged
 
+  /** Parse + execute AGAINST AN ON-DISK TARGET, with partition routing
+    * (VERDICT r12 next #6): the statement's relations still resolve
+    * through the session catalog (the target view supplies the schema
+    * the clause validation checks against), but the apply runs at
+    * `targetPath` — and when that path carries a
+    * [[PartitionedTarget]] partition-spec sidecar, it routes into the
+    * partition-scoped apply, so a MERGE arriving as SQL text gets the
+    * same touched-bucket pruning the DataFrame API gets (only the bucket
+    * directories the source keys hash into are read, rewritten, and
+    * swapped; everything else is physically untouched). A plain-parquet
+    * path takes the full-rewrite apply — the same routing
+    * [[graft.streaming.StreamingUpsert]] does for its sink.
+    */
+  def applyToTarget(
+      spark: SparkSession, sqlText: String, targetPath: String,
+      auditPath: Option[String] = None): MergeResult = {
+    val sm = toSimpleMerge(spark, sqlText)
+    if (PartitionedTarget.isPartitioned(spark, targetPath))
+      sm.applyToPartitionedPath(spark, targetPath, auditPath)
+    else sm.applyToPath(spark, targetPath, auditPath)
+  }
+
   /** Parse a MERGE INTO statement into a configured [[SimpleMerge]] whose
     * relations resolve through the session catalog (temp views included).
     */

@@ -262,6 +262,26 @@ object MergeQueries {
       val out = s.read.parquet(s"$root/t")
       out.withColumn("bucket", m13Spec.bucket(Seq(out("li_key"))).cast("long"))
         .orderBy("li_key")
+    }),
+    // MERGE-as-SQL against a partitioned target (g5): m13's logical merge
+    // arrives as rendered MERGE INTO text; MergeSql.applyToTarget parses
+    // it and — because the target path carries the partition-spec
+    // sidecar — routes into the partition-scoped apply (3 of 64 buckets
+    // touched; pruning pinned in MergeSqlSpec). Same disk state as m13,
+    // so it shares m13's oracle verbatim (the g3/m1 precedent).
+    "g5_merge_sql_partitioned" -> ((s, dir) => {
+      val root = m13Setup(s, dir)
+      PartitionedTarget.read(s, s"$root/t").createOrReplaceTempView("g5_tgt")
+      s.read.parquet(s"$root/delta").createOrReplaceTempView("g5_src")
+      val sql = MergeDebug.renderSql(
+        SimpleMerge.into(s.table("g5_tgt"), "g5_tgt").using(s.table("g5_src"), "g5_src")
+          .keys("li_key").deleteMode(DeleteMode.Ignore).plan,
+        "g5_tgt", "g5_src")
+      MergeSql.applyToTarget(s, sql, s"$root/t")
+      s.read.parquet(s"$root/t")
+        .withColumn("bucket", col(PartitionedTarget.BucketCol).cast("long"))
+        .drop(PartitionedTarget.BucketCol)
+        .orderBy("li_key")
     })
   )
 
@@ -349,7 +369,10 @@ object MergeQueries {
     * `oracleSqlBase` is declared below. */
   lazy val oracleSql: Map[String, String] = oracleSqlBase ++ Map(
     "g3_merge_sql" -> oracleSqlBase("m1_merge_delete"),
-    "g4_merge_sql_cte" -> oracleSqlBase("m6_merge_badkey"))
+    "g4_merge_sql_cte" -> oracleSqlBase("m6_merge_badkey"),
+    // g5 executes m13's exact semantics from SQL text against the same
+    // partitioned target — m13's oracle verbatim.
+    "g5_merge_sql_partitioned" -> oracleSqlBase("m13_merge_partitioned"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     // m18: m2's keep-merge with the evolved column — source rows carry

@@ -182,4 +182,59 @@ class MergeSqlSpec extends GraftSuite {
     // The NULL key matches null-safely: updated, not delete+insert.
     assert(got === Set((Some(1L), "x2", 1.5), (None, "n2", 2.5)))
   }
+
+  test("applyToTarget routes a partitioned target into the pruned apply; untouched buckets physically untouched") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val spec = PartitionSpec(Seq("k"), 16, graft.pipeline.HashMode.Xxhash64)
+    val path = Files.createTempDirectory("msql-part").resolve("t").toString
+    val target = (0L until 60L).map(i => (i, s"n$i", i * 1.0)).toDF("k", "name", "amt")
+    PartitionedTarget.write(target, path, spec)
+    def snapshot(): Map[String, (Long, Long)] = {
+      val base = Paths.get(path)
+      Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p))
+        .filter(p => base.relativize(p).toString.contains(PartitionedTarget.BucketCol + "="))
+        .map(p => base.relativize(p).toString ->
+          (Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+        .toMap
+    }
+    val before = snapshot()
+    val source = Seq((5L, "N5", 500.0), (1000L, "new", 1.0)).toDF("k", "name", "amt")
+    val touched = Seq(5L, 1000L).toDF("k")
+      .select(spec.bucket(Seq(col("k")))).as[Int].collect().toSet
+    PartitionedTarget.read(spark, path).createOrReplaceTempView("msql_tgt")
+    source.createOrReplaceTempView("msql_src")
+    val sql = MergeDebug.renderSql(
+      SimpleMerge.into(spark.table("msql_tgt"), "msql_tgt")
+        .using(source, "msql_src").keys("k").deleteMode(DeleteMode.Ignore).plan,
+      "msql_tgt", "msql_src")
+    val r = MergeSql.applyToTarget(spark, sql, path)
+    assert(r.committed && r.affectedRows === 2L)
+    // Logical content: keep-merge of the delta.
+    val got = PartitionedTarget.read(spark, path).as[(Long, String, Double)].collect().toSet
+    val expected = (0L until 60L).map {
+      case 5L => (5L, "N5", 500.0)
+      case i => (i, s"n$i", i * 1.0)
+    }.toSet + ((1000L, "new", 1.0))
+    assert(got === expected)
+    // Pruning pin: files outside the touched buckets are byte-identical
+    // (path + mtime + length) — the SQL entry point inherited the
+    // partition-scoped apply, not the full rewrite.
+    def bucketOf(rel: String): Int =
+      rel.split('/').find(_.startsWith(PartitionedTarget.BucketCol + "="))
+        .map(_.split('=')(1).toInt).get
+    val after = snapshot()
+    assert(before.filter { case (p, _) => !touched.contains(bucketOf(p)) } ===
+      after.filter { case (p, _) => !touched.contains(bucketOf(p)) })
+    assert(before.keySet.filter(p => touched.contains(bucketOf(p)))
+      .forall(p => !after.contains(p) || after(p) != before(p)))
+    // A plain-parquet path (no sidecar) takes the full-rewrite apply.
+    val flat = Files.createTempDirectory("msql-flat").resolve("t").toString
+    target.write.parquet(flat)
+    target.createOrReplaceTempView("msql_tgt")
+    val r2 = MergeSql.applyToTarget(spark, sql, flat)
+    assert(r2.committed)
+    assert(spark.read.parquet(flat).as[(Long, String, Double)].collect().toSet === expected)
+  }
 }
