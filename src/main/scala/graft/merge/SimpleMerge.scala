@@ -147,8 +147,15 @@ object SimpleMerge {
     * Pure projection — map-only, no shuffle.
     */
   def evolveTarget(target: DataFrame, source: DataFrame): DataFrame = {
-    val have = target.columns.toSet
-    source.schema.fields.filterNot(f => have.contains(f.name))
+    // Column identity honors the session's resolution mode (ADVICE r12
+    // #2): under the default case-INsensitive analysis, a source column
+    // differing only in case is the SAME column — appending it would
+    // plant an ambiguous near-duplicate that breaks the merge downstream.
+    val caseSensitive = target.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def canon(n: String): String =
+      if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
+    val have = target.columns.map(canon).toSet
+    source.schema.fields.filterNot(f => have.contains(canon(f.name)))
       .foldLeft(target)((df, f) =>
         df.withColumn(f.name, org.apache.spark.sql.functions.lit(null).cast(f.dataType)))
   }

@@ -60,12 +60,17 @@ object Multimodal {
   def sniffMediaType(df: DataFrame): DataFrame = {
     val head8 = hex(substring(col("payload"), 1, 8))
     val head6 = hex(substring(col("payload"), 1, 6))
+    val head3 = hex(substring(col("payload"), 1, 3))
     val riff = hex(substring(col("payload"), 1, 4))
     val wave = hex(substring(col("payload"), 9, 4))
     df.withColumn("sniffed_type",
       when(head8 === lit("89504E470D0A1A0A"), lit("image/png"))
         .when(head6 === lit("474946383961") || head6 === lit("474946383761"), lit("image/gif"))
         .when(riff === lit("52494646") && wave === lit("57415645"), lit("audio/wav"))
+        // JPEG: every JFIF/EXIF/raw variant opens FF D8 FF (SOI + the
+        // next marker's FF) — the published magic family for the most
+        // common real-crawl image container.
+        .when(head3 === lit("FFD8FF"), lit("image/jpeg"))
         .otherwise(lit("application/octet-stream")))
       .withColumn("meta_agrees", col("sniffed_type") === col("meta.media_type"))
   }
@@ -348,20 +353,44 @@ object Multimodal {
   /** Per-segment energy featurization — [[segmentPlan]] made REAL: the
     * plan's sample offsets drive an actual per-window Σ s² over the
     * decoded `samples` array ([[decodeWav]] output), the exact-integer
-    * quantity a VAD / loudness-normalization stage thresholds on. The
-    * window slice + fold run as `slice` + `aggregate` HOFs over the
-    * already-decoded array — segmentation itself stays map-only with
-    * fan-out ceil(duration/hop) per asset, no shuffle, and the decode
-    * cost is paid once per asset, not per segment.
+    * quantity a VAD / loudness-normalization stage thresholds on.
+    *
+    * All per-segment work happens INSIDE one row (ADVICE r12 #3: the
+    * earlier explode-then-slice ordering physically replicated the full
+    * samples array into every segment row — O(n_samples × n_segments)
+    * per asset for overlapping windows): one `transform` over the
+    * planned offsets computes each window's (offsets, Σ s²) as a small
+    * struct, and only THAT struct array explodes — the samples array is
+    * read once and never duplicated, so the decode cost is genuinely
+    * paid once per asset. Same truncating integer arithmetic (`div`) as
+    * [[segmentPlan]], so the emitted plan columns are bit-identical.
     */
-  def segmentEnergy(decoded: DataFrame, windowMs: Int, hopMs: Int): DataFrame =
-    segmentPlan(decoded, windowMs, hopMs)
-      .withColumn("seg_energy", expr(
-        """aggregate(
-          |  slice(samples, cast(start_sample + 1 as int),
-          |        cast(end_sample - start_sample as int)),
-          |  0L, (acc, x) -> acc + cast(x as bigint) * x)""".stripMargin))
-      .drop("samples")
+  def segmentEnergy(decoded: DataFrame, windowMs: Int, hopMs: Int): DataFrame = {
+    require(windowMs >= 1, s"windowMs must be >= 1, got $windowMs")
+    require(hopMs >= 1, s"hopMs must be >= 1, got $hopMs")
+    val keep = decoded.columns.filterNot(_ == "samples").map(col).toIndexedSeq
+    decoded
+      .withColumn("__seg", explode(expr(
+        s"""transform(sequence(0L, (duration_ms - 1) div $hopMs), i -> named_struct(
+           |  'seg_idx', i,
+           |  'start_ms', i * ${hopMs}L,
+           |  'end_ms', least(i * ${hopMs}L + $windowMs, duration_ms),
+           |  'start_sample', (i * ${hopMs}L * sample_rate) div 1000,
+           |  'end_sample', (least(i * ${hopMs}L + $windowMs, duration_ms) * sample_rate) div 1000,
+           |  'seg_energy', aggregate(
+           |    slice(samples,
+           |          cast((i * ${hopMs}L * sample_rate) div 1000 + 1 as int),
+           |          cast((least(i * ${hopMs}L + $windowMs, duration_ms) * sample_rate) div 1000
+           |               - (i * ${hopMs}L * sample_rate) div 1000 as int)),
+           |    0L, (acc, x) -> acc + cast(x as bigint) * x)))""".stripMargin)))
+      .select(keep ++ Seq(
+        col("__seg.seg_idx").as("seg_idx"),
+        col("__seg.start_ms").as("start_ms"),
+        col("__seg.end_ms").as("end_ms"),
+        col("__seg.start_sample").as("start_sample"),
+        col("__seg.end_sample").as("end_sample"),
+        col("__seg.seg_energy").as("seg_energy")): _*)
+  }
 
   /** Deterministic synthetic animated-GIF fixture — the video twin of
     * [[synthesizePngs]]/[[synthesizeWavs]]: one real multi-frame GIF89a
@@ -605,6 +634,52 @@ object Multimodal {
         digest.reset()
         val hex = digest.digest(bytes).map("%02x".format(_)).mkString
         Row(id, bytes, Row("image/png", bytes.length.toLong, hex))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Deterministic synthetic JPEG fixture — [[synthesizePngs]]' geometry
+    * and pixel formulas through the JDK JPEG writer. JPEG is LOSSY (DCT
+    * quantization), so unlike the PNG/GIF/WAV fixtures the decoded
+    * pixels are NOT closed-form oracle-able — this fixture exists for
+    * the CONTAINER layer: the sniff gate (mm13/st12) must recognize the
+    * FFD8FF magic family on real JPEG bytes, and the type/declared/
+    * routed verdicts stay closed-form in the id. Decode stays out of
+    * scope by design (VERDICT r12 next #7).
+    */
+  def synthesizeJpegs(docs: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val rdd = docs.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val w = (8 + id % 24).toInt
+        val h = (8 + (id * 3) % 24).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val pr = ((3L * x + id % 200) % 256).toInt
+            val pg = ((5L * x + 7L * y + id) % 256).toInt
+            val pb = ((x + 11L * y + 13L * id) % 256).toInt
+            img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val bytes = bos.toByteArray
+        digest.reset()
+        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("image/jpeg", bytes.length.toLong, hex))
       }
     }
     docs.sparkSession.createDataFrame(rdd, schema)

@@ -623,6 +623,8 @@ $bandSelects
           d.filter(col("doc_id") >= 50 && col("doc_id") < 75), "doc_id"))
         .unionByName(Multimodal.ingestBinary(
           d.filter(col("doc_id") >= 75 && col("doc_id") < 100), "doc_id", "text"))
+        .unionByName(Multimodal.synthesizeJpegs(
+          d.filter(col("doc_id") >= 100 && col("doc_id") < 125), "doc_id"))
       Multimodal.sniffMediaType(mixed)
         .select(col("doc_id"), col("sniffed_type"),
           col("meta.media_type").as("declared"), col("meta_agrees"))
@@ -3364,17 +3366,19 @@ $bandSelects
     // doc_id; only a sniffer that actually read the magic bytes of every
     // real container reproduces it.
     "mm13_sniff" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 125)
         |SELECT doc_id,
         |  CASE WHEN doc_id < 25 THEN 'image/png'
         |       WHEN doc_id < 50 THEN 'image/gif'
         |       WHEN doc_id < 75 THEN 'audio/wav'
-        |       ELSE 'application/octet-stream' END AS sniffed_type,
+        |       WHEN doc_id < 100 THEN 'application/octet-stream'
+        |       ELSE 'image/jpeg' END AS sniffed_type,
         |  CASE WHEN doc_id < 25 THEN 'image/png'
         |       WHEN doc_id < 50 THEN 'image/gif'
         |       WHEN doc_id < 75 THEN 'audio/wav'
-        |       ELSE 'text/plain' END AS declared,
-        |  doc_id < 75 AS meta_agrees
+        |       WHEN doc_id < 100 THEN 'text/plain'
+        |       ELSE 'image/jpeg' END AS declared,
+        |  doc_id < 75 OR doc_id >= 100 AS meta_agrees
         |FROM d ORDER BY doc_id""".stripMargin,
     // d26: identical planting, positioned gram hashes via the same
     // portable hash over the space-joined token slice, occurrence df as

@@ -496,6 +496,8 @@ object StreamingQueries {
         d.filter(col("doc_id") >= 50 && col("doc_id") < 75), "doc_id"))
       .unionByName(Multimodal.ingestBinary(
         d.filter(col("doc_id") >= 75 && col("doc_id") < 100), "doc_id", "text"))
+      .unionByName(Multimodal.synthesizeJpegs(
+        d.filter(col("doc_id") >= 100 && col("doc_id") < 125), "doc_id"))
     val rows = mixed.select(col("doc_id"), col("payload"),
         col("meta.media_type"), col("meta.n_bytes"), col("meta.digest"))
       .as[(Long, Array[Byte], String, Long, String)].collect().sortBy(_._1)
@@ -679,17 +681,20 @@ object StreamingQueries {
     // planted mixed corpus — container types closed-form in doc_id, the
     // text slice quarantined for lying about its bytes.
     "st12_stream_sniff" ->
-      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 125)
         |SELECT doc_id,
         |  CASE WHEN doc_id < 25 THEN 'image/png'
         |       WHEN doc_id < 50 THEN 'image/gif'
         |       WHEN doc_id < 75 THEN 'audio/wav'
-        |       ELSE 'application/octet-stream' END AS sniffed_type,
+        |       WHEN doc_id < 100 THEN 'application/octet-stream'
+        |       ELSE 'image/jpeg' END AS sniffed_type,
         |  CASE WHEN doc_id < 25 THEN 'image/png'
         |       WHEN doc_id < 50 THEN 'image/gif'
         |       WHEN doc_id < 75 THEN 'audio/wav'
-        |       ELSE 'text/plain' END AS declared,
-        |  CASE WHEN doc_id < 75 THEN 'accepted' ELSE 'quarantine' END AS routed
+        |       WHEN doc_id < 100 THEN 'text/plain'
+        |       ELSE 'image/jpeg' END AS declared,
+        |  CASE WHEN doc_id < 75 OR doc_id >= 100 THEN 'accepted'
+        |       ELSE 'quarantine' END AS routed
         |FROM d ORDER BY doc_id""".stripMargin,
     // Arrival-order admission quota: batches replay in doc_id order and
     // the operator sorts each group slice by id, so the admitted set is

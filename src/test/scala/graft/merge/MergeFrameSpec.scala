@@ -176,5 +176,11 @@ class MergeFrameSpec extends GraftSuite {
     val tiers = m.merged.select("Vendor", "Tier").as[(Int, Option[String])]
       .collect().toMap
     assert(tiers === Map(1 -> Some("T1"), 2 -> Some("T2"), 3 -> None, 4 -> Some("T4")))
+    // A source column differing only in CASE is the same column under the
+    // default case-insensitive resolution (ADVICE r12 #2): the pre-pass
+    // must not append a near-duplicate that would ambiguate the merge.
+    val cased = widened.withColumnRenamed("Tier", "tIER")
+    val evolvedOnce = SimpleMerge.evolveTarget(evolved, cased)
+    assert(evolvedOnce.columns.toSeq === evolved.columns.toSeq)
   }
 }
