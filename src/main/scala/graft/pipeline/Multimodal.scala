@@ -75,6 +75,44 @@ object Multimodal {
       .withColumn("meta_agrees", col("sniffed_type") === col("meta.media_type"))
   }
 
+  /** Container-header metadata WITHOUT a decoder — the triage layer
+    * between [[sniffMediaType]] (type only) and the real decode
+    * (expensive, imperative): image dimensions and audio sample rate
+    * live at FIXED offsets in the container headers, so a pure codegen'd
+    * byte-arithmetic expression reads them corpus-wide — size-bucketing,
+    * resolution filters, and [[resizePlan]] batching over 100 TB of
+    * binaries with zero decoder invocations, full pushdown, map-only.
+    *
+    *   - PNG: IHDR is mandatory-first — width/height are big-endian
+    *     u32 at bytes 17–20 / 21–24 (signature 8 + length 4 + type 4).
+    *   - GIF: the logical screen descriptor follows the 6-byte header —
+    *     width/height little-endian u16 at bytes 7–8 / 9–10.
+    *   - WAV (canonical RIFF layout, fmt chunk first): sample rate
+    *     little-endian u32 at bytes 25–28.
+    *   - JPEG: dimensions live in a SOF marker at a VARIABLE offset
+    *     (entropy-coded segment lengths) — not expressible as fixed-
+    *     offset arithmetic; stays NULL here by design (sniff-only).
+    *
+    * Emits `parsed_w`/`parsed_h` (images) and `parsed_rate` (audio),
+    * NULL where the sniffed container doesn't carry that field. Parsed
+    * values are pinned against the real decoders in the spec.
+    */
+  def parseContainerMeta(df: DataFrame): DataFrame = {
+    def be(off: Int, len: Int): org.apache.spark.sql.Column =
+      conv(hex(substring(col("payload"), off, len)), 16, 10).cast("long")
+    def le(off: Int, len: Int): org.apache.spark.sql.Column =
+      (0 until len).map(i => be(off + i, 1) * (1L << (8 * i))).reduce(_ + _)
+    sniffMediaType(df)
+      .withColumn("parsed_w",
+        when(col("sniffed_type") === "image/png", be(17, 4))
+          .when(col("sniffed_type") === "image/gif", le(7, 2)))
+      .withColumn("parsed_h",
+        when(col("sniffed_type") === "image/png", be(21, 4))
+          .when(col("sniffed_type") === "image/gif", le(9, 2)))
+      .withColumn("parsed_rate",
+        when(col("sniffed_type") === "audio/wav", le(25, 4)))
+  }
+
   /** Deterministic fake "decode" of a binary payload into media features
     * (dimensions, frame count). STUB: a real pipeline swaps the arithmetic
     * for an actual codec call; everything around it — the schema, the

@@ -630,6 +630,28 @@ $bandSelects
           col("meta.media_type").as("declared"), col("meta_agrees"))
         .orderBy("doc_id")
     }),
+    // Container-header metadata without a decoder (mm15): dimensions /
+    // sample rate read by fixed-offset byte arithmetic over the mm13
+    // mixed corpus — pure codegen expression, zero decoder calls. The
+    // oracle predicts every parsed value from the synthesis geometry
+    // (PNG/GIF dims, WAV rate), so a parser that misread an offset or
+    // an endianness cannot reproduce it; JPEG (variable SOF offset) and
+    // text stay NULL by design.
+    "mm15_header_meta" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val mixed = Multimodal.synthesizePngs(d.filter(col("doc_id") < 25), "doc_id")
+        .unionByName(Multimodal.synthesizeGifs(
+          d.filter(col("doc_id") >= 25 && col("doc_id") < 50), "doc_id"))
+        .unionByName(Multimodal.synthesizeWavs(
+          d.filter(col("doc_id") >= 50 && col("doc_id") < 75), "doc_id"))
+        .unionByName(Multimodal.ingestBinary(
+          d.filter(col("doc_id") >= 75 && col("doc_id") < 100), "doc_id", "text"))
+        .unionByName(Multimodal.synthesizeJpegs(
+          d.filter(col("doc_id") >= 100 && col("doc_id") < 125), "doc_id"))
+      Multimodal.parseContainerMeta(mixed)
+        .select("doc_id", "sniffed_type", "parsed_w", "parsed_h", "parsed_rate")
+        .orderBy("doc_id")
+    }),
     // Repeated-span detection (d26): the dup-augmented corpus (whole-doc
     // copies become full-width spans) plus a shared 10-token sentinel
     // tail on every 7th doc (a PARTIAL cross-doc span the fixed-block
@@ -3379,6 +3401,25 @@ $bandSelects
         |       WHEN doc_id < 100 THEN 'text/plain'
         |       ELSE 'image/jpeg' END AS declared,
         |  doc_id < 75 OR doc_id >= 100 AS meta_agrees
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // mm15: the synthesis geometry replayed — PNG dims 8+id%24 /
+    // 8+(3id)%24, GIF dims 16+id%8 / 16+(3id)%8, WAV rate by id%3;
+    // NULLs for the sniff-only containers.
+    "mm15_header_meta" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 125)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id < 25 THEN 'image/png'
+        |       WHEN doc_id < 50 THEN 'image/gif'
+        |       WHEN doc_id < 75 THEN 'audio/wav'
+        |       WHEN doc_id < 100 THEN 'application/octet-stream'
+        |       ELSE 'image/jpeg' END AS sniffed_type,
+        |  CASE WHEN doc_id < 25 THEN 8 + doc_id % 24
+        |       WHEN doc_id < 50 THEN 16 + doc_id % 8 END AS parsed_w,
+        |  CASE WHEN doc_id < 25 THEN 8 + (doc_id * 3) % 24
+        |       WHEN doc_id < 50 THEN 16 + (doc_id * 3) % 8 END AS parsed_h,
+        |  CAST(CASE WHEN doc_id >= 50 AND doc_id < 75 THEN
+        |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END
+        |  END AS BIGINT) AS parsed_rate
         |FROM d ORDER BY doc_id""".stripMargin,
     // d26: identical planting, positioned gram hashes via the same
     // portable hash over the space-joined token slice, occurrence df as

@@ -2483,6 +2483,45 @@ class PipelineSpec extends GraftSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("container-header parse: byte-arithmetic dims/rate equal the real decoders, map-only, sniff-gated NULLs") {
+    val idSeq = Seq(0L, 1L, 7L, 23L)
+    val ids = idSeq.toDF("doc_id")
+    // PNG: parsed big-endian IHDR dims == javax.imageio's decoded dims.
+    val pngs = Multimodal.synthesizePngs(ids, "doc_id")
+    val parsedPng = Multimodal.parseContainerMeta(pngs)
+      .select("doc_id", "parsed_w", "parsed_h").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val decodedPng = Multimodal.decodePng(pngs)
+      .select("doc_id", "width", "height").as[(Long, Int, Int)].collect()
+    decodedPng.foreach { case (id, w, h) =>
+      assert(parsedPng(id) === ((w.toLong, h.toLong)), s"png $id") }
+    // GIF: parsed little-endian screen descriptor == the GIF decoder.
+    val gifs = Multimodal.synthesizeGifs(ids, "doc_id")
+    val parsedGif = Multimodal.parseContainerMeta(gifs)
+      .select("doc_id", "parsed_w", "parsed_h").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    Multimodal.decodeGifFrames(gifs).select("doc_id", "width", "height")
+      .as[(Long, Int, Int)].collect().distinct.foreach { case (id, w, h) =>
+        assert(parsedGif(id) === ((w.toLong, h.toLong)), s"gif $id") }
+    // WAV: parsed little-endian fmt rate == the javax.sound decoder.
+    val wavs = Multimodal.synthesizeWavs(ids, "doc_id")
+    val parsedWav = Multimodal.parseContainerMeta(wavs)
+      .select("doc_id", "parsed_rate").as[(Long, Long)].collect().toMap
+    Multimodal.decodeWav(wavs).select("doc_id", "sample_rate")
+      .as[(Long, Int)].collect().foreach { case (id, r) =>
+        assert(parsedWav(id) === r.toLong, s"wav $id") }
+    // Fields a container doesn't carry stay NULL (images: no rate; audio:
+    // no dims; JPEG: sniff-only by design).
+    assert(Multimodal.parseContainerMeta(pngs).filter(col("parsed_rate").isNotNull).count() === 0)
+    assert(Multimodal.parseContainerMeta(wavs).filter(col("parsed_w").isNotNull).count() === 0)
+    val jpegs = Multimodal.synthesizeJpegs(ids, "doc_id")
+    assert(Multimodal.parseContainerMeta(jpegs)
+      .filter(col("parsed_w").isNotNull || col("parsed_rate").isNotNull).count() === 0)
+    // Pure expression: map-only, no exchange.
+    assert(!Multimodal.parseContainerMeta(pngs)
+      .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("repeated spans: cross-doc and intra-doc grams merge into maximal intervals") {
     // n = 3. d1/d2 share "p q r s" (two overlapping grams -> one merged
     // span each); d3 repeats its own opening 3-gram (intra-doc, gap 6 > n
