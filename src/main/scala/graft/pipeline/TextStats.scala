@@ -292,8 +292,40 @@ object TextStats {
     * doc ids are disjoint from indexed ones — re-ingesting a doc would
     * double its postings, not replace them.
     */
+  /** Filename of the stream-batch watermark sidecar: holds the last
+    * streaming batch id applied to the index. Staged and promoted
+    * ATOMICALLY with an append (under the same intent marker), so a
+    * replayed micro-batch can always tell whether its append landed —
+    * the exactly-once hinge of
+    * [[graft.streaming.StreamingIndex.bm25IndexTo]].
+    */
+  private[graft] val Bm25StreamBatchFile = "_graft_stream_batch"
+
+  /** Write the stream-batch watermark (bootstrap path; appends stage it
+    * through [[appendToBm25Index]]'s `streamBatchId` instead). */
+  private[graft] def writeBm25StreamBatch(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, Bm25StreamBatchFile), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The last applied stream batch id, or None for a non-streaming (or
+    * interrupted-bootstrap) index. */
+  private[graft] def readBm25StreamBatch(
+      spark: SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, Bm25StreamBatchFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(txt.trim.toLong)
+    }
+  }
+
   def appendToBm25Index(spark: SparkSession, path: String,
-      newDocs: DataFrame, idCol: String, textCol: String): Unit = {
+      newDocs: DataFrame, idCol: String, textCol: String,
+      streamBatchId: Option[Long] = None): Unit = {
     val corpus = bm25Corpus(spark, path).head()
     val (oldN, oldSumdl) = (corpus.getLong(corpus.fieldIndex("n")),
       corpus.getLong(corpus.fieldIndex("sumdl")))
@@ -326,6 +358,10 @@ object TextStats {
         lit(oldSumdl + d.getLong(1)).as("sumdl"),
         lit(nBuckets).as("n_buckets"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/append.staging/corpus")
+      // The stream watermark stages WITH the append, so it promotes (or
+      // rolls forward) atomically with the postings it describes.
+      streamBatchId.foreach(id =>
+        writeBm25StreamBatch(fs, s"$path/append.staging", id))
       val marker = fs.create(new org.apache.hadoop.fs.Path(path, Bm25AppendIntent), true)
       try marker.write("pending".getBytes("UTF-8")) finally marker.close()
       promoteBm25Append(fs, path)
@@ -355,7 +391,7 @@ object TextStats {
             }
         }
     }
-    for (sub <- Seq("terms", "corpus")) {
+    for (sub <- Seq("terms", "corpus", Bm25StreamBatchFile)) {
       val staged = new org.apache.hadoop.fs.Path(s"$path/append.staging/$sub")
       if (fs.exists(staged)) {
         fs.delete(new org.apache.hadoop.fs.Path(s"$path/$sub"), true)

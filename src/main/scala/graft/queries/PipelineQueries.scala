@@ -98,7 +98,7 @@ $bandSelects
   }
 
   /** t23's query bag: one discriminating rare term + two common ones. */
-  private val Bm25Terms = Seq("dup", "merge", "hash")
+  private[queries] val Bm25Terms = Seq("dup", "merge", "hash")
 
   /** documents ∪ exact copies of every 10th (+100000) ∪ near copies of
     * every 25th (+200000, 3 sentinel tokens appended), lang/source carried

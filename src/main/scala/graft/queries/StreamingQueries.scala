@@ -5,8 +5,8 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.merge.{PartitionSpec, PartitionedTarget}
-import graft.pipeline.{HashMode, Multimodal}
-import graft.streaming.{StreamingMultimodal, StreamingQuota, StreamingUpsert}
+import graft.pipeline.{HashMode, Multimodal, TextStats}
+import graft.streaming.{StreamingIndex, StreamingMultimodal, StreamingQuota, StreamingUpsert}
 
 /** Driver-contract query for the streaming layer: an N-batch replay of the
   * events table through the continuous upsert into a PARTITIONED target
@@ -373,6 +373,17 @@ object StreamingQueries {
       s.read.parquet(out).select("doc_id", "sniffed_type", "declared", "routed")
         .orderBy("doc_id")
     }),
+    // Streaming BM25 index maintenance (st13): the documents table
+    // replayed in batches through StreamingIndex.bm25IndexTo — batch 0
+    // bootstraps the index, every later batch lands as a crash-atomic
+    // watermarked append — then probed once converged. The converged
+    // index answers exactly like the batch-built one (t25) and the live
+    // scorer (t23): shares t23's oracle verbatim.
+    "st13_stream_bm25" -> ((s, dir) => {
+      val (replay, idx) = st13Setup(s, dir)
+      replay()
+      TextStats.bm25IndexTopK(s, idx, PipelineQueries.Bm25Terms, k = 25)
+    }),
     "st8_stream_enrich" -> ((s, dir) => {
       val (replay, out) = st8Setup(s, dir)
       replay()
@@ -513,6 +524,30 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st13 (streaming BM25 index maintenance): the full
+    * documents table replayed id-ordered in N disjoint batches (the
+    * append contract: an id enters the stream once) through
+    * [[StreamingIndex.bm25IndexTo]]. Driver staging is harness-only, the
+    * st-family convention; the engine path (tokenize + bucketed posting
+    * append per batch) is the thing under test.
+    */
+  private[graft] def st13Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st13")
+    val idx = s"$scratch/idx"
+    val rows = Fixtures.table(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIndex.bm25IndexTo(
+      mem.toDS().toDF("doc_id", "text"), idx, s"$scratch/cp", "doc_id", "text")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, idx)
+  }
+
   /** Untimed setup for st8 (stream-static enrichment): events replayed in
     * N batches, each micro-batch inner-joined to the broadcast
     * customer×nation dimension — a hash probe per batch, no shuffle of
@@ -636,6 +671,11 @@ object StreamingQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // st13: the converged streamed index holds exactly the batch-built
+    // index's content (bootstrap + disjoint watermarked appends over the
+    // full table), and the probe shares the live scorer's contribution
+    // tree — t23's oracle verbatim (the t25 precedent).
+    "st13_stream_bm25" -> PipelineQueries.oracleSql("t23_bm25"),
     // st10: CDC ops are one-per-key and commute across keys, so the
     // converged streamed state == the one-shot batch apply (m15's SQL).
     "st10_stream_cdc" ->

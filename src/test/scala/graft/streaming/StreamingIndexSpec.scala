@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.pipeline.TextStats
+
+/** Streaming BM25 index maintenance: the converged index equals the
+  * batch-built one bit-for-bit, replayed batches are skipped through the
+  * promoted watermark, and every crash window (interrupted bootstrap,
+  * interrupted append) recovers to the exactly-once answer.
+  */
+class StreamingIndexSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val b0 = Seq(
+    (1L, "dup dup alpha beta"),
+    (2L, "merge alpha beta gamma delta")
+  ).toDF("doc_id", "text")
+  private val b1 = Seq(
+    (3L, "alpha beta gamma delta epsilon zeta"),
+    (4L, "dup merge alpha")
+  ).toDF("doc_id", "text")
+  private val b2 = Seq(
+    (5L, "merge merge dup beta beta")
+  ).toDF("doc_id", "text")
+
+  private def probe(path: String): Seq[String] =
+    TextStats.bm25IndexTopK(spark, path, Seq("dup", "merge"), k = 5)
+      .collect().map(_.toString).sorted.toSeq
+
+  test("converged stream == batch build; replayed batches skip through the watermark") {
+    val base = java.nio.file.Files.createTempDirectory("stridx")
+    val idx = base.resolve("idx").toString
+    StreamingIndex.applyBatch(b0, 0L, idx, "doc_id", "text", nBuckets = 8)
+    StreamingIndex.applyBatch(b1, 1L, idx, "doc_id", "text", nBuckets = 8)
+    // Replays of BOTH already-landed batches are no-ops (watermark = 1).
+    StreamingIndex.applyBatch(b0, 0L, idx, "doc_id", "text", nBuckets = 8)
+    StreamingIndex.applyBatch(b1, 1L, idx, "doc_id", "text", nBuckets = 8)
+    StreamingIndex.applyBatch(b2, 2L, idx, "doc_id", "text", nBuckets = 8)
+    assert(TextStats.readBm25StreamBatch(spark, idx) === Some(2L))
+
+    val fresh = base.resolve("fresh").toString
+    TextStats.writeBm25Index(b0.unionByName(b1).unionByName(b2),
+      "doc_id", "text", fresh, nBuckets = 8)
+    assert(probe(idx) === probe(fresh))
+  }
+
+  test("crash windows: interrupted bootstrap rebuilds; interrupted append rolls forward then skips the replay") {
+    val base = java.nio.file.Files.createTempDirectory("stridx-crash")
+    val idx = base.resolve("idx").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // Interrupted bootstrap: the index content landed but the crash hit
+    // before the watermark — an index-without-watermark. The replayed
+    // batch 0 must REBUILD (overwrite), not append a duplicate.
+    TextStats.writeBm25Index(b0, "doc_id", "text", idx, nBuckets = 8)
+    assert(TextStats.readBm25StreamBatch(spark, idx) === None)
+    StreamingIndex.applyBatch(b0, 0L, idx, "doc_id", "text", nBuckets = 8)
+    assert(TextStats.readBm25StreamBatch(spark, idx) === Some(0L))
+    val freshB0 = base.resolve("fresh0").toString
+    TextStats.writeBm25Index(b0, "doc_id", "text", freshB0, nBuckets = 8)
+    assert(probe(idx) === probe(freshB0))
+
+    // Interrupted append: batch 1 staged completely + marker written,
+    // crash before promotion. Stage it for real through the public API
+    // against a copy, then reconstruct the crash state: move the live
+    // changes back so only staging + marker exist.
+    // Simpler equivalent: stage via appendToBm25Index on a THROWAWAY
+    // copy is overkill — instead drive the real append, then verify the
+    // replay path: a replay of batch 1 after it landed must be a no-op.
+    StreamingIndex.applyBatch(b1, 1L, idx, "doc_id", "text", nBuckets = 8)
+    val after1 = probe(idx)
+    StreamingIndex.applyBatch(b1, 1L, idx, "doc_id", "text", nBuckets = 8) // replay
+    assert(probe(idx) === after1)
+    assert(TextStats.readBm25StreamBatch(spark, idx) === Some(1L))
+
+    // True mid-promotion crash: rebuild the staged state for batch 2 by
+    // hand (staged postings from a scratch build + staged sidecars +
+    // staged watermark + intent marker), then replay batch 2 — the
+    // recover-first step promotes the staged append (watermark 2 lands
+    // WITH it), and the replay skips instead of double-appending.
+    val scratch = base.resolve("scratch").toString
+    TextStats.writeBm25Index(b2, "doc_id", "text", scratch, nBuckets = 8)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/append.staging"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/postings"),
+      new org.apache.hadoop.fs.Path(s"$idx/append.staging/postings")))
+    spark.read.parquet(s"$idx/terms")
+      .unionByName(spark.read.parquet(s"$idx/append.staging/postings")
+        .groupBy("term").agg(count(lit(1)).as("df")))
+      .groupBy("term").agg(sum("df").as("df"))
+      .write.parquet(s"$idx/append.staging/terms")
+    val c0 = spark.read.parquet(s"$idx/corpus").head()
+    val d0 = spark.read.parquet(s"$scratch/corpus").head()
+    spark.range(1).select(
+      lit(c0.getLong(c0.fieldIndex("n")) + d0.getLong(d0.fieldIndex("n"))).as("n"),
+      lit(c0.getLong(c0.fieldIndex("sumdl")) + d0.getLong(d0.fieldIndex("sumdl"))).as("sumdl"),
+      lit(c0.getInt(c0.fieldIndex("n_buckets"))).as("n_buckets"))
+      .coalesce(1).write.parquet(s"$idx/append.staging/corpus")
+    TextStats.writeBm25StreamBatch(fs,
+      s"$idx/append.staging", 2L)
+    fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_append_intent"), true).close()
+
+    StreamingIndex.applyBatch(b2, 2L, idx, "doc_id", "text", nBuckets = 8)
+    assert(TextStats.readBm25StreamBatch(spark, idx) === Some(2L))
+    val freshAll = base.resolve("freshAll").toString
+    TextStats.writeBm25Index(b0.unionByName(b1).unionByName(b2),
+      "doc_id", "text", freshAll, nBuckets = 8)
+    assert(probe(idx) === probe(freshAll))
+  }
+}
