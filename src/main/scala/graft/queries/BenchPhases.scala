@@ -81,5 +81,47 @@ object BenchPhases {
           .count()
         ()
       }
-    }))
+    }),
+    // e17/e18: the same at-rest contract — the measured operation is the
+    // batched probe (e17) / two-stage refined probe (e18), never the
+    // build those probes amortize.
+    "e17_ivfpq_index_batch" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val v = Fixtures.table(s, dir, "embeddings")
+      val cb = graft.pipeline.Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val idx = Fixtures.scratchDir("graft-e17-bench") + "/idx"
+      graft.pipeline.Similarity.writePqIndex(
+        v, v.filter(col("vec_id") < 8), "vec_id", "embedding", cb, idx)
+      val probes = v.filter(col("vec_id").between(100, 104))
+      () => {
+        graft.pipeline.Similarity.pqIndexTopKBatch(
+          s, idx, probes, "vec_id", "embedding", k = 10, nProbe = 2).count()
+        ()
+      }
+    }),
+    "e18_index_refined" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val v = Fixtures.table(s, dir, "embeddings")
+      val cb = graft.pipeline.Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+      val idx = Fixtures.scratchDir("graft-e18-bench") + "/idx"
+      graft.pipeline.Similarity.writePqIndex(
+        v, v.filter(col("vec_id") < 8), "vec_id", "embedding", cb, idx)
+      val probes = v.filter(col("vec_id").between(100, 104))
+      () => {
+        graft.pipeline.Similarity.pqIndexRefinedTopKBatch(
+          s, idx, v, probes, "vec_id", "embedding", k = 5, refineK = 10, nProbe = 2).count()
+        ()
+      }
+    }),
+    // g5 mirrors m13: fixture build + SQL render are setup; the timed
+    // operation is the SQL-routed partition-scoped apply.
+    "g5_merge_sql_partitioned" -> ((s, dir) => {
+      val root = MergeQueries.m13Setup(s, dir)
+      val sql = MergeQueries.g5RenderSql(s, root)
+      () => { graft.merge.MergeSql.applyToTarget(s, sql, s"$root/t"); () }
+    }),
+    // st13 is an st-family member: staging the replayable stream is
+    // harness setup; the timed operation is the per-batch index
+    // maintenance itself.
+    "st13_stream_bm25" -> ((s, dir) => StreamingQueries.st13Setup(s, dir)._1))
 }

@@ -271,19 +271,26 @@ object MergeQueries {
     // so it shares m13's oracle verbatim (the g3/m1 precedent).
     "g5_merge_sql_partitioned" -> ((s, dir) => {
       val root = m13Setup(s, dir)
-      PartitionedTarget.read(s, s"$root/t").createOrReplaceTempView("g5_tgt")
-      s.read.parquet(s"$root/delta").createOrReplaceTempView("g5_src")
-      val sql = MergeDebug.renderSql(
-        SimpleMerge.into(s.table("g5_tgt"), "g5_tgt").using(s.table("g5_src"), "g5_src")
-          .keys("li_key").deleteMode(DeleteMode.Ignore).plan,
-        "g5_tgt", "g5_src")
-      MergeSql.applyToTarget(s, sql, s"$root/t")
+      MergeSql.applyToTarget(s, g5RenderSql(s, root), s"$root/t")
       s.read.parquet(s"$root/t")
         .withColumn("bucket", col(PartitionedTarget.BucketCol).cast("long"))
         .drop(PartitionedTarget.BucketCol)
         .orderBy("li_key")
     })
   )
+
+  /** Register the g5 views over an [[m13Setup]] root and render m13's
+    * logical merge as MERGE INTO text (shared by the query and the bench
+    * phase split — render is setup, the routed apply is the operation).
+    */
+  private[graft] def g5RenderSql(s: SparkSession, root: String): String = {
+    PartitionedTarget.read(s, s"$root/t").createOrReplaceTempView("g5_tgt")
+    s.read.parquet(s"$root/delta").createOrReplaceTempView("g5_src")
+    MergeDebug.renderSql(
+      SimpleMerge.into(s.table("g5_tgt"), "g5_tgt").using(s.table("g5_src"), "g5_src")
+        .keys("li_key").deleteMode(DeleteMode.Ignore).plan,
+      "g5_tgt", "g5_src")
+  }
 
   /** m13/m14 partition spec: 64 range buckets of width 4096 on the key. */
   private val m13Spec = PartitionSpec(
