@@ -123,5 +123,19 @@ object BenchPhases {
     // st13 is an st-family member: staging the replayable stream is
     // harness setup; the timed operation is the per-batch index
     // maintenance itself.
-    "st13_stream_bm25" -> ((s, dir) => StreamingQueries.st13Setup(s, dir)._1))
+    "st13_stream_bm25" -> ((s, dir) => StreamingQueries.st13Setup(s, dir)._1),
+    // t25 joins the at-rest convention in r13 (it was build+probe through
+    // r12 — the 100x ceiling cell exposed the conflation): the one-time
+    // posting-index build is setup; the measured operation is the
+    // partition-filtered posting probe.
+    "t25_bm25_index" -> ((s, dir) => {
+      val idx = Fixtures.scratchDir("graft-t25-bench") + "/idx"
+      graft.pipeline.TextStats.writeBm25Index(
+        Fixtures.table(s, dir, "documents"), "doc_id", "text", idx)
+      () => {
+        graft.pipeline.TextStats.bm25IndexTopK(
+          s, idx, PipelineQueries.Bm25Terms, k = 25).count()
+        ()
+      }
+    }))
 }
