@@ -2455,6 +2455,22 @@ class PipelineSpec extends GraftSuite {
       .orderBy("role", "role_rnk")
       .as[(Long, String, Int, Long, Double)].collect().toSeq
     assert(viaFrom === out)
+    // ...including the ADC generator, whose similarity column is named
+    // `score` (ADVICE r12 #1 — the advertised composition must not
+    // throw): simCol routes the margin logic and the output keeps the
+    // generator's column name.
+    val cents = Seq((0L, Array(1f, 0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqGridCodebooks(dim = 2, m = 1, k = 16)
+    val enc = Similarity.pqEncode(
+      Similarity.assignBuckets(corpus, cents, "vec_id", "embedding")
+        .select(col("vid"), col("bucket"), col("__v")), "__v", cb)
+      .select(col("vid"), col("bucket"), col("codes"))
+    val viaAdc = Similarity.hardNegativesFrom(
+      Similarity.pqSearchTopKBatch(enc, cents, probe, "vec_id", "embedding", cb, k = 10),
+      kNeg = 2, margin = 0.05, simCol = "score")
+    assert(viaAdc.columns.toSeq ===
+      Seq("probe_id", "role", "role_rnk", "neighbor_id", "score"))
+    assert(viaAdc.filter(col("role") === "positive").count() === 1)
   }
 
   test("media sniffing: every real container types from its bytes; liars and stubs quarantine") {
