@@ -1103,23 +1103,119 @@ object Similarity {
       .map(_._2.sortBy(_._2).map(_._3))
   }
 
-  /** Append new vectors into a [[writePqIndex]]-persisted IVFADC index:
-    * the increment is bucket-assigned with the STORED centroids and
-    * encoded with the STORED codebooks (placement and codes consistent
-    * with every existing row), then appended under its touched bucket
-    * directories only — the [[appendToIndex]] contract (ids disjoint,
-    * model fixed at build time; re-train and rebuild on drift).
+  /** Filename of the PQ-index append intent marker and stream-batch
+    * watermark — the [[graft.pipeline.TextStats]] BM25 protocol applied
+    * to the IVFADC layout, so a streaming ingest
+    * ([[graft.streaming.StreamingIndex.pqIndexTo]]) gets crash-atomic,
+    * replay-dedupable appends.
+    */
+  private val PqAppendIntent = "_graft_append_intent"
+  private[graft] val PqStreamBatchFile = "_graft_stream_batch"
+
+  /** Guard shared by the probes and the append: `path` must be a
+    * [[writePqIndex]] layout with no append mid-promotion (a probe
+    * against a half-promoted append would silently miss codes).
+    */
+  private def pqIndexGuard(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/codebooks")))
+      throw new IllegalArgumentException(
+        s"$path is not a persisted IVFADC index (no codebooks sidecar) — build it with writePqIndex")
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, PqAppendIntent)))
+      throw new IllegalStateException(
+        s"$path has an interrupted append — run recoverPqIndex to roll it forward")
+  }
+
+  /** The last applied stream batch id, or None for a batch-built (or
+    * interrupted-bootstrap) index. */
+  private[graft] def readPqStreamBatch(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, PqStreamBatchFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(txt.trim.toLong)
+    }
+  }
+
+  private[graft] def writePqStreamBatch(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, PqStreamBatchFile), true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Append new vectors into a [[writePqIndex]]-persisted IVFADC index,
+    * crash-atomically: the increment is bucket-assigned with the STORED
+    * centroids and encoded with the STORED codebooks (placement and
+    * codes consistent with every existing row), staged COMPLETELY under
+    * `append.staging/codes`, declared by an intent marker, then
+    * promoted by per-file rename into the touched bucket directories
+    * only — the BM25-index protocol (crash points unambiguous: no
+    * marker → live index untouched, staging is garbage; marker → staged
+    * data complete, [[recoverPqIndex]] re-runs the idempotent promotion
+    * while probes fail loudly; marker gone → fully visible). The
+    * [[appendToIndex]] contract otherwise: ids disjoint, model fixed at
+    * build time; re-train and rebuild on drift.
+    *
+    * @param streamBatchId when set, a stream-batch watermark stages and
+    *                      promotes WITH the codes — the exactly-once
+    *                      hinge of the streaming ingest.
     */
   def appendToPqIndex(
-      newVectors: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+      newVectors: DataFrame, idCol: String, vecCol: String, path: String,
+      streamBatchId: Option[Long] = None): Unit = {
     val spark = newVectors.sparkSession
+    pqIndexGuard(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/append.staging"), true)
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").as(idCol), col("cvec").as(vecCol))
     pqEncode(
       assignBuckets(newVectors, cents, idCol, vecCol)
         .select(col("vid"), col("bucket"), col("__v")), "__v", readCodebooks(spark, path))
       .select(col("vid"), col("codes"), col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$path/append.staging/codes")
+    streamBatchId.foreach(id => writePqStreamBatch(fs, s"$path/append.staging", id))
+    val marker = fs.create(new org.apache.hadoop.fs.Path(path, PqAppendIntent), true)
+    try marker.write("pending".getBytes("UTF-8")) finally marker.close()
+    promotePqAppend(fs, path)
+  }
+
+  /** Promote a fully-staged PQ append (intent marker present);
+    * idempotent — already-promoted files are no longer in staging. */
+  private def promotePqAppend(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    val staged = new org.apache.hadoop.fs.Path(s"$path/append.staging/codes")
+    if (fs.exists(staged)) {
+      fs.listStatus(staged)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("bucket="))
+        .foreach { d =>
+          val dest = new org.apache.hadoop.fs.Path(s"$path/codes/${d.getPath.getName}")
+          if (!fs.exists(dest)) fs.mkdirs(dest)
+          fs.listStatus(d.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+              !f.getPath.getName.startsWith("."))
+            .foreach { f =>
+              val to = new org.apache.hadoop.fs.Path(dest, f.getPath.getName)
+              if (!fs.rename(f.getPath, to))
+                throw new IllegalStateException(s"append: could not promote ${f.getPath} to $to")
+            }
+        }
+    }
+    val stagedWm = new org.apache.hadoop.fs.Path(s"$path/append.staging/$PqStreamBatchFile")
+    if (fs.exists(stagedWm)) {
+      fs.delete(new org.apache.hadoop.fs.Path(path, PqStreamBatchFile), false)
+      if (!fs.rename(stagedWm, new org.apache.hadoop.fs.Path(path, PqStreamBatchFile)))
+        throw new IllegalStateException(s"append: could not promote stream watermark at $path")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/append.staging"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path, PqAppendIntent), false)
   }
 
   /** [[ivfPqTopK]] against a [[writePqIndex]]-persisted index — the
@@ -1135,6 +1231,7 @@ object Similarity {
       path: String, idCol: String,
       query: Seq[Double], k: Int, nProbe: Int = 1): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    pqIndexGuard(spark, path)
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").cast("long"), col("cvec"))
@@ -1269,6 +1366,7 @@ object Similarity {
       path: String, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nProbe: Int = 1): DataFrame = {
     require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    pqIndexGuard(spark, path)
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("centroid_id").as(idCol), col("cvec").as(vecCol))
@@ -1390,11 +1488,24 @@ object Similarity {
       spark, s"$path/codes", "bucket", targetFileBytes, minFiles)
   }
 
-  /** Roll an interrupted [[compactPqIndex]] swap forward or back (same
-    * marker protocol as [[recoverIndex]], against the codes root).
+  /** Roll an interrupted PQ-index maintenance step to a consistent
+    * state: a marked append promotes FORWARD (staged data is complete
+    * by the marker's contract), unmarked staging leftovers are dropped,
+    * and an interrupted [[compactPqIndex]] swap rolls through the shared
+    * marker protocol against the codes root. @return true when anything
+    * was repaired.
     */
-  def recoverPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
-    graft.merge.MergeApply.recover(spark, s"$path/codes")
+  def recoverPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(path, PqAppendIntent)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/append.staging")
+    val appendActed =
+      if (fs.exists(marker)) { promotePqAppend(fs, path); true }
+      else if (fs.exists(staging)) { fs.delete(staging, true); true }
+      else false
+    appendActed | graft.merge.MergeApply.recover(spark, s"$path/codes")
+  }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): deduplicate the corpus in

@@ -384,6 +384,19 @@ object StreamingQueries {
       replay()
       TextStats.bm25IndexTopK(s, idx, PipelineQueries.Bm25Terms, k = 25)
     }),
+    // Streaming ANN index maintenance (st14): the embeddings table
+    // replayed in batches through StreamingIndex.pqIndexTo — batch 0
+    // bootstraps the IVFADC index with the fixed model (e13's coarse
+    // centroids + grid codebooks), later batches land as crash-atomic
+    // watermarked appends — then probed once converged. The converged
+    // index answers exactly like the batch-built one (e14): shares
+    // e13's oracle verbatim.
+    "st14_stream_ann" -> ((s, dir) => {
+      val (replay, idx, q) = st14Setup(s, dir)
+      replay()
+      graft.pipeline.Similarity.pqIndexTopK(s, idx, "vec_id", q, k = 25, nProbe = 2)
+        .orderBy(col("score").desc, col("vec_id"))
+    }),
     "st8_stream_enrich" -> ((s, dir) => {
       val (replay, out) = st8Setup(s, dir)
       replay()
@@ -548,6 +561,38 @@ object StreamingQueries {
     (replay, idx)
   }
 
+  /** Untimed setup for st14 (streaming ANN index maintenance): the full
+    * embeddings table replayed id-ordered in N disjoint batches through
+    * [[StreamingIndex.pqIndexTo]] with e13's fixed model (centroids =
+    * vec_id < 8, grid codebooks — trained-upstream-on-a-sample is the
+    * C96 contract). Returns the replay thunk, the index path, and the
+    * probe vector (vec 100's embedding — e13/e14's query).
+    */
+  private[graft] def st14Setup(
+      s: SparkSession, dir: String): (() => Unit, String, Seq[Double]) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st14")
+    val idx = s"$scratch/idx"
+    val v = Fixtures.table(s, dir, "embeddings")
+    val cents = v.filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cb = graft.pipeline.Similarity.pqGridCodebooks(dim = 64, m = 8, k = 16)
+    val q = v.filter(col("vec_id") === 100).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toSeq
+    val rows = v.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val stream = mem.toDS().toDF("vec_id", "embedding")
+    val qy = StreamingIndex.pqIndexTo(stream, idx, s"$scratch/cp",
+      "vec_id", "embedding", cents, cb)
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); qy.processAllAvailable() }
+      finally qy.stop()
+    (replay, idx, q)
+  }
+
   /** Untimed setup for st8 (stream-static enrichment): events replayed in
     * N batches, each micro-batch inner-joined to the broadcast
     * customer×nation dimension — a hash probe per batch, no shuffle of
@@ -676,6 +721,11 @@ object StreamingQueries {
     // full table), and the probe shares the live scorer's contribution
     // tree — t23's oracle verbatim (the t25 precedent).
     "st13_stream_bm25" -> PipelineQueries.oracleSql("t23_bm25"),
+    // st14: the converged streamed IVFADC index holds exactly the
+    // batch-built index's codes (bootstrap + disjoint watermarked
+    // appends, model fixed), so the probe == e14 == e13's composed
+    // replay oracle verbatim.
+    "st14_stream_ann" -> PipelineQueries.oracleSql("e13_ivfpq_topk"),
     // st10: CDC ops are one-per-key and commute across keys, so the
     // converged streamed state == the one-shot batch apply (m15's SQL).
     "st10_stream_cdc" ->

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.pipeline.TextStats
+import graft.pipeline.{Similarity, TextStats}
 
 /** Continuous posting-index maintenance — the ingest-time twin of the
   * batch [[TextStats.writeBm25Index]]/[[TextStats.appendToBm25Index]]
@@ -96,6 +96,67 @@ object StreamingIndex {
       }
       if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
         TextStats.compactBm25Index(spark, path)
+      ()
+    }
+
+  /** Continuous IVFADC index maintenance — [[bm25IndexTo]]'s discipline
+    * for the vector lake: embeddings stream in, every micro-batch lands
+    * in the at-rest codes as a crash-atomic watermarked append
+    * ([[Similarity.appendToPqIndex]]'s `streamBatchId`), and ANN probes
+    * ([[Similarity.pqIndexTopK]]/[[Similarity.pqIndexTopKBatch]]) always
+    * see the corpus as of the last completed batch.
+    *
+    * The coarse/fine model (centroids + codebooks) is FIXED at
+    * bootstrap — the C96 contract: batch 0 builds the index with the
+    * model passed here (trained upstream on a sample; re-train and
+    * rebuild on drift), later batches assign + encode against the
+    * STORED sidecars. Same exactly-once construction as the BM25 form:
+    * bootstrap = overwrite build with the watermark strictly after
+    * (index-without-watermark always rebuilds), appends promote the
+    * watermark WITH the codes, replayed ids ≤ the watermark skip,
+    * interrupted appends roll forward first. Id-disjoint batches
+    * required (the append contract).
+    */
+  def pqIndexTo(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      codebooks: Seq[Seq[Seq[Double]]],
+      compactEvery: Int = 0): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPqBatch(batch, batchId, path, idCol, vecCol, centroids, codebooks, compactEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of IVFADC index maintenance (the foreachBatch
+    * body, exposed so the replay/crash windows are unit-testable). */
+  private[graft] def applyPqBatch(
+      batch: DataFrame, batchId: Long, path: String,
+      idCol: String, vecCol: String,
+      centroids: DataFrame, codebooks: Seq[Seq[Seq[Double]]],
+      compactEvery: Int = 0): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new Path(s"$path/codebooks")))
+        Similarity.recoverPqIndex(spark, path)
+      Similarity.readPqStreamBatch(spark, path) match {
+        case None =>
+          Similarity.writePqIndex(batch, centroids, idCol, vecCol, codebooks, path)
+          Similarity.writePqStreamBatch(fs, path, batchId)
+        case Some(last) if batchId <= last => () // replayed, already landed
+        case Some(_) =>
+          Similarity.appendToPqIndex(batch, idCol, vecCol, path,
+            streamBatchId = Some(batchId))
+      }
+      if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        Similarity.compactPqIndex(spark, path)
       ()
     }
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.functions._
 
 import graft.GraftSuite
-import graft.pipeline.TextStats
+import graft.pipeline.{Similarity, TextStats}
 
 /** Streaming BM25 index maintenance: the converged index equals the
   * batch-built one bit-for-bit, replayed batches are skipped through the
@@ -108,5 +108,72 @@ class StreamingIndexSpec extends GraftSuite {
     TextStats.writeBm25Index(b0.unionByName(b1).unionByName(b2),
       "doc_id", "text", freshAll, nBuckets = 8)
     assert(probe(idx) === probe(freshAll))
+  }
+
+  test("streaming IVFADC maintenance: converged == batch build, replays skip, probes gate mid-promotion") {
+    val cents = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqGridCodebooks(dim = 4, m = 2, k = 16)
+    val v0 = Seq((10L, Seq(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val v1 = Seq(
+      (11L, Seq(0.8f, 0.0f, 0.1f, 0.0f)),
+      (20L, Seq(0.0f, 0.1f, 0.0f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val v2 = Seq((21L, Seq(0.0f, 0.0f, 0.1f, 0.8f))).toDF("vec_id", "embedding")
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val base = java.nio.file.Files.createTempDirectory("stridx-pq")
+    val idx = base.resolve("idx").toString
+
+    StreamingIndex.applyPqBatch(v0, 0L, idx, "vec_id", "embedding", cents, cb)
+    StreamingIndex.applyPqBatch(v1, 1L, idx, "vec_id", "embedding", cents, cb)
+    // Replays of landed batches are no-ops (watermark = 1).
+    StreamingIndex.applyPqBatch(v0, 0L, idx, "vec_id", "embedding", cents, cb)
+    StreamingIndex.applyPqBatch(v1, 1L, idx, "vec_id", "embedding", cents, cb)
+    StreamingIndex.applyPqBatch(v2, 2L, idx, "vec_id", "embedding", cents, cb)
+    assert(Similarity.readPqStreamBatch(spark, idx) === Some(2L))
+
+    def probePq(path: String, np: Int): Seq[(Long, Double)] =
+      Similarity.pqIndexTopK(spark, path, "vec_id", q, k = 4, nProbe = np)
+        .as[(Long, Double)].collect().sorted.toSeq
+    val fresh = base.resolve("fresh").toString
+    Similarity.writePqIndex(
+      v0.unionByName(v1).unionByName(v2), cents, "vec_id", "embedding", cb, fresh)
+    for (np <- Seq(1, 2))
+      assert(probePq(idx, np) === probePq(fresh, np), s"nProbe=$np")
+
+    // Mid-promotion crash: stage batch 3 by hand (codes from a scratch
+    // build + staged watermark + marker). Probes fail loudly; the next
+    // applyPqBatch recovers forward then skips the replay.
+    val v3 = Seq((12L, Seq(0.7f, 0.1f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val scratch = base.resolve("scratch").toString
+    Similarity.writePqIndex(v3, cents, "vec_id", "embedding", cb, scratch)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx/append.staging"))
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$scratch/codes"),
+      new org.apache.hadoop.fs.Path(s"$idx/append.staging/codes")))
+    Similarity.writePqStreamBatch(fs, s"$idx/append.staging", 3L)
+    fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_append_intent"), true).close()
+    intercept[IllegalStateException] { probePq(idx, 1) }
+    StreamingIndex.applyPqBatch(v3, 3L, idx, "vec_id", "embedding", cents, cb)
+    assert(Similarity.readPqStreamBatch(spark, idx) === Some(3L))
+    val freshAll = base.resolve("freshAll").toString
+    Similarity.writePqIndex(
+      v0.unionByName(v1).unionByName(v2).unionByName(v3),
+      cents, "vec_id", "embedding", cb, freshAll)
+    for (np <- Seq(1, 2))
+      assert(probePq(idx, np) === probePq(freshAll, np), s"post-crash nProbe=$np")
+
+    // Interrupted bootstrap: index content without a watermark rebuilds.
+    val idx2 = base.resolve("idx2").toString
+    Similarity.writePqIndex(v0, cents, "vec_id", "embedding", cb, idx2)
+    assert(Similarity.readPqStreamBatch(spark, idx2) === None)
+    StreamingIndex.applyPqBatch(v0, 0L, idx2, "vec_id", "embedding", cents, cb)
+    assert(Similarity.readPqStreamBatch(spark, idx2) === Some(0L))
+    val fresh0 = base.resolve("fresh0").toString
+    Similarity.writePqIndex(v0, cents, "vec_id", "embedding", cb, fresh0)
+    assert(probePq(idx2, 2) === probePq(fresh0, 2))
   }
 }
