@@ -1448,26 +1448,58 @@ object Similarity {
       idCol: String, vecCol: String,
       codebooks: Seq[Seq[Seq[Double]]], k: Int, nProbe: Int = 1,
       sampleRate: Double = 1.0, seed: Int = 7): DataFrame = {
+    val sampled = sampleProbes(probes, idCol, sampleRate, seed)
+    recallReport(
+      cosineTopK(vectors, sampled, idCol, vecCol, k),
+      ivfPqTopKBatch(vectors, centroids, sampled, idCol, vecCol, codebooks, k, nProbe),
+      k, nProbe)
+  }
+
+  /** [[pqRecallAt]] against a [[writePqIndex]]-persisted index — the
+    * recall readout for the path production actually runs (C117): a
+    * deployed index drifts from its centroids AND its codebooks as the
+    * corpus grows through appends, and this is the gauge that sees it.
+    * The exact baseline scans `vectors` (the float corpus the index was
+    * built from — the index itself stores codes only); `sampleRate`
+    * bounds that scan at 100 TB, the [[recallAt]] contract.
+    */
+  def pqIndexRecallAt(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int, nProbe: Int = 1,
+      sampleRate: Double = 1.0, seed: Int = 7): DataFrame = {
+    val sampled = sampleProbes(probes, idCol, sampleRate, seed)
+    recallReport(
+      cosineTopK(vectors, sampled, idCol, vecCol, k),
+      pqIndexTopKBatch(spark, path, sampled, idCol, vecCol, k, nProbe),
+      k, nProbe)
+  }
+
+  private def sampleProbes(
+      probes: DataFrame, idCol: String, sampleRate: Double, seed: Int): DataFrame = {
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"sampleRate must be in (0, 1], got $sampleRate")
-    val sampled =
-      if (sampleRate >= 1.0) probes
-      else probes.filter(Sampling.hashFilter(col(idCol), sampleRate, seed))
-    val exact = cosineTopK(vectors, sampled, idCol, vecCol, k)
-      .select("probe_id", "neighbor_id")
-    val approx = ivfPqTopKBatch(vectors, centroids, sampled, idCol, vecCol, codebooks, k, nProbe)
-      .select("probe_id", "neighbor_id")
-    val perProbe = exact
-      .join(approx.withColumn("__hit", lit(1)), Seq("probe_id", "neighbor_id"), "left")
+    if (sampleRate >= 1.0) probes
+    else probes.filter(Sampling.hashFilter(col(idCol), sampleRate, seed))
+  }
+
+  /** The shared recall aggregation: fraction of the exact top-k the
+    * approximate path recovered, macro (per-probe mean) and micro
+    * (pooled). Both inputs carry (probe_id, neighbor_id).
+    */
+  private def recallReport(
+      exact: DataFrame, approx: DataFrame, k: Int, nProbe: Int): DataFrame =
+    exact.select("probe_id", "neighbor_id")
+      .join(approx.select("probe_id", "neighbor_id").withColumn("__hit", lit(1)),
+        Seq("probe_id", "neighbor_id"), "left")
       .groupBy("probe_id")
       .agg(count(lit(1)).as("__base"), sum(coalesce(col("__hit"), lit(0))).as("__hits"))
-    perProbe.agg(
-      count(lit(1)).as("n_probes"),
-      lit(k).as("k"),
-      lit(nProbe).as("n_probe"),
-      round(avg(col("__hits") / col("__base")), 6).as("macro_recall"),
-      round(sum(col("__hits")) / sum(col("__base")), 6).as("micro_recall"))
-  }
+      .agg(
+        count(lit(1)).as("n_probes"),
+        lit(k).as("k"),
+        lit(nProbe).as("n_probe"),
+        round(avg(col("__hits") / col("__base")), 6).as("macro_recall"),
+        round(sum(col("__hits")) / sum(col("__base")), 6).as("micro_recall"))
 
   /** [[compactIndex]] for the IVFADC layout: appends accrete one file set
     * per touched code bucket, so hot buckets fragment; delegate to the

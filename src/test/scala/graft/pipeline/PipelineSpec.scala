@@ -1629,6 +1629,18 @@ class PipelineSpec extends GraftSuite {
       assert(byProbe(pid) === single, s"probe=$pid")
     }
 
+    // The at-rest recall gauge (C88 convention for C117): one probed
+    // bucket misses the cross-bucket neighbors, widening recovers them —
+    // the same monotone knob pqRecallAt pins for the live path, now
+    // measured THROUGH the index.
+    def recall(np: Int): (Long, Double) =
+      Similarity.pqIndexRecallAt(spark, dir, corpus, probes,
+        "vec_id", "embedding", k = 3, nProbe = np)
+        .select("n_probes", "micro_recall").as[(Long, Double)].collect().head
+    assert(recall(1)._1 === 2L)
+    assert(recall(1)._2 < 1.0, "one probed bucket cannot see cross-bucket neighbors")
+    assert(recall(2)._2 === 1.0)
+
     // The codes scan is ONE partition-filtered read over the union of the
     // probed buckets; a single-bucket probe frame leaves the other
     // bucket's directory unread and its vectors unseen.
