@@ -777,4 +777,90 @@ object TextStats {
   def unigramNll(
       docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0): DataFrame =
     unigramNllAgainst(docs, unigramCounts(docs, textCol), idCol, textCol, addK)
+
+  /** Adjacent-token bigram counts over a reference corpus — the order-2
+    * model side of [[bigramNllAgainst]]. Map-only pair build (one
+    * `transform` over each doc's token array, no self-join), one
+    * aggregation with map-side combine; output is bigram-vocabulary-
+    * sized, the frame you persist beside [[unigramCounts]]' and score
+    * every crawl snapshot against.
+    *
+    * @return (w1, w2, cb) — raw adjacent-pair occurrence counts.
+    */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(TextOps.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - 1),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2")))).as("__b"))
+      .select(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+
+  /** Per-document negative log-likelihood under an add-k-smoothed BIGRAM
+    * language model — one Markov order closer to the KenLM filter
+    * [[unigramNllAgainst]] approximates: token i ≥ 1 scores
+    * ln p(wᵢ | wᵢ₋₁) = ln (c(wᵢ₋₁,wᵢ)+k)/(c(wᵢ₋₁)+k·V), the first token
+    * under the unigram start distribution. A unigram model cannot see
+    * WORD-ORDER damage — a shuffled document has the exact same unigram
+    * score as its original — while the bigram conditional collapses on
+    * it (spec-pinned), which is precisely the gibberish/boilerplate-soup
+    * signature a perplexity filter exists to catch.
+    *
+    * Same determinism contract as [[unigramNllAgainst]]: per-doc ln-sums
+    * fold in POSITION order; scale shape adds one more vocabulary-sized
+    * equi-join (the bigram table on (prev, w)) — still no corpus-sized
+    * shuffle keyed on anything but the doc id.
+    *
+    * @param bigramModel  (w1, w2, cb) from [[bigramCounts]]
+    * @param unigramModel (term, cw) from [[unigramCounts]] — supplies
+    *                     the contexts c(w1), the vocabulary size V, and
+    *                     the start-token distribution
+    * @return (idCol, n_tokens, avg_nll) — avg_nll rounded to 6; lower is
+    *         more reference-like.
+    */
+  def bigramNllAgainst(
+      docs: DataFrame, bigramModel: DataFrame, unigramModel: DataFrame,
+      idCol: String, textCol: String, addK: Double = 1.0): DataFrame = {
+    require(addK > 0, s"addK must be > 0 (smoothing keeps OOV finite), got $addK")
+    val totals = unigramModel.agg(
+      sum(col("cw")).as("__n"), count(lit(1)).as("__v"))
+    val tok = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), col("__ws"), posexplode(col("__ws")).as(Seq("pos", "w")))
+      // element_at is 1-based: at 0-based position pos, index `pos` IS
+      // the previous token.
+      .withColumn("prev", when(col("pos") === 0, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos"))))
+      .drop("__ws")
+    tok
+      .join(unigramModel.select(col("term").as("w"), col("cw")), Seq("w"), "left")
+      .join(unigramModel.select(col("term").as("prev"), col("cw").as("cprev")),
+        Seq("prev"), "left")
+      .join(bigramModel.select(col("w1").as("prev"), col("w2").as("w"), col("cb")),
+        Seq("prev", "w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("lnp",
+        when(col("prev").isNull,
+          log((coalesce(col("cw"), lit(0L)) + lit(addK)) /
+            (col("__n") + lit(addK) * col("__v"))))
+          .otherwise(
+            log((coalesce(col("cb"), lit(0L)) + lit(addK)) /
+              (coalesce(col("cprev"), lit(0L)) + lit(addK) * col("__v")))))
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** [[bigramNllAgainst]] with both models trained on `docs` itself —
+    * bigram self-perplexity (the [[unigramNll]] bootstrap, order 2).
+    */
+  def bigramNll(
+      docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0): DataFrame =
+    bigramNllAgainst(docs, bigramCounts(docs, textCol), unigramCounts(docs, textCol),
+      idCol, textCol, addK)
 }

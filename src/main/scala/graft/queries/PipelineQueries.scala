@@ -353,6 +353,14 @@ $bandSelects
     "t12_unigram_nll" -> ((s, dir) =>
       TextStats.unigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Bigram LM perplexity (t26): t12 one Markov order up — token i
+    // scores ln p(w_i | w_{i-1}) under the add-1 bigram conditional,
+    // the first token under the unigram start distribution. Word-order
+    // damage (invisible to t12 by construction) collapses this score;
+    // same position-ordered fold discipline for the cross-engine hash.
+    "t26_bigram_nll" -> ((s, dir) =>
+      TextStats.bigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Deterministic epoch shuffle (C53 / s6): (shard, ord) assignment
     // whose shard-ordered read-back is a reproducible global random visit
     // order — seed = epoch. No global sort: hash sharding + per-shard
@@ -2652,6 +2660,42 @@ $bandSelects
         |  SELECT ex.doc_id, ex.pos,
         |         ln((counts.cw + 1.0) / (totals.n + 1.0 * totals.v)) AS lnp
         |  FROM ex JOIN counts USING (w) CROSS JOIN totals
+        |),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // t26: t12's replay one order up — the bigram conditional over
+    // (prev, w) with the unigram table supplying contexts, V, and the
+    // start distribution; identical DOUBLE arithmetic and the same
+    // position-ordered list_reduce fold. Self-model, so every (prev, w)
+    // and context join hits (the OOV path is spec-covered, as in t12).
+    "t26_bigram_nll" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT doc_id, ws, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+        |),
+        |pv AS (
+        |  SELECT doc_id, pos, w,
+        |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev
+        |  FROM ex
+        |),
+        |uni AS (SELECT w, count(*) AS cw FROM ex GROUP BY w),
+        |big AS (SELECT prev, w, count(*) AS cb FROM pv WHERE prev IS NOT NULL GROUP BY prev, w),
+        |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+        |scored AS (
+        |  SELECT p.doc_id, p.pos,
+        |         CASE WHEN p.prev IS NULL
+        |           THEN ln((u.cw + 1.0) / (t.n + 1.0 * t.v))
+        |           ELSE ln((b.cb + 1.0) / (uc.cw + 1.0 * t.v)) END AS lnp
+        |  FROM pv p
+        |  JOIN uni u ON u.w = p.w
+        |  LEFT JOIN uni uc ON uc.w = p.prev
+        |  LEFT JOIN big b ON b.prev = p.prev AND b.w = p.w
+        |  CROSS JOIN tot t
         |),
         |perdoc AS (
         |  SELECT doc_id, count(*) AS n_tokens,

@@ -1922,6 +1922,48 @@ class PipelineSpec extends GraftSuite {
     }
   }
 
+  test("bigram NLL: hand-computed conditionals, word-order damage collapses the score, OOV finite") {
+    // Model corpus: "a b a b" — unigrams a:2 b:2 (V=2, N=4); bigrams
+    // (a,b):2, (b,a):1.
+    val ref = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val big = TextStats.bigramCounts(ref, "text")
+    assert(big.as[(String, String, Long)].collect().toSet ===
+      Set(("a", "b", 2L), ("b", "a", 1L)))
+    val uni = TextStats.unigramCounts(ref, "text")
+    val nll = (p: Seq[Double]) =>
+      BigDecimal(-p.map(math.log).sum / p.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "a b": start p(a) = (2+1)/(4+2) = 1/2; p(b|a) = (2+1)/(2+2) = 3/4.
+    // "b b": start p(b) = 1/2; p(b|b) = (0+1)/(2+2) = 1/4 — the in-vocab
+    //         but order-broken pair scores strictly worse.
+    // "z z": OOV start 1/6; p(z|z) = (0+1)/(0+2) = 1/2 — finite.
+    val scored = TextStats.bigramNllAgainst(
+      Seq((10L, "a b"), (11L, "b b"), (12L, "z z")).toDF("doc_id", "text"),
+      big, uni, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(scored(10L) === ((2L, nll(Seq(0.5, 0.75)))))
+    assert(scored(11L) === ((2L, nll(Seq(0.5, 0.25)))))
+    assert(scored(12L) === ((2L, nll(Seq(1.0 / 6, 0.5)))))
+    assert(scored(11L)._2 > scored(10L)._2, "broken word order must score worse")
+    // The t12 blind spot, pinned: a SHUFFLED doc has the IDENTICAL
+    // unigram score but a strictly worse bigram score.
+    val pair = Seq((20L, "a b a b"), (21L, "b b a a")).toDF("doc_id", "text")
+    val uniScores = TextStats.unigramNllAgainst(pair, uni, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(uniScores(20L) === uniScores(21L), "unigram is order-blind by construction")
+    val bigScores = TextStats.bigramNllAgainst(pair, big, uni, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(bigScores(21L) > bigScores(20L), "bigram sees the order damage")
+    // Single-token doc: start-distribution only, no bigram term.
+    val solo = TextStats.bigramNllAgainst(
+      Seq((30L, "a")).toDF("doc_id", "text"), big, uni, "doc_id", "text")
+      .as[(Long, Long, Double)].head()
+    assert(solo === ((30L, 1L, nll(Seq(0.5)))))
+    intercept[IllegalArgumentException] {
+      TextStats.bigramNllAgainst(ref, big, uni, "doc_id", "text", addK = 0.0)
+    }
+  }
+
   test("epoch shuffle: exact permutation per shard, deterministic, fresh order per seed") {
     val d = (1L to 200L).toDF("doc_id")
     val a = Sampling.epochShuffle(d, "doc_id", numShards = 4, epochSeed = 1)
