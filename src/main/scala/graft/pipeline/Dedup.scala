@@ -1875,6 +1875,56 @@ object Dedup {
         count(lit(1)).as("n_grams"))
   }
 
+  /** The removal pass the span detectors' contract promises — consume a
+    * `(id, span_idx, start_tok, end_tok, …)` frame ([[repeatedSpans]] /
+    * [[repeatedSpansRolling]] output, or any interval frame in token
+    * offsets) and strip every covered token from the text: the
+    * exact-substring scrub of Lee et al.'s pipeline, at the span
+    * granularity the sliding sweep flagged. Occurrence-based like its
+    * detectors (EVERY flagged occurrence is removed — the conservative
+    * scrub for boilerplate/license spam; for keep-one-copy semantics at
+    * fixed boundaries use the C42 block family, whose
+    * `firstOccurrenceOf` ranking needs block identity, not intervals).
+    *
+    * Scale shape: one position explode joins the spans frame per doc
+    * (equi on the id + the range predicate — fan-out bounded by spans
+    * per doc, which the detector already merged maximal, never tokens ×
+    * spans corpus-wide); reassembly is the [[stripDupBlocks]]
+    * discipline — per-doc sort of (pos, token) structs inside the row,
+    * deterministic on any partitioning. Docs with no spans pass through
+    * unchanged; a fully-covered doc survives with empty text (callers
+    * drop or quarantine on `n_tokens_kept = 0`).
+    *
+    * @return (idCol, n_tokens, n_removed, text_clean).
+    */
+  def stripSpans(
+      docs: DataFrame, spans: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("__id"),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("__pos", "__w")))
+    val sp = spans.select(col(idCol).as("__sid"),
+      col("start_tok").as("__lo"), col("end_tok").as("__hi"))
+    val kept = tok.join(sp,
+      col("__id") === col("__sid") && col("__pos") >= col("__lo") && col("__pos") < col("__hi"),
+      "left_anti")
+    val reassembled = kept
+      .groupBy("__id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+            e => e.getField("__w")),
+          " ").as("text_clean"),
+        count(lit(1)).as("__n_kept"))
+    docs
+      .select(col(idCol).as("__id"),
+        size(TextOps.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(reassembled, Seq("__id"), "left")
+      .select(
+        col("__id").as(idCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   /** [[repeatedSpans]] through the native rolling-hash gram sweep — the
     * production twin that retires the per-position string build
     * (VERDICT r12 "what's wrong" #2 / next #5): [[repeatedSpans]] (and

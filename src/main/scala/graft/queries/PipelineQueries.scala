@@ -702,6 +702,23 @@ $bandSelects
       Dedup.repeatedSpansRolling(planted, "doc_id", "text", n = 8)
         .orderBy("doc_id", "span_idx")
     }),
+    // Span removal (d29): the detect→remove composition the span family
+    // promises — d26's planted fixture swept by the production d28
+    // detector, every flagged token stripped, text reassembled in
+    // position order. Docs with no spans pass through; whole-doc copies
+    // collapse to empty text (n_tokens_kept = 0 — the quarantine
+    // signal).
+    "d29_strip_spans" -> ((s, dir) => {
+      val d = docsDupAug(s, dir).select("doc_id", "text")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")))
+          .otherwise(col("text")))
+      Dedup.stripSpans(planted,
+        Dedup.repeatedSpansRolling(planted, "doc_id", "text", n = 8),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Intra-doc repeated-sentence removal (t24): the corpus has no
     // native sentence repeats, so each doc gets its own FIRST sentence
     // re-appended (the t19 period-planting trick supplies sentence
@@ -3498,6 +3515,56 @@ $bandSelects
          |       count(*) AS n_grams
          |FROM sp GROUP BY doc_id, grp
          |ORDER BY doc_id, span_idx""".stripMargin
+    },
+    // d29: d26's span chain to the interval frame, then every covered
+    // position anti-joined away and the survivors string_agg'd in
+    // position order — docs shorter than n (no grams) pass through, a
+    // whole-doc copy strips to empty text.
+    "d29_strip_spans" -> {
+      val n = 8
+      s"""WITH $dupAugCte,
+         |pl AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' q0 q1 q2 q3 q4 q5 q6 q7 q8 q9' ELSE text END AS text
+         |  FROM d),
+         |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM pl),
+         |g AS (
+         |  SELECT doc_id, t.p AS pos,
+         |         ${sqlHash(43, s"array_to_string(list_slice(w, t.p + 1, t.p + $n), ' ')")} AS h
+         |  FROM words, LATERAL (SELECT unnest(range(0, len(w) - $n + 1)) AS p) t
+         |  WHERE len(w) >= $n
+         |),
+         |rep AS (SELECT doc_id, pos FROM (
+         |  SELECT g.*, count(*) OVER (PARTITION BY h) AS df FROM g) WHERE df >= 2),
+         |m AS (
+         |  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM rep),
+         |mk AS (SELECT doc_id, pos,
+         |  CASE WHEN prev IS NULL OR pos - prev > $n THEN 1 ELSE 0 END AS nw FROM m),
+         |sp AS (SELECT doc_id, pos,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM mk),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS start_tok, max(pos) + $n AS end_tok
+         |  FROM sp GROUP BY doc_id, grp),
+         |allpos AS (
+         |  SELECT doc_id, t.p AS pos, w[t.p + 1] AS tok
+         |  FROM words, LATERAL (SELECT unnest(range(0, len(w))) AS p) t
+         |),
+         |kept AS (
+         |  SELECT a.* FROM allpos a WHERE NOT EXISTS (
+         |    SELECT 1 FROM spans s WHERE s.doc_id = a.doc_id
+         |      AND a.pos >= s.start_tok AND a.pos < s.end_tok)
+         |),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS nk,
+         |         string_agg(tok, ' ' ORDER BY pos) AS text_clean
+         |  FROM kept GROUP BY doc_id
+         |)
+         |SELECT w.doc_id, CAST(len(w.w) AS BIGINT) AS n_tokens,
+         |       CAST(len(w.w) - coalesce(agg.nk, 0) AS BIGINT) AS n_removed,
+         |       coalesce(agg.text_clean, '') AS text_clean
+         |FROM words w LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
     },
     // t24: the identical planting (periods, then first sentence
     // re-appended) and the first-occurrence semantics as min(pos) per

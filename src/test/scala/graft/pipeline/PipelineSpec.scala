@@ -2632,6 +2632,32 @@ class PipelineSpec extends GraftSuite {
       Seq((9L, "a b")).toDF("doc_id", "text"), "doc_id", "text", n = 3).count() === 0)
   }
 
+  test("strip spans: covered tokens removed in position order, no-span docs unchanged, full-cover doc empties") {
+    // n = 3. d1/d2 share "p q r s" (one merged span each); d3 has no
+    // repeats; d4/d5 are whole-doc copies (full-width spans).
+    val docs = Seq(
+      (1L, "p q r s t u v w"),
+      (2L, "x x p q r s y z"),
+      (3L, "alpha beta gamma delta"),
+      (4L, "c1 c2 c3 c4 c5"),
+      (5L, "c1 c2 c3 c4 c5")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(docs, "doc_id", "text", n = 3)
+    val out = Dedup.stripSpans(docs, spans, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out === Seq(
+      (1L, 8L, 4L, "t u v w"),        // span [0,4) stripped
+      (2L, 8L, 4L, "x x y z"),        // span [2,6) stripped, flanks survive in order
+      (3L, 4L, 0L, "alpha beta gamma delta"), // untouched
+      (4L, 5L, 5L, ""),               // whole-doc copy: empties (quarantine signal)
+      (5L, 5L, 5L, "")))
+    // Composes identically over the rolling detector (hash-independent).
+    val viaRolling = Dedup.stripSpans(docs,
+      Dedup.repeatedSpansRolling(docs, "doc_id", "text", n = 3), "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(viaRolling === out)
+  }
+
   test("rolling gram hash: equals the direct polynomial per position, equal grams collide, distinct grams don't") {
     // The rolling recurrence must reproduce the direct O(n)-per-position
     // polynomial over xxhash64 token hashes at EVERY offset — any drift
