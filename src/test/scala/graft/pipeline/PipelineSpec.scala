@@ -2656,6 +2656,12 @@ class PipelineSpec extends GraftSuite {
       Dedup.repeatedSpansRolling(docs, "doc_id", "text", n = 3), "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
     assert(viaRolling === out)
+    // The anti join keys on the doc id (range terms ride as the join
+    // condition) — never a nested-loop over tokens × spans.
+    val plan = Dedup.stripSpans(docs, spans, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
   }
 
   test("rolling gram hash: equals the direct polynomial per position, equal grams collide, distinct grams don't") {
