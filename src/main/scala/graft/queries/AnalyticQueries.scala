@@ -286,6 +286,21 @@ object AnalyticQueries {
           col("m.o_totalprice").as("cheapest_price"))
         .orderBy("o_custkey")),
 
+    // Mergeable distinct-count sketches (q34): per-(type, day) HLL
+    // sketches — the persistable daily increment — unioned per type to
+    // month-level distinct users WITHOUT rescanning history (sketch
+    // union is associative; exact per-day distincts cannot be added).
+    // At fixture cardinalities the sketches stay in sparse mode, so the
+    // estimate is EXACT and the count-distinct oracle applies verbatim
+    // (the approximation contract past sparse mode is spec-documented).
+    "q34_sketch_distinct" -> ((s, dir) => {
+      val daily = graft.operators.Sketches.distinctSketches(
+        Fixtures.events(s, dir).withColumn("day", to_date(col("ts"))),
+        Seq("event_type", "day"), "user_id")
+      graft.operators.Sketches.unionEstimate(daily, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Cohort retention (C84 / q30): users bucketed by first-seen day,
     // distinct active users per (cohort, day-offset) — the standard
     // product-analytics report. Two map-side-combined aggregations + one
@@ -424,6 +439,12 @@ object AnalyticQueries {
     }.mkString(" + ")
 
   val oracleSql: Map[String, String] = Map(
+    // q34: in the sketches' exact (sparse) regime the union estimate IS
+    // the distinct count — plain COUNT(DISTINCT) per type; the spec
+    // pins exactness at both fixture SFs.
+    "q34_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // q33: the same answer via the rank formulation — one ground truth
     // for the aggregation idiom the Spark side uses.
     "q33_argmin_order" ->
