@@ -13,6 +13,7 @@ import graft.pipeline._
   *   raw → quality filter → repetition filter → perplexity gate
   *       → exact dedup → boilerplate strip (common-block removal)
   *       → block strip (repeated-passage removal)
+  *       → span scrub (sliding-gram repeated spans, rolling hash)
   *       → near-dup prune (cluster-resolved)
   *       → decontaminate (vs a synthetic eval set) → rebalance
   *       → temperature mix → per-source cap → train/val/test split
@@ -108,10 +109,24 @@ object PipelineDemo {
     val blocksRemoved = stripRep.agg(sum(col("n_removed"))).first().getLong(0)
     println(s"[demo] after block strip: ${stripped.count()} ($blocksRemoved duplicate blocks removed)")
 
+    // 2c. Sliding-gram span scrub: repeated passages the fixed grid
+    //     cannot see (sub-block width — n = 8 under 2b's 16-token
+    //     blocks — or straddling a boundary), detected by the
+    //     rolling-hash sweep and stripped token-exactly; docs scrubbed
+    //     to nothing drop out.
+    val spanRep = Dedup.stripSpans(stripped,
+      Dedup.repeatedSpansRolling(stripped, "doc_id", "text", n = 8), "doc_id", "text")
+    val scrubbed = stripped.drop("text")
+      .join(spanRep.filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text")), "doc_id")
+      .localCheckpoint(true)
+    val spanTokensRemoved = spanRep.agg(sum(col("n_removed"))).first().getLong(0)
+    println(s"[demo] after span scrub: ${scrubbed.count()} ($spanTokensRemoved repeated-span tokens removed)")
+
     // 3. Near-dup prune: jaccard pairs → cluster resolution → keep one per
     //    cluster. Scoped handle releases the shingle indexes when done.
-    val pruned = Dedup.withJaccardPairs(stripped, "doc_id", "text", threshold = 0.8) { pairs =>
-      Dedup.pruneDuplicates(stripped, pairs, "doc_id").localCheckpoint(true)
+    val pruned = Dedup.withJaccardPairs(scrubbed, "doc_id", "text", threshold = 0.8) { pairs =>
+      Dedup.pruneDuplicates(scrubbed, pairs, "doc_id").localCheckpoint(true)
     }
     println(s"[demo] after near-dup prune: ${pruned.count()}")
 
