@@ -100,4 +100,36 @@ class StringFunctionsSpec extends GraftSuite {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("gram rolling hash: SQL-registered, codegen == interpreted, literal-arg guard, type guard") {
+    // Registered through GraftExtensions for plain SQL.
+    val viaSql = spark.sql(
+      "SELECT graft_gram_rolling_hash(split('a b c d', ' '), 2, 43L) AS h")
+      .as[Seq[Long]].head()
+    assert(viaSql.length === 3)
+    assert(viaSql.distinct.length === 3)
+    // Codegen and interpreted agree.
+    val df = Seq("a b c d e", "a b", "x").toDF("s")
+    def sweep() = df.selectExpr("graft_gram_rolling_hash(split(s, ' '), 2, 43L) AS h")
+      .as[Seq[Long]].collect().toSeq
+    val withCodegen = sweep()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(sweep() === withCodegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // Shorter-than-n docs produce the empty array, not an error.
+    assert(withCodegen(2) === Seq.empty)
+    // n and seed must be literals (the builder extracts them at plan
+    // time); a column argument is rejected, not silently mis-planned.
+    val err = intercept[Exception] {
+      Seq((Seq("a", "b"), 2)).toDF("w", "n")
+        .selectExpr("graft_gram_rolling_hash(w, n, 43L)").collect()
+    }
+    assert(err.getMessage.contains("literal"), err.getMessage)
+  }
 }
