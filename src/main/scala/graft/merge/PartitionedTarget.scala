@@ -188,6 +188,64 @@ object PartitionedTarget {
     compactDirs(spark, path, BucketCol, targetFileBytes, minFiles)
   }
 
+  /** Per-bucket layout health as DATA — the ops readout behind
+    * [[compact]]'s decisions, for dashboards and compaction scheduling
+    * (when is the nightly compact actually needed, which buckets
+    * outgrew their spec): file count, bytes, the desired file count
+    * under `targetFileBytes`, and the same fragmented/oversized
+    * verdicts the compactor applies — so `flagged` here IS the set
+    * [[compact]] would rewrite (spec-pinned). Driver-side directory
+    * listing only (≤ nBuckets rows — metadata, not data); no bucket
+    * content is opened.
+    *
+    * @return (bucket, n_files, bytes, desired_files, fragmented,
+    *         oversized, flagged), one row per bucket directory.
+    */
+  def layoutReport(
+      spark: SparkSession,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      minFiles: Int = 2): DataFrame = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    require(minFiles >= 2, s"minFiles must be >= 2, got $minFiles")
+    readSpec(spark, path) // gate: only report on a real partitioned target
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketCol + "="))
+      .map { st =>
+        val h = dirHealth(fs, st.getPath, targetFileBytes, minFiles)
+        (st.getPath.getName.drop(BucketCol.length + 1).toInt,
+          h.nFiles, h.bytes, h.desired, h.fragmented, h.oversized,
+          h.fragmented || h.oversized)
+      }
+      .sortBy(_._1)
+    import spark.implicits._
+    rows.toDF("bucket", "n_files", "bytes", "desired_files",
+      "fragmented", "oversized", "flagged")
+  }
+
+  /** The one shared layout-health computation — [[layoutReport]]'s
+    * verdicts and [[compactDirs]]' flagging cannot drift because they
+    * are this function.
+    */
+  private final case class DirHealth(
+      nFiles: Int, bytes: Long, desired: Int, fragmented: Boolean, oversized: Boolean)
+
+  private def dirHealth(
+      fs: org.apache.hadoop.fs.FileSystem, dir: Path,
+      targetFileBytes: Long, minFiles: Int): DirHealth = {
+    val files = fs.listStatus(dir).filter(f =>
+      f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+    val bytes = files.map(_.getLen).sum
+    val desired =
+      math.min(256L, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
+    DirHealth(
+      files.length, bytes, desired,
+      fragmented = files.length >= minFiles && files.length > desired,
+      oversized = files.nonEmpty && bytes / files.length > 2L * targetFileBytes)
+  }
+
   /** [[compact]]'s engine, generalized over the partition column name so
     * other bucket-partitioned layouts — the persisted IVF index's
     * `bucket=` directories ([[graft.pipeline.Similarity.compactIndex]]) —
@@ -205,20 +263,13 @@ object PartitionedTarget {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
-    def desiredFiles(bytes: Long): Int =
-      math.min(256L, math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)).toInt
     // (bucket, desired file count) for every degraded bucket.
     val flagged = fs.listStatus(root).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
       .flatMap { st =>
-        val files = fs.listStatus(st.getPath).filter(f =>
-          f.isFile && !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        val bytes = files.map(_.getLen).sum
-        val desired = desiredFiles(bytes)
-        val fragmented = files.length >= minFiles && files.length > desired
-        val oversized = files.nonEmpty && bytes / files.length > 2L * targetFileBytes
-        if (fragmented || oversized)
-          Some(st.getPath.getName.drop(partCol.length + 1).toInt -> desired)
+        val h = dirHealth(fs, st.getPath, targetFileBytes, minFiles)
+        if (h.fragmented || h.oversized)
+          Some(st.getPath.getName.drop(partCol.length + 1).toInt -> h.desired)
         else None
       }
     if (flagged.isEmpty) return Nil

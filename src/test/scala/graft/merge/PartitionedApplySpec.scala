@@ -425,6 +425,34 @@ class PartitionedApplySpec extends GraftSuite {
     assert(PartitionedTarget.compact(spark, path) === Nil)
   }
 
+  test("layout report: flagged set == compact's rewrite set, healthy after, guards on non-targets") {
+    val path = freshDir("papply-report")
+    PartitionedTarget.write(target60, path, spec)
+    // Fragment one bucket (external append-writer shape).
+    val fragBucket = bucketsOf(Seq(7L))(7L)
+    val extraKey = bucketsOf(100L until 400L).collectFirst {
+      case (k, b) if b == fragBucket => k
+    }.get
+    Seq((extraKey, s"x$extraKey", 1.0)).toDF("k", "name", "v")
+      .write.mode("append").parquet(s"$path/${PartitionedTarget.BucketCol}=$fragBucket")
+    val report = PartitionedTarget.layoutReport(spark, path)
+      .as[(Int, Int, Long, Int, Boolean, Boolean, Boolean)].collect()
+    assert(report.map(_._1).toSet === snapshotBuckets(path).keySet.map(bucketOfPath))
+    val flagged = report.filter(_._7).map(_._1).toSeq
+    assert(flagged === Seq(fragBucket))
+    assert(report.find(_._1 == fragBucket).get._2 === 2) // initial + append
+    // The report's verdicts ARE the compactor's (shared computation):
+    // compact rewrites exactly the flagged set, after which the report
+    // is clean — the scheduling loop converges.
+    assert(PartitionedTarget.compact(spark, path) === flagged)
+    assert(PartitionedTarget.layoutReport(spark, path)
+      .filter(col("flagged")).count() === 0)
+    // Only real partitioned targets report.
+    intercept[MergeValidationException] {
+      PartitionedTarget.layoutReport(spark, freshDir("papply-notarget"))
+    }
+  }
+
   test("compact splits an oversized single-file bucket into sized files") {
     val path = freshDir("papply-split")
     PartitionedTarget.write(target60, path, spec)

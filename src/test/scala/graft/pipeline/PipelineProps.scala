@@ -231,4 +231,28 @@ object PipelineProps extends Properties("pipeline") {
       val b = Dedup.clustersAlternating(df).as[(Long, Long)].collect().toMap
       a == b
     }
+
+  property("rolling gram hash == direct polynomial at every offset, on random corpora and widths") =
+    forAll(for {
+      words <- Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word))
+      n <- Gen.chooseNum(2, 6)
+      seed <- Gen.chooseNum(0L, 1000L)
+    } yield (words, n, seed)) { case (words, n, seed) =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.functions.{call_function, col, lit, split}
+      val got = Seq(Tuple1(words.mkString(" "))).toDF("text")
+        .select(call_function(graft.functions.GraftFunctions.GramRollingHashName,
+          split(col("text"), " "), lit(n), lit(seed)))
+        .as[Seq[Long]].head()
+      import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      import org.apache.spark.sql.types.StringType
+      val th = words.map(w => XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(w), StringType, seed))
+      val direct = (0 to words.length - n).map { p =>
+        (0 until n).foldLeft(0L)((h, i) => h * graft.functions.GramRollingHash.Base + th(p + i))
+      }
+      // Shorter-than-n inputs roll to the empty sweep, not an error.
+      got == direct && (words.length >= n || got.isEmpty)
+    }
 }
