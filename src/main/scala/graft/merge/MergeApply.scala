@@ -76,13 +76,18 @@ object MergeApply {
       targetPath: String,
       source: DataFrame,
       opts: MergeOptions,
-      auditPath: Option[String] = None): MergeResult = {
+      auditPath: Option[String] = None,
+      evolveSchema: Boolean = false): MergeResult = {
     // Parse/validate the threshold up front (A23) so a malformed string
     // fails before any data movement, like the reference's isnumeric gate
     // (sp_SimpleMerge.sql:92-95).
     val thresholdPct = opts.thresholdPct
 
-    val target = spark.read.parquet(targetPath)
+    // Opt-in schema evolution (C116) applied to the ON-DISK content: the
+    // rewritten target carries the evolved columns; without the flag a
+    // widened source is rejected by the alignment gate below.
+    val raw = spark.read.parquet(targetPath)
+    val target = if (evolveSchema) SimpleMerge.evolveTarget(raw, source) else raw
     val plan = MergePlan.build(target.schema, source.schema, opts)
     val frame = new MergeFrame(target, source, plan)
 

@@ -49,16 +49,39 @@ object MergeSql {
   def applyToTarget(
       spark: SparkSession, sqlText: String, targetPath: String,
       auditPath: Option[String] = None): MergeResult = {
-    val sm = toSimpleMerge(spark, sqlText)
-    if (PartitionedTarget.isPartitioned(spark, targetPath))
-      sm.applyToPartitionedPath(spark, targetPath, auditPath)
-    else sm.applyToPath(spark, targetPath, auditPath)
+    val parsed = parse(spark, sqlText)
+    if (PartitionedTarget.isPartitioned(spark, targetPath)) {
+      // Evolving a partitioned target bucket-by-bucket would leave the
+      // untouched buckets on the OLD schema — mixed-schema directories a
+      // plain read resolves arbitrarily. Rejected, never half-applied;
+      // evolve + rewrite the target explicitly (PartitionedTarget.write).
+      if (parsed.evolve)
+        unsupported("WITH SCHEMA EVOLUTION on a partitioned target (only the " +
+          "touched buckets would evolve — rewrite the target with the evolved " +
+          "schema first)")
+      parsed.sm.applyToPartitionedPath(spark, targetPath, auditPath)
+    } else if (parsed.evolve) parsed.sm.applyToPathEvolved(spark, targetPath, auditPath)
+    else parsed.sm.applyToPath(spark, targetPath, auditPath)
   }
 
   /** Parse a MERGE INTO statement into a configured [[SimpleMerge]] whose
     * relations resolve through the session catalog (temp views included).
+    * A `MERGE WITH SCHEMA EVOLUTION INTO …` statement (the Spark 4 /
+    * lakehouse opt-in syntax) applies the [[SimpleMerge.evolveTarget]]
+    * pre-pass to the in-memory target — C116's explicit-decision
+    * contract carried onto the SQL surface: without the keyword a
+    * widened source is still rejected by the alignment gate.
     */
-  def toSimpleMerge(spark: SparkSession, sqlText: String): SimpleMerge = {
+  def toSimpleMerge(spark: SparkSession, sqlText: String): SimpleMerge =
+    parse(spark, sqlText).sm
+
+  /** One parsed statement: the configured engine plus the
+    * schema-evolution bit [[applyToTarget]] must route on (the on-disk
+    * target is evolved at APPLY time, not here).
+    */
+  private final case class Parsed(sm: SimpleMerge, evolve: Boolean)
+
+  private def parse(spark: SparkSession, sqlText: String): Parsed = {
     val (m, ctes) = spark.sessionState.sqlParser.parsePlan(sqlText) match {
       case m: MergeIntoTable => (m, Map.empty[String, LogicalPlan])
       case w: UnresolvedWith => w.child match {
@@ -115,12 +138,16 @@ object MergeSql {
       case other => unsupported(s"WHEN NOT MATCHED BY SOURCE actions $other")
     }
 
-    val base = SimpleMerge.into(spark.table(tName), tName)
+    val targetFrame =
+      if (m.withSchemaEvolution)
+        SimpleMerge.evolveTarget(spark.table(tName), spark.table(sName))
+      else spark.table(tName)
+    val base = SimpleMerge.into(targetFrame, tName)
       .using(spark.table(sName), sName)
       .keys(keys: _*)
       .deleteMode(deleteMode)
       .badKey(badKey)
-    tSide.filter.fold(base)(base.targetFilter)
+    Parsed(tSide.filter.fold(base)(base.targetFilter), m.withSchemaEvolution)
   }
 
   private val RnCol = "_SimpleMerge_rn"

@@ -121,6 +121,15 @@ final class SimpleMerge private (
   def applyToPath(spark: SparkSession, path: String, auditPath: Option[String] = None): MergeResult =
     MergeApply.applyTo(spark, path, source, opts, auditPath)
 
+  /** [[applyToPath]] with the [[SimpleMerge.evolveTarget]] pre-pass
+    * applied to the ON-DISK target content before planning — the
+    * `WITH SCHEMA EVOLUTION` route of [[MergeSql.applyToTarget]]; the
+    * rewritten target carries the evolved columns.
+    */
+  private[merge] def applyToPathEvolved(
+      spark: SparkSession, path: String, auditPath: Option[String] = None): MergeResult =
+    MergeApply.applyTo(spark, path, source, opts, auditPath, evolveSchema = true)
+
   /** Partition-scoped apply against a [[PartitionedTarget]] directory:
     * only the bucket directories the source keys hash into are read,
     * rewritten, and swapped — the incremental path for large targets with

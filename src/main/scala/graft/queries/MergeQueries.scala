@@ -276,6 +276,23 @@ object MergeQueries {
         .withColumn("bucket", col(PartitionedTarget.BucketCol).cast("long"))
         .drop(PartitionedTarget.BucketCol)
         .orderBy("li_key")
+    }),
+    // Schema evolution from SQL text (g6): Spark 4's lakehouse opt-in
+    // syntax — `MERGE WITH SCHEMA EVOLUTION INTO` — routed into the
+    // C116 evolveTarget pre-pass, so m18's semantics execute from a
+    // statement (without the keyword the widened source is still
+    // rejected, spec-pinned). Shares m18's oracle verbatim.
+    "g6_merge_sql_evolve" -> ((s, dir) => {
+      ordersTarget(s, dir).createOrReplaceTempView("g6_tgt")
+      ordersSource(s, dir)
+        .withColumn("o_channel", concat(lit("ch"), (col("o_orderkey") % 4).cast("string")))
+        .createOrReplaceTempView("g6_src")
+      MergeSql.mergedFrame(s,
+        """MERGE WITH SCHEMA EVOLUTION INTO g6_tgt t USING g6_src s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .orderBy("o_orderkey")
     })
   )
 
@@ -379,7 +396,10 @@ object MergeQueries {
     "g4_merge_sql_cte" -> oracleSqlBase("m6_merge_badkey"),
     // g5 executes m13's exact semantics from SQL text against the same
     // partitioned target — m13's oracle verbatim.
-    "g5_merge_sql_partitioned" -> oracleSqlBase("m13_merge_partitioned"))
+    "g5_merge_sql_partitioned" -> oracleSqlBase("m13_merge_partitioned"),
+    // g6 executes m18's evolution merge from WITH SCHEMA EVOLUTION text
+    // — m18's oracle verbatim.
+    "g6_merge_sql_evolve" -> oracleSqlBase("m18_merge_evolve"))
 
   private val oracleSqlBase: Map[String, String] = Map(
     // m18: m2's keep-merge with the evolved column — source rows carry

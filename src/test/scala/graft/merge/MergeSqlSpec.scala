@@ -183,6 +183,48 @@ class MergeSqlSpec extends GraftSuite {
     assert(got === Set((Some(1L), "x2", 1.5), (None, "n2", 2.5)))
   }
 
+  test("WITH SCHEMA EVOLUTION: SQL == evolve+API merge; without the keyword the widened source rejects; path apply rewrites evolved") {
+    val widened = src.withColumn("tier", concat(lit("T"), $"k"))
+    tgt.createOrReplaceTempView("mse_tgt")
+    widened.createOrReplaceTempView("mse_src")
+    val evolveSql =
+      """MERGE WITH SCHEMA EVOLUTION INTO mse_tgt t USING mse_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val viaSql = MergeSql.mergedFrame(spark, evolveSql)
+      .as[(Long, String, Double, Option[String])].collect().toSet
+    val viaApi = SimpleMerge
+      .into(SimpleMerge.evolveTarget(tgt, widened), "mse_tgt").using(widened, "mse_src")
+      .keys("k").deleteMode(DeleteMode.Ignore)
+      .merged.as[(Long, String, Double, Option[String])].collect().toSet
+    assert(viaSql === viaApi)
+    assert(viaSql.exists(_._4.contains("T2")) && viaSql.exists(_._4.isEmpty))
+    // Same statement WITHOUT the keyword: the alignment gate still
+    // rejects a widened source — evolution stays an explicit decision.
+    intercept[MergeValidationException] {
+      MergeSql.mergedFrame(spark, evolveSql.replace("MERGE WITH SCHEMA EVOLUTION", "MERGE"))
+        .collect()
+    }
+    // On-disk route: the rewritten target carries the evolved column.
+    val path = java.nio.file.Files.createTempDirectory("msql-evolve").resolve("t").toString
+    tgt.write.parquet(path)
+    val r = MergeSql.applyToTarget(spark, evolveSql, path)
+    assert(r.committed)
+    val after = spark.read.parquet(path)
+    assert(after.columns.contains("tier"))
+    assert(after.as[(Long, String, Double, Option[String])].collect().toSet === viaApi)
+    // A partitioned target refuses evolution (mixed-schema buckets),
+    // never half-applies.
+    val ppath = java.nio.file.Files.createTempDirectory("msql-evolve-p").resolve("t").toString
+    PartitionedTarget.write(tgt, ppath,
+      PartitionSpec(Seq("k"), 4, graft.pipeline.HashMode.Xxhash64))
+    val before = spark.read.parquet(ppath).count()
+    intercept[MergeValidationException] {
+      MergeSql.applyToTarget(spark, evolveSql, ppath)
+    }
+    assert(spark.read.parquet(ppath).count() === before)
+  }
+
   test("applyToTarget routes a partitioned target into the pruned apply; untouched buckets physically untouched") {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
