@@ -672,9 +672,16 @@ object Dedup {
       // only ever decrease, so the label sum is strictly monotone until
       // the fixpoint — equal sums mean an identical labelling. Decimal
       // accumulator: no overflow for any long id domain.
-      def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
+      // An EMPTY pair frame (a corpus with no duplicate pairs at all —
+      // real after an aggressive upstream scrub) sums to NULL; coalesce
+      // to zero so the empty graph converges trivially instead of
+      // NPE-ing the convergence compare (surfaced by PipelineDemo once
+      // the span scrub emptied the near-dup pair set at sf0.001).
+      def labelSum(df: DataFrame): java.math.BigDecimal = {
+        val d = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).first()
           .getDecimal(0)
+        if (d == null) java.math.BigDecimal.ZERO else d
+      }
       var prevSum = labelSum(cur)
       var converged = false
       var i = 0

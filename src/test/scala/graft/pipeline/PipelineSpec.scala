@@ -27,6 +27,18 @@ class PipelineSpec extends GraftSuite {
     assert(out(4L) === 1L)
   }
 
+  test("empty pair frame: clusters converge to empty, pruneDuplicates keeps every doc") {
+    // A fully-scrubbed corpus legitimately has ZERO near-dup pairs — the
+    // cluster pass must degrade to the identity, not NPE (PipelineDemo
+    // regression: the span scrub emptied the pair set at sf0.001).
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Dedup.clusters(noPairs).count() === 0)
+    assert(Dedup.clustersAlternating(noPairs).count() === 0)
+    val kept = Dedup.pruneDuplicates(docs, noPairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("jaccard near-dup pairing finds the planted pair and nothing else") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, dfCap = 50, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
