@@ -719,6 +719,35 @@ $bandSelects
         "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Scrub pipeline (p3): the repeated-span detect→remove pair plus the
+    // spam-fraction gate, composed as ONE verified query — scrub the
+    // corpus (rolling sweep, every flagged token out), quarantine docs
+    // that emptied or lost more than half their tokens (span-dominated
+    // spam), and read the result as the per-language token budget a
+    // mixing stage consumes. (Exact dedup after an occurrence-based
+    // scrub is provably an identity — cross-doc duplication is GONE by
+    // construction — so the gate, not a dedup, is the honest next
+    // stage.)
+    "p3_scrub_pipeline" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val planted = d.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" q0 q1 q2 q3 q4 q5 q6 q7 q8 q9")))
+          .otherwise(col("text")))
+      val scrub = Dedup.stripSpans(planted,
+        Dedup.repeatedSpansRolling(planted, "doc_id", "text", n = 8),
+        "doc_id", "text")
+      scrub
+        .filter(col("n_tokens") - col("n_removed") > 0 &&
+          col("n_removed") * 2 <= col("n_tokens"))
+        .join(planted.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens") - col("n_removed")).as("kept_tokens"),
+          sum(col("n_removed")).as("scrubbed_tokens"))
+        .orderBy("lang")
+    }),
     // Intra-doc repeated-sentence removal (t24): the corpus has no
     // native sentence repeats, so each doc gets its own FIRST sentence
     // re-appended (the t19 period-planting trick supplies sentence
@@ -3565,6 +3594,48 @@ $bandSelects
          |       coalesce(agg.text_clean, '') AS text_clean
          |FROM words w LEFT JOIN agg USING (doc_id)
          |ORDER BY doc_id""".stripMargin
+    },
+    // p3: the d29 span chain over the RAW corpus (sentinel planting
+    // only), per-doc removal = Σ(end−start) over the merged spans
+    // (disjoint by construction — a new span starts strictly past the
+    // previous end), then the spam-fraction gate and the per-lang
+    // budget rollup.
+    "p3_scrub_pipeline" -> {
+      val n = 8
+      s"""WITH pl AS (
+         |  SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' q0 q1 q2 q3 q4 q5 q6 q7 q8 q9' ELSE text END AS text
+         |  FROM documents),
+         |words AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM pl),
+         |g AS (
+         |  SELECT doc_id, t.p AS pos,
+         |         ${sqlHash(43, s"array_to_string(list_slice(w, t.p + 1, t.p + $n), ' ')")} AS h
+         |  FROM words, LATERAL (SELECT unnest(range(0, len(w) - $n + 1)) AS p) t
+         |  WHERE len(w) >= $n
+         |),
+         |rep AS (SELECT doc_id, pos FROM (
+         |  SELECT g.*, count(*) OVER (PARTITION BY h) AS df FROM g) WHERE df >= 2),
+         |m AS (
+         |  SELECT doc_id, pos, lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         |  FROM rep),
+         |mk AS (SELECT doc_id, pos,
+         |  CASE WHEN prev IS NULL OR pos - prev > $n THEN 1 ELSE 0 END AS nw FROM m),
+         |sp AS (SELECT doc_id, pos,
+         |  sum(nw) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM mk),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS start_tok, max(pos) + $n AS end_tok
+         |  FROM sp GROUP BY doc_id, grp),
+         |rm AS (SELECT doc_id, sum(end_tok - start_tok) AS n_removed FROM spans GROUP BY doc_id),
+         |per AS (
+         |  SELECT w.doc_id, w.lang, len(w.w) AS n_tokens, coalesce(rm.n_removed, 0) AS n_removed
+         |  FROM words w LEFT JOIN rm USING (doc_id)
+         |)
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(n_tokens - n_removed) AS BIGINT) AS kept_tokens,
+         |       CAST(sum(n_removed) AS BIGINT) AS scrubbed_tokens
+         |FROM per
+         |WHERE n_tokens - n_removed > 0 AND n_removed * 2 <= n_tokens
+         |GROUP BY lang ORDER BY lang""".stripMargin
     },
     // t24: the identical planting (periods, then first sentence
     // re-appended) and the first-occurrence semantics as min(pos) per

@@ -2676,6 +2676,33 @@ class PipelineSpec extends GraftSuite {
       plan.take(2000))
   }
 
+  test("scrub pipeline stages: spam gate quarantines span-dominated docs, identity on a repeat-free corpus") {
+    // Four docs: clean (untouched), tail-spam (shared 6-token tail over a
+    // 4-token base — more than half removed, quarantined), two whole-doc
+    // copies (fully covered — emptied, quarantined).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "base one two win s1 s2 s3 s4 s5 s6"),
+      (3L, "other four pie toe s1 s2 s3 s4 s5 s6"),
+      (4L, "c1 c2 c3 c4 c5 c6 c7"),
+      (5L, "c1 c2 c3 c4 c5 c6 c7")
+    ).toDF("doc_id", "text")
+    val scrub = Dedup.stripSpans(docs,
+      Dedup.repeatedSpansRolling(docs, "doc_id", "text", n = 3), "doc_id", "text")
+    val gated = scrub.filter(col("n_tokens") - col("n_removed") > 0 &&
+        col("n_removed") * 2 <= col("n_tokens"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gated === Set(1L), "spam-dominated and emptied docs quarantine; clean doc survives")
+    // Repeat-free corpus: the whole pipeline is the identity — nothing
+    // scrubbed, nothing gated.
+    val clean = Seq((1L, "a b c d e"), (2L, "f g h i j")).toDF("doc_id", "text")
+    val out = Dedup.stripSpans(clean,
+      Dedup.repeatedSpansRolling(clean, "doc_id", "text", n = 3), "doc_id", "text")
+    assert(out.filter(col("n_removed") === 0).count() === 2)
+    assert(out.select("doc_id", "text_clean").as[(Long, String)].collect().toMap
+      === Map(1L -> "a b c d e", 2L -> "f g h i j"))
+  }
+
   test("rolling gram hash: equals the direct polynomial per position, equal grams collide, distinct grams don't") {
     // The rolling recurrence must reproduce the direct O(n)-per-position
     // polynomial over xxhash64 token hashes at EVERY offset — any drift
