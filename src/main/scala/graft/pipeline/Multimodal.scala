@@ -287,6 +287,83 @@ object Multimodal {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Perceptual AVERAGE hash over real decoded pixels — the global-mean
+    * twin of [[decodePngDHash]] (Krawetz's aHash, public): same 8×8
+    * luminance grid, but bit `by·8+bx` is set when block (bx, by) is
+    * brighter than the WHOLE image — 64 bits against the global mean
+    * where dHash's 56 compare horizontal neighbors. The two react to
+    * different damage (dHash to local gradient flips, aHash to
+    * region-vs-whole contrast), so running both is the image analogue
+    * of the MinHash/SimHash detector pairing; both feed
+    * [[Dedup.hammingPairs]] unchanged (`bits = 63`).
+    *
+    * Exact integer arithmetic throughout, like dHash: raw r+g+b
+    * luminance sums, `(x·8) div w` block assignment, and the
+    * brightness comparison cross-multiplies (block_sum · total_count >
+    * total_sum · block_count) — bit-identical in any engine, so the
+    * mm16 oracle recomputes it from the synthesis formulas. Invariant
+    * under uniform brightness shift (block and global means move
+    * together) and resolution (grid pooling); spec-pinned.
+    */
+  def decodePngAHash(df: DataFrame): DataFrame = {
+    val gw = 8
+    val gh = 8
+    val schema = StructType(df.schema.fields ++ Array(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("ahash", LongType)))
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      val out = rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](payloadIdx)
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(in, true, true)
+          val img = reader.read(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          require(w >= gw && h >= gh, s"aHash needs >= ${gw}x$gh pixels, got ${w}x$h")
+          val sums = Array.ofDim[Long](gh, gw)
+          val counts = Array.ofDim[Long](gh, gw)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * gh / h
+            var x = 0
+            while (x < w) {
+              val bx = x * gw / w
+              val rgb = img.getRGB(x, y)
+              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              sums(by)(bx) += l
+              counts(by)(bx) += 1
+              total += l
+              x += 1
+            }
+            y += 1
+          }
+          val nPix = w.toLong * h
+          var ahash = 0L
+          var by = 0
+          while (by < gh) {
+            var bx = 0
+            while (bx < gw) {
+              // block mean > global mean by exact cross-multiplication;
+              // bit 63 (the last block) deliberately unused — see above.
+              if (by * gw + bx < 63 && sums(by)(bx) * nPix > total * counts(by)(bx))
+                ahash |= 1L << (by * gw + bx)
+              bx += 1
+            }
+            by += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, ahash))
+        } finally in.close()
+      }
+      out ++ { reader.dispose(); Iterator.empty }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Deterministic synthetic WAV fixture — the audio twin of
     * [[synthesizePngs]]: one real RIFF/WAVE container (16-bit mono
     * little-endian PCM, encoded by the JDK's `javax.sound.sampled` WAV

@@ -645,6 +645,17 @@ $bandSelects
     // (PNG/GIF dims, WAV rate), so a parser that misread an offset or
     // an endianness cannot reproduce it; JPEG (variable SOF offset) and
     // text stay NULL by design.
+    // Average hash (mm16): dHash's global-mean twin — 63 bits against
+    // the whole-image mean where mm6's 56 compare neighbors; the second
+    // perceptual family (the MinHash/SimHash pairing applied to images).
+    // Oracle: mm6's block-sum replay with a totals join in place of the
+    // neighbor join.
+    "mm16_image_ahash" -> ((s, dir) =>
+      Multimodal.decodePngAHash(
+        Multimodal.synthesizePngs(
+          table(s, dir, "documents").filter(col("doc_id") < 50), "doc_id"))
+        .select("doc_id", "width", "height", "ahash")
+        .orderBy("doc_id")),
     "mm15_header_meta" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val mixed = Multimodal.synthesizePngs(d.filter(col("doc_id") < 25), "doc_id")
@@ -3291,6 +3302,42 @@ $bandSelects
         |)
         |SELECT doc_id, CAST(width AS INTEGER) AS width,
         |  CAST(height AS INTEGER) AS height, CAST(sum(bit) AS BIGINT) AS dhash
+        |FROM bits GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
+    // mm16: mm6's block sums against the GLOBAL sum — bit set when
+    // block_sum·n_pixels > total_sum·block_count, 63 bits (bit 63 would
+    // sign the long — dropped by the operator's contract, so the sum of
+    // distinct powers stays exact and positive in both engines).
+    "mm16_image_ahash" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+        |dims AS (SELECT doc_id, 8 + doc_id % 24 AS width, 8 + (doc_id*3) % 24 AS height FROM d),
+        |px AS (
+        |  SELECT doc_id, width, height, tx.x AS x, ty.y AS y
+        |  FROM dims, LATERAL (SELECT unnest(range(0, width)) AS x) tx,
+        |             LATERAL (SELECT unnest(range(0, height)) AS y) ty
+        |),
+        |lum AS (
+        |  SELECT doc_id, width, height, (x*8)//width AS bx, (y*8)//height AS by,
+        |    (3*x + doc_id % 200) % 256 + (5*x + 7*y + doc_id) % 256
+        |      + (x + 11*y + 13*doc_id) % 256 AS l
+        |  FROM px
+        |),
+        |blocks AS (
+        |  SELECT doc_id, width, height, by, bx,
+        |    CAST(sum(l) AS BIGINT) AS bsum, CAST(count(*) AS BIGINT) AS bcnt
+        |  FROM lum GROUP BY 1, 2, 3, 4, 5
+        |),
+        |totals AS (
+        |  SELECT doc_id, CAST(sum(l) AS BIGINT) AS tsum, CAST(count(*) AS BIGINT) AS tcnt
+        |  FROM lum GROUP BY 1
+        |),
+        |bits AS (
+        |  SELECT b.doc_id, b.width, b.height,
+        |    CASE WHEN b.by*8 + b.bx < 63 AND b.bsum * t.tcnt > t.tsum * b.bcnt
+        |         THEN CAST(1 AS BIGINT) << (b.by*8 + b.bx) ELSE 0 END AS bit
+        |  FROM blocks b JOIN totals t USING (doc_id)
+        |)
+        |SELECT doc_id, CAST(width AS INTEGER) AS width,
+        |  CAST(height AS INTEGER) AS height, CAST(sum(bit) AS BIGINT) AS ahash
         |FROM bits GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin,
     // mm7: replay the near-dup fixture's per-variant pixel formulas into
     // dHashes (mm6's arithmetic with the variant bump), then pair by

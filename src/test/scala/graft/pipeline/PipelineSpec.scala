@@ -2565,6 +2565,36 @@ class PipelineSpec extends GraftSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("aHash: brightness-shift invariant, resolution-pooled, pairs through the hamming machinery at 63 bits") {
+    // The near-dup fixture's v1 variant is a uniform +40/channel shift:
+    // block and global means move together, so aHash (like dHash) must
+    // not move at all.
+    val ids = (0L until 20L).toDF("doc_id")
+    val base = (0L until 60L).toDF("doc_id")
+    val fps = Multimodal.decodePngAHash(Multimodal.synthesizePngsNear(base, "doc_id"))
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toMap
+    (0L until 20L).foreach { b =>
+      assert(fps(b) === fps(b + 20L), s"base $b: uniform brightness shift must not move aHash")
+      // Bit 63 deliberately unused — the sign-safe hamming contract.
+      assert(fps(b) >= 0L)
+    }
+    // Detector diversity: aHash and dHash are different functions of the
+    // same pixels (on this fixture they disagree somewhere).
+    val dhs = Multimodal.decodePngDHash(Multimodal.synthesizePngs(ids, "doc_id"))
+      .select("doc_id", "dhash").as[(Long, Long)].collect().toMap
+    val ahs = Multimodal.decodePngAHash(Multimodal.synthesizePngs(ids, "doc_id"))
+      .select("doc_id", "ahash").as[(Long, Long)].collect().toMap
+    assert((0L until 20L).exists(i => dhs(i) !== ahs(i)))
+    // The existing hamming-ball machinery consumes aHash unchanged at
+    // width 63: the planted v0/v1 pairs land at hamming 0.
+    val pairFps = Multimodal.decodePngAHash(Multimodal.synthesizePngsNear(base, "doc_id"))
+      .select(col("doc_id"), col("ahash"))
+    val pairs = Dedup.hammingPairs(pairFps, "doc_id", "ahash",
+      maxHamming = 0, bits = 63, bucketCap = 100)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    (0L until 20L).foreach(b => assert(pairs.contains((b, b + 20L)), s"pair $b"))
+  }
+
   test("container-header parse: byte-arithmetic dims/rate equal the real decoders, map-only, sniff-gated NULLs") {
     val idSeq = Seq(0L, 1L, 7L, 23L)
     val ids = idSeq.toDF("doc_id")
