@@ -124,9 +124,15 @@ object GraftFunctions {
         val Seq(_, nE, seedE) = children
         require(nE.foldable && seedE.foldable,
           s"$GramRollingHashName: n and seed must be literals")
+        // A foldable NULL literal (CAST(NULL AS INT)) evals to null —
+        // fail with the same clean message, not an opaque NPE (ADVICE
+        // r13 #2).
+        val (nV, seedV) = (nE.eval(), seedE.eval())
+        require(nV != null && seedV != null,
+          s"$GramRollingHashName: n and seed must be non-null literals")
         GramRollingHash(children.head,
-          nE.eval().asInstanceOf[Number].intValue(),
-          seedE.eval().asInstanceOf[Number].longValue())
+          nV.asInstanceOf[Number].intValue(),
+          seedV.asInstanceOf[Number].longValue())
       }))
     ext.injectFunction((
       FunctionIdentifier(TokenCountName),

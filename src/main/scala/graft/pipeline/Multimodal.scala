@@ -88,7 +88,13 @@ object Multimodal {
     *   - GIF: the logical screen descriptor follows the 6-byte header —
     *     width/height little-endian u16 at bytes 7–8 / 9–10.
     *   - WAV (canonical RIFF layout, fmt chunk first): sample rate
-    *     little-endian u32 at bytes 25–28.
+    *     little-endian u32 at bytes 25–28 — gated on the `fmt ` chunk
+    *     tag actually sitting at bytes 13–16. RIFF only guarantees
+    *     `fmt ` SOMEWHERE after `WAVE`; a real-crawl WAV with a
+    *     LIST/JUNK chunk first sniffs as audio/wav but would parse
+    *     garbage at offset 25, so non-canonical layouts get the same
+    *     honest NULL every other unparseable container gets (ADVICE
+    *     r13 #3).
     *   - JPEG: dimensions live in a SOF marker at a VARIABLE offset
     *     (entropy-coded segment lengths) — not expressible as fixed-
     *     offset arithmetic; stays NULL here by design (sniff-only).
@@ -110,7 +116,9 @@ object Multimodal {
         when(col("sniffed_type") === "image/png", be(21, 4))
           .when(col("sniffed_type") === "image/gif", le(9, 2)))
       .withColumn("parsed_rate",
-        when(col("sniffed_type") === "audio/wav", le(25, 4)))
+        when(col("sniffed_type") === "audio/wav" &&
+          hex(substring(col("payload"), 13, 4)) === lit("666D7420"), // "fmt "
+          le(25, 4)))
   }
 
   /** Deterministic fake "decode" of a binary payload into media features

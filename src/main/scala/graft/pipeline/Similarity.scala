@@ -1129,7 +1129,10 @@ object Similarity {
   }
 
   /** The last applied stream batch id, or None for a batch-built (or
-    * interrupted-bootstrap) index. */
+    * interrupted-bootstrap) index. A torn/unparseable watermark also
+    * reads as None so the interrupted-bootstrap rebuild path repairs it
+    * (ADVICE r13 #1 — the BM25 contract).
+    */
   private[graft] def readPqStreamBatch(
       spark: org.apache.spark.sql.SparkSession, path: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(path, PqStreamBatchFile)
@@ -1138,15 +1141,14 @@ object Similarity {
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(txt.trim.toLong)
+      txt.trim.toLongOption
     }
   }
 
+  /** Temp-write + atomic rename, like the BM25 twin (ADVICE r13 #1). */
   private[graft] def writePqStreamBatch(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, PqStreamBatchFile), true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-  }
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long): Unit =
+    TextStats.atomicWriteWatermark(fs, dir, PqStreamBatchFile, batchId)
 
   /** Append new vectors into a [[writePqIndex]]-persisted IVFADC index,
     * crash-atomically: the increment is bucket-assigned with the STORED

@@ -302,15 +302,36 @@ object TextStats {
   private[graft] val Bm25StreamBatchFile = "_graft_stream_batch"
 
   /** Write the stream-batch watermark (bootstrap path; appends stage it
-    * through [[appendToBm25Index]]'s `streamBatchId` instead). */
+    * through [[appendToBm25Index]]'s `streamBatchId` instead). Written to
+    * a temp name and renamed into place — single-file rename is atomic on
+    * local/HDFS, so a crash mid-write can never leave a torn watermark in
+    * the live directory (ADVICE r13 #1; the torn file would otherwise
+    * wedge every later batch on a parse error the recovery path cannot
+    * see).
+    */
   private[graft] def writeBm25StreamBatch(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, Bm25StreamBatchFile), true)
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, batchId: Long): Unit =
+    atomicWriteWatermark(fs, dir, Bm25StreamBatchFile, batchId)
+
+  /** Shared by the BM25 and PQ watermark writers: stage the bytes under a
+    * dot-temp name, fsync-close, then rename over the live file. */
+  private[graft] def atomicWriteWatermark(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String, name: String, batchId: Long): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".$name.tmp")
+    val live = new org.apache.hadoop.fs.Path(dir, name)
+    val out = fs.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(live, false)
+    if (!fs.rename(tmp, live))
+      throw new IllegalStateException(s"could not promote watermark $tmp to $live")
   }
 
   /** The last applied stream batch id, or None for a non-streaming (or
-    * interrupted-bootstrap) index. */
+    * interrupted-bootstrap) index. An unreadable/unparseable watermark —
+    * a torn write from a pre-rename crash, or manual damage — also reads
+    * as None (ADVICE r13 #1): the caller's interrupted-bootstrap rebuild
+    * path then repairs it, instead of every batch dying on the parse.
+    */
   private[graft] def readBm25StreamBatch(
       spark: SparkSession, path: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(path, Bm25StreamBatchFile)
@@ -319,7 +340,7 @@ object TextStats {
     else {
       val in = fs.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-      Some(txt.trim.toLong)
+      txt.trim.toLongOption
     }
   }
 
@@ -811,6 +832,18 @@ object TextStats {
     * fold in POSITION order; scale shape adds one more vocabulary-sized
     * equi-join (the bigram table on (prev, w)) — still no corpus-sized
     * shuffle keyed on anything but the doc id.
+    *
+    * Denominator convention (ADVICE r13 #4, deliberate): c(wᵢ₋₁) is the
+    * UNIGRAM count from `unigramModel`, not the bigram context sum
+    * Σ_w c(wᵢ₋₁,w). The two differ exactly on doc-final tokens (which
+    * occur but never precede), so the smoothed conditionals do not sum
+    * to 1 over the vocabulary — a textbook add-k model would derive
+    * contexts from the bigram table. The unigram form is kept because
+    * it reuses the persisted [[unigramCounts]] frame a deployment
+    * already maintains (no second model store), the skew is a uniform
+    * per-context deflation that preserves the filter's RANKING use, and
+    * the oracle replays the same formula so cross-engine parity is
+    * exact.
     *
     * @param bigramModel  (w1, w2, cb) from [[bigramCounts]]
     * @param unigramModel (term, cw) from [[unigramCounts]] — supplies

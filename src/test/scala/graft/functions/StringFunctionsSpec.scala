@@ -131,5 +131,15 @@ class StringFunctionsSpec extends GraftSuite {
         .selectExpr("graft_gram_rolling_hash(w, n, 43L)").collect()
     }
     assert(err.getMessage.contains("literal"), err.getMessage)
+    // A foldable NULL literal is rejected with the same clean message,
+    // not an opaque plan-time NPE (ADVICE r13 #2).
+    for (sql <- Seq(
+      "graft_gram_rolling_hash(split('a b', ' '), CAST(NULL AS INT), 43L)",
+      "graft_gram_rolling_hash(split('a b', ' '), 2, CAST(NULL AS BIGINT))")) {
+      val nullErr = intercept[Exception] {
+        spark.sql(s"SELECT $sql").collect()
+      }
+      assert(nullErr.getMessage.contains("non-null literal"), nullErr.getMessage)
+    }
   }
 }

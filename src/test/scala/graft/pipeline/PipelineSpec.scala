@@ -2634,6 +2634,40 @@ class PipelineSpec extends GraftSuite {
       .queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("container-header parse: non-canonical WAV (JUNK chunk before fmt) gets NULL rate, never garbage") {
+    // Hand-built RIFF/WAVE with a JUNK chunk ahead of fmt — legal RIFF
+    // (chunks may appear in any order after WAVE), common in real crawls.
+    // It sniffs as audio/wav, but offset 25 holds junk, so the pre-guard
+    // parser returned a garbage rate silently (ADVICE r13 #3).
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    def le32(v: Int): Unit =
+      (0 until 4).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    def le16(v: Int): Unit =
+      (0 until 2).foreach(i => bos.write((v >> (8 * i)) & 0xff))
+    ascii("RIFF"); le32(48)
+    ascii("WAVE")
+    ascii("JUNK"); le32(4); le32(0x00003344) // junk where canonical layout has fmt
+    ascii("fmt "); le32(16)
+    le16(1); le16(1); le32(8000); le32(16000); le16(2); le16(16)
+    ascii("data"); le32(0)
+    val bytes = bos.toByteArray
+    val df = Seq((1L, bytes)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        lit("audio/wav").as("media_type"),
+        lit(bytes.length.toLong).as("n_bytes"),
+        lit("planted").as("digest")))
+    val row = Multimodal.parseContainerMeta(df)
+      .select("sniffed_type", "parsed_rate").head()
+    assert(row.getString(0) === "audio/wav") // the sniff is CORRECT...
+    assert(row.isNullAt(1)) // ...and the non-canonical rate is honest NULL
+    // Canonical layouts (the JDK writer's output) still parse — contrast.
+    val canon = Multimodal.parseContainerMeta(
+      Multimodal.synthesizeWavs(Seq(1L).toDF("doc_id"), "doc_id"))
+      .select("parsed_rate").head()
+    assert(!canon.isNullAt(0) && canon.getLong(0) === 16000L)
+  }
+
   test("repeated spans: cross-doc and intra-doc grams merge into maximal intervals") {
     // n = 3. d1/d2 share "p q r s" (two overlapping grams -> one merged
     // span each); d3 repeats its own opening 3-gram (intra-doc, gap 6 > n

@@ -110,6 +110,33 @@ class StreamingIndexSpec extends GraftSuite {
     assert(probe(idx) === probe(freshAll))
   }
 
+  test("torn watermark reads as None and the interrupted-bootstrap rebuild self-heals it") {
+    // ADVICE r13 #1: a crash mid-watermark-write used to leave an
+    // empty/partial _graft_stream_batch that every later batch died
+    // parsing. The write is now temp+rename (atomic), and a torn file —
+    // planted here by hand — must read as None so the documented
+    // index-without-watermark rebuild path repairs it.
+    val base = java.nio.file.Files.createTempDirectory("stridx-torn")
+    val idx = base.resolve("idx").toString
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    TextStats.writeBm25Index(b0, "doc_id", "text", idx, nBuckets = 8)
+    val torn = fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_stream_batch"), true)
+    try torn.write("1".getBytes("UTF-8").take(0)) finally torn.close() // empty = torn
+    assert(TextStats.readBm25StreamBatch(spark, idx) === None)
+    // The replayed bootstrap batch rebuilds (overwrite), watermark heals.
+    StreamingIndex.applyBatch(b0, 0L, idx, "doc_id", "text", nBuckets = 8)
+    assert(TextStats.readBm25StreamBatch(spark, idx) === Some(0L))
+    val fresh = base.resolve("fresh").toString
+    TextStats.writeBm25Index(b0, "doc_id", "text", fresh, nBuckets = 8)
+    assert(probe(idx) === probe(fresh))
+    // Garbage (non-numeric) is as torn as empty — same None contract.
+    val g = fs.create(new org.apache.hadoop.fs.Path(idx, "_graft_stream_batch"), true)
+    try g.write("garbage".getBytes("UTF-8")) finally g.close()
+    assert(TextStats.readBm25StreamBatch(spark, idx) === None)
+    assert(Similarity.readPqStreamBatch(spark, idx) === None) // PQ twin reads the same file name
+  }
+
   test("streaming IVFADC maintenance: converged == batch build, replays skip, probes gate mid-promotion") {
     val cents = Seq(
       (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
