@@ -224,6 +224,177 @@ object Multimodal {
       .withColumn("end_sample", toSamples("end_ms"))
   }
 
+  // ---- shared decoder-per-partition harness (VERDICT r13 next #6) ----
+
+  /** Decoder-per-partition harness shared by every real-codec operator
+    * (PNG/GIF/JPEG/WAV decode, the perceptual hashes, the resampler):
+    * output schema = input fields + `extra`, ONE stateful codec resource
+    * opened per PARTITION (never per row — the lifecycle a native codec
+    * handle has), each payload decoded to zero-or-more suffix tuples,
+    * the resource disposed when the partition drains. `decode` must
+    * return a STRICT Seq — the per-row input stream closes before the
+    * next row is pulled.
+    */
+  private def decodePartitions[R](
+      df: DataFrame, extra: Seq[StructField])(
+      open: () => R, close: R => Unit)(
+      decode: (R, Array[Byte]) => Seq[Seq[Any]]): DataFrame = {
+    val schema = StructType(df.schema.fields ++ extra)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    val rdd = df.rdd.mapPartitions { rows =>
+      val res = open()
+      val out = rows.flatMap { r =>
+        decode(res, r.getAs[Array[Byte]](payloadIdx))
+          .map(suffix => Row.fromSeq(r.toSeq ++ suffix))
+      }
+      out ++ { close(res); Iterator.empty }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** [[decodePartitions]] specialized to `javax.imageio`: one format
+    * reader per partition (reader instances are stateful and not
+    * thread-safe), stream wrap + `setInput` per row.
+    * `seekForwardOnly = false` for multi-frame containers whose
+    * `getNumImages` needs random access.
+    */
+  private def imagePartitions(
+      df: DataFrame, extra: Seq[StructField], format: String,
+      seekForwardOnly: Boolean = true)(
+      decode: javax.imageio.ImageReader => Seq[Seq[Any]]): DataFrame =
+    decodePartitions(df, extra)(
+      () => javax.imageio.ImageIO.getImageReadersByFormatName(format).next(),
+      (r: javax.imageio.ImageReader) => r.dispose()) { (reader, bytes) =>
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        reader.setInput(in, seekForwardOnly, true)
+        decode(reader)
+      } finally in.close()
+    }
+
+  /** Σ(r+g+b) over a decoded raster — the "proves real decoding" value
+    * shared by [[decodePng]] and the GIF frame ops.
+    */
+  private def rasterSum(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** Raw r+g+b luminance pooled into a `gh`×`gw` (sums, counts) grid
+    * plus the whole-image total — the shared first stage of both
+    * perceptual hashes. Exact integer arithmetic: no /3 rounding, block
+    * assignment is `(x·g) div dim`.
+    */
+  private def lumaGrid(img: java.awt.image.BufferedImage, gw: Int, gh: Int)
+      : (Array[Array[Long]], Array[Array[Long]], Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = Array.ofDim[Long](gh, gw)
+    val counts = Array.ofDim[Long](gh, gw)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val by = y * gh / h
+      var x = 0
+      while (x < w) {
+        val bx = x * gw / w
+        val l = {
+          val rgb = img.getRGB(x, y)
+          ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        }
+        sums(by)(bx) += l
+        counts(by)(bx) += 1
+        total += l
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts, total)
+  }
+
+  /** dHash bits off a [[lumaGrid]]: bit `by·(gw−1)+bx` set when block
+    * (bx, by) is brighter than its right neighbor, by exact
+    * cross-multiplication of the two (sum, count) rationals.
+    */
+  private def dHashBits(
+      sums: Array[Array[Long]], counts: Array[Array[Long]], gw: Int, gh: Int): Long = {
+    var dhash = 0L
+    var by = 0
+    while (by < gh) {
+      var bx = 0
+      while (bx < gw - 1) {
+        if (sums(by)(bx) * counts(by)(bx + 1) > sums(by)(bx + 1) * counts(by)(bx))
+          dhash |= 1L << (by * (gw - 1) + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    dhash
+  }
+
+  /** aHash bits off a [[lumaGrid]]: bit `by·gw+bx` set when block
+    * (bx, by) is brighter than the WHOLE image (cross-multiplied); the
+    * last bit (63 at 8×8) deliberately unused for the sign-safe hamming
+    * contract.
+    */
+  private def aHashBits(
+      sums: Array[Array[Long]], counts: Array[Array[Long]], total: Long,
+      nPix: Long, gw: Int, gh: Int): Long = {
+    var ahash = 0L
+    var by = 0
+    while (by < gh) {
+      var bx = 0
+      while (bx < gw) {
+        if (by * gw + bx < gw * gh - 1 &&
+          sums(by)(bx) * nPix > total * counts(by)(bx))
+          ahash |= 1L << (by * gw + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    ahash
+  }
+
+  /** [[decodePngDHash]]'s format-generic core — the hash is a pure
+    * function of the decoded raster, so any `javax.imageio` container
+    * (PNG lossless, JPEG lossy) feeds the same grid/bit pipeline.
+    */
+  private def imageDHash(df: DataFrame, format: String): DataFrame =
+    imagePartitions(df, Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("dhash", LongType)), format) { reader =>
+      val img = reader.read(0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"dHash needs >= 8x8 pixels, got ${w}x$h")
+      val (sums, counts, _) = lumaGrid(img, 8, 8)
+      Seq(Seq[Any](w, h, dHashBits(sums, counts, 8, 8)))
+    }
+
+  /** [[decodePngAHash]]'s format-generic core. */
+  private def imageAHash(df: DataFrame, format: String): DataFrame =
+    imagePartitions(df, Seq(
+      StructField("width", IntegerType), StructField("height", IntegerType),
+      StructField("ahash", LongType)), format) { reader =>
+      val img = reader.read(0)
+      val (w, h) = (img.getWidth, img.getHeight)
+      require(w >= 8 && h >= 8, s"aHash needs >= 8x8 pixels, got ${w}x$h")
+      val (sums, counts, total) = lumaGrid(img, 8, 8)
+      Seq(Seq[Any](w, h, aHashBits(sums, counts, total, w.toLong * h, 8, 8)))
+    }
+
   /** Perceptual difference-hash over REAL decoded pixels (C94): decode
     * each PNG (one `javax.imageio` reader per partition, as
     * [[decodePng]]), pool luminance into an 8×8 block grid, and set bit
@@ -241,59 +412,7 @@ object Multimodal {
     * [[Dedup.hammingPairs]] — the lexical hamming-ball machinery reused
     * unchanged for image near-dup pairing.
     */
-  def decodePngDHash(df: DataFrame): DataFrame = {
-    val gw = 8
-    val gh = 8
-    val schema = StructType(df.schema.fields ++ Array(
-      StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("dhash", LongType)))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-      val out = rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          reader.setInput(in, true, true)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          require(w >= gw && h >= gh, s"dHash needs >= ${gw}x$gh pixels, got ${w}x$h")
-          val sums = Array.ofDim[Long](gh, gw)
-          val counts = Array.ofDim[Long](gh, gw)
-          var y = 0
-          while (y < h) {
-            val by = y * gh / h
-            var x = 0
-            while (x < w) {
-              val bx = x * gw / w
-              val rgb = img.getRGB(x, y)
-              sums(by)(bx) += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              counts(by)(bx) += 1
-              x += 1
-            }
-            y += 1
-          }
-          var dhash = 0L
-          var by = 0
-          while (by < gh) {
-            var bx = 0
-            while (bx < gw - 1) {
-              // mean(bx) > mean(bx+1) by exact cross-multiplication.
-              if (sums(by)(bx) * counts(by)(bx + 1) > sums(by)(bx + 1) * counts(by)(bx))
-                dhash |= 1L << (by * (gw - 1) + bx)
-              bx += 1
-            }
-            by += 1
-          }
-          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, dhash))
-        } finally in.close()
-      }
-      out ++ { reader.dispose(); Iterator.empty }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def decodePngDHash(df: DataFrame): DataFrame = imageDHash(df, "png")
 
   /** Perceptual AVERAGE hash over real decoded pixels — the global-mean
     * twin of [[decodePngDHash]] (Krawetz's aHash, public): same 8×8
@@ -313,64 +432,7 @@ object Multimodal {
     * under uniform brightness shift (block and global means move
     * together) and resolution (grid pooling); spec-pinned.
     */
-  def decodePngAHash(df: DataFrame): DataFrame = {
-    val gw = 8
-    val gh = 8
-    val schema = StructType(df.schema.fields ++ Array(
-      StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("ahash", LongType)))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-      val out = rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          reader.setInput(in, true, true)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          require(w >= gw && h >= gh, s"aHash needs >= ${gw}x$gh pixels, got ${w}x$h")
-          val sums = Array.ofDim[Long](gh, gw)
-          val counts = Array.ofDim[Long](gh, gw)
-          var total = 0L
-          var y = 0
-          while (y < h) {
-            val by = y * gh / h
-            var x = 0
-            while (x < w) {
-              val bx = x * gw / w
-              val rgb = img.getRGB(x, y)
-              val l = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              sums(by)(bx) += l
-              counts(by)(bx) += 1
-              total += l
-              x += 1
-            }
-            y += 1
-          }
-          val nPix = w.toLong * h
-          var ahash = 0L
-          var by = 0
-          while (by < gh) {
-            var bx = 0
-            while (bx < gw) {
-              // block mean > global mean by exact cross-multiplication;
-              // bit 63 (the last block) deliberately unused — see above.
-              if (by * gw + bx < 63 && sums(by)(bx) * nPix > total * counts(by)(bx))
-                ahash |= 1L << (by * gw + bx)
-              bx += 1
-            }
-            by += 1
-          }
-          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, ahash))
-        } finally in.close()
-      }
-      out ++ { reader.dispose(); Iterator.empty }
-    }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+  def decodePngAHash(df: DataFrame): DataFrame = imageAHash(df, "png")
 
   /** Deterministic synthetic WAV fixture — the audio twin of
     * [[synthesizePngs]]: one real RIFF/WAVE container (16-bit mono
@@ -434,44 +496,37 @@ object Multimodal {
     * WAV PCM is lossless: every value is bit-exact against the
     * synthesis formulas.
     */
-  def decodeWav(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Array(
+  def decodeWav(df: DataFrame): DataFrame =
+    decodePartitions(df, Seq(
       StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
       StructField("duration_ms", LongType), StructField("sample_sum", LongType),
       StructField("energy", LongType),
-      StructField("samples", ArrayType(IntegerType, containsNull = false))))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          val fmt = ais.getFormat
-          require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
-            s"decodeWav expects 16-bit mono little-endian PCM, got $fmt")
-          val rate = fmt.getSampleRate.toInt
-          val pcm = ais.readAllBytes()
-          val n = pcm.length / 2
-          val samples = new Array[Int](n)
-          var sum = 0L
-          var energy = 0L
-          var i = 0
-          while (i < n) {
-            val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
-            samples(i) = s
-            sum += s
-            energy += s.toLong * s
-            i += 1
-          }
-          Row.fromSeq(r.toSeq ++
-            Seq[Any](rate, n.toLong, n.toLong * 1000L / rate, sum, energy, samples.toSeq))
-        } finally ais.close()
-      }
+      StructField("samples", ArrayType(IntegerType, containsNull = false))))(
+      () => (), (_: Unit) => ()) { (_, bytes) =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+          && fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"decodeWav expects 16-bit mono little-endian PCM, got $fmt")
+        val rate = fmt.getSampleRate.toInt
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / 2
+        val samples = new Array[Int](n)
+        var sum = 0L
+        var energy = 0L
+        var i = 0
+        while (i < n) {
+          val s = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+          samples(i) = s
+          sum += s
+          energy += s.toLong * s
+          i += 1
+        }
+        Seq(Seq[Any](rate, n.toLong, n.toLong * 1000L / rate, sum, energy, samples.toSeq))
+      } finally ais.close()
     }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
 
   /** Per-segment energy featurization — [[segmentPlan]] made REAL: the
     * plan's sample offsets drive an actual per-window Σ s² over the
@@ -600,45 +655,20 @@ object Multimodal {
     * obtainable by decoding that frame. Decoder-per-partition as
     * [[decodePng]]; fan-out = n_frames per asset, map-only.
     */
-  def decodeGifFrames(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Array(
-      StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("n_frames", IntegerType), StructField("frame_idx", IntegerType),
-      StructField("frame_sum", LongType)))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      val out = rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          // seekForwardOnly = false: getNumImages needs random access.
-          reader.setInput(in, false, true)
-          val n = reader.getNumImages(true)
-          (0 until n).map { f =>
-            val img = reader.read(f)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            Row.fromSeq(r.toSeq ++ Seq[Any](w, h, n, f, sum))
-          }
-        } finally in.close()
+  def decodeGifFrames(df: DataFrame): DataFrame =
+    imagePartitions(df, GifFrameFields, "gif", seekForwardOnly = false) { reader =>
+      val n = reader.getNumImages(true)
+      (0 until n).map { f =>
+        val img = reader.read(f)
+        Seq[Any](img.getWidth, img.getHeight, n, f, rasterSum(img))
       }
-      out ++ { reader.dispose(); Iterator.empty }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
+
+  /** Output suffix shared by the two GIF frame operators. */
+  private val GifFrameFields = Seq(
+    StructField("width", IntegerType), StructField("height", IntegerType),
+    StructField("n_frames", IntegerType), StructField("frame_idx", IntegerType),
+    StructField("frame_sum", LongType))
 
   /** REAL strided frame sampling — [[sampleFrames]]' plan arithmetic
     * driving an actual decoder: read the container's true frame count,
@@ -651,43 +681,14 @@ object Multimodal {
     */
   def sampleGifFrames(df: DataFrame, maxSamples: Int): DataFrame = {
     require(maxSamples >= 1, s"maxSamples must be >= 1, got $maxSamples")
-    val schema = StructType(df.schema.fields ++ Array(
-      StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("n_frames", IntegerType), StructField("frame_idx", IntegerType),
-      StructField("frame_sum", LongType)))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
-      val out = rows.flatMap { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          reader.setInput(in, false, true)
-          val n = reader.getNumImages(true)
-          val step = (n + maxSamples - 1) / maxSamples
-          (0 until n by step).map { f =>
-            val img = reader.read(f)
-            val w = img.getWidth
-            val h = img.getHeight
-            var sum = 0L
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            Row.fromSeq(r.toSeq ++ Seq[Any](w, h, n, f, sum))
-          }
-        } finally in.close()
+    imagePartitions(df, GifFrameFields, "gif", seekForwardOnly = false) { reader =>
+      val n = reader.getNumImages(true)
+      val step = (n + maxSamples - 1) / maxSamples
+      (0 until n by step).map { f =>
+        val img = reader.read(f)
+        Seq[Any](img.getWidth, img.getHeight, n, f, rasterSum(img))
       }
-      out ++ { reader.dispose(); Iterator.empty }
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 
   /** Batch feature extraction via `mapPartitions` — the escape hatch for
@@ -878,42 +879,15 @@ object Multimodal {
     * the oracle proves real decoding, not header sniffing. PNG is
     * lossless: the sum is bit-exact against the synthesis formula.
     */
-  def decodePng(df: DataFrame): DataFrame = {
-    val schema = StructType(df.schema.fields ++ Array(
+  def decodePng(df: DataFrame): DataFrame =
+    imagePartitions(df, Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
-      StructField("pixel_sum", LongType)))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-      val out = rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          reader.setInput(in, true, true)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
-            }
-            y += 1
-          }
-          // Seq[Any], not Seq(w, h, sum): Int + Long would numerically
-          // widen the whole literal to Seq[Long] and break the INT fields.
-          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, sum))
-        } finally in.close()
-      }
-      out ++ { reader.dispose(); Iterator.empty }
+      StructField("pixel_sum", LongType)), "png") { reader =>
+      val img = reader.read(0)
+      // Seq[Any], not Seq(w, h, sum): Int + Long would numerically widen
+      // the whole literal to Seq[Long] and break the INT fields.
+      Seq(Seq[Any](img.getWidth, img.getHeight, rasterSum(img)))
     }
-    df.sparkSession.createDataFrame(rdd, schema)
-  }
 
   /** REAL pixel resample — [[resizePlan]]'s geometry driving an actual
     * raster pass: decode the PNG, compute the SAME fit-in-box plan
@@ -928,46 +902,33 @@ object Multimodal {
     */
   def resizePixels(df: DataFrame, maxSide: Int): DataFrame = {
     require(maxSide >= 1, s"maxSide must be >= 1, got $maxSide")
-    val schema = StructType(df.schema.fields ++ Array(
+    imagePartitions(df, Seq(
       StructField("width", IntegerType), StructField("height", IntegerType),
       StructField("out_w", IntegerType), StructField("out_h", IntegerType),
-      StructField("resized_sum", LongType)))
-    val payloadIdx = df.schema.fieldIndex("payload")
-    val rdd = df.rdd.mapPartitions { rows =>
-      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
-      val out = rows.map { r =>
-        val bytes = r.getAs[Array[Byte]](payloadIdx)
-        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
-        try {
-          reader.setInput(in, true, true)
-          val img = reader.read(0)
-          val w = img.getWidth
-          val h = img.getHeight
-          val longest = math.max(w, h)
-          val (ow, oh) =
-            if (longest > maxSide)
-              (math.max(1, (w.toLong * maxSide / longest).toInt),
-                math.max(1, (h.toLong * maxSide / longest).toInt))
-            else (w, h)
-          var sum = 0L
-          var yo = 0
-          while (yo < oh) {
-            val ys = (yo.toLong * h / oh).toInt
-            var xo = 0
-            while (xo < ow) {
-              val xs = (xo.toLong * w / ow).toInt
-              val rgb = img.getRGB(xs, ys)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              xo += 1
-            }
-            yo += 1
-          }
-          Row.fromSeq(r.toSeq ++ Seq[Any](w, h, ow, oh, sum))
-        } finally in.close()
+      StructField("resized_sum", LongType)), "png") { reader =>
+      val img = reader.read(0)
+      val w = img.getWidth
+      val h = img.getHeight
+      val longest = math.max(w, h)
+      val (ow, oh) =
+        if (longest > maxSide)
+          (math.max(1, (w.toLong * maxSide / longest).toInt),
+            math.max(1, (h.toLong * maxSide / longest).toInt))
+        else (w, h)
+      var sum = 0L
+      var yo = 0
+      while (yo < oh) {
+        val ys = (yo.toLong * h / oh).toInt
+        var xo = 0
+        while (xo < ow) {
+          val xs = (xo.toLong * w / ow).toInt
+          val rgb = img.getRGB(xs, ys)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          xo += 1
+        }
+        yo += 1
       }
-      out ++ { reader.dispose(); Iterator.empty }
+      Seq(Seq[Any](w, h, ow, oh, sum))
     }
-    df.sparkSession.createDataFrame(rdd, schema)
   }
 }
