@@ -81,6 +81,7 @@ object GraftFunctions {
   val NfcNormalizeName = "graft_nfc_normalize"
   val TokenCountName = "graft_token_count"
   val GramRollingHashName = "graft_gram_rolling_hash"
+  val JpegSofDimsName = "graft_jpeg_sof_dims"
 
   /** Spark's OWN codegen'd bloom expressions (`BloomFilterAggregate`,
     * `BloomFilterMightContain` — the machinery behind runtime row-level
@@ -154,6 +155,13 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, s"$NfcNormalizeName expects 1 argument, got ${children.size}")
         NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier(JpegSofDimsName),
+      new ExpressionInfo(classOf[JpegSofDims].getName, JpegSofDimsName),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"$JpegSofDimsName expects 1 argument, got ${children.size}")
+        JpegSofDims(children.head)
       }))
   }
 }

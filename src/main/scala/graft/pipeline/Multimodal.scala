@@ -96,8 +96,13 @@ object Multimodal {
     *     honest NULL every other unparseable container gets (ADVICE
     *     r13 #3).
     *   - JPEG: dimensions live in a SOF marker at a VARIABLE offset
-    *     (entropy-coded segment lengths) — not expressible as fixed-
-    *     offset arithmetic; stays NULL here by design (sniff-only).
+    *     (an arbitrary prefix of APPn/EXIF/COM/DQT segments precedes
+    *     the frame header), so the fixed-offset `substring` arithmetic
+    *     can't reach them — the bounded segment walk runs as the native
+    *     codegen'd [[graft.functions.JpegSofDims]] expression instead
+    *     (requires [[graft.functions.GraftExtensions]] on the session,
+    *     the engine's standard contract; without it JPEG dims stay the
+    *     r13 sniff-only NULL).
     *
     * Emits `parsed_w`/`parsed_h` (images) and `parsed_rate` (audio),
     * NULL where the sniffed container doesn't carry that field. Parsed
@@ -108,13 +113,30 @@ object Multimodal {
       conv(hex(substring(col("payload"), off, len)), 16, 10).cast("long")
     def le(off: Int, len: Int): org.apache.spark.sql.Column =
       (0 until len).map(i => be(off + i, 1) * (1L << (8 * i))).reduce(_ + _)
-    sniffMediaType(df)
+    // Session-aware (the Similarity.dotOn pattern): the SOF walk needs
+    // the native expression; a session without the extension keeps the
+    // sniff-only NULL rather than failing resolution.
+    val hasSof = df.sparkSession.catalog
+      .functionExists(graft.functions.GraftFunctions.JpegSofDimsName)
+    def jpegWh: org.apache.spark.sql.Column =
+      call_function(graft.functions.GraftFunctions.JpegSofDimsName, col("payload"))
+    val base = sniffMediaType(df)
       .withColumn("parsed_w",
         when(col("sniffed_type") === "image/png", be(17, 4))
           .when(col("sniffed_type") === "image/gif", le(7, 2)))
       .withColumn("parsed_h",
         when(col("sniffed_type") === "image/png", be(21, 4))
           .when(col("sniffed_type") === "image/gif", le(9, 2)))
+    val withJpeg =
+      if (!hasSof) base
+      else base
+        .withColumn("parsed_w",
+          when(col("sniffed_type") === "image/jpeg", shiftright(jpegWh, 32))
+            .otherwise(col("parsed_w")))
+        .withColumn("parsed_h",
+          when(col("sniffed_type") === "image/jpeg", jpegWh.bitwiseAND(0xffffffffL))
+            .otherwise(col("parsed_h")))
+    withJpeg
       .withColumn("parsed_rate",
         when(col("sniffed_type") === "audio/wav" &&
           hex(substring(col("payload"), 13, 4)) === lit("666D7420"), // "fmt "
@@ -433,6 +455,27 @@ object Multimodal {
     * together) and resolution (grid pooling); spec-pinned.
     */
   def decodePngAHash(df: DataFrame): DataFrame = imageAHash(df, "png")
+
+  /** [[decodePngDHash]] for JPEG — the container 90% of a real crawl's
+    * images arrive in finally feeds the perceptual-dedup machinery
+    * (VERDICT r13 next #2; JPEG was sniff-only through r13). Same JDK
+    * decode path (`javax.imageio` has a built-in JPEG reader), same
+    * grid/bit pipeline, same [[graft.pipeline.Dedup.hammingPairs]]
+    * consumer. One contract difference, BY the format's nature: JPEG is
+    * lossy (DCT quantization), so the hash is a deterministic function
+    * of the DECODED raster but not closed-form in the synthesis pixels —
+    * no hash-exact SQL oracle can exist. The operator is spec-pinned
+    * instead (the C119/C127 convention): real encoded fixtures,
+    * brightness-shift invariance within a small hamming budget, planted
+    * near-dups recovered, distinct images far apart. That noise budget
+    * is also why perceptual pairing thresholds (`maxHamming`) should sit
+    * a few bits higher for JPEG corpora than the 0/1 the lossless PNG
+    * fixtures allow.
+    */
+  def decodeJpegDHash(df: DataFrame): DataFrame = imageDHash(df, "jpeg")
+
+  /** [[decodePngAHash]] for JPEG — see [[decodeJpegDHash]]. */
+  def decodeJpegAHash(df: DataFrame): DataFrame = imageAHash(df, "jpeg")
 
   /** Deterministic synthetic WAV fixture — the audio twin of
     * [[synthesizePngs]]: one real RIFF/WAVE container (16-bit mono
@@ -794,6 +837,72 @@ object Multimodal {
             val pg = ((5L * x + 7L * y + id) % 256).toInt
             val pb = ((x + 11L * y + 13L * id) % 256).toInt
             img.setRGB(x, y, (pr << 16) | (pg << 8) | pb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        val bytes = bos.toByteArray
+        digest.reset()
+        val hex = digest.digest(bytes).map("%02x".format(_)).mkString
+        Row(id, bytes, Row("image/jpeg", bytes.length.toLong, hex))
+      }
+    }
+    docs.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Near-duplicate JPEG fixture — [[synthesizePngsNear]]'s 20-base ×
+    * 3-variant structure through the JDK JPEG writer, with the pixel
+    * content redesigned for a LOSSY container: values are constant per
+    * 8×8-grid block (grayscale, so chroma subsampling has nothing to
+    * smear) and adjacent blocks differ by ≥ 37 levels (the per-base
+    * multiplier pattern below), so every dHash/aHash comparison carries
+    * a margin far above JPEG quantization noise on a block mean (±1–2).
+    *
+    *   - geometry (per BASE, multiples of 8 so grid blocks align with
+    *     DCT blocks): `w = 48 + 8·(base % 3)`, `h = 48 + 8·((base·2) % 3)`
+    *   - block (bx, by) gray value:
+    *     `g = ((bx + 8·by + 1) · (37 + 2·base)) % 160 + 20` — the
+    *     multiplier varies per base, decorrelating the comparison
+    *     patterns across bases (spec-pinned: cross-base hammings sit far
+    *     outside the pairing ball)
+    *   - v1 (`id in [20, 40)`): uniform +40 (max 219, never clamps) —
+    *     brightness shift, hamming ~0 (±JPEG noise)
+    *   - v2 (`id in [40, 60)`): +60 on block (0, 0) only (max 239) — a
+    *     one-block tweak, hamming ≤ 1 (±noise)
+    *
+    * No pixel oracle (lossy — see [[decodeJpegDHash]]); the PAIRING
+    * verdict is what's closed-form: groups = `id % 20`.
+    */
+  def synthesizeJpegsNear(docs: DataFrame, idCol: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType),
+      StructField("meta", MetaSchema)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val rdd = docs.rdd.mapPartitions { rows =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val base = id % 20
+        val variant = id / 20
+        val w = (48 + 8 * (base % 3)).toInt
+        val h = (48 + 8 * ((base * 2) % 3)).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val bx = x * 8 / w
+            val bump =
+              if (variant == 1) 40
+              else if (variant == 2 && bx == 0 && by == 0) 60
+              else 0
+            val g = (((bx + 8 * by + 1) * (37 + 2 * base)) % 160 + 20).toInt + bump
+            img.setRGB(x, y, (g << 16) | (g << 8) | g)
             x += 1
           }
           y += 1

@@ -520,6 +520,25 @@ $bandSelects
         maxHamming = 4, bits = 56, bucketCap = 100)
       Dedup.pruneDuplicates(fps, pairs, "doc_id").orderBy("doc_id")
     }),
+    // JPEG image dedup (mm17): the mm8 keep-one composition on the
+    // container 90% of a real crawl's images use — real ImageIO JPEG
+    // decode → dHash → hammingPairs → BSP keep-one, all machinery
+    // unchanged. JPEG is lossy so the HASHES have no SQL replay (the
+    // decodeJpegDHash contract, spec-pinned); what IS closed-form is the
+    // PAIRING VERDICT: the fixture's planted groups (id % 20) sit at
+    // hamming <= 1 (+ measured DCT noise 0) while distinct bases sit at
+    // >= 16 (spec-pinned margin), so keep-one provably returns exactly
+    // the 20 v0 canonicals with their formula geometry.
+    "mm17_jpeg_dedup" -> ((s, dir) => {
+      val fps = Multimodal.decodeJpegDHash(
+        Multimodal.synthesizeJpegsNear(
+          table(s, dir, "documents").filter(col("doc_id") < 60), "doc_id"))
+        .select("doc_id", "width", "height", "dhash")
+      val pairs = Dedup.hammingPairs(fps, "doc_id", "dhash",
+        maxHamming = 4, bits = 56, bucketCap = 100)
+      Dedup.pruneDuplicates(fps, pairs, "doc_id")
+        .select("doc_id", "width", "height").orderBy("doc_id")
+    }),
     // REAL WAV decode (mm9): synthetic RIFF/WAVE PCM16 payloads with
     // oracle-predicted samples, decoded by the JDK's javax.sound.sampled
     // codec through the decoder-per-partition shape; energy = sum(s^2)
@@ -639,12 +658,14 @@ $bandSelects
         .orderBy("doc_id")
     }),
     // Container-header metadata without a decoder (mm15): dimensions /
-    // sample rate read by fixed-offset byte arithmetic over the mm13
-    // mixed corpus — pure codegen expression, zero decoder calls. The
-    // oracle predicts every parsed value from the synthesis geometry
-    // (PNG/GIF dims, WAV rate), so a parser that misread an offset or
-    // an endianness cannot reproduce it; JPEG (variable SOF offset) and
-    // text stay NULL by design.
+    // sample rate read by byte arithmetic over the mm13 mixed corpus —
+    // codegen expressions, zero decoder calls. PNG/GIF/WAV fields sit at
+    // fixed offsets (pure substring/conv); JPEG dims sit past a variable
+    // prefix of metadata segments, walked by the native JpegSofDims
+    // expression (r13 next #2). The oracle predicts every parsed value
+    // from the synthesis geometry, so a parser that misread an offset,
+    // an endianness, or a segment length cannot reproduce it; only true
+    // octet-streams stay NULL.
     // Average hash (mm16): dHash's global-mean twin — 63 bits against
     // the whole-image mean where mm6's 56 compare neighbors; the second
     // perceptual family (the MinHash/SimHash pairing applied to images).
@@ -3374,6 +3395,16 @@ $bandSelects
          |SELECT f.doc_id, f.dhash FROM fp f
          |WHERE f.doc_id NOT IN (SELECT doc_id FROM clus WHERE doc_id <> cluster_id)
          |ORDER BY f.doc_id""".stripMargin,
+    // mm17: the planted 20-group × 3-variant structure resolves to its
+    // v0 canonicals (min id per group) with the formula geometry —
+    // the pairing verdict is exact because planted hammings (<= 1, DCT
+    // noise measured 0) and cross-base hammings (>= 16) are separated
+    // by the spec-pinned margin around the maxHamming = 4 ball.
+    "mm17_jpeg_dedup" ->
+      """SELECT doc_id,
+        |  CAST(48 + 8 * (doc_id % 3) AS INTEGER) AS width,
+        |  CAST(48 + 8 * ((doc_id * 2) % 3) AS INTEGER) AS height
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id""".stripMargin,
     // mm9: the WAV decoder's output is fully predicted by the synthesis
     // formulas (rate/length/per-sample value closed-form in doc_id) —
     // WAV PCM is lossless, so sample_sum and energy are bit-exact
@@ -3540,8 +3571,10 @@ $bandSelects
         |  doc_id < 75 OR doc_id >= 100 AS meta_agrees
         |FROM d ORDER BY doc_id""".stripMargin,
     // mm15: the synthesis geometry replayed — PNG dims 8+id%24 /
-    // 8+(3id)%24, GIF dims 16+id%8 / 16+(3id)%8, WAV rate by id%3;
-    // NULLs for the sniff-only containers.
+    // 8+(3id)%24, GIF dims 16+id%8 / 16+(3id)%8, WAV rate by id%3, and
+    // (new in r14) JPEG dims through the SOF walk — same 8+id%24 /
+    // 8+(3id)%24 geometry as PNG, reached at a variable offset the
+    // native expression scans to. NULLs only for true octet-streams.
     "mm15_header_meta" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 125)
         |SELECT doc_id,
@@ -3550,9 +3583,9 @@ $bandSelects
         |       WHEN doc_id < 75 THEN 'audio/wav'
         |       WHEN doc_id < 100 THEN 'application/octet-stream'
         |       ELSE 'image/jpeg' END AS sniffed_type,
-        |  CASE WHEN doc_id < 25 THEN 8 + doc_id % 24
+        |  CASE WHEN doc_id < 25 OR doc_id >= 100 THEN 8 + doc_id % 24
         |       WHEN doc_id < 50 THEN 16 + doc_id % 8 END AS parsed_w,
-        |  CASE WHEN doc_id < 25 THEN 8 + (doc_id * 3) % 24
+        |  CASE WHEN doc_id < 25 OR doc_id >= 100 THEN 8 + (doc_id * 3) % 24
         |       WHEN doc_id < 50 THEN 16 + (doc_id * 3) % 8 END AS parsed_h,
         |  CAST(CASE WHEN doc_id >= 50 AND doc_id < 75 THEN
         |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 22050 END

@@ -2623,15 +2623,106 @@ class PipelineSpec extends GraftSuite {
       .as[(Long, Int)].collect().foreach { case (id, r) =>
         assert(parsedWav(id) === r.toLong, s"wav $id") }
     // Fields a container doesn't carry stay NULL (images: no rate; audio:
-    // no dims; JPEG: sniff-only by design).
+    // no dims).
     assert(Multimodal.parseContainerMeta(pngs).filter(col("parsed_rate").isNotNull).count() === 0)
     assert(Multimodal.parseContainerMeta(wavs).filter(col("parsed_w").isNotNull).count() === 0)
+    // JPEG: dims through the SOF segment walk == the synthesis geometry
+    // (JPEG encode is lossy but the container geometry is exact); no rate.
     val jpegs = Multimodal.synthesizeJpegs(ids, "doc_id")
-    assert(Multimodal.parseContainerMeta(jpegs)
-      .filter(col("parsed_w").isNotNull || col("parsed_rate").isNotNull).count() === 0)
+    val parsedJpeg = Multimodal.parseContainerMeta(jpegs)
+      .select("doc_id", "parsed_w", "parsed_h").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    idSeq.foreach { id =>
+      assert(parsedJpeg(id) === ((8 + id % 24, 8 + (id * 3) % 24)), s"jpeg $id") }
+    assert(Multimodal.parseContainerMeta(jpegs).filter(col("parsed_rate").isNotNull).count() === 0)
     // Pure expression: map-only, no exchange.
     assert(!Multimodal.parseContainerMeta(pngs)
       .queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("JPEG perceptual hashes: brightness-invariant through DCT, planted near-dups recovered, bases far apart") {
+    // VERDICT r13 next #2: JPEG (the dominant real-crawl image
+    // container) feeds the perceptual-dedup machinery. No pixel oracle
+    // exists (lossy), so this spec pins the contract the mm17 oracle
+    // rides on: planted variants sit INSIDE the pairing ball, distinct
+    // bases sit far OUTSIDE it, through real JPEG encode + decode.
+    val base = (0L until 60L).toDF("doc_id")
+    val jp = Multimodal.synthesizeJpegsNear(base, "doc_id")
+    val dh = Multimodal.decodeJpegDHash(jp).select("doc_id", "dhash")
+      .as[(Long, Long)].collect().toMap
+    val ah = Multimodal.decodeJpegAHash(jp).select("doc_id", "ahash")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    (0L until 20L).foreach { b =>
+      // v1 = uniform +40 brightness: both hashes invariant even through
+      // DCT quantization (block margins ≥ 37 levels dwarf the noise).
+      assert(ham(dh(b), dh(b + 20)) === 0, s"dhash brightness base $b")
+      assert(ham(ah(b), ah(b + 20)) === 0, s"ahash brightness base $b")
+      // v2 = one-block tweak: ≤ 1 design bit + a small DCT-noise budget.
+      assert(ham(dh(b), dh(b + 40)) <= 2, s"dhash tweak base $b")
+      assert(ham(ah(b), ah(b + 40)) <= 4, s"ahash tweak base $b")
+    }
+    // Distinct bases: every cross-base distance far outside the
+    // maxHamming = 4 pairing ball (measured min: dhash 16, ahash 20).
+    val crossMin = (for {
+      a <- 0L until 20L; b <- 0L until 20L if a < b
+      va <- Seq(0L, 20L, 40L); vb <- Seq(0L, 20L, 40L)
+    } yield math.min(ham(dh(a + va), dh(b + vb)), ham(ah(a + va), ah(b + vb)))).min
+    assert(crossMin > 8, s"cross-base hamming collapsed to $crossMin")
+    // The unchanged keep-one machinery resolves exactly the planted
+    // groups: 20 canonicals, each the group's v0.
+    val fps = Multimodal.decodeJpegDHash(jp).select(col("doc_id"), col("dhash"))
+    val pairs = Dedup.hammingPairs(fps, "doc_id", "dhash",
+      maxHamming = 4, bits = 56, bucketCap = 100)
+    val kept = Dedup.pruneDuplicates(fps, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === (0L until 20L))
+    // Detector diversity holds for JPEG too.
+    assert((0L until 20L).exists(i => dh(i) !== ah(i)))
+  }
+
+  test("JPEG SOF dims: segment walk == real decoder, survives planted metadata segments, honest NULLs") {
+    val ids = (0L until 60L).toDF("doc_id")
+    val jp = Multimodal.synthesizeJpegsNear(ids, "doc_id")
+    // Walk == the real decoder's dimensions on every fixture.
+    val parsed = Multimodal.parseContainerMeta(jp)
+      .select("doc_id", "parsed_w", "parsed_h").as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    Multimodal.decodeJpegDHash(jp).select("doc_id", "width", "height")
+      .as[(Long, Int, Int)].collect().foreach { case (id, w, h) =>
+        assert(parsed(id) === ((w.toLong, h.toLong)), s"jpeg $id") }
+    // The variable-offset claim for real: splice an APP1 (EXIF-style)
+    // segment right after SOI — every later segment shifts, and the
+    // walk must still land on SOF. Fixed-offset arithmetic cannot.
+    val onePayload = jp.filter(col("doc_id") === 3L)
+      .select("payload").head().getAs[Array[Byte]](0)
+    val exif = Array(0xff, 0xe1, 0x00, 0x08, 'E'.toInt, 'x'.toInt, 'i'.toInt,
+      'f'.toInt, 0x00, 0x00).map(_.toByte)
+    val spliced = onePayload.take(2) ++ exif ++ onePayload.drop(2)
+    val w3 = 48 + 8 * (3 % 3)
+    val h3 = 48 + 8 * ((3 * 2) % 3)
+    val splicedRow = Seq((3L, spliced)).toDF("doc_id", "payload")
+      .withColumn("meta", struct(
+        lit("image/jpeg").as("media_type"),
+        lit(spliced.length.toLong).as("n_bytes"),
+        lit("planted").as("digest")))
+    val sp = Multimodal.parseContainerMeta(splicedRow)
+      .select("sniffed_type", "parsed_w", "parsed_h").head()
+    assert(sp.getString(0) === "image/jpeg")
+    assert(sp.getLong(1) === w3.toLong && sp.getLong(2) === h3.toLong)
+    // Honest NULLs: an SOI with no parsable frame header, and a
+    // truncated stream, both yield NULL dims — never garbage.
+    for (bad <- Seq(
+      Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xd9.toByte), // SOI+EOI
+      onePayload.take(6))) { // truncated mid-segment
+      val row = Seq((9L, bad)).toDF("doc_id", "payload")
+        .withColumn("meta", struct(
+          lit("image/jpeg").as("media_type"),
+          lit(bad.length.toLong).as("n_bytes"),
+          lit("planted").as("digest")))
+      val r = Multimodal.parseContainerMeta(row).select("parsed_w", "parsed_h").head()
+      assert(r.isNullAt(0) && r.isNullAt(1), s"bad payload len ${bad.length}")
+    }
   }
 
   test("container-header parse: non-canonical WAV (JUNK chunk before fmt) gets NULL rate, never garbage") {
