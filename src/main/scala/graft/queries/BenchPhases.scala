@@ -113,6 +113,21 @@ object BenchPhases {
         ()
       }
     }),
+    // e19: the at-rest convention — the one-time signature build is
+    // setup; the measured operation is the delta-vs-index probe.
+    "e19_signature_index" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val v = PipelineQueries.e19Fixture(s, dir)
+      val idx = Fixtures.scratchDir("graft-e19-bench") + "/idx"
+      graft.pipeline.Similarity.writeSignatureIndex(v, "vec_id", "embedding", idx,
+        dim = 64, nBits = 16, bandBits = 8, seed = 7)
+      () => {
+        graft.pipeline.Similarity.pairsAgainstSignatureIndex(
+          s, idx, v, "vec_id", "embedding", threshold = 0.8, bucketCap = 2000)
+          .filter(col("new_id") < col("corpus_id")).count()
+        ()
+      }
+    }),
     // g5 mirrors m13: fixture build + SQL render are setup; the timed
     // operation is the SQL-routed partition-scoped apply.
     "g5_merge_sql_partitioned" -> ((s, dir) => {

@@ -68,6 +68,11 @@ $bandSelects
 )"""
   }
 
+  /** [[embNearAug]] for the e19 bench phase (the fixture is private;
+    * the bench split needs exactly the query's corpus). */
+  private[queries] def e19Fixture(s: SparkSession, dir: String): DataFrame =
+    embNearAug(s, dir)
+
   /** e3/e6 shared fixture: embeddings ∪ perturbed copies of every 20th
     * vector (ids +10000, scaled + shifted → cosine just under 1).
     */
@@ -1186,6 +1191,26 @@ $bandSelects
         embNearAug(s, dir), "vec_id", "embedding", dim = HpDim, threshold = 0.8,
         nBits = HpBits, bandBits = HpBandBits, seed = HpSeed, bucketCap = EmbBucketCap)
         .orderBy("vec_a", "vec_b")),
+    // Persisted signature index (e19): e6's detector THROUGH DISK — the
+    // corpus signatured once into the at-rest (band, bucket, vid) index,
+    // then the same corpus probed against it (the d23 "shares its live
+    // twin's oracle" precedent). Candidate sets are identical to the e6
+    // self-join — a (probe, indexed) pair shares an under-cap bucket
+    // exactly when the capped self-join sees it — so filtering to
+    // new_id < corpus_id reproduces e6's pair frame verbatim; the occ
+    // cap runs as a broadcast anti-join off the occ cache instead of a
+    // count window.
+    "e19_signature_index" -> ((s, dir) => {
+      val v = embNearAug(s, dir)
+      val idx = Fixtures.scratchDir("graft-e19") + "/idx"
+      Similarity.writeSignatureIndex(v, "vec_id", "embedding", idx,
+        dim = HpDim, nBits = HpBits, bandBits = HpBandBits, seed = HpSeed)
+      Similarity.pairsAgainstSignatureIndex(s, idx, v, "vec_id", "embedding",
+        threshold = 0.8, bucketCap = EmbBucketCap)
+        .filter(col("new_id") < col("corpus_id"))
+        .select(col("new_id").as("vec_a"), col("corpus_id").as("vec_b"), col("sim"))
+        .orderBy("vec_a", "vec_b")
+    }),
     // Reproducible sampling + train/val/test split by portable hash:
     // per-language counts of a 20% sample and an 80/10/10 split.
     "s1_hash_sampling" -> ((s, dir) => {
@@ -3905,6 +3930,10 @@ $bandSelects
     // identical two-stage semantics, so e16's oracle verbatim (the e14
     // precedent; index==live parity is additionally spec-pinned).
     "e18_index_refined" -> oracleSqlBase("e16_refined_search"),
+    // e19 is e6 through the persisted signature index — identical
+    // candidate/verify semantics (see the query comment), so e6's
+    // oracle verbatim; at-rest==live parity is additionally spec-pinned.
+    "e19_signature_index" -> oracleSqlBase("e6_hyperplane_lsh"),
     // t25 is t23 materialized (posting index, shared contribution tree,
     // bit-equal doubles) — same oracle verbatim.
     "t25_bm25_index" -> oracleSqlBase("t23_bm25"),

@@ -284,46 +284,56 @@ object StreamingQueries {
     (replay, out)
   }
 
-  /** Untimed setup for st5 (streaming embedding near-dup-on-ingest): the
-    * e6 fixture's perturbed copies (vec_id+10000, scaled + shifted →
-    * cosine just under 1) replayed as the INCOMING stream against the
-    * embeddings table staged once as a hyperplane-LSH corpus index. Each
-    * micro-batch is a stateless signature map + stream-static bucket join
-    * + exact-cosine verify — zero streaming state. Converged sink: every
-    * (new, corpus) pair with a shared band bucket and sim >= 0.8, which is
-    * exactly the batch [[graft.pipeline.Similarity.hyperplaneIncrementalPairs]]
-    * result — SQL-expressible, so the streaming path gets a real
-    * cross-engine oracle (st1's convention).
+  /** Untimed setup for st5 (streaming embedding near-dup-on-ingest,
+    * REWIRED in r14 to the persisted signature index — VERDICT r13 next
+    * #3): the corpus is signatured once into the at-rest
+    * [[graft.pipeline.Similarity.writeSignatureIndex]] layout, then the
+    * incoming stream — TWO perturbation families of every 20th vector
+    * (+10000: 1.1x+0.01, +20000: 0.9x+0.012), id-ordered so the +20000
+    * twins always arrive in LATER batches than their +10000 siblings —
+    * probes the index and appends its own signatures per micro-batch
+    * (crash-atomic, watermarked). Cross-batch arrivals therefore PAIR:
+    * the +20000 twins match both the corpus originals and the earlier
+    * +10000 arrivals, which the r13 frozen-snapshot path could not see.
+    * Converged sink: delta×(corpus ∪ earlier-batch deltas) pairs with a
+    * shared band bucket and sim >= 0.8 — still SQL-expressible (batch
+    * assignment is deterministic ceil-split arithmetic), so the
+    * streaming path keeps a real cross-engine oracle.
     */
   private[graft] def st5Setup(s: SparkSession, dir: String): (() => Unit, String) = {
     import s.implicits._
     implicit val ctx: SQLContext = s.sqlContext
     val scratch = Fixtures.scratchDir("graft-st5")
     val out = s"$scratch/pairs"
+    val idx = s"$scratch/idx"
     val corpus = Fixtures.table(s, dir, "embeddings").select("vec_id", "embedding")
-    val idx = graft.streaming.StreamingNearDup.indexCorpus(
-      corpus, "vec_id", "embedding", dim = PipelineQueries.HpDim,
+    // Bootstrap: the pre-existing corpus signatured ONCE into the
+    // at-rest index — the build cost the index exists to amortize.
+    graft.pipeline.Similarity.writeSignatureIndex(
+      corpus, "vec_id", "embedding", idx, dim = PipelineQueries.HpDim,
       nBits = PipelineQueries.HpBits, bandBits = PipelineQueries.HpBandBits,
-      seed = PipelineQueries.HpSeed, bucketCap = PipelineQueries.EmbBucketCap)
+      seed = PipelineQueries.HpSeed)
     // Replay rows staged on the driver — bench harness, not operator (a
     // real deployment reads Kafka/files); the engine cost measured is the
-    // per-batch signature + bucket join + verify.
-    val rows = corpus.filter(col("vec_id") % 20 === 0)
+    // per-batch signature + index probe + verify + append.
+    val delta = corpus.filter(col("vec_id") % 20 === 0)
+    val rows = delta
       .select((col("vec_id") + 10000).as("vec_id"),
         transform(col("embedding").cast("array<double>"), x => x * lit(1.1) + lit(0.01))
           .as("embedding"))
+      .unionByName(delta
+        .select((col("vec_id") + 20000).as("vec_id"),
+          transform(col("embedding").cast("array<double>"), x => x * lit(0.9) + lit(0.012))
+            .as("embedding")))
       .as[(Long, Array[Double])].collect().sortBy(_._1)
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
     val mem = MemoryStream[(Long, Array[Double])]
-    val q = graft.streaming.StreamingNearDup.ingestTo(
+    val q = graft.streaming.StreamingNearDup.ingestToIndex(
       mem.toDF().toDF("vec_id", "embedding"), idx, "vec_id", "embedding",
-      threshold = 0.8, out, s"$scratch/cp")
+      threshold = 0.8, out, s"$scratch/cp", bucketCap = PipelineQueries.EmbBucketCap)
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-      finally {
-        q.stop()
-        idx.release()
-      }
+      finally q.stop()
     (replay, out)
   }
 
@@ -331,7 +341,8 @@ object StreamingQueries {
     "st5_stream_neardup" -> ((s, dir) => {
       val (replay, out) = st5Setup(s, dir)
       replay()
-      s.read.parquet(out).orderBy("new_id", "corpus_id")
+      graft.streaming.StreamingNearDup.readIndexPairs(s, out)
+        .orderBy("new_id", "corpus_id")
     }),
     "st4_stream_sessions" -> ((s, dir) => {
       val (replay, out) = st4Setup(s, dir)
@@ -795,16 +806,28 @@ object StreamingQueries {
         |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM documents
         |) WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
-    // Streaming near-dup-on-ingest converged state == the batch
-    // delta×corpus hyperplane-LSH pairing: identical inlined plane
-    // matrix and sign folds (PipelineQueries.hpSignatureSql — e6's twin),
-    // corpus-side occupancy cap, distinct shared-bucket candidates,
-    // exact-cosine verify.
+    // Streaming near-dup-on-ingest converged state (r14, index-backed):
+    // delta×corpus pairs PLUS delta×earlier-batch-delta pairs — the
+    // cross-batch pairing the at-rest signature index enables. Identical
+    // inlined plane matrix and sign folds (hpSignatureSql — e6's twin);
+    // batch assignment replayed as the same ceil-split arithmetic the
+    // harness uses (rows id-ordered, per = ceil(n/4)); the occupancy cap
+    // (2000) never binds at bench SFs (bucket occupancy ~47 at sf0.1) —
+    // the corpus-side clause is retained for form.
     "st5_stream_neardup" ->
       s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
          |n AS (
          |  SELECT vec_id + 10000 AS vec_id, list_transform(embedding::DOUBLE[], x -> x * 1.1 + 0.01) AS e
          |  FROM embeddings WHERE vec_id % 20 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000 AS vec_id, list_transform(embedding::DOUBLE[], x -> x * 0.9 + 0.012) AS e
+         |  FROM embeddings WHERE vec_id % 20 = 0
+         |),
+         |nb AS (
+         |  SELECT vec_id,
+         |         (row_number() OVER (ORDER BY vec_id) - 1)
+         |           // GREATEST(1, ((SELECT count(*) FROM n) + ${NBatches - 1}) // $NBatches) AS b
+         |  FROM n
          |),
          |${PipelineQueries.hpSignatureSql("c", "c")},
          |${PipelineQueries.hpSignatureSql("n", "n")},
@@ -816,12 +839,19 @@ object StreamingQueries {
          |cand AS (
          |  SELECT DISTINCT ns.vec_id AS new_id, cs.vec_id AS corpus_id
          |  FROM nsig ns JOIN cocc cs ON ns.band = cs.band AND ns.bucket = cs.bucket
+         |  UNION
+         |  SELECT DISTINCT a.vec_id AS new_id, d.vec_id AS corpus_id
+         |  FROM nsig a JOIN nsig d ON a.band = d.band AND a.bucket = d.bucket
+         |  JOIN nb ba ON ba.vec_id = a.vec_id
+         |  JOIN nb bd ON bd.vec_id = d.vec_id
+         |  WHERE ba.b > bd.b
          |),
+         |allv AS (SELECT * FROM c UNION ALL SELECT * FROM n),
          |p AS (
          |  SELECT new_id, corpus_id,
          |         round(list_dot_product(x.e, y.e)
          |               / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))), 6) AS sim
-         |  FROM cand JOIN n x ON new_id = x.vec_id JOIN c y ON corpus_id = y.vec_id
+         |  FROM cand JOIN n x ON new_id = x.vec_id JOIN allv y ON corpus_id = y.vec_id
          |)
          |SELECT new_id, corpus_id, sim FROM p WHERE sim >= 0.8
          |ORDER BY new_id, corpus_id""".stripMargin,
