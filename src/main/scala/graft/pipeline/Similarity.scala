@@ -1382,6 +1382,7 @@ object Similarity {
     * replay-dedupable appends.
     */
   private val PqAppendIntent = "_graft_append_intent"
+  private val PqRebuildIntent = "_graft_rebuild_intent"
   private[graft] val PqStreamBatchFile = "_graft_stream_batch"
 
   /** Guard shared by the probes and the append: `path` must be a
@@ -1398,6 +1399,9 @@ object Similarity {
     if (fs.exists(new org.apache.hadoop.fs.Path(path, PqAppendIntent)))
       throw new IllegalStateException(
         s"$path has an interrupted append — run recoverPqIndex to roll it forward")
+    if (fs.exists(new org.apache.hadoop.fs.Path(path, PqRebuildIntent)))
+      throw new IllegalStateException(
+        s"$path has an interrupted rebuild — run recoverPqIndex to roll it forward")
   }
 
   /** The last applied stream batch id, or None for a batch-built (or
@@ -1810,7 +1814,80 @@ object Similarity {
       if (fs.exists(marker)) { promotePqAppend(fs, path); true }
       else if (fs.exists(staging)) { fs.delete(staging, true); true }
       else false
-    appendActed | graft.merge.MergeApply.recover(spark, s"$path/codes")
+    val rebuildMarker = new org.apache.hadoop.fs.Path(path, PqRebuildIntent)
+    val rebuildStaging = new org.apache.hadoop.fs.Path(s"$path/rebuild.staging")
+    val rebuildActed =
+      if (fs.exists(rebuildMarker)) { promotePqRebuild(fs, path); true }
+      else if (fs.exists(rebuildStaging)) { fs.delete(rebuildStaging, true); true }
+      else false
+    appendActed | rebuildActed | graft.merge.MergeApply.recover(spark, s"$path/codes")
+  }
+
+  /** Retrain-and-swap a drifted IVFADC index IN PLACE (VERDICT r13 next
+    * #5 — the recall gauges existed, the rebuild they exist FOR didn't):
+    * [[pqIndexRecallAt]] detects a drifted index, and this closes the
+    * detect → retrain → promote loop atomically. Centroids retrain via
+    * [[trainCentroids]] and codebooks via [[pqTrainCodebooks]] on a
+    * deterministic hash sample of `vectors` (the C21 discipline — a
+    * model fit, never a mandatory full scan), the ENTIRE new index
+    * (codes + centroids + codebooks) builds under `rebuild.staging/`,
+    * an intent marker declares the swap, and each subdir promotes by
+    * retire-rename — the existing marker protocol, so every crash point
+    * is unambiguous: no marker → live index untouched, staging is
+    * garbage; marker → staged index complete, [[recoverPqIndex]]
+    * re-runs the idempotent promotion while probes fail loudly through
+    * [[pqIndexGuard]]; marker gone → the rebuilt index is fully live.
+    *
+    * The stream-batch watermark is deliberately preserved: a rebuild
+    * re-encodes the same corpus the watermark describes (pass the
+    * current corpus INCLUDING streamed appends as `vectors`), so the
+    * exactly-once replay contract of
+    * [[graft.streaming.StreamingIndex.pqIndexTo]] carries across the
+    * swap.
+    */
+  def rebuildPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, m: Int, pqK: Int,
+      iters: Int = 5, seed: Int = 42, sampleRate: Double = 1.0): Unit = {
+    pqIndexGuard(spark, path) // never start over a half-done append/rebuild
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/rebuild.staging"), true)
+    val cents = trainCentroids(
+      vectors, idCol, vecCol, nCentroids, iters, seed, sampleRate)
+    val books = pqTrainCodebooks(
+      vectors, idCol, vecCol, m, pqK, iters, seed, sampleRate)
+    writePqIndex(vectors, cents, idCol, vecCol, books, s"$path/rebuild.staging")
+    val marker = fs.create(new org.apache.hadoop.fs.Path(path, PqRebuildIntent), true)
+    try marker.write("pending".getBytes("UTF-8")) finally marker.close()
+    promotePqRebuild(fs, path)
+  }
+
+  /** Promote a fully-staged rebuild (intent marker present). Idempotent
+    * per subdir: staged present → retire the live dir and swap the
+    * staged one in; staged absent → that subdir already promoted (its
+    * retired backup, if any, is dropped).
+    */
+  private def promotePqRebuild(
+      fs: org.apache.hadoop.fs.FileSystem, path: String): Unit = {
+    for (sub <- Seq("codes", "centroids", "codebooks")) {
+      val staged = new org.apache.hadoop.fs.Path(s"$path/rebuild.staging/$sub")
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val retired = new org.apache.hadoop.fs.Path(s"$path/$sub.rebuild-retired")
+      if (fs.exists(staged)) {
+        if (fs.exists(live)) {
+          if (fs.exists(retired)) fs.delete(retired, true) // stale earlier attempt
+          if (!fs.rename(live, retired))
+            throw new IllegalStateException(s"rebuild: could not retire $live")
+        }
+        if (!fs.rename(staged, live))
+          throw new IllegalStateException(s"rebuild: could not promote $staged")
+      }
+      if (fs.exists(live) && fs.exists(retired)) fs.delete(retired, true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/rebuild.staging"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(path, PqRebuildIntent), false)
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
