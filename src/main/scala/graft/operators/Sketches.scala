@@ -49,4 +49,48 @@ object Sketches {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(true)))
         .as("n_distinct"))
   }
+
+  /** At-rest incremental composition (VERDICT r13 next #7): the sketch
+    * rows persist as a bucket-partitioned merge target keyed by the
+    * SLICE columns, so sketch ingest rides the machinery the merge tier
+    * already has — [[appendSlices]] is a partition-scoped Keep-mode
+    * upsert that rewrites only the buckets the arriving slices hash
+    * into (a day's few-KB sketch row lands without touching the rest of
+    * a years-deep store), crash windows are the merge protocol's own
+    * (staged swap; `compact`/`recover` apply verbatim), and re-running
+    * a slice's ingest REPLACES its sketch row — idempotent re-ingest,
+    * the property a single running union sketch fundamentally lacks
+    * (a sketch can only grow; a store of per-slice sketches can
+    * re-derive any slice). The read path never rescans history:
+    * [[storedEstimate]] unions the few-KB rows under any regrouping of
+    * the slice keys.
+    */
+  def writeSketchStore(
+      sliceSketches: DataFrame, path: String, sliceKeys: Seq[String],
+      nBuckets: Int = 8,
+      hashMode: graft.pipeline.HashMode = graft.pipeline.HashMode.Xxhash64): Unit =
+    graft.merge.PartitionedTarget.write(
+      sliceSketches, path,
+      graft.merge.PartitionSpec(sliceKeys, nBuckets, hashMode))
+
+  /** Upsert arriving slices' sketch rows into the store (the periodic
+    * increment). Keys come from the store's own persisted spec; absent
+    * slices are untouched (Keep mode), matching slices are replaced.
+    */
+  def appendSlices(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      sliceSketches: DataFrame): Unit = {
+    val keys = graft.merge.PartitionedTarget.readSpec(spark, path).keys
+    graft.merge.MergeApply.applyToPartitioned(
+      spark, path, sliceSketches,
+      graft.merge.MergeOptions(keys = keys, delete = graft.merge.DeleteMode.Ignore))
+  }
+
+  /** Distinct-count estimates straight off the persisted store, under
+    * any regrouping of (a subset of) the slice keys.
+    */
+  def storedEstimate(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String]): DataFrame =
+    unionEstimate(graft.merge.PartitionedTarget.read(spark, path), keys)
 }

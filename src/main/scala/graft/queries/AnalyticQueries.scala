@@ -301,6 +301,36 @@ object AnalyticQueries {
         .orderBy("event_type")
     }),
 
+    // At-rest sketch composition (q35 / VERDICT r13 next #7): the store
+    // lifecycle end-to-end — backfill the per-(type, day) sketch rows
+    // into a bucket-partitioned store, upsert the last two days through
+    // the partition-scoped apply (only their buckets rewritten), then
+    // RE-ingest one already-stored day to exercise idempotent slice
+    // replacement — and answer the cross-slice distinct from the
+    // persisted few-KB rows, never rescanning raw history. Sparse
+    // regime ⇒ estimate is exact ⇒ q34's COUNT(DISTINCT) oracle
+    // verbatim.
+    "q35_sketch_store" -> ((s, dir) => {
+      val store = s"${Fixtures.scratchDir("graft-q35")}/sketches"
+      val ev = Fixtures.events(s, dir).withColumn("day", to_date(col("ts")))
+      def slices(pred: org.apache.spark.sql.Column) =
+        graft.operators.Sketches.distinctSketches(
+          ev.filter(pred), Seq("event_type", "day"), "user_id")
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getDate(0)) // metadata-bounded: one row per day
+      val (backfill, tail) = days.splitAt(math.max(1, days.length - 2))
+      graft.operators.Sketches.writeSketchStore(
+        slices(col("day") <= lit(backfill.last)), store,
+        Seq("event_type", "day"))
+      for (d <- tail) // the daily increments
+        graft.operators.Sketches.appendSlices(s, store, slices(col("day") === lit(d)))
+      // a re-run day replaces its row instead of double-counting
+      graft.operators.Sketches.appendSlices(
+        s, store, slices(col("day") === lit(backfill.last)))
+      graft.operators.Sketches.storedEstimate(s, store, Seq("event_type"))
+        .orderBy("event_type")
+    }),
+
     // Cohort retention (C84 / q30): users bucketed by first-seen day,
     // distinct active users per (cohort, day-offset) — the standard
     // product-analytics report. Two map-side-combined aggregations + one
@@ -443,6 +473,12 @@ object AnalyticQueries {
     // the distinct count — plain COUNT(DISTINCT) per type; the spec
     // pins exactness at both fixture SFs.
     "q34_sketch_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // q35: the persisted store's unioned answer equals the same exact
+    // distinct (sparse regime; idempotent re-ingest means the repeated
+    // slice contributes once).
+    "q35_sketch_store" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     // q33: the same answer via the rank formulation — one ground truth

@@ -47,4 +47,59 @@ class SketchesSpec extends GraftSuite {
       .as[(String, Long)].collect().toMap
     assert(reread === direct)
   }
+
+  test("at-rest store: backfill + partition-scoped appends answer exactly; re-ingest replaces, untouched buckets stay physically untouched") {
+    val ev = events(SparkTestBase.sf0001)
+    val store = s"${java.nio.file.Files.createTempDirectory("hllstore")}/sk"
+    def slices(pred: org.apache.spark.sql.Column) =
+      Sketches.distinctSketches(ev.filter(pred), Seq("event_type", "day"), "user_id")
+    val days = ev.select("day").distinct().orderBy("day").collect().map(_.getDate(0))
+    assert(days.length >= 3, "fixture needs ≥3 days")
+    val (backfill, tail) = days.splitAt(days.length - 2)
+    Sketches.writeSketchStore(
+      slices(col("day") <= lit(backfill.last)), store, Seq("event_type", "day"))
+    for (d <- tail) Sketches.appendSlices(spark, store, slices(col("day") === lit(d)))
+
+    // The persisted few-KB rows answer the whole corpus exactly.
+    val exact = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(Sketches.storedEstimate(spark, store, Seq("event_type"))
+      .as[(String, Long)].collect().toMap === exact)
+
+    // Re-ingesting an already-stored day: its rows REPLACE (no
+    // double-count, no row growth), and buckets its keys don't hash to
+    // are physically untouched files.
+    def fileState() = {
+      val root = new java.io.File(store)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val spec = graft.merge.PartitionedTarget.readSpec(spark, store)
+    val redo = slices(col("day") === lit(backfill.last))
+    val touched = redo
+      .select(spec.bucket(Seq(col("event_type"), col("day"))).as("b"))
+      .distinct().as[Int].collect().toSet
+    val before = fileState()
+    val rowsBefore = graft.merge.PartitionedTarget.read(spark, store).count()
+    Sketches.appendSlices(spark, store, redo)
+    val after = fileState()
+    assert(graft.merge.PartitionedTarget.read(spark, store).count() === rowsBefore)
+    assert(Sketches.storedEstimate(spark, store, Seq("event_type"))
+      .as[(String, Long)].collect().toMap === exact)
+    val untouchedBefore = before.filterNot { case (p, _) =>
+      touched.exists(b => p.contains(s"__graft_bucket=$b/")) }
+    assert(untouchedBefore.nonEmpty, "fixture should leave some bucket untouched")
+    for ((p, st) <- untouchedBefore)
+      assert(after.get(p).contains(st), s"untouched bucket file changed: $p")
+
+    // Slices regroup from the store without the slice key: per-day rows
+    // collapse to per-type — already asserted — and to daily totals.
+    val perDay = Sketches.storedEstimate(spark, store, Seq("day"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    val exactDay = ev.groupBy("day").agg(count_distinct(col("user_id")).as("n"))
+      .as[(java.sql.Date, Long)].collect().toMap
+    assert(perDay === exactDay)
+  }
 }
