@@ -93,4 +93,38 @@ object Sketches {
       spark: org.apache.spark.sql.SparkSession, path: String,
       keys: Seq[String]): DataFrame =
     unionEstimate(graft.merge.PartitionedTarget.read(spark, path), keys)
+
+  /** Union arriving slice sketches INTO the store — the increment for
+    * feeds that deliver a slice across many arrivals (a day's events
+    * trickle in all day): read the stored rows of ONLY the buckets the
+    * arriving slices hash to, union per slice, and replace through the
+    * partition-scoped apply. HLL union is a join-semilattice (register
+    * max / coupon-set union), so re-merging the same rows is a no-op on
+    * every answer the store gives — at-least-once replay needs NO
+    * watermark, the property that lets
+    * [[graft.streaming.StreamingIndex.sketchStoreTo]] skip the
+    * BM25/PQ tiers' whole batch-id protocol. Crash windows are the
+    * apply's own staged swap: a batch either landed or it didn't, and
+    * either way the replay converges to the same store.
+    */
+  def mergeIntoStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      arriving: DataFrame): Unit = {
+    val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
+    val keys = spec.keys
+    // Metadata-bounded collect: one bucket id per arriving slice group.
+    val touched = arriving
+      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storedMatch = graft.merge.PartitionedTarget
+      .readBuckets(spark, path, touched) match {
+      case None => None
+      case Some(stored) =>
+        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
+    }
+    val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
+      .groupBy(keys.map(col): _*)
+      .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+    appendSlices(spark, path, merged)
+  }
 }

@@ -1890,6 +1890,34 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(path, PqRebuildIntent), false)
   }
 
+  /** The closed maintenance loop: gauge the at-rest index's recall on a
+    * probe sample ([[pqIndexRecallAt]]) and, only if macro recall fell
+    * below `minRecall`, retrain-and-swap via [[rebuildPqIndex]] — with
+    * the model SHAPE (nCentroids, m, pqK) read from the index's own
+    * sidecars, so the scheduled job needs no out-of-band record of how
+    * the index was built. Returns (recall before, whether it rebuilt);
+    * a healthy index costs one sampled probe batch and touches nothing.
+    */
+  def maintainPqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, minRecall: Double,
+      probeSampleRate: Double = 0.05,
+      iters: Int = 5, seed: Int = 42, trainSampleRate: Double = 1.0): (Double, Boolean) = {
+    val recall = pqIndexRecallAt(
+      spark, path, vectors, vectors, idCol, vecCol, k, nProbe,
+      probeSampleRate, seed)
+      .select("macro_recall").head().getDouble(0)
+    if (recall >= minRecall) (recall, false)
+    else {
+      val nCentroids = spark.read.parquet(s"$path/centroids").count().toInt
+      val books = readCodebooks(spark, path) // model-bounded: m × pqK × dim
+      rebuildPqIndex(spark, path, vectors, idCol, vecCol,
+        nCentroids, books.length, books.head.length, iters, seed, trainSampleRate)
+      (recall, true)
+    }
+  }
+
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): deduplicate the corpus in
     * EMBEDDING space — find within-centroid-bucket vector pairs with

@@ -140,6 +140,7 @@ object BenchPhases {
     // maintenance itself.
     "st13_stream_bm25" -> ((s, dir) => StreamingQueries.st13Setup(s, dir)._1),
     "st14_stream_ann" -> ((s, dir) => StreamingQueries.st14Setup(s, dir)._1),
+    "st15_stream_sketches" -> ((s, dir) => StreamingQueries.st15Setup(s, dir)._1),
     // t25 joins the at-rest convention in r13 (it was build+probe through
     // r12 — the 100x ceiling cell exposed the conflation): the one-time
     // posting-index build is setup; the measured operation is the

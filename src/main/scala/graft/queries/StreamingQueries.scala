@@ -408,6 +408,20 @@ object StreamingQueries {
       graft.pipeline.Similarity.pqIndexTopK(s, idx, "vec_id", q, k = 25, nProbe = 2)
         .orderBy(col("score").desc, col("vec_id"))
     }),
+    // Streaming sketch-store maintenance (st15): events replayed
+    // time-ordered, each micro-batch's per-(type, day) HLL sketches
+    // unioned into the at-rest store — days trickle in across batches
+    // AND batches span day boundaries, so both the bootstrap and the
+    // read-union-replace paths run. No batch-id watermark: HLL union is
+    // a join-semilattice, so replays converge to the identical store.
+    // Sparse regime ⇒ the converged store answers q34's COUNT(DISTINCT)
+    // oracle exactly.
+    "st15_stream_sketches" -> ((s, dir) => {
+      val (replay, store) = st15Setup(s, dir)
+      replay()
+      graft.operators.Sketches.storedEstimate(s, store, Seq("event_type"))
+        .orderBy("event_type")
+    }),
     "st8_stream_enrich" -> ((s, dir) => {
       val (replay, out) = st8Setup(s, dir)
       replay()
@@ -604,6 +618,35 @@ object StreamingQueries {
     (replay, idx, q)
   }
 
+  /** Untimed setup for st15 (streaming sketch-store maintenance): events
+    * replayed time-ordered in N batches through
+    * [[StreamingIndex.sketchStoreTo]] with (event_type, day) slices and
+    * user_id as the sketched value. Time order makes the fixture honest:
+    * early batches bootstrap the store, later ones union arriving
+    * fragments of days the store already holds.
+    */
+  private[graft] def st15Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st15")
+    val store = s"$scratch/store"
+    val rows = Fixtures.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("event_type"), col("user_id"))
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._2, r._1))
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long, String, Long)]
+    val stream = mem.toDF().toDF("event_id", "us", "event_type", "user_id")
+      .select(col("event_type"), to_date(timestamp_micros(col("us"))).as("day"),
+        col("user_id"))
+    val q = StreamingIndex.sketchStoreTo(
+      stream, store, s"$scratch/cp", Seq("event_type", "day"), "user_id")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, store)
+  }
+
   /** Untimed setup for st8 (stream-static enrichment): events replayed in
     * N batches, each micro-batch inner-joined to the broadcast
     * customer×nation dimension — a hash probe per batch, no shuffle of
@@ -737,6 +780,10 @@ object StreamingQueries {
     // appends, model fixed), so the probe == e14 == e13's composed
     // replay oracle verbatim.
     "st14_stream_ann" -> PipelineQueries.oracleSql("e13_ivfpq_topk"),
+    // st15: the converged sketch store answers the exact distinct in the
+    // sparse regime (q34's oracle) — replay-idempotent by the HLL
+    // semilattice argument, so convergence needs no watermark.
+    "st15_stream_sketches" -> AnalyticQueries.oracleSql("q34_sketch_distinct"),
     // st10: CDC ops are one-per-key and commute across keys, so the
     // converged streamed state == the one-shot batch apply (m15's SQL).
     "st10_stream_cdc" ->

@@ -159,4 +159,56 @@ object StreamingIndex {
         Similarity.compactPqIndex(spark, path)
       ()
     }
+
+  /** Continuous distinct-count sketch-store maintenance — the ingest-time
+    * twin of the at-rest [[graft.operators.Sketches]] store: rows stream
+    * in, every micro-batch's per-slice HLL sketches union into the
+    * bucket-partitioned store, and [[graft.operators.Sketches.storedEstimate]]
+    * always answers from few-KB rows as of the last completed batch.
+    *
+    * Unlike the BM25/PQ maintainers above, this needs NO batch-id
+    * watermark: HLL union is a join-semilattice, so a replayed batch
+    * re-unions the same values into the same registers and every answer
+    * is unchanged — exactly-once degrades to at-least-once with an
+    * IDENTICAL store. The only crash windows are the partition-scoped
+    * apply's own staged swap (atomic per batch) and the bootstrap,
+    * where the spec sidecar lands strictly after the parquet write, so
+    * a torn bootstrap reads as "no store yet" and rebuilds.
+    *
+    * Scale shape: per batch, one map-side-combined sketch aggregation of
+    * the BATCH, a read of only the buckets the batch's slices hash to,
+    * and a rewrite of those buckets — cost tracks the batch and the
+    * touched slices, never the store's history.
+    */
+  def sketchStoreTo(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      sliceKeys: Seq[String],
+      valueCol: String,
+      lgConfigK: Int = 14,
+      nBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        applySketchBatch(batch, path, sliceKeys, valueCol, lgConfigK, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of sketch-store maintenance (the foreachBatch body,
+    * exposed so the replay/crash windows are unit-testable). */
+  private[graft] def applySketchBatch(
+      batch: DataFrame, path: String, sliceKeys: Seq[String],
+      valueCol: String, lgConfigK: Int = 14, nBuckets: Int = 8): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val arriving = graft.operators.Sketches.distinctSketches(
+        batch, sliceKeys, valueCol, lgConfigK)
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+        graft.operators.Sketches.writeSketchStore(
+          arriving, path, sliceKeys, nBuckets)
+      else
+        graft.operators.Sketches.mergeIntoStore(spark, path, arriving)
+    }
 }

@@ -203,4 +203,50 @@ class StreamingIndexSpec extends GraftSuite {
     Similarity.writePqIndex(v0, cents, "vec_id", "embedding", cb, fresh0)
     assert(probePq(idx2, 2) === probePq(fresh0, 2))
   }
+
+  test("streaming sketch-store maintenance: converged == batch, replays are no-ops without a watermark, torn bootstrap rebuilds") {
+    import graft.operators.Sketches
+    val keys = Seq("event_type", "day")
+    def batch(rows: (String, String, Long)*) =
+      rows.toDF("event_type", "day", "user_id")
+    // Day d1 arrives split across b0 and b1 (the read-union-replace
+    // path); b1 also opens day d2.
+    val b0 = batch(("click", "d1", 1L), ("click", "d1", 2L), ("view", "d1", 1L))
+    val b1 = batch(("click", "d1", 2L), ("click", "d1", 3L), ("view", "d2", 9L))
+    val b2 = batch(("view", "d2", 10L), ("click", "d2", 3L))
+    val base = java.nio.file.Files.createTempDirectory("stridx-sk")
+    val store = base.resolve("store").toString
+    def answers() = Sketches.storedEstimate(spark, store, Seq("event_type"))
+      .as[(String, Long)].collect().toMap
+
+    StreamingIndex.applySketchBatch(b0, store, keys, "user_id")
+    StreamingIndex.applySketchBatch(b1, store, keys, "user_id")
+    // Replays — of the BOOTSTRAP batch and of an append batch — change
+    // nothing: the HLL semilattice absorbs re-union, no watermark needed.
+    val afterTwo = answers()
+    StreamingIndex.applySketchBatch(b0, store, keys, "user_id")
+    StreamingIndex.applySketchBatch(b1, store, keys, "user_id")
+    assert(answers() === afterTwo)
+    StreamingIndex.applySketchBatch(b2, store, keys, "user_id")
+    val all = b0.unionByName(b1).unionByName(b2)
+    val exact = all.groupBy("event_type")
+      .agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(answers() === exact)
+    // Slice rows are one per (type, day) — the split day merged, not
+    // duplicated.
+    assert(graft.merge.PartitionedTarget.read(spark, store)
+      .groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty)
+
+    // Torn bootstrap: parquet content without the spec sidecar reads as
+    // "no store yet" and the next batch rebuilds it whole.
+    val store2 = base.resolve("store2").toString
+    Sketches.distinctSketches(b0, keys, "user_id")
+      .write.parquet(store2) // no sidecar — a bootstrap that died mid-write
+    StreamingIndex.applySketchBatch(b0, store2, keys, "user_id")
+    assert(Sketches.storedEstimate(spark, store2, Seq("event_type"))
+      .as[(String, Long)].collect().toMap ===
+      b0.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+        .as[(String, Long)].collect().toMap)
+  }
 }
