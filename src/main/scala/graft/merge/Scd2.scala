@@ -120,4 +120,46 @@ object Scd2 {
       .filter(col(fromCol) <= version && (col(toCol).isNull || col(toCol) > version))
       .select(payload.map(col): _*)
   }
+
+  /** Point-in-time (PIT) enrichment: attach to each FACT row the history
+    * version that was valid AT the fact's own timestamp — the
+    * leakage-safe feature attach a training pipeline needs (attribute
+    * values from after the event must never reach the example; joining
+    * the CURRENT dimension — st8's shape — is exactly that leak).
+    * [[snapshotAt]] answers "the whole table as of one version"; this
+    * answers "each row as of ITS OWN version", the feature-store
+    * `ASOF`/PIT-join contract.
+    *
+    * Facts whose key has no version valid at their timestamp (key absent
+    * from the history, or the timestamp predates its first version) drop
+    * out — inner semantics, the honest default for features (an example
+    * without a feature value is a gap to handle explicitly, not a NULL
+    * to train on silently).
+    *
+    * Scale shape: ONE equi-join shuffle on the business key — Catalyst
+    * extracts the `<=>` key conjuncts as the hash-join keys and applies
+    * the interval bounds as the join filter, so there is NO range-join
+    * fan-out and NO per-fact window; AQE broadcasts a dim-sized history.
+    * For well-formed histories ([[apply]]'s output: per-key intervals
+    * disjoint, one open row) the filter passes at most one history row
+    * per fact, so output ≤ facts. Cost ∝ |facts| + |history| — and
+    * history depth only enters through the join's build side, not
+    * through any per-fact scan.
+    */
+  def enrichAsOf(
+      facts: DataFrame,
+      history: DataFrame,
+      joinKeys: Seq[(String, String)],
+      tsCol: String,
+      fromCol: String = "valid_from",
+      toCol: String = "valid_to"): DataFrame = {
+    require(joinKeys.nonEmpty, "at least one join key required")
+    val cond = joinKeys.map { case (f, h) => facts(f) <=> history(h) }
+      .reduce(_ && _) &&
+      facts(tsCol) >= history(fromCol) &&
+      (history(toCol).isNull || facts(tsCol) < history(toCol))
+    joinKeys.foldLeft(facts.join(history, cond, "inner")) {
+      case (df, (_, h)) => df.drop(history(h))
+    }.drop(history(fromCol)).drop(history(toCol))
+  }
 }

@@ -173,6 +173,39 @@ object TextOps {
   def tagCount(text: Column): Column =
     regexp_count(text, lit("<[^>]*>")).cast("long")
 
+  /** Zero-width and format characters with no visual content — the
+    * classic crawl-text pollution (SEO stuffing, copy-paste BOMs,
+    * soft-hyphen line-break residue, bidi marks) and a token-count
+    * inflater: every one of these splits or pads BPE tokens while being
+    * invisible to a reader. `\x{…}` codepoint syntax evaluates
+    * identically under Java regex and RE2 (the [[PiiPatterns]]
+    * portability discipline), so the oracle twin is exact.
+    */
+  private val InvisibleRemoveRe =
+    "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}\\x{200E}\\x{200F}]"
+
+  /** Space lookalikes that should normalize to a plain space rather than
+    * vanish (NBSP, figure space, narrow NBSP) — removing them would glue
+    * words together.
+    */
+  private val SpaceLikeRe = "[\\x{00A0}\\x{2007}\\x{202F}]"
+
+  /** Scrub invisible format characters: zero-width/bidi/soft-hyphen
+    * REMOVED, NBSP-family normalized to plain spaces. Map-only codegen'd
+    * regex chain; [[invisibleCount]] is the density signal for gating
+    * (a doc where invisibles rival visible characters is adversarial,
+    * not prose).
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(regexp_replace(text, InvisibleRemoveRe, ""), SpaceLikeRe, " ")
+
+  /** How many characters [[stripInvisible]] touches (removed +
+    * normalized).
+    */
+  def invisibleCount(text: Column): Column =
+    (regexp_count(text, lit(InvisibleRemoveRe)) +
+      regexp_count(text, lit(SpaceLikeRe))).cast("long")
+
   private val SchemeHostRe = "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*"
 
   /** Canonicalize a URL for crawl bookkeeping and URL-level dedup:

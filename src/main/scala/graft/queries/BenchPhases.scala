@@ -141,6 +141,29 @@ object BenchPhases {
     "st13_stream_bm25" -> ((s, dir) => StreamingQueries.st13Setup(s, dir)._1),
     "st14_stream_ann" -> ((s, dir) => StreamingQueries.st14Setup(s, dir)._1),
     "st15_stream_sketches" -> ((s, dir) => StreamingQueries.st15Setup(s, dir)._1),
+    // q35's claim is the cost of the daily INCREMENT against the at-rest
+    // store (plus the few-KB read); the one-time backfill is the build
+    // cost the store exists to amortize — the m13/e4 convention.
+    "q35_sketch_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val store = Fixtures.scratchDir("graft-q35-bench") + "/sketches"
+      val ev = Fixtures.events(s, dir).withColumn("day", to_date(col("ts")))
+      def slices(pred: org.apache.spark.sql.Column) =
+        graft.operators.Sketches.distinctSketches(
+          ev.filter(pred), Seq("event_type", "day"), "user_id")
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getDate(0))
+      val (backfill, tail) = days.splitAt(math.max(1, days.length - 2))
+      graft.operators.Sketches.writeSketchStore(
+        slices(col("day") <= lit(backfill.last)), store,
+        Seq("event_type", "day"))
+      () => {
+        for (d <- tail)
+          graft.operators.Sketches.appendSlices(s, store, slices(col("day") === lit(d)))
+        graft.operators.Sketches.storedEstimate(s, store, Seq("event_type")).count()
+        ()
+      }
+    }),
     // t25 joins the at-rest convention in r13 (it was build+probe through
     // r12 — the 100x ceiling cell exposed the conflation): the one-time
     // posting-index build is setup; the measured operation is the

@@ -178,6 +178,29 @@ object MergeQueries {
         .unionByName(Scd2.snapshotAt(merged, 1L).withColumn("as_of_v", lit(1L)))
         .orderBy("as_of_v", "o_orderkey")
     }),
+    // PIT feature enrichment (m19): the leakage-safe feature attach —
+    // every event joins the customer-attribute VERSION valid at the
+    // event's OWN timestamp, never a later one (enriching from the
+    // current dimension, st8's shape, is exactly the temporal leak this
+    // prevents in a training pipeline). Two-version history planted at
+    // the corpus midpoint; one equi-join on the key with the interval
+    // bounds as the join filter — no range fan-out, no window.
+    "m19_pit_enrich" -> ((s, dir) => {
+      val ev = Fixtures.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+      val b = ev.agg(min(col("ts_us")), max(col("ts_us"))).head()
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val cust = Fixtures.table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val hist = cust.select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          lit(0L).as("valid_from"), lit(mid).as("valid_to"))
+        .unionByName(cust.select(col("c_custkey"),
+          concat(col("c_mktsegment"), lit("_2")).as("seg"),
+          lit(mid).as("valid_from"), lit(null).cast("bigint").as("valid_to")))
+      Scd2.enrichAsOf(ev, hist, Seq("user_id" -> "c_custkey"), "ts_us")
+        .orderBy("event_id")
+    }),
     // Hard-mode debug render (FIXTURES §1.2 shape): composite key +
     // badKey rn-dedup CTEs + target filter + soft-delete SET + threshold
     // — the renderer paths g1's simple config never reaches.
@@ -528,6 +551,27 @@ object MergeQueries {
          |  SELECT *, CAST(1 AS BIGINT) AS as_of_v FROM src
          |)
          |ORDER BY as_of_v, o_orderkey""".stripMargin,
+    // m19: the PIT join replayed literally — the same planted two-version
+    // history, each event matched to the interval covering its own
+    // timestamp.
+    "m19_pit_enrich" ->
+      """WITH b AS (
+        |  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM events
+        |), hist AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |         CAST(0 AS BIGINT) AS valid_from,
+        |         (SELECT mid FROM b) AS valid_to
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment || '_2',
+        |         (SELECT mid FROM b), CAST(NULL AS BIGINT)
+        |  FROM customer
+        |)
+        |SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, h.seg
+        |FROM events e JOIN hist h ON e.user_id = h.c_custkey
+        | AND epoch_us(e.ts) >= h.valid_from
+        | AND (h.valid_to IS NULL OR epoch_us(e.ts) < h.valid_to)
+        |ORDER BY event_id""".stripMargin,
     // m16: the five SCD2 dispositions spelled out as UNION ALL branches —
     // history pass-through, unchanged current, changed key closed+reopened,
     // departed key closed, new key opened. Same change predicate as the

@@ -992,6 +992,24 @@ $bandSelects
           TextOps.stripMarkup(col("raw")).as("clean"))
         .orderBy("doc_id")
     }),
+    // Invisible-character scrub (t27): zero-width/BOM/soft-hyphen/bidi
+    // marks planted deterministically into the corpus (the t17/t18
+    // planting discipline — fixture text is clean ASCII), then scrubbed:
+    // removables vanish, NBSP-family normalizes to plain spaces, and the
+    // density signal counts what was touched. Scrub(plant(text)) == text
+    // is the spec's round-trip law; here the oracle replays plant+scrub.
+    "t27_invisible_scrub" -> ((s, dir) => {
+      import graft.pipeline.TextOps
+      val planted = table(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), lit("e"), lit("e\u200B\u00AD")),
+            lit(" "), lit("\u00A0")).as("raw"))
+      planted.select(col("doc_id"),
+          TextOps.invisibleCount(col("raw")).as("n_invisible"),
+          TextOps.stripInvisible(col("raw")).as("clean"))
+        .orderBy("doc_id")
+    }),
     // Unicode NFC normalization (C75 / t18): the native-expression text
     // floor — decomposed sequences (e + U+0301, A + U+030A) compose, so
     // exact-dedup hashes and shingles see one spelling. The suffix is
@@ -2632,6 +2650,25 @@ $bandSelects
         |           regexp_replace(raw, '<[^>]*>', ' ', 'g'),
         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
         |         '\s+', ' ', 'g')) AS clean
+        |FROM h ORDER BY doc_id""".stripMargin,
+    // t27: same plant (chr() codepoints), same two-class scrub — RE2 and
+    // Java regex agree on \x{...} character classes, the PiiPatterns
+    // portability argument.
+    "t27_invisible_scrub" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         replace(regexp_replace(text, 'e', 'e' || chr(8203) || chr(173), 'g'),
+        |                 ' ', chr(160)) AS raw
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(raw,
+        |              '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}]')) +
+        |            len(regexp_extract_all(raw, '[\x{00A0}\x{2007}\x{202F}]'))
+        |            AS BIGINT) AS n_invisible,
+        |       regexp_replace(
+        |         regexp_replace(raw,
+        |           '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}\x{200E}\x{200F}]', '', 'g'),
+        |         '[\x{00A0}\x{2007}\x{202F}]', ' ', 'g') AS clean
         |FROM h ORDER BY doc_id""".stripMargin,
     // t18: same planted decomposed suffix via chr() codepoints; DuckDB's
     // nfc_normalize implements the same UAX #15 NFC as java.text.Normalizer.

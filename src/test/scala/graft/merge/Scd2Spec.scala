@@ -115,4 +115,40 @@ class Scd2Spec extends GraftSuite {
       .toSet
     assert(got === Set(("n", 1.0, 3L, false), ("n", 2.0, -99L, true)))
   }
+
+  test("enrichAsOf: each fact gets ITS OWN version — never a later one; gaps drop; equi-join plan (no BNLJ)") {
+    // Key 1 evolves a->a2 at t=10 and closes (departs) at t=20; key 2 is
+    // stable; key 3 exists only in the facts.
+    val hist = Seq(
+      (1L, "a", 0L, Some(10L), false),
+      (1L, "a2", 10L, Some(20L), false),
+      (2L, "b", 0L, None, true)
+    ).toDF("k", "name", "valid_from", "valid_to", "is_current")
+      .withColumn("valid_to", col("valid_to").cast("bigint"))
+    val facts = Seq(
+      (100L, 1L, 5L),   // inside v0
+      (101L, 1L, 10L),  // boundary: v1 opens AT 10 (from-inclusive)
+      (102L, 1L, 19L),  // inside v1
+      (103L, 1L, 25L),  // after the close: no valid version -> drops
+      (104L, 2L, 7L),   // open-ended current row
+      (105L, 3L, 7L)    // key absent from history -> drops
+    ).toDF("event_id", "k", "ts")
+    val out = Scd2.enrichAsOf(
+      facts, hist.drop("is_current"), Seq("k" -> "k"), "ts")
+    val got = out.select("event_id", "name").as[(Long, String)].collect().toSet
+    assert(got === Set((100L, "a"), (101L, "a2"), (102L, "a2"), (104L, "b")))
+    // The temporal-leakage property, stated directly: no fact sees a
+    // version that opened after its timestamp.
+    val leak = Scd2.enrichAsOf(
+      facts, hist.drop("is_current").withColumnRenamed("valid_from", "vf")
+        .withColumn("valid_from", col("vf")),
+      Seq("k" -> "k"), "ts")
+      .filter(col("vf") > col("ts")).count()
+    assert(leak === 0L)
+    // Plan shape: the key conjunct must drive a hash/sort-merge join —
+    // interval bounds are the join FILTER, not a nested-loop condition.
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"PIT join fell off the equi path:\n$plan")
+  }
 }

@@ -3030,4 +3030,33 @@ class PipelineSpec extends GraftSuite {
       assert(split === expectSplit(id), s"doc $id split")
     }
   }
+
+  test("invisible scrub: round-trip law, NBSP normalizes not vanishes, clean text untouched") {
+    val rows = Seq(
+      (1L, "plain ascii text"),
+      (2L, "zero\u200Bwidth\u200Cjoin\u200Ders\u2060here\uFEFF"),
+      (3L, "soft\u00ADhyphen and\u00A0nbsp\u202Fnarrow\u2007figure"),
+      (4L, "bidi\u200Emarks\u200Fkept out")
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        graft.pipeline.TextOps.invisibleCount(col("text")).as("n"),
+        graft.pipeline.TextOps.stripInvisible(col("text")).as("clean"))
+      .as[(Long, Long, String)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === ((0L, "plain ascii text")))           // clean is untouched
+    assert(out(2L) === ((5L, "zerowidthjoinershere")))       // removables vanish
+    assert(out(3L) === ((4L, "softhyphen and nbsp narrow figure"))) // spaces survive as spaces
+    assert(out(4L) === ((2L, "bidimarks" + "kept out")))
+    // Round-trip law over real corpus text: plant -> scrub == identity.
+    val docs = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+      .limit(100).select(col("doc_id"), col("text"))
+    val planted = docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), lit("e"), lit("e\u200B\u00AD")),
+        lit(" "), lit("\u00A0")).as("raw"))
+    val mismatches = planted
+      .select(col("doc_id"), graft.pipeline.TextOps.stripInvisible(col("raw")).as("clean"))
+      .join(docs, "doc_id")
+      .filter(col("clean") =!= col("text")).count()
+    assert(mismatches === 0L)
+  }
 }
