@@ -107,6 +107,140 @@ object Sketches {
     * apply's own staged swap: a batch either landed or it didn't, and
     * either way the replay converges to the same store.
     */
+  // ------------------------------------------------------------------
+  // Theta sketches: distinct counts WITH set algebra (C138).
+  // ------------------------------------------------------------------
+
+  /** One theta sketch per key group. The theta family answers the
+    * question HLL structurally cannot: |A ∩ B| and |A \ B| — HLL union
+    * is its ONLY operation, so source-overlap / audience-intersection /
+    * novelty questions need either a rescan per pair (exact) or theta.
+    * A theta sketch is a uniform hash sample of the distinct items
+    * (all of them while n ≤ nominal entries = 2^lgK — the EXACT
+    * regime; a fixed-size sample with relative error ~1/√(2^lgK)
+    * beyond), and intersection/difference operate sample-on-sample, so
+    * a K-source overlap matrix costs K sketch rows, never K² corpus
+    * scans. Spark-native DataSketches aggregates
+    * (`theta_sketch_agg`/`theta_union`/`theta_intersection`), map-side
+    * combined, no UDFs.
+    */
+  def thetaSketches(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      lgK: Int = 14): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    df.groupBy(keys.map(col): _*)
+      .agg(theta_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+  }
+
+  /** Pairwise overlap matrix from per-group theta sketches: for every
+    * unordered key pair (a < b), the group sizes plus |A ∩ B| and
+    * |A ∪ B| — republication / shared-audience structure across the
+    * whole key set from ONE pass over the data. The self-join runs on
+    * the sketch frame (one row per key, a few KB each), never the
+    * corpus: K groups cost K(K−1)/2 sketch-pair evaluations, each pure
+    * column arithmetic. Estimates are exact while every sketch is in
+    * the exact regime (intersections of exact-mode sketches are exact);
+    * `.cast(long)` is lossless there.
+    */
+  def thetaOverlapMatrix(sketches: DataFrame, keyCol: String): DataFrame = {
+    val a = sketches.select(col(keyCol).as("key_a"), col("sketch").as("sk_a"))
+    val b = sketches.select(col(keyCol).as("key_b"), col("sketch").as("sk_b"))
+    a.join(broadcast(b), col("key_a") < col("key_b"))
+      .select(
+        col("key_a"), col("key_b"),
+        theta_sketch_estimate(col("sk_a")).cast("long").as("n_a"),
+        theta_sketch_estimate(col("sk_b")).cast("long").as("n_b"),
+        theta_sketch_estimate(theta_intersection(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_inter"),
+        theta_sketch_estimate(theta_union(col("sk_a"), col("sk_b")))
+          .cast("long").as("n_union"))
+  }
+
+  /** Union theta slice sketches under a coarser regrouping — the read
+    * path when theta increments were persisted per slice (a day's rows
+    * collapse into a type's). `lgK` caps the union's nominal entries;
+    * keep it at the build-side value so the union stays in the exact
+    * regime exactly as long as its inputs do.
+    */
+  def unionThetaSlices(
+      sketches: DataFrame, keys: Seq[String], lgK: Int = 14): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    sketches.groupBy(keys.map(col): _*)
+      .agg(theta_union_agg(col("sketch"), lit(lgK)).as("sketch"))
+  }
+
+  /** Distinct-count estimates from unioned theta slices — the HLL
+    * [[unionEstimate]] shape for the theta tier (use theta only when
+    * the set algebra is needed; HLL rows are smaller at equal error).
+    */
+  def unionEstimateTheta(
+      sketches: DataFrame, keys: Seq[String], lgK: Int = 14): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    sketches.groupBy(keys.map(col): _*)
+      .agg(theta_sketch_estimate(theta_union_agg(col("sketch"), lit(lgK)))
+        .cast("long").as("n_distinct"))
+  }
+
+  /** Per-group novelty against a reference sketch: |group \ reference|
+    * — "how many of this snapshot's users/urls are NEW vs the archive"
+    * without revisiting the archive (the C91 drift question answered
+    * from sketch rows alone). `reference` must be a single-sketch frame
+    * (one row, column `sketch`); it cross-joins as a broadcast literal.
+    */
+  def thetaNovelty(sketches: DataFrame, reference: DataFrame): DataFrame =
+    sketches.crossJoin(broadcast(reference.select(col("sketch").as("__ref"))))
+      .withColumn("n_novel",
+        theta_sketch_estimate(theta_difference(col("sketch"), col("__ref")))
+          .cast("long"))
+      .drop("__ref")
+
+  // ------------------------------------------------------------------
+  // KLL quantile sketches: mergeable distributions (C139).
+  // ------------------------------------------------------------------
+
+  /** One KLL quantile sketch of `valueCol` (cast to long) per key
+    * group — the distribution twin of [[distinctSketches]]: length /
+    * token-count / score distributions sketched per ingest slice ONCE,
+    * then merged under any regrouping ([[mergedQuantiles]]) without
+    * rescanning history — the property exact percentiles fundamentally
+    * lack (per-day exact medians cannot be combined into a month's).
+    * EXACT while a (merged) sketch retains ≤ k items; the classic
+    * ~1.7%-of-rank error at k=200 beyond, priced down by raising k.
+    * Spark-native DataSketches KLL aggregates, map-side combined.
+    */
+  def quantileSketches(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      k: Int = 8192): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    df.groupBy(keys.map(col): _*)
+      .agg(kll_sketch_agg_bigint(col(valueCol).cast("long"), lit(k))
+        .as("sketch"))
+  }
+
+  /** Merge persisted KLL sketches under a coarser grouping and read
+    * quantiles at the given ranks (columns `p<rank·100>`, e.g. `p50`),
+    * plus the population count `n`. Quantile semantics are the
+    * DataSketches INCLUSIVE rule: the smallest retained item whose
+    * inclusive rank (fraction of items ≤ it) is ≥ the requested rank —
+    * i.e. `min(v) where cume_dist(v) ≥ rank`, the form the oracle
+    * replays literally.
+    */
+  def mergedQuantiles(
+      sketches: DataFrame, keys: Seq[String], ranks: Seq[Double],
+      k: Int = 8192): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    require(ranks.nonEmpty && ranks.forall(r => r > 0.0 && r <= 1.0),
+      "ranks must lie in (0, 1]")
+    val merged = sketches.groupBy(keys.map(col): _*)
+      .agg(kll_merge_agg_bigint(col("sketch"), lit(k)).as("sketch"))
+    val qCols = ranks.map { r =>
+      val label = math.round(r * 100).toInt
+      kll_sketch_get_quantile_bigint(col("sketch"), lit(r)).as(s"p$label")
+    }
+    merged.select(
+      keys.map(col) ++ (kll_sketch_get_n_bigint(col("sketch")).as("n") +: qCols): _*)
+  }
+
   def mergeIntoStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
       arriving: DataFrame): Unit = {

@@ -331,6 +331,37 @@ object AnalyticQueries {
         .orderBy("event_type")
     }),
 
+    // Theta-sketch overlap matrix (C138 / q36): the set-algebra question
+    // HLL structurally cannot answer — pairwise |A ∩ B| / |A ∪ B| of
+    // per-event-type user sets, computed sketch-on-sketch from ONE pass
+    // over events (K sketch rows, never K² rescans). Fixture
+    // cardinalities (≤1.5k users/type vs 2^14 nominal entries) keep
+    // every sketch in the exact regime, so the pairwise COUNT(DISTINCT)
+    // oracle applies verbatim; the sampling contract past it is
+    // spec-documented.
+    "q36_theta_overlap" -> ((s, dir) => {
+      val sk = graft.operators.Sketches.thetaSketches(
+        Fixtures.events(s, dir), Seq("event_type"), "user_id")
+      graft.operators.Sketches.thetaOverlapMatrix(sk, "event_type")
+        .orderBy("key_a", "key_b")
+    }),
+
+    // Mergeable quantile sketches (C139 / q37): per-(lang, source) KLL
+    // sketches of document length — the persistable slice increment —
+    // merged per lang and read at p25/p50/p75/p95 WITHOUT rescanning
+    // history (exact per-slice percentiles cannot be combined; sketches
+    // can). k=8192 ≥ any lang's row count at both fixture SFs, so the
+    // merged sketches retain every item and the quantiles are EXACT
+    // under the DataSketches inclusive rule — which the oracle replays
+    // literally as min(v) where cume_dist ≥ rank.
+    "q37_kll_quantiles" -> ((s, dir) => {
+      val sk = graft.operators.Sketches.quantileSketches(
+        Fixtures.table(s, dir, "documents"), Seq("lang", "source"), "n_chars")
+      graft.operators.Sketches.mergedQuantiles(
+          sk, Seq("lang"), Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("lang")
+    }),
+
     // Cohort retention (C84 / q30): users bucketed by first-seen day,
     // distinct active users per (cohort, day-offset) — the standard
     // product-analytics report. Two map-side-combined aggregations + one
@@ -481,6 +512,41 @@ object AnalyticQueries {
     "q35_sketch_store" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    // q36: in the exact regime a theta sketch retains every distinct
+    // hash, so intersection/union estimates ARE the exact pairwise
+    // set sizes — replayed as a distinct-pairs self-join.
+    "q36_theta_overlap" ->
+      """WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        |sz AS (SELECT event_type, count(*) AS n FROM du GROUP BY 1),
+        |ix AS (
+        |  SELECT a.event_type AS key_a, b.event_type AS key_b, count(*) AS n_inter
+        |  FROM du a JOIN du b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.key_a, p.key_b, x.n AS n_a, y.n AS n_b,
+        |       coalesce(i.n_inter, 0) AS n_inter,
+        |       x.n + y.n - coalesce(i.n_inter, 0) AS n_union
+        |FROM (SELECT x.event_type AS key_a, y.event_type AS key_b
+        |      FROM sz x JOIN sz y ON x.event_type < y.event_type) p
+        |LEFT JOIN ix i ON i.key_a = p.key_a AND i.key_b = p.key_b
+        |JOIN sz x ON x.event_type = p.key_a
+        |JOIN sz y ON y.event_type = p.key_b
+        |ORDER BY p.key_a, p.key_b""".stripMargin,
+    // q37: k ≥ n keeps the merged KLL sketches lossless; the inclusive
+    // quantile rule is replayed literally — smallest value whose
+    // cume_dist (fraction of rows ≤ it) reaches the rank.
+    "q37_kll_quantiles" ->
+      """WITH cd AS (
+        |  SELECT lang, n_chars,
+        |         cume_dist() OVER (PARTITION BY lang ORDER BY n_chars) AS cd
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n,
+        |       min(CASE WHEN cd >= 0.25 THEN n_chars END) AS p25,
+        |       min(CASE WHEN cd >= 0.5  THEN n_chars END) AS p50,
+        |       min(CASE WHEN cd >= 0.75 THEN n_chars END) AS p75,
+        |       min(CASE WHEN cd >= 0.95 THEN n_chars END) AS p95
+        |FROM cd GROUP BY lang ORDER BY lang""".stripMargin,
     // q33: the same answer via the rank formulation — one ground truth
     // for the aggregation idiom the Spark side uses.
     "q33_argmin_order" ->

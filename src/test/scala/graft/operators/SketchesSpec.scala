@@ -102,4 +102,133 @@ class SketchesSpec extends GraftSuite {
       .as[(java.sql.Date, Long)].collect().toMap
     assert(perDay === exactDay)
   }
+
+  // ---- Theta sketches (C138): set algebra HLL cannot do ----
+
+  test("theta overlap matrix == exact pairwise intersections/unions at both fixture SFs") {
+    for (dir <- Seq(SparkTestBase.sf0001, SparkTestBase.sf001)) {
+      val ev = events(dir)
+      val du = ev.select("event_type", "user_id").distinct()
+        .as[(String, Long)].collect().groupBy(_._1)
+        .map { case (t, rows) => t -> rows.map(_._2).toSet }
+      val types = du.keys.toSeq.sorted
+      val exact = (for {
+        a <- types; b <- types if a < b
+      } yield (a, b) -> (
+        du(a).size.toLong, du(b).size.toLong,
+        (du(a) & du(b)).size.toLong, (du(a) | du(b)).size.toLong)).toMap
+      val got = Sketches.thetaOverlapMatrix(
+          Sketches.thetaSketches(ev, Seq("event_type"), "user_id"), "event_type")
+        .as[(String, String, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+      assert(got === exact, dir)
+    }
+  }
+
+  test("theta novelty: |snapshot \\ archive| exact; past the exact regime the estimate stays within the sampling error bound") {
+    val ev = events(SparkTestBase.sf001)
+    // Archive = first half of users; per-type novelty vs it is exact in
+    // the exact regime.
+    val cut = ev.agg(expr("percentile_approx(user_id, 0.5, 100000)")).first().getLong(0)
+    val archive = ev.filter(col("user_id") <= cut)
+      .agg(theta_sketch_agg(col("user_id"), lit(14)).as("sketch"))
+    val got = Sketches.thetaNovelty(
+        Sketches.thetaSketches(ev, Seq("event_type"), "user_id"), archive)
+      .select("event_type", "n_novel").as[(String, Long)].collect().toMap
+    val arch = ev.filter(col("user_id") <= cut).select("user_id")
+      .as[Long].collect().toSet
+    val exact = ev.select("event_type", "user_id").distinct()
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (t, rows) => t -> rows.map(_._2).toSet.diff(arch).size.toLong }
+    assert(got === exact)
+
+    // Sampling contract: lgK=4 (16 nominal entries) forces estimation
+    // mode on ~750 distinct users/type; the estimate must land within
+    // 4 relative standard errors (1/√k) of the truth — the documented
+    // trade, not a precision claim.
+    val small = Sketches.unionEstimateTheta(
+      Sketches.thetaSketches(ev, Seq("event_type"), "user_id", lgK = 4),
+      Seq("event_type"))
+    val exactN = ev.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    for ((t, est) <- small.as[(String, Long)].collect()) {
+      val n = exactN(t).toDouble
+      assert(math.abs(est - n) / n <= 4.0 / math.sqrt(16.0),
+        s"$t: est $est vs exact $n beyond 4 RSE")
+    }
+  }
+
+  test("theta sketch rows persist through the at-rest store machinery unchanged (binary column + slice keys)") {
+    val ev = events(SparkTestBase.sf0001)
+    val store = s"${java.nio.file.Files.createTempDirectory("theta")}/sk"
+    val daily = Sketches.thetaSketches(ev, Seq("event_type", "day"), "user_id")
+    val days = ev.select("day").distinct().orderBy("day").collect().map(_.getDate(0))
+    Sketches.writeSketchStore(
+      daily.filter(col("day") < lit(days.last)), store, Seq("event_type", "day"))
+    Sketches.appendSlices(spark, store, daily.filter(col("day") === lit(days.last)))
+    val live = Sketches.thetaOverlapMatrix(
+        Sketches.unionThetaSlices(daily, Seq("event_type")), "event_type")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val stored = Sketches.thetaOverlapMatrix(
+        Sketches.unionThetaSlices(
+          graft.merge.PartitionedTarget.read(spark, store), Seq("event_type")),
+        "event_type")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(stored === live)
+  }
+
+  // ---- KLL quantile sketches (C139): mergeable distributions ----
+
+  test("kll inclusive-rule semantics pinned on a hand-computed frame (ties included)") {
+    val df = Seq(1L, 1L, 1L, 9L).toDF("v").withColumn("g", lit("a"))
+    val q = Sketches.mergedQuantiles(
+        Sketches.quantileSketches(df, Seq("g"), "v"), Seq("g"),
+        Seq(0.5, 0.75, 0.95))
+      .select("n", "p50", "p75", "p95").as[(Long, Long, Long, Long)].first()
+    // cume_dist(1)=0.75 ⇒ p50=p75=1 (smallest value reaching the rank);
+    // p95 needs 0.95 ⇒ 9.
+    assert(q === ((4L, 1L, 1L, 9L)))
+  }
+
+  test("kll merged quantiles == exact inclusive quantiles at both fixture SFs; slice merge == direct sketch") {
+    for (dir <- Seq(SparkTestBase.sf0001, SparkTestBase.sf001)) {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val ranks = Seq(0.25, 0.5, 0.75, 0.95)
+      val got = Sketches.mergedQuantiles(
+          Sketches.quantileSketches(docs, Seq("lang", "source"), "n_chars"),
+          Seq("lang"), ranks)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      val perLang = docs.select("lang", "n_chars").as[(String, Long)].collect()
+        .groupBy(_._1).map { case (l, rows) =>
+          val vs = rows.map(_._2).sorted
+          def q(r: Double) = vs(math.ceil(r * vs.length).toInt - 1)
+          l -> ((vs.length.toLong, q(0.25), q(0.5), q(0.75), q(0.95)))
+        }
+      assert(got === perLang, dir)
+      // Merging per-(lang, source) slices loses nothing vs sketching
+      // the lang directly (k ≥ n: both lossless).
+      val direct = Sketches.mergedQuantiles(
+          Sketches.quantileSketches(docs, Seq("lang"), "n_chars"),
+          Seq("lang"), ranks)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+      assert(got === direct, dir)
+    }
+  }
+
+  test("kll error contract past the exact regime: k=200 on a compacting sketch keeps ranks within the documented epsilon") {
+    val docs = spark.read.parquet(s"${SparkTestBase.sf001}/documents.parquet")
+      .withColumn("g", lit("all"))
+    val est = Sketches.mergedQuantiles(
+        Sketches.quantileSketches(docs, Seq("g"), "n_chars", k = 200),
+        Seq("g"), Seq(0.5), k = 200)
+      .select("p50").as[Long].first()
+    val vs = docs.select("n_chars").as[Long].collect().sorted
+    // True (inclusive) rank of the estimated median must sit within
+    // ±3.2% of 0.5 — double DataSketches' published ~1.7% single-sided
+    // rank error at k=200, a contract check not a precision claim.
+    val rank = vs.count(_ <= est).toDouble / vs.length
+    assert(math.abs(rank - 0.5) <= 0.032, s"rank of p50 estimate drifted: $rank")
+  }
 }
