@@ -241,6 +241,54 @@ object Sketches {
       keys.map(col) ++ (kll_sketch_get_n_bigint(col("sketch")).as("n") +: qCols): _*)
   }
 
+  /** Quantile estimates straight off a persisted KLL slice store, under
+    * any regrouping of (a subset of) the slice keys.
+    */
+  def storedQuantiles(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      keys: Seq[String], ranks: Seq[Double], k: Int = 8192): DataFrame =
+    mergedQuantiles(
+      graft.merge.PartitionedTarget.read(spark, path)
+        .select((keys :+ "sketch").map(col): _*),
+      keys, ranks, k)
+
+  /** Merge arriving KLL slice sketches INTO the store — the
+    * [[mergeIntoStore]] twin for the quantile tier, with one structural
+    * difference forced by the algebra: KLL merge is a WEIGHTED-SAMPLE
+    * union, not a semilattice — re-merging the same rows doubles `n` —
+    * so unlike HLL the caller needs replay protection. `arriving` must
+    * carry a `batch_id` column; the stored row keeps the MAX batch id
+    * folded into it, so the replay watermark rides IN the store rows
+    * and promotes atomically with the data through the partition-scoped
+    * apply — there is no sidecar to tear (the failure mode the BM25/PQ
+    * watermark files needed atomic-rename hardening for is structurally
+    * impossible here). [[graft.streaming.StreamingIndex.quantileStoreTo]]
+    * reads `max(batch_id)` before applying and skips batches already
+    * folded.
+    */
+  def mergeQuantilesIntoStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      arriving: DataFrame, k: Int = 8192): Unit = {
+    val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
+    val keys = spec.keys
+    // Metadata-bounded collect: one bucket id per arriving slice group.
+    val touched = arriving
+      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storedMatch = graft.merge.PartitionedTarget
+      .readBuckets(spark, path, touched) match {
+      case None => None
+      case Some(stored) =>
+        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
+    }
+    val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        kll_merge_agg_bigint(col("sketch"), lit(k)).as("sketch"),
+        max(col("batch_id")).as("batch_id"))
+    appendSlices(spark, path, merged)
+  }
+
   def mergeIntoStore(
       spark: org.apache.spark.sql.SparkSession, path: String,
       arriving: DataFrame): Unit = {

@@ -422,6 +422,21 @@ object StreamingQueries {
       graft.operators.Sketches.storedEstimate(s, store, Seq("event_type"))
         .orderBy("event_type")
     }),
+    // Streaming KLL quantile-store maintenance (st16): documents
+    // replayed in doc_id order, each micro-batch's per-(lang, source)
+    // length sketches MERGED into the stored slice rows (read touched
+    // buckets, kll-union, replace) — slices recur across batches, so
+    // the non-idempotent read-merge-replace path runs repeatedly and
+    // the in-row batch_id watermark is what makes replays safe. The
+    // converged store answers q37's cume_dist oracle exactly (k ≥ n:
+    // every merged sketch lossless).
+    "st16_stream_quantiles" -> ((s, dir) => {
+      val (replay, store) = st16Setup(s, dir)
+      replay()
+      graft.operators.Sketches.storedQuantiles(
+          s, store, Seq("lang"), Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("lang")
+    }),
     "st8_stream_enrich" -> ((s, dir) => {
       val (replay, out) = st8Setup(s, dir)
       replay()
@@ -647,6 +662,31 @@ object StreamingQueries {
     (replay, store)
   }
 
+  /** Untimed setup for st16 (streaming KLL quantile store): documents
+    * replayed in doc_id order across N batches — every batch holds rows
+    * of most (lang, source) slices, so stored slice rows are
+    * read-merged-replaced again and again (the non-idempotent path the
+    * in-row watermark exists for).
+    */
+  private[graft] def st16Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st16")
+    val store = s"$scratch/store"
+    val rows = Fixtures.table(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .as[(Long, String, String, Long)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val stream = mem.toDF().toDF("doc_id", "lang", "source", "n_chars")
+    val q = StreamingIndex.quantileStoreTo(
+      stream, store, s"$scratch/cp", Seq("lang", "source"), "n_chars")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, store)
+  }
+
   /** Untimed setup for st8 (stream-static enrichment): events replayed in
     * N batches, each micro-batch inner-joined to the broadcast
     * customer×nation dimension — a hash probe per batch, no shuffle of
@@ -784,6 +824,9 @@ object StreamingQueries {
     // sparse regime (q34's oracle) — replay-idempotent by the HLL
     // semilattice argument, so convergence needs no watermark.
     "st15_stream_sketches" -> AnalyticQueries.oracleSql("q34_sketch_distinct"),
+    // st16: the converged quantile store answers exactly like the batch
+    // q37 — same inclusive-rule oracle.
+    "st16_stream_quantiles" -> AnalyticQueries.oracleSql("q37_kll_quantiles"),
     // st10: CDC ops are one-per-key and commute across keys, so the
     // converged streamed state == the one-shot batch apply (m15's SQL).
     "st10_stream_cdc" ->

@@ -196,6 +196,80 @@ object StreamingIndex {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Continuous KLL quantile-store maintenance — the distribution twin
+    * of [[sketchStoreTo]], and the THIRD exactly-once mechanism in the
+    * maintainer family, forced by a third algebra:
+    *
+    *   - postings/codes (BM25/PQ, [[bm25IndexTo]]/[[pqIndexTo]]) are
+    *     append-only — a replay genuinely doubles them — so a batch-id
+    *     watermark SIDECAR promotes under the append's intent marker;
+    *   - HLL union is a join-semilattice ([[sketchStoreTo]]) — replays
+    *     re-union to the identical store — so no watermark exists at
+    *     all;
+    *   - KLL merge is a weighted-sample union: NOT idempotent (a
+    *     replayed batch doubles `n`), but the store row is a MERGE
+    *     (read-union-replace), so the watermark can ride IN the rows —
+    *     each stored slice keeps the max `batch_id` folded into it, the
+    *     partition-scoped apply promotes data and watermark in the same
+    *     atomic swap, and a replayed batch id ≤ `max(batch_id)` over
+    *     the store is skipped. No sidecar exists to tear.
+    *
+    * Crash windows: an interrupted apply rolls FORWARD
+    * ([[graft.merge.MergeApply.recover]] — run before the watermark
+    * read, so a landed-but-unswapped batch is counted as landed); a
+    * torn bootstrap is detected by the store spec sidecar landing
+    * strictly after the parquet write (the [[sketchStoreTo]] argument)
+    * and rebuilt by the bootstrap replay.
+    *
+    * Scale shape: per batch, one map-side-combined KLL agg of the
+    * BATCH, a read of only the buckets its slices hash to, a rewrite of
+    * those buckets — cost tracks the batch and its touched slices,
+    * never store depth; one row per slice forever (no compaction
+    * protocol needed, unlike the posting tiers).
+    */
+  def quantileStoreTo(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      sliceKeys: Seq[String],
+      valueCol: String,
+      k: Int = 8192,
+      nBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyQuantileBatch(batch, batchId, path, sliceKeys, valueCol, k, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of quantile-store maintenance (the foreachBatch
+    * body, exposed so the replay/crash windows are unit-testable). */
+  private[graft] def applyQuantileBatch(
+      batch: DataFrame, batchId: Long, path: String, sliceKeys: Seq[String],
+      valueCol: String, k: Int = 8192, nBuckets: Int = 8): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val slices = graft.operators.Sketches
+        .quantileSketches(batch, sliceKeys, valueCol, k)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+        // Bootstrap (or torn bootstrap — the spec sidecar lands strictly
+        // after the parquet write, so a half-written store re-enters
+        // here): overwrite build; the watermark is in the rows.
+        graft.operators.Sketches.writeSketchStore(slices, path, sliceKeys, nBuckets)
+      else {
+        // Roll any interrupted apply forward BEFORE reading the
+        // watermark — a landed-but-unswapped batch must count as landed.
+        graft.merge.MergeApply.recover(spark, path)
+        val landed = graft.merge.PartitionedTarget.read(spark, path)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("batch_id"))).first().getLong(0)
+        if (batchId > landed)
+          graft.operators.Sketches.mergeQuantilesIntoStore(spark, path, slices, k)
+      }
+    }
+
   /** One micro-batch of sketch-store maintenance (the foreachBatch body,
     * exposed so the replay/crash windows are unit-testable). */
   private[graft] def applySketchBatch(

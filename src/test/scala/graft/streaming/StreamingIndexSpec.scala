@@ -249,4 +249,77 @@ class StreamingIndexSpec extends GraftSuite {
       b0.groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
         .as[(String, Long)].collect().toMap)
   }
+
+  test("streaming quantile-store maintenance: converged == batch inclusive quantiles, the in-row watermark skips replays of the non-idempotent merge, torn bootstrap rebuilds") {
+    import graft.operators.Sketches
+    val keys = Seq("lang", "source")
+    def batch(rows: (String, String, Long)*) =
+      rows.toDF("lang", "source", "n_chars")
+    // Slice (en, a) recurs in every batch — the read-merge-replace path
+    // runs repeatedly; b2 opens a fresh slice.
+    val b0 = batch(("en", "a", 10L), ("en", "a", 20L), ("fr", "b", 30L))
+    val b1 = batch(("en", "a", 30L), ("fr", "b", 10L), ("fr", "b", 50L))
+    val b2 = batch(("en", "a", 40L), ("de", "c", 5L))
+    val base = java.nio.file.Files.createTempDirectory("stridx-kll")
+    val store = base.resolve("store").toString
+    val ranks = Seq(0.5, 0.95)
+    def answers() = Sketches.storedQuantiles(spark, store, Seq("lang"), ranks)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    StreamingIndex.applyQuantileBatch(b0, 0L, store, keys, "n_chars")
+    StreamingIndex.applyQuantileBatch(b1, 1L, store, keys, "n_chars")
+    val afterTwo = answers()
+
+    // The algebra the watermark exists for: KLL merge is a weighted
+    // sample union, NOT a semilattice — bypassing the watermark and
+    // re-merging b1's slices doubles n.
+    val clone = base.resolve("clone").toString
+    StreamingIndex.applyQuantileBatch(b0, 0L, clone, keys, "n_chars")
+    val nBefore = Sketches.storedQuantiles(spark, clone, Seq("lang"), ranks)
+      .agg(sum(col("n"))).first().getLong(0)
+    Sketches.mergeQuantilesIntoStore(spark, clone,
+      Sketches.quantileSketches(b0, keys, "n_chars").withColumn("batch_id", lit(99L)))
+    assert(Sketches.storedQuantiles(spark, clone, Seq("lang"), ranks)
+      .agg(sum(col("n"))).first().getLong(0) === 2 * nBefore)
+
+    // With the watermark: replays of the bootstrap batch and of an
+    // append batch are exact no-ops.
+    StreamingIndex.applyQuantileBatch(b0, 0L, store, keys, "n_chars")
+    StreamingIndex.applyQuantileBatch(b1, 1L, store, keys, "n_chars")
+    assert(answers() === afterTwo)
+
+    // Converged == the batch inclusive-rule quantiles over all rows.
+    StreamingIndex.applyQuantileBatch(b2, 2L, store, keys, "n_chars")
+    val all = b0.unionByName(b1).unionByName(b2)
+    val exact = all.select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        val vs = rows.map(_._2).sorted
+        def q(r: Double) = vs(math.ceil(r * vs.length).toInt - 1)
+        l -> ((vs.length.toLong, q(0.5), q(0.95)))
+      }
+    assert(answers() === exact)
+    // One row per slice forever — no row growth, no compaction protocol.
+    assert(graft.merge.PartitionedTarget.read(spark, store)
+      .groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty)
+    // The watermark rides in the rows: max(batch_id) == the last batch.
+    assert(graft.merge.PartitionedTarget.read(spark, store)
+      .agg(max(col("batch_id"))).first().getLong(0) === 2L)
+
+    // Torn bootstrap: parquet without the spec sidecar reads as "no
+    // store yet"; the bootstrap replay rebuilds it whole.
+    val store2 = base.resolve("store2").toString
+    Sketches.quantileSketches(b0, keys, "n_chars")
+      .withColumn("batch_id", lit(0L)).write.parquet(store2)
+    StreamingIndex.applyQuantileBatch(b0, 0L, store2, keys, "n_chars")
+    val exact0 = b0.select("lang", "n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, rows) =>
+        val vs = rows.map(_._2).sorted
+        def q(r: Double) = vs(math.ceil(r * vs.length).toInt - 1)
+        l -> ((vs.length.toLong, q(0.5), q(0.95)))
+      }
+    assert(Sketches.storedQuantiles(spark, store2, Seq("lang"), ranks)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap === exact0)
+  }
 }
