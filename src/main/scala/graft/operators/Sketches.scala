@@ -241,6 +241,85 @@ object Sketches {
       keys.map(col) ++ (kll_sketch_get_n_bigint(col("sketch")).as("n") +: qCols): _*)
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift between two snapshots'
+    * distributions, computed ENTIRELY from their KLL sketches — the
+    * corpus-free drift monitor: "did this month's length/score/token
+    * distribution move against last month's" costs O(slices × k) sketch
+    * arithmetic, never a rescan of either snapshot. Per key group
+    * present in BOTH frames, evaluates both empirical CDFs over the
+    * union of the sketches' retained values (the sup of |F_a − F_b| is
+    * attained at a sample point, so in the exact regime this IS the
+    * exact two-sample KS) and reports the scale-free integer numerator
+    *
+    *   `ks_num = max_v |c_a(≤v)·n_b − c_b(≤v)·n_a|`,  KS = ks_num/(n_a·n_b)
+    *
+    * — integer output so cross-engine comparison is exact (no float
+    * division to hash); callers derive the statistic with one divide.
+    * Past the exact regime the grid is the sketches' retained quantiles
+    * and the result inherits KLL's rank error — the documented trade.
+    * Grid size is bounded by 2k per slice REGARDLESS of corpus size:
+    * the whole report is sketch-sized.
+    */
+  def distributionDrift(
+      sketchesA: DataFrame, sketchesB: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(keys.nonEmpty, "at least one grouping key required")
+    val a = sketchesA.select(keys.map(col) :+ col("sketch").as("sk_a"): _*)
+    val b = sketchesB.select(keys.map(col) :+ col("sketch").as("sk_b"): _*)
+    val joined = a.join(b, keys)
+    val iA = joined.schema.fieldIndex("sk_a")
+    val iB = joined.schema.fieldIndex("sk_b")
+    val keyIdx = keys.map(joined.schema.fieldIndex)
+    val schema = StructType(
+      keys.map(k => joined.schema(joined.schema.fieldIndex(k))) ++ Seq(
+        StructField("n_a", LongType, nullable = false),
+        StructField("n_b", LongType, nullable = false),
+        StructField("ks_num", LongType, nullable = false)))
+    // Sorted-view walk per slice row (the decode-stack mapPartitions
+    // convention — the sketch library's sorted view is imperative, and
+    // per-row dynamic ranks are outside the SQL expressions' foldable-
+    // literal contract). Work is O(retained_a + retained_b) ≤ O(k) per
+    // slice — sketch-sized, corpus-free.
+    val rdd = joined.rdd.mapPartitions { rows =>
+      import org.apache.datasketches.kll.KllLongsSketch
+      import org.apache.datasketches.memory.Memory
+      def view(bytes: Array[Byte]): (Long, Array[Long], Array[Long]) = {
+        val sk = KllLongsSketch.heapify(Memory.wrap(bytes))
+        if (sk.isEmpty) (0L, Array.empty, Array.empty)
+        else {
+          val it = sk.getSortedView.iterator()
+          val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+          val cw = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (it.next()) { vs += it.getQuantile; cw += it.getNaturalRank }
+          (sk.getN, vs.toArray, cw.toArray)
+        }
+      }
+      rows.map { r =>
+        val (nA, va, cwa) = view(r.getAs[Array[Byte]](iA))
+        val (nB, vb, cwb) = view(r.getAs[Array[Byte]](iB))
+        // Union walk over both retained-value sequences; cumulative
+        // weights are the inclusive CDF numerators. Exact overflow
+        // bound: n_a·n_b must fit a long (~3×10^9 rows per side per
+        // slice) — slice finer past it.
+        var ia = 0; var ib = 0; var ca = 0L; var cb = 0L; var ks = 0L
+        while (ia < va.length || ib < vb.length) {
+          val v =
+            if (ib >= vb.length) va(ia)
+            else if (ia >= va.length) vb(ib)
+            else math.min(va(ia), vb(ib))
+          while (ia < va.length && va(ia) == v) { ca = cwa(ia); ia += 1 }
+          while (ib < vb.length && vb(ib) == v) { cb = cwb(ib); ib += 1 }
+          val d = math.abs(ca * nB - cb * nA)
+          if (d > ks) ks = d
+        }
+        Row.fromSeq(keyIdx.map(r.get) ++ Seq(nA, nB, ks))
+      }
+    }
+    joined.sparkSession.createDataFrame(rdd, schema)
+  }
+
   /** Quantile estimates straight off a persisted KLL slice store, under
     * any regrouping of (a subset of) the slice keys.
     */

@@ -362,6 +362,24 @@ object AnalyticQueries {
         .orderBy("lang")
     }),
 
+    // Sketch-level distribution drift (C141 / q38): two-sample KS
+    // between two snapshots' per-lang length distributions, computed
+    // ENTIRELY from their KLL sketches — O(slices × k) sketch
+    // arithmetic, neither snapshot rescanned. Snapshots here are the
+    // even/odd doc_id halves (two pseudo-crawls of the same corpus).
+    // Integer output (ks_num = max |c_a·n_b − c_b·n_a|) so the oracle
+    // comparison is exact; KS = ks_num/(n_a·n_b). Exact regime ⇒ the
+    // grid is every data value and this is the exact two-sample KS.
+    "q38_dist_drift" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      val ska = graft.operators.Sketches.quantileSketches(
+        d.filter(col("doc_id") % 2 === 0), Seq("lang"), "n_chars")
+      val skb = graft.operators.Sketches.quantileSketches(
+        d.filter(col("doc_id") % 2 === 1), Seq("lang"), "n_chars")
+      graft.operators.Sketches.distributionDrift(ska, skb, Seq("lang"))
+        .orderBy("lang")
+    }),
+
     // Cohort retention (C84 / q30): users bucketed by first-seen day,
     // distinct active users per (cohort, day-offset) — the standard
     // product-analytics report. Two map-side-combined aggregations + one
@@ -547,6 +565,26 @@ object AnalyticQueries {
         |       min(CASE WHEN cd >= 0.75 THEN n_chars END) AS p75,
         |       min(CASE WHEN cd >= 0.95 THEN n_chars END) AS p95
         |FROM cd GROUP BY lang ORDER BY lang""".stripMargin,
+    // q38: the KS numerator replayed literally — inclusive CDF counts
+    // at every data value of either half, scaled to the integer
+    // cross-product form.
+    "q38_dist_drift" ->
+      """WITH a AS (SELECT lang, n_chars AS v FROM documents WHERE doc_id % 2 = 0),
+        |b AS (SELECT lang, n_chars AS v FROM documents WHERE doc_id % 2 = 1),
+        |na AS (SELECT lang, count(*) AS n FROM a GROUP BY 1),
+        |nb AS (SELECT lang, count(*) AS n FROM b GROUP BY 1),
+        |grid AS (SELECT DISTINCT lang, v FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+        |ca AS (SELECT g.lang, g.v, count(a.v) AS c FROM grid g
+        |       LEFT JOIN a ON a.lang = g.lang AND a.v <= g.v GROUP BY 1, 2),
+        |cb AS (SELECT g.lang, g.v, count(b.v) AS c FROM grid g
+        |       LEFT JOIN b ON b.lang = g.lang AND b.v <= g.v GROUP BY 1, 2)
+        |SELECT ca.lang, any_value(na.n) AS n_a, any_value(nb.n) AS n_b,
+        |       max(abs(ca.c * nb.n - cb.c * na.n)) AS ks_num
+        |FROM ca
+        |JOIN cb ON cb.lang = ca.lang AND cb.v = ca.v
+        |JOIN na ON na.lang = ca.lang
+        |JOIN nb ON nb.lang = ca.lang
+        |GROUP BY ca.lang ORDER BY ca.lang""".stripMargin,
     // q33: the same answer via the rank formulation — one ground truth
     // for the aggregation idiom the Spark side uses.
     "q33_argmin_order" ->

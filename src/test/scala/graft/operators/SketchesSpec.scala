@@ -217,6 +217,49 @@ class SketchesSpec extends GraftSuite {
     }
   }
 
+  test("distribution drift: hand-computed KS, zero self-drift, disjoint supports saturate, symmetric") {
+    import graft.operators.Sketches
+    def sk(vals: Seq[Long]) = Sketches.quantileSketches(
+      vals.toDF("v").withColumn("g", lit("x")), Seq("g"), "v")
+    def ks(a: Seq[Long], b: Seq[Long]) =
+      Sketches.distributionDrift(sk(a), sk(b), Seq("g"))
+        .select("n_a", "n_b", "ks_num").as[(Long, Long, Long)].first()
+    // F_a vs F_b over the union of values: max |c_a·n_b − c_b·n_a| = 8
+    // (KS = 8/16 = 0.5), computed by hand.
+    assert(ks(Seq(1L, 2L, 3L, 4L), Seq(3L, 4L, 5L, 6L)) === ((4L, 4L, 8L)))
+    // Identical samples: zero drift.
+    assert(ks(Seq(5L, 7L, 7L, 9L), Seq(5L, 7L, 7L, 9L))._3 === 0L)
+    // Disjoint supports: KS = 1, the numerator saturates at n_a·n_b.
+    assert(ks(Seq(1L, 2L), Seq(100L, 200L, 300L)) === ((2L, 3L, 6L)))
+    // Symmetry: |F_a − F_b| is direction-free.
+    val fwd = ks(Seq(1L, 5L, 9L), Seq(2L, 2L, 8L))
+    val rev = ks(Seq(2L, 2L, 8L), Seq(1L, 5L, 9L))
+    assert(fwd._3 === rev._3)
+  }
+
+  test("distribution drift on the real corpus equals the direct two-sample KS (exact regime)") {
+    import graft.operators.Sketches
+    val docs = spark.read.parquet(s"${SparkTestBase.sf001}/documents.parquet")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val got = Sketches.distributionDrift(
+        Sketches.quantileSketches(a, Seq("lang"), "n_chars"),
+        Sketches.quantileSketches(b, Seq("lang"), "n_chars"), Seq("lang"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val av = a.select("lang", "n_chars").as[(String, Long)].collect().groupBy(_._1)
+    val bv = b.select("lang", "n_chars").as[(String, Long)].collect().groupBy(_._1)
+    val exact = (av.keySet & bv.keySet).map { l =>
+      val xs = av(l).map(_._2).sorted; val ys = bv(l).map(_._2).sorted
+      val grid = (xs ++ ys).distinct
+      val num = grid.map { v =>
+        math.abs(xs.count(_ <= v).toLong * ys.length - ys.count(_ <= v).toLong * xs.length)
+      }.max
+      l -> ((xs.length.toLong, ys.length.toLong, num))
+    }.toMap
+    assert(got === exact)
+  }
+
   test("kll error contract past the exact regime: k=200 on a compacting sketch keeps ranks within the documented epsilon") {
     val docs = spark.read.parquet(s"${SparkTestBase.sf001}/documents.parquet")
       .withColumn("g", lit("all"))
