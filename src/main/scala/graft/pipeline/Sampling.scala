@@ -126,6 +126,50 @@ object Sampling {
       .drop(rn)
   }
 
+  /** Weighted reservoir sample WITHOUT replacement per stratum
+    * (Efraimidis–Spirakis A-Res, "Weighted random sampling with a
+    * reservoir", IPL 2006), deterministic and engine-portable: the
+    * uniform is frozen from the portable hash of the id
+    * (u = (h + 0.5)/2^60 ∈ (0,1)), each row keys at `ln(u)/weight` —
+    * the log-space form of the E–S key u^(1/weight), same order
+    * without pow underflow — and the top-`k` keys per stratum win.
+    * Heavier rows draw stochastically larger keys, so inclusion tracks
+    * weight exactly as E–S proves (k=1 selects row i with probability
+    * wᵢ/Σw); without-replacement is by construction (a row holds one
+    * key). [[capPerStratum]] is the w≡1 special case of this scheme.
+    *
+    * Keys round to 6 decimals with an id tiebreak so an engine twin
+    * reproduces the SELECTION bit-exactly (the [[splitThresholds]]
+    * discipline: libm `ln` may differ in the last ulp across engines;
+    * rounding collapses the difference and the tiebreak orders equal
+    * keys identically).
+    *
+    * Scale shape: one shuffle on the stratum + rank within partition
+    * (the [[capPerStratum]] shape) — no global sort, no corpus-wide
+    * collect. Rows with non-positive weight are excluded (zero weight
+    * means "never sample", and the E–S key is undefined there).
+    *
+    * @return surviving rows + `rnk` (1-based within-stratum rank by
+    *         descending key — rnk 1 is the strongest draw).
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      strataCol: String,
+      k: Int,
+      seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashMode.hash(col(idCol).cast("string"), seed).cast("double") + lit(0.5)) /
+      lit(HashSpace)
+    val key = round(log(u) / col(weightCol).cast("double"), 6)
+    val w = Window.partitionBy(col(strataCol)).orderBy(key.desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
   /** EXACT-proportion stratified split: within each stratum, rank rows by
     * the portable hash (id tiebreak — [[capPerStratum]]'s frozen-uniform
     * ordering) and cut at `floor(cumWeight × n)` boundaries, so every

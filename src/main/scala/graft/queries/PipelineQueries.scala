@@ -1304,6 +1304,16 @@ $bandSelects
         maxPerStratum = 15, seed = 7)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+    // Weighted reservoir sample (C142 / s12): Efraimidis–Spirakis A-Res
+    // per lang, weight = n_chars (longer docs proportionally likelier) —
+    // deterministic through the frozen portable-hash uniform, so the
+    // oracle replays the key formula literally (rounded to 6, id
+    // tiebreak — the splitThresholds float discipline).
+    "s12_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(table(s, dir, "documents"), "doc_id", "n_chars",
+        "lang", k = 20, seed = 17)
+        .select("doc_id", "lang", "rnk")
+        .orderBy("doc_id")),
     // Cross-split leakage audit (C41 / s4): the eval-safety check a real
     // pipeline runs AFTER splitting — duplicated documents whose copies
     // straddle the train/test boundary leak evaluation data into
@@ -2277,6 +2287,19 @@ $bandSelects
          |               ELSE $t90 END
          |GROUP BY lang ORDER BY lang""".stripMargin
     },
+    // s12: the E–S key replayed literally — ln of the same frozen
+    // uniform over the same weight, rounded to 6, id tiebreak.
+    "s12_weighted_sample" ->
+      s"""SELECT doc_id, lang, rnk FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY round(ln((h + 0.5) / 1152921504606846976.0) / n_chars::DOUBLE, 6) DESC,
+         |             doc_id) AS rnk
+         |  FROM (SELECT doc_id, lang, n_chars,
+         |               ${sqlHash(17, "doc_id::VARCHAR")} AS h
+         |        FROM documents WHERE n_chars > 0)
+         |) WHERE rnk <= 20
+         |ORDER BY doc_id""".stripMargin,
     // s3: the same hash-then-id ranking capPerStratum windows on.
     "s3_source_cap" ->
       s"""SELECT doc_id, source FROM (

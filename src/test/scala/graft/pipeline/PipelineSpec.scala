@@ -1746,6 +1746,34 @@ class PipelineSpec extends GraftSuite {
     assert(other !== capped.filter(col("source") === "big").select("doc_id").as[Long].collect().toSet)
   }
 
+  test("weighted reservoir: bound + determinism, zero-weight excluded, E-S inclusion tracks weight across seeds") {
+    val d = (1L to 40L).map(i =>
+      (i, "s", if (i <= 20) 9L else 1L)).toDF("doc_id", "src", "w")
+    val got = Sampling.weightedSample(d, "doc_id", "w", "src", k = 10, seed = 3)
+    assert(got.count() === 10L)
+    // Deterministic: identical selection on rerun; ranks are 1..k.
+    val again = Sampling.weightedSample(d, "doc_id", "w", "src", k = 10, seed = 3)
+    assert(got.select("doc_id", "rnk").as[(Long, Int)].collect().toSet ===
+      again.select("doc_id", "rnk").as[(Long, Int)].collect().toSet)
+    assert(got.select("rnk").as[Int].collect().sorted.toSeq === (1 to 10))
+    // Non-positive weight never samples (the E-S key is undefined).
+    val z = (1L to 5L).map(i => (i, "s", if (i == 3) 0L else 1L)).toDF("doc_id", "src", "w")
+    assert(!Sampling.weightedSample(z, "doc_id", "w", "src", k = 5, seed = 1)
+      .select("doc_id").as[Long].collect().contains(3L))
+
+    // E-S inclusion law, exercised across seeds (each seed is an
+    // independent frozen-uniform draw): with one 9-weight row vs nine
+    // 1-weight rows and k = 1, the heavy row wins with p = 9/18 = 0.5;
+    // over 200 seeds the frequency must sit inside ±4σ (σ ≈ 0.035).
+    val pair = ((1L to 9L).map(i => (i, "s", 1L)) :+ ((10L, "s", 9L)))
+      .toDF("doc_id", "src", "w")
+    val wins = (1 to 200).count { seed =>
+      Sampling.weightedSample(pair, "doc_id", "w", "src", k = 1, seed = seed)
+        .select("doc_id").as[Long].first() === 10L
+    }
+    assert(wins >= 72 && wins <= 128, s"heavy-row wins $wins/200, expected ~100")
+  }
+
   test("simhash width is parametric: low bits agree across widths, wide banding finds high-bit flips") {
     // Per-bit majority votes are independent, so a 60-bit fingerprint's
     // low 32 bits must equal the 32-bit fingerprint exactly — widening
