@@ -388,4 +388,199 @@ object Sketches {
       .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
     appendSlices(spark, path, merged)
   }
+
+  // ------------------------------------------------------------------
+  // Frequency tier: exact heavy hitters + mergeable count-min (C140/C141).
+  // ------------------------------------------------------------------
+
+  /** One scan, two corpus-free facts: per-partition Misra–Gries survivor
+    * sets plus per-partition row totals. Output rows are either a
+    * candidate (`__np` NULL) or a partition total (value NULL) — at most
+    * `numPartitions · (k + 1)` rows regardless of corpus size.
+    *
+    * Guarantee (Misra & Gries 1982): with k counters, every item whose
+    * count in a partition exceeds N_p/(k+1) survives that partition's
+    * summary; by pigeonhole any item with GLOBAL count > N/(k+1) exceeds
+    * that bound in at least one partition, so the union of survivors is
+    * a superset of the global heavy hitters at threshold N/(k+1). This
+    * is the fixed-memory map side that makes exact heavy hitters viable
+    * at 100 TB: the long tail (billions of distinct keys) is never
+    * shuffled — only ≤ parts·k candidates reach the exact recount.
+    */
+  private def mgScan(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val in = df.select(col(valueCol)).filter(col(valueCol).isNotNull)
+    val schema = StructType(Seq(
+      in.schema.head.copy(nullable = true),
+      StructField("__np", LongType, nullable = true)))
+    val rdd = in.rdd.mapPartitions { rows =>
+      val counters = scala.collection.mutable.HashMap.empty[Any, Long]
+      var np = 0L
+      while (rows.hasNext) {
+        val v = rows.next().get(0)
+        np += 1
+        counters.get(v) match {
+          case Some(c) => counters.update(v, c + 1L)
+          case None if counters.size < k => counters.update(v, 1L)
+          case None => // the MG step: decrement every counter, drop zeros
+            val ks = counters.keysIterator.toArray
+            var i = 0
+            while (i < ks.length) {
+              val c = counters(ks(i))
+              if (c == 1L) counters.remove(ks(i))
+              else counters.update(ks(i), c - 1L)
+              i += 1
+            }
+        }
+      }
+      counters.keysIterator.map(v => Row(v, null)) ++
+        Iterator.single(Row(null, np))
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  /** Candidate summary for phi-heavy-hitters: (candidate values, total
+    * non-null rows), collected to the driver. The collect is
+    * contract-bounded — ≤ `numPartitions · (ceil(1/phi) + 1)` rows, a
+    * function of the parallelism and the threshold, never the corpus.
+    */
+  private[graft] def mgSummary(
+      df: DataFrame, valueCol: String, phi: Double): (Seq[Any], Long) = {
+    require(phi > 0.0 && phi < 1.0, "phi must lie in (0, 1)")
+    val k = math.ceil(1.0 / phi).toInt
+    val rows = mgScan(df, valueCol, k).collect()
+    val total = rows.iterator.filter(r => !r.isNullAt(1)).map(_.getLong(1)).sum
+    val cands = rows.iterator.filter(_.isNullAt(1)).map(_.get(0))
+      .toSeq.distinct
+    (cands, total)
+  }
+
+  /** EXACT phi-heavy-hitters of `valueCol`: every value occurring in
+    * strictly more than `phi · N` of the non-null rows, with its exact
+    * count — two scans, zero full-cardinality shuffles. Scan 1
+    * ([[mgSummary]]) produces a fixed-memory candidate superset (the MG
+    * guarantee above, k = ceil(1/phi) ≥ 1/phi counters so the survivor
+    * threshold N/(k+1) < phi·N); scan 2 recounts ONLY candidate rows
+    * (broadcast semi-join, partial-aggregated) and applies the exact
+    * threshold. The answer is therefore exactly the brute-force
+    * `GROUP BY … HAVING count(*) > phi·N` — which is the oracle — while
+    * the shuffle carries ≤ parts·k keys instead of every distinct value
+    * in the corpus.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val (cands, total) = mgSummary(df, valueCol, phi)
+    val spark = df.sparkSession
+    val vField = df.schema(df.schema.fieldIndex(valueCol))
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(cands.map(Row(_)), 1),
+      StructType(Seq(vField)))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(candDf), Seq(valueCol), "left_semi")
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(total) * lit(phi))
+  }
+
+  /** One count-min sketch per key group — the frequency twin of
+    * [[distinctSketches]]: per-slice CMS rows persist beside the data
+    * and answer "how often has THIS key been seen across history" by
+    * merging few-KB sketches, never rescanning. Spark's native
+    * `count_min_sketch` aggregate (codegen'd, map-side combined). CMS
+    * is linear (the table is a sum of per-row increments), so slice
+    * sketches built with identical (eps, confidence, seed) merge into
+    * byte-identical state to a single-pass sketch — the property the
+    * merge spec pins. Estimates are one-sided: est ≥ true count ALWAYS
+    * (a theorem — collisions only add), within eps·N above it w.p.
+    * `confidence`; the one-sidedness is what lets [[storedHeavyHitters]]
+    * stay exact.
+    */
+  def freqSketches(
+      df: DataFrame, keys: Seq[String], valueCol: String,
+      eps: Double = 1e-4, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    require(keys.nonEmpty, "at least one grouping key required")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("sketch"))
+  }
+
+  /** Fold slice CMS rows down to one sketch — a distributed `treeReduce`
+    * (log-depth, executor-side merges; the driver receives exactly one
+    * sketch, depth·width longs, a function of (eps, confidence) only).
+    * All inputs must share (eps, confidence, seed); `mergeInPlace`
+    * rejects incompatible shapes.
+    */
+  def mergeFreqSketches(sketches: DataFrame): Array[Byte] = {
+    import org.apache.spark.util.sketch.CountMinSketch
+    sketches.select(col("sketch")).rdd
+      .map(_.getAs[Array[Byte]](0))
+      .treeReduce { (a, b) =>
+        val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(a))
+        val sb = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(b))
+        sa.mergeInPlace(sb)
+        val bos = new java.io.ByteArrayOutputStream()
+        sa.writeTo(bos)
+        bos.toByteArray
+      }
+  }
+
+  /** Point estimates for a frame of probe keys against one merged
+    * sketch: broadcast the sketch bytes, deserialize once per partition,
+    * emit `(probe, est_count)`. Probe values must be the JVM type the
+    * sketch was built over (long column ⇒ long probes — CMS hashes by
+    * runtime type).
+    */
+  def probeCounts(
+      probes: DataFrame, probeCol: String, sketch: Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spark = probes.sparkSession
+    val in = probes.select(col(probeCol)).filter(col(probeCol).isNotNull).distinct()
+    val schema = StructType(
+      in.schema.fields :+ StructField("est_count", LongType, nullable = false))
+    val bc = spark.sparkContext.broadcast(sketch)
+    val rdd = in.rdd.mapPartitions { rows =>
+      val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bc.value))
+      rows.map(r => Row(r.get(0), cms.estimateCount(r.get(0))))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** EXACT phi-heavy-hitters answered THROUGH a persisted CMS slice
+    * store: MG candidates from the current corpus (scan 1), historical
+    * frequency estimates for those candidates from the MERGED stored
+    * sketches (sketch arithmetic, history never rescanned), and an
+    * exact recount (scan 2) confined to candidates whose estimate
+    * clears `phi · N`. Exactness is a theorem twice over: MG candidates
+    * are a superset of the true heavy hitters, and CMS estimates are
+    * one-sided (est ≥ true), so the estimate filter cannot drop a true
+    * hitter — the final recount + threshold is exactly the brute-force
+    * answer. The candidate probe runs driver-side against the single
+    * merged sketch: ≤ parts·k lookups, contract-bounded.
+    */
+  def storedHeavyHitters(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      df: DataFrame, valueCol: String, phi: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.util.sketch.CountMinSketch
+    val (cands, total) = mgSummary(df, valueCol, phi)
+    val merged = mergeFreqSketches(
+      graft.merge.PartitionedTarget.read(spark, path))
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(merged))
+    val kept = cands.filter(v => cms.estimateCount(v) > phi * total)
+    val vField = df.schema(df.schema.fieldIndex(valueCol))
+    val candDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(kept.map(Row(_)), 1),
+      StructType(Seq(vField)))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(candDf), Seq(valueCol), "left_semi")
+      .groupBy(col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(total) * lit(phi))
+  }
 }

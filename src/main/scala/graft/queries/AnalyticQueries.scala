@@ -380,6 +380,48 @@ object AnalyticQueries {
         .orderBy("lang")
     }),
 
+    // Exact heavy hitters (C140 / q39): every user with > phi·N of the
+    // events, exact counts, via distributed Misra–Gries candidates +
+    // exact recount — two scans, and the shuffle carries ≤ parts·k
+    // candidate keys instead of every distinct user in the corpus (the
+    // 100 TB property; a plain GROUP BY shuffles the whole long tail).
+    // The MG superset guarantee makes the answer EXACTLY the
+    // brute-force HAVING query, which is the oracle verbatim.
+    "q39_heavy_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHitters(
+          Fixtures.events(s, dir), "user_id", phi = 0.008)
+        .orderBy("user_id")),
+
+    // Heavy hitters through the persisted CMS store (C141 / q40): the
+    // store lifecycle (backfill per-day count-min slices, upsert the
+    // last two days through the partition-scoped apply, re-ingest one
+    // day to pin idempotent replacement), then answer "which of these
+    // candidates is historically hot" from the MERGED stored sketches —
+    // history never rescanned — and recount exactly only what cleared
+    // the estimate filter. CMS one-sidedness (est ≥ true, a theorem)
+    // means the filter cannot drop a true hitter, so the result is
+    // exactly q39's brute-force oracle.
+    "q40_freq_store" -> ((s, dir) => {
+      val store = s"${Fixtures.scratchDir("graft-q40")}/freq"
+      val ev = Fixtures.events(s, dir).withColumn("day", to_date(col("ts")))
+      def slices(pred: org.apache.spark.sql.Column) =
+        graft.operators.Sketches.freqSketches(
+          ev.filter(pred), Seq("day"), "user_id")
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getDate(0)) // metadata-bounded: one row per day
+      val (backfill, tail) = days.splitAt(math.max(1, days.length - 2))
+      graft.operators.Sketches.writeSketchStore(
+        slices(col("day") <= lit(backfill.last)), store, Seq("day"))
+      for (d <- tail) // the daily increments
+        graft.operators.Sketches.appendSlices(s, store, slices(col("day") === lit(d)))
+      // a re-run day replaces its row instead of double-counting
+      graft.operators.Sketches.appendSlices(
+        s, store, slices(col("day") === lit(backfill.last)))
+      graft.operators.Sketches.storedHeavyHitters(
+          s, store, ev, "user_id", phi = 0.008)
+        .orderBy("user_id")
+    }),
+
     // Cohort retention (C84 / q30): users bucketed by first-seen day,
     // distinct active users per (cohort, day-offset) — the standard
     // product-analytics report. Two map-side-combined aggregations + one
@@ -585,6 +627,22 @@ object AnalyticQueries {
         |JOIN na ON na.lang = ca.lang
         |JOIN nb ON nb.lang = ca.lang
         |GROUP BY ca.lang ORDER BY ca.lang""".stripMargin,
+    // q39: the MG superset guarantee + exact recount make the two-scan
+    // answer EXACTLY the brute-force threshold query.
+    "q39_heavy_hitters" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id IS NOT NULL GROUP BY 1
+        |HAVING count(*) > 0.008 * (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+        |ORDER BY user_id""".stripMargin,
+    // q40: CMS estimates are one-sided (est ≥ true), so the stored-
+    // sketch filter keeps every true hitter and the exact recount gives
+    // the same brute-force answer (idempotent re-ingest means the
+    // repeated slice contributes once).
+    "q40_freq_store" ->
+      """SELECT user_id, count(*) AS cnt FROM events
+        |WHERE user_id IS NOT NULL GROUP BY 1
+        |HAVING count(*) > 0.008 * (SELECT count(*) FROM events WHERE user_id IS NOT NULL)
+        |ORDER BY user_id""".stripMargin,
     // q33: the same answer via the rank formulation — one ground truth
     // for the aggregation idiom the Spark side uses.
     "q33_argmin_order" ->

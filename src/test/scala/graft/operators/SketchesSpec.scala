@@ -274,4 +274,95 @@ class SketchesSpec extends GraftSuite {
     val rank = vs.count(_ <= est).toDouble / vs.length
     assert(math.abs(rank - 0.5) <= 0.032, s"rank of p50 estimate drifted: $rank")
   }
+
+  // ---------------------------------------------------------------
+  // Frequency tier: Misra–Gries heavy hitters + count-min sketches.
+  // ---------------------------------------------------------------
+
+  private def bruteHitters(dir: String, phi: Double): Map[Long, Long] = {
+    val ev = events(dir).filter(col("user_id").isNotNull)
+    val n = ev.count()
+    ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > lit(n) * lit(phi))
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("heavyHitters == brute-force HAVING at both fixture SFs and several phi") {
+    for (dir <- Seq(SparkTestBase.sf0001, SparkTestBase.sf001);
+         phi <- Seq(0.002, 0.005, 0.008, 0.02)) {
+      val got = Sketches.heavyHitters(events(dir), "user_id", phi)
+        .as[(Long, Long)].collect().toMap
+      assert(got === bruteHitters(dir, phi), s"$dir phi=$phi")
+    }
+  }
+
+  test("MG candidate set is a superset of the true heavy hitters; totals match") {
+    val dir = SparkTestBase.sf001
+    for (phi <- Seq(0.002, 0.008)) {
+      val (cands, total) = Sketches.mgSummary(events(dir), "user_id", phi)
+      val exactN = events(dir).filter(col("user_id").isNotNull).count()
+      assert(total === exactN)
+      val hh = bruteHitters(dir, phi).keySet
+      val candSet = cands.map(_.asInstanceOf[Long]).toSet
+      assert(hh.subsetOf(candSet),
+        s"phi=$phi lost hitters: ${hh -- candSet}")
+    }
+  }
+
+  test("CMS slice merge is linear: per-day sketches fold to the byte-identical single-pass sketch") {
+    val ev = events(SparkTestBase.sf001).withColumn("g", lit("all"))
+    val single = Sketches.freqSketches(ev, Seq("g"), "user_id")
+      .select("sketch").as[Array[Byte]].first()
+    val daily = Sketches.freqSketches(ev, Seq("day"), "user_id")
+    val merged = Sketches.mergeFreqSketches(daily)
+    assert(java.util.Arrays.equals(merged, single))
+  }
+
+  test("CMS estimates are one-sided: est >= exact for every key, and exact for most in the wide regime") {
+    val ev = events(SparkTestBase.sf0001)
+    val exact = ev.filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toMap
+    val merged = Sketches.mergeFreqSketches(
+      Sketches.freqSketches(ev, Seq("day"), "user_id"))
+    val probes = ev.select("user_id").distinct()
+    val est = Sketches.probeCounts(probes, "user_id", merged)
+      .as[(Long, Long)].collect().toMap
+    assert(est.keySet === exact.keySet)
+    for ((k, e) <- est) assert(e >= exact(k), s"CMS underestimated key $k")
+    // width 2/eps = 20000 vs ~15 distinct keys: everything is exact here
+    assert(est === exact)
+  }
+
+  test("probeCounts (distributed) == driver-side estimateCount") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val ev = events(SparkTestBase.sf001)
+    val merged = Sketches.mergeFreqSketches(
+      Sketches.freqSketches(ev, Seq("day"), "user_id"))
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(merged))
+    val got = Sketches.probeCounts(ev.select("user_id").distinct(), "user_id", merged)
+      .as[(Long, Long)].collect().toMap
+    for ((k, v) <- got)
+      assert(v === cms.estimateCount(java.lang.Long.valueOf(k)))
+  }
+
+  test("storedHeavyHitters through a persisted CMS store == brute force; idempotent re-ingest") {
+    val ev = events(SparkTestBase.sf001)
+    val store = s"${java.nio.file.Files.createTempDirectory("cms").toString}/freq"
+    def slices(p: org.apache.spark.sql.Column) =
+      Sketches.freqSketches(ev.filter(p), Seq("day"), "user_id")
+    val days = ev.select("day").distinct().orderBy("day")
+      .collect().map(_.getDate(0))
+    val (backfill, tail) = days.splitAt(days.length - 2)
+    Sketches.writeSketchStore(
+      slices(col("day") <= lit(backfill.last)), store, Seq("day"))
+    for (d <- tail)
+      Sketches.appendSlices(spark, store, slices(col("day") === lit(d)))
+    // re-ingest one day: its sketch row is REPLACED, not double-counted
+    Sketches.appendSlices(
+      spark, store, slices(col("day") === lit(backfill.last)))
+    val got = Sketches.storedHeavyHitters(spark, store, ev, "user_id", 0.008)
+      .as[(Long, Long)].collect().toMap
+    assert(got === bruteHitters(SparkTestBase.sf001, 0.008))
+  }
 }
