@@ -550,6 +550,59 @@ object Sketches {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Merge arriving CMS slice sketches INTO the store — the
+    * [[mergeQuantilesIntoStore]] twin for the frequency tier, sharing
+    * its exactly-once mechanism because the two algebras fail the same
+    * way: CMS is LINEAR-ADDITIVE (the table is a sum), so replaying a
+    * batch doubles every count it contributed — like KLL's n and unlike
+    * HLL's register max. The replay watermark therefore rides IN the
+    * store rows (each stored slice keeps the max `batch_id` folded into
+    * it) and promotes atomically with the data through the
+    * partition-scoped apply — no sidecar to tear.
+    *
+    * The per-slice binary merge has no SQL aggregate (count-min
+    * aggregates raw VALUES, not sketches), so slices fold via
+    * `reduceByKey` over the (stored-match ∪ arriving) rows — per-slice
+    * row counts are tiny (one stored + the batch's one), and the merge
+    * is executor-side. All sketches must share (eps, confidence, seed).
+    */
+  def mergeFreqIntoStore(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      arriving: DataFrame): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.util.sketch.CountMinSketch
+    val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
+    val keys = spec.keys
+    // Metadata-bounded collect: one bucket id per arriving slice group.
+    val touched = arriving
+      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storedMatch = graft.merge.PartitionedTarget
+      .readBuckets(spark, path, touched) match {
+      case None => None
+      case Some(stored) =>
+        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
+    }
+    val ordered = (keys :+ "sketch") :+ "batch_id"
+    val both = storedMatch.fold(arriving)(_.unionByName(arriving))
+      .select(ordered.map(col): _*)
+    val nk = keys.length
+    val schema = both.schema
+    val rdd = both.rdd
+      .map(r => (keys.indices.map(r.get).toList,
+        (r.getAs[Array[Byte]](nk), r.getLong(nk + 1))))
+      .reduceByKey { (x: (Array[Byte], Long), y: (Array[Byte], Long)) =>
+        val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(x._1))
+        val sb = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(y._1))
+        sa.mergeInPlace(sb)
+        val bos = new java.io.ByteArrayOutputStream()
+        sa.writeTo(bos)
+        (bos.toByteArray, math.max(x._2, y._2))
+      }
+      .map { case (ks, (sk, b)) => Row.fromSeq(ks ::: List(sk, b)) }
+    appendSlices(spark, path, spark.createDataFrame(rdd, schema))
+  }
+
   /** EXACT phi-heavy-hitters answered THROUGH a persisted CMS slice
     * store: MG candidates from the current corpus (scan 1), historical
     * frequency estimates for those candidates from the MERGED stored

@@ -437,6 +437,23 @@ object StreamingQueries {
           s, store, Seq("lang"), Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("lang")
     }),
+    // Streaming count-min-store maintenance (st17): events replayed
+    // time-ordered, each micro-batch's per-day frequency sketches MERGED
+    // into the stored slice rows (read touched buckets, CMS table-sum,
+    // replace). CMS is linear-additive — a replayed batch would DOUBLE
+    // every count — so the in-row batch_id watermark (st16's mechanism,
+    // forced by the same algebraic failure) is what makes replays safe.
+    // The converged store then answers heavy hitters exactly: MG
+    // candidates from the corpus, one-sided stored-sketch estimates as
+    // the filter (est ≥ true — cannot drop a hitter), exact recount —
+    // q39's brute-force oracle verbatim.
+    "st17_stream_freq" -> ((s, dir) => {
+      val (replay, store) = st17Setup(s, dir)
+      replay()
+      graft.operators.Sketches.storedHeavyHitters(
+          s, store, Fixtures.events(s, dir), "user_id", phi = 0.008)
+        .orderBy("user_id")
+    }),
     "st8_stream_enrich" -> ((s, dir) => {
       val (replay, out) = st8Setup(s, dir)
       replay()
@@ -662,6 +679,32 @@ object StreamingQueries {
     (replay, store)
   }
 
+  /** Untimed setup for st17 (streaming count-min store): events replayed
+    * time-ordered across N batches — days straddle batch boundaries, so
+    * stored slice rows are read-merged-replaced (the linear-additive
+    * path the in-row watermark exists for).
+    */
+  private[graft] def st17Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st17")
+    val store = s"$scratch/store"
+    val rows = Fixtures.events(s, dir)
+      .select(col("event_id"), unix_micros(col("ts").cast("timestamp")).as("us"),
+        col("user_id"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._1))
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = mem.toDF().toDF("event_id", "us", "user_id")
+      .select(to_date(timestamp_micros(col("us"))).as("day"), col("user_id"))
+    val q = StreamingIndex.freqStoreTo(
+      stream, store, s"$scratch/cp", Seq("day"), "user_id")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, store)
+  }
+
   /** Untimed setup for st16 (streaming KLL quantile store): documents
     * replayed in doc_id order across N batches — every batch holds rows
     * of most (lang, source) slices, so stored slice rows are
@@ -827,6 +870,9 @@ object StreamingQueries {
     // st16: the converged quantile store answers exactly like the batch
     // q37 — same inclusive-rule oracle.
     "st16_stream_quantiles" -> AnalyticQueries.oracleSql("q37_kll_quantiles"),
+    // st17: the converged count-min store routes q39's exact-heavy-hitter
+    // pipeline (one-sided estimates cannot drop a true hitter).
+    "st17_stream_freq" -> AnalyticQueries.oracleSql("q39_heavy_hitters"),
     // st10: CDC ops are one-per-key and commute across keys, so the
     // converged streamed state == the one-shot batch apply (m15's SQL).
     "st10_stream_cdc" ->

@@ -270,6 +270,61 @@ object StreamingIndex {
       }
     }
 
+  /** Ingest-time maintenance of a persisted count-min store — the
+    * frequency twin of [[quantileStoreTo]], and the same exactly-once
+    * mechanism because the algebra fails the same way: CMS is
+    * linear-additive, a replayed batch doubles every count it
+    * contributed, so the batch-id watermark rides IN the store rows and
+    * promotes atomically with the partition-scoped apply (no sidecar to
+    * tear). Per batch: one codegen'd map-side `count_min_sketch` agg of
+    * the BATCH, a read of only the buckets its slices hash to, a
+    * rewrite of those buckets. Interrupted applies roll forward via
+    * `MergeApply.recover` BEFORE the watermark read; a torn bootstrap
+    * rebuilds because the spec sidecar lands strictly after the parquet
+    * write.
+    */
+  def freqStoreTo(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      sliceKeys: Seq[String],
+      valueCol: String,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42,
+      nBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFreqBatch(batch, batchId, path, sliceKeys, valueCol,
+          eps, confidence, seed, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of frequency-store maintenance (the foreachBatch
+    * body, exposed so the replay/crash windows are unit-testable). */
+  private[graft] def applyFreqBatch(
+      batch: DataFrame, batchId: Long, path: String, sliceKeys: Seq[String],
+      valueCol: String, eps: Double = 1e-4, confidence: Double = 0.99,
+      seed: Int = 42, nBuckets: Int = 8): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val slices = graft.operators.Sketches
+        .freqSketches(batch, sliceKeys, valueCol, eps, confidence, seed)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+        graft.operators.Sketches.writeSketchStore(slices, path, sliceKeys, nBuckets)
+      else {
+        graft.merge.MergeApply.recover(spark, path)
+        val landed = graft.merge.PartitionedTarget.read(spark, path)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("batch_id"))).first().getLong(0)
+        if (batchId > landed)
+          graft.operators.Sketches.mergeFreqIntoStore(spark, path, slices)
+      }
+    }
+
   /** One micro-batch of sketch-store maintenance (the foreachBatch body,
     * exposed so the replay/crash windows are unit-testable). */
   private[graft] def applySketchBatch(

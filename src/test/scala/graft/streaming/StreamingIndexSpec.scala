@@ -322,4 +322,78 @@ class StreamingIndexSpec extends GraftSuite {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap === exact0)
   }
+
+  test("streaming count-min-store maintenance: converged == single-pass sketch byte-for-byte, the in-row watermark skips replays of the additive merge, torn bootstrap rebuilds") {
+    import graft.operators.Sketches
+    import org.apache.spark.util.sketch.CountMinSketch
+    val keys = Seq("day")
+    def batch(rows: (String, Long)*) = rows.toDF("day", "user_id")
+    // Day d1 straddles every batch — the read-merge-replace path runs
+    // repeatedly; d3 opens a fresh slice.
+    val b0 = batch(("d1", 7L), ("d1", 7L), ("d2", 3L))
+    val b1 = batch(("d1", 7L), ("d2", 3L), ("d2", 9L))
+    val b2 = batch(("d1", 4L), ("d3", 7L))
+    val base = java.nio.file.Files.createTempDirectory("stridx-cms")
+    val store = base.resolve("store").toString
+    def est(key: Long): Long = {
+      val merged = Sketches.mergeFreqSketches(
+        graft.merge.PartitionedTarget.read(spark, store))
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(merged))
+        .estimateCount(java.lang.Long.valueOf(key))
+    }
+
+    StreamingIndex.applyFreqBatch(b0, 0L, store, keys, "user_id")
+    StreamingIndex.applyFreqBatch(b1, 1L, store, keys, "user_id")
+    val afterTwo = Seq(7L, 3L, 9L).map(est)
+
+    // The algebra the watermark exists for: CMS is linear-additive —
+    // bypassing the watermark and re-merging b1's slices doubles the
+    // counts b1 contributed.
+    val clone = base.resolve("clone").toString
+    StreamingIndex.applyFreqBatch(b0, 0L, clone, keys, "user_id")
+    StreamingIndex.applyFreqBatch(b1, 1L, clone, keys, "user_id")
+    Sketches.mergeFreqIntoStore(spark, clone,
+      Sketches.freqSketches(b1, keys, "user_id").withColumn("batch_id", lit(99L)))
+    val mergedClone = Sketches.mergeFreqSketches(
+      graft.merge.PartitionedTarget.read(spark, clone))
+    val cmsClone = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(mergedClone))
+    // user 9 appears once, only in b1: the bypassed replay counts it twice
+    assert(cmsClone.estimateCount(java.lang.Long.valueOf(9L)) === 2L)
+
+    // With the watermark: replays of the bootstrap batch and of an
+    // append batch are exact no-ops.
+    StreamingIndex.applyFreqBatch(b0, 0L, store, keys, "user_id")
+    StreamingIndex.applyFreqBatch(b1, 1L, store, keys, "user_id")
+    assert(Seq(7L, 3L, 9L).map(est) === afterTwo)
+
+    // Converged == the single-pass whole-corpus sketch, byte for byte
+    // (CMS linearity end-to-end through the store).
+    StreamingIndex.applyFreqBatch(b2, 2L, store, keys, "user_id")
+    val all = b0.unionByName(b1).unionByName(b2).withColumn("g", lit("all"))
+    val single = Sketches.freqSketches(all, Seq("g"), "user_id")
+      .select("sketch").as[Array[Byte]].first()
+    val converged = Sketches.mergeFreqSketches(
+      graft.merge.PartitionedTarget.read(spark, store))
+    assert(java.util.Arrays.equals(converged, single))
+    // One row per slice forever; the watermark rides in the rows.
+    assert(graft.merge.PartitionedTarget.read(spark, store)
+      .groupBy(keys.map(col): _*).count().filter(col("count") > 1).isEmpty)
+    assert(graft.merge.PartitionedTarget.read(spark, store)
+      .agg(max(col("batch_id"))).first().getLong(0) === 2L)
+
+    // Torn bootstrap: parquet without the spec sidecar reads as "no
+    // store yet"; the bootstrap replay rebuilds it whole.
+    val store2 = base.resolve("store2").toString
+    Sketches.freqSketches(b0, keys, "user_id")
+      .withColumn("batch_id", lit(0L)).write.parquet(store2)
+    StreamingIndex.applyFreqBatch(b0, 0L, store2, keys, "user_id")
+    val single0 = Sketches.freqSketches(
+        b0.withColumn("g", lit("all")), Seq("g"), "user_id")
+      .select("sketch").as[Array[Byte]].first()
+    assert(java.util.Arrays.equals(
+      Sketches.mergeFreqSketches(
+        graft.merge.PartitionedTarget.read(spark, store2)),
+      single0))
+  }
 }
