@@ -19,6 +19,33 @@ object TextStats {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit(TokenPattern), lit(0)))
 
+  /** Frequent word n-grams — boilerplate-phrase mining: every n-gram
+    * covering more than `phi` of the corpus's gram occurrences, with its
+    * EXACT count. Template footers, cookie banners, and licence
+    * boilerplate are phrase-level heavy hitters long before they are
+    * document-level duplicates (C51 removes repeated BLOCKS; this finds
+    * the phrases worth turning into blocklist rules). Routed through the
+    * C143 Misra–Gries machinery, which is what makes it viable at
+    * 100 TB: the exploded gram stream (≈ tokens-per-corpus rows, the
+    * highest-cardinality frame in the repo) feeds a fixed-memory
+    * per-partition pass — the trillion-key gram tail is never shuffled —
+    * and only ≤ parts·ceil(1/phi) candidates reach the exact recount.
+    * Grams are space-joined token windows (the d2 shingle form, so the
+    * oracle replays them verbatim); the MG superset guarantee makes the
+    * answer exactly the brute-force `GROUP BY gram HAVING`.
+    */
+  def frequentPhrases(
+      docs: DataFrame, textCol: String, n: Int, phi: Double): DataFrame = {
+    require(n >= 2, s"gram width must be >= 2, got $n")
+    val grams = docs
+      .select(TextOps.tokens(col(textCol)).as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), " +
+          s"i -> array_join(slice(__w, i, $n), ' '))")).as("phrase"))
+    graft.operators.Sketches.heavyHitters(grams, "phrase", phi)
+  }
+
   /** Corpus statistics grouped by a dimension column: document count,
     * char/token totals and means.
     */

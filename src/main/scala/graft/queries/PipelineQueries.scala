@@ -1010,6 +1010,21 @@ $bandSelects
           TextOps.stripInvisible(col("raw")).as("clean"))
         .orderBy("doc_id")
     }),
+    // Frequent-phrase mining (C146 / t28): boilerplate trigrams planted
+    // on every even doc (the t17/t27 planting discipline — fixture text
+    // has no natural template footer), then mined EXACTLY via the MG
+    // candidates + exact-recount pipeline over the exploded gram stream
+    // — the highest-cardinality frame in the repo, and precisely the one
+    // a plain GROUP BY cannot afford to shuffle at 100 TB. The superset
+    // guarantee makes the answer the brute-force HAVING oracle verbatim.
+    "t28_frequent_ngrams" -> ((s, dir) => {
+      val planted = table(s, dir, "documents")
+        .select(when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" please subscribe to our newsletter")))
+          .otherwise(col("text")).as("text"))
+      graft.pipeline.TextStats.frequentPhrases(planted, "text", n = 3, phi = 0.002)
+        .orderBy("phrase")
+    }),
     // Unicode NFC normalization (C75 / t18): the native-expression text
     // floor — decomposed sequences (e + U+0301, A + U+030A) compose, so
     // exact-dedup hashes and shingles see one spelling. The suffix is
@@ -2677,6 +2692,23 @@ $bandSelects
     // t27: same plant (chr() codepoints), same two-class scrub — RE2 and
     // Java regex agree on \x{...} character classes, the PiiPatterns
     // portability argument.
+    // t28: MG superset + exact recount == brute-force HAVING; the plant
+    // and the gram construction replay literally (d2's shingle form,
+    // minus its per-doc distinct — occurrences count here).
+    "t28_frequent_ngrams" ->
+      """WITH d AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0
+        |              THEN text || ' please subscribe to our newsletter'
+        |              ELSE text END AS text
+        |  FROM documents),
+        |words AS (SELECT string_split(text, ' ') AS w FROM d),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS phrase
+        |  FROM words WHERE len(w) >= 3)
+        |SELECT phrase, count(*) AS cnt FROM g GROUP BY 1
+        |HAVING count(*) > 0.002 * (SELECT count(*) FROM g)
+        |ORDER BY phrase""".stripMargin,
     "t27_invisible_scrub" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -3087,4 +3087,32 @@ class PipelineSpec extends GraftSuite {
       .filter(col("clean") =!= col("text")).count()
     assert(mismatches === 0L)
   }
+
+  test("frequent phrases: == brute-force gram counts at both SFs and widths, planted boilerplate surfaces, clean corpus yields none") {
+    import graft.pipeline.TextStats
+    def grams(df: org.apache.spark.sql.DataFrame, n: Int) = df
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(explode(expr(
+        s"transform(sequence(1, size(w) - ${n - 1}), i -> array_join(slice(w, i, $n), ' '))")).as("phrase"))
+    for (dir <- Seq(graft.SparkTestBase.sf0001, graft.SparkTestBase.sf001);
+         n <- Seq(2, 3); phi <- Seq(0.002, 0.01)) {
+      val planted = spark.read.parquet(s"$dir/documents.parquet")
+        .select(when(col("doc_id") % 2 === 0,
+            concat(col("text"), lit(" please subscribe to our newsletter")))
+          .otherwise(col("text")).as("text"))
+      val g = grams(planted, n)
+      val total = g.count()
+      val brute = g.groupBy("phrase").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > lit(total) * lit(phi))
+        .as[(String, Long)].collect().toMap
+      val got = TextStats.frequentPhrases(planted, "text", n, phi)
+        .as[(String, Long)].collect().toMap
+      assert(got === brute, s"$dir n=$n phi=$phi")
+    }
+    // The un-planted fixture corpus has no phrase-level boilerplate at
+    // this threshold — the report is empty, not noisy.
+    val clean = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+    assert(TextStats.frequentPhrases(clean, "text", 3, 0.002).isEmpty)
+  }
 }
