@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-authority scoring: fixed-iteration PageRank (Page, Brin,
+  * Motwani, Winograd 1999) over an edge frame — the quality-prior
+  * pattern production curation pipelines run over the crawl's link
+  * graph (CCNet/RefinedWeb-style domain reputation: a document's
+  * admission score includes how authoritative its domain is in the
+  * hyperlink structure, computed once per crawl snapshot).
+  *
+  * Semantics are the classic simplified iteration, deterministic and
+  * replayable cross-engine:
+  *
+  *   rank⁰(v)   = 1/N
+  *   rankᵏ(v)   = (1−d)/N + d · Σ_{(u,v)∈E} rankᵏ⁻¹(u) / outdeg(u)
+  *
+  * run for a FIXED number of iterations (convergence-threshold loops
+  * are not oracle-expressible; k fixed unrolls exactly). Dangling mass
+  * is NOT redistributed — callers with dangling nodes get the
+  * documented simplified form (rank sums to < 1); on a symmetric edge
+  * set there are no dangling nodes and the sum-to-1 invariant holds
+  * (spec-pinned).
+  *
+  * Scale shape: each iteration is ONE shuffle — contributions =
+  * edges ⋈ ranks ⋈ outdeg (both rank/deg sides keyed by src, the same
+  * partitioning) partial-aggregated by dst — and ranks persist with
+  * lineage CUT per iteration (persist + materialize + unpersist of the
+  * predecessor), the standard iterative-algorithm discipline: without
+  * it the plan doubles per iteration and iteration 20 replays
+  * iteration 1. Edge dedup, degree, and the node universe are each a
+  * single pass.
+  */
+object GraphRank {
+
+  def pageRank(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, "damping must lie in (0, 1)")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
+    try {
+      val n = nodes.count() // scalar: the node-universe size
+      var ranks = nodes.withColumn("rank", lit(1.0 / n)).persist()
+      ranks.count()
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outDeg, "src")
+          .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("__s"))
+        val next = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+          .persist()
+        next.count() // materialize: cut the iteration's lineage
+        ranks.unpersist(false)
+        ranks = next
+      }
+      ranks // persisted + materialized: safe once the inputs unpersist
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); outDeg.unpersist(false)
+    }
+  }
+}

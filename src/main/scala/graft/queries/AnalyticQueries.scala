@@ -380,6 +380,25 @@ object AnalyticQueries {
         .orderBy("lang")
     }),
 
+    // Graph-authority scoring (C147 / q41): fixed-iteration PageRank
+    // over the customer↔supplier transaction graph (symmetric distinct
+    // edges from orders×lineitem; ids disambiguated by a c/s prefix) —
+    // the domain-reputation prior curation pipelines compute over a
+    // crawl's link graph. k=3 iterations unroll exactly into the
+    // oracle's chained CTEs; symmetric edges mean no dangling mass, so
+    // ranks sum to 1 (spec-pinned). Each iteration is one shuffle with
+    // lineage cut per step — the plan that survives iteration 20.
+    "q41_graph_rank" -> ((s, dir) => {
+      val pair = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = pair.union(pair.select(col("dst"), col("src")))
+      graft.operators.GraphRank.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    }),
+
     // Exact heavy hitters (C140 / q39): every user with > phi·N of the
     // events, exact counts, via distributed Misra–Gries candidates +
     // exact recount — two scans, and the shuffle carries ≤ parts·k
@@ -627,6 +646,32 @@ object AnalyticQueries {
         |JOIN na ON na.lang = ca.lang
         |JOIN nb ON nb.lang = ca.lang
         |GROUP BY ca.lang ORDER BY ca.lang""".stripMargin,
+    // q41: the fixed iteration count unrolls exactly; double arithmetic
+    // agrees to ~1e-15 per step, far inside round(9).
+    "q41_graph_rank" -> {
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT v.node,
+           |         (CAST(1 AS DOUBLE) - 0.85) / (SELECT n FROM nn)
+           |           + 0.85 * coalesce(sum(r.rank / d.deg), 0) AS rank
+           |  FROM nodes v
+           |  LEFT JOIN e ON e.dst = v.node
+           |  LEFT JOIN $prev r ON r.node = e.src
+           |  LEFT JOIN deg d ON d.src = e.src
+           |  GROUP BY v.node)""".stripMargin
+      s"""WITH pair AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM pair UNION SELECT dst, src FROM pair),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM nodes),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
     // q39: the MG superset guarantee + exact recount make the two-scan
     // answer EXACTLY the brute-force threshold query.
     "q39_heavy_hitters" ->
