@@ -1010,6 +1010,20 @@ $bandSelects
           TextOps.stripInvisible(col("raw")).as("clean"))
         .orderBy("doc_id")
     }),
+    // k-anonymity gate (C148 / t29): the structural privacy check PII
+    // scrubbing (t7) cannot express — rows whose quasi-identifier
+    // combination is shared by < k records re-identify by JOIN against
+    // any public table with the same attributes. Report + suppression
+    // over (segment × nation): one map-side-combined aggregation, one
+    // semi-join on the same keys. Suppression never alters survivors,
+    // so the oracle is the literal HAVING replay.
+    "t29_k_anonymity" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      graft.pipeline.Privacy.suppressRare(
+          c, Seq("c_mktsegment", "c_nationkey"), k = 10)
+        .select("c_custkey", "c_mktsegment", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
     // Frequent-phrase mining (C146 / t28): boilerplate trigrams planted
     // on every even doc (the t17/t27 planting discipline — fixture text
     // has no natural template footer), then mined EXACTLY via the MG
@@ -2692,6 +2706,16 @@ $bandSelects
     // t27: same plant (chr() codepoints), same two-class scrub — RE2 and
     // Java regex agree on \x{...} character classes, the PiiPatterns
     // portability argument.
+    // t29: suppression is a literal semi-join against the >= k classes.
+    "t29_k_anonymity" ->
+      """WITH safe AS (
+        |  SELECT c_mktsegment, c_nationkey FROM customer
+        |  GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT c_custkey, c.c_mktsegment, c.c_nationkey
+        |FROM customer c
+        |JOIN safe s ON s.c_mktsegment = c.c_mktsegment
+        |           AND s.c_nationkey = c.c_nationkey
+        |ORDER BY c_custkey""".stripMargin,
     // t28: MG superset + exact recount == brute-force HAVING; the plant
     // and the gram construction replay literally (d2's shingle form,
     // minus its per-doc distinct — occurrences count here).
