@@ -364,6 +364,52 @@ object Similarity {
       Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
     }
 
+  /** Seed-derived ±1 projection matrix — the database-friendly
+    * Johnson–Lindenstrauss family (Achlioptas, JCSS 2003: ±1 entries
+    * satisfy the JL lemma with the same guarantees as Gaussians, and
+    * the projection is pure add/subtract). Rows are derived exactly
+    * like [[hyperplanes]]' planes: data-independent constants, so
+    * projections NEVER go stale as the corpus grows and any engine can
+    * replay them from (outDim, dim, seed) alone.
+    */
+  def projectionMatrix(outDim: Int, dim: Int, seed: Int): Array[Array[Double]] =
+    Array.tabulate(outDim) { p =>
+      val rnd = new java.util.Random(seed.toLong * 7368787L + p)
+      Array.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    }
+
+  /** Random-projection dimensionality reduction: each embedding maps to
+    * `proj[j] = round(v · m_j / √outDim, 6)` — the JL preprocessing
+    * step that makes every downstream vector operator cheaper by
+    * dim/outDim (a 64→16 cut quarters every dot product in brute-force
+    * search, IVF assignment, and near-dup verification) while
+    * distances/angles distort by the JL bound (ε ≈ √(8·ln n / outDim)
+    * w.h.p.; the measured distortion on the fixture corpus is
+    * spec-pinned). Map-only: `outDim` codegen'd [[DotProduct]]s per row
+    * against literal matrix rows — no shuffle, no model to train or
+    * persist (contrast C92's PQ, which learns codebooks for better
+    * fidelity at equal bytes but needs the training pass + sidecars).
+    * Components round to 6 decimals so the projected frame is
+    * bit-reproducible cross-engine (the splitThresholds float
+    * discipline); the rounding's 1e-6 per-component error is ~100×
+    * below the JL distortion it rides on.
+    */
+  def randomProject(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, outDim: Int, seed: Int,
+      projAs: String = "proj"): DataFrame = {
+    require(outDim >= 1 && outDim <= dim,
+      s"outDim must lie in [1, dim]; got $outDim vs dim $dim")
+    val m = projectionMatrix(outDim, dim, seed)
+    val dp = dotOn(vectors.sparkSession)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val v = asDouble(col(vecCol))
+    val comps = m.map { row =>
+      round(dp(v, typedLit(row.toSeq)) * lit(scale), 6)
+    }
+    vectors.select(col(idCol), array(comps.toIndexedSeq: _*).as(projAs))
+  }
+
   /** Random-hyperplane LSH near-duplicate pairs (Charikar 2002 — SimHash
     * for embeddings): each vector gets an `nBits` sign signature
     * (bit p = [v · plane_p >= 0]); the signature is banded into

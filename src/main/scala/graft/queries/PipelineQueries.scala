@@ -39,6 +39,8 @@ object PipelineQueries {
   private[queries] val HpBits = 16
   private[queries] val HpBandBits = 8
   private[queries] val HpSeed = 7
+  private[queries] val RpOutDim = 16
+  private[queries] val RpSeed = 11
 
   /** DuckDB twin of the hyperplane sign-signature build: emits CTEs
     * `${prefix}bits` (vec_id, e, b0..b{nBits-1}) and `${prefix}sig`
@@ -1070,6 +1072,21 @@ $bandSelects
       Similarity.cosineTopK(v, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("probe_id", "rnk")
     }),
+    // Random-projection search (C149 / e20): e1's exact top-k run in the
+    // JL-projected 16-dim space — every dot product is dim/outDim (4×)
+    // cheaper, the trade the spec prices (measured distortion + recall
+    // against the 64-dim truth). The ±1 matrix is seed-derived constant
+    // literals, so the oracle replays projection AND search literally;
+    // components round to 6, making the projected frame bit-identical
+    // cross-engine.
+    "e20_random_project" -> ((s, dir) => {
+      val v = table(s, dir, "embeddings")
+      val proj = Similarity.randomProject(
+        v, "vec_id", "embedding", dim = HpDim, outDim = RpOutDim, seed = RpSeed)
+      Similarity.cosineTopK(
+          proj, proj.filter(col("vec_id") < 5), "vec_id", "proj", k = 10)
+        .orderBy("probe_id", "rnk")
+    }),
     // Hard-negative mining (e15): (anchor, positive, hard negatives)
     // triplets for contrastive training — rank-1 is the positive, later
     // ranks become negatives only when sim <= pos_sim - margin (the
@@ -2068,6 +2085,32 @@ $bandSelects
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // e20: the projection matrix embeds as ±1 literals (the hpSignatureSql
+    // discipline); both engines project, round to 6, then run e1's exact
+    // top-k in the projected space.
+    "e20_random_project" -> {
+      val comps = Similarity.projectionMatrix(RpOutDim, HpDim, RpSeed)
+        .map { row =>
+          val arr = row.map(x => if (x > 0) "1.0" else "-1.0")
+            .mkString("[", ", ", "]")
+          s"round(list_dot_product(e, $arr) * 0.25, 6)"
+        }.mkString(", ")
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |proj AS (
+         |  SELECT vec_id,
+         |         [$comps] AS e
+         |  FROM v),
+         |p AS (SELECT vec_id AS probe_id, e AS pe FROM proj WHERE vec_id < 5),
+         |s AS (
+         |  SELECT p.probe_id, proj.vec_id AS neighbor_id,
+         |         round(list_dot_product(pe, e)
+         |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))), 6) AS sim
+         |  FROM proj CROSS JOIN p WHERE proj.vec_id <> p.probe_id
+         |),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rnk FROM s)
+         |SELECT probe_id, neighbor_id, sim, rnk FROM r WHERE rnk <= 10
+         |ORDER BY probe_id, rnk""".stripMargin
+    },
     "e1_topk_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |p AS (SELECT vec_id AS probe_id, e AS pe FROM v WHERE vec_id < 5),

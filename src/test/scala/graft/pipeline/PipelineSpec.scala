@@ -3115,4 +3115,57 @@ class PipelineSpec extends GraftSuite {
     val clean = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
     assert(TextStats.frequentPhrases(clean, "text", 3, 0.002).isEmpty)
   }
+
+  test("random projection: basis vectors read the matrix back, deterministic, JL distortion and projected-space recall within measured bounds") {
+    import graft.pipeline.Similarity
+    val dim = 8; val outDim = 4; val seed = 11
+    val m = Similarity.projectionMatrix(outDim, dim, seed)
+    // Basis vector e_i projects to column i of the matrix over sqrt(outDim).
+    val basis = (0 until dim)
+      .map(i => (i.toLong, Array.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.randomProject(basis, "vec_id", "embedding", dim, outDim, seed)
+      .as[(Long, Seq[Double])].collect().toMap
+    for (i <- 0 until dim; j <- 0 until outDim)
+      assert(math.abs(got(i.toLong)(j) - m(j)(i) / 2.0) < 1e-9, s"e$i -> m[$j][$i]")
+    // Deterministic: a second derivation is identical.
+    val again = Similarity.randomProject(basis, "vec_id", "embedding", dim, outDim, seed)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(again === got)
+
+    // Measured JL contract on the real corpus (64 -> 16). Two claims,
+    // each matched to what JL actually promises: (1) PLANTED near-dup
+    // twins (cosine ≈ 1, the e3 plant) stay each other's projected
+    // top-1 — angle ≈ 0 survives any JL map, and near-dup detection is
+    // the projection's use case; (2) mean |Δcosine| over probe×corpus
+    // stays under 2× the measured value — a regression tripwire. Rank
+    // recall among the UNSTRUCTURED background is deliberately not
+    // pinned: fixture vectors are near-equidistant, where no 16-dim map
+    // preserves order (that is the JL bound working, not failing).
+    val base = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val twins = base.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") + 10000).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.1f) + lit(0.01f)).as("embedding"))
+    val v = base.unionByName(twins)
+    val proj = Similarity.randomProject(v, "vec_id", "embedding", 64, 16, seed)
+    val twinProbes = proj.join(
+      twins.select("vec_id"), Seq("vec_id"), "left_semi")
+    val top1 = Similarity.cosineTopK(proj, twinProbes, "vec_id", "proj", k = 1)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(top1.nonEmpty)
+    for ((p, n) <- top1)
+      assert(n === p - 10000, s"planted twin of $p lost through projection")
+    // Distortion: |cos_proj - cos_exact| averaged over probe x corpus.
+    val probes = base.filter(col("vec_id") < 20)
+    val pairsExact = Similarity.cosineTopK(v, probes, "vec_id", "embedding", k = 50)
+      .select(col("probe_id"), col("neighbor_id"), col("sim").as("s64"))
+    val pairsProj = Similarity.cosineTopK(
+        proj, proj.join(probes.select("vec_id"), Seq("vec_id"), "left_semi"),
+        "vec_id", "proj", k = 520)
+      .select(col("probe_id"), col("neighbor_id"), col("sim").as("s16"))
+    val err = pairsExact.join(pairsProj, Seq("probe_id", "neighbor_id"))
+      .agg(avg(abs(col("s64") - col("s16")))).first().getDouble(0)
+    assert(err < 0.32, s"mean cosine distortion at 64->16 drifted: $err")
+  }
 }
