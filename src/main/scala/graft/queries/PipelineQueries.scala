@@ -602,6 +602,25 @@ $bandSelects
     "t23_bm25" -> ((s, dir) =>
       TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
         Bm25Terms, k = 25)),
+    // Hybrid retrieval via RRF (C150 / t30): t23's lexical BM25 top-25
+    // fused with the semantic cosine top-25 around probe vec_id 0
+    // (doc_id ≡ vec_id in the fixture pairing) — rank arithmetic only,
+    // no score calibration across the incomparable scales. Both source
+    // rankings already have exact oracles; the fusion replays literally.
+    "t30_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val bm = TextStats.bm25TopK(table(s, dir, "documents"), "doc_id", "text",
+          Bm25Terms, k = 25)
+        .withColumn("rnk",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "rnk")
+      val emb = table(s, dir, "embeddings")
+      val vec = Similarity.cosineTopK(
+          emb, emb.filter(col("vec_id") === 0), "vec_id", "embedding", k = 25)
+        .select(col("neighbor_id").as("doc_id"), col("rnk"))
+      graft.pipeline.Retrieval.rrfFuse(Seq(bm, vec), "doc_id", "rnk", topK = 15)
+        .orderBy("rnk")
+    }),
     // Multimodal curation pipeline (p2): the image twin of p1 — a mixed
     // ingest (near-dup PNG variants, correctly-declared WAVs, and text
     // payloads LYING about being PNGs) through the sniff gate, the
@@ -3683,6 +3702,54 @@ $bandSelects
     // 1−b, b interpolated from the Scala values, so both engines parse
     // the identical literals); tf/dl via list HOFs, df/N/Σdl in one
     // stats CTE, score rounded to 6 — the t12 float discipline.
+    // t30: t23's BM25 CTEs ranked, e1's cosine CTEs for probe 0, then
+    // the literal RRF arithmetic — one IEEE divide per (item, source),
+    // two-term sums order-insensitive, ties by doc_id.
+    "t30_hybrid_rrf" -> {
+      val k1 = 1.2
+      val b = 0.75
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(w, x -> x = '$t')) AS tf$i"
+      }.mkString(", ")
+      val dfCols = Bm25Terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+      val contribs = Bm25Terms.indices.map { i =>
+        s"ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)" +
+          s" * (CAST(tf$i AS DOUBLE) * ${k1 + 1.0})" +
+          s" / (CAST(tf$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * CAST(dl AS DOUBLE)" +
+          s" / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"
+      }.mkString(" + ")
+      s"""WITH base AS (
+         |  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl, $tfCols
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+         |),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS sumdl, $dfCols FROM base),
+         |bm AS (
+         |  SELECT doc_id, round($contribs, 6) AS score
+         |  FROM base CROSS JOIN stats
+         |  ORDER BY score DESC, doc_id LIMIT 25),
+         |bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |p AS (SELECT e AS pe FROM v WHERE vec_id = 0),
+         |sims AS (
+         |  SELECT v.vec_id AS doc_id,
+         |         round(list_dot_product(pe, e)
+         |               / (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(e, e))), 6) AS sim
+         |  FROM v CROSS JOIN p WHERE v.vec_id <> 0),
+         |vr AS (
+         |  SELECT doc_id, r FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS r FROM sims
+         |  ) WHERE r <= 25),
+         |u AS (SELECT doc_id, r FROM bmr UNION ALL SELECT doc_id, r FROM vr),
+         |f AS (
+         |  SELECT doc_id,
+         |         round(sum(CAST(1 AS DOUBLE) / (60 + r)), 6) AS rrf_score,
+         |         count(*) AS n_sources
+         |  FROM u GROUP BY 1)
+         |SELECT doc_id, rrf_score, n_sources,
+         |       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
+         |FROM f QUALIFY rnk <= 15 ORDER BY rnk""".stripMargin
+    },
     "t23_bm25" -> {
       val k1 = 1.2
       val b = 0.75
