@@ -423,9 +423,12 @@ object AnalyticQueries {
     "q40_freq_store" -> ((s, dir) => {
       val store = s"${Fixtures.scratchDir("graft-q40")}/freq"
       val ev = Fixtures.events(s, dir).withColumn("day", to_date(col("ts")))
+      // eps=1e-3 (width 2000, ~112 KB/sketch): exactness is width-blind
+      // here — the one-sided estimate only FILTERS; the recount is exact
+      // at any eps — so the store carries the narrow rows.
       def slices(pred: org.apache.spark.sql.Column) =
         graft.operators.Sketches.freqSketches(
-          ev.filter(pred), Seq("day"), "user_id")
+          ev.filter(pred), Seq("day"), "user_id", eps = 1e-3)
       val days = ev.select("day").distinct().orderBy("day")
         .collect().map(_.getDate(0)) // metadata-bounded: one row per day
       val (backfill, tail) = days.splitAt(math.max(1, days.length - 2))

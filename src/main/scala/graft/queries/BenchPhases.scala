@@ -144,6 +144,30 @@ object BenchPhases {
     // q35's claim is the cost of the daily INCREMENT against the at-rest
     // store (plus the few-KB read); the one-time backfill is the build
     // cost the store exists to amortize — the m13/e4 convention.
+    "st17_stream_freq" -> ((s, dir) => StreamingQueries.st17Setup(s, dir)._1),
+    // q40's claim is the INCREMENT + the through-store report; the
+    // backfill build is the cost the store exists to amortize (q35's
+    // convention for the frequency tier).
+    "q40_freq_store" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, to_date}
+      val store = Fixtures.scratchDir("graft-q40-bench") + "/freq"
+      val ev = Fixtures.events(s, dir).withColumn("day", to_date(col("ts")))
+      def slices(pred: org.apache.spark.sql.Column) =
+        graft.operators.Sketches.freqSketches(
+          ev.filter(pred), Seq("day"), "user_id", eps = 1e-3)
+      val days = ev.select("day").distinct().orderBy("day")
+        .collect().map(_.getDate(0))
+      val (backfill, tail) = days.splitAt(math.max(1, days.length - 2))
+      graft.operators.Sketches.writeSketchStore(
+        slices(col("day") <= lit(backfill.last)), store, Seq("day"))
+      () => {
+        for (d <- tail)
+          graft.operators.Sketches.appendSlices(s, store, slices(col("day") === lit(d)))
+        graft.operators.Sketches.storedHeavyHitters(
+          s, store, ev, "user_id", phi = 0.008).count()
+        ()
+      }
+    }),
     "q35_sketch_store" -> ((s, dir) => {
       import org.apache.spark.sql.functions.{col, lit, to_date}
       val store = Fixtures.scratchDir("graft-q35-bench") + "/sketches"

@@ -697,8 +697,11 @@ object StreamingQueries {
     val mem = MemoryStream[(Long, Long, Long)]
     val stream = mem.toDF().toDF("event_id", "us", "user_id")
       .select(to_date(timestamp_micros(col("us"))).as("day"), col("user_id"))
+    // eps=1e-3: the narrow width the q40 convention uses — the
+    // through-store report stays exact at any eps (one-sided filter +
+    // exact recount), only the per-batch bucket I/O shrinks.
     val q = StreamingIndex.freqStoreTo(
-      stream, store, s"$scratch/cp", Seq("day"), "user_id")
+      stream, store, s"$scratch/cp", Seq("day"), "user_id", eps = 1e-3)
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
