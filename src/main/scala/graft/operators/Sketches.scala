@@ -484,6 +484,80 @@ object Sketches {
       .filter(col("cnt") > lit(total) * lit(phi))
   }
 
+  /** EXACT per-group phi-heavy-hitters: [[heavyHitters]] with the MG
+    * summary keyed by `groupCols` — "per language, which phrases / per
+    * domain, which URLs / per event type, which users dominate", each
+    * group's threshold φ·N_group applied over ITS OWN total. The MG
+    * guarantee holds per group verbatim (each group's counters see
+    * exactly its rows, so the partition-count pigeonhole applies
+    * group-wise), making the answer the brute-force per-group HAVING.
+    *
+    * Memory contract: per-partition summary state is |groups present in
+    * the partition| × k counters — built for the bounded-group shapes
+    * (languages, sources, event types, domains after capping), NOT for
+    * group cardinalities that rival the value cardinality (there the
+    * per-group threshold is meaningless anyway). The recount joins on
+    * (group, value) WITHOUT a forced broadcast — candidates are
+    * parts·groups·k rows and AQE broadcasts while that fits.
+    */
+  def heavyHittersByGroup(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      phi: Double): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(groupCols.nonEmpty, "at least one grouping column required")
+    require(phi > 0.0 && phi < 1.0, "phi must lie in (0, 1)")
+    val k = math.ceil(1.0 / phi).toInt
+    val cols = groupCols :+ valueCol
+    val in = df.select(cols.map(col): _*).filter(col(valueCol).isNotNull)
+    val ng = groupCols.length
+    val scanSchema = StructType(
+      in.schema.fields.map(_.copy(nullable = true)) :+
+        StructField("__np", LongType, nullable = true))
+    val scan = in.rdd.mapPartitions { rows =>
+      val state = scala.collection.mutable.HashMap
+        .empty[List[Any], (scala.collection.mutable.HashMap[Any, Long], Long)]
+      while (rows.hasNext) {
+        val r = rows.next()
+        val g = (0 until ng).map(r.get).toList
+        val (counters, np) = state.getOrElse(g,
+          (scala.collection.mutable.HashMap.empty[Any, Long], 0L))
+        val v = r.get(ng)
+        counters.get(v) match {
+          case Some(c) => counters.update(v, c + 1L)
+          case None if counters.size < k => counters.update(v, 1L)
+          case None =>
+            val ks = counters.keysIterator.toArray
+            var i = 0
+            while (i < ks.length) {
+              val c = counters(ks(i))
+              if (c == 1L) counters.remove(ks(i))
+              else counters.update(ks(i), c - 1L)
+              i += 1
+            }
+        }
+        state.update(g, (counters, np + 1L))
+      }
+      state.iterator.flatMap { case (g, (counters, np)) =>
+        counters.keysIterator.map(v => Row.fromSeq(g ++ Seq(v, null))) ++
+          Iterator.single(Row.fromSeq(g ++ Seq(null, np)))
+      }
+    }
+    val spark = df.sparkSession
+    val summary = spark.createDataFrame(scan, scanSchema)
+    val cands = summary.filter(col("__np").isNull)
+      .select(cols.map(col): _*).distinct()
+    val totals = summary.filter(col("__np").isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(sum(col("__np")).as("__n"))
+    df.filter(col(valueCol).isNotNull)
+      .join(cands, cols) // AQE broadcasts the candidate side while it fits
+      .groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), groupCols)
+      .filter(col("cnt") > col("__n") * lit(phi))
+      .select(cols.map(col) :+ col("cnt"): _*)
+  }
+
   /** One count-min sketch per key group — the frequency twin of
     * [[distinctSketches]]: per-slice CMS rows persist beside the data
     * and answer "how often has THIS key been seen across history" by

@@ -399,6 +399,16 @@ object AnalyticQueries {
         .orderBy("node")
     }),
 
+    // Per-group heavy hitters (C151 / q42): C143's machinery keyed by
+    // group — per event type, which users dominate THAT type's traffic,
+    // each group thresholded over its own total. The MG guarantee holds
+    // group-wise (each group's counters see exactly its rows), so the
+    // per-group brute-force HAVING oracle applies verbatim.
+    "q42_group_hitters" -> ((s, dir) =>
+      graft.operators.Sketches.heavyHittersByGroup(
+          Fixtures.events(s, dir), Seq("event_type"), "user_id", phi = 0.01)
+        .orderBy("event_type", "user_id")),
+
     // Exact heavy hitters (C140 / q39): every user with > phi·N of the
     // events, exact counts, via distributed Misra–Gries candidates +
     // exact recount — two scans, and the shuffle carries ≤ parts·k
@@ -675,6 +685,18 @@ object AnalyticQueries {
          |${step("r2", "r3")}
          |SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node""".stripMargin
     },
+    // q42: group-wise MG superset + per-group exact recount == the
+    // per-group brute-force threshold query.
+    "q42_group_hitters" ->
+      """WITH n AS (
+        |  SELECT event_type, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT e.event_type, e.user_id, count(*) AS cnt
+        |FROM events e JOIN n ON n.event_type = e.event_type
+        |WHERE e.user_id IS NOT NULL
+        |GROUP BY 1, 2, n.n
+        |HAVING count(*) > 0.01 * n.n
+        |ORDER BY e.event_type, e.user_id""".stripMargin,
     // q39: the MG superset guarantee + exact recount make the two-scan
     // answer EXACTLY the brute-force threshold query.
     "q39_heavy_hitters" ->

@@ -346,6 +346,31 @@ class SketchesSpec extends GraftSuite {
       assert(v === cms.estimateCount(java.lang.Long.valueOf(k)))
   }
 
+  test("per-group heavy hitters == per-group brute force; thresholds apply per group's own total") {
+    val ev = events(SparkTestBase.sf001)
+    for (phi <- Seq(0.008, 0.01)) {
+      val got = Sketches.heavyHittersByGroup(ev, Seq("event_type"), "user_id", phi)
+        .as[(String, Long, Long)].collect().toSet
+      val n = ev.filter(col("user_id").isNotNull)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      val brute = ev.filter(col("user_id").isNotNull)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+        .join(n, "event_type")
+        .filter(col("cnt") > col("n") * lit(phi))
+        .select("event_type", "user_id", "cnt")
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === brute, s"phi=$phi")
+    }
+    // A value can be a hitter in one group and not another: per-group
+    // totals, not the corpus total, set each threshold.
+    val skew = (Seq.fill(30)(("a", 1L)) ++ (1L to 70L).map(("a", _)) ++
+      Seq(("b", 1L)) ++ (1L to 99L).map(i => ("b", 100L + i)))
+      .toDF("grp", "v")
+    val hh = Sketches.heavyHittersByGroup(skew, Seq("grp"), "v", 0.2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(hh === Set(("a", 1L, 31L))) // 31/101 > .2 in a; 1/100 < .2 in b
+  }
+
   test("storedHeavyHitters through a persisted CMS store == brute force; idempotent re-ingest") {
     val ev = events(SparkTestBase.sf001)
     val store = s"${java.nio.file.Files.createTempDirectory("cms").toString}/freq"
