@@ -241,6 +241,43 @@ object Sketches {
       keys.map(col) ++ (kll_sketch_get_n_bigint(col("sketch")).as("n") +: qCols): _*)
   }
 
+  /** Equi-depth quantile binning: assign every row the bucket its
+    * `valueCol` falls into among `nBins` equal-population bins, with
+    * edges read from a KLL sketch of the column — the continuous-
+    * feature stratifier the categorical tier (C48's stratified split,
+    * C40's per-stratum caps) composes with: "sample uniformly across
+    * length quartiles", "cap each score decile", "curriculum-order by
+    * difficulty band" all start from exactly this column.
+    *
+    * Edges are the DataSketches INCLUSIVE quantiles at ranks
+    * i/nBins (i = 1..nBins−1) — `min(v) where cume_dist(v) ≥ rank`, the
+    * oracle-replayable rule the quantile tier already pins — and
+    * assignment is `bin = |{edges e : v > e}|` (0-based; ties land in
+    * the LOWER bin because the inclusive edge is itself reachable).
+    * Exact while the sketch is (k ≥ n); approximate-edged beyond with
+    * KLL's rank error, where bins stay within ±ε of equal population —
+    * the documented trade. Scale shape: one map-side-combined sketch
+    * agg, nBins−1 edges collected (bounded by nBins, never the data),
+    * assignment a codegen'd comparison chain — no row-level window, no
+    * global sort (the `ntile` alternative is one global sort AND
+    * engine-dependent tie placement; this is neither).
+    */
+  def quantileBins(
+      df: DataFrame, valueCol: String, nBins: Int, k: Int = 8192,
+      binAs: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val sk = quantileSketches(
+      df.withColumn("__g", lit(1)), Seq("__g"), valueCol, k)
+    val ranks = (1 until nBins).map(_.toDouble / nBins)
+    val edgeRow = mergedQuantiles(sk, Seq("__g"), ranks, k).first()
+    val edges = ranks.indices.map(i => edgeRow.getLong(i + 2)) // __g, n, p...
+    val v = col(valueCol).cast("long")
+    val bin = edges.foldLeft(lit(0)) { (acc, e) =>
+      acc + when(v > lit(e), 1).otherwise(0)
+    }
+    df.withColumn(binAs, bin)
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift between two snapshots'
     * distributions, computed ENTIRELY from their KLL sketches — the
     * corpus-free drift monitor: "did this month's length/score/token

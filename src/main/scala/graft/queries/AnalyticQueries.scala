@@ -399,6 +399,20 @@ object AnalyticQueries {
         .orderBy("node")
     }),
 
+    // Equi-depth quantile bins (C152 / q43): every document assigned its
+    // length quartile from KLL-sketch edges — the continuous-feature
+    // stratifier (sample/cap/curriculum per band). Exact regime ⇒ edges
+    // are the literal inclusive quantiles and the oracle replays the
+    // edge rule + comparison chain; ties land in the lower bin by the
+    // inclusive-edge law (no ntile: that's a global sort plus
+    // engine-dependent tie placement).
+    "q43_quantile_bins" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      graft.operators.Sketches.quantileBins(d, "n_chars", nBins = 4)
+        .select("doc_id", "n_chars", "bin")
+        .orderBy("doc_id")
+    }),
+
     // Per-group heavy hitters (C151 / q42): C143's machinery keyed by
     // group — per event type, which users dominate THAT type's traffic,
     // each group thresholded over its own total. The MG guarantee holds
@@ -685,6 +699,21 @@ object AnalyticQueries {
          |${step("r2", "r3")}
          |SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node""".stripMargin
     },
+    // q43: inclusive-rule edges (min v where cume_dist >= i/4) + the
+    // v > edge comparison chain, replayed literally.
+    "q43_quantile_bins" ->
+      """WITH v AS (SELECT doc_id, n_chars FROM documents),
+        |c AS (SELECT n_chars AS e, cume_dist() OVER (ORDER BY n_chars) AS cd FROM v),
+        |edges AS (
+        |  SELECT (SELECT min(e) FROM c WHERE cd >= 0.25) AS e1,
+        |         (SELECT min(e) FROM c WHERE cd >= 0.50) AS e2,
+        |         (SELECT min(e) FROM c WHERE cd >= 0.75) AS e3)
+        |SELECT doc_id, n_chars,
+        |       (CASE WHEN n_chars > e1 THEN 1 ELSE 0 END +
+        |        CASE WHEN n_chars > e2 THEN 1 ELSE 0 END +
+        |        CASE WHEN n_chars > e3 THEN 1 ELSE 0 END) AS bin
+        |FROM v CROSS JOIN edges
+        |ORDER BY doc_id""".stripMargin,
     // q42: group-wise MG superset + per-group exact recount == the
     // per-group brute-force threshold query.
     "q42_group_hitters" ->

@@ -275,6 +275,32 @@ class SketchesSpec extends GraftSuite {
     assert(math.abs(rank - 0.5) <= 0.032, s"rank of p50 estimate drifted: $rank")
   }
 
+  test("quantile bins: hand-computed edges and tie placement, brute-force parity on the corpus, near-equal populations") {
+    // Values 1..8: quartile edges (inclusive rule) are 2, 4, 6.
+    // Ties land in the LOWER bin: v=2 -> bin 0, v=4 -> bin 1, v=6 -> bin 2.
+    val tiny = (1L to 8L).toDF("v")
+    val got = Sketches.quantileBins(tiny, "v", nBins = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got === Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1,
+      5L -> 2, 6L -> 2, 7L -> 3, 8L -> 3))
+    // Corpus parity: sketch edges (exact regime) == brute-force edges,
+    // so bins == the replayed comparison chain; populations near-equal.
+    val d = spark.read.parquet(s"${SparkTestBase.sf001}/documents.parquet")
+    val vs = d.select("n_chars").as[Long].collect().sorted
+    def edge(r: Double) = vs(math.ceil(r * vs.length).toInt - 1)
+    val edges = Seq(edge(0.25), edge(0.5), edge(0.75))
+    val binned = Sketches.quantileBins(d, "n_chars", nBins = 4)
+      .select("doc_id", "n_chars", "bin")
+      .as[(Long, Long, Int)].collect()
+    for ((_, v, b) <- binned)
+      assert(b === edges.count(v > _), s"v=$v")
+    val counts = binned.groupBy(_._3).view.mapValues(_.size)
+    assert(counts.keySet === Set(0, 1, 2, 3))
+    // Equal-population up to tie mass at the edges.
+    for ((_, c) <- counts)
+      assert(math.abs(c - vs.length / 4.0) <= vs.length * 0.05, counts.toMap)
+  }
+
   // ---------------------------------------------------------------
   // Frequency tier: Misra–Gries heavy hitters + count-min sketches.
   // ---------------------------------------------------------------
