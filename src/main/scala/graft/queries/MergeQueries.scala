@@ -128,6 +128,17 @@ object MergeQueries {
     // CDC change-feed apply (A-family extension / m15): the log-shaped
     // merge — op codes trusted, no snapshot diff. Feed: D for target
     // keys %13=0, U for source∩target keys, I for source-only keys.
+    // CDC extraction (C153 / m20): the inverse of m15 — DIFF two
+    // snapshots into the I/U/D feed, closing the loop for sources that
+    // can only deliver full snapshots: diff once, ship/apply the
+    // few-row feed instead of the table. One null-safe full-outer join,
+    // change detection as a single struct <=>; the round-trip law
+    // apply(old, diff(old, new)) == new is spec-pinned.
+    "m20_snapshot_diff" -> ((s, dir) =>
+      ChangeFeed.diff(
+          Fixtures.ordersTarget(s, dir), Fixtures.ordersSource(s, dir),
+          Seq("o_orderkey"))
+        .orderBy("o_orderkey")),
     "m15_cdc_apply" -> ((s, dir) => {
       val t = Fixtures.ordersTarget(s, dir)
       val src = Fixtures.ordersSource(s, dir)
@@ -524,6 +535,23 @@ object MergeQueries {
     // m15: the feed reconstructed in SQL — D keys leave, U/I rows take
     // the source truth, untouched target rows (perturbed prices intact)
     // pass through.
+    // m20: the three op classes replayed literally — anti joins for I/D,
+    // a row-tuple IS DISTINCT FROM for U; D rows carry the OLD values.
+    "m20_snapshot_diff" ->
+      s"""$ordersCtes,
+         |ins AS (
+         |  SELECT 'I' AS op, s.* FROM src s
+         |  WHERE NOT EXISTS (SELECT 1 FROM tgt t WHERE t.o_orderkey = s.o_orderkey)),
+         |del AS (
+         |  SELECT 'D' AS op, t.* FROM tgt t
+         |  WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)),
+         |upd AS (
+         |  SELECT 'U' AS op, s.* FROM src s JOIN tgt t ON t.o_orderkey = s.o_orderkey
+         |  WHERE (s.o_custkey, s.o_orderstatus, s.o_totalprice, s.o_orderdate, s.o_orderpriority)
+         |        IS DISTINCT FROM
+         |        (t.o_custkey, t.o_orderstatus, t.o_totalprice, t.o_orderdate, t.o_orderpriority))
+         |SELECT * FROM ins UNION ALL SELECT * FROM del UNION ALL SELECT * FROM upd
+         |ORDER BY o_orderkey""".stripMargin,
     "m15_cdc_apply" ->
       s"""$ordersCtes,
          |feed_keys AS (

@@ -157,6 +157,36 @@ class MergeFrameSpec extends GraftSuite {
       (Option(1L), "keep-me"), (Option(2L), "updated"), (Option(4L), "inserted")))
   }
 
+  test("change-feed diff: op classes exact, D carries old values, and the round-trip law apply(old, diff) == new") {
+    val old = Seq(
+      (Option(1L), "same"), (Option(2L), "before"),
+      (Option(3L), "gone"), (Option.empty[Long], "null-key-gone")
+    ).toDF("k", "v")
+    val next = Seq(
+      (Option(1L), "same"), (Option(2L), "after"), (Option(4L), "fresh")
+    ).toDF("k", "v")
+    val feed = ChangeFeed.diff(old, next, Seq("k"))
+      .as[(String, Option[Long], String)].collect().toSet
+    // Unchanged key 1 emits nothing; D rows carry the OLD values;
+    // the null key is diffed null-safely.
+    assert(feed === Set(
+      ("U", Option(2L), "after"), ("D", Option(3L), "gone"),
+      ("D", Option.empty[Long], "null-key-gone"), ("I", Option(4L), "fresh")))
+    // Round trip on the hand fixture…
+    val replayed = ChangeFeed.apply(old, ChangeFeed.diff(old, next, Seq("k")), Seq("k"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(replayed === next.as[(Option[Long], String)].collect().toSet)
+    // …and on the corpus snapshots (the m15/m20 fixture pair).
+    val t = graft.queries.Fixtures.ordersTarget(spark, graft.SparkTestBase.sf0001)
+    val s2 = graft.queries.Fixtures.ordersSource(spark, graft.SparkTestBase.sf0001)
+    val d = ChangeFeed.diff(t, s2, Seq("o_orderkey"))
+    assert(ChangeFeed.apply(t, d, Seq("o_orderkey"))
+      .exceptAll(s2).isEmpty)
+    assert(s2.exceptAll(ChangeFeed.apply(t, d, Seq("o_orderkey"))).isEmpty)
+    // Identical snapshots diff to the empty feed.
+    assert(ChangeFeed.diff(t, t, Seq("o_orderkey")).isEmpty)
+  }
+
   test("schema evolution: opt-in pre-pass flows the new column; without it the merge rejects") {
     import org.apache.spark.sql.functions._
     val widened = vendorSource.withColumn("Tier", concat(lit("T"), col("Vendor").cast("string")))
