@@ -215,6 +215,56 @@ object Similarity {
     * median buffers norms per group (fine for a 1-row report; swap
     * `percentile_approx` at extreme scale — same schema).
     */
+  /** Dominant principal direction of an embedding corpus by POWER
+    * ITERATION on the (uncentered) second-moment matrix — the
+    * anisotropy probe that extends [[embeddingQc]]'s scalar report: a
+    * healthy encoder spreads energy across dimensions, while a
+    * collapsed/degenerate one concentrates it along one axis
+    * (`energy_frac` → 1 is the alarm; the "rogue dimension" failure
+    * documented for contrastive encoders). Returns the unit direction
+    * (components rounded to 6 — the e20 cross-engine discipline, each
+    * iteration re-rounding so both engines iterate on identical
+    * vectors) and the Rayleigh energy fraction Σ(x·v)²/Σ‖x‖².
+    *
+    * A FIXED iteration count (convergence loops are not
+    * oracle-expressible; k unrolls exactly), v₀ = 𝟙/√dim — the uniform
+    * start, whose overlap with the dominant eigenvector is generically
+    * nonzero (an axis start e₁ stalls on any corpus exactly orthogonal
+    * to it — the classic power-iteration caveat). Scale shape: per
+    * iteration ONE map-side-combined aggregation — a codegen'd
+    * [[DotProduct]] per row against the literal direction plus `dim`
+    * partial sums — and the driver holds `dim` doubles; never a
+    * dim×dim covariance materialization, never a row collect. Sign
+    * follows v₀ deterministically.
+    */
+  def dominantDirection(
+      vectors: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 3): (Array[Double], Double) = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val dp = dotOn(vectors.sparkSession)
+    val base = vectors.select(asDouble(col(vecCol)).as("__e")).persist()
+    try {
+      var v: IndexedSeq[Double] = IndexedSeq.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+      for (_ <- 1 to iters) {
+        val s = dp(col("__e"), typedLit(v))
+        val sums = (0 until dim).map(j =>
+          sum(element_at(col("__e"), j + 1) * s).as(s"__c$j"))
+        val row = base.agg(sums.head, sums.tail: _*).first()
+        val w = (0 until dim).map(row.getDouble)
+        val nrm = math.sqrt(w.map(x => x * x).sum)
+        v = w.map(x => r6(x / nrm))
+      }
+      val s = dp(col("__e"), typedLit(v))
+      val er = base.agg(
+        sum(s * s).as("__num"),
+        sum(dp(col("__e"), col("__e"))).as("__den")).first()
+      (v.toArray, r6(er.getDouble(0) / er.getDouble(1)))
+    } finally base.unpersist(false)
+  }
+
   def embeddingQc(vectors: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val e = asDouble(col(vecCol))
     val norm = round(

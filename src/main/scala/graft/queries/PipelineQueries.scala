@@ -1091,6 +1091,20 @@ $bandSelects
       Similarity.cosineTopK(v, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("probe_id", "rnk")
     }),
+    // Dominant principal direction (C154 / e21): power iteration on the
+    // second-moment matrix — the anisotropy probe (energy_frac → 1 is
+    // the collapsed-encoder alarm). Fixed k=3 iterations unroll exactly
+    // into the oracle; per-iteration round(6) keeps both engines
+    // iterating on identical vectors (the e20 discipline).
+    "e21_dominant_direction" -> ((s, dir) => {
+      import s.implicits._
+      val (v, energy) = Similarity.dominantDirection(
+        table(s, dir, "embeddings"), "embedding", dim = HpDim, iters = 3)
+      v.zipWithIndex
+        .map { case (x, i) => ((i + 1).toLong, x, energy) }.toSeq
+        .toDF("idx", "loading", "energy_frac")
+        .orderBy("idx")
+    }),
     // Random-projection search (C149 / e20): e1's exact top-k run in the
     // JL-projected 16-dim space — every dot product is dim/outDim (4×)
     // cheaper, the trade the spec prices (measured distortion + recall
@@ -2104,6 +2118,34 @@ $bandSelects
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // e21: the three unrolled power iterations — per-step sums, one
+    // normalize + round(6) per step, Rayleigh energy from the final
+    // rounded direction.
+    "e21_dominant_direction" -> {
+      val dim = HpDim
+      def wCte(prev: String, tag: String) = {
+        val sums = (1 to dim).map(j => s"sum(e[$j] * s)").mkString("[", ", ", "]")
+        s"""s$tag AS (SELECT e, list_dot_product(e, (SELECT nv FROM $prev)) AS s FROM v),
+           |w$tag AS (SELECT $sums AS w FROM s$tag),
+           |n$tag AS (SELECT list_transform(w, x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS nv FROM w$tag)""".stripMargin
+      }
+      // v0 = 1/sqrt(64) = 0.125 exactly — the literal list matches
+      // Spark's per-term multiply bit-for-bit.
+      val v0 = Seq.fill(dim)("0.125").mkString("[", ", ", "]")
+      val w1sums = (1 to dim).map(j => s"sum(e[$j] * s)").mkString("[", ", ", "]")
+      s"""WITH v AS (SELECT embedding::DOUBLE[] AS e FROM embeddings),
+         |s1 AS (SELECT e, list_dot_product(e, $v0) AS s FROM v),
+         |w1 AS (SELECT $w1sums AS w FROM s1),
+         |n1 AS (SELECT list_transform(w, x -> round(x / sqrt(list_dot_product(w, w)), 6)) AS nv FROM w1),
+         |${wCte("n1", "2")},
+         |${wCte("n2", "3")},
+         |en AS (
+         |  SELECT round(sum(s * s) / (SELECT sum(list_dot_product(e, e)) FROM v), 6) AS energy
+         |  FROM (SELECT list_dot_product(e, (SELECT nv FROM n3)) AS s FROM v))
+         |SELECT t.idx AS idx, (SELECT nv FROM n3)[t.idx] AS loading,
+         |       (SELECT energy FROM en) AS energy_frac
+         |FROM generate_series(1, $dim) t(idx) ORDER BY idx""".stripMargin
+    },
     // e20: the projection matrix embeds as ±1 literals (the hpSignatureSql
     // discipline); both engines project, round to 6, then run e1's exact
     // top-k in the projected space.

@@ -3168,4 +3168,36 @@ class PipelineSpec extends GraftSuite {
       .agg(avg(abs(col("s64") - col("s16")))).first().getDouble(0)
     assert(err < 0.32, s"mean cosine distortion at 64->16 drifted: $err")
   }
+
+  test("dominant direction: axis-aligned corpus recovered exactly, planted anisotropy alarms, fixture corpus stays spread") {
+    import graft.pipeline.Similarity
+    // Corpus concentrated on axis 2 (with a dash of axis 1): power
+    // iteration from the uniform start must land on e2, energy ~ 20/21.
+    val axial = Seq(
+      Array(1.0f, 0.0f, 0.0f),
+      Array(0.0f, 2.0f, 0.0f), Array(0.0f, -2.0f, 0.0f),
+      Array(0.0f, 2.0f, 0.0f), Array(0.0f, 2.0f, 0.0f),
+      Array(0.0f, -2.0f, 0.0f)).toDF("embedding")
+    val (v, energy) = Similarity.dominantDirection(axial, "embedding", dim = 3)
+    assert(math.abs(math.abs(v(1)) - 1.0) < 1e-3, v.toSeq)
+    assert(math.abs(v(0)) < 0.1 && math.abs(v(2)) < 1e-6, v.toSeq)
+    assert(energy > 0.94, s"axis energy: $energy") // 20 of 21 units of energy
+    // Unit direction by construction.
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4)
+    // Determinism: identical re-run.
+    val (v2, e2) = Similarity.dominantDirection(axial, "embedding", dim = 3)
+    assert(v2.toSeq === v.toSeq && e2 === energy)
+
+    // Fixture corpus: near-isotropic synthetic embeddings — no single
+    // direction should dominate (the healthy-encoder baseline), while a
+    // rank-1 plant drives the alarm toward 1.
+    val base = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/embeddings.parquet")
+    val (_, eBase) = Similarity.dominantDirection(base, "embedding", dim = 64)
+    assert(eBase < 0.5, s"fixture corpus should be spread: $eBase")
+    val collapsed = base.select(
+      transform(col("embedding"),
+        (x, i) => when(i === 0, lit(10.0f)).otherwise(x * lit(0.01f))).as("embedding"))
+    val (_, eCol) = Similarity.dominantDirection(collapsed, "embedding", dim = 64)
+    assert(eCol > 0.99, s"planted collapse must alarm: $eCol")
+  }
 }
