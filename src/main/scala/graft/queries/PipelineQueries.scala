@@ -1091,6 +1091,22 @@ $bandSelects
       Similarity.cosineTopK(v, v.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
         .orderBy("probe_id", "rnk")
     }),
+    // Curriculum-stratified budget (C155 / p4): the composition the
+    // continuous stratifier exists for — quantile-bin documents by
+    // length (C152), cross with language, cap each (lang, bin) stratum
+    // deterministically (C40) — "equal representation across difficulty
+    // bands per language", the curriculum-balanced corpus budget. The
+    // whole chain is one verified query: bins from sketch edges, the
+    // hash-ranked cap, stage boundaries included (the p-family point).
+    "p4_curriculum_budget" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val binned = graft.operators.Sketches.quantileBins(d, "n_chars", nBins = 4)
+        .withColumn("stratum", concat_ws("|", col("lang"), col("bin")))
+      Sampling.capPerStratum(binned, "doc_id", "stratum",
+          maxPerStratum = 15, seed = 17)
+        .select("doc_id", "lang", "bin")
+        .orderBy("doc_id")
+    }),
     // Dominant principal direction (C154 / e21): power iteration on the
     // second-moment matrix — the anisotropy probe (energy_frac → 1 is
     // the collapsed-encoder alarm). Fixed k=3 iterations unroll exactly
@@ -2118,6 +2134,29 @@ $bandSelects
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    // p4: q43's edge CTEs + the s3 hash-rank window over the composite
+    // stratum, replayed as one statement.
+    "p4_curriculum_budget" ->
+      s"""WITH v AS (SELECT doc_id, lang, n_chars FROM documents),
+         |c AS (SELECT n_chars AS e, cume_dist() OVER (ORDER BY n_chars) AS cd FROM v),
+         |edges AS (
+         |  SELECT (SELECT min(e) FROM c WHERE cd >= 0.25) AS e1,
+         |         (SELECT min(e) FROM c WHERE cd >= 0.50) AS e2,
+         |         (SELECT min(e) FROM c WHERE cd >= 0.75) AS e3),
+         |b AS (
+         |  SELECT doc_id, lang,
+         |         (CASE WHEN n_chars > e1 THEN 1 ELSE 0 END +
+         |          CASE WHEN n_chars > e2 THEN 1 ELSE 0 END +
+         |          CASE WHEN n_chars > e3 THEN 1 ELSE 0 END) AS bin
+         |  FROM v CROSS JOIN edges),
+         |r AS (
+         |  SELECT doc_id, lang, bin,
+         |         row_number() OVER (
+         |           PARTITION BY lang || '|' || bin::VARCHAR
+         |           ORDER BY ${sqlHash(17, "doc_id::VARCHAR")}, doc_id) AS rn
+         |  FROM b)
+         |SELECT doc_id, lang, bin FROM r WHERE rn <= 15
+         |ORDER BY doc_id""".stripMargin,
     // e21: the three unrolled power iterations — per-step sums, one
     // normalize + round(6) per step, Rayleigh energy from the final
     // rounded direction.

@@ -3169,6 +3169,31 @@ class PipelineSpec extends GraftSuite {
     assert(err < 0.32, s"mean cosine distortion at 64->16 drifted: $err")
   }
 
+  test("curriculum budget composition: per-(lang,bin) caps hold, under-cap strata keep everything, deterministic") {
+    import graft.operators.Sketches
+    val d = spark.read.parquet(s"${graft.SparkTestBase.sf001}/documents.parquet")
+    val binned = Sketches.quantileBins(d, "n_chars", nBins = 4)
+      .withColumn("stratum", concat_ws("|", col("lang"), col("bin")))
+    val kept = Sampling.capPerStratum(binned, "doc_id", "stratum", 15, seed = 17)
+    // Cap law: no stratum exceeds 15 in the output…
+    val outCounts = kept.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(outCounts.values.forall(_ <= 15L), outCounts.filter(_._2 > 15))
+    // …and a stratum below the cap is passed through whole.
+    val inCounts = binned.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    for ((st, n) <- inCounts if n <= 15)
+      assert(outCounts.getOrElse(st, 0L) === n, st)
+    for ((st, n) <- inCounts if n > 15)
+      assert(outCounts(st) === 15L, st)
+    // Output rows are input rows (suppressive, never synthesized)…
+    assert(kept.join(binned, Seq("doc_id"), "left_anti").isEmpty)
+    // …and the selection is deterministic.
+    val again = Sampling.capPerStratum(binned, "doc_id", "stratum", 15, seed = 17)
+      .select("doc_id").as[Long].collect().sorted
+    assert(again.toSeq === kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("dominant direction: axis-aligned corpus recovered exactly, planted anisotropy alarms, fixture corpus stays spread") {
     import graft.pipeline.Similarity
     // Corpus concentrated on axis 2 (with a dash of axis 1): power
