@@ -402,4 +402,47 @@ class PlanSpec extends GraftSuite {
     assert(!plan.linesIterator.exists(l => l.contains("SortMergeJoin") && l.contains("LeftAnti")),
       plan.take(3000))
   }
+
+  test("q39 heavy hitters: the recount semi-join broadcasts the candidate set — the long tail never shuffles") {
+    val plan = planOf("q39_heavy_hitters")
+    // The candidate frame is parts·k rows: its semi-join must be a
+    // broadcast probe of the events scan, never a shuffle of events.
+    assert(plan.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("t29 k-anonymity: one aggregation + one semi-join on the quasi columns, no window") {
+    val plan = planOf("t29_k_anonymity")
+    assert(plan.contains("LeftSemi"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
+
+  test("m20 snapshot diff: exactly one full-outer join, no BNLJ, change test stays in the projection") {
+    val plan = planOf("m20_snapshot_diff")
+    assert("FullOuter".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+    // No re-aggregation or window: diff is join + filter + project only.
+    assert(!plan.contains("Window"), plan.take(3000))
+  }
+
+  test("q43 quantile bins: assignment is a map-only comparison chain — no window, no sort, no join") {
+    val plan = planOf("q43_quantile_bins")
+    // The output orderBy is the only sort; binning itself adds no
+    // exchange beyond it and never a row-level window or join.
+    assert(!plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("e20 random projection: map-only against literal matrix rows, top-k never globally sorts the corpus") {
+    val plan = planOf("e20_random_project")
+    // Projection adds no exchange; the search is e1's shape: a single
+    // probe broadcast + rank window, never a corpus-wide global sort of
+    // unranked rows (TakeOrdered handles the final display order).
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.take(3000)) // probe side broadcast (non-equi self-pair filter)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
