@@ -71,4 +71,62 @@ object GraphRank {
       e.unpersist(false); nodes.unpersist(false); outDeg.unpersist(false)
     }
   }
+
+  /** Personalized PageRank: [[pageRank]] with the teleport mass
+    * concentrated on a SEED set instead of spread uniformly — the
+    * seed-expansion primitive curation stacks use to grow a small
+    * trusted set ("these 50 domains are known-good") into a ranked
+    * neighborhood of the link graph (proximity to the seeds, damped by
+    * distance), without any labels beyond the seeds themselves.
+    *
+    *   rank⁰(v)  = 1/|S| if v ∈ S else 0
+    *   rankᵏ(v)  = (1−d)·[v ∈ S]/|S| + d · Σ_{(u,v)∈E} rankᵏ⁻¹(u)/outdeg(u)
+    *
+    * Same fixed-iteration, lineage-cut, one-shuffle-per-step shape as
+    * [[pageRank]]; seeds are a driver-side literal set (a trusted list
+    * is human-curated and small by nature). Dangling mass leaks as in
+    * the simplified form; seeds absent from the graph contribute
+    * teleport only.
+    */
+  def personalizedPageRank(
+      edges: DataFrame, srcCol: String, dstCol: String, seeds: Seq[String],
+      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0, "damping must lie in (0, 1)")
+    require(seeds.nonEmpty, "at least one seed node required")
+    require(seeds.distinct == seeds, s"duplicate seeds: $seeds")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
+    try {
+      val nSeeds = seeds.length
+      val isSeed = col("node").isin(seeds: _*)
+      val teleport = when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+      var ranks = nodes.withColumn("rank", teleport).persist()
+      ranks.count()
+      for (_ <- 1 to iters) {
+        val contribs = e
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .join(outDeg, "src")
+          .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("__s"))
+        val next = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(1.0 - damping) * teleport +
+              lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+          .persist()
+        next.count()
+        ranks.unpersist(false)
+        ranks = next
+      }
+      ranks
+    } finally {
+      e.unpersist(false); nodes.unpersist(false); outDeg.unpersist(false)
+    }
+  }
 }

@@ -423,6 +423,24 @@ object AnalyticQueries {
           Fixtures.events(s, dir), Seq("event_type"), "user_id", phi = 0.01)
         .orderBy("event_type", "user_id")),
 
+    // Seed-expansion ranking (C156 / q44): personalized PageRank — the
+    // teleport mass pinned to five trusted seed suppliers, ranking every
+    // node by damped link-proximity to the seeds; the label-free
+    // seed-growing primitive ("these domains are known good — rank the
+    // rest by closeness"). Same fixed-k unrolled oracle as q41 with a
+    // CASE teleport.
+    "q44_seed_expansion" -> ((s, dir) => {
+      val pair = table(s, dir, "orders")
+        .join(table(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      val edges = pair.union(pair.select(col("dst"), col("src")))
+      graft.operators.GraphRank.personalizedPageRank(
+          edges, "src", "dst", seeds = (1 to 5).map(i => s"s$i"), iters = 3)
+        .select(col("node"), round(col("rank"), 9).as("rank"))
+        .orderBy("node")
+    }),
+
     // Exact heavy hitters (C140 / q39): every user with > phi·N of the
     // events, exact counts, via distributed Misra–Gries candidates +
     // exact recount — two scans, and the shuffle carries ≤ parts·k
@@ -726,6 +744,36 @@ object AnalyticQueries {
         |GROUP BY 1, 2, n.n
         |HAVING count(*) > 0.01 * n.n
         |ORDER BY e.event_type, e.user_id""".stripMargin,
+    // q44: q41's unrolled iterations with the teleport pinned to the
+    // seed set.
+    "q44_seed_expansion" -> {
+      val seedList = (1 to 5).map(i => s"'s$i'").mkString(", ")
+      val step = (prev: String, cur: String) =>
+        s"""$cur AS (
+           |  SELECT v.node,
+           |         (CAST(1 AS DOUBLE) - 0.85)
+           |           * (CASE WHEN v.node IN ($seedList) THEN CAST(1 AS DOUBLE) / 5 ELSE 0 END)
+           |           + 0.85 * coalesce(sum(r.rank / d.deg), 0) AS rank
+           |  FROM nodes v
+           |  LEFT JOIN e ON e.dst = v.node
+           |  LEFT JOIN $prev r ON r.node = e.src
+           |  LEFT JOIN deg d ON d.src = e.src
+           |  GROUP BY v.node)""".stripMargin
+      s"""WITH pair AS (
+         |  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT src, dst FROM pair UNION SELECT dst, src FROM pair),
+         |nodes AS (SELECT DISTINCT src AS node FROM e),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (
+         |  SELECT node,
+         |         CASE WHEN node IN ($seedList) THEN CAST(1 AS DOUBLE) / 5 ELSE 0 END AS rank
+         |  FROM nodes),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node""".stripMargin
+    },
     // q39: the MG superset guarantee + exact recount make the two-scan
     // answer EXACTLY the brute-force threshold query.
     "q39_heavy_hitters" ->

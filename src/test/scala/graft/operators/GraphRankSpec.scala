@@ -68,6 +68,38 @@ class GraphRankSpec extends GraftSuite {
     assert(got === clean)
   }
 
+  test("personalized: teleport pins to seeds, proximity decays with distance, unreachable nodes stay at zero") {
+    // Path a -> b -> c -> d plus returns, seed {a}.
+    val path = Seq("a" -> "b", "b" -> "c", "c" -> "d")
+    val sym = path ++ path.map(_.swap)
+    val got = GraphRank.personalizedPageRank(
+        sym.toDF("src", "dst"), "src", "dst", seeds = Seq("a"), iters = 6)
+      .as[(String, Double)].collect().toMap
+    // The seed holds the most mass and the farthest node the least.
+    // (No strict monotonicity along the path: a path graph is
+    // bipartite, so finite-k power iteration oscillates mass between
+    // the seed's parity class and the other — c, at even distance,
+    // legitimately outranks b at odd distance for some k.)
+    assert(got.maxBy(_._2)._1 === "a", got)
+    assert(got.minBy(_._2)._1 === "d", got)
+    // Symmetric graph, teleport total 1 => mass conserved.
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, got)
+    // A disconnected component never receives mass.
+    val twoIslands = sym ++ Seq("x" -> "y", "y" -> "x")
+    val iso = GraphRank.personalizedPageRank(
+        twoIslands.toDF("src", "dst"), "src", "dst", seeds = Seq("a"), iters = 4)
+      .as[(String, Double)].collect().toMap
+    assert(iso("x") === 0.0 && iso("y") === 0.0, iso)
+    // Hand check, one iteration on a -> b (symmetric), seed {a}:
+    // r0 = (1, 0); r1(a) = .15·1 + .85·r0(b)/1 = .15,
+    // r1(b) = .15·0 + .85·r0(a)/1 = .85.
+    val pair = Seq("a" -> "b", "b" -> "a")
+    val r1 = GraphRank.personalizedPageRank(
+        pair.toDF("src", "dst"), "src", "dst", seeds = Seq("a"), iters = 1)
+      .as[(String, Double)].collect().toMap
+    assert(math.abs(r1("a") - 0.15) < 1e-12 && math.abs(r1("b") - 0.85) < 1e-12, r1)
+  }
+
   test("transaction-graph ranks sum to 1 at sf0.001 (symmetric edges, no dangling mass)") {
     val dir = graft.SparkTestBase.sf0001
     val pair = spark.read.parquet(s"$dir/orders.parquet")
