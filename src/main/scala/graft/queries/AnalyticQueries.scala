@@ -413,6 +413,23 @@ object AnalyticQueries {
         .orderBy("doc_id")
     }),
 
+    // Robust outlier gate (C157 / q45): median/MAD modified z-score over
+    // document lengths with a planted ×20 heavy tail (every 50th doc) —
+    // the gate where mean/stddev self-destructs (the outliers inflate
+    // the stddev meant to catch them; spec pins the contrast). Exact
+    // regime ⇒ both medians are the literal inclusive quantiles and the
+    // oracle replays medians + the double comparison.
+    "q45_robust_outliers" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents").select("doc_id", "n_chars")
+      val planted = d.unionByName(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 600000).as("doc_id"),
+            (col("n_chars") * 20).as("n_chars")))
+      graft.operators.Sketches.madOutliers(planted, "n_chars")
+        .select("doc_id", "n_chars", "is_outlier")
+        .orderBy("doc_id")
+    }),
+
     // Per-group heavy hitters (C151 / q42): C143's machinery keyed by
     // group — per event type, which users dominate THAT type's traffic,
     // each group thresholded over its own total. The MG guarantee holds
@@ -731,6 +748,22 @@ object AnalyticQueries {
         |        CASE WHEN n_chars > e2 THEN 1 ELSE 0 END +
         |        CASE WHEN n_chars > e3 THEN 1 ELSE 0 END) AS bin
         |FROM v CROSS JOIN edges
+        |ORDER BY doc_id""".stripMargin,
+    // q45: medians via the inclusive rule, then the plain double
+    // comparison — replayed literally.
+    "q45_robust_outliers" ->
+      """WITH v AS (
+        |  SELECT doc_id, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 600000, n_chars * 20 FROM documents WHERE doc_id % 50 = 0),
+        |c AS (SELECT n_chars AS e, cume_dist() OVER (ORDER BY n_chars) AS cd FROM v),
+        |m AS (SELECT (SELECT min(e) FROM c WHERE cd >= 0.5) AS med),
+        |a AS (SELECT doc_id, n_chars, abs(n_chars - med) AS ad FROM v CROSS JOIN m),
+        |c2 AS (SELECT ad AS e, cume_dist() OVER (ORDER BY ad) AS cd FROM a),
+        |m2 AS (SELECT (SELECT min(e) FROM c2 WHERE cd >= 0.5) AS mad)
+        |SELECT doc_id, n_chars,
+        |       0.6745 * CAST(ad AS DOUBLE) > 3.5 * CAST(mad AS DOUBLE) AS is_outlier
+        |FROM a CROSS JOIN m2
         |ORDER BY doc_id""".stripMargin,
     // q42: group-wise MG superset + per-group exact recount == the
     // per-group brute-force threshold query.

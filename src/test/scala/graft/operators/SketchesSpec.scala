@@ -301,6 +301,47 @@ class SketchesSpec extends GraftSuite {
       assert(math.abs(c - vs.length / 4.0) <= vs.length * 0.05, counts.toMap)
   }
 
+  test("MAD outliers: hand-computed flags, planted tails caught, and the mean/stddev gate provably masks") {
+    // Hand fixture: values 1..9 plus 100. med = 5 (inclusive over 10
+    // values), ads = {4,3,2,1,0,1,2,3,4,95}, mad = 3 (inclusive).
+    // Flag iff 0.6745·ad > 3.5·3 = 10.5 -> only the 100.
+    val tiny = (Seq.range(1L, 10L) :+ 100L).toDF("v")
+    val flags = Sketches.madOutliers(tiny, "v")
+      .as[(Long, Boolean)].collect().toMap
+    assert(flags(100L) === true)
+    assert(flags.filter(_._1 <= 9L).values.forall(_ == false), flags)
+
+    // Corpus with a planted two-class tail: giants (x20) and moderates
+    // (x6). The median/MAD gate catches every giant and most moderates;
+    // the mean/stddev gate at the same cut self-destructs — the giants
+    // inflate sigma until it misses EVERY moderate and even some
+    // giants (the masking effect, breakdown point 0 vs 50%).
+    val d = spark.read.parquet(s"${SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "n_chars")
+    val planted = d
+      .unionByName(d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 600000).as("doc_id"), (col("n_chars") * 20).as("n_chars")))
+      .unionByName(d.filter(col("doc_id") % 50 === 25)
+        .select((col("doc_id") + 700000).as("doc_id"), (col("n_chars") * 6).as("n_chars")))
+    val robust = Sketches.madOutliers(planted, "n_chars")
+      .filter(col("is_outlier")).select("doc_id").as[Long].collect().toSet
+    val giants = planted.filter(col("doc_id") >= 600000 && col("doc_id") < 700000)
+      .select("doc_id").as[Long].collect().toSet
+    val moderates = planted.filter(col("doc_id") >= 700000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(giants.subsetOf(robust), "a giant escaped the MAD gate")
+    assert((moderates & robust).size >= moderates.size / 2, "moderates under-caught")
+    assert((robust -- giants -- moderates).isEmpty, "false positives on the base corpus")
+    // The naive gate at the same 3.5 cut:
+    val st = planted.agg(avg("n_chars"), stddev_pop("n_chars")).first()
+    val (mu, sd) = (st.getDouble(0), st.getDouble(1))
+    val naive = planted
+      .filter(abs(col("n_chars") - lit(mu)) > lit(3.5) * lit(sd))
+      .select("doc_id").as[Long].collect().toSet
+    assert((naive & moderates).isEmpty, "sigma was not inflated enough to demonstrate masking")
+    assert((giants -- naive).nonEmpty, "naive gate unexpectedly caught every giant")
+  }
+
   // ---------------------------------------------------------------
   // Frequency tier: Misra–Gries heavy hitters + count-min sketches.
   // ---------------------------------------------------------------
