@@ -24,6 +24,88 @@ object BenchPhases {
       val root = MergeQueries.m14Setup(s, dir)
       () => MergeQueries.m14Apply(s, root)
     }),
+    // j-family: serializing documents to text shards is harness setup
+    // (the fixture exists so the oracle can replay the damage rule); the
+    // operation under measurement is the quarantine READ of the shards.
+    "j1_jsonl_ingest" -> ((s, dir) => {
+      val path = IngestQueries.jsonlFixture(s, dir)
+      () => {
+        val (clean, _) =
+          graft.sources.Ingest.jsonl(s, path, IngestQueries.jsonlSchema)
+        clean.count(); ()
+      }
+    }),
+    "j2_jsonl_quarantine" -> ((s, dir) => {
+      val path = IngestQueries.jsonlFixture(s, dir)
+      () => {
+        val parsed = graft.sources.Ingest.parseJsonl(
+          s.read.textFile(path).toDF("value"), "value", IngestQueries.jsonlSchema)
+        graft.sources.Ingest.report(parsed).count(); ()
+      }
+    }),
+    "j3_jsonl_schema_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+      val root = IngestQueries.driftFixture(s, dir)
+      val wide = new StructType()
+        .add("doc_id", LongType).add("text", StringType).add("quality", DoubleType)
+      () => {
+        val (clean, _) = graft.sources.Ingest.jsonl(s, root + "/*", wide)
+        clean.count(); ()
+      }
+    }),
+    "j4_csv_quarantine" -> ((s, dir) => {
+      val path = IngestQueries.csvFixture(s, dir)
+      () => {
+        val (clean, _) =
+          graft.sources.Ingest.csv(s, path, IngestQueries.csvSchema)
+        clean.count(); ()
+      }
+    }),
+    "j5_quarantine_provenance" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, countDistinct, lit, regexp_extract}
+      val path = IngestQueries.partitionedJsonlFixture(s, dir)
+      () => {
+        val parsed = graft.sources.Ingest.parseJsonl(
+          s.read.textFile(path).toDF("value"), "value", IngestQueries.jsonlSchema)
+        graft.sources.Ingest.quarantineOf(parsed)
+          .groupBy(regexp_extract(col("src_file"), "lang=([^/]+)", 1).as("lang"))
+          .agg(count(lit(1)).as("n_corrupt"),
+            countDistinct(col("line_hash")).as("n_distinct"))
+          .count()
+        ()
+      }
+    }),
+    "j6_gzip_ingest" -> ((s, dir) => {
+      val path = IngestQueries.gzipFixture(s, dir)
+      () => {
+        val parsed = graft.sources.Ingest.parseJsonl(
+          s.read.textFile(path).toDF("value"), "value", IngestQueries.jsonlSchema)
+        graft.sources.Ingest.report(parsed).count(); ()
+      }
+    }),
+    // j7's claim is the persisted quarantine WRITE (parse + route +
+    // partitioned parquet sink); the shard fixture is setup. The sink
+    // path is reused across iterations — quarantineTo overwrites.
+    "j7_quarantine_sink" -> ((s, dir) => {
+      val path = IngestQueries.partitionedJsonlFixture(s, dir)
+      val sink = Fixtures.scratchDir("graft-j7-bench") + "/q"
+      () => {
+        val parsed = graft.sources.Ingest.parseJsonl(
+          s.read.textFile(path).toDF("value"), "value", IngestQueries.jsonlSchema)
+        graft.sources.Ingest.quarantineTo(parsed, sink); ()
+      }
+    }),
+    "j8_csv_multiline" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{LongType, StringType, StructType}
+      val path = IngestQueries.multilineCsvFixture(s, dir)
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+      () => {
+        val (clean, _) = graft.sources.Ingest.csvMultiline(s, path, schema)
+        clean.count(); ()
+      }
+    }),
+    "st18_stream_ingest" -> ((s, dir) => StreamingQueries.st18Setup(s, dir)._1),
     "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1),
     "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1),
     "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),

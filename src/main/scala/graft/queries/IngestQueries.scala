@@ -22,22 +22,60 @@ object IngestQueries {
 
   /** JSONL schema under test (subset of documents; `text` rides along so
     * the payload is realistic, including JSON-escaped content). */
-  private def jsonlSchema: StructType = new StructType()
+  private[graft] def jsonlSchema: StructType = new StructType()
     .add("doc_id", LongType).add("lang", StringType)
     .add("n_chars", LongType).add("text", StringType)
 
   /** Serialize documents to JSONL, corrupt every 13th line (prefix
     * damage — invalid JSON regardless of payload), write as text files,
     * return the shard path. Untimed setup for the bench phases.
+    * `nFiles` > 0 forces that many shard files (the streaming harness
+    * stages one file per micro-batch; 0 keeps the source layout).
     */
-  private[graft] def jsonlFixture(s: SparkSession, dir: String): String = {
+  private[graft] def jsonlFixture(s: SparkSession, dir: String, nFiles: Int = 0): String = {
     val path = Fixtures.scratchDir("graft-jsonl") + "/shard"
+    val serialized = table(s, dir, "documents")
+      .select(col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+          .as("value"))
+      .select(Ingest.corruptWhen(col("doc_id") % 13 === 0, col("value")).as("value"))
+    val sharded = if (nFiles > 0) serialized.repartition(nFiles) else serialized
+    sharded.write.mode("overwrite").text(path)
+    path
+  }
+
+  /** The lang-partitioned twin of [[jsonlFixture]]: shards laid out as
+    * `lang=XX/part-*.txt` — the directory-partitioned crawl layout —
+    * with the same every-13th-line damage. The quarantine's
+    * `input_file_name()` provenance recovers the shard key from the
+    * path, which is what j5/j7's per-shard corrupt counts assert.
+    */
+  private[graft] def partitionedJsonlFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-jsonl-bylang") + "/shard"
+    table(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
+          .as("value"))
+      .select(col("lang"),
+        Ingest.corruptWhen(col("doc_id") % 13 === 0, col("value")).as("value"))
+      .write.mode("overwrite").partitionBy("lang").text(path)
+    path
+  }
+
+  /** Gzipped twin of [[jsonlFixture]]: 4 `.gz` shards through the same
+    * reader — the compressed-shard contract (codec decode is transparent;
+    * parallelism == shard count because gzip is non-splittable, pinned
+    * by `IngestSpec`).
+    */
+  private[graft] def gzipFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-jsonl-gz") + "/shard"
     table(s, dir, "documents")
       .select(col("doc_id"),
         to_json(struct(col("doc_id"), col("lang"), col("n_chars"), col("text")))
           .as("value"))
       .select(Ingest.corruptWhen(col("doc_id") % 13 === 0, col("value")).as("value"))
-      .write.mode("overwrite").text(path)
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").text(path)
     path
   }
 
@@ -45,6 +83,9 @@ object IngestQueries {
     * `quality` field, even docs carry it — additive schema evolution,
     * the routine kind. Both land under one root; the wide-schema read
     * must surface old rows with NULL quality, not quarantine them.
+    * `n_chars` is coalesced so a NULL can never silently drop the
+    * `quality` key from the serialized JSON (to_json omits null fields
+    * by default) and break the fixture/oracle pairing.
     */
   private[graft] def driftFixture(s: SparkSession, dir: String): String = {
     val root = Fixtures.scratchDir("graft-jsonl-drift")
@@ -54,7 +95,7 @@ object IngestQueries {
       .write.mode("overwrite").text(s"$root/old")
     docs.filter(col("doc_id") % 2 === 0)
       .select(to_json(struct(col("doc_id"), col("text"),
-        round(col("n_chars") / 1000.0, 6).as("quality"))).as("value"))
+        round(coalesce(col("n_chars"), lit(0L)) / 1000.0, 6).as("quality"))).as("value"))
       .write.mode("overwrite").text(s"$root/new")
     root
   }
@@ -75,7 +116,26 @@ object IngestQueries {
     path
   }
 
-  private def csvSchema: StructType = new StructType()
+  /** CSV with embedded newlines: every 7th doc's text has its spaces
+    * replaced by literal newlines, then the row is serialized with
+    * `to_csv` (which quotes the field). Written through the text sink
+    * the embedded newlines land raw in the file — a legitimate
+    * quote-aware CSV shard that the line-oriented reader would tear
+    * (IngestSpec pins the truncated-head + quarantined-tail shape) and
+    * [[Ingest.csvMultiline]] must parse intact.
+    */
+  private[graft] def multilineCsvFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-csv-ml") + "/shard"
+    table(s, dir, "documents")
+      .select(to_csv(struct(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0, regexp_replace(col("text"), " ", "\n"))
+          .otherwise(col("text")).as("text"))).as("value"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+    path
+  }
+
+  private[graft] def csvSchema: StructType = new StructType()
     .add("doc_id", LongType).add("lang", StringType)
     .add("source", StringType).add("n_chars", LongType)
 
@@ -89,7 +149,7 @@ object IngestQueries {
     }),
     // Quarantine-side contract: totality. n_clean + n_corrupt covers
     // every input line; the raw damaged lines are preserved verbatim
-    // (asserted by spec; the oracle checks the counts).
+    // (asserted by IngestSpec; the oracle checks the counts).
     "j2_jsonl_quarantine" -> ((s, dir) => {
       val parsed = Ingest.parseJsonl(
         s.read.textFile(jsonlFixture(s, dir)).toDF("value"), "value", jsonlSchema)
@@ -112,6 +172,53 @@ object IngestQueries {
     "j4_csv_quarantine" -> ((s, dir) => {
       val (clean, _) = Ingest.csv(s, csvFixture(s, dir), csvSchema)
       clean.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+    // Quarantine provenance: every rejected line carries its shard of
+    // origin (input_file_name) and a stable content hash. Per-shard
+    // corrupt counts — the shard-health triage view — come straight off
+    // the quarantine frame; n_distinct == n_corrupt pins that the line
+    // hashes are usable as ids (no planted line collides).
+    "j5_quarantine_provenance" -> ((s, dir) => {
+      val parsed = Ingest.parseJsonl(
+        s.read.textFile(partitionedJsonlFixture(s, dir)).toDF("value"),
+        "value", jsonlSchema)
+      Ingest.quarantineOf(parsed)
+        .groupBy(regexp_extract(col("src_file"), "lang=([^/]+)", 1).as("lang"))
+        .agg(count(lit(1)).as("n_corrupt"),
+          countDistinct(col("line_hash")).as("n_distinct"))
+        .orderBy("lang")
+    }),
+    // Compressed shards: the identical damage through 4 gzip shards —
+    // decode is transparent, quarantine totality unchanged. (The
+    // non-splittable parallelism contract is pinned in IngestSpec.)
+    "j6_gzip_ingest" -> ((s, dir) => {
+      val parsed = Ingest.parseJsonl(
+        s.read.textFile(gzipFixture(s, dir)).toDF("value"), "value", jsonlSchema)
+      Ingest.report(parsed)
+    }),
+    // Persisted quarantine: rejected lines land in a parquet sink
+    // partitioned by source shard (the audit trail a crawl keeps next to
+    // the corpus it promoted). Reading per-shard counts back off the
+    // SINK proves the partition layout carries the provenance.
+    "j7_quarantine_sink" -> ((s, dir) => {
+      val parsed = Ingest.parseJsonl(
+        s.read.textFile(partitionedJsonlFixture(s, dir)).toDF("value"),
+        "value", jsonlSchema)
+      val sink = Fixtures.scratchDir("graft-quarantine") + "/q"
+      Ingest.quarantineTo(parsed, sink)
+      s.read.parquet(sink)
+        .groupBy(regexp_extract(col("src_shard"), "^lang=(.+)$", 1).as("lang"))
+        .agg(count(lit(1)).as("n_corrupt"))
+        .orderBy("lang")
+    }),
+    // Quote-aware CSV: fields with embedded newlines round-trip through
+    // the multiLine reader — the documented non-splittable escape hatch
+    // for shards the line-oriented reader would tear.
+    "j8_csv_multiline" -> ((s, dir) => {
+      val schema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+      val (clean, _) = Ingest.csvMultiline(s, multilineCsvFixture(s, dir), schema)
+      clean.select("doc_id", "lang", "text").orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -131,9 +238,35 @@ object IngestQueries {
       """SELECT doc_id,
         |       (doc_id % 2 = 0) AS has_quality,
         |       CASE WHEN doc_id % 2 = 0
-        |            THEN round(round(n_chars / CAST(1000 AS DOUBLE), 6), 6) END AS quality
+        |            THEN round(round(coalesce(n_chars, 0) / CAST(1000 AS DOUBLE), 6), 6)
+        |       END AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "j4_csv_quarantine" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
-        |WHERE doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin)
+        |WHERE doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin,
+    // j5/j7: the per-shard damage replays per lang — the shard key IS
+    // the lang partition, so provenance recovered from the file path
+    // must reproduce the per-lang corrupt histogram exactly.
+    "j5_quarantine_provenance" ->
+      """SELECT lang, count(*) AS n_corrupt, count(*) AS n_distinct
+        |FROM documents WHERE doc_id % 13 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "j6_gzip_ingest" ->
+      """SELECT count(*) FILTER (WHERE doc_id % 13 <> 0) AS n_clean,
+        |       count(*) FILTER (WHERE doc_id % 13 = 0) AS n_corrupt,
+        |       round(count(*) FILTER (WHERE doc_id % 13 = 0)
+        |             / CAST(count(*) AS DOUBLE), 6) AS corrupt_frac
+        |FROM documents""".stripMargin,
+    "j7_quarantine_sink" ->
+      """SELECT lang, count(*) AS n_corrupt
+        |FROM documents WHERE doc_id % 13 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    // j8: the embedded-newline transform replays as replace(' ', \n);
+    // the quote-aware reader must return every row (nothing quarantines)
+    // with the multi-line text intact.
+    "j8_csv_multiline" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', chr(10))
+        |            ELSE text END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.merge.{PartitionSpec, PartitionedTarget}
 import graft.pipeline.{HashMode, Multimodal, TextStats}
-import graft.streaming.{StreamingIndex, StreamingMultimodal, StreamingQuota, StreamingUpsert}
+import graft.streaming.{StreamingIndex, StreamingIngest, StreamingMultimodal, StreamingQuota, StreamingUpsert}
 
 /** Driver-contract query for the streaming layer: an N-batch replay of the
   * events table through the continuous upsert into a PARTITIONED target
@@ -384,6 +384,17 @@ object StreamingQueries {
       s.read.parquet(out).select("doc_id", "sniffed_type", "declared", "routed")
         .orderBy("doc_id")
     }),
+    // Streaming ingest gate (st18): corrupted JSONL shards landing over
+    // time, each micro-batch through the stateless PERMISSIVE parse +
+    // quarantine routing into the verdict-partitioned sink. Consumers
+    // read routed=clean partition-pruned; the converged clean partition
+    // equals the batch j1 read (stateless gate, j1's oracle verbatim).
+    "st18_stream_ingest" -> ((s, dir) => {
+      val (replay, out) = st18Setup(s, dir)
+      replay()
+      s.read.parquet(out).filter(col("routed") === "clean")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
     // Streaming BM25 index maintenance (st13): the documents table
     // replayed in batches through StreamingIndex.bm25IndexTo — batch 0
     // bootstraps the index, every later batch lands as a crash-atomic
@@ -591,6 +602,29 @@ object StreamingQueries {
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
+    (replay, out)
+  }
+
+  /** Untimed setup for st18 (streaming ingest gate): the j1 corrupted
+    * JSONL fixture staged as `NBatches` shard files and tailed by a
+    * `readStream` TEXT source (`maxFilesPerTrigger=1` — one shard per
+    * micro-batch), each batch routed through the stateless
+    * [[StreamingIngest]] quarantine gate into the verdict-partitioned
+    * exactly-once sink. Nothing is ever staged on the driver (the st11
+    * file-source shape), so this harness runs at any scale factor.
+    * Stateless gate ⇒ the converged `routed=clean` partition is exactly
+    * the batch j1 clean read — one damage rule, one oracle, shared.
+    */
+  private[graft] def st18Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    val scratch = Fixtures.scratchDir("graft-st18")
+    val out = s"$scratch/out"
+    val stage = IngestQueries.jsonlFixture(s, dir, nFiles = NBatches)
+    val replay = () => {
+      val stream = s.readStream.option("maxFilesPerTrigger", 1).text(stage)
+      val q = StreamingIngest.ingestTo(
+        stream, "value", IngestQueries.jsonlSchema, out, s"$scratch/cp")
+      try q.processAllAvailable() finally q.stop()
+    }
     (replay, out)
   }
 
@@ -1003,6 +1037,12 @@ object StreamingQueries {
     "st11_stream_file_upsert" ->
       """SELECT event_id, user_id, event_type, value
         |FROM events ORDER BY event_id""".stripMargin,
+    // st18 is j1 through the streaming file-source harness — stateless
+    // gate, so the converged clean partition is the batch clean read:
+    // one damage rule, one oracle (the st11/st12 precedent).
+    "st18_stream_ingest" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
     // Dedup-on-ingest converged state: every event exactly once, despite
     // the overlapping replay — again the events table itself.
     "st2_stream_dedup" ->

@@ -445,4 +445,29 @@ class PlanSpec extends GraftSuite {
       plan.take(3000)) // probe side broadcast (non-equi self-pair filter)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("j1/j4 quarantine ingest: map-only — one text scan, no exchange beyond the output sort") {
+    for (name <- Seq("j1_jsonl_ingest", "j4_csv_quarantine")) {
+      val plan = planOf(name)
+      assert("Scan text".r.findAllIn(plan).size === 1, s"$name:\n" + plan.take(3000))
+      assert(!plan.contains("Join"), name)
+      // The trailing orderBy for oracle determinism is the only exchange;
+      // parse + route is a pure projection over the line scan.
+      assert("Exchange".r.findAllIn(plan).size <= 1, s"$name:\n" + plan.take(3000))
+    }
+  }
+
+  test("j2 ingest report: single scan, partial-agg only — no join, no second pass") {
+    val plan = planOf("j2_jsonl_quarantine")
+    assert("Scan text".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+    // One 1-row aggregation: exactly the partial/final exchange, nothing else.
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(3000))
+  }
+
+  test("j5 quarantine provenance: map-side filtered scan + one shard-keyed aggregation") {
+    val plan = planOf("j5_quarantine_provenance")
+    assert("Scan text".r.findAllIn(plan).size === 1, plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
 }

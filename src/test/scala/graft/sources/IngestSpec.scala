@@ -1,0 +1,222 @@
+package graft.sources
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructType}
+
+import graft.GraftSuite
+import graft.queries.Fixtures
+
+/** The ingestion-boundary contracts the j-queries rely on but cannot
+  * hash-check cross-engine: raw-byte preservation, clean/quarantine
+  * totality, the drift-vs-tear asymmetry, provenance, the persisted
+  * quarantine sink, gzip parallelism, and the embedded-newline CSV
+  * failure mode.
+  */
+class IngestSpec extends GraftSuite {
+
+  private def schema = new StructType()
+    .add("doc_id", LongType).add("lang", StringType).add("n_chars", LongType)
+
+  /** Write `lines` verbatim as one text shard file; returns (dir, file). */
+  private def shard(lines: Seq[String], name: String = "shard.jsonl"): (String, String) = {
+    val dir = Fixtures.scratchDir("graft-ingest-spec")
+    val f = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    (dir, f.toString)
+  }
+
+  private val good = Seq(
+    """{"doc_id":1,"lang":"en","n_chars":10}""",
+    """{"doc_id":2,"lang":"fr","n_chars":20}""")
+  private val torn = Seq(
+    """{"doc_id":3,"lang":"de","n_ch""", // torn mid-key
+    """ ###{"doc_id":4,"lang":"es","n_chars":40}""") // prefix damage
+
+  test("jsonl quarantine preserves damaged lines verbatim — exact raw bytes, nothing else") {
+    val (dir, _) = shard(good ++ torn)
+    val (clean, quarantine) = Ingest.jsonl(spark, dir, schema)
+    val rawBack = quarantine.select("raw_line").collect().map(_.getString(0)).toSet
+    assert(rawBack === torn.toSet)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("totality: every input line lands in exactly one of (clean, quarantine)") {
+    val (dir, _) = shard(good ++ torn)
+    val parsed = Ingest.parseJsonl(
+      spark.read.textFile(dir).toDF("value"), "value", schema)
+    val n = spark.read.textFile(dir).count()
+    val (clean, quarantine) = (Ingest.cleanOf(parsed, schema), Ingest.quarantineOf(parsed))
+    assert(clean.count() + quarantine.count() === n)
+    // ...and the split is a partition, not an overlap: is_clean is a
+    // total boolean over the same single-scan projection.
+    assert(parsed.filter(col("is_clean").isNull).count() === 0)
+  }
+
+  test("drift-vs-tear asymmetry: missing field parses as NULL (clean); torn line quarantines") {
+    val (dir, _) = shard(Seq(
+      """{"doc_id":1,"lang":"en"}""", // n_chars absent — additive drift
+      """{"doc_id":2,"lang":"fr","n_chars":7}""",
+      """{"doc_id":3"""))
+    val (clean, quarantine) = Ingest.jsonl(spark, dir, schema)
+    val rows = clean.orderBy("doc_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 1L && rows(0).isNullAt(2)) // NULL n_chars, still clean
+    assert(quarantine.select("raw_line").collect().map(_.getString(0)).toSeq ===
+      Seq("""{"doc_id":3"""))
+  }
+
+  test("type drift quarantines: a field whose TYPE contradicts the schema is not silently nulled") {
+    val (dir, _) = shard(Seq(
+      """{"doc_id":1,"lang":"en","n_chars":"lots"}""", // string where LONG declared
+      """{"doc_id":2,"lang":"fr","n_chars":5}"""))
+    val (clean, quarantine) = Ingest.jsonl(spark, dir, schema)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(quarantine.count() === 1)
+  }
+
+  test("empty and whitespace lines quarantine — they are not records of the schema") {
+    val (dir, _) = shard(Seq(good.head, "", "   ", good.last))
+    val parsed = Ingest.parseJsonl(
+      spark.read.textFile(dir).toDF("value"), "value", schema)
+    assert(Ingest.cleanOf(parsed, schema).count() === 2)
+    assert(Ingest.quarantineOf(parsed).count() === 2)
+  }
+
+  test("csv type-poison row quarantines WHOLE — no partially-nulled row reaches the corpus") {
+    val (dir, _) = shard(Seq("1,en,10", "2,fr,xx", "3,de,30"), "shard.csv")
+    val (clean, quarantine) = Ingest.csv(spark, dir, schema)
+    assert(clean.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+      Set((1L, "en", 10L), (3L, "de", 30L)))
+    assert(quarantine.select("raw_line").collect().map(_.getString(0)).toSeq === Seq("2,fr,xx"))
+  }
+
+  test("csv wrong token count quarantines (no missing-field tolerance, unlike JSONL)") {
+    val (dir, _) = shard(Seq("1,en,10", "2,fr"), "shard.csv")
+    val (clean, quarantine) = Ingest.csv(spark, dir, schema)
+    assert(clean.count() === 1)
+    assert(quarantine.select("raw_line").head().getString(0) === "2,fr")
+  }
+
+  test("provenance: a torn line is traceable to its shard file and stably hashed") {
+    val dir = Fixtures.scratchDir("graft-ingest-spec")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.jsonl"),
+      (good :+ "torn-in-a").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.jsonl"),
+      """{"doc_id":9,"lang":"zh","n_chars":9}""".getBytes("UTF-8"))
+    val (_, quarantine) = Ingest.jsonl(spark, dir, schema)
+    val q = quarantine.collect()
+    assert(q.length === 1)
+    assert(q.head.getAs[String]("raw_line") === "torn-in-a")
+    assert(q.head.getAs[String]("src_file").endsWith("/a.jsonl"))
+    // line_hash is xxhash64 of the raw bytes — recomputable, stable
+    // across re-ingests, usable as a dedup/ticket id.
+    val expected = spark.sql("SELECT xxhash64('torn-in-a')").head().getLong(0)
+    assert(q.head.getAs[Long]("line_hash") === expected)
+  }
+
+  test("shardLabel: partition-layout paths label by key=value segment, flat paths by basename") {
+    val df = spark.range(1).select(
+      Ingest.shardLabel(lit("/data/crawl/lang=en/part-0001.txt")).as("a"),
+      Ingest.shardLabel(lit("/data/crawl/part-0042.jsonl.gz")).as("b"))
+    assert(df.head() === Row("lang=en", "part-0042.jsonl.gz"))
+  }
+
+  test("quarantineTo: rejected lines persist partitioned by shard and replay verbatim") {
+    val dir = Fixtures.scratchDir("graft-ingest-spec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "in", "lang=en"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "in", "lang=fr"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in/lang=en/p0.jsonl"),
+      (good.take(1) :+ "torn-en-1" :+ "torn-en-2").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in/lang=fr/p0.jsonl"),
+      (good.drop(1) :+ "torn-fr-1").mkString("\n").getBytes("UTF-8"))
+    val parsed = Ingest.parseJsonl(
+      spark.read.textFile(s"$dir/in").toDF("value"), "value", schema)
+    Ingest.quarantineTo(parsed, s"$dir/sink")
+    val back = spark.read.parquet(s"$dir/sink")
+    assert(back.select("src_shard").distinct().collect().map(_.getString(0)).toSet ===
+      Set("lang=en", "lang=fr"))
+    // Partition pruning works and the raw bytes replay per shard.
+    assert(back.filter(col("src_shard") === "lang=en")
+      .select("raw_line").collect().map(_.getString(0)).toSet ===
+      Set("torn-en-1", "torn-en-2"))
+    assert(back.filter(col("src_shard") === "lang=fr")
+      .select("raw_line").head().getString(0) === "torn-fr-1")
+  }
+
+  test("gzip shards read transparently; parallelism == shard count (non-splittable)") {
+    val dir = Fixtures.scratchDir("graft-ingest-spec")
+    def gzShard(name: String, lines: Seq[String]): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(dir, name)))
+      out.write(lines.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    gzShard("s0.jsonl.gz", good)
+    gzShard("s1.jsonl.gz", torn)
+    gzShard("s2.jsonl.gz", Seq("""{"doc_id":9,"lang":"zh","n_chars":9}"""))
+    val lines = spark.read.textFile(dir).toDF("value")
+    // One task per .gz shard — the codec is not splittable, so scan
+    // parallelism equals shard count. (This is the 100 TB shard-size
+    // discipline: many few-hundred-MB shards, never one archive.)
+    assert(lines.rdd.getNumPartitions === 3)
+    val parsed = Ingest.parseJsonl(lines, "value", schema)
+    assert(Ingest.cleanOf(parsed, schema).count() === 3)
+    assert(Ingest.quarantineOf(parsed).count() === 2)
+  }
+
+  test("embedded-newline CSV: the line-oriented reader tears (pinned); csvMultiline parses intact") {
+    val record = "5,en,\"hello\nworld\"" // ONE logical record, two physical lines
+    val (dir, _) = shard(Seq("1,en,10", record), "shard.csv")
+    // Pinned tear shape: the head fragment parses CLEAN with the field
+    // silently truncated at the dangling quote; the tail fragment
+    // quarantines (it violates the numeric leading column). This is WHY
+    // quote-newline shards must not go through the line-oriented path —
+    // the quarantine count is the canary, not a guarantee.
+    val csvSchemaStr = new StructType()
+      .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+    val (clean, quarantine) = Ingest.csv(spark, dir, csvSchemaStr)
+    assert(clean.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "10"), (5L, "hello"))) // truncated!
+    assert(quarantine.select("raw_line").head().getString(0) === "world\"")
+    // The quote-aware path returns the record intact.
+    val (mClean, mQuarantine) = Ingest.csvMultiline(spark, dir, csvSchemaStr)
+    assert(mClean.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((1L, "10"), (5L, "hello\nworld")))
+    assert(mQuarantine.count() === 0)
+  }
+
+  test("csvMultiline quarantines malformed records with the raw record preserved") {
+    val (dir, _) = shard(Seq("1,en,10", "2,fr,xx", "3,de,30"), "shard.csv")
+    val (clean, quarantine) = Ingest.csvMultiline(spark, dir, schema)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    val q = quarantine.collect()
+    assert(q.length === 1 && q.head.getAs[String]("raw_line") === "2,fr,xx")
+    assert(q.head.getAs[String]("src_file").endsWith("shard.csv"))
+  }
+
+  test("report: one-row totality gate with 6dp corrupt fraction") {
+    val (dir, _) = shard(good ++ torn)
+    val parsed = Ingest.parseJsonl(
+      spark.read.textFile(dir).toDF("value"), "value", schema)
+    assert(Ingest.report(parsed).head() === Row(2L, 2L, 0.5))
+  }
+
+  test("corruptWhen poisons JSONL unconditionally and numeric-leading CSV") {
+    val df = spark.createDataFrame(java.util.List.of(
+        Row(1L, """{"doc_id":1,"lang":"en","n_chars":5}"""),
+        Row(2L, """{"doc_id":2,"lang":"fr","n_chars":6}""")),
+      new StructType().add("id", LongType).add("value", StringType))
+      .select(Ingest.corruptWhen(col("id") === 1L, col("value")).as("value"))
+    val parsed = Ingest.parseJsonl(df, "value", schema)
+    assert(Ingest.cleanOf(parsed, schema).count() === 1)
+    assert(Ingest.quarantineOf(parsed).select("raw_line").head().getString(0)
+      .startsWith("\u0000###"))
+    // CSV: the NUL prefix breaks a LONG leading column (the csvFixture
+    // shape); a string-leading CSV schema would accept it — fixtures
+    // that poison CSV must poison a typed token (Ingest scaladoc).
+    val csvDf = spark.createDataFrame(java.util.List.of(Row(1L, "1,en,10")),
+      new StructType().add("id", LongType).add("value", StringType))
+      .select(Ingest.corruptWhen(col("id") === 1L, col("value")).as("value"))
+    assert(Ingest.quarantineOf(Ingest.parseCsv(csvDf, "value", schema)).count() === 1)
+  }
+}
