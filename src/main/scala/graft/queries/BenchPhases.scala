@@ -95,6 +95,19 @@ object BenchPhases {
         graft.sources.Ingest.quarantineTo(parsed, sink); ()
       }
     }),
+    // j9's claim is the PROMOTE cost (list-diff + parse + three
+    // partitioned writes); fixture serialization is setup. Each timed
+    // run gets a FRESH corpus root — promote against an existing
+    // manifest is a no-op, which would time the metadata diff only.
+    "j9_shard_promote" -> ((s, dir) => {
+      val src = IngestQueries.partitionedJsonlFixture(s, dir)
+      () => {
+        val root = Fixtures.scratchDir("graft-j9-bench")
+        graft.sources.Ingest.promoteJsonl(s, src, IngestQueries.jsonlSchema,
+          s"$root/corpus", s"$root/quarantine", s"$root/manifest").count()
+        ()
+      }
+    }),
     "j8_csv_multiline" -> ((s, dir) => {
       import org.apache.spark.sql.types.{LongType, StringType, StructType}
       val path = IngestQueries.multilineCsvFixture(s, dir)
@@ -103,6 +116,26 @@ object BenchPhases {
       () => {
         val (clean, _) = graft.sources.Ingest.csvMultiline(s, path, schema)
         clean.count(); ()
+      }
+    }),
+    "j10_field_inventory" -> ((s, dir) => {
+      val root = IngestQueries.driftFixture(s, dir)
+      () => {
+        graft.sources.Ingest.fieldInventory(
+          s.read.textFile(root + "/*").toDF("value"), "value").count()
+        ()
+      }
+    }),
+    // j11's claim is the COMPACTION rewrite; the promote that builds the
+    // per-file-partitioned corpus is the setup it exists to amortize.
+    "j11_compact_corpus" -> ((s, dir) => {
+      val src = IngestQueries.partitionedJsonlFixture(s, dir)
+      val root = Fixtures.scratchDir("graft-j11-bench")
+      graft.sources.Ingest.promoteJsonl(s, src, IngestQueries.jsonlSchema,
+        s"$root/corpus", s"$root/quarantine", s"$root/manifest").count()
+      () => {
+        graft.sources.Ingest.compactCorpus(s, s"$root/corpus", s"$root/compact")
+        ()
       }
     }),
     "st18_stream_ingest" -> ((s, dir) => StreamingQueries.st18Setup(s, dir)._1),

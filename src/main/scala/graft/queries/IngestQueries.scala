@@ -211,6 +211,21 @@ object IngestQueries {
         .agg(count(lit(1)).as("n_corrupt"))
         .orderBy("lang")
     }),
+    // Manifest-gated idempotent promotion: the shard tree promotes into
+    // the per-file-partitioned corpus TWICE — the second run must no-op
+    // off the manifest — and the corpus must hold exactly the clean
+    // lines once. The end state is j1's (one damage rule); the
+    // crash-recovery laws behind it are PromoteSpec's.
+    "j9_shard_promote" -> ((s, dir) => {
+      val src = partitionedJsonlFixture(s, dir)
+      val root = Fixtures.scratchDir("graft-promote")
+      Ingest.promoteJsonl(s, src, jsonlSchema,
+        s"$root/corpus", s"$root/quarantine", s"$root/manifest").count()
+      Ingest.promoteJsonl(s, src, jsonlSchema,
+        s"$root/corpus", s"$root/quarantine", s"$root/manifest").count()
+      s.read.parquet(s"$root/corpus")
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
     // Quote-aware CSV: fields with embedded newlines round-trip through
     // the multiLine reader — the documented non-splittable escape hatch
     // for shards the line-oriented reader would tear.
@@ -219,6 +234,26 @@ object IngestQueries {
         .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
       val (clean, _) = Ingest.csvMultiline(s, multilineCsvFixture(s, dir), schema)
       clean.select("doc_id", "lang", "text").orderBy("doc_id")
+    }),
+    // Schema-drift inventory: per-field presence over the drifted shard
+    // tree, BEFORE committing to a read schema — `quality` present in
+    // exactly the new shards, doc_id/text everywhere. No schema input;
+    // the inventory discovers one.
+    "j10_field_inventory" -> ((s, dir) => {
+      val lines = s.read.textFile(driftFixture(s, dir) + "/*").toDF("value")
+      Ingest.fieldInventory(lines, "value").orderBy("field")
+    }),
+    // Compaction: the promoted per-file-partitioned corpus rewritten
+    // into the coarse downstream layout — identical rows (j9's oracle
+    // modulo the retained provenance column), no src_key dirs.
+    "j11_compact_corpus" -> ((s, dir) => {
+      val src = partitionedJsonlFixture(s, dir)
+      val root = Fixtures.scratchDir("graft-compact")
+      Ingest.promoteJsonl(s, src, jsonlSchema,
+        s"$root/corpus", s"$root/quarantine", s"$root/manifest").count()
+      Ingest.compactCorpus(s, s"$root/corpus", s"$root/compact")
+      s.read.parquet(s"$root/compact")
+        .select("doc_id", "lang", "n_chars", "src_shard").orderBy("doc_id")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -261,6 +296,12 @@ object IngestQueries {
       """SELECT lang, count(*) AS n_corrupt
         |FROM documents WHERE doc_id % 13 = 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // j9: the double promote converges to the clean subset exactly once
+    // — j1's damage rule; duplicates (a broken no-op) or losses (a
+    // clobbered partition) would break the hash.
+    "j9_shard_promote" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
     // j8: the embedded-newline transform replays as replace(' ', \n);
     // the quote-aware reader must return every row (nothing quarantines)
     // with the multi-line text intact.
@@ -268,5 +309,24 @@ object IngestQueries {
       """SELECT doc_id, lang,
         |       CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', chr(10))
         |            ELSE text END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // j10: the drift fixture's field layout replays closed-form —
+    // doc_id/text on every line, quality on the even (new-shard) half.
+    "j10_field_inventory" ->
+      """SELECT field, n_docs,
+        |       round(n_docs / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6)
+        |         AS present_frac
+        |FROM (
+        |  SELECT 'doc_id' AS field, count(*) AS n_docs FROM documents
+        |  UNION ALL
+        |  SELECT 'quality', count(*) FILTER (WHERE doc_id % 2 = 0) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(*) FROM documents
+        |) ORDER BY field""".stripMargin,
+    // j11: compaction preserves content exactly — j9's clean subset with
+    // the src_shard provenance (== the lang partition) retained in-row.
+    "j11_compact_corpus" ->
+      """SELECT doc_id, lang, n_chars, concat('lang=', lang) AS src_shard
+        |FROM documents
+        |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin)
 }

@@ -206,6 +206,166 @@ object Ingest {
       .option("maxRecordsPerFile", 5000000)
       .partitionBy("src_shard").parquet(path)
 
+  /** List the data files under a shard tree — driver-side METADATA only
+    * (a filesystem listing, never a data read; ~400k entries for 100 TB
+    * of 256 MB shards — strings, not rows). Hidden/underscore files
+    * (`_SUCCESS`, `.crc`) are skipped, matching Spark's own convention.
+    */
+  def listShardFiles(spark: SparkSession, path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (f.isFile && !n.startsWith("_") && !n.startsWith("."))
+        out += f.getPath.toString
+    }
+    out.toSeq.sorted
+  }
+
+  /** Canonical comparison key for a file path/URI: the scheme-stripped
+    * path. Hadoop listings ("file:/x"), `input_file_name()`
+    * ("file:///x"), and bare paths ("/x") must all compare equal — the
+    * manifest diff in [[promoteJsonl]] is only as correct as this
+    * normalization. Single-filesystem-root assumption: paths from
+    * different buckets/authorities are not disambiguated.
+    */
+  private[sources] def canonPath(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath != null && u.getPath.nonEmpty) u.getPath else p
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Manifest-gated IDEMPOTENT shard promotion — exactly-once batch
+    * ingest without a streaming checkpoint. The streaming gate
+    * ([[graft.streaming.StreamingIngest]]) gets exactly-once from the
+    * file-sink log; a batch crawl re-run after a crash has no such log,
+    * and a naive append re-promotes every shard it already ingested.
+    * Two mechanisms compose here, each carrying half the contract:
+    *
+    *   - a MANIFEST (parquet at `manifestPath`: one row per promoted
+    *     shard file with its clean/corrupt counts) makes re-runs SKIP
+    *     work already done — the listing diff is driver-side metadata,
+    *     and only genuinely new shard files are ever read;
+    *   - both sinks are partitioned by a PER-FILE key (`src_key`, the
+    *     xxhash64 of the source path) and written with DYNAMIC
+    *     partition overwrite, so re-promoting a shard file (manifest
+    *     lost, crash between data and manifest writes) REPLACES exactly
+    *     that file's partition instead of duplicating rows. Idempotence
+    *     comes from the layout, not from trusting the manifest — and
+    *     the key must be per-FILE, not per-shard-label: a partial
+    *     manifest commit followed by a re-run of the unmanifested
+    *     subset must never clobber a partition shared with an
+    *     already-manifested file.
+    *
+    * Crash anywhere ⇒ re-run converges to the same corpus: shards in
+    * the manifest are skipped, shards not in it are (re)written in
+    * place. The manifest is appended AFTER data lands — the safe order,
+    * since a re-promote is a no-op rewrite while a skipped unwritten
+    * shard would be data loss.
+    *
+    * Grain trade, stated honestly: partition count equals shard-file
+    * count (~400k dirs for 100 TB of 256 MB shards). That is within
+    * parquet/HMS practice but not free — writers should aim for
+    * few-hundred-MB shards (the C160 discipline), and a corpus that
+    * outgrows file-listing should compact promoted partitions into a
+    * coarser layout downstream; [[shardLabel]] rides along as a data
+    * column for human triage either way.
+    *
+    * Returns the promotion report: one row per NEWLY promoted shard
+    * (src_file, src_shard, n_clean, n_corrupt) — empty when everything
+    * was already promoted.
+    */
+  def promoteJsonl(
+      spark: SparkSession, srcPath: String, schema: StructType,
+      corpusPath: String, quarantinePath: String, manifestPath: String): DataFrame = {
+    val manifestExists = {
+      val p = new org.apache.hadoop.fs.Path(manifestPath)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    // File-level metadata only: one string per promoted SHARD (not per
+    // row) — bounded by shard count, the same driver-side scale as the
+    // listing itself.
+    val done: Set[String] =
+      if (!manifestExists) Set.empty
+      else spark.read.parquet(manifestPath)
+        .select("src_file").collect().map(r => canonPath(r.getString(0))).toSet
+    val newFiles = listShardFiles(spark, srcPath)
+      .filterNot(f => done.contains(canonPath(f)))
+    if (newFiles.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType().add("src_file", StringType).add("src_shard", StringType)
+          .add("n_clean", org.apache.spark.sql.types.LongType)
+          .add("n_corrupt", org.apache.spark.sql.types.LongType))
+    val srcKey = lower(hex(xxhash64(input_file_name())))
+    val parsed = parseJsonl(
+        spark.read.textFile(newFiles: _*).toDF("value"), "value", schema)
+      .withColumn("src_file", input_file_name())
+      .withColumn("src_shard", shardLabel(input_file_name()))
+    cleanOf(parsed, schema)
+      .withColumn("src_shard", shardLabel(input_file_name()))
+      .withColumn("src_key", srcKey)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("src_key").parquet(corpusPath)
+    parsed.filter(!col("is_clean"))
+      .select(col("value").as("raw_line"), col("src_file"),
+        xxhash64(col("value")).as("line_hash"), col("src_shard"),
+        srcKey.as("src_key"))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("src_key").parquet(quarantinePath)
+    val shardReport = parsed.groupBy("src_file", "src_shard").agg(
+      sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"),
+      sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_corrupt"))
+    shardReport.write.mode("append").parquet(manifestPath)
+    shardReport
+  }
+
+  /** Schema-drift inventory over raw JSONL lines: per top-level FIELD,
+    * how many lines carry it and what fraction of the corpus that is —
+    * the triage view that answers "which fields are new, which shards
+    * predate field X, is `quality` present enough to filter on yet"
+    * BEFORE anyone commits to a read schema. Works on the raw lines
+    * (no schema needed — the point is discovering one): torn lines
+    * yield NULL from `json_object_keys` and drop out of the explode,
+    * so the inventory is over parseable lines only. Top-level keys
+    * only, deliberately — nested drift is a schema-version question,
+    * not a presence question. Scale shape: one map-only explode + one
+    * aggregation keyed by field name (bounded by schema width, not
+    * corpus size) + a 1-row total broadcast (the t10/t12 precedent).
+    */
+  def fieldInventory(lines: DataFrame, lineCol: String): DataFrame = {
+    val total = lines.agg(count(lit(1)).as("n_lines"))
+    lines.select(explode(json_object_keys(col(lineCol))).as("field"))
+      .groupBy("field").agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(total))
+      .select(col("field"), col("n_docs"),
+        round(col("n_docs") / col("n_lines"), 6).as("present_frac"))
+  }
+
+  /** Compact a [[promoteJsonl]] corpus into a coarser layout — the
+    * downstream step the per-file promotion grain trades against: once
+    * a tree of shards is fully promoted, the src_key partition dirs
+    * (one per shard file) are replaced by plain size-bounded parquet,
+    * with the src_shard provenance column retained in-row. Out-of-place
+    * write (read promoted → write compacted): the promoted corpus stays
+    * the crash-safe ingest frontier; the compacted copy is what
+    * downstream pipelines scan. One distributed scan, one write, no
+    * shuffle (`maxRecordsPerFile` splits oversized tasks without one).
+    */
+  def compactCorpus(
+      spark: SparkSession, corpusPath: String, outPath: String,
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    spark.read.parquet(corpusPath)
+      .drop("src_key")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(outPath)
+
   /** Ingest health report: one row — (n_clean, n_corrupt, corrupt_frac).
     * Single aggregation over the parse projection (one scan, map-side
     * combined); the gate a pipeline checks before promoting a shard.

@@ -470,4 +470,14 @@ class PlanSpec extends GraftSuite {
     assert("Scan text".r.findAllIn(plan).size === 1, plan.take(3000))
     assert(!plan.contains("Join"), plan.take(3000))
   }
+
+  test("j10 field inventory: explode + field-keyed agg, total joins as a 1-row broadcast") {
+    val plan = planOf("j10_field_inventory")
+    // The corpus-total denominator must arrive as a broadcast of ONE
+    // row, never a shuffle of the inventory against the line count.
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
 }

@@ -201,6 +201,41 @@ class IngestSpec extends GraftSuite {
     assert(Ingest.report(parsed).head() === Row(2L, 2L, 0.5))
   }
 
+  test("fieldInventory: top-level keys only, torn lines excluded, fractions over ALL lines") {
+    val (dir, _) = shard(Seq(
+      """{"a":1,"b":{"nested":true}}""",
+      """{"a":2,"c":3}""",
+      "torn — contributes to the denominator, no fields",
+      """{"a":4}"""))
+    val inv = Ingest.fieldInventory(
+        spark.read.textFile(dir).toDF("value"), "value")
+      .orderBy("field").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // `nested` must NOT appear (presence is a top-level question); the
+    // torn line appears in no field count but in every fraction's
+    // denominator (4 lines).
+    assert(inv.toSeq === Seq(("a", 3L, 0.75), ("b", 1L, 0.25), ("c", 1L, 0.25)))
+  }
+
+  test("compactCorpus: per-file src_key dirs replaced by plain parquet, rows and provenance intact") {
+    val dir = Fixtures.scratchDir("graft-ingest-spec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in/a.jsonl"),
+      (good :+ "torn-a").mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in/b.jsonl"),
+      """{"doc_id":9,"lang":"zh","n_chars":9}""".getBytes("UTF-8"))
+    Ingest.promoteJsonl(spark, s"$dir/in", schema,
+      s"$dir/corpus", s"$dir/q", s"$dir/m").count()
+    Ingest.compactCorpus(spark, s"$dir/corpus", s"$dir/compact")
+    val out = spark.read.parquet(s"$dir/compact")
+    assert(out.columns.toSet === Set("doc_id", "lang", "n_chars", "src_shard"))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(1L, 2L, 9L))
+    // The compacted layout has no per-file partition dirs.
+    assert(!new java.io.File(s"$dir/compact").listFiles()
+      .exists(_.getName.startsWith("src_key=")))
+  }
+
   test("corruptWhen poisons JSONL unconditionally and numeric-leading CSV") {
     val df = spark.createDataFrame(java.util.List.of(
         Row(1L, """{"doc_id":1,"lang":"en","n_chars":5}"""),
