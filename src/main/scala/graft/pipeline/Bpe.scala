@@ -1,0 +1,138 @@
+package graft.pipeline
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer training + subword encoding — the real
+  * tokenizer step (vs [[Vocab]]'s whole-word ids): learn the top-k most
+  * frequent adjacent symbol merges over the corpus, then segment every
+  * word into the learned subword pieces. This is the algorithm behind
+  * GPT/LLaMA-family tokenizers (Sennrich et al. 2016), expressed
+  * Spark-first.
+  *
+  * The load-bearing scale decision: BPE trains on the DISTINCT-WORD
+  * frequency table, never the token stream — pair counts are weighted
+  * by word frequency, so a 100 TB corpus collapses to its vocabulary
+  * (bounded by content, not size) before any per-round work happens.
+  * Each round is one map-side pair explode + one aggregation over the
+  * word table + a 1-row argmax collect (bounded by contract), then a
+  * map-only fold applying the merge; the persist/materialize/unpersist
+  * cycle per round is the [[graft.operators.GraphRank]] lineage-cut
+  * discipline.
+  *
+  * Determinism is the contract (same build on any run, engine, or
+  * cluster size): the argmax tie-breaks (count DESC, lhs ASC, rhs ASC),
+  * and merge application is greedy-left — a left fold over the symbol
+  * sequence where a just-merged piece becomes the new left context,
+  * which resolves overlapping matches ("a a a" under (a,a) → "aa a")
+  * identically everywhere.
+  *
+  * Segmentation state is a space-joined string ("t a b l e"), legal
+  * because words are whitespace tokens (can never contain the
+  * separator); that representation is what makes the fold expressible
+  * as a codegen'd `aggregate` higher-order function here and as
+  * `list_reduce` in the cross-engine oracle — no UDF on either side.
+  */
+object Bpe {
+
+  /** One learned merge: `step` (1-based), `lhs`+`rhs` → `merged`,
+    * `n` = frequency-weighted pair count at learn time.
+    */
+  final case class Merge(step: Long, lhs: String, rhs: String, merged: String, n: Long)
+
+  /** A trained tokenizer: the ordered merge table (driver-side — k rows
+    * by construction) plus the distinct-word table with its final
+    * segmentation (`word`, `freq`, `seg`), persisted and materialized.
+    */
+  final case class BpeModel(merges: Seq[Merge], words: DataFrame) {
+    /** The merge table as a DataFrame: (step, lhs, rhs, merged, n). */
+    def mergeTable(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      merges.toDF("step", "lhs", "rhs", "merged", "n")
+    }
+  }
+
+  /** Apply ONE merge (lhs,rhs)→merged to a seg string, greedy-left:
+    * fold symbols left to right; when the accumulator's last piece is
+    * `lhs` and the next symbol is `rhs`, splice them into `merged`
+    * (which then becomes the left context for the next step).
+    */
+  private[pipeline] def applyMerge(seg: org.apache.spark.sql.Column, m: Merge) = {
+    val a = lit(m.lhs); val b = lit(m.rhs); val mg = lit(m.merged)
+    aggregate(
+      split(seg, " "),
+      lit(null).cast("string"),
+      (acc, x) => when(acc.isNull, x)
+        .when(element_at(split(acc, " "), -1) === a && x === b,
+          concat(acc.substr(lit(1), length(acc) - lit(m.lhs.length)), mg))
+        .otherwise(concat(acc, lit(" "), x)))
+  }
+
+  /** Train `numMerges` BPE merges over the corpus's whitespace tokens.
+    * Stops early if the word table runs out of adjacent pairs (every
+    * word fully merged) — the returned table then has fewer rows, and
+    * the cross-engine oracle agrees because an empty argmax contributes
+    * no row there either.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    var words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .persist()
+    words.count()
+    val merges = ArrayBuffer.empty[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val syms = split(col("seg"), " ")
+      val top = words
+        .select(col("freq"),
+          explode(arrays_zip(
+            slice(syms, lit(1), size(syms) - 1).as("lhs"),
+            slice(syms, lit(2), size(syms) - 1).as("rhs"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("freq")).as("n"))
+        .orderBy(desc("n"), asc("lhs"), asc("rhs"))
+        .limit(1).collect() // 1 row by contract: the round's argmax
+      if (top.isEmpty) exhausted = true
+      else {
+        val r = top.head
+        val m = Merge(step.toLong, r.getString(0), r.getString(1),
+          r.getString(0) + r.getString(1), r.getLong(2))
+        merges += m
+        val next = words.withColumn("seg", applyMerge(col("seg"), m)).persist()
+        next.count() // materialize: cut the round's lineage
+        words.unpersist(false)
+        words = next
+        step += 1
+      }
+    }
+    BpeModel(merges.toSeq, words)
+  }
+
+  /** Encode every document's token stream into subword pieces against a
+    * trained model: (idCol, word_pos, piece_pos, piece) — word_pos the
+    * 0-based whitespace-token position, piece_pos the 0-based piece
+    * position within the word. Exploded-row output: order-stable,
+    * engine-comparable, and concatenating pieces per word restores the
+    * word exactly (spec-pinned totality).
+    *
+    * Scale shape: posexplode is map-only; the segmentation attaches as
+    * a BROADCAST join against the distinct-word table (vocabulary-sized
+    * by construction — drop the hint only if the word table outgrows
+    * the broadcast threshold, at which point AQE makes it an id-keyed
+    * equi-join). The token stream never shuffles.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
+    docs
+      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .join(broadcast(model.words.select(col("word"), col("seg"))), Seq("word"))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(split(col("seg"), " ")).as(Seq("piece_pos", "piece")))
+      .select(col(idCol), col("word_pos"),
+        col("piece_pos").cast("long").as("piece_pos"), col("piece"))
+}

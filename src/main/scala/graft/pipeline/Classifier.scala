@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based quality filtering — the trained-classifier gate that
+  * modern curation stacks run AFTER the heuristic signals: fit a small
+  * logistic-regression model on weak labels (a heuristic or a curated
+  * seed set), score every document, and admit by score. The production
+  * instances are fastText-style quality classifiers (the GPT-3 /
+  * LLaMA-pipeline "looks like a reference corpus" filter); the engine
+  * primitive they all need is a DISTRIBUTED trainer whose model is
+  * tiny and whose per-iteration cost is one pass over the corpus.
+  *
+  * Training is full-batch gradient descent for a FIXED number of
+  * iterations: each round computes the exact gradient in one
+  * aggregation (d+1 sums — bounded by the feature count, the only
+  * driver-side state is the weight vector) and steps the weights. No
+  * sampling, no per-partition SGD — the fixed-iteration, exact-agg
+  * shape is what makes the model reproducible AND oracle-checkable
+  * (the rounds unroll as SQL layers, the e20/e21 discipline).
+  *
+  * Determinism: features, per-row sigmoids, gradient averages, and
+  * weights are all re-rounded to 6dp per round, so distributed
+  * sum-order noise (~1e-16) never reaches the model; the same corpus
+  * trains to bit-identical weights on any engine or cluster size.
+  */
+object Classifier {
+
+  /** σ(z) rounded to 6dp — the per-row score primitive; pure codegen'd
+    * scalar math, no UDF.
+    */
+  private def sigmoid(z: Column): Column =
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+
+  private def dot(weights: Seq[Double], featureCols: Seq[String]): Column =
+    featureCols.zip(weights.tail).map { case (f, w) => col(f) * lit(w) }
+      .foldLeft(lit(weights.head): Column)(_ + _)
+
+  /** Train logistic weights (bias +: one per feature) by `iters` rounds
+    * of full-batch GD from zero init:
+    *   w ← round(w − lr · round(avg((σ(w·x) − y) · x), 6), 6)
+    * Feature columns must arrive pre-rounded (6dp) doubles; `labelCol`
+    * is 0/1. One aggregation pass per round; the collect is the (d+1)-
+    * vector of gradient components — bounded by the schema, never rows.
+    *
+    * Cross-engine hazard, learned the hard way: pick an `lr` whose
+    * product with a 6dp gradient stays at ≤6 decimals (1.0, 2.0, …).
+    * A fractional lr like 0.5 parks the unrounded step EXACTLY on the
+    * 7th-decimal .5 boundary every round, where engines that round the
+    * shortest decimal representation (Spark's HALF_UP BigDecimal) and
+    * engines that round the binary double (DuckDB) systematically
+    * disagree.
+    */
+  def trainLogistic(
+      df: DataFrame, featureCols: Seq[String], labelCol: String,
+      iters: Int, lr: Double): Seq[Double] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var w = Seq.fill(featureCols.size + 1)(0.0)
+    for (_ <- 1 to iters) {
+      val err = sigmoid(dot(w, featureCols)) - col(labelCol)
+      val grads = df.agg(
+        round(avg(err), 6).as("g0"),
+        featureCols.zipWithIndex.map { case (f, i) =>
+          round(avg(err * col(f)), 6).as(s"g${i + 1}")
+        }: _*).head()
+      w = w.zipWithIndex.map { case (wi, i) =>
+        BigDecimal(wi - lr * grads.getDouble(i))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    w
+  }
+
+  /** Score every row under trained weights: adds `score` = σ(w·x)
+    * (6dp) and `accepted` = score ≥ `threshold`. Map-only — the model
+    * is a literal in the plan, broadcast for free inside codegen.
+    */
+  def score(
+      df: DataFrame, weights: Seq[Double], featureCols: Seq[String],
+      threshold: Double): DataFrame = {
+    require(weights.size == featureCols.size + 1,
+      s"need ${featureCols.size + 1} weights (bias first), got ${weights.size}")
+    df.withColumn("score", sigmoid(dot(weights, featureCols)))
+      .withColumn("accepted", col("score") >= lit(threshold))
+  }
+}

@@ -849,6 +849,33 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__graft_loser"), "left_anti")
   }
 
+  /** Soft dedup: every doc KEPT, weighted 1/|cluster| — the
+    * loss-weighting alternative to [[pruneDuplicates]]' hard drop. A
+    * pruned corpus loses whichever near-copy carried the best metadata
+    * or formatting; soft weights keep them all while making each
+    * duplicated CONTENT count once in expectation — the trainer
+    * multiplies per-example loss by `weight` (or samples by it) and a
+    * 40-way boilerplate cluster stops dominating the gradient. Weights
+    * are exact over resolved clusters (singletons get 1.0), rounded to
+    * 6dp for the cross-engine contract.
+    *
+    * Scale shape: cluster resolution is [[clusters]]' capped-iteration
+    * label propagation; the size count is ONE window over the cluster
+    * label (near-dup clusters are small by construction — a cluster's
+    * rows land in one task, the usual top-N note) and singletons join
+    * in via the same left-join coalesce as the split assigner.
+    */
+  def softDedupWeights(
+      docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 30,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val cl = clusters(pairs, maxIters, aCol, bCol)
+      .select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.join(cl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("weight",
+        round(lit(1.0) / count(lit(1)).over(Window.partitionBy(col("cluster_id"))), 6))
+  }
+
   /** Benchmark decontamination: for every (corpus doc, benchmark doc) pair
     * sharing at least one token n-gram, the fraction of the BENCHMARK
     * doc's distinct n-grams that also occur in the corpus doc. A training

@@ -67,6 +67,35 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe split: assign splits by near-dup CLUSTER, not by
+    * document — the FIX paired with s4's leakage detector. A naive
+    * [[split]] hashes each doc independently, so the two halves of a
+    * near-duplicate pair land in train and test ~2·p·(1−p) of the time
+    * and the benchmark leaks into training verbatim (what s4 measures).
+    * Here every doc inherits its cluster representative
+    * ([[Dedup.clusters]]' min-id label; docs in no cluster are their own
+    * singleton via the coalesce) and the hash-range assignment runs on
+    * the CLUSTER id — a cluster is atomic across splits by construction,
+    * not by audit. Proportions now hold over clusters rather than docs;
+    * for near-dup-scale cluster sizes (tiny relative to the corpus) the
+    * doc-level proportions converge to the weights, and the residual
+    * skew is the price of zero leakage.
+    *
+    * Scale shape: one id-keyed equi-join (AQE-shaped; the cluster frame
+    * is pair-vertex-sized, typically ≪ corpus) + the same map-only
+    * hash-range assignment as [[split]]. Deterministic across runs,
+    * engines, and cluster sizes — same portable hash contract.
+    */
+  def splitByCluster(
+      df: DataFrame, idCol: String, clusters: DataFrame,
+      weights: Seq[(String, Double)], seed: Int,
+      hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
+    val labeled = df.join(clusters.select(col("doc_id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    split(labeled, "cluster_id", weights, seed, hashMode)
+  }
+
   /** Corpus rebalancing: keep a DIFFERENT deterministic fraction per
     * stratum — the data-mixing step that up/down-weights sources or
     * languages before training ("keep 100% of code, 30% of web crawl").

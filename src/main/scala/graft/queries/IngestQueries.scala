@@ -135,6 +135,24 @@ object IngestQueries {
     path
   }
 
+  /** JSONL where every 9th doc's n_chars arrives as a STRING with a
+    * unit suffix ("123c") — the upstream-format surprise that poisons a
+    * LONG read schema. Under the strict schema those lines quarantine
+    * whole (j12's setup); replayed under a tolerant string schema they
+    * recover losslessly.
+    */
+  private[graft] def typeDriftFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-jsonl-typedrift") + "/shard"
+    val docs = table(s, dir, "documents")
+    val strict = docs.filter(col("doc_id") % 9 =!= 0)
+      .select(to_json(struct(col("doc_id"), col("lang"), col("n_chars"))).as("value"))
+    val drifted = docs.filter(col("doc_id") % 9 === 0)
+      .select(to_json(struct(col("doc_id"), col("lang"),
+        concat(col("n_chars").cast("string"), lit("c")).as("n_chars"))).as("value"))
+    strict.unionByName(drifted).write.mode("overwrite").text(path)
+    path
+  }
+
   private[graft] def csvSchema: StructType = new StructType()
     .add("doc_id", LongType).add("lang", StringType)
     .add("source", StringType).add("n_chars", LongType)
@@ -235,6 +253,26 @@ object IngestQueries {
       val (clean, _) = Ingest.csvMultiline(s, multilineCsvFixture(s, dir), schema)
       clean.select("doc_id", "lang", "text").orderBy("doc_id")
     }),
+    // Quarantine replay: the lifecycle closure. Strict read quarantines
+    // the type-drifted lines (persisted with provenance); the corrected
+    // schema replays the SINK and recovers every one losslessly — the
+    // reason rejects are kept as raw bytes instead of dropped.
+    "j12_quarantine_replay" -> ((s, dir) => {
+      val strictSchema = new StructType()
+        .add("doc_id", LongType).add("lang", StringType).add("n_chars", LongType)
+      val parsed = Ingest.parseJsonl(
+        s.read.textFile(typeDriftFixture(s, dir)).toDF("value"), "value", strictSchema)
+      val sink = Fixtures.scratchDir("graft-replay") + "/q"
+      Ingest.quarantineTo(parsed, sink)
+      val tolerant = new StructType()
+        .add("doc_id", LongType).add("lang", StringType).add("n_chars", StringType)
+      val (recovered, stillBad) = Ingest.replayQuarantine(s.read.parquet(sink), tolerant)
+      // The corrected parse: strip the unit suffix back to the number.
+      recovered.select(col("doc_id"), col("lang"),
+          regexp_extract(col("n_chars"), "^([0-9]+)", 1).cast("long").as("n_chars"),
+          lit(stillBad.isEmpty).as("replay_complete"))
+        .orderBy("doc_id")
+    }),
     // Schema-drift inventory: per-field presence over the drifted shard
     // tree, BEFORE committing to a read schema — `quality` present in
     // exactly the new shards, doc_id/text everywhere. No schema input;
@@ -310,6 +348,11 @@ object IngestQueries {
         |       CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', chr(10))
         |            ELSE text END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // j12: the recovered set is exactly the type-drifted ninth, numbers
+    // restored; replay_complete pins that nothing stayed bad.
+    "j12_quarantine_replay" ->
+      """SELECT doc_id, lang, n_chars, true AS replay_complete
+        |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin,
     // j10: the drift fixture's field layout replays closed-form —
     // doc_id/text on every line, quality on the even (new-shard) half.
     "j10_field_inventory" ->

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Dedup, HashMode, Multimodal, Sampling, Similarity, TextStats}
+import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, TextStats, Vocab}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -621,6 +621,55 @@ $bandSelects
       graft.pipeline.Retrieval.rrfFuse(Seq(bm, vec), "doc_id", "rnk", topK = 15)
         .orderBy("rnk")
     }),
+    // Vocabulary build (C170 / t31): the top-200 frequency-ranked token
+    // vocabulary — one map-side-combined count (shuffle carries distinct
+    // tokens, not the stream), TakeOrdered 200, rank window on the
+    // 200-row frame. Ties break (count DESC, token ASC) — deterministic
+    // on any engine.
+    "t31_vocab_build" -> ((s, dir) =>
+      Vocab.build(table(s, dir, "documents"), "text", vocabSize = 200)
+        .orderBy("token_id")),
+    // Token encoding (C171 / t32): docs < 50 encoded against the
+    // corpus-wide top-100 vocab, OOV folded into 16 portable-hash
+    // buckets above the vocab range — (doc_id, pos, token_id) rows, the
+    // deterministic id stream packing consumes.
+    "t32_encode_tokens" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val vocab = Vocab.build(d, "text", vocabSize = 100)
+      Vocab.encode(d.filter(col("doc_id") < 50), "doc_id", "text", vocab,
+          vocabSize = 100, oovBuckets = 16, seed = 5)
+        .orderBy("doc_id", "pos")
+    }),
+    // BPE training (C172 / t33): 8 merges learned over the distinct-word
+    // frequency table — per round one pair explode + one agg + a 1-row
+    // argmax collect, tie-broken (n DESC, lhs, rhs); the oracle unrolls
+    // the identical 8 rounds as CTE layers (the e21 fixed-iteration
+    // discipline) with list_reduce replaying the greedy-left fold.
+    "t33_bpe_train" -> ((s, dir) =>
+      Bpe.train(table(s, dir, "documents"), "text", numMerges = 8)
+        .mergeTable(s).orderBy("step")),
+    // BPE encoding (C173 / t34): docs < 50 segmented into the learned
+    // subword pieces — the segmentation attaches to the token stream as
+    // a broadcast join against the distinct-word table; concatenating
+    // pieces per word restores the word (spec-pinned).
+    "t34_bpe_encode" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 8)
+      Bpe.encode(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "piece_pos")
+    }),
+    // Trained quality classifier (C174 / t35): 3 rounds of full-batch
+    // logistic GD on weak labels over 6dp-rounded features, then the
+    // map-only scoring gate — the fastText-style "looks like reference
+    // text" filter. The oracle unrolls the identical 3 gradient steps
+    // (the e20/e21 fixed-iteration discipline).
+    "t35_quality_classifier" -> ((s, dir) => {
+      val f = classifierFeatures(table(s, dir, "documents"))
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+        .select("doc_id", "score", "accepted").orderBy("doc_id")
+    }),
     // Multimodal curation pipeline (p2): the image twin of p1 — a mixed
     // ingest (near-dup PNG variants, correctly-declared WAVs, and text
     // payloads LYING about being PNGs) through the sniff gate, the
@@ -1107,6 +1156,59 @@ $bandSelects
         .select("doc_id", "lang", "bin")
         .orderBy("doc_id")
     }),
+    // Data card (C169 / p6): the one-row corpus datasheet — size, token
+    // mass, length center+tail, language mix, exact-dup rate — computed
+    // in one scalar agg + one tiny lang agg + one KLL sketch, each
+    // joining back as a 1-row broadcast. Run over the dup-planted corpus
+    // so the dup_frac line has real work to report.
+    "p6_data_card" -> ((s, dir) => {
+      val d = docsDupAug(s, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        round(avg(col("n_chars")), 6).as("mean_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(md5(col("text"))).as("n_unique_texts"))
+      val top = d.groupBy("lang").agg(count(lit(1)).as("top_n"))
+        .orderBy(desc("top_n"), asc("lang")).limit(1)
+        .withColumnRenamed("lang", "top_lang")
+      val q = graft.operators.Sketches.mergedQuantiles(
+          graft.operators.Sketches.quantileSketches(
+            d.withColumn("__k", lit(1)), Seq("__k"), "n_chars"),
+          Seq("__k"), Seq(0.5, 0.9))
+        .select(col("p50").as("p50_chars"), col("p90").as("p90_chars"))
+      base.crossJoin(broadcast(top)).crossJoin(broadcast(q))
+        .select(col("n_docs"), col("n_tokens"), col("mean_chars"),
+          col("p50_chars"), col("p90_chars"), col("n_langs"), col("top_lang"),
+          round(col("top_n") / col("n_docs"), 6).as("top_lang_frac"),
+          round(lit(1.0) - col("n_unique_texts") / col("n_docs"), 6).as("dup_frac"))
+    }),
+    // Soft dedup (C168 / d31): keep every doc, weight 1/|cluster| — the
+    // loss-weighting alternative to d10's hard prune. Duplicated CONTENT
+    // counts once in expectation; the oracle replays cluster labels +
+    // one COUNT() OVER the label.
+    "d31_soft_dedup_weights" -> ((s, dir) => {
+      val corpus = docsNearAug(s, dir)
+      Dedup.withJaccardPairs(corpus, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
+        pairs => Dedup.softDedupWeights(corpus.select("doc_id"), pairs, "doc_id"))
+        .select("doc_id", "cluster_id", "weight")
+        .orderBy("doc_id")
+    }),
+    // Leakage-safe split (C166 / p5): d9's cluster resolution feeding the
+    // hash-range split keyed on the CLUSTER representative — the fix s4's
+    // detector exists to demand. Every near-dup cluster is atomic across
+    // train/test by construction; the oracle replays cluster labels
+    // (d9's recursive-CTE machinery verbatim) + the portable hash split
+    // on the label, so a single straddling doc breaks the hash.
+    "p5_leakage_safe_split" -> ((s, dir) => {
+      val corpus = docsNearAug(s, dir)
+      Dedup.withJaccardPairs(corpus, "doc_id", "text", ShingleN, DfCap, JaccardThreshold)(
+        pairs => Sampling.splitByCluster(
+          corpus.select("doc_id"), "doc_id", Dedup.clusters(pairs),
+          Seq("train" -> 0.9, "test" -> 0.1), seed = 11))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }),
     // Dominant principal direction (C154 / e21): power iteration on the
     // second-moment matrix — the anisotropy probe (energy_frac → 1 is
     // the collapsed-encoder alarm). Fixed k=3 iterations unroll exactly
@@ -1493,6 +1595,87 @@ $bandSelects
   // ---- oracles ----
 
   /** DuckDB twin of TextOps.portableHash(v, seed, part). */
+  /** t35's feature frame: 6dp-rounded length/token/type-token features
+    * plus the weak label (token 'the' present ⇒ natural prose) — the
+    * exact frame the oracle's `f` CTE rebuilds.
+    */
+  private[graft] def classifierFeatures(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(col("doc_id"),
+      round(col("n_chars") / 1000.0, 6).as("x1"),
+      round(size(toks) / lit(100.0), 6).as("x2"),
+      round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("x3"),
+      when(array_contains(toks, "the"), 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** The unrolled logistic-GD CTE chain: `cf` is the feature frame;
+    * round r adds `cp{r}` (per-row 6dp sigmoid under the previous
+    * weights) and `cw{r}` (the stepped, 6dp-re-rounded weights) — the
+    * exact arithmetic `Classifier.trainLogistic` runs, so both engines
+    * iterate on identical weight vectors.
+    */
+  private def logisticCtes(iters: Int, lr: Double): String = {
+    val base =
+      """cf AS (
+        |  SELECT doc_id,
+        |         round(n_chars / 1000.0, 6) AS x1,
+        |         round(len(string_split(text, ' ')) / 100.0, 6) AS x2,
+        |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |               / len(string_split(text, ' ')), 6) AS x3,
+        |         CASE WHEN list_contains(string_split(text, ' '), 'the')
+        |              THEN 1.0 ELSE 0.0 END AS y
+        |  FROM documents)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val z = if (r == 1) "0.0"
+        else "w.b + w.w1*x1 + w.w2*x2 + w.w3*x3"
+      val from = if (r == 1) "cf" else s"cf CROSS JOIN cw${r - 1} w"
+      val prev = (g: String) => if (r == 1) "0.0" else s"max(w.$g)"
+      s"""cp$r AS (SELECT cf.*, round(1/(1+exp(-($z))), 6) AS s FROM $from),
+         |cw$r AS (
+         |  SELECT round(${prev("b")} - $lr*round(avg(s - y), 6), 6) AS b,
+         |         round(${prev("w1")} - $lr*round(avg((s - y)*x1), 6), 6) AS w1,
+         |         round(${prev("w2")} - $lr*round(avg((s - y)*x2), 6), 6) AS w2,
+         |         round(${prev("w3")} - $lr*round(avg((s - y)*x3), 6), 6) AS w3
+         |  FROM cp$r${if (r == 1) "" else s" CROSS JOIN cw${r - 1} w"})""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  /** The unrolled-BPE CTE chain (the e21 fixed-iteration discipline):
+    * `bw0` is the distinct-word table with char-split segmentations;
+    * round r adds `bpR` (freq-weighted adjacent-pair counts), `bmR` (the
+    * argmax merge, tie-broken (n DESC, lhs, rhs)), and `bwR` (the
+    * segmentation after applying the merge via a greedy-left
+    * `list_reduce` fold — the exact fold `Bpe.applyMerge` runs, so both
+    * engines resolve overlaps like "a a a" under (a,a) identically).
+    * LEFT JOIN ON TRUE keeps `bwR` total when a round runs out of pairs.
+    */
+  private def bpeCtes(k: Int): String = {
+    val base =
+      """bw0 AS (
+        |  SELECT word, count(*) AS freq,
+        |         trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""bp$r AS (
+         |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, string_split(seg, ' ') AS syms FROM bw${r - 1}),
+         |       UNNEST(range(1, len(syms))) AS t(i)
+         |  GROUP BY 1, 2),
+         |bm$r AS (SELECT lhs, rhs, lhs||rhs AS merged, n FROM bp$r
+         |         ORDER BY n DESC, lhs, rhs LIMIT 1),
+         |bw$r AS (
+         |  SELECT word, freq, CASE WHEN bm$r.lhs IS NULL THEN seg ELSE
+         |    list_reduce(string_split(seg, ' '), (acc, x) -> CASE
+         |      WHEN string_split(acc, ' ')[-1] = bm$r.lhs AND x = bm$r.rhs
+         |      THEN left(acc, length(acc) - length(bm$r.lhs)) || bm$r.merged
+         |      ELSE acc || ' ' || x END) END AS seg
+         |  FROM bw${r - 1} LEFT JOIN bm$r ON TRUE)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
   private def sqlHash(seed: Int, v: String, part: Int = 0): String =
     s"('0x' || substr(md5('$seed:' || $v), ${1 + part * 16}, 15))::BIGINT"
 
@@ -2157,6 +2340,80 @@ $bandSelects
          |  FROM b)
          |SELECT doc_id, lang, bin FROM r WHERE rn <= 15
          |ORDER BY doc_id""".stripMargin,
+    // p6: every card line replayed literally — the KLL p50/p90 via the
+    // inclusive rule (min(v) where cume_dist ≥ rank, the q37 pin), the
+    // dup rate via distinct md5, the top lang by (count DESC, lang).
+    "p6_data_card" ->
+      s"""WITH $dupAugCte,
+         |b AS (
+         |  SELECT count(*) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |         round(avg(n_chars), 6) AS mean_chars,
+         |         count(DISTINCT lang) AS n_langs,
+         |         count(DISTINCT md5(text)) AS n_uniq
+         |  FROM d),
+         |t AS (SELECT lang, count(*) AS n FROM d GROUP BY lang
+         |      ORDER BY n DESC, lang LIMIT 1),
+         |c AS (SELECT n_chars AS v, cume_dist() OVER (ORDER BY n_chars) AS cd FROM d),
+         |q AS (SELECT (SELECT min(v) FROM c WHERE cd >= 0.5) AS p50,
+         |             (SELECT min(v) FROM c WHERE cd >= 0.9) AS p90)
+         |SELECT b.n_docs, b.n_tokens, b.mean_chars,
+         |       q.p50 AS p50_chars, q.p90 AS p90_chars,
+         |       b.n_langs, t.lang AS top_lang,
+         |       round(t.n / CAST(b.n_docs AS DOUBLE), 6) AS top_lang_frac,
+         |       round(1 - b.n_uniq / CAST(b.n_docs AS DOUBLE), 6) AS dup_frac
+         |FROM b, t, q""".stripMargin,
+    // d31: d9's cluster machinery + COUNT() OVER the coalesced label.
+    "d31_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $nearAugCte,
+         |$shingleCtes,
+         |$jaccardPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM vp
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |),
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |       round(CAST(1 AS DOUBLE) / (count(*) OVER (PARTITION BY cluster_id)), 6) AS weight
+         |FROM asg ORDER BY doc_id""".stripMargin,
+    // p5: d9's recursive connected-components machinery verbatim, a
+    // LEFT JOIN coalescing singletons to their own id, and the s4-style
+    // portable hash split keyed on the CLUSTER label.
+    "p5_leakage_safe_split" -> {
+      val Seq(t90) = Sampling.splitThresholds(Seq("train" -> 0.9, "test" -> 0.1))
+      s"""WITH RECURSIVE $nearAugCte,
+         |$shingleCtes,
+         |$jaccardPairsCtes,
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM vp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM vp
+         |),
+         |reach(src, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+         |),
+         |cl AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+         |asg AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM d LEFT JOIN cl ON cl.doc_id = d.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN ${sqlHash(11, "cluster_id::VARCHAR")} < $t90
+         |            THEN 'train' ELSE 'test' END AS split
+         |FROM asg ORDER BY doc_id""".stripMargin
+    },
     // e21: the three unrolled power iterations — per-step sums, one
     // normalize + round(6) per step, Rayleigh energy from the final
     // rounded direction.
@@ -3831,6 +4088,66 @@ $bandSelects
          |       row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rnk
          |FROM f QUALIFY rnk <= 15 ORDER BY rnk""".stripMargin
     },
+    // t31: the rank window + limit replayed with the identical
+    // (count DESC, token ASC) tie-break.
+    "t31_vocab_build" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |r AS (SELECT token, n,
+        |             row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        |      FROM c)
+        |SELECT token_id, token, n FROM r WHERE token_id < 200
+        |ORDER BY token_id""".stripMargin,
+    // t32: the same vocab rule at V=100, positions via 1-based list
+    // indexing shifted to 0-based, OOV via the portable hash mod 16.
+    "t32_encode_tokens" -> {
+      val oov = sqlHash(5, "e.token")
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+         |v AS (SELECT token, row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+         |      FROM c QUALIFY token_id < 100),
+         |d50 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 50),
+         |p AS (SELECT doc_id, unnest(range(1, len(w) + 1)) AS i, w FROM d50),
+         |e AS (SELECT doc_id, i, w[i] AS token FROM p)
+         |SELECT e.doc_id, e.i - 1 AS pos,
+         |       coalesce(v.token_id, 100 + ($oov % 16)) AS token_id
+         |FROM e LEFT JOIN v ON e.token = v.token
+         |ORDER BY doc_id, pos""".stripMargin
+    },
+    // t35: the 3 GD rounds unrolled as CTE layers — per-row 6dp sigmoid
+    // under the previous weights, 6dp-re-rounded weight step — then the
+    // final scoring pass under cw3.
+    "t35_quality_classifier" ->
+      s"""WITH ${logisticCtes(3, 1.0)}
+         |SELECT doc_id,
+         |       round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) AS score,
+         |       round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5 AS accepted
+         |FROM cf CROSS JOIN cw3 w
+         |ORDER BY doc_id""".stripMargin,
+    // t33: the 8 training rounds unrolled as CTE layers, the merge table
+    // as the union of the per-round argmaxes.
+    "t33_bpe_train" -> {
+      val steps = (1 to 8).map { r =>
+        val cast = if (r == 1) "CAST(1 AS BIGINT)" else r.toString
+        s"SELECT $cast AS step, lhs, rhs, merged, n FROM bm$r"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH ${bpeCtes(8)}
+         |$steps
+         |ORDER BY step""".stripMargin
+    },
+    // t34: the trained bw8 segmentation joined onto the token stream,
+    // pieces re-exploded with 0-based positions.
+    "t34_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+         |d50 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |sp AS (SELECT doc_id, word_pos, string_split(seg, ' ') AS pieces
+         |       FROM wp JOIN bw8 ON wp.word = bw8.word)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
+         |FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j)
+         |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
     "t23_bm25" -> {
       val k1 = 1.2
       val b = 0.75

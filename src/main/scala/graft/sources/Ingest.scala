@@ -325,6 +325,29 @@ object Ingest {
     shardReport
   }
 
+  /** Replay a persisted quarantine under a corrected schema — the step
+    * that closes the quarantine lifecycle: the rejects were KEPT (raw
+    * bytes + provenance) precisely so that when the parser assumption
+    * that rejected them is fixed (a field's type was wrong, a format
+    * variant unhandled), the data is recovered instead of re-crawled.
+    * Reads the [[quarantineTo]] sink (or any frame with `raw_line` +
+    * provenance columns) and re-parses under `schema`:
+    * (recovered, stillBad) — recovered has exactly `schema`'s columns;
+    * stillBad keeps raw bytes + provenance and goes back to the
+    * quarantine. Totality again: every quarantined line lands in
+    * exactly one side. Map-only, same single-pass shape as the
+    * original parse.
+    */
+  def replayQuarantine(
+      quarantine: DataFrame, schema: StructType): (DataFrame, DataFrame) = {
+    val parsed = parseJsonl(quarantine, "raw_line", schema)
+    val recovered = parsed.filter(col("is_clean"))
+      .select(schema.fieldNames.map(f => col(s"parsed.`$f`").as(f)).toSeq: _*)
+    val stillBad = parsed.filter(!col("is_clean"))
+      .select(quarantine.columns.map(c => col(s"`$c`")).toSeq: _*)
+    (recovered, stillBad)
+  }
+
   /** Schema-drift inventory over raw JSONL lines: per top-level FIELD,
     * how many lines carry it and what fraction of the corpus that is —
     * the triage view that answers "which fields are new, which shards

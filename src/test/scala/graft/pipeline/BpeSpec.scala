@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** BPE laws (C172–C173): hand-checkable merge arithmetic with the
+  * (n DESC, lhs ASC, rhs ASC) tie-break, greedy-left overlap resolution,
+  * early exhaustion, encode totality (pieces concatenate back to the
+  * word), and run-to-run determinism.
+  */
+class BpeSpec extends GraftSuite {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  test("train: hand arithmetic — freq-weighted pair counts, argmax per round") {
+    // words: abab×2, ab×1, cab×1.
+    // Round 1 pairs: (a,b) = 2·2 + 1 + 1 = 6, (b,a) = 2, (c,a) = 1 → merge (a,b)→ab n=6.
+    // Round 2 segs: "ab ab"×2, "ab", "c ab" → (ab,ab) = 2, (c,ab) = 1 → merge n=2.
+    val m = Bpe.train(docs("abab abab ab", "cab"), "text", numMerges = 2).merges
+    assert(m === Seq(
+      Bpe.Merge(1L, "a", "b", "ab", 6L),
+      Bpe.Merge(2L, "ab", "ab", "abab", 2L)))
+  }
+
+  test("train: greedy-left — (a,a) over 'aaaa' merges non-overlapping pairs left to right") {
+    val model = Bpe.train(docs("aaaa"), "text", numMerges = 1)
+    assert(model.merges === Seq(Bpe.Merge(1L, "a", "a", "aa", 3L)))
+    // greedy-left: "a a a a" → "aa aa", never the overlapping "a aa a".
+    assert(model.words.select("seg").head().getString(0) === "aa aa")
+  }
+
+  test("train: exhaustion — stops early when no adjacent pairs remain, no crash") {
+    // Single-char words only: zero pairs from round 1.
+    val model = Bpe.train(docs("a b c a"), "text", numMerges = 5)
+    assert(model.merges.isEmpty)
+    // After enough merges every word is one symbol and training stops.
+    val m2 = Bpe.train(docs("ab ab"), "text", numMerges = 5)
+    assert(m2.merges.size === 1 && m2.merges.head.merged === "ab")
+  }
+
+  test("train: tie-break is (n DESC, lhs ASC, rhs ASC)") {
+    // 'xy' and 'ab' both appear twice: pairs (x,y) n=2, (a,b) n=2 — 'a' < 'x'.
+    val m = Bpe.train(docs("xy xy ab ab"), "text", numMerges = 1).merges
+    assert(m === Seq(Bpe.Merge(1L, "a", "b", "ab", 2L)))
+  }
+
+  test("encode: totality — pieces concatenate back to the word, positions dense") {
+    val d = docs("stream batch stream", "merge table")
+    val model = Bpe.train(d, "text", numMerges = 4)
+    val enc = Bpe.encode(d, "doc_id", "text", model)
+    // Rebuild each word from its pieces and compare against the raw split.
+    val rebuilt = enc.orderBy("doc_id", "word_pos", "piece_pos")
+      .groupBy("doc_id", "word_pos")
+      .agg(concat_ws("", collect_list("piece")).as("word"),
+        count(lit(1)).as("np"), max("piece_pos").as("maxp"))
+    val bad = rebuilt.join(
+        d.select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("word_pos", "w"))),
+        Seq("doc_id", "word_pos"))
+      .filter(col("word") =!= col("w") || col("maxp") =!= col("np") - 1)
+    assert(bad.count() === 0)
+    // Every token of every doc is covered (no word dropped by the join).
+    val nWords = d.select(explode(split(col("text"), " "))).count()
+    assert(enc.select("doc_id", "word_pos").distinct().count() === nWords)
+  }
+
+  test("train: deterministic across runs") {
+    val d = docs("spark scan sort stream spark scan", "sort spark stream stream")
+    val a = Bpe.train(d, "text", numMerges = 6).merges
+    val b = Bpe.train(d, "text", numMerges = 6).merges
+    assert(a === b && a.size === 6)
+  }
+}

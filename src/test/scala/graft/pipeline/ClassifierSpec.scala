@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** Trained-quality-classifier laws (C174): hand-checked gradient
+  * arithmetic, separation on separable data, threshold inclusivity,
+  * weight-arity validation, and run-to-run determinism.
+  */
+class ClassifierSpec extends GraftSuite {
+
+  private def frame(rows: (Double, Double)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("x1", "y")
+  }
+
+  test("trainLogistic: one hand-checked GD step from zero init") {
+    // w0 = [0,0] → s = σ(0) = 0.5 for every row.
+    // rows (x=1,y=1), (x=0,y=0): grad_b = ((0.5−1) + (0.5−0))/2 = 0,
+    // grad_w = ((−0.5)·1 + 0.5·0)/2 = −0.25 → lr=1 ⇒ w = [0, 0.25].
+    val w = Classifier.trainLogistic(frame((1.0, 1.0), (0.0, 0.0)),
+      Seq("x1"), "y", iters = 1, lr = 1.0)
+    assert(w === Seq(0.0, 0.25))
+  }
+
+  test("trainLogistic: separable data separates — positive weight, correct gate") {
+    val d = frame((2.0, 1.0), (2.0, 1.0), (1.5, 1.0), (-2.0, 0.0), (-2.0, 0.0), (-1.5, 0.0))
+    val w = Classifier.trainLogistic(d, Seq("x1"), "y", iters = 10, lr = 1.0)
+    assert(w(1) > 0.0)
+    val scored = Classifier.score(d, w, Seq("x1"), threshold = 0.5)
+      .select("y", "accepted").collect()
+    assert(scored.forall(r => r.getBoolean(1) === (r.getDouble(0) == 1.0)))
+  }
+
+  test("score: threshold is inclusive; zero weights score exactly 0.5") {
+    val out = Classifier.score(frame((3.0, 1.0)), Seq(0.0, 0.0), Seq("x1"), threshold = 0.5)
+      .select("score", "accepted").head()
+    assert(out.getDouble(0) === 0.5 && out.getBoolean(1))
+  }
+
+  test("score: weight arity is validated") {
+    intercept[IllegalArgumentException] {
+      Classifier.score(frame((1.0, 1.0)), Seq(0.0), Seq("x1"), threshold = 0.5)
+    }
+  }
+
+  test("trainLogistic: deterministic across runs (6dp re-round per iteration)") {
+    val d = frame((2.0, 1.0), (0.3, 0.0), (1.1, 1.0), (-0.4, 0.0), (0.9, 1.0))
+    val a = Classifier.trainLogistic(d, Seq("x1"), "y", iters = 5, lr = 0.7)
+    val b = Classifier.trainLogistic(d, Seq("x1"), "y", iters = 5, lr = 0.7)
+    assert(a === b)
+  }
+}

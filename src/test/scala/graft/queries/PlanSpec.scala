@@ -471,6 +471,24 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("p5 leakage-safe split: equi-joins only — label attach never goes all-pairs") {
+    val plan = planOf("p5_leakage_safe_split")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+  }
+
+  test("t34 BPE encode: segmentation attaches as a broadcast join — the token stream never sort-merge-shuffles") {
+    val plan = planOf("t34_bpe_encode")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("t35 classifier gate: the trained model is a plan literal — scoring is map-only, no join") {
+    val plan = planOf("t35_quality_classifier")
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
   test("j10 field inventory: explode + field-keyed agg, total joins as a 1-row broadcast") {
     val plan = planOf("j10_field_inventory")
     // The corpus-total denominator must arrive as a broadcast of ONE

@@ -201,6 +201,33 @@ class IngestSpec extends GraftSuite {
     assert(Ingest.report(parsed).head() === Row(2L, 2L, 0.5))
   }
 
+  test("replayQuarantine: corrected schema recovers; still-bad keeps raw bytes + provenance; totality") {
+    val dir = Fixtures.scratchDir("graft-ingest-spec")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir, "in"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in/s.jsonl"), Seq(
+      """{"doc_id":1,"lang":"en","n_chars":10}""",
+      """{"doc_id":2,"lang":"fr","n_chars":"20c"}""", // type drift — strict rejects
+      "utterly torn" // no schema will fix this
+    ).mkString("\n").getBytes("UTF-8"))
+    val parsed = Ingest.parseJsonl(
+      spark.read.textFile(s"$dir/in").toDF("value"), "value", schema)
+    Ingest.quarantineTo(parsed, s"$dir/q")
+    val q = spark.read.parquet(s"$dir/q")
+    assert(q.count() === 2)
+    val tolerant = new StructType()
+      .add("doc_id", LongType).add("lang", StringType).add("n_chars", StringType)
+    val (recovered, stillBad) = Ingest.replayQuarantine(q, tolerant)
+    assert(recovered.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((2L, "20c")))
+    val bad = stillBad.collect()
+    assert(bad.length === 1 && recovered.count() + stillBad.count() === q.count())
+    assert(bad.head.getAs[String]("raw_line") === "utterly torn")
+    // Provenance survives the replay round-trip: the still-bad row goes
+    // BACK to quarantine with its original shard attribution intact.
+    assert(bad.head.getAs[String]("src_file").endsWith("s.jsonl"))
+    assert(stillBad.columns.toSet === q.columns.toSet)
+  }
+
   test("fieldInventory: top-level keys only, torn lines excluded, fractions over ALL lines") {
     val (dir, _) = shard(Seq(
       """{"a":1,"b":{"nested":true}}""",
