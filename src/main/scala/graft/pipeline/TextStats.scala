@@ -923,4 +923,113 @@ object TextStats {
       docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0): DataFrame =
     bigramNllAgainst(docs, bigramCounts(docs, textCol), unigramCounts(docs, textCol),
       idCol, textCol, addK)
+
+  /** Adjacent-token trigram counts over a reference corpus — the
+    * order-3 model side of [[trigramNllAgainst]]. Same map-only window
+    * build as [[bigramCounts]] (one `transform` per doc, no self-join),
+    * one map-side-combined aggregation; output is trigram-vocabulary-
+    * sized.
+    *
+    * @return (w1, w2, w3, ct) — raw adjacent-triple occurrence counts.
+    */
+  def trigramCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(TextOps.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - 2),
+        i => struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2"),
+          element_at(col("__ws"), i + 2).as("w3")))).as("__t"))
+      .select(col("__t.w1").as("w1"), col("__t.w2").as("w2"), col("__t.w3").as("w3"))
+      .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("ct"))
+
+  /** Per-document NLL under a Jelinek–Mercer INTERPOLATED trigram model
+    * — the closest engine-native step toward the KenLM-grade filter the
+    * perplexity tier has approximated since C52/C124: token i ≥ 2
+    * scores
+    *   p = λ₃·(c₃+k)/(c₂ctx+kV) + λ₂·(c₂+k)/(c₁ctx+kV) + λ₁·(c₁+k)/(N+kV)
+    * (λ₁ = 1−λ₃−λ₂; every component add-k-smoothed, so OOV stays
+    * finite at any order and the mixture never needs a backoff special
+    * case — interpolation IS the backoff). Token 1 uses the bigram and
+    * unigram parts with the trigram mass folded into the bigram
+    * (λ₃+λ₂ vs λ₁); token 0 the unigram start distribution. The
+    * deliberate denominator conventions inherit from [[bigramNllAgainst]]:
+    * bigram contexts come from the UNIGRAM table, trigram contexts from
+    * the BIGRAM table — the stores a deployment already persists.
+    *
+    * Why order 3 earns its keep (spec-pinned): bigram models cannot see
+    * damage that preserves adjacent pairs — a corpus of "a b" pairs
+    * glued in random order scores identically at order 2, while the
+    * trigram conditional collapses on the unseen (b, a-of-next-pair)
+    * contexts. That is the template-soup signature order-2 misses.
+    *
+    * Same determinism contract as the rest of the family: per-doc
+    * ln-sums fold in POSITION order, final avg rounded 6dp; scale shape
+    * adds one trigram-vocabulary equi-join and one bigram-context join
+    * — still nothing corpus-keyed but the final doc-id groupBy.
+    *
+    * @return (idCol, n_tokens, avg_nll) — lower is more reference-like.
+    */
+  def trigramNllAgainst(
+      docs: DataFrame, trigramModel: DataFrame, bigramModel: DataFrame,
+      unigramModel: DataFrame, idCol: String, textCol: String,
+      addK: Double = 1.0, lambda3: Double = 0.5, lambda2: Double = 0.3): DataFrame = {
+    require(addK > 0, s"addK must be > 0 (smoothing keeps OOV finite), got $addK")
+    require(lambda3 >= 0 && lambda2 >= 0 && lambda3 + lambda2 <= 1.0,
+      s"need lambda3, lambda2 >= 0 with lambda3 + lambda2 <= 1, got ($lambda3, $lambda2)")
+    val l1 = 1.0 - lambda3 - lambda2
+    val totals = unigramModel.agg(
+      sum(col("cw")).as("__n"), count(lit(1)).as("__v"))
+    val tok = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), col("__ws"), posexplode(col("__ws")).as(Seq("pos", "w")))
+      .withColumn("prev", when(col("pos") === 0, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos"))))
+      .withColumn("prev2", when(col("pos") <= 1, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos") - 1)))
+      .drop("__ws")
+    val kV = lit(addK) * col("__v")
+    val scored = tok
+      .join(unigramModel.select(col("term").as("w"), col("cw")), Seq("w"), "left")
+      .join(unigramModel.select(col("term").as("prev"), col("cw").as("cprev")),
+        Seq("prev"), "left")
+      .join(bigramModel.select(col("w1").as("prev"), col("w2").as("w"), col("cb")),
+        Seq("prev", "w"), "left")
+      .join(bigramModel.select(col("w1").as("prev2"), col("w2").as("prev"),
+        col("cb").as("cctx")), Seq("prev2", "prev"), "left")
+      .join(trigramModel.select(col("w1").as("prev2"), col("w2").as("prev"),
+        col("w3").as("w"), col("ct")), Seq("prev2", "prev", "w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pu",
+        (coalesce(col("cw"), lit(0L)) + lit(addK)) / (col("__n") + kV))
+      .withColumn("__pb",
+        (coalesce(col("cb"), lit(0L)) + lit(addK)) /
+          (coalesce(col("cprev"), lit(0L)) + kV))
+      .withColumn("__pt",
+        (coalesce(col("ct"), lit(0L)) + lit(addK)) /
+          (coalesce(col("cctx"), lit(0L)) + kV))
+      .withColumn("lnp",
+        when(col("prev").isNull, log(col("__pu")))
+          .when(col("prev2").isNull,
+            log(lit(lambda3 + lambda2) * col("__pb") + lit(l1) * col("__pu")))
+          .otherwise(log(lit(lambda3) * col("__pt") + lit(lambda2) * col("__pb") +
+            lit(l1) * col("__pu"))))
+    scored
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** [[trigramNllAgainst]] with all three models trained on `docs`
+    * itself — interpolated-trigram self-perplexity (order-3 bootstrap).
+    */
+  def trigramNll(
+      docs: DataFrame, idCol: String, textCol: String, addK: Double = 1.0,
+      lambda3: Double = 0.5, lambda2: Double = 0.3): DataFrame =
+    trigramNllAgainst(docs, trigramCounts(docs, textCol), bigramCounts(docs, textCol),
+      unigramCounts(docs, textCol), idCol, textCol, addK, lambda3, lambda2)
 }

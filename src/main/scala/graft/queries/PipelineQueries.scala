@@ -368,6 +368,13 @@ $bandSelects
     "t26_bigram_nll" -> ((s, dir) =>
       TextStats.bigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Interpolated trigram NLL (C175 / t36): Jelinek–Mercer mix of
+    // add-1-smoothed trigram/bigram/unigram conditionals — the KenLM-
+    // grade step up from t26. Interpolation IS the backoff: every
+    // component smoothed, no special-casing of unseen orders.
+    "t36_trigram_nll" -> ((s, dir) =>
+      TextStats.trigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Deterministic epoch shuffle (C53 / s6): (shard, ord) assignment
     // whose shard-ordered read-back is a reproducible global random visit
     // order — seed = epoch. No global sort: hash sharding + per-shard
@@ -3323,6 +3330,55 @@ $bandSelects
         |)
         |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // t36: t26's replay one order up — trigram/bigram-context tables
+    // built from the same positional explode, the Jelinek–Mercer CASE
+    // with the EXACT Scala-computed lambda doubles interpolated in
+    // (1−0.5−0.3 is 0.19999999999999998 in binary; writing 0.2 would
+    // diverge), and the same position-ordered fold.
+    "t36_trigram_nll" -> {
+      val l3 = 0.5; val l2 = 0.3
+      val lb = l3 + l2; val l1 = 1.0 - l3 - l2
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ex AS (
+         |  SELECT doc_id, ws, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+         |),
+         |pv AS (
+         |  SELECT doc_id, pos, w,
+         |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
+         |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
+         |  FROM ex
+         |),
+         |uni AS (SELECT w, count(*) AS cw FROM ex GROUP BY w),
+         |big AS (SELECT prev, w, count(*) AS cb FROM pv WHERE prev IS NOT NULL GROUP BY prev, w),
+         |tri AS (SELECT prev2, prev, w, count(*) AS ct FROM pv WHERE prev2 IS NOT NULL
+         |        GROUP BY prev2, prev, w),
+         |tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+         |scored AS (
+         |  SELECT p.doc_id, p.pos,
+         |         CASE WHEN p.prev IS NULL
+         |           THEN ln((u.cw + 1.0) / (t.n + 1.0 * t.v))
+         |         WHEN p.prev2 IS NULL
+         |           THEN ln($lb * ((coalesce(b.cb, 0) + 1.0) / (coalesce(uc.cw, 0) + 1.0 * t.v))
+         |                 + $l1 * ((u.cw + 1.0) / (t.n + 1.0 * t.v)))
+         |         ELSE ln($l3 * ((coalesce(tr.ct, 0) + 1.0) / (coalesce(bc.cb, 0) + 1.0 * t.v))
+         |               + $l2 * ((coalesce(b.cb, 0) + 1.0) / (coalesce(uc.cw, 0) + 1.0 * t.v))
+         |               + $l1 * ((u.cw + 1.0) / (t.n + 1.0 * t.v))) END AS lnp
+         |  FROM pv p
+         |  JOIN uni u ON u.w = p.w
+         |  LEFT JOIN uni uc ON uc.w = p.prev
+         |  LEFT JOIN big b ON b.prev = p.prev AND b.w = p.w
+         |  LEFT JOIN big bc ON bc.prev = p.prev2 AND bc.w = p.prev
+         |  LEFT JOIN tri tr ON tr.prev2 = p.prev2 AND tr.prev = p.prev AND tr.w = p.w
+         |  CROSS JOIN tot t
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s
+         |  FROM scored GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
+         |FROM perdoc ORDER BY doc_id""".stripMargin
+    },
     // s6: identical portable hash, mod-shard, and per-shard rank window.
     "s6_epoch_shuffle" ->
       s"""WITH h AS (SELECT doc_id, ${sqlHash(17, "doc_id::VARCHAR")} AS hv FROM documents)

@@ -395,6 +395,19 @@ object StreamingQueries {
       s.read.parquet(out).filter(col("routed") === "clean")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
+    // Streaming vocabulary maintenance (st19): documents replayed in
+    // batches, each micro-batch's exact token counts SUMMED into the
+    // count store (read touched buckets, add, replace). Counts are
+    // linear-additive — a replayed batch would double them — so the
+    // in-row batch_id watermark (st16/st17's mechanism) makes replays
+    // safe. The converged store ranks into the SAME top-200 vocabulary
+    // as the batch build: t31's oracle verbatim.
+    "st19_stream_vocab" -> ((s, dir) => {
+      val (replay, store) = st19Setup(s, dir)
+      replay()
+      graft.pipeline.Vocab.vocabFromStore(s, store, vocabSize = 200)
+        .orderBy("token_id")
+    }),
     // Streaming BM25 index maintenance (st13): the documents table
     // replayed in batches through StreamingIndex.bm25IndexTo — batch 0
     // bootstraps the index, every later batch lands as a crash-atomic
@@ -707,6 +720,30 @@ object StreamingQueries {
         col("user_id"))
     val q = StreamingIndex.sketchStoreTo(
       stream, store, s"$scratch/cp", Seq("event_type", "day"), "user_id")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, store)
+  }
+
+  /** Untimed setup for st19 (streaming vocabulary store): documents
+    * replayed in doc_id order across N batches — every batch carries
+    * mostly already-seen tokens, so stored count rows are
+    * read-summed-replaced again and again (the linear-additive path the
+    * in-row watermark exists for).
+    */
+  private[graft] def st19Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st19")
+    val store = s"$scratch/store"
+    val rows = Fixtures.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIndex.vocabStoreTo(stream, store, s"$scratch/cp", "text")
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
@@ -1043,6 +1080,16 @@ object StreamingQueries {
     "st18_stream_ingest" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+    // st19 is t31 through the maintained count store — the converged
+    // store ranks into the batch vocabulary: t31's oracle verbatim.
+    "st19_stream_vocab" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+        |r AS (SELECT token, n,
+        |             row_number() OVER (ORDER BY n DESC, token) - 1 AS token_id
+        |      FROM c)
+        |SELECT token_id, token, n FROM r WHERE token_id < 200
+        |ORDER BY token_id""".stripMargin,
     // Dedup-on-ingest converged state: every event exactly once, despite
     // the overlapping replay — again the events table itself.
     "st2_stream_dedup" ->

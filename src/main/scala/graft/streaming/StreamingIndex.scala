@@ -325,6 +325,63 @@ object StreamingIndex {
       }
     }
 
+  /** Ingest-time maintenance of a persisted exact token-count store —
+    * the vocabulary twin of [[freqStoreTo]]: documents stream in, each
+    * micro-batch's token counts SUM into the stored (token, n) rows,
+    * and [[graft.pipeline.Vocab.vocabFromStore]] ranks the store into a
+    * top-V vocabulary bit-identical to a batch build over the same
+    * corpus — the tokenizer's vocabulary tracks the live corpus with no
+    * nightly recount.
+    *
+    * Exactly-once by the st16/st17 mechanism, forced by the same
+    * algebra: exact counts are linear-additive (a replayed batch
+    * doubles every count it contributed), so the batch-id watermark
+    * rides IN the store rows and promotes atomically with the
+    * partition-scoped apply; interrupted applies roll forward via
+    * `MergeApply.recover` BEFORE the watermark read; a torn bootstrap
+    * rebuilds because the store spec sidecar lands strictly after the
+    * parquet write.
+    *
+    * Scale shape: per batch, one map-side-combined count of the BATCH's
+    * tokens, a read of only the buckets those tokens hash to, a rewrite
+    * of those buckets — cost tracks the batch and its touched buckets,
+    * never corpus history; one row per distinct token forever.
+    */
+  def vocabStoreTo(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      textCol: String,
+      nBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyVocabBatch(batch, batchId, path, textCol, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of count-store maintenance (the foreachBatch body,
+    * exposed so the replay/crash windows are unit-testable). */
+  private[graft] def applyVocabBatch(
+      batch: DataFrame, batchId: Long, path: String,
+      textCol: String, nBuckets: Int = 8): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val counts = graft.pipeline.Vocab.tokenCounts(batch, textCol)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+        graft.pipeline.Vocab.writeCountStore(counts, path, nBuckets)
+      else {
+        graft.merge.MergeApply.recover(spark, path)
+        val landed = graft.merge.PartitionedTarget.read(spark, path)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("batch_id"))).first().getLong(0)
+        if (batchId > landed)
+          graft.pipeline.Vocab.mergeCountsIntoStore(spark, path, counts)
+      }
+    }
+
   /** One micro-batch of sketch-store maintenance (the foreachBatch body,
     * exposed so the replay/crash windows are unit-testable). */
   private[graft] def applySketchBatch(

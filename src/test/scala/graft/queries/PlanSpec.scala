@@ -489,6 +489,16 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("Join"), plan.take(3000))
   }
 
+  test("t36 trigram NLL: vocabulary-keyed equi-joins + the 1-row totals broadcast — never corpus-cartesian") {
+    val plan = planOf("t36_trigram_nll")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The only nested-loop join is the 1-row totals crossJoin(broadcast)
+    // — the t12/t26 shape; the model attaches are hash equi-joins.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
   test("j10 field inventory: explode + field-keyed agg, total joins as a 1-row broadcast") {
     val plan = planOf("j10_field_inventory")
     // The corpus-total denominator must arrive as a broadcast of ONE

@@ -396,4 +396,51 @@ class StreamingIndexSpec extends GraftSuite {
         graft.merge.PartitionedTarget.read(spark, store2)),
       single0))
   }
+
+  test("streaming vocabulary-store maintenance: converged vocab == batch build bit-for-bit, in-row watermark skips replays of the additive sum, torn bootstrap rebuilds") {
+    import graft.pipeline.Vocab
+    val base = java.nio.file.Files.createTempDirectory("stridx-vocab")
+    val store = base.resolve("store").toString
+    def vocab(path: String) = Vocab.vocabFromStore(spark, path, vocabSize = 100)
+      .as[(Long, String, Long)].collect().toSeq
+
+    StreamingIndex.applyVocabBatch(b0, 0L, store, "text")
+    StreamingIndex.applyVocabBatch(b1, 1L, store, "text")
+    val afterTwo = vocab(store)
+
+    // The algebra the watermark exists for: exact counts are additive —
+    // bypassing the watermark and re-merging b0's counts doubles them.
+    val clone = base.resolve("clone").toString
+    StreamingIndex.applyVocabBatch(b0, 0L, clone, "text")
+    val dupBefore = vocab(clone).collectFirst { case (_, "dup", n) => n }.get
+    Vocab.mergeCountsIntoStore(spark, clone,
+      Vocab.tokenCounts(b0, "text").withColumn("batch_id", lit(99L)))
+    assert(vocab(clone).collectFirst { case (_, "dup", n) => n }.get === 2 * dupBefore)
+
+    // With the watermark: replays of bootstrap and append batches are
+    // exact no-ops.
+    StreamingIndex.applyVocabBatch(b0, 0L, store, "text")
+    StreamingIndex.applyVocabBatch(b1, 1L, store, "text")
+    assert(vocab(store) === afterTwo)
+
+    // Converged == the batch build over all docs, bit-for-bit (same
+    // counts, same tie-break, same ids).
+    StreamingIndex.applyVocabBatch(b2, 2L, store, "text")
+    val batchBuild = Vocab.build(b0.unionByName(b1).unionByName(b2), "text", 100)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(vocab(store) === batchBuild)
+    // One row per token forever; the watermark rides in the rows.
+    val stored = graft.merge.PartitionedTarget.read(spark, store)
+    assert(stored.groupBy("token").count().filter(col("count") > 1).isEmpty)
+    assert(stored.agg(max(col("batch_id"))).first().getLong(0) === 2L)
+
+    // Torn bootstrap: parquet without the spec sidecar reads as "no
+    // store yet"; the bootstrap replay rebuilds it whole.
+    val store2 = base.resolve("store2").toString
+    Vocab.tokenCounts(b0, "text").withColumn("batch_id", lit(0L))
+      .write.parquet(store2)
+    StreamingIndex.applyVocabBatch(b0, 0L, store2, "text")
+    assert(vocab(store2) === Vocab.build(b0, "text", 100)
+      .as[(Long, String, Long)].collect().toSeq)
+  }
 }
