@@ -127,6 +127,35 @@ object Bpe {
     * the broadcast threshold, at which point AQE makes it an id-keyed
     * equi-join). The token stream never shuffles.
     */
+  /** Tokenizer-quality (fertility) report per group: how well the
+    * learned merges compress each slice of the corpus — the QC gauge a
+    * tokenizer ships with (a lang whose fertility stays near its
+    * character count is UNSERVED by the vocabulary; the budget went
+    * elsewhere). Per `groupCol`:
+    *
+    *   - `n_words` — whitespace-token occurrences;
+    *   - `n_pieces` — BPE pieces those occurrences segment into;
+    *   - `fertility` — pieces per word (1.0 = every word one piece);
+    *   - `chars_per_piece` — mean piece length in characters.
+    *
+    * Scale shape: the piece count per word rides the SEGMENTATION
+    * (size of the seg split — never a piece explode), attached to the
+    * token stream by the same broadcast join as [[encode]]; one
+    * group-keyed aggregation on top.
+    */
+  def fertility(
+      docs: DataFrame, textCol: String, groupCol: String, model: BpeModel): DataFrame =
+    docs
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(model.words.select(col("word"), col("seg"))), Seq("word"))
+      .select(col(groupCol), length(col("word")).cast("long").as("__chars"),
+        size(split(col("seg"), " ")).cast("long").as("__pieces"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("__pieces")).as("n_pieces"),
+        round(sum(col("__pieces")) / count(lit(1)).cast("double"), 6).as("fertility"),
+        round(sum(col("__chars")) / sum(col("__pieces")).cast("double"), 6)
+          .as("chars_per_piece"))
+
   def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
     docs
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))

@@ -676,6 +676,54 @@ object TextStats {
     scored.withColumn("pred_lang", pred)
   }
 
+  /** Unicode-script mix per document — the multilingual triage step
+    * [[langId]]'s token markers cannot do: marker lists only know the
+    * languages they were given, while script classes partition ALL text
+    * ("is this Cyrillic, CJK, Latin, or a spoofing mix?" is answerable
+    * with zero language knowledge). Reports per-script character
+    * fractions (latin/cyrillic/han/digit over total chars), the dominant
+    * script (priority-ordered tie-break — deterministic on any engine),
+    * and a `mixed_script` flag (≥2 script classes each covering ≥
+    * `mixThreshold` of the doc — the homoglyph-spoofing / OCR-noise /
+    * template-collage signature a single-label langid hides).
+    *
+    * Counting is subtraction, not explosion: count(class) =
+    * len(text) − len(regexp_replace(text, class, "")) — a pure codegen'd
+    * projection, one map-only pass, no per-character explode. Lengths
+    * are UTF-16 code units in Spark and code points in the oracle —
+    * identical for BMP scripts (all four classes here); astral-plane
+    * text would need a code-point contract first.
+    */
+  def scriptMix(
+      docs: DataFrame, idCol: String, textCol: String,
+      mixThreshold: Double = 0.2): DataFrame = {
+    require(mixThreshold > 0 && mixThreshold <= 1.0,
+      s"mixThreshold must lie in (0, 1], got $mixThreshold")
+    val s = col(textCol)
+    val total = length(s)
+    def cnt(cls: String) = total - length(regexp_replace(s, cls, ""))
+    val denom = greatest(total, lit(1)).cast("double")
+    val classes = Seq(
+      "latin" -> cnt("\\p{IsLatin}"), "cyrillic" -> cnt("\\p{IsCyrillic}"),
+      "han" -> cnt("\\p{IsHan}"), "digit" -> cnt("[0-9]"))
+    val withCounts = docs.select(
+      Seq(col(idCol), total.cast("long").as("n_chars_total")) ++
+        classes.map { case (name, c) => round(c / denom, 6).as(s"f_$name") }: _*)
+    // Dominant: priority-ordered CASE (latin > cyrillic > han > digit on
+    // ties), 'other' when no class scores at all.
+    val names = classes.map(_._1)
+    val dominant = names.foldLeft(
+      when(greatest(names.map(n => col(s"f_$n")): _*) === 0.0, lit("other"))) {
+      case (acc, n) =>
+        acc.when(col(s"f_$n") === greatest(names.map(m => col(s"f_$m")): _*), lit(n))
+    }
+    val nBig = names.map(n => when(col(s"f_$n") >= mixThreshold, 1).otherwise(0))
+      .reduce(_ + _)
+    withCounts
+      .withColumn("dominant", dominant)
+      .withColumn("mixed_script", nBig >= 2)
+  }
+
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, adapted to a
     * line-less corpus): per document,
     *

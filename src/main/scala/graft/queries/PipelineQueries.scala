@@ -104,6 +104,31 @@ $bandSelects
         .select((col("doc_id") + 200000).as("doc_id"), concat(col("text"), lit(" zq zq zq")).as("text")))
   }
 
+  /** documents ∪ planted non-Latin rows (ids +300000): Cyrillic, Han, a
+    * Latin–Cyrillic homoglyph-style mix, and a digit-heavy row — the
+    * script families the pure-ASCII base corpus cannot exercise. All
+    * BMP, per [[graft.pipeline.TextStats.scriptMix]]'s length contract.
+    */
+  private def docsScriptAug(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (300000L, "привет мир как дела сегодня"),
+      (300001L, "你好世界 机器学习 数据"),
+      (300002L, "click здесь for бесплатно prizes"),
+      (300003L, "1234567890 555 0142")).toDF("doc_id", "text")
+    table(s, dir, "documents").select("doc_id", "text").unionByName(planted)
+  }
+
+  private val scriptAugCte: String =
+    """sd AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(v.id AS BIGINT), v.t FROM (VALUES
+      |    (300000, 'привет мир как дела сегодня'),
+      |    (300001, '你好世界 机器学习 数据'),
+      |    (300002, 'click здесь for бесплатно prizes'),
+      |    (300003, '1234567890 555 0142')) v(id, t))""".stripMargin
+
   /** t23's query bag: one discriminating rare term + two common ones. */
   private[queries] val Bm25Terms = Seq("dup", "merge", "hash")
 
@@ -367,6 +392,21 @@ $bandSelects
     // same position-ordered fold discipline for the cross-engine hash.
     "t26_bigram_nll" -> ((s, dir) =>
       TextStats.bigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+    // BPE fertility report (C178 / t38): per-lang tokenizer QC under the
+    // 8-merge model — pieces per word and chars per piece; the piece
+    // count rides the segmentation length, never a piece explode.
+    "t38_bpe_fertility" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 8)
+      Bpe.fertility(d, "text", "lang", model).orderBy("lang")
+    }),
+    // Script-mix report (C177 / t37): per-doc Unicode-script character
+    // fractions by regex subtraction (count = len − len(class removed)),
+    // dominant script with a priority tie-break, and the mixed-script
+    // flag — over the corpus plus planted Cyrillic/Han/mix/digit rows.
+    "t37_script_mix" -> ((s, dir) =>
+      TextStats.scriptMix(docsScriptAug(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
     // Interpolated trigram NLL (C175 / t36): Jelinek–Mercer mix of
     // add-1-smoothed trigram/bigram/unigram conditionals — the KenLM-
@@ -3330,6 +3370,45 @@ $bandSelects
         |)
         |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // t38: the trained bw8 segmentation joined onto the per-lang token
+    // stream, pieces counted from the seg split length.
+    "t38_bpe_fertility" ->
+      s"""WITH ${bpeCtes(8)},
+         |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+         |j AS (SELECT tok.lang, length(tok.word) AS chars,
+         |             len(string_split(bw8.seg, ' ')) AS pieces
+         |      FROM tok JOIN bw8 ON tok.word = bw8.word)
+         |SELECT lang, count(*) AS n_words,
+         |       CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         |       round(sum(pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+         |       round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 6) AS chars_per_piece
+         |FROM j GROUP BY lang ORDER BY lang""".stripMargin,
+    // t37: the same subtraction counts under RE2's script classes
+    // (\p{Latin} vs Java's \p{IsLatin} — same BMP coverage), the same
+    // priority-ordered dominant CASE over the ROUNDED fractions, and the
+    // same >= threshold count for the mixed flag.
+    "t37_script_mix" ->
+      s"""WITH $scriptAugCte,
+         |c AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+         |    round((length(text) - length(regexp_replace(text, '\\p{Latin}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_latin,
+         |    round((length(text) - length(regexp_replace(text, '\\p{Cyrillic}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_cyrillic,
+         |    round((length(text) - length(regexp_replace(text, '\\p{Han}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_han,
+         |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_digit
+         |  FROM sd)
+         |SELECT doc_id, n_chars_total, f_latin, f_cyrillic, f_han, f_digit,
+         |  CASE WHEN greatest(f_latin, f_cyrillic, f_han, f_digit) = 0 THEN 'other'
+         |       WHEN f_latin = greatest(f_latin, f_cyrillic, f_han, f_digit) THEN 'latin'
+         |       WHEN f_cyrillic = greatest(f_latin, f_cyrillic, f_han, f_digit) THEN 'cyrillic'
+         |       WHEN f_han = greatest(f_latin, f_cyrillic, f_han, f_digit) THEN 'han'
+         |       ELSE 'digit' END AS dominant,
+         |  ((f_latin >= 0.2)::INT + (f_cyrillic >= 0.2)::INT
+         |   + (f_han >= 0.2)::INT + (f_digit >= 0.2)::INT) >= 2 AS mixed_script
+         |FROM c ORDER BY doc_id""".stripMargin,
     // t36: t26's replay one order up — trigram/bigram-context tables
     // built from the same positional explode, the Jelinek–Mercer CASE
     // with the EXACT Scala-computed lambda doubles interpolated in

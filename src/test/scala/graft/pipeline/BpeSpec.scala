@@ -67,6 +67,19 @@ class BpeSpec extends GraftSuite {
     assert(enc.select("doc_id", "word_pos").distinct().count() === nWords)
   }
 
+  test("fertility: pieces per word from the segmentation, chars per piece; ungrouped totals check out") {
+    import org.apache.spark.sql.functions.lit
+    // After 1 merge on "abab abab ab cab": (a,b)→ab; segs: abab="ab ab"
+    // (2 pieces), ab="ab" (1), cab="c ab" (2).
+    val d = docs("abab abab ab cab").withColumn("lang", lit("en"))
+    val model = Bpe.train(d, "text", numMerges = 1)
+    val r = Bpe.fertility(d, "text", "lang", model).head()
+    // occurrences: abab×2 (2 pieces each), ab×1 (1), cab×1 (2) → 7 pieces / 4 words.
+    assert(r.getLong(1) === 4L && r.getLong(2) === 7L)
+    assert(r.getDouble(3) === 1.75 && r.getDouble(4) ===
+      BigDecimal(13.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("train: deterministic across runs") {
     val d = docs("spark scan sort stream spark scan", "sort spark stream stream")
     val a = Bpe.train(d, "text", numMerges = 6).merges
