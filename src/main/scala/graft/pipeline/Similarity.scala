@@ -237,6 +237,74 @@ object Similarity {
     * dim×dim covariance materialization, never a row collect. Sign
     * follows v₀ deterministically.
     */
+  /** Greedy k-center selection (farthest-point traversal, the classic
+    * 2-approximation to the k-center objective) over an embedding
+    * corpus — diversity-aware coreset construction: each round picks
+    * the point FARTHEST (cosine distance) from everything selected so
+    * far, so the selected set spreads across the embedding space
+    * instead of oversampling its dense core. The curation uses: seed a
+    * labeling budget with maximally-diverse examples, pick dedup
+    * cluster exemplars that span a cluster, build an eval probe set
+    * that covers the corpus.
+    *
+    * Deterministic on any engine: the seed is the minimum id, per-pair
+    * distances round to 6dp BEFORE the running min, and each round's
+    * argmax tie-breaks by id — the e20/e21 fixed-iteration discipline,
+    * so the whole trajectory unrolls as oracle CTE layers.
+    *
+    * Scale shape: one persisted (vector, norm) pass, then per round one
+    * map-only distance-update against the single new center (a plan
+    * literal — dim doubles, broadcast for free inside codegen) + a
+    * TakeOrdered(1) argmax; the running min-distance column persists
+    * per round under the GraphRank lineage-cut cycle, so round r costs
+    * one corpus scan, not r of them. Driver state is k centers — model-
+    * sized by contract.
+    *
+    * @return (step, center_id, dist) — dist is the coverage radius at
+    *         selection time (how far the farthest point was when this
+    *         center was chosen; 0.0 for the seed), the monotone curve
+    *         that tells you when to stop adding centers.
+    */
+  def kCenters(
+      vectors: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val dp = dotOn(spark)
+    val base = withNorm(vectors, idCol, vecCol, "__id", "__v", "__vn").persist()
+    try {
+      def distTo(vec: Seq[Double], norm: Double): Column =
+        round(lit(1.0) - dp(col("__v"), typedLit(vec)) / (col("__vn") * lit(norm)), 6)
+      val seed = base.orderBy(col("__id")).limit(1).collect().head
+      def vecOf(r: org.apache.spark.sql.Row) = (r.getSeq[Double](1), r.getDouble(2))
+      val picks = scala.collection.mutable.ArrayBuffer(
+        (1L, seed.getLong(0), 0.0))
+      var (cv, cn) = vecOf(seed)
+      var cur = base.withColumn("mind", distTo(cv, cn)).persist()
+      cur.count()
+      base.unpersist(false)
+      var step = 2
+      while (step <= k) {
+        val top = cur.filter(!col("__id").isin(picks.toSeq.map(_._2): _*))
+          .orderBy(desc("mind"), asc("__id")).limit(1).collect()
+        if (top.isEmpty) step = k + 1 // corpus exhausted before k
+        else {
+          val t = top.head
+          picks += ((step.toLong, t.getLong(0), t.getAs[Double]("mind")))
+          val (tv, tn) = vecOf(t)
+          val next = cur
+            .withColumn("mind", least(col("mind"), distTo(tv, tn))).persist()
+          next.count() // materialize: cut the round's lineage
+          cur.unpersist(false)
+          cur = next
+          step += 1
+        }
+      }
+      cur.unpersist(false)
+      picks.toSeq.toDF("step", "center_id", "dist")
+    } finally base.unpersist(false)
+  }
+
   def dominantDirection(
       vectors: DataFrame, vecCol: String, dim: Int,
       iters: Int = 3): (Array[Double], Double) = {

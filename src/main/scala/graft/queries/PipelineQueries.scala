@@ -393,6 +393,14 @@ $bandSelects
     "t26_bigram_nll" -> ((s, dir) =>
       TextStats.bigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Greedy k-center coreset (C179 / e22): farthest-point traversal
+    // over the embedding corpus — 5 maximally-diverse exemplars plus
+    // the coverage-radius trajectory; distances round 6dp before the
+    // running min, argmax ties break by id, so the whole greedy
+    // trajectory replays as unrolled oracle CTE layers.
+    "e22_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenters(table(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+        .orderBy("step")),
     // BPE fertility report (C178 / t38): per-lang tokenizer QC under the
     // 8-merge model — pieces per word and chars per piece; the piece
     // count rides the segmentation length, never a piece explode.
@@ -1653,6 +1661,39 @@ $bandSelects
       round(size(toks) / lit(100.0), 6).as("x2"),
       round(size(array_distinct(toks)).cast("double") / size(toks), 6).as("x3"),
       when(array_contains(toks, "the"), 1.0).otherwise(0.0).as("y"))
+  }
+
+  /** The unrolled greedy k-center CTE chain: `kv` is the (vector, norm)
+    * frame; round r adds `km{r}` (the argmax of the running min-distance
+    * among unselected points, ties by id), `ks{r}` (that center's
+    * vector), and `kd{r}` (the min-distance column updated against it) —
+    * the exact trajectory `Similarity.kCenters` walks, distances rounded
+    * 6dp before the running min on both sides.
+    */
+  private def kCenterCtes(k: Int): String = {
+    val base =
+      """kv AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+        |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
+        |        FROM embeddings),
+        |ks1 AS (SELECT vec_id, e, nn FROM kv ORDER BY vec_id LIMIT 1),
+        |kd1 AS (SELECT v.vec_id,
+        |               round(1 - list_dot_product(v.e, c.e) / (v.nn * c.nn), 6) AS mind
+        |        FROM kv v CROSS JOIN ks1 c)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      val prior = (Seq("SELECT vec_id FROM ks1") ++
+        (2 until r).map(i => s"SELECT vec_id FROM km$i")).mkString(" UNION ALL ")
+      val dist =
+        s"""kd$r AS (SELECT d.vec_id,
+           |         least(d.mind, round(1 - list_dot_product(v.e, c.e) / (v.nn * c.nn), 6)) AS mind
+           |         FROM kd${r - 1} d JOIN kv v USING (vec_id) CROSS JOIN ks$r c)""".stripMargin
+      val head =
+        s"""km$r AS (SELECT d.vec_id, d.mind FROM kd${r - 1} d
+           |         WHERE d.vec_id NOT IN ($prior)
+           |         ORDER BY d.mind DESC, d.vec_id LIMIT 1),
+           |ks$r AS (SELECT v.vec_id, v.e, v.nn FROM kv v JOIN km$r USING (vec_id))""".stripMargin
+      if (r < k) head + ",\n" + dist else head
+    }
+    (base +: rounds).mkString(",\n")
   }
 
   /** The unrolled logistic-GD CTE chain: `cf` is the feature frame;
@@ -3370,6 +3411,16 @@ $bandSelects
         |)
         |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // e22: the 5 greedy rounds unrolled — seed = min id, per-round
+    // argmax of the 6dp running min-distance, ties by id.
+    "e22_kcenter_coreset" -> {
+      val steps = (2 to 5).map(r => s"SELECT $r, vec_id, mind FROM km$r")
+        .mkString("\n|UNION ALL ")
+      s"""WITH ${kCenterCtes(5)}
+         |SELECT CAST(1 AS BIGINT) AS step, vec_id AS center_id, 0.0 AS dist FROM ks1
+         |UNION ALL $steps
+         |ORDER BY step""".stripMargin
+    },
     // t38: the trained bw8 segmentation joined onto the per-lang token
     // stream, pieces counted from the seg split length.
     "t38_bpe_fertility" ->
