@@ -393,6 +393,45 @@ $bandSelects
     "t26_bigram_nll" -> ((s, dir) =>
       TextStats.bigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Tokenizer pipeline (C180 / p7): the end-to-end composition of the
+    // round's tier — script gate (drop non-Latin / mixed-script rows,
+    // with planted work) → trained classifier gate → BPE train on the
+    // survivors → per-doc BPE token counts → per-lang sequence packing.
+    // Every stage's oracle machinery already exists; p7 chains them.
+    "p7_tokenizer_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (300000L, "xx", "привет мир как дела сегодня"),
+        (300001L, "xx", "你好世界 机器学习 数据"),
+        (300002L, "xx", "click здесь for бесплатно prizes"),
+        (300003L, "xx", "1234567890 555 0142")).toDF("doc_id", "lang", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val corpus = table(s, dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars").unionByName(planted)
+      val keep1 = TextStats.scriptMix(corpus, "doc_id", "text")
+        .filter(col("dominant") === "latin" && !col("mixed_script")).select("doc_id")
+      val g1 = corpus.join(keep1, Seq("doc_id"))
+      // The trainer makes one agg pass per GD round over the feature
+      // frame, and the survivors feed both BPE training and the count
+      // pass — cache the two reused frames so the gate chain (script
+      // regexes + joins) is evaluated once, not once per pass.
+      val f = classifierFeatures(g1).cache()
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
+      val keep2 = Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+        .filter(col("accepted")).select("doc_id")
+      val g2 = g1.join(keep2, Seq("doc_id")).cache()
+      val model = Bpe.train(g2, "text", numMerges = 8)
+      val counts = g2
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+        .join(broadcast(model.words.select("word", "seg")), Seq("word"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(size(split(col("seg"), " "))).cast("long").as("n_bpe_tokens"))
+      graft.pipeline.Packing.packGreedyByCount(
+          counts, "doc_id", "n_bpe_tokens", budget = 2048, groupCols = Seq("lang"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("sum_tokens"))
+        .orderBy("lang", "pack_id")
+    }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
     // the coverage-radius trajectory; distances round 6dp before the
@@ -1676,14 +1715,14 @@ $bandSelects
         |        sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nn
         |        FROM embeddings),
         |ks1 AS (SELECT vec_id, e, nn FROM kv ORDER BY vec_id LIMIT 1),
-        |kd1 AS (SELECT v.vec_id,
+        |kd1 AS MATERIALIZED (SELECT v.vec_id,
         |               round(1 - list_dot_product(v.e, c.e) / (v.nn * c.nn), 6) AS mind
         |        FROM kv v CROSS JOIN ks1 c)""".stripMargin
     val rounds = (2 to k).map { r =>
       val prior = (Seq("SELECT vec_id FROM ks1") ++
         (2 until r).map(i => s"SELECT vec_id FROM km$i")).mkString(" UNION ALL ")
       val dist =
-        s"""kd$r AS (SELECT d.vec_id,
+        s"""kd$r AS MATERIALIZED (SELECT d.vec_id,
            |         least(d.mind, round(1 - list_dot_product(v.e, c.e) / (v.nn * c.nn), 6)) AS mind
            |         FROM kd${r - 1} d JOIN kv v USING (vec_id) CROSS JOIN ks$r c)""".stripMargin
       val head =
@@ -1702,24 +1741,24 @@ $bandSelects
     * exact arithmetic `Classifier.trainLogistic` runs, so both engines
     * iterate on identical weight vectors.
     */
-  private def logisticCtes(iters: Int, lr: Double): String = {
+  private def logisticCtes(iters: Int, lr: Double, source: String = "documents"): String = {
     val base =
-      """cf AS (
-        |  SELECT doc_id,
-        |         round(n_chars / 1000.0, 6) AS x1,
-        |         round(len(string_split(text, ' ')) / 100.0, 6) AS x2,
-        |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |               / len(string_split(text, ' ')), 6) AS x3,
-        |         CASE WHEN list_contains(string_split(text, ' '), 'the')
-        |              THEN 1.0 ELSE 0.0 END AS y
-        |  FROM documents)""".stripMargin
+      s"""cf AS (
+         |  SELECT doc_id,
+         |         round(n_chars / 1000.0, 6) AS x1,
+         |         round(len(string_split(text, ' ')) / 100.0, 6) AS x2,
+         |         round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |               / len(string_split(text, ' ')), 6) AS x3,
+         |         CASE WHEN list_contains(string_split(text, ' '), 'the')
+         |              THEN 1.0 ELSE 0.0 END AS y
+         |  FROM $source)""".stripMargin
     val rounds = (1 to iters).map { r =>
       val z = if (r == 1) "0.0"
         else "w.b + w.w1*x1 + w.w2*x2 + w.w3*x3"
       val from = if (r == 1) "cf" else s"cf CROSS JOIN cw${r - 1} w"
       val prev = (g: String) => if (r == 1) "0.0" else s"max(w.$g)"
-      s"""cp$r AS (SELECT cf.*, round(1/(1+exp(-($z))), 6) AS s FROM $from),
-         |cw$r AS (
+      s"""cp$r AS MATERIALIZED (SELECT cf.*, round(1/(1+exp(-($z))), 6) AS s FROM $from),
+         |cw$r AS MATERIALIZED (
          |  SELECT round(${prev("b")} - $lr*round(avg(s - y), 6), 6) AS b,
          |         round(${prev("w1")} - $lr*round(avg((s - y)*x1), 6), 6) AS w1,
          |         round(${prev("w2")} - $lr*round(avg((s - y)*x2), 6), 6) AS w2,
@@ -1738,22 +1777,22 @@ $bandSelects
     * engines resolve overlaps like "a a a" under (a,a) identically).
     * LEFT JOIN ON TRUE keeps `bwR` total when a round runs out of pairs.
     */
-  private def bpeCtes(k: Int): String = {
+  private def bpeCtes(k: Int, source: String = "documents"): String = {
     val base =
-      """bw0 AS (
-        |  SELECT word, count(*) AS freq,
-        |         trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS seg
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-        |  GROUP BY word)""".stripMargin
+      s"""bw0 AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq,
+         |         trim(regexp_replace(word, '(.)', '${"\\"}1 ', 'g')) AS seg
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $source)
+         |  GROUP BY word)""".stripMargin
     val rounds = (1 to k).map { r =>
-      s"""bp$r AS (
+      s"""bp$r AS MATERIALIZED (
          |  SELECT syms[i] AS lhs, syms[i+1] AS rhs, CAST(sum(freq) AS BIGINT) AS n
          |  FROM (SELECT freq, string_split(seg, ' ') AS syms FROM bw${r - 1}),
          |       UNNEST(range(1, len(syms))) AS t(i)
          |  GROUP BY 1, 2),
          |bm$r AS (SELECT lhs, rhs, lhs||rhs AS merged, n FROM bp$r
          |         ORDER BY n DESC, lhs, rhs LIMIT 1),
-         |bw$r AS (
+         |bw$r AS MATERIALIZED (
          |  SELECT word, freq, CASE WHEN bm$r.lhs IS NULL THEN seg ELSE
          |    list_reduce(string_split(seg, ' '), (acc, x) -> CASE
          |      WHEN string_split(acc, ' ')[-1] = bm$r.lhs AND x = bm$r.rhs
@@ -3411,6 +3450,57 @@ $bandSelects
         |)
         |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // p7: the full chain — planted-row corpus, t37's script formulas as
+    // a filter, the 3 GD rounds over the gated table, the 8 BPE rounds
+    // over the twice-gated table, per-doc piece sums, t8's packing
+    // window — every stage the same machinery its own oracle validates.
+    "p7_tokenizer_pipeline" -> {
+      val scoreExpr = "round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6)"
+      s"""WITH p7c AS (
+         |  SELECT doc_id, lang, text, n_chars FROM documents
+         |  UNION ALL
+         |  SELECT CAST(v.id AS BIGINT), 'xx', v.t, CAST(length(v.t) AS BIGINT) FROM (VALUES
+         |    (300000, 'привет мир как дела сегодня'),
+         |    (300001, '你好世界 机器学习 数据'),
+         |    (300002, 'click здесь for бесплатно prizes'),
+         |    (300003, '1234567890 555 0142')) v(id, t)),
+         |p7s AS (
+         |  SELECT doc_id,
+         |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Latin}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_latin,
+         |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Cyrillic}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_cyrillic,
+         |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Han}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_han,
+         |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_digit
+         |  FROM p7c),
+         |p7g1 AS MATERIALIZED (
+         |  SELECT c.* FROM p7c c JOIN p7s s USING (doc_id)
+         |  WHERE greatest(s.f_latin, s.f_cyrillic, s.f_han, s.f_digit) > 0
+         |    AND s.f_latin = greatest(s.f_latin, s.f_cyrillic, s.f_han, s.f_digit)
+         |    AND ((s.f_latin >= 0.2)::INT + (s.f_cyrillic >= 0.2)::INT
+         |         + (s.f_han >= 0.2)::INT + (s.f_digit >= 0.2)::INT) < 2),
+         |${logisticCtes(3, 1.0, "p7g1")},
+         |p7g2 AS MATERIALIZED (
+         |  SELECT g.* FROM p7g1 g JOIN cf USING (doc_id) CROSS JOIN cw3 w
+         |  WHERE $scoreExpr >= 0.5),
+         |${bpeCtes(8, "p7g2")},
+         |p7t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM p7g2),
+         |p7n AS (
+         |  SELECT t.doc_id, t.lang,
+         |         CAST(sum(len(string_split(b.seg, ' '))) AS BIGINT) AS n_bpe_tokens
+         |  FROM p7t t JOIN bw8 b USING (word) GROUP BY 1, 2),
+         |p7p AS (
+         |  SELECT lang, n_bpe_tokens,
+         |         coalesce(sum(n_bpe_tokens) OVER (
+         |           PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM p7n)
+         |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_tokens
+         |FROM p7p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+    },
     // e22: the 5 greedy rounds unrolled — seed = min id, per-round
     // argmax of the 6dp running min-distance, ties by id.
     "e22_kcenter_coreset" -> {

@@ -499,6 +499,12 @@ class PlanSpec extends GraftSuite {
       plan.take(3000))
   }
 
+  test("p7 tokenizer pipeline: gates are equi-joins, segmentation attach broadcasts — no cartesian anywhere in the chain") {
+    val plan = planOf("p7_tokenizer_pipeline")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(3000))
+  }
+
   test("j10 field inventory: explode + field-keyed agg, total joins as a 1-row broadcast") {
     val plan = planOf("j10_field_inventory")
     // The corpus-total denominator must arrive as a broadcast of ONE
