@@ -1072,6 +1072,92 @@ object TextStats {
         round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
   }
 
+  /** Per-document NLL under an interpolated KNESER–NEY bigram model —
+    * the actual KenLM smoothing math (Kneser & Ney 1995; the modified
+    * form KenLM estimates), which the add-k family approximates: the
+    * lower-order distribution is not unigram FREQUENCY but unigram
+    * CONTINUATION (in how many distinct contexts does w appear?), the
+    * fix for the "San Francisco" failure — 'Francisco' is frequent but
+    * appears after almost nothing, so a backoff to raw frequency
+    * overrates it exactly where the bigram has no evidence:
+    *
+    *   p(w|v) = (max(c(v,w) − d, 0) + d · N₁₊(v,·) · p_cont(w)) / c(v)
+    *   p_cont(w) = N₁₊(·,w) / B
+    *
+    * with d the absolute discount, N₁₊(v,·) the distinct continuations
+    * of v, N₁₊(·,w) the distinct contexts of w, B the distinct bigram
+    * types, and c(v) = Σ_w c(v,w) the bigram-consistent context total.
+    * Interpolation weights are exact by construction: Σ_w p(w|v) = 1
+    * for every seen context (spec-pinned by enumeration). Doc-initial
+    * tokens and unseen contexts score the continuation distribution
+    * with an add-1 guard over (B + V) — the one place a raw KN zero is
+    * reachable (a word that only ever starts documents has no
+    * continuation count), kept finite under the family's smoothing
+    * convention.
+    *
+    * Everything is exact integer counts + one division — no tuned λs —
+    * so the oracle replays it literally. Same determinism contract as
+    * the family (position-ordered ln fold, 6dp final round); scale
+    * shape identical to [[bigramNllAgainst]] plus two
+    * vocabulary-sized aggregations of the MODEL (context and
+    * continuation stats), which a deployment computes once per model,
+    * not per scored corpus.
+    *
+    * @param bigramModel (w1, w2, cb) from [[bigramCounts]] — the ONLY
+    *                    model input; KN derives everything from it.
+    */
+  def knBigramNllAgainst(
+      docs: DataFrame, bigramModel: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val ctx = bigramModel.groupBy(col("w1").as("prev"))
+      .agg(sum(col("cb")).as("cv"), count(lit(1)).as("n1fwd"))
+    val cont = bigramModel.groupBy(col("w2").as("w"))
+      .agg(count(lit(1)).as("n1bwd"))
+    val totals = bigramModel.agg(count(lit(1)).as("__b"))
+      .crossJoin(
+        bigramModel.select(col("w1").as("t"))
+          .union(bigramModel.select(col("w2").as("t")))
+          .agg(countDistinct(col("t")).as("__v")))
+    val tok = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), col("__ws"), posexplode(col("__ws")).as(Seq("pos", "w")))
+      .withColumn("prev", when(col("pos") === 0, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos"))))
+      .drop("__ws")
+    val scored = tok
+      .join(cont, Seq("w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(bigramModel.select(col("w1").as("prev"), col("w2").as("w"), col("cb")),
+        Seq("prev", "w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pcont",
+        coalesce(col("n1bwd"), lit(0L)) / col("__b").cast("double"))
+      .withColumn("__pguard",
+        (coalesce(col("n1bwd"), lit(0L)) + lit(1.0)) / (col("__b") + col("__v")))
+      .withColumn("lnp",
+        when(col("prev").isNull || col("cv").isNull, log(col("__pguard")))
+          .otherwise(log(
+            (greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) +
+              lit(discount) * col("n1fwd") * col("__pcont")) / col("cv"))))
+    scored
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** [[knBigramNllAgainst]] with the model trained on `docs` itself —
+    * Kneser–Ney self-perplexity (the bootstrap).
+    */
+  def knBigramNll(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    knBigramNllAgainst(docs, bigramCounts(docs, textCol), idCol, textCol, discount)
+
   /** [[trigramNllAgainst]] with all three models trained on `docs`
     * itself — interpolated-trigram self-perplexity (order-3 bootstrap).
     */

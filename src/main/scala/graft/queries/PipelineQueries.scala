@@ -455,6 +455,13 @@ $bandSelects
     "t37_script_mix" -> ((s, dir) =>
       TextStats.scriptMix(docsScriptAug(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // Kneser–Ney bigram NLL (C181 / t39): the actual KenLM smoothing —
+    // absolute discounting with the CONTINUATION lower-order
+    // distribution (distinct contexts, not raw frequency). Exact counts
+    // and one division — no tuned lambdas — so the oracle is literal.
+    "t39_kn_bigram_nll" -> ((s, dir) =>
+      TextStats.knBigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Interpolated trigram NLL (C175 / t36): Jelinek–Mercer mix of
     // add-1-smoothed trigram/bigram/unigram conditionals — the KenLM-
     // grade step up from t26. Interpolation IS the backoff: every
@@ -3550,6 +3557,48 @@ $bandSelects
          |  ((f_latin >= 0.2)::INT + (f_cyrillic >= 0.2)::INT
          |   + (f_han >= 0.2)::INT + (f_digit >= 0.2)::INT) >= 2 AS mixed_script
          |FROM c ORDER BY doc_id""".stripMargin,
+    // t39: KN replayed literally — context stats (cv, N1+ forward),
+    // continuation stats (N1+ backward), bigram-type and vocab totals,
+    // max(c−d,0) discounting, the guarded continuation for doc-initial
+    // tokens, the same position-ordered fold. d = 0.75 (binary-exact).
+    "t39_kn_bigram_nll" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT doc_id, ws, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+        |),
+        |pv AS (
+        |  SELECT doc_id, pos, w,
+        |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev
+        |  FROM ex
+        |),
+        |big AS (SELECT prev, w, count(*) AS cb FROM pv WHERE prev IS NOT NULL GROUP BY prev, w),
+        |ctx AS (SELECT prev, CAST(sum(cb) AS BIGINT) AS cv, count(*) AS n1fwd FROM big GROUP BY prev),
+        |cont AS (SELECT w, count(*) AS n1bwd FROM big GROUP BY w),
+        |tot AS (
+        |  SELECT (SELECT count(*) FROM big) AS b,
+        |         (SELECT count(DISTINCT t) FROM
+        |            (SELECT prev AS t FROM big UNION ALL SELECT w FROM big)) AS v
+        |),
+        |scored AS (
+        |  SELECT p.doc_id, p.pos,
+        |         CASE WHEN p.prev IS NULL OR x.cv IS NULL
+        |           THEN ln((coalesce(n.n1bwd, 0) + 1.0) / (t.b + t.v))
+        |           ELSE ln((greatest(coalesce(b.cb, 0) - 0.75, 0.0)
+        |                    + 0.75 * x.n1fwd * (coalesce(n.n1bwd, 0) / CAST(t.b AS DOUBLE)))
+        |                   / x.cv) END AS lnp
+        |  FROM pv p
+        |  LEFT JOIN cont n ON n.w = p.w
+        |  LEFT JOIN ctx x ON x.prev = p.prev
+        |  LEFT JOIN big b ON b.prev = p.prev AND b.w = p.w
+        |  CROSS JOIN tot t
+        |),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
     // t36: t26's replay one order up — trigram/bigram-context tables
     // built from the same positional explode, the Jelinek–Mercer CASE
     // with the EXACT Scala-computed lambda doubles interpolated in
