@@ -72,6 +72,41 @@ object Classifier {
     w
   }
 
+  /** Precision–recall curve over a scored frame — the threshold-
+    * calibration step between training (C174) and deployment: "admit at
+    * score ≥ t" is a business choice, and this is the table it is made
+    * from. One row per distinct score, descending (each score is the
+    * admission threshold that includes it):
+    * (thr, tp, fp, fn, precision, recall, f1).
+    *
+    * All ratios derive from integer cumulative counts — f1 is
+    * 2·tp/(2·tp+fp+fn), never a ratio of rounded ratios — so the only
+    * rounding is the final 6dp and the curve replays exactly on any
+    * engine. Scale shape: one per-score aggregation (threshold-
+    * cardinality-sized, bounded by distinct scores ≤ corpus) + one
+    * ordered window over that frame + a 1-row totals broadcast.
+    */
+  def prCurve(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = scored.groupBy(col(scoreCol).as("thr"))
+      .agg(count(lit(1)).as("__n"), sum(col(labelCol)).cast("long").as("__pos"))
+    val totals = scored.agg(sum(col(labelCol)).cast("long").as("__totpos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("thr").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perScore
+      .withColumn("tp", sum(col("__pos")).over(w))
+      .withColumn("__pred", sum(col("__n")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("thr"), col("tp"),
+        (col("__pred") - col("tp")).as("fp"),
+        (col("__totpos") - col("tp")).as("fn"),
+        round(col("tp") / col("__pred").cast("double"), 6).as("precision"),
+        round(col("tp") / col("__totpos").cast("double"), 6).as("recall"),
+        round(lit(2.0) * col("tp") /
+          (lit(2) * col("tp") + (col("__pred") - col("tp")) +
+            (col("__totpos") - col("tp"))).cast("double"), 6).as("f1"))
+  }
+
   /** Score every row under trained weights: adds `score` = σ(w·x)
     * (6dp) and `accepted` = score ≥ `threshold`. Map-only — the model
     * is a literal in the plan, broadcast for free inside codegen.

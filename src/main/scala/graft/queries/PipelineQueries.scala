@@ -455,6 +455,16 @@ $bandSelects
     "t37_script_mix" -> ((s, dir) =>
       TextStats.scriptMix(docsScriptAug(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // Classifier PR curve (C182 / t40): threshold calibration for the
+    // t35 gate — one row per distinct score (descending), cumulative
+    // tp/fp/fn and precision/recall/f1 from integer counts only.
+    "t40_classifier_pr_curve" -> ((s, dir) => {
+      val f = classifierFeatures(table(s, dir, "documents"))
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
+      Classifier.prCurve(
+          Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5), "score", "y")
+        .orderBy(desc("thr"))
+    }),
     // Kneser–Ney bigram NLL (C181 / t39): the actual KenLM smoothing —
     // absolute discounting with the CONTINUATION lower-order
     // distribution (distinct contexts, not raw frequency). Exact counts
@@ -3557,6 +3567,30 @@ $bandSelects
          |  ((f_latin >= 0.2)::INT + (f_cyrillic >= 0.2)::INT
          |   + (f_han >= 0.2)::INT + (f_digit >= 0.2)::INT) >= 2 AS mixed_script
          |FROM c ORDER BY doc_id""".stripMargin,
+    // t40: the same 3 GD rounds, then the per-score rollup + descending
+    // cumulative window; every ratio derives from integer counts (f1 =
+    // 2tp/(2tp+fp+fn)) so the only rounding is the final 6dp.
+    "t40_classifier_pr_curve" -> {
+      val scoreExpr = "round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6)"
+      s"""WITH ${logisticCtes(3, 1.0)},
+         |sc AS (SELECT cf.doc_id, cf.y, $scoreExpr AS score FROM cf CROSS JOIN cw3 w),
+         |ps AS (SELECT score AS thr, count(*) AS n, CAST(sum(y) AS BIGINT) AS pos
+         |       FROM sc GROUP BY score),
+         |tt AS (SELECT CAST(sum(y) AS BIGINT) AS totpos FROM sc),
+         |cum AS (
+         |  SELECT thr,
+         |         CAST(sum(pos) OVER (ORDER BY thr DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS tp,
+         |         CAST(sum(n) OVER (ORDER BY thr DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pred
+         |  FROM ps)
+         |SELECT thr, tp, (pred - tp) AS fp, (t.totpos - tp) AS fn,
+         |       round(tp / CAST(pred AS DOUBLE), 6) AS precision,
+         |       round(tp / CAST(t.totpos AS DOUBLE), 6) AS recall,
+         |       round(2.0 * tp / CAST(2 * tp + (pred - tp) + (t.totpos - tp) AS DOUBLE), 6) AS f1
+         |FROM cum CROSS JOIN tt t
+         |ORDER BY thr DESC""".stripMargin
+    },
     // t39: KN replayed literally — context stats (cv, N1+ forward),
     // continuation stats (N1+ backward), bigram-type and vocab totals,
     // max(c−d,0) discounting, the guarded continuation for doc-initial

@@ -45,6 +45,22 @@ class ClassifierSpec extends GraftSuite {
     }
   }
 
+  test("prCurve: hand-checked cumulative counts, last row reaches full recall") {
+    import spark.implicits._
+    // scores desc: .9(y=1), .8(y=0), .6(y=1), .2(y=0)
+    val scored = Seq((0.9, 1.0), (0.8, 0.0), (0.6, 1.0), (0.2, 0.0)).toDF("score", "y")
+    val rows = Classifier.prCurve(scored, "score", "y")
+      .orderBy(org.apache.spark.sql.functions.desc("thr"))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows(0) === ((0.9, 1L, 0L, 1L, 1.0, 0.5, BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(rows(1) === ((0.8, 1L, 1L, 1L, 0.5, 0.5, 0.5)))
+    assert(rows(2)._5 === BigDecimal(2.0 / 3.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble && rows(2)._6 === 1.0)
+    assert(rows.last._6 === 1.0 && rows.last._3 + rows.last._2 === 4L)
+  }
+
   test("trainLogistic: deterministic across runs (6dp re-round per iteration)") {
     val d = frame((2.0, 1.0), (0.3, 0.0), (1.1, 1.0), (-0.4, 0.0), (0.9, 1.0))
     val a = Classifier.trainLogistic(d, Seq("x1"), "y", iters = 5, lr = 0.7)
