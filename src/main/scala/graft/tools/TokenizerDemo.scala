@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Bpe, Classifier, Packing, TextStats, Vocab}
+
+/** End-to-end demo/driver of the tokenizer tier over the real
+  * `documents` testdata — from raw corpus to training-ready packs, each
+  * stage one library operator, with evidence printed per stage:
+  *
+  *   plant non-Latin rows → script-mix gate (the planted rows must be
+  *   exactly what drops) → train the quality classifier on weak labels
+  *   → PR curve (report the best-F1 threshold) → gate at 0.5 → build
+  *   the whole-word vocabulary → train BPE merges → fertility per lang
+  *   (the vocabulary-allocation gauge) → encode a sample doc → pack the
+  *   BPE token counts per lang → reconciliation: every surviving doc in
+  *   exactly one pack, pack token sums == corpus BPE token mass.
+  *
+  * Driver-side state is models only (weights, merges, the k-row vocab
+  * head). Run:
+  *   sbt "runMain graft.tools.TokenizerDemo [sfDir]"
+  */
+object TokenizerDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tokenizer-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    def log(m: String): Unit = println(s"[demo] $m")
+
+    val planted = Seq(
+      (900000L, "xx", "привет мир как дела сегодня"),
+      (900001L, "xx", "你好世界 机器学习 数据"),
+      (900002L, "xx", "click здесь for бесплатно prizes"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text", "n_chars").unionByName(planted)
+    val n0 = corpus.count()
+    log(s"corpus: $n0 docs (${planted.count()} planted non-Latin)")
+
+    // Script gate.
+    val sm = TextStats.scriptMix(corpus, "doc_id", "text")
+    val dropped = sm.filter(col("dominant") =!= "latin" || col("mixed_script"))
+      .select("doc_id").as[Long].collect().sorted
+    log(s"script gate dropped: ${dropped.mkString(", ")} (expect the planted ids)")
+    val g1 = corpus.join(
+      sm.filter(col("dominant") === "latin" && !col("mixed_script")).select("doc_id"),
+      Seq("doc_id"))
+
+    // Classifier gate with PR-curve calibration.
+    val f = graft.queries.PipelineQueries.classifierFeatures(g1).cache()
+    val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
+    log(s"classifier weights (bias, x1, x2, x3): ${w.mkString(", ")}")
+    val scored = Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+    val best = Classifier.prCurve(scored, "score", "y")
+      .orderBy(desc("f1"), desc("thr")).limit(1).head()
+    log(f"best-F1 threshold: thr=${best.getDouble(0)}%.6f f1=${best.getDouble(6)}%.6f " +
+      f"(precision=${best.getDouble(4)}%.6f recall=${best.getDouble(5)}%.6f)")
+    val g2 = g1.join(scored.filter(col("accepted")).select("doc_id"), Seq("doc_id")).cache()
+    val n2 = g2.count()
+    log(s"after classifier gate at 0.5: $n2 docs")
+
+    // Vocabulary + BPE.
+    val vocabHead = Vocab.build(g2, "text", vocabSize = 5)
+      .collect().map(r => s"${r.getString(1)}(${r.getLong(2)})").mkString(" ")
+    log(s"top-5 vocabulary: $vocabHead")
+    val model = Bpe.train(g2, "text", numMerges = 8)
+    log(s"BPE merges: ${model.merges.map(m => s"${m.lhs}+${m.rhs}->${m.merged}(${m.n})").mkString(", ")}")
+    val fert = Bpe.fertility(g2, "text", "lang", model)
+      .orderBy("lang").collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(3)}%.3f").mkString(" ")
+    log(s"fertility (pieces/word) by lang: $fert")
+    val sample = Bpe.encode(g2.orderBy("doc_id").limit(1), "doc_id", "text", model)
+      .orderBy("word_pos", "piece_pos").limit(8)
+      .collect().map(_.getString(3)).mkString("|")
+    log(s"first doc's first pieces: $sample")
+
+    // Pack and reconcile.
+    val counts = g2
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      .join(broadcast(model.words.select("word", "seg")), Seq("word"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(size(split(col("seg"), " "))).cast("long").as("n_bpe_tokens"))
+    val packed = Packing.packGreedyByCount(
+      counts, "doc_id", "n_bpe_tokens", budget = 2048, groupCols = Seq("lang")).cache()
+    val packs = packed.groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("toks"))
+    val nPacks = packs.count()
+    val packedDocs = packed.select("doc_id").distinct().count()
+    val massIn = counts.agg(sum("n_bpe_tokens")).head().getLong(0)
+    val massOut = packs.agg(sum("toks")).head().getLong(0)
+    log(s"packs: $nPacks (2048-token budget per lang); docs packed: $packedDocs (expect $n2)")
+    log(s"token-mass reconciliation: in=$massIn out=$massOut (expect equal)")
+
+    spark.stop()
+  }
+}
