@@ -1719,6 +1719,18 @@ $bandSelects
       when(array_contains(toks, "the"), 1.0).otherwise(0.0).as("y"))
   }
 
+  /** st20's oracle: t35's GD machinery, accepted slice only — exposed
+    * here because the logistic CTE builder lives with its siblings.
+    */
+  private[graft] def st20OracleSql: String = {
+    val scoreExpr = "round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6)"
+    s"""WITH ${logisticCtes(3, 1.0)}
+       |SELECT doc_id, $scoreExpr AS score
+       |FROM cf CROSS JOIN cw3 w
+       |WHERE $scoreExpr >= 0.5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The unrolled greedy k-center CTE chain: `kv` is the (vector, norm)
     * frame; round r adds `km{r}` (the argmax of the running min-distance
     * among unselected points, ties by id), `ks{r}` (that center's

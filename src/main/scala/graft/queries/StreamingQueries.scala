@@ -395,6 +395,17 @@ object StreamingQueries {
       s.read.parquet(out).filter(col("routed") === "clean")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
+    // Streaming classifier gate (st20): weights trained upstream and
+    // FROZEN, each micro-batch scored by the model-as-plan-literal and
+    // routed into the verdict-partitioned exactly-once sink. Stateless
+    // gate ⇒ the converged accepted partition is the batch t35 accepted
+    // set — one scoring formula, one oracle machinery.
+    "st20_stream_score" -> ((s, dir) => {
+      val (replay, out) = st20Setup(s, dir)
+      replay()
+      s.read.parquet(out).filter(col("routed") === "accepted")
+        .select("doc_id", "score").orderBy("doc_id")
+    }),
     // Streaming vocabulary maintenance (st19): documents replayed in
     // batches, each micro-batch's exact token counts SUMMED into the
     // count store (read touched buckets, add, replace). Counts are
@@ -724,6 +735,31 @@ object StreamingQueries {
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
     (replay, store)
+  }
+
+  /** Untimed setup for st20 (streaming classifier gate): weights
+    * trained once on the static corpus (the gate carries them frozen),
+    * then the FEATURE rows replayed across N micro-batches through the
+    * stateless scoring gate into the verdict-partitioned sink.
+    */
+  private[graft] def st20Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st20")
+    val out = s"$scratch/out"
+    val feats = PipelineQueries.classifierFeatures(Fixtures.table(s, dir, "documents"))
+    val w = graft.pipeline.Classifier.trainLogistic(
+      feats, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
+    val rows = feats.as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, Double, Double, Double, Double)]
+    val stream = mem.toDF().toDF("doc_id", "x1", "x2", "x3", "y")
+    val q = graft.streaming.StreamingScore.scoreTo(
+      stream, w, Seq("x1", "x2", "x3"), threshold = 0.5, out, s"$scratch/cp")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
   }
 
   /** Untimed setup for st19 (streaming vocabulary store): documents
@@ -1080,6 +1116,10 @@ object StreamingQueries {
     "st18_stream_ingest" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+    // st20 is t35's accepted slice through the streaming gate — frozen
+    // weights, stateless scoring, so the converged accepted partition
+    // replays with t35's own GD-round machinery.
+    "st20_stream_score" -> PipelineQueries.st20OracleSql,
     // st19 is t31 through the maintained count store — the converged
     // store ranks into the batch vocabulary: t31's oracle verbatim.
     "st19_stream_vocab" ->

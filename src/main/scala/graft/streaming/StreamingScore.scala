@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.pipeline.Classifier
+
+/** Ingest-time model-based quality gating — the streaming twin of the
+  * C174 classifier gate, completing the tier's st-coverage the same way
+  * C112 (sniff gate) and C162 (quarantine gate) did for theirs: train
+  * upstream, FREEZE the weights, and score every arriving micro-batch
+  * with the model as a plan literal. The gate is stateless by
+  * construction (no state store, no watermark — the model is data, not
+  * state), so exactly-once is inherited entirely from the parquet file
+  * sink, and the converged sink equals the batch scoring of the same
+  * rows — one oracle, shared with t35's machinery.
+  *
+  * Scale shape: per batch one codegen'd projection (σ(w·x) + verdict) —
+  * the cheapest possible gate; routing rides the sink's `routed`
+  * partitioning so consumers read admitted rows partition-pruned.
+  */
+object StreamingScore {
+
+  /** The gate as a streaming-safe projection: `score`, `accepted`, and
+    * the `routed` verdict partition key. Works on any frame carrying
+    * the feature columns, batch or streaming.
+    */
+  def gate(
+      rows: DataFrame, weights: Seq[Double], featureCols: Seq[String],
+      threshold: Double): DataFrame =
+    Classifier.score(rows, weights, featureCols, threshold)
+      .withColumn("routed",
+        when(col("accepted"), lit("accepted")).otherwise(lit("rejected")))
+
+  /** Run the frozen-model scoring gate into an exactly-once parquet
+    * sink partitioned by the routing verdict. Returns the started
+    * query; callers own its lifecycle.
+    */
+  def scoreTo(
+      stream: DataFrame, weights: Seq[Double], featureCols: Seq[String],
+      threshold: Double, path: String, checkpoint: String): StreamingQuery =
+    gate(stream, weights, featureCols, threshold)
+      .writeStream.outputMode("append").format("parquet")
+      .partitionBy("routed")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .start()
+}
