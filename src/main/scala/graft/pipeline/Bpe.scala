@@ -61,12 +61,17 @@ object Bpe {
     */
   private[pipeline] def applyMerge(seg: org.apache.spark.sql.Column, m: Merge) = {
     val a = lit(m.lhs); val b = lit(m.rhs); val mg = lit(m.merged)
+    // Spark's length() counts CODE POINTS (and Java regex "." splits the
+    // initial seg per code point), so the splice width must be the lhs's
+    // code-point count — Java String .length is UTF-16 units and would
+    // cut one short per astral-plane char (emoji, rare CJK).
+    val lhsLen = m.lhs.codePointCount(0, m.lhs.length)
     aggregate(
       split(seg, " "),
       lit(null).cast("string"),
       (acc, x) => when(acc.isNull, x)
         .when(element_at(split(acc, " "), -1) === a && x === b,
-          concat(acc.substr(lit(1), length(acc) - lit(m.lhs.length)), mg))
+          concat(acc.substr(lit(1), length(acc) - lit(lhsLen)), mg))
         .otherwise(concat(acc, lit(" "), x)))
   }
 

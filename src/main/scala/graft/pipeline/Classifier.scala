@@ -101,7 +101,13 @@ object Classifier {
         (col("__pred") - col("tp")).as("fp"),
         (col("__totpos") - col("tp")).as("fn"),
         round(col("tp") / col("__pred").cast("double"), 6).as("precision"),
-        round(col("tp") / col("__totpos").cast("double"), 6).as("recall"),
+        // Zero positive labels ⇒ recall is 0/0; define it as 0.0 (no
+        // positives to recover) instead of letting the NULL silently
+        // poison the calibration table. f1's denominator is
+        // 2tp+fp+fn = pred+totpos ≥ 1 (every threshold row admits ≥ 1
+        // prediction), so f1 is already total.
+        when(col("__totpos") === 0, lit(0.0))
+          .otherwise(round(col("tp") / col("__totpos").cast("double"), 6)).as("recall"),
         round(lit(2.0) * col("tp") /
           (lit(2) * col("tp") + (col("__pred") - col("tp")) +
             (col("__totpos") - col("tp"))).cast("double"), 6).as("f1"))

@@ -1090,10 +1090,12 @@ object TextStats {
     * Interpolation weights are exact by construction: Σ_w p(w|v) = 1
     * for every seen context (spec-pinned by enumeration). Doc-initial
     * tokens and unseen contexts score the continuation distribution
-    * with an add-1 guard over (B + V) — the one place a raw KN zero is
-    * reachable (a word that only ever starts documents has no
-    * continuation count), kept finite under the family's smoothing
-    * convention.
+    * with an add-1 guard over (B + V); the SAME guard also catches the
+    * other reachable raw-KN zero — an OOV word after a SEEN context
+    * (c(v,w) and N₁₊(·,w) both absent ⇒ both mixture terms 0), which
+    * cross-corpus scoring hits on every probe token the model never
+    * saw. Every token therefore scores a finite NLL, per the family's
+    * smoothing convention.
     *
     * Everything is exact integer counts + one division — no tuned λs —
     * so the oracle replays it literally. Same determinism contract as
@@ -1136,7 +1138,11 @@ object TextStats {
       .withColumn("__pguard",
         (coalesce(col("n1bwd"), lit(0L)) + lit(1.0)) / (col("__b") + col("__v")))
       .withColumn("lnp",
-        when(col("prev").isNull || col("cv").isNull, log(col("__pguard")))
+        // The zero-mixture case is exactly {cb null AND n1bwd null}: a
+        // seen (v,w) keeps cb−d > 0 (counts ≥ 1 > d), and a seen w keeps
+        // d·N₁₊(v,·)·p_cont > 0 — either alone is finite.
+        when(col("prev").isNull || col("cv").isNull ||
+            (col("n1bwd").isNull && col("cb").isNull), log(col("__pguard")))
           .otherwise(log(
             (greatest(coalesce(col("cb"), lit(0L)) - lit(discount), lit(0.0)) +
               lit(discount) * col("n1fwd") * col("__pcont")) / col("cv"))))

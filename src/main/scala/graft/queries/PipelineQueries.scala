@@ -3598,7 +3598,8 @@ $bandSelects
          |  FROM ps)
          |SELECT thr, tp, (pred - tp) AS fp, (t.totpos - tp) AS fn,
          |       round(tp / CAST(pred AS DOUBLE), 6) AS precision,
-         |       round(tp / CAST(t.totpos AS DOUBLE), 6) AS recall,
+         |       CASE WHEN t.totpos = 0 THEN 0.0
+         |            ELSE round(tp / CAST(t.totpos AS DOUBLE), 6) END AS recall,
          |       round(2.0 * tp / CAST(2 * tp + (pred - tp) + (t.totpos - tp) AS DOUBLE), 6) AS f1
          |FROM cum CROSS JOIN tt t
          |ORDER BY thr DESC""".stripMargin
@@ -3628,6 +3629,7 @@ $bandSelects
         |scored AS (
         |  SELECT p.doc_id, p.pos,
         |         CASE WHEN p.prev IS NULL OR x.cv IS NULL
+        |                OR (n.n1bwd IS NULL AND b.cb IS NULL)
         |           THEN ln((coalesce(n.n1bwd, 0) + 1.0) / (t.b + t.v))
         |           ELSE ln((greatest(coalesce(b.cb, 0) - 0.75, 0.0)
         |                    + 0.75 * x.n1fwd * (coalesce(n.n1bwd, 0) / CAST(t.b AS DOUBLE)))

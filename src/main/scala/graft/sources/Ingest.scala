@@ -318,9 +318,26 @@ object Ingest {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("src_key").parquet(quarantinePath)
-    val shardReport = parsed.groupBy("src_file", "src_shard").agg(
+    // Seed the report from the LISTED files, not the parsed rows: a
+    // zero-line shard yields no parsed rows, and a row-derived manifest
+    // would never record it — re-listing and re-reading it (a no-op
+    // rewrite) on every subsequent promote run. The left join keys on
+    // the scheme-stripped path ([[canonPath]]'s rule, as a column) since
+    // input_file_name() URIs and the Hadoop listing spell the scheme
+    // differently.
+    import spark.implicits._
+    val canonCol = (f: Column) =>
+      regexp_replace(f, "^[a-zA-Z][a-zA-Z0-9+.-]*:/*", "/")
+    val listed = newFiles.toDF("src_file")
+      .withColumn("src_shard", shardLabel(col("src_file")))
+      .withColumn("__canon", canonCol(col("src_file")))
+    val perFile = parsed.groupBy(canonCol(col("src_file")).as("__canon")).agg(
       sum(when(col("is_clean"), 1L).otherwise(0L)).as("n_clean"),
       sum(when(col("is_clean"), 0L).otherwise(1L)).as("n_corrupt"))
+    val shardReport = listed.join(perFile, Seq("__canon"), "left")
+      .select(col("src_file"), col("src_shard"),
+        coalesce(col("n_clean"), lit(0L)).as("n_clean"),
+        coalesce(col("n_corrupt"), lit(0L)).as("n_corrupt"))
     shardReport.write.mode("append").parquet(manifestPath)
     shardReport
   }

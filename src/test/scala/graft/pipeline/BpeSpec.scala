@@ -48,6 +48,18 @@ class BpeSpec extends GraftSuite {
     assert(m === Seq(Bpe.Merge(1L, "a", "b", "ab", 2L)))
   }
 
+  test("train: astral-plane (non-BMP) symbols merge at code-point grain") {
+    // U+1D54F (𝕏) is one code point but two UTF-16 units: a merge whose
+    // lhs contains it must still splice the right number of characters
+    // (the code-unit/code-point confusion corrupts the segmentation).
+    val x = new String(Character.toChars(0x1D54F))
+    val model = Bpe.train(docs(s"$x$x$x$x"), "text", numMerges = 2)
+    assert(model.merges.map(_.merged) === Seq(s"$x$x", s"$x$x$x$x"))
+    // Pieces must concatenate back to the word exactly.
+    assert(model.words.select("seg").head().getString(0).replace(" ", "")
+      === s"$x$x$x$x")
+  }
+
   test("encode: totality — pieces concatenate back to the word, positions dense") {
     val d = docs("stream batch stream", "merge table")
     val model = Bpe.train(d, "text", numMerges = 4)

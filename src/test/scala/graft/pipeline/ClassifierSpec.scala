@@ -61,6 +61,18 @@ class ClassifierSpec extends GraftSuite {
     assert(rows.last._6 === 1.0 && rows.last._3 + rows.last._2 === 4L)
   }
 
+  test("prCurve: zero positive labels yields recall/f1 = 0.0, never NULL") {
+    import spark.implicits._
+    val scored = Seq((0.9, 0.0), (0.2, 0.0)).toDF("score", "y")
+    val rows = Classifier.prCurve(scored, "score", "y")
+      .orderBy(org.apache.spark.sql.functions.desc("thr")).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(!r.isNullAt(5) && r.getDouble(5) === 0.0, "recall must be 0.0")
+      assert(!r.isNullAt(6) && r.getDouble(6) === 0.0, "f1 must be 0.0")
+    }
+  }
+
   test("trainLogistic: deterministic across runs (6dp re-round per iteration)") {
     val d = frame((2.0, 1.0), (0.3, 0.0), (1.1, 1.0), (-0.4, 0.0), (0.9, 1.0))
     val a = Classifier.trainLogistic(d, Seq("x1"), "y", iters = 5, lr = 0.7)

@@ -78,4 +78,26 @@ class KnLmSpec extends GraftSuite {
       TextStats.knBigramNll(docs("a b"), "doc_id", "text", discount = 1.0)
     }
   }
+
+  test("OOV word after a SEEN context scores a finite NLL (cross-corpus probe)") {
+    // Model knows 'san' as a context; 'zzz' is OOV (no bigram, no
+    // continuation count) — the raw KN mixture is 0 there, and the
+    // add-1 guard must catch it rather than emit log(0) = NULL.
+    val model = TextStats.bigramCounts(
+      docs("san francisco san francisco other words here"), "text")
+    val out = TextStats.knBigramNllAgainst(docs("san zzz"), model, "doc_id", "text")
+      .collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(!r.isNullAt(2), "avg_nll must be finite for OOV-after-seen-context")
+    // The guard term for pos1 is (0+1)/(B+V); pos0 'san' has n1bwd=1 →
+    // (1+1)/(B+V). B=5 types... recompute: pairs (san,francisco)x2,
+    // (francisco,san), (francisco,other), (other,words), (words,here) →
+    // B=5 types; vocab {san,francisco,other,words,here} V=5.
+    // pos0: ln(2/10); pos1: 'zzz'|'san' seen ctx but zero mixture → guard
+    // ln(1/10).
+    val expected = BigDecimal(-(math.log(2.0 / 10) + math.log(1.0 / 10)) / 2.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(2) === expected)
+  }
 }

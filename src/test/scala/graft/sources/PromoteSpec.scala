@@ -121,6 +121,21 @@ class PromoteSpec extends GraftSuite {
     assert(after.size === aPartition.size + 1)
   }
 
+  test("EMPTY shard converges: a zero-line file lands in the manifest with 0/0 and is never re-read") {
+    val dir = freshTree()
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "in/empty.jsonl"),
+      Array.empty[Byte])
+    val report = promote(dir).collect()
+    assert(report.length === 3)
+    val empty = report.find(_.getAs[String]("src_file").endsWith("empty.jsonl"))
+    assert(empty.isDefined, "empty shard must appear in the promotion report")
+    assert(empty.get.getAs[Long]("n_clean") === 0L &&
+      empty.get.getAs[Long]("n_corrupt") === 0L)
+    assert(spark.read.parquet(s"$dir/manifest").count() === 3)
+    // The second run must be a TRUE no-op — the manifest converged.
+    assert(promote(dir).isEmpty)
+  }
+
   test("provenance rides along: src_shard + src_file columns in both sinks, manifest counts exact") {
     val dir = freshTree()
     promote(dir).collect()
