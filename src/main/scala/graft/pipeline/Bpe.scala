@@ -80,8 +80,20 @@ object Bpe {
     * word fully merged) — the returned table then has fewer rows, and
     * the cross-engine oracle agrees because an empty argmax contributes
     * no row there either.
+    *
+    * `maxWordChars` is the scale-premise guard: the bounded-word-table
+    * argument above holds only while "words" are actual words. Text in
+    * a no-space script (Han/Kana/Thai) arrives as one whitespace token
+    * PER SENTENCE — every sentence a distinct table row — and training
+    * silently degenerates. Rather than degrade, the trainer REJECTS a
+    * corpus whose longest word exceeds the cap (one tiny agg over the
+    * already-persisted word table), with the fix named in the message:
+    * route text through [[TextOps.segmentNoSpaceScripts]] first. Pass
+    * `maxWordChars = 0` to disable for corpora with legitimately
+    * enormous tokens.
     */
-  def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+  def train(docs: DataFrame, textCol: String, numMerges: Int,
+      maxWordChars: Int = 200): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
@@ -89,6 +101,19 @@ object Bpe {
       .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
       .persist()
     words.count()
+    if (maxWordChars > 0) {
+      val longest = words.agg(max(length(col("word")))).head()
+      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
+      if (maxLen > maxWordChars) {
+        words.unpersist(false)
+        throw new IllegalArgumentException(
+          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
+            "this is the signature of no-space-script (Han/Kana/Thai) text, " +
+            "where whole sentences arrive as single whitespace tokens and the " +
+            "word-table scale premise collapses. Pre-segment the text with " +
+            "TextOps.segmentNoSpaceScripts, or pass maxWordChars = 0 to force.")
+      }
+    }
     val merges = ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false

@@ -15,8 +15,65 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokens (the corpus is single-space separated). */
+  /** Whitespace tokens (the corpus is single-space separated).
+    *
+    * Contract: this premise holds only for scripts that WRITE word
+    * boundaries. Han/Kana/Thai text has no spaces — a whole sentence
+    * becomes one "word", which silently degenerates every downstream
+    * family built on word tables (vocabulary, BPE, fertility, the LMs)
+    * and collapses the BPE trainer's bounded-word-table scale argument.
+    * Route such text through [[segmentNoSpaceScripts]] FIRST (identity
+    * on spaced scripts, so pipelines can apply it unconditionally);
+    * [[graft.pipeline.Bpe.train]] additionally fail-fasts on word
+    * lengths only unsegmented no-space-script text produces.
+    */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** The character class of scripts written WITHOUT inter-word spaces
+    * (Han, Hiragana, Katakana, Thai) — the rows [[tokens]]'s whitespace
+    * premise silently degenerates on. Java regex script names carry the
+    * `Is` prefix; the oracle twin is RE2's bare `\p{Han}…` (same
+    * Unicode script property, same coverage — the t37 precedent).
+    */
+  private val NoSpaceScriptClass =
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsThai}"
+
+  /** How many no-space-script characters the text carries — the routing
+    * signal ("does this row need [[segmentNoSpaceScripts]]?") and the
+    * audit metric beside it.
+    */
+  def noSpaceScriptCount(text: Column): Column =
+    regexp_count(text, lit(s"[$NoSpaceScriptClass]")).cast("long")
+
+  /** Script-aware pre-segmentation for no-space scripts: isolate every
+    * maximal Han/Kana/Thai run with surrounding spaces, then split runs
+    * into ≤ `runCap`-codepoint chunks (default 1 = per-character — the
+    * mBERT/char-LM convention, and the grain the verdictless "one
+    * sentence, one word" failure needs). Spaced-script text passes
+    * through IDENTICALLY (no no-space chars ⇒ both rewrites no-op and
+    * the collapse/trim leave single-spaced text unchanged), so a
+    * pipeline applies this unconditionally — application IS the
+    * routing. Idempotent at any runCap (already-chunked runs re-chunk
+    * to themselves).
+    *
+    * Grain trade, stated honestly: runCap=1 makes every CJK char its
+    * own word — vocabulary/LM families work at char grain (standard for
+    * CJK), but BPE learns no intra-word merges there (a 1-symbol word
+    * has no pairs). runCap ≥ 2 keeps the word table bounded
+    * (≤ runCap-char chunks, content-bounded like any vocabulary) while
+    * giving BPE adjacent pairs to merge; chunk boundaries are arbitrary
+    * every-runCap cuts, the price of not having a real CJK word
+    * segmenter in-engine.
+    *
+    * Map-only: three codegen'd regexp passes + trim, no shuffle, exact
+    * RE2 twin for the oracle.
+    */
+  def segmentNoSpaceScripts(text: Column, runCap: Int = 1): Column = {
+    require(runCap >= 1, s"runCap must be >= 1, got $runCap")
+    val runs = regexp_replace(text, s"([$NoSpaceScriptClass]+)", " $1 ")
+    val chunked = regexp_replace(runs, s"([$NoSpaceScriptClass]{$runCap})", "$1 ")
+    trim(regexp_replace(chunked, " +", " "))
+  }
 
   /** Token COUNT without materializing the token array — the native
     * [[graft.functions.TokenCount]] expression (spaces + 1, exactly

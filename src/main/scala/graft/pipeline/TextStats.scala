@@ -694,6 +694,28 @@ object TextStats {
     * identical for BMP scripts (all four classes here); astral-plane
     * text would need a code-point contract first.
     */
+  /** The dominant script class of a text column — [[scriptMix]]'s
+    * priority-ordered argmax as a STANDALONE map-only expression, for
+    * pipelines that route on script (e.g. into
+    * [[TextOps.segmentNoSpaceScripts]]) without materializing the full
+    * report. Same rounded fractions, same priority CASE, same 'other'
+    * fallback as scriptMix (equality spec-pinned in ScriptMixSpec).
+    */
+  def dominantScript(text: Column): Column = {
+    val total = length(text)
+    def cnt(cls: String) = total - length(regexp_replace(text, cls, ""))
+    val denom = greatest(total, lit(1)).cast("double")
+    val fr = Seq(
+      "latin" -> round(cnt("\\p{IsLatin}") / denom, 6),
+      "cyrillic" -> round(cnt("\\p{IsCyrillic}") / denom, 6),
+      "han" -> round(cnt("\\p{IsHan}") / denom, 6),
+      "digit" -> round(cnt("[0-9]") / denom, 6))
+    val g = greatest(fr.map(_._2): _*)
+    fr.foldLeft(when(g === 0.0, lit("other"))) {
+      case (acc, (n, f)) => acc.when(f === g, lit(n))
+    }
+  }
+
   def scriptMix(
       docs: DataFrame, idCol: String, textCol: String,
       mixThreshold: Double = 0.2): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, TextStats, Vocab}
+import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, TextOps, TextStats, Vocab}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -128,6 +128,32 @@ $bandSelects
       |    (300001, '你好世界 机器学习 数据'),
       |    (300002, 'click здесь for бесплатно prizes'),
       |    (300003, '1234567890 555 0142')) v(id, t))""".stripMargin
+
+  /** documents ∪ planted SPACELESS Han rows (ids +310000) — the
+    * degenerate case [[graft.pipeline.TextOps.tokens]]'s whitespace
+    * premise silently collapses on: each row is one whitespace token.
+    * t41 routes them through script-aware segmentation before the
+    * tokenizer tier. All BMP.
+    */
+  private def docsCjkAug(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = Seq(
+      (310000L, "机器学习模型训练数据质量很重要"),
+      (310001L, "大规模语言模型需要海量高质量训练数据"),
+      (310002L, "数据去重与质量过滤是数据管线的核心步骤"),
+      (310003L, "中文文本没有空格分词")).toDF("doc_id", "text")
+    table(s, dir, "documents").select("doc_id", "text").unionByName(planted)
+  }
+
+  private val cjkAugCte: String =
+    """cj AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(v.id AS BIGINT), v.t FROM (VALUES
+      |    (310000, '机器学习模型训练数据质量很重要'),
+      |    (310001, '大规模语言模型需要海量高质量训练数据'),
+      |    (310002, '数据去重与质量过滤是数据管线的核心步骤'),
+      |    (310003, '中文文本没有空格分词')) v(id, t))""".stripMargin
 
   /** t23's query bag: one discriminating rare term + two common ones. */
   private[queries] val Bm25Terms = Seq("dup", "merge", "hash")
@@ -455,6 +481,23 @@ $bandSelects
     "t37_script_mix" -> ((s, dir) =>
       TextStats.scriptMix(docsScriptAug(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // CJK script-aware segmentation (C184 / t41): spaceless Han rows —
+    // one whitespace token per SENTENCE, the hole that silently
+    // degenerates the whole word-table tier — are routed through
+    // per-codepoint segmentation (identity on spaced scripts, so the
+    // route is unconditional and map-only), then the tokenizer tier
+    // runs normally: BPE trains over the segmented corpus and the
+    // fertility report groups by the dominant script. Readout: the han
+    // group segments at CHARACTER grain (fertility exactly 1.0, finite
+    // — not ≈ chars-per-sentence), and n_words counts chars, not
+    // sentences.
+    "t41_cjk_segment" -> ((s, dir) => {
+      val seg = docsCjkAug(s, dir).select(
+        TextStats.dominantScript(col("text")).as("dominant"),
+        TextOps.segmentNoSpaceScripts(col("text")).as("text"))
+      val model = Bpe.train(seg, "text", numMerges = 8)
+      Bpe.fertility(seg, "text", "dominant", model).orderBy("dominant")
+    }),
     // Classifier PR curve (C182 / t40): threshold calibration for the
     // t35 gate — one row per distinct score (descending), cumulative
     // tp/fp/fn and precision/recall/f1 from integer counts only.
@@ -3579,6 +3622,49 @@ $bandSelects
          |  ((f_latin >= 0.2)::INT + (f_cyrillic >= 0.2)::INT
          |   + (f_han >= 0.2)::INT + (f_digit >= 0.2)::INT) >= 2 AS mixed_script
          |FROM c ORDER BY doc_id""".stripMargin,
+    // t41: the segmentation replayed under RE2 — isolate no-space-script
+    // runs with surrounding spaces, chunk per codepoint, collapse — the
+    // t37 dominant CASE for the grouping, then the t38 fertility rollup
+    // over bpeCtes trained on the SEGMENTED corpus.
+    "t41_cjk_segment" -> {
+      val cls = """\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}"""
+      val bs = "\\"
+      val segExpr =
+        s"trim(regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'([$cls]+)', ' ${bs}1 ', 'g'), '([$cls]{1})', '${bs}1 ', 'g'), " +
+          "' +', ' ', 'g'))"
+      s"""WITH $cjkAugCte,
+         |cjf AS (
+         |  SELECT doc_id, text,
+         |    round((length(text) - length(regexp_replace(text, '${bs}p{Latin}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_latin,
+         |    round((length(text) - length(regexp_replace(text, '${bs}p{Cyrillic}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_cyrillic,
+         |    round((length(text) - length(regexp_replace(text, '${bs}p{Han}', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_han,
+         |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_digit
+         |  FROM cj),
+         |segd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN greatest(f_latin, f_cyrillic, f_han, f_digit) = 0 THEN 'other'
+         |         WHEN f_latin = greatest(f_latin, f_cyrillic, f_han, f_digit) THEN 'latin'
+         |         WHEN f_cyrillic = greatest(f_latin, f_cyrillic, f_han, f_digit) THEN 'cyrillic'
+         |         WHEN f_han = greatest(f_latin, f_cyrillic, f_han, f_digit) THEN 'han'
+         |         ELSE 'digit' END AS dominant,
+         |    $segExpr AS text
+         |  FROM cjf),
+         |${bpeCtes(8, "segd")},
+         |cjtok AS (SELECT dominant, unnest(string_split(text, ' ')) AS word FROM segd),
+         |cjj AS (SELECT cjtok.dominant, length(cjtok.word) AS chars,
+         |               len(string_split(bw8.seg, ' ')) AS pieces
+         |        FROM cjtok JOIN bw8 ON cjtok.word = bw8.word)
+         |SELECT dominant, count(*) AS n_words,
+         |       CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         |       round(sum(pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+         |       round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 6) AS chars_per_piece
+         |FROM cjj GROUP BY dominant ORDER BY dominant""".stripMargin
+    },
     // t40: the same 3 GD rounds, then the per-score rollup + descending
     // cumulative window; every ratio derives from integer counts (f1 =
     // 2tp/(2tp+fp+fn)) so the only rounding is the final 6dp.
