@@ -45,8 +45,12 @@ object Bpe {
   /** A trained tokenizer: the ordered merge table (driver-side — k rows
     * by construction) plus the distinct-word table with its final
     * segmentation (`word`, `freq`, `seg`), persisted and materialized.
+    * `cappedOut` is [[trainLocal]]'s no-silent-caps diagnostic: how many
+    * distinct words fell outside the frequency cap and carry the
+    * character-fallback segmentation (always 0 for [[train]]).
     */
-  final case class BpeModel(merges: Seq[Merge], words: DataFrame) {
+  final case class BpeModel(merges: Seq[Merge], words: DataFrame,
+      cappedOut: Long = 0L) {
     /** The merge table as a DataFrame: (step, lhs, rhs, merged, n). */
     def mergeTable(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -134,14 +138,189 @@ object Bpe {
         val m = Merge(step.toLong, r.getString(0), r.getString(1),
           r.getString(0) + r.getString(1), r.getLong(2))
         merges += m
-        val next = words.withColumn("seg", applyMerge(col("seg"), m)).persist()
-        next.count() // materialize: cut the round's lineage
+        // localCheckpoint is an eager TRUE lineage cut (persist+count
+        // only cuts physically): without it the logical plan chains one
+        // aggregate-HOF projection per round and analysis cost — and
+        // eventually tree-traversal stack depth — grows with the round
+        // count. The word table is vocabulary-sized, so checkpoint
+        // storage is bounded by content.
+        val next = words.withColumn("seg", applyMerge(col("seg"), m)).localCheckpoint()
         words.unpersist(false)
         words = next
         step += 1
       }
     }
     BpeModel(merges.toSeq, words)
+  }
+
+  /** Spark's string ordering is binary over UTF-8 bytes (and so is
+    * DuckDB's) — the driver-side loop must tie-break identically, NOT
+    * with Java's UTF-16 `compareTo` (they disagree above U+D800).
+    */
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** [[applyMerge]]'s greedy-left fold, driver-side: identical overlap
+    * resolution ("a a a" under (a,a) → "aa a"), so the two trainers
+    * produce byte-identical segmentations.
+    */
+  private def applyMergeLocal(
+      syms: ArrayBuffer[String], lhs: String, rhs: String,
+      merged: String): ArrayBuffer[String] = {
+    val out = new ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      val x = syms(i)
+      if (out.nonEmpty && out(out.length - 1) == lhs && x == rhs)
+        out(out.length - 1) = merged
+      else out += x
+      i += 1
+    }
+    out
+  }
+
+  /** Train BPE with the merge loop DRIVER-LOCAL — the production-merge-
+    * count path. [[train]]'s per-round Spark job is the right shape per
+    * round but the wrong shape per TRAINING RUN once k reaches
+    * production counts (32k–100k merges): k sequential cluster round
+    * trips, each a full shuffle of the word table, is days of wall time
+    * at any realistic per-job floor. The HF/sentencepiece shape this
+    * implements instead: ONE distributed aggregation builds the
+    * frequency-capped word table, ONE TakeOrdered collects it (bounded
+    * by `wordCap`, the same vocabulary argument [[train]] already
+    * makes), and the k merges run in memory with an incremental
+    * pair-count index — per-merge cost is an in-memory map update, not
+    * a cluster round trip. The result broadcasts back as the same
+    * (word, freq, seg) table [[encode]]/[[fertility]] already consume.
+    *
+    * THE CAP CONTRACT, stated honestly: merges are learned from the
+    * top-`wordCap` words by (freq DESC, word ASC — Spark/DuckDB binary
+    * UTF-8 order). A dropped word's pair mass is invisible to the
+    * argmax, so a cap that cuts into non-negligible frequency mass can
+    * reorder low-rank merges vs the uncapped trainer; on Zipfian
+    * corpora the dropped tail is individually-rare words whose summed
+    * pair mass spreads across MANY distinct pairs, which is exactly
+    * why the argmax winner is insensitive to it. Size `wordCap` from
+    * the corpus's token-count distribution ([[Vocab.tokenCounts]]),
+    * and check `BpeModel.cappedOut` — words beyond the cap keep their
+    * CHARACTER segmentation (conservative: unmerged, never wrongly
+    * merged) and are counted there, never silently absorbed. With
+    * `wordCap` ≥ the distinct-word count the trainer is EXACT:
+    * spec-pinned merge-for-merge and seg-for-seg equal to [[train]].
+    *
+    * Same determinism contract as [[train]]: (count DESC, lhs ASC,
+    * rhs ASC) argmax tie-breaks in binary-UTF-8 order, greedy-left
+    * merge application, early exhaustion when no pair remains.
+    */
+  def trainLocal(
+      docs: DataFrame, textCol: String, numMerges: Int,
+      wordCap: Int = 1 << 20, maxWordChars: Int = 200): BpeModel = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(wordCap >= 1, s"wordCap must be >= 1, got $wordCap")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wf = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    wf.count()
+    if (maxWordChars > 0) {
+      val longest = wf.agg(max(length(col("word")))).head()
+      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
+      if (maxLen > maxWordChars) {
+        wf.unpersist(false)
+        throw new IllegalArgumentException(
+          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
+            "this is the signature of no-space-script (Han/Kana/Thai) text. " +
+            "Pre-segment with TextOps.segmentNoSpaceScripts, or pass " +
+            "maxWordChars = 0 to force.")
+      }
+    }
+    // The ONE driver-side collect: TakeOrdered top-wordCap — bounded by
+    // the cap, never by the corpus.
+    val capped = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val segs: Array[ArrayBuffer[String]] = capped.map { case (w, _) =>
+      val buf = new ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        buf += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      buf
+    }
+    // Exact pair counts + inverted pair→words index. Index entries may
+    // go stale (a word evolves away from a pair); correctness comes from
+    // re-diffing the touched word's actual seg, so stale hits are no-ops.
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val index = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def bump(p: (String, String), delta: Long): Unit = {
+      val nv = counts.getOrElse(p, 0L) + delta
+      if (nv == 0L) counts.remove(p) else counts(p) = nv
+    }
+    def addWordPairs(wi: Int, sign: Long): Unit = {
+      val s = segs(wi); val f = capped(wi)._2
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        bump(p, sign * f)
+        if (sign > 0) index.getOrElseUpdate(
+          p, scala.collection.mutable.Set.empty[Int]) += wi
+        j += 1
+      }
+    }
+    capped.indices.foreach(addWordPairs(_, 1L))
+    val merges = ArrayBuffer.empty[Merge]
+    var step = 1
+    while (step <= numMerges && counts.nonEmpty) {
+      // Argmax with the train() tie-break; HashMap iteration order is
+      // irrelevant because the comparison is total over distinct keys.
+      var bestP: (String, String) = null
+      var bestN = 0L
+      for ((p, n) <- counts) {
+        val better = bestP == null || n > bestN || (n == bestN && {
+          val c = utf8Compare(p._1, bestP._1)
+          c < 0 || (c == 0 && utf8Compare(p._2, bestP._2) < 0)
+        })
+        if (better) { bestP = p; bestN = n }
+      }
+      val (lhs, rhs) = bestP
+      val merged = lhs + rhs
+      merges += Merge(step.toLong, lhs, rhs, merged, bestN)
+      val touched = index.getOrElse((lhs, rhs), scala.collection.mutable.Set.empty)
+        .toArray
+      index.remove((lhs, rhs))
+      for (wi <- touched) {
+        addWordPairs(wi, -1L)
+        segs(wi) = applyMergeLocal(segs(wi), lhs, rhs, merged)
+        addWordPairs(wi, 1L)
+      }
+      step += 1
+    }
+    val cappedDf = capped.zip(segs).toSeq
+      .map { case ((w, f), s) => (w, f, s.mkString(" ")) }
+      .toDF("word", "freq", "seg")
+    // Tail words beyond the cap keep their character segmentation — the
+    // conservative no-merge fallback, counted, never silent.
+    val tail = wf.join(cappedDf.select("word"), Seq("word"), "left_anti")
+      .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .select("word", "freq", "seg")
+    val words = cappedDf.unionByName(tail).persist()
+    val total = words.count()
+    wf.unpersist(false)
+    BpeModel(merges.toSeq, words, cappedOut = total - capped.length)
   }
 
   /** Encode every document's token stream into subword pieces against a

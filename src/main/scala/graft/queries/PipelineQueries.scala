@@ -802,6 +802,16 @@ $bandSelects
     "t33_bpe_train" -> ((s, dir) =>
       Bpe.train(table(s, dir, "documents"), "text", numMerges = 8)
         .mergeTable(s).orderBy("step")),
+    // Driver-local BPE training (C185 / t42): the production-merge-count
+    // trainer — ONE distributed word-table aggregation, ONE bounded
+    // TakeOrdered collect, k merges in memory on an incremental
+    // pair-count index (per-merge cost: a map update, not a cluster
+    // round trip). Spec-pinned equal to t33's distributed loop at
+    // k=8/32; the oracle is LITERALLY t33's — the two trainers must
+    // hash-match each other.
+    "t42_bpe_train_local" -> ((s, dir) =>
+      Bpe.trainLocal(table(s, dir, "documents"), "text", numMerges = 8)
+        .mergeTable(s).orderBy("step")),
     // BPE encoding (C173 / t34): docs < 50 segmented into the learned
     // subword pieces — the segmentation attaches to the token stream as
     // a broadcast join against the distinct-word table; concatenating
@@ -4586,6 +4596,17 @@ $bandSelects
     // t33: the 8 training rounds unrolled as CTE layers, the merge table
     // as the union of the per-round argmaxes.
     "t33_bpe_train" -> {
+      val steps = (1 to 8).map { r =>
+        val cast = if (r == 1) "CAST(1 AS BIGINT)" else r.toString
+        s"SELECT $cast AS step, lhs, rhs, merged, n FROM bm$r"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH ${bpeCtes(8)}
+         |$steps
+         |ORDER BY step""".stripMargin
+    },
+    // t42: the SAME 8 unrolled rounds as t33 — the local trainer's
+    // contract is bit-equality with the distributed one.
+    "t42_bpe_train_local" -> {
       val steps = (1 to 8).map { r =>
         val cast = if (r == 1) "CAST(1 AS BIGINT)" else r.toString
         s"SELECT $cast AS step, lhs, rhs, merged, n FROM bm$r"
