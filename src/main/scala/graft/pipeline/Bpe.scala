@@ -365,6 +365,48 @@ object Bpe {
         round(sum(col("__chars")) / sum(col("__pieces")).cast("double"), 6)
           .as("chars_per_piece"))
 
+  /** The piece→id vocabulary of a trained model — the dense-id surface
+    * a training pipeline needs between subword encoding and packing
+    * (string pieces don't batch; int ids do). The HF/sentencepiece id
+    * convention: the initial ALPHABET (distinct code points across the
+    * word table, binary-UTF-8-sorted) takes ids 0..A−1, then each
+    * merge's output takes the next id in learn order; a surface
+    * collision (two merges — e.g. (a,bc) and (ab,c) — or a merge
+    * spelling an alphabet char) keeps its FIRST id and later ids stay
+    * dense. Every piece any segmentation can produce is covered: a seg
+    * symbol is either a single code point (alphabet) or a merge output
+    * — including [[trainLocal]]'s char-fallback tail.
+    *
+    * The alphabet collect is bounded by CONTENT (distinct code points —
+    * a few thousand even for CJK), the same boundedness argument as the
+    * merge table itself; the result is a broadcast-sized two-column
+    * frame.
+    */
+  def pieceVocab(model: BpeModel): DataFrame = {
+    val spark = model.words.sparkSession
+    import spark.implicits._
+    val alpha = model.words
+      .select(explode(split(trim(regexp_replace(col("word"), "(.)", "$1 ")), " "))
+        .as("piece"))
+      .distinct().collect().map(_.getString(0))
+      .sortWith(utf8Compare(_, _) < 0)
+    val ordered = (alpha ++ model.merges.map(_.merged)).distinct // first id wins
+    ordered.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toSeq
+      .toDF("piece_id", "piece")
+  }
+
+  /** [[encode]] emitting dense piece IDS instead of strings:
+    * (idCol, word_pos, piece_pos, piece_id) — the shape the packing
+    * tier consumes. Same scale shape as encode plus one broadcast join
+    * against the vocabulary-sized [[pieceVocab]]; the join is total by
+    * the pieceVocab coverage argument, so no row is ever dropped.
+    */
+  def encodeIds(
+      docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
+    encode(docs, idCol, textCol, model)
+      .join(broadcast(pieceVocab(model)), Seq("piece"))
+      .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
+
   def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
     docs
       .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))

@@ -458,6 +458,42 @@ $bandSelects
         .agg(count(lit(1)).as("n_docs"), sum("n_bpe_tokens").as("sum_tokens"))
         .orderBy("lang", "pack_id")
     }),
+    // BPE-id sequence packing (C187 / p8): p7's chain extended to the
+    // training-ready surface — script gate → classifier gate → BPE
+    // train (the DRIVER-LOCAL trainer, C185, composed end-to-end) →
+    // piece-ID encode (C186) → per-lang greedy packing over ID counts.
+    // Reconciliation is ID MASS, not token mass: sum_piece_ids pins the
+    // exact id assignment of every packed sequence through the hash.
+    "p8_bpe_id_pack" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (300000L, "xx", "привет мир как дела сегодня"),
+        (300001L, "xx", "你好世界 机器学习 数据"),
+        (300002L, "xx", "click здесь for бесплатно prizes"),
+        (300003L, "xx", "1234567890 555 0142")).toDF("doc_id", "lang", "text")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val corpus = table(s, dir, "documents")
+        .select("doc_id", "lang", "text", "n_chars").unionByName(planted)
+      val keep1 = TextStats.scriptMix(corpus, "doc_id", "text")
+        .filter(col("dominant") === "latin" && !col("mixed_script")).select("doc_id")
+      val g1 = corpus.join(keep1, Seq("doc_id"))
+      val f = classifierFeatures(g1).cache()
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
+      val keep2 = Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+        .filter(col("accepted")).select("doc_id")
+      val g2 = g1.join(keep2, Seq("doc_id")).cache()
+      val model = Bpe.trainLocal(g2, "text", numMerges = 8)
+      val counts = Bpe.encodeIds(g2, "doc_id", "text", model)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pieces"), sum("piece_id").as("id_sum"))
+        .join(g2.select("doc_id", "lang"), Seq("doc_id"))
+      graft.pipeline.Packing.packGreedyByCount(
+          counts, "doc_id", "n_pieces", budget = 2048, groupCols = Seq("lang"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_pieces").as("sum_pieces"),
+          sum("id_sum").as("sum_piece_ids"))
+        .orderBy("lang", "pack_id")
+    }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
     // the coverage-radius trajectory; distances round 6dp before the
@@ -820,6 +856,17 @@ $bandSelects
       val d = table(s, dir, "documents")
       val model = Bpe.train(d, "text", numMerges = 8)
       Bpe.encode(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "piece_pos")
+    }),
+    // BPE piece-id encoding (C186 / t43): t34's subword stream one join
+    // further — dense ids from the piece→id vocabulary (alphabet
+    // binary-UTF-8-sorted first, merge outputs in learn order), the
+    // shape the packing tier batches. The vocab attaches as a broadcast
+    // join; the stream never shuffles.
+    "t43_bpe_piece_ids" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 8)
+      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Trained quality classifier (C174 / t35): 3 rounds of full-batch
@@ -1883,6 +1930,66 @@ $bandSelects
          |  FROM bw${r - 1} LEFT JOIN bm$r ON TRUE)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
+  }
+
+  /** The piece→id vocabulary CTEs over a `bpeCtes(k)` chain — the exact
+    * [[graft.pipeline.Bpe.pieceVocab]] rule: alphabet (distinct code
+    * points of the word table, binary-sorted — DuckDB's default string
+    * order IS binary UTF-8, same as Spark's) takes ids first, merge
+    * outputs follow in learn order, surface collisions keep the first
+    * id and ids stay dense. Ends in `pv(piece, piece_id)`.
+    */
+  private def pieceVocabCtes(k: Int): String = {
+    val steps = (1 to k).map(r => s"SELECT $r AS step, merged FROM bm$r")
+      .mkString(" UNION ALL ")
+    s"""pvA AS (
+       |  SELECT DISTINCT unnest(string_split(
+       |    trim(regexp_replace(word, '(.)', '${"\\"}1 ', 'g')), ' ')) AS piece
+       |  FROM bw0),
+       |pvO AS (
+       |  SELECT piece, row_number() OVER (ORDER BY piece) AS ord FROM pvA
+       |  UNION ALL
+       |  SELECT merged, (SELECT count(*) FROM pvA) + step FROM ($steps)),
+       |pv AS (
+       |  SELECT piece, row_number() OVER (ORDER BY minord) - 1 AS piece_id
+       |  FROM (SELECT piece, min(ord) AS minord FROM pvO GROUP BY piece))""".stripMargin
+  }
+
+  /** p7/p8's shared gate prefix: the augmented corpus, the script-gate
+    * formulas, the classifier CTEs, ending in `p7g2` — the gated
+    * corpus both tokenizer-pipeline oracles train on.
+    */
+  private def tokenizerGateCtes: String = {
+    val scoreExpr = "round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6)"
+    s"""p7c AS (
+       |  SELECT doc_id, lang, text, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT CAST(v.id AS BIGINT), 'xx', v.t, CAST(length(v.t) AS BIGINT) FROM (VALUES
+       |    (300000, 'привет мир как дела сегодня'),
+       |    (300001, '你好世界 机器学习 数据'),
+       |    (300002, 'click здесь for бесплатно prizes'),
+       |    (300003, '1234567890 555 0142')) v(id, t)),
+       |p7s AS (
+       |  SELECT doc_id,
+       |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Latin}', '', 'g')))
+       |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_latin,
+       |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Cyrillic}', '', 'g')))
+       |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_cyrillic,
+       |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Han}', '', 'g')))
+       |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_han,
+       |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+       |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_digit
+       |  FROM p7c),
+       |p7g1 AS MATERIALIZED (
+       |  SELECT c.* FROM p7c c JOIN p7s s USING (doc_id)
+       |  WHERE greatest(s.f_latin, s.f_cyrillic, s.f_han, s.f_digit) > 0
+       |    AND s.f_latin = greatest(s.f_latin, s.f_cyrillic, s.f_han, s.f_digit)
+       |    AND ((s.f_latin >= 0.2)::INT + (s.f_cyrillic >= 0.2)::INT
+       |         + (s.f_han >= 0.2)::INT + (s.f_digit >= 0.2)::INT) < 2),
+       |${logisticCtes(3, 1.0, "p7g1")},
+       |p7g2 AS MATERIALIZED (
+       |  SELECT g.* FROM p7g1 g JOIN cf USING (doc_id) CROSS JOIN cw3 w
+       |  WHERE $scoreExpr >= 0.5)""".stripMargin
   }
 
   private def sqlHash(seed: Int, v: String, part: Int = 0): String =
@@ -3537,36 +3644,7 @@ $bandSelects
     // over the twice-gated table, per-doc piece sums, t8's packing
     // window — every stage the same machinery its own oracle validates.
     "p7_tokenizer_pipeline" -> {
-      val scoreExpr = "round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6)"
-      s"""WITH p7c AS (
-         |  SELECT doc_id, lang, text, n_chars FROM documents
-         |  UNION ALL
-         |  SELECT CAST(v.id AS BIGINT), 'xx', v.t, CAST(length(v.t) AS BIGINT) FROM (VALUES
-         |    (300000, 'привет мир как дела сегодня'),
-         |    (300001, '你好世界 机器学习 数据'),
-         |    (300002, 'click здесь for бесплатно prizes'),
-         |    (300003, '1234567890 555 0142')) v(id, t)),
-         |p7s AS (
-         |  SELECT doc_id,
-         |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Latin}', '', 'g')))
-         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_latin,
-         |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Cyrillic}', '', 'g')))
-         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_cyrillic,
-         |    round((length(text) - length(regexp_replace(text, '${"\\"}p{Han}', '', 'g')))
-         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_han,
-         |    round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-         |          / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS f_digit
-         |  FROM p7c),
-         |p7g1 AS MATERIALIZED (
-         |  SELECT c.* FROM p7c c JOIN p7s s USING (doc_id)
-         |  WHERE greatest(s.f_latin, s.f_cyrillic, s.f_han, s.f_digit) > 0
-         |    AND s.f_latin = greatest(s.f_latin, s.f_cyrillic, s.f_han, s.f_digit)
-         |    AND ((s.f_latin >= 0.2)::INT + (s.f_cyrillic >= 0.2)::INT
-         |         + (s.f_han >= 0.2)::INT + (s.f_digit >= 0.2)::INT) < 2),
-         |${logisticCtes(3, 1.0, "p7g1")},
-         |p7g2 AS MATERIALIZED (
-         |  SELECT g.* FROM p7g1 g JOIN cf USING (doc_id) CROSS JOIN cw3 w
-         |  WHERE $scoreExpr >= 0.5),
+      s"""WITH $tokenizerGateCtes,
          |${bpeCtes(8, "p7g2")},
          |p7t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM p7g2),
          |p7n AS (
@@ -3583,6 +3661,27 @@ $bandSelects
          |       count(*) AS n_docs, CAST(sum(n_bpe_tokens) AS BIGINT) AS sum_tokens
          |FROM p7p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
     },
+    // p8: the same gated corpus, then piece→id encode and per-lang
+    // packing over ID counts — sum_piece_ids pins the exact id
+    // assignment of every packed sequence through the hash.
+    "p8_bpe_id_pack" ->
+      s"""WITH $tokenizerGateCtes,
+         |${bpeCtes(8, "p7g2")},
+         |${pieceVocabCtes(8)},
+         |p8t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM p7g2),
+         |p8e AS (SELECT t.doc_id, t.lang, unnest(string_split(b.seg, ' ')) AS piece
+         |        FROM p8t t JOIN bw8 b ON t.word = b.word),
+         |p8i AS (SELECT e.doc_id, e.lang, count(*) AS n_pieces,
+         |               CAST(sum(pv.piece_id) AS BIGINT) AS id_sum
+         |        FROM p8e e JOIN pv ON e.piece = pv.piece GROUP BY 1, 2),
+         |p8p AS (SELECT lang, n_pieces, id_sum,
+         |               coalesce(sum(n_pieces) OVER (PARTITION BY lang ORDER BY doc_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |        FROM p8i)
+         |SELECT lang, CAST(floor(cum / 2048) AS BIGINT) AS pack_id,
+         |       count(*) AS n_docs, CAST(sum(n_pieces) AS BIGINT) AS sum_pieces,
+         |       CAST(sum(id_sum) AS BIGINT) AS sum_piece_ids
+         |FROM p8p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin,
     // e22: the 5 greedy rounds unrolled — seed = min id, per-round
     // argmax of the 6dp running min-distance, ties by id.
     "e22_kcenter_coreset" -> {
@@ -4615,6 +4714,22 @@ $bandSelects
          |$steps
          |ORDER BY step""".stripMargin
     },
+    // t43: t34's encode joined to the pieceVocab CTEs — the dense-id
+    // stream.
+    "t43_bpe_piece_ids" ->
+      s"""WITH ${bpeCtes(8)},
+         |${pieceVocabCtes(8)},
+         |d50 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |sp AS (SELECT doc_id, word_pos, string_split(seg, ' ') AS pieces
+         |       FROM wp JOIN bw8 ON wp.word = bw8.word),
+         |pe AS (SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
+         |       FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j))
+         |SELECT pe.doc_id, pe.word_pos, pe.piece_pos, pv.piece_id
+         |FROM pe JOIN pv ON pe.piece = pv.piece
+         |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
     // t34: the trained bw8 segmentation joined onto the token stream,
     // pieces re-exploded with 0-based positions.
     "t34_bpe_encode" ->

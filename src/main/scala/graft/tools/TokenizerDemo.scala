@@ -100,6 +100,23 @@ object TokenizerDemo {
     log(s"packs: $nPacks (2048-token budget per lang); docs packed: $packedDocs (expect $n2)")
     log(s"token-mass reconciliation: in=$massIn out=$massOut (expect equal)")
 
+    // Piece-ID surface: dense ids from the piece vocabulary, packed by
+    // ID counts, reconciled on ID MASS (sum of piece ids) — pinning the
+    // exact id assignment through packing, not just the piece count.
+    val pvSize = Bpe.pieceVocab(model).count()
+    val idCounts = Bpe.encodeIds(g2, "doc_id", "text", model)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pieces"), sum("piece_id").as("id_sum"))
+      .join(g2.select("doc_id", "lang"), Seq("doc_id")).cache()
+    val idPacks = Packing.packGreedyByCount(
+        idCounts, "doc_id", "n_pieces", budget = 2048, groupCols = Seq("lang"))
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum("id_sum").as("pack_id_mass"))
+    val idMassIn = idCounts.agg(sum("id_sum")).head().getLong(0)
+    val idMassOut = idPacks.agg(sum("pack_id_mass")).head().getLong(0)
+    log(s"piece vocabulary: $pvSize ids (alphabet + merges)")
+    log(s"id-mass reconciliation: in=$idMassIn out=$idMassOut (expect equal)")
+
     spark.stop()
   }
 }

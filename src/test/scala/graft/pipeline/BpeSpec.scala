@@ -92,6 +92,40 @@ class BpeSpec extends GraftSuite {
       BigDecimal(13.0 / 7.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
 
+  test("pieceVocab: alphabet binary-sorted first, merges in learn order, ids dense") {
+    // Corpus "abab ab": merges (a,b)->ab, (ab,ab)->abab; alphabet {a,b}.
+    val model = Bpe.train(docs("abab abab ab"), "text", numMerges = 2)
+    val pv = Bpe.pieceVocab(model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pv === Map(0L -> "a", 1L -> "b", 2L -> "ab", 3L -> "abab"))
+  }
+
+  test("pieceVocab: surface collisions keep the FIRST id; ids stay dense") {
+    import spark.implicits._
+    // Synthetic model: two merges both spelling 'abc' ((a,bc) at step 2,
+    // (ab,c) at step 3) over an alphabet {a,b,c}.
+    val words = Seq(("abc", 2L, "abc")).toDF("word", "freq", "seg")
+    val model = Bpe.BpeModel(Seq(
+      Bpe.Merge(1L, "b", "c", "bc", 9L),
+      Bpe.Merge(2L, "a", "bc", "abc", 5L),
+      Bpe.Merge(3L, "ab", "c", "abc", 2L)), words)
+    val pv = Bpe.pieceVocab(model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pv === Map(0L -> "a", 1L -> "b", 2L -> "c", 3L -> "bc", 4L -> "abc"))
+  }
+
+  test("encodeIds: total (no row lost to the vocab join) and ids decode back to pieces") {
+    val d = docs("stream batch stream", "merge table")
+    val model = Bpe.train(d, "text", numMerges = 4)
+    val enc = Bpe.encode(d, "doc_id", "text", model)
+    val ids = Bpe.encodeIds(d, "doc_id", "text", model)
+    assert(ids.count() === enc.count())
+    val decoded = ids.join(Bpe.pieceVocab(model), Seq("piece_id"))
+      .select("doc_id", "word_pos", "piece_pos", "piece")
+    assert(decoded.exceptAll(enc.select("doc_id", "word_pos", "piece_pos", "piece"))
+      .isEmpty)
+  }
+
   test("train: deterministic across runs") {
     val d = docs("spark scan sort stream spark scan", "sort spark stream stream")
     val a = Bpe.train(d, "text", numMerges = 6).merges
