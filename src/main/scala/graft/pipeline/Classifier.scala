@@ -72,6 +72,84 @@ object Classifier {
     w
   }
 
+  /** Softmax probability columns p_0..p_{K−1} under a K×(d+1) weight
+    * matrix (bias first per class), each rounded 6dp. Unstabilized
+    * exp — legal because weights stay 6dp-bounded over few fixed
+    * iterations (z magnitudes are far from overflow), and the
+    * stabilizing max-subtraction would just add another cross-engine
+    * surface. Class order is fixed: the denominator folds exp(z_k)
+    * left-to-right over k, the same written order as the oracle.
+    */
+  private def softmaxProbs(
+      weights: Seq[Seq[Double]], featureCols: Seq[String]): Seq[Column] = {
+    val zs = weights.map(w => dot(w, featureCols))
+    val denom = zs.map(exp).reduce(_ + _)
+    zs.map(z => round(exp(z) / denom, 6))
+  }
+
+  /** Train a K-class softmax (multinomial logistic) model by `iters`
+    * rounds of full-batch GD from zero init — [[trainLogistic]]
+    * generalized to the gates that need MORE than accept/reject:
+    * domain routing and trained language ID. `labelCol` holds the
+    * class INDEX 0..K−1 (map strings to indices with a fixed sorted
+    * order). Per round, ONE aggregation computes all K·(d+1) exact
+    * gradient components ((p_k − 1{y=k})·x, 6dp-rounded averages) —
+    * driver state is the K×(d+1) matrix, never rows. Same determinism
+    * contract as the binary trainer: 6dp re-round per step, integer-
+    * friendly lr (1.0, 2.0 — see [[trainLogistic]]'s lr hazard note).
+    */
+  def trainSoftmax(
+      df: DataFrame, featureCols: Seq[String], labelCol: String,
+      numClasses: Int, iters: Int, lr: Double): Seq[Seq[Double]] = {
+    require(numClasses >= 2, s"numClasses must be >= 2, got $numClasses")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val d1 = featureCols.size + 1
+    var w = Seq.fill(numClasses)(Seq.fill(d1)(0.0))
+    for (_ <- 1 to iters) {
+      val ps = softmaxProbs(w, featureCols)
+      val aggs = for {
+        k <- 0 until numClasses
+        i <- 0 until d1
+      } yield {
+        val err = ps(k) - when(col(labelCol) === k, lit(1.0)).otherwise(lit(0.0))
+        val g = if (i == 0) err else err * col(featureCols(i - 1))
+        round(avg(g), 6).as(s"g${k}_$i")
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      w = w.zipWithIndex.map { case (wk, k) =>
+        wk.zipWithIndex.map { case (wi, i) =>
+          BigDecimal(wi - lr * row.getDouble(k * d1 + i))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      }
+    }
+    w
+  }
+
+  /** Score every row under a trained softmax matrix: adds `p0..p{K−1}`
+    * (6dp), `pred_class` (argmax, ties to the LOWEST class index — the
+    * scriptMix priority discipline, deterministic on any engine) and
+    * `pred_prob`. Map-only: the matrix is a plan literal.
+    */
+  def scoreSoftmax(
+      df: DataFrame, weights: Seq[Seq[Double]],
+      featureCols: Seq[String]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_.size == featureCols.size + 1),
+      s"need K rows of ${featureCols.size + 1} weights (bias first)")
+    val ps = softmaxProbs(weights, featureCols)
+    val mx = greatest(ps: _*)
+    val pred = ps.zipWithIndex.tail
+      .foldLeft(when(ps.head === mx, lit(0))) { case (acc, (p, k)) =>
+        acc.when(p === mx, lit(k))
+      }
+    val withP = ps.zipWithIndex.foldLeft(df) { case (acc, (p, k)) =>
+      acc.withColumn(s"p$k", p)
+    }
+    withP
+      .withColumn("pred_class", pred.cast("long"))
+      .withColumn("pred_prob", mx)
+  }
+
   /** Precision–recall curve over a scored frame — the threshold-
     * calibration step between training (C174) and deployment: "admit at
     * score ≥ t" is a business choice, and this is the table it is made

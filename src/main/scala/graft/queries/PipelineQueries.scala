@@ -158,6 +158,60 @@ $bandSelects
   /** t23's query bag: one discriminating rare term + two common ones. */
   private[queries] val Bm25Terms = Seq("dup", "merge", "hash")
 
+  /** t44's class order (sorted — ids are positional), hash-feature
+    * arity, and hash seed.
+    */
+  private val LangidLangs = Seq("de", "en", "es", "fr", "zh")
+  private val LangidBuckets = 16
+  private val LangidSeed = 7
+
+  /** t44's labeled seed set: 6 docs per language built from that
+    * language's highest-frequency function words (rotations vary the
+    * boundary trigrams). The corpus text itself is an English-ish token
+    * soup with NO language signal — exactly the situation a TRAINED
+    * langid is for: a small curated seed teaches the classifier, which
+    * then scores the unlabeled bulk by its text, not its metadata.
+    */
+  private[queries] val LangidSeeds: Seq[(Long, String, String)] = {
+    val words = Map(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
+      "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
+      "es" -> Seq("el", "la", "los", "las", "una", "que", "con", "por", "para", "del"),
+      "fr" -> Seq("le", "la", "les", "des", "une", "est", "dans", "pour", "sur", "aux"),
+      "zh" -> Seq("的", "一", "是", "在", "不", "了", "有", "和", "人", "这"))
+    for {
+      (lang, k) <- LangidLangs.zipWithIndex
+      j <- 0 until 6
+    } yield {
+      val ws = words(lang)
+      (320000L + k * 10 + j, lang, (ws.drop(j) ++ ws.take(j)).mkString(" "))
+    }
+  }
+
+  /** t44's feature projection: fractions of char TRIGRAMS falling in
+    * each of 8 portable-hash buckets (6dp), plus the class index. Two
+    * projections so the md5-per-trigram bucket array is named once;
+    * trigrams span spaces deliberately (word-boundary n-grams carry
+    * most of the language signal).
+    */
+  private def langidFeatures(d: DataFrame): DataFrame = {
+    val B = LangidBuckets
+    val tg0 = transform(sequence(lit(1), length(col("text")) - 2),
+      i => col("text").substr(i, lit(3)))
+    val tg = when(length(col("text")) >= 3, tg0)
+      .otherwise(array().cast("array<string>"))
+    val bs = transform(tg, t => pmod(TextOps.portableHash(t, LangidSeed), lit(B.toLong)))
+    val y = LangidLangs.zipWithIndex.tail
+      .foldLeft(when(col("lang") === LangidLangs.head, lit(0))) {
+        case (acc, (l, k)) => acc.when(col("lang") === l, lit(k))
+      }
+    val denom = greatest(size(col("__bs")), lit(1)).cast("double")
+    d.select(col("doc_id"), col("lang"), bs.as("__bs"))
+      .select(Seq(col("doc_id"), col("lang"), y.as("y")) ++
+        (0 until B).map(b =>
+          round(size(filter(col("__bs"), x => x === b)) / denom, 6).as(s"x$b")): _*)
+  }
+
   /** documents ∪ exact copies of every 10th (+100000) ∪ near copies of
     * every 25th (+200000, 3 sentinel tokens appended), lang/source carried
     * through — the p1 pipeline corpus, where the exact-dedup stage and the
@@ -543,6 +597,31 @@ $bandSelects
       Classifier.prCurve(
           Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5), "score", "y")
         .orderBy(desc("thr"))
+    }),
+    // Trained language ID (C188–C189 / t44): the softmax multiclass
+    // trainer's first production instance, superseding the C10 marker
+    // HEURISTIC with a trained model — a 6-doc-per-language curated
+    // seed (function words) trains 8 rounds of full-batch softmax GD
+    // over char-trigram-hash fractions; the model then scores the FULL
+    // corpus by its text. Readout: seed rows classify near-diagonal
+    // (the text has signal), corpus rows classify as the English-ish
+    // token soup they actually are — regardless of their metadata lang.
+    "t44_trained_langid" -> ((s, dir) => {
+      import s.implicits._
+      val seed = LangidSeeds.toDF("doc_id", "lang", "text")
+      val feats = (0 until LangidBuckets).map(b => s"x$b")
+      val fSeed = langidFeatures(seed).cache()
+      val w = Classifier.trainSoftmax(fSeed, feats, "y",
+        numClasses = LangidLangs.size, iters = 8, lr = 1.0)
+      val all = table(s, dir, "documents").select("doc_id", "lang", "text")
+        .unionByName(seed)
+      Classifier.scoreSoftmax(langidFeatures(all), w, feats)
+        .withColumn("pred_lang",
+          element_at(array(LangidLangs.map(lit): _*), (col("pred_class") + 1).cast("int")))
+        .withColumn("src",
+          when(col("doc_id") >= 320000L, lit("seed")).otherwise(lit("corpus")))
+        .groupBy("src", "lang", "pred_lang").agg(count(lit(1)).as("n"))
+        .orderBy("src", "lang", "pred_lang")
     }),
     // Kneser–Ney bigram NLL (C181 / t39): the actual KenLM smoothing —
     // absolute discounting with the CONTINUATION lower-order
@@ -1990,6 +2069,66 @@ $bandSelects
        |p7g2 AS MATERIALIZED (
        |  SELECT g.* FROM p7g1 g JOIN cf USING (doc_id) CROSS JOIN cw3 w
        |  WHERE $scoreExpr >= 0.5)""".stripMargin
+  }
+
+  /** t44's feature SELECT over `source` — the exact [[langidFeatures]]
+    * arithmetic: char trigrams (spanning spaces), portable-hash mod-8
+    * buckets, 6dp fractions, the positional class index.
+    */
+  private def langidFeatureSql(source: String): String = {
+    val B = LangidBuckets
+    val hash = sqlHash(LangidSeed, "t")
+    val xcols = (0 until B).map(b =>
+      s"round(len(list_filter(bs, v -> v = $b)) / CAST(greatest(len(bs), 1) AS DOUBLE), 6) AS x$b")
+      .mkString(",\n|         ")
+    val ycase = LangidLangs.zipWithIndex
+      .map { case (l, k) => s"WHEN '$l' THEN $k" }.mkString(" ")
+    s"""SELECT doc_id, lang, CASE lang $ycase END AS y,
+       |         $xcols
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |           list_transform(
+       |             list_transform(range(1, length(text) - 1), i -> substr(text, i, 3)),
+       |             t -> $hash % $B) AS bs
+       |    FROM $source)""".stripMargin
+  }
+
+  /** The unrolled softmax-GD CTE chain (the logisticCtes discipline at
+    * K classes): round r adds `sp{r}` (per-row 6dp softmax probs under
+    * the previous weights — unstabilized exp, denominator folded in
+    * class order, exactly [[graft.pipeline.Classifier]]'s arithmetic)
+    * and `sw{r}` (the K·(d+1) stepped, 6dp-re-rounded weights). Trains
+    * on `sfs`.
+    */
+  private def softmaxCtes(iters: Int, lr: Double): String = {
+    val K = LangidLangs.size
+    val B = LangidBuckets
+    def z(k: Int, withW: Boolean): String =
+      if (!withW) "0.0"
+      else s"(w.w${k}_0 ${(0 until B).map(i => s"+ x$i*w.w${k}_${i + 1}").mkString(" ")})"
+    def pExprs(withW: Boolean): String = {
+      val denom = (0 until K).map(j => s"exp(${z(j, withW)})").mkString(" + ")
+      (0 until K).map(k => s"round(exp(${z(k, withW)}) / ($denom), 6) AS p$k")
+        .mkString(",\n|    ")
+    }
+    val rounds = (1 to iters).map { r =>
+      val withW = r > 1
+      val joinW = if (withW) s" CROSS JOIN sw${r - 1} w" else ""
+      val wExprs = (for (k <- 0 until K; i <- 0 to B) yield {
+        val prev = if (withW) s"max(w.w${k}_$i)" else "0.0"
+        val xf = if (i == 0) "" else s" * x${i - 1}"
+        s"round($prev - $lr*round(avg((p$k - CASE WHEN y = $k THEN 1.0 ELSE 0.0 END)$xf), 6), 6) AS w${k}_$i"
+      }).mkString(",\n|    ")
+      s"""sp$r AS MATERIALIZED (
+         |  SELECT sfs.*,
+         |    ${pExprs(withW)}
+         |  FROM sfs$joinW),
+         |sw$r AS MATERIALIZED (
+         |  SELECT
+         |    $wExprs
+         |  FROM sp$r$joinW)""".stripMargin
+    }
+    rounds.mkString(",\n")
   }
 
   private def sqlHash(seed: Int, v: String, part: Int = 0): String =
@@ -3798,6 +3937,45 @@ $bandSelects
          |       round(2.0 * tp / CAST(2 * tp + (pred - tp) + (t.totpos - tp) AS DOUBLE), 6) AS f1
          |FROM cum CROSS JOIN tt t
          |ORDER BY thr DESC""".stripMargin
+    },
+    // t44: the seed VALUES, the 8 unrolled softmax-GD rounds (per-row
+    // 6dp probs, K·(d+1) 6dp-re-rounded weight steps), then the full
+    // corpus scored under sw8 with the argmax tie to the lowest class.
+    "t44_trained_langid" -> {
+      val K = LangidLangs.size
+      val B = LangidBuckets
+      val seedValues = LangidSeeds
+        .map { case (id, l, t) => s"($id, '$l', '$t')" }.mkString(",\n|    ")
+      def zf(k: Int): String =
+        s"(w.w${k}_0 ${(0 until B).map(i => s"+ x$i*w.w${k}_${i + 1}").mkString(" ")})"
+      val denomF = (0 until K).map(j => s"exp(${zf(j)})").mkString(" + ")
+      val pF = (0 until K)
+        .map(k => s"round(exp(${zf(k)}) / ($denomF), 6) AS p$k").mkString(",\n|    ")
+      val g = s"greatest(${(0 until K).map(k => s"p$k").mkString(", ")})"
+      val predCase = (0 until K)
+        .map(k => s"WHEN p$k = $g THEN '${LangidLangs(k)}'").mkString("\n|         ")
+      s"""WITH lseed AS (
+         |  SELECT CAST(v.id AS BIGINT) AS doc_id, v.lang, v.text FROM (VALUES
+         |    $seedValues) v(id, lang, text)),
+         |sfs AS MATERIALIZED (
+         |  ${langidFeatureSql("lseed")}),
+         |${softmaxCtes(8, 1.0)},
+         |lall AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL SELECT doc_id, lang, text FROM lseed),
+         |sfa AS (
+         |  ${langidFeatureSql("lall")}),
+         |fsc AS (
+         |  SELECT sfa.*,
+         |    $pF
+         |  FROM sfa CROSS JOIN sw8 w),
+         |fp AS (
+         |  SELECT CASE WHEN doc_id >= 320000 THEN 'seed' ELSE 'corpus' END AS src,
+         |    lang,
+         |    CASE $predCase END AS pred_lang
+         |  FROM fsc)
+         |SELECT src, lang, pred_lang, count(*) AS n
+         |FROM fp GROUP BY 1, 2, 3 ORDER BY src, lang, pred_lang""".stripMargin
     },
     // t39: KN replayed literally — context stats (cv, N1+ forward),
     // continuation stats (N1+ backward), bigram-type and vocab totals,

@@ -79,4 +79,62 @@ class ClassifierSpec extends GraftSuite {
     val b = Classifier.trainLogistic(d, Seq("x1"), "y", iters = 5, lr = 0.7)
     assert(a === b)
   }
+
+  private def kframe(rows: (Double, Double, Int)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("x1", "x2", "y")
+  }
+
+  test("trainSoftmax: one hand-checked GD step from zero init (K=2)") {
+    // w0 = 0 → z_k = 0 → p_k = round(1/2, 6) = 0.5 for both classes.
+    // rows (x=1, y=0), (x=0, y=1):
+    //   g0_bias = ((0.5−1) + (0.5−0))/2 = 0        → w0_bias = 0
+    //   g0_x    = ((0.5−1)·1 + (0.5−0)·0)/2 = −0.25 → w0_x = 0.25
+    //   g1_bias = ((0.5−0) + (0.5−1))/2 = 0        → w1_bias = 0
+    //   g1_x    = ((0.5−0)·1 + (0.5−1)·0)/2 = 0.25  → w1_x = −0.25
+    val d = kframe((1.0, 0.0, 0), (0.0, 0.0, 1))
+    val w = Classifier.trainSoftmax(d, Seq("x1", "x2"), "y",
+      numClasses = 2, iters = 1, lr = 1.0)
+    assert(w === Seq(Seq(0.0, 0.25, 0.0), Seq(0.0, -0.25, 0.0)))
+  }
+
+  test("trainSoftmax + scoreSoftmax: separable 3-class data classifies diagonally") {
+    val d = kframe(
+      (1.0, 0.0, 0), (0.9, 0.1, 0), (1.1, -0.1, 0),
+      (0.0, 1.0, 1), (0.1, 0.9, 1), (-0.1, 1.1, 1),
+      (-1.0, -1.0, 2), (-0.9, -1.1, 2), (-1.1, -0.9, 2))
+    val w = Classifier.trainSoftmax(d, Seq("x1", "x2"), "y",
+      numClasses = 3, iters = 20, lr = 2.0)
+    val pred = Classifier.scoreSoftmax(d, w, Seq("x1", "x2"))
+      .select("y", "pred_class").collect()
+    pred.foreach(r => assert(r.getInt(0).toLong === r.getLong(1), r.toString))
+  }
+
+  test("scoreSoftmax: argmax ties break to the LOWEST class index; probs sum ≈ 1") {
+    val d = kframe((0.7, -0.2, 0))
+    // Zero weights → every class scores round(1/3, 6) → tie → class 0.
+    val zero = Seq.fill(3)(Seq(0.0, 0.0, 0.0))
+    val r = Classifier.scoreSoftmax(d, zero, Seq("x1", "x2")).head()
+    assert(r.getAs[Long]("pred_class") === 0L)
+    val ps = Seq("p0", "p1", "p2").map(r.getAs[Double])
+    assert(ps.forall(_ === 0.333333) && r.getAs[Double]("pred_prob") === 0.333333)
+  }
+
+  test("trainSoftmax/scoreSoftmax: validation") {
+    val d = kframe((1.0, 0.0, 0), (0.0, 1.0, 1))
+    intercept[IllegalArgumentException] {
+      Classifier.trainSoftmax(d, Seq("x1"), "y", numClasses = 1, iters = 1, lr = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.scoreSoftmax(d, Seq(Seq(0.0)), Seq("x1", "x2"))
+    }
+  }
+
+  test("trainSoftmax: deterministic across runs") {
+    val d = kframe(
+      (2.0, 0.3, 0), (0.3, 1.8, 1), (1.1, 0.2, 0), (-0.4, -0.6, 2), (0.9, 1.4, 1))
+    val a = Classifier.trainSoftmax(d, Seq("x1", "x2"), "y", 3, iters = 6, lr = 1.0)
+    val b = Classifier.trainSoftmax(d, Seq("x1", "x2"), "y", 3, iters = 6, lr = 1.0)
+    assert(a === b)
+  }
 }
