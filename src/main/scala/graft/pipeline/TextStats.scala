@@ -1178,6 +1178,152 @@ object TextStats {
         round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
   }
 
+  /** Per-document NLL under an interpolated MODIFIED-Kneser–Ney
+    * trigram model — the actual KenLM default estimator (Chen & Goodman
+    * 1999), combining [[trigramNllAgainst]]'s order-3 machinery with
+    * [[knBigramNllAgainst]]'s continuation math, plus the piece neither
+    * had: COUNT-BINNED discounts at the top order, estimated from the
+    * trigram table's count-of-counts
+    *
+    *   Y = n₁/(n₁+2n₂); D₁ = 1−2Y·n₂/n₁; D₂ = 2−3Y·n₃/n₂;
+    *   D₃₊ = 3−4Y·n₄/n₃   (nᵢ = #trigrams with count exactly i)
+    *
+    * so singleton trigrams (c=1 bin) are discounted differently from
+    * doubletons (c=2) and from the head (c≥3) — the refinement that
+    * makes modified KN beat single-discount KN on real corpora. Scoring:
+    *
+    *   p(w|u,v) = max(c(uvw)−D(c),0)/c(uv·) + γ(u,v)·p(w|v)
+    *   γ(u,v)   = [D₁N₁(uv·)+D₂N₂(uv·)+D₃₊N₃₊(uv·)]/c(uv·)
+    *
+    * (γ exact by construction — the discounted mass, so Σ_w p = 1 for
+    * every seen context). The BIGRAM level scores CONTINUATION counts
+    * c'(vw) = N₁₊(·vw) under single-discount KN (the C181 formula, one
+    * order up: every count derived from the trigram table), and the
+    * unigram level is the continuation-of-continuation distribution
+    * c''(w) = N₁₊(··w) over N₁₊(··). Honest scope note: KenLM bins
+    * discounts at EVERY order; this engine bins at the top order and
+    * uses the single `discount` below, because lower-order
+    * count-of-counts are degenerate on small/synthetic corpora (this
+    * fixture has ZERO bigram-continuation doubletons at some scales —
+    * the formulas would divide by zero; the top-order bins are
+    * validated with a fail-fast naming the offending bin).
+    *
+    * Zero-routing inherits the family's add-1 guard: doc-initial
+    * tokens, unseen contexts, and the zero-mixture case (both the
+    * continuation count and the unigram-continuation count absent)
+    * score (c''(w)+1)/(N₁₊(··)+V) — every token finite.
+    *
+    * Determinism: the three discounts are exact rationals of integer
+    * counts, rounded 6dp once (driver-side, embedded as plan literals;
+    * the oracle computes the identical expression in SQL); ln-sums
+    * fold in position order, final avg rounded 6dp. Scale shape: the
+    * model aggregations (context stats, continuation tables,
+    * count-of-counts — all trigram-vocabulary-sized, computed once per
+    * model) plus the same vocabulary-keyed equi-joins as
+    * [[trigramNllAgainst]] and a 1-row totals broadcast.
+    *
+    * @param trigramModel (w1, w2, w3, ct) from [[trigramCounts]] — the
+    *                     ONLY model input; everything is derived.
+    */
+  def mknTrigramNllAgainst(
+      docs: DataFrame, trigramModel: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val tri = trigramModel.select(
+      col("w1").as("prev2"), col("w2").as("prev"), col("w3").as("w"), col("ct"))
+    // Top-order discounts from count-of-counts (driver-side: 4 ints).
+    val cc = tri.agg(
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("ct") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("ct") === 4, 1L).otherwise(0L)).as("n4")).head()
+    val (n1, n2, n3, n4) =
+      (cc.getLong(0), cc.getLong(1), cc.getLong(2), cc.getLong(3))
+    require(n1 > 0 && n2 > 0 && n3 > 0,
+      s"modified-KN needs non-empty count-of-count bins n1/n2/n3 at trigram " +
+        s"order, got ($n1, $n2, $n3) — corpus too small/degenerate for " +
+        "binned discounts; use trigramNllAgainst or knBigramNllAgainst")
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val y = n1.toDouble / (n1 + 2 * n2)
+    val d1 = r6(1 - 2 * y * n2 / n1)
+    val d2 = r6(2 - 3 * y * n3 / n2)
+    val d3 = r6(3 - 4 * y * n4 / n3)
+    require(d1 > 0 && d2 > 0 && d3 > 0,
+      s"estimated discounts must be positive, got ($d1, $d2, $d3) — " +
+        "count-of-counts are not Zipf-shaped enough for modified KN here")
+    // Derived model tables (each one aggregation of the trigram table).
+    val tctx = tri.groupBy("prev2", "prev").agg(
+      sum(col("ct")).as("cuv"),
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1uv"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2uv"),
+      sum(when(col("ct") >= 3, 1L).otherwise(0L)).as("n3uv"))
+    val bc = tri.groupBy("prev", "w").agg(count(lit(1)).as("cbc"))
+    val bctx = bc.groupBy("prev").agg(
+      sum(col("cbc")).as("cbv"), count(lit(1)).as("n1v"))
+    val uc = bc.groupBy("w").agg(count(lit(1)).as("cuw"))
+    val totals = bc.agg(count(lit(1)).as("__u"))
+      .crossJoin(
+        tri.select(col("prev2").as("t"))
+          .union(tri.select(col("prev").as("t")))
+          .union(tri.select(col("w").as("t")))
+          .agg(countDistinct(col("t")).as("__v")))
+    val tok = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), col("__ws"), posexplode(col("__ws")).as(Seq("pos", "w")))
+      .withColumn("prev", when(col("pos") === 0, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos"))))
+      .withColumn("prev2", when(col("pos") <= 1, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos") - 1)))
+      .drop("__ws")
+    val dTop = when(col("ct") === 1, lit(d1))
+      .when(col("ct") === 2, lit(d2)).otherwise(lit(d3))
+    val scored = tok
+      .join(uc, Seq("w"), "left")
+      .join(bc, Seq("prev", "w"), "left")
+      .join(bctx, Seq("prev"), "left")
+      .join(tri, Seq("prev2", "prev", "w"), "left")
+      .join(tctx, Seq("prev2", "prev"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pug",
+        (coalesce(col("cuw"), lit(0L)) + lit(1.0)) / (col("__u") + col("__v")))
+      .withColumn("__pb",
+        when(col("cbv").isNull || (col("cbc").isNull && col("cuw").isNull),
+          col("__pug"))
+          .otherwise(
+            (greatest(coalesce(col("cbc"), lit(0L)) - lit(discount), lit(0.0)) +
+              lit(discount) * col("n1v") *
+                (coalesce(col("cuw"), lit(0L)) / col("__u").cast("double"))) /
+              col("cbv")))
+      .withColumn("__gt",
+        (lit(d1) * col("n1uv") + lit(d2) * col("n2uv") + lit(d3) * col("n3uv")) /
+          col("cuv"))
+      .withColumn("__pt",
+        when(col("ct").isNull, lit(0.0))
+          .otherwise(greatest(col("ct") - dTop, lit(0.0))) / col("cuv") +
+          col("__gt") * col("__pb"))
+      .withColumn("lnp",
+        when(col("prev").isNull, log(col("__pug")))
+          .when(col("prev2").isNull || col("cuv").isNull, log(col("__pb")))
+          .otherwise(log(col("__pt"))))
+    scored
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** [[mknTrigramNllAgainst]] with the model trained on `docs` itself —
+    * modified-KN trigram self-perplexity (the bootstrap).
+    */
+  def mknTrigramNll(
+      docs: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame =
+    mknTrigramNllAgainst(docs, trigramCounts(docs, textCol), idCol, textCol, discount)
+
   /** [[knBigramNllAgainst]] with the model trained on `docs` itself —
     * Kneser–Ney self-perplexity (the bootstrap).
     */

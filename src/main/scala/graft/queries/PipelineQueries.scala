@@ -630,6 +630,15 @@ $bandSelects
     "t39_kn_bigram_nll" -> ((s, dir) =>
       TextStats.knBigramNll(table(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")),
+    // Modified-KN trigram NLL (C190 / t45): the actual KenLM default —
+    // count-binned discounts (D1/D2/D3+ from the trigram table's
+    // count-of-counts) at the top order, single-discount continuation
+    // KN at the bigram order, continuation-of-continuation unigrams.
+    // Exact integer counts + three 6dp discounts; the oracle replays
+    // the discount estimation and every mixture literally.
+    "t45_mkn_trigram_nll" -> ((s, dir) =>
+      TextStats.mknTrigramNll(table(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
     // Interpolated trigram NLL (C175 / t36): Jelinek–Mercer mix of
     // add-1-smoothed trigram/bigram/unigram conditionals — the KenLM-
     // grade step up from t26. Interpolation IS the backoff: every
@@ -4013,6 +4022,83 @@ $bandSelects
         |  LEFT JOIN big b ON b.prev = p.prev AND b.w = p.w
         |  CROSS JOIN tot t
         |),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
+        |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // t45: modified KN replayed literally — the discount estimation
+    // (Y, D1, D2, D3+ from exact count-of-counts, 6dp), the binned
+    // top-order discount CASE, the continuation bigram level at
+    // d=0.75, the add-1 guard routing, the position-ordered fold.
+    "t45_mkn_trigram_nll" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ex AS (
+        |  SELECT doc_id, ws, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
+        |),
+        |pv AS (
+        |  SELECT doc_id, pos, w,
+        |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
+        |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
+        |  FROM ex
+        |),
+        |tri AS (SELECT prev2, prev, w, count(*) AS ct FROM pv WHERE prev2 IS NOT NULL
+        |        GROUP BY 1, 2, 3),
+        |tcc AS (SELECT
+        |          sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1,
+        |          sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2,
+        |          sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS n3,
+        |          sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS n4 FROM tri),
+        |tdc AS (SELECT
+        |          round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6) AS d1,
+        |          round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6) AS d2,
+        |          round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6) AS d3 FROM tcc),
+        |tctx AS (SELECT prev2, prev, CAST(sum(ct) AS BIGINT) AS cuv,
+        |           sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1uv,
+        |           sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2uv,
+        |           sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS n3uv
+        |         FROM tri GROUP BY 1, 2),
+        |bcn AS (SELECT prev, w, count(*) AS cbc FROM tri GROUP BY 1, 2),
+        |bcx AS (SELECT prev, CAST(sum(cbc) AS BIGINT) AS cbv, count(*) AS n1v
+        |        FROM bcn GROUP BY 1),
+        |ucn AS (SELECT w, count(*) AS cuw FROM bcn GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM bcn) AS uu,
+        |          (SELECT count(DISTINCT t) FROM (
+        |             SELECT prev2 AS t FROM tri UNION ALL SELECT prev FROM tri
+        |             UNION ALL SELECT w FROM tri)) AS vv),
+        |j AS (
+        |  SELECT p.doc_id, p.pos, p.prev, p.prev2,
+        |         n.cuw, b.cbc, bx.cbv, bx.n1v, t3.ct,
+        |         x.cuv, x.n1uv, x.n2uv, x.n3uv, t.uu, t.vv
+        |  FROM pv p
+        |  LEFT JOIN ucn n ON n.w = p.w
+        |  LEFT JOIN bcn b ON b.prev = p.prev AND b.w = p.w
+        |  LEFT JOIN bcx bx ON bx.prev = p.prev
+        |  LEFT JOIN tri t3 ON t3.prev2 = p.prev2 AND t3.prev = p.prev AND t3.w = p.w
+        |  LEFT JOIN tctx x ON x.prev2 = p.prev2 AND x.prev = p.prev
+        |  CROSS JOIN tot t),
+        |k AS (
+        |  SELECT doc_id, pos, prev, prev2, ct, cuv, n1uv, n2uv, n3uv,
+        |         (coalesce(cuw, 0) + 1.0) / (uu + vv) AS pug,
+        |         CASE WHEN cbv IS NULL OR (cbc IS NULL AND cuw IS NULL)
+        |              THEN (coalesce(cuw, 0) + 1.0) / (uu + vv)
+        |              ELSE (greatest(coalesce(cbc, 0) - 0.75, 0.0)
+        |                    + 0.75 * n1v * (coalesce(cuw, 0) / CAST(uu AS DOUBLE))) / cbv
+        |         END AS pb
+        |  FROM j),
+        |scored AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN prev IS NULL THEN ln(pug)
+        |         WHEN prev2 IS NULL OR cuv IS NULL THEN ln(pb)
+        |         ELSE ln((CASE WHEN ct IS NULL THEN 0.0
+        |                       ELSE greatest(ct - (CASE WHEN ct = 1 THEN d.d1
+        |                                                WHEN ct = 2 THEN d.d2
+        |                                                ELSE d.d3 END), 0.0) END) / cuv
+        |                 + ((d.d1*n1uv + d.d2*n2uv + d.d3*n3uv) / cuv) * pb)
+        |    END AS lnp
+        |  FROM k CROSS JOIN tdc d),
         |perdoc AS (
         |  SELECT doc_id, count(*) AS n_tokens,
         |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import graft.GraftSuite
+
+/** Modified-Kneser–Ney trigram laws (C190): the count-binned discounts
+  * are estimated exactly from count-of-counts and each bin is exercised
+  * by hand arithmetic (c=1 → D₁, c=2 → D₂, c≥3 → D₃₊ — including the
+  * n₄=0 edge where D₃₊ = 3 wipes the raw count and γ redistributes all
+  * of it), degenerate corpora fail fast instead of dividing by zero,
+  * and cross-corpus OOV scoring stays finite.
+  */
+class MknLmSpec extends GraftSuite {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  /** 7 docs, disjoint trigrams with counts 3/2/1/1 →
+    * n₁=2, n₂=1, n₃=1, n₄=0 ⇒ Y=0.5, D₁=0.5, D₂=0.5, D₃₊=3.0.
+    * Derived tables: U = 4 continuation bigrams, V = 12 tokens.
+    */
+  private def corpus = docs(
+    "a b c", "a b c", "a b c", "d e f", "d e f", "g h i", "j k l")
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("hand-checked arithmetic across all three discount bins") {
+    val out = TextStats.mknTrigramNll(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val pug = 1.0 / 16 // (0+1)/(U+V) — every pos-0/pos-1 case here
+    // doc 5 "g h i": pos2 has ct=1 → D₁=0.5: numer 0.5/cuv 1; γ=0.5;
+    // pb(i|h) = (1−0.75 + 0.75·1·(1/4))/1 = 0.4375 → pt = 0.71875.
+    assert(out(5L) === r6(-(math.log(pug) + math.log(pug) + math.log(0.71875)) / 3.0))
+    // doc 3 "d e f": ct=2 → D₂=0.5: numer 1.5/cuv 2; γ=(0.5·1)/2=0.25;
+    // pb(f|e) = 0.4375 → pt = 0.75 + 0.109375 = 0.859375.
+    assert(out(3L) === r6(-(math.log(pug) + math.log(pug) + math.log(0.859375)) / 3.0))
+    // doc 0 "a b c": ct=3 → D₃₊=3.0 (n₄=0): the raw count is wiped,
+    // γ = 3·1/3 = 1 redistributes everything → pt = pb(c|b) = 0.4375.
+    assert(out(0L) === r6(-(math.log(pug) + math.log(pug) + math.log(0.4375)) / 3.0))
+  }
+
+  test("degenerate count-of-counts fail fast (empty n3 bin), not divide by zero") {
+    val e = intercept[IllegalArgumentException] {
+      // Only ct=1 and ct=2 trigrams — n3 = 0.
+      TextStats.mknTrigramNll(docs("a b c", "a b c", "d e f"), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("count-of-count"))
+  }
+
+  test("cross-corpus OOV after a seen context scores finite") {
+    val model = TextStats.trigramCounts(corpus, "text")
+    val out = TextStats.mknTrigramNllAgainst(
+      docs("a b zzz", "zzz qqq xxx"), model, "doc_id", "text").collect()
+    assert(out.length === 2)
+    out.foreach(r => assert(!r.isNullAt(2), s"avg_nll NULL for ${r.getLong(0)}"))
+    // "a b zzz" pos2: (a,b) context seen (cuv=3) but ct/cbc/cuw all
+    // absent → pb routes to the guard, pt = 0 + γ·guard > 0.
+  }
+
+  test("discount validation") {
+    intercept[IllegalArgumentException] {
+      TextStats.mknTrigramNll(corpus, "doc_id", "text", discount = 1.0)
+    }
+  }
+
+  test("deterministic across runs on real corpus data") {
+    val d = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val a = TextStats.mknTrigramNll(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    val b = TextStats.mknTrigramNll(d, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
+    assert(a === b)
+  }
+}
