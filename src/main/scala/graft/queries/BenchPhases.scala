@@ -170,6 +170,15 @@ object BenchPhases {
         graft.pipeline.Bpe.encode(d, "doc_id", "text", model).count(); ()
       }
     }),
+    // t43's claim is the ID encode (t34's encode + the broadcast
+    // pieceVocab attach); training the merges is setup, same as t34.
+    "t43_bpe_piece_ids" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      val model = graft.pipeline.Bpe.train(d, "text", numMerges = 8)
+      () => {
+        graft.pipeline.Bpe.encodeIds(d, "doc_id", "text", model).count(); ()
+      }
+    }),
     "j10_field_inventory" -> ((s, dir) => {
       val root = IngestQueries.driftFixture(s, dir)
       () => {
