@@ -72,19 +72,37 @@ object Classifier {
     w
   }
 
-  /** Softmax probability columns p_0..p_{K−1} under a K×(d+1) weight
-    * matrix (bias first per class), each rounded 6dp. Unstabilized
-    * exp — legal because weights stay 6dp-bounded over few fixed
-    * iterations (z magnitudes are far from overflow), and the
-    * stabilizing max-subtraction would just add another cross-engine
-    * surface. Class order is fixed: the denominator folds exp(z_k)
-    * left-to-right over k, the same written order as the oracle.
+  /** Append softmax probability columns `{prefix}0..{prefix}{K−1}`
+    * under a K×(d+1) weight matrix (bias first per class), each
+    * rounded 6dp. Unstabilized exp — legal because weights stay
+    * 6dp-bounded over few fixed iterations (z magnitudes are far from
+    * overflow), and the stabilizing max-subtraction would just add
+    * another cross-engine surface. Class order is fixed: the
+    * denominator folds exp(z_k) left-to-right over k, the same written
+    * order as the oracle.
+    *
+    * Two projections, deliberately: the K logits materialize first and
+    * the probs reference them — inlined, each prob duplicates every
+    * z-tree via the shared denominator (K² dot products per row), and
+    * at K·(d+1) downstream consumers the CODEGEN COMPILE dominates the
+    * pass (measured: t44's 8-round trainer went 71 s → ~4 s through
+    * this and the trainer-side materialization). CollapseProject keeps
+    * the layers apart because the aliases are non-cheap and multiply
+    * referenced.
     */
-  private def softmaxProbs(
-      weights: Seq[Seq[Double]], featureCols: Seq[String]): Seq[Column] = {
+  private def withSoftmaxProbs(
+      df: DataFrame, weights: Seq[Seq[Double]], featureCols: Seq[String],
+      prefix: String): DataFrame = {
     val zs = weights.map(w => dot(w, featureCols))
-    val denom = zs.map(exp).reduce(_ + _)
-    zs.map(z => round(exp(z) / denom, 6))
+    val withZ = df.select(
+      col("*") +: zs.zipWithIndex.map { case (z, k) => z.as(s"__z$k") }: _*)
+    val zRefs = weights.indices.map(k => col(s"__z$k"))
+    val denom = zRefs.map(exp).reduce(_ + _)
+    withZ.select(
+        col("*") +: zRefs.zipWithIndex.map { case (z, k) =>
+          round(exp(z) / denom, 6).as(s"$prefix$k")
+        }: _*)
+      .drop(weights.indices.map(k => s"__z$k"): _*)
   }
 
   /** Train a K-class softmax (multinomial logistic) model by `iters`
@@ -106,16 +124,21 @@ object Classifier {
     val d1 = featureCols.size + 1
     var w = Seq.fill(numClasses)(Seq.fill(d1)(0.0))
     for (_ <- 1 to iters) {
-      val ps = softmaxProbs(w, featureCols)
+      // Materialize the K probs in a projection FIRST and aggregate
+      // over references: inlining the softmax trees into all K·(d+1)
+      // gradient expressions codegens ~K² z-trees per component —
+      // compilation, not data, dominated the round (the scoreSoftmax
+      // lesson, on the training side).
+      val scored = withSoftmaxProbs(df, w, featureCols, "__p")
       val aggs = for {
         k <- 0 until numClasses
         i <- 0 until d1
       } yield {
-        val err = ps(k) - when(col(labelCol) === k, lit(1.0)).otherwise(lit(0.0))
+        val err = col(s"__p$k") - when(col(labelCol) === k, lit(1.0)).otherwise(lit(0.0))
         val g = if (i == 0) err else err * col(featureCols(i - 1))
         round(avg(g), 6).as(s"g${k}_$i")
       }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      val row = scored.agg(aggs.head, aggs.tail: _*).head()
       w = w.zipWithIndex.map { case (wk, k) =>
         wk.zipWithIndex.map { case (wi, i) =>
           BigDecimal(wi - lr * row.getDouble(k * d1 + i))
@@ -136,15 +159,15 @@ object Classifier {
       featureCols: Seq[String]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_.size == featureCols.size + 1),
       s"need K rows of ${featureCols.size + 1} weights (bias first)")
-    val ps = softmaxProbs(weights, featureCols)
-    val mx = greatest(ps: _*)
-    val pred = ps.zipWithIndex.tail
-      .foldLeft(when(ps.head === mx, lit(0))) { case (acc, (p, k)) =>
+    // p0..p{K−1} materialize first (see withSoftmaxProbs); the
+    // argmax/pred layer references them as plain column refs.
+    val withP = withSoftmaxProbs(df, weights, featureCols, "p")
+    val pRefs = weights.indices.map(k => col(s"p$k"))
+    val mx = greatest(pRefs: _*)
+    val pred = pRefs.zipWithIndex.tail
+      .foldLeft(when(pRefs.head === mx, lit(0))) { case (acc, (p, k)) =>
         acc.when(p === mx, lit(k))
       }
-    val withP = ps.zipWithIndex.foldLeft(df) { case (acc, (p, k)) =>
-      acc.withColumn(s"p$k", p)
-    }
     withP
       .withColumn("pred_class", pred.cast("long"))
       .withColumn("pred_prob", mx)
@@ -168,6 +191,10 @@ object Classifier {
     val perScore = scored.groupBy(col(scoreCol).as("thr"))
       .agg(count(lit(1)).as("__n"), sum(col(labelCol)).cast("long").as("__pos"))
     val totals = scored.agg(sum(col(labelCol)).cast("long").as("__totpos"))
+    // Global ordered window, single-partition by construction — legal
+    // because its input is the per-DISTINCT-SCORE frame, and a 6dp
+    // sigmoid has at most 10^6+1 representable values: the window is
+    // bounded by the score REPRESENTATION, not the corpus.
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("thr").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
