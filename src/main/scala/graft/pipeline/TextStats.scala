@@ -1205,8 +1205,9 @@ object TextStats {
     * uses the single `discount` below, because lower-order
     * count-of-counts are degenerate on small/synthetic corpora (this
     * fixture has ZERO bigram-continuation doubletons at some scales —
-    * the formulas would divide by zero; the top-order bins are
-    * validated with a fail-fast naming the offending bin).
+    * the formulas would divide by zero); top-order bins whose formula
+    * is uncomputable or non-positive take KenLM's documented
+    * `--discount_fallback` defaults per bin — see [[mknDiscounts]].
     *
     * Zero-routing inherits the family's add-1 guard: doc-initial
     * tokens, unseen contexts, and the zero-mixture case (both the
@@ -1225,33 +1226,41 @@ object TextStats {
     * @param trigramModel (w1, w2, w3, ct) from [[trigramCounts]] — the
     *                     ONLY model input; everything is derived.
     */
-  def mknTrigramNllAgainst(
-      docs: DataFrame, trigramModel: DataFrame, idCol: String, textCol: String,
-      discount: Double = 0.75): DataFrame = {
-    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
-    val tri = trigramModel.select(
-      col("w1").as("prev2"), col("w2").as("prev"), col("w3").as("w"), col("ct"))
-    // Top-order discounts from count-of-counts (driver-side: 4 ints).
-    val cc = tri.agg(
+  /** [[mknTrigramNllAgainst]]'s top-order discount estimation, exposed
+    * for auditability: (D₁, D₂, D₃₊) from the trigram table's
+    * count-of-counts, each bin FALLING BACK to KenLM's
+    * `--discount_fallback` defaults (0.5, 1.0, 1.5) when its formula
+    * is not computable (an empty bin divides by zero) or yields a
+    * non-positive value (count-of-counts that are not Zipf-shaped —
+    * synthetic or heavily deduplicated corpora do this; this fixture's
+    * sf0.1 cut estimates D₂ ≈ −2). Deterministic and total: the oracle
+    * computes the identical guarded expressions in SQL.
+    */
+  def mknDiscounts(trigramModel: DataFrame): (Double, Double, Double) = {
+    val cc = trigramModel.agg(
       sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1"),
       sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2"),
       sum(when(col("ct") === 3, 1L).otherwise(0L)).as("n3"),
       sum(when(col("ct") === 4, 1L).otherwise(0L)).as("n4")).head()
     val (n1, n2, n3, n4) =
       (cc.getLong(0), cc.getLong(1), cc.getLong(2), cc.getLong(3))
-    require(n1 > 0 && n2 > 0 && n3 > 0,
-      s"modified-KN needs non-empty count-of-count bins n1/n2/n3 at trigram " +
-        s"order, got ($n1, $n2, $n3) — corpus too small/degenerate for " +
-        "binned discounts; use trigramNllAgainst or knBigramNllAgainst")
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val y = n1.toDouble / (n1 + 2 * n2)
-    val d1 = r6(1 - 2 * y * n2 / n1)
-    val d2 = r6(2 - 3 * y * n3 / n2)
-    val d3 = r6(3 - 4 * y * n4 / n3)
-    require(d1 > 0 && d2 > 0 && d3 > 0,
-      s"estimated discounts must be positive, got ($d1, $d2, $d3) — " +
-        "count-of-counts are not Zipf-shaped enough for modified KN here")
+    def bin(divisorBin: Long, raw: => Double, fallback: Double): Double =
+      if (divisorBin > 0 && n1 + 2 * n2 > 0 && raw > 0) r6(raw) else fallback
+    def y = n1.toDouble / (n1 + 2 * n2)
+    (bin(n1, 1 - 2 * y * n2 / n1, 0.5),
+      bin(n2, 2 - 3 * y * n3 / n2, 1.0),
+      bin(n3, 3 - 4 * y * n4 / n3, 1.5))
+  }
+
+  def mknTrigramNllAgainst(
+      docs: DataFrame, trigramModel: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val tri = trigramModel.select(
+      col("w1").as("prev2"), col("w2").as("prev"), col("w3").as("w"), col("ct"))
+    val (d1, d2, d3) = mknDiscounts(trigramModel)
     // Derived model tables (each one aggregation of the trigram table).
     val tctx = tri.groupBy("prev2", "prev").agg(
       sum(col("ct")).as("cuv"),

@@ -4052,9 +4052,18 @@ $bandSelects
         |          sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS n3,
         |          sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS n4 FROM tri),
         |tdc AS (SELECT
-        |          round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6) AS d1,
-        |          round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6) AS d2,
-        |          round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6) AS d3 FROM tcc),
+        |          CASE WHEN n1 > 0 AND n1 + 2*n2 > 0
+        |                AND 1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1 > 0
+        |            THEN round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6)
+        |            ELSE 0.5 END AS d1,
+        |          CASE WHEN n2 > 0 AND n1 + 2*n2 > 0
+        |                AND 2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2 > 0
+        |            THEN round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6)
+        |            ELSE 1.0 END AS d2,
+        |          CASE WHEN n3 > 0 AND n1 + 2*n2 > 0
+        |                AND 3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3 > 0
+        |            THEN round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6)
+        |            ELSE 1.5 END AS d3 FROM tcc),
         |tctx AS (SELECT prev2, prev, CAST(sum(ct) AS BIGINT) AS cuv,
         |           sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1uv,
         |           sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2uv,

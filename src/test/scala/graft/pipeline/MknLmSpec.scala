@@ -6,8 +6,9 @@ import graft.GraftSuite
   * are estimated exactly from count-of-counts and each bin is exercised
   * by hand arithmetic (c=1 → D₁, c=2 → D₂, c≥3 → D₃₊ — including the
   * n₄=0 edge where D₃₊ = 3 wipes the raw count and γ redistributes all
-  * of it), degenerate corpora fail fast instead of dividing by zero,
-  * and cross-corpus OOV scoring stays finite.
+  * of it), degenerate/non-Zipf corpora route per-bin to KenLM's
+  * documented fallback discounts instead of dividing by zero or making
+  * γ negative, and cross-corpus OOV scoring stays finite.
   */
 class MknLmSpec extends GraftSuite {
 
@@ -41,12 +42,30 @@ class MknLmSpec extends GraftSuite {
     assert(out(0L) === r6(-(math.log(pug) + math.log(pug) + math.log(0.4375)) / 3.0))
   }
 
-  test("degenerate count-of-counts fail fast (empty n3 bin), not divide by zero") {
-    val e = intercept[IllegalArgumentException] {
-      // Only ct=1 and ct=2 trigrams — n3 = 0.
-      TextStats.mknTrigramNll(docs("a b c", "a b c", "d e f"), "doc_id", "text")
-    }
-    assert(e.getMessage.contains("count-of-count"))
+  test("degenerate count-of-counts take KenLM's per-bin fallback discounts, not a crash") {
+    // Only ct=1 and ct=2 trigrams — n3 = 0 (D₃₊ uncomputable) while D₁
+    // and D₂ estimate fine: n1=1, n2=1 ⇒ Y=1/3, D₁=1/3, D₂=2−0=2.
+    val degenerate = docs("a b c", "a b c", "d e f")
+    val ds = TextStats.mknDiscounts(
+      TextStats.trigramCounts(degenerate, "text"))
+    assert(ds === ((0.333333, 2.0, 1.5)))
+    // And scoring under them is total.
+    val out = TextStats.mknTrigramNll(degenerate, "doc_id", "text").collect()
+    assert(out.length === 3)
+    out.foreach(r => assert(!r.isNullAt(2)))
+  }
+
+  test("non-Zipf count-of-counts (negative raw discount) fall back per bin") {
+    // The sf0.1 fixture estimates D₂ ≈ −2 — the exact case that must
+    // route to the fallback rather than make γ negative. Synthesize a
+    // trigram table with that shape directly: n1=1, n2=1, n3=3, n4=0.
+    import spark.implicits._
+    val tri = (Seq(("a", "b", "c", 1L), ("b", "c", "d", 2L)) ++
+      Seq(("c", "d", "e", 3L), ("d", "e", "f", 3L), ("e", "f", "g", 3L)))
+      .toDF("w1", "w2", "w3", "ct")
+    // Y = 1/3; D1 = 1 − 2/3 = 1/3 > 0; D2 = 2 − 3·(1/3)·3/1 = −1 → fb 1.0;
+    // D3 = 3 − 0 = 3 > 0.
+    assert(TextStats.mknDiscounts(tri) === ((0.333333, 1.0, 3.0)))
   }
 
   test("cross-corpus OOV after a seen context scores finite") {
