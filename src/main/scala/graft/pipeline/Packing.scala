@@ -59,6 +59,54 @@ object Packing {
       .drop("__cum")
   }
 
+  /** Emit the training-ready PACKED ID SEQUENCES — the last join of the
+    * tokenizer tier: [[packGreedyByCount]] assigns documents to packs,
+    * [[graft.pipeline.Bpe.encodeIds]] emits per-document id streams,
+    * and this splices them into one dense position space per pack:
+    * (groupCols…, pack_id, pos, idCol, piece_id) with `pos` dense
+    * 0..n−1 within every (group, pack) and each document's ids
+    * contiguous in its original (word_pos, piece_pos) order — exactly
+    * the concatenated sequence a trainer reads, with the doc id riding
+    * along as the attention-boundary/provenance marker.
+    *
+    * Scale shape: one doc-keyed count aggregation, one prefix-sum
+    * window over the DOC-level frame (partitioned by pack — rows =
+    * docs, not tokens), one row_number window over the id stream
+    * partitioned BY DOCUMENT (bounded by document length, never a
+    * global sort), and one doc-keyed equi-join attaching offsets to
+    * the stream. Nothing is ever ordered globally; packs materialize
+    * in parallel.
+    *
+    * @param ids   (idCol, word_pos, piece_pos, piece_id) — the
+    *              [[graft.pipeline.Bpe.encodeIds]] shape
+    * @param packs (idCol, pack_id) plus `groupCols` — the
+    *              [[packGreedyByCount]] output
+    */
+  def packedSequences(
+      ids: DataFrame,
+      packs: DataFrame,
+      idCol: String,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    val counts = ids.groupBy(idCol).agg(count(lit(1)).as("__n"))
+    val wPack = Window
+      .partitionBy((groupCols :+ "pack_id").map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = packs
+      .select((idCol +: "pack_id" +: groupCols).map(col): _*)
+      .join(counts, Seq(idCol))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wPack), lit(0L)))
+      .drop("__n")
+    val wDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("word_pos"), col("piece_pos"))
+    ids.join(offsets, Seq(idCol))
+      .select(groupCols.map(col) ++ Seq(
+        col("pack_id"),
+        (col("__off") + row_number().over(wDoc) - 1).cast("long").as("pos"),
+        col(idCol),
+        col("piece_id")): _*)
+  }
+
   /** Sliding token-window chunking: split each document into
     * `chunkTokens`-token windows whose starts advance by `stride` tokens
     * (overlap = chunkTokens − stride when stride < chunkTokens) — the

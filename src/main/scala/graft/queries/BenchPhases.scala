@@ -179,6 +179,25 @@ object BenchPhases {
         graft.pipeline.Bpe.encodeIds(d, "doc_id", "text", model).count(); ()
       }
     }),
+    // t46's claim is the sequence SPLICE (the offset windows + the
+    // doc-keyed join); training, encoding, and pack assignment are the
+    // setup stages t33/t43 already time.
+    "t46_packed_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val full = Fixtures.table(s, dir, "documents")
+      val d = full.filter(col("doc_id") < 50)
+      val model = graft.pipeline.Bpe.train(full, "text", numMerges = 8)
+      val ids = graft.pipeline.Bpe.encodeIds(d, "doc_id", "text", model).cache()
+      val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      val packs = graft.pipeline.Packing.packGreedyByCount(
+        counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("lang")).cache()
+      ids.count(); packs.count()
+      () => {
+        graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+          .count(); ()
+      }
+    }),
     "j10_field_inventory" -> ((s, dir) => {
       val root = IngestQueries.driftFixture(s, dir)
       () => {

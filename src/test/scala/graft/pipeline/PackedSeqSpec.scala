@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** Packed-sequence emission laws (C191): positions are dense 0..n−1
+  * within every (group, pack); each document's ids are contiguous and
+  * in encode order; documents stay atomic (one pack each); and the
+  * splice is deterministic.
+  */
+class PackedSeqSpec extends GraftSuite {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, "g", t) }
+      .toDF("doc_id", "lang", "text")
+  }
+
+  private def fixture() = {
+    val d = docs("stream batch stream", "merge table scan", "filter sort")
+    val model = Bpe.train(d, "text", numMerges = 3)
+    val ids = Bpe.encodeIds(d, "doc_id", "text", model)
+    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+    val packs = Packing.packGreedyByCount(counts, "doc_id", "n",
+      budget = 12, groupCols = Seq("lang"))
+    (ids, packs, model)
+  }
+
+  test("positions are dense 0..n−1 within every (group, pack)") {
+    val (ids, packs, model) = fixture()
+    val seqs = Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+    val perPack = seqs.groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n"), min("pos").as("mn"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"))
+      .collect()
+    assert(perPack.nonEmpty)
+    perPack.foreach { r =>
+      assert(r.getAs[Long]("mn") === 0L, r.toString)
+      assert(r.getAs[Long]("mx") === r.getAs[Long]("n") - 1, r.toString)
+      assert(r.getAs[Long]("nd") === r.getAs[Long]("n"), r.toString)
+    }
+    model.words.unpersist()
+  }
+
+  test("each document's ids are contiguous, in encode order, and in ONE pack") {
+    val (ids, packs, model) = fixture()
+    val seqs = Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+    // Atomicity: one pack per doc.
+    assert(seqs.groupBy("doc_id").agg(countDistinct("pack_id").as("np"))
+      .filter(col("np") > 1).isEmpty)
+    // Contiguity + order: per doc, ids sorted by pos == encodeIds sorted
+    // by (word_pos, piece_pos), and pos range is gap-free.
+    val byPos = seqs.orderBy("doc_id", "pos")
+      .select("doc_id", "piece_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    val byEnc = ids.orderBy("doc_id", "word_pos", "piece_pos")
+      .select("doc_id", "piece_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(byPos === byEnc)
+    val spans = seqs.groupBy("doc_id")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    spans.foreach(r =>
+      assert(r.getAs[Long]("mx") - r.getAs[Long]("mn") + 1 === r.getAs[Long]("n"), r.toString))
+    model.words.unpersist()
+  }
+
+  test("deterministic across runs") {
+    val (ids, packs, model) = fixture()
+    def run() = Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+      .orderBy("lang", "pack_id", "pos").collect().map(_.toString).toSeq
+    assert(run() === run())
+    model.words.unpersist()
+  }
+}
