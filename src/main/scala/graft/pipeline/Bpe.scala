@@ -48,15 +48,37 @@ object Bpe {
     * `cappedOut` is [[trainLocal]]'s no-silent-caps diagnostic: how many
     * distinct words fell outside the frequency cap and carry the
     * character-fallback segmentation (always 0 for [[train]]).
+    * `byteLevel` records the symbol grain the model was trained at
+    * (code points vs UTF-8 bytes spelled as hex pairs) — consumers that
+    * rebuild initial segmentations ([[pieceVocab]]'s alphabet,
+    * [[trainLocal]]'s tail fallback) must match it.
     */
   final case class BpeModel(merges: Seq[Merge], words: DataFrame,
-      cappedOut: Long = 0L) {
+      cappedOut: Long = 0L, byteLevel: Boolean = false) {
     /** The merge table as a DataFrame: (step, lhs, rhs, merged, n). */
     def mergeTable(spark: SparkSession): DataFrame = {
       import spark.implicits._
       merges.toDF("step", "lhs", "rhs", "merged", "n")
     }
   }
+
+  /** The initial segmentation of a word at either grain: one symbol per
+    * CODE POINT (Java regex "." is code-point-aware), or — byte level,
+    * the GPT-2 convention that handles any script/byte sequence
+    * uniformly — one symbol per UTF-8 BYTE, spelled as an uppercase hex
+    * pair ("E6 95 B0" for 数). Hex spelling is the portability trick:
+    * symbols stay plain ASCII strings, so the seg-string fold, the
+    * merge table, and the DuckDB oracle (`hex(encode(word))`, same
+    * uppercase hex in both engines) all work unchanged, and
+    * `unhex(concat(pieces))` restores the exact bytes (spec-pinned
+    * totality, astral planes included).
+    */
+  private def initSeg(word: org.apache.spark.sql.Column, byteLevel: Boolean) =
+    if (byteLevel)
+      trim(regexp_replace(
+        hex(org.apache.spark.sql.functions.encode(word, "UTF-8")),
+        "(..)", "$1 "))
+    else trim(regexp_replace(word, "(.)", "$1 "))
 
   /** Apply ONE merge (lhs,rhs)→merged to a seg string, greedy-left:
     * fold symbols left to right; when the accumulator's last piece is
@@ -97,12 +119,12 @@ object Bpe {
     * enormous tokens.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      maxWordChars: Int = 200): BpeModel = {
+      maxWordChars: Int = 200, byteLevel: Boolean = false): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var words = docs
       .select(explode(TextOps.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .withColumn("seg", initSeg(col("word"), byteLevel))
       .persist()
     words.count()
     if (maxWordChars > 0) {
@@ -150,7 +172,7 @@ object Bpe {
         step += 1
       }
     }
-    BpeModel(merges.toSeq, words)
+    BpeModel(merges.toSeq, words, byteLevel = byteLevel)
   }
 
   /** Spark's string ordering is binary over UTF-8 bytes (and so is
@@ -224,7 +246,8 @@ object Bpe {
     */
   def trainLocal(
       docs: DataFrame, textCol: String, numMerges: Int,
-      wordCap: Int = 1 << 20, maxWordChars: Int = 200): BpeModel = {
+      wordCap: Int = 1 << 20, maxWordChars: Int = 200,
+      byteLevel: Boolean = false): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(wordCap >= 1, s"wordCap must be >= 1, got $wordCap")
     val spark = docs.sparkSession
@@ -251,14 +274,21 @@ object Bpe {
     val capped = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val segs: Array[ArrayBuffer[String]] = capped.map { case (w, _) =>
-      val buf = new ArrayBuffer[String](w.length)
-      var i = 0
-      while (i < w.length) {
-        val cp = w.codePointAt(i)
-        buf += new String(Character.toChars(cp))
-        i += Character.charCount(cp)
+      if (byteLevel) {
+        val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val buf = new ArrayBuffer[String](bytes.length)
+        bytes.foreach(b => buf += f"${b & 0xff}%02X")
+        buf
+      } else {
+        val buf = new ArrayBuffer[String](w.length)
+        var i = 0
+        while (i < w.length) {
+          val cp = w.codePointAt(i)
+          buf += new String(Character.toChars(cp))
+          i += Character.charCount(cp)
+        }
+        buf
       }
-      buf
     }
     // Exact pair counts + inverted pair→words index. Index entries may
     // go stale (a word evolves away from a pair); correctness comes from
@@ -312,15 +342,17 @@ object Bpe {
     val cappedDf = capped.zip(segs).toSeq
       .map { case ((w, f), s) => (w, f, s.mkString(" ")) }
       .toDF("word", "freq", "seg")
-    // Tail words beyond the cap keep their character segmentation — the
-    // conservative no-merge fallback, counted, never silent.
+    // Tail words beyond the cap keep their initial (char/byte)
+    // segmentation — the conservative no-merge fallback, counted,
+    // never silent.
     val tail = wf.join(cappedDf.select("word"), Seq("word"), "left_anti")
-      .withColumn("seg", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .withColumn("seg", initSeg(col("word"), byteLevel))
       .select("word", "freq", "seg")
     val words = cappedDf.unionByName(tail).persist()
     val total = words.count()
     wf.unpersist(false)
-    BpeModel(merges.toSeq, words, cappedOut = total - capped.length)
+    BpeModel(merges.toSeq, words, cappedOut = total - capped.length,
+      byteLevel = byteLevel)
   }
 
   /** Encode every document's token stream into subword pieces against a
@@ -386,7 +418,7 @@ object Bpe {
     val spark = model.words.sparkSession
     import spark.implicits._
     val alpha = model.words
-      .select(explode(split(trim(regexp_replace(col("word"), "(.)", "$1 ")), " "))
+      .select(explode(split(initSeg(col("word"), model.byteLevel), " "))
         .as("piece"))
       .distinct().collect().map(_.getString(0))
       .sortWith(utf8Compare(_, _) < 0)

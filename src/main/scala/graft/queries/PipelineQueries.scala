@@ -957,6 +957,19 @@ $bandSelects
       Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
+    // Byte-level BPE (C192 / t47): the GPT-2 grain — initial symbols
+    // are UTF-8 BYTES (spelled as hex pairs, identical in both
+    // engines), so any script or byte sequence trains uniformly and
+    // the learned merges reassemble multi-byte characters from their
+    // lead/continuation bytes. Runs over the script-SEGMENTED cjk
+    // corpus (C184 bounds the word table; C192 sets the symbol grain
+    // below it).
+    "t47_bpe_bytes" -> ((s, dir) => {
+      val seg = docsCjkAug(s, dir).select(
+        TextOps.segmentNoSpaceScripts(col("text")).as("text"))
+      Bpe.train(seg, "text", numMerges = 12, byteLevel = true)
+        .mergeTable(s).orderBy("step")
+    }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
     // and the per-doc id streams spliced into one dense position space
@@ -2012,11 +2025,18 @@ $bandSelects
     * engines resolve overlaps like "a a a" under (a,a) identically).
     * LEFT JOIN ON TRUE keeps `bwR` total when a round runs out of pairs.
     */
-  private def bpeCtes(k: Int, source: String = "documents"): String = {
+  private def bpeCtes(k: Int, source: String = "documents",
+      byteLevel: Boolean = false): String = {
+    // Byte grain: hex(encode(word)) is uppercase UTF-8 hex in BOTH
+    // engines, split into hex pairs — the exact Bpe.initSeg twin.
+    val segInit =
+      if (byteLevel)
+        s"trim(regexp_replace(hex(encode(word)), '(..)', '${"\\"}1 ', 'g'))"
+      else s"trim(regexp_replace(word, '(.)', '${"\\"}1 ', 'g'))"
     val base =
       s"""bw0 AS MATERIALIZED (
          |  SELECT word, count(*) AS freq,
-         |         trim(regexp_replace(word, '(.)', '${"\\"}1 ', 'g')) AS seg
+         |         $segInit AS seg
          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $source)
          |  GROUP BY word)""".stripMargin
     val rounds = (1 to k).map { r =>
@@ -5021,6 +5041,26 @@ $bandSelects
          |SELECT pe.doc_id, pe.word_pos, pe.piece_pos, pv.piece_id
          |FROM pe JOIN pv ON pe.piece = pv.piece
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
+    // t47: the 12 byte-grain rounds unrolled — bw0 seeds from
+    // hex(encode(word)) pairs, everything else is the t33 machinery
+    // verbatim (hex symbols are plain ASCII strings to the fold).
+    "t47_bpe_bytes" -> {
+      val cls = """\p{Han}\p{Hiragana}\p{Katakana}\p{Thai}"""
+      val bs = "\\"
+      val segExpr =
+        s"trim(regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'([$cls]+)', ' ${bs}1 ', 'g'), '([$cls]{1})', '${bs}1 ', 'g'), " +
+          "' +', ' ', 'g'))"
+      val steps = (1 to 12).map { r =>
+        val cast = if (r == 1) "CAST(1 AS BIGINT)" else r.toString
+        s"SELECT $cast AS step, lhs, rhs, merged, n FROM bm$r"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH $cjkAugCte,
+         |segd AS (SELECT doc_id, $segExpr AS text FROM cj),
+         |${bpeCtes(12, "segd", byteLevel = true)}
+         |$steps
+         |ORDER BY step""".stripMargin
+    },
     // t46: the t43 id stream, pack assignment replayed (cum/budget
     // window), per-pack doc offsets as a second prefix window, and the
     // in-doc index via a doc-partitioned row_number — positions dense.

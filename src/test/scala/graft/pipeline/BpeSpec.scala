@@ -126,6 +126,42 @@ class BpeSpec extends GraftSuite {
       .isEmpty)
   }
 
+  test("byte level: hand arithmetic — UTF-8 hex-pair symbols, ASCII merges spell bytes") {
+    val m = Bpe.train(docs("ab ab"), "text", numMerges = 1, byteLevel = true)
+    assert(m.merges === Seq(Bpe.Merge(1L, "61", "62", "6162", 2L)))
+    assert(m.byteLevel)
+  }
+
+  test("byte level: totality across scripts and planes — unhex(concat(pieces)) == word") {
+    val x = new String(Character.toChars(0x1D54F)) // astral: 4 UTF-8 bytes
+    val d = docs("数 据 数", s"$x$x table", "plain text")
+    val model = Bpe.train(d, "text", numMerges = 4, byteLevel = true)
+    val bad = model.words
+      .withColumn("__back", decode(unhex(regexp_replace(col("seg"), " ", "")), "UTF-8"))
+      .filter(col("__back") =!= col("word"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    model.words.unpersist()
+  }
+
+  test("byte level: trainLocal == train on real corpus data at k=8") {
+    val d = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val dist = Bpe.train(d, "text", numMerges = 8, byteLevel = true)
+    val loc = Bpe.trainLocal(d, "text", numMerges = 8, byteLevel = true)
+    assert(loc.merges === dist.merges)
+    val wd = dist.words.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val wl = loc.words.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(wl === wd)
+    dist.words.unpersist(); loc.words.unpersist()
+  }
+
+  test("byte level: pieceVocab alphabet is the hex-pair byte alphabet, merges follow") {
+    val model = Bpe.train(docs("ab ab"), "text", numMerges = 1, byteLevel = true)
+    val pv = Bpe.pieceVocab(model).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pv === Map(0L -> "61", 1L -> "62", 2L -> "6162"))
+  }
+
   test("train: deterministic across runs") {
     val d = docs("spark scan sort stream spark scan", "sort spark stream stream")
     val a = Bpe.train(d, "text", numMerges = 6).merges
