@@ -161,8 +161,8 @@ $bandSelects
   /** t44's class order (sorted — ids are positional), hash-feature
     * arity, and hash seed.
     */
-  private val LangidLangs = Seq("de", "en", "es", "fr", "zh")
-  private val LangidBuckets = 16
+  private[queries] val LangidLangs = Seq("de", "en", "es", "fr", "zh")
+  private[queries] val LangidBuckets = 16
   private val LangidSeed = 7
 
   /** t44's labeled seed set: 6 docs per language built from that
@@ -194,7 +194,7 @@ $bandSelects
     * trigrams span spaces deliberately (word-boundary n-grams carry
     * most of the language signal).
     */
-  private def langidFeatures(d: DataFrame): DataFrame = {
+  private[queries] def langidFeatures(d: DataFrame): DataFrame = {
     val B = LangidBuckets
     val tg0 = transform(sequence(lit(1), length(col("text")) - 2),
       i => col("text").substr(i, lit(3)))
@@ -2140,6 +2140,56 @@ $bandSelects
        |    FROM $source)""".stripMargin
   }
 
+  /** t44/st21's seed VALUES as a CTE named `lseed`. */
+  private def langidSeedCte: String = {
+    val seedValues = LangidSeeds
+      .map { case (id, l, t) => s"($id, '$l', '$t')" }.mkString(",\n|    ")
+    s"""lseed AS (
+       |  SELECT CAST(v.id AS BIGINT) AS doc_id, v.lang, v.text FROM (VALUES
+       |    $seedValues) v(id, lang, text))""".stripMargin
+  }
+
+  /** t44/st21's shared scoring tail: (prob column exprs under the
+    * `sw{iters}` weights as `w`, the argmax CASE to a language label —
+    * ties to the lowest class, the scoreSoftmax law).
+    */
+  private def softmaxScoreExprs: (String, String) = {
+    val K = LangidLangs.size
+    val B = LangidBuckets
+    def zf(k: Int): String =
+      s"(w.w${k}_0 ${(0 until B).map(i => s"+ x$i*w.w${k}_${i + 1}").mkString(" ")})"
+    val denomF = (0 until K).map(j => s"exp(${zf(j)})").mkString(" + ")
+    val pF = (0 until K)
+      .map(k => s"round(exp(${zf(k)}) / ($denomF), 6) AS p$k").mkString(",\n|    ")
+    val g = s"greatest(${(0 until K).map(k => s"p$k").mkString(", ")})"
+    val predCase = (0 until K)
+      .map(k => s"WHEN p$k = $g THEN '${LangidLangs(k)}'").mkString("\n|         ")
+    (pF, predCase)
+  }
+
+  /** st21's oracle: t44's machinery scoring the CORPUS only (the
+    * stream), confusion keyed (lang, routed) — exposed here because
+    * the softmax CTE builders live with their siblings.
+    */
+  private[graft] def st21OracleSql: String = {
+    val (pF, predCase) = softmaxScoreExprs
+    s"""WITH $langidSeedCte,
+       |sfs AS MATERIALIZED (
+       |  ${langidFeatureSql("lseed")}),
+       |${softmaxCtes(8, 1.0)},
+       |sfa AS (
+       |  ${langidFeatureSql("documents")}),
+       |fsc AS (
+       |  SELECT sfa.*,
+       |    $pF
+       |  FROM sfa CROSS JOIN sw8 w),
+       |fp AS (
+       |  SELECT lang, CASE $predCase END AS routed
+       |  FROM fsc)
+       |SELECT lang, routed, count(*) AS n
+       |FROM fp GROUP BY 1, 2 ORDER BY lang, routed""".stripMargin
+  }
+
   /** The unrolled softmax-GD CTE chain (the logisticCtes discipline at
     * K classes): round r adds `sp{r}` (per-row 6dp softmax probs under
     * the previous weights — unstabilized exp, denominator folded in
@@ -3989,21 +4039,8 @@ $bandSelects
     // 6dp probs, K·(d+1) 6dp-re-rounded weight steps), then the full
     // corpus scored under sw8 with the argmax tie to the lowest class.
     "t44_trained_langid" -> {
-      val K = LangidLangs.size
-      val B = LangidBuckets
-      val seedValues = LangidSeeds
-        .map { case (id, l, t) => s"($id, '$l', '$t')" }.mkString(",\n|    ")
-      def zf(k: Int): String =
-        s"(w.w${k}_0 ${(0 until B).map(i => s"+ x$i*w.w${k}_${i + 1}").mkString(" ")})"
-      val denomF = (0 until K).map(j => s"exp(${zf(j)})").mkString(" + ")
-      val pF = (0 until K)
-        .map(k => s"round(exp(${zf(k)}) / ($denomF), 6) AS p$k").mkString(",\n|    ")
-      val g = s"greatest(${(0 until K).map(k => s"p$k").mkString(", ")})"
-      val predCase = (0 until K)
-        .map(k => s"WHEN p$k = $g THEN '${LangidLangs(k)}'").mkString("\n|         ")
-      s"""WITH lseed AS (
-         |  SELECT CAST(v.id AS BIGINT) AS doc_id, v.lang, v.text FROM (VALUES
-         |    $seedValues) v(id, lang, text)),
+      val (pF, predCase) = softmaxScoreExprs
+      s"""WITH $langidSeedCte,
          |sfs AS MATERIALIZED (
          |  ${langidFeatureSql("lseed")}),
          |${softmaxCtes(8, 1.0)},

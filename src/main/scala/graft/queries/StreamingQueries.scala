@@ -406,6 +406,19 @@ object StreamingQueries {
       s.read.parquet(out).filter(col("routed") === "accepted")
         .select("doc_id", "score").orderBy("doc_id")
     }),
+    // Streaming multiclass router (st21): the trained langid's
+    // streaming twin — the seed-trained softmax matrix FROZEN, every
+    // arriving micro-batch feature-projected and routed into the
+    // class-partitioned exactly-once sink (consumers read their
+    // language partition-pruned). Stateless router ⇒ the converged
+    // (lang, routed) confusion equals the batch t44 corpus block.
+    "st21_stream_route" -> ((s, dir) => {
+      val (replay, out) = st21Setup(s, dir)
+      replay()
+      s.read.parquet(out)
+        .groupBy("lang", "routed").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "routed")
+    }),
     // Streaming vocabulary maintenance (st19): documents replayed in
     // batches, each micro-batch's exact token counts SUMMED into the
     // count store (read touched buckets, add, replace). Counts are
@@ -756,6 +769,37 @@ object StreamingQueries {
     val stream = mem.toDF().toDF("doc_id", "x1", "x2", "x3", "y")
     val q = graft.streaming.StreamingScore.scoreTo(
       stream, w, Seq("x1", "x2", "x3"), threshold = 0.5, out, s"$scratch/cp")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
+  }
+
+  /** Untimed setup for st21 (streaming multiclass router): the softmax
+    * langid matrix trains on the seed UPSTREAM and freezes; the corpus
+    * streams as raw (doc_id, lang, text) rows and the router computes
+    * the trigram-hash features IN-STREAM (a stateless projection), so
+    * the stream carries text, not a 16-column feature tuple.
+    */
+  private[graft] def st21Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st21")
+    val out = s"$scratch/out"
+    val feats = (0 until PipelineQueries.LangidBuckets).map(b => s"x$b")
+    val seed = PipelineQueries.LangidSeeds.toDF("doc_id", "lang", "text")
+    val w = graft.pipeline.Classifier.trainSoftmax(
+      PipelineQueries.langidFeatures(seed).cache(), feats, "y",
+      numClasses = PipelineQueries.LangidLangs.size, iters = 8, lr = 1.0)
+    val rows = Fixtures.table(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = PipelineQueries.langidFeatures(
+      mem.toDF().toDF("doc_id", "lang", "text"))
+    val q = graft.streaming.StreamingScore.routeTo(
+      stream, w, feats, PipelineQueries.LangidLangs, out, s"$scratch/cp")
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
@@ -1120,6 +1164,10 @@ object StreamingQueries {
     // weights, stateless scoring, so the converged accepted partition
     // replays with t35's own GD-round machinery.
     "st20_stream_score" -> PipelineQueries.st20OracleSql,
+    // st21 is t44's corpus block through the streaming multiclass
+    // router — frozen softmax matrix, stateless routing, so the
+    // converged class partitions replay with t44's own machinery.
+    "st21_stream_route" -> PipelineQueries.st21OracleSql,
     // st19 is t31 through the maintained count store — the converged
     // store ranks into the batch vocabulary: t31's oracle verbatim.
     "st19_stream_vocab" ->

@@ -45,4 +45,35 @@ object StreamingScore {
       .partitionBy("routed")
       .option("path", path).option("checkpointLocation", checkpoint)
       .start()
+
+  /** The MULTICLASS router — [[gate]]'s K-class twin (a frozen
+    * [[Classifier.trainSoftmax]] matrix): per row the softmax probs,
+    * the argmax class, and `routed` = that class's label. Same
+    * statelessness argument as the binary gate — the matrix is data,
+    * not state — so it works on any frame, batch or streaming, and
+    * exactly-once is the sink's.
+    */
+  def routeGate(
+      rows: DataFrame, weights: Seq[Seq[Double]], featureCols: Seq[String],
+      classLabels: Seq[String]): DataFrame = {
+    require(classLabels.size == weights.size,
+      s"need one label per class: ${weights.size} classes, ${classLabels.size} labels")
+    Classifier.scoreSoftmax(rows, weights, featureCols)
+      .withColumn("routed",
+        element_at(array(classLabels.map(lit): _*), (col("pred_class") + 1).cast("int")))
+  }
+
+  /** Run the frozen multiclass router into an exactly-once parquet sink
+    * partitioned by the predicted class — the streaming shape of
+    * domain routing and trained language ID: consumers read their
+    * class partition-pruned.
+    */
+  def routeTo(
+      stream: DataFrame, weights: Seq[Seq[Double]], featureCols: Seq[String],
+      classLabels: Seq[String], path: String, checkpoint: String): StreamingQuery =
+    routeGate(stream, weights, featureCols, classLabels)
+      .writeStream.outputMode("append").format("parquet")
+      .partitionBy("routed")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .start()
 }
