@@ -189,18 +189,24 @@ $bandSelects
   }
 
   /** t44's feature projection: fractions of char TRIGRAMS falling in
-    * each of 8 portable-hash buckets (6dp), plus the class index. Two
-    * projections so the md5-per-trigram bucket array is named once;
+    * each of 16 hash buckets (6dp), plus the class index. Two
+    * projections so the hash-per-trigram bucket array is named once;
     * trigrams span spaces deliberately (word-boundary n-grams carry
-    * most of the language signal).
+    * most of the language signal). `hashMode` is the d6/d7 dial: the
+    * oracle queries use Md5Portable (exact DuckDB twin — and the term
+    * that dominates t44's 10× cell); a production deployment trains
+    * AND scores under Xxhash64 — features only need to be consistent
+    * within one model, and the learning story is hash-agnostic
+    * (spec-pinned: the xxhash64-trained model is also seed-diagonal).
     */
-  private[queries] def langidFeatures(d: DataFrame): DataFrame = {
+  private[queries] def langidFeatures(
+      d: DataFrame, hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
     val B = LangidBuckets
     val tg0 = transform(sequence(lit(1), length(col("text")) - 2),
       i => col("text").substr(i, lit(3)))
     val tg = when(length(col("text")) >= 3, tg0)
       .otherwise(array().cast("array<string>"))
-    val bs = transform(tg, t => pmod(TextOps.portableHash(t, LangidSeed), lit(B.toLong)))
+    val bs = transform(tg, t => pmod(hashMode.hash(t, LangidSeed), lit(B.toLong)))
     val y = LangidLangs.zipWithIndex.tail
       .foldLeft(when(col("lang") === LangidLangs.head, lit(0))) {
         case (acc, (l, k)) => acc.when(col("lang") === l, lit(k))
