@@ -1,0 +1,274 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer — the OTHER major subword family (Kudo 2018),
+  * the algorithm behind SentencePiece's default model and the T5/ALBERT/
+  * XLNet vocabularies, expressed Spark-first. Where BPE ([[Bpe]]) learns
+  * a merge SEQUENCE bottom-up, the unigram model learns a piece
+  * PROBABILITY TABLE top-down: seed a large candidate vocabulary from
+  * frequent substrings, alternate Viterbi segmentation (E) with
+  * frequency re-estimation (M), then prune to the target size.
+  *
+  * The same load-bearing scale decision as BPE: everything trains on the
+  * DISTINCT-WORD frequency table, never the token stream — a 100 TB
+  * corpus collapses to its vocabulary before any per-round work starts
+  * (pre-segment no-space scripts with [[TextOps.segmentNoSpaceScripts]]
+  * first; the same `maxWordChars` guard rejects the degenerate corpus).
+  * Each EM round is ONE distributed job: the Viterbi DP runs as a
+  * codegen'd `aggregate` higher-order function over the word table with
+  * the current vocabulary as a single map literal (`typedlit` — one
+  * Literal node, not 2·V children), and the piece-mass aggregation that
+  * follows is vocabulary-bounded, so the per-round collect is bounded by
+  * the seed size, never the corpus (the C172/C188 bounded-driver-state
+  * discipline). Round count is FIXED and small (SentencePiece's own
+  * default is 2 sub-iterations per prune step), so the per-round job
+  * shape IS the production shape — no driver-local twin needed here.
+  *
+  * Viterbi-EM (hard EM) rather than lattice (soft) EM is a deliberate
+  * determinism choice: the E-step is an argmax with a stated total
+  * tie-break instead of a forward–backward sum whose floating-point
+  * reassociation differs across engines and partitionings. The DP is
+  * exactly replayable in the DuckDB oracle (a recursive CTE carrying the
+  * same dp array), and every probability is `round(ln(mass/total), 6)`
+  * over exact integer masses — the repo's cross-engine transcendental
+  * discipline.
+  *
+  * Determinism contract:
+  *   - Viterbi tie-break: among equal-logprob segmentations the
+  *     lexicographically GREATEST seg string wins (`array_max` over
+  *     `struct(lp, seg)` — binary UTF-8 string order, identical in
+  *     Spark and DuckDB).
+  *   - Seed / prune selection: (mass DESC, piece ASC) in binary UTF-8
+  *     order; the alphabet (every distinct code point) is ALWAYS kept,
+  *     `vocabSize` binds only the multi-char budget.
+  *   - M-step smoothing: alphabet pieces carry +1 mass (so they never
+  *     vanish and encode stays total); multi-char pieces the Viterbi
+  *     pass stopped using drop out — SentencePiece's prune, one round
+  *     early.
+  *   - Unknown code points at encode time score `unkLogp`
+  *     (= round(ln(0.5/total), 6), the half-count unknown) and come
+  *     back as single-char pieces — encode is total on ANY input.
+  */
+object Unigram {
+
+  /** A trained unigram tokenizer: `pieces` = (piece, mass, logp) with
+    * logp 6dp-rounded and masses the final (smoothed) EM counts;
+    * `unkLogp` the out-of-alphabet single-char score; `maxPieceLen` the
+    * candidate length cap the DP was trained with (encode must match).
+    */
+  final case class UnigramModel(
+      pieces: Seq[(String, Long, Double)], unkLogp: Double, maxPieceLen: Int) {
+    def logpMap: Map[String, Double] = pieces.map(t => (t._1, t._3)).toMap
+
+    /** The model as a DataFrame: (piece, mass, logp). */
+    def pieceTable(spark: SparkSession): DataFrame = {
+      import spark.implicits._
+      pieces.toDF("piece", "mass", "logp")
+    }
+  }
+
+  /** Spark's own double rounding (BigDecimal HALF_UP over the shortest
+    * decimal representation) — the [[Classifier]] discipline.
+    */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Code-point length — `length()`'s unit in both Spark and DuckDB
+    * (Java String.length is UTF-16 units and disagrees above U+FFFF).
+    */
+  private def cpLen(s: String): Int = s.codePointCount(0, s.length)
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** The Viterbi DP as ONE codegen'd expression: best segmentation of
+    * `word` under piece log-probabilities `vocab` (a single map
+    * literal), returned as a space-joined seg string (the [[Bpe]] seg
+    * representation, so downstream consumers are shared).
+    *
+    * dp[i] (prefix of length i) extends dp[j−1] with piece
+    * word[j..i] for j in [i−maxPieceLen+1, i]; single-char candidates
+    * fall back to `unkLogp` when the char is out of vocabulary, which
+    * keeps the candidate list non-empty at every position — the DP (and
+    * therefore encode) is TOTAL on any input. Ties take the
+    * lexicographically greatest seg (`array_max` over struct(lp, seg)).
+    * Cost is O(len · maxPieceLen) per word with an O(len) accumulator —
+    * run it on the DISTINCT-WORD table, never the token stream.
+    */
+  def viterbiSeg(
+      word: Column, vocab: Map[String, Double], unkLogp: Double,
+      maxPieceLen: Int): Column = {
+    val vm = typedlit(vocab)
+    val unk = lit(unkLogp)
+    val dp = aggregate(
+      sequence(lit(1), length(word)),
+      array(struct(lit(0.0).as("lp"), lit("").as("seg"))),
+      (acc, i) => array_append(acc,
+        array_max(filter(
+          transform(
+            sequence(greatest(lit(1), i - lit(maxPieceLen) + lit(1)), i),
+            j => {
+              val piece = word.substr(j, i - j + lit(1))
+              struct(
+                (element_at(acc, j).getField("lp") +
+                  when(i === j, coalesce(element_at(vm, piece), unk))
+                    .otherwise(element_at(vm, piece))).as("lp"),
+                concat(element_at(acc, j).getField("seg"), lit(" "), piece)
+                  .as("seg"))
+            }),
+          x => x.getField("lp").isNotNull))))
+    ltrim(element_at(dp, length(word) + lit(1)).getField("seg"))
+  }
+
+  /** Normalize integer masses to 6dp log-probabilities. ln here is
+    * `java.lang.Math.log` — the exact function Spark's own `log()`
+    * expression evaluates, so driver-side M-steps and in-engine scoring
+    * agree bit-for-bit; the DuckDB oracle's `ln` may differ in the last
+    * ulp, which the 6dp rounding absorbs (the repo-wide transcendental
+    * discipline).
+    */
+  private def normalize(v: Seq[(String, Long)]): Seq[(String, Long, Double)] = {
+    val total = v.map(_._2).sum.toDouble
+    v.map { case (p, m) => (p, m, round6(math.log(m.toDouble / total))) }
+  }
+
+  /** Train a unigram-LM tokenizer over the corpus's whitespace tokens.
+    *
+    *   1. SEED: every substring of every distinct word up to
+    *      `maxPieceLen` code points, occurrence-weighted by word
+    *      frequency; the candidate vocabulary is the full alphabet
+    *      (every length-1 substring) plus the top-`seedMulti`
+    *      multi-char substrings by (mass DESC, piece ASC).
+    *   2. EM × `iters`: Viterbi-segment the word table under the
+    *      current table ([[viterbiSeg]]), re-estimate piece masses from
+    *      the chosen segmentations (frequency-weighted), +1-smooth the
+    *      alphabet, drop multi-char pieces with zero mass, renormalize.
+    *   3. PRUNE: keep the alphabet plus the top
+    *      (`vocabSize` − alphabet) multi-char pieces by
+    *      (mass DESC, piece ASC); renormalize once more.
+    *
+    * Per round: one distributed DP+aggregation job over the word table
+    * and one vocabulary-bounded collect. `maxWordChars` is the same
+    * scale-premise guard as [[Bpe.train]] — no-space-script text makes
+    * every sentence one "word" and must be pre-segmented first.
+    */
+  def train(
+      docs: DataFrame, textCol: String, vocabSize: Int, iters: Int = 3,
+      maxPieceLen: Int = 5, seedMulti: Int = 300,
+      maxWordChars: Int = 200): UnigramModel = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(seedMulti >= 0, s"seedMulti must be >= 0, got $seedMulti")
+    val words = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    words.count()
+    if (maxWordChars > 0) {
+      val longest = words.agg(max(length(col("word")))).head()
+      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
+      if (maxLen > maxWordChars) {
+        words.unpersist(false)
+        throw new IllegalArgumentException(
+          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
+            "this is the signature of no-space-script (Han/Kana/Thai) text. " +
+            "Pre-segment with TextOps.segmentNoSpaceScripts, or pass " +
+            "maxWordChars = 0 to force.")
+      }
+    }
+    // Seed masses: one explode over (position, length) — occurrence-
+    // weighted substring counts, the SentencePiece frequent-substring
+    // seed. Aggregation output is bounded by distinct substrings of the
+    // vocabulary, not by the corpus.
+    val seed = words
+      .select(col("freq"), col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("freq"), explode(transform(
+        sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + lit(1))),
+        l => col("word").substr(col("i"), l))).as("piece"))
+      .groupBy("piece").agg(sum(col("freq")).as("mass"))
+      .persist()
+    // Two bounded collects: the full alphabet (distinct code points —
+    // content-bounded) and the top-seedMulti multi-char candidates
+    // (TakeOrdered, binary-UTF-8 tie-break in-engine).
+    val singles = seed.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multi = seed.filter(length(col("piece")) > 1)
+      .orderBy(desc("mass"), asc("piece")).limit(seedMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    seed.unpersist(false)
+    var model = normalize((singles ++ multi).toSeq)
+    for (_ <- 1 to iters) {
+      // unkLogp never fires during training (the alphabet covers every
+      // corpus code point by construction) but keeps the DP expression
+      // total; computed per round for consistency with encode.
+      val unk = round6(math.log(0.5 / model.map(_._2).sum.toDouble))
+      val lpMap = model.map(t => (t._1, t._3)).toMap
+      // E-step: one distributed Viterbi+aggregate job; the result is
+      // vocabulary-bounded (only vocab pieces can appear in a seg).
+      val em = words
+        .select(col("freq"),
+          explode(split(viterbiSeg(col("word"), lpMap, unk, maxPieceLen), " "))
+            .as("piece"))
+        .groupBy("piece").agg(sum(col("freq")).as("em"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // M-step: +1-smooth the alphabet, drop unused multi-char pieces.
+      val next = model.flatMap { case (p, _, _) =>
+        val m = em.getOrElse(p, 0L) + (if (cpLen(p) == 1) 1L else 0L)
+        if (m > 0L) Some((p, m)) else None
+      }
+      model = normalize(next)
+    }
+    // Prune to the target size: alphabet always kept, multi-char budget
+    // = vocabSize − |alphabet| by (mass DESC, piece ASC).
+    val (sgl, mlt) = model.partition(t => cpLen(t._1) == 1)
+    val keepMulti = mlt
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+      .take(math.max(0, vocabSize - sgl.size))
+    val kept = normalize((sgl ++ keepMulti).map(t => (t._1, t._2)))
+      .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+    val unkLogp = round6(math.log(0.5 / kept.map(_._2).sum.toDouble))
+    words.unpersist(false)
+    UnigramModel(kept, unkLogp, maxPieceLen)
+  }
+
+  /** Encode every document's token stream into unigram pieces:
+    * (idCol, word_pos, piece_pos, piece) — the [[Bpe.encode]] surface,
+    * so packing/fertility consumers are shared. The Viterbi DP runs
+    * once per DISTINCT word of the target docs (vocabulary-bounded) and
+    * attaches to the token stream as a broadcast join; the stream never
+    * shuffles. Total on any input: unknown code points come back as
+    * single-char pieces via `unkLogp`.
+    */
+  def encode(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: UnigramModel): DataFrame = {
+    val segs = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word")).distinct()
+      .withColumn("seg",
+        viterbiSeg(col("word"), model.logpMap, model.unkLogp, model.maxPieceLen))
+    docs
+      .select(col(idCol),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .join(broadcast(segs), Seq("word"))
+      .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
+        posexplode(split(col("seg"), " ")).as(Seq("piece_pos", "piece")))
+      .select(col(idCol), col("word_pos"),
+        col("piece_pos").cast("long").as("piece_pos"), col("piece"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, TextOps, TextStats, Vocab}
+import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, TextOps, TextStats, Unigram, Vocab}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -975,6 +975,29 @@ $bandSelects
         TextOps.segmentNoSpaceScripts(col("text")).as("text"))
       Bpe.train(seg, "text", numMerges = 12, byteLevel = true)
         .mergeTable(s).orderBy("step")
+    }),
+    // Unigram-LM tokenizer training (C194 / t48): the OTHER subword
+    // family (SentencePiece's default, Kudo 2018) — frequent-substring
+    // seed, 3 Viterbi-EM rounds over the distinct-word table (one
+    // distributed DP+agg job per round, vocabulary-bounded collects),
+    // prune to 48 pieces. The oracle replays the identical chain: the
+    // same seed CTEs and, per round, the same Viterbi DP as a recursive
+    // CTE carrying the dp array.
+    "t48_unigram_train" -> ((s, dir) =>
+      Unigram.train(table(s, dir, "documents"), "text", vocabSize = 48,
+          iters = 3, maxPieceLen = 5, seedMulti = 80)
+        .pieceTable(s).orderBy("piece")),
+    // Unigram-LM encoding (C195 / t49): docs < 50 Viterbi-segmented
+    // under the trained piece table — the DP runs once per DISTINCT
+    // word and attaches to the token stream as a broadcast join (the
+    // t34 shape); same exploded (doc_id, word_pos, piece_pos, piece)
+    // surface as BPE so packing/fertility consumers are shared.
+    "t49_unigram_encode" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Unigram.train(d, "text", vocabSize = 48, iters = 3,
+        maxPieceLen = 5, seedMulti = 80)
+      Unigram.encode(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
@@ -2085,6 +2108,106 @@ $bandSelects
        |pv AS (
        |  SELECT piece, row_number() OVER (ORDER BY minord) - 1 AS piece_id
        |  FROM (SELECT piece, min(ord) AS minord FROM pvO GROUP BY piece))""".stripMargin
+  }
+
+  /** The unigram Viterbi DP as a RECURSIVE CTE — `Unigram.viterbiSeg`'s
+    * exact twin: the dp array of (lp, seg) structs grows one position
+    * per recursion step; candidates extend dp[j−1] with word[j..i],
+    * single chars falling back to `unk`; `list_sort(...)[-1]` is the
+    * same max-struct tie-break as Spark's `array_max` (lp first, then
+    * seg in binary UTF-8 order). Ends in `out`(word, freq, seg).
+    * Requires the statement to open with WITH RECURSIVE.
+    */
+  private def unigramDpCte(
+      tag: String, vm: String, src: String, out: String, L: Int): String =
+    s"""dp$tag AS (
+       |  SELECT word, freq, 0 AS i,
+       |         [struct_pack(lp := CAST(0.0 AS DOUBLE), seg := '')] AS acc
+       |  FROM $src
+       |  UNION ALL
+       |  SELECT word, freq, i + 1,
+       |    list_append(acc, list_sort(list_filter(
+       |        list_transform(range(greatest(1, i + 2 - $L), i + 2),
+       |          j -> struct_pack(
+       |            lp := acc[j].lp + (CASE WHEN i + 2 - j = 1
+       |                   THEN coalesce(m[substr(word, j, i + 2 - j)][1], unk)
+       |                   ELSE m[substr(word, j, i + 2 - j)][1] END),
+       |            seg := acc[j].seg || ' ' || substr(word, j, i + 2 - j))),
+       |        x -> x.lp IS NOT NULL))[-1])
+       |  FROM dp$tag CROSS JOIN $vm WHERE i < length(word)
+       |),
+       |$out AS MATERIALIZED (
+       |  SELECT word, freq, ltrim(acc[length(word) + 1].seg) AS seg
+       |  FROM dp$tag WHERE i = length(word))""".stripMargin
+
+  /** The unigram-LM training chain — `Unigram.train`'s exact replay:
+    * occurrence-weighted substring seed (alphabet + top-`seedMulti`
+    * multi-char), `iters` Viterbi-EM rounds (each: the current vocab as
+    * a one-row map, the DP CTE, piece-mass re-estimation with +1
+    * alphabet smoothing, zero-mass multi-char pieces dropped), then the
+    * prune to `vocabSize` with one final renormalize. Ends in
+    * `ufin`(piece, mass, lp) — logps `round(ln(mass/total), 6)` over
+    * exact integer masses at every stage, the repo's cross-engine
+    * transcendental discipline. Must run under WITH RECURSIVE.
+    */
+  private def unigramCtes(
+      iters: Int, L: Int, seedMulti: Int, vocabSize: Int,
+      source: String = "documents"): String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      s"""uw AS MATERIALIZED (
+         |  SELECT word, count(*) AS freq
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $source)
+         |  GROUP BY word)""".stripMargin,
+      s"""useed AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS mass
+         |  FROM (SELECT freq, substr(word, i, l) AS piece
+         |        FROM uw, UNNEST(range(1, length(word) + 1)) AS t(i),
+         |             UNNEST(range(1, least($L, length(word) - i + 1) + 1)) AS u(l))
+         |  GROUP BY piece)""".stripMargin,
+      s"""uv0 AS MATERIALIZED (
+         |  SELECT piece, mass,
+         |         round(ln(CAST(mass AS DOUBLE) /
+         |           (SELECT CAST(sum(mass) AS DOUBLE) FROM usel0)), 6) AS lp
+         |  FROM usel0)""".stripMargin)
+    parts.insert(2,
+      s"""usel0 AS MATERIALIZED (
+         |  SELECT piece, mass FROM useed WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, mass FROM (
+         |    SELECT piece, mass, row_number() OVER (ORDER BY mass DESC, piece) AS rk
+         |    FROM useed WHERE length(piece) > 1) WHERE rk <= $seedMulti)""".stripMargin)
+    for (r <- 1 to iters) {
+      parts += s"""uvm$r AS (
+         |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m,
+         |         round(ln(0.5 / CAST(sum(mass) AS DOUBLE)), 6) AS unk
+         |  FROM uv${r - 1})""".stripMargin
+      parts += unigramDpCte(s"u$r", s"uvm$r", "uw", s"useg$r", L)
+      parts += s"""umass$r AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS em
+         |  FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM useg$r)
+         |  GROUP BY piece)""".stripMargin
+      parts += s"""uv$r AS MATERIALIZED (
+         |  SELECT piece, mass,
+         |         round(ln(CAST(mass AS DOUBLE) / (SELECT CAST(sum(mass) AS DOUBLE) FROM (
+         |           SELECT coalesce(em, 0) + (CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END) AS mass
+         |           FROM uv${r - 1} v LEFT JOIN umass$r USING (piece)) WHERE mass > 0)), 6) AS lp
+         |  FROM (SELECT v.piece, coalesce(em, 0) + (CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END) AS mass
+         |        FROM uv${r - 1} v LEFT JOIN umass$r USING (piece))
+         |  WHERE mass > 0)""".stripMargin
+    }
+    parts += s"""upr AS MATERIALIZED (
+         |  SELECT piece, mass FROM uv$iters WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, mass FROM (
+         |    SELECT piece, mass, row_number() OVER (ORDER BY mass DESC, piece) AS rk
+         |    FROM uv$iters WHERE length(piece) > 1)
+         |  WHERE rk <= $vocabSize - (SELECT count(*) FROM uv$iters WHERE length(piece) = 1))""".stripMargin
+    parts += s"""ufin AS MATERIALIZED (
+         |  SELECT piece, mass,
+         |         round(ln(CAST(mass AS DOUBLE) /
+         |           (SELECT CAST(sum(mass) AS DOUBLE) FROM upr)), 6) AS lp
+         |  FROM upr)""".stripMargin
+    parts.mkString(",\n")
   }
 
   /** p7/p8's shared gate prefix: the augmented corpus, the script-gate
@@ -5149,6 +5272,32 @@ $bandSelects
          |       FROM wp JOIN bw8 ON wp.word = bw8.word)
          |SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
          |FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j)
+         |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
+    // t48: the full unigram-LM training chain replayed — seed, 3
+    // Viterbi-EM rounds (each DP a recursive CTE carrying the dp
+    // array), prune, renormalize.
+    "t48_unigram_train" ->
+      s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)}
+         |SELECT piece, mass, lp AS logp FROM ufin ORDER BY piece""".stripMargin,
+    // t49: the t48 chain's final table as a one-row map, the encode DP
+    // over the distinct words of docs < 50, pieces re-exploded onto the
+    // token stream with 0-based positions (the t34 shape).
+    "t49_unigram_encode" ->
+      s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)},
+         |ufm AS (
+         |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m,
+         |         round(ln(0.5 / CAST(sum(mass) AS DOUBLE)), 6) AS unk
+         |  FROM ufin),
+         |d50 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |ew AS (SELECT DISTINCT word, 1 AS freq FROM wp),
+         |${unigramDpCte("e", "ufm", "ew", "esg", 5)},
+         |usp AS (SELECT doc_id, word_pos, string_split(seg, ' ') AS pieces
+         |        FROM wp JOIN esg ON wp.word = esg.word)
+         |SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
+         |FROM usp, UNNEST(range(1, len(pieces) + 1)) AS t(j)
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
     "t23_bm25" -> {
       val k1 = 1.2

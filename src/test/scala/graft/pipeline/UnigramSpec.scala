@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** Unigram-LM tokenizer laws (C194–C195): hand-checked seed + Viterbi-EM
+  * + prune arithmetic, the lexicographically-greatest tie-break, encode
+  * totality on out-of-vocabulary code points, the alphabet-is-always-kept
+  * prune law, the scale-premise guard, and run-to-run determinism.
+  */
+class UnigramSpec extends GraftSuite {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("train: hand arithmetic — seed masses, one EM round, prune, 6dp logps") {
+    // Corpus "ab ab b": words ab×2, b×1.
+    // Seed (L=2, occurrence-weighted): a=2, b=2+1=3, ab=2; alphabet {a,b},
+    // top-2 multi {ab}. total=7.
+    //   lp0: a=ln(2/7), b=ln(3/7), ab=ln(2/7).
+    // EM round 1 Viterbi: "ab"→[ab] (−1.252763 beats a+b=−2.100061), "b"→[b].
+    //   E masses: ab=2, b=1. M (+1 alphabet): a=1, b=2, ab=2; total=5.
+    //   lp1: a=ln(1/5), b=ln(2/5), ab=ln(2/5).
+    // Prune (vocabSize=4): all kept, totals unchanged.
+    val m = Unigram.train(docs("ab ab b"), "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 2, seedMulti = 2)
+    assert(m.pieces === Seq(
+      ("a", 1L, r6(math.log(1.0 / 5))),
+      ("ab", 2L, r6(math.log(2.0 / 5))),
+      ("b", 2L, r6(math.log(2.0 / 5)))))
+    assert(m.unkLogp === r6(math.log(0.5 / 5)))
+  }
+
+  test("viterbiSeg: picks the max-logprob segmentation") {
+    import spark.implicits._
+    // "ba" as b+a = −2.7 beats the whole piece at −2.9.
+    val vocab = Map("a" -> -1.2, "b" -> -1.5, "ab" -> -1.0, "ba" -> -2.9)
+    val out = Seq("abab", "ba", "azb").toDF("word")
+      .withColumn("seg", Unigram.viterbiSeg(col("word"), vocab, -9.9, 4))
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out("abab") === "ab ab")
+    assert(out("ba") === "b a")
+    // 'z' is out of vocabulary: the unk fallback keeps the DP total.
+    assert(out("azb") === "a z b")
+  }
+
+  test("viterbiSeg: exact-tie goes to the lexicographically greatest seg") {
+    import spark.implicits._
+    // "aa" = −2.0 via the single piece and via a+a: ' aa' > ' a a'.
+    val vocab = Map("a" -> -1.0, "aa" -> -2.0)
+    val seg = Seq("aa").toDF("word")
+      .withColumn("seg", Unigram.viterbiSeg(col("word"), vocab, -9.9, 4))
+      .head().getString(1)
+    assert(seg === "aa")
+  }
+
+  test("encode: total on unknown code points, pieces concatenate back") {
+    val m = Unigram.train(docs("ab ab b"), "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 2, seedMulti = 2)
+    // 'z' and 'ж' never appeared in training.
+    val enc = Unigram.encode(docs("ab zжb"), "doc_id", "text", m)
+    val rebuilt = enc
+      .groupBy("doc_id", "word_pos")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
+        col("piece")))).getField("piece")).as("w"))
+      .orderBy("word_pos").collect().map(_.getString(2))
+    assert(rebuilt === Array("ab", "zжb"))
+    // Unknown chars come back as single-char pieces.
+    val pieces = enc.filter(col("word_pos") === 1)
+      .orderBy("piece_pos").collect().map(_.getString(3))
+    assert(pieces === Array("z", "ж", "b"))
+  }
+
+  test("prune: alphabet always kept, vocabSize binds only the multi-char budget") {
+    // vocabSize=2 < |alphabet|=3: every single char survives, no multi.
+    val m = Unigram.train(docs("abc abc ab"), "text",
+      vocabSize = 2, iters = 1, maxPieceLen = 3, seedMulti = 5)
+    assert(m.pieces.map(_._1) === Seq("a", "b", "c"))
+    // vocabSize=4: exactly one multi-char piece makes the cut.
+    val m4 = Unigram.train(docs("abc abc ab"), "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 3, seedMulti = 5)
+    assert(m4.pieces.count(_._1.length > 1) === 1)
+  }
+
+  test("train: determinism — two runs produce the identical model") {
+    val d = docs("spark merge table scan", "merge table fast scan scan")
+    val a = Unigram.train(d, "text", vocabSize = 20, iters = 2,
+      maxPieceLen = 4, seedMulti = 10)
+    val b = Unigram.train(d, "text", vocabSize = 20, iters = 2,
+      maxPieceLen = 4, seedMulti = 10)
+    assert(a.pieces === b.pieces && a.unkLogp === b.unkLogp)
+  }
+
+  test("train: rejects the no-space-script degenerate corpus") {
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.train(docs("数据处理引擎的一个长句子没有空格分词全部连在一起超过限制" * 10),
+        "text", vocabSize = 50, maxWordChars = 200)
+    }
+    assert(ex.getMessage.contains("segmentNoSpaceScripts"))
+  }
+
+  test("train: EM drops multi-char pieces Viterbi stops using") {
+    // 'xy' seeds as a candidate but 'x'/'y' never co-win once 'xyz'
+    // exists with higher mass — any dropped piece must be absent, and
+    // every surviving multi-char piece must carry positive EM mass.
+    val m = Unigram.train(docs("xyz xyz xyz xy"), "text",
+      vocabSize = 10, iters = 2, maxPieceLen = 3, seedMulti = 6)
+    assert(m.pieces.filter(t => t._1.length > 1).forall(_._2 > 0))
+  }
+}
