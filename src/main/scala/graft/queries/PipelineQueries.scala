@@ -554,6 +554,38 @@ $bandSelects
           sum("id_sum").as("sum_piece_ids"))
         .orderBy("lang", "pack_id")
     }),
+    // Perplexity-gated corpus (C196 / p9): the CCNet shape (Wenzek et
+    // al. 2019) — a "looks like reference text" filter bootstraps the
+    // reference corpus (the t35 trained classifier's accepted docs), a
+    // modified-KN trigram LM (C190) trains on that reference, the FULL
+    // corpus scores against it, and each language splits into
+    // head/middle/tail perplexity terciles (bucket 1 = cleanest).
+    // Scale shape: model tables are aggregations of the reference's
+    // trigram table; scoring is the C190 join chain (token-linear); the
+    // tercile ntile is ONE window over the DOC-level frame (rows =
+    // docs, the C191 argument) partitioned by lang — at extreme scale
+    // swap exact ntile for KLL-sketch cutoffs (C139) + a map-only
+    // bucket assign; ties break (avg_nll, doc_id), so the assignment
+    // is total-order deterministic.
+    "p9_perplexity_gate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+      val f = classifierFeatures(d)
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = d.join(
+        Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val model = TextStats.trigramCounts(ref, "text")
+      TextStats.mknTrigramNllAgainst(d, model, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "lang", "n_tokens", "avg_nll", "bucket")
+        .orderBy("doc_id")
+    }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
     // the coverage-radius trajectory; distances round 6dp before the
@@ -2044,6 +2076,104 @@ $bandSelects
     }
     (base +: rounds).mkString(",\n")
   }
+
+  /** The modified-Kneser–Ney trigram chain (`TextStats.
+    * mknTrigramNllAgainst`'s exact twin, the t45 machinery
+    * parameterized): trains the model on `modelSrc` and scores
+    * `probeSrc` (each any relation exposing doc_id, text), ending in
+    * `perdoc`(doc_id, n_tokens, avg_nll). Count-binned discounts from
+    * exact count-of-counts with the per-bin KenLM fallback, the binned
+    * top-order discount CASE, the continuation bigram level at d=0.75,
+    * the add-1 guard routing, the position-ordered fold.
+    */
+  private def mknNllCtes(modelSrc: String, probeSrc: String): String =
+    s"""tokM AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $modelSrc),
+       |pvM AS (
+       |  SELECT doc_id, pos, w,
+       |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
+       |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
+       |  FROM (SELECT doc_id, ws, unnest(ws) AS w,
+       |               unnest(range(1, len(ws) + 1)) AS pos FROM tokM)
+       |),
+       |tri AS (SELECT prev2, prev, w, count(*) AS ct FROM pvM WHERE prev2 IS NOT NULL
+       |        GROUP BY 1, 2, 3),
+       |tcc AS (SELECT
+       |          sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1,
+       |          sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2,
+       |          sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS n3,
+       |          sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS n4 FROM tri),
+       |tdc AS (SELECT
+       |          CASE WHEN n1 > 0 AND n1 + 2*n2 > 0
+       |                AND 1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1 > 0
+       |            THEN round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6)
+       |            ELSE 0.5 END AS d1,
+       |          CASE WHEN n2 > 0 AND n1 + 2*n2 > 0
+       |                AND 2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2 > 0
+       |            THEN round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6)
+       |            ELSE 1.0 END AS d2,
+       |          CASE WHEN n3 > 0 AND n1 + 2*n2 > 0
+       |                AND 3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3 > 0
+       |            THEN round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6)
+       |            ELSE 1.5 END AS d3 FROM tcc),
+       |tctx AS (SELECT prev2, prev, CAST(sum(ct) AS BIGINT) AS cuv,
+       |           sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1uv,
+       |           sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2uv,
+       |           sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS n3uv
+       |         FROM tri GROUP BY 1, 2),
+       |bcn AS (SELECT prev, w, count(*) AS cbc FROM tri GROUP BY 1, 2),
+       |bcx AS (SELECT prev, CAST(sum(cbc) AS BIGINT) AS cbv, count(*) AS n1v
+       |        FROM bcn GROUP BY 1),
+       |ucn AS (SELECT w, count(*) AS cuw FROM bcn GROUP BY 1),
+       |tot AS (SELECT (SELECT count(*) FROM bcn) AS uu,
+       |          (SELECT count(DISTINCT t) FROM (
+       |             SELECT prev2 AS t FROM tri UNION ALL SELECT prev FROM tri
+       |             UNION ALL SELECT w FROM tri)) AS vv),
+       |tokP AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $probeSrc),
+       |pvP AS (
+       |  SELECT doc_id, pos, w,
+       |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
+       |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
+       |  FROM (SELECT doc_id, ws, unnest(ws) AS w,
+       |               unnest(range(1, len(ws) + 1)) AS pos FROM tokP)
+       |),
+       |j AS (
+       |  SELECT p.doc_id, p.pos, p.prev, p.prev2,
+       |         n.cuw, b.cbc, bx.cbv, bx.n1v, t3.ct,
+       |         x.cuv, x.n1uv, x.n2uv, x.n3uv, t.uu, t.vv
+       |  FROM pvP p
+       |  LEFT JOIN ucn n ON n.w = p.w
+       |  LEFT JOIN bcn b ON b.prev = p.prev AND b.w = p.w
+       |  LEFT JOIN bcx bx ON bx.prev = p.prev
+       |  LEFT JOIN tri t3 ON t3.prev2 = p.prev2 AND t3.prev = p.prev AND t3.w = p.w
+       |  LEFT JOIN tctx x ON x.prev2 = p.prev2 AND x.prev = p.prev
+       |  CROSS JOIN tot t),
+       |k AS (
+       |  SELECT doc_id, pos, prev, prev2, ct, cuv, n1uv, n2uv, n3uv,
+       |         (coalesce(cuw, 0) + 1.0) / (uu + vv) AS pug,
+       |         CASE WHEN cbv IS NULL OR (cbc IS NULL AND cuw IS NULL)
+       |              THEN (coalesce(cuw, 0) + 1.0) / (uu + vv)
+       |              ELSE (greatest(coalesce(cbc, 0) - 0.75, 0.0)
+       |                    + 0.75 * n1v * (coalesce(cuw, 0) / CAST(uu AS DOUBLE))) / cbv
+       |         END AS pb
+       |  FROM j),
+       |scored AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN prev IS NULL THEN ln(pug)
+       |         WHEN prev2 IS NULL OR cuv IS NULL THEN ln(pb)
+       |         ELSE ln((CASE WHEN ct IS NULL THEN 0.0
+       |                       ELSE greatest(ct - (CASE WHEN ct = 1 THEN d.d1
+       |                                                WHEN ct = 2 THEN d.d2
+       |                                                ELSE d.d3 END), 0.0) END) / cuv
+       |                 + ((d.d1*n1uv + d.d2*n2uv + d.d3*n3uv) / cuv) * pb)
+       |    END AS lnp
+       |  FROM k CROSS JOIN tdc d),
+       |perdoc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s,
+       |         round(-list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x)
+       |               / count(*), 6) AS avg_nll
+       |  FROM scored GROUP BY doc_id
+       |)""".stripMargin
 
   /** The unrolled-BPE CTE chain (the e21 fixed-iteration discipline):
     * `bw0` is the distinct-word table with char-split segmentations;
@@ -4238,87 +4368,25 @@ $bandSelects
     // top-order discount CASE, the continuation bigram level at
     // d=0.75, the add-1 guard routing, the position-ordered fold.
     "t45_mkn_trigram_nll" ->
-      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |ex AS (
-        |  SELECT doc_id, ws, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos FROM tok
-        |),
-        |pv AS (
-        |  SELECT doc_id, pos, w,
-        |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
-        |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
-        |  FROM ex
-        |),
-        |tri AS (SELECT prev2, prev, w, count(*) AS ct FROM pv WHERE prev2 IS NOT NULL
-        |        GROUP BY 1, 2, 3),
-        |tcc AS (SELECT
-        |          sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1,
-        |          sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2,
-        |          sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS n3,
-        |          sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS n4 FROM tri),
-        |tdc AS (SELECT
-        |          CASE WHEN n1 > 0 AND n1 + 2*n2 > 0
-        |                AND 1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1 > 0
-        |            THEN round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6)
-        |            ELSE 0.5 END AS d1,
-        |          CASE WHEN n2 > 0 AND n1 + 2*n2 > 0
-        |                AND 2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2 > 0
-        |            THEN round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6)
-        |            ELSE 1.0 END AS d2,
-        |          CASE WHEN n3 > 0 AND n1 + 2*n2 > 0
-        |                AND 3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3 > 0
-        |            THEN round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6)
-        |            ELSE 1.5 END AS d3 FROM tcc),
-        |tctx AS (SELECT prev2, prev, CAST(sum(ct) AS BIGINT) AS cuv,
-        |           sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1uv,
-        |           sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2uv,
-        |           sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS n3uv
-        |         FROM tri GROUP BY 1, 2),
-        |bcn AS (SELECT prev, w, count(*) AS cbc FROM tri GROUP BY 1, 2),
-        |bcx AS (SELECT prev, CAST(sum(cbc) AS BIGINT) AS cbv, count(*) AS n1v
-        |        FROM bcn GROUP BY 1),
-        |ucn AS (SELECT w, count(*) AS cuw FROM bcn GROUP BY 1),
-        |tot AS (SELECT (SELECT count(*) FROM bcn) AS uu,
-        |          (SELECT count(DISTINCT t) FROM (
-        |             SELECT prev2 AS t FROM tri UNION ALL SELECT prev FROM tri
-        |             UNION ALL SELECT w FROM tri)) AS vv),
-        |j AS (
-        |  SELECT p.doc_id, p.pos, p.prev, p.prev2,
-        |         n.cuw, b.cbc, bx.cbv, bx.n1v, t3.ct,
-        |         x.cuv, x.n1uv, x.n2uv, x.n3uv, t.uu, t.vv
-        |  FROM pv p
-        |  LEFT JOIN ucn n ON n.w = p.w
-        |  LEFT JOIN bcn b ON b.prev = p.prev AND b.w = p.w
-        |  LEFT JOIN bcx bx ON bx.prev = p.prev
-        |  LEFT JOIN tri t3 ON t3.prev2 = p.prev2 AND t3.prev = p.prev AND t3.w = p.w
-        |  LEFT JOIN tctx x ON x.prev2 = p.prev2 AND x.prev = p.prev
-        |  CROSS JOIN tot t),
-        |k AS (
-        |  SELECT doc_id, pos, prev, prev2, ct, cuv, n1uv, n2uv, n3uv,
-        |         (coalesce(cuw, 0) + 1.0) / (uu + vv) AS pug,
-        |         CASE WHEN cbv IS NULL OR (cbc IS NULL AND cuw IS NULL)
-        |              THEN (coalesce(cuw, 0) + 1.0) / (uu + vv)
-        |              ELSE (greatest(coalesce(cbc, 0) - 0.75, 0.0)
-        |                    + 0.75 * n1v * (coalesce(cuw, 0) / CAST(uu AS DOUBLE))) / cbv
-        |         END AS pb
-        |  FROM j),
-        |scored AS (
-        |  SELECT doc_id, pos,
-        |    CASE WHEN prev IS NULL THEN ln(pug)
-        |         WHEN prev2 IS NULL OR cuv IS NULL THEN ln(pb)
-        |         ELSE ln((CASE WHEN ct IS NULL THEN 0.0
-        |                       ELSE greatest(ct - (CASE WHEN ct = 1 THEN d.d1
-        |                                                WHEN ct = 2 THEN d.d2
-        |                                                ELSE d.d3 END), 0.0) END) / cuv
-        |                 + ((d.d1*n1uv + d.d2*n2uv + d.d3*n3uv) / cuv) * pb)
-        |    END AS lnp
-        |  FROM k CROSS JOIN tdc d),
-        |perdoc AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |         list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x) AS s
-        |  FROM scored GROUP BY doc_id
-        |)
-        |SELECT doc_id, n_tokens, round(-s / n_tokens, 6) AS avg_nll
-        |FROM perdoc ORDER BY doc_id""".stripMargin,
+      s"""WITH ${mknNllCtes("documents", "documents")}
+         |SELECT doc_id, n_tokens, avg_nll
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // p9: the CCNet gate replayed — the t35 classifier CTEs select the
+    // reference slice, the t45 modified-KN chain trains on it and
+    // scores the full corpus, ntile(3) buckets per lang.
+    "p9_perplexity_gate" ->
+      s"""WITH ${logisticCtes(3, 1.0)},
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+         |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+         |refd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN acc USING (doc_id)),
+         |${mknNllCtes("refd", "documents")}
+         |SELECT p.doc_id, l.lang, p.n_tokens, p.avg_nll,
+         |       CAST(ntile(3) OVER (PARTITION BY l.lang
+         |         ORDER BY p.avg_nll, p.doc_id) AS BIGINT) AS bucket
+         |FROM perdoc p JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
     // t36: t26's replay one order up — trigram/bigram-context tables
     // built from the same positional explode, the Jelinek–Mercer CASE
     // with the EXACT Scala-computed lambda doubles interpolated in
