@@ -119,27 +119,17 @@ object Bpe {
     * enormous tokens.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
-      maxWordChars: Int = 200, byteLevel: Boolean = false): BpeModel = {
+      maxWordChars: Int = 200, byteLevel: Boolean = false,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var words = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .select(explode(tokenizer(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("seg", initSeg(col("word"), byteLevel))
       .persist()
     words.count()
-    if (maxWordChars > 0) {
-      val longest = words.agg(max(length(col("word")))).head()
-      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
-      if (maxLen > maxWordChars) {
-        words.unpersist(false)
-        throw new IllegalArgumentException(
-          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
-            "this is the signature of no-space-script (Han/Kana/Thai) text, " +
-            "where whole sentences arrive as single whitespace tokens and the " +
-            "word-table scale premise collapses. Pre-segment the text with " +
-            "TextOps.segmentNoSpaceScripts, or pass maxWordChars = 0 to force.")
-      }
-    }
+    guardWordTable(words, maxWordChars, byteLevel)
     val merges = ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
@@ -244,31 +234,54 @@ object Bpe {
     * rhs ASC) argmax tie-breaks in binary-UTF-8 order, greedy-left
     * merge application, early exhaustion when no pair remains.
     */
+  /** The shared scale-premise guards over a freshly-built word table,
+    * one aggregation for both: reject the unsegmented no-space-script
+    * corpus (`maxWordChars`), and — when a custom `tokenizer` emits
+    * space-BEARING tokens (GPT-2 pretokens) — reject the WORD grain,
+    * whose space-joined seg strings cannot represent them (the byte
+    * grain's hex-pair symbols are space-safe).
+    */
+  private def guardWordTable(
+      words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Unit = {
+    val row = words.agg(
+      max(length(col("word"))).as("maxLen"),
+      max(col("word").contains(" ")).as("hasSpace")).head()
+    val maxLen = if (row.isNullAt(0)) 0 else row.getInt(0)
+    val hasSpace = !row.isNullAt(1) && row.getBoolean(1)
+    if (!byteLevel && hasSpace) {
+      words.unpersist(false)
+      throw new IllegalArgumentException(
+        "the tokenizer emitted space-bearing tokens (GPT-2-style pretokens): " +
+          "the word-grain seg representation is space-joined and cannot hold " +
+          "them — train with byteLevel = true (hex-pair symbols are space-safe).")
+    }
+    if (maxWordChars > 0 && maxLen > maxWordChars) {
+      words.unpersist(false)
+      throw new IllegalArgumentException(
+        s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
+          "this is the signature of no-space-script (Han/Kana/Thai) text, " +
+          "where whole sentences arrive as single whitespace tokens and the " +
+          "word-table scale premise collapses. Pre-segment the text with " +
+          "TextOps.segmentNoSpaceScripts, or pass maxWordChars = 0 to force.")
+    }
+  }
+
   def trainLocal(
       docs: DataFrame, textCol: String, numMerges: Int,
       wordCap: Int = 1 << 20, maxWordChars: Int = 200,
-      byteLevel: Boolean = false): BpeModel = {
+      byteLevel: Boolean = false,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(wordCap >= 1, s"wordCap must be >= 1, got $wordCap")
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = docs
-      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .select(explode(tokenizer(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     wf.count()
-    if (maxWordChars > 0) {
-      val longest = wf.agg(max(length(col("word")))).head()
-      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
-      if (maxLen > maxWordChars) {
-        wf.unpersist(false)
-        throw new IllegalArgumentException(
-          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
-            "this is the signature of no-space-script (Han/Kana/Thai) text. " +
-            "Pre-segment with TextOps.segmentNoSpaceScripts, or pass " +
-            "maxWordChars = 0 to force.")
-      }
-    }
+    guardWordTable(wf, maxWordChars, byteLevel)
     // The ONE driver-side collect: TakeOrdered top-wordCap — bounded by
     // the cap, never by the corpus.
     val capped = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
@@ -385,9 +398,11 @@ object Bpe {
     * group-keyed aggregation on top.
     */
   def fertility(
-      docs: DataFrame, textCol: String, groupCol: String, model: BpeModel): DataFrame =
+      docs: DataFrame, textCol: String, groupCol: String, model: BpeModel,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): DataFrame =
     docs
-      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .select(col(groupCol), explode(tokenizer(col(textCol))).as("word"))
       .join(broadcast(model.words.select(col("word"), col("seg"))), Seq("word"))
       .select(col(groupCol), length(col("word")).cast("long").as("__chars"),
         size(split(col("seg"), " ")).cast("long").as("__pieces"))
@@ -434,14 +449,18 @@ object Bpe {
     * the pieceVocab coverage argument, so no row is ever dropped.
     */
   def encodeIds(
-      docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
-    encode(docs, idCol, textCol, model)
+      docs: DataFrame, idCol: String, textCol: String, model: BpeModel,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): DataFrame =
+    encode(docs, idCol, textCol, model, tokenizer)
       .join(broadcast(pieceVocab(model)), Seq("piece"))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
 
-  def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel): DataFrame =
+  def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        TextOps.tokens): DataFrame =
     docs
-      .select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("word_pos", "word")))
+      .select(col(idCol), posexplode(tokenizer(col(textCol))).as(Seq("word_pos", "word")))
       .join(broadcast(model.words.select(col("word"), col("seg"))), Seq("word"))
       .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
         posexplode(split(col("seg"), " ")).as(Seq("piece_pos", "piece")))

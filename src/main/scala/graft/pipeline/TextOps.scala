@@ -29,6 +29,41 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** The GPT-2 pre-tokenization pattern, LOOKAHEAD-FREE. The canonical
+    * pattern ends `…|\s+(?!\S)|\s+` — "a whitespace run keeps its last
+    * space attached to the following token" — but RE2 (the oracle
+    * engine's regex) has no lookahead. The rewrite: [[gpt2PreTokenize]]
+    * first INSERTS a sentinel (U+001F, stripped from input beforehand)
+    * between every whitespace char and the non-space that follows it,
+    * then extracts with this pattern, in which every branch excludes
+    * the sentinel — so the sentinel acts as a pure split point and the
+    * token stream is exactly the lookahead pattern's (spec-pinned
+    * against `\s+(?!\S)` on java.util.regex, which does support it).
+    * The contraction branches and the ` ?\p{L}+`-style leading-space
+    * convention are the canonical pattern's, verbatim.
+    */
+  private[pipeline] val Gpt2Pattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}\\x1F]+|\\s+"
+
+  /** GPT-2 pre-tokenization: the text as an ARRAY of pretokens — words
+    * carrying their leading space (" the"), split contractions ("'s"),
+    * digit runs, punctuation runs, and whitespace runs that yield their
+    * final space to the next token. This is the split GPT-2/RoBERTa/
+    * CLIP-family tokenizers apply BEFORE byte-level BPE (feed these to
+    * [[Bpe.train]] via its `tokenizer` hook with `byteLevel = true`;
+    * space-bearing pretokens are what the Ġ-prefixed merges come from).
+    * Map-only: two codegen'd regexp passes + one extract-all; exact RE2
+    * twin (the sentinel rewrite above). Totality: tokens concatenate
+    * back to the input (minus any pre-existing U+001F, which is
+    * stripped — it is a C0 control char no real corpus text carries).
+    */
+  def gpt2PreTokenize(text: Column): Column =
+    regexp_extract_all(
+      regexp_replace(
+        regexp_replace(text, "\\x1F", ""),
+        "(\\s)(\\S)", "\u001F$1$2"),
+      lit(Gpt2Pattern), lit(0))
+
   /** The character class of scripts written WITHOUT inter-word spaces
     * (Han, Hiragana, Katakana, Thai) — the rows [[tokens]]'s whitespace
     * premise silently degenerates on. Java regex script names carry the

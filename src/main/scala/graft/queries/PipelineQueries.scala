@@ -1008,6 +1008,27 @@ $bandSelects
       Bpe.train(seg, "text", numMerges = 12, byteLevel = true)
         .mergeTable(s).orderBy("step")
     }),
+    // GPT-2 pre-tokenization (C197 / t50): the regex split GPT-2/
+    // RoBERTa-family tokenizers apply before byte-level BPE — words
+    // carry their leading space, contractions split, whitespace runs
+    // yield their final space to the next token. Lookahead-free
+    // sentinel rewrite of the canonical `\s+(?!\S)` branch (exact RE2
+    // twin; spec-pinned equal to the true lookahead pattern). Map-only.
+    "t50_gpt2_pretokenize" -> ((s, dir) =>
+      table(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(TextOps.gpt2PreTokenize(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("tok"))
+        .orderBy("doc_id", "pos")),
+    // GPT-2-grain byte-level BPE (C197 / t51): the REAL GPT-2 training
+    // shape — byte-level merges (C192) over GPT-2 pretokens (t50's
+    // tokenizer hook), so space-bearing pretokens teach the Ġ-style
+    // "20 xx" merges word-grain BPE can never learn. Same word-table
+    // machinery; the guard rejects this tokenizer at word grain.
+    "t51_bpe_gpt2" -> ((s, dir) =>
+      Bpe.train(table(s, dir, "documents"), "text", numMerges = 10,
+          byteLevel = true, tokenizer = TextOps.gpt2PreTokenize)
+        .mergeTable(s).orderBy("step")),
     // Unigram-LM tokenizer training (C194 / t48): the OTHER subword
     // family (SentencePiece's default, Kudo 2018) — frequent-substring
     // seed, 3 Viterbi-EM rounds over the distinct-word table (one
@@ -2184,8 +2205,22 @@ $bandSelects
     * engines resolve overlaps like "a a a" under (a,a) identically).
     * LEFT JOIN ON TRUE keeps `bwR` total when a round runs out of pairs.
     */
+  /** `TextOps.gpt2PreTokenize`'s exact RE2 twin: strip any pre-existing
+    * sentinel, insert U+001F between each whitespace char and the
+    * non-space that follows (the lookahead-free rewrite of the
+    * canonical pattern's `\s+(?!\S)` branch), extract with the shared
+    * sentinel-excluding pattern.
+    */
+  private val Gpt2TokSql = {
+    val p = """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+""" +
+      """| ?[^\s\p{L}\p{N}\x1F]+|\s+"""
+    s"""regexp_extract_all(regexp_replace(regexp_replace(text, '${"\\"}x1F', '', 'g'),
+       |      '(${"\\"}s)(${"\\"}S)', chr(31) || '${"\\"}1${"\\"}2', 'g'), '$p')""".stripMargin
+  }
+
   private def bpeCtes(k: Int, source: String = "documents",
-      byteLevel: Boolean = false): String = {
+      byteLevel: Boolean = false,
+      tokExpr: String = "string_split(text, ' ')"): String = {
     // Byte grain: hex(encode(word)) is uppercase UTF-8 hex in BOTH
     // engines, split into hex pairs — the exact Bpe.initSeg twin.
     val segInit =
@@ -2196,7 +2231,7 @@ $bandSelects
       s"""bw0 AS MATERIALIZED (
          |  SELECT word, count(*) AS freq,
          |         $segInit AS seg
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $source)
+         |  FROM (SELECT unnest($tokExpr) AS word FROM $source)
          |  GROUP BY word)""".stripMargin
     val rounds = (1 to k).map { r =>
       s"""bp$r AS MATERIALIZED (
@@ -5367,6 +5402,26 @@ $bandSelects
          |SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
          |FROM usp, UNNEST(range(1, len(pieces) + 1)) AS t(j)
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
+    // t50: the sentinel-rewrite pre-tokenizer replayed in RE2 —
+    // identical passes, identical pattern.
+    "t50_gpt2_pretokenize" ->
+      s"""WITH g AS (SELECT doc_id, $Gpt2TokSql AS toks
+         |           FROM documents WHERE doc_id < 50)
+         |SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS tok
+         |FROM g, UNNEST(range(1, len(toks) + 1)) AS t(i)
+         |ORDER BY doc_id, pos""".stripMargin,
+    // t51: the 10 byte-grain rounds unrolled over GPT-2 pretokens —
+    // bw0 seeds from the t50 token expression, everything else is the
+    // t33/t47 machinery verbatim.
+    "t51_bpe_gpt2" -> {
+      val steps = (1 to 10).map { r =>
+        val cast = if (r == 1) "CAST(1 AS BIGINT)" else r.toString
+        s"SELECT $cast AS step, lhs, rhs, merged, n FROM bm$r"
+      }.mkString("\n|UNION ALL ")
+      s"""WITH ${bpeCtes(10, "documents", byteLevel = true, tokExpr = Gpt2TokSql)}
+         |$steps
+         |ORDER BY step""".stripMargin
+    },
     "t23_bm25" -> {
       val k1 = 1.2
       val b = 0.75

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+
+/** GPT-2 pre-tokenization laws (C197): the lookahead-free sentinel
+  * rewrite must equal the CANONICAL pattern (whose `\s+(?!\S)` branch
+  * java.util.regex does support) token-for-token; totality (tokens
+  * concatenate back to the input); the leading-space word convention;
+  * and the Bpe integration guards.
+  */
+class Gpt2PreTokSpec extends GraftSuite {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  /** The canonical GPT-2 pattern, lookahead included — the ground truth
+    * the RE2-safe rewrite must reproduce.
+    */
+  private val truth = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  private def truthTokens(s: String): Seq[String] = {
+    val m = truth.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group()
+    out.toSeq
+  }
+
+  private val battery = Seq(
+    "the cat sat", "a   b", "it's  ok", "don't stop", "hello, world!!",
+    "tab\tsep", "trail   ", "  lead", "num 1234 mix42", "héllo wörld",
+    "a \t b", "x", "multi\n\nline", "a.b.c", "½ unicode № punct",
+    "I'll we've they're he'd I'm", "...!?", "a5b 5a 42", "ä ö ü ß")
+
+  test("rewrite == canonical lookahead pattern on the battery") {
+    import spark.implicits._
+    val got = battery.toDF("text")
+      .select(col("text"), TextOps.gpt2PreTokenize(col("text")).as("toks"))
+      .collect().map(r => (r.getString(0), r.getSeq[String](1))).toMap
+    for (s <- battery)
+      assert(got(s) === truthTokens(s), s"input: ${s.replace("\n", "\\n")}")
+  }
+
+  test("totality: tokens concatenate back to the input") {
+    import spark.implicits._
+    val bad = battery.toDF("text")
+      .select(col("text"),
+        concat_ws("", TextOps.gpt2PreTokenize(col("text"))).as("back"))
+      .filter(col("text") =!= col("back")).count()
+    assert(bad === 0L)
+  }
+
+  test("leading-space convention: every non-initial word carries its space") {
+    import spark.implicits._
+    val toks = Seq("the fast cat").toDF("text")
+      .select(TextOps.gpt2PreTokenize(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("the", " fast", " cat"))
+  }
+
+  test("whitespace runs yield the final space to the next token") {
+    import spark.implicits._
+    val toks = Seq("a   b").toDF("text")
+      .select(TextOps.gpt2PreTokenize(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("a", "  ", " b"))
+  }
+
+  test("a pre-existing sentinel is stripped, never tokenized") {
+    import spark.implicits._
+    val toks = Seq("a\u001Fb c").toDF("text")
+      .select(TextOps.gpt2PreTokenize(col("text")).as("t"))
+      .head().getSeq[String](0)
+    assert(toks === Seq("ab", " c"))
+  }
+
+  test("Bpe integration: byte-level merges learn the space-bearing Ġ-style pieces") {
+    // " the" dominates: the learned merges must assemble hex pieces that
+    // START with the space byte (20) — exactly what word-grain BPE can
+    // never produce.
+    val m = Bpe.train(docs("the fast the slow the end"), "text",
+      numMerges = 6, byteLevel = true, tokenizer = TextOps.gpt2PreTokenize)
+    assert(m.merges.exists(x => x.merged.startsWith("20") && x.merged.length > 2))
+    // Totality at the byte level: unhex(concat(pieces)) == word.
+    val bad = m.words
+      .select(col("word"),
+        decode(unhex(regexp_replace(col("seg"), " ", "")), "UTF-8").as("back"))
+      .filter(col("word") =!= col("back")).count()
+    assert(bad === 0L)
+  }
+
+  test("Bpe integration: word grain rejects space-bearing pretokens") {
+    val ex = intercept[IllegalArgumentException] {
+      Bpe.train(docs("the fast cat"), "text", numMerges = 2,
+        tokenizer = TextOps.gpt2PreTokenize)
+    }
+    assert(ex.getMessage.contains("byteLevel"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Bpe.trainLocal(docs("the fast cat"), "text", numMerges = 2,
+        tokenizer = TextOps.gpt2PreTokenize)
+    }
+    assert(ex2.getMessage.contains("byteLevel"))
+  }
+
+  test("trainLocal == train over GPT-2 pretokens at byte level") {
+    val d = docs("the cat the dog", "it's the cat's day")
+    val a = Bpe.train(d, "text", numMerges = 8, byteLevel = true,
+      tokenizer = TextOps.gpt2PreTokenize)
+    val b = Bpe.trainLocal(d, "text", numMerges = 8, byteLevel = true,
+      tokenizer = TextOps.gpt2PreTokenize)
+    assert(a.merges === b.merges)
+  }
+}
