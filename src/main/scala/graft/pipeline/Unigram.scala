@@ -255,6 +255,38 @@ object Unigram {
     * shuffles. Total on any input: unknown code points come back as
     * single-char pieces via `unkLogp`.
     */
+  /** The piece→id vocabulary of a trained model — the SentencePiece id
+    * convention: id 0 is the unknown piece (`<unk>`), then pieces take
+    * ids in score order (mass DESC, piece ASC in binary UTF-8 — the
+    * same total order the prune uses). Driver-side (the model is
+    * already driver-resident and vocabulary-bounded).
+    */
+  def pieceVocab(model: UnigramModel): Seq[(Long, String)] =
+    (0L, "<unk>") +: model.pieces
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+      .zipWithIndex.map { case ((p, _, _), i) => ((i + 1).toLong, p) }
+
+  /** [[encode]] emitting dense SentencePiece-style ids:
+    * (idCol, word_pos, piece_pos, piece_id). Out-of-vocabulary pieces
+    * (unknown code points the DP emitted via `unkLogp`) take id 0 —
+    * the single-unk convention (vs [[Vocab.encode]]'s hash buckets) —
+    * so the stream is total on any input. One broadcast join against
+    * the vocabulary-sized id table; the stream never shuffles.
+    */
+  def encodeIds(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: UnigramModel): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = pieceVocab(model).toDF("piece_id", "piece")
+      .filter(col("piece_id") > 0)
+    encode(docs, idCol, textCol, model)
+      .join(broadcast(vocab), Seq("piece"), "left")
+      .select(col(idCol), col("word_pos"), col("piece_pos"),
+        coalesce(col("piece_id"), lit(0L)).as("piece_id"))
+  }
+
   def encode(
       docs: DataFrame, idCol: String, textCol: String,
       model: UnigramModel): DataFrame = {

@@ -1052,6 +1052,17 @@ $bandSelects
       Unigram.encode(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
+    // Unigram piece-id encoding (C195 / t52): t49's piece stream one
+    // join further — dense SentencePiece-convention ids (unk = 0, then
+    // score order), the shape the packing tier batches. Broadcast
+    // vocab attach; the stream never shuffles.
+    "t52_unigram_ids" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Unigram.train(d, "text", vocabSize = 48, iters = 3,
+        maxPieceLen = 5, seedMulti = 80)
+      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+        .orderBy("doc_id", "word_pos", "piece_pos")
+    }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
     // and the per-doc id streams spliced into one dense position space
@@ -5401,6 +5412,32 @@ $bandSelects
          |        FROM wp JOIN esg ON wp.word = esg.word)
          |SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
          |FROM usp, UNNEST(range(1, len(pieces) + 1)) AS t(j)
+         |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
+    // t52: t49's encode joined to the score-ordered id table (unk = 0
+    // by convention; absent here — the corpus alphabet is covered).
+    "t52_unigram_ids" ->
+      s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)},
+         |ufm AS (
+         |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m,
+         |         round(ln(0.5 / CAST(sum(mass) AS DOUBLE)), 6) AS unk
+         |  FROM ufin),
+         |upv AS (
+         |  SELECT piece, row_number() OVER (ORDER BY mass DESC, piece) AS piece_id
+         |  FROM ufin),
+         |d50 AS (SELECT doc_id, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |ew AS (SELECT DISTINCT word, 1 AS freq FROM wp),
+         |${unigramDpCte("e", "ufm", "ew", "esg", 5)},
+         |usp AS (SELECT doc_id, word_pos, string_split(seg, ' ') AS pieces
+         |        FROM wp JOIN esg ON wp.word = esg.word),
+         |upe AS (SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+         |               pieces[j] AS piece
+         |        FROM usp, UNNEST(range(1, len(pieces) + 1)) AS t(j))
+         |SELECT e.doc_id, e.word_pos, e.piece_pos,
+         |       CAST(coalesce(v.piece_id, 0) AS BIGINT) AS piece_id
+         |FROM upe e LEFT JOIN upv v ON e.piece = v.piece
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
     // t50: the sentinel-rewrite pre-tokenizer replayed in RE2 —
     // identical passes, identical pattern.

@@ -105,6 +105,25 @@ class UnigramSpec extends GraftSuite {
     assert(ex.getMessage.contains("segmentNoSpaceScripts"))
   }
 
+  test("pieceVocab: unk is id 0, then score order (mass DESC, piece ASC)") {
+    val m = Unigram.train(docs("ab ab b"), "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 2, seedMulti = 2)
+    // masses: a=1, ab=2, b=2 → ids: <unk>=0, ab=1 (mass 2, 'ab' < 'b'),
+    // b=2, a=3.
+    assert(Unigram.pieceVocab(m) ===
+      Seq((0L, "<unk>"), (1L, "ab"), (2L, "b"), (3L, "a")))
+  }
+
+  test("encodeIds: OOV pieces take id 0, known pieces their vocab id") {
+    val m = Unigram.train(docs("ab ab b"), "text",
+      vocabSize = 4, iters = 1, maxPieceLen = 2, seedMulti = 2)
+    val ids = Unigram.encodeIds(docs("ab zb"), "doc_id", "text", m)
+      .orderBy("word_pos", "piece_pos").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // "ab" → [ab]=1; "zb" → [z]=<unk>=0, [b]=2.
+    assert(ids === Array((0L, 0L, 1L), (1L, 0L, 0L), (1L, 1L, 2L)))
+  }
+
   test("train: EM drops multi-char pieces Viterbi stops using") {
     // 'xy' seeds as a candidate but 'x'/'y' never co-win once 'xyz'
     // exists with higher mass — any dropped piece must be absent, and
