@@ -255,6 +255,33 @@ object Unigram {
     * shuffles. Total on any input: unknown code points come back as
     * single-char pieces via `unkLogp`.
     */
+  /** Tokenizer-quality (fertility) report per group under a trained
+    * unigram model — [[Bpe.fertility]]'s exact surface (n_words,
+    * n_pieces, fertility, chars_per_piece per `groupCol`), so the two
+    * tokenizer families compare on the same QC gauge. Same scale
+    * shape: the piece count rides the segmentation length (size of the
+    * seg split — never a piece explode), attached to the token stream
+    * by the same broadcast join as [[encode]].
+    */
+  def fertility(
+      docs: DataFrame, textCol: String, groupCol: String,
+      model: UnigramModel): DataFrame = {
+    val segs = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word")).distinct()
+      .withColumn("seg",
+        viterbiSeg(col("word"), model.logpMap, model.unkLogp, model.maxPieceLen))
+    docs
+      .select(col(groupCol), explode(TextOps.tokens(col(textCol))).as("word"))
+      .join(broadcast(segs), Seq("word"))
+      .select(col(groupCol), length(col("word")).cast("long").as("__chars"),
+        size(split(col("seg"), " ")).cast("long").as("__pieces"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_words"), sum(col("__pieces")).as("n_pieces"),
+        round(sum(col("__pieces")) / count(lit(1)).cast("double"), 6).as("fertility"),
+        round(sum(col("__chars")) / sum(col("__pieces")).cast("double"), 6)
+          .as("chars_per_piece"))
+  }
+
   /** The piece→id vocabulary of a trained model — the SentencePiece id
     * convention: id 0 is the unknown piece (`<unk>`), then pieces take
     * ids in score order (mass DESC, piece ASC in binary UTF-8 — the

@@ -1063,6 +1063,16 @@ $bandSelects
       Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
+    // Unigram fertility report (C194 / t53): per-lang tokenizer QC
+    // under the 48-piece unigram model — the same gauge as t38's BPE
+    // fertility, so the two families compare directly (the tokenizer
+    // bake-off a vocabulary decision actually runs on).
+    "t53_unigram_fertility" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Unigram.train(d, "text", vocabSize = 48, iters = 3,
+        maxPieceLen = 5, seedMulti = 80)
+      Unigram.fertility(d, "text", "lang", model).orderBy("lang")
+    }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
     // and the per-doc id streams spliced into one dense position space
@@ -5439,6 +5449,25 @@ $bandSelects
          |       CAST(coalesce(v.piece_id, 0) AS BIGINT) AS piece_id
          |FROM upe e LEFT JOIN upv v ON e.piece = v.piece
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
+    // t53: the final-model DP over the corpus word table (uw is already
+    // in the chain), joined onto the lang-keyed token stream, the t38
+    // aggregation on top.
+    "t53_unigram_fertility" ->
+      s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)},
+         |ufm AS (
+         |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m,
+         |         round(ln(0.5 / CAST(sum(mass) AS DOUBLE)), 6) AS unk
+         |  FROM ufin),
+         |${unigramDpCte("f", "ufm", "uw", "fsg", 5)},
+         |ts AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+         |tj AS (SELECT ts.lang, length(ts.word) AS chars,
+         |              len(string_split(f.seg, ' ')) AS pieces
+         |       FROM ts JOIN fsg f ON ts.word = f.word)
+         |SELECT lang, count(*) AS n_words,
+         |       CAST(sum(pieces) AS BIGINT) AS n_pieces,
+         |       round(sum(pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+         |       round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 6) AS chars_per_piece
+         |FROM tj GROUP BY lang ORDER BY lang""".stripMargin,
     // t50: the sentinel-rewrite pre-tokenizer replayed in RE2 —
     // identical passes, identical pattern.
     "t50_gpt2_pretokenize" ->
