@@ -100,6 +100,35 @@ object IngestQueries {
     root
   }
 
+  /** WARC shards (ISO 28500, the CommonCrawl container): every document
+    * as a `response` record — WARC header block, HTTP response block,
+    * text payload, CRLF-framed, with a real Content-Length (the HTTP
+    * block's 45 bytes + the payload octets). Every 17th record loses
+    * its WARC-Target-URI header line — the truncated-header damage a
+    * crawl dump actually carries. Each row leads with its own
+    * `WARC/1.0\r\n` version line, so every part file is a standalone
+    * valid WARC shard and the custom-lineSep read splits on it.
+    */
+  private[graft] def warcFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-warc") + "/shard"
+    val crlf = "\r\n"
+    table(s, dir, "documents")
+      .select(concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: response" + crlf),
+        concat(lit("WARC-Record-ID: <urn:graft:"), col("doc_id"), lit(">" + crlf)),
+        when(col("doc_id") % 17 === 0, lit(""))
+          .otherwise(concat(lit("WARC-Target-URI: http://example.org/doc/"),
+            col("doc_id"), lit(crlf))),
+        concat(lit("Content-Length: "),
+          (lit(45L) + octet_length(col("text"))).cast("string"), lit(crlf)),
+        lit(crlf),
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain" + crlf + crlf),
+        col("text")).as("value"))
+      .write.mode("overwrite").text(path)
+    path
+  }
+
   /** CSV shard (no header): doc_id,lang,source,n_chars — every 11th row
     * carries a type-contradicting token ('xx' where the schema says
     * BIGINT), the classic silent-poison row PERMISSIVE+quarantine must
@@ -273,6 +302,24 @@ object IngestQueries {
           lit(stillBad.isEmpty).as("replay_complete"))
         .orderBy("doc_id")
     }),
+    // WARC ingest (C198 / j13): the CommonCrawl container through ONE
+    // custom-record-delimiter text scan (splits inside shard files) —
+    // clean response records come back (uri, http_status, body) with
+    // the payload byte-exact through the CRLF framing; records with the
+    // planted truncated header quarantine whole.
+    "j13_warc_ingest" -> ((s, dir) => {
+      val (clean, _) = Ingest.warc(s, warcFixture(s, dir))
+      clean.orderBy("uri")
+    }),
+    // WARC quarantine totality: clean + corrupt covers every record;
+    // the damage rate replays exactly (the j2 contract on the new
+    // container).
+    "j14_warc_quarantine" -> ((s, dir) => {
+      val recs = s.read.option("lineSep", "WARC/1.0\r\n")
+        .text(warcFixture(s, dir)).toDF("value")
+        .filter(length(col("value")) > 0)
+      Ingest.report(Ingest.parseWarc(recs, "value"))
+    }),
     // Schema-drift inventory: per-field presence over the drifted shard
     // tree, BEFORE committing to a read schema — `quality` present in
     // exactly the new shards, doc_id/text everywhere. No schema input;
@@ -350,6 +397,18 @@ object IngestQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     // j12: the recovered set is exactly the type-drifted ninth, numbers
     // restored; replay_complete pins that nothing stayed bad.
+    // j13/j14: the WARC damage rule replays closed-form — undamaged
+    // docs round-trip (uri, status, payload); every 17th quarantines.
+    "j13_warc_ingest" ->
+      """SELECT 'http://example.org/doc/' || doc_id AS uri,
+        |       '200' AS http_status, text AS body
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY uri""".stripMargin,
+    "j14_warc_quarantine" ->
+      """SELECT count(*) FILTER (WHERE doc_id % 17 <> 0) AS n_clean,
+        |       count(*) FILTER (WHERE doc_id % 17 = 0) AS n_corrupt,
+        |       round(count(*) FILTER (WHERE doc_id % 17 = 0)
+        |             / CAST(count(*) AS DOUBLE), 6) AS corrupt_frac
+        |FROM documents""".stripMargin,
     "j12_quarantine_replay" ->
       """SELECT doc_id, lang, n_chars, true AS replay_complete
         |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin,

@@ -164,6 +164,54 @@ object Ingest {
     parsed.filter(col("is_clean"))
       .select(schema.fieldNames.map(f => col(s"parsed.`$f`").as(f)).toSeq: _*)
 
+  /** Parse WARC (ISO 28500 — the CommonCrawl container) response
+    * records. `records` holds ONE WARC record per row (everything after
+    * the `WARC/1.0` version line, as the [[warc]] scan produces). Adds
+    * `rec_type`, `uri`, `http_status`, `body` and `is_clean`; a record
+    * missing its WARC-Type, its target URI, or the HTTP status line
+    * quarantines WHOLE — the [[parseJsonl]] routing contract, so
+    * [[quarantineOf]]/[[report]] compose unchanged. Map-only regexp
+    * projections; no shuffle.
+    *
+    * Scope, stated honestly: TEXT payloads. The blank-line framing
+    * (`\r\n\r\n`) locates the body, so a BINARY payload containing that
+    * byte sequence would tear — byte-exact binary records need
+    * Content-Length slicing, a stateful scan neither engine's portable
+    * string surface expresses. Real crawl TEXT extraction (WAT/WET-
+    * style pipelines) is exactly this text-payload shape.
+    */
+  def parseWarc(records: DataFrame, recCol: String): DataFrame = {
+    val rec = col(recCol)
+    records
+      .withColumn("rec_type", regexp_extract(rec, "WARC-Type: ([^\r\n]+)", 1))
+      .withColumn("uri", regexp_extract(rec, "WARC-Target-URI: ([^\r\n]+)", 1))
+      .withColumn("http_status",
+        regexp_extract(rec, "\r\n\r\nHTTP/1\\.[01] ([0-9]{3})", 1))
+      // The payload after the LAST blank line; the trailing newline is
+      // the text writer's row terminator, not record content.
+      .withColumn("body",
+        regexp_replace(substring_index(rec, "\r\n\r\n", -1), "\n+$", ""))
+      .withColumn("is_clean",
+        col("rec_type") === "response" && col("uri") =!= "" &&
+          col("http_status") =!= "")
+  }
+
+  /** Read a WARC tree with quarantine: ONE `text` scan with the record
+    * header as the custom line separator (`WARC/1.0\r\n`) — Hadoop's
+    * custom-record-delimiter reader, so the scan SPLITS inside large
+    * shard files (parallelism follows byte splits, not file count — the
+    * property gzip shards lose, C160) — then [[parseWarc]]. Returns
+    * (clean, quarantine): clean = (uri, http_status, body); quarantine
+    * = raw records with the [[quarantineOf]] provenance.
+    */
+  def warc(spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val recs = spark.read.option("lineSep", "WARC/1.0\r\n").text(path)
+      .toDF("value").filter(length(col("value")) > 0)
+    val parsed = parseWarc(recs, "value")
+    (parsed.filter(col("is_clean")).select("uri", "http_status", "body"),
+      quarantineOf(parsed))
+  }
+
   /** The quarantine projection: raw offending lines, verbatim, with
     * provenance — `src_file` (the shard the line came from, via
     * `input_file_name()`; empty when the frame does not derive from a

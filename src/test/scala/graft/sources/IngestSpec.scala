@@ -164,6 +164,65 @@ class IngestSpec extends GraftSuite {
     assert(Ingest.quarantineOf(parsed).count() === 2)
   }
 
+  private def warcRecord(id: Long, body: String, withUri: Boolean = true): String = {
+    val crlf = "\r\n"
+    s"WARC/1.0${crlf}WARC-Type: response${crlf}WARC-Record-ID: <urn:graft:$id>$crlf" +
+      (if (withUri) s"WARC-Target-URI: http://example.org/doc/$id$crlf" else "") +
+      s"${crlf}HTTP/1.1 200 OK${crlf}Content-Type: text/plain$crlf$crlf$body"
+  }
+
+  test("warc: clean/quarantine totality, payload byte-exact, provenance on rejects") {
+    val dir = Fixtures.scratchDir("graft-warc-spec")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc"),
+      (warcRecord(1, "hello crawl") + "\n" + warcRecord(2, "bad", withUri = false) +
+        "\n" + warcRecord(3, "final body, no trailing newline"))
+        .getBytes("UTF-8"))
+    val (clean, quarantine) = Ingest.warc(spark, dir)
+    val rows = clean.orderBy("uri").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows === Array(
+      ("http://example.org/doc/1", "200", "hello crawl"),
+      ("http://example.org/doc/3", "200", "final body, no trailing newline")))
+    val q = quarantine.collect()
+    assert(q.length === 1)
+    assert(q.head.getAs[String]("src_file").endsWith("s0.warc"))
+    assert(!q.head.isNullAt(q.head.fieldIndex("line_hash")))
+  }
+
+  test("warc: the scan SPLITS inside one large shard file — no record torn at split boundaries") {
+    val dir = Fixtures.scratchDir("graft-warc-spec-split")
+    val recs = (1L to 400L).map(i => warcRecord(i, s"payload $i " + ("x" * 200)))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "big.warc"),
+      recs.mkString("\n").getBytes("UTF-8"))
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      val lines = spark.read.option("lineSep", "WARC/1.0\r\n").text(dir)
+        .toDF("value").filter(length(col("value")) > 0)
+      // One file, MANY tasks — the property gzip shards lose — and the
+      // record-delimiter reader reassembles every boundary-spanning
+      // record: nothing quarantines, nothing duplicates.
+      assert(lines.rdd.getNumPartitions > 1)
+      val parsed = Ingest.parseWarc(lines, "value")
+      assert(parsed.count() === 400L)
+      assert(parsed.filter(!col("is_clean")).count() === 0L)
+      assert(parsed.select("uri").distinct().count() === 400L)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+  }
+
+  test("warc: a payload line spelling the record header tears INTO QUARANTINE, never silently merges") {
+    val dir = Fixtures.scratchDir("graft-warc-spec-tear")
+    // The delimiter-collision limit, pinned honestly: a text payload
+    // containing a literal WARC/1.0 version line reads as a bogus
+    // record start; the tail has no headers, so it QUARANTINES (loud),
+    // and the host record's body is truncated at the collision.
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc"),
+      warcRecord(1, "evil body\nWARC/1.0\r\nnot a real record").getBytes("UTF-8"))
+    val (clean, quarantine) = Ingest.warc(spark, dir)
+    assert(clean.select("body").head().getString(0) === "evil body")
+    assert(quarantine.count() === 1L)
+  }
+
   test("embedded-newline CSV: the line-oriented reader tears (pinned); csvMultiline parses intact") {
     val record = "5,en,\"hello\nworld\"" // ONE logical record, two physical lines
     val (dir, _) = shard(Seq("1,en,10", record), "shard.csv")
