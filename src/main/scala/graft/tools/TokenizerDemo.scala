@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Classifier, Packing, TextStats, Vocab}
+import graft.pipeline.{Bpe, Classifier, Packing, TextStats, Unigram, Vocab}
 
 /** End-to-end demo/driver of the tokenizer tier over the real
   * `documents` testdata — from raw corpus to training-ready packs, each
@@ -116,6 +116,32 @@ object TokenizerDemo {
     val idMassOut = idPacks.agg(sum("pack_id_mass")).head().getLong(0)
     log(s"piece vocabulary: $pvSize ids (alphabet + merges)")
     log(s"id-mass reconciliation: in=$idMassIn out=$idMassOut (expect equal)")
+
+    // The second tokenizer family, same gauge: a unigram-LM model
+    // (SentencePiece) trained on the same gated corpus — fertility per
+    // lang comparable against the BPE line, encode totality checked.
+    val um = Unigram.train(g2, "text", vocabSize = 64, iters = 2,
+      maxPieceLen = 5, seedMulti = 120)
+    val uFert = Unigram.fertility(g2, "text", "lang", um)
+      .orderBy("lang").collect()
+      .map(r => f"${r.getString(0)}=${r.getDouble(3)}%.3f").mkString(" ")
+    log(s"unigram fertility by lang: $uFert (vs BPE above — the bake-off gauge)")
+    val uBad = Unigram.encode(g2, "doc_id", "text", um)
+      .groupBy("doc_id", "word_pos")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
+        col("piece")))).getField("piece")).as("back"))
+      .join(g2.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("word_pos", "word"))),
+        Seq("doc_id", "word_pos"))
+      .filter(col("back") =!= col("word")).count()
+    log(s"unigram encode round-trip failures: $uBad (expect 0)")
+
+    // GPT-2 grain: pre-tokenize, then byte-level BPE — the merges must
+    // include space-prefixed (Ġ-style, hex 20-led) pieces.
+    val gm = Bpe.train(g2, "text", numMerges = 8, byteLevel = true,
+      tokenizer = graft.pipeline.TextOps.gpt2PreTokenize)
+    val spaceLed = gm.merges.count(m => m.merged.startsWith("20"))
+    log(s"GPT-2-grain byte BPE: ${gm.merges.size} merges, $spaceLed space-led (expect > 0)")
 
     spark.stop()
   }
