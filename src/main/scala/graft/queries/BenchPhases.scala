@@ -35,6 +35,23 @@ object BenchPhases {
         clean.count(); ()
       }
     }),
+    "j13_warc_ingest" -> ((s, dir) => {
+      val path = IngestQueries.warcFixture(s, dir)
+      () => {
+        val (clean, _) = graft.sources.Ingest.warc(s, path)
+        clean.count(); ()
+      }
+    }),
+    "j14_warc_quarantine" -> ((s, dir) => {
+      val path = IngestQueries.warcFixture(s, dir)
+      () => {
+        import org.apache.spark.sql.functions.{col, length}
+        val recs = s.read.option("lineSep", "WARC/1.0\r\n").text(path)
+          .toDF("value").filter(length(col("value")) > 0)
+        graft.sources.Ingest.report(
+          graft.sources.Ingest.parseWarc(recs, "value")).count(); ()
+      }
+    }),
     "j2_jsonl_quarantine" -> ((s, dir) => {
       val path = IngestQueries.jsonlFixture(s, dir)
       () => {
