@@ -1242,6 +1242,15 @@ object TextStats {
       sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2"),
       sum(when(col("ct") === 3, 1L).otherwise(0L)).as("n3"),
       sum(when(col("ct") === 4, 1L).otherwise(0L)).as("n4")).head()
+    // Null sums ⇔ zero model rows: fail loud with the cause, not a
+    // ROW_VALUE_IS_NULL deep in the mixture (an empty model means the
+    // corpus — or, in the CCNet composition, the classifier-selected
+    // REFERENCE slice — has no 3-token docs; there is nothing to score
+    // against).
+    if (cc.isNullAt(0)) throw new IllegalArgumentException(
+      "empty trigram model: the model corpus has no docs with >= 3 tokens " +
+        "(in a reference-gated pipeline this means the gate accepted " +
+        "nothing) — a KN/MKN model cannot be estimated from it.")
     val (n1, n2, n3, n4) =
       (cc.getLong(0), cc.getLong(1), cc.getLong(2), cc.getLong(3))
     def r6(x: Double): Double =

@@ -2044,6 +2044,37 @@ $bandSelects
   /** st20's oracle: t35's GD machinery, accepted slice only — exposed
     * here because the logistic CTE builder lives with its siblings.
     */
+  /** st22's oracle: the p9 chain (classifier-selected reference, MKN
+    * scoring of the full corpus) with the frozen-cutoff CASE replacing
+    * the live ntile — cutoffs read off the ntile buckets exactly the
+    * way the setup's calibration run does, then the per-(lang, bucket)
+    * census of the converged sink.
+    */
+  private[graft] def st22OracleSql: String =
+    s"""WITH ${logisticCtes(3, 1.0)},
+       |acc AS MATERIALIZED (
+       |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+       |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+       |refd AS MATERIALIZED (
+       |  SELECT d.doc_id, d.text FROM documents d JOIN acc USING (doc_id)),
+       |${mknNllCtes("refd", "documents")},
+       |pl AS MATERIALIZED (
+       |  SELECT p.doc_id, l.lang, p.avg_nll,
+       |         ntile(3) OVER (PARTITION BY l.lang
+       |           ORDER BY p.avg_nll, p.doc_id) AS nb
+       |  FROM perdoc p JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)),
+       |cuts AS (
+       |  SELECT lang,
+       |         max(CASE WHEN nb = 1 THEN avg_nll END) AS c1,
+       |         max(CASE WHEN nb = 2 THEN avg_nll END) AS c2
+       |  FROM pl GROUP BY lang)
+       |SELECT pl.lang,
+       |       CAST(CASE WHEN pl.avg_nll <= c.c1 THEN 1
+       |                 WHEN pl.avg_nll <= c.c2 THEN 2 ELSE 3 END AS BIGINT) AS bucket,
+       |       count(*) AS n, round(avg(pl.avg_nll), 6) AS mean_nll
+       |FROM pl JOIN cuts c USING (lang)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+
   private[graft] def st20OracleSql: String = {
     val scoreExpr = "round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6)"
     s"""WITH ${logisticCtes(3, 1.0)}

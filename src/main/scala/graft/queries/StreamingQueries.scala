@@ -419,6 +419,20 @@ object StreamingQueries {
         .groupBy("lang", "routed").agg(count(lit(1)).as("n"))
         .orderBy("lang", "routed")
     }),
+    // Streaming LM-perplexity gate (st22): the CCNet gate's deployable
+    // form — frozen reference-trained MKN model + frozen per-lang
+    // tercile cutoffs, each micro-batch scored by the BATCH scorer
+    // under foreachBatch into a replay-safe batch directory. Stateless
+    // across batches ⇒ the converged per-(lang, bucket) census equals
+    // the batch scoring under the same frozen cutoffs.
+    "st22_stream_lm_gate" -> ((s, dir) => {
+      val (replay, out) = st22Setup(s, dir)
+      replay()
+      s.read.parquet(out)
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n"),
+          round(avg(col("avg_nll")), 6).as("mean_nll"))
+        .orderBy("lang", "bucket")
+    }),
     // Streaming vocabulary maintenance (st19): documents replayed in
     // batches, each micro-batch's exact token counts SUMMED into the
     // count store (read touched buckets, add, replace). Counts are
@@ -806,6 +820,56 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st22 (streaming LM-perplexity gate): the CCNet
+    * pipeline's deployable form. Upstream and FROZEN: the classifier-
+    * bootstrapped reference slice, the modified-KN trigram model
+    * trained on it, and the per-lang tercile cutoffs read off the batch
+    * calibration run (max avg_nll within ntile buckets 1 and 2 — a
+    * lang-bounded collect). The corpus then streams as raw
+    * (doc_id, lang, text) rows; each micro-batch runs the batch scorer
+    * under foreachBatch into its own replay-safe batch directory.
+    */
+  private[graft] def st22Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st22")
+    val out = s"$scratch/out"
+    val d = Fixtures.table(s, dir, "documents")
+    val feats = PipelineQueries.classifierFeatures(d)
+    val w = graft.pipeline.Classifier.trainLogistic(
+      feats, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
+    val ref = d.join(
+      graft.pipeline.Classifier.score(feats, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+        .filter(col("accepted")).select("doc_id"),
+      Seq("doc_id"))
+    val model = TextStats.trigramCounts(ref, "text").persist()
+    model.count()
+    // Batch calibration: the p9 terciles, read off as frozen cutoffs
+    // (one (lang, c1, c2) row per language — bounded collect).
+    val calib = TextStats.mknTrigramNllAgainst(d, model, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))))
+      .groupBy("lang").agg(
+        max(when(col("bucket") === 1, col("avg_nll"))).as("c1"),
+        max(when(col("bucket") === 2, col("avg_nll"))).as("c2"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val cut1 = calib.map(t => (t._1, t._2)).toMap
+    val cut2 = calib.map(t => (t._1, t._3)).toMap
+    val rows = d.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "lang", "text")
+    val q = graft.streaming.StreamingScore.lmGateTo(
+      stream, "doc_id", "text", "lang", model, cut1, cut2, out, s"$scratch/cp")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally { q.stop(); model.unpersist(false); () }
+    (replay, out)
+  }
+
   /** Untimed setup for st19 (streaming vocabulary store): documents
     * replayed in doc_id order across N batches — every batch carries
     * mostly already-seen tokens, so stored count rows are
@@ -1168,6 +1232,7 @@ object StreamingQueries {
     // router — frozen softmax matrix, stateless routing, so the
     // converged class partitions replay with t44's own machinery.
     "st21_stream_route" -> PipelineQueries.st21OracleSql,
+    "st22_stream_lm_gate" -> PipelineQueries.st22OracleSql,
     // st19 is t31 through the maintained count store — the converged
     // store ranks into the batch vocabulary: t31's oracle verbatim.
     "st19_stream_vocab" ->

@@ -76,4 +76,57 @@ object StreamingScore {
       .partitionBy("routed")
       .option("path", path).option("checkpointLocation", checkpoint)
       .start()
+
+  /** The LM-PERPLEXITY gate's streaming shape — the deployable form of
+    * the CCNet pipeline (C196): the modified-KN trigram model trains on
+    * the reference slice UPSTREAM and freezes, the per-lang tercile
+    * CUTOFFS freeze from the batch calibration run, and every arriving
+    * doc scores against both. Unlike the weight-vector gates above, the
+    * frozen model here is TABLES (the trigram model), so scoring joins
+    * the batch against static frames — the in-Spark analog of shipping
+    * a KenLM binary to every worker. A lang with no calibrated cutoffs
+    * routes to bucket 3 (tail — conservative reject), stated.
+    *
+    * Per micro-batch this runs the BATCH scorer
+    * ([[graft.pipeline.TextStats.mknTrigramNllAgainst]]) — ONE
+    * implementation, no streaming twin to drift — which is legal
+    * precisely because the gate is stateless across batches: per-doc
+    * NLL and a cutoff CASE need nothing from any other batch.
+    */
+  def lmGate(
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      trigramModel: DataFrame, cut1: Map[String, Double],
+      cut2: Map[String, Double]): DataFrame = {
+    val c1 = typedlit(cut1)
+    val c2 = typedlit(cut2)
+    graft.pipeline.TextStats.mknTrigramNllAgainst(batch, trigramModel, idCol, textCol)
+      .join(batch.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket",
+        when(col("avg_nll") <=
+          coalesce(element_at(c1, col(langCol)), lit(Double.NegativeInfinity)), lit(1L))
+          .when(col("avg_nll") <=
+            coalesce(element_at(c2, col(langCol)), lit(Double.NegativeInfinity)), lit(2L))
+          .otherwise(lit(3L)))
+  }
+
+  /** Run the frozen LM gate over a stream. The scorer aggregates per
+    * doc (token-level NLL terms fold into one row), which the native
+    * append sink cannot host without a watermark — so each micro-batch
+    * runs the batch scorer under `foreachBatch` and lands in its OWN
+    * `batch=<id>` partition directory with mode overwrite: a replayed
+    * batch rewrites exactly its own directory, which is what makes the
+    * sink exactly-once under foreachBatch's at-least-once contract
+    * (the [[StreamingIndex]] replay discipline, spec-pinned).
+    */
+  def lmGateTo(
+      stream: DataFrame, idCol: String, textCol: String, langCol: String,
+      trigramModel: DataFrame, cut1: Map[String, Double],
+      cut2: Map[String, Double], path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmGate(batch, idCol, textCol, langCol, trigramModel, cut1, cut2)
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
 }

@@ -28,7 +28,15 @@ import org.apache.spark.sql.functions._
   *     region).
   *
   * Run: `sbt "runMain graft.tools.ScaleFixture [srcDir] [outDir] [K]"`,
-  * then point the isolated bench at outDir.
+  * then point the isolated bench at outDir. An optional 4th arg is a
+  * comma-list of tokens EXEMPT from the per-copy salt — the weak-label
+  * markers ('the') that classifier-bootstrapped pipelines (p9's CCNet
+  * gate) key on: the default salt erases the marker from copies 1..K−1,
+  * collapsing the label prior from ~77% to ~8% and training the gate to
+  * reject everything, which is a fixture artifact, not a pipeline
+  * property. Exempting only the marker keeps shingle vocabularies
+  * effectively disjoint (a shared stop-token changes no 3-gram across
+  * copies unless its entire neighborhood is also shared).
   */
 object ScaleFixture {
 
@@ -55,14 +63,19 @@ object ScaleFixture {
       println(s"[scale] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
+    val keep = args.lift(3).map(_.split(",").toSeq).getOrElse(Seq.empty)
     val docs = spark.read.parquet(s"$src/documents.parquet")
     write("documents", copies(docs).select(
       (col("doc_id") + col("__copy") * 1000000L).as("doc_id"),
       // Copy 0 keeps the base text verbatim; copies 1..K-1 salt every
-      // token, giving disjoint shingle vocabularies per copy.
+      // token (minus the exempt markers), giving disjoint shingle
+      // vocabularies per copy.
       when(col("__copy") === 0, col("text"))
         .otherwise(concat_ws(" ",
-          transform(split(col("text"), " "), t => concat(t, lit("_"), col("__copy")))))
+          transform(split(col("text"), " "), t =>
+            if (keep.isEmpty) concat(t, lit("_"), col("__copy"))
+            else when(t.isin(keep: _*), t)
+              .otherwise(concat(t, lit("_"), col("__copy"))))))
         .as("text"),
       col("lang"), col("source"), col("n_chars")))
 

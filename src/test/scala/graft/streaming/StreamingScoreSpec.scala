@@ -63,4 +63,46 @@ class StreamingScoreSpec extends GraftSuite {
       StreamingScore.routeGate(kfeats, kw, Seq("x1", "x2"), Seq("a", "b"))
     }
   }
+
+  private val lmDocs = Seq(
+    (1L, "en", "the cat sat on the mat today"),
+    (2L, "en", "the cat sat on the mat again"),
+    (3L, "en", "zq xv qq zz vq xx qv zx"),
+    (4L, "fr", "le chat dort sur le tapis")).toDF("doc_id", "lang", "text")
+
+  test("lm gate: frozen-model law — NLLs == batch mknTrigramNllAgainst, cutoffs route by CASE") {
+    val model = graft.pipeline.TextStats.trigramCounts(
+      lmDocs.filter(col("doc_id") <= 2), "text")
+    val batchNll = graft.pipeline.TextStats
+      .mknTrigramNllAgainst(lmDocs, model, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // Cutoffs read off the en NLLs; the gate must replay the CASE rule.
+    val en = Seq(1L, 2L, 3L).map(batchNll).sorted
+    val out = StreamingScore.lmGate(lmDocs, "doc_id", "text", "lang", model,
+        cut1 = Map("en" -> en(0)), cut2 = Map("en" -> en(1)))
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Double]("avg_nll"), r.getAs[Long]("bucket")))).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(i => out(i)._1 === batchNll(i)))
+    def expected(nll: Double): Long =
+      if (nll <= en(0)) 1L else if (nll <= en(1)) 2L else 3L
+    assert(Seq(1L, 2L, 3L).forall(i => out(i)._2 === expected(batchNll(i))))
+    // The OOV-soup doc must land in the tail under its lang's cutoffs.
+    assert(out(3L)._2 === 3L)
+    // A lang with no calibrated cutoffs routes to the tail bucket.
+    assert(out(4L)._2 === 3L)
+  }
+
+  test("lm gate: per-batch directory overwrite makes a replayed batch a no-op") {
+    val model = graft.pipeline.TextStats.trigramCounts(lmDocs, "text")
+    val path = graft.queries.Fixtures.scratchDir("graft-lmgate-spec") + "/out"
+    def writeBatch(id: Long): Unit =
+      StreamingScore.lmGate(lmDocs, "doc_id", "text", "lang", model,
+          Map("en" -> 100.0, "fr" -> 100.0), Map.empty)
+        .write.mode("overwrite").parquet(s"$path/batch=$id")
+    writeBatch(0L)
+    val once = spark.read.parquet(path).orderBy("doc_id").collect().toSeq
+    writeBatch(0L) // foreachBatch replay: same id, same rows, no duplication
+    val twice = spark.read.parquet(path).orderBy("doc_id").collect().toSeq
+    assert(twice === once && once.size === 4)
+  }
 }
