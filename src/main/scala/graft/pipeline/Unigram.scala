@@ -59,7 +59,8 @@ object Unigram {
     * candidate length cap the DP was trained with (encode must match).
     */
   final case class UnigramModel(
-      pieces: Seq[(String, Long, Double)], unkLogp: Double, maxPieceLen: Int) {
+      pieces: Seq[(String, Long, Double)], unkLogp: Double, maxPieceLen: Int,
+      cappedOut: Long = 0L) {
     def logpMap: Map[String, Double] = pieces.map(t => (t._1, t._3)).toMap
 
     /** The model as a DataFrame: (piece, mass, logp). */
@@ -245,6 +246,153 @@ object Unigram {
     val unkLogp = round6(math.log(0.5 / kept.map(_._2).sum.toDouble))
     words.unpersist(false)
     UnigramModel(kept, unkLogp, maxPieceLen)
+  }
+
+  /** The Viterbi DP driver-side — [[viterbiSeg]]'s exact replica for
+    * [[trainLocal]]'s in-memory EM loop: same candidate order (j
+    * ascending), same raw-double accumulation (acc(j−1) + logp, no
+    * rounding), same total tie-break (higher lp, then the
+    * lexicographically GREATEST seg string in binary UTF-8 — the
+    * `array_max` struct order), so the two trainers segment
+    * byte-identically.
+    */
+  private def viterbiSegLocal(
+      word: String, vocab: collection.Map[String, Double], unkLogp: Double,
+      maxPieceLen: Int): Seq[String] = {
+    // Code-point index → char offset (substring must match the engines'
+    // code-point slicing above the BMP).
+    val offs = {
+      val b = new scala.collection.mutable.ArrayBuffer[Int](word.length + 1)
+      var i = 0
+      b += 0
+      while (i < word.length) { i += Character.charCount(word.codePointAt(i)); b += i }
+      b
+    }
+    val n = offs.length - 1
+    val lp = new Array[Double](n + 1)
+    val seg = new Array[String](n + 1)
+    lp(0) = 0.0; seg(0) = ""
+    var i = 1
+    while (i <= n) {
+      var bestLp = Double.NaN
+      var bestSeg: String = null
+      var j = math.max(1, i - maxPieceLen + 1)
+      while (j <= i) {
+        val piece = word.substring(offs(j - 1), offs(i))
+        val plp =
+          if (i == j) vocab.getOrElse(piece, unkLogp)
+          else vocab.getOrElse(piece, Double.NaN)
+        if (!plp.isNaN) {
+          val cand = lp(j - 1) + plp
+          val candSeg = seg(j - 1) + " " + piece
+          val better = bestSeg == null || cand > bestLp ||
+            (cand == bestLp && utf8Compare(candSeg, bestSeg) > 0)
+          if (better) { bestLp = cand; bestSeg = candSeg }
+        }
+        j += 1
+      }
+      lp(i) = bestLp; seg(i) = bestSeg
+      i += 1
+    }
+    seg(n).stripPrefix(" ").split(" ", -1).toSeq
+  }
+
+  /** Train the unigram model with the EM loop DRIVER-LOCAL — the
+    * production-vocab path, [[Bpe.trainLocal]]'s (C185) shape for this
+    * family. [[train]]'s one-job-per-round is the right shape per
+    * round, but a production seed (10⁵–10⁶ candidate pieces) makes the
+    * per-round vocab map literal a multi-MB plan constant shipped to
+    * every task, every round; SentencePiece itself runs exactly this
+    * loop in memory. ONE distributed aggregation builds the word table,
+    * ONE TakeOrdered collects it bounded by `wordCap` (freq DESC, word
+    * ASC — the C185 cap contract verbatim: a dropped tail word's
+    * substring mass is Zipf-spread and invisible to the seed/EM
+    * argmaxes; `cappedOut` counts what fell outside, never silent), and
+    * seed + EM + prune run in memory. No tail fallback is needed at
+    * all — the model IS the piece table and [[encode]] segments any
+    * word at encode time.
+    *
+    * Spec-pinned piece-for-piece, mass-for-mass, logp-for-logp EQUAL to
+    * [[train]] when `wordCap` covers the distinct-word count.
+    */
+  def trainLocal(
+      docs: DataFrame, textCol: String, vocabSize: Int, iters: Int = 3,
+      maxPieceLen: Int = 5, seedMulti: Int = 300, wordCap: Int = 1 << 20,
+      maxWordChars: Int = 200): UnigramModel = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(wordCap >= 1, s"wordCap must be >= 1, got $wordCap")
+    val wf = docs
+      .select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .persist()
+    val totalWords = wf.count()
+    if (maxWordChars > 0) {
+      val longest = wf.agg(max(length(col("word")))).head()
+      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
+      if (maxLen > maxWordChars) {
+        wf.unpersist(false)
+        throw new IllegalArgumentException(
+          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
+            "this is the signature of no-space-script (Han/Kana/Thai) text. " +
+            "Pre-segment with TextOps.segmentNoSpaceScripts, or pass " +
+            "maxWordChars = 0 to force.")
+      }
+    }
+    // The ONE driver-side collect: bounded by the cap, never the corpus.
+    val words = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    wf.unpersist(false)
+    // Seed: occurrence-weighted substring masses, in memory.
+    val seedMass = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- words) {
+      val offs = {
+        val b = new scala.collection.mutable.ArrayBuffer[Int](w.length + 1)
+        var i = 0
+        b += 0
+        while (i < w.length) { i += Character.charCount(w.codePointAt(i)); b += i }
+        b
+      }
+      val n = offs.length - 1
+      var i = 0
+      while (i < n) {
+        var l = 1
+        while (l <= math.min(maxPieceLen, n - i)) {
+          val p = w.substring(offs(i), offs(i + l))
+          seedMass(p) = seedMass.getOrElse(p, 0L) + f
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val (sgl0, mlt0) = seedMass.toSeq.partition(t => cpLen(t._1) == 1)
+    val multi = mlt0
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+      .take(seedMulti)
+    var model = normalize(sgl0 ++ multi)
+    for (_ <- 1 to iters) {
+      val unk = round6(math.log(0.5 / model.map(_._2).sum.toDouble))
+      val lpMap = model.map(t => (t._1, t._3)).toMap
+      val em = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- words; p <- viterbiSegLocal(w, lpMap, unk, maxPieceLen))
+        em(p) = em.getOrElse(p, 0L) + f
+      val next = model.flatMap { case (p, _, _) =>
+        val m = em.getOrElse(p, 0L) + (if (cpLen(p) == 1) 1L else 0L)
+        if (m > 0L) Some((p, m)) else None
+      }
+      model = normalize(next)
+    }
+    val (sgl, mlt) = model.partition(t => cpLen(t._1) == 1)
+    val keepMulti = mlt
+      .sortWith((a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
+      .take(math.max(0, vocabSize - sgl.size))
+    val kept = normalize((sgl ++ keepMulti).map(t => (t._1, t._2)))
+      .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
+    val unkLogp = round6(math.log(0.5 / kept.map(_._2).sum.toDouble))
+    UnigramModel(kept, unkLogp, maxPieceLen,
+      cappedOut = math.max(0L, totalWords - words.length))
   }
 
   /** Encode every document's token stream into unigram pieces:

@@ -1040,6 +1040,17 @@ $bandSelects
       Unigram.train(table(s, dir, "documents"), "text", vocabSize = 48,
           iters = 3, maxPieceLen = 5, seedMulti = 80)
         .pieceTable(s).orderBy("piece")),
+    // Driver-local unigram training (C194 / t54): the production-vocab
+    // trainer — ONE distributed word aggregation, ONE bounded
+    // TakeOrdered collect, seed+EM+prune in memory (the C185 shape: a
+    // production seed would make the per-round vocab map literal a
+    // multi-MB plan constant; SentencePiece itself runs this loop in
+    // memory). Spec-pinned equal to t48's distributed loop; the oracle
+    // is LITERALLY t48's — the two trainers must hash-match each other.
+    "t54_unigram_train_local" -> ((s, dir) =>
+      Unigram.trainLocal(table(s, dir, "documents"), "text", vocabSize = 48,
+          iters = 3, maxPieceLen = 5, seedMulti = 80)
+        .pieceTable(s).orderBy("piece")),
     // Unigram-LM encoding (C195 / t49): docs < 50 Viterbi-segmented
     // under the trained piece table — the DP runs once per DISTINCT
     // word and attaches to the token stream as a broadcast join (the
@@ -5454,6 +5465,11 @@ $bandSelects
          |SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
          |FROM usp, UNNEST(range(1, len(pieces) + 1)) AS t(j)
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
+    // t54: the SAME chain as t48 — the local trainer's contract is
+    // bit-equality with the distributed one.
+    "t54_unigram_train_local" ->
+      s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)}
+         |SELECT piece, mass, lp AS logp FROM ufin ORDER BY piece""".stripMargin,
     // t52: t49's encode joined to the score-ordered id table (unk = 0
     // by convention; absent here — the corpus alphabet is covered).
     "t52_unigram_ids" ->

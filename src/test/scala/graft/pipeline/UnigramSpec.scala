@@ -124,6 +124,33 @@ class UnigramSpec extends GraftSuite {
     assert(ids === Array((0L, 0L, 1L), (1L, 0L, 0L), (1L, 1L, 2L)))
   }
 
+  test("trainLocal == train: pieces, masses, logps, unkLogp — uncapped") {
+    val d = docs("spark merge table scan the fast scan",
+      "merge table fast scan scan batch", "ab ab b zq")
+    val a = Unigram.train(d, "text", vocabSize = 20, iters = 2,
+      maxPieceLen = 4, seedMulti = 12)
+    val b = Unigram.trainLocal(d, "text", vocabSize = 20, iters = 2,
+      maxPieceLen = 4, seedMulti = 12)
+    assert(b.pieces === a.pieces && b.unkLogp === a.unkLogp && b.cappedOut === 0L)
+  }
+
+  test("trainLocal: a binding wordCap counts the dropped tail, never silent") {
+    val d = docs("aa aa aa bb bb cc")
+    // Cap keeps only the top word (aa, freq 3): bb and cc fall outside.
+    val m = Unigram.trainLocal(d, "text", vocabSize = 6, iters = 1,
+      maxPieceLen = 2, seedMulti = 4, wordCap = 1)
+    assert(m.cappedOut === 2L)
+    // The model sees only aa's substrings — no 'b'/'c' pieces.
+    assert(m.pieces.forall(t => !t._1.contains("b") && !t._1.contains("c")))
+    // Encode is still TOTAL on the capped-out words (unk single chars).
+    val enc = Unigram.encode(d, "doc_id", "text", m)
+      .groupBy("doc_id", "word_pos")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
+        col("piece")))).getField("piece")).as("w"))
+      .count()
+    assert(enc === 6L)
+  }
+
   test("train: EM drops multi-char pieces Viterbi stops using") {
     // 'xy' seeds as a candidate but 'x'/'y' never co-win once 'xyz'
     // exists with higher mass — any dropped piece must be absent, and
