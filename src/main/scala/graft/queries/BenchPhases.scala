@@ -240,6 +240,7 @@ object BenchPhases {
     "st20_stream_score" -> ((s, dir) => StreamingQueries.st20Setup(s, dir)._1),
     "st21_stream_route" -> ((s, dir) => StreamingQueries.st21Setup(s, dir)._1),
     "st22_stream_lm_gate" -> ((s, dir) => StreamingQueries.st22Setup(s, dir)._1),
+    "st23_warc_stream" -> ((s, dir) => StreamingQueries.st23Setup(s, dir)._1),
     "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1),
     "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1),
     "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),

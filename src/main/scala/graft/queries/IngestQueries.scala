@@ -109,10 +109,10 @@ object IngestQueries {
     * `WARC/1.0\r\n` version line, so every part file is a standalone
     * valid WARC shard and the custom-lineSep read splits on it.
     */
-  private[graft] def warcFixture(s: SparkSession, dir: String): String = {
+  private[graft] def warcFixture(s: SparkSession, dir: String, nFiles: Int = 0): String = {
     val path = Fixtures.scratchDir("graft-warc") + "/shard"
     val crlf = "\r\n"
-    table(s, dir, "documents")
+    val serialized = table(s, dir, "documents")
       .select(concat(
         lit("WARC/1.0" + crlf),
         lit("WARC-Type: response" + crlf),
@@ -125,7 +125,8 @@ object IngestQueries {
         lit(crlf),
         lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain" + crlf + crlf),
         col("text")).as("value"))
-      .write.mode("overwrite").text(path)
+    val sharded = if (nFiles > 0) serialized.repartition(nFiles) else serialized
+    sharded.write.mode("overwrite").text(path)
     path
   }
 

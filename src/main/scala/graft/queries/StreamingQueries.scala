@@ -395,6 +395,17 @@ object StreamingQueries {
       s.read.parquet(out).filter(col("routed") === "clean")
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     }),
+    // Streaming WARC gate (st23): crawl shards landing over time, each
+    // record routed clean/quarantine by the stateless parseWarc
+    // projection into the verdict-partitioned exactly-once sink.
+    // Stateless gate ⇒ converged clean partition == the batch j13 read:
+    // shares j13's oracle verbatim (the st18/j1 precedent).
+    "st23_warc_stream" -> ((s, dir) => {
+      val (replay, out) = st23Setup(s, dir)
+      replay()
+      s.read.parquet(out).filter(col("routed") === "clean")
+        .select("uri", "http_status", "body").orderBy("uri")
+    }),
     // Streaming classifier gate (st20): weights trained upstream and
     // FROZEN, each micro-batch scored by the model-as-plan-literal and
     // routed into the verdict-partitioned exactly-once sink. Stateless
@@ -674,6 +685,27 @@ object StreamingQueries {
       val stream = s.readStream.option("maxFilesPerTrigger", 1).text(stage)
       val q = StreamingIngest.ingestTo(
         stream, "value", IngestQueries.jsonlSchema, out, s"$scratch/cp")
+      try q.processAllAvailable() finally q.stop()
+    }
+    (replay, out)
+  }
+
+  /** Untimed setup for st23 (streaming WARC gate): the WARC shard tree
+    * staged as one file per micro-batch, tailed by a readStream.text
+    * with the record delimiter (the batch scan's TextOptions apply to
+    * the stream source unchanged), routed through the stateless
+    * parseWarc gate into the verdict-partitioned exactly-once sink.
+    */
+  private[graft] def st23Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    val scratch = Fixtures.scratchDir("graft-st23")
+    val out = s"$scratch/out"
+    val stage = IngestQueries.warcFixture(s, dir, nFiles = NBatches)
+    val replay = () => {
+      val stream = s.readStream
+        .option("maxFilesPerTrigger", 1).option("lineSep", "WARC/1.0\r\n")
+        .text(stage).toDF("value")
+        .filter(length(col("value")) > 0)
+      val q = StreamingIngest.warcTo(stream, "value", out, s"$scratch/cp")
       try q.processAllAvailable() finally q.stop()
     }
     (replay, out)
@@ -1224,6 +1256,12 @@ object StreamingQueries {
     "st18_stream_ingest" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
+    // st23 shares j13's oracle verbatim — the streaming WARC gate is
+    // stateless, so its converged clean partition is the batch read.
+    "st23_warc_stream" ->
+      """SELECT 'http://example.org/doc/' || doc_id AS uri,
+        |       '200' AS http_status, text AS body
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY uri""".stripMargin,
     // st20 is t35's accepted slice through the streaming gate — frozen
     // weights, stateless scoring, so the converged accepted partition
     // replays with t35's own GD-round machinery.

@@ -54,4 +54,37 @@ object StreamingIngest {
       .partitionBy("routed")
       .option("path", path).option("checkpointLocation", checkpoint)
       .start()
+
+  /** The WARC gate — [[graft.sources.Ingest.parseWarc]] (C198) as the
+    * same stateless routing projection: clean records carry
+    * (uri, http_status, body), rejects carry the raw record verbatim.
+    * The record stream comes from a `readStream.text` tail of the drop
+    * directory with the WARC version line as the record delimiter (the
+    * same TextOptions the batch scan uses), so a continuously-landing
+    * crawl flows through the identical parse — converged sink == batch
+    * read, the C162 argument unchanged.
+    */
+  def warcGate(records: DataFrame, recCol: String): DataFrame = {
+    val parsed = Ingest.parseWarc(records, recCol)
+    parsed.select(
+      when(col("is_clean"), col("uri")).as("uri"),
+      when(col("is_clean"), col("http_status")).as("http_status"),
+      when(col("is_clean"), col("body")).as("body"),
+      when(!col("is_clean"), col(recCol)).as("raw_record"),
+      when(col("is_clean"), lit("clean")).otherwise(lit("quarantine"))
+        .as("routed"))
+  }
+
+  /** Run the WARC quarantine gate into the verdict-partitioned
+    * exactly-once sink — [[ingestTo]]'s contract on the crawl
+    * container.
+    */
+  def warcTo(
+      records: DataFrame, recCol: String, path: String,
+      checkpoint: String): StreamingQuery =
+    warcGate(records, recCol)
+      .writeStream.outputMode("append").format("parquet")
+      .partitionBy("routed")
+      .option("path", path).option("checkpointLocation", checkpoint)
+      .start()
 }
