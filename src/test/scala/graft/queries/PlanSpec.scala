@@ -514,4 +514,34 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
+
+  test("t49 unigram encode: the per-word Viterbi attaches as a broadcast join — the token stream never sort-merge-shuffles") {
+    val plan = planOf("t49_unigram_encode")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      plan.take(3000))
+  }
+
+  test("t50 GPT-2 pre-tokenization: map-only — no exchange beyond the output sort, no join") {
+    val plan = planOf("t50_gpt2_pretokenize")
+    assert(!plan.contains("Join"), plan.take(3000))
+    // One Exchange for the final orderBy (rangepartitioning) only.
+    assert("Exchange".r.findAllIn(plan).size <= 1, plan.take(3000))
+  }
+
+  test("j13 WARC ingest: one text scan, map-only parse — no join, no aggregation") {
+    val plan = planOf("j13_warc_ingest")
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      plan.take(3000))
+  }
+
+  test("p9 perplexity gate: model attaches are equi-joins + 1-row broadcasts, terciles one doc-frame window — never corpus-cartesian") {
+    val plan = planOf("p9_perplexity_gate")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // 1-row broadcasts: the MKN totals crossJoin and the classifier
+    // score threshold; everything row-keyed is a hash equi-join.
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+    assert("Window".r.findAllIn(plan).size >= 1, plan.take(3000))
+  }
 }
