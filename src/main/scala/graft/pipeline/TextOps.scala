@@ -166,7 +166,7 @@ object TextOps {
 
   /** Sentence segmentation: split after terminal punctuation
     * (`[.!?]` + whitespace). Deliberately lookbehind-free — the sentinel
-    * rewrite `([.!?])\s+` → `$1` then split keeps the rule inside
+    * rewrite `([.!?])\s+` → `$1\u0001` then split keeps the rule inside
     * RE2's subset, so the DuckDB oracle applies the IDENTICAL regex (RE2
     * has no lookbehind; a `(?<=[.!?])\s+` rule could never be
     * cross-checked). Terminal punctuation stays attached to its
