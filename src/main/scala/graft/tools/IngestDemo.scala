@@ -93,6 +93,20 @@ object IngestDemo {
     log(s"compacted corpus: ${compact.count()} rows across " +
       compact.inputFiles.length + " files; reconciliation vs clean lines: " +
       s"missing=$missing extra=$extra (expect 0/0)")
+
+    // 7. The crawl container: the same corpus as WARC response records
+    //    (every 17th missing its target URI), read back through the
+    //    splittable record scan — payloads byte-exact, damage loud.
+    val warcPath = graft.queries.IngestQueries.warcFixture(spark, sfDir)
+    val (wClean, wQuar) = Ingest.warc(spark, warcPath)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val bodyBad = wClean
+      .withColumn("doc_id",
+        regexp_extract(col("uri"), "doc/([0-9]+)", 1).cast("long"))
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .filter(col("body") =!= col("text")).count()
+    log(s"warc: ${wClean.count()} clean records, ${wQuar.count()} quarantined " +
+      s"(expect every 17th), payload mismatches vs source: $bodyBad (expect 0)")
     spark.stop()
   }
 }
