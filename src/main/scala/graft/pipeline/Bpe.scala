@@ -234,37 +234,13 @@ object Bpe {
     * rhs ASC) argmax tie-breaks in binary-UTF-8 order, greedy-left
     * merge application, early exhaustion when no pair remains.
     */
-  /** The shared scale-premise guards over a freshly-built word table,
-    * one aggregation for both: reject the unsegmented no-space-script
-    * corpus (`maxWordChars`), and — when a custom `tokenizer` emits
-    * space-BEARING tokens (GPT-2 pretokens) — reject the WORD grain,
-    * whose space-joined seg strings cannot represent them (the byte
-    * grain's hex-pair symbols are space-safe).
+  /** [[TextOps.guardWordTable]] at this trainer's grain: the WORD grain
+    * additionally forbids space-bearing tokens (its seg strings are
+    * space-joined); the byte grain's hex-pair symbols are space-safe.
     */
   private def guardWordTable(
-      words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Unit = {
-    val row = words.agg(
-      max(length(col("word"))).as("maxLen"),
-      max(col("word").contains(" ")).as("hasSpace")).head()
-    val maxLen = if (row.isNullAt(0)) 0 else row.getInt(0)
-    val hasSpace = !row.isNullAt(1) && row.getBoolean(1)
-    if (!byteLevel && hasSpace) {
-      words.unpersist(false)
-      throw new IllegalArgumentException(
-        "the tokenizer emitted space-bearing tokens (GPT-2-style pretokens): " +
-          "the word-grain seg representation is space-joined and cannot hold " +
-          "them — train with byteLevel = true (hex-pair symbols are space-safe).")
-    }
-    if (maxWordChars > 0 && maxLen > maxWordChars) {
-      words.unpersist(false)
-      throw new IllegalArgumentException(
-        s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
-          "this is the signature of no-space-script (Han/Kana/Thai) text, " +
-          "where whole sentences arrive as single whitespace tokens and the " +
-          "word-table scale premise collapses. Pre-segment the text with " +
-          "TextOps.segmentNoSpaceScripts, or pass maxWordChars = 0 to force.")
-    }
-  }
+      words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Unit =
+    TextOps.guardWordTable(words, maxWordChars, forbidSpaces = !byteLevel)
 
   def trainLocal(
       docs: DataFrame, textCol: String, numMerges: Int,

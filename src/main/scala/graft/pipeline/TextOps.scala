@@ -34,13 +34,19 @@ object TextOps {
     * space attached to the following token" — but RE2 (the oracle
     * engine's regex) has no lookahead. The rewrite: [[gpt2PreTokenize]]
     * first INSERTS a sentinel (U+001F, stripped from input beforehand)
-    * between every whitespace char and the non-space that follows it,
-    * then extracts with this pattern, in which every branch excludes
-    * the sentinel — so the sentinel acts as a pure split point and the
-    * token stream is exactly the lookahead pattern's (spec-pinned
-    * against `\s+(?!\S)` on java.util.regex, which does support it).
-    * The contraction branches and the ` ?\p{L}+`-style leading-space
-    * convention are the canonical pattern's, verbatim.
+    * IMMEDIATELY BEFORE every whitespace char that a non-space follows
+    * (`(\s)(\S)` → `\u001F$1$2` — the sentinel lands before the run's
+    * LAST whitespace char, cutting the run there so that final char
+    * stays attached to the following token), then extracts with this
+    * pattern, in which every branch excludes the sentinel — a pure
+    * split point, and the token stream is exactly the lookahead
+    * pattern's (spec-pinned against `\s+(?!\S)` on java.util.regex,
+    * which does support it). The contraction branches and the
+    * ` ?\p{L}+`-style leading-space convention are the canonical
+    * pattern's, verbatim. One stated engine divergence: Java's `\s`
+    * includes vertical tab (U+000B), RE2's does not — a corpus carrying
+    * raw VT tokenizes it as whitespace in Spark and as punctuation in
+    * the DuckDB twin (no other char differs; the fixtures carry none).
     */
   private[pipeline] val Gpt2Pattern =
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}\\x1F]+|\\s+"
@@ -108,6 +114,42 @@ object TextOps {
     val runs = regexp_replace(text, s"([$NoSpaceScriptClass]+)", " $1 ")
     val chunked = regexp_replace(runs, s"([$NoSpaceScriptClass]{$runCap})", "$1 ")
     trim(regexp_replace(chunked, " +", " "))
+  }
+
+  /** The shared scale-premise guard over a freshly-built distinct-word
+    * table (one aggregation, both checks), used by every word-table
+    * trainer ([[Bpe.train]]/[[Bpe.trainLocal]], `Unigram.train`/
+    * `trainLocal`): reject the unsegmented no-space-script corpus
+    * (`maxWordChars` — whole sentences arriving as single "words"
+    * collapse the bounded-word-table argument), and — when
+    * `forbidSpaces` and a custom tokenizer emitted space-BEARING tokens
+    * (GPT-2 pretokens) — reject representations whose space-joined seg
+    * strings cannot hold them. Unpersists `words` before throwing so a
+    * rejected corpus leaves no pinned storage behind.
+    */
+  private[pipeline] def guardWordTable(
+      words: DataFrame, maxWordChars: Int, forbidSpaces: Boolean): Unit = {
+    val row = words.agg(
+      max(length(col("word"))).as("maxLen"),
+      max(col("word").contains(" ")).as("hasSpace")).head()
+    val maxLen = if (row.isNullAt(0)) 0 else row.getInt(0)
+    val hasSpace = !row.isNullAt(1) && row.getBoolean(1)
+    if (forbidSpaces && hasSpace) {
+      words.unpersist(false)
+      throw new IllegalArgumentException(
+        "the tokenizer emitted space-bearing tokens (GPT-2-style pretokens): " +
+          "the word-grain seg representation is space-joined and cannot hold " +
+          "them — train with byteLevel = true (hex-pair symbols are space-safe).")
+    }
+    if (maxWordChars > 0 && maxLen > maxWordChars) {
+      words.unpersist(false)
+      throw new IllegalArgumentException(
+        s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
+          "this is the signature of no-space-script (Han/Kana/Thai) text, " +
+          "where whole sentences arrive as single whitespace tokens and the " +
+          "word-table scale premise collapses. Pre-segment the text with " +
+          "TextOps.segmentNoSpaceScripts, or pass maxWordChars = 0 to force.")
+    }
   }
 
   /** Token COUNT without materializing the token array — the native

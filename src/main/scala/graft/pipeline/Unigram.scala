@@ -130,7 +130,13 @@ object Unigram {
                   .as("seg"))
             }),
           x => x.getField("lp").isNotNull))))
-    ltrim(element_at(dp, length(word) + lit(1)).getField("seg"))
+    // The empty word (split() keeps empties around doubled spaces) must
+    // short-circuit: Spark's sequence(1, 0) DESCENDS to [1, 0] and the
+    // j = 0 candidate would hit element_at(acc, 0), which always throws
+    // — while the DuckDB twin's range(1, 1) is just empty. "" → "" on
+    // every engine, totality preserved.
+    when(length(word) === 0, lit(""))
+      .otherwise(ltrim(element_at(dp, length(word) + lit(1)).getField("seg")))
   }
 
   /** Normalize integer masses to 6dp log-probabilities. ln here is
@@ -178,18 +184,7 @@ object Unigram {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     words.count()
-    if (maxWordChars > 0) {
-      val longest = words.agg(max(length(col("word")))).head()
-      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
-      if (maxLen > maxWordChars) {
-        words.unpersist(false)
-        throw new IllegalArgumentException(
-          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
-            "this is the signature of no-space-script (Han/Kana/Thai) text. " +
-            "Pre-segment with TextOps.segmentNoSpaceScripts, or pass " +
-            "maxWordChars = 0 to force.")
-      }
-    }
+    TextOps.guardWordTable(words, maxWordChars, forbidSpaces = false)
     // Seed masses: one explode over (position, length) — occurrence-
     // weighted substring counts, the SentencePiece frequent-substring
     // seed. Aggregation output is bounded by distinct substrings of the
@@ -327,18 +322,7 @@ object Unigram {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     val totalWords = wf.count()
-    if (maxWordChars > 0) {
-      val longest = wf.agg(max(length(col("word")))).head()
-      val maxLen = if (longest.isNullAt(0)) 0 else longest.getInt(0)
-      if (maxLen > maxWordChars) {
-        wf.unpersist(false)
-        throw new IllegalArgumentException(
-          s"longest 'word' in the corpus is $maxLen chars (> $maxWordChars): " +
-            "this is the signature of no-space-script (Han/Kana/Thai) text. " +
-            "Pre-segment with TextOps.segmentNoSpaceScripts, or pass " +
-            "maxWordChars = 0 to force.")
-      }
-    }
+    TextOps.guardWordTable(wf, maxWordChars, forbidSpaces = false)
     // The ONE driver-side collect: bounded by the cap, never the corpus.
     val words = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -395,14 +379,6 @@ object Unigram {
       cappedOut = math.max(0L, totalWords - words.length))
   }
 
-  /** Encode every document's token stream into unigram pieces:
-    * (idCol, word_pos, piece_pos, piece) — the [[Bpe.encode]] surface,
-    * so packing/fertility consumers are shared. The Viterbi DP runs
-    * once per DISTINCT word of the target docs (vocabulary-bounded) and
-    * attaches to the token stream as a broadcast join; the stream never
-    * shuffles. Total on any input: unknown code points come back as
-    * single-char pieces via `unkLogp`.
-    */
   /** Tokenizer-quality (fertility) report per group under a trained
     * unigram model — [[Bpe.fertility]]'s exact surface (n_words,
     * n_pieces, fertility, chars_per_piece per `groupCol`), so the two
@@ -462,6 +438,14 @@ object Unigram {
         coalesce(col("piece_id"), lit(0L)).as("piece_id"))
   }
 
+  /** Encode every document's token stream into unigram pieces:
+    * (idCol, word_pos, piece_pos, piece) — the [[Bpe.encode]] surface,
+    * so packing/fertility consumers are shared. The Viterbi DP runs
+    * once per DISTINCT word of the target docs (vocabulary-bounded) and
+    * attaches to the token stream as a broadcast join; the stream never
+    * shuffles. Total on any input: unknown code points come back as
+    * single-char pieces via `unkLogp`.
+    */
   def encode(
       docs: DataFrame, idCol: String, textCol: String,
       model: UnigramModel): DataFrame = {

@@ -2268,11 +2268,13 @@ $bandSelects
     * engines resolve overlaps like "a a a" under (a,a) identically).
     * LEFT JOIN ON TRUE keeps `bwR` total when a round runs out of pairs.
     */
-  /** `TextOps.gpt2PreTokenize`'s exact RE2 twin: strip any pre-existing
-    * sentinel, insert U+001F between each whitespace char and the
-    * non-space that follows (the lookahead-free rewrite of the
-    * canonical pattern's `\s+(?!\S)` branch), extract with the shared
-    * sentinel-excluding pattern.
+  /** `TextOps.gpt2PreTokenize`'s RE2 twin: strip any pre-existing
+    * sentinel, insert U+001F immediately BEFORE each whitespace char
+    * that a non-space follows (cutting a whitespace run before its
+    * last char — the lookahead-free rewrite of the canonical pattern's
+    * `\s+(?!\S)` branch), extract with the shared sentinel-excluding
+    * pattern. Exact except the documented `\s` edge: RE2 excludes
+    * vertical tab where Java includes it.
     */
   private val Gpt2TokSql = {
     val p = """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+""" +

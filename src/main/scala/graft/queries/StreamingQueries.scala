@@ -886,9 +886,16 @@ object StreamingQueries {
       .groupBy("lang").agg(
         max(when(col("bucket") === 1, col("avg_nll"))).as("c1"),
         max(when(col("bucket") === 2, col("avg_nll"))).as("c2"))
-      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
-    val cut1 = calib.map(t => (t._1, t._2)).toMap
-    val cut2 = calib.map(t => (t._1, t._3)).toMap
+      .collect()
+    // A lang with < 2 scored docs has no bucket-2 rows ⇒ c2 is NULL:
+    // leave it out of the cutoff map (absent ⇒ the gate's tail CASE),
+    // matching the oracle's `avg_nll <= NULL ⇒ ELSE 3` semantics.
+    val cut1 = calib.collect {
+      case r if !r.isNullAt(1) => (r.getString(0), r.getDouble(1))
+    }.toMap
+    val cut2 = calib.collect {
+      case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
+    }.toMap
     val rows = d.select("doc_id", "lang", "text")
       .as[(Long, String, String)].collect().sortBy(_._1)
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)

@@ -187,10 +187,13 @@ object Ingest {
       .withColumn("uri", regexp_extract(rec, "WARC-Target-URI: ([^\r\n]+)", 1))
       .withColumn("http_status",
         regexp_extract(rec, "\r\n\r\nHTTP/1\\.[01] ([0-9]{3})", 1))
-      // The payload after the LAST blank line; the trailing newline is
-      // the text writer's row terminator, not record content.
+      // The payload after the LAST blank line; exactly ONE trailing
+      // newline is the text writer's row terminator, not record content
+      // — a payload that legitimately ends in newlines keeps the rest
+      // (the byte-exact contract). \z, not $: Java's $ also matches
+      // BEFORE a final line terminator, so "\n$" would strip two.
       .withColumn("body",
-        regexp_replace(substring_index(rec, "\r\n\r\n", -1), "\n+$", ""))
+        regexp_replace(substring_index(rec, "\r\n\r\n", -1), "\n\\z", ""))
       .withColumn("is_clean",
         col("rec_type") === "response" && col("uri") =!= "" &&
           col("http_status") =!= "")

@@ -88,6 +88,22 @@ class UnigramSpec extends GraftSuite {
     assert(m4.pieces.count(_._1.length > 1) === 1)
   }
 
+  test("empty words (doubled spaces) flow through train and encode, never crash") {
+    // split(' ') keeps empties: "a  b" tokenizes to ["a", "", "b"]. The
+    // DP must short-circuit "" (Spark's sequence(1, 0) DESCENDS and the
+    // j = 0 candidate would hit the always-throwing element_at(acc, 0)).
+    val d = docs("ab  ab b", " lead", "trail ")
+    val m = Unigram.train(d, "text", vocabSize = 6, iters = 1,
+      maxPieceLen = 2, seedMulti = 3)
+    assert(m.pieces.nonEmpty)
+    val enc = Unigram.encode(d, "doc_id", "text", m)
+    // The empty word contributes one empty piece — totality holds.
+    assert(enc.filter(col("piece") === "").count() === 3L)
+    val ml = Unigram.trainLocal(d, "text", vocabSize = 6, iters = 1,
+      maxPieceLen = 2, seedMulti = 3)
+    assert(ml.pieces === m.pieces)
+  }
+
   test("train: determinism — two runs produce the identical model") {
     val d = docs("spark merge table scan", "merge table fast scan scan")
     val a = Unigram.train(d, "text", vocabSize = 20, iters = 2,

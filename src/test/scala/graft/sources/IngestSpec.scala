@@ -189,6 +189,22 @@ class IngestSpec extends GraftSuite {
     assert(!q.head.isNullAt(q.head.fieldIndex("line_hash")))
   }
 
+  test("warc: a payload ending in newlines keeps them — only the row terminator strips") {
+    val dir = Fixtures.scratchDir("graft-warc-spec-nl")
+    // Written WITHOUT a trailing row terminator: the body's own "\n\n"
+    // must round-trip; then WITH one extra "\n" (the text writer's row
+    // terminator): exactly one strips.
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc"),
+      (warcRecord(1, "ends in blank lines\n\n") + "\n" +
+        warcRecord(2, "no trailing newline")).getBytes("UTF-8"))
+    val (clean, _) = Ingest.warc(spark, dir)
+    val bodies = clean.orderBy("uri").collect().map(_.getAs[String]("body"))
+    // Record 1 had the writer-style "\n" appended: body + "\n\n" + "\n"
+    // → one strip leaves the payload's own two newlines.
+    assert(bodies(0) === "ends in blank lines\n\n")
+    assert(bodies(1) === "no trailing newline")
+  }
+
   test("warc: the scan SPLITS inside one large shard file — no record torn at split boundaries") {
     val dir = Fixtures.scratchDir("graft-warc-spec-split")
     val recs = (1L to 400L).map(i => warcRecord(i, s"payload $i " + ("x" * 200)))
