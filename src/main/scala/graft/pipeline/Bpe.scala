@@ -432,6 +432,49 @@ object Bpe {
       .join(broadcast(pieceVocab(model)), Seq("piece"))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
 
+  /** Decode a piece-ID stream back to text — [[encodeIds]]'s inverse
+    * and the inspection surface a training pipeline needs (spot-read
+    * what the model actually sees, audit a packed batch, debug a
+    * detokenization mismatch). (idCol, word_pos, piece_pos, piece_id)
+    * rows come back as ONE (idCol, text) row per document: pieces
+    * concatenate per word in piece order (byte grain: the hex pairs
+    * unhex back to UTF-8 — astral planes included), words join with
+    * single spaces in word order. Total by [[pieceVocab]] coverage, and
+    * exact: decode ∘ encodeIds == identity on any input whose tokens
+    * the tokenizer saw (spec-pinned at both grains).
+    *
+    * `wordSeparator` matches the tokenizer the stream was encoded
+    * under: " " for the default whitespace [[TextOps.tokens]], "" for
+    * [[TextOps.gpt2PreTokenize]] (pretokens CARRY their own spaces —
+    * that is the Ġ convention).
+    *
+    * Scale shape: one broadcast vocab join, then two document-keyed
+    * aggregations (pieces→word, words→text) whose sort keys are
+    * in-group positions — never a global sort; linear in the id
+    * stream.
+    */
+  def decode(ids: DataFrame, idCol: String, model: BpeModel,
+      wordSeparator: String = " "): DataFrame = {
+    val joined = ids
+      .join(broadcast(pieceVocab(model)), Seq("piece_id"))
+    val words = joined
+      .groupBy(col(idCol), col("word_pos"))
+      .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
+        col("piece")))).getField("piece")).as("__w"))
+      .withColumn("word",
+        if (model.byteLevel) decode_bytes(col("__w")) else col("__w"))
+    words
+      .groupBy(col(idCol))
+      .agg(concat_ws(wordSeparator, sort_array(collect_list(struct(col("word_pos"),
+        col("word")))).getField("word")).as("text"))
+  }
+
+  /** Hex-pair symbols back to the exact UTF-8 string (the byte grain's
+    * inverse of [[initSeg]]).
+    */
+  private def decode_bytes(hexConcat: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.decode(unhex(hexConcat), "UTF-8")
+
   def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel,
       tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         TextOps.tokens): DataFrame =

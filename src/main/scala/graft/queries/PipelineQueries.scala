@@ -1084,6 +1084,17 @@ $bandSelects
         maxPieceLen = 5, seedMulti = 80)
       Unigram.fertility(d, "text", "lang", model).orderBy("lang")
     }),
+    // Decode round trip (C186 / t55): encodeIds then decode, the
+    // tokenizer tier's closing law — the id stream reconstructs the
+    // EXACT source text for every doc (the inspection path a training
+    // pipeline reads batches back through). The oracle is the identity:
+    // the round trip must hash-match the raw documents slice.
+    "t55_decode_roundtrip" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 8)
+      val ids = Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+      Bpe.decode(ids, "doc_id", model).orderBy("doc_id")
+    }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
     // and the per-doc id streams spliced into one dense position space
@@ -5517,6 +5528,11 @@ $bandSelects
          |       round(sum(pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
          |       round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 6) AS chars_per_piece
          |FROM tj GROUP BY lang ORDER BY lang""".stripMargin,
+    // t55: the round trip's oracle is the IDENTITY — decode(encodeIds)
+    // must reproduce the raw documents slice byte-for-byte.
+    "t55_decode_roundtrip" ->
+      """SELECT doc_id, text FROM documents WHERE doc_id < 50
+        |ORDER BY doc_id""".stripMargin,
     // t50: the sentinel-rewrite pre-tokenizer replayed in RE2 —
     // identical passes, identical pattern.
     "t50_gpt2_pretokenize" ->

@@ -106,6 +106,28 @@ class Gpt2PreTokSpec extends GraftSuite {
     assert(ex2.getMessage.contains("byteLevel"))
   }
 
+  test("decode ∘ encodeIds == identity at both grains, including GPT-2 pretokens and astral text") {
+    val astral = new String(Character.toChars(0x1D54F))
+    val d = docs("the cat sat", s"mixed $astral text 数", "it's  fine")
+    // Word grain.
+    val mw = Bpe.train(d, "text", numMerges = 4)
+    val backW = Bpe.decode(Bpe.encodeIds(d, "doc_id", "text", mw), "doc_id", mw)
+      .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    assert(backW === 0L)
+    // Byte grain over GPT-2 pretokens: separator "" (pretokens carry
+    // their spaces), bytes unhex back through multi-byte and astral
+    // characters.
+    val mb = Bpe.train(d, "text", numMerges = 6, byteLevel = true,
+      tokenizer = TextOps.gpt2PreTokenize)
+    val backB = Bpe.decode(
+        Bpe.encodeIds(d, "doc_id", "text", mb, tokenizer = TextOps.gpt2PreTokenize),
+        "doc_id", mb, wordSeparator = "")
+      .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    assert(backB === 0L)
+  }
+
   test("trainLocal == train over GPT-2 pretokens at byte level") {
     val d = docs("the cat the dog", "it's the cat's day")
     val a = Bpe.train(d, "text", numMerges = 8, byteLevel = true,
