@@ -1084,6 +1084,35 @@ $bandSelects
         maxPieceLen = 5, seedMulti = 80)
       Unigram.fertility(d, "text", "lang", model).orderBy("lang")
     }),
+    // Tokenizer budget sweep (C194 / t56): the vocab-size decision
+    // artifact — corpus-wide fertility and chars-per-piece for BPE at
+    // 4/8/16 merges and unigram at 24/48/96 pieces, one frame. BPE is
+    // prefix-stable (merge r depends only on merges 1..r−1), so the
+    // oracle reads the k-merge fertility off ONE 16-round chain's
+    // intermediate bw{k} tables; the unigram EM chain is vocab-size-
+    // independent until the prune, so one EM chain feeds all three
+    // prunes. The Spark side retrains per point (fixture-cheap); a
+    // production sweep would share the chains exactly as the oracle
+    // does.
+    "t56_tokenizer_sweep" -> ((s, dir) => {
+      val d = table(s, dir, "documents").withColumn("__g", lit(1))
+      val bpe = Seq(4, 8, 16).map { k =>
+        val m = Bpe.train(d, "text", numMerges = k)
+        Bpe.fertility(d, "text", "__g", m)
+          .select(lit("bpe").as("family"), lit(k.toLong).as("budget"),
+            col("n_words"), col("n_pieces"), col("fertility"),
+            col("chars_per_piece"))
+      }
+      val uni = Seq(24, 48, 96).map { v =>
+        val m = Unigram.train(d, "text", vocabSize = v, iters = 3,
+          maxPieceLen = 5, seedMulti = 80)
+        Unigram.fertility(d, "text", "__g", m)
+          .select(lit("unigram").as("family"), lit(v.toLong).as("budget"),
+            col("n_words"), col("n_pieces"), col("fertility"),
+            col("chars_per_piece"))
+      }
+      (bpe ++ uni).reduce(_ unionByName _).orderBy("family", "budget")
+    }),
     // Decode round trip (C186 / t55): encodeIds then decode, the
     // tokenizer tier's closing law — the id stream reconstructs the
     // EXACT source text for every doc (the inspection path a training
@@ -5528,6 +5557,52 @@ $bandSelects
          |       round(sum(pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
          |       round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 6) AS chars_per_piece
          |FROM tj GROUP BY lang ORDER BY lang""".stripMargin,
+    // t56: one 16-round BPE chain serves the 4/8/16 points (bw{k} is
+    // the k-merge segmentation — prefix stability); one unigram EM
+    // chain serves all three prunes (vocabSize binds only at the
+    // prune). Fertility is the t53/t38 aggregation per point.
+    "t56_tokenizer_sweep" -> {
+      def uniPoint(v: Int, fin: String, tag: String): String =
+        s"""ufm$tag AS (
+           |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m,
+           |         round(ln(0.5 / CAST(sum(mass) AS DOUBLE)), 6) AS unk
+           |  FROM $fin),
+           |${unigramDpCte(s"f$tag", s"ufm$tag", "uw", s"fsg$tag", 5)}""".stripMargin
+      def uniPrune(v: Int): String =
+        s"""upr$v AS MATERIALIZED (
+           |  SELECT piece, mass FROM uv3 WHERE length(piece) = 1
+           |  UNION ALL
+           |  SELECT piece, mass FROM (
+           |    SELECT piece, mass, row_number() OVER (ORDER BY mass DESC, piece) AS rk
+           |    FROM uv3 WHERE length(piece) > 1)
+           |  WHERE rk <= $v - (SELECT count(*) FROM uv3 WHERE length(piece) = 1)),
+           |ufin$v AS MATERIALIZED (
+           |  SELECT piece, mass, round(ln(CAST(mass AS DOUBLE) /
+           |    (SELECT CAST(sum(mass) AS DOUBLE) FROM upr$v)), 6) AS lp
+           |  FROM upr$v)""".stripMargin
+      def fert(family: String, budget: Int, segSrc: String): String =
+        s"""SELECT '$family' AS family, CAST($budget AS BIGINT) AS budget,
+           |       count(*) AS n_words, CAST(sum(pieces) AS BIGINT) AS n_pieces,
+           |       round(sum(pieces) / CAST(count(*) AS DOUBLE), 6) AS fertility,
+           |       round(sum(chars) / CAST(sum(pieces) AS DOUBLE), 6) AS chars_per_piece
+           |FROM (SELECT length(ts.word) AS chars, len(string_split(f.seg, ' ')) AS pieces
+           |      FROM ts JOIN $segSrc f ON ts.word = f.word)""".stripMargin
+      s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 96)},
+         |${bpeCtes(16)},
+         |${uniPrune(24)},
+         |${uniPrune(48)},
+         |${uniPoint(24, "ufin24", "24")},
+         |${uniPoint(48, "ufin48", "48")},
+         |${uniPoint(96, "ufin", "96")},
+         |ts AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |${fert("bpe", 4, "bw4")}
+         |UNION ALL ${fert("bpe", 8, "bw8")}
+         |UNION ALL ${fert("bpe", 16, "bw16")}
+         |UNION ALL ${fert("unigram", 24, "fsg24")}
+         |UNION ALL ${fert("unigram", 48, "fsg48")}
+         |UNION ALL ${fert("unigram", 96, "fsg96")}
+         |ORDER BY family, budget""".stripMargin
+    },
     // t55: the round trip's oracle is the IDENTITY — decode(encodeIds)
     // must reproduce the raw documents slice byte-for-byte.
     "t55_decode_roundtrip" ->
