@@ -586,6 +586,42 @@ $bandSelects
         .select("doc_id", "lang", "n_tokens", "avg_nll", "bucket")
         .orderBy("doc_id")
     }),
+    // Perplexity gate, sketch-cutoff path (C196 / p10): the scale form
+    // p9's doc names — per-lang tercile CUTOFFS read from a KLL sketch
+    // of the 6dp NLLs (fixed-point ×10⁶, the C139 machinery), then a
+    // MAP-ONLY bucket assign against the broadcast cutoffs: no per-lang
+    // sort of the doc frame anywhere. k=8192 ≥ any lang's rows at
+    // fixture SFs, so the sketch is exact and the oracle replays the
+    // DataSketches inclusive rule literally (min(v) where cume_dist ≥
+    // rank — the q37 precedent); beyond exactness the buckets stay
+    // within KLL's ±ε rank error of terciles, which is the production
+    // contract (CCNet itself uses sampled cutoffs). Boundary semantics
+    // vs p9's ntile stated: the cutoff rule puts ties in the LOWER
+    // bucket; ntile balances counts.
+    "p10_perplexity_gate_sketch" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val f = classifierFeatures(d)
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = d.join(
+        Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val model = TextStats.trigramCounts(ref, "text")
+      val fixed = TextStats.mknTrigramNllAgainst(d, model, "doc_id", "text")
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("__nf", round(col("avg_nll") * 1e6).cast("long"))
+      val cuts = graft.operators.Sketches.mergedQuantiles(
+          graft.operators.Sketches.quantileSketches(fixed, Seq("lang"), "__nf"),
+          Seq("lang"), Seq(1.0 / 3, 2.0 / 3))
+        .select(col("lang"), col("p33").as("__c1"), col("p67").as("__c2"))
+      fixed.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("__nf") <= col("__c1"), lit(1L))
+            .when(col("__nf") <= col("__c2"), lit(2L)).otherwise(lit(3L)))
+        .select("doc_id", "lang", "n_tokens", "avg_nll", "bucket")
+        .orderBy("doc_id")
+    }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
     // the coverage-radius trajectory; distances round 6dp before the
@@ -4527,6 +4563,33 @@ $bandSelects
          |         ORDER BY p.avg_nll, p.doc_id) AS BIGINT) AS bucket
          |FROM perdoc p JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)
          |ORDER BY p.doc_id""".stripMargin,
+    // p10: the same chain, cutoffs read by the DataSketches INCLUSIVE
+    // rule (min(v) where cume_dist ≥ rank — the q37 replay) over the
+    // 6dp fixed-point NLLs, ties to the lower bucket.
+    "p10_perplexity_gate_sketch" ->
+      s"""WITH ${logisticCtes(3, 1.0)},
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+         |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+         |refd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN acc USING (doc_id)),
+         |${mknNllCtes("refd", "documents")},
+         |pfx AS MATERIALIZED (
+         |  SELECT p.doc_id, l.lang, p.n_tokens, p.avg_nll,
+         |         CAST(round(p.avg_nll * 1000000) AS BIGINT) AS nf
+         |  FROM perdoc p JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)),
+         |pcd AS (SELECT lang, nf,
+         |               cume_dist() OVER (PARTITION BY lang ORDER BY nf) AS cd
+         |        FROM pfx),
+         |pct AS (SELECT lang,
+         |               min(CASE WHEN cd >= 1.0/3 THEN nf END) AS c1,
+         |               min(CASE WHEN cd >= 2.0/3 THEN nf END) AS c2
+         |        FROM pcd GROUP BY lang)
+         |SELECT f.doc_id, f.lang, f.n_tokens, f.avg_nll,
+         |       CAST(CASE WHEN f.nf <= c.c1 THEN 1
+         |                 WHEN f.nf <= c.c2 THEN 2 ELSE 3 END AS BIGINT) AS bucket
+         |FROM pfx f JOIN pct c USING (lang)
+         |ORDER BY f.doc_id""".stripMargin,
     // t36: t26's replay one order up — trigram/bigram-context tables
     // built from the same positional explode, the Jelinek–Mercer CASE
     // with the EXACT Scala-computed lambda doubles interpolated in
