@@ -82,6 +82,28 @@ object Packing {
     * @param packs (idCol, pack_id) plus `groupCols` — the
     *              [[packGreedyByCount]] output
     */
+  /** Append ONE end-of-document marker to each document's id stream —
+    * the EOS separator real training sequences carry between documents
+    * (GPT-family packing joins docs with `<|endoftext|>`; the attention
+    * mask keys off it). The marker lands at `word_pos = max + 1` so
+    * every downstream position ordering places it LAST in its document,
+    * and because it is just one more stream row, pack budgeting
+    * ([[packGreedyByCount]] over the augmented counts) and splicing
+    * ([[packedSequences]]) compose unchanged — the separator is counted
+    * against the budget exactly as a trainer counts it. Pick `eosId`
+    * outside the piece vocabulary (the convention: one past the last
+    * id). Map-only plus one doc-keyed aggregation for the max position.
+    */
+  def withEos(ids: DataFrame, idCol: String, eosId: Long): DataFrame = {
+    val eos = ids
+      .groupBy(col(idCol))
+      .agg((max(col("word_pos")) + 1).as("word_pos"))
+      .withColumn("piece_pos", lit(0L))
+      .withColumn("piece_id", lit(eosId))
+      .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
+    ids.unionByName(eos)
+  }
+
   def packedSequences(
       ids: DataFrame,
       packs: DataFrame,

@@ -1178,6 +1178,27 @@ $bandSelects
       graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
         .orderBy("lang", "pack_id", "pos")
     }),
+    // EOS-separated packed sequences (C191 / t57): t46 with the
+    // end-of-document marker real training streams carry — one EOS id
+    // (one past the piece vocabulary) appended per doc, counted against
+    // the pack budget exactly as a trainer counts it, landing as each
+    // document's LAST position in the spliced sequence. The pre-
+    // transform composes: budgeting and splicing run unchanged on the
+    // augmented stream.
+    "t57_packed_eos" -> ((s, dir) => {
+      val full = table(s, dir, "documents")
+      val d = full.filter(col("doc_id") < 50)
+      val model = Bpe.train(full, "text", numMerges = 8)
+      val eosId = Bpe.pieceVocab(model).count()
+      val ids = graft.pipeline.Packing.withEos(
+        Bpe.encodeIds(d, "doc_id", "text", model), "doc_id", eosId)
+      val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      val packs = graft.pipeline.Packing.packGreedyByCount(
+        counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("lang"))
+      graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+        .orderBy("lang", "pack_id", "pos")
+    }),
     // Trained quality classifier (C174 / t35): 3 rounds of full-batch
     // logistic GD on weak labels over 6dp-rounded features, then the
     // map-only scoring gate — the fastText-style "looks like reference
@@ -5530,6 +5551,46 @@ $bandSelects
          |         ORDER BY p.word_pos, p.piece_pos) - 1 AS BIGINT) AS pos,
          |       p.doc_id, p.piece_id
          |FROM pid p JOIN off o ON p.doc_id = o.doc_id
+         |ORDER BY p.lang, o.pack_id, pos""".stripMargin,
+    // t57: t46's replay with the EOS union — one marker row per doc at
+    // max(word_pos)+1 with id = |pieceVocab|, flowing through the same
+    // budget window and splice.
+    "t57_packed_eos" ->
+      s"""WITH ${bpeCtes(8)},
+         |${pieceVocabCtes(8)},
+         |d50 AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |sp AS (SELECT doc_id, lang, word_pos, string_split(seg, ' ') AS pieces
+         |       FROM wp JOIN bw8 ON wp.word = bw8.word),
+         |pe AS (SELECT doc_id, lang, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+         |              pieces[j] AS piece
+         |       FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j)),
+         |pid AS (SELECT pe.doc_id, pe.lang, pe.word_pos, pe.piece_pos, pv.piece_id
+         |        FROM pe JOIN pv ON pe.piece = pv.piece),
+         |pide AS MATERIALIZED (
+         |  SELECT doc_id, lang, word_pos, piece_pos, piece_id FROM pid
+         |  UNION ALL
+         |  SELECT doc_id, lang, max(word_pos) + 1 AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos,
+         |         (SELECT count(*) FROM pv) AS piece_id
+         |  FROM pid GROUP BY doc_id, lang),
+         |cnt AS (SELECT doc_id, lang, count(*) AS n FROM pide GROUP BY 1, 2),
+         |pk AS (SELECT doc_id, lang, n,
+         |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         |           AS pack_id
+         |       FROM cnt),
+         |off AS (SELECT doc_id, lang, pack_id,
+         |          coalesce(sum(n) OVER (PARTITION BY lang, pack_id ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |        FROM pk)
+         |SELECT p.lang, o.pack_id,
+         |       CAST(o.o + row_number() OVER (PARTITION BY p.doc_id
+         |         ORDER BY p.word_pos, p.piece_pos) - 1 AS BIGINT) AS pos,
+         |       p.doc_id, p.piece_id
+         |FROM pide p JOIN off o ON p.doc_id = o.doc_id
          |ORDER BY p.lang, o.pack_id, pos""".stripMargin,
     // t34: the trained bw8 segmentation joined onto the token stream,
     // pieces re-exploded with 0-based positions.

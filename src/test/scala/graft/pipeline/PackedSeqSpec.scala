@@ -67,6 +67,27 @@ class PackedSeqSpec extends GraftSuite {
     model.words.unpersist()
   }
 
+  test("withEos: exactly one marker per doc, LAST in its document, counted against the budget") {
+    val (ids, _, model) = fixture()
+    val eosId = Bpe.pieceVocab(model).count()
+    val withEos = Packing.withEos(ids, "doc_id", eosId)
+    // One EOS per doc, id outside the vocabulary.
+    assert(withEos.filter(col("piece_id") === eosId).count() === 3L)
+    assert(withEos.count() === ids.count() + 3L)
+    // Splice: every doc's LAST position carries the EOS.
+    import spark.implicits._
+    val counts = withEos.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("lang", lit("g"))
+    val packs = Packing.packGreedyByCount(counts, "doc_id", "n",
+      budget = 12, groupCols = Seq("lang"))
+    val seqs = Packing.packedSequences(withEos, packs, "doc_id", Seq("lang"))
+    val lastPerDoc = seqs.groupBy("doc_id")
+      .agg(max(struct(col("pos"), col("piece_id"))).as("m"))
+      .select(col("doc_id"), col("m.piece_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lastPerDoc.forall(_._2 === eosId))
+  }
+
   test("deterministic across runs") {
     val (ids, packs, model) = fixture()
     def run() = Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
