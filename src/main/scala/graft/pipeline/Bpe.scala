@@ -52,9 +52,16 @@ object Bpe {
     * (code points vs UTF-8 bytes spelled as hex pairs) — consumers that
     * rebuild initial segmentations ([[pieceVocab]]'s alphabet,
     * [[trainLocal]]'s tail fallback) must match it.
+    * `wordSeparator` records the TOKENIZER grain — " " for whitespace
+    * tokens, "" for GPT-2-style pretokens that carry their own spaces —
+    * detected at train time from the word table itself (any
+    * space-bearing token ⇒ ""), so [[decode]] can never be handed the
+    * wrong convention by a caller who forgot which tokenizer trained
+    * the model.
     */
   final case class BpeModel(merges: Seq[Merge], words: DataFrame,
-      cappedOut: Long = 0L, byteLevel: Boolean = false) {
+      cappedOut: Long = 0L, byteLevel: Boolean = false,
+      wordSeparator: String = " ") {
     /** The merge table as a DataFrame: (step, lhs, rhs, merged, n). */
     def mergeTable(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -129,7 +136,7 @@ object Bpe {
       .withColumn("seg", initSeg(col("word"), byteLevel))
       .persist()
     words.count()
-    guardWordTable(words, maxWordChars, byteLevel)
+    val spaceTokens = guardWordTable(words, maxWordChars, byteLevel)
     val merges = ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
@@ -162,7 +169,8 @@ object Bpe {
         step += 1
       }
     }
-    BpeModel(merges.toSeq, words, byteLevel = byteLevel)
+    BpeModel(merges.toSeq, words, byteLevel = byteLevel,
+      wordSeparator = if (spaceTokens) "" else " ")
   }
 
   /** Spark's string ordering is binary over UTF-8 bytes (and so is
@@ -239,7 +247,7 @@ object Bpe {
     * space-joined); the byte grain's hex-pair symbols are space-safe.
     */
   private def guardWordTable(
-      words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Unit =
+      words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Boolean =
     TextOps.guardWordTable(words, maxWordChars, forbidSpaces = !byteLevel)
 
   def trainLocal(
@@ -257,7 +265,7 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     wf.count()
-    guardWordTable(wf, maxWordChars, byteLevel)
+    val spaceTokens = guardWordTable(wf, maxWordChars, byteLevel)
     // The ONE driver-side collect: TakeOrdered top-wordCap — bounded by
     // the cap, never by the corpus.
     val capped = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
@@ -341,7 +349,7 @@ object Bpe {
     val total = words.count()
     wf.unpersist(false)
     BpeModel(merges.toSeq, words, cappedOut = total - capped.length,
-      byteLevel = byteLevel)
+      byteLevel = byteLevel, wordSeparator = if (spaceTokens) "" else " ")
   }
 
   /** Encode every document's token stream into subword pieces against a
@@ -404,8 +412,14 @@ object Bpe {
     * a few thousand even for CJK), the same boundedness argument as the
     * merge table itself; the result is a broadcast-sized two-column
     * frame.
+    *
+    * `reserved` prepends the shared special-token band
+    * ([[SpecialTokens]]): reserved labels take ids `0..k−1`, pieces
+    * start at `k`. Collision with a learned piece (possible at word
+    * grain — a corpus can contain the literal "&lt;unk&gt;") is
+    * REJECTED loud at build time, never silently absorbed.
     */
-  def pieceVocab(model: BpeModel): DataFrame = {
+  def pieceVocab(model: BpeModel, reserved: Seq[String] = Nil): DataFrame = {
     val spark = model.words.sparkSession
     import spark.implicits._
     val alpha = model.words
@@ -414,7 +428,8 @@ object Bpe {
       .distinct().collect().map(_.getString(0))
       .sortWith(utf8Compare(_, _) < 0)
     val ordered = (alpha ++ model.merges.map(_.merged)).distinct // first id wins
-    ordered.zipWithIndex.map { case (p, i) => (i.toLong, p) }.toSeq
+    SpecialTokens.requireNoCollision(reserved, ordered)
+    (reserved ++ ordered).zipWithIndex.map { case (p, i) => (i.toLong, p) }.toSeq
       .toDF("piece_id", "piece")
   }
 
@@ -423,13 +438,18 @@ object Bpe {
     * tier consumes. Same scale shape as encode plus one broadcast join
     * against the vocabulary-sized [[pieceVocab]]; the join is total by
     * the pieceVocab coverage argument, so no row is ever dropped.
+    * `reserved` applies the shared special-token band: pieces take ids
+    * `reserved.size` up, leaving `0..reserved.size−1` free for control
+    * tokens ([[Packing.withEos]] validates against exactly this
+    * layout).
     */
   def encodeIds(
       docs: DataFrame, idCol: String, textCol: String, model: BpeModel,
       tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextOps.tokens): DataFrame =
+        TextOps.tokens,
+      reserved: Seq[String] = Nil): DataFrame =
     encode(docs, idCol, textCol, model, tokenizer)
-      .join(broadcast(pieceVocab(model)), Seq("piece"))
+      .join(broadcast(pieceVocab(model, reserved)), Seq("piece"))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
 
   /** Decode a piece-ID stream back to text — [[encodeIds]]'s inverse
@@ -443,10 +463,18 @@ object Bpe {
     * exact: decode ∘ encodeIds == identity on any input whose tokens
     * the tokenizer saw (spec-pinned at both grains).
     *
-    * `wordSeparator` matches the tokenizer the stream was encoded
-    * under: " " for the default whitespace [[TextOps.tokens]], "" for
-    * [[TextOps.gpt2PreTokenize]] (pretokens CARRY their own spaces —
-    * that is the Ġ convention).
+    * The word separator is the MODEL's (`BpeModel.wordSeparator`,
+    * detected at train time): " " for the default whitespace
+    * [[TextOps.tokens]], "" for [[TextOps.gpt2PreTokenize]] (pretokens
+    * CARRY their own spaces — the Ġ convention). Deliberately NOT a
+    * caller parameter: a caller defaulting to " " on a GPT-2-grain
+    * model would silently produce wrong text with no detectable error.
+    *
+    * `reserved` must match the band the stream was ENCODED with (the
+    * ids are offset by it); reserved control ids in the stream (an EOS
+    * between packed documents) are control structure, not text — they
+    * are dropped before reassembly, stated here rather than silently
+    * concatenated as their labels.
     *
     * Scale shape: one broadcast vocab join, then two document-keyed
     * aggregations (pieces→word, words→text) whose sort keys are
@@ -454,9 +482,10 @@ object Bpe {
     * stream.
     */
   def decode(ids: DataFrame, idCol: String, model: BpeModel,
-      wordSeparator: String = " "): DataFrame = {
+      reserved: Seq[String] = Nil): DataFrame = {
     val joined = ids
-      .join(broadcast(pieceVocab(model)), Seq("piece_id"))
+      .filter(col("piece_id") >= lit(reserved.size.toLong))
+      .join(broadcast(pieceVocab(model, reserved)), Seq("piece_id"))
     val words = joined
       .groupBy(col(idCol), col("word_pos"))
       .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
@@ -465,7 +494,7 @@ object Bpe {
         if (model.byteLevel) decode_bytes(col("__w")) else col("__w"))
     words
       .groupBy(col(idCol))
-      .agg(concat_ws(wordSeparator, sort_array(collect_list(struct(col("word_pos"),
+      .agg(concat_ws(model.wordSeparator, sort_array(collect_list(struct(col("word_pos"),
         col("word")))).getField("word")).as("text"))
   }
 

@@ -90,18 +90,72 @@ object Packing {
     * and because it is just one more stream row, pack budgeting
     * ([[packGreedyByCount]] over the augmented counts) and splicing
     * ([[packedSequences]]) compose unchanged — the separator is counted
-    * against the budget exactly as a trainer counts it. Pick `eosId`
-    * outside the piece vocabulary (the convention: one past the last
-    * id). Map-only plus one doc-keyed aggregation for the max position.
+    * against the budget exactly as a trainer counts it.
+    *
+    * `eosId` must lie OUTSIDE the piece-id range, and that is ENFORCED,
+    * not a docstring convention: pass the vocabulary layout
+    * (`vocabSize` = total ids including any reserved band,
+    * `reservedBand` = ids 0..band−1 reserved for control tokens — the
+    * [[SpecialTokens]] layout) and an `eosId` inside the piece range
+    * `[reservedBand, vocabSize)` is rejected loud. A silent collision
+    * makes EOS indistinguishable from a real piece downstream — the
+    * one failure a packed training stream cannot detect after the
+    * fact. Legal choices: a reserved control id
+    * ([[SpecialTokens.EosId]] with the band) or any id ≥ `vocabSize`
+    * (the one-past-the-vocabulary convention when no band is in play).
+    *
+    * Invariant, stated: exactly one EOS per document PRESENT IN `ids`.
+    * A document whose id stream is empty (zero tokens — or dropped
+    * upstream) gets no marker here; when the doc frame is the source
+    * of truth, use [[withEosForDocs]], which guarantees one EOS per
+    * document of the FRAME, empty streams included. Map-only plus one
+    * doc-keyed aggregation for the max position.
     */
-  def withEos(ids: DataFrame, idCol: String, eosId: Long): DataFrame = {
-    val eos = ids
+  def withEos(
+      ids: DataFrame, idCol: String, eosId: Long, vocabSize: Long,
+      reservedBand: Long = 0L): DataFrame = {
+    requireEosOutsideVocab(eosId, vocabSize, reservedBand)
+    ids.unionByName(eosRows(ids, idCol, eosId))
+  }
+
+  /** [[withEos]] with the one-EOS-per-DOCUMENT invariant anchored to
+    * the doc frame rather than the id stream: every document of `docs`
+    * gets exactly one marker, including documents whose id stream is
+    * EMPTY (zero tokens, or dropped by an upstream inner join) — those
+    * get their EOS at `word_pos = 0`, so an empty document still
+    * terminates visibly in the packed sequence instead of silently
+    * contributing nothing. Same collision guard as [[withEos]].
+    */
+  def withEosForDocs(
+      ids: DataFrame, docs: DataFrame, idCol: String, eosId: Long,
+      vocabSize: Long, reservedBand: Long = 0L): DataFrame = {
+    requireEosOutsideVocab(eosId, vocabSize, reservedBand)
+    val eos = docs.select(col(idCol)).distinct()
+      .join(ids.groupBy(col(idCol))
+        .agg((max(col("word_pos")) + 1).as("word_pos")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("word_pos"), lit(0L)).as("word_pos"),
+        lit(0L).as("piece_pos"), lit(eosId).as("piece_id"))
+    ids.unionByName(eos)
+  }
+
+  private def eosRows(ids: DataFrame, idCol: String, eosId: Long): DataFrame =
+    ids
       .groupBy(col(idCol))
       .agg((max(col("word_pos")) + 1).as("word_pos"))
       .withColumn("piece_pos", lit(0L))
       .withColumn("piece_id", lit(eosId))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
-    ids.unionByName(eos)
+
+  private def requireEosOutsideVocab(
+      eosId: Long, vocabSize: Long, reservedBand: Long): Unit = {
+    require(reservedBand >= 0 && reservedBand <= vocabSize,
+      s"reservedBand must lie in [0, vocabSize=$vocabSize], got $reservedBand")
+    require(eosId >= 0 && (eosId < reservedBand || eosId >= vocabSize),
+      s"eosId $eosId collides with the piece-id range [$reservedBand, " +
+        s"$vocabSize): an EOS indistinguishable from a real piece silently " +
+        "corrupts every packed training stream. Use a reserved control id " +
+        "(SpecialTokens.EosId with the reserved band) or an id >= vocabSize.")
   }
 
   def packedSequences(

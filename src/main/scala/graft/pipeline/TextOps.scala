@@ -59,14 +59,23 @@ object TextOps {
     * [[Bpe.train]] via its `tokenizer` hook with `byteLevel = true`;
     * space-bearing pretokens are what the Ġ-prefixed merges come from).
     * Map-only: two codegen'd regexp passes + one extract-all; exact RE2
-    * twin (the sentinel rewrite above). Totality: tokens concatenate
-    * back to the input (minus any pre-existing U+001F, which is
-    * stripped — it is a C0 control char no real corpus text carries).
+    * twin (the sentinel rewrite above).
+    *
+    * Totality: tokens concatenate back to the input, EXCEPT that any
+    * pre-existing U+001F (the sentinel — a C0 control char no real
+    * corpus text carries) is substituted with U+FFFD REPLACEMENT
+    * CHARACTER rather than silently deleted: a round-trip over a
+    * sentinel-bearing row then FAILS VISIBLY (the replacement char
+    * survives into the token stream, the learned pieces, and the
+    * decode), instead of the byte quietly vanishing while the
+    * concatenation law appears to hold. Rows carrying U+001F should be
+    * quarantined upstream; the substitution is the loud in-band marker
+    * for the ones that were not.
     */
   def gpt2PreTokenize(text: Column): Column =
     regexp_extract_all(
       regexp_replace(
-        regexp_replace(text, "\\x1F", ""),
+        regexp_replace(text, "\\x1F", "\uFFFD"),
         "(\\s)(\\S)", "\u001F$1$2"),
       lit(Gpt2Pattern), lit(0))
 
@@ -126,9 +135,15 @@ object TextOps {
     * (GPT-2 pretokens) — reject representations whose space-joined seg
     * strings cannot hold them. Unpersists `words` before throwing so a
     * rejected corpus leaves no pinned storage behind.
+    *
+    * Returns whether any token CARRIES a space — the tokenizer-grain
+    * signal (GPT-2-style pretokens carry their leading space;
+    * whitespace tokens never can), which [[Bpe]] records on the model
+    * as the decode word separator so a decoder cannot be handed the
+    * wrong convention.
     */
   private[pipeline] def guardWordTable(
-      words: DataFrame, maxWordChars: Int, forbidSpaces: Boolean): Unit = {
+      words: DataFrame, maxWordChars: Int, forbidSpaces: Boolean): Boolean = {
     val row = words.agg(
       max(length(col("word"))).as("maxLen"),
       max(col("word").contains(" ")).as("hasSpace")).head()
@@ -150,6 +165,7 @@ object TextOps {
           "word-table scale premise collapses. Pre-segment the text with " +
           "TextOps.segmentNoSpaceScripts, or pass maxWordChars = 0 to force.")
     }
+    hasSpace
   }
 
   /** Token COUNT without materializing the token array — the native

@@ -407,35 +407,50 @@ object Unigram {
   }
 
   /** The piece→id vocabulary of a trained model — the SentencePiece id
-    * convention: id 0 is the unknown piece (`<unk>`), then pieces take
-    * ids in score order (mass DESC, piece ASC in binary UTF-8 — the
-    * same total order the prune uses). Driver-side (the model is
-    * already driver-resident and vocabulary-bounded).
+    * convention: the RESERVED band first (`reserved`, default just
+    * `<unk>` at id 0 — pass [[SpecialTokens.Band]] for the full shared
+    * UNK/BOS/EOS/PAD layout), then pieces take ids in score order
+    * (mass DESC, piece ASC in binary UTF-8 — the same total order the
+    * prune uses). `reserved` must lead with the unknown label (OOV
+    * pieces route to its id); collision between a reserved label and a
+    * learned piece is rejected loud ([[SpecialTokens]]). Driver-side
+    * (the model is already driver-resident and vocabulary-bounded).
     */
-  def pieceVocab(model: UnigramModel): Seq[(Long, String)] =
-    (0L, "<unk>") +: model.pieces
+  def pieceVocab(
+      model: UnigramModel,
+      reserved: Seq[String] = Seq(SpecialTokens.Unk)): Seq[(Long, String)] = {
+    require(reserved.headOption.contains(SpecialTokens.Unk),
+      s"the reserved band must lead with ${SpecialTokens.Unk} (OOV pieces " +
+        s"take its id), got $reserved")
+    SpecialTokens.requireNoCollision(reserved, model.pieces.map(_._1))
+    val band = reserved.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    band ++ model.pieces
       .sortWith((a, b) =>
         a._2 > b._2 || (a._2 == b._2 && utf8Compare(a._1, b._1) < 0))
-      .zipWithIndex.map { case ((p, _, _), i) => ((i + 1).toLong, p) }
+      .zipWithIndex.map { case ((p, _, _), i) => ((i + reserved.size).toLong, p) }
+  }
 
   /** [[encode]] emitting dense SentencePiece-style ids:
     * (idCol, word_pos, piece_pos, piece_id). Out-of-vocabulary pieces
-    * (unknown code points the DP emitted via `unkLogp`) take id 0 —
-    * the single-unk convention (vs [[Vocab.encode]]'s hash buckets) —
-    * so the stream is total on any input. One broadcast join against
-    * the vocabulary-sized id table; the stream never shuffles.
+    * (unknown code points the DP emitted via `unkLogp`) take the UNK
+    * id — the single-unk convention (vs [[Vocab.encode]]'s hash
+    * buckets) — so the stream is total on any input. `reserved` is the
+    * [[pieceVocab]] band (piece ids offset by its size; UNK stays id
+    * 0 because the band leads with it). One broadcast join against the
+    * vocabulary-sized id table; the stream never shuffles.
     */
   def encodeIds(
       docs: DataFrame, idCol: String, textCol: String,
-      model: UnigramModel): DataFrame = {
+      model: UnigramModel,
+      reserved: Seq[String] = Seq(SpecialTokens.Unk)): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = pieceVocab(model).toDF("piece_id", "piece")
-      .filter(col("piece_id") > 0)
+    val vocab = pieceVocab(model, reserved).toDF("piece_id", "piece")
+      .filter(col("piece_id") >= reserved.size.toLong)
     encode(docs, idCol, textCol, model)
       .join(broadcast(vocab), Seq("piece"), "left")
       .select(col(idCol), col("word_pos"), col("piece_pos"),
-        coalesce(col("piece_id"), lit(0L)).as("piece_id"))
+        coalesce(col("piece_id"), lit(SpecialTokens.UnkId)).as("piece_id"))
   }
 
   /** Encode every document's token stream into unigram pieces:

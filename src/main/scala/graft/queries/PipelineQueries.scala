@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, TextOps, TextStats, Unigram, Vocab}
+import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, SpecialTokens, TextOps, TextStats, Unigram, Vocab}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -1020,15 +1020,18 @@ $bandSelects
       Bpe.encode(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
-    // BPE piece-id encoding (C186 / t43): t34's subword stream one join
-    // further — dense ids from the piece→id vocabulary (alphabet
-    // binary-UTF-8-sorted first, merge outputs in learn order), the
-    // shape the packing tier batches. The vocab attaches as a broadcast
-    // join; the stream never shuffles.
+    // BPE piece-id encoding (C186+C203 / t43): t34's subword stream one
+    // join further — dense ids from the piece→id vocabulary under the
+    // shared RESERVED BAND (ids 0..3 = UNK/BOS/EOS/PAD, then the
+    // alphabet binary-UTF-8-sorted, then merge outputs in learn order),
+    // the shape the packing tier batches. The vocab attaches as a
+    // broadcast join; the stream never shuffles; a piece spelling a
+    // reserved label would fail loud at vocab build.
     "t43_bpe_piece_ids" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val model = Bpe.train(d, "text", numMerges = 8)
-      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
+          reserved = SpecialTokens.Band)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Byte-level BPE (C192 / t47): the GPT-2 grain — initial symbols
@@ -1099,15 +1102,18 @@ $bandSelects
       Unigram.encode(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
-    // Unigram piece-id encoding (C195 / t52): t49's piece stream one
-    // join further — dense SentencePiece-convention ids (unk = 0, then
-    // score order), the shape the packing tier batches. Broadcast
-    // vocab attach; the stream never shuffles.
+    // Unigram piece-id encoding (C195+C203 / t52): t49's piece stream
+    // one join further — dense SentencePiece-convention ids under the
+    // shared RESERVED BAND (UNK/BOS/EOS/PAD at 0..3 — unk still id 0
+    // because the band leads with it — then pieces in score order),
+    // the shape the packing tier batches. Broadcast vocab attach; the
+    // stream never shuffles.
     "t52_unigram_ids" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val model = Unigram.train(d, "text", vocabSize = 48, iters = 3,
         maxPieceLen = 5, seedMulti = 80)
-      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
+          reserved = SpecialTokens.Band)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Unigram fertility report (C194 / t53): per-lang tokenizer QC
@@ -1178,20 +1184,22 @@ $bandSelects
       graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
         .orderBy("lang", "pack_id", "pos")
     }),
-    // EOS-separated packed sequences (C191 / t57): t46 with the
-    // end-of-document marker real training streams carry — one EOS id
-    // (one past the piece vocabulary) appended per doc, counted against
-    // the pack budget exactly as a trainer counts it, landing as each
-    // document's LAST position in the spliced sequence. The pre-
-    // transform composes: budgeting and splicing run unchanged on the
-    // augmented stream.
+    // EOS-separated packed sequences (C191+C203 / t57): t46 with the
+    // end-of-document marker real training streams carry — one EOS per
+    // doc at the RESERVED control id (SpecialTokens.EosId = 2; pieces
+    // sit at 4+, and withEos REJECTS an eosId inside the piece range),
+    // counted against the pack budget exactly as a trainer counts it,
+    // landing as each document's LAST position in the spliced
+    // sequence. The pre-transform composes: budgeting and splicing run
+    // unchanged on the augmented stream.
     "t57_packed_eos" -> ((s, dir) => {
       val full = table(s, dir, "documents")
       val d = full.filter(col("doc_id") < 50)
       val model = Bpe.train(full, "text", numMerges = 8)
-      val eosId = Bpe.pieceVocab(model).count()
+      val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
       val ids = graft.pipeline.Packing.withEos(
-        Bpe.encodeIds(d, "doc_id", "text", model), "doc_id", eosId)
+        Bpe.encodeIds(d, "doc_id", "text", model, reserved = SpecialTokens.Band),
+        "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
       val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
       val packs = graft.pipeline.Packing.packGreedyByCount(
@@ -2365,8 +2373,9 @@ $bandSelects
     * engines resolve overlaps like "a a a" under (a,a) identically).
     * LEFT JOIN ON TRUE keeps `bwR` total when a round runs out of pairs.
     */
-  /** `TextOps.gpt2PreTokenize`'s RE2 twin: strip any pre-existing
-    * sentinel, insert U+001F immediately BEFORE each whitespace char
+  /** `TextOps.gpt2PreTokenize`'s RE2 twin: substitute U+FFFD for any
+    * pre-existing sentinel (the loud in-band marker — never a silent
+    * delete), insert U+001F immediately BEFORE each whitespace char
     * that a non-space follows (cutting a whitespace run before its
     * last char — the lookahead-free rewrite of the canonical pattern's
     * `\s+(?!\S)` branch), extract with the shared sentinel-excluding
@@ -2376,7 +2385,7 @@ $bandSelects
   private val Gpt2TokSql = {
     val p = """''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+""" +
       """| ?[^\s\p{L}\p{N}\x1F]+|\s+"""
-    s"""regexp_extract_all(regexp_replace(regexp_replace(text, '${"\\"}x1F', '', 'g'),
+    s"""regexp_extract_all(regexp_replace(regexp_replace(text, '${"\\"}x1F', chr(65533), 'g'),
        |      '(${"\\"}s)(${"\\"}S)', chr(31) || '${"\\"}1${"\\"}2', 'g'), '$p')""".stripMargin
   }
 
@@ -5496,7 +5505,8 @@ $bandSelects
          |       FROM wp JOIN bw8 ON wp.word = bw8.word),
          |pe AS (SELECT doc_id, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos, pieces[j] AS piece
          |       FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j))
-         |SELECT pe.doc_id, pe.word_pos, pe.piece_pos, pv.piece_id
+         |SELECT pe.doc_id, pe.word_pos, pe.piece_pos,
+         |       CAST(pv.piece_id + 4 AS BIGINT) AS piece_id
          |FROM pe JOIN pv ON pe.piece = pv.piece
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
     // t47: the 12 byte-grain rounds unrolled — bw0 seeds from
@@ -5552,9 +5562,10 @@ $bandSelects
          |       p.doc_id, p.piece_id
          |FROM pid p JOIN off o ON p.doc_id = o.doc_id
          |ORDER BY p.lang, o.pack_id, pos""".stripMargin,
-    // t57: t46's replay with the EOS union — one marker row per doc at
-    // max(word_pos)+1 with id = |pieceVocab|, flowing through the same
-    // budget window and splice.
+    // t57: t46's replay with the EOS union under the reserved band —
+    // pieces at pv.piece_id + 4, one marker row per doc at
+    // max(word_pos)+1 with the RESERVED control id 2 (SpecialTokens
+    // EOS), flowing through the same budget window and splice.
     "t57_packed_eos" ->
       s"""WITH ${bpeCtes(8)},
          |${pieceVocabCtes(8)},
@@ -5567,14 +5578,15 @@ $bandSelects
          |pe AS (SELECT doc_id, lang, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
          |              pieces[j] AS piece
          |       FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j)),
-         |pid AS (SELECT pe.doc_id, pe.lang, pe.word_pos, pe.piece_pos, pv.piece_id
+         |pid AS (SELECT pe.doc_id, pe.lang, pe.word_pos, pe.piece_pos,
+         |               CAST(pv.piece_id + 4 AS BIGINT) AS piece_id
          |        FROM pe JOIN pv ON pe.piece = pv.piece),
          |pide AS MATERIALIZED (
          |  SELECT doc_id, lang, word_pos, piece_pos, piece_id FROM pid
          |  UNION ALL
          |  SELECT doc_id, lang, max(word_pos) + 1 AS word_pos,
          |         CAST(0 AS BIGINT) AS piece_pos,
-         |         (SELECT count(*) FROM pv) AS piece_id
+         |         CAST(2 AS BIGINT) AS piece_id
          |  FROM pid GROUP BY doc_id, lang),
          |cnt AS (SELECT doc_id, lang, count(*) AS n FROM pide GROUP BY 1, 2),
          |pk AS (SELECT doc_id, lang, n,
@@ -5636,8 +5648,10 @@ $bandSelects
     "t54_unigram_train_local" ->
       s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)}
          |SELECT piece, mass, lp AS logp FROM ufin ORDER BY piece""".stripMargin,
-    // t52: t49's encode joined to the score-ordered id table (unk = 0
-    // by convention; absent here — the corpus alphabet is covered).
+    // t52: t49's encode joined to the score-ordered id table under the
+    // reserved band — UNK/BOS/EOS/PAD at 0..3 (unk id 0 by convention;
+    // absent here — the corpus alphabet is covered), pieces at 4+
+    // (row_number starts at 1, so + 3).
     "t52_unigram_ids" ->
       s"""WITH RECURSIVE ${unigramCtes(3, 5, 80, 48)},
          |ufm AS (
@@ -5659,7 +5673,7 @@ $bandSelects
          |               pieces[j] AS piece
          |        FROM usp, UNNEST(range(1, len(pieces) + 1)) AS t(j))
          |SELECT e.doc_id, e.word_pos, e.piece_pos,
-         |       CAST(coalesce(v.piece_id, 0) AS BIGINT) AS piece_id
+         |       CAST(coalesce(v.piece_id + 3, 0) AS BIGINT) AS piece_id
          |FROM upe e LEFT JOIN upv v ON e.piece = v.piece
          |ORDER BY doc_id, word_pos, piece_pos""".stripMargin,
     // t53: the final-model DP over the corpus word table (uw is already

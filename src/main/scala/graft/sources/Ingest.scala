@@ -173,9 +173,16 @@ object Ingest {
     * [[quarantineOf]]/[[report]] compose unchanged. Map-only regexp
     * projections; no shuffle.
     *
-    * Scope, stated honestly: TEXT payloads. The blank-line framing
-    * (`\r\n\r\n`) locates the body, so a BINARY payload containing that
-    * byte sequence would tear — byte-exact binary records need
+    * Payload framing is STRUCTURAL, not content-sensitive: the body is
+    * everything after the SECOND `\r\n\r\n` (end of the WARC header
+    * block, then end of the HTTP header block) — a NON-GREEDY anchored
+    * prefix strip, so a text payload that itself contains a CRLF blank
+    * line (routine in crawled CRLF-newline text) survives byte-exact
+    * instead of being silently truncated to its tail.
+    *
+    * Scope, stated honestly: TEXT payloads. A BINARY payload whose
+    * bytes collide with `\r\n\r\n` INSIDE one of the two header blocks
+    * would still mis-frame — byte-exact binary records need
     * Content-Length slicing, a stateful scan neither engine's portable
     * string surface expresses. Real crawl TEXT extraction (WAT/WET-
     * style pipelines) is exactly this text-payload shape.
@@ -187,13 +194,20 @@ object Ingest {
       .withColumn("uri", regexp_extract(rec, "WARC-Target-URI: ([^\r\n]+)", 1))
       .withColumn("http_status",
         regexp_extract(rec, "\r\n\r\nHTTP/1\\.[01] ([0-9]{3})", 1))
-      // The payload after the LAST blank line; exactly ONE trailing
-      // newline is the text writer's row terminator, not record content
-      // — a payload that legitimately ends in newlines keeps the rest
-      // (the byte-exact contract). \z, not $: Java's $ also matches
-      // BEFORE a final line terminator, so "\n$" would strip two.
+      // The payload after the SECOND structural blank line: one
+      // anchored non-greedy prefix strip ((?s) so headers spanning the
+      // match dot-match newlines; stays inside RE2 for the oracle twin
+      // — no lookaround). A record truncated before its second blank
+      // line keeps its full text as body — inspectable, never silently
+      // sliced. Exactly ONE trailing newline is the
+      // text writer's row terminator, not record content — a payload
+      // that legitimately ends in newlines keeps the rest (the
+      // byte-exact contract). \z, not $: Java's $ also matches BEFORE
+      // a final line terminator, so "\n$" would strip two.
       .withColumn("body",
-        regexp_replace(substring_index(rec, "\r\n\r\n", -1), "\n\\z", ""))
+        regexp_replace(
+          regexp_replace(rec, "(?s)^.*?\r\n\r\n.*?\r\n\r\n", ""),
+          "\n\\z", ""))
       .withColumn("is_clean",
         col("rec_type") === "response" && col("uri") =!= "" &&
           col("http_status") =!= "")

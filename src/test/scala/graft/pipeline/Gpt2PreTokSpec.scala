@@ -70,12 +70,17 @@ class Gpt2PreTokSpec extends GraftSuite {
     assert(toks === Seq("a", "  ", " b"))
   }
 
-  test("a pre-existing sentinel is stripped, never tokenized") {
+  test("a pre-existing sentinel is substituted with U+FFFD, never tokenized and never silently dropped") {
     import spark.implicits._
     val toks = Seq("a\u001Fb c").toDF("text")
       .select(TextOps.gpt2PreTokenize(col("text")).as("t"))
       .head().getSeq[String](0)
-    assert(toks === Seq("ab", " c"))
+    // The replacement char survives as a visible punctuation pretoken:
+    // concatenation equals the input with U+001F -> U+FFFD, so a
+    // round-trip mismatch on sentinel-bearing rows SURFACES instead of
+    // the byte vanishing while the totality law appears to hold.
+    assert(toks === Seq("a", "\uFFFD", "b", " c"))
+    assert(toks.mkString === "a\uFFFDb c")
   }
 
   test("Bpe integration: byte-level merges learn the space-bearing Ġ-style pieces") {
@@ -115,14 +120,17 @@ class Gpt2PreTokSpec extends GraftSuite {
       .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
       .filter(col("text") =!= col("orig")).count()
     assert(backW === 0L)
-    // Byte grain over GPT-2 pretokens: separator "" (pretokens carry
-    // their spaces), bytes unhex back through multi-byte and astral
-    // characters.
+    // Byte grain over GPT-2 pretokens: the model RECORDED separator ""
+    // at train time (space-bearing pretokens detected), so decode needs
+    // no caller-side convention; bytes unhex back through multi-byte
+    // and astral characters.
     val mb = Bpe.train(d, "text", numMerges = 6, byteLevel = true,
       tokenizer = TextOps.gpt2PreTokenize)
+    assert(mb.wordSeparator === "")
+    assert(mw.wordSeparator === " ")
     val backB = Bpe.decode(
         Bpe.encodeIds(d, "doc_id", "text", mb, tokenizer = TextOps.gpt2PreTokenize),
-        "doc_id", mb, wordSeparator = "")
+        "doc_id", mb)
       .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
       .filter(col("text") =!= col("orig")).count()
     assert(backB === 0L)

@@ -69,8 +69,9 @@ class PackedSeqSpec extends GraftSuite {
 
   test("withEos: exactly one marker per doc, LAST in its document, counted against the budget") {
     val (ids, _, model) = fixture()
-    val eosId = Bpe.pieceVocab(model).count()
-    val withEos = Packing.withEos(ids, "doc_id", eosId)
+    val vocabSize = Bpe.pieceVocab(model).count()
+    val eosId = vocabSize // the one-past-the-vocabulary convention
+    val withEos = Packing.withEos(ids, "doc_id", eosId, vocabSize)
     // One EOS per doc, id outside the vocabulary.
     assert(withEos.filter(col("piece_id") === eosId).count() === 3L)
     assert(withEos.count() === ids.count() + 3L)
@@ -86,6 +87,82 @@ class PackedSeqSpec extends GraftSuite {
       .select(col("doc_id"), col("m.piece_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(lastPerDoc.forall(_._2 === eosId))
+  }
+
+  test("withEos: an eosId inside the piece-id range is REJECTED — collision cannot be silent") {
+    val (ids, _, model) = fixture()
+    val vocabSize = Bpe.pieceVocab(model).count()
+    // Any piece id (here: the last one) collides and must throw.
+    val ex = intercept[IllegalArgumentException] {
+      Packing.withEos(ids, "doc_id", vocabSize - 1, vocabSize)
+    }
+    assert(ex.getMessage.contains("collides"))
+    // With the reserved band, the control ids below the band are legal…
+    val bandVocab = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+    Packing.withEos(ids, "doc_id", SpecialTokens.EosId, bandVocab,
+      SpecialTokens.BandSize)
+    // …but a band-range id on a band-less layout is not.
+    val ex2 = intercept[IllegalArgumentException] {
+      Packing.withEos(ids, "doc_id", SpecialTokens.EosId, vocabSize)
+    }
+    assert(ex2.getMessage.contains("collides"))
+    model.words.unpersist()
+  }
+
+  test("withEosForDocs: empty-stream documents still get their EOS, anchored to the doc frame") {
+    import spark.implicits._
+    val d = docs("stream batch stream", "merge table scan", "filter sort")
+    val model = Bpe.train(d, "text", numMerges = 3)
+    val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+    // Drop doc 1's stream entirely — the upstream-inner-join hazard.
+    val ids = Bpe.encodeIds(d, "doc_id", "text", model,
+      reserved = SpecialTokens.Band).filter(col("doc_id") =!= 1L)
+    val out = Packing.withEosForDocs(ids, d, "doc_id", SpecialTokens.EosId,
+      vocabSize, SpecialTokens.BandSize)
+    val eos = out.filter(col("piece_id") === SpecialTokens.EosId)
+      .select("doc_id", "word_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // One EOS per doc OF THE FRAME — including the empty stream, at
+    // word_pos 0 (visible termination, not silent absence).
+    assert(eos.keySet === Set(0L, 1L, 2L))
+    assert(eos(1L) === 0L)
+    // Stream-derived variant, by contrast, has no doc-1 marker.
+    assert(Packing.withEos(ids, "doc_id", SpecialTokens.EosId, vocabSize,
+        SpecialTokens.BandSize)
+      .filter(col("piece_id") === SpecialTokens.EosId && col("doc_id") === 1L)
+      .isEmpty)
+    model.words.unpersist()
+  }
+
+  test("reserved band: both families lay out UNK/BOS/EOS/PAD at 0..3 with pieces at 4+; collisions fail loud") {
+    import spark.implicits._
+    val d = docs("stream batch stream", "merge table scan")
+    val model = Bpe.train(d, "text", numMerges = 3)
+    val pv = Bpe.pieceVocab(model, SpecialTokens.Band)
+      .orderBy("piece_id").collect()
+    assert(pv.take(4).map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((0L, "<unk>"), (1L, "<s>"), (2L, "</s>"), (3L, "<pad>")))
+    assert(pv(4).getLong(0) === 4L)
+    // Band ids never appear in an encoded stream (pieces are 4+).
+    val ids = Bpe.encodeIds(d, "doc_id", "text", model,
+      reserved = SpecialTokens.Band)
+    assert(ids.filter(col("piece_id") < SpecialTokens.BandSize).isEmpty)
+    // Unigram: same band, unk keeps id 0, pieces at 4+.
+    val um = Unigram.train(d, "text", vocabSize = 12, iters = 1)
+    val upv = Unigram.pieceVocab(um, SpecialTokens.Band)
+    assert(upv.take(4) === Seq((0L, "<unk>"), (1L, "<s>"), (2L, "</s>"), (3L, "<pad>")))
+    assert(upv(4)._1 === 4L)
+    // A band not led by <unk> is rejected (OOV routing would break).
+    val exU = intercept[IllegalArgumentException] {
+      Unigram.pieceVocab(um, Seq("<s>", "<unk>"))
+    }
+    assert(exU.getMessage.contains("<unk>"))
+    // A reserved label colliding with a learned piece is rejected.
+    val exC = intercept[IllegalArgumentException] {
+      Bpe.pieceVocab(model, Seq("s")) // "s" is in the alphabet
+    }
+    assert(exC.getMessage.contains("collide"))
+    model.words.unpersist()
   }
 
   test("deterministic across runs") {

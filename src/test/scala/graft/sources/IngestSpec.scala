@@ -205,6 +205,22 @@ class IngestSpec extends GraftSuite {
     assert(bodies(1) === "no trailing newline")
   }
 
+  test("warc: a text payload containing CRLF blank lines survives byte-exact — second-blank-line framing, never tail-sliced") {
+    val dir = Fixtures.scratchDir("graft-warc-spec-crlf")
+    // Crawled CRLF-newline text routinely carries \r\n\r\n paragraph
+    // breaks INSIDE the payload. The framing is structural (after the
+    // SECOND blank line), so the body keeps every byte — the old
+    // after-LAST-blank-line slice would have returned just "para three"
+    // and still flagged the record clean: silent corruption.
+    val body = "para one\r\n\r\npara two\r\n\r\npara three"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc"),
+      (warcRecord(1, body) + "\n" + warcRecord(2, "plain")).getBytes("UTF-8"))
+    val (clean, quarantine) = Ingest.warc(spark, dir)
+    val bodies = clean.orderBy("uri").collect().map(_.getAs[String]("body"))
+    assert(bodies === Array(body, "plain"))
+    assert(quarantine.count() === 0L)
+  }
+
   test("warc: the scan SPLITS inside one large shard file — no record torn at split boundaries") {
     val dir = Fixtures.scratchDir("graft-warc-spec-split")
     val recs = (1L to 400L).map(i => warcRecord(i, s"payload $i " + ("x" * 200)))
