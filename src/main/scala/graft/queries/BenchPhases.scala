@@ -241,6 +241,44 @@ object BenchPhases {
     "st21_stream_route" -> ((s, dir) => StreamingQueries.st21Setup(s, dir)._1),
     "st22_stream_lm_gate" -> ((s, dir) => StreamingQueries.st22Setup(s, dir)._1),
     "st23_warc_stream" -> ((s, dir) => StreamingQueries.st23Setup(s, dir)._1),
+    "st24_lm_gate_persisted" -> ((s, dir) => StreamingQueries.st24Setup(s, dir)._1),
+    // t58/t59/t60's claim is the SERVING path — artifact load + encode/
+    // score from disk; training and saving are the one-time cost the
+    // store exists to amortize (the d23/e4 at-rest discipline).
+    "t58_bpe_saved_encode" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t58-bench") + "/model"
+      val trained = graft.pipeline.Bpe.train(d, "text", numMerges = 8)
+      graft.pipeline.ModelStore.saveBpe(trained, path)
+      trained.words.unpersist(false)
+      () => {
+        val m = graft.pipeline.ModelStore.loadBpe(s, path)
+        graft.pipeline.Bpe.encodeIds(d, "doc_id", "text", m).count()
+        m.words.unpersist(false); ()
+      }
+    }),
+    "t59_unigram_saved_encode" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t59-bench") + "/model"
+      graft.pipeline.ModelStore.saveUnigram(
+        graft.pipeline.Unigram.train(d, "text", vocabSize = 48, iters = 3,
+          maxPieceLen = 5, seedMulti = 80), path)
+      () => {
+        val m = graft.pipeline.ModelStore.loadUnigram(s, path)
+        graft.pipeline.Unigram.encodeIds(d, "doc_id", "text", m).count(); ()
+      }
+    }),
+    "t60_mkn_saved_nll" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t60-bench") + "/model"
+      graft.pipeline.ModelStore.saveNgram(
+        graft.pipeline.TextStats.trigramCounts(d, "text"), path, order = 3)
+      () => {
+        val (m, _) = graft.pipeline.ModelStore.loadNgram(s, path)
+        graft.pipeline.TextStats.mknTrigramNllAgainst(d, m, "doc_id", "text")
+          .count(); ()
+      }
+    }),
     "st1_stream_upsert" -> ((s, dir) => StreamingQueries.st1Setup(s, dir)._1),
     "st2_stream_dedup" -> ((s, dir) => StreamingQueries.st2Setup(s, dir)._1),
     "st3_stream_hourly" -> ((s, dir) => StreamingQueries.st3Setup(s, dir)._1),

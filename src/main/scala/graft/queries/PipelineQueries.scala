@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, Multimodal, Sampling, Similarity, SpecialTokens, TextOps, TextStats, Unigram, Vocab}
+import graft.pipeline.{Bpe, Classifier, Dedup, HashMode, ModelStore, Multimodal, Sampling, Similarity, SpecialTokens, TextOps, TextStats, Unigram, Vocab}
 
 /** Driver-contract queries for the training-data-pipeline operator family
   * (dedup, similarity search, text analysis, multimodal plumbing) over the
@@ -1206,6 +1206,49 @@ $bandSelects
         counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("lang"))
       graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
         .orderBy("lang", "pack_id", "pos")
+    }),
+    // Persisted-BPE round trip (C204 / t58): train → ModelStore.saveBpe
+    // → LOAD → encode. The oracle is literally t43's — the load must
+    // reconstruct the artifact bit-identically (merge order, word
+    // table, grain metadata), which is the tokenizer.json discipline: a
+    // model trains once and deploys across sessions/clusters, never
+    // riding a JVM.
+    "t58_bpe_saved_encode" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t58") + "/model"
+      ModelStore.saveBpe(Bpe.train(d, "text", numMerges = 8), path)
+      val model = ModelStore.loadBpe(s, path)
+      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
+          reserved = SpecialTokens.Band)
+        .orderBy("doc_id", "word_pos", "piece_pos")
+    }),
+    // Persisted-unigram round trip (C204 / t59): the same discipline
+    // for the other family — piece SEQUENCE, unkLogp, and maxPieceLen
+    // reload exactly (t52's oracle verbatim), so Viterbi segmentation
+    // through the loaded model is the trained model's.
+    "t59_unigram_saved_encode" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t59") + "/model"
+      ModelStore.saveUnigram(Unigram.train(d, "text", vocabSize = 48,
+        iters = 3, maxPieceLen = 5, seedMulti = 80), path)
+      val model = ModelStore.loadUnigram(s, path)
+      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
+          reserved = SpecialTokens.Band)
+        .orderBy("doc_id", "word_pos", "piece_pos")
+    }),
+    // Persisted-LM round trip (C204 / t60): the trigram count frame —
+    // the MKN scorer's only model input — through ModelStore.saveNgram/
+    // loadNgram (order checked at both ends), scored with t45's exact
+    // machinery and oracle: the in-Spark analog of shipping a KenLM
+    // binary to every worker.
+    "t60_mkn_saved_nll" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t60") + "/model"
+      ModelStore.saveNgram(TextStats.trigramCounts(d, "text"), path, order = 3)
+      val (model, order) = ModelStore.loadNgram(s, path)
+      require(order == 3, s"stored model order drifted: $order")
+      TextStats.mknTrigramNllAgainst(d, model, "doc_id", "text")
+        .orderBy("doc_id")
     }),
     // Trained quality classifier (C174 / t35): 3 rounds of full-batch
     // logistic GD on weak labels over 6dp-rounded features, then the
@@ -6193,5 +6236,13 @@ $bandSelects
     "p2_multimodal_pipeline" -> oracleSqlBase("mm8_image_dedup"),
     // e12t's oracle is generated (two unrolled blocks of the same CTE
     // template) — see pqTrainedOracleSql for the exactness argument.
-    "e12t_pq_trained" -> pqTrainedOracleSql)
+    "e12t_pq_trained" -> pqTrainedOracleSql,
+    // t58/t59/t60 are the persisted-model round trips (C204): the
+    // loaded artifact must encode/score BIT-IDENTICALLY to the trained
+    // one, so each shares its live twin's oracle verbatim — any drift
+    // in the store (merge order, piece sequence, count frame, doubles)
+    // breaks the hash.
+    "t58_bpe_saved_encode" -> oracleSqlBase("t43_bpe_piece_ids"),
+    "t59_unigram_saved_encode" -> oracleSqlBase("t52_unigram_ids"),
+    "t60_mkn_saved_nll" -> oracleSqlBase("t45_mkn_trigram_nll"))
 }

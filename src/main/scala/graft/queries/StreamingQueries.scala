@@ -444,6 +444,22 @@ object StreamingQueries {
           round(avg(col("avg_nll")), 6).as("mean_nll"))
         .orderBy("lang", "bucket")
     }),
+    // Persisted-artifact streaming gate (C204 / st24): st22's CCNet
+    // gate with EVERY frozen input loaded from DISK — the classifier
+    // weights and the trigram model through ModelStore, the calibrated
+    // cutoffs from their parquet sidecar — in a separate lineage from
+    // the training frames. This is the production deployment shape
+    // (train once, version the artifact, score anywhere); the converged
+    // sink must equal st22's, so it shares st22's oracle verbatim: any
+    // drift introduced by the store breaks the hash.
+    "st24_lm_gate_persisted" -> ((s, dir) => {
+      val (replay, out) = st24Setup(s, dir)
+      replay()
+      s.read.parquet(out)
+        .groupBy("lang", "bucket").agg(count(lit(1)).as("n"),
+          round(avg(col("avg_nll")), 6).as("mean_nll"))
+        .orderBy("lang", "bucket")
+    }),
     // Streaming vocabulary maintenance (st19): documents replayed in
     // batches, each micro-batch's exact token counts SUMMED into the
     // count store (read touched buckets, add, replace). Counts are
@@ -909,6 +925,67 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st24 (persisted-artifact LM gate): st22's chain
+    * with a HARD session boundary between training and serving — the
+    * logistic weights and the trigram count frame round-trip through
+    * [[graft.pipeline.ModelStore]], the per-lang cutoffs through their
+    * own parquet sidecar, and the GATE is built exclusively from the
+    * LOADED artifacts (fresh parquet lineage; nothing references the
+    * training frames). The oracle being st22's pins the store's
+    * bit-identity on the serving path.
+    */
+  private[graft] def st24Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st24")
+    val out = s"$scratch/out"
+    val d = Fixtures.table(s, dir, "documents")
+    // ---- train-time session: fit, calibrate, PERSIST, forget. ----
+    val feats = PipelineQueries.classifierFeatures(d)
+    graft.pipeline.ModelStore.saveLogistic(s,
+      graft.pipeline.Classifier.trainLogistic(
+        feats, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0),
+      Seq("x1", "x2", "x3"), s"$scratch/clf")
+    val (w0, wf0) = graft.pipeline.ModelStore.loadLogistic(s, s"$scratch/clf")
+    val ref = d.join(
+      graft.pipeline.Classifier.score(feats, w0, wf0, threshold = 0.5)
+        .filter(col("accepted")).select("doc_id"),
+      Seq("doc_id"))
+    val trained = TextStats.trigramCounts(ref, "text")
+    graft.pipeline.ModelStore.saveNgram(trained, s"$scratch/lm", order = 3)
+    TextStats.mknTrigramNllAgainst(d, trained, "doc_id", "text")
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id"))))
+      .groupBy("lang").agg(
+        max(when(col("bucket") === 1, col("avg_nll"))).as("c1"),
+        max(when(col("bucket") === 2, col("avg_nll"))).as("c2"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/cutoffs")
+    // ---- serving session: every frozen input arrives FROM DISK. ----
+    val (model, order) = graft.pipeline.ModelStore.loadNgram(s, s"$scratch/lm")
+    require(order == 3, s"stored model order drifted: $order")
+    model.persist().count()
+    val calib = s.read.parquet(s"$scratch/cutoffs").collect()
+    val cut1 = calib.collect {
+      case r if !r.isNullAt(1) => (r.getString(0), r.getDouble(1))
+    }.toMap
+    val cut2 = calib.collect {
+      case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
+    }.toMap
+    val rows = d.select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = mem.toDF().toDF("doc_id", "lang", "text")
+    val q = graft.streaming.StreamingScore.lmGateTo(
+      stream, "doc_id", "text", "lang", model, cut1, cut2, out, s"$scratch/cp")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally { q.stop(); model.unpersist(false); () }
+    (replay, out)
+  }
+
   /** Untimed setup for st19 (streaming vocabulary store): documents
     * replayed in doc_id order across N batches — every batch carries
     * mostly already-seen tokens, so stored count rows are
@@ -1278,6 +1355,10 @@ object StreamingQueries {
     // converged class partitions replay with t44's own machinery.
     "st21_stream_route" -> PipelineQueries.st21OracleSql,
     "st22_stream_lm_gate" -> PipelineQueries.st22OracleSql,
+    // st24 is st22 with every frozen artifact loaded from disk — the
+    // store's bit-identity makes the converged sink IDENTICAL, so
+    // st22's oracle verbatim (the e14/t25 at-rest==live precedent).
+    "st24_lm_gate_persisted" -> PipelineQueries.st22OracleSql,
     // st19 is t31 through the maintained count store — the converged
     // store ranks into the batch vocabulary: t31's oracle verbatim.
     "st19_stream_vocab" ->

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSuite
+import graft.queries.Fixtures
+
+/** Model-artifact persistence laws (C204): every trained artifact
+  * round-trips through disk BIT-IDENTICALLY — the loaded model encodes/
+  * scores exactly like the one that trained — and the store refuses to
+  * misparse (wrong model type, future format version) instead of
+  * producing garbage weights.
+  */
+class ModelStoreSpec extends GraftSuite {
+
+  private def docs(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  private def store(tag: String): String =
+    Fixtures.scratchDir(s"graft-modelstore-$tag") + "/m"
+
+  test("BPE: loaded model == trained model (merges, words, grain) and encodes bit-identically") {
+    val d = docs("stream batch stream table", "merge table scan scan", "it's fine")
+    val trained = Bpe.train(d, "text", numMerges = 6)
+    val path = store("bpe")
+    ModelStore.saveBpe(trained, path)
+    val loaded = ModelStore.loadBpe(spark, path)
+    assert(loaded.merges === trained.merges)
+    assert(loaded.byteLevel === trained.byteLevel)
+    assert(loaded.wordSeparator === trained.wordSeparator)
+    assert(loaded.cappedOut === trained.cappedOut)
+    assert(loaded.words.orderBy("word").collect().toSeq ===
+      trained.words.select("word", "freq", "seg").orderBy("word").collect().toSeq)
+    def enc(m: Bpe.BpeModel) =
+      Bpe.encodeIds(d, "doc_id", "text", m, reserved = SpecialTokens.Band)
+        .orderBy("doc_id", "word_pos", "piece_pos").collect().toSeq
+    assert(enc(loaded) === enc(trained))
+    // decode through the loaded model closes the loop.
+    val back = Bpe.decode(
+        Bpe.encodeIds(d, "doc_id", "text", loaded), "doc_id", loaded)
+      .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    assert(back === 0L)
+    trained.words.unpersist(); loaded.words.unpersist()
+  }
+
+  test("BPE: the GPT-2 byte grain round-trips with its recorded separator") {
+    val d = docs("the cat the dog", "it's the cat's day")
+    val trained = Bpe.train(d, "text", numMerges = 8, byteLevel = true,
+      tokenizer = TextOps.gpt2PreTokenize)
+    val path = store("bpe-gpt2")
+    ModelStore.saveBpe(trained, path)
+    val loaded = ModelStore.loadBpe(spark, path)
+    assert(loaded.byteLevel === true)
+    assert(loaded.wordSeparator === "")
+    val back = Bpe.decode(
+        Bpe.encodeIds(d, "doc_id", "text", loaded,
+          tokenizer = TextOps.gpt2PreTokenize),
+        "doc_id", loaded)
+      .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    assert(back === 0L)
+    trained.words.unpersist(); loaded.words.unpersist()
+  }
+
+  test("Unigram: loaded model == trained model (piece sequence, unkLogp, maxPieceLen) and segments identically") {
+    val d = docs("stream batch stream", "merge table scan", "ab zb cd")
+    val trained = Unigram.train(d, "text", vocabSize = 24, iters = 2,
+      maxPieceLen = 4, seedMulti = 40)
+    val path = store("unigram")
+    ModelStore.saveUnigram(trained, path)
+    val loaded = ModelStore.loadUnigram(spark, path)
+    assert(loaded === trained) // case-class equality: exact pieces, order, doubles
+    def enc(m: Unigram.UnigramModel) =
+      Unigram.encodeIds(d, "doc_id", "text", m, reserved = SpecialTokens.Band)
+        .orderBy("doc_id", "word_pos", "piece_pos").collect().toSeq
+    assert(enc(loaded) === enc(trained))
+  }
+
+  test("softmax + logistic: weight matrices round-trip exactly, with their feature/label vectors") {
+    val w = Seq(Seq(0.125, -3.5, 2.000001), Seq(0.0, 7.25, -0.000001),
+      Seq(1.0 / 3.0, Double.MinPositiveValue, 123456.789))
+    val feats = Seq("x1", "x2")
+    val labels = Seq("de", "en", "zh")
+    val path = store("softmax")
+    ModelStore.saveSoftmax(spark, w, feats, labels, path)
+    val (w2, f2, l2) = ModelStore.loadSoftmax(spark, path)
+    assert(w2 === w) // parquet doubles are exact — bit-identical scoring
+    assert(f2 === feats)
+    assert(l2 === labels)
+    val lw = Seq(0.548244, 0.235449, 0.430676, 0.192348)
+    val lpath = store("logistic")
+    ModelStore.saveLogistic(spark, lw, Seq("x1", "x2", "x3"), lpath)
+    val (lw2, lf2) = ModelStore.loadLogistic(spark, lpath)
+    assert(lw2 === lw)
+    assert(lf2 === Seq("x1", "x2", "x3"))
+  }
+
+  test("n-gram: the count frame round-trips with its order; scoring through the loaded model is identical") {
+    val d = docs("the cat sat on the mat", "the cat ran", "a dog sat")
+    val model = TextStats.trigramCounts(d, "text")
+    val path = store("ngram")
+    ModelStore.saveNgram(model, path, order = 3)
+    val (loaded, order) = ModelStore.loadNgram(spark, path)
+    assert(order === 3)
+    assert(loaded.orderBy("w1", "w2", "w3").collect().toSeq ===
+      model.orderBy("w1", "w2", "w3").collect().toSeq)
+    def score(m: org.apache.spark.sql.DataFrame) =
+      TextStats.mknTrigramNllAgainst(d, m, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    assert(score(loaded) === score(model))
+    // Column-layout contract enforced at save.
+    val bad = intercept[IllegalArgumentException] {
+      ModelStore.saveNgram(model, store("ngram-bad"), order = 4)
+    }
+    assert(bad.getMessage.contains("order-4"))
+  }
+
+  test("the store refuses to misparse: wrong model type and future format version fail loud") {
+    val d = docs("stream batch stream")
+    val trained = Bpe.train(d, "text", numMerges = 2)
+    val path = store("types")
+    ModelStore.saveBpe(trained, path)
+    val exT = intercept[IllegalArgumentException] {
+      ModelStore.loadUnigram(spark, path)
+    }
+    assert(exT.getMessage.contains("'bpe'"))
+    // A future writer's layout: bump the version in the meta frame.
+    val future = spark.read.parquet(s"$path/meta")
+      .withColumn("format_version", lit(ModelStore.FormatVersion + 1))
+    val fpath = store("types-future")
+    ModelStore.saveBpe(trained, fpath) // lay down tables, then clobber meta
+    future.coalesce(1).write.mode("overwrite").parquet(s"$fpath/meta")
+    val exV = intercept[IllegalArgumentException] {
+      ModelStore.loadBpe(spark, fpath)
+    }
+    assert(exV.getMessage.contains("format_version"))
+    trained.words.unpersist()
+  }
+}
