@@ -1342,6 +1342,189 @@ object TextStats {
       discount: Double = 0.75): DataFrame =
     mknTrigramNllAgainst(docs, trigramCounts(docs, textCol), idCol, textCol, discount)
 
+  /** Adjacent-token n-gram counts over a reference corpus — the
+    * order-`order` generalization of [[trigramCounts]] (identical rows
+    * at order 3, spec-pinned). Same map-only window build (one
+    * `transform` per doc, no self-join), one map-side-combined
+    * aggregation; output is n-gram-vocabulary-sized.
+    *
+    * @return (w1, …, w`order`, ct) — raw adjacent-tuple occurrence
+    *         counts, the [[ModelStore.saveNgram]] layout.
+    */
+  def ngramCounts(docs: DataFrame, textCol: String, order: Int): DataFrame = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    docs
+      .select(TextOps.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= order)
+      .select(explode(transform(sequence(lit(1), size(col("__ws")) - (order - 1)),
+        i => struct((0 until order).map(o =>
+          element_at(col("__ws"), i + o).as(s"w${o + 1}")): _*))).as("__t"))
+      .select((1 to order).map(i => col(s"__t.w$i").as(s"w$i")): _*)
+      .groupBy((1 to order).map(i => col(s"w$i")): _*)
+      .agg(count(lit(1)).as("ct"))
+  }
+
+  /** Per-document NLL under an interpolated MODIFIED-Kneser–Ney model
+    * of ANY order ≥ 3 — [[mknTrigramNllAgainst]]'s machinery
+    * generalized to the KenLM default (`order = 5`) and beyond, and
+    * spec-pinned BIT-EQUAL to the trigram implementation at order 3
+    * (same expressions, same float evaluation order — the two code
+    * paths cannot drift).
+    *
+    * Structure per Chen & Goodman: the TOP order scores raw counts
+    * under count-binned discounts ([[mknDiscounts]] — D₁/D₂/D₃₊ from
+    * the n-gram table's count-of-counts, with KenLM's
+    * `--discount_fallback` defaults per degenerate bin); each MIDDLE
+    * order k (2 ≤ k < n) scores CONTINUATION counts
+    * c_k(u) = N₁₊(·u) — derived by one aggregation per level from the
+    * level above, so the raw n-gram table is the ONLY model input —
+    * under the single `discount`, interpolating the level below with
+    * the exact discounted-mass weight (Σ_w p = 1 for every seen
+    * context); the base is the continuation-of-continuation unigram
+    * distribution with the family's add-1 guard over (U + V).
+    *
+    * Zero-routing, uniform at every level: a position with fewer than
+    * k context tokens scores at level k = pos (doc-initial backoff);
+    * an UNSEEN context at any level falls to the level below (γ is
+    * undefined at c(ctx·) = 0); and the level-2 zero-mixture case
+    * (continuation count AND unigram continuation both absent — the
+    * OOV-after-seen-context hazard) takes the guard, so every token
+    * scores finite. Levels 3+ need no zero-mixture branch: their
+    * interpolated tail is a full lower-order probability, > 0 by
+    * induction.
+    *
+    * Codegen discipline: each level's probability materializes as its
+    * OWN projection column (`__pl2` … `__plTop`) and higher levels
+    * reference it — inlined, level k's tree would duplicate 2^(n−k)
+    * times (the softmax-K² lesson, C188).
+    *
+    * Scale shape: 2(n−1) model-side aggregations (all n-gram-
+    * vocabulary-sized, computed once per model — a deployment persists
+    * them beside the counts), 2(n−1)+1 vocabulary-keyed equi-joins on
+    * the probe stream, a 1-row totals broadcast, and the family's
+    * position-ordered ln fold. Join count grows with the order, row
+    * width stays bounded; nothing shuffles the corpus more than the
+    * token explode already does.
+    *
+    * @param ngramModel (w1, …, w`order`, ct) from [[ngramCounts]] —
+    *                   the ONLY model input; everything is derived.
+    */
+  def mknNgramNllAgainst(
+      docs: DataFrame, ngramModel: DataFrame, idCol: String, textCol: String,
+      order: Int, discount: Double = 0.75): DataFrame = {
+    require(order >= 3, s"order must be >= 3 (use knBigramNllAgainst below), got $order")
+    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val n = order
+    val ctxKeys = (j: Int) => (j to 1 by -1).map(i => s"__p$i")
+    // The model with positional names: w_i (i < n) is the token n−i
+    // back from the scored token; w_n is the token itself.
+    val topRaw = ngramModel.select(
+      (1 until n).map(i => col(s"w$i").as(s"__p${n - i}")) ++
+        Seq(col(s"w$n").as("w"), col("ct")): _*)
+    val (d1, d2, d3) = mknDiscounts(ngramModel)
+    val topCtx = topRaw.groupBy(ctxKeys(n - 1).map(col): _*).agg(
+      sum(col("ct")).as("cuv"),
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1uv"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2uv"),
+      sum(when(col("ct") >= 3, 1L).otherwise(0L)).as("n3uv"))
+    // Continuation tables, level n−1 down to 1: level k's rows are the
+    // DISTINCT (k+1)-suffixes of the level above, counted — exactly
+    // N₁₊(·u), each one aggregation of the previous (never of the
+    // corpus).
+    val conts = scala.collection.mutable.Map.empty[Int, DataFrame]
+    var cur: DataFrame = topRaw
+    for (k <- (n - 1) to 1 by -1) {
+      val g = cur.groupBy((ctxKeys(k - 1) :+ "w").map(col): _*)
+        .agg(count(lit(1)).as(s"c$k"))
+      conts(k) = g
+      cur = g
+    }
+    val ctxTabs = (2 until n).map { k =>
+      k -> conts(k).groupBy(ctxKeys(k - 1).map(col): _*)
+        .agg(sum(col(s"c$k")).as(s"cv$k"), count(lit(1)).as(s"n1v$k"))
+    }.toMap
+    val totals = conts(2).agg(count(lit(1)).as("__u"))
+      .crossJoin(
+        (1 to n).map(i => ngramModel.select(col(s"w$i").as("t")))
+          .reduce(_ union _)
+          .agg(countDistinct(col("t")).as("__v")))
+    val tok0 = docs
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), col("__ws"), posexplode(col("__ws")).as(Seq("pos", "w")))
+    val tok = (1 until n).foldLeft(tok0)((df, j) =>
+        df.withColumn(s"__p$j", when(col("pos") <= j - 1, lit(null).cast("string"))
+          .otherwise(element_at(col("__ws"), col("pos") - (j - 1)))))
+      .drop("__ws")
+    var scored = tok.join(conts(1), Seq("w"), "left")
+    for (k <- 2 until n) {
+      scored = scored
+        .join(conts(k), ctxKeys(k - 1) :+ "w", "left")
+        .join(ctxTabs(k), ctxKeys(k - 1), "left")
+    }
+    scored = scored
+      .join(topRaw, ctxKeys(n - 1) :+ "w", "left")
+      .join(topCtx, ctxKeys(n - 1), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("__pug",
+        (coalesce(col("c1"), lit(0L)) + lit(1.0)) / (col("__u") + col("__v")))
+      // Level 2 — the trigram implementation's __pb verbatim, raw
+      // continuation-unigram tail inside the mixture, guard on the
+      // zero-mixture case.
+      .withColumn("__pl2",
+        when(col("cv2").isNull || (col("c2").isNull && col("c1").isNull),
+          col("__pug"))
+          .otherwise(
+            (greatest(coalesce(col("c2"), lit(0L)) - lit(discount), lit(0.0)) +
+              lit(discount) * col("n1v2") *
+                (coalesce(col("c1"), lit(0L)) / col("__u").cast("double"))) /
+              col("cv2")))
+    for (k <- 3 until n) {
+      scored = scored.withColumn(s"__pl$k",
+        when(col(s"cv$k").isNull, col(s"__pl${k - 1}"))
+          .otherwise(
+            greatest(coalesce(col(s"c$k"), lit(0L)) - lit(discount), lit(0.0)) /
+              col(s"cv$k") +
+              (lit(discount) * col(s"n1v$k") / col(s"cv$k")) *
+                col(s"__pl${k - 1}")))
+    }
+    val dTop = when(col("ct") === 1, lit(d1))
+      .when(col("ct") === 2, lit(d2)).otherwise(lit(d3))
+    val lnpExpr = {
+      var c = when(col("__p1").isNull, log(col("__pug")))
+      for (k <- 2 until n) c = c.when(col(s"__p$k").isNull, log(col(s"__pl$k")))
+      c.otherwise(log(col("__plTop")))
+    }
+    scored
+      .withColumn("__gt",
+        (lit(d1) * col("n1uv") + lit(d2) * col("n2uv") + lit(d3) * col("n3uv")) /
+          col("cuv"))
+      .withColumn("__plTop",
+        when(col("cuv").isNull, col(s"__pl${n - 1}"))
+          .otherwise(
+            when(col("ct").isNull, lit(0.0))
+              .otherwise(greatest(col("ct") - dTop, lit(0.0))) / col("cuv") +
+              col("__gt") * col(s"__pl${n - 1}")))
+      .withColumn("lnp", lnpExpr)
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
+  /** [[mknNgramNllAgainst]] with the model trained on `docs` itself —
+    * order-n modified-KN self-perplexity (the bootstrap; `order = 5`
+    * is the KenLM default).
+    */
+  def mknNgramNll(
+      docs: DataFrame, idCol: String, textCol: String, order: Int = 5,
+      discount: Double = 0.75): DataFrame =
+    mknNgramNllAgainst(docs, ngramCounts(docs, textCol, order), idCol, textCol,
+      order, discount)
+
   /** [[knBigramNllAgainst]] with the model trained on `docs` itself —
     * Kneser–Ney self-perplexity (the bootstrap).
     */

@@ -1250,6 +1250,20 @@ $bandSelects
       TextStats.mknTrigramNllAgainst(d, model, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // 5-gram modified-Kneser–Ney (C205 / t61): the KenLM DEFAULT order
+    // — t45's estimator generalized two orders up via the order-n
+    // machinery (raw counts + binned discounts at the top, one
+    // continuation level per middle order each derived from the level
+    // above, continuation-of-continuation base with the add-1 guard).
+    // The generic path is additionally spec-pinned bit-equal to the
+    // dedicated trigram implementation at order 3 (MknNgramSpec), so
+    // the two estimators cannot drift.
+    "t61_mkn5_nll" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      TextStats.mknNgramNllAgainst(d, TextStats.ngramCounts(d, "text", 5),
+          "doc_id", "text", order = 5)
+        .orderBy("doc_id")
+    }),
     // Trained quality classifier (C174 / t35): 3 rounds of full-batch
     // logistic GD on weak labels over 6dp-rounded features, then the
     // map-only scoring gate — the fastText-style "looks like reference
@@ -2406,6 +2420,134 @@ $bandSelects
        |               / count(*), 6) AS avg_nll
        |  FROM scored GROUP BY doc_id
        |)""".stripMargin
+
+  /** [[mknNllCtes]] generalized to ORDER n — `mknNgramNllAgainst`'s
+    * exact twin: prev columns p1..p{n−1} (pj = the token j back, NULL
+    * when pos ≤ j), the raw n-gram table with binned top-order
+    * discounts, one continuation table per middle level (each derived
+    * from the level above — never from the corpus), context/totals
+    * aggregations, and the level chain pug → pl2 → … → plTop as
+    * CHAINED CTEs (each level referenced by name, the same
+    * materialize-per-level discipline as the Spark side). Ends in
+    * `perdoc`(doc_id, n_tokens, avg_nll).
+    */
+  private def mknNgramNllCtes(modelSrc: String, probeSrc: String, n: Int): String = {
+    require(n >= 3, s"order must be >= 3, got $n")
+    val ctx = (j: Int) => (j to 1 by -1).map(i => s"p$i")
+    def prevCases(src: String) =
+      s"""SELECT doc_id, pos, w,
+         |         ${(1 until n).map(j =>
+              s"CASE WHEN pos <= $j THEN NULL ELSE ws[pos - $j] END AS p$j")
+              .mkString(",\n|         ")}
+         |  FROM (SELECT doc_id, ws, unnest(ws) AS w,
+         |               unnest(range(1, len(ws) + 1)) AS pos FROM $src)""".stripMargin
+    val topKeys = ctx(n - 1).mkString(", ")
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    parts += s"tokM AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $modelSrc)"
+    parts += s"pvM AS (\n  ${prevCases("tokM")}\n)"
+    parts += s"""gN AS (SELECT $topKeys, w, count(*) AS ct FROM pvM
+       |       WHERE p${n - 1} IS NOT NULL GROUP BY ALL)""".stripMargin
+    parts += """tcc AS (SELECT
+       |          sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1,
+       |          sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2,
+       |          sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS n3,
+       |          sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS n4 FROM gN)""".stripMargin
+    parts += """tdc AS (SELECT
+       |          CASE WHEN n1 > 0 AND n1 + 2*n2 > 0
+       |                AND 1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1 > 0
+       |            THEN round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6)
+       |            ELSE 0.5 END AS d1,
+       |          CASE WHEN n2 > 0 AND n1 + 2*n2 > 0
+       |                AND 2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2 > 0
+       |            THEN round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6)
+       |            ELSE 1.0 END AS d2,
+       |          CASE WHEN n3 > 0 AND n1 + 2*n2 > 0
+       |                AND 3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3 > 0
+       |            THEN round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6)
+       |            ELSE 1.5 END AS d3 FROM tcc)""".stripMargin
+    parts += s"""tctx AS (SELECT $topKeys, CAST(sum(ct) AS BIGINT) AS cuv,
+       |           sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1uv,
+       |           sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2uv,
+       |           sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS n3uv
+       |         FROM gN GROUP BY ALL)""".stripMargin
+    for (k <- (n - 1) to 1 by -1) {
+      val src = if (k == n - 1) "gN" else s"gc${k + 1}"
+      val keys = (ctx(k - 1) :+ "w").mkString(", ")
+      parts += s"gc$k AS (SELECT $keys, count(*) AS c$k FROM $src GROUP BY ALL)"
+    }
+    for (k <- 2 until n) {
+      val keys = ctx(k - 1).mkString(", ")
+      parts += s"""cx$k AS (SELECT $keys, CAST(sum(c$k) AS BIGINT) AS cv$k,
+         |        count(*) AS n1v$k FROM gc$k GROUP BY ALL)""".stripMargin
+    }
+    val vvUnion = ((1 until n).map(j => s"SELECT p$j AS t FROM gN") :+
+      "SELECT w FROM gN").mkString(" UNION ALL ")
+    parts += s"""tot AS (SELECT (SELECT count(*) FROM gc2) AS uu,
+       |          (SELECT count(DISTINCT t) FROM ($vvUnion)) AS vv)""".stripMargin
+    parts += s"tokP AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $probeSrc)"
+    parts += s"pvP AS (\n  ${prevCases("tokP")}\n)"
+    val midJoins = (2 until n).map { k =>
+      val on1 = (ctx(k - 1).map(c => s"g$k.$c = p.$c") :+ s"g$k.w = p.w").mkString(" AND ")
+      val on2 = ctx(k - 1).map(c => s"x$k.$c = p.$c").mkString(" AND ")
+      s"""  LEFT JOIN gc$k g$k ON $on1
+         |  LEFT JOIN cx$k x$k ON $on2""".stripMargin
+    }.mkString("\n")
+    val onTop = (ctx(n - 1).map(c => s"tN.$c = p.$c") :+ "tN.w = p.w").mkString(" AND ")
+    val onTctx = ctx(n - 1).map(c => s"xN.$c = p.$c").mkString(" AND ")
+    val selMid = (2 until n).map(k => s"g$k.c$k, x$k.cv$k, x$k.n1v$k").mkString(", ")
+    parts += s"""j AS (
+       |  SELECT p.doc_id, p.pos, ${(1 until n).map(j => s"p.p$j").mkString(", ")},
+       |         g1.c1, $selMid, tN.ct, xN.cuv, xN.n1uv, xN.n2uv, xN.n3uv,
+       |         t.uu, t.vv
+       |  FROM pvP p
+       |  LEFT JOIN gc1 g1 ON g1.w = p.w
+       |$midJoins
+       |  LEFT JOIN gN tN ON $onTop
+       |  LEFT JOIN tctx xN ON $onTctx
+       |  CROSS JOIN tot t)""".stripMargin
+    parts += s"""k2 AS (
+       |  SELECT *,
+       |         (coalesce(c1, 0) + 1.0) / (uu + vv) AS pug,
+       |         CASE WHEN cv2 IS NULL OR (c2 IS NULL AND c1 IS NULL)
+       |              THEN (coalesce(c1, 0) + 1.0) / (uu + vv)
+       |              ELSE (greatest(coalesce(c2, 0) - 0.75, 0.0)
+       |                    + 0.75 * n1v2 * (coalesce(c1, 0) / CAST(uu AS DOUBLE))) / cv2
+       |         END AS pl2
+       |  FROM j)""".stripMargin
+    for (k <- 3 until n) {
+      parts += s"""k$k AS (
+         |  SELECT *,
+         |         CASE WHEN cv$k IS NULL THEN pl${k - 1}
+         |              ELSE greatest(coalesce(c$k, 0) - 0.75, 0.0) / cv$k
+         |                   + (0.75 * n1v$k / cv$k) * pl${k - 1}
+         |         END AS pl$k
+         |  FROM k${k - 1})""".stripMargin
+    }
+    val posCases = (2 until n)
+      .map(k => s"WHEN p$k IS NULL THEN ln(pl$k)").mkString("\n|         ")
+    parts += s"""kt AS (
+       |  SELECT *,
+       |         CASE WHEN cuv IS NULL THEN pl${n - 1}
+       |              ELSE (CASE WHEN ct IS NULL THEN 0.0
+       |                         ELSE greatest(ct - (CASE WHEN ct = 1 THEN d.d1
+       |                                                  WHEN ct = 2 THEN d.d2
+       |                                                  ELSE d.d3 END), 0.0) END) / cuv
+       |                   + ((d.d1*n1uv + d.d2*n2uv + d.d3*n3uv) / cuv) * pl${n - 1}
+       |         END AS plTop
+       |  FROM k${n - 1} CROSS JOIN tdc d)""".stripMargin
+    parts += s"""scored AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN p1 IS NULL THEN ln(pug)
+       |         $posCases
+       |         ELSE ln(plTop) END AS lnp
+       |  FROM kt)""".stripMargin
+    parts += """perdoc AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |         round(-list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x)
+       |               / count(*), 6) AS avg_nll
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+    parts.mkString(",\n")
+  }
 
   /** The unrolled-BPE CTE chain (the e21 fixed-iteration discipline):
     * `bw0` is the distinct-word table with char-split segmentations;
@@ -4618,6 +4760,13 @@ $bandSelects
     // d=0.75, the add-1 guard routing, the position-ordered fold.
     "t45_mkn_trigram_nll" ->
       s"""WITH ${mknNllCtes("documents", "documents")}
+         |SELECT doc_id, n_tokens, avg_nll
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // t61: the order-5 generalization of the t45 chain — generated by
+    // the same CTE template at n = 5 (per-level continuation tables,
+    // chained pl2..pl4 CTEs, binned top discounts).
+    "t61_mkn5_nll" ->
+      s"""WITH ${mknNgramNllCtes("documents", "documents", 5)}
          |SELECT doc_id, n_tokens, avg_nll
          |FROM perdoc ORDER BY doc_id""".stripMargin,
     // p9: the CCNet gate replayed — the t35 classifier CTEs select the
