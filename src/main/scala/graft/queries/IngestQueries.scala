@@ -130,6 +130,61 @@ object IngestQueries {
     path
   }
 
+  /** [[warcFixture]] with CRLF-newline text payloads: every space in
+    * the text becomes a CRLF BLANK LINE (`\r\n\r\n`) — the crawled-text
+    * shape that the old after-LAST-blank-line framing silently
+    * truncated to its tail. Content-Length recomputed for the expanded
+    * payload; same every-17th header damage.
+    */
+  private[graft] def warcCrlfFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-warc-crlf") + "/shard"
+    val crlf = "\r\n"
+    val body = regexp_replace(col("text"), " ", crlf + crlf)
+    table(s, dir, "documents")
+      .select(concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: response" + crlf),
+        concat(lit("WARC-Record-ID: <urn:graft:"), col("doc_id"), lit(">" + crlf)),
+        when(col("doc_id") % 17 === 0, lit(""))
+          .otherwise(concat(lit("WARC-Target-URI: http://example.org/doc/"),
+            col("doc_id"), lit(crlf))),
+        concat(lit("Content-Length: "),
+          (lit(45L) + octet_length(body)).cast("string"), lit(crlf)),
+        lit(crlf),
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain" + crlf + crlf),
+        body).as("value"))
+      .write.mode("overwrite").text(path)
+    path
+  }
+
+  /** Gzipped twin of [[warcFixture]]: 4 `.gz` WARC shards — the
+    * compressed-crawl contract. CommonCrawl ships gzip; Hadoop's codec
+    * decode is transparent THROUGH the custom record delimiter, at the
+    * C160 price: gzip is non-splittable, so parallelism is the shard
+    * count (pinned in IngestSpec), not byte splits — which is why the
+    * shard tree should be many few-hundred-MB members.
+    */
+  private[graft] def warcGzipFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-warc-gz") + "/shard"
+    val crlf = "\r\n"
+    table(s, dir, "documents")
+      .select(concat(
+        lit("WARC/1.0" + crlf),
+        lit("WARC-Type: response" + crlf),
+        concat(lit("WARC-Record-ID: <urn:graft:"), col("doc_id"), lit(">" + crlf)),
+        when(col("doc_id") % 17 === 0, lit(""))
+          .otherwise(concat(lit("WARC-Target-URI: http://example.org/doc/"),
+            col("doc_id"), lit(crlf))),
+        concat(lit("Content-Length: "),
+          (lit(45L) + octet_length(col("text"))).cast("string"), lit(crlf)),
+        lit(crlf),
+        lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/plain" + crlf + crlf),
+        col("text")).as("value"))
+      .repartition(4)
+      .write.mode("overwrite").option("compression", "gzip").text(path)
+    path
+  }
+
   /** CSV shard (no header): doc_id,lang,source,n_chars — every 11th row
     * carries a type-contradicting token ('xx' where the schema says
     * BIGINT), the classic silent-poison row PERMISSIVE+quarantine must
@@ -321,6 +376,24 @@ object IngestQueries {
         .filter(length(col("value")) > 0)
       Ingest.report(Ingest.parseWarc(recs, "value"))
     }),
+    // WARC with CRLF-newline payloads (j15): text bodies carrying
+    // internal \r\n\r\n paragraph breaks survive byte-exact through
+    // the SECOND-blank-line structural framing — the cell that pins
+    // the r17 ADVICE fix (the old after-LAST-blank-line slice returned
+    // just the final paragraph while still flagging is_clean).
+    "j15_warc_crlf_body" -> ((s, dir) => {
+      val (clean, _) = Ingest.warc(s, warcCrlfFixture(s, dir))
+      clean.orderBy("uri")
+    }),
+    // Gzipped WARC (j16): the same container through 4 .gz shards —
+    // codec decode is transparent through the custom record delimiter,
+    // quarantine totality unchanged; j13's oracle verbatim. The
+    // non-splittable parallelism price (tasks == shards) is pinned in
+    // IngestSpec.
+    "j16_warc_gzip" -> ((s, dir) => {
+      val (clean, _) = Ingest.warc(s, warcGzipFixture(s, dir))
+      clean.orderBy("uri")
+    }),
     // Schema-drift inventory: per-field presence over the drifted shard
     // tree, BEFORE committing to a read schema — `quality` present in
     // exactly the new shards, doc_id/text everywhere. No schema input;
@@ -410,6 +483,18 @@ object IngestQueries {
         |       round(count(*) FILTER (WHERE doc_id % 17 = 0)
         |             / CAST(count(*) AS DOUBLE), 6) AS corrupt_frac
         |FROM documents""".stripMargin,
+    // j15: the CRLF-payload transform replays as replace(' ', CRLF
+    // blank line); the structural framing must return it byte-exact.
+    "j15_warc_crlf_body" ->
+      """SELECT 'http://example.org/doc/' || doc_id AS uri,
+        |       '200' AS http_status,
+        |       replace(text, ' ', chr(13)||chr(10)||chr(13)||chr(10)) AS body
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY uri""".stripMargin,
+    // j16: codec decode is content-transparent — j13's oracle verbatim.
+    "j16_warc_gzip" ->
+      """SELECT 'http://example.org/doc/' || doc_id AS uri,
+        |       '200' AS http_status, text AS body
+        |FROM documents WHERE doc_id % 17 <> 0 ORDER BY uri""".stripMargin,
     "j12_quarantine_replay" ->
       """SELECT doc_id, lang, n_chars, true AS replay_complete
         |FROM documents WHERE doc_id % 9 = 0 ORDER BY doc_id""".stripMargin,

@@ -242,6 +242,29 @@ class IngestSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("warc: gzipped shards decode transparently through the custom record delimiter; parallelism == shard count") {
+    val dir = Fixtures.scratchDir("graft-warc-spec-gz")
+    val recs = (1L to 40L).map(i => warcRecord(i, s"payload $i"))
+    val bytes = recs.mkString("\n").getBytes("UTF-8")
+    for (f <- Seq("a", "b")) {
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(s"$dir/$f.warc.gz"))
+      out.write(bytes); out.close()
+    }
+    val lines = spark.read.option("lineSep", "WARC/1.0\r\n").text(dir)
+      .toDF("value").filter(length(col("value")) > 0)
+    // gzip is NON-SPLITTABLE: one task per shard member (the C160
+    // price — crawl trees should be many modest members), and every
+    // record still parses clean through the codec.
+    assert(lines.rdd.getNumPartitions === 2)
+    val parsed = Ingest.parseWarc(lines, "value")
+    assert(parsed.count() === 80L)
+    assert(parsed.filter(!col("is_clean")).count() === 0L)
+    val bodies = parsed.filter(col("uri") === "http://example.org/doc/7")
+      .select("body").collect().map(_.getString(0))
+    assert(bodies.toSeq === Seq("payload 7", "payload 7"))
+  }
+
   test("warc: a payload line spelling the record header tears INTO QUARANTINE, never silently merges") {
     val dir = Fixtures.scratchDir("graft-warc-spec-tear")
     // The delimiter-collision limit, pinned honestly: a text payload
