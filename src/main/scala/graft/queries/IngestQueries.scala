@@ -185,6 +185,37 @@ object IngestQueries {
     path
   }
 
+  /** The p11 crawl fixture: every document as a WARC response record
+    * whose payload is the text wrapped in HTML chrome (the t17 markup
+    * discipline — the strip stage has real work), plus a planted MIRROR
+    * record (uri `/doc/&lt;id+700000&gt;`, identical payload) for every
+    * 10th document — the republication duplicate the dedup stage
+    * exists to collapse. No header damage here: quarantine totality is
+    * j13/j14's cell; p11's claim is the COMPOSITION.
+    */
+  private[graft] def warcCrawlFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-warc-crawl") + "/shard"
+    val crlf = "\r\n"
+    val d = table(s, dir, "documents")
+    val body = concat(lit("<html><body class=\"c\"><p>"), col("text"),
+      lit("</p></body></html>"))
+    def rec(idCol: org.apache.spark.sql.Column) = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      concat(lit("WARC-Record-ID: <urn:graft:"), idCol, lit(">" + crlf)),
+      concat(lit("WARC-Target-URI: http://example.org/doc/"), idCol, lit(crlf)),
+      concat(lit("Content-Length: "),
+        (lit(45L) + octet_length(body)).cast("string"), lit(crlf)),
+      lit(crlf),
+      lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf),
+      body)
+    d.select(rec(col("doc_id")).as("value"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select(rec(col("doc_id") + 700000).as("value")))
+      .write.mode("overwrite").text(path)
+    path
+  }
+
   /** CSV shard (no header): doc_id,lang,source,n_chars — every 11th row
     * carries a type-contradicting token ('xx' where the schema says
     * BIGINT), the classic silent-poison row PERMISSIVE+quarantine must

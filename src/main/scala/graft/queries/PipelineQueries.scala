@@ -161,8 +161,8 @@ $bandSelects
   /** t44's class order (sorted — ids are positional), hash-feature
     * arity, and hash seed.
     */
-  private[queries] val LangidLangs = Seq("de", "en", "es", "fr", "zh")
-  private[queries] val LangidBuckets = 16
+  private[graft] val LangidLangs = Seq("de", "en", "es", "fr", "zh")
+  private[graft] val LangidBuckets = 16
   private val LangidSeed = 7
 
   /** t44's labeled seed set: 6 docs per language built from that
@@ -172,7 +172,7 @@ $bandSelects
     * langid is for: a small curated seed teaches the classifier, which
     * then scores the unlabeled bulk by its text, not its metadata.
     */
-  private[queries] val LangidSeeds: Seq[(Long, String, String)] = {
+  private[graft] val LangidSeeds: Seq[(Long, String, String)] = {
     val words = Map(
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "von"),
       "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for"),
@@ -199,7 +199,7 @@ $bandSelects
     * within one model, and the learning story is hash-agnostic
     * (spec-pinned: the xxhash64-trained model is also seed-diagonal).
     */
-  private[queries] def langidFeatures(
+  private[graft] def langidFeatures(
       d: DataFrame, hashMode: HashMode = HashMode.Md5Portable): DataFrame = {
     val B = LangidBuckets
     val tg0 = transform(sequence(lit(1), length(col("text")) - 2),
@@ -621,6 +621,92 @@ $bandSelects
             .when(col("__nf") <= col("__c2"), lit(2L)).otherwise(lit(3L)))
         .select("doc_id", "lang", "n_tokens", "avg_nll", "bucket")
         .orderBy("doc_id")
+    }),
+    // End-to-end crawl-to-corpus composition (C206 / p11): the single
+    // pipeline a 100 TB crawl run actually executes, every tier
+    // composed without a seam — WARC ingest (C198) → markup strip
+    // (C71) → exact dedup over normalized fingerprints (C1; the
+    // planted mirror records collapse onto their originals) → TRAINED
+    // langid routing (C189 — no metadata survives a crawl, so the
+    // predicted language is the partition key from here on) → the
+    // CCNet perplexity gate (C196: classifier-bootstrapped reference,
+    // MKN trigram, per-pred-lang terciles, tail bucket dropped) →
+    // driver-local BPE (C185) → reserved-band piece ids (C203) →
+    // doc-frame EOS (C191/C204-adjacent) → per-pred-lang packing,
+    // rolled up to the per-pack census with a position-weighted
+    // checksum that pins the exact splice order. Stage boundaries
+    // materialize via localCheckpoint (the p1 discipline — production
+    // writes parquet at exactly these seams; each checkpointed frame
+    // feeds ≥ 2 downstream consumers).
+    "p11_crawl_to_corpus" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // STAGE 0 — INGEST: one custom-record-delimiter scan (j13).
+      val (clean, _) = graft.sources.Ingest.warc(
+        s, IngestQueries.warcCrawlFixture(s, dir))
+      val ingested = clean.select(
+          regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("body"))
+        .localCheckpoint(true)
+      // STAGE 1 — SCRUB: strip the crawl chrome (map-only).
+      val scrubbed = ingested.select(col("doc_id"),
+        TextOps.stripMarkup(col("body")).as("text"))
+      // STAGE 2 — DEDUP: keep the lowest id per normalized fingerprint.
+      val deduped = scrubbed
+        .withColumn("__fp", TextOps.fingerprint(col("text")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1).drop("__fp", "__rn")
+        .localCheckpoint(true)
+      // STAGE 3 — LANGID: seed-trained softmax (t44) routes by
+      // PREDICTED language.
+      val lfeats = (0 until LangidBuckets).map(b => s"x$b")
+      val fSeed = langidFeatures(LangidSeeds.toDF("doc_id", "lang", "text")).cache()
+      val wl = Classifier.trainSoftmax(fSeed, lfeats, "y",
+        numClasses = LangidLangs.size, iters = 8, lr = 1.0)
+      val routed = Classifier.scoreSoftmax(
+          langidFeatures(deduped.withColumn("lang", lit(null).cast("string"))),
+          wl, lfeats)
+        .withColumn("pred_lang",
+          element_at(array(LangidLangs.map(lit): _*), (col("pred_class") + 1).cast("int")))
+        .select("doc_id", "pred_lang")
+      val docs = deduped.join(routed, Seq("doc_id")).localCheckpoint(true)
+      // STAGE 4 — GATE (p9's chain on crawl-derived features: n_chars
+      // is re-derived from the text, the only truth a crawl carries).
+      val cf = classifierFeatures(
+        docs.withColumn("n_chars", length(col("text")).cast("long")))
+      val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = docs.join(
+        Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val lm = TextStats.trigramCounts(ref, "text")
+      val kept = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
+        .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
+        .filter(col("bucket") <= 2).select("doc_id")
+      val corpus = docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+      // STAGE 5 — TOKENIZE + PACK: driver-local BPE, reserved-band
+      // ids, one EOS per corpus doc, per-pred-lang 512-id packs.
+      val model = Bpe.trainLocal(corpus, "text", numMerges = 8)
+      val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+      val ids = graft.pipeline.Packing.withEosForDocs(
+        Bpe.encodeIds(corpus, "doc_id", "text", model,
+          reserved = SpecialTokens.Band),
+        corpus, "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+      val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+        .join(corpus.select("doc_id", "pred_lang"), Seq("doc_id"))
+      val packs = graft.pipeline.Packing.packGreedyByCount(
+        counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("pred_lang"))
+      graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("pred_lang"))
+        .groupBy("pred_lang", "pack_id")
+        .agg(count(lit(1)).as("n_positions"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("piece_id")).as("sum_piece_ids"),
+          sum(col("pos") * col("piece_id")).as("pos_weighted_sum"))
+        .orderBy("pred_lang", "pack_id")
     }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
@@ -4812,6 +4898,96 @@ $bandSelects
          |                 WHEN f.nf <= c.c2 THEN 2 ELSE 3 END AS BIGINT) AS bucket
          |FROM pfx f JOIN pct c USING (lang)
          |ORDER BY f.doc_id""".stripMargin,
+    // p11: the full crawl-to-corpus replay — the WARC+markup stages are
+    // closed-form (strip restores the source text; mirrors are
+    // doc_id+700000 copies of every 10th), the dedup is replayed
+    // GENERICALLY (keep-min over the normalized-text fingerprint, so
+    // natural exact dups at any SF replay too), then the t44 softmax
+    // chain routes by predicted language, the p9 logistic+MKN chain
+    // gates per pred_lang (tail tercile dropped), the t33 BPE chain
+    // trains on the survivors, and the t57 id/EOS/packing windows
+    // splice — rolled up to the per-pack census with the
+    // position-weighted checksum.
+    "p11_crawl_to_corpus" -> {
+      val (pF, predCase) = softmaxScoreExprs
+      s"""WITH src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 10 = 0),
+         |dd AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY lower(regexp_replace(text, '${"\\"}s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM src) WHERE rn = 1),
+         |$langidSeedCte,
+         |sfs AS MATERIALIZED (
+         |  ${langidFeatureSql("lseed")}),
+         |${softmaxCtes(8, 1.0)},
+         |sfa AS (
+         |  ${langidFeatureSql("(SELECT doc_id, NULL AS lang, text FROM dd)")}),
+         |rt AS MATERIALIZED (
+         |  SELECT doc_id, CASE $predCase END AS pred_lang
+         |  FROM (SELECT sfa.*, $pF FROM sfa CROSS JOIN sw8 w)),
+         |dd2 AS (SELECT doc_id, text, length(text) AS n_chars FROM dd),
+         |${logisticCtes(3, 1.0, "dd2")},
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+         |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+         |refd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM dd d JOIN acc USING (doc_id)),
+         |${mknNllCtes("refd", "dd")},
+         |gt AS MATERIALIZED (
+         |  SELECT doc_id FROM (
+         |    SELECT p.doc_id, ntile(3) OVER (PARTITION BY r.pred_lang
+         |      ORDER BY p.avg_nll, p.doc_id) AS b
+         |    FROM perdoc p JOIN rt r USING (doc_id))
+         |  WHERE b <= 2),
+         |cc AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text, r.pred_lang
+         |  FROM dd d JOIN gt USING (doc_id) JOIN rt r USING (doc_id)),
+         |${bpeCtes(8, "cc")},
+         |${pieceVocabCtes(8)},
+         |ccw AS (SELECT doc_id, pred_lang, string_split(text, ' ') AS w FROM cc),
+         |wp AS (SELECT doc_id, pred_lang, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM ccw, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |spc AS (SELECT doc_id, pred_lang, word_pos, string_split(seg, ' ') AS pieces
+         |        FROM wp JOIN bw8 ON wp.word = bw8.word),
+         |pe AS (SELECT doc_id, pred_lang, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+         |              pieces[j] AS piece
+         |       FROM spc, UNNEST(range(1, len(pieces) + 1)) AS t(j)),
+         |pid AS (SELECT pe.doc_id, pe.pred_lang, pe.word_pos, pe.piece_pos,
+         |               CAST(pv.piece_id + 4 AS BIGINT) AS piece_id
+         |        FROM pe JOIN pv ON pe.piece = pv.piece),
+         |pide AS MATERIALIZED (
+         |  SELECT doc_id, pred_lang, word_pos, piece_pos, piece_id FROM pid
+         |  UNION ALL
+         |  SELECT c.doc_id, c.pred_lang, coalesce(m.word_pos, 0) AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos, CAST(2 AS BIGINT) AS piece_id
+         |  FROM cc c LEFT JOIN (SELECT doc_id, max(word_pos) + 1 AS word_pos
+         |                       FROM pid GROUP BY doc_id) m USING (doc_id)),
+         |cnt AS (SELECT doc_id, pred_lang, count(*) AS n FROM pide GROUP BY 1, 2),
+         |pk AS (SELECT doc_id, pred_lang, n,
+         |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY pred_lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         |           AS pack_id
+         |       FROM cnt),
+         |off AS (SELECT doc_id, pred_lang, pack_id,
+         |          coalesce(sum(n) OVER (PARTITION BY pred_lang, pack_id ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |        FROM pk),
+         |seqs AS (
+         |  SELECT p.pred_lang, o.pack_id,
+         |         CAST(o.o + row_number() OVER (PARTITION BY p.doc_id
+         |           ORDER BY p.word_pos, p.piece_pos) - 1 AS BIGINT) AS pos,
+         |         p.doc_id, p.piece_id
+         |  FROM pide p JOIN off o ON p.doc_id = o.doc_id)
+         |SELECT pred_lang, pack_id, count(*) AS n_positions,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(sum(piece_id) AS BIGINT) AS sum_piece_ids,
+         |       CAST(sum(pos * piece_id) AS BIGINT) AS pos_weighted_sum
+         |FROM seqs GROUP BY 1, 2 ORDER BY pred_lang, pack_id""".stripMargin
+    },
     // t36: t26's replay one order up — trigram/bigram-context tables
     // built from the same positional explode, the Jelinek–Mercer CASE
     // with the EXACT Scala-computed lambda doubles interpolated in
