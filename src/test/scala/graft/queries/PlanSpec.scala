@@ -544,4 +544,31 @@ class PlanSpec extends GraftSuite {
       plan.take(3000))
     assert("Window".r.findAllIn(plan).size >= 1, plan.take(3000))
   }
+
+  test("t58 persisted-BPE encode: the loaded word table and vocab still attach as broadcast joins — persistence changes the source, not the shape") {
+    val plan = planOf("t58_bpe_saved_encode")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("t60 persisted-LM scoring: vocabulary-keyed equi-joins + 1-row totals broadcast — never corpus-cartesian") {
+    val plan = planOf("t60_mkn_saved_nll")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
+  test("t61 5-gram MKN: the deeper level chain stays vocabulary-keyed equi-joins + the 1-row totals broadcast — no cartesian at any order") {
+    val plan = planOf("t61_mkn5_nll")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The only nested-loop is the 1-row totals crossJoin (broadcast).
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+  }
+
+  test("p11 crawl-to-corpus: the composed chain plans with no cartesian product end to end") {
+    val plan = planOf("p11_crawl_to_corpus")
+    assert(!plan.contains("CartesianProduct"), plan.take(4000))
+  }
 }
