@@ -147,6 +147,55 @@ object Packing {
       .withColumn("piece_id", lit(eosId))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
 
+  /** Pad each pack's spliced sequence ([[packedSequences]] output) up
+    * to `budget` positions with the PAD control id — the fixed-shape
+    * batch emission a trainer's tensor layout needs (rectangular
+    * batches; attention masks key off the pad id). Pad rows carry a
+    * NULL document id (they belong to no document — the provenance
+    * column stays honest) and positions `len..budget−1`, so every
+    * padded pack reads back dense 0..budget−1.
+    *
+    * Overflow contract, stated: [[packGreedyByCount]] lets a pack
+    * overflow by at most ONE straddler document (atomicity wins over
+    * the budget), and an overflowing pack is left UNPADDED rather than
+    * truncated — dropping tokens silently is the one thing a packing
+    * stage must never do; a trainer that needs hard rectangularity
+    * re-windows or truncates under its own policy. `padId` is
+    * validated against the vocabulary layout exactly like
+    * [[withEos]]'s eosId — a pad indistinguishable from a real piece
+    * corrupts every batch.
+    *
+    * Scale shape: one (group, pack)-keyed aggregation over the spliced
+    * frame + a map-only `sequence` explode of the deficits; nothing
+    * reshuffles the sequence rows.
+    */
+  def padPacks(
+      seqs: DataFrame, idCol: String, budget: Int, padId: Long,
+      vocabSize: Long, reservedBand: Long = 0L,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(budget >= 1, s"budget must be positive, got $budget")
+    require(reservedBand >= 0 && reservedBand <= vocabSize,
+      s"reservedBand must lie in [0, vocabSize=$vocabSize], got $reservedBand")
+    require(padId >= 0 && (padId < reservedBand || padId >= vocabSize),
+      s"padId $padId collides with the piece-id range [$reservedBand, " +
+        s"$vocabSize): a pad indistinguishable from a real piece corrupts " +
+        "every fixed-shape batch. Use a reserved control id " +
+        "(SpecialTokens.PadId with the reserved band) or an id >= vocabSize.")
+    val idType = seqs.schema(idCol).dataType
+    val keys = groupCols :+ "pack_id"
+    val pads = seqs.groupBy(keys.map(col): _*)
+      .agg(max(col("pos")).as("__mx"))
+      // The filter is load-bearing: Spark's sequence(a, b) DESCENDS
+      // when a > b (step defaults to −1), so full/overflowing packs
+      // must never reach the explode.
+      .filter(col("__mx") < budget - 1)
+      .select(keys.map(col) ++ Seq(
+        explode(sequence(col("__mx") + 1, lit(budget.toLong - 1))).as("pos"),
+        lit(null).cast(idType).as(idCol),
+        lit(padId).as("piece_id")): _*)
+    seqs.unionByName(pads)
+  }
+
   private def requireEosOutsideVocab(
       eosId: Long, vocabSize: Long, reservedBand: Long): Unit = {
     require(reservedBand >= 0 && reservedBand <= vocabSize,

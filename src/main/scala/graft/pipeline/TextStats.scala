@@ -1525,6 +1525,29 @@ object TextStats {
     mknNgramNllAgainst(docs, ngramCounts(docs, textCol, order), idCol, textCol,
       order, discount)
 
+  /** Merge n-gram count frames by SUMMATION — the incremental-model
+    * discipline a crawl pipeline needs and a compiled KenLM binary
+    * cannot offer: raw n-gram counts are exactly additive over a
+    * disjoint document partition ([[ngramCounts]] windows never cross
+    * document boundaries), so per-snapshot count frames persisted via
+    * [[ModelStore.saveNgram]] merge into the full-corpus model without
+    * ever re-reading old snapshots — and every MKN quantity
+    * (count-of-counts, continuation tables, discounts) derives from
+    * the merged frame as if it had been built in one pass (spec-pinned
+    * row-for-row; t62 pins it through the scorer's hash). One
+    * union + one n-gram-vocabulary-sized aggregation.
+    */
+  def mergeNgramCounts(models: Seq[DataFrame], order: Int): DataFrame = {
+    require(models.nonEmpty, "need at least one model frame to merge")
+    val expected = (1 to order).map(i => s"w$i") :+ "ct"
+    models.foreach(m => require(m.columns.toSeq == expected,
+      s"n-gram model columns ${m.columns.toSeq} do not match order-$order " +
+        s"layout $expected"))
+    models.reduce(_ unionByName _)
+      .groupBy((1 to order).map(i => col(s"w$i")): _*)
+      .agg(sum(col("ct")).as("ct"))
+  }
+
   /** [[knBigramNllAgainst]] with the model trained on `docs` itself —
     * Kneser–Ney self-perplexity (the bootstrap).
     */

@@ -242,6 +242,28 @@ object BenchPhases {
     "st22_stream_lm_gate" -> ((s, dir) => StreamingQueries.st22Setup(s, dir)._1),
     "st23_warc_stream" -> ((s, dir) => StreamingQueries.st23Setup(s, dir)._1),
     "st24_lm_gate_persisted" -> ((s, dir) => StreamingQueries.st24Setup(s, dir)._1),
+    "st25_route_persisted" -> ((s, dir) => StreamingQueries.st25Setup(s, dir)._1),
+    // t62's claim is the SERVING path — snapshot load + summation merge
+    // + scoring; building and persisting the snapshots is the one-time
+    // cost the incremental discipline exists to amortize.
+    "t62_ngram_model_merge" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Fixtures.table(s, dir, "documents")
+      val root = Fixtures.scratchDir("graft-t62-bench")
+      graft.pipeline.ModelStore.saveNgram(
+        graft.pipeline.TextStats.ngramCounts(
+          d.filter(col("doc_id") % 2 === 0), "text", 5), s"$root/snap0", 5)
+      graft.pipeline.ModelStore.saveNgram(
+        graft.pipeline.TextStats.ngramCounts(
+          d.filter(col("doc_id") % 2 === 1), "text", 5), s"$root/snap1", 5)
+      () => {
+        val merged = graft.pipeline.TextStats.mergeNgramCounts(Seq(
+          graft.pipeline.ModelStore.loadNgram(s, s"$root/snap0")._1,
+          graft.pipeline.ModelStore.loadNgram(s, s"$root/snap1")._1), 5)
+        graft.pipeline.TextStats.mknNgramNllAgainst(
+          d, merged, "doc_id", "text", 5).count(); ()
+      }
+    }),
     // t58/t59/t60's claim is the SERVING path — artifact load + encode/
     // score from disk; training and saving are the one-time cost the
     // store exists to amortize (the d23/e4 at-rest discipline).

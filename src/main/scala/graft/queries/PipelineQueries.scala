@@ -1350,6 +1350,79 @@ $bandSelects
           "doc_id", "text", order = 5)
         .orderBy("doc_id")
     }),
+    // Incremental n-gram model maintenance (C207 / t62): the crawl-
+    // snapshot shape a compiled KenLM binary cannot offer — two
+    // disjoint document halves build SEPARATE 5-gram count frames,
+    // each persists through ModelStore, and the reloaded snapshots
+    // MERGE BY SUMMATION into the full-corpus model (counts are
+    // exactly additive: n-gram windows never cross document
+    // boundaries). Scoring through the merged model must equal
+    // scoring through the one-pass model — t61's oracle verbatim, so
+    // the entire merge discipline is pinned by the hash.
+    "t62_ngram_model_merge" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val root = Fixtures.scratchDir("graft-t62")
+      ModelStore.saveNgram(
+        TextStats.ngramCounts(d.filter(col("doc_id") % 2 === 0), "text", 5),
+        s"$root/snap0", order = 5)
+      ModelStore.saveNgram(
+        TextStats.ngramCounts(d.filter(col("doc_id") % 2 === 1), "text", 5),
+        s"$root/snap1", order = 5)
+      val merged = TextStats.mergeNgramCounts(Seq(
+        ModelStore.loadNgram(s, s"$root/snap0")._1,
+        ModelStore.loadNgram(s, s"$root/snap1")._1), order = 5)
+      TextStats.mknNgramNllAgainst(d, merged, "doc_id", "text", order = 5)
+        .orderBy("doc_id")
+    }),
+    // 5-gram CCNet gate (C205+C196 / p12): p9's chain with the LM tier
+    // at the KenLM default order — the classifier-bootstrapped
+    // reference trains a 5-GRAM modified-KN model, the full corpus
+    // scores against it, per-lang terciles as before. The deeper
+    // context sharpens the in-domain/out-domain separation the gate
+    // keys on; the scale shape gains only vocabulary-keyed joins.
+    "p12_perplexity_gate_5g" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+      val f = classifierFeatures(d)
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = d.join(
+        Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val model = TextStats.ngramCounts(ref, "text", 5)
+      TextStats.mknNgramNllAgainst(d, model, "doc_id", "text", order = 5)
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("avg_nll"), col("doc_id")))
+          .cast("long"))
+        .select("doc_id", "lang", "n_tokens", "avg_nll", "bucket")
+        .orderBy("doc_id")
+    }),
+    // Fixed-shape padded batches (C208 / t63): t57's EOS-packed
+    // sequences padded to the 512-position budget with the RESERVED
+    // pad id — the rectangular tensor layout a trainer reads, pad rows
+    // carrying NULL doc ids (provenance stays honest) and positions
+    // len..511 so every padded pack is dense 0..511. Overflowing packs
+    // (the one-straddler contract) stay unpadded, never truncated.
+    "t63_padded_batches" -> ((s, dir) => {
+      val full = table(s, dir, "documents")
+      val d = full.filter(col("doc_id") < 50)
+      val model = Bpe.train(full, "text", numMerges = 8)
+      val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+      val ids = graft.pipeline.Packing.withEos(
+        Bpe.encodeIds(d, "doc_id", "text", model, reserved = SpecialTokens.Band),
+        "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+      val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      val packs = graft.pipeline.Packing.packGreedyByCount(
+        counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("lang"))
+      val seqs = graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+      graft.pipeline.Packing.padPacks(seqs, "doc_id", budget = 512,
+          padId = SpecialTokens.PadId, vocabSize = vocabSize,
+          reservedBand = SpecialTokens.BandSize, groupCols = Seq("lang"))
+        .orderBy("lang", "pack_id", "pos")
+    }),
     // Trained quality classifier (C174 / t35): 3 rounds of full-batch
     // logistic GD on weak labels over 6dp-rounded features, then the
     // map-only scoring gate — the fastText-style "looks like reference
@@ -4855,6 +4928,73 @@ $bandSelects
       s"""WITH ${mknNgramNllCtes("documents", "documents", 5)}
          |SELECT doc_id, n_tokens, avg_nll
          |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // p12: p9's gate chain with the order-5 CTE generator in the LM
+    // position — logistic bootstrap, 5-gram MKN on the reference,
+    // per-lang ntile terciles.
+    "p12_perplexity_gate_5g" ->
+      s"""WITH ${logisticCtes(3, 1.0)},
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+         |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+         |refd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN acc USING (doc_id)),
+         |${mknNgramNllCtes("refd", "documents", 5)}
+         |SELECT p.doc_id, l.lang, p.n_tokens, p.avg_nll,
+         |       CAST(ntile(3) OVER (PARTITION BY l.lang
+         |         ORDER BY p.avg_nll, p.doc_id) AS BIGINT) AS bucket
+         |FROM perdoc p JOIN (SELECT doc_id, lang FROM documents) l USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
+    // t63: the t57 chain with its splice as a `seqs` CTE plus the pad
+    // union — per (lang, pack) deficits exploded via range(mx+1, 512)
+    // (empty when full/overflowing), NULL doc ids, pad id 3.
+    "t63_padded_batches" ->
+      s"""WITH ${bpeCtes(8)},
+         |${pieceVocabCtes(8)},
+         |d50 AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |sp AS (SELECT doc_id, lang, word_pos, string_split(seg, ' ') AS pieces
+         |       FROM wp JOIN bw8 ON wp.word = bw8.word),
+         |pe AS (SELECT doc_id, lang, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+         |              pieces[j] AS piece
+         |       FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j)),
+         |pid AS (SELECT pe.doc_id, pe.lang, pe.word_pos, pe.piece_pos,
+         |               CAST(pv.piece_id + 4 AS BIGINT) AS piece_id
+         |        FROM pe JOIN pv ON pe.piece = pv.piece),
+         |pide AS MATERIALIZED (
+         |  SELECT doc_id, lang, word_pos, piece_pos, piece_id FROM pid
+         |  UNION ALL
+         |  SELECT doc_id, lang, max(word_pos) + 1 AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos,
+         |         CAST(2 AS BIGINT) AS piece_id
+         |  FROM pid GROUP BY doc_id, lang),
+         |cnt AS (SELECT doc_id, lang, count(*) AS n FROM pide GROUP BY 1, 2),
+         |pk AS (SELECT doc_id, lang, n,
+         |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         |           AS pack_id
+         |       FROM cnt),
+         |off AS (SELECT doc_id, lang, pack_id,
+         |          coalesce(sum(n) OVER (PARTITION BY lang, pack_id ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |        FROM pk),
+         |seqs AS (
+         |  SELECT p.lang, o.pack_id,
+         |         CAST(o.o + row_number() OVER (PARTITION BY p.doc_id
+         |           ORDER BY p.word_pos, p.piece_pos) - 1 AS BIGINT) AS pos,
+         |         p.doc_id, p.piece_id
+         |  FROM pide p JOIN off o ON p.doc_id = o.doc_id),
+         |pdl AS (SELECT lang, pack_id, max(pos) AS mx FROM seqs GROUP BY 1, 2),
+         |pads AS (SELECT lang, pack_id,
+         |                unnest(range(mx + 1, 512)) AS pos,
+         |                CAST(NULL AS BIGINT) AS doc_id,
+         |                CAST(3 AS BIGINT) AS piece_id
+         |         FROM pdl)
+         |SELECT lang, pack_id, pos, doc_id, piece_id FROM seqs
+         |UNION ALL
+         |SELECT lang, pack_id, pos, doc_id, piece_id FROM pads
+         |ORDER BY lang, pack_id, pos""".stripMargin,
     // p9: the CCNet gate replayed — the t35 classifier CTEs select the
     // reference slice, the t45 modified-KN chain trains on it and
     // scores the full corpus, ntile(3) buckets per lang.
@@ -6569,5 +6709,10 @@ $bandSelects
     // breaks the hash.
     "t58_bpe_saved_encode" -> oracleSqlBase("t43_bpe_piece_ids"),
     "t59_unigram_saved_encode" -> oracleSqlBase("t52_unigram_ids"),
-    "t60_mkn_saved_nll" -> oracleSqlBase("t45_mkn_trigram_nll"))
+    "t60_mkn_saved_nll" -> oracleSqlBase("t45_mkn_trigram_nll"),
+    // t62 is t61 through snapshot persistence + count-summation merge:
+    // raw n-gram counts are exactly additive over a disjoint document
+    // partition (windows never cross docs), so the merged model IS the
+    // one-pass model and the scorer must hash-match t61 verbatim.
+    "t62_ngram_model_merge" -> oracleSqlBase("t61_mkn5_nll"))
 }

@@ -430,6 +430,19 @@ object StreamingQueries {
         .groupBy("lang", "routed").agg(count(lit(1)).as("n"))
         .orderBy("lang", "routed")
     }),
+    // Persisted multiclass router (C204 / st25): st21 with the trained
+    // softmax matrix round-tripped through ModelStore — weights,
+    // feature columns, AND class labels arrive from disk, so the
+    // serving session shares nothing with the training JVM but the
+    // artifact directory. Converged sink == st21's (bit-identical
+    // weights), st21's oracle verbatim.
+    "st25_route_persisted" -> ((s, dir) => {
+      val (replay, out) = st25Setup(s, dir)
+      replay()
+      s.read.parquet(out)
+        .groupBy("lang", "routed").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "routed")
+    }),
     // Streaming LM-perplexity gate (st22): the CCNet gate's deployable
     // form — frozen reference-trained MKN model + frozen per-lang
     // tercile cutoffs, each micro-batch scored by the BATCH scorer
@@ -925,6 +938,40 @@ object StreamingQueries {
     (replay, out)
   }
 
+  /** Untimed setup for st25 (persisted multiclass router): st21's
+    * chain with the softmax matrix — weights, feature columns, class
+    * labels — loaded from a [[graft.pipeline.ModelStore]] directory
+    * instead of handed across in memory.
+    */
+  private[graft] def st25Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st25")
+    val out = s"$scratch/out"
+    val feats = (0 until PipelineQueries.LangidBuckets).map(b => s"x$b")
+    val seed = PipelineQueries.LangidSeeds.toDF("doc_id", "lang", "text")
+    graft.pipeline.ModelStore.saveSoftmax(s,
+      graft.pipeline.Classifier.trainSoftmax(
+        PipelineQueries.langidFeatures(seed).cache(), feats, "y",
+        numClasses = PipelineQueries.LangidLangs.size, iters = 8, lr = 1.0),
+      feats, PipelineQueries.LangidLangs, s"$scratch/router")
+    val (w, wf, labels) =
+      graft.pipeline.ModelStore.loadSoftmax(s, s"$scratch/router")
+    val rows = Fixtures.table(s, dir, "documents")
+      .select("doc_id", "lang", "text")
+      .as[(Long, String, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String, String)]
+    val stream = PipelineQueries.langidFeatures(
+      mem.toDF().toDF("doc_id", "lang", "text"))
+    val q = graft.streaming.StreamingScore.routeTo(
+      stream, w, wf, labels, out, s"$scratch/cp")
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, out)
+  }
+
   /** Untimed setup for st24 (persisted-artifact LM gate): st22's chain
     * with a HARD session boundary between training and serving — the
     * logistic weights and the trigram count frame round-trip through
@@ -1359,6 +1406,9 @@ object StreamingQueries {
     // store's bit-identity makes the converged sink IDENTICAL, so
     // st22's oracle verbatim (the e14/t25 at-rest==live precedent).
     "st24_lm_gate_persisted" -> PipelineQueries.st22OracleSql,
+    // st25 is st21 with the matrix from disk — bit-identical weights,
+    // st21's oracle verbatim.
+    "st25_route_persisted" -> PipelineQueries.st21OracleSql,
     // st19 is t31 through the maintained count store — the converged
     // store ranks into the batch vocabulary: t31's oracle verbatim.
     "st19_stream_vocab" ->

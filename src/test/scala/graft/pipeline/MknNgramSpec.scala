@@ -85,6 +85,73 @@ class MknNgramSpec extends GraftSuite {
     assert(run(probe) === run(probe.repartition(7)))
   }
 
+  test("mergeNgramCounts: summation over a disjoint doc partition == the one-pass model, row for row") {
+    val even = docs("the cat sat on the mat", "one two three four five")
+    val odd = docs("the dog sat on the rug", "a cat and a dog here")
+    val all = even.unionByName(odd)
+    val merged = TextStats.mergeNgramCounts(Seq(
+        TextStats.ngramCounts(even, "text", 5),
+        TextStats.ngramCounts(odd, "text", 5)), 5)
+      .orderBy("w1", "w2", "w3", "w4", "w5").collect().toSeq
+    val onePass = TextStats.ngramCounts(all, "text", 5)
+      .orderBy("w1", "w2", "w3", "w4", "w5").collect().toSeq
+    assert(merged === onePass)
+    // Column-layout contract enforced.
+    val ex = intercept[IllegalArgumentException] {
+      TextStats.mergeNgramCounts(Seq(TextStats.ngramCounts(all, "text", 3)), 5)
+    }
+    assert(ex.getMessage.contains("order-5"))
+  }
+
+  test("padPacks: under-full packs pad to dense 0..budget−1 with NULL doc ids; full packs untouched; collisions rejected") {
+    import spark.implicits._
+    val d = docs("stream batch stream", "merge table scan", "filter sort")
+      .withColumn("lang", lit("g"))
+    val model = Bpe.train(d, "text", numMerges = 3)
+    val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+    val ids = Packing.withEos(
+      Bpe.encodeIds(d, "doc_id", "text", model, reserved = SpecialTokens.Band),
+      "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .join(d.select("doc_id", "lang"), Seq("doc_id"))
+    val packs = Packing.packGreedyByCount(counts, "doc_id", "n",
+      budget = 16, groupCols = Seq("lang"))
+    val seqs = Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+    val padded = Packing.padPacks(seqs, "doc_id", budget = 16,
+      padId = SpecialTokens.PadId, vocabSize = vocabSize,
+      reservedBand = SpecialTokens.BandSize, groupCols = Seq("lang"))
+    val perPack = padded.groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"),
+        countDistinct("pos").as("nd"),
+        sum(when(col("piece_id") === SpecialTokens.PadId, 1L).otherwise(0L)).as("np"))
+      .collect()
+    val realLens = seqs.groupBy("lang", "pack_id").count()
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    perPack.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val realLen = realLens(key)
+      if (realLen >= 16) { // overflowing/full pack: untouched
+        assert(r.getAs[Long]("np") === 0L, r.toString)
+        assert(r.getAs[Long]("n") === realLen, r.toString)
+      } else { // padded to dense 0..15
+        assert(r.getAs[Long]("n") === 16L, r.toString)
+        assert(r.getAs[Long]("mx") === 15L, r.toString)
+        assert(r.getAs[Long]("nd") === 16L, r.toString)
+        assert(r.getAs[Long]("np") === 16L - realLen, r.toString)
+      }
+    }
+    // Pad rows carry NULL doc ids — provenance never lies.
+    assert(padded.filter(col("piece_id") === SpecialTokens.PadId &&
+      col("doc_id").isNotNull).isEmpty)
+    // A piece-range padId is rejected loud.
+    val ex = intercept[IllegalArgumentException] {
+      Packing.padPacks(seqs, "doc_id", 16, vocabSize - 1, vocabSize,
+        SpecialTokens.BandSize, Seq("lang"))
+    }
+    assert(ex.getMessage.contains("collides"))
+    model.words.unpersist()
+  }
+
   test("order < 3 and empty model fail loud") {
     val ex = intercept[IllegalArgumentException] {
       TextStats.mknNgramNllAgainst(corpus,
