@@ -52,16 +52,21 @@ object Bpe {
     * (code points vs UTF-8 bytes spelled as hex pairs) — consumers that
     * rebuild initial segmentations ([[pieceVocab]]'s alphabet,
     * [[trainLocal]]'s tail fallback) must match it.
-    * `wordSeparator` records the TOKENIZER grain — " " for whitespace
-    * tokens, "" for GPT-2-style pretokens that carry their own spaces —
-    * detected at train time from the word table itself (any
-    * space-bearing token ⇒ ""), so [[decode]] can never be handed the
-    * wrong convention by a caller who forgot which tokenizer trained
-    * the model.
+    * `tokenizer` records the NAMED tokenizer the model was trained
+    * with ([[TextOps.Tok]]) — [[encode]]/[[encodeIds]]/[[fertility]]
+    * and [[decode]] all resolve the split function and the word
+    * separator FROM THE MODEL, so a serving session can never split or
+    * rejoin text under a different convention than the training
+    * session (the silently-corrupted-stream hazard); [[ModelStore]]
+    * persists it by name. `reserved` records the special-token band
+    * ([[SpecialTokens]]) the model's id space was laid out with —
+    * likewise model metadata, not a caller argument: an encode under
+    * one band and a decode under another silently shifts every id.
     */
   final case class BpeModel(merges: Seq[Merge], words: DataFrame,
       cappedOut: Long = 0L, byteLevel: Boolean = false,
-      wordSeparator: String = " ") {
+      tokenizer: TextOps.Tok = TextOps.WhitespaceTok,
+      reserved: Seq[String] = Nil) {
     /** The merge table as a DataFrame: (step, lhs, rhs, merged, n). */
     def mergeTable(spark: SparkSession): DataFrame = {
       import spark.implicits._
@@ -127,16 +132,16 @@ object Bpe {
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
       maxWordChars: Int = 200, byteLevel: Boolean = false,
-      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextOps.tokens): BpeModel = {
+      tokenizer: TextOps.Tok = TextOps.WhitespaceTok,
+      reserved: Seq[String] = Nil): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     var words = docs
-      .select(explode(tokenizer(col(textCol))).as("word"))
+      .select(explode(tokenizer.fn(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("seg", initSeg(col("word"), byteLevel))
       .persist()
     words.count()
-    val spaceTokens = guardWordTable(words, maxWordChars, byteLevel)
+    guardWordTable(words, maxWordChars, byteLevel)
     val merges = ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
@@ -170,7 +175,7 @@ object Bpe {
       }
     }
     BpeModel(merges.toSeq, words, byteLevel = byteLevel,
-      wordSeparator = if (spaceTokens) "" else " ")
+      tokenizer = tokenizer, reserved = reserved)
   }
 
   /** Spark's string ordering is binary over UTF-8 bytes (and so is
@@ -254,18 +259,18 @@ object Bpe {
       docs: DataFrame, textCol: String, numMerges: Int,
       wordCap: Int = 1 << 20, maxWordChars: Int = 200,
       byteLevel: Boolean = false,
-      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextOps.tokens): BpeModel = {
+      tokenizer: TextOps.Tok = TextOps.WhitespaceTok,
+      reserved: Seq[String] = Nil): BpeModel = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(wordCap >= 1, s"wordCap must be >= 1, got $wordCap")
     val spark = docs.sparkSession
     import spark.implicits._
     val wf = docs
-      .select(explode(tokenizer(col(textCol))).as("word"))
+      .select(explode(tokenizer.fn(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     wf.count()
-    val spaceTokens = guardWordTable(wf, maxWordChars, byteLevel)
+    guardWordTable(wf, maxWordChars, byteLevel)
     // The ONE driver-side collect: TakeOrdered top-wordCap — bounded by
     // the cap, never by the corpus.
     val capped = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
@@ -349,7 +354,7 @@ object Bpe {
     val total = words.count()
     wf.unpersist(false)
     BpeModel(merges.toSeq, words, cappedOut = total - capped.length,
-      byteLevel = byteLevel, wordSeparator = if (spaceTokens) "" else " ")
+      byteLevel = byteLevel, tokenizer = tokenizer, reserved = reserved)
   }
 
   /** Encode every document's token stream into subword pieces against a
@@ -382,11 +387,10 @@ object Bpe {
     * group-keyed aggregation on top.
     */
   def fertility(
-      docs: DataFrame, textCol: String, groupCol: String, model: BpeModel,
-      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextOps.tokens): DataFrame =
+      docs: DataFrame, textCol: String, groupCol: String,
+      model: BpeModel): DataFrame =
     docs
-      .select(col(groupCol), explode(tokenizer(col(textCol))).as("word"))
+      .select(col(groupCol), explode(model.tokenizer.fn(col(textCol))).as("word"))
       .join(broadcast(model.words.select(col("word"), col("seg"))), Seq("word"))
       .select(col(groupCol), length(col("word")).cast("long").as("__chars"),
         size(split(col("seg"), " ")).cast("long").as("__pieces"))
@@ -413,13 +417,14 @@ object Bpe {
     * merge table itself; the result is a broadcast-sized two-column
     * frame.
     *
-    * `reserved` prepends the shared special-token band
-    * ([[SpecialTokens]]): reserved labels take ids `0..k−1`, pieces
-    * start at `k`. Collision with a learned piece (possible at word
-    * grain — a corpus can contain the literal "&lt;unk&gt;") is
-    * REJECTED loud at build time, never silently absorbed.
+    * The model's RECORDED special-token band (`BpeModel.reserved`,
+    * fixed at train time) takes ids `0..k−1`; pieces start at `k`.
+    * Collision between a reserved label and a learned piece (possible
+    * at word grain — a corpus can contain the literal "&lt;unk&gt;")
+    * is REJECTED loud at build time, never silently absorbed.
     */
-  def pieceVocab(model: BpeModel, reserved: Seq[String] = Nil): DataFrame = {
+  def pieceVocab(model: BpeModel): DataFrame = {
+    val reserved = model.reserved
     val spark = model.words.sparkSession
     import spark.implicits._
     val alpha = model.words
@@ -438,18 +443,15 @@ object Bpe {
     * tier consumes. Same scale shape as encode plus one broadcast join
     * against the vocabulary-sized [[pieceVocab]]; the join is total by
     * the pieceVocab coverage argument, so no row is ever dropped.
-    * `reserved` applies the shared special-token band: pieces take ids
-    * `reserved.size` up, leaving `0..reserved.size−1` free for control
-    * tokens ([[Packing.withEos]] validates against exactly this
-    * layout).
+    * The model's recorded band lays out the id space: pieces take ids
+    * `model.reserved.size` up, leaving the control ids below free
+    * ([[Packing.withEos]] validates against exactly this layout).
     */
   def encodeIds(
-      docs: DataFrame, idCol: String, textCol: String, model: BpeModel,
-      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextOps.tokens,
-      reserved: Seq[String] = Nil): DataFrame =
-    encode(docs, idCol, textCol, model, tokenizer)
-      .join(broadcast(pieceVocab(model, reserved)), Seq("piece"))
+      docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame =
+    encode(docs, idCol, textCol, model)
+      .join(broadcast(pieceVocab(model)), Seq("piece"))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
 
   /** Decode a piece-ID stream back to text — [[encodeIds]]'s inverse
@@ -463,29 +465,29 @@ object Bpe {
     * exact: decode ∘ encodeIds == identity on any input whose tokens
     * the tokenizer saw (spec-pinned at both grains).
     *
-    * The word separator is the MODEL's (`BpeModel.wordSeparator`,
-    * detected at train time): " " for the default whitespace
-    * [[TextOps.tokens]], "" for [[TextOps.gpt2PreTokenize]] (pretokens
-    * CARRY their own spaces — the Ġ convention). Deliberately NOT a
-    * caller parameter: a caller defaulting to " " on a GPT-2-grain
-    * model would silently produce wrong text with no detectable error.
+    * The word separator is the MODEL's tokenizer's
+    * (`BpeModel.tokenizer.wordSeparator`, fixed at train time): " "
+    * for [[TextOps.WhitespaceTok]], "" for [[TextOps.Gpt2Tok]]
+    * (pretokens CARRY their own spaces — the Ġ convention).
+    * Deliberately NOT a caller parameter: a caller defaulting to " "
+    * on a GPT-2-grain model would silently produce wrong text with no
+    * detectable error.
     *
-    * `reserved` must match the band the stream was ENCODED with (the
-    * ids are offset by it); reserved control ids in the stream (an EOS
-    * between packed documents) are control structure, not text — they
-    * are dropped before reassembly, stated here rather than silently
-    * concatenated as their labels.
+    * The band is the MODEL's (`BpeModel.reserved` — the same layout
+    * every encode under this model used); reserved control ids in the
+    * stream (an EOS between packed documents) are control structure,
+    * not text — they are dropped before reassembly, stated here rather
+    * than silently concatenated as their labels.
     *
     * Scale shape: one broadcast vocab join, then two document-keyed
     * aggregations (pieces→word, words→text) whose sort keys are
     * in-group positions — never a global sort; linear in the id
     * stream.
     */
-  def decode(ids: DataFrame, idCol: String, model: BpeModel,
-      reserved: Seq[String] = Nil): DataFrame = {
+  def decode(ids: DataFrame, idCol: String, model: BpeModel): DataFrame = {
     val joined = ids
-      .filter(col("piece_id") >= lit(reserved.size.toLong))
-      .join(broadcast(pieceVocab(model, reserved)), Seq("piece_id"))
+      .filter(col("piece_id") >= lit(model.reserved.size.toLong))
+      .join(broadcast(pieceVocab(model)), Seq("piece_id"))
     val words = joined
       .groupBy(col(idCol), col("word_pos"))
       .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
@@ -494,7 +496,7 @@ object Bpe {
         if (model.byteLevel) decode_bytes(col("__w")) else col("__w"))
     words
       .groupBy(col(idCol))
-      .agg(concat_ws(model.wordSeparator, sort_array(collect_list(struct(col("word_pos"),
+      .agg(concat_ws(model.tokenizer.wordSeparator, sort_array(collect_list(struct(col("word_pos"),
         col("word")))).getField("word")).as("text"))
   }
 
@@ -504,11 +506,11 @@ object Bpe {
   private def decode_bytes(hexConcat: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.decode(unhex(hexConcat), "UTF-8")
 
-  def encode(docs: DataFrame, idCol: String, textCol: String, model: BpeModel,
-      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        TextOps.tokens): DataFrame =
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame =
     docs
-      .select(col(idCol), posexplode(tokenizer(col(textCol))).as(Seq("word_pos", "word")))
+      .select(col(idCol),
+        posexplode(model.tokenizer.fn(col(textCol))).as(Seq("word_pos", "word")))
       .join(broadcast(model.words.select(col("word"), col("seg"))), Seq("word"))
       .select(col(idCol), col("word_pos").cast("long").as("word_pos"),
         posexplode(split(col("seg"), " ")).as(Seq("piece_pos", "piece")))

@@ -89,9 +89,11 @@ object ModelStore {
   // ---------------------------------------------------------------- BPE
 
   /** Persist a trained [[Bpe.BpeModel]]: the ordered merge table, the
-    * segmented word table, and the grain metadata (`byteLevel`,
-    * `wordSeparator`, `cappedOut`). The merge table is k rows by
-    * construction; the word table is vocabulary-bounded.
+    * segmented word table, and the model metadata — `byteLevel`, the
+    * TOKENIZER (by name: the split convention is part of the artifact,
+    * so a serving session cannot encode under a different one), the
+    * reserved special-token band, and `cappedOut`. The merge table is
+    * k rows by construction; the word table is vocabulary-bounded.
     */
   def saveBpe(model: Bpe.BpeModel, path: String): Unit = {
     val spark = model.words.sparkSession
@@ -101,7 +103,8 @@ object ModelStore {
       .write.mode("overwrite").parquet(s"$path/words")
     writeMeta(spark, path, "bpe", Seq(
       "byte_level" -> model.byteLevel,
-      "word_separator" -> model.wordSeparator,
+      "tokenizer" -> model.tokenizer.name,
+      "reserved" -> model.reserved,
       "capped_out" -> model.cappedOut))
   }
 
@@ -121,7 +124,8 @@ object ModelStore {
     Bpe.BpeModel(merges, words,
       cappedOut = m.getAs[Long]("capped_out"),
       byteLevel = m.getAs[Boolean]("byte_level"),
-      wordSeparator = m.getAs[String]("word_separator"))
+      tokenizer = TextOps.tokByName(m.getAs[String]("tokenizer")),
+      reserved = m.getAs[scala.collection.Seq[String]]("reserved").toSeq)
   }
 
   // ------------------------------------------------------------ Unigram
@@ -142,7 +146,8 @@ object ModelStore {
     writeMeta(spark, path, "unigram", Seq(
       "unk_logp" -> model.unkLogp,
       "max_piece_len" -> model.maxPieceLen,
-      "capped_out" -> model.cappedOut))
+      "capped_out" -> model.cappedOut,
+      "reserved" -> model.reserved))
   }
 
   def loadUnigram(spark: SparkSession, path: String): Unigram.UnigramModel = {
@@ -155,7 +160,8 @@ object ModelStore {
     Unigram.UnigramModel(pieces,
       unkLogp = m.getAs[Double]("unk_logp"),
       maxPieceLen = m.getAs[Int]("max_piece_len"),
-      cappedOut = m.getAs[Long]("capped_out"))
+      cappedOut = m.getAs[Long]("capped_out"),
+      reserved = m.getAs[scala.collection.Seq[String]]("reserved").toSeq)
   }
 
   // -------------------------------------------------- classifier weights

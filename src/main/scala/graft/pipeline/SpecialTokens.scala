@@ -19,9 +19,17 @@ package graft.pipeline
   *
   * Reference framing: the tokenizer.json/sentencepiece discipline —
   * special ids are model METADATA fixed at train time, not a caller
-  * convention. Callers that want no band (the pre-C203 layout) pass
-  * `reserved = Nil` / `reservedBand = 0`; everything is
-  * offset-compatible.
+  * convention: both trainers take `reserved` as a TRAIN parameter and
+  * record it on the model, and every id surface (pieceVocab,
+  * encodeIds, decode) resolves the band FROM the model, so an encode
+  * under one band can never meet a decode under another. Defaults per
+  * family: BPE defaults to no band (`Nil` — every id is a piece, the
+  * pre-C203 layout); the unigram family ALWAYS needs at least the unk
+  * slot (OOV pieces take its id), so its minimum band is
+  * `Seq(Unk)` and `Nil` is rejected there. [[Packing.withEos]]/
+  * [[Packing.padPacks]] take the layout as explicit
+  * (`vocabSize`, `reservedBand`) numbers because they see only id
+  * streams, never models.
   */
 object SpecialTokens {
   val Unk = "<unk>"

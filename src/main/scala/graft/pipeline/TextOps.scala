@@ -29,6 +29,41 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** A NAMED tokenizer — the identity that travels with every trained
+    * model: the split function, the decode word separator its token
+    * convention implies (" " for whitespace tokens; "" for GPT-2-style
+    * pretokens that CARRY their own spaces), and a stable name so
+    * [[ModelStore]] can persist which tokenizer trained a model and
+    * reconstruct it at load. Tokenizer identity is MODEL metadata, not
+    * a caller convention: encode/decode resolve it from the model, so
+    * a serving session can never split text differently from the
+    * session that trained (the silently-corrupted-stream hazard).
+    */
+  final case class Tok(name: String, fn: Column => Column, wordSeparator: String)
+
+  /** The default whitespace tokenizer ([[tokens]]). */
+  val WhitespaceTok: Tok = Tok("whitespace", tokens, " ")
+
+  /** The GPT-2 pre-tokenizer ([[gpt2PreTokenize]]) — pretokens carry
+    * their leading space, so decode joins with "".
+    */
+  val Gpt2Tok: Tok = Tok("gpt2", gpt2PreTokenize, "")
+
+  /** Resolve a persisted tokenizer name back to its [[Tok]] — the
+    * [[ModelStore]] load path. Unknown names fail loud: a persisted
+    * model can only be served by a tokenizer the library can
+    * reconstruct; a custom [[Tok]] needs its own registry before its
+    * models can round-trip through disk.
+    */
+  def tokByName(name: String): Tok = name match {
+    case "whitespace" => WhitespaceTok
+    case "gpt2" => Gpt2Tok
+    case other => throw new IllegalArgumentException(
+      s"unknown tokenizer '$other': persisted models record their tokenizer " +
+        "by name and can only be reloaded when the library can reconstruct " +
+        "it (known: whitespace, gpt2).")
+  }
+
   /** The GPT-2 pre-tokenization pattern, LOOKAHEAD-FREE. The canonical
     * pattern ends `…|\s+(?!\S)|\s+` — "a whitespace run keeps its last
     * space attached to the following token" — but RE2 (the oracle

@@ -56,11 +56,17 @@ object Unigram {
   /** A trained unigram tokenizer: `pieces` = (piece, mass, logp) with
     * logp 6dp-rounded and masses the final (smoothed) EM counts;
     * `unkLogp` the out-of-alphabet single-char score; `maxPieceLen` the
-    * candidate length cap the DP was trained with (encode must match).
+    * candidate length cap the DP was trained with (encode must match);
+    * `reserved` the special-token band the id space is laid out with
+    * (MODEL metadata, fixed at train time — must lead with
+    * [[SpecialTokens.Unk]], whose id OOV pieces take; this family
+    * always needs at least the unk slot, so `Nil` is not a legal band
+    * here).
     */
   final case class UnigramModel(
       pieces: Seq[(String, Long, Double)], unkLogp: Double, maxPieceLen: Int,
-      cappedOut: Long = 0L) {
+      cappedOut: Long = 0L,
+      reserved: Seq[String] = Seq(SpecialTokens.Unk)) {
     def logpMap: Map[String, Double] = pieces.map(t => (t._1, t._3)).toMap
 
     /** The model as a DataFrame: (piece, mass, logp). */
@@ -174,8 +180,10 @@ object Unigram {
   def train(
       docs: DataFrame, textCol: String, vocabSize: Int, iters: Int = 3,
       maxPieceLen: Int = 5, seedMulti: Int = 300,
-      maxWordChars: Int = 200): UnigramModel = {
+      maxWordChars: Int = 200,
+      reserved: Seq[String] = Seq(SpecialTokens.Unk)): UnigramModel = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    requireUnkLedBand(reserved)
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
     require(seedMulti >= 0, s"seedMulti must be >= 0, got $seedMulti")
@@ -240,7 +248,7 @@ object Unigram {
       .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
     val unkLogp = round6(math.log(0.5 / kept.map(_._2).sum.toDouble))
     words.unpersist(false)
-    UnigramModel(kept, unkLogp, maxPieceLen)
+    UnigramModel(kept, unkLogp, maxPieceLen, reserved = reserved)
   }
 
   /** The Viterbi DP driver-side — [[viterbiSeg]]'s exact replica for
@@ -313,8 +321,10 @@ object Unigram {
   def trainLocal(
       docs: DataFrame, textCol: String, vocabSize: Int, iters: Int = 3,
       maxPieceLen: Int = 5, seedMulti: Int = 300, wordCap: Int = 1 << 20,
-      maxWordChars: Int = 200): UnigramModel = {
+      maxWordChars: Int = 200,
+      reserved: Seq[String] = Seq(SpecialTokens.Unk)): UnigramModel = {
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    requireUnkLedBand(reserved)
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(wordCap >= 1, s"wordCap must be >= 1, got $wordCap")
     val wf = docs
@@ -376,7 +386,8 @@ object Unigram {
       .sortWith((a, b) => utf8Compare(a._1, b._1) < 0)
     val unkLogp = round6(math.log(0.5 / kept.map(_._2).sum.toDouble))
     UnigramModel(kept, unkLogp, maxPieceLen,
-      cappedOut = math.max(0L, totalWords - words.length))
+      cappedOut = math.max(0L, totalWords - words.length),
+      reserved = reserved)
   }
 
   /** Tokenizer-quality (fertility) report per group under a trained
@@ -406,22 +417,24 @@ object Unigram {
           .as("chars_per_piece"))
   }
 
-  /** The piece→id vocabulary of a trained model — the SentencePiece id
-    * convention: the RESERVED band first (`reserved`, default just
-    * `<unk>` at id 0 — pass [[SpecialTokens.Band]] for the full shared
-    * UNK/BOS/EOS/PAD layout), then pieces take ids in score order
-    * (mass DESC, piece ASC in binary UTF-8 — the same total order the
-    * prune uses). `reserved` must lead with the unknown label (OOV
-    * pieces route to its id); collision between a reserved label and a
-    * learned piece is rejected loud ([[SpecialTokens]]). Driver-side
-    * (the model is already driver-resident and vocabulary-bounded).
-    */
-  def pieceVocab(
-      model: UnigramModel,
-      reserved: Seq[String] = Seq(SpecialTokens.Unk)): Seq[(Long, String)] = {
+  private def requireUnkLedBand(reserved: Seq[String]): Unit =
     require(reserved.headOption.contains(SpecialTokens.Unk),
       s"the reserved band must lead with ${SpecialTokens.Unk} (OOV pieces " +
-        s"take its id), got $reserved")
+        s"take its id — this family always needs the unk slot), got $reserved")
+
+  /** The piece→id vocabulary of a trained model — the SentencePiece id
+    * convention: the model's RECORDED band first (`UnigramModel.
+    * reserved`, fixed at train time — the default is just `<unk>` at
+    * id 0; train with [[SpecialTokens.Band]] for the full shared
+    * UNK/BOS/EOS/PAD layout), then pieces take ids in score order
+    * (mass DESC, piece ASC in binary UTF-8 — the same total order the
+    * prune uses). Collision between a reserved label and a learned
+    * piece is rejected loud ([[SpecialTokens]]). Driver-side (the
+    * model is already driver-resident and vocabulary-bounded).
+    */
+  def pieceVocab(model: UnigramModel): Seq[(Long, String)] = {
+    val reserved = model.reserved
+    requireUnkLedBand(reserved)
     SpecialTokens.requireNoCollision(reserved, model.pieces.map(_._1))
     val band = reserved.zipWithIndex.map { case (t, i) => (i.toLong, t) }
     band ++ model.pieces
@@ -434,19 +447,18 @@ object Unigram {
     * (idCol, word_pos, piece_pos, piece_id). Out-of-vocabulary pieces
     * (unknown code points the DP emitted via `unkLogp`) take the UNK
     * id — the single-unk convention (vs [[Vocab.encode]]'s hash
-    * buckets) — so the stream is total on any input. `reserved` is the
-    * [[pieceVocab]] band (piece ids offset by its size; UNK stays id
-    * 0 because the band leads with it). One broadcast join against the
+    * buckets) — so the stream is total on any input. The band is the
+    * MODEL's (piece ids offset by its size; UNK stays id 0 because the
+    * band leads with it). One broadcast join against the
     * vocabulary-sized id table; the stream never shuffles.
     */
   def encodeIds(
       docs: DataFrame, idCol: String, textCol: String,
-      model: UnigramModel,
-      reserved: Seq[String] = Seq(SpecialTokens.Unk)): DataFrame = {
+      model: UnigramModel): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab = pieceVocab(model, reserved).toDF("piece_id", "piece")
-      .filter(col("piece_id") >= reserved.size.toLong)
+    val vocab = pieceVocab(model).toDF("piece_id", "piece")
+      .filter(col("piece_id") >= model.reserved.size.toLong)
     encode(docs, idCol, textCol, model)
       .join(broadcast(vocab), Seq("piece"), "left")
       .select(col(idCol), col("word_pos"), col("piece_pos"),

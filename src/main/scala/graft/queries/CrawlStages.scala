@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Bpe, Classifier, Packing, SpecialTokens, TextOps, TextStats}
+
+/** The crawl-to-corpus pipeline's stage builders — ONE implementation
+  * shared by the oracled query (`p11_crawl_to_corpus`) and the runnable
+  * demo (`graft.tools.CrawlDemo`), so the demo can never drift from the
+  * chain the DuckDB oracle hash-pins. Each stage consumes the previous
+  * stage's frame; the frames that feed ≥ 2 downstream consumers
+  * materialize at the boundary (`localCheckpoint` — the p1 discipline;
+  * a production run writes parquet at exactly these seams).
+  */
+private[graft] object CrawlStages {
+
+  /** STAGE 0 — INGEST: the WARC shard tree through the quarantine
+    * reader (j13 machinery), doc ids recovered from the target URIs.
+    * @return (ingested = (doc_id, body), quarantine)
+    */
+  def ingest(s: SparkSession, shardPath: String): (DataFrame, DataFrame) = {
+    val (clean, quarantine) = graft.sources.Ingest.warc(s, shardPath)
+    (clean.select(
+        regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("body"))
+      .localCheckpoint(true), quarantine)
+  }
+
+  /** STAGE 1 — SCRUB: strip the crawl chrome (map-only). */
+  def scrub(ingested: DataFrame): DataFrame =
+    ingested.select(col("doc_id"), TextOps.stripMarkup(col("body")).as("text"))
+
+  /** STAGE 2 — DEDUP: keep the lowest id per normalized fingerprint
+    * (the planted mirror records collapse onto their originals).
+    */
+  def dedup(scrubbed: DataFrame): DataFrame =
+    scrubbed
+      .withColumn("__fp", TextOps.fingerprint(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__fp", "__rn")
+      .localCheckpoint(true)
+
+  /** STAGE 3 — LANGID: the t44 seed-trained softmax routes every doc
+    * by its PREDICTED language (no metadata survives a crawl).
+    * @return deduped + `pred_lang`, checkpointed
+    */
+  def route(s: SparkSession, deduped: DataFrame): DataFrame = {
+    import s.implicits._
+    val lfeats = (0 until PipelineQueries.LangidBuckets).map(b => s"x$b")
+    val fSeed = PipelineQueries.langidFeatures(
+      PipelineQueries.LangidSeeds.toDF("doc_id", "lang", "text")).cache()
+    val wl = Classifier.trainSoftmax(fSeed, lfeats, "y",
+      numClasses = PipelineQueries.LangidLangs.size, iters = 8, lr = 1.0)
+    val routed = Classifier.scoreSoftmax(
+        PipelineQueries.langidFeatures(
+          deduped.withColumn("lang", lit(null).cast("string"))), wl, lfeats)
+      .withColumn("pred_lang", element_at(
+        array(PipelineQueries.LangidLangs.map(lit): _*),
+        (col("pred_class") + 1).cast("int")))
+      .select("doc_id", "pred_lang")
+    deduped.join(routed, Seq("doc_id")).localCheckpoint(true)
+  }
+
+  /** STAGE 4 — GATE: the p9 CCNet chain on crawl-derived features
+    * (`n_chars` re-derived from the text — the only truth a crawl
+    * carries): classifier-bootstrapped reference, MKN trigram,
+    * per-pred-lang terciles, tail bucket dropped.
+    * @return the gated corpus (doc_id, text, pred_lang), checkpointed
+    */
+  def gate(docs: DataFrame): DataFrame = {
+    val cf = PipelineQueries.classifierFeatures(
+      docs.withColumn("n_chars", length(col("text")).cast("long")))
+    val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
+      iters = 3, lr = 1.0)
+    val ref = docs.join(
+      Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
+        .filter(col("accepted")).select("doc_id"),
+      Seq("doc_id"))
+    val lm = TextStats.trigramCounts(ref, "text")
+    val kept = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
+      .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
+      .withColumn("bucket", ntile(3).over(
+        Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
+      .filter(col("bucket") <= 2).select("doc_id")
+    docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+  }
+
+  /** STAGE 5a — TOKENIZE: driver-local BPE under the reserved band. */
+  def trainTokenizer(corpus: DataFrame): Bpe.BpeModel =
+    Bpe.trainLocal(corpus, "text", numMerges = 8,
+      reserved = SpecialTokens.Band)
+
+  /** STAGE 5b — IDS + EOS + PACK: reserved-band piece ids, one EOS per
+    * corpus doc (doc-frame anchored), per-pred-lang 512-id packs
+    * spliced into training sequences.
+    * @return (ids with EOS, packed sequences)
+    */
+  def packSequences(
+      corpus: DataFrame, model: Bpe.BpeModel): (DataFrame, DataFrame) = {
+    val vocabSize = Bpe.pieceVocab(model).count()
+    val ids = Packing.withEosForDocs(
+      Bpe.encodeIds(corpus, "doc_id", "text", model),
+      corpus, "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+      .join(corpus.select("doc_id", "pred_lang"), Seq("doc_id"))
+    val packs = Packing.packGreedyByCount(
+      counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("pred_lang"))
+    (ids, Packing.packedSequences(ids, packs, "doc_id", Seq("pred_lang")))
+  }
+}

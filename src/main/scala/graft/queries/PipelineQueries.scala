@@ -639,68 +639,16 @@ $bandSelects
     // writes parquet at exactly these seams; each checkpointed frame
     // feeds ≥ 2 downstream consumers).
     "p11_crawl_to_corpus" -> ((s, dir) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      // STAGE 0 — INGEST: one custom-record-delimiter scan (j13).
-      val (clean, _) = graft.sources.Ingest.warc(
+      // The six stages live in CrawlStages — ONE implementation shared
+      // with graft.tools.CrawlDemo, so the runnable surface can never
+      // drift from the chain this oracle hash-pins.
+      val (ingested, _) = CrawlStages.ingest(
         s, IngestQueries.warcCrawlFixture(s, dir))
-      val ingested = clean.select(
-          regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
-          col("body"))
-        .localCheckpoint(true)
-      // STAGE 1 — SCRUB: strip the crawl chrome (map-only).
-      val scrubbed = ingested.select(col("doc_id"),
-        TextOps.stripMarkup(col("body")).as("text"))
-      // STAGE 2 — DEDUP: keep the lowest id per normalized fingerprint.
-      val deduped = scrubbed
-        .withColumn("__fp", TextOps.fingerprint(col("text")))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
-        .filter(col("__rn") === 1).drop("__fp", "__rn")
-        .localCheckpoint(true)
-      // STAGE 3 — LANGID: seed-trained softmax (t44) routes by
-      // PREDICTED language.
-      val lfeats = (0 until LangidBuckets).map(b => s"x$b")
-      val fSeed = langidFeatures(LangidSeeds.toDF("doc_id", "lang", "text")).cache()
-      val wl = Classifier.trainSoftmax(fSeed, lfeats, "y",
-        numClasses = LangidLangs.size, iters = 8, lr = 1.0)
-      val routed = Classifier.scoreSoftmax(
-          langidFeatures(deduped.withColumn("lang", lit(null).cast("string"))),
-          wl, lfeats)
-        .withColumn("pred_lang",
-          element_at(array(LangidLangs.map(lit): _*), (col("pred_class") + 1).cast("int")))
-        .select("doc_id", "pred_lang")
-      val docs = deduped.join(routed, Seq("doc_id")).localCheckpoint(true)
-      // STAGE 4 — GATE (p9's chain on crawl-derived features: n_chars
-      // is re-derived from the text, the only truth a crawl carries).
-      val cf = classifierFeatures(
-        docs.withColumn("n_chars", length(col("text")).cast("long")))
-      val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
-        iters = 3, lr = 1.0)
-      val ref = docs.join(
-        Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
-          .filter(col("accepted")).select("doc_id"),
-        Seq("doc_id"))
-      val lm = TextStats.trigramCounts(ref, "text")
-      val kept = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
-        .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
-        .withColumn("bucket", ntile(3).over(
-          Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
-        .filter(col("bucket") <= 2).select("doc_id")
-      val corpus = docs.join(kept, Seq("doc_id")).localCheckpoint(true)
-      // STAGE 5 — TOKENIZE + PACK: driver-local BPE, reserved-band
-      // ids, one EOS per corpus doc, per-pred-lang 512-id packs.
-      val model = Bpe.trainLocal(corpus, "text", numMerges = 8)
-      val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
-      val ids = graft.pipeline.Packing.withEosForDocs(
-        Bpe.encodeIds(corpus, "doc_id", "text", model,
-          reserved = SpecialTokens.Band),
-        corpus, "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
-      val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
-        .join(corpus.select("doc_id", "pred_lang"), Seq("doc_id"))
-      val packs = graft.pipeline.Packing.packGreedyByCount(
-        counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("pred_lang"))
-      graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("pred_lang"))
+      val corpus = CrawlStages.gate(
+        CrawlStages.route(s, CrawlStages.dedup(CrawlStages.scrub(ingested))))
+      val (_, seqs) = CrawlStages.packSequences(
+        corpus, CrawlStages.trainTokenizer(corpus))
+      seqs
         .groupBy("pred_lang", "pack_id")
         .agg(count(lit(1)).as("n_positions"),
           countDistinct(col("doc_id")).as("n_docs"),
@@ -1115,9 +1063,9 @@ $bandSelects
     // reserved label would fail loud at vocab build.
     "t43_bpe_piece_ids" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      val model = Bpe.train(d, "text", numMerges = 8)
-      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
-          reserved = SpecialTokens.Band)
+      val model = Bpe.train(d, "text", numMerges = 8,
+        reserved = SpecialTokens.Band)
+      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Byte-level BPE (C192 / t47): the GPT-2 grain — initial symbols
@@ -1152,7 +1100,7 @@ $bandSelects
     // machinery; the guard rejects this tokenizer at word grain.
     "t51_bpe_gpt2" -> ((s, dir) =>
       Bpe.train(table(s, dir, "documents"), "text", numMerges = 10,
-          byteLevel = true, tokenizer = TextOps.gpt2PreTokenize)
+          byteLevel = true, tokenizer = TextOps.Gpt2Tok)
         .mergeTable(s).orderBy("step")),
     // Unigram-LM tokenizer training (C194 / t48): the OTHER subword
     // family (SentencePiece's default, Kudo 2018) — frequent-substring
@@ -1197,9 +1145,8 @@ $bandSelects
     "t52_unigram_ids" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val model = Unigram.train(d, "text", vocabSize = 48, iters = 3,
-        maxPieceLen = 5, seedMulti = 80)
-      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
-          reserved = SpecialTokens.Band)
+        maxPieceLen = 5, seedMulti = 80, reserved = SpecialTokens.Band)
+      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Unigram fertility report (C194 / t53): per-lang tokenizer QC
@@ -1281,10 +1228,11 @@ $bandSelects
     "t57_packed_eos" -> ((s, dir) => {
       val full = table(s, dir, "documents")
       val d = full.filter(col("doc_id") < 50)
-      val model = Bpe.train(full, "text", numMerges = 8)
-      val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+      val model = Bpe.train(full, "text", numMerges = 8,
+        reserved = SpecialTokens.Band)
+      val vocabSize = Bpe.pieceVocab(model).count()
       val ids = graft.pipeline.Packing.withEos(
-        Bpe.encodeIds(d, "doc_id", "text", model, reserved = SpecialTokens.Band),
+        Bpe.encodeIds(d, "doc_id", "text", model),
         "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
       val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
         .join(d.select("doc_id", "lang"), Seq("doc_id"))
@@ -1302,10 +1250,10 @@ $bandSelects
     "t58_bpe_saved_encode" -> ((s, dir) => {
       val d = table(s, dir, "documents")
       val path = Fixtures.scratchDir("graft-t58") + "/model"
-      ModelStore.saveBpe(Bpe.train(d, "text", numMerges = 8), path)
+      ModelStore.saveBpe(Bpe.train(d, "text", numMerges = 8,
+        reserved = SpecialTokens.Band), path)
       val model = ModelStore.loadBpe(s, path)
-      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
-          reserved = SpecialTokens.Band)
+      Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Persisted-unigram round trip (C204 / t59): the same discipline
@@ -1316,10 +1264,10 @@ $bandSelects
       val d = table(s, dir, "documents")
       val path = Fixtures.scratchDir("graft-t59") + "/model"
       ModelStore.saveUnigram(Unigram.train(d, "text", vocabSize = 48,
-        iters = 3, maxPieceLen = 5, seedMulti = 80), path)
+        iters = 3, maxPieceLen = 5, seedMulti = 80,
+        reserved = SpecialTokens.Band), path)
       val model = ModelStore.loadUnigram(s, path)
-      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model,
-          reserved = SpecialTokens.Band)
+      Unigram.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
         .orderBy("doc_id", "word_pos", "piece_pos")
     }),
     // Persisted-LM round trip (C204 / t60): the trigram count frame —
@@ -1408,10 +1356,11 @@ $bandSelects
     "t63_padded_batches" -> ((s, dir) => {
       val full = table(s, dir, "documents")
       val d = full.filter(col("doc_id") < 50)
-      val model = Bpe.train(full, "text", numMerges = 8)
-      val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+      val model = Bpe.train(full, "text", numMerges = 8,
+        reserved = SpecialTokens.Band)
+      val vocabSize = Bpe.pieceVocab(model).count()
       val ids = graft.pipeline.Packing.withEos(
-        Bpe.encodeIds(d, "doc_id", "text", model, reserved = SpecialTokens.Band),
+        Bpe.encodeIds(d, "doc_id", "text", model),
         "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
       val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
         .join(d.select("doc_id", "lang"), Seq("doc_id"))

@@ -192,25 +192,37 @@ object Ingest {
     records
       .withColumn("rec_type", regexp_extract(rec, "WARC-Type: ([^\r\n]+)", 1))
       .withColumn("uri", regexp_extract(rec, "WARC-Target-URI: ([^\r\n]+)", 1))
+      // The HTTP message: everything after the WARC header block's
+      // blank line, with any INTERIM 1xx response blocks peeled off
+      // (RFC 7231 §6.2 — a capture can legally carry "HTTP/1.1 100
+      // Continue\r\n…\r\n\r\n" before the final response; a star over
+      // a non-greedy group strips ANY number of them, and stays inside
+      // RE2 for the oracle twin — no lookaround). Both the status and
+      // the payload then come from the FINAL block — the old framing
+      // either took the interim status (first-match) or leaked the
+      // final header block into the body (fixed-count slicing).
+      .withColumn("__http",
+        regexp_replace(
+          regexp_replace(rec, "(?s)^.*?\r\n\r\n", ""),
+          "(?s)^(HTTP/1\\.[01] 1[0-9]{2}.*?\r\n\r\n)*", ""))
       .withColumn("http_status",
-        regexp_extract(rec, "\r\n\r\nHTTP/1\\.[01] ([0-9]{3})", 1))
-      // The payload after the SECOND structural blank line: one
-      // anchored non-greedy prefix strip ((?s) so headers spanning the
-      // match dot-match newlines; stays inside RE2 for the oracle twin
-      // — no lookaround). A record truncated before its second blank
-      // line keeps its full text as body — inspectable, never silently
-      // sliced. Exactly ONE trailing newline is the
+        regexp_extract(col("__http"), "^HTTP/1\\.[01] ([0-9]{3})", 1))
+      // The payload after the final block's header/body blank line
+      // (anchored non-greedy prefix strip). A record truncated before
+      // that blank line keeps its full text as body — inspectable,
+      // never silently sliced. Exactly ONE trailing newline is the
       // text writer's row terminator, not record content — a payload
       // that legitimately ends in newlines keeps the rest (the
       // byte-exact contract). \z, not $: Java's $ also matches BEFORE
       // a final line terminator, so "\n$" would strip two.
       .withColumn("body",
         regexp_replace(
-          regexp_replace(rec, "(?s)^.*?\r\n\r\n.*?\r\n\r\n", ""),
+          regexp_replace(col("__http"), "(?s)^.*?\r\n\r\n", ""),
           "\n\\z", ""))
       .withColumn("is_clean",
         col("rec_type") === "response" && col("uri") =!= "" &&
           col("http_status") =!= "")
+      .drop("__http")
   }
 
   /** Read a WARC tree with quarantine: ONE `text` scan with the record

@@ -139,7 +139,7 @@ object TokenizerDemo {
     // GPT-2 grain: pre-tokenize, then byte-level BPE — the merges must
     // include space-prefixed (Ġ-style, hex 20-led) pieces.
     val gm = Bpe.train(g2, "text", numMerges = 8, byteLevel = true,
-      tokenizer = graft.pipeline.TextOps.gpt2PreTokenize)
+      tokenizer = graft.pipeline.TextOps.Gpt2Tok)
     val spaceLed = gm.merges.count(m => m.merged.startsWith("20"))
     log(s"GPT-2-grain byte BPE: ${gm.merges.size} merges, $spaceLed space-led (expect > 0)")
 

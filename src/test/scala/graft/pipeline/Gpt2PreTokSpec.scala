@@ -88,7 +88,7 @@ class Gpt2PreTokSpec extends GraftSuite {
     // START with the space byte (20) — exactly what word-grain BPE can
     // never produce.
     val m = Bpe.train(docs("the fast the slow the end"), "text",
-      numMerges = 6, byteLevel = true, tokenizer = TextOps.gpt2PreTokenize)
+      numMerges = 6, byteLevel = true, tokenizer = TextOps.Gpt2Tok)
     assert(m.merges.exists(x => x.merged.startsWith("20") && x.merged.length > 2))
     // Totality at the byte level: unhex(concat(pieces)) == word.
     val bad = m.words
@@ -101,12 +101,12 @@ class Gpt2PreTokSpec extends GraftSuite {
   test("Bpe integration: word grain rejects space-bearing pretokens") {
     val ex = intercept[IllegalArgumentException] {
       Bpe.train(docs("the fast cat"), "text", numMerges = 2,
-        tokenizer = TextOps.gpt2PreTokenize)
+        tokenizer = TextOps.Gpt2Tok)
     }
     assert(ex.getMessage.contains("byteLevel"))
     val ex2 = intercept[IllegalArgumentException] {
       Bpe.trainLocal(docs("the fast cat"), "text", numMerges = 2,
-        tokenizer = TextOps.gpt2PreTokenize)
+        tokenizer = TextOps.Gpt2Tok)
     }
     assert(ex2.getMessage.contains("byteLevel"))
   }
@@ -120,16 +120,16 @@ class Gpt2PreTokSpec extends GraftSuite {
       .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
       .filter(col("text") =!= col("orig")).count()
     assert(backW === 0L)
-    // Byte grain over GPT-2 pretokens: the model RECORDED separator ""
-    // at train time (space-bearing pretokens detected), so decode needs
-    // no caller-side convention; bytes unhex back through multi-byte
-    // and astral characters.
+    // Byte grain over GPT-2 pretokens: the model RECORDS its tokenizer
+    // at train time, so encode and decode both resolve the split and
+    // the separator from the model — no caller-side convention; bytes
+    // unhex back through multi-byte and astral characters.
     val mb = Bpe.train(d, "text", numMerges = 6, byteLevel = true,
-      tokenizer = TextOps.gpt2PreTokenize)
-    assert(mb.wordSeparator === "")
-    assert(mw.wordSeparator === " ")
+      tokenizer = TextOps.Gpt2Tok)
+    assert(mb.tokenizer === TextOps.Gpt2Tok)
+    assert(mw.tokenizer === TextOps.WhitespaceTok)
     val backB = Bpe.decode(
-        Bpe.encodeIds(d, "doc_id", "text", mb, tokenizer = TextOps.gpt2PreTokenize),
+        Bpe.encodeIds(d, "doc_id", "text", mb),
         "doc_id", mb)
       .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
       .filter(col("text") =!= col("orig")).count()
@@ -139,9 +139,9 @@ class Gpt2PreTokSpec extends GraftSuite {
   test("trainLocal == train over GPT-2 pretokens at byte level") {
     val d = docs("the cat the dog", "it's the cat's day")
     val a = Bpe.train(d, "text", numMerges = 8, byteLevel = true,
-      tokenizer = TextOps.gpt2PreTokenize)
+      tokenizer = TextOps.Gpt2Tok)
     val b = Bpe.trainLocal(d, "text", numMerges = 8, byteLevel = true,
-      tokenizer = TextOps.gpt2PreTokenize)
+      tokenizer = TextOps.Gpt2Tok)
     assert(a.merges === b.merges)
   }
 }

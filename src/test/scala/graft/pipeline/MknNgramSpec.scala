@@ -107,10 +107,11 @@ class MknNgramSpec extends GraftSuite {
     import spark.implicits._
     val d = docs("stream batch stream", "merge table scan", "filter sort")
       .withColumn("lang", lit("g"))
-    val model = Bpe.train(d, "text", numMerges = 3)
-    val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+    val model = Bpe.train(d, "text", numMerges = 3,
+      reserved = SpecialTokens.Band)
+    val vocabSize = Bpe.pieceVocab(model).count()
     val ids = Packing.withEos(
-      Bpe.encodeIds(d, "doc_id", "text", model, reserved = SpecialTokens.Band),
+      Bpe.encodeIds(d, "doc_id", "text", model),
       "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
     val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .join(d.select("doc_id", "lang"), Seq("doc_id"))

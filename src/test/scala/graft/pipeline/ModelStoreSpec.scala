@@ -23,18 +23,20 @@ class ModelStoreSpec extends GraftSuite {
 
   test("BPE: loaded model == trained model (merges, words, grain) and encodes bit-identically") {
     val d = docs("stream batch stream table", "merge table scan scan", "it's fine")
-    val trained = Bpe.train(d, "text", numMerges = 6)
+    val trained = Bpe.train(d, "text", numMerges = 6,
+      reserved = SpecialTokens.Band)
     val path = store("bpe")
     ModelStore.saveBpe(trained, path)
     val loaded = ModelStore.loadBpe(spark, path)
     assert(loaded.merges === trained.merges)
     assert(loaded.byteLevel === trained.byteLevel)
-    assert(loaded.wordSeparator === trained.wordSeparator)
+    assert(loaded.tokenizer === trained.tokenizer)
+    assert(loaded.reserved === SpecialTokens.Band)
     assert(loaded.cappedOut === trained.cappedOut)
     assert(loaded.words.orderBy("word").collect().toSeq ===
       trained.words.select("word", "freq", "seg").orderBy("word").collect().toSeq)
     def enc(m: Bpe.BpeModel) =
-      Bpe.encodeIds(d, "doc_id", "text", m, reserved = SpecialTokens.Band)
+      Bpe.encodeIds(d, "doc_id", "text", m)
         .orderBy("doc_id", "word_pos", "piece_pos").collect().toSeq
     assert(enc(loaded) === enc(trained))
     // decode through the loaded model closes the loop.
@@ -49,15 +51,18 @@ class ModelStoreSpec extends GraftSuite {
   test("BPE: the GPT-2 byte grain round-trips with its recorded separator") {
     val d = docs("the cat the dog", "it's the cat's day")
     val trained = Bpe.train(d, "text", numMerges = 8, byteLevel = true,
-      tokenizer = TextOps.gpt2PreTokenize)
+      tokenizer = TextOps.Gpt2Tok)
     val path = store("bpe-gpt2")
     ModelStore.saveBpe(trained, path)
     val loaded = ModelStore.loadBpe(spark, path)
     assert(loaded.byteLevel === true)
-    assert(loaded.wordSeparator === "")
+    // The tokenizer identity survived the disk boundary: the serving
+    // session's encode/decode use the GPT-2 split and "" separator
+    // WITHOUT being told — the silently-wrong-tokenizer hazard is
+    // structurally closed.
+    assert(loaded.tokenizer === TextOps.Gpt2Tok)
     val back = Bpe.decode(
-        Bpe.encodeIds(d, "doc_id", "text", loaded,
-          tokenizer = TextOps.gpt2PreTokenize),
+        Bpe.encodeIds(d, "doc_id", "text", loaded),
         "doc_id", loaded)
       .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
       .filter(col("text") =!= col("orig")).count()
@@ -68,13 +73,13 @@ class ModelStoreSpec extends GraftSuite {
   test("Unigram: loaded model == trained model (piece sequence, unkLogp, maxPieceLen) and segments identically") {
     val d = docs("stream batch stream", "merge table scan", "ab zb cd")
     val trained = Unigram.train(d, "text", vocabSize = 24, iters = 2,
-      maxPieceLen = 4, seedMulti = 40)
+      maxPieceLen = 4, seedMulti = 40, reserved = SpecialTokens.Band)
     val path = store("unigram")
     ModelStore.saveUnigram(trained, path)
     val loaded = ModelStore.loadUnigram(spark, path)
-    assert(loaded === trained) // case-class equality: exact pieces, order, doubles
+    assert(loaded === trained) // case-class equality: exact pieces, order, doubles, band
     def enc(m: Unigram.UnigramModel) =
-      Unigram.encodeIds(d, "doc_id", "text", m, reserved = SpecialTokens.Band)
+      Unigram.encodeIds(d, "doc_id", "text", m)
         .orderBy("doc_id", "word_pos", "piece_pos").collect().toSeq
     assert(enc(loaded) === enc(trained))
   }

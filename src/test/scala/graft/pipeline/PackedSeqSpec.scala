@@ -98,7 +98,8 @@ class PackedSeqSpec extends GraftSuite {
     }
     assert(ex.getMessage.contains("collides"))
     // With the reserved band, the control ids below the band are legal…
-    val bandVocab = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+    val bandModel = model.copy(reserved = SpecialTokens.Band)
+    val bandVocab = Bpe.pieceVocab(bandModel).count()
     Packing.withEos(ids, "doc_id", SpecialTokens.EosId, bandVocab,
       SpecialTokens.BandSize)
     // …but a band-range id on a band-less layout is not.
@@ -112,11 +113,12 @@ class PackedSeqSpec extends GraftSuite {
   test("withEosForDocs: empty-stream documents still get their EOS, anchored to the doc frame") {
     import spark.implicits._
     val d = docs("stream batch stream", "merge table scan", "filter sort")
-    val model = Bpe.train(d, "text", numMerges = 3)
-    val vocabSize = Bpe.pieceVocab(model, SpecialTokens.Band).count()
+    val model = Bpe.train(d, "text", numMerges = 3,
+      reserved = SpecialTokens.Band)
+    val vocabSize = Bpe.pieceVocab(model).count()
     // Drop doc 1's stream entirely — the upstream-inner-join hazard.
-    val ids = Bpe.encodeIds(d, "doc_id", "text", model,
-      reserved = SpecialTokens.Band).filter(col("doc_id") =!= 1L)
+    val ids = Bpe.encodeIds(d, "doc_id", "text", model)
+      .filter(col("doc_id") =!= 1L)
     val out = Packing.withEosForDocs(ids, d, "doc_id", SpecialTokens.EosId,
       vocabSize, SpecialTokens.BandSize)
     val eos = out.filter(col("piece_id") === SpecialTokens.EosId)
@@ -137,29 +139,32 @@ class PackedSeqSpec extends GraftSuite {
   test("reserved band: both families lay out UNK/BOS/EOS/PAD at 0..3 with pieces at 4+; collisions fail loud") {
     import spark.implicits._
     val d = docs("stream batch stream", "merge table scan")
-    val model = Bpe.train(d, "text", numMerges = 3)
-    val pv = Bpe.pieceVocab(model, SpecialTokens.Band)
+    val model = Bpe.train(d, "text", numMerges = 3,
+      reserved = SpecialTokens.Band)
+    val pv = Bpe.pieceVocab(model)
       .orderBy("piece_id").collect()
     assert(pv.take(4).map(r => (r.getLong(0), r.getString(1))).toSeq ===
       Seq((0L, "<unk>"), (1L, "<s>"), (2L, "</s>"), (3L, "<pad>")))
     assert(pv(4).getLong(0) === 4L)
     // Band ids never appear in an encoded stream (pieces are 4+).
-    val ids = Bpe.encodeIds(d, "doc_id", "text", model,
-      reserved = SpecialTokens.Band)
+    val ids = Bpe.encodeIds(d, "doc_id", "text", model)
     assert(ids.filter(col("piece_id") < SpecialTokens.BandSize).isEmpty)
     // Unigram: same band, unk keeps id 0, pieces at 4+.
-    val um = Unigram.train(d, "text", vocabSize = 12, iters = 1)
-    val upv = Unigram.pieceVocab(um, SpecialTokens.Band)
+    val um = Unigram.train(d, "text", vocabSize = 12, iters = 1,
+      reserved = SpecialTokens.Band)
+    val upv = Unigram.pieceVocab(um)
     assert(upv.take(4) === Seq((0L, "<unk>"), (1L, "<s>"), (2L, "</s>"), (3L, "<pad>")))
     assert(upv(4)._1 === 4L)
-    // A band not led by <unk> is rejected (OOV routing would break).
+    // A band not led by <unk> is rejected AT TRAIN TIME (OOV routing
+    // would break) and again at vocab build.
     val exU = intercept[IllegalArgumentException] {
-      Unigram.pieceVocab(um, Seq("<s>", "<unk>"))
+      Unigram.train(d, "text", vocabSize = 12, iters = 1,
+        reserved = Seq("<s>", "<unk>"))
     }
     assert(exU.getMessage.contains("<unk>"))
     // A reserved label colliding with a learned piece is rejected.
     val exC = intercept[IllegalArgumentException] {
-      Bpe.pieceVocab(model, Seq("s")) // "s" is in the alphabet
+      Bpe.pieceVocab(model.copy(reserved = Seq("s"))) // "s" is in the alphabet
     }
     assert(exC.getMessage.contains("collide"))
     model.words.unpersist()

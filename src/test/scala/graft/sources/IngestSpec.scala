@@ -242,6 +242,35 @@ class IngestSpec extends GraftSuite {
     } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
   }
 
+  test("warc: interim 1xx response blocks peel off — status and body come from the FINAL block") {
+    val dir = Fixtures.scratchDir("graft-warc-spec-1xx")
+    val crlf = "\r\n"
+    // A capture carrying "100 Continue" (headers optional) before the
+    // final response — RFC 7231 §6.2. The old framings either reported
+    // status 100 or leaked "HTTP/1.1 200 OK…" header bytes into body.
+    val rec1 = s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+      s"WARC-Record-ID: <urn:graft:1>${crlf}" +
+      s"WARC-Target-URI: http://example.org/doc/1$crlf$crlf" +
+      s"HTTP/1.1 100 Continue$crlf$crlf" +
+      s"HTTP/1.1 200 OK${crlf}Content-Type: text/plain$crlf${crlf}hello"
+    // Two interims, one with its own header line — the star must peel both.
+    val rec2 = s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+      s"WARC-Record-ID: <urn:graft:2>${crlf}" +
+      s"WARC-Target-URI: http://example.org/doc/2$crlf$crlf" +
+      s"HTTP/1.1 100 Continue$crlf$crlf" +
+      s"HTTP/1.1 103 Early Hints${crlf}Link: </style.css>$crlf$crlf" +
+      s"HTTP/1.1 200 OK$crlf${crlf}para one$crlf${crlf}para two"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc"),
+      (rec1 + "\n" + rec2).getBytes("UTF-8"))
+    val (clean, quarantine) = Ingest.warc(spark, dir)
+    val rows = clean.orderBy("uri").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows === Array(
+      ("http://example.org/doc/1", "200", "hello"),
+      ("http://example.org/doc/2", "200", s"para one$crlf${crlf}para two")))
+    assert(quarantine.count() === 0L)
+  }
+
   test("warc: gzipped shards decode transparently through the custom record delimiter; parallelism == shard count") {
     val dir = Fixtures.scratchDir("graft-warc-spec-gz")
     val recs = (1L to 40L).map(i => warcRecord(i, s"payload $i"))
