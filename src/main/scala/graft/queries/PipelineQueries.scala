@@ -1199,6 +1199,22 @@ $bandSelects
       val ids = Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
       Bpe.decode(ids, "doc_id", model).orderBy("doc_id")
     }),
+    // Banded decode round trip (C203 / t64): t55's identity law under
+    // the full reserved band — the model records UNK/BOS/EOS/PAD at
+    // train time, encode shifts every piece id by 4, and decode (which
+    // resolves the band FROM THE MODEL) must cancel the shift exactly:
+    // the id stream reconstructs the EXACT source text, t55's identity
+    // oracle verbatim. This is the review-demonstrated band-mismatch
+    // hazard as a hash-pinned law: were encode and decode ever to
+    // disagree on the layout, every document would come back shifted
+    // four pieces and the hash would break.
+    "t64_decode_roundtrip_band" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Bpe.train(d, "text", numMerges = 8,
+        reserved = SpecialTokens.Band)
+      val ids = Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
+      Bpe.decode(ids, "doc_id", model).orderBy("doc_id")
+    }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
     // and the per-doc id streams spliced into one dense position space
@@ -6663,5 +6679,9 @@ $bandSelects
     // raw n-gram counts are exactly additive over a disjoint document
     // partition (windows never cross docs), so the merged model IS the
     // one-pass model and the scorer must hash-match t61 verbatim.
-    "t62_ngram_model_merge" -> oracleSqlBase("t61_mkn5_nll"))
+    "t62_ngram_model_merge" -> oracleSqlBase("t61_mkn5_nll"),
+    // t64 is t55's identity law under the full reserved band: decode
+    // resolves the band from the model, so the +4 id shift cancels
+    // exactly and the round trip is still the identity.
+    "t64_decode_roundtrip_band" -> oracleSqlBase("t55_decode_roundtrip"))
 }
