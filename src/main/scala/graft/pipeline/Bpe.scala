@@ -141,7 +141,8 @@ object Bpe {
       .withColumn("seg", initSeg(col("word"), byteLevel))
       .persist()
     words.count()
-    guardWordTable(words, maxWordChars, byteLevel)
+    requireGrainConsistent(
+      guardWordTable(words, maxWordChars, byteLevel), tokenizer)
     val merges = ArrayBuffer.empty[Merge]
     var step = 1
     var exhausted = false
@@ -255,6 +256,24 @@ object Bpe {
       words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Boolean =
     TextOps.guardWordTable(words, maxWordChars, forbidSpaces = !byteLevel)
 
+  /** Cross-validate the corpus-observed grain signal ([[TextOps
+    * .guardWordTable]]'s hasSpace — did any token CARRY a space?)
+    * against the tokenizer the model will record: space-bearing tokens
+    * under a tokenizer that declares a non-empty decode separator
+    * would re-join text with separators the tokens already carry —
+    * every round trip silently gains spaces. Loud at train time
+    * instead (a custom [[TextOps.Tok]] can misdeclare; the built-ins
+    * cannot — whitespace tokens never carry spaces, GPT-2 declares "").
+    */
+  private def requireGrainConsistent(
+      hasSpace: Boolean, tokenizer: TextOps.Tok): Unit =
+    require(!hasSpace || tokenizer.wordSeparator.isEmpty,
+      s"tokenizer '${tokenizer.name}' declares decode word separator " +
+        s"'${tokenizer.wordSeparator}' but emitted space-BEARING tokens: " +
+        "decode would re-join with a separator the tokens already carry, " +
+        "corrupting every round trip. Space-bearing pretokens need a " +
+        "separator-free tokenizer (the GPT-2 convention).")
+
   def trainLocal(
       docs: DataFrame, textCol: String, numMerges: Int,
       wordCap: Int = 1 << 20, maxWordChars: Int = 200,
@@ -270,7 +289,8 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     wf.count()
-    guardWordTable(wf, maxWordChars, byteLevel)
+    requireGrainConsistent(
+      guardWordTable(wf, maxWordChars, byteLevel), tokenizer)
     // The ONE driver-side collect: TakeOrdered top-wordCap — bounded by
     // the cap, never by the corpus.
     val capped = wf.orderBy(desc("freq"), asc("word")).limit(wordCap)
@@ -479,10 +499,17 @@ object Bpe {
     * not text — they are dropped before reassembly, stated here rather
     * than silently concatenated as their labels.
     *
+    * Output is anchored to the DISTINCT document ids of the input, not
+    * to the surviving pieces: a document whose stream is ONLY control
+    * ids (an empty doc that got its EOS from
+    * [[Packing.withEosForDocs]]) decodes to the EMPTY STRING rather
+    * than vanishing — the doc count in equals the doc count out, the
+    * same "empty docs terminate visibly" contract the EOS side keeps.
+    *
     * Scale shape: one broadcast vocab join, then two document-keyed
     * aggregations (pieces→word, words→text) whose sort keys are
-    * in-group positions — never a global sort; linear in the id
-    * stream.
+    * in-group positions — never a global sort — plus one doc-keyed
+    * left join re-anchoring the ids; linear in the id stream.
     */
   def decode(ids: DataFrame, idCol: String, model: BpeModel): DataFrame = {
     val joined = ids
@@ -494,10 +521,13 @@ object Bpe {
         col("piece")))).getField("piece")).as("__w"))
       .withColumn("word",
         if (model.byteLevel) decode_bytes(col("__w")) else col("__w"))
-    words
+    val texts = words
       .groupBy(col(idCol))
       .agg(concat_ws(model.tokenizer.wordSeparator, sort_array(collect_list(struct(col("word_pos"),
         col("word")))).getField("word")).as("text"))
+    ids.select(col(idCol)).distinct()
+      .join(texts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("text"), lit("")).as("text"))
   }
 
   /** Hex-pair symbols back to the exact UTF-8 string (the byte grain's

@@ -29,8 +29,17 @@ import org.apache.spark.sql.types._
   * is an error message, not garbage weights). ARTIFACT versions are
   * the caller's path discipline — one immutable directory per trained
   * version (`.../bpe/v=3`), the same convention as the persisted-index
-  * stores; saves are atomic-enough via parquet overwrite semantics,
-  * and a versioned directory is written once, never mutated.
+  * stores; [[latestVersion]]/[[publishVersion]] resolve "the current
+  * version" atomically across a retrain (marker files — create is
+  * atomic, so a mid-swap reader sees old-or-new, never a torn pair).
+  *
+  * Torn-save detection: meta is written LAST and carries the ROW COUNT
+  * of every data table (format v2); load re-counts the parquet (a
+  * footer-only read) and rejects a mismatch. A crash mid-save over an
+  * existing directory can leave a previous save's meta beside partial
+  * tables — the counts make that directory fail loud instead of
+  * readMeta accepting stale metadata over new data (the weight tables
+  * already had this property via the exact K×(d+1) entry check).
   *
   * Reference framing: sentencepiece's `.model`/`.vocab` files, HF
   * `tokenizer.json`, KenLM `.arpa`/binary — all "model = small typed
@@ -40,8 +49,10 @@ import org.apache.spark.sql.types._
   */
 object ModelStore {
 
-  /** Bump when the on-disk layout changes; readers reject newer. */
-  val FormatVersion = 1
+  /** Bump when the on-disk layout changes; readers reject newer.
+    * v2 added per-table `rows_*` checksums to meta.
+    */
+  val FormatVersion = 2
 
   private val MetaSchema = StructType(Seq(
     StructField("format_version", IntegerType, nullable = false),
@@ -86,6 +97,75 @@ object ModelStore {
     m
   }
 
+  /** The row count a data table was saved with — a parquet footer-only
+    * re-count at load, so a torn directory (stale meta beside a
+    * partial/new table after a mid-save crash) fails loud like every
+    * other guard in this store. Absent field = a pre-v2 directory;
+    * nothing to verify (the format version already gates layout).
+    */
+  private def requireRows(
+      spark: SparkSession, path: String, table: String, meta: Row): Unit =
+    if (meta.schema.fieldNames.contains(s"rows_$table")) {
+      val expected = meta.getAs[Long](s"rows_$table")
+      val actual = spark.read.parquet(s"$path/$table").count()
+      require(actual == expected,
+        s"model store at $path is TORN: table '$table' has $actual rows but " +
+          s"meta recorded $expected — a crash mid-save left mismatched " +
+          "meta/data; re-save the artifact (one immutable directory per " +
+          "version makes this unreachable).")
+    }
+
+  /** Row count of a just-written table — parquet footers only. */
+  private def writtenRows(spark: SparkSession, path: String): Long =
+    spark.read.parquet(path).count()
+
+  // -------------------------------------------------- version registry
+
+  private val LatestMarkerRe = "_latest_v([0-9]+)".r
+
+  /** Publish `version` as the newest artifact under `root` — the C163
+    * manifest discipline shrunk to a pointer: a zero-byte marker file
+    * `_latest_v&lt;version&gt;` lands via an ATOMIC create (never a
+    * mutate-in-place), strictly AFTER the caller finished `save` into
+    * `root/v=&lt;version&gt;`. A mid-swap reader therefore resolves
+    * old-or-new, never a torn pair: markers are immutable, data
+    * directories are immutable, and the newest marker always points at
+    * a completed save. Re-publishing the same version is a no-op.
+    */
+  def publishVersion(spark: SparkSession, root: String, version: Int): Unit = {
+    require(version >= 0, s"version must be >= 0, got $version")
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val marker = new org.apache.hadoop.fs.Path(dir, s"_latest_v$version")
+    if (!fs.exists(marker)) fs.create(marker, false).close()
+  }
+
+  /** The newest published version under `root` (max over the markers),
+    * or None when nothing has been published yet.
+    */
+  def latestVersion(spark: SparkSession, root: String): Option[Int] = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case LatestMarkerRe(v) => v.toInt }
+      .sorted(Ordering[Int].reverse).headOption
+  }
+
+  /** The current model directory under `root` — the path a serving
+    * session loads without knowing version numbers: `root/v=&lt;max
+    * published&gt;`. Fails loud when nothing is published (a gate must
+    * not guess).
+    */
+  def resolveLatest(spark: SparkSession, root: String): String = {
+    val v = latestVersion(spark, root).getOrElse(throw new IllegalStateException(
+      s"no published model version under $root: save into root/v=<n> then " +
+        "publishVersion(n) — serving never guesses at an unpublished layout."))
+    s"$root/v=$v"
+  }
+
   // ---------------------------------------------------------------- BPE
 
   /** Persist a trained [[Bpe.BpeModel]]: the ordered merge table, the
@@ -105,7 +185,9 @@ object ModelStore {
       "byte_level" -> model.byteLevel,
       "tokenizer" -> model.tokenizer.name,
       "reserved" -> model.reserved,
-      "capped_out" -> model.cappedOut))
+      "capped_out" -> model.cappedOut,
+      "rows_merges" -> model.merges.size.toLong,
+      "rows_words" -> writtenRows(spark, s"$path/words")))
   }
 
   /** Reload a [[Bpe.BpeModel]]. Merges collect ordered by `step` (k
@@ -115,6 +197,8 @@ object ModelStore {
     */
   def loadBpe(spark: SparkSession, path: String): Bpe.BpeModel = {
     val m = readMeta(spark, path, "bpe")
+    requireRows(spark, path, "merges", m)
+    requireRows(spark, path, "words", m)
     val merges = spark.read.parquet(s"$path/merges")
       .orderBy("step").collect()
       .map(r => Bpe.Merge(r.getAs[Long]("step"), r.getAs[String]("lhs"),
@@ -147,11 +231,13 @@ object ModelStore {
       "unk_logp" -> model.unkLogp,
       "max_piece_len" -> model.maxPieceLen,
       "capped_out" -> model.cappedOut,
-      "reserved" -> model.reserved))
+      "reserved" -> model.reserved,
+      "rows_pieces" -> model.pieces.size.toLong))
   }
 
   def loadUnigram(spark: SparkSession, path: String): Unigram.UnigramModel = {
     val m = readMeta(spark, path, "unigram")
+    requireRows(spark, path, "pieces", m)
     val pieces = spark.read.parquet(s"$path/pieces")
       .orderBy("ord").collect()
       .map(r => (r.getAs[String]("piece"), r.getAs[Long]("mass"),
@@ -250,12 +336,15 @@ object ModelStore {
       s"n-gram model columns ${model.columns.toSeq} do not match order-$order " +
         s"layout $expected")
     model.write.mode("overwrite").parquet(s"$path/counts")
-    writeMeta(model.sparkSession, path, "ngram", Seq("order" -> order))
+    writeMeta(model.sparkSession, path, "ngram", Seq(
+      "order" -> order,
+      "rows_counts" -> writtenRows(model.sparkSession, s"$path/counts")))
   }
 
   /** @return (counts frame, order) — the frame stays parquet-backed. */
   def loadNgram(spark: SparkSession, path: String): (DataFrame, Int) = {
     val m = readMeta(spark, path, "ngram")
+    requireRows(spark, path, "counts", m)
     (spark.read.parquet(s"$path/counts"), m.getAs[Int]("order"))
   }
 }

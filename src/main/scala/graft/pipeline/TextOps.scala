@@ -171,11 +171,13 @@ object TextOps {
     * strings cannot hold them. Unpersists `words` before throwing so a
     * rejected corpus leaves no pinned storage behind.
     *
-    * Returns whether any token CARRIES a space — the tokenizer-grain
-    * signal (GPT-2-style pretokens carry their leading space;
-    * whitespace tokens never can), which [[Bpe]] records on the model
-    * as the decode word separator so a decoder cannot be handed the
-    * wrong convention.
+    * Returns whether any token CARRIES a space — the corpus-observed
+    * grain signal (GPT-2-style pretokens carry their leading space;
+    * whitespace tokens never can). The trainers cross-validate it
+    * against the tokenizer's DECLARED `wordSeparator` (the decode
+    * separator recorded on the model): space-bearing tokens under a
+    * non-empty separator would double every space on decode, so that
+    * combination is rejected at train time.
     */
   private[pipeline] def guardWordTable(
       words: DataFrame, maxWordChars: Int, forbidSpaces: Boolean): Boolean = {

@@ -195,16 +195,22 @@ object Ingest {
       // The HTTP message: everything after the WARC header block's
       // blank line, with any INTERIM 1xx response blocks peeled off
       // (RFC 7231 §6.2 — a capture can legally carry "HTTP/1.1 100
-      // Continue\r\n…\r\n\r\n" before the final response; a star over
-      // a non-greedy group strips ANY number of them, and stays inside
-      // RE2 for the oracle twin — no lookaround). Both the status and
-      // the payload then come from the FINAL block — the old framing
-      // either took the interim status (first-match) or leaked the
-      // final header block into the body (fixed-count slicing).
+      // Continue\r\n…\r\n\r\n" before the final response). A 1xx block
+      // is stripped ONLY when another status line follows it — the
+      // trailing capture group, restored by the $1 replacement — so a
+      // record whose FINAL response is itself 1xx (101 Switching
+      // Protocols with no subsequent block) keeps its status and
+      // surfaces clean instead of quarantining with an empty status.
+      // Still RE2-clean for any future oracle twin — a capture group,
+      // not lookaround. Both the status and the payload then come from
+      // the FINAL block — the old framings either took the interim
+      // status (first-match) or leaked the final header block into the
+      // body (fixed-count slicing).
       .withColumn("__http",
         regexp_replace(
           regexp_replace(rec, "(?s)^.*?\r\n\r\n", ""),
-          "(?s)^(HTTP/1\\.[01] 1[0-9]{2}.*?\r\n\r\n)*", ""))
+          "(?s)^(?:HTTP/1\\.[01] 1[0-9]{2}.*?\r\n\r\n)+(HTTP/1\\.[01] [0-9]{3})",
+          "$1"))
       .withColumn("http_status",
         regexp_extract(col("__http"), "^HTTP/1\\.[01] ([0-9]{3})", 1))
       // The payload after the final block's header/body blank line

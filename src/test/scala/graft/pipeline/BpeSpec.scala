@@ -168,4 +168,26 @@ class BpeSpec extends GraftSuite {
     val b = Bpe.train(d, "text", numMerges = 6).merges
     assert(a === b && a.size === 6)
   }
+
+  test("decode: a doc whose stream is ONLY control ids decodes to '' — never vanishes") {
+    import spark.implicits._
+    val d = docs("stream batch stream", "merge table")
+    val model = Bpe.train(d, "text", numMerges = 4,
+      reserved = SpecialTokens.Band)
+    val vocabSize = Bpe.pieceVocab(model).count()
+    // Doc 9 is EMPTY upstream: its only stream row is the EOS that
+    // withEosForDocs anchors to the doc frame. decode must keep the
+    // doc-count invariant (3 docs in, 3 out) with '' for doc 9 —
+    // dropping it would silently lose a document on every packed-batch
+    // round trip (the r18 ADVICE finding).
+    val frame = d.select("doc_id")
+      .unionByName(Seq(9L).toDF("doc_id"))
+    val ids = graft.pipeline.Packing.withEosForDocs(
+      Bpe.encodeIds(d, "doc_id", "text", model), frame, "doc_id",
+      SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+    val back = Bpe.decode(ids, "doc_id", model)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back === Array(
+      (0L, "stream batch stream"), (1L, "merge table"), (9L, "")))
+  }
 }

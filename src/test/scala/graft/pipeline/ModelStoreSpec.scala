@@ -144,4 +144,51 @@ class ModelStoreSpec extends GraftSuite {
     assert(exV.getMessage.contains("format_version"))
     trained.words.unpersist()
   }
+
+  test("torn save fails loud: stale meta beside a mismatched data table is rejected by the row checksum") {
+    val d = docs("stream batch stream table", "merge table scan")
+    val trained = Bpe.train(d, "text", numMerges = 4)
+    val path = store("torn")
+    ModelStore.saveBpe(trained, path)
+    // Simulate a crash mid-RE-save: the data table was rewritten (here:
+    // truncated) but the new meta never landed — the old meta's counts
+    // no longer match. readMeta alone would accept this directory.
+    spark.read.parquet(s"$path/words").limit(1)
+      .write.mode("overwrite").parquet(s"$path/words")
+    val ex = intercept[IllegalArgumentException] {
+      ModelStore.loadBpe(spark, path)
+    }
+    assert(ex.getMessage.contains("TORN"))
+    trained.words.unpersist()
+  }
+
+  test("version registry: publish is atomic-by-create, readers resolve old-or-new, never a torn pair") {
+    val d = docs("stream batch stream table", "merge table scan")
+    val root = store("registry")
+    // Nothing published yet: a gate must not guess.
+    val none = intercept[IllegalStateException] {
+      ModelStore.resolveLatest(spark, root)
+    }
+    assert(none.getMessage.contains("no published model version"))
+    val m1 = Bpe.train(d, "text", numMerges = 2)
+    ModelStore.saveBpe(m1, s"$root/v=1")
+    ModelStore.publishVersion(spark, root, 1)
+    assert(ModelStore.latestVersion(spark, root) === Some(1))
+    assert(ModelStore.resolveLatest(spark, root) === s"$root/v=1")
+    // A retrain IN FLIGHT: v=2's directory exists (half-saved is fine —
+    // nothing points at it) but is unpublished; readers still resolve v1.
+    val m2 = Bpe.train(d, "text", numMerges = 4)
+    ModelStore.saveBpe(m2, s"$root/v=2")
+    assert(ModelStore.resolveLatest(spark, root) === s"$root/v=1")
+    // Publish AFTER the save completes: readers now resolve v2, and the
+    // directory the pointer names loads clean (counts verify).
+    ModelStore.publishVersion(spark, root, 2)
+    assert(ModelStore.resolveLatest(spark, root) === s"$root/v=2")
+    val loaded = ModelStore.loadBpe(spark, ModelStore.resolveLatest(spark, root))
+    assert(loaded.merges === m2.merges)
+    // Re-publishing is a no-op, not an error (idempotent replays).
+    ModelStore.publishVersion(spark, root, 2)
+    assert(ModelStore.latestVersion(spark, root) === Some(2))
+    m1.words.unpersist(); m2.words.unpersist(); loaded.words.unpersist()
+  }
 }

@@ -260,14 +260,23 @@ class IngestSpec extends GraftSuite {
       s"HTTP/1.1 100 Continue$crlf$crlf" +
       s"HTTP/1.1 103 Early Hints${crlf}Link: </style.css>$crlf$crlf" +
       s"HTTP/1.1 200 OK$crlf${crlf}para one$crlf${crlf}para two"
+    // A 1xx-FINAL response (101 with no subsequent block — a WebSocket
+    // upgrade capture): nothing follows, so nothing peels; the record
+    // surfaces with ITS status instead of quarantining empty-status
+    // (the r18 ADVICE hazard — the unguarded star ate the whole block).
+    val rec3 = s"WARC/1.0${crlf}WARC-Type: response${crlf}" +
+      s"WARC-Record-ID: <urn:graft:3>${crlf}" +
+      s"WARC-Target-URI: http://example.org/doc/3$crlf$crlf" +
+      s"HTTP/1.1 101 Switching Protocols${crlf}Upgrade: websocket$crlf$crlf"
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "s0.warc"),
-      (rec1 + "\n" + rec2).getBytes("UTF-8"))
+      (rec1 + "\n" + rec2 + "\n" + rec3).getBytes("UTF-8"))
     val (clean, quarantine) = Ingest.warc(spark, dir)
     val rows = clean.orderBy("uri").collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     assert(rows === Array(
       ("http://example.org/doc/1", "200", "hello"),
-      ("http://example.org/doc/2", "200", s"para one$crlf${crlf}para two")))
+      ("http://example.org/doc/2", "200", s"para one$crlf${crlf}para two"),
+      ("http://example.org/doc/3", "101", "")))
     assert(quarantine.count() === 0L)
   }
 
