@@ -141,7 +141,7 @@ object Bpe {
       .withColumn("seg", initSeg(col("word"), byteLevel))
       .persist()
     words.count()
-    requireGrainConsistent(
+    TextOps.requireGrainConsistent(
       guardWordTable(words, maxWordChars, byteLevel), tokenizer)
     val merges = ArrayBuffer.empty[Merge]
     var step = 1
@@ -256,23 +256,6 @@ object Bpe {
       words: DataFrame, maxWordChars: Int, byteLevel: Boolean): Boolean =
     TextOps.guardWordTable(words, maxWordChars, forbidSpaces = !byteLevel)
 
-  /** Cross-validate the corpus-observed grain signal ([[TextOps
-    * .guardWordTable]]'s hasSpace — did any token CARRY a space?)
-    * against the tokenizer the model will record: space-bearing tokens
-    * under a tokenizer that declares a non-empty decode separator
-    * would re-join text with separators the tokens already carry —
-    * every round trip silently gains spaces. Loud at train time
-    * instead (a custom [[TextOps.Tok]] can misdeclare; the built-ins
-    * cannot — whitespace tokens never carry spaces, GPT-2 declares "").
-    */
-  private def requireGrainConsistent(
-      hasSpace: Boolean, tokenizer: TextOps.Tok): Unit =
-    require(!hasSpace || tokenizer.wordSeparator.isEmpty,
-      s"tokenizer '${tokenizer.name}' declares decode word separator " +
-        s"'${tokenizer.wordSeparator}' but emitted space-BEARING tokens: " +
-        "decode would re-join with a separator the tokens already carry, " +
-        "corrupting every round trip. Space-bearing pretokens need a " +
-        "separator-free tokenizer (the GPT-2 convention).")
 
   def trainLocal(
       docs: DataFrame, textCol: String, numMerges: Int,
@@ -289,7 +272,7 @@ object Bpe {
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .persist()
     wf.count()
-    requireGrainConsistent(
+    TextOps.requireGrainConsistent(
       guardWordTable(wf, maxWordChars, byteLevel), tokenizer)
     // The ONE driver-side collect: TakeOrdered top-wordCap — bounded by
     // the cap, never by the corpus.

@@ -218,7 +218,11 @@ object ModelStore {
     * an explicit `ord` column (the model's piece SEQUENCE is part of
     * the artifact — binary-UTF-8 sorted at train time; the load must
     * not depend on parquet row order), plus `unkLogp`/`maxPieceLen`/
-    * `cappedOut`.
+    * `cappedOut` and the C202 identity metadata — the symbol GRAIN
+    * (`byte_level`) and the TOKENIZER by name, so a serving session
+    * can never split text or slice symbols under a different
+    * convention than the one that trained (the same discipline as
+    * [[saveBpe]]).
     */
   def saveUnigram(model: Unigram.UnigramModel, path: String): Unit = {
     val spark = SparkSession.active
@@ -232,6 +236,8 @@ object ModelStore {
       "max_piece_len" -> model.maxPieceLen,
       "capped_out" -> model.cappedOut,
       "reserved" -> model.reserved,
+      "byte_level" -> model.byteLevel,
+      "tokenizer" -> model.tokenizer.name,
       "rows_pieces" -> model.pieces.size.toLong))
   }
 
@@ -247,7 +253,9 @@ object ModelStore {
       unkLogp = m.getAs[Double]("unk_logp"),
       maxPieceLen = m.getAs[Int]("max_piece_len"),
       cappedOut = m.getAs[Long]("capped_out"),
-      reserved = m.getAs[scala.collection.Seq[String]]("reserved").toSeq)
+      reserved = m.getAs[scala.collection.Seq[String]]("reserved").toSeq,
+      byteLevel = m.getAs[Boolean]("byte_level"),
+      tokenizer = TextOps.tokByName(m.getAs[String]("tokenizer")))
   }
 
   // -------------------------------------------------- classifier weights

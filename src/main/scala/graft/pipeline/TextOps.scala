@@ -205,6 +205,24 @@ object TextOps {
     hasSpace
   }
 
+  /** Cross-validate the corpus-observed grain signal ([[guardWordTable]]'s
+    * hasSpace — did any token CARRY a space?) against the tokenizer a
+    * model will record: space-bearing tokens under a tokenizer that
+    * declares a non-empty decode separator would re-join text with
+    * separators the tokens already carry — every round trip silently
+    * gains spaces. Loud at train time instead (a custom [[Tok]] can
+    * misdeclare; the built-ins cannot — whitespace tokens never carry
+    * spaces, GPT-2 declares ""). Shared by both tokenizer families.
+    */
+  private[pipeline] def requireGrainConsistent(
+      hasSpace: Boolean, tokenizer: Tok): Unit =
+    require(!hasSpace || tokenizer.wordSeparator.isEmpty,
+      s"tokenizer '${tokenizer.name}' declares decode word separator " +
+        s"'${tokenizer.wordSeparator}' but emitted space-BEARING tokens: " +
+        "decode would re-join with a separator the tokens already carry, " +
+        "corrupting every round trip. Space-bearing pretokens need a " +
+        "separator-free tokenizer (the GPT-2 convention).")
+
   /** Token COUNT without materializing the token array — the native
     * [[graft.functions.TokenCount]] expression (spaces + 1, exactly
     * `size(tokens(text))`; parity spec-pinned). Requires the session to

@@ -1215,6 +1215,40 @@ $bandSelects
       val ids = Bpe.encodeIds(d.filter(col("doc_id") < 50), "doc_id", "text", model)
       Bpe.decode(ids, "doc_id", model).orderBy("doc_id")
     }),
+    // Byte-grain unigram training over GPT-2 pretokens (C209 / t65):
+    // the byte-fallback SentencePiece convention (the T5/LLaMA model
+    // family) — symbols are UTF-8 bytes spelled as hex pairs, so the
+    // alphabet is content-bounded by 256 and NO input is ever out of
+    // alphabet, and the tokenizer identity (GPT-2 pretokens CARRYING
+    // their leading space — the Ġ convention) is a TRAIN parameter
+    // recorded on the model per the C202 discipline. Driver-local
+    // trainer (spec-pinned bit-equal to the distributed one at this
+    // grain); the oracle replays the full seed + Viterbi-EM + prune
+    // chain at SYMBOL WIDTH 2 — the same recursive-CTE DP with every
+    // position and length check scaled by the width.
+    "t65_unigram_byte_train" -> ((s, dir) =>
+      Unigram.trainLocal(table(s, dir, "documents"), "text", vocabSize = 48,
+          iters = 2, maxPieceLen = 4, seedMulti = 80,
+          byteLevel = true, tokenizer = TextOps.Gpt2Tok,
+          reserved = SpecialTokens.Band)
+        .pieceTable(s).orderBy("piece")),
+    // Byte-grain unigram decode round trip (C210 / t66): encodeIds →
+    // decode with band, GRAIN, and TOKENIZER all resolved from the
+    // model — the id stream reconstructs the EXACT source text (t55's
+    // identity oracle verbatim). At the byte grain trained on its own
+    // corpus no piece ever maps to UNK (every single-byte symbol is in
+    // the always-kept alphabet), so decode is a TOTAL inverse; the
+    // hex pieces unhex back to UTF-8 and the GPT-2 separator ("")
+    // comes from the model, never the caller.
+    "t66_unigram_byte_roundtrip" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val model = Unigram.trainLocal(d, "text", vocabSize = 48, iters = 2,
+        maxPieceLen = 4, seedMulti = 80, byteLevel = true,
+        tokenizer = TextOps.Gpt2Tok, reserved = SpecialTokens.Band)
+      val ids = Unigram.encodeIds(
+        d.filter(col("doc_id") < 50), "doc_id", "text", model)
+      Unigram.decode(ids, "doc_id", model).orderBy("doc_id")
+    }),
     // Packed ID sequences (C191 / t46): the tokenizer tier's LAST join
     // — docs < 50 BPE-id-encoded, packed per lang at a 512-id budget,
     // and the per-doc id streams spliced into one dense position space
@@ -2757,57 +2791,70 @@ $bandSelects
 
   /** The unigram Viterbi DP as a RECURSIVE CTE — `Unigram.viterbiSeg`'s
     * exact twin: the dp array of (lp, seg) structs grows one position
-    * per recursion step; candidates extend dp[j−1] with word[j..i],
-    * single chars falling back to `unk`; `list_sort(...)[-1]` is the
-    * same max-struct tie-break as Spark's `array_max` (lp first, then
-    * seg in binary UTF-8 order). Ends in `out`(word, freq, seg).
+    * per recursion step; candidates extend dp[j−1] with the piece at
+    * symbols j..i, single symbols falling back to `unk`;
+    * `list_sort(...)[-1]` is the same max-struct tie-break as Spark's
+    * `array_max` (lp first, then seg in binary UTF-8 order). Positions
+    * step in SYMBOLS of width `w` over the `rep` column the source
+    * carries (rep = word at the code-point grain, `hex(encode(word))`
+    * at the byte grain — uppercase UTF-8 hex in both engines, the
+    * Bpe.initSeg portability trick). Ends in `out`(word, freq, seg).
     * Requires the statement to open with WITH RECURSIVE.
     */
   private def unigramDpCte(
-      tag: String, vm: String, src: String, out: String, L: Int): String =
+      tag: String, vm: String, src: String, out: String, L: Int,
+      w: Int = 1): String = {
+    val piece = s"substr(rep, (j - 1) * $w + 1, (i + 2 - j) * $w)"
     s"""dp$tag AS (
-       |  SELECT word, freq, 0 AS i,
+       |  SELECT word, freq, rep, 0 AS i,
        |         [struct_pack(lp := CAST(0.0 AS DOUBLE), seg := '')] AS acc
        |  FROM $src
        |  UNION ALL
-       |  SELECT word, freq, i + 1,
+       |  SELECT word, freq, rep, i + 1,
        |    list_append(acc, list_sort(list_filter(
        |        list_transform(range(greatest(1, i + 2 - $L), i + 2),
        |          j -> struct_pack(
        |            lp := acc[j].lp + (CASE WHEN i + 2 - j = 1
-       |                   THEN coalesce(m[substr(word, j, i + 2 - j)][1], unk)
-       |                   ELSE m[substr(word, j, i + 2 - j)][1] END),
-       |            seg := acc[j].seg || ' ' || substr(word, j, i + 2 - j))),
+       |                   THEN coalesce(m[$piece][1], unk)
+       |                   ELSE m[$piece][1] END),
+       |            seg := acc[j].seg || ' ' || $piece)),
        |        x -> x.lp IS NOT NULL))[-1])
-       |  FROM dp$tag CROSS JOIN $vm WHERE i < length(word)
+       |  FROM dp$tag CROSS JOIN $vm WHERE i < length(rep) // $w
        |),
        |$out AS MATERIALIZED (
-       |  SELECT word, freq, ltrim(acc[length(word) + 1].seg) AS seg
-       |  FROM dp$tag WHERE i = length(word))""".stripMargin
+       |  SELECT word, freq, ltrim(acc[length(rep) // $w + 1].seg) AS seg
+       |  FROM dp$tag WHERE i = length(rep) // $w)""".stripMargin
+  }
 
   /** The unigram-LM training chain — `Unigram.train`'s exact replay:
     * occurrence-weighted substring seed (alphabet + top-`seedMulti`
-    * multi-char), `iters` Viterbi-EM rounds (each: the current vocab as
-    * a one-row map, the DP CTE, piece-mass re-estimation with +1
-    * alphabet smoothing, zero-mass multi-char pieces dropped), then the
-    * prune to `vocabSize` with one final renormalize. Ends in
+    * multi-symbol), `iters` Viterbi-EM rounds (each: the current vocab
+    * as a one-row map, the DP CTE, piece-mass re-estimation with +1
+    * alphabet smoothing, zero-mass multi-symbol pieces dropped), then
+    * the prune to `vocabSize` with one final renormalize. Ends in
     * `ufin`(piece, mass, lp) — logps `round(ln(mass/total), 6)` over
     * exact integer masses at every stage, the repo's cross-engine
-    * transcendental discipline. Must run under WITH RECURSIVE.
+    * transcendental discipline. `w`/`tokExpr` select the symbol grain
+    * and tokenizer (the Unigram byteLevel/tokenizer train parameters):
+    * at w=2 the word representation is `hex(encode(word))` and every
+    * position/length check scales by the symbol width — the exact
+    * in-engine generalization. Must run under WITH RECURSIVE.
     */
   private def unigramCtes(
       iters: Int, L: Int, seedMulti: Int, vocabSize: Int,
-      source: String = "documents"): String = {
+      source: String = "documents", w: Int = 1,
+      tokExpr: String = "string_split(text, ' ')"): String = {
+    val repExpr = if (w == 1) "word" else "hex(encode(word))"
     val parts = scala.collection.mutable.ArrayBuffer(
       s"""uw AS MATERIALIZED (
-         |  SELECT word, count(*) AS freq
-         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM $source)
+         |  SELECT word, count(*) AS freq, $repExpr AS rep
+         |  FROM (SELECT unnest($tokExpr) AS word FROM $source)
          |  GROUP BY word)""".stripMargin,
       s"""useed AS MATERIALIZED (
          |  SELECT piece, CAST(sum(freq) AS BIGINT) AS mass
-         |  FROM (SELECT freq, substr(word, i, l) AS piece
-         |        FROM uw, UNNEST(range(1, length(word) + 1)) AS t(i),
-         |             UNNEST(range(1, least($L, length(word) - i + 1) + 1)) AS u(l))
+         |  FROM (SELECT freq, substr(rep, (i - 1) * $w + 1, l * $w) AS piece
+         |        FROM uw, UNNEST(range(1, length(rep) // $w + 1)) AS t(i),
+         |             UNNEST(range(1, least($L, length(rep) // $w - i + 1) + 1)) AS u(l))
          |  GROUP BY piece)""".stripMargin,
       s"""uv0 AS MATERIALIZED (
          |  SELECT piece, mass,
@@ -2816,17 +2863,17 @@ $bandSelects
          |  FROM usel0)""".stripMargin)
     parts.insert(2,
       s"""usel0 AS MATERIALIZED (
-         |  SELECT piece, mass FROM useed WHERE length(piece) = 1
+         |  SELECT piece, mass FROM useed WHERE length(piece) = $w
          |  UNION ALL
          |  SELECT piece, mass FROM (
          |    SELECT piece, mass, row_number() OVER (ORDER BY mass DESC, piece) AS rk
-         |    FROM useed WHERE length(piece) > 1) WHERE rk <= $seedMulti)""".stripMargin)
+         |    FROM useed WHERE length(piece) > $w) WHERE rk <= $seedMulti)""".stripMargin)
     for (r <- 1 to iters) {
       parts += s"""uvm$r AS (
          |  SELECT map(list(piece ORDER BY piece), list(lp ORDER BY piece)) AS m,
          |         round(ln(0.5 / CAST(sum(mass) AS DOUBLE)), 6) AS unk
          |  FROM uv${r - 1})""".stripMargin
-      parts += unigramDpCte(s"u$r", s"uvm$r", "uw", s"useg$r", L)
+      parts += unigramDpCte(s"u$r", s"uvm$r", "uw", s"useg$r", L, w)
       parts += s"""umass$r AS MATERIALIZED (
          |  SELECT piece, CAST(sum(freq) AS BIGINT) AS em
          |  FROM (SELECT freq, unnest(string_split(seg, ' ')) AS piece FROM useg$r)
@@ -2834,19 +2881,19 @@ $bandSelects
       parts += s"""uv$r AS MATERIALIZED (
          |  SELECT piece, mass,
          |         round(ln(CAST(mass AS DOUBLE) / (SELECT CAST(sum(mass) AS DOUBLE) FROM (
-         |           SELECT coalesce(em, 0) + (CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END) AS mass
+         |           SELECT coalesce(em, 0) + (CASE WHEN length(v.piece) = $w THEN 1 ELSE 0 END) AS mass
          |           FROM uv${r - 1} v LEFT JOIN umass$r USING (piece)) WHERE mass > 0)), 6) AS lp
-         |  FROM (SELECT v.piece, coalesce(em, 0) + (CASE WHEN length(v.piece) = 1 THEN 1 ELSE 0 END) AS mass
+         |  FROM (SELECT v.piece, coalesce(em, 0) + (CASE WHEN length(v.piece) = $w THEN 1 ELSE 0 END) AS mass
          |        FROM uv${r - 1} v LEFT JOIN umass$r USING (piece))
          |  WHERE mass > 0)""".stripMargin
     }
     parts += s"""upr AS MATERIALIZED (
-         |  SELECT piece, mass FROM uv$iters WHERE length(piece) = 1
+         |  SELECT piece, mass FROM uv$iters WHERE length(piece) = $w
          |  UNION ALL
          |  SELECT piece, mass FROM (
          |    SELECT piece, mass, row_number() OVER (ORDER BY mass DESC, piece) AS rk
-         |    FROM uv$iters WHERE length(piece) > 1)
-         |  WHERE rk <= $vocabSize - (SELECT count(*) FROM uv$iters WHERE length(piece) = 1))""".stripMargin
+         |    FROM uv$iters WHERE length(piece) > $w)
+         |  WHERE rk <= $vocabSize - (SELECT count(*) FROM uv$iters WHERE length(piece) = $w))""".stripMargin
     parts += s"""ufin AS MATERIALIZED (
          |  SELECT piece, mass,
          |         round(ln(CAST(mass AS DOUBLE) /
@@ -6109,7 +6156,7 @@ $bandSelects
          |        FROM documents WHERE doc_id < 50),
          |wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
          |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
-         |ew AS (SELECT DISTINCT word, 1 AS freq FROM wp),
+         |ew AS (SELECT DISTINCT word, 1 AS freq, word AS rep FROM wp),
          |${unigramDpCte("e", "ufm", "ew", "esg", 5)},
          |usp AS (SELECT doc_id, word_pos, string_split(seg, ' ') AS pieces
          |        FROM wp JOIN esg ON wp.word = esg.word)
@@ -6138,7 +6185,7 @@ $bandSelects
          |        FROM documents WHERE doc_id < 50),
          |wp AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
          |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
-         |ew AS (SELECT DISTINCT word, 1 AS freq FROM wp),
+         |ew AS (SELECT DISTINCT word, 1 AS freq, word AS rep FROM wp),
          |${unigramDpCte("e", "ufm", "ew", "esg", 5)},
          |usp AS (SELECT doc_id, word_pos, string_split(seg, ' ') AS pieces
          |        FROM wp JOIN esg ON wp.word = esg.word),
@@ -6219,6 +6266,13 @@ $bandSelects
     "t55_decode_roundtrip" ->
       """SELECT doc_id, text FROM documents WHERE doc_id < 50
         |ORDER BY doc_id""".stripMargin,
+    // t65: the full byte-grain train chain — the t48/t54 machinery at
+    // symbol width 2 over GPT-2 pretokens (rep = hex(encode(word)),
+    // every DP/seed position scaled by the width; hex is uppercase
+    // UTF-8 in both engines).
+    "t65_unigram_byte_train" ->
+      s"""WITH RECURSIVE ${unigramCtes(2, 4, 80, 48, w = 2, tokExpr = Gpt2TokSql)}
+         |SELECT piece, mass, lp AS logp FROM ufin ORDER BY piece""".stripMargin,
     // t50: the sentinel-rewrite pre-tokenizer replayed in RE2 —
     // identical passes, identical pattern.
     "t50_gpt2_pretokenize" ->
@@ -6683,5 +6737,8 @@ $bandSelects
     // t64 is t55's identity law under the full reserved band: decode
     // resolves the band from the model, so the +4 id shift cancels
     // exactly and the round trip is still the identity.
-    "t64_decode_roundtrip_band" -> oracleSqlBase("t55_decode_roundtrip"))
+    "t64_decode_roundtrip_band" -> oracleSqlBase("t55_decode_roundtrip"),
+    // t66: the identity law at the byte grain — encode∘decode under the
+    // model-recorded band/grain/tokenizer reconstructs the slice.
+    "t66_unigram_byte_roundtrip" -> oracleSqlBase("t55_decode_roundtrip"))
 }

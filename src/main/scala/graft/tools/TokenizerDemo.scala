@@ -143,6 +143,25 @@ object TokenizerDemo {
     val spaceLed = gm.merges.count(m => m.merged.startsWith("20"))
     log(s"GPT-2-grain byte BPE: ${gm.merges.size} merges, $spaceLed space-led (expect > 0)")
 
+    // Byte-fallback unigram (the T5/LLaMA convention): GPT-2 pretokens
+    // at the byte grain, band + grain + tokenizer recorded on the model,
+    // persisted and RELOADED through ModelStore, then the full
+    // encodeIds→decode round trip through the loaded model — exact
+    // inverse because the byte alphabet can never be exceeded.
+    val ubPath = graft.queries.Fixtures.scratchDir("graft-tokdemo") + "/uni-byte"
+    graft.pipeline.ModelStore.saveUnigram(
+      Unigram.trainLocal(g2, "text", vocabSize = 64, iters = 2,
+        maxPieceLen = 4, seedMulti = 120, byteLevel = true,
+        tokenizer = graft.pipeline.TextOps.Gpt2Tok,
+        reserved = graft.pipeline.SpecialTokens.Band), ubPath)
+    val ub = graft.pipeline.ModelStore.loadUnigram(spark, ubPath)
+    val ubBad = Unigram.decode(
+        Unigram.encodeIds(g2, "doc_id", "text", ub), "doc_id", ub)
+      .join(g2.select(col("doc_id"), col("text").as("orig")), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    log(s"byte-fallback unigram (reloaded, tokenizer '${ub.tokenizer.name}', " +
+      s"band ${ub.reserved.size}): decode round-trip failures: $ubBad (expect 0)")
+
     spark.stop()
   }
 }

@@ -84,6 +84,26 @@ class ModelStoreSpec extends GraftSuite {
     assert(enc(loaded) === enc(trained))
   }
 
+  test("Unigram: the byte grain + GPT-2 tokenizer identity survives the disk boundary") {
+    val d = docs("the cat the dog", "it's the cat's day")
+    val trained = Unigram.trainLocal(d, "text", vocabSize = 24, iters = 2,
+      maxPieceLen = 4, seedMulti = 30, byteLevel = true,
+      tokenizer = TextOps.Gpt2Tok, reserved = SpecialTokens.Band)
+    val path = store("unigram-byte")
+    ModelStore.saveUnigram(trained, path)
+    val loaded = ModelStore.loadUnigram(spark, path)
+    assert(loaded === trained) // incl. byteLevel + tokenizer (C202 for this family)
+    assert(loaded.byteLevel && loaded.tokenizer === TextOps.Gpt2Tok)
+    // The serving session's encode→decode through the LOADED model is
+    // the exact inverse — split, symbol slicing, and the "" separator
+    // all resolved from the persisted metadata.
+    val back = Unigram.decode(
+        Unigram.encodeIds(d, "doc_id", "text", loaded), "doc_id", loaded)
+      .join(d.withColumnRenamed("text", "orig"), Seq("doc_id"))
+      .filter(col("text") =!= col("orig")).count()
+    assert(back === 0L)
+  }
+
   test("softmax + logistic: weight matrices round-trip exactly, with their feature/label vectors") {
     val w = Seq(Seq(0.125, -3.5, 2.000001), Seq(0.0, 7.25, -0.000001),
       Seq(1.0 / 3.0, Double.MinPositiveValue, 123456.789))

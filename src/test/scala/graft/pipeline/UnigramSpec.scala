@@ -175,4 +175,78 @@ class UnigramSpec extends GraftSuite {
       vocabSize = 10, iters = 2, maxPieceLen = 3, seedMulti = 6)
     assert(m.pieces.filter(t => t._1.length > 1).forall(_._2 > 0))
   }
+
+  test("byte grain: hand arithmetic — hex-pair symbols, pieces spell byte sequences") {
+    // "ab ab b": at byte grain the words are 6162×2, 62×1 — the exact
+    // shape of the word-grain hand check with a→61, b→62, ab→6162.
+    val m = Unigram.train(docs("ab ab b"), "text", vocabSize = 4, iters = 1,
+      maxPieceLen = 2, seedMulti = 2, byteLevel = true)
+    val got = m.pieces.map(t => (t._1, t._2)).toMap
+    assert(got === Map("61" -> 1L, "62" -> 2L, "6162" -> 2L))
+    assert(m.byteLevel && m.tokenizer === TextOps.WhitespaceTok)
+  }
+
+  test("byte grain: trainLocal == train (pieces, masses, logps, unkLogp) over real corpus data") {
+    val d = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val dist = Unigram.train(d, "text", vocabSize = 32, iters = 2,
+      maxPieceLen = 4, seedMulti = 60, byteLevel = true,
+      tokenizer = TextOps.Gpt2Tok)
+    val loc = Unigram.trainLocal(d, "text", vocabSize = 32, iters = 2,
+      maxPieceLen = 4, seedMulti = 60, byteLevel = true,
+      tokenizer = TextOps.Gpt2Tok)
+    assert(loc.pieces === dist.pieces)
+    assert(loc.unkLogp === dist.unkLogp)
+  }
+
+  test("byte grain: totality across scripts and planes — unhex(concat(pieces)) == word") {
+    val x = new String(Character.toChars(0x1D54F)) // astral: 4 UTF-8 bytes
+    val d = docs("数 据 数", s"$x$x table", "plain text")
+    val m = Unigram.train(d, "text", vocabSize = 16, iters = 1,
+      maxPieceLen = 3, seedMulti = 12, byteLevel = true)
+    val bad = Unigram.encode(d, "doc_id", "text", m)
+      .groupBy("doc_id", "word_pos")
+      .agg(concat_ws("", sort_array(collect_list(struct(col("piece_pos"),
+        col("piece")))).getField("piece")).as("hx"))
+      .withColumn("back", decode(unhex(col("hx")), "UTF-8"))
+      .join(d.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("word_pos", "word"))),
+        Seq("doc_id", "word_pos"))
+      .filter(col("back") =!= col("word"))
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+  }
+
+  test("grain guard: GPT-2 pretokens at the CHAR grain are rejected (space-joined segs cannot hold them)") {
+    val ex = intercept[IllegalArgumentException] {
+      Unigram.train(docs("the cat sat"), "text", vocabSize = 8, iters = 1,
+        maxPieceLen = 3, seedMulti = 5, tokenizer = TextOps.Gpt2Tok)
+    }
+    assert(ex.getMessage.contains("space-bearing"))
+    // And a MISDECLARED custom tokenizer (space-bearing tokens under a
+    // non-empty separator) is rejected even at the space-safe byte
+    // grain — the round trip would double every space.
+    val lying = TextOps.Tok("lying", TextOps.Gpt2Tok.fn, " ")
+    val ex2 = intercept[IllegalArgumentException] {
+      Unigram.train(docs("the cat sat"), "text", vocabSize = 8, iters = 1,
+        maxPieceLen = 3, seedMulti = 5, byteLevel = true, tokenizer = lying)
+    }
+    assert(ex2.getMessage.contains("separator"))
+  }
+
+  test("decode: inverse of encodeIds at the byte grain; all-control docs come back as ''") {
+    import spark.implicits._
+    val d = docs("the cat the dog", "it's a dog")
+    val m = Unigram.trainLocal(d, "text", vocabSize = 24, iters = 2,
+      maxPieceLen = 4, seedMulti = 20, byteLevel = true,
+      tokenizer = TextOps.Gpt2Tok, reserved = SpecialTokens.Band)
+    val vocabSize = Unigram.pieceVocab(m).size.toLong
+    val frame = d.select("doc_id").unionByName(Seq(9L).toDF("doc_id"))
+    val ids = Packing.withEosForDocs(
+      Unigram.encodeIds(d, "doc_id", "text", m), frame, "doc_id",
+      SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+    val back = Unigram.decode(ids, "doc_id", m)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(back === Array(
+      (0L, "the cat the dog"), (1L, "it's a dog"), (9L, "")))
+  }
 }
