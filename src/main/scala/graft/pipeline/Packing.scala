@@ -147,6 +147,48 @@ object Packing {
       .withColumn("piece_id", lit(eosId))
       .select(col(idCol), col("word_pos"), col("piece_pos"), col("piece_id"))
 
+  /** Prepend ONE beginning-of-document marker to each document's id
+    * stream — [[withEos]]'s opening twin, the LLaMA-style `&lt;s&gt;`
+    * convention (sequences open with BOS so the model conditions on a
+    * document start, exactly as they close with EOS). The marker lands
+    * at `word_pos = -1` (every real id sits at ≥ 0), so every
+    * downstream position ordering places it FIRST in its document —
+    * no aggregation is even needed, the position is a constant: one
+    * map-only distinct over the stream's ids. Because it is one more
+    * stream row, pack budgeting and splicing compose unchanged — the
+    * marker is counted against the budget exactly as a trainer counts
+    * it. Same collision guard as [[withEos]]: `bosId` must lie outside
+    * the piece-id range ([[SpecialTokens.BosId]] with the band, or any
+    * id ≥ `vocabSize`).
+    *
+    * Invariant: exactly one BOS per document PRESENT IN `ids`; when
+    * the doc frame is the source of truth use [[withBosForDocs]] —
+    * empty documents still OPEN visibly (a BOS/EOS pair) instead of
+    * silently contributing nothing.
+    */
+  def withBos(
+      ids: DataFrame, idCol: String, bosId: Long, vocabSize: Long,
+      reservedBand: Long = 0L): DataFrame = {
+    requireControlOutsideVocab("bosId", bosId, vocabSize, reservedBand)
+    ids.unionByName(bosRows(ids.select(col(idCol)).distinct(), idCol, bosId))
+  }
+
+  /** [[withBos]] anchored to the doc frame — every document of `docs`
+    * opens with exactly one marker, empty id streams included (their
+    * packed sequence is then the visible BOS/EOS pair when composed
+    * with [[withEosForDocs]]).
+    */
+  def withBosForDocs(
+      ids: DataFrame, docs: DataFrame, idCol: String, bosId: Long,
+      vocabSize: Long, reservedBand: Long = 0L): DataFrame = {
+    requireControlOutsideVocab("bosId", bosId, vocabSize, reservedBand)
+    ids.unionByName(bosRows(docs.select(col(idCol)).distinct(), idCol, bosId))
+  }
+
+  private def bosRows(docIds: DataFrame, idCol: String, bosId: Long): DataFrame =
+    docIds.select(col(idCol), lit(-1L).as("word_pos"),
+      lit(0L).as("piece_pos"), lit(bosId).as("piece_id"))
+
   /** Pad each pack's spliced sequence ([[packedSequences]] output) up
     * to `budget` positions with the PAD control id — the fixed-shape
     * batch emission a trainer's tensor layout needs (rectangular
@@ -197,14 +239,19 @@ object Packing {
   }
 
   private def requireEosOutsideVocab(
-      eosId: Long, vocabSize: Long, reservedBand: Long): Unit = {
+      eosId: Long, vocabSize: Long, reservedBand: Long): Unit =
+    requireControlOutsideVocab("eosId", eosId, vocabSize, reservedBand)
+
+  private def requireControlOutsideVocab(
+      label: String, id: Long, vocabSize: Long, reservedBand: Long): Unit = {
     require(reservedBand >= 0 && reservedBand <= vocabSize,
       s"reservedBand must lie in [0, vocabSize=$vocabSize], got $reservedBand")
-    require(eosId >= 0 && (eosId < reservedBand || eosId >= vocabSize),
-      s"eosId $eosId collides with the piece-id range [$reservedBand, " +
-        s"$vocabSize): an EOS indistinguishable from a real piece silently " +
-        "corrupts every packed training stream. Use a reserved control id " +
-        "(SpecialTokens.EosId with the reserved band) or an id >= vocabSize.")
+    require(id >= 0 && (id < reservedBand || id >= vocabSize),
+      s"$label $id collides with the piece-id range [$reservedBand, " +
+        s"$vocabSize): a control marker indistinguishable from a real piece " +
+        "silently corrupts every packed training stream. Use a reserved " +
+        "control id (SpecialTokens with the reserved band) or an id >= " +
+        "vocabSize.")
   }
 
   def packedSequences(

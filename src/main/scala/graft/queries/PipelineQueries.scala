@@ -1291,6 +1291,33 @@ $bandSelects
       graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
         .orderBy("lang", "pack_id", "pos")
     }),
+    // BOS-opened packed sequences (C211 / t67): t57's chain with the
+    // sequence-START convention real training streams also carry
+    // (LLaMA-style <s>) — one BOS per doc at the RESERVED control id 1,
+    // landing at word_pos = −1 so it splices as each document's FIRST
+    // position (a constant position: map-only, no aggregation), plus
+    // the EOS close; both markers counted against the pack budget
+    // exactly as a trainer counts them. The oracle is t57's with the
+    // BOS union row added — the budget window and splice run unchanged
+    // on the augmented stream.
+    "t67_packed_bos" -> ((s, dir) => {
+      val full = table(s, dir, "documents")
+      val d = full.filter(col("doc_id") < 50)
+      val model = Bpe.train(full, "text", numMerges = 8,
+        reserved = SpecialTokens.Band)
+      val vocabSize = Bpe.pieceVocab(model).count()
+      val ids = graft.pipeline.Packing.withBos(
+        graft.pipeline.Packing.withEos(
+          Bpe.encodeIds(d, "doc_id", "text", model),
+          "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize),
+        "doc_id", SpecialTokens.BosId, vocabSize, SpecialTokens.BandSize)
+      val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
+        .join(d.select("doc_id", "lang"), Seq("doc_id"))
+      val packs = graft.pipeline.Packing.packGreedyByCount(
+        counts, "doc_id", "n_pieces", budget = 512, groupCols = Seq("lang"))
+      graft.pipeline.Packing.packedSequences(ids, packs, "doc_id", Seq("lang"))
+        .orderBy("lang", "pack_id", "pos")
+    }),
     // Persisted-BPE round trip (C204 / t58): train → ModelStore.saveBpe
     // → LOAD → encode. The oracle is literally t43's — the load must
     // reconstruct the artifact bit-identically (merge order, word
@@ -6107,6 +6134,52 @@ $bandSelects
          |  SELECT doc_id, lang, max(word_pos) + 1 AS word_pos,
          |         CAST(0 AS BIGINT) AS piece_pos,
          |         CAST(2 AS BIGINT) AS piece_id
+         |  FROM pid GROUP BY doc_id, lang),
+         |cnt AS (SELECT doc_id, lang, count(*) AS n FROM pide GROUP BY 1, 2),
+         |pk AS (SELECT doc_id, lang, n,
+         |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         |           AS pack_id
+         |       FROM cnt),
+         |off AS (SELECT doc_id, lang, pack_id,
+         |          coalesce(sum(n) OVER (PARTITION BY lang, pack_id ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |        FROM pk)
+         |SELECT p.lang, o.pack_id,
+         |       CAST(o.o + row_number() OVER (PARTITION BY p.doc_id
+         |         ORDER BY p.word_pos, p.piece_pos) - 1 AS BIGINT) AS pos,
+         |       p.doc_id, p.piece_id
+         |FROM pide p JOIN off o ON p.doc_id = o.doc_id
+         |ORDER BY p.lang, o.pack_id, pos""".stripMargin,
+    // t67: t57's replay with the BOS union row added — one marker per
+    // doc at word_pos −1, the reserved control id 1; budget window and
+    // splice unchanged on the augmented stream.
+    "t67_packed_bos" ->
+      s"""WITH ${bpeCtes(8)},
+         |${pieceVocabCtes(8)},
+         |d50 AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |        FROM documents WHERE doc_id < 50),
+         |wp AS (SELECT doc_id, lang, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM d50, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |sp AS (SELECT doc_id, lang, word_pos, string_split(seg, ' ') AS pieces
+         |       FROM wp JOIN bw8 ON wp.word = bw8.word),
+         |pe AS (SELECT doc_id, lang, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+         |              pieces[j] AS piece
+         |       FROM sp, UNNEST(range(1, len(pieces) + 1)) AS t(j)),
+         |pid AS (SELECT pe.doc_id, pe.lang, pe.word_pos, pe.piece_pos,
+         |               CAST(pv.piece_id + 4 AS BIGINT) AS piece_id
+         |        FROM pe JOIN pv ON pe.piece = pv.piece),
+         |pide AS MATERIALIZED (
+         |  SELECT doc_id, lang, word_pos, piece_pos, piece_id FROM pid
+         |  UNION ALL
+         |  SELECT doc_id, lang, max(word_pos) + 1 AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos,
+         |         CAST(2 AS BIGINT) AS piece_id
+         |  FROM pid GROUP BY doc_id, lang
+         |  UNION ALL
+         |  SELECT doc_id, lang, CAST(-1 AS BIGINT) AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos,
+         |         CAST(1 AS BIGINT) AS piece_id
          |  FROM pid GROUP BY doc_id, lang),
          |cnt AS (SELECT doc_id, lang, count(*) AS n FROM pide GROUP BY 1, 2),
          |pk AS (SELECT doc_id, lang, n,

@@ -136,6 +136,65 @@ class PackedSeqSpec extends GraftSuite {
     model.words.unpersist()
   }
 
+  test("withBos: exactly one marker per doc, FIRST in its document, counted against the budget") {
+    import spark.implicits._
+    val (ids, _, model) = fixture()
+    val vocabSize = Bpe.pieceVocab(model).count()
+    val bosId = vocabSize // one-past-the-vocabulary, like the EOS twin
+    val opened = Packing.withBos(ids, "doc_id", bosId, vocabSize)
+    assert(opened.filter(col("piece_id") === bosId).count() === 3L)
+    assert(opened.count() === ids.count() + 3L)
+    // Splice: every doc's FIRST position carries the BOS (word_pos −1
+    // sorts before every real id), and the marker is budget-counted.
+    val counts = opened.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .withColumn("lang", lit("g"))
+    val packs = Packing.packGreedyByCount(counts, "doc_id", "n",
+      budget = 12, groupCols = Seq("lang"))
+    val seqs = Packing.packedSequences(opened, packs, "doc_id", Seq("lang"))
+    val firstPerDoc = seqs.groupBy("doc_id")
+      .agg(min(struct(col("pos"), col("piece_id"))).as("m"))
+      .select(col("doc_id"), col("m.piece_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(firstPerDoc.forall(_._2 === bosId))
+    // Collision guard is the shared one.
+    val ex = intercept[IllegalArgumentException] {
+      Packing.withBos(ids, "doc_id", vocabSize - 1, vocabSize)
+    }
+    assert(ex.getMessage.contains("collides"))
+    model.words.unpersist()
+  }
+
+  test("withBosForDocs + withEosForDocs: an empty doc packs as the visible BOS/EOS pair") {
+    import spark.implicits._
+    val d = docs("stream batch stream", "merge table scan")
+    val model = Bpe.train(d, "text", numMerges = 3,
+      reserved = SpecialTokens.Band)
+    val vocabSize = Bpe.pieceVocab(model).count()
+    val frame = d.select("doc_id").unionByName(Seq(9L).toDF("doc_id"))
+    val ids = Packing.withBosForDocs(
+      Packing.withEosForDocs(
+        Bpe.encodeIds(d, "doc_id", "text", model), frame, "doc_id",
+        SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize),
+      frame, "doc_id", SpecialTokens.BosId, vocabSize, SpecialTokens.BandSize)
+    val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val packs = Packing.packGreedyByCount(counts, "doc_id", "n", budget = 64)
+    val seqs = Packing.packedSequences(ids, packs, "doc_id")
+    // Doc 9 contributed NOTHING upstream, yet its packed slice is the
+    // ordered (BOS, EOS) pair — documents open and close visibly.
+    val nine = seqs.filter(col("doc_id") === 9L)
+      .orderBy("pos").collect().map(_.getAs[Long]("piece_id")).toSeq
+    assert(nine === Seq(SpecialTokens.BosId, SpecialTokens.EosId))
+    // And every doc of the frame opens with BOS and closes with EOS.
+    val ends = seqs.groupBy("doc_id")
+      .agg(min(struct(col("pos"), col("piece_id"))).as("f"),
+        max(struct(col("pos"), col("piece_id"))).as("l"))
+      .select(col("f.piece_id").as("first"), col("l.piece_id").as("last"))
+      .collect()
+    assert(ends.forall(r =>
+      r.getLong(0) === SpecialTokens.BosId && r.getLong(1) === SpecialTokens.EosId))
+    model.words.unpersist()
+  }
+
   test("reserved band: both families lay out UNK/BOS/EOS/PAD at 0..3 with pieces at 4+; collisions fail loud") {
     import spark.implicits._
     val d = docs("stream batch stream", "merge table scan")
