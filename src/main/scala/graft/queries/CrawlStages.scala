@@ -43,6 +43,21 @@ private[graft] object CrawlStages {
       .filter(col("__rn") === 1).drop("__fp", "__rn")
       .localCheckpoint(true)
 
+  /** STAGE 2b — NEAR-DEDUP: the shingle-Jaccard prune (d2's bucketed
+    * pair generation, d10's cluster resolution, min-id representative
+    * kept) AFTER exact dedup — a real crawl runs both: republication
+    * mirrors collapse on the fingerprint, boilerplate-padded
+    * near-copies need the shingle index. Candidate generation is
+    * df-capped and bucketed (never corpus²); the pair indexes release
+    * when the prune materializes (the d10 scoped-handle discipline).
+    */
+  def nearDedup(deduped: DataFrame): DataFrame =
+    graft.pipeline.Dedup.withJaccardPairs(deduped, "doc_id", "text",
+      PipelineQueries.ShingleN, PipelineQueries.DfCap,
+      PipelineQueries.JaccardThreshold)(
+      pairs => graft.pipeline.Dedup.pruneDuplicates(deduped, pairs, "doc_id"))
+      .localCheckpoint(true)
+
   /** STAGE 3 — LANGID: the t44 seed-trained softmax routes every doc
     * by its PREDICTED language (no metadata survives a crawl).
     * @return deduped + `pred_lang`, checkpointed
@@ -85,6 +100,45 @@ private[graft] object CrawlStages {
       .withColumn("bucket", ntile(3).over(
         Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
       .filter(col("bucket") <= 2).select("doc_id")
+    docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+  }
+
+  /** STAGE 4' — GATE, SCALE PATH: the p10 sketch-cutoff rule per
+    * predicted language — tercile CUTOFFS read from a KLL sketch of
+    * the fixed-point NLLs (one map-side-combined sketch aggregation),
+    * then a MAP-ONLY bucket assign against the broadcast cutoffs and
+    * the tail bucket dropped. No per-language sort of the doc frame
+    * anywhere — [[gate]]'s ntile is exact but pays a doc-frame window
+    * sort per language, the one 100 TB blemish the r18 verdict named;
+    * this is the path the composed pipeline ships. Boundary semantics
+    * vs ntile, stated: the inclusive cutoff rule puts ties in the
+    * LOWER bucket; ntile balances counts. k = 8192 makes the sketch
+    * exact at fixture SFs (the oracle replays the DataSketches
+    * inclusive rule literally); at real scale the buckets stay within
+    * KLL's ±ε rank error — the production contract (CCNet itself uses
+    * sampled cutoffs).
+    * @return the gated corpus (doc_id, text, pred_lang), checkpointed
+    */
+  def gateSketch(docs: DataFrame): DataFrame = {
+    val cf = PipelineQueries.classifierFeatures(
+      docs.withColumn("n_chars", length(col("text")).cast("long")))
+    val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
+      iters = 3, lr = 1.0)
+    val ref = docs.join(
+      Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
+        .filter(col("accepted")).select("doc_id"),
+      Seq("doc_id"))
+    val lm = TextStats.trigramCounts(ref, "text")
+    val fixed = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
+      .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
+      .withColumn("__nf", round(col("avg_nll") * 1e6).cast("long"))
+    val cuts = graft.operators.Sketches.mergedQuantiles(
+        graft.operators.Sketches.quantileSketches(fixed, Seq("pred_lang"), "__nf"),
+        Seq("pred_lang"), Seq(1.0 / 3, 2.0 / 3))
+      .select(col("pred_lang"), col("p67").as("__c2"))
+    val kept = fixed.join(broadcast(cuts), Seq("pred_lang"))
+      .filter(col("__nf") <= col("__c2")) // buckets 1–2; tail dropped
+      .select("doc_id")
     docs.join(kept, Seq("doc_id")).localCheckpoint(true)
   }
 

@@ -216,6 +216,40 @@ object IngestQueries {
     path
   }
 
+  /** [[warcCrawlFixture]] plus planted NEAR-mirror records for every
+    * 25th document (uri `/doc/&lt;id+800000&gt;`, payload = the text
+    * with a ` zq zq zq` boilerplate tail — the d2 plant convention):
+    * these SURVIVE exact dedup (different fingerprint) and exist for
+    * the near-dup prune stage the scale pipeline (p13) adds. Exact
+    * mirrors stay planted too — a real crawl carries both kinds.
+    */
+  private[graft] def warcCrawlNearFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-warc-crawl-near") + "/shard"
+    val crlf = "\r\n"
+    val d = table(s, dir, "documents")
+    def rec(idCol: org.apache.spark.sql.Column,
+        body: org.apache.spark.sql.Column) = concat(
+      lit("WARC/1.0" + crlf),
+      lit("WARC-Type: response" + crlf),
+      concat(lit("WARC-Record-ID: <urn:graft:"), idCol, lit(">" + crlf)),
+      concat(lit("WARC-Target-URI: http://example.org/doc/"), idCol, lit(crlf)),
+      concat(lit("Content-Length: "),
+        (lit(45L) + octet_length(body)).cast("string"), lit(crlf)),
+      lit(crlf),
+      lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf),
+      body)
+    def chrome(text: org.apache.spark.sql.Column) =
+      concat(lit("<html><body class=\"c\"><p>"), text, lit("</p></body></html>"))
+    d.select(rec(col("doc_id"), chrome(col("text"))).as("value"))
+      .unionByName(d.filter(col("doc_id") % 10 === 0)
+        .select(rec(col("doc_id") + 700000, chrome(col("text"))).as("value")))
+      .unionByName(d.filter(col("doc_id") % 25 === 0)
+        .select(rec(col("doc_id") + 800000,
+          chrome(concat(col("text"), lit(" zq zq zq")))).as("value")))
+      .write.mode("overwrite").text(path)
+    path
+  }
+
   /** CSV shard (no header): doc_id,lang,source,n_chars — every 11th row
     * carries a type-contradicting token ('xx' where the schema says
     * BIGINT), the classic silent-poison row PERMISSIVE+quarantine must

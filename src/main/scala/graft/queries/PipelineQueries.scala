@@ -656,6 +656,34 @@ $bandSelects
           sum(col("pos") * col("piece_id")).as("pos_weighted_sum"))
         .orderBy("pred_lang", "pack_id")
     }),
+    // Crawl-to-corpus, SCALE PATH (C212 / p13): p11's composition with
+    // the two stages a 100 TB run actually needs swapped in — (a) a
+    // NEAR-dup prune after exact dedup (d2's df-capped bucketed pair
+    // generation + d10's cluster resolution; the fixture plants
+    // boilerplate-tailed near-mirrors that survive the fingerprint
+    // stage), and (b) the GATE on the p10 sketch-cutoff path: per-
+    // pred-lang tercile cutoffs from a KLL sketch + a map-only bucket
+    // assign, replacing the per-lang ntile doc-frame sort (the one
+    // scale blemish the r18 verdict named in p11). Same census rollup;
+    // the oracle replays the near-dup prune generically (recursive
+    // connected components over the verified pair frame) and the
+    // DataSketches inclusive cutoff rule literally.
+    "p13_crawl_to_corpus_scale" -> ((s, dir) => {
+      val (ingested, _) = CrawlStages.ingest(
+        s, IngestQueries.warcCrawlNearFixture(s, dir))
+      val corpus = CrawlStages.gateSketch(
+        CrawlStages.route(s, CrawlStages.nearDedup(
+          CrawlStages.dedup(CrawlStages.scrub(ingested)))))
+      val (_, seqs) = CrawlStages.packSequences(
+        corpus, CrawlStages.trainTokenizer(corpus))
+      seqs
+        .groupBy("pred_lang", "pack_id")
+        .agg(count(lit(1)).as("n_positions"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("piece_id")).as("sum_piece_ids"),
+          sum(col("pos") * col("piece_id")).as("pos_weighted_sum"))
+        .orderBy("pred_lang", "pack_id")
+    }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
     // the coverage-radius trajectory; distances round 6dp before the
@@ -3192,13 +3220,19 @@ $bandSelects
   /** DuckDB twin of TextOps.shingles(tokens(text), 3) exploded to rows:
     * expects a CTE `d(doc_id, text)` to exist.
     */
-  private val shingleCtes: String =
-    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
-      |sh AS (
-      |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
-      |  FROM words WHERE len(w) >= 3
-      |)""".stripMargin
+  /** The d2 shingle build over any `src(doc_id, text)` CTE, names
+    * prefixed with `p` so one statement can instantiate it beside other
+    * CTE families (p13 runs it over the crawl's deduped frame as `nd*`).
+    */
+  private def shingleCtesFor(src: String, p: String): String =
+    s"""${p}words AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |${p}sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |           range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS sh
+       |  FROM ${p}words WHERE len(w) >= 3
+       |)""".stripMargin
+
+  private val shingleCtes: String = shingleCtesFor("d", "")
 
   private val dupAugCte: String =
     """d AS (
@@ -3260,49 +3294,52 @@ $bandSelects
     }.mkString("\n  UNION ALL ")
 
   /** The d2 candidate+verify chain as reusable CTEs ending in
-    * `vp(doc_a, doc_b, jaccard)` — shared by the d2 pair oracle and d9's
-    * recursive connected-components oracle.
+    * `${p}vp(doc_a, doc_b, jaccard)` over `${p}sh` — shared by the d2
+    * pair oracle, d9's recursive connected-components oracle, and p13's
+    * in-crawl near-dup prune.
     */
-  private val jaccardPairsCtes: String =
-    s"""rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= $DfCap),
-       |f AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-       |stats AS (
+  private def jaccardPairsCtesFor(p: String): String =
+    s"""${p}rare AS (SELECT sh FROM ${p}sh GROUP BY sh HAVING count(*) <= $DfCap),
+       |${p}f AS (SELECT s.doc_id, s.sh FROM ${p}sh s JOIN ${p}rare USING (sh)),
+       |${p}stats AS (
        |  SELECT z.doc_id, z.sz, coalesce(fc.csz, 0) AS csz FROM
-       |    (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id) z
-       |    LEFT JOIN (SELECT doc_id, count(*) AS csz FROM f GROUP BY doc_id) fc USING (doc_id)
+       |    (SELECT doc_id, count(*) AS sz FROM ${p}sh GROUP BY doc_id) z
+       |    LEFT JOIN (SELECT doc_id, count(*) AS csz FROM ${p}f GROUP BY doc_id) fc USING (doc_id)
        |),
-       |cinterx AS (
+       |${p}cinterx AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS cinter
-       |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM ${p}f a JOIN ${p}f b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |),
-       |cand AS (
+       |${p}cand AS (
        |  SELECT doc_a, doc_b FROM (
        |    SELECT ci.doc_a, ci.doc_b,
        |           ci.cinter + least(sa.sz - sa.csz, sb.sz - sb.csz) AS ub_inter,
        |           sa.sz AS sz_a, sb.sz AS sz_b
-       |    FROM cinterx ci
-       |    JOIN stats sa ON sa.doc_id = ci.doc_a
-       |    JOIN stats sb ON sb.doc_id = ci.doc_b
+       |    FROM ${p}cinterx ci
+       |    JOIN ${p}stats sa ON sa.doc_id = ci.doc_a
+       |    JOIN ${p}stats sb ON sb.doc_id = ci.doc_b
        |  ) WHERE ub_inter / (sz_a + sz_b - ub_inter) >= $JaccardThreshold
        |),
-       |interx AS (
+       |${p}interx AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS inter
-       |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  FROM ${p}cand c
+       |  JOIN ${p}sh sa ON sa.doc_id = c.doc_a
+       |  JOIN ${p}sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
        |  GROUP BY 1, 2
        |),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-       |vp AS (
+       |${p}sizes AS (SELECT doc_id, count(*) AS sz FROM ${p}sh GROUP BY doc_id),
+       |${p}vp AS (
        |  SELECT doc_a, doc_b, jaccard FROM (
        |    SELECT i.doc_a, i.doc_b,
        |           round(i.inter / (sa.sz + sb.sz - i.inter), 6) AS jaccard
-       |    FROM interx i
-       |    JOIN sizes sa ON sa.doc_id = i.doc_a
-       |    JOIN sizes sb ON sb.doc_id = i.doc_b
+       |    FROM ${p}interx i
+       |    JOIN ${p}sizes sa ON sa.doc_id = i.doc_a
+       |    JOIN ${p}sizes sb ON sb.doc_id = i.doc_b
        |  ) WHERE jaccard >= $JaccardThreshold
        |)""".stripMargin
+
+  private val jaccardPairsCtes: String = jaccardPairsCtesFor("")
 
   private val oracleSqlBase: Map[String, String] = Map(
     "d1_exact_dedup" ->
@@ -5125,6 +5162,119 @@ $bandSelects
          |cc AS MATERIALIZED (
          |  SELECT d.doc_id, d.text, r.pred_lang
          |  FROM dd d JOIN gt USING (doc_id) JOIN rt r USING (doc_id)),
+         |${bpeCtes(8, "cc")},
+         |${pieceVocabCtes(8)},
+         |ccw AS (SELECT doc_id, pred_lang, string_split(text, ' ') AS w FROM cc),
+         |wp AS (SELECT doc_id, pred_lang, CAST(i - 1 AS BIGINT) AS word_pos, w[i] AS word
+         |       FROM ccw, UNNEST(range(1, len(w) + 1)) AS t(i)),
+         |spc AS (SELECT doc_id, pred_lang, word_pos, string_split(seg, ' ') AS pieces
+         |        FROM wp JOIN bw8 ON wp.word = bw8.word),
+         |pe AS (SELECT doc_id, pred_lang, word_pos, CAST(j - 1 AS BIGINT) AS piece_pos,
+         |              pieces[j] AS piece
+         |       FROM spc, UNNEST(range(1, len(pieces) + 1)) AS t(j)),
+         |pid AS (SELECT pe.doc_id, pe.pred_lang, pe.word_pos, pe.piece_pos,
+         |               CAST(pv.piece_id + 4 AS BIGINT) AS piece_id
+         |        FROM pe JOIN pv ON pe.piece = pv.piece),
+         |pide AS MATERIALIZED (
+         |  SELECT doc_id, pred_lang, word_pos, piece_pos, piece_id FROM pid
+         |  UNION ALL
+         |  SELECT c.doc_id, c.pred_lang, coalesce(m.word_pos, 0) AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos, CAST(2 AS BIGINT) AS piece_id
+         |  FROM cc c LEFT JOIN (SELECT doc_id, max(word_pos) + 1 AS word_pos
+         |                       FROM pid GROUP BY doc_id) m USING (doc_id)),
+         |cnt AS (SELECT doc_id, pred_lang, count(*) AS n FROM pide GROUP BY 1, 2),
+         |pk AS (SELECT doc_id, pred_lang, n,
+         |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY pred_lang ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512) AS BIGINT)
+         |           AS pack_id
+         |       FROM cnt),
+         |off AS (SELECT doc_id, pred_lang, pack_id,
+         |          coalesce(sum(n) OVER (PARTITION BY pred_lang, pack_id ORDER BY doc_id
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+         |        FROM pk),
+         |seqs AS (
+         |  SELECT p.pred_lang, o.pack_id,
+         |         CAST(o.o + row_number() OVER (PARTITION BY p.doc_id
+         |           ORDER BY p.word_pos, p.piece_pos) - 1 AS BIGINT) AS pos,
+         |         p.doc_id, p.piece_id
+         |  FROM pide p JOIN off o ON p.doc_id = o.doc_id)
+         |SELECT pred_lang, pack_id, count(*) AS n_positions,
+         |       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(sum(piece_id) AS BIGINT) AS sum_piece_ids,
+         |       CAST(sum(pos * piece_id) AS BIGINT) AS pos_weighted_sum
+         |FROM seqs GROUP BY 1, 2 ORDER BY pred_lang, pack_id""".stripMargin
+    },
+    // p13: the scale-path replay — p11's chain with (a) the near-dup
+    // prune after dd (the d2 candidate+verify CTEs over dd as nd*, then
+    // GENERIC recursive connected components + keep-min, so natural
+    // near-dups at any SF replay too, not just the planted ` zq zq zq`
+    // tails), and (b) the gate as the p10 inclusive sketch-cutoff rule
+    // per pred_lang (min(nf) where cume_dist ≥ 2/3; keep nf ≤ cutoff)
+    // instead of the ntile window.
+    "p13_crawl_to_corpus_scale" -> {
+      val (pF, predCase) = softmaxScoreExprs
+      s"""WITH RECURSIVE src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 800000, text || ' zq zq zq' FROM documents WHERE doc_id % 25 = 0),
+         |dd AS MATERIALIZED (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY lower(regexp_replace(text, '${"\\"}s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM src) WHERE rn = 1),
+         |${shingleCtesFor("dd", "nd")},
+         |${jaccardPairsCtesFor("nd")},
+         |ndedges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM ndvp
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM ndvp
+         |),
+         |ndreach(r0, dst) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM ndedges)
+         |  UNION
+         |  SELECT r.r0, e.b FROM ndreach r JOIN ndedges e ON e.a = r.dst
+         |),
+         |ndclus AS (SELECT r0 AS doc_id, min(dst) AS cluster_id
+         |           FROM ndreach GROUP BY r0),
+         |ndd AS MATERIALIZED (
+         |  SELECT doc_id, text FROM dd
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM ndclus WHERE doc_id <> cluster_id)),
+         |$langidSeedCte,
+         |sfs AS MATERIALIZED (
+         |  ${langidFeatureSql("lseed")}),
+         |${softmaxCtes(8, 1.0)},
+         |sfa AS (
+         |  ${langidFeatureSql("(SELECT doc_id, NULL AS lang, text FROM ndd)")}),
+         |rt AS MATERIALIZED (
+         |  SELECT doc_id, CASE $predCase END AS pred_lang
+         |  FROM (SELECT sfa.*, $pF FROM sfa CROSS JOIN sw8 w)),
+         |dd2 AS (SELECT doc_id, text, length(text) AS n_chars FROM ndd),
+         |${logisticCtes(3, 1.0, "dd2")},
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+         |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+         |refd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM ndd d JOIN acc USING (doc_id)),
+         |${mknNllCtes("refd", "ndd")},
+         |pfx AS MATERIALIZED (
+         |  SELECT p.doc_id, r.pred_lang,
+         |         CAST(round(p.avg_nll * 1000000) AS BIGINT) AS nf
+         |  FROM perdoc p JOIN rt r USING (doc_id)),
+         |pcd AS (SELECT pred_lang, nf,
+         |               cume_dist() OVER (PARTITION BY pred_lang ORDER BY nf) AS cd
+         |        FROM pfx),
+         |pct AS (SELECT pred_lang,
+         |               min(CASE WHEN cd >= 2.0/3 THEN nf END) AS c2
+         |        FROM pcd GROUP BY pred_lang),
+         |gt AS MATERIALIZED (
+         |  SELECT f.doc_id FROM pfx f JOIN pct c USING (pred_lang)
+         |  WHERE f.nf <= c.c2),
+         |cc AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text, r.pred_lang
+         |  FROM ndd d JOIN gt USING (doc_id) JOIN rt r USING (doc_id)),
          |${bpeCtes(8, "cc")},
          |${pieceVocabCtes(8)},
          |ccw AS (SELECT doc_id, pred_lang, string_split(text, ' ') AS w FROM cc),

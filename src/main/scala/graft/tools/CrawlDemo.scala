@@ -6,17 +6,19 @@ import org.apache.spark.sql.functions._
 import graft.pipeline._
 import graft.queries.{CrawlStages, Fixtures, IngestQueries}
 
-/** End-to-end crawl-to-corpus demo — the RUNNABLE surface of the p11
+/** End-to-end crawl-to-corpus demo — the RUNNABLE surface of the
   * composition, driving the SAME stage builders (`CrawlStages`) the
-  * oracled query runs, so this demo cannot drift from the chain the
-  * DuckDB oracle hash-pins:
+  * oracled queries run, so this demo cannot drift from the chains the
+  * DuckDB oracles hash-pin. It runs the SCALE PATH (the p13 chain —
+  * what a 100 TB run ships):
   *
-  *   WARC shards (HTML chrome + planted mirror records)
+  *   WARC shards (HTML chrome + planted exact AND near mirrors)
   *     → quarantine ingest → markup strip → exact dedup
+  *     → NEAR-dup prune (shingle-Jaccard candidates, cluster keep-min)
   *     → TRAINED langid routing (predicted language is the partition
   *       key — no metadata survives a crawl)
-  *     → CCNet perplexity gate (classifier-bootstrapped reference,
-  *       modified-KN trigram, per-lang terciles, tail dropped)
+  *     → CCNet perplexity gate on the SKETCH-CUTOFF path (per-lang KLL
+  *       tercile cutoffs + map-only assign — no per-lang doc sort)
   *     → driver-local BPE — persisted AND reloaded through ModelStore
   *       in the serving position — → reserved-band piece ids → EOS per
   *       doc → per-lang packed training sequences,
@@ -41,8 +43,10 @@ object CrawlDemo {
 
     def p(msg: String): Unit = println(s"[demo] $msg")
 
-    // Stage 0 — crawl shards through the quarantine reader.
-    val shard = IngestQueries.warcCrawlFixture(spark, sfDir)
+    // Stage 0 — crawl shards through the quarantine reader (exact
+    // mirrors every 10th doc, NEAR-mirrors with boilerplate tails
+    // every 25th — the near-dup stage has real work).
+    val shard = IngestQueries.warcCrawlNearFixture(spark, sfDir)
     val (ingested, quarantine) = CrawlStages.ingest(spark, shard)
     p(s"ingest: ${ingested.count()} clean records, ${quarantine.count()} quarantined")
 
@@ -54,17 +58,23 @@ object CrawlDemo {
 
     // Stage 2 — exact dedup on the normalized fingerprint.
     val deduped = CrawlStages.dedup(scrubbed)
-    p(s"dedup: ${deduped.count()} docs (mirror records collapsed)")
+    p(s"dedup: ${deduped.count()} docs (exact mirrors collapsed)")
+
+    // Stage 2b — near-dup prune: the planted boilerplate-tailed copies
+    // survive the fingerprint and fall here.
+    val pruned = CrawlStages.nearDedup(deduped)
+    p(s"near-dedup: ${pruned.count()} docs (boilerplate-tailed near-mirrors pruned)")
 
     // Stage 3 — trained langid routes by PREDICTED language.
-    val docs = CrawlStages.route(spark, deduped)
+    val docs = CrawlStages.route(spark, pruned)
     val routeCensus = docs.groupBy("pred_lang").count().orderBy("pred_lang")
       .collect().map(r => s"${r.getString(0)}:${r.getLong(1)}").mkString(" ")
     p(s"langid routing: $routeCensus")
 
-    // Stage 4 — CCNet perplexity gate per predicted language.
-    val corpus = CrawlStages.gate(docs)
-    p(s"perplexity gate: ${corpus.count()} docs kept (tail tercile dropped)")
+    // Stage 4 — CCNet perplexity gate, sketch-cutoff path (map-only
+    // bucket assign against broadcast per-lang KLL cutoffs).
+    val corpus = CrawlStages.gateSketch(docs)
+    p(s"perplexity gate (sketch cutoffs): ${corpus.count()} docs kept (tail dropped)")
 
     // Stage 5 — tokenize (driver-local BPE, reserved band) + pack,
     // with the tokenizer ROUND-TRIPPED through ModelStore between
