@@ -1548,6 +1548,77 @@ object TextStats {
       .agg(sum(col("ct")).as("ct"))
   }
 
+  /** Write an n-gram count frame plus its in-row `batch_id` watermark
+    * as an AT-REST STORE — gram-hash-bucketed parquet under the
+    * staged-write conventions (the [[graft.pipeline.Vocab]] count-store
+    * layout on the composite (w1…wn) key): reads touch only the buckets
+    * their grams hash to, upserts swap only touched buckets. This is
+    * the ingest-time shape of the C207 snapshot merge — counts accrete
+    * batch by batch instead of snapshot by snapshot, and the LM model
+    * tracks the live crawl with no re-read of history.
+    */
+  def writeNgramStore(
+      counts: DataFrame, path: String, order: Int, nBuckets: Int = 8): Unit = {
+    require(order >= 1, s"order must be >= 1, got $order")
+    val expected = ((1 to order).map(i => s"w$i") :+ "ct") :+ "batch_id"
+    require(counts.columns.toSeq == expected,
+      s"n-gram store columns ${counts.columns.toSeq} do not match order-$order " +
+        s"layout $expected")
+    graft.merge.PartitionedTarget.write(counts, path,
+      graft.merge.PartitionSpec((1 to order).map(i => s"w$i"), nBuckets,
+        HashMode.Xxhash64))
+  }
+
+  /** Merge an arriving (w1…wn, ct, batch_id) count frame into the
+    * store: read ONLY the buckets the arriving grams hash to, restrict
+    * to the arriving grams (untouched grams keep their rows), SUM the
+    * counts — raw n-gram counts are exactly linear-additive over a
+    * disjoint document partition ([[ngramCounts]] windows never cross
+    * document boundaries), the same algebra as [[mergeNgramCounts]] —
+    * carry the max batch_id per gram (the watermark rides IN the rows,
+    * the st16/st17 mechanism), and upsert through the partition-scoped
+    * apply. Cost tracks the batch's gram vocabulary and its touched
+    * buckets, never store history.
+    */
+  def mergeNgramCountsIntoStore(
+      spark: SparkSession, path: String, arriving: DataFrame): Unit = {
+    val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
+    val keys = spec.keys
+    // Metadata-bounded collect: at most nBuckets distinct bucket ids.
+    val touched = arriving
+      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val storedMatch = graft.merge.PartitionedTarget
+      .readBuckets(spark, path, touched) match {
+      case None => None
+      case Some(stored) =>
+        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
+    }
+    val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("ct")).as("ct"), max(col("batch_id")).as("batch_id"))
+    graft.merge.MergeApply.applyToPartitioned(
+      spark, path, merged,
+      graft.merge.MergeOptions(keys = keys, delete = graft.merge.DeleteMode.Ignore))
+  }
+
+  /** The n-gram model as of the store's last completed maintenance —
+    * the (w1…wn, ct) frame [[mknNgramNllAgainst]] consumes, bit-
+    * identical to a one-pass [[ngramCounts]] over the same documents
+    * (count additivity; st-pinned against t61's oracle). The store's
+    * bucket layout rides along for free: scoring joins read the
+    * partitioned parquet directly.
+    */
+  def ngramModelFromStore(
+      spark: SparkSession, path: String, order: Int): DataFrame = {
+    val stored = graft.merge.PartitionedTarget.read(spark, path)
+    val expected = ((1 to order).map(i => s"w$i") :+ "ct") :+ "batch_id"
+    require(stored.columns.toSeq.sorted == expected.sorted,
+      s"n-gram store at $path has columns ${stored.columns.toSeq}, not the " +
+        s"order-$order layout $expected — refusing to score a mislaid model.")
+    stored.select(((1 to order).map(i => col(s"w$i")) :+ col("ct")): _*)
+  }
+
   /** [[knBigramNllAgainst]] with the model trained on `docs` itself —
     * Kneser–Ney self-perplexity (the bootstrap).
     */

@@ -243,6 +243,7 @@ object BenchPhases {
     "st23_warc_stream" -> ((s, dir) => StreamingQueries.st23Setup(s, dir)._1),
     "st24_lm_gate_persisted" -> ((s, dir) => StreamingQueries.st24Setup(s, dir)._1),
     "st25_route_persisted" -> ((s, dir) => StreamingQueries.st25Setup(s, dir)._1),
+    "st26_stream_ngram" -> ((s, dir) => StreamingQueries.st26Setup(s, dir)._1),
     // t62's claim is the SERVING path — snapshot load + summation merge
     // + scoring; building and persisting the snapshots is the one-time
     // cost the incremental discipline exists to amortize.

@@ -486,6 +486,24 @@ object StreamingQueries {
       graft.pipeline.Vocab.vocabFromStore(s, store, vocabSize = 200)
         .orderBy("token_id")
     }),
+    // Streaming n-gram model maintenance (C213 / st26): documents
+    // replayed in batches, each micro-batch's 5-gram counts SUMMED into
+    // the gram-hash-bucketed store (read touched buckets, add,
+    // replace) — the ingest-time twin of the C207 snapshot merge, so
+    // the LM tier's model no longer goes stale between snapshots.
+    // Counts are linear-additive (a replayed batch would double them),
+    // so the in-row batch_id watermark makes replays safe. The
+    // converged store scores the corpus EXACTLY like the one-pass
+    // model: t61's oracle verbatim.
+    "st26_stream_ngram" -> ((s, dir) => {
+      val (replay, store) = st26Setup(s, dir)
+      replay()
+      val model = TextStats.ngramModelFromStore(s, store, order = 5)
+      TextStats.mknNgramNllAgainst(
+          Fixtures.table(s, dir, "documents"), model, "doc_id", "text",
+          order = 5)
+        .orderBy("doc_id")
+    }),
     // Streaming BM25 index maintenance (st13): the documents table
     // replayed in batches through StreamingIndex.bm25IndexTo — batch 0
     // bootstraps the index, every later batch lands as a crash-atomic
@@ -1057,6 +1075,31 @@ object StreamingQueries {
     (replay, store)
   }
 
+  /** Untimed setup for st26 (streaming n-gram store): documents
+    * replayed in doc_id order across N batches — adjacent batches share
+    * most of their gram vocabulary, so stored count rows are
+    * read-summed-replaced again and again (the linear-additive path the
+    * in-row watermark exists for).
+    */
+  private[graft] def st26Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    import s.implicits._
+    implicit val ctx: SQLContext = s.sqlContext
+    val scratch = Fixtures.scratchDir("graft-st26")
+    val store = s"$scratch/store"
+    val rows = Fixtures.table(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIndex.ngramStoreTo(stream, store, s"$scratch/cp", "text",
+      order = 5)
+    val replay = () =>
+      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+    (replay, store)
+  }
+
   /** Untimed setup for st17 (streaming count-min store): events replayed
     * time-ordered across N batches — days straddle batch boundaries, so
     * stored slice rows are read-merged-replaced (the linear-additive
@@ -1419,6 +1462,10 @@ object StreamingQueries {
         |      FROM c)
         |SELECT token_id, token, n FROM r WHERE token_id < 200
         |ORDER BY token_id""".stripMargin,
+    // st26 is t61 through the maintained n-gram store — count
+    // additivity means the converged store IS the one-pass model, so
+    // the whole maintenance protocol is pinned by t61's oracle hash.
+    "st26_stream_ngram" -> PipelineQueries.oracleSql("t61_mkn5_nll"),
     // Dedup-on-ingest converged state: every event exactly once, despite
     // the overlapping replay — again the events table itself.
     "st2_stream_dedup" ->

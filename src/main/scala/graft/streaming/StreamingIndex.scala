@@ -361,6 +361,67 @@ object StreamingIndex {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Ingest-time maintenance of a persisted N-GRAM COUNT store — the
+    * LM-tier twin of [[vocabStoreTo]], closing the staleness gap the
+    * batch snapshot merge (C207 — [[TextStats.mergeNgramCounts]])
+    * leaves between snapshots: documents stream in, each micro-batch's
+    * order-n adjacent-tuple counts SUM into the stored (w1…wn, ct)
+    * rows, and [[TextStats.ngramModelFromStore]] hands the modified-KN
+    * scorer a model bit-identical to a one-pass build over the same
+    * corpus — the gate's language model tracks the live crawl with no
+    * re-read of history.
+    *
+    * Exactly-once by the st16/st17/st19 mechanism, forced by the same
+    * algebra: raw n-gram counts are linear-additive (windows never
+    * cross document boundaries, so a replayed batch would double every
+    * count it contributed), hence the batch-id watermark rides IN the
+    * store rows and promotes atomically with the partition-scoped
+    * apply; interrupted applies roll forward via `MergeApply.recover`
+    * BEFORE the watermark read; a torn bootstrap rebuilds because the
+    * store spec sidecar lands strictly after the parquet write.
+    *
+    * Scale shape: per batch, one map-side-combined gram count of the
+    * BATCH (bounded by the batch's gram vocabulary), a read of only
+    * the buckets those grams hash to, a rewrite of those buckets —
+    * cost tracks the batch, never corpus history; one row per distinct
+    * gram forever.
+    */
+  def ngramStoreTo(
+      stream: DataFrame,
+      path: String,
+      checkpoint: String,
+      textCol: String,
+      order: Int,
+      nBuckets: Int = 8): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyNgramBatch(batch, batchId, path, textCol, order, nBuckets)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** One micro-batch of n-gram-store maintenance (the foreachBatch
+    * body, exposed so the replay/crash windows are unit-testable). */
+  private[graft] def applyNgramBatch(
+      batch: DataFrame, batchId: Long, path: String,
+      textCol: String, order: Int, nBuckets: Int = 8): Unit =
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val counts = TextStats.ngramCounts(batch, textCol, order)
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+        TextStats.writeNgramStore(counts, path, order, nBuckets)
+      else {
+        graft.merge.MergeApply.recover(spark, path)
+        val landed = graft.merge.PartitionedTarget.read(spark, path)
+          .agg(org.apache.spark.sql.functions.max(
+            org.apache.spark.sql.functions.col("batch_id"))).first().getLong(0)
+        if (batchId > landed)
+          TextStats.mergeNgramCountsIntoStore(spark, path, counts)
+      }
+    }
+
   /** One micro-batch of count-store maintenance (the foreachBatch body,
     * exposed so the replay/crash windows are unit-testable). */
   private[graft] def applyVocabBatch(

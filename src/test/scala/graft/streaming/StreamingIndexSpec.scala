@@ -443,4 +443,57 @@ class StreamingIndexSpec extends GraftSuite {
     assert(vocab(store2) === Vocab.build(b0, "text", 100)
       .as[(Long, String, Long)].collect().toSeq)
   }
+
+  test("streaming n-gram-store maintenance: converged model == one-pass counts bit-for-bit, in-row watermark skips replays of the additive sum, torn bootstrap rebuilds") {
+    val base = java.nio.file.Files.createTempDirectory("stridx-ngram")
+    val store = base.resolve("store").toString
+    val order = 3
+    def model(path: String) =
+      TextStats.ngramModelFromStore(spark, path, order)
+        .as[(String, String, String, Long)].collect().sorted.toSeq
+    def onePass(docs: org.apache.spark.sql.DataFrame) =
+      TextStats.ngramCounts(docs, "text", order)
+        .as[(String, String, String, Long)].collect().sorted.toSeq
+
+    StreamingIndex.applyNgramBatch(b0, 0L, store, "text", order)
+    StreamingIndex.applyNgramBatch(b1, 1L, store, "text", order)
+    val afterTwo = model(store)
+
+    // The algebra the watermark exists for: counts are additive —
+    // bypassing the watermark and re-merging b0's grams doubles them.
+    val clone = base.resolve("clone").toString
+    StreamingIndex.applyNgramBatch(b0, 0L, clone, "text", order)
+    val before = model(clone).collectFirst {
+      case ("dup", "dup", "alpha", n) => n }.get
+    TextStats.mergeNgramCountsIntoStore(spark, clone,
+      TextStats.ngramCounts(b0, "text", order).withColumn("batch_id", lit(99L)))
+    assert(model(clone).collectFirst {
+      case ("dup", "dup", "alpha", n) => n }.get === 2 * before)
+
+    // With the watermark: replays of bootstrap and append batches are
+    // exact no-ops.
+    StreamingIndex.applyNgramBatch(b0, 0L, store, "text", order)
+    StreamingIndex.applyNgramBatch(b1, 1L, store, "text", order)
+    assert(model(store) === afterTwo)
+
+    // Converged == the one-pass count build over all docs, bit-for-bit
+    // (gram windows never cross documents, so batch-wise sums ARE the
+    // corpus counts) — and therefore every MKN quantity derived from
+    // the model is the one-pass model's.
+    StreamingIndex.applyNgramBatch(b2, 2L, store, "text", order)
+    assert(model(store) === onePass(b0.unionByName(b1).unionByName(b2)))
+    // One row per gram forever; the watermark rides in the rows.
+    val stored = graft.merge.PartitionedTarget.read(spark, store)
+    assert(stored.groupBy("w1", "w2", "w3").count()
+      .filter(col("count") > 1).isEmpty)
+    assert(stored.agg(max(col("batch_id"))).first().getLong(0) === 2L)
+
+    // Torn bootstrap: parquet without the spec sidecar reads as "no
+    // store yet"; the bootstrap replay rebuilds it whole.
+    val store2 = base.resolve("store2").toString
+    TextStats.ngramCounts(b0, "text", order).withColumn("batch_id", lit(0L))
+      .write.parquet(store2)
+    StreamingIndex.applyNgramBatch(b0, 0L, store2, "text", order)
+    assert(model(store2) === onePass(b0))
+  }
 }
