@@ -1413,9 +1413,33 @@ object TextStats {
       docs: DataFrame, ngramModel: DataFrame, idCol: String, textCol: String,
       order: Int, discount: Double = 0.75): DataFrame = {
     require(order >= 3, s"order must be >= 3 (use knBigramNllAgainst below), got $order")
-    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val t = mknDerive(ngramModel, order)
+    mknScore(docs, idCol, textCol, order, discount, _ => t)
+  }
+
+  /** The derived model tables + binned discounts of an order-n MKN
+    * model — everything the scoring join chain needs beyond the probe
+    * stream. Built per model by [[mknDerive]] (live), or loaded
+    * bucket-pruned from an at-rest index ([[mknNgramNllIndexed]]); ONE
+    * provider type means the two paths share [[mknScore]]'s expression
+    * trees verbatim and cannot drift (bit-equality spec-pinned).
+    */
+  private final case class MknTables(
+      d1: Double, d2: Double, d3: Double,
+      topRaw: DataFrame, topCtx: DataFrame,
+      conts: Map[Int, DataFrame], ctxTabs: Map[Int, DataFrame],
+      totals: DataFrame)
+
+  /** Positional context-column names, nearest token first. */
+  private def mknCtxKeys(j: Int): Seq[String] = (j to 1 by -1).map(i => s"__p$i")
+
+  /** Derive every scoring table from the raw n-gram count frame — the
+    * model's ONLY input. Each table is one aggregation of the table
+    * above it (n-gram-vocabulary-sized, never corpus-sized).
+    */
+  private def mknDerive(ngramModel: DataFrame, order: Int): MknTables = {
     val n = order
-    val ctxKeys = (j: Int) => (j to 1 by -1).map(i => s"__p$i")
+    val ctxKeys = mknCtxKeys _
     // The model with positional names: w_i (i < n) is the token n−i
     // back from the scored token; w_n is the token itself.
     val topRaw = ngramModel.select(
@@ -1448,6 +1472,20 @@ object TextStats {
         (1 to n).map(i => ngramModel.select(col(s"w$i").as("t")))
           .reduce(_ union _)
           .agg(countDistinct(col("t")).as("__v")))
+    MknTables(d1, d2, d3, topRaw, topCtx, conts.toMap, ctxTabs, totals)
+  }
+
+  /** The order-n MKN scoring join chain + lnp fold over a probe stream,
+    * against tables from `tablesFor` (which receives the built token
+    * frame so an at-rest provider can prune its reads to the buckets
+    * the probe actually touches).
+    */
+  private def mknScore(
+      docs: DataFrame, idCol: String, textCol: String, order: Int,
+      discount: Double, tablesFor: DataFrame => MknTables): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val n = order
+    val ctxKeys = mknCtxKeys _
     val tok0 = docs
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("__ws"))
       .select(col("id"), col("__ws"), posexplode(col("__ws")).as(Seq("pos", "w")))
@@ -1455,16 +1493,18 @@ object TextStats {
         df.withColumn(s"__p$j", when(col("pos") <= j - 1, lit(null).cast("string"))
           .otherwise(element_at(col("__ws"), col("pos") - (j - 1)))))
       .drop("__ws")
-    var scored = tok.join(conts(1), Seq("w"), "left")
+    val t = tablesFor(tok)
+    val (d1, d2, d3) = (t.d1, t.d2, t.d3)
+    var scored = tok.join(t.conts(1), Seq("w"), "left")
     for (k <- 2 until n) {
       scored = scored
-        .join(conts(k), ctxKeys(k - 1) :+ "w", "left")
-        .join(ctxTabs(k), ctxKeys(k - 1), "left")
+        .join(t.conts(k), ctxKeys(k - 1) :+ "w", "left")
+        .join(t.ctxTabs(k), ctxKeys(k - 1), "left")
     }
     scored = scored
-      .join(topRaw, ctxKeys(n - 1) :+ "w", "left")
-      .join(topCtx, ctxKeys(n - 1), "left")
-      .crossJoin(broadcast(totals))
+      .join(t.topRaw, ctxKeys(n - 1) :+ "w", "left")
+      .join(t.topCtx, ctxKeys(n - 1), "left")
+      .crossJoin(broadcast(t.totals))
       .withColumn("__pug",
         (coalesce(col("c1"), lit(0L)) + lit(1.0)) / (col("__u") + col("__v")))
       // Level 2 — the trigram implementation's __pb verbatim, raw
@@ -1524,6 +1564,89 @@ object TextStats {
       discount: Double = 0.75): DataFrame =
     mknNgramNllAgainst(docs, ngramCounts(docs, textCol, order), idCol, textCol,
       order, discount)
+
+  /** Build the persisted AT-REST form of an order-n MKN model — the
+    * C109/t25 posting discipline applied to the LM tier. The live
+    * scorer re-derives 2(n−1)+1 model tables per scoring run and joins
+    * the probe against each IN FULL; at real scale those tables exceed
+    * memory and every level becomes a full shuffle join. This writes
+    * each derived table ONCE, bucket-partitioned by a hash of ITS OWN
+    * join key (context-hash for the ctx tables, context+word for the
+    * count tables), so a probe reads only the buckets its contexts
+    * hash to (`PartitionFilters` prunes the listing — spec-pinned) and
+    * the derivation cost is paid at build time, never per batch. The
+    * in-Spark analog of compiling a KenLM binary, plus the partition
+    * pruning a flat binary cannot give a distributed probe.
+    *
+    * Layout: `top`/`topctx`/`cont1..cont{n−1}`/`ctx2..ctx{n−1}` as
+    * pbucket-partitioned parquet, the one-row `totals`, and `meta`
+    * (order, bucket count, the three binned discounts — derived from
+    * count-of-counts the index does not store) written LAST, the
+    * ModelStore torn-directory discipline.
+    */
+  def writeNgramIndex(
+      ngramModel: DataFrame, path: String, order: Int,
+      nBuckets: Int = 64): Unit = {
+    require(order >= 3, s"order must be >= 3, got $order")
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = ngramModel.sparkSession
+    import spark.implicits._
+    val n = order
+    val t = mknDerive(ngramModel, order)
+    def writeTab(df: DataFrame, keys: Seq[String], name: String): Unit =
+      df.withColumn("pbucket",
+          pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
+        .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/$name")
+    writeTab(t.topRaw, mknCtxKeys(n - 1) :+ "w", "top")
+    writeTab(t.topCtx, mknCtxKeys(n - 1), "topctx")
+    for (k <- 1 until n) writeTab(t.conts(k), mknCtxKeys(k - 1) :+ "w", s"cont$k")
+    for (k <- 2 until n) writeTab(t.ctxTabs(k), mknCtxKeys(k - 1), s"ctx$k")
+    t.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
+    Seq((order, nBuckets, t.d1, t.d2, t.d3))
+      .toDF("order", "n_buckets", "d1", "d2", "d3")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Score a probe batch against the AT-REST model — bit-identical to
+    * [[mknNgramNllAgainst]] over the same counts (the two paths share
+    * [[mknScore]]'s expression trees; spec-pinned), but every model
+    * table is read PRUNED to the buckets the probe's contexts hash to:
+    * ONE aggregation over the token frame computes every table's
+    * touched-bucket set (each ≤ nBuckets values — the driver collect
+    * is layout-bounded, the e4/C36 license), and each scan's
+    * `PartitionFilters` then prunes the listing. Scoring a small batch
+    * reads a few buckets per level instead of n full model tables.
+    */
+  def mknNgramNllIndexed(
+      spark: SparkSession, path: String, docs: DataFrame, idCol: String,
+      textCol: String, discount: Double = 0.75): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getAs[Int]("order")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    mknScore(docs, idCol, textCol, n, discount, tok => {
+      def b(keys: Seq[String]) =
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
+      val keysFor: Seq[(String, Seq[String])] =
+        Seq("top" -> (mknCtxKeys(n - 1) :+ "w"),
+          "topctx" -> mknCtxKeys(n - 1)) ++
+          (1 until n).map(k => s"cont$k" -> (mknCtxKeys(k - 1) :+ "w")) ++
+          (2 until n).map(k => s"ctx$k" -> mknCtxKeys(k - 1))
+      val aggs = keysFor.map { case (nm, ks) => collect_set(b(ks)).as(nm) }
+      val sets = tok.agg(aggs.head, aggs.tail: _*).head()
+      def read(nm: String): DataFrame = {
+        val wanted = sets.getSeq[Long](sets.fieldIndex(nm))
+        spark.read.parquet(s"$path/$nm")
+          .filter(col("pbucket").isin(wanted: _*)).drop("pbucket")
+      }
+      MknTables(
+        meta.getAs[Double]("d1"), meta.getAs[Double]("d2"),
+        meta.getAs[Double]("d3"),
+        read("top"), read("topctx"),
+        (1 until n).map(k => k -> read(s"cont$k")).toMap,
+        (2 until n).map(k => k -> read(s"ctx$k")).toMap,
+        spark.read.parquet(s"$path/totals"))
+    })
+  }
 
   /** Merge n-gram count frames by SUMMATION — the incremental-model
     * discipline a crawl pipeline needs and a compiled KenLM binary

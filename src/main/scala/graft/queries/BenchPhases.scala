@@ -265,6 +265,19 @@ object BenchPhases {
           d, merged, "doc_id", "text", 5).count(); ()
       }
     }),
+    // t68's claim is the SERVING path — pruned probes against the
+    // persisted index; deriving and writing the model tables is the
+    // one-time build the index exists to amortize.
+    "t68_mkn5_indexed" -> ((s, dir) => {
+      val d = Fixtures.table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t68-bench") + "/index"
+      graft.pipeline.TextStats.writeNgramIndex(
+        graft.pipeline.TextStats.ngramCounts(d, "text", 5), path, order = 5)
+      () => {
+        graft.pipeline.TextStats.mknNgramNllIndexed(
+          s, path, d, "doc_id", "text").count(); ()
+      }
+    }),
     // t58/t59/t60's claim is the SERVING path — artifact load + encode/
     // score from disk; training and saving are the one-time cost the
     // store exists to amortize (the d23/e4 at-rest discipline).

@@ -1403,6 +1403,23 @@ $bandSelects
           "doc_id", "text", order = 5)
         .orderBy("doc_id")
     }),
+    // At-rest n-gram model serving (C214 / t68): the C109 posting
+    // discipline applied to the LM tier — the order-5 model's derived
+    // tables (top counts, context stats, one continuation level per
+    // middle order) persisted ONCE, each bucket-partitioned by a hash
+    // of its own join key, then the corpus scored through the index
+    // with every scan pruned to the buckets the probe's contexts hash
+    // to (PartitionFilters — spec-pinned, with the live==indexed
+    // bit-equality law). t61's oracle verbatim: the at-rest path must
+    // be indistinguishable from the live derivation.
+    "t68_mkn5_indexed" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t68") + "/index"
+      TextStats.writeNgramIndex(
+        TextStats.ngramCounts(d, "text", 5), path, order = 5)
+      TextStats.mknNgramNllIndexed(s, path, d, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Incremental n-gram model maintenance (C207 / t62): the crawl-
     // snapshot shape a compiled KenLM binary cannot offer — two
     // disjoint document halves build SEPARATE 5-gram count frames,
@@ -6957,6 +6974,9 @@ $bandSelects
     // partition (windows never cross docs), so the merged model IS the
     // one-pass model and the scorer must hash-match t61 verbatim.
     "t62_ngram_model_merge" -> oracleSqlBase("t61_mkn5_nll"),
+    // t68: the at-rest model scores exactly like the live derivation —
+    // t61's oracle pins the whole index layout + pruned-probe path.
+    "t68_mkn5_indexed" -> oracleSqlBase("t61_mkn5_nll"),
     // t64 is t55's identity law under the full reserved band: decode
     // resolves the band from the model, so the +4 id shift cancels
     // exactly and the round trip is still the identity.

@@ -153,6 +153,31 @@ class MknNgramSpec extends GraftSuite {
     model.words.unpersist()
   }
 
+  test("at-rest index == live derivation BIT-FOR-BIT; probe scans prune to touched buckets") {
+    val path = java.nio.file.Files.createTempDirectory("mkn-index").toString + "/idx"
+    val model = TextStats.ngramCounts(corpus, "text", 5)
+    TextStats.writeNgramIndex(model, path, order = 5, nBuckets = 8)
+    // Full-corpus probe: every double identical to the live path (the
+    // two paths share one scoring core — this pin keeps it that way).
+    val live = TextStats.mknNgramNllAgainst(corpus, model, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    val idx = TextStats.mknNgramNllIndexed(spark, path, corpus, "doc_id", "text")
+      .orderBy("doc_id")
+    assert(idx.collect().toSeq === live)
+    // A small probe still matches its live scores AND its scans carry
+    // PartitionFilters on pbucket — the probe reads the buckets its
+    // contexts hash to, not the model tables in full.
+    val probe = corpus.filter(col("doc_id") < 2)
+    val liveSub = TextStats.mknNgramNllAgainst(probe, model, "doc_id", "text", 5)
+      .orderBy("doc_id").collect().toSeq
+    val idxSub = TextStats.mknNgramNllIndexed(spark, path, probe, "doc_id", "text")
+      .orderBy("doc_id")
+    assert(idxSub.collect().toSeq === liveSub)
+    val plan = idxSub.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pbucket"),
+      plan.take(2000))
+  }
+
   test("order < 3 and empty model fail loud") {
     val ex = intercept[IllegalArgumentException] {
       TextStats.mknNgramNllAgainst(corpus,
