@@ -959,22 +959,33 @@ object StreamingQueries {
   /** Untimed setup for st25 (persisted multiclass router): st21's
     * chain with the softmax matrix — weights, feature columns, class
     * labels — loaded from a [[graft.pipeline.ModelStore]] directory
-    * instead of handed across in memory.
+    * instead of handed across in memory. The model is PUBLISHED under
+    * the version registry and the serving session resolves "current
+    * model" through the pointer — with a half-saved, UNPUBLISHED v=2
+    * retrain sitting beside it that the pointer must ignore (the
+    * mid-swap window; st25's oracle staying green pins that the gate
+    * followed the pointer to the completed version).
     */
   private[graft] def st25Setup(s: SparkSession, dir: String): (() => Unit, String) = {
     import s.implicits._
     implicit val ctx: SQLContext = s.sqlContext
     val scratch = Fixtures.scratchDir("graft-st25")
     val out = s"$scratch/out"
+    val root = s"$scratch/router"
     val feats = (0 until PipelineQueries.LangidBuckets).map(b => s"x$b")
     val seed = PipelineQueries.LangidSeeds.toDF("doc_id", "lang", "text")
     graft.pipeline.ModelStore.saveSoftmax(s,
       graft.pipeline.Classifier.trainSoftmax(
         PipelineQueries.langidFeatures(seed).cache(), feats, "y",
         numClasses = PipelineQueries.LangidLangs.size, iters = 8, lr = 1.0),
-      feats, PipelineQueries.LangidLangs, s"$scratch/router")
-    val (w, wf, labels) =
-      graft.pipeline.ModelStore.loadSoftmax(s, s"$scratch/router")
+      feats, PipelineQueries.LangidLangs, s"$root/v=1")
+    graft.pipeline.ModelStore.publishVersion(s, root, 1)
+    // A retrain IN FLIGHT: v=2's weights landed but its meta (and the
+    // publish) never did — resolveLatest must keep answering v=1.
+    s.read.parquet(s"$root/v=1/weights")
+      .write.mode("overwrite").parquet(s"$root/v=2/weights")
+    val (w, wf, labels) = graft.pipeline.ModelStore.loadSoftmax(
+      s, graft.pipeline.ModelStore.resolveLatest(s, root))
     val rows = Fixtures.table(s, dir, "documents")
       .select("doc_id", "lang", "text")
       .as[(Long, String, String)].collect().sortBy(_._1)
