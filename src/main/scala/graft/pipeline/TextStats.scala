@@ -1581,8 +1581,12 @@ object TextStats {
     * Layout: `top`/`topctx`/`cont1..cont{n−1}`/`ctx2..ctx{n−1}` as
     * pbucket-partitioned parquet, the one-row `totals`, and `meta`
     * (order, bucket count, the three binned discounts — derived from
-    * count-of-counts the index does not store) written LAST, the
-    * ModelStore torn-directory discipline.
+    * count-of-counts the index does not store) written LAST, so a
+    * torn FIRST build has no meta and every probe fails loud. Like
+    * every model artifact here, an index version is ONE IMMUTABLE
+    * DIRECTORY — re-building over a live index in place is the one
+    * window this layout does not defend (write a new version and flip
+    * the [[ModelStore.publishVersion]] pointer instead).
     */
   def writeNgramIndex(
       ngramModel: DataFrame, path: String, order: Int,

@@ -278,6 +278,19 @@ object BenchPhases {
           s, path, d, "doc_id", "text").count(); ()
       }
     }),
+    // t69: same discipline — the small-batch serving probe is the
+    // timed claim; the index build amortizes across every batch.
+    "t69_mkn5_probe_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val d = Fixtures.table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t69-bench") + "/index"
+      graft.pipeline.TextStats.writeNgramIndex(
+        graft.pipeline.TextStats.ngramCounts(d, "text", 5), path, order = 5)
+      () => {
+        graft.pipeline.TextStats.mknNgramNllIndexed(
+          s, path, d.filter(col("doc_id") < 50), "doc_id", "text").count(); ()
+      }
+    }),
     // t58/t59/t60's claim is the SERVING path — artifact load + encode/
     // score from disk; training and saving are the one-time cost the
     // store exists to amortize (the d23/e4 at-rest discipline).

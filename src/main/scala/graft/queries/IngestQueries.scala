@@ -185,21 +185,17 @@ object IngestQueries {
     path
   }
 
-  /** The p11 crawl fixture: every document as a WARC response record
-    * whose payload is the text wrapped in HTML chrome (the t17 markup
-    * discipline — the strip stage has real work), plus a planted MIRROR
-    * record (uri `/doc/&lt;id+700000&gt;`, identical payload) for every
-    * 10th document — the republication duplicate the dedup stage
-    * exists to collapse. No header damage here: quarantine totality is
-    * j13/j14's cell; p11's claim is the COMPOSITION.
+  /** One HTML-chrome WARC response record (shared by the crawl
+    * fixtures): headers + a 200 response whose payload is `text`
+    * wrapped in the t17 markup chrome — the strip stage has real work.
     */
-  private[graft] def warcCrawlFixture(s: SparkSession, dir: String): String = {
-    val path = Fixtures.scratchDir("graft-warc-crawl") + "/shard"
+  private def crawlRec(
+      idCol: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     val crlf = "\r\n"
-    val d = table(s, dir, "documents")
-    val body = concat(lit("<html><body class=\"c\"><p>"), col("text"),
+    val body = concat(lit("<html><body class=\"c\"><p>"), text,
       lit("</p></body></html>"))
-    def rec(idCol: org.apache.spark.sql.Column) = concat(
+    concat(
       lit("WARC/1.0" + crlf),
       lit("WARC-Type: response" + crlf),
       concat(lit("WARC-Record-ID: <urn:graft:"), idCol, lit(">" + crlf)),
@@ -209,9 +205,21 @@ object IngestQueries {
       lit(crlf),
       lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf),
       body)
-    d.select(rec(col("doc_id")).as("value"))
+  }
+
+  /** The p11 crawl fixture: every document as a WARC response record
+    * with HTML-chrome payload ([[crawlRec]]), plus a planted MIRROR
+    * record (uri `/doc/&lt;id+700000&gt;`, identical payload) for every
+    * 10th document — the republication duplicate the dedup stage
+    * exists to collapse. No header damage here: quarantine totality is
+    * j13/j14's cell; p11's claim is the COMPOSITION.
+    */
+  private[graft] def warcCrawlFixture(s: SparkSession, dir: String): String = {
+    val path = Fixtures.scratchDir("graft-warc-crawl") + "/shard"
+    val d = table(s, dir, "documents")
+    d.select(crawlRec(col("doc_id"), col("text")).as("value"))
       .unionByName(d.filter(col("doc_id") % 10 === 0)
-        .select(rec(col("doc_id") + 700000).as("value")))
+        .select(crawlRec(col("doc_id") + 700000, col("text")).as("value")))
       .write.mode("overwrite").text(path)
     path
   }
@@ -225,27 +233,13 @@ object IngestQueries {
     */
   private[graft] def warcCrawlNearFixture(s: SparkSession, dir: String): String = {
     val path = Fixtures.scratchDir("graft-warc-crawl-near") + "/shard"
-    val crlf = "\r\n"
     val d = table(s, dir, "documents")
-    def rec(idCol: org.apache.spark.sql.Column,
-        body: org.apache.spark.sql.Column) = concat(
-      lit("WARC/1.0" + crlf),
-      lit("WARC-Type: response" + crlf),
-      concat(lit("WARC-Record-ID: <urn:graft:"), idCol, lit(">" + crlf)),
-      concat(lit("WARC-Target-URI: http://example.org/doc/"), idCol, lit(crlf)),
-      concat(lit("Content-Length: "),
-        (lit(45L) + octet_length(body)).cast("string"), lit(crlf)),
-      lit(crlf),
-      lit("HTTP/1.1 200 OK" + crlf + "Content-Type: text/html" + crlf + crlf),
-      body)
-    def chrome(text: org.apache.spark.sql.Column) =
-      concat(lit("<html><body class=\"c\"><p>"), text, lit("</p></body></html>"))
-    d.select(rec(col("doc_id"), chrome(col("text"))).as("value"))
+    d.select(crawlRec(col("doc_id"), col("text")).as("value"))
       .unionByName(d.filter(col("doc_id") % 10 === 0)
-        .select(rec(col("doc_id") + 700000, chrome(col("text"))).as("value")))
+        .select(crawlRec(col("doc_id") + 700000, col("text")).as("value")))
       .unionByName(d.filter(col("doc_id") % 25 === 0)
-        .select(rec(col("doc_id") + 800000,
-          chrome(concat(col("text"), lit(" zq zq zq")))).as("value")))
+        .select(crawlRec(col("doc_id") + 800000,
+          concat(col("text"), lit(" zq zq zq"))).as("value")))
       .write.mode("overwrite").text(path)
     path
   }

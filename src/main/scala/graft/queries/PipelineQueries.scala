@@ -1420,6 +1420,25 @@ $bandSelects
       TextStats.mknNgramNllIndexed(s, path, d, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Constant-probe at-rest serving (C214 / t69): the case the
+    // bucketed index EXISTS for — a SMALL batch (docs < 50) scored
+    // against the full-corpus at-rest model. The probe's touched
+    // buckets prune every level's scan, so serving cost tracks the
+    // BATCH, not the model: the isolated 10× cell holds the probe
+    // fixed while the model grows 10×, and the wall stays near-flat
+    // (t68's full-corpus probe, by contrast, touches every bucket).
+    // Oracle: the order-5 CTE template with the probe source
+    // restricted — the pruned path must score the sub-batch exactly
+    // as the full-table derivation does.
+    "t69_mkn5_probe_indexed" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val path = Fixtures.scratchDir("graft-t69") + "/index"
+      TextStats.writeNgramIndex(
+        TextStats.ngramCounts(d, "text", 5), path, order = 5)
+      TextStats.mknNgramNllIndexed(
+          s, path, d.filter(col("doc_id") < 50), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Incremental n-gram model maintenance (C207 / t62): the crawl-
     // snapshot shape a compiled KenLM binary cannot offer — two
     // disjoint document halves build SEPARATE 5-gram count frames,
@@ -5019,6 +5038,14 @@ $bandSelects
     // chained pl2..pl4 CTEs, binned top discounts).
     "t61_mkn5_nll" ->
       s"""WITH ${mknNgramNllCtes("documents", "documents", 5)}
+         |SELECT doc_id, n_tokens, avg_nll
+         |FROM perdoc ORDER BY doc_id""".stripMargin,
+    // t69: the same template with the PROBE restricted to docs < 50 —
+    // the at-rest pruned path must score the sub-batch exactly as the
+    // full-table derivation scores it.
+    "t69_mkn5_probe_indexed" ->
+      s"""WITH ${mknNgramNllCtes("documents",
+             "(SELECT doc_id, text FROM documents WHERE doc_id < 50)", 5)}
          |SELECT doc_id, n_tokens, avg_nll
          |FROM perdoc ORDER BY doc_id""".stripMargin,
     // p12: p9's gate chain with the order-5 CTE generator in the LM

@@ -87,6 +87,10 @@ def run_cell(classes, query, iters, sf_dir, cpus, mem, timeout):
         "SPARK_GRAFT_BENCH_ITERS": str(iters),
         "SPARK_GRAFT_BENCH_ONLY": query,
         "SPARK_GRAFT_BENCH_RAW": "1",
+        # Route graft.Bench's durable copy to a scratch file: without
+        # this every cell CLOBBERS the repo's full-run BENCH_SELF.json
+        # with a one-query report (bitten in r19).
+        "SPARK_GRAFT_BENCH_OUT": f"/tmp/bench_cell_{query}.json",
     })
     r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=timeout)
     line = next((l for l in reversed(r.stdout.splitlines())
