@@ -244,6 +244,22 @@ object BenchPhases {
     "st24_lm_gate_persisted" -> ((s, dir) => StreamingQueries.st24Setup(s, dir)._1),
     "st25_route_persisted" -> ((s, dir) => StreamingQueries.st25Setup(s, dir)._1),
     "st26_stream_ngram" -> ((s, dir) => StreamingQueries.st26Setup(s, dir)._1),
+    // st27's claim is the refresh loop — maintain + rebuild + probe;
+    // fixture staging stays untimed like every st setup.
+    "st27_lm_index_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val (replay, store) = StreamingQueries.st26Setup(s, dir)
+      val d = Fixtures.table(s, dir, "documents")
+      () => {
+        replay()
+        val idx = Fixtures.scratchDir("graft-st27-bench") + "/index"
+        graft.pipeline.TextStats.writeNgramIndex(
+          graft.pipeline.TextStats.ngramModelFromStore(s, store, order = 5),
+          idx, order = 5)
+        graft.pipeline.TextStats.mknNgramNllIndexed(
+          s, idx, d.filter(col("doc_id") < 50), "doc_id", "text").count(); ()
+      }
+    }),
     // t62's claim is the SERVING path — snapshot load + summation merge
     // + scoring; building and persisting the snapshots is the one-time
     // cost the incremental discipline exists to amortize.

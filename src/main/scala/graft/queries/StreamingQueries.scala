@@ -504,6 +504,26 @@ object StreamingQueries {
           order = 5)
         .orderBy("doc_id")
     }),
+    // LM serving refresh, end to end (C213+C214 / st27): the full
+    // production loop with no seam — the STREAMING count store (st26's
+    // maintainer) advances batch by batch, the AT-REST serving index
+    // REBUILDS from the converged store (count additivity makes the
+    // store the exact one-pass model, so the derived tables are the
+    // one-pass model's), and a SMALL probe batch scores through the
+    // bucket-pruned index. Oracle = t69's (the restricted probe
+    // against the full-corpus model): one hash pins maintainer +
+    // rebuild + pruned serving together.
+    "st27_lm_index_refresh" -> ((s, dir) => {
+      val (replay, store) = st26Setup(s, dir)
+      replay()
+      val idx = Fixtures.scratchDir("graft-st27") + "/index"
+      TextStats.writeNgramIndex(
+        TextStats.ngramModelFromStore(s, store, order = 5), idx, order = 5)
+      TextStats.mknNgramNllIndexed(s, idx,
+          Fixtures.table(s, dir, "documents").filter(col("doc_id") < 50),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // Streaming BM25 index maintenance (st13): the documents table
     // replayed in batches through StreamingIndex.bm25IndexTo — batch 0
     // bootstraps the index, every later batch lands as a crash-atomic
@@ -1477,6 +1497,9 @@ object StreamingQueries {
     // additivity means the converged store IS the one-pass model, so
     // the whole maintenance protocol is pinned by t61's oracle hash.
     "st26_stream_ngram" -> PipelineQueries.oracleSql("t61_mkn5_nll"),
+    // st27 is t69 through the maintained store + index rebuild — one
+    // hash pins maintainer, rebuild, and pruned serving together.
+    "st27_lm_index_refresh" -> PipelineQueries.oracleSql("t69_mkn5_probe_indexed"),
     // Dedup-on-ingest converged state: every event exactly once, despite
     // the overlapping replay — again the events table itself.
     "st2_stream_dedup" ->

@@ -80,10 +80,14 @@ object CrawlDemo {
     // with the tokenizer ROUND-TRIPPED through ModelStore between
     // training and serving (the production session boundary).
     val trained = CrawlStages.trainTokenizer(corpus)
-    val store = Fixtures.scratchDir("graft-crawl-demo") + "/bpe"
-    ModelStore.saveBpe(trained, store)
-    val served = ModelStore.loadBpe(spark, store)
-    p(s"tokenizer: ${served.merges.size} merges trained, persisted, reloaded " +
+    val root = Fixtures.scratchDir("graft-crawl-demo") + "/bpe"
+    ModelStore.saveBpe(trained, s"$root/v=1")
+    ModelStore.publishVersion(spark, root, 1)
+    // The serving session resolves "current model" through the version
+    // registry pointer, never a hard-coded path.
+    val served = ModelStore.loadBpe(spark, ModelStore.resolveLatest(spark, root))
+    p(s"tokenizer: ${served.merges.size} merges trained, persisted as v=1, " +
+      s"resolved via registry pointer and reloaded " +
       s"(tokenizer '${served.tokenizer.name}', band ${served.reserved.size})")
     val (ids, seqs0) = CrawlStages.packSequences(corpus, served)
     val seqs = seqs0.localCheckpoint(true)
