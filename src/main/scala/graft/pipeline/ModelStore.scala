@@ -119,6 +119,15 @@ object ModelStore {
   private def writtenRows(spark: SparkSession, path: String): Long =
     spark.read.parquet(path).count()
 
+  /** A meta field that did not exist before format v2 — absent on a v1
+    * directory, where the layout's behavior was the given default (the
+    * same tolerance [[requireRows]] extends to absent `rows_*` fields;
+    * a v1 artifact must keep loading as it did when it was saved, not
+    * throw an unversioned missing-field error).
+    */
+  private def fieldOr[T](meta: Row, name: String, default: T): T =
+    if (meta.schema.fieldNames.contains(name)) meta.getAs[T](name) else default
+
   // -------------------------------------------------- version registry
 
   private val LatestMarkerRe = "_latest_v([0-9]+)".r
@@ -138,7 +147,16 @@ object ModelStore {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
     val marker = new org.apache.hadoop.fs.Path(dir, s"_latest_v$version")
-    if (!fs.exists(marker)) fs.create(marker, false).close()
+    // Atomic create IS the idempotence check: a lost race (or an earlier
+    // publish of the same version) surfaces as already-exists, which is
+    // exactly the documented no-op — a pre-check `exists` would leave a
+    // window where two concurrent publishers both pass it and one throws.
+    try fs.create(marker, false).close()
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+      case _: java.nio.file.FileAlreadyExistsException => ()
+      case _: java.io.IOException if fs.exists(marker) => ()
+    }
   }
 
   /** The newest published version under `root` (max over the markers),
@@ -207,8 +225,11 @@ object ModelStore {
     val words = spark.read.parquet(s"$path/words").persist()
     Bpe.BpeModel(merges, words,
       cappedOut = m.getAs[Long]("capped_out"),
-      byteLevel = m.getAs[Boolean]("byte_level"),
-      tokenizer = TextOps.tokByName(m.getAs[String]("tokenizer")),
+      // as in loadUnigram: artifacts saved before these identity fields
+      // existed were word-grain whitespace models — load them that way.
+      byteLevel = fieldOr[Boolean](m, "byte_level", false),
+      tokenizer = TextOps.tokByName(
+        fieldOr[String](m, "tokenizer", TextOps.WhitespaceTok.name)),
       reserved = m.getAs[scala.collection.Seq[String]]("reserved").toSeq)
   }
 
@@ -254,8 +275,12 @@ object ModelStore {
       maxPieceLen = m.getAs[Int]("max_piece_len"),
       cappedOut = m.getAs[Long]("capped_out"),
       reserved = m.getAs[scala.collection.Seq[String]]("reserved").toSeq,
-      byteLevel = m.getAs[Boolean]("byte_level"),
-      tokenizer = TextOps.tokByName(m.getAs[String]("tokenizer")))
+      // pre-v2 unigram artifacts predate the byte grain and tokenizer
+      // identity fields; their behavior WAS word-grain whitespace, so
+      // absent fields resolve to it instead of an unversioned error.
+      byteLevel = fieldOr[Boolean](m, "byte_level", false),
+      tokenizer = TextOps.tokByName(
+        fieldOr[String](m, "tokenizer", TextOps.WhitespaceTok.name)))
   }
 
   // -------------------------------------------------- classifier weights

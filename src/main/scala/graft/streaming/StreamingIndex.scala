@@ -335,17 +335,21 @@ object StreamingIndex {
     *
     * Exactly-once by the st16/st17 mechanism, forced by the same
     * algebra: exact counts are linear-additive (a replayed batch
-    * doubles every count it contributed), so the batch-id watermark
-    * rides IN the store rows and promotes atomically with the
-    * partition-scoped apply; interrupted applies roll forward via
-    * `MergeApply.recover` BEFORE the watermark read; a torn bootstrap
-    * rebuilds because the store spec sidecar lands strictly after the
-    * parquet write.
+    * doubles every count it contributed), so replay is detected by a
+    * batch-id watermark — read O(1) from the [[StoreWatermark]] marker
+    * sidecar, promoted under its intent protocol so it can never claim
+    * a batch the apply rolled back (per-gram batch ids still ride IN
+    * the store rows for downstream delta consumers); interrupted
+    * applies roll back via `MergeApply.recover` BEFORE the watermark
+    * read; a torn bootstrap rebuilds because the store spec sidecar
+    * lands strictly after the parquet write.
     *
     * Scale shape: per batch, one map-side-combined count of the BATCH's
     * tokens, a read of only the buckets those tokens hash to, a rewrite
     * of those buckets — cost tracks the batch and its touched buckets,
-    * never corpus history; one row per distinct token forever.
+    * never corpus history; one row per distinct token forever. The
+    * watermark read is a directory listing — the one per-batch step
+    * that used to scan the full store (r19 finding) no longer does.
     */
   def vocabStoreTo(
       stream: DataFrame,
@@ -374,11 +378,15 @@ object StreamingIndex {
     * Exactly-once by the st16/st17/st19 mechanism, forced by the same
     * algebra: raw n-gram counts are linear-additive (windows never
     * cross document boundaries, so a replayed batch would double every
-    * count it contributed), hence the batch-id watermark rides IN the
-    * store rows and promotes atomically with the partition-scoped
-    * apply; interrupted applies roll forward via `MergeApply.recover`
-    * BEFORE the watermark read; a torn bootstrap rebuilds because the
-    * store spec sidecar lands strictly after the parquet write.
+    * count it contributed), hence replay is detected by a batch-id
+    * watermark — read O(1) from the [[StoreWatermark]] marker sidecar,
+    * promoted under its intent protocol so it can never claim a batch
+    * the apply rolled back (per-gram batch ids still ride IN the store
+    * rows — they are what the incremental index refresh keys its
+    * changed-gram set on); interrupted applies roll back via
+    * `MergeApply.recover` BEFORE the watermark read; a torn bootstrap
+    * rebuilds because the store spec sidecar lands strictly after the
+    * parquet write.
     *
     * Scale shape: per batch, one map-side-combined gram count of the
     * BATCH (bounded by the batch's gram vocabulary), a read of only
@@ -402,7 +410,12 @@ object StreamingIndex {
       .start()
 
   /** One micro-batch of n-gram-store maintenance (the foreachBatch
-    * body, exposed so the replay/crash windows are unit-testable). */
+    * body, exposed so the replay/crash windows are unit-testable).
+    * The replay-vs-apply decision reads the [[StoreWatermark]] marker
+    * sidecar — O(1) per batch; a full `max(batch_id)` store scan runs
+    * only to resolve doubt after a crash (or on a pre-sidecar store's
+    * first touch), never in the steady loop.
+    */
   private[graft] def applyNgramBatch(
       batch: DataFrame, batchId: Long, path: String,
       textCol: String, order: Int, nBuckets: Int = 8): Unit =
@@ -410,20 +423,24 @@ object StreamingIndex {
       val spark = batch.sparkSession
       val counts = TextStats.ngramCounts(batch, textCol, order)
         .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path)) {
         TextStats.writeNgramStore(counts, path, order, nBuckets)
-      else {
+        StoreWatermark.commit(spark, path, batchId)
+      } else {
         graft.merge.MergeApply.recover(spark, path)
-        val landed = graft.merge.PartitionedTarget.read(spark, path)
-          .agg(org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("batch_id"))).first().getLong(0)
-        if (batchId > landed)
+        val landed = StoreWatermark.landed(spark, path, scanMaxBatchId(spark, path))
+        if (batchId > landed) {
+          StoreWatermark.begin(spark, path, batchId)
           TextStats.mergeNgramCountsIntoStore(spark, path, counts)
+          StoreWatermark.commit(spark, path, batchId)
+        }
       }
     }
 
   /** One micro-batch of count-store maintenance (the foreachBatch body,
-    * exposed so the replay/crash windows are unit-testable). */
+    * exposed so the replay/crash windows are unit-testable). Watermark
+    * discipline identical to [[applyNgramBatch]].
+    */
   private[graft] def applyVocabBatch(
       batch: DataFrame, batchId: Long, path: String,
       textCol: String, nBuckets: Int = 8): Unit =
@@ -431,17 +448,36 @@ object StreamingIndex {
       val spark = batch.sparkSession
       val counts = graft.pipeline.Vocab.tokenCounts(batch, textCol)
         .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path))
+      if (!graft.merge.PartitionedTarget.isPartitioned(spark, path)) {
         graft.pipeline.Vocab.writeCountStore(counts, path, nBuckets)
-      else {
+        StoreWatermark.commit(spark, path, batchId)
+      } else {
         graft.merge.MergeApply.recover(spark, path)
-        val landed = graft.merge.PartitionedTarget.read(spark, path)
-          .agg(org.apache.spark.sql.functions.max(
-            org.apache.spark.sql.functions.col("batch_id"))).first().getLong(0)
-        if (batchId > landed)
+        val landed = StoreWatermark.landed(spark, path, scanMaxBatchId(spark, path))
+        if (batchId > landed) {
+          StoreWatermark.begin(spark, path, batchId)
           graft.pipeline.Vocab.mergeCountsIntoStore(spark, path, counts)
+          StoreWatermark.commit(spark, path, batchId)
+        }
       }
     }
+
+  /** The doubt-resolution scan [[StoreWatermark.landed]] forces only
+    * after a crash: one `max(batch_id)` over the full store. The null
+    * aggregate (a store directory holding a spec sidecar but zero
+    * rows) reads as "nothing landed" rather than NPEing — unreachable
+    * via the bootstrap path today, which never writes an empty first
+    * batch, but cheap to be safe against future writers.
+    */
+  private def scanMaxBatchId(spark: org.apache.spark.sql.SparkSession, path: String): Long = {
+    import org.apache.spark.sql.functions.{col, max}
+    if (!graft.merge.PartitionedTarget.hasBuckets(spark, path)) -1L
+    else {
+      val row = graft.merge.PartitionedTarget.read(spark, path)
+        .agg(max(col("batch_id"))).first()
+      Option(row.get(0)).map(_.asInstanceOf[Long]).getOrElse(-1L)
+    }
+  }
 
   /** One micro-batch of sketch-store maintenance (the foreachBatch body,
     * exposed so the replay/crash windows are unit-testable). */

@@ -104,6 +104,36 @@ class ModelStoreSpec extends GraftSuite {
     assert(back === 0L)
   }
 
+  test("pre-v2 artifacts still load: absent identity fields resolve to the layout's original behavior (word grain, whitespace), not an unversioned missing-field error") {
+    // A v1 unigram directory: pieces as today, meta WITHOUT byte_level /
+    // tokenizer / rows_pieces — exactly what a pre-v2 save produced.
+    val d = docs("stream batch stream", "merge table scan")
+    val trained = Unigram.train(d, "text", vocabSize = 20, iters = 1,
+      maxPieceLen = 4, seedMulti = 30, reserved = Seq(SpecialTokens.Unk))
+    val path = store("unigram-v1")
+    ModelStore.saveUnigram(trained, path)
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val v1Schema = StructType(Seq(
+      StructField("format_version", IntegerType, nullable = false),
+      StructField("model_type", StringType, nullable = false),
+      StructField("unk_logp", DoubleType, nullable = false),
+      StructField("max_piece_len", IntegerType, nullable = false),
+      StructField("capped_out", LongType, nullable = false),
+      StructField("reserved", ArrayType(StringType, containsNull = false), nullable = false)))
+    val v1Row = Row(1, "unigram", trained.unkLogp, trained.maxPieceLen,
+      trained.cappedOut, trained.reserved)
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(v1Row)), v1Schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val loaded = ModelStore.loadUnigram(spark, path)
+    // The v1 layout's behavior WAS word-grain whitespace — that's what
+    // an absent field must mean, because that's how the artifact trained.
+    assert(!loaded.byteLevel)
+    assert(loaded.tokenizer === TextOps.WhitespaceTok)
+    assert(loaded.pieces === trained.pieces)
+  }
+
   test("softmax + logistic: weight matrices round-trip exactly, with their feature/label vectors") {
     val w = Seq(Seq(0.125, -3.5, 2.000001), Seq(0.0, 7.25, -0.000001),
       Seq(1.0 / 3.0, Double.MinPositiveValue, 123456.789))

@@ -496,4 +496,70 @@ class StreamingIndexSpec extends GraftSuite {
     StreamingIndex.applyNgramBatch(b0, 0L, store2, "text", order)
     assert(model(store2) === onePass(b0))
   }
+
+  test("store watermark sidecar: steady-state read touches NO store data, crash doubt resolves once then goes marker-only, pre-sidecar stores reconcile on first touch") {
+    val base = java.nio.file.Files.createTempDirectory("stridx-wm")
+    val store = base.resolve("store").toString
+    val order = 3
+    val dir = new org.apache.hadoop.fs.Path(store)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names = fs.listStatus(dir).map(_.getPath.getName).toSeq
+    def model(path: String) =
+      TextStats.ngramModelFromStore(spark, path, order)
+        .as[(String, String, String, Long)].collect().sorted.toSeq
+
+    StreamingIndex.applyNgramBatch(b0, 0L, store, "text", order)
+    StreamingIndex.applyNgramBatch(b1, 1L, store, "text", order)
+
+    // THE r19 ask, pinned: in the steady state the watermark read is a
+    // directory listing only — the doubt-resolution scan thunk must not
+    // be forced. A thrown thunk IS the proof no store data was read.
+    assert(StoreWatermark.landed(spark, store,
+      fail("steady-state watermark read forced a store data scan")) === 1L)
+    // Exactly one committed marker (older ones are swept), no intents.
+    assert(names.count(_.startsWith("_graft_watermark_v")) === 1)
+    assert(names.exists(_ == "_graft_watermark_v1"))
+    assert(!names.exists(_.startsWith("_graft_watermark_intent_")))
+
+    // Crash window A — intent landed, apply ROLLED BACK (simulated: the
+    // intent marker exists but batch 2 never merged). The doubt read
+    // scans once, answers 1, clears the intent, and the replayed batch 2
+    // then applies exactly once.
+    StoreWatermark.begin(spark, store, 2L)
+    var scanned = 0
+    assert(StoreWatermark.landed(spark, store,
+      { scanned += 1
+        graft.merge.PartitionedTarget.read(spark, store)
+          .agg(max(col("batch_id"))).first().getLong(0) }) === 1L)
+    assert(scanned === 1)
+    // Doubt resolved and re-committed: the next read is marker-only again.
+    assert(StoreWatermark.landed(spark, store,
+      fail("post-recovery watermark read forced a store data scan")) === 1L)
+    StreamingIndex.applyNgramBatch(b2, 2L, store, "text", order)
+    val full = model(store)
+    assert(full === TextStats.ngramCounts(
+      b0.unionByName(b1).unionByName(b2), "text", order)
+      .as[(String, String, String, Long)].collect().sorted.toSeq)
+
+    // Crash window B — apply COMMITTED but the crash hit before the
+    // commit marker (simulated: drop the committed marker, leave the
+    // intent). The doubt scan reports batch 2 landed; the replay SKIPS —
+    // counts stay exactly-once.
+    StoreWatermark.begin(spark, store, 2L)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_watermark_v2"), false)
+    StreamingIndex.applyNgramBatch(b2, 2L, store, "text", order)
+    assert(model(store) === full)
+    assert(StoreWatermark.landed(spark, store,
+      fail("reconciled watermark read forced a store data scan")) === 2L)
+
+    // Pre-sidecar store (st19-era layout): no markers at all. First
+    // touch reconciles from the rows' batch ids, then goes marker-only;
+    // a replay through the maintainer still skips.
+    names.filter(_.startsWith("_graft_watermark")).foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(dir, n), false))
+    StreamingIndex.applyNgramBatch(b2, 2L, store, "text", order)
+    assert(model(store) === full)
+    assert(StoreWatermark.landed(spark, store,
+      fail("reconciled pre-sidecar read forced a store data scan")) === 2L)
+  }
 }
