@@ -1342,6 +1342,145 @@ object TextStats {
       discount: Double = 0.75): DataFrame =
     mknTrigramNllAgainst(docs, trigramCounts(docs, textCol), idCol, textCol, discount)
 
+  /** [[trigramCounts]] PER GROUP — one independent trigram model per
+    * value of `groupCol` (the CCNet per-language reference: each
+    * language's model sees only its own reference slice). One
+    * aggregation with the group key prepended; output is
+    * sum-of-per-group-vocabularies-sized.
+    *
+    * @return (`groupCol`, w1, w2, w3, ct)
+    */
+  def trigramCountsBy(
+      docs: DataFrame, textCol: String, groupCol: String): DataFrame =
+    docs
+      .select(col(groupCol), TextOps.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) >= 3)
+      .select(col(groupCol),
+        explode(transform(sequence(lit(1), size(col("__ws")) - 2),
+          i => struct(element_at(col("__ws"), i).as("w1"),
+            element_at(col("__ws"), i + 1).as("w2"),
+            element_at(col("__ws"), i + 2).as("w3")))).as("__t"))
+      .select(col(groupCol), col("__t.w1").as("w1"), col("__t.w2").as("w2"),
+        col("__t.w3").as("w3"))
+      .groupBy(col(groupCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("ct"))
+
+  /** [[mknTrigramNllAgainst]] PER GROUP — CCNet's actual gate design:
+    * each document scores against the model of ITS OWN group (its
+    * predicted language), not one global reference mixture. The model
+    * frame is [[trigramCountsBy]]'s layout; every derived table, the
+    * count-of-count discount estimation, and the totals carry the
+    * group key, and every scoring join adds a group-equality conjunct
+    * — so the whole thing stays the same token-linear join chain, with
+    * the group key riding each shuffle key (no per-group loop, no
+    * driver-side model dispatch).
+    *
+    * Discounts are estimated per group IN-ENGINE (the [[mknDiscounts]]
+    * guarded formulas as column expressions, `round(…, 6)` = the
+    * driver's HALF_UP): a per-group model means per-group
+    * count-of-counts, and collecting G triples to the driver would put
+    * the group count on the driver path for no reason.
+    *
+    * Semantics at the group boundary, stated: a probe doc whose group
+    * has NO model (no reference doc of that group had ≥ 3 tokens)
+    * CANNOT be scored and is absent from the output — the per-group
+    * totals join is inner. A gate built on this treats such docs as
+    * rejected (no reference ⇒ no quality evidence), which is CCNet's
+    * posture: languages without a reference LM don't pass.
+    *
+    * @param docs         probe frame; must carry `groupCol`
+    * @param trigramModel [[trigramCountsBy]] frame (`groupCol`, w1..w3, ct)
+    * @return (`idCol`, `groupCol`, n_tokens, avg_nll)
+    */
+  def mknTrigramNllPerGroup(
+      docs: DataFrame, trigramModel: DataFrame, groupCol: String,
+      idCol: String, textCol: String, discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount must lie in (0,1), got $discount")
+    val g = groupCol
+    val tri = trigramModel.select(col(g),
+      col("w1").as("prev2"), col("w2").as("prev"), col("w3").as("w"), col("ct"))
+    // Per-group discount estimation: mknDiscounts' bin() guards as
+    // columns. Arithmetic order mirrors the driver/oracle expressions
+    // exactly (left-assoc products) so the doubles agree bit-for-bit.
+    val cc = tri.groupBy(col(g)).agg(
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("ct") === 3, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("ct") === 4, 1L).otherwise(0L)).as("n4"))
+    def binned(divisorBin: Column, raw: Column, fallback: Double): Column =
+      when(divisorBin > 0 && (col("n1") + lit(2) * col("n2")) > 0 && raw > 0,
+        round(raw, 6)).otherwise(lit(fallback))
+    val y = col("n1").cast("double") / (col("n1") + lit(2) * col("n2"))
+    val disc = cc.select(col(g),
+      binned(col("n1"), lit(1) - lit(2) * y * col("n2") / col("n1"), 0.5).as("d1"),
+      binned(col("n2"), lit(2) - lit(3) * y * col("n3") / col("n2"), 1.0).as("d2"),
+      binned(col("n3"), lit(3) - lit(4) * y * col("n4") / col("n3"), 1.5).as("d3"))
+    val tctx = tri.groupBy(g, "prev2", "prev").agg(
+      sum(col("ct")).as("cuv"),
+      sum(when(col("ct") === 1, 1L).otherwise(0L)).as("n1uv"),
+      sum(when(col("ct") === 2, 1L).otherwise(0L)).as("n2uv"),
+      sum(when(col("ct") >= 3, 1L).otherwise(0L)).as("n3uv"))
+    val bc = tri.groupBy(g, "prev", "w").agg(count(lit(1)).as("cbc"))
+    val bctx = bc.groupBy(g, "prev").agg(
+      sum(col("cbc")).as("cbv"), count(lit(1)).as("n1v"))
+    val uc = bc.groupBy(g, "w").agg(count(lit(1)).as("cuw"))
+    val totals = bc.groupBy(col(g)).agg(count(lit(1)).as("__u"))
+      .join(
+        tri.select(col(g), col("prev2").as("t"))
+          .union(tri.select(col(g), col("prev").as("t")))
+          .union(tri.select(col(g), col("w").as("t")))
+          .groupBy(col(g)).agg(countDistinct(col("t")).as("__v")),
+        Seq(g))
+    val tok = docs
+      .select(col(idCol).as("id"), col(g), TextOps.tokens(col(textCol)).as("__ws"))
+      .select(col("id"), col(g), col("__ws"),
+        posexplode(col("__ws")).as(Seq("pos", "w")))
+      .withColumn("prev", when(col("pos") === 0, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos"))))
+      .withColumn("prev2", when(col("pos") <= 1, lit(null).cast("string"))
+        .otherwise(element_at(col("__ws"), col("pos") - 1)))
+      .drop("__ws")
+    val dTop = when(col("ct") === 1, col("d1"))
+      .when(col("ct") === 2, col("d2")).otherwise(col("d3"))
+    val scored = tok
+      .join(uc, Seq(g, "w"), "left")
+      .join(bc, Seq(g, "prev", "w"), "left")
+      .join(bctx, Seq(g, "prev"), "left")
+      .join(tri, Seq(g, "prev2", "prev", "w"), "left")
+      .join(tctx, Seq(g, "prev2", "prev"), "left")
+      .join(broadcast(totals), Seq(g)) // inner: no model for the group ⇒ unscorable
+      .join(broadcast(disc), Seq(g))
+      .withColumn("__pug",
+        (coalesce(col("cuw"), lit(0L)) + lit(1.0)) / (col("__u") + col("__v")))
+      .withColumn("__pb",
+        when(col("cbv").isNull || (col("cbc").isNull && col("cuw").isNull),
+          col("__pug"))
+          .otherwise(
+            (greatest(coalesce(col("cbc"), lit(0L)) - lit(discount), lit(0.0)) +
+              lit(discount) * col("n1v") *
+                (coalesce(col("cuw"), lit(0L)) / col("__u").cast("double"))) /
+              col("cbv")))
+      .withColumn("__gt",
+        (col("d1") * col("n1uv") + col("d2") * col("n2uv") + col("d3") * col("n3uv")) /
+          col("cuv"))
+      .withColumn("__pt",
+        when(col("ct").isNull, lit(0.0))
+          .otherwise(greatest(col("ct") - dTop, lit(0.0))) / col("cuv") +
+          col("__gt") * col("__pb"))
+      .withColumn("lnp",
+        when(col("prev").isNull, log(col("__pug")))
+          .when(col("prev2").isNull || col("cuv").isNull, log(col("__pb")))
+          .otherwise(log(col("__pt"))))
+    scored
+      .groupBy(col("id").as(idCol), col(g))
+      .agg(count(lit(1)).as("n_tokens"), collect_list(struct(col("pos"), col("lnp"))).as("__s"))
+      .withColumn("__sum", aggregate(
+        transform(array_sort(col("__s")), e => e.getField("lnp")),
+        lit(0.0), (acc, x) => acc + x))
+      .select(col(idCol), col(g), col("n_tokens"),
+        round(-col("__sum") / col("n_tokens"), 6).as("avg_nll"))
+  }
+
   /** Adjacent-token n-gram counts over a reference corpus — the
     * order-`order` generalization of [[trigramCounts]] (identical rows
     * at order 3, spec-pinned). Same map-only window build (one

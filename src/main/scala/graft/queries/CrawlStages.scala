@@ -103,20 +103,26 @@ private[graft] object CrawlStages {
     docs.join(kept, Seq("doc_id")).localCheckpoint(true)
   }
 
-  /** STAGE 4' — GATE, SCALE PATH: the p10 sketch-cutoff rule per
-    * predicted language — tercile CUTOFFS read from a KLL sketch of
-    * the fixed-point NLLs (one map-side-combined sketch aggregation),
-    * then a MAP-ONLY bucket assign against the broadcast cutoffs and
-    * the tail bucket dropped. No per-language sort of the doc frame
-    * anywhere — [[gate]]'s ntile is exact but pays a doc-frame window
-    * sort per language, the one 100 TB blemish the r18 verdict named;
-    * this is the path the composed pipeline ships. Boundary semantics
-    * vs ntile, stated: the inclusive cutoff rule puts ties in the
-    * LOWER bucket; ntile balances counts. k = 8192 makes the sketch
-    * exact at fixture SFs (the oracle replays the DataSketches
-    * inclusive rule literally); at real scale the buckets stay within
-    * KLL's ±ε rank error — the production contract (CCNet itself uses
-    * sampled cutoffs).
+  /** STAGE 4' — GATE, SCALE PATH: the p10 sketch-cutoff rule with
+    * PER-LANGUAGE reference models — CCNet's actual design (the r19
+    * ask): each predicted language's reference slice trains its own
+    * modified-KN trigram model and every doc scores against its own
+    * language's model (`mknTrigramNllPerGroup` — the group key rides
+    * every model aggregation and scoring join; no per-group loop).
+    * Tercile CUTOFFS read from a KLL sketch of the fixed-point NLLs
+    * (one map-side-combined sketch aggregation), then a MAP-ONLY
+    * bucket assign against the broadcast cutoffs and the tail bucket
+    * dropped. No per-language sort of the doc frame anywhere —
+    * [[gate]]'s ntile is exact but pays a doc-frame window sort per
+    * language, the one 100 TB blemish the r18 verdict named; this is
+    * the path the composed pipeline ships. Boundary semantics vs
+    * ntile, stated: the inclusive cutoff rule puts ties in the LOWER
+    * bucket; ntile balances counts. k = 8192 makes the sketch exact
+    * at fixture SFs (the oracle replays the DataSketches inclusive
+    * rule literally); at real scale the buckets stay within KLL's ±ε
+    * rank error — the production contract (CCNet itself uses sampled
+    * cutoffs). A language whose reference slice trained no model
+    * gates nothing through — no reference, no pass.
     * @return the gated corpus (doc_id, text, pred_lang), checkpointed
     */
   def gateSketch(docs: DataFrame): DataFrame = {
@@ -128,9 +134,9 @@ private[graft] object CrawlStages {
       Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
         .filter(col("accepted")).select("doc_id"),
       Seq("doc_id"))
-    val lm = TextStats.trigramCounts(ref, "text")
-    val fixed = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
-      .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
+    val lm = TextStats.trigramCountsBy(ref, "text", "pred_lang")
+    val fixed = TextStats.mknTrigramNllPerGroup(
+        docs, lm, "pred_lang", "doc_id", "text")
       .withColumn("__nf", round(col("avg_nll") * 1e6).cast("long"))
     val cuts = graft.operators.Sketches.mergedQuantiles(
         graft.operators.Sketches.quantileSketches(fixed, Seq("pred_lang"), "__nf"),
@@ -147,17 +153,22 @@ private[graft] object CrawlStages {
     Bpe.trainLocal(corpus, "text", numMerges = 8,
       reserved = SpecialTokens.Band)
 
-  /** STAGE 5b — IDS + EOS + PACK: reserved-band piece ids, one EOS per
-    * corpus doc (doc-frame anchored), per-pred-lang 512-id packs
-    * spliced into training sequences.
-    * @return (ids with EOS, packed sequences)
+  /** STAGE 5b — IDS + BOS/EOS + PACK: reserved-band piece ids, every
+    * corpus doc OPENED with BOS and closed with EOS (both doc-frame
+    * anchored — an empty doc still packs as a visible BOS/EOS pair;
+    * the LLaMA-style convention, the r19 ask), per-pred-lang 512-id
+    * packs spliced into training sequences. Both markers count
+    * against the pack budget exactly as a trainer counts them.
+    * @return (ids with BOS+EOS, packed sequences)
     */
   def packSequences(
       corpus: DataFrame, model: Bpe.BpeModel): (DataFrame, DataFrame) = {
     val vocabSize = Bpe.pieceVocab(model).count()
-    val ids = Packing.withEosForDocs(
-      Bpe.encodeIds(corpus, "doc_id", "text", model),
-      corpus, "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize)
+    val ids = Packing.withBosForDocs(
+      Packing.withEosForDocs(
+        Bpe.encodeIds(corpus, "doc_id", "text", model),
+        corpus, "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize),
+      corpus, "doc_id", SpecialTokens.BosId, vocabSize, SpecialTokens.BandSize)
     val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
       .join(corpus.select("doc_id", "pred_lang"), Seq("doc_id"))
     val packs = Packing.packGreedyByCount(

@@ -684,6 +684,42 @@ $bandSelects
           sum(col("pos") * col("piece_id")).as("pos_weighted_sum"))
         .orderBy("pred_lang", "pack_id")
     }),
+    // CCNet gate with PER-LANGUAGE reference models (C215 / p14):
+    // p10's sketch-cutoff chain with the one piece CCNet actually
+    // specifies that the global-LM variants approximate — each
+    // language's reference slice trains ITS OWN modified-KN trigram
+    // model and every doc scores against its own language's model
+    // (trigramCountsBy + mknTrigramNllPerGroup: the group key rides
+    // every model aggregation, discount estimation, and scoring join —
+    // no per-group loop, no driver dispatch). Cutoff machinery
+    // unchanged from p10: per-lang tercile cutoffs from the KLL sketch
+    // of the 6dp fixed-point NLLs, map-only bucket assign, inclusive
+    // rule. A language whose reference slice trained no model scores
+    // nothing — no reference, no pass (inner totals join; CCNet's
+    // posture).
+    "p14_perplexity_gate_perlang" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val f = classifierFeatures(d)
+      val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = d.join(
+        Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val model = TextStats.trigramCountsBy(ref, "text", "lang")
+      val fixed = TextStats.mknTrigramNllPerGroup(d, model, "lang", "doc_id", "text")
+        .withColumn("__nf", round(col("avg_nll") * 1e6).cast("long"))
+      val cuts = graft.operators.Sketches.mergedQuantiles(
+          graft.operators.Sketches.quantileSketches(fixed, Seq("lang"), "__nf"),
+          Seq("lang"), Seq(1.0 / 3, 2.0 / 3))
+        .select(col("lang"), col("p33").as("__c1"), col("p67").as("__c2"))
+      fixed.join(broadcast(cuts), Seq("lang"))
+        .withColumn("bucket",
+          when(col("__nf") <= col("__c1"), lit(1L))
+            .when(col("__nf") <= col("__c2"), lit(2L)).otherwise(lit(3L)))
+        .select("doc_id", "lang", "n_tokens", "avg_nll", "bucket")
+        .orderBy("doc_id")
+    }),
     // Greedy k-center coreset (C179 / e22): farthest-point traversal
     // over the embedding corpus — 5 maximally-diverse exemplars plus
     // the coverage-radius trajectory; distances round 6dp before the
@@ -2571,6 +2607,110 @@ $bandSelects
     }
     (base +: rounds).mkString(",\n")
   }
+
+  /** [[mknNllCtes]] PER GROUP — `TextStats.mknTrigramNllPerGroup`'s
+    * exact twin: `modelSrc` and `probeSrc` each expose (doc_id, `grp`,
+    * text); every model CTE, the discount estimation, and the totals
+    * carry the group key, every scoring join adds a group-equality
+    * conjunct, and the totals/discount joins are INNER (a probe doc
+    * whose group trained no model is absent from `perdoc` — the CCNet
+    * no-reference-no-pass posture). Ends in `perdoc`(doc_id, `grp`,
+    * n_tokens, avg_nll).
+    */
+  private def mknNllByCtes(
+      modelSrc: String, probeSrc: String, grp: String): String =
+    s"""tokM AS (SELECT doc_id, $grp, string_split(text, ' ') AS ws FROM $modelSrc),
+       |pvM AS (
+       |  SELECT doc_id, $grp, pos, w,
+       |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
+       |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
+       |  FROM (SELECT doc_id, $grp, ws, unnest(ws) AS w,
+       |               unnest(range(1, len(ws) + 1)) AS pos FROM tokM)
+       |),
+       |tri AS (SELECT $grp, prev2, prev, w, count(*) AS ct FROM pvM
+       |        WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3, 4),
+       |tcc AS (SELECT $grp,
+       |          sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1,
+       |          sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2,
+       |          sum(CASE WHEN ct = 3 THEN 1 ELSE 0 END) AS n3,
+       |          sum(CASE WHEN ct = 4 THEN 1 ELSE 0 END) AS n4
+       |        FROM tri GROUP BY 1),
+       |tdc AS (SELECT $grp,
+       |          CASE WHEN n1 > 0 AND n1 + 2*n2 > 0
+       |                AND 1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1 > 0
+       |            THEN round(1 - 2*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n2/n1, 6)
+       |            ELSE 0.5 END AS d1,
+       |          CASE WHEN n2 > 0 AND n1 + 2*n2 > 0
+       |                AND 2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2 > 0
+       |            THEN round(2 - 3*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n3/n2, 6)
+       |            ELSE 1.0 END AS d2,
+       |          CASE WHEN n3 > 0 AND n1 + 2*n2 > 0
+       |                AND 3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3 > 0
+       |            THEN round(3 - 4*(CAST(n1 AS DOUBLE)/(n1+2*n2))*n4/n3, 6)
+       |            ELSE 1.5 END AS d3 FROM tcc),
+       |tctx AS (SELECT $grp, prev2, prev, CAST(sum(ct) AS BIGINT) AS cuv,
+       |           sum(CASE WHEN ct = 1 THEN 1 ELSE 0 END) AS n1uv,
+       |           sum(CASE WHEN ct = 2 THEN 1 ELSE 0 END) AS n2uv,
+       |           sum(CASE WHEN ct >= 3 THEN 1 ELSE 0 END) AS n3uv
+       |         FROM tri GROUP BY 1, 2, 3),
+       |bcn AS (SELECT $grp, prev, w, count(*) AS cbc FROM tri GROUP BY 1, 2, 3),
+       |bcx AS (SELECT $grp, prev, CAST(sum(cbc) AS BIGINT) AS cbv, count(*) AS n1v
+       |        FROM bcn GROUP BY 1, 2),
+       |ucn AS (SELECT $grp, w, count(*) AS cuw FROM bcn GROUP BY 1, 2),
+       |tot AS (SELECT u.$grp, u.uu, v.vv
+       |        FROM (SELECT $grp, count(*) AS uu FROM bcn GROUP BY 1) u
+       |        JOIN (SELECT $grp, count(DISTINCT t) AS vv FROM (
+       |                SELECT $grp, prev2 AS t FROM tri
+       |                UNION ALL SELECT $grp, prev FROM tri
+       |                UNION ALL SELECT $grp, w FROM tri)
+       |              GROUP BY 1) v USING ($grp)),
+       |tokP AS (SELECT doc_id, $grp, string_split(text, ' ') AS ws FROM $probeSrc),
+       |pvP AS (
+       |  SELECT doc_id, $grp, pos, w,
+       |         CASE WHEN pos = 1 THEN NULL ELSE ws[pos - 1] END AS prev,
+       |         CASE WHEN pos <= 2 THEN NULL ELSE ws[pos - 2] END AS prev2
+       |  FROM (SELECT doc_id, $grp, ws, unnest(ws) AS w,
+       |               unnest(range(1, len(ws) + 1)) AS pos FROM tokP)
+       |),
+       |j AS (
+       |  SELECT p.doc_id, p.$grp, p.pos, p.prev, p.prev2,
+       |         n.cuw, b.cbc, bx.cbv, bx.n1v, t3.ct,
+       |         x.cuv, x.n1uv, x.n2uv, x.n3uv, t.uu, t.vv
+       |  FROM pvP p
+       |  JOIN tot t ON t.$grp = p.$grp
+       |  LEFT JOIN ucn n ON n.$grp = p.$grp AND n.w = p.w
+       |  LEFT JOIN bcn b ON b.$grp = p.$grp AND b.prev = p.prev AND b.w = p.w
+       |  LEFT JOIN bcx bx ON bx.$grp = p.$grp AND bx.prev = p.prev
+       |  LEFT JOIN tri t3 ON t3.$grp = p.$grp AND t3.prev2 = p.prev2
+       |                  AND t3.prev = p.prev AND t3.w = p.w
+       |  LEFT JOIN tctx x ON x.$grp = p.$grp AND x.prev2 = p.prev2
+       |                  AND x.prev = p.prev),
+       |k AS (
+       |  SELECT doc_id, $grp, pos, prev, prev2, ct, cuv, n1uv, n2uv, n3uv,
+       |         (coalesce(cuw, 0) + 1.0) / (uu + vv) AS pug,
+       |         CASE WHEN cbv IS NULL OR (cbc IS NULL AND cuw IS NULL)
+       |              THEN (coalesce(cuw, 0) + 1.0) / (uu + vv)
+       |              ELSE (greatest(coalesce(cbc, 0) - 0.75, 0.0)
+       |                    + 0.75 * n1v * (coalesce(cuw, 0) / CAST(uu AS DOUBLE))) / cbv
+       |         END AS pb
+       |  FROM j),
+       |scored AS (
+       |  SELECT doc_id, k.$grp, pos,
+       |    CASE WHEN prev IS NULL THEN ln(pug)
+       |         WHEN prev2 IS NULL OR cuv IS NULL THEN ln(pb)
+       |         ELSE ln((CASE WHEN ct IS NULL THEN 0.0
+       |                       ELSE greatest(ct - (CASE WHEN ct = 1 THEN d.d1
+       |                                                WHEN ct = 2 THEN d.d2
+       |                                                ELSE d.d3 END), 0.0) END) / cuv
+       |                 + ((d.d1*n1uv + d.d2*n2uv + d.d3*n3uv) / cuv) * pb)
+       |    END AS lnp
+       |  FROM k JOIN tdc d ON d.$grp = k.$grp),
+       |perdoc AS (
+       |  SELECT doc_id, $grp, count(*) AS n_tokens,
+       |         round(-list_reduce(list(lnp ORDER BY pos), (acc, x) -> acc + x)
+       |               / count(*), 6) AS avg_nll
+       |  FROM scored GROUP BY 1, 2
+       |)""".stripMargin
 
   /** The modified-Kneser–Ney trigram chain (`TextStats.
     * mknTrigramNllAgainst`'s exact twin, the t45 machinery
@@ -5158,6 +5298,34 @@ $bandSelects
          |                 WHEN f.nf <= c.c2 THEN 2 ELSE 3 END AS BIGINT) AS bucket
          |FROM pfx f JOIN pct c USING (lang)
          |ORDER BY f.doc_id""".stripMargin,
+    // p14: p10's chain with the reference model trained PER LANGUAGE —
+    // the grouped MKN CTEs (group key on every model table, per-lang
+    // discount estimation, group-equality scoring joins, inner totals
+    // join); cutoff machinery verbatim from p10.
+    "p14_perplexity_gate_perlang" ->
+      s"""WITH ${logisticCtes(3, 1.0)},
+         |acc AS MATERIALIZED (
+         |  SELECT doc_id FROM cf CROSS JOIN cw3 w
+         |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
+         |refd AS MATERIALIZED (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN acc USING (doc_id)),
+         |${mknNllByCtes("refd", "(SELECT doc_id, lang, text FROM documents)", "lang")},
+         |pfx AS MATERIALIZED (
+         |  SELECT p.doc_id, p.lang, p.n_tokens, p.avg_nll,
+         |         CAST(round(p.avg_nll * 1000000) AS BIGINT) AS nf
+         |  FROM perdoc p),
+         |pcd AS (SELECT lang, nf,
+         |               cume_dist() OVER (PARTITION BY lang ORDER BY nf) AS cd
+         |        FROM pfx),
+         |pct AS (SELECT lang,
+         |               min(CASE WHEN cd >= 1.0/3 THEN nf END) AS c1,
+         |               min(CASE WHEN cd >= 2.0/3 THEN nf END) AS c2
+         |        FROM pcd GROUP BY lang)
+         |SELECT f.doc_id, f.lang, f.n_tokens, f.avg_nll,
+         |       CAST(CASE WHEN f.nf <= c.c1 THEN 1
+         |                 WHEN f.nf <= c.c2 THEN 2 ELSE 3 END AS BIGINT) AS bucket
+         |FROM pfx f JOIN pct c USING (lang)
+         |ORDER BY f.doc_id""".stripMargin,
     // p11: the full crawl-to-corpus replay — the WARC+markup stages are
     // closed-form (strip restores the source text; mirrors are
     // doc_id+700000 copies of every 10th), the dedup is replayed
@@ -5225,7 +5393,11 @@ $bandSelects
          |  SELECT c.doc_id, c.pred_lang, coalesce(m.word_pos, 0) AS word_pos,
          |         CAST(0 AS BIGINT) AS piece_pos, CAST(2 AS BIGINT) AS piece_id
          |  FROM cc c LEFT JOIN (SELECT doc_id, max(word_pos) + 1 AS word_pos
-         |                       FROM pid GROUP BY doc_id) m USING (doc_id)),
+         |                       FROM pid GROUP BY doc_id) m USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, pred_lang, CAST(-1 AS BIGINT) AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos, CAST(1 AS BIGINT) AS piece_id
+         |  FROM cc),
          |cnt AS (SELECT doc_id, pred_lang, count(*) AS n FROM pide GROUP BY 1, 2),
          |pk AS (SELECT doc_id, pred_lang, n,
          |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY pred_lang ORDER BY doc_id
@@ -5301,12 +5473,15 @@ $bandSelects
          |  SELECT doc_id FROM cf CROSS JOIN cw3 w
          |  WHERE round(1/(1+exp(-(w.b + w.w1*x1 + w.w2*x2 + w.w3*x3))), 6) >= 0.5),
          |refd AS MATERIALIZED (
-         |  SELECT d.doc_id, d.text FROM ndd d JOIN acc USING (doc_id)),
-         |${mknNllCtes("refd", "ndd")},
+         |  SELECT d.doc_id, r.pred_lang, d.text
+         |  FROM ndd d JOIN acc USING (doc_id) JOIN rt r USING (doc_id)),
+         |${mknNllByCtes("refd",
+            "(SELECT d.doc_id, r.pred_lang, d.text FROM ndd d JOIN rt r USING (doc_id))",
+            "pred_lang")},
          |pfx AS MATERIALIZED (
-         |  SELECT p.doc_id, r.pred_lang,
+         |  SELECT p.doc_id, p.pred_lang,
          |         CAST(round(p.avg_nll * 1000000) AS BIGINT) AS nf
-         |  FROM perdoc p JOIN rt r USING (doc_id)),
+         |  FROM perdoc p),
          |pcd AS (SELECT pred_lang, nf,
          |               cume_dist() OVER (PARTITION BY pred_lang ORDER BY nf) AS cd
          |        FROM pfx),
@@ -5338,7 +5513,11 @@ $bandSelects
          |  SELECT c.doc_id, c.pred_lang, coalesce(m.word_pos, 0) AS word_pos,
          |         CAST(0 AS BIGINT) AS piece_pos, CAST(2 AS BIGINT) AS piece_id
          |  FROM cc c LEFT JOIN (SELECT doc_id, max(word_pos) + 1 AS word_pos
-         |                       FROM pid GROUP BY doc_id) m USING (doc_id)),
+         |                       FROM pid GROUP BY doc_id) m USING (doc_id)
+         |  UNION ALL
+         |  SELECT doc_id, pred_lang, CAST(-1 AS BIGINT) AS word_pos,
+         |         CAST(0 AS BIGINT) AS piece_pos, CAST(1 AS BIGINT) AS piece_id
+         |  FROM cc),
          |cnt AS (SELECT doc_id, pred_lang, count(*) AS n FROM pide GROUP BY 1, 2),
          |pk AS (SELECT doc_id, pred_lang, n,
          |         CAST(floor(coalesce(sum(n) OVER (PARTITION BY pred_lang ORDER BY doc_id

@@ -101,6 +101,17 @@ object CrawlDemo {
     val eosPerDoc = seqs.filter(col("piece_id") === SpecialTokens.EosId)
       .groupBy("doc_id").count().filter(col("count") =!= 1).count()
     p(s"EOS invariant: docs without exactly one marker: $eosPerDoc (expect 0)")
+    val bosPerDoc = seqs.filter(col("piece_id") === SpecialTokens.BosId)
+      .groupBy("doc_id").count().filter(col("count") =!= 1).count()
+    val bosFirst = seqs
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")))
+      .filter(col("__rn") === 1 && col("piece_id") =!= SpecialTokens.BosId)
+      .count()
+    p(s"BOS invariant: docs without exactly one opener: $bosPerDoc, " +
+      s"docs not OPENING with it: $bosFirst (expect 0/0 — every doc " +
+      s"reads BOS ... EOS in its spliced sequence)")
 
     spark.stop()
   }

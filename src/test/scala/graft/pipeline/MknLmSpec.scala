@@ -93,4 +93,49 @@ class MknLmSpec extends GraftSuite {
       .map(r => (r.getLong(0), r.getDouble(2))).sortBy(_._1)
     assert(a === b)
   }
+
+  test("per-group scorer: one constant group == the global scorer bit-for-bit; per-lang groups == independent per-slice global models; a group with no model drops its docs") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "lang", "text")
+    // Law 1 — the group key is inert when constant: grouped chain ==
+    // the ungrouped chain, every double identical.
+    val one = d.withColumn("gg", lit("x"))
+    val grouped = TextStats.mknTrigramNllPerGroup(
+        one, TextStats.trigramCountsBy(one, "text", "gg"), "gg",
+        "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_nll").orderBy("doc_id").collect()
+    val global = TextStats.mknTrigramNllAgainst(
+        d, TextStats.trigramCounts(d, "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(grouped.toSeq === global.toSeq)
+    // Law 2 — grouping by lang == training and scoring each language
+    // slice independently with the GLOBAL machinery (model tables,
+    // discounts, totals all per-slice).
+    val byLang = TextStats.mknTrigramNllPerGroup(
+        d, TextStats.trigramCountsBy(d, "text", "lang"), "lang",
+        "doc_id", "text")
+      .select("doc_id", "n_tokens", "avg_nll").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val langs = d.select("lang").distinct().collect().map(_.getString(0))
+    val sliced = langs.flatMap { l =>
+      val s0 = d.filter(col("lang") === l)
+      TextStats.mknTrigramNllAgainst(
+          s0, TextStats.trigramCounts(s0, "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }.sortBy(_._1)
+    assert(byLang.toSeq === sliced.toSeq)
+    // Law 3 — no reference, no score: a group whose model slice has no
+    // >=3-token doc is ABSENT from the output (CCNet's posture), while
+    // the other groups score untouched.
+    import spark.implicits._
+    val probe = Seq((1L, "en", "a b c d"), (2L, "xx", "a b c d"))
+      .toDF("doc_id", "lang", "text")
+    val model = TextStats.trigramCountsBy(
+      Seq((10L, "en", "a b c a b c")).toDF("doc_id", "lang", "text"),
+      "text", "lang")
+    val out = TextStats.mknTrigramNllPerGroup(
+      probe, model, "lang", "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L))
+  }
 }
