@@ -1032,12 +1032,16 @@ object StreamingQueries {
 
   /** Untimed setup for st24 (persisted-artifact LM gate): st22's chain
     * with a HARD session boundary between training and serving — the
-    * logistic weights and the trigram count frame round-trip through
-    * [[graft.pipeline.ModelStore]], the per-lang cutoffs through their
-    * own parquet sidecar, and the GATE is built exclusively from the
-    * LOADED artifacts (fresh parquet lineage; nothing references the
-    * training frames). The oracle being st22's pins the store's
-    * bit-identity on the serving path.
+    * logistic weights, the trigram count frame, and the per-lang
+    * cutoffs persist as ONE versioned gate bundle under the
+    * [[graft.pipeline.ModelStore]] version registry, and the GATE is
+    * built exclusively from artifacts the serving session resolves
+    * through the registry POINTER (the r19 ask — no caller path
+    * reaches serving; the bundle directory is immutable, so a reader
+    * mid-retrain sees old-or-new, never torn). Like st25, a
+    * half-landed v=2 retrain (lm data landed, publish never happened)
+    * sits beside v=1 and the pointer must ignore it. The oracle being
+    * st22's pins the store's bit-identity on the serving path.
     */
   private[graft] def st24Setup(s: SparkSession, dir: String): (() => Unit, String) = {
     import s.implicits._
@@ -1045,20 +1049,21 @@ object StreamingQueries {
     implicit val ctx: SQLContext = s.sqlContext
     val scratch = Fixtures.scratchDir("graft-st24")
     val out = s"$scratch/out"
+    val root = s"$scratch/gate"
     val d = Fixtures.table(s, dir, "documents")
-    // ---- train-time session: fit, calibrate, PERSIST, forget. ----
+    // ---- train-time session: fit, calibrate, PERSIST, PUBLISH. ----
     val feats = PipelineQueries.classifierFeatures(d)
     graft.pipeline.ModelStore.saveLogistic(s,
       graft.pipeline.Classifier.trainLogistic(
         feats, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0),
-      Seq("x1", "x2", "x3"), s"$scratch/clf")
-    val (w0, wf0) = graft.pipeline.ModelStore.loadLogistic(s, s"$scratch/clf")
+      Seq("x1", "x2", "x3"), s"$root/v=1/clf")
+    val (w0, wf0) = graft.pipeline.ModelStore.loadLogistic(s, s"$root/v=1/clf")
     val ref = d.join(
       graft.pipeline.Classifier.score(feats, w0, wf0, threshold = 0.5)
         .filter(col("accepted")).select("doc_id"),
       Seq("doc_id"))
     val trained = TextStats.trigramCounts(ref, "text")
-    graft.pipeline.ModelStore.saveNgram(trained, s"$scratch/lm", order = 3)
+    graft.pipeline.ModelStore.saveNgram(trained, s"$root/v=1/lm", order = 3)
     TextStats.mknTrigramNllAgainst(d, trained, "doc_id", "text")
       .join(d.select("doc_id", "lang"), Seq("doc_id"))
       .withColumn("bucket", ntile(3).over(
@@ -1066,28 +1071,27 @@ object StreamingQueries {
       .groupBy("lang").agg(
         max(when(col("bucket") === 1, col("avg_nll"))).as("c1"),
         max(when(col("bucket") === 2, col("avg_nll"))).as("c2"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$scratch/cutoffs")
-    // ---- serving session: every frozen input arrives FROM DISK. ----
-    val (model, order) = graft.pipeline.ModelStore.loadNgram(s, s"$scratch/lm")
-    require(order == 3, s"stored model order drifted: $order")
-    model.persist().count()
-    val calib = s.read.parquet(s"$scratch/cutoffs").collect()
-    val cut1 = calib.collect {
-      case r if !r.isNullAt(1) => (r.getString(0), r.getDouble(1))
-    }.toMap
-    val cut2 = calib.collect {
-      case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
-    }.toMap
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/v=1/cutoffs")
+    graft.pipeline.ModelStore.publishVersion(s, root, 1)
+    // A retrain IN FLIGHT: v=2's lm counts landed but the rest of the
+    // bundle (and the publish) never did — resolveLatest must keep
+    // answering the complete v=1.
+    s.read.parquet(s"$root/v=1/lm/counts")
+      .write.mode("overwrite").parquet(s"$root/v=2/lm/counts")
+    // ---- serving session: NO caller path reaches it — the gate
+    // resolves the registry pointer per micro-batch and loads the
+    // published bundle (lmGateRegistryTo), so it would follow a
+    // mid-stream publish at the next batch boundary, old-or-new.
     val rows = d.select("doc_id", "lang", "text")
       .as[(Long, String, String)].collect().sortBy(_._1)
     val per = math.max(1, (rows.length + NBatches - 1) / NBatches)
     val mem = MemoryStream[(Long, String, String)]
     val stream = mem.toDF().toDF("doc_id", "lang", "text")
-    val q = graft.streaming.StreamingScore.lmGateTo(
-      stream, "doc_id", "text", "lang", model, cut1, cut2, out, s"$scratch/cp")
+    val q = graft.streaming.StreamingScore.lmGateRegistryTo(
+      stream, "doc_id", "text", "lang", root, out, s"$scratch/cp")
     val replay = () =>
       try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-      finally { q.stop(); model.unpersist(false); () }
+      finally q.stop()
     (replay, out)
   }
 

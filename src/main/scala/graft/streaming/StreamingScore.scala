@@ -129,4 +129,46 @@ object StreamingScore {
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
+
+  /** [[lmGateTo]] with the frozen inputs located through the
+    * [[graft.pipeline.ModelStore]] VERSION REGISTRY instead of handed
+    * in: each micro-batch resolves the registry pointer and loads the
+    * published gate bundle (`&lt;ver&gt;/lm` n-gram counts +
+    * `&lt;ver&gt;/cutoffs` per-lang cutoff rows), so a serving session
+    * FOLLOWS a mid-stream v1→v2 publish at the next batch boundary —
+    * and because published version directories are immutable and the
+    * pointer flips atomically ([[graft.pipeline.ModelStore
+    * .publishVersion]]), every batch serves ONE complete version,
+    * old-or-new, never a torn mix (spec-pinned: a half-landed retrain
+    * beside the published version is invisible). The served version
+    * rides each output row as `model_version`, so the flip boundary is
+    * auditable in the sink itself.
+    *
+    * Per-batch overhead is one marker listing + a meta read — the
+    * model frame stays parquet-backed and lazy, so following the
+    * registry costs no model scan that the frozen handoff didn't
+    * already pay in the scoring joins.
+    */
+  def lmGateRegistryTo(
+      stream: DataFrame, idCol: String, textCol: String, langCol: String,
+      registryRoot: String, path: String, checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val cur = graft.pipeline.ModelStore.resolveLatest(s, registryRoot)
+        val ver = cur.substring(cur.lastIndexOf("v=") + 2).toLong
+        val (model, _) = graft.pipeline.ModelStore.loadNgram(s, s"$cur/lm")
+        val calib = s.read.parquet(s"$cur/cutoffs").collect()
+        val cut1 = calib.collect {
+          case r if !r.isNullAt(1) => (r.getString(0), r.getDouble(1))
+        }.toMap
+        val cut2 = calib.collect {
+          case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
+        }.toMap
+        lmGate(batch, idCol, textCol, langCol, model, cut1, cut2)
+          .withColumn("model_version", lit(ver))
+          .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      }
+      .start()
 }

@@ -92,6 +92,65 @@ class StreamingScoreSpec extends GraftSuite {
     assert(out(4L)._2 === 3L)
   }
 
+  test("registry-routed lm gate follows a v1→v2 publish mid-stream without a torn read: each batch serves one COMPLETE published version, a half-landed retrain is invisible") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.{ModelStore, TextStats}
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val scratch = graft.queries.Fixtures.scratchDir("graft-lmgate-registry")
+    val root = s"$scratch/gate"
+    val out = s"$scratch/out"
+    def bundle(ver: Int, modelDocs: org.apache.spark.sql.DataFrame): Unit = {
+      ModelStore.saveNgram(
+        TextStats.trigramCounts(modelDocs, "text"), s"$root/v=$ver/lm", order = 3)
+      Seq(("en", 3.0, 6.0)).toDF("lang", "c1", "c2")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/v=$ver/cutoffs")
+    }
+    bundle(1, lmDocs.filter(col("doc_id") <= 2))
+    ModelStore.publishVersion(spark, root, 1)
+    val mem = MemoryStream[(Long, String, String)]
+    val q = StreamingScore.lmGateRegistryTo(
+      mem.toDF().toDF("doc_id", "lang", "text"), "doc_id", "text", "lang",
+      root, out, s"$scratch/cp")
+    def feed(): Unit = {
+      mem.addData(
+        lmDocs.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq: _*)
+      q.processAllAvailable()
+    }
+    try {
+      feed() // batch 0 under the published v1
+      // A retrain IN FLIGHT: v2's lm landed, nothing published — the
+      // next batch must still serve the complete v1.
+      ModelStore.saveNgram(
+        TextStats.trigramCounts(lmDocs, "text"), s"$root/v=2/lm", order = 3)
+      feed() // batch 1: still v1
+      // The retrain completes and publishes: the NEXT batch boundary
+      // picks up v2 — the running query follows the pointer.
+      bundle(2, lmDocs)
+      ModelStore.publishVersion(spark, root, 2)
+      feed() // batch 2: v2
+    } finally q.stop()
+    val sink = spark.read.parquet(out)
+    def versionsOf(batch: Long): Set[Long] =
+      sink.filter(input_file_name().contains(s"batch=$batch"))
+        .select("model_version").distinct().collect().map(_.getLong(0)).toSet
+    assert(versionsOf(0L) === Set(1L) && versionsOf(1L) === Set(1L) &&
+      versionsOf(2L) === Set(2L))
+    // And the scores per batch are exactly the BATCH scoring under that
+    // whole version's model — one complete version, never a mixture.
+    def nllOf(modelDocs: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      TextStats.mknTrigramNllAgainst(
+          lmDocs, TextStats.trigramCounts(modelDocs, "text"), "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val v1Nll = nllOf(lmDocs.filter(col("doc_id") <= 2))
+    val v2Nll = nllOf(lmDocs)
+    def sinkNll(batch: Long): Map[Long, Double] =
+      sink.filter(input_file_name().contains(s"batch=$batch"))
+        .select("doc_id", "avg_nll").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sinkNll(0L) === v1Nll && sinkNll(1L) === v1Nll && sinkNll(2L) === v2Nll)
+  }
+
   test("lm gate: per-batch directory overwrite makes a replayed batch a no-op") {
     val model = graft.pipeline.TextStats.trigramCounts(lmDocs, "text")
     val path = graft.queries.Fixtures.scratchDir("graft-lmgate-spec") + "/out"
