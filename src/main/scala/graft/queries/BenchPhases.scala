@@ -244,6 +244,37 @@ object BenchPhases {
     "st24_lm_gate_persisted" -> ((s, dir) => StreamingQueries.st24Setup(s, dir)._1),
     "st25_route_persisted" -> ((s, dir) => StreamingQueries.st25Setup(s, dir)._1),
     "st26_stream_ngram" -> ((s, dir) => StreamingQueries.st26Setup(s, dir)._1),
+    // p11/p13's claim is the crawl COMPOSITION — ingest → scrub →
+    // dedup (→ near-dup) → route → gate → tokenize → pack → census.
+    // Serializing the documents table into WARC shard files is harness
+    // STAGING (the fixture exists so the oracle can replay the
+    // plants), not crawl work — it rides setup, so the timed samples
+    // measure the pipeline and not first-iteration fixture
+    // construction (the r19 p13 floor had a 34–157 s IQR for exactly
+    // this reason).
+    "p11_crawl_to_corpus" -> ((s, dir) => {
+      val shard = IngestQueries.warcCrawlFixture(s, dir)
+      () => {
+        val (ingested, _) = CrawlStages.ingest(s, shard)
+        val corpus = CrawlStages.gate(
+          CrawlStages.route(s, CrawlStages.dedup(CrawlStages.scrub(ingested))))
+        val (_, seqs) = CrawlStages.packSequences(
+          corpus, CrawlStages.trainTokenizer(corpus))
+        seqs.groupBy("pred_lang", "pack_id").count().count(); ()
+      }
+    }),
+    "p13_crawl_to_corpus_scale" -> ((s, dir) => {
+      val shard = IngestQueries.warcCrawlNearFixture(s, dir)
+      () => {
+        val (ingested, _) = CrawlStages.ingest(s, shard)
+        val corpus = CrawlStages.gateSketch(
+          CrawlStages.route(s, CrawlStages.nearDedup(
+            CrawlStages.dedup(CrawlStages.scrub(ingested)))))
+        val (_, seqs) = CrawlStages.packSequences(
+          corpus, CrawlStages.trainTokenizer(corpus))
+        seqs.groupBy("pred_lang", "pack_id").count().count(); ()
+      }
+    }),
     // st27's claim is ONE VERSION TURN of the serving loop — maintain
     // the arriving batch, refresh the index incrementally, probe
     // through the new version. History staging (the prefix batches +
