@@ -661,13 +661,16 @@ $bandSelects
     // NEAR-dup prune after exact dedup (d2's df-capped bucketed pair
     // generation + d10's cluster resolution; the fixture plants
     // boilerplate-tailed near-mirrors that survive the fingerprint
-    // stage), and (b) the GATE on the p10 sketch-cutoff path: per-
-    // pred-lang tercile cutoffs from a KLL sketch + a map-only bucket
-    // assign, replacing the per-lang ntile doc-frame sort (the one
-    // scale blemish the r18 verdict named in p11). Same census rollup;
-    // the oracle replays the near-dup prune generically (recursive
-    // connected components over the verified pair frame) and the
-    // DataSketches inclusive cutoff rule literally.
+    // stage), and (b) the GATE on the p10 sketch-cutoff path with
+    // PER-LANGUAGE reference models (C218 — CCNet's actual design):
+    // per-pred-lang tercile cutoffs from a KLL sketch + a map-only
+    // bucket assign, replacing the per-lang ntile doc-frame sort (the
+    // one scale blemish the r18 verdict named in p11). Packs open
+    // with BOS and close with EOS (C211, doc-frame anchored). Same
+    // census rollup; the oracle replays the near-dup prune generically
+    // (recursive connected components over the verified pair frame),
+    // the grouped per-lang MKN model CTEs, and the DataSketches
+    // inclusive cutoff rule literally.
     "p13_crawl_to_corpus_scale" -> ((s, dir) => {
       val (ingested, _) = CrawlStages.ingest(
         s, IngestQueries.warcCrawlNearFixture(s, dir))

@@ -457,10 +457,13 @@ object StreamingQueries {
           round(avg(col("avg_nll")), 6).as("mean_nll"))
         .orderBy("lang", "bucket")
     }),
-    // Persisted-artifact streaming gate (C204 / st24): st22's CCNet
-    // gate with EVERY frozen input loaded from DISK — the classifier
-    // weights and the trigram model through ModelStore, the calibrated
-    // cutoffs from their parquet sidecar — in a separate lineage from
+    // Persisted-artifact streaming gate (C204+C219 / st24): st22's
+    // CCNet gate with EVERY frozen input loaded from DISK as one
+    // versioned ModelStore bundle (classifier + trigram model +
+    // calibrated cutoffs), located through the VERSION REGISTRY
+    // pointer per micro-batch (lmGateRegistryTo — no caller path
+    // reaches serving; a mid-stream publish lands at the next batch
+    // boundary, old-or-new, never torn) in a separate lineage from
     // the training frames. This is the production deployment shape
     // (train once, version the artifact, score anywhere); the converged
     // sink must equal st22's, so it shares st22's oracle verbatim: any
