@@ -1762,9 +1762,33 @@ object TextStats {
       ngramModel: DataFrame, targetBucketBytes: Long = 16L << 20): Int = {
     require(targetBucketBytes > 0,
       s"targetBucketBytes must be positive, got $targetBucketBytes")
-    val est = ngramModel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val est = ngramIndexBytes(ngramModel)
     ((est + targetBucketBytes - 1) / targetBucketBytes)
       .max(BigInt(8)).min(BigInt(65536)).toInt
+  }
+
+  /** The size figure [[ngramIndexBuckets]] divides: max(optimizer
+    * estimate, exact one-pass content measure). The optimizer estimate
+    * alone is the [[graft.operators.Layout]] input — fine for a
+    * parquet-backed model (real file sizes) — but through an
+    * UNMATERIALIZED aggregate-over-generate it can collapse to
+    * metadata scale (measured: a 10× corpus's 5-gram model estimated
+    * at 2.4 MB), and for a bucket-count an UNDERestimate is the one
+    * failure mode that matters at scale: a terabyte model floored to 8
+    * buckets is 8 unprunable megafiles. The content measure is one
+    * map-side-combined aggregation of the model frame — marginal next
+    * to the 2(n−1)+1 derivations a build already pays, and exact.
+    */
+  private[pipeline] def ngramIndexBytes(ngramModel: DataFrame): BigInt = {
+    val n = ngramModel.columns.count(c => c.startsWith("w") &&
+      c.drop(1).forall(_.isDigit))
+    val planEst = ngramModel.queryExecution.optimizedPlan.stats.sizeInBytes
+    val measured = Option(
+      ngramModel.agg(sum(octet_length(concat_ws(" ",
+          (1 to n).map(i => col(s"w$i")): _*)) + lit(8L * (n + 2))))
+        .first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    planEst.max(BigInt(measured))
   }
 
   /** The (name → derived-table join keys, positional names) layout of

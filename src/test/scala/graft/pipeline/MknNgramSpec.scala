@@ -228,19 +228,29 @@ class MknNgramSpec extends GraftSuite {
     assert(ex.getMessage.contains("last_batch_id"))
   }
 
-  test("size-derived index buckets: bucket count scales with the model's size estimate; floor and cap hold; the written meta records the derived count") {
+  test("size-derived index buckets: bucket count scales with the model's MEASURED size; floor and cap hold; the written meta records the derived count") {
     val model = TextStats.ngramCounts(corpus, "text", 5)
     // Tiny fixture model → the floor (8), not one mega-bucket.
     assert(TextStats.ngramIndexBuckets(model) === 8)
-    // Buckets scale ~linearly with the size estimate: shrinking the
+    // The size figure is max(plan estimate, exact content measure):
+    // through an unmaterialized aggregate the plan estimate can
+    // collapse to metadata scale, and the content measure is what
+    // keeps a big model from flooring (the underestimate is the one
+    // dangerous direction — a terabyte model at 8 buckets is 8
+    // unprunable megafiles). Here the measure dominates and is at
+    // least the raw gram text.
+    val est = TextStats.ngramIndexBytes(model)
+    val textBytes = model.select(
+        org.apache.spark.sql.functions.sum(length(concat_ws(" ",
+          (1 to 5).map(i => col(s"w$i")): _*))))
+      .first().getLong(0)
+    assert(est >= BigInt(textBytes) && textBytes > 0)
+    // Buckets scale ~linearly with the size figure: shrinking the
     // per-bucket target by K multiplies the count by ~K (per-bucket
-    // bytes stay ~constant as the model grows — the t69 flat-serving
-    // property).
-    val est = model.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
-    assert(est > 0)
-    val tgt = math.max(1L, est / 64L)
+    // bytes stay ~constant as the model grows — the serving property).
+    val tgt = (est / 64).max(BigInt(1)).toLong
     val n = TextStats.ngramIndexBuckets(model, tgt)
-    assert(n >= 64 && n < 100) // ~K, with integer-division slack on a tiny estimate
+    assert(n >= 64 && n < 100) // ~K, with integer-division slack on a tiny model
     // Cap: a byte-sized target on this model yields est buckets — still
     // bounded above by the fan-out cap (binding only at real scale).
     assert(TextStats.ngramIndexBuckets(model, 1L) <= 65536)
