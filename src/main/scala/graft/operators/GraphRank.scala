@@ -39,37 +39,38 @@ object GraphRank {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, "damping must lie in (0, 1)")
+    // localCheckpoint, not persist+count: persist only cuts PHYSICAL
+    // recomputation — the logical plan keeps growing, and with e/nodes/
+    // outDeg each re-embedding the caller's edge lineage (often a
+    // multi-table join) in every iteration, the analyzed plan reached
+    // ~1100 Exchange nodes by iteration 3 (plans/r20/q41_*_before.txt)
+    // and driver-side analysis/cache-matching time grew with it — the
+    // Bpe.train lesson (guide §3.3: very large plans make planning
+    // itself the bottleneck; materialize to truncate). Checkpointing
+    // makes every iteration's plan constant-size over leaf inputs.
     val e = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
-    try {
-      val n = nodes.count() // scalar: the node-universe size
-      var ranks = nodes.withColumn("rank", lit(1.0 / n)).persist()
-      ranks.count()
-      for (_ <- 1 to iters) {
-        val contribs = e
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outDeg, "src")
-          .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
-          .groupBy("node").agg(sum(col("__c")).as("__s"))
-        val next = nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (lit((1.0 - damping) / n) +
-              lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-          .persist()
-        next.count() // materialize: cut the iteration's lineage
-        ranks.unpersist(false)
-        ranks = next
-      }
-      ranks // persisted + materialized: safe once the inputs unpersist
-    } finally {
-      e.unpersist(false); nodes.unpersist(false); outDeg.unpersist(false)
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val n = nodes.count() // scalar: the node-universe size
+    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true) // eager: materialize + cut the lineage
     }
+    ranks
   }
 
   /** Personalized PageRank: [[pageRank]] with the teleport mass
@@ -95,38 +96,31 @@ object GraphRank {
     require(damping > 0.0 && damping < 1.0, "damping must lie in (0, 1)")
     require(seeds.nonEmpty, "at least one seed node required")
     require(seeds.distinct == seeds, s"duplicate seeds: $seeds")
+    // Same lineage-cut discipline as [[pageRank]] (see the note there).
     val e = edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-      .persist()
+      .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).persist()
-    try {
-      val nSeeds = seeds.length
-      val isSeed = col("node").isin(seeds: _*)
-      val teleport = when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0))
-      var ranks = nodes.withColumn("rank", teleport).persist()
-      ranks.count()
-      for (_ <- 1 to iters) {
-        val contribs = e
-          .join(ranks.withColumnRenamed("node", "src"), "src")
-          .join(outDeg, "src")
-          .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
-          .groupBy("node").agg(sum(col("__c")).as("__s"))
-        val next = nodes.join(contribs, Seq("node"), "left")
-          .select(col("node"),
-            (lit(1.0 - damping) * teleport +
-              lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-          .persist()
-        next.count()
-        ranks.unpersist(false)
-        ranks = next
-      }
-      ranks
-    } finally {
-      e.unpersist(false); nodes.unpersist(false); outDeg.unpersist(false)
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+    val nSeeds = seeds.length
+    val isSeed = col("node").isin(seeds: _*)
+    val teleport = when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", teleport).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__s"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) * teleport +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
+        .localCheckpoint(true) // eager: materialize + cut the lineage
     }
+    ranks
   }
 }

@@ -1238,22 +1238,42 @@ $bandSelects
     // does.
     "t56_tokenizer_sweep" -> ((s, dir) => {
       val d = table(s, dir, "documents").withColumn("__g", lit(1))
-      val bpe = Seq(4, 8, 16).map { k =>
-        val m = Bpe.train(d, "text", numMerges = k)
-        Bpe.fertility(d, "text", "__g", m)
-          .select(lit("bpe").as("family"), lit(k.toLong).as("budget"),
-            col("n_words"), col("n_pieces"), col("fertility"),
-            col("chars_per_piece"))
-      }
-      val uni = Seq(24, 48, 96).map { v =>
-        val m = Unigram.train(d, "text", vocabSize = v, iters = 3,
-          maxPieceLen = 5, seedMulti = 80)
-        Unigram.fertility(d, "text", "__g", m)
-          .select(lit("unigram").as("family"), lit(v.toLong).as("budget"),
-            col("n_words"), col("n_pieces"), col("fertility"),
-            col("chars_per_piece"))
-      }
-      (bpe ++ uni).reduce(_ unionByName _).orderBy("family", "budget")
+      // The six sweep points are fully independent training runs, each a
+      // chain of small driver-coordinated jobs that leaves most of the
+      // cluster idle between rounds — run them CONCURRENTLY from a small
+      // pool so each run's jobs back-fill the others' scheduling gaps
+      // (guide §2.6 "overlap independent jobs"). FIFO scheduling; the
+      // assembled union is ordered by the literal (family, budget) keys,
+      // so completion order cannot change the result.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      // Width 3, not 6: the trainers are driver-round-trip chains whose
+      // first run is dominated by codegen COMPILE, and six cold plans
+      // compiling at once convoyed on the driver (measured: the 6-wide
+      // pool's first isolated iteration was 2.6× the sequential one's).
+      // Three in flight still back-fills the job tails without the
+      // compile storm.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val bpe = Seq(4, 8, 16).map(k => Future {
+          val m = Bpe.train(d, "text", numMerges = k)
+          Bpe.fertility(d, "text", "__g", m)
+            .select(lit("bpe").as("family"), lit(k.toLong).as("budget"),
+              col("n_words"), col("n_pieces"), col("fertility"),
+              col("chars_per_piece"))
+        })
+        val uni = Seq(24, 48, 96).map(v => Future {
+          val m = Unigram.train(d, "text", vocabSize = v, iters = 3,
+            maxPieceLen = 5, seedMulti = 80)
+          Unigram.fertility(d, "text", "__g", m)
+            .select(lit("unigram").as("family"), lit(v.toLong).as("budget"),
+              col("n_words"), col("n_pieces"), col("fertility"),
+              col("chars_per_piece"))
+        })
+        Await.result(Future.sequence(bpe ++ uni), Duration.Inf)
+          .reduce(_ unionByName _).orderBy("family", "budget")
+      } finally pool.shutdown()
     }),
     // Decode round trip (C186 / t55): encodeIds then decode, the
     // tokenizer tier's closing law — the id stream reconstructs the

@@ -96,10 +96,24 @@ object StreamingScore {
   def lmGate(
       batch: DataFrame, idCol: String, textCol: String, langCol: String,
       trigramModel: DataFrame, cut1: Map[String, Double],
+      cut2: Map[String, Double]): DataFrame =
+    lmGateWith(batch, idCol, textCol, langCol,
+      graft.pipeline.TextStats.trigramTables(trigramModel), cut1, cut2)
+
+  /** [[lmGate]] against PRE-DERIVED model tables
+    * ([[graft.pipeline.TextStats.trigramTables]]) — the repeated-batch
+    * entry: the model is frozen across a stream's micro-batches, so its
+    * derived tables (five model-sized aggregations + the discount
+    * estimation) are derived ONCE and every batch pays only the probe
+    * joins. Bit-identical output — one shared scoring implementation.
+    */
+  def lmGateWith(
+      batch: DataFrame, idCol: String, textCol: String, langCol: String,
+      tables: graft.pipeline.TextStats.TrigramTables, cut1: Map[String, Double],
       cut2: Map[String, Double]): DataFrame = {
     val c1 = typedlit(cut1)
     val c2 = typedlit(cut2)
-    graft.pipeline.TextStats.mknTrigramNllAgainst(batch, trigramModel, idCol, textCol)
+    graft.pipeline.TextStats.mknTrigramNllWith(batch, tables, idCol, textCol)
       .join(batch.select(col(idCol), col(langCol)), Seq(idCol))
       .withColumn("bucket",
         when(col("avg_nll") <=
@@ -121,14 +135,23 @@ object StreamingScore {
   def lmGateTo(
       stream: DataFrame, idCol: String, textCol: String, langCol: String,
       trigramModel: DataFrame, cut1: Map[String, Double],
-      cut2: Map[String, Double], path: String, checkpoint: String): StreamingQuery =
+      cut2: Map[String, Double], path: String, checkpoint: String): StreamingQuery = {
+    // Derive + PIN the frozen model's scoring tables once, at gate
+    // construction: the model never changes across this stream's
+    // micro-batches, and re-deriving the five model-sized aggregations
+    // (plus the discount collect) per batch was the dominant per-batch
+    // cost — 4 replay batches paid the derivation 4×. localCheckpoint
+    // blocks are vocabulary-sized and release with the query's
+    // references (the bench's isolate() also purges them).
+    val tables = graft.pipeline.TextStats.trigramTablesMaterialized(trigramModel)
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        lmGate(batch, idCol, textCol, langCol, trigramModel, cut1, cut2)
+        lmGateWith(batch, idCol, textCol, langCol, tables, cut1, cut2)
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
+  }
 
   /** [[lmGateTo]] with the frozen inputs located through the
     * [[graft.pipeline.ModelStore]] VERSION REGISTRY instead of handed
@@ -151,24 +174,41 @@ object StreamingScore {
     */
   def lmGateRegistryTo(
       stream: DataFrame, idCol: String, textCol: String, langCol: String,
-      registryRoot: String, path: String, checkpoint: String): StreamingQuery =
+      registryRoot: String, path: String, checkpoint: String): StreamingQuery = {
+    // Per-VERSION derived-table cache: every batch still resolves the
+    // registry pointer (following a mid-stream publish stays intact —
+    // spec-pinned), but batches served by the SAME published version
+    // reuse its derived scoring tables instead of re-aggregating the
+    // model per batch. Published version directories are immutable, so
+    // a version path keys its tables forever. foreachBatch bodies run
+    // sequentially on the stream's thread — the var needs no lock.
+    var cached: Option[(String, graft.pipeline.TextStats.TrigramTables,
+      Map[String, Double], Map[String, Double])] = None
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val cur = graft.pipeline.ModelStore.resolveLatest(s, registryRoot)
         val ver = cur.substring(cur.lastIndexOf("v=") + 2).toLong
-        val (model, _) = graft.pipeline.ModelStore.loadNgram(s, s"$cur/lm")
-        val calib = s.read.parquet(s"$cur/cutoffs").collect()
-        val cut1 = calib.collect {
-          case r if !r.isNullAt(1) => (r.getString(0), r.getDouble(1))
-        }.toMap
-        val cut2 = calib.collect {
-          case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
-        }.toMap
-        lmGate(batch, idCol, textCol, langCol, model, cut1, cut2)
+        val (tables, cut1, cut2) = cached match {
+          case Some((p, t, c1, c2)) if p == cur => (t, c1, c2)
+          case _ =>
+            val (model, _) = graft.pipeline.ModelStore.loadNgram(s, s"$cur/lm")
+            val calib = s.read.parquet(s"$cur/cutoffs").collect()
+            val c1 = calib.collect {
+              case r if !r.isNullAt(1) => (r.getString(0), r.getDouble(1))
+            }.toMap
+            val c2 = calib.collect {
+              case r if !r.isNullAt(2) => (r.getString(0), r.getDouble(2))
+            }.toMap
+            val t = graft.pipeline.TextStats.trigramTablesMaterialized(model)
+            cached = Some((cur, t, c1, c2))
+            (t, c1, c2)
+        }
+        lmGateWith(batch, idCol, textCol, langCol, tables, cut1, cut2)
           .withColumn("model_version", lit(ver))
           .write.mode("overwrite").parquet(s"$path/batch=$batchId")
       }
       .start()
+  }
 }
