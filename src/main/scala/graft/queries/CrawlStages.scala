@@ -18,14 +18,20 @@ private[graft] object CrawlStages {
 
   /** STAGE 0 — INGEST: the WARC shard tree through the quarantine
     * reader (j13 machinery), doc ids recovered from the target URIs.
+    * NOT checkpointed: in the composed chains the ingested frame has
+    * exactly ONE consumer (scrub → dedup, whose window materializes at
+    * ITS checkpoint), so an eager cut here bought nothing and paid one
+    * full write+read of the raw body corpus per run — the
+    * materialize-at-boundaries rule is "frames feeding ≥ 2 consumers",
+    * and this one doesn't. (CrawlDemo's extra diagnostic count re-runs
+    * the parse once at demo scale — the right trade.)
     * @return (ingested = (doc_id, body), quarantine)
     */
   def ingest(s: SparkSession, shardPath: String): (DataFrame, DataFrame) = {
     val (clean, quarantine) = graft.sources.Ingest.warc(s, shardPath)
     (clean.select(
         regexp_extract(col("uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
-        col("body"))
-      .localCheckpoint(true), quarantine)
+        col("body")), quarantine)
   }
 
   /** STAGE 1 — SCRUB: strip the crawl chrome (map-only). */

@@ -94,6 +94,33 @@ class MknLmSpec extends GraftSuite {
     assert(a === b)
   }
 
+  test("pre-derived tables: mknTrigramNllWith over trigramTables / trigramTablesMaterialized == mknTrigramNllAgainst bit-for-bit") {
+    // The r20 optimization splits derivation from scoring so streaming
+    // gates derive once per frozen model; this pins that BOTH forms of
+    // the split (lazy tables, and the localCheckpoint-pinned tables the
+    // gates actually hold) reproduce the one-shot scorer exactly —
+    // every double identical, on real corpus data.
+    val d = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+    val model = TextStats.trigramCounts(d, "text")
+    val oneShot = TextStats.mknTrigramNllAgainst(d, model, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val lazyTabs = TextStats.mknTrigramNllWith(
+        d, TextStats.trigramTables(model), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(lazyTabs.toSeq === oneShot.toSeq)
+    val pinned = TextStats.trigramTablesMaterialized(model)
+    val viaPinned = TextStats.mknTrigramNllWith(d, pinned, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(viaPinned.toSeq === oneShot.toSeq)
+    // Reuse law: a SECOND scoring run against the same pinned tables
+    // (the micro-batch shape) is also identical — nothing in the first
+    // run mutates the tables.
+    val again = TextStats.mknTrigramNllWith(d, pinned, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(again.toSeq === oneShot.toSeq)
+  }
+
   test("per-group scorer: one constant group == the global scorer bit-for-bit; per-lang groups == independent per-slice global models; a group with no model drops its docs") {
     import org.apache.spark.sql.functions.{col, lit}
     val d = spark.read.parquet(s"${graft.SparkTestBase.sf0001}/documents.parquet")
