@@ -111,4 +111,21 @@ class GraphRankSpec extends GraftSuite {
     val ranks = GraphRank.pageRank(edges, "src", "dst", iters = 3)
     assert(math.abs(ranks.agg(sum("rank")).first().getDouble(0) - 1.0) < 1e-9)
   }
+
+  test("iteration lineage is CUT: the returned frame is a checkpoint leaf, not a per-iteration plan chain") {
+    // The r20 optimization: persist()+count() never truncated the
+    // LOGICAL plan, so the caller's edge lineage re-embedded per
+    // iteration (q41's 3-iteration plan was ~1100 Exchanges). The
+    // returned frame must now be a materialized leaf — analysis cost
+    // constant in the iteration count, the Dedup.clusters discipline.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    for (ranks <- Seq(
+        GraphRank.pageRank(edges, "src", "dst", iters = 3),
+        GraphRank.personalizedPageRank(edges, "src", "dst", Seq("a"), iters = 3))) {
+      val leaves = ranks.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.size === 1)
+      assert(leaves.head.getClass.getSimpleName === "LogicalRDD",
+        s"expected a checkpoint leaf, got ${leaves.head.getClass}")
+    }
+  }
 }
