@@ -92,8 +92,12 @@ private[graft] object CrawlStages {
     * @return the gated corpus (doc_id, text, pred_lang), checkpointed
     */
   def gate(docs: DataFrame): DataFrame = {
+    // Pinned: trainLogistic scans the feature frame once per GD iteration
+    // (separate jobs — no exchange reuse across them) and the scoring
+    // join re-embeds it again, each scan re-paying split+array_distinct
+    // over the corpus text. The frame is doc_id + 4 doubles — cache it.
     val cf = PipelineQueries.classifierFeatures(
-      docs.withColumn("n_chars", length(col("text")).cast("long")))
+      docs.withColumn("n_chars", length(col("text")).cast("long"))).cache()
     val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
       iters = 3, lr = 1.0)
     val ref = docs.join(
@@ -106,7 +110,9 @@ private[graft] object CrawlStages {
       .withColumn("bucket", ntile(3).over(
         Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
       .filter(col("bucket") <= 2).select("doc_id")
-    docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+    val out = docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+    cf.unpersist(false)
+    out
   }
 
   /** STAGE 4' — GATE, SCALE PATH: the p10 sketch-cutoff rule with
@@ -132,8 +138,9 @@ private[graft] object CrawlStages {
     * @return the gated corpus (doc_id, text, pred_lang), checkpointed
     */
   def gateSketch(docs: DataFrame): DataFrame = {
+    // Same feature-frame pin as [[gate]] — see the rationale there.
     val cf = PipelineQueries.classifierFeatures(
-      docs.withColumn("n_chars", length(col("text")).cast("long")))
+      docs.withColumn("n_chars", length(col("text")).cast("long"))).cache()
     val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
       iters = 3, lr = 1.0)
     val ref = docs.join(
@@ -151,7 +158,9 @@ private[graft] object CrawlStages {
     val kept = fixed.join(broadcast(cuts), Seq("pred_lang"))
       .filter(col("__nf") <= col("__c2")) // buckets 1–2; tail dropped
       .select("doc_id")
-    docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+    val out = docs.join(kept, Seq("doc_id")).localCheckpoint(true)
+    cf.unpersist(false)
+    out
   }
 
   /** STAGE 5a — TOKENIZE: driver-local BPE under the reserved band. */

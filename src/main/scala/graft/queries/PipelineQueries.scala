@@ -570,7 +570,7 @@ $bandSelects
     "p9_perplexity_gate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = table(s, dir, "documents")
-      val f = classifierFeatures(d)
+      val f = classifierFeatures(d).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
         iters = 3, lr = 1.0)
       val ref = d.join(
@@ -600,7 +600,7 @@ $bandSelects
     // bucket; ntile balances counts.
     "p10_perplexity_gate_sketch" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      val f = classifierFeatures(d)
+      val f = classifierFeatures(d).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
         iters = 3, lr = 1.0)
       val ref = d.join(
@@ -702,7 +702,7 @@ $bandSelects
     // posture).
     "p14_perplexity_gate_perlang" -> ((s, dir) => {
       val d = table(s, dir, "documents")
-      val f = classifierFeatures(d)
+      val f = classifierFeatures(d).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
         iters = 3, lr = 1.0)
       val ref = d.join(
@@ -767,7 +767,7 @@ $bandSelects
     // t35 gate — one row per distinct score (descending), cumulative
     // tp/fp/fn and precision/recall/f1 from integer counts only.
     "t40_classifier_pr_curve" -> ((s, dir) => {
-      val f = classifierFeatures(table(s, dir, "documents"))
+      val f = classifierFeatures(table(s, dir, "documents")).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y", iters = 3, lr = 1.0)
       Classifier.prCurve(
           Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5), "score", "y")
@@ -1531,7 +1531,7 @@ $bandSelects
     "p12_perplexity_gate_5g" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = table(s, dir, "documents")
-      val f = classifierFeatures(d)
+      val f = classifierFeatures(d).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
         iters = 3, lr = 1.0)
       val ref = d.join(
@@ -1578,7 +1578,7 @@ $bandSelects
     // text" filter. The oracle unrolls the identical 3 gradient steps
     // (the e20/e21 fixed-iteration discipline).
     "t35_quality_classifier" -> ((s, dir) => {
-      val f = classifierFeatures(table(s, dir, "documents"))
+      val f = classifierFeatures(table(s, dir, "documents")).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
         iters = 3, lr = 1.0)
       Classifier.score(f, w, Seq("x1", "x2", "x3"), threshold = 0.5)
