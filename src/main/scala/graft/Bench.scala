@@ -138,6 +138,17 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] self-artifact write failed: ${e.getMessage}") }
+    // Driver-parseable summary (VERDICT r20 "what's wrong" #1): the full
+    // line above is ~28 KB for 275 queries, and the driver's captured log
+    // tail is 2,000 chars — it can never recover the full line, so both
+    // r19 and r20 judged with `parsed: null`. This LAST line is a compact
+    // (<300 byte) JSON object that always fits the tail: totals, counts,
+    // and failures — the gate-relevant facts — while the per-query map
+    // stays in the full line and in the BENCH_SELF.json artifact of
+    // record. Additions-only: the full line is still printed first, so
+    // any parser that scans for the first '{"metric"' line is unaffected.
+    val cpusN = scala.util.Try(cpus.toInt).getOrElse(-1)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_failed":${results.count(!_._3)},"failed":$failed,"sf":"$sfDir","cpus":$cpusN,"iterations":$iters,"full":"$out"}""")
     spark.stop()
   }
 }
