@@ -73,6 +73,20 @@ object PartitionedApply {
     finally if (!callerPinned) source.unpersist()
   }
 
+  // Opt-in phase attribution (measurement only, never set by the driver):
+  // with SPARK_GRAFT_MERGE_PROFILE set, each apply prints how its wall
+  // time splits across touched-collect / staged-write / swap — the
+  // decomposition the streaming-upsert per-batch floor work needs.
+  private val profile = sys.env.contains("SPARK_GRAFT_MERGE_PROFILE")
+  private def timed[T](what: String)(body: => T): T =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      try body
+      finally System.err.println(
+        f"[pmerge-profile] $what ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    }
+
   private def applyPinned(
       spark: SparkSession,
       targetPath: String,
@@ -86,8 +100,8 @@ object PartitionedApply {
     val srcKeyCols = opts.keys.map(k =>
       source(source.columns.find(_.equalsIgnoreCase(k)).getOrElse(
         throw new MergeValidationException(s"Key column [$k] missing from source"))))
-    val touched = source.select(spec.bucket(srcKeyCols).as("b"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val touched = timed("touched-collect")(source.select(spec.bucket(srcKeyCols).as("b"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq)
 
     val tgt = new Path(targetPath)
     val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -156,13 +170,14 @@ object PartitionedApply {
       } finally fs.delete(work, true)
     } else {
       val obs = Observation(s"pmerge-$token")
-      writePartitionedOrCleanup(withBucket(frame.mergedObserved(obs)), staging, fs)
+      timed("staged-write")(
+        writePartitionedOrCleanup(withBucket(frame.mergedObserved(obs)), staging, fs))
       val metrics = obs.get
       val affected = metrics("affected").asInstanceOf[Long]
       val inserted = metrics("inserted").asInstanceOf[Long]
       val targetRows = metrics("total").asInstanceOf[Long] - inserted
       val variance = MergeApply.verdictOrCleanup(affected, targetRows, thresholdPct, fs, staging)
-      swapBuckets(spark, fs, tgt, staging, touched, token)
+      timed("swap")(swapBuckets(spark, fs, tgt, staging, touched, token))
       MergeApply.stampLastUpdate(fs, tgt)
       MergeResult(affected, targetRows, variance, committed = true)
     }

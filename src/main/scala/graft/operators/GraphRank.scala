@@ -39,37 +39,46 @@ object GraphRank {
       iters: Int = 3, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0, "damping must lie in (0, 1)")
-    // localCheckpoint, not persist+count: persist only cuts PHYSICAL
-    // recomputation — the logical plan keeps growing, and with e/nodes/
-    // outDeg each re-embedding the caller's edge lineage (often a
-    // multi-table join) in every iteration, the analyzed plan reached
+    // Lineage.cut (checkpoint), not persist+count: persist only cuts
+    // PHYSICAL recomputation — the logical plan keeps growing, and with
+    // e/nodes/outDeg each re-embedding the caller's edge lineage (often
+    // a multi-table join) in every iteration, the analyzed plan reached
     // ~1100 Exchange nodes by iteration 3 (plans/r20/q41_*_before.txt)
     // and driver-side analysis/cache-matching time grew with it — the
     // Bpe.train lesson (guide §3.3: very large plans make planning
     // itself the bottleneck; materialize to truncate). Checkpointing
-    // makes every iteration's plan constant-size over leaf inputs.
-    val e = edges
+    // makes every iteration's plan constant-size over leaf inputs; the
+    // cut is reliable when the session has a checkpoint dir (the
+    // executor-loss trade — see [[graft.Lineage]]). Superseded rank
+    // frames release their blocks as each iteration retires its
+    // predecessor, and the e/nodes/outDeg leaves release on return —
+    // at high iteration counts inside a long-lived session the
+    // ContextCleaner frees them only on GC, measurably too late (the
+    // d22 leak precedent); storage held at return is exactly one
+    // rank-frame of blocks.
+    val e = graft.Lineage.cut(edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+      .distinct())
+    val nodes = graft.Lineage.cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outDeg = graft.Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("__deg")))
     val n = nodes.count() // scalar: the node-universe size
-    var ranks = nodes.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var ranks = graft.Lineage.cut(nodes.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val prev = ranks
+      ranks = graft.Lineage.cut(nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // eager: materialize + cut the lineage
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank")))
+      graft.Lineage.free(prev) // eager cut done: predecessor blocks retire
     }
+    Seq(e, nodes, outDeg).foreach(graft.Lineage.free)
     ranks
   }
 
@@ -96,31 +105,32 @@ object GraphRank {
     require(damping > 0.0 && damping < 1.0, "damping must lie in (0, 1)")
     require(seeds.nonEmpty, "at least one seed node required")
     require(seeds.distinct == seeds, s"duplicate seeds: $seeds")
-    // Same lineage-cut discipline as [[pageRank]] (see the note there).
-    val e = edges
+    // Same lineage-cut + release discipline as [[pageRank]] (see there).
+    val e = graft.Lineage.cut(edges
       .select(col(srcCol).cast("string").as("src"), col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val outDeg = e.groupBy("src").agg(count(lit(1)).as("__deg")).localCheckpoint(true)
+      .distinct())
+    val nodes = graft.Lineage.cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
+    val outDeg = graft.Lineage.cut(e.groupBy("src").agg(count(lit(1)).as("__deg")))
     val nSeeds = seeds.length
     val isSeed = col("node").isin(seeds: _*)
     val teleport = when(isSeed, lit(1.0 / nSeeds)).otherwise(lit(0.0))
-    var ranks = nodes.withColumn("rank", teleport).localCheckpoint(true)
+    var ranks = graft.Lineage.cut(nodes.withColumn("rank", teleport))
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(outDeg, "src")
         .select(col("dst").as("node"), (col("rank") / col("__deg")).as("__c"))
         .groupBy("node").agg(sum(col("__c")).as("__s"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val prev = ranks
+      ranks = graft.Lineage.cut(nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(1.0 - damping) * teleport +
-            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank"))
-        .localCheckpoint(true) // eager: materialize + cut the lineage
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("rank")))
+      graft.Lineage.free(prev) // eager cut done: predecessor blocks retire
     }
+    Seq(e, nodes, outDeg).foreach(graft.Lineage.free)
     ranks
   }
 }

@@ -420,22 +420,28 @@ object Sketches {
       arriving: DataFrame, k: Int = 8192): Unit = {
     val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
     val keys = spec.keys
-    // Metadata-bounded collect: one bucket id per arriving slice group.
-    val touched = arriving
-      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val storedMatch = graft.merge.PartitionedTarget
-      .readBuckets(spark, path, touched) match {
-      case None => None
-      case Some(stored) =>
-        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
-    }
-    val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
-      .groupBy(keys.map(col): _*)
-      .agg(
-        kll_merge_agg_bigint(col("sketch"), lit(k)).as("sketch"),
-        max(col("batch_id")).as("batch_id"))
-    appendSlices(spark, path, merged)
+    // Pin the batch's sketch aggregation for the merge's lifetime: it
+    // feeds the touched collect, the semi-join, and the merged union
+    // (see TextStats.mergeNgramCountsIntoStore — same rationale).
+    arriving.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Metadata-bounded collect: one bucket id per arriving slice group.
+      val touched = arriving
+        .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val storedMatch = graft.merge.PartitionedTarget
+        .readBuckets(spark, path, touched) match {
+        case None => None
+        case Some(stored) =>
+          Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
+      }
+      val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
+        .groupBy(keys.map(col): _*)
+        .agg(
+          kll_merge_agg_bigint(col("sketch"), lit(k)).as("sketch"),
+          max(col("batch_id")).as("batch_id"))
+      appendSlices(spark, path, merged)
+    } finally arriving.unpersist(false)
   }
 
   def mergeIntoStore(
@@ -443,20 +449,25 @@ object Sketches {
       arriving: DataFrame): Unit = {
     val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
     val keys = spec.keys
-    // Metadata-bounded collect: one bucket id per arriving slice group.
-    val touched = arriving
-      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val storedMatch = graft.merge.PartitionedTarget
-      .readBuckets(spark, path, touched) match {
-      case None => None
-      case Some(stored) =>
-        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
-    }
-    val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
-      .groupBy(keys.map(col): _*)
-      .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
-    appendSlices(spark, path, merged)
+    // Pin the batch's sketch aggregation for the merge's lifetime —
+    // three consumers (see TextStats.mergeNgramCountsIntoStore).
+    arriving.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Metadata-bounded collect: one bucket id per arriving slice group.
+      val touched = arriving
+        .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val storedMatch = graft.merge.PartitionedTarget
+        .readBuckets(spark, path, touched) match {
+        case None => None
+        case Some(stored) =>
+          Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
+      }
+      val merged = storedMatch.fold(arriving)(_.unionByName(arriving))
+        .groupBy(keys.map(col): _*)
+        .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+      appendSlices(spark, path, merged)
+    } finally arriving.unpersist(false)
   }
 
   // ------------------------------------------------------------------
@@ -717,34 +728,39 @@ object Sketches {
     import org.apache.spark.util.sketch.CountMinSketch
     val spec = graft.merge.PartitionedTarget.readSpec(spark, path)
     val keys = spec.keys
-    // Metadata-bounded collect: one bucket id per arriving slice group.
-    val touched = arriving
-      .select(spec.bucket(keys.map(arriving(_))).as("__b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val storedMatch = graft.merge.PartitionedTarget
-      .readBuckets(spark, path, touched) match {
-      case None => None
-      case Some(stored) =>
-        Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
-    }
-    val ordered = (keys :+ "sketch") :+ "batch_id"
-    val both = storedMatch.fold(arriving)(_.unionByName(arriving))
-      .select(ordered.map(col): _*)
-    val nk = keys.length
-    val schema = both.schema
-    val rdd = both.rdd
-      .map(r => (keys.indices.map(r.get).toList,
-        (r.getAs[Array[Byte]](nk), r.getLong(nk + 1))))
-      .reduceByKey { (x: (Array[Byte], Long), y: (Array[Byte], Long)) =>
-        val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(x._1))
-        val sb = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(y._1))
-        sa.mergeInPlace(sb)
-        val bos = new java.io.ByteArrayOutputStream()
-        sa.writeTo(bos)
-        (bos.toByteArray, math.max(x._2, y._2))
+    // Pin the batch's sketch aggregation for the merge's lifetime —
+    // three consumers (see TextStats.mergeNgramCountsIntoStore).
+    arriving.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Metadata-bounded collect: one bucket id per arriving slice group.
+      val touched = arriving
+        .select(spec.bucket(keys.map(arriving(_))).as("__b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val storedMatch = graft.merge.PartitionedTarget
+        .readBuckets(spark, path, touched) match {
+        case None => None
+        case Some(stored) =>
+          Some(stored.join(arriving.select(keys.map(arriving(_)): _*), keys, "left_semi"))
       }
-      .map { case (ks, (sk, b)) => Row.fromSeq(ks ::: List(sk, b)) }
-    appendSlices(spark, path, spark.createDataFrame(rdd, schema))
+      val ordered = (keys :+ "sketch") :+ "batch_id"
+      val both = storedMatch.fold(arriving)(_.unionByName(arriving))
+        .select(ordered.map(col): _*)
+      val nk = keys.length
+      val schema = both.schema
+      val rdd = both.rdd
+        .map(r => (keys.indices.map(r.get).toList,
+          (r.getAs[Array[Byte]](nk), r.getLong(nk + 1))))
+        .reduceByKey { (x: (Array[Byte], Long), y: (Array[Byte], Long)) =>
+          val sa = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(x._1))
+          val sb = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(y._1))
+          sa.mergeInPlace(sb)
+          val bos = new java.io.ByteArrayOutputStream()
+          sa.writeTo(bos)
+          (bos.toByteArray, math.max(x._2, y._2))
+        }
+        .map { case (ks, (sk, b)) => Row.fromSeq(ks ::: List(sk, b)) }
+      appendSlices(spark, path, spark.createDataFrame(rdd, schema))
+    } finally arriving.unpersist(false)
   }
 
   /** EXACT phi-heavy-hitters answered THROUGH a persisted CMS slice

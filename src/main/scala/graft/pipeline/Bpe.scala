@@ -163,14 +163,17 @@ object Bpe {
         val m = Merge(step.toLong, r.getString(0), r.getString(1),
           r.getString(0) + r.getString(1), r.getLong(2))
         merges += m
-        // localCheckpoint is an eager TRUE lineage cut (persist+count
-        // only cuts physically): without it the logical plan chains one
+        // Lineage.cut is an eager TRUE lineage cut (persist+count only
+        // cuts physically): without it the logical plan chains one
         // aggregate-HOF projection per round and analysis cost — and
         // eventually tree-traversal stack depth — grows with the round
         // count. The word table is vocabulary-sized, so checkpoint
-        // storage is bounded by content.
-        val next = words.withColumn("seg", applyMerge(col("seg"), m)).localCheckpoint()
+        // storage is bounded by content; each round's superseded leaf
+        // releases its blocks eagerly (Lineage.free — unpersist alone
+        // does not drop a checkpoint leaf's blocks).
+        val next = graft.Lineage.cut(words.withColumn("seg", applyMerge(col("seg"), m)))
         words.unpersist(false)
+        graft.Lineage.free(words)
         words = next
         step += 1
       }

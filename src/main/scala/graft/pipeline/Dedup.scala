@@ -704,7 +704,7 @@ object Dedup {
       // sort: (doc_id, cluster_id) is a set — callers that need an order
       // add their own (the d9 query does), and a global sort here costs a
       // full range-exchange for nothing.
-      val out = cur.select("doc_id", "cluster_id").localCheckpoint(true)
+      val out = graft.Lineage.cut(cur.select("doc_id", "cluster_id"))
       cur.unpersist()
       out
     } finally { edges.unpersist(); p.unpersist() }
@@ -769,8 +769,9 @@ object Dedup {
       // 12 → 63 s across 7 same-JVM iterations as edge-frame-sized
       // checkpoint blocks accumulated in the block manager.
       def leafRdd(df: DataFrame) = leafCheckpointRdd(df)
-      var e = p.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
-        .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      var e = graft.Lineage.cut(
+        p.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+          .where(col("u") =!= col("v")).distinct())
       def stats(df: DataFrame): (Long, java.math.BigDecimal) = {
         val r = df.agg(
           count(lit(1)),
@@ -795,10 +796,11 @@ object Dedup {
         // Both branches share the `large` subtree over the leaf input —
         // identical subplans, so the exchange is planned once and reused.
         val smins = large.groupBy("u").agg(min(col("v")).as("m"))
-        val next = large.join(smins, "u").where(col("v") =!= col("m"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(smins.select(col("u"), col("m").as("v")))
-          .distinct().localCheckpoint(true)
+        val next = graft.Lineage.cut(
+          large.join(smins, "u").where(col("v") =!= col("m"))
+            .select(col("v").as("u"), col("m").as("v"))
+            .unionByName(smins.select(col("u"), col("m").as("v")))
+            .distinct())
         val (n, s) = stats(next)
         converged = n == prevN && s.compareTo(prevSum) == 0
         prevN = n; prevSum = s
@@ -813,9 +815,9 @@ object Dedup {
             "raise maxIters")
       // Fixpoint edges are stars: (member, component-min). Re-attach the
       // full vertex set — roots and isolated docs label themselves.
-      val out = vertices.join(e.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id"))
-        .localCheckpoint(true)
+      val out = graft.Lineage.cut(
+        vertices.join(e.withColumnRenamed("u", "doc_id"), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("v"), col("doc_id")).as("cluster_id")))
       leafRdd(e).foreach(_.unpersist(false))
       out
     } finally { vertices.unpersist(); p.unpersist() }

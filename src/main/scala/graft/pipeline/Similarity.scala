@@ -280,8 +280,13 @@ object Similarity {
       val picks = scala.collection.mutable.ArrayBuffer(
         (1L, seed.getLong(0), 0.0))
       var (cv, cn) = vecOf(seed)
-      var cur = base.withColumn("mind", distTo(cv, cn)).persist()
-      cur.count()
+      // Lineage.cut, not persist+count: persist only cut the PHYSICAL
+      // recomputation — round r's logical plan still nested r
+      // withColumn/least layers over the corpus lineage, so per-round
+      // analysis cost grew with r (the GraphRank lesson, guide §3.3).
+      // Each round's frame is a constant-size leaf; superseded rounds
+      // release their blocks eagerly (Lineage.free).
+      var cur = graft.Lineage.cut(base.withColumn("mind", distTo(cv, cn)))
       base.unpersist(false)
       var step = 2
       while (step <= k) {
@@ -292,15 +297,14 @@ object Similarity {
           val t = top.head
           picks += ((step.toLong, t.getLong(0), t.getAs[Double]("mind")))
           val (tv, tn) = vecOf(t)
-          val next = cur
-            .withColumn("mind", least(col("mind"), distTo(tv, tn))).persist()
-          next.count() // materialize: cut the round's lineage
-          cur.unpersist(false)
+          val next = graft.Lineage.cut(cur
+            .withColumn("mind", least(col("mind"), distTo(tv, tn))))
+          graft.Lineage.free(cur)
           cur = next
           step += 1
         }
       }
-      cur.unpersist(false)
+      graft.Lineage.free(cur)
       picks.toSeq.toDF("step", "center_id", "dist")
     } finally base.unpersist(false)
   }

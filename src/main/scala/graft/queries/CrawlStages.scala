@@ -47,7 +47,7 @@ private[graft] object CrawlStages {
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("__fp")).orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__fp", "__rn")
-      .localCheckpoint(true)
+      .transform(graft.Lineage.cut)
 
   /** STAGE 2b — NEAR-DEDUP: the shingle-Jaccard prune (d2's bucketed
     * pair generation, d10's cluster resolution, min-id representative
@@ -62,7 +62,7 @@ private[graft] object CrawlStages {
       PipelineQueries.ShingleN, PipelineQueries.DfCap,
       PipelineQueries.JaccardThreshold)(
       pairs => graft.pipeline.Dedup.pruneDuplicates(deduped, pairs, "doc_id"))
-      .localCheckpoint(true)
+      .transform(graft.Lineage.cut)
 
   /** STAGE 3 — LANGID: the t44 seed-trained softmax routes every doc
     * by its PREDICTED language (no metadata survives a crawl).
@@ -82,7 +82,7 @@ private[graft] object CrawlStages {
         array(PipelineQueries.LangidLangs.map(lit): _*),
         (col("pred_class") + 1).cast("int")))
       .select("doc_id", "pred_lang")
-    deduped.join(routed, Seq("doc_id")).localCheckpoint(true)
+    graft.Lineage.cut(deduped.join(routed, Seq("doc_id")))
   }
 
   /** STAGE 4 — GATE: the p9 CCNet chain on crawl-derived features
@@ -96,23 +96,26 @@ private[graft] object CrawlStages {
     // (separate jobs — no exchange reuse across them) and the scoring
     // join re-embeds it again, each scan re-paying split+array_distinct
     // over the corpus text. The frame is doc_id + 4 doubles — cache it.
+    // try/finally: an exception mid-train/checkpoint must not leave the
+    // cache entry pinned in a composed session that catches and goes on
+    // (unpersist after a failed materialization is safe).
     val cf = PipelineQueries.classifierFeatures(
       docs.withColumn("n_chars", length(col("text")).cast("long"))).cache()
-    val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
-      iters = 3, lr = 1.0)
-    val ref = docs.join(
-      Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
-        .filter(col("accepted")).select("doc_id"),
-      Seq("doc_id"))
-    val lm = TextStats.trigramCounts(ref, "text")
-    val kept = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
-      .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
-      .withColumn("bucket", ntile(3).over(
-        Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
-      .filter(col("bucket") <= 2).select("doc_id")
-    val out = docs.join(kept, Seq("doc_id")).localCheckpoint(true)
-    cf.unpersist(false)
-    out
+    try {
+      val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = docs.join(
+        Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val lm = TextStats.trigramCounts(ref, "text")
+      val kept = TextStats.mknTrigramNllAgainst(docs, lm, "doc_id", "text")
+        .join(docs.select("doc_id", "pred_lang"), Seq("doc_id"))
+        .withColumn("bucket", ntile(3).over(
+          Window.partitionBy("pred_lang").orderBy(col("avg_nll"), col("doc_id"))))
+        .filter(col("bucket") <= 2).select("doc_id")
+      graft.Lineage.cut(docs.join(kept, Seq("doc_id")))
+    } finally cf.unpersist(false)
   }
 
   /** STAGE 4' — GATE, SCALE PATH: the p10 sketch-cutoff rule with
@@ -138,29 +141,29 @@ private[graft] object CrawlStages {
     * @return the gated corpus (doc_id, text, pred_lang), checkpointed
     */
   def gateSketch(docs: DataFrame): DataFrame = {
-    // Same feature-frame pin as [[gate]] — see the rationale there.
+    // Same feature-frame pin + try/finally release as [[gate]].
     val cf = PipelineQueries.classifierFeatures(
       docs.withColumn("n_chars", length(col("text")).cast("long"))).cache()
-    val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
-      iters = 3, lr = 1.0)
-    val ref = docs.join(
-      Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
-        .filter(col("accepted")).select("doc_id"),
-      Seq("doc_id"))
-    val lm = TextStats.trigramCountsBy(ref, "text", "pred_lang")
-    val fixed = TextStats.mknTrigramNllPerGroup(
-        docs, lm, "pred_lang", "doc_id", "text")
-      .withColumn("__nf", round(col("avg_nll") * 1e6).cast("long"))
-    val cuts = graft.operators.Sketches.mergedQuantiles(
-        graft.operators.Sketches.quantileSketches(fixed, Seq("pred_lang"), "__nf"),
-        Seq("pred_lang"), Seq(1.0 / 3, 2.0 / 3))
-      .select(col("pred_lang"), col("p67").as("__c2"))
-    val kept = fixed.join(broadcast(cuts), Seq("pred_lang"))
-      .filter(col("__nf") <= col("__c2")) // buckets 1–2; tail dropped
-      .select("doc_id")
-    val out = docs.join(kept, Seq("doc_id")).localCheckpoint(true)
-    cf.unpersist(false)
-    out
+    try {
+      val wq = Classifier.trainLogistic(cf, Seq("x1", "x2", "x3"), "y",
+        iters = 3, lr = 1.0)
+      val ref = docs.join(
+        Classifier.score(cf, wq, Seq("x1", "x2", "x3"), threshold = 0.5)
+          .filter(col("accepted")).select("doc_id"),
+        Seq("doc_id"))
+      val lm = TextStats.trigramCountsBy(ref, "text", "pred_lang")
+      val fixed = TextStats.mknTrigramNllPerGroup(
+          docs, lm, "pred_lang", "doc_id", "text")
+        .withColumn("__nf", round(col("avg_nll") * 1e6).cast("long"))
+      val cuts = graft.operators.Sketches.mergedQuantiles(
+          graft.operators.Sketches.quantileSketches(fixed, Seq("pred_lang"), "__nf"),
+          Seq("pred_lang"), Seq(1.0 / 3, 2.0 / 3))
+        .select(col("pred_lang"), col("p67").as("__c2"))
+      val kept = fixed.join(broadcast(cuts), Seq("pred_lang"))
+        .filter(col("__nf") <= col("__c2")) // buckets 1–2; tail dropped
+        .select("doc_id")
+      graft.Lineage.cut(docs.join(kept, Seq("doc_id")))
+    } finally cf.unpersist(false)
   }
 
   /** STAGE 5a — TOKENIZE: driver-local BPE under the reserved band. */
@@ -179,11 +182,16 @@ private[graft] object CrawlStages {
   def packSequences(
       corpus: DataFrame, model: Bpe.BpeModel): (DataFrame, DataFrame) = {
     val vocabSize = Bpe.pieceVocab(model).count()
-    val ids = Packing.withBosForDocs(
+    // Materialized at the boundary (the ≥2-consumers rule): the id
+    // stream feeds THREE scans — the pack-budget counts here, the
+    // offset counts inside packedSequences, and the final splice join —
+    // and each un-cut scan re-ran the whole BPE encode (8 merge HOFs
+    // per token) plus the BOS/EOS anchor windows over the corpus.
+    val ids = graft.Lineage.cut(Packing.withBosForDocs(
       Packing.withEosForDocs(
         Bpe.encodeIds(corpus, "doc_id", "text", model),
         corpus, "doc_id", SpecialTokens.EosId, vocabSize, SpecialTokens.BandSize),
-      corpus, "doc_id", SpecialTokens.BosId, vocabSize, SpecialTokens.BandSize)
+      corpus, "doc_id", SpecialTokens.BosId, vocabSize, SpecialTokens.BandSize))
     val counts = ids.groupBy("doc_id").agg(count(lit(1)).as("n_pieces"))
       .join(corpus.select("doc_id", "pred_lang"), Seq("doc_id"))
     val packs = Packing.packGreedyByCount(

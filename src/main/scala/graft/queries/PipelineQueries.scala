@@ -570,6 +570,14 @@ $bandSelects
     "p9_perplexity_gate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val d = table(s, dir, "documents")
+      // Feature-frame cache (here and in p10/p12/p14/t35/t40): the GD
+      // trainer scans it once per iteration and the scorer again. The
+      // query lambdas return a LAZY frame — the caller's action is what
+      // consumes the cache — so release inside the lambda is impossible;
+      // it is DELEGATED to the harness boundary (Bench.isolate()'s
+      // clearCache per iteration; Verify/session teardown otherwise).
+      // Composed-pipeline callers needing in-session release use the
+      // CrawlStages.gate shape (eager checkpoint + try/finally unpersist).
       val f = classifierFeatures(d).cache()
       val w = Classifier.trainLogistic(f, Seq("x1", "x2", "x3"), "y",
         iters = 3, lr = 1.0)

@@ -52,11 +52,42 @@ object StreamingQueries {
     * a real deployment sizes state partitions to key cardinality, which
     * is tiny for these fixtures.
     */
+  /** Opt-in micro-batch cost attribution (the st1 SPARK_GRAFT_ST1_PROFILE
+    * precedent, generalized): with SPARK_GRAFT_ST_PROFILE set, dump every
+    * batch's full progress JSON — durationMs (addBatch vs WAL vs planning)
+    * and stateOperators (commit times, rows, state memory) — to stderr
+    * before the stream stops. Never set by the driver; measurement only.
+    */
+  private def stProfileDump(
+      tag: String, q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    if (sys.env.contains("SPARK_GRAFT_ST_PROFILE"))
+      q.recentProgress.foreach(p => System.err.println(s"[st-profile:$tag] ${p.json}"))
+
   private def pinnedStateParts[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
+    // No-data micro-batches exist to lower RESULT latency between
+    // arrivals: after a data batch advances the watermark, Spark runs an
+    // extra zero-row batch so finalized windows/timeouts emit without
+    // waiting for the next arrival. Each one pays the full per-batch
+    // floor — planning + a state-store commit round across every
+    // (operator × partition) — for zero new input; profiled on st3/st9
+    // (SPARK_GRAFT_ST_PROFILE, sf0.1) they were HALF the replayed
+    // batches and ~40-50 % of replay wall time. A replay/backfill
+    // stream — this harness, or any throughput-bound production
+    // backfill — reads results at convergence, so the early emission
+    // buys nothing; disable it for the stream under this pin (scoped
+    // and restored, like the partition pin). Results are UNCHANGED at
+    // convergence: every real window/session flushes in the sentinel
+    // DATA batches by construction, and the only rows that no longer
+    // land are sentinel-window rows the declared reads filter out —
+    // oracle-pinned. A latency-sensitive live deployment keeps the
+    // default; that trade is the operator's documented posture.
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = s.conf.get(key)
+    val prevNd = s.conf.get(ndKey)
     s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
+    s.conf.set(ndKey, "false")
+    try body finally { s.conf.set(key, prev); s.conf.set(ndKey, prevNd) }
   }
 
   private[graft] def st1Setup(s: SparkSession, dir: String): (() => Unit, String) = {
@@ -238,6 +269,7 @@ object StreamingQueries {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
         mem.addData((maxUs + 3 * hourUs, "zzz_sentinel", 0.0)); q.processAllAvailable()
         mem.addData((maxUs + 6 * hourUs, "zzz_sentinel", 0.0)); q.processAllAvailable()
+        stProfileDump("st3", q)
       } finally q.stop()
     (replay, out)
   }
@@ -280,6 +312,7 @@ object StreamingQueries {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
         mem.addData((-1L, maxUs + 3 * hourUs)); q.processAllAvailable()
         mem.addData((-1L, maxUs + 6 * hourUs)); q.processAllAvailable()
+        stProfileDump("st4", q)
       } finally q.stop()
     (replay, out)
   }
@@ -671,6 +704,7 @@ object StreamingQueries {
         rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
         mem.addData((maxUs + 3 * hourUs, -1L)); q.processAllAvailable()
         mem.addData((maxUs + 6 * hourUs, -1L)); q.processAllAvailable()
+        stProfileDump("st7", q)
       } finally q.stop()
     (replay, out)
   }
@@ -1295,8 +1329,10 @@ object StreamingQueries {
       .option("path", out).option("checkpointLocation", s"$scratch/cp")
       .start())
     val replay = () =>
-      try rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
-      finally q.stop()
+      try {
+        rows.grouped(per).foreach { b => mem.addData(b.toIndexedSeq: _*); q.processAllAvailable() }
+        stProfileDump("st9", q)
+      } finally q.stop()
     (replay, out)
   }
 

@@ -93,8 +93,11 @@ def run_cell(classes, query, iters, sf_dir, cpus, mem, timeout):
         "SPARK_GRAFT_BENCH_OUT": f"/tmp/bench_cell_{query}.json",
     })
     r = subprocess.run(cmd, env=env, capture_output=True, text=True, timeout=timeout)
+    # The bench prints TWO JSON lines since r21 (full per-query map first,
+    # compact driver-parseable summary last) — take the one carrying the
+    # per-query map.
     line = next((l for l in reversed(r.stdout.splitlines())
-                 if l.startswith('{"metric"')), None)
+                 if l.startswith('{"metric"') and '"queries"' in l), None)
     if r.returncode != 0 or line is None:
         raise RuntimeError(
             f"cell failed rc={r.returncode}: {r.stderr.strip()[-500:]}")
